@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard.
+  *
+  * Scale design: every method is a groupBy/join over *derived keys* (hashes,
+  * band signatures), never an O(n²) cross product. At 100 TB the shuffle key
+  * is always a short hash, and candidate verification only touches the
+  * LSH-bucketed pairs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: md5 groupBy, keep the minimum
+    * id as the canonical survivor. One shuffle on the 128-bit hash — the
+    * text itself never shuffles when `textCol` is dropped before the agg. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("content_hash"), col(idCol))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper_id"))
+      .filter(col("n_dups") > 1)
+
+  /** Deduplicated view: one row per distinct content hash (minimum id wins). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature of a shingle set: `numHashes` independent permutation
+    * approximations h_i(s) = min over shingles of xxhash64(i, s).
+    *
+    * Emitted as one ArrayType(LongType) column via a single `transform` over
+    * the hash seeds — the shingle array is traversed once per seed inside
+    * codegen, no explode, no shuffle.
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
+    * and hash each band; docs sharing any band hash are candidate pairs. */
+  def bandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand)).as("h"))
+    }: _*)
+
+  /** MinHash-LSH candidate duplicate pairs.
+    *
+    * Pipeline: shingle → signature → band hashes → explode bands →
+    * self-join on (band, hash) → distinct (a < b) pairs → estimate Jaccard
+    * from signature agreement. The only shuffle keys are band hashes;
+    * bucket sizes stay small because a band hash is 64 bits.
+    */
+  def minhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(
+      col(idCol).as("doc_id"),
+      minhashSignature(Text.shingles(col(textCol), shingleSize), numHashes).as("sig"))
+      .withColumn("band", explode(bandHashes(col("sig"), bands, rowsPerBand)))
+      .select(col("doc_id"), col("sig"), col("band.band").as("band"), col("band.h").as("h"))
+    val a = sigs.select(col("band"), col("h"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("band"), col("h"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), id => id))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over tokens: for each bit, sum ±1 votes weighted by the
+    * token hash's bit value; bit set when the vote is positive. Near-dups
+    * have small Hamming distance. Pure expression tree — per-bit aggregate
+    * over the token array. */
+  def simhash64(textCol: Column): Column = {
+    val tokenHashes = transform(Text.tokens(textCol), t => xxhash64(t))
+    val bitCols = (0 until 64).map { bit =>
+      val vote = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))
+      when(vote > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit simhashes via bit_count(xor). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact n-gram Jaccard similar pairs above `threshold`.
+    *
+    * Explode distinct shingles → self-join on shingle → per-pair common
+    * count → Jaccard with per-doc shingle counts. The shingle join is the
+    * classic "inverted index" plan: shuffle keys are shingles, so skew is
+    * bounded by the most common shingle — acceptable for ≥3-gram shingles;
+    * for larger corpora use `minhashCandidatePairs` first and verify only
+    * candidates.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(Text.shingles(col(textCol), n))).as("shingle"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val pairs = sh.toDF("doc_a", "shingle")
+      .join(sh.toDF("doc_b", "shingle"), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(counts.toDF("doc_a", "n_a"), Seq("doc_a"))
+      .join(counts.toDF("doc_b", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over an embedding column (Array[Float]):
+  * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+  * variant as the 100 TB scale path.
+  */
+object Similarity {
+
+  /** Dot product of two array columns, accumulated in double.
+    * `zip_with` + `aggregate` stay inside codegen — no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
+  }
+
+  /** Brute-force cosine top-k neighbors of one query vector.
+    *
+    * The query vector is a literal array, so the scan computes one fused
+    * expression per row and the only cross-node traffic is the global top-k
+    * (`orderBy` + `limit` → TakeOrderedAndProject — no full sort, each
+    * partition keeps k rows).
+    */
+  def bruteForceTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Cosine similarity of every row to a query vector (no top-k cutoff). */
+  def cosineToQuery(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float]): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
+  }
+
+  /** Sign-random-projection LSH bucket id: `nBits` deterministic pseudo-random
+    * hyperplanes (components derived from xxhash64(planeId, dimIdx) → ±1),
+    * bucket = bit pattern of the projection signs.
+    *
+    * This is the scale path for ANN: group by bucket, search only within the
+    * query's bucket (and optionally its Hamming-1 neighbors). Partitioning by
+    * bucket id makes the search a partition-pruned scan instead of a full
+    * pass.
+    */
+  def srpBucket(vecCol: Column, dim: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { plane =>
+      // ±1 hyperplane component for (plane, i); projection sign decides bit.
+      val proj = aggregate(
+        zip_with(vecCol, sequence(lit(0), lit(dim - 1)), (v, i) =>
+          v.cast("double") *
+            when(pmod(xxhash64(lit(plane), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), plane)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via SRP-LSH: restrict the brute-force search to rows whose bucket
+    * matches the query's bucket, then exact-rank within the bucket. */
+  def annTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      nBits: Int = 8): DataFrame = {
+    val dim = query.length
+    val q = array(query.map(v => lit(v)): _*)
+    val withBucket = df.withColumn("__bucket", srpBucket(col(vecCol), dim, nBits))
+    val queryBucket = withBucket.sparkSession.range(1)
+      .select(srpBucket(q, dim, nBits).as("__qb"))
+      .head().getLong(0)
+    withBucket.filter(col("__bucket") === lit(queryBucket))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs cosine above a threshold among rows sharing an SRP bucket —
+    * embedding near-duplicate detection at scale (bucket join, not O(n²)). */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      nBits: Int = 8): DataFrame = {
+    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", srpBucket(col("vec"), dim, nBits))
+    val a = withBucket.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = withBucket.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+}

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything is built from `org.apache.spark.sql.functions` higher-order
+  * array functions (codegen'd, no UDFs), so the operators scale with the
+  * scan and never serialize rows through Scala closures.
+  */
+object Text {
+
+  /** Whitespace tokens with empties removed (handles trailing separators). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword segmentation: split on whitespace AND punctuation /
+    * digit boundaries, the usual pre-tokenization step of BPE tokenizers. */
+  def subwordTokens(text: Column): Column =
+    filter(split(text, "[\\s\\p{Punct}]+|(?<=\\p{L})(?=\\d)|(?<=\\d)(?=\\p{L})"),
+      t => t =!= lit(""))
+
+  /** Sliding word n-gram shingles, the unit of MinHash/Jaccard dedup.
+    * `transform` over index positions keeps this inside codegen. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    filter(
+      transform(toks, (_, i) =>
+        when(i <= size(toks) - n,
+          array_join(slice(toks, i + 1, n), " "))),
+      s => s.isNotNull)
+  }
+
+  /** Distinct-token ratio: vocabulary richness component of quality score. */
+  def distinctRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Ratio of stopwords among tokens — high for natural prose, low for
+    * boilerplate/code; a standard quality-filter feature. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(sw, t))).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Punctuation-character ratio over the raw text. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+        length(text).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Composite document quality score in [0,1]: favors mid-length documents
+    * with diverse vocabulary, some stopwords, and modest punctuation —
+    * the shape of C4/Gopher-style quality heuristics. */
+  def qualityScore(text: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthTerm = least(nTok / lit(50.0), lit(1.0))
+    val diversity = distinctRatio(text)
+    val sw = least(stopwordRatio(text, stopwords) * lit(4.0), lit(1.0))
+    val punct = greatest(lit(1.0) - punctRatio(text) * lit(5.0), lit(0.0))
+    round((lengthTerm + diversity + sw + punct) / lit(4.0), 6)
+  }
+
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Character n-gram profiles per language for heuristic language ID.
+    * Tiny profiles (top trigrams of each language) broadcast as a literal
+    * map expression; the scoring is one codegen'd expression per language.
+    */
+  val LangTrigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", " th", "he ", "ing", "ng ", " an", "and", "nd ", " of", "of "),
+    "es" -> Seq(" de", "de ", "os ", " la", "la ", "ión", "ció", "es ", " es", "ent"),
+    "de" -> Seq("en ", "er ", "ch ", "der", " de", "ein", "ich", "sch", "die", " di"),
+    "fr" -> Seq(" de", "de ", "es ", "le ", " le", "ent", "nt ", "la ", " la", "ion"),
+    "zh" -> Seq("de ", "shi", "le ", "zai", "you", "he ", "wo ", "ta ", "men", "bu "),
+  )
+
+  /** Score one language profile: count of profile trigrams present. */
+  private def langScore(text: Column, trigrams: Seq[String]): Column =
+    trigrams.map(t => when(text.contains(t), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Heuristic n-gram language ID: argmax over profile scores.
+    * Returns the language code column. */
+  def langIdNgram(text: Column,
+      profiles: Map[String, Seq[String]] = LangTrigramProfiles): Column = {
+    val lower = lower(text)
+    val scored = profiles.toSeq.sortBy(_._1).map { case (langCode, tris) =>
+      struct(langScore(lower, tris).as("score"), lit(langCode).as("lang"))
+    }
+    // array_max on (score, lang) structs: ties break toward the
+    // lexicographically-largest code — deterministic.
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Polynomial rolling-hash fingerprint over tokens (document
+    * fingerprinting à la winnowing, collapsed to one 63-bit value).
+    * aggregate() keeps the hash accumulation inside the engine. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(1125899906842597L),
+      (acc, t) => pmod(acc * lit(31L) + xxhash64(t), lit(Long.MaxValue)))
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.{DatasetDescriptor, TimeSpan}
+
+/** Coordinate / scalar normalization operators (SURVEY §2.3-§2.4).
+  *
+  * Every operator is a pure `DataFrame => DataFrame` so Catalyst sees one
+  * declarative plan: filters and projections fold into the parquet scan,
+  * and nothing here materializes driver-side state.
+  */
+object Normalize {
+
+  /** Normalize longitudes into [-180, 180).
+    *
+    * Reference: `standardize_longitudes` (utils/convenience.py:506-524) —
+    * `((lon + 180) % 360) - 180`. `pmod` keeps the result non-negative for
+    * west-of-Greenwich inputs (numpy `%` semantics, unlike Java `%`).
+    * The reference's subsequent `sortby` is a physical-layout concern here:
+    * apply ordering at write time via `sortWithinPartitions`, not in the plan.
+    */
+  def standardizeLongitudes(df: DataFrame, lonCol: String = "longitude"): DataFrame =
+    df.withColumn(lonCol, pmod(col(lonCol) + lit(180.0), lit(360.0)) - lit(180.0))
+
+  /** Provider missing-value sentinel → NaN at scan.
+    *
+    * Reference: `preprocess_kerchunk` rewrites the refs' `fill_value`
+    * (utils/transform.py:347-375); in a long-form scan it is a single
+    * `when` over the value column, which stays inside whole-stage codegen.
+    */
+  def missingToNaN(df: DataFrame, valueCol: String, missingValue: Double): DataFrame =
+    df.withColumn(valueCol,
+      when(col(valueCol) === lit(missingValue), lit(Float.NaN)).otherwise(col(valueCol)))
+
+  /** Enforce the declared dtype of the data variable (float32 by default).
+    *
+    * Reference: `data_var_dtype = "<f4"` (utils/attributes.py:172-175),
+    * enforced at write (utils/publish.py:653-657).
+    */
+  def enforceValueType(df: DataFrame, valueCol: String, dt: DataType = FloatType): DataFrame =
+    df.withColumn(valueCol, col(valueCol).cast(dt))
+
+  /** Reindex the time axis onto a complete spine, NaN/null-filling holes.
+    *
+    * Reference: `fill_in_missing_time_steps` (util_funcs/reindexing.py:5-28).
+    * Spark-first: build the date spine with `sequence()` (no driver loop),
+    * cross-join the distinct non-time key combinations, and left-join the
+    * data. The spine side is tiny (one row per timestep) so Catalyst
+    * broadcasts it; the join itself shuffles only if the data side demands.
+    */
+  def fillMissingTimeSteps(
+      df: DataFrame,
+      timeCol: String,
+      otherDims: Seq[String],
+      resolution: TimeSpan): DataFrame = {
+    val bounds = df.agg(min(col(timeCol)).as("lo"), max(col(timeCol)).as("hi"))
+    val spine = bounds.select(
+      explode(expr(s"sequence(lo, hi, ${resolution.intervalExpr})")).as(timeCol))
+    val keys =
+      if (otherDims.isEmpty) spine
+      else spine.crossJoin(df.select(otherDims.map(col): _*).distinct())
+    keys.join(df, timeCol +: otherDims, "left")
+  }
+
+  /** Materialize a length-1 dimension dropped upstream (e.g. a squeezed time
+    * axis, or a timestep synthesized from a filename date).
+    *
+    * Reference: `expand_dims` usages (utils/publish.py:505, 1147-1173).
+    * Long-form rows make this a constant column.
+    */
+  def expandDim(df: DataFrame, dim: String, value: Column): DataFrame =
+    df.withColumn(dim, value)
+
+  /** Rename the (first) data variable to the canonical name; tolerate the
+    * canonical name already being present.
+    *
+    * Reference: `rename_data_variable` (utils/metadata.py:748-771).
+    */
+  def renameDataVariable(df: DataFrame, desc: DatasetDescriptor): DataFrame = {
+    val dimSet = desc.standardDims.toSet
+    df.columns.find(c => !dimSet.contains(c)) match {
+      case Some(v) if v != desc.dataVar => df.withColumnRenamed(v, desc.dataVar)
+      case _ => df
+    }
+  }
+
+  /** Project to the standard dimension order, tolerating absent dims.
+    *
+    * Reference: transpose to `standard_dims` (utils/transform.py:670-673,
+    * `_standard_dims_except` 761-762; utils/publish.py:507-510).
+    */
+  def transposeToStandard(df: DataFrame, desc: DatasetDescriptor): DataFrame = {
+    val present = desc.standardDims.filter(df.columns.contains)
+    df.select((present :+ desc.dataVar).map(col): _*)
+  }
+
+  /** Replace coordinate values via a mapping table (assign_coords analog,
+    * utils/publish.py:680-685). `mapping` must be small: it is broadcast. */
+  def assignCoords(df: DataFrame, dim: String, mapping: DataFrame,
+      fromCol: String, toCol: String): DataFrame =
+    df.join(broadcast(mapping), df(dim) === mapping(fromCol), "left")
+      .withColumn(dim, coalesce(col(toCol), col(dim)))
+      .drop(fromCol, toCol)
+
+  /** Full normalization pipeline for one scanned grid, descriptor-driven —
+    * the in-memory half of the reference's `transform`
+    * (dataset_manager.py:438-468). Hooks for per-dataset overrides mirror
+    * `preprocess_zarr`/`postprocess_zarr` (utils/transform.py:614-650). */
+  def normalize(
+      df: DataFrame,
+      desc: DatasetDescriptor,
+      pre: DataFrame => DataFrame = identity,
+      post: DataFrame => DataFrame = identity): DataFrame = {
+    val p0 = pre(df)
+    val p1 = renameDataVariable(p0, desc)
+    val p2 = desc.missingValue.fold(p1)(missingToNaN(p1, desc.dataVar, _))
+    val p3 = enforceValueType(p2, desc.dataVar)
+    val p4 =
+      if (desc.spatialDims.contains("longitude")) standardizeLongitudes(p3) else p3
+    post(transposeToStandard(p4, desc))
+  }
+}

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.TimeSpan
+
+/** Update planning — classify an incoming delta against the existing store
+  * (SURVEY §2.5). This is the reference's core "query".
+  */
+object UpdatePlan {
+
+  /** Split update times into inserts (∩ original) and appends (− original).
+    *
+    * Reference: `prepare_update_times` (utils/publish.py:377-404) — set
+    * intersection/difference over the time coordinate, both sorted.
+    * Spark-first: left-semi / left-anti joins on the time key. The distinct
+    * time sets are tiny relative to the grid (one row per timestep), so
+    * Catalyst broadcasts them; no full-grid shuffle occurs.
+    */
+  def prepareUpdateTimes(
+      original: DataFrame,
+      update: DataFrame,
+      timeCol: String = "time"): (DataFrame, DataFrame) = {
+    val origTimes = original.select(timeCol).distinct()
+    val updTimes  = update.select(timeCol).distinct()
+    val inserts = updTimes.join(origTimes, Seq(timeCol), "left_semi").orderBy(timeCol)
+    val appends = updTimes.join(origTimes, Seq(timeCol), "left_anti").orderBy(timeCol)
+    (inserts, appends)
+  }
+
+  /** Same classification as a single DataFrame with a `kind` column
+    * ("insert" | "append") — convenient for one-pass planning. */
+  def classifyUpdateTimes(
+      original: DataFrame,
+      update: DataFrame,
+      timeCol: String = "time"): DataFrame = {
+    val origTimes = original.select(timeCol).distinct()
+    val updTimes  = update.select(timeCol).distinct()
+    val inserts = updTimes.join(origTimes, Seq(timeCol), "left_semi")
+      .withColumn("kind", lit("insert"))
+    val appends = updTimes.join(origTimes, Seq(timeCol), "left_anti")
+      .withColumn("kind", lit("append"))
+    inserts.unionByName(appends)
+  }
+
+  /** Group a set of timesteps into contiguous runs (gaps-and-islands).
+    *
+    * Reference: `calculate_update_time_ranges` (utils/publish.py:555-620) —
+    * diff vs shifted self > resolution ⇒ run boundary; emits
+    * (startDate, endDate) per run. Spark-first: `lag` over a time-ordered
+    * window + running sum of boundary flags as the run id, then
+    * groupBy(runId).agg(min, max, count).
+    *
+    * The window has no partition key — acceptable because the input is a
+    * *time-coordinate* set (one row per timestep: thousands, not billions),
+    * never the full grid. Output columns: run_id, run_start, run_end, n_steps.
+    */
+  def contiguousRanges(
+      times: DataFrame,
+      timeCol: String,
+      resolution: TimeSpan): DataFrame = {
+    val w = Window.orderBy(col(timeCol))
+    val stepMs = resolution.toMillis
+    val tMs = unix_millis(col(timeCol).cast("timestamp"))
+    val prevMs = lag(tMs, 1).over(w)
+    times.select(col(timeCol)).distinct()
+      .withColumn("is_start",
+        when(prevMs.isNull || (tMs - prevMs) > lit(stepMs), lit(1)).otherwise(lit(0)))
+      .withColumn("run_id", sum(col("is_start")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("run_id"))
+      .agg(
+        min(col(timeCol)).as("run_start"),
+        max(col(timeCol)).as("run_end"),
+        count(lit(1)).as("n_steps"))
+      .orderBy("run_start")
+  }
+
+  /** Pad an insert slice out to chunk/bucket boundaries by filling absent
+    * cells from the original dataset.
+    *
+    * Reference: `complete_insert_slice` / `combine_first`
+    * (utils/publish.py:1341-1385). Spark-first: full-outer join on the key
+    * columns + `coalesce(update.value, original.value)`. Callers bound
+    * `original` to the affected buckets first so the join never touches the
+    * whole store (partition pruning does the bounding).
+    */
+  def combineFirst(
+      update: DataFrame,
+      original: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val u = update.withColumnRenamed(valueCol, "__upd")
+    val o = original.withColumnRenamed(valueCol, "__orig")
+    u.join(o, keyCols, "full_outer")
+      .withColumn(valueCol, coalesce(col("__upd"), col("__orig")))
+      .drop("__upd", "__orig")
+  }
+
+  /** Expected-order / contiguity check: every consecutive delta must equal
+    * the declared resolution (or fall within `cadenceBounds` for irregular
+    * datasets). Returns the violating (time, delta_minutes) rows — empty
+    * means pass.
+    *
+    * Reference: `check_if_update_is_contiguous` / expected-order check
+    * (utils/publish.py:780-822).
+    */
+  def cadenceViolations(
+      times: DataFrame,
+      timeCol: String,
+      resolution: TimeSpan,
+      cadenceBounds: Option[(TimeSpan, TimeSpan)] = None): DataFrame = {
+    val w = Window.orderBy(col(timeCol))
+    val tMin = unix_millis(col(timeCol).cast("timestamp")) / 60000L
+    val deltaMin = tMin - lag(tMin, 1).over(w)
+    val ok = cadenceBounds match {
+      case Some((lo, hi)) =>
+        deltaMin.isNull || (deltaMin >= lit(lo.toMinutes) && deltaMin <= lit(hi.toMinutes))
+      case None => deltaMin.isNull || deltaMin === lit(resolution.toMinutes)
+    }
+    times.select(col(timeCol)).distinct()
+      .withColumn("delta_minutes", deltaMin)
+      .filter(!ok)
+  }
+
+  /** Update gates (utils/publish.py:730-778): updates must not precede the
+    * dataset start; appends must be contiguous with the existing end;
+    * an empty update is an error. Throws IllegalStateException on violation.
+    */
+  def updateQualityCheck(
+      spark: SparkSession,
+      insertTimes: DataFrame,
+      appendTimes: DataFrame,
+      timeCol: String,
+      existingEnd: java.sql.Timestamp,
+      resolution: TimeSpan,
+      cadenceBounds: Option[(TimeSpan, TimeSpan)]): Unit = {
+    val nIns = insertTimes.count()
+    val nApp = appendTimes.count()
+    if (nIns == 0 && nApp == 0)
+      throw new IllegalStateException("Update contains no new or changed records")
+    if (nApp > 0) {
+      val firstAppend = appendTimes.agg(min(col(timeCol))).head().getTimestamp(0)
+      val deltaMin = (firstAppend.getTime - existingEnd.getTime) / 60000L
+      val contiguous = cadenceBounds match {
+        case Some((lo, hi)) => deltaMin >= lo.toMinutes && deltaMin <= hi.toMinutes
+        case None => deltaMin == resolution.toMinutes
+      }
+      if (!contiguous)
+        throw new IllegalStateException(
+          s"Append at $firstAppend is not contiguous with existing end $existingEnd " +
+            s"(gap $deltaMin min, expected ${resolution.toMinutes})")
+    }
+  }
+}
