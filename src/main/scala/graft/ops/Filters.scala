@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Selection / filtering operators (SURVEY §2.3 F1-F6).
+  *
+  * All of these are thin declarative wrappers: the point is that each one
+  * stays a single Catalyst `Filter`/`Join` node so predicate pushdown and
+  * partition pruning reach the parquet scan (`PushedFilters` in
+  * `.explain("formatted")`).
+  */
+object Filters {
+
+  /** F1 — contiguous time-range filter.
+    * Reference: `ds.sel(time=slice(a,b))` (utils/publish.py:427, 1004-1009).
+    * A `between` predicate pushes down to row-group min/max stats. */
+  def timeSlice(df: DataFrame, timeCol: String, start: Column, end: Column): DataFrame =
+    df.filter(col(timeCol) >= start && col(timeCol) <= end)
+
+  /** F2 — explicit time-membership filter.
+    * Reference: `ds.sel(time=[t1..tn])` (utils/publish.py:503).
+    * For short lists an `isin` (an `In` predicate, pushdown-friendly);
+    * callers with large membership sets should use [[semiJoinFilter]]. */
+  def timeMembership(df: DataFrame, timeCol: String, times: Seq[Any]): DataFrame =
+    df.filter(col(timeCol).isin(times: _*))
+
+  /** F3 — keep only rows whose key appears in another dataset.
+    * Reference: `where(original.time.isin(update.time), drop=True)`
+    * (utils/publish.py:867). A left-semi join: Catalyst broadcasts the
+    * distinct key side when small, so no full-grid shuffle. */
+  def semiJoinFilter(df: DataFrame, other: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.join(other.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+
+  /** Complement of [[semiJoinFilter]]: rows whose key does NOT appear. */
+  def antiJoinFilter(df: DataFrame, other: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.join(other.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+
+  /** F4 — nearest-timestamp point lookup with tolerance.
+    * Reference: `sel(..., method="nearest", tolerance=ε)`
+    * (utils/publish.py:609-617, 1049-1055; tolerance attributes.py:333-338).
+    * The tolerance filter prunes first (pushdown-friendly range predicate);
+    * the top-1 is a TakeOrderedAndProject, not a global sort. Seconds-typed
+    * distance keeps sub-second precision (timestamp cast to double).
+    */
+  def nearestWithTolerance(
+      df: DataFrame,
+      timeCol: String,
+      target: Column,
+      toleranceSeconds: Double,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    // Microsecond-integer distance: exact, ANSI-safe (no numeric<->timestamp
+    // cast), and sub-second precise.
+    val dist = abs(unix_micros(col(timeCol).cast("timestamp")) -
+      unix_micros(target.cast("timestamp")))
+    df.filter(dist <= lit((toleranceSeconds * 1e6).toLong))
+      .orderBy(dist.asc +: tieBreakCols.map(col(_).asc): _*)
+      .limit(1)
+  }
+
+  /** F6/J5 — prune a file manifest to entries overlapping [start, end].
+    * Reference: binary search over the time-sorted manifest
+    * (utils/publish.py:897-949). Spark-first this is a range predicate over
+    * per-file (minTime, maxTime) stats — the same pruning parquet row-group
+    * stats give for free; kept explicit for manifest `Dataset[FileMeta]`s.
+    */
+  def pruneManifest(
+      manifest: DataFrame,
+      minTimeCol: String,
+      maxTimeCol: String,
+      start: Column,
+      end: Column): DataFrame =
+    manifest.filter(col(maxTimeCol) >= start && col(minTimeCol) <= end)
+}

@@ -45,10 +45,11 @@ object Normalize {
   /** Reindex the time axis onto a complete spine, NaN/null-filling holes.
     *
     * Reference: `fill_in_missing_time_steps` (util_funcs/reindexing.py:5-28).
-    * Spark-first: build the date spine with `sequence()` (no driver loop),
-    * cross-join the distinct non-time key combinations, and left-join the
-    * data. The spine side is tiny (one row per timestep) so Catalyst
-    * broadcasts it; the join itself shuffles only if the data side demands.
+    * Scale shape: the untouched original rows pass through verbatim (no
+    * join, no shuffle); only the *missing* timesteps — spine anti-join the
+    * distinct present times, usually a handful — are cross-joined with the
+    * distinct spatial key set and unioned in with null values. A naive
+    * spine×spatial left join would shuffle the full grid to fill a few holes.
     */
   def fillMissingTimeSteps(
       df: DataFrame,
@@ -58,10 +59,16 @@ object Normalize {
     val bounds = df.agg(min(col(timeCol)).as("lo"), max(col(timeCol)).as("hi"))
     val spine = bounds.select(
       explode(expr(s"sequence(lo, hi, ${resolution.intervalExpr})")).as(timeCol))
-    val keys =
-      if (otherDims.isEmpty) spine
-      else spine.crossJoin(df.select(otherDims.map(col): _*).distinct())
-    keys.join(df, timeCol +: otherDims, "left")
+    val missingTimes = spine.join(
+      df.select(col(timeCol)).distinct(), Seq(timeCol), "left_anti")
+    val holeRows =
+      if (otherDims.isEmpty) missingTimes
+      else missingTimes.crossJoin(df.select(otherDims.map(col): _*).distinct())
+    val valueCols = df.columns.filterNot((timeCol +: otherDims).contains)
+    val padded = valueCols.foldLeft(holeRows) { (acc, c) =>
+      acc.withColumn(c, lit(null).cast(df.schema(c).dataType))
+    }
+    df.unionByName(padded.select(df.columns.map(col): _*))
   }
 
   /** Materialize a length-1 dimension dropped upstream (e.g. a squeezed time

@@ -27,23 +27,41 @@ object Qc {
     * 1246-1280 — 100 random cells. Spark-first: `sample` + `limit`, the
     * filter runs inside codegen; only violations are collected.
     */
-  def randomValueViolations(
-      df: DataFrame,
-      desc: DatasetDescriptor,
-      n: Int = 100,
-      seed: Long = 42L): DataFrame = {
+  /** Violation predicate shared by the sampled and exhaustive checkers. */
+  def valueViolation(desc: DatasetDescriptor): Column = {
     val v = col(desc.dataVar)
-    val total = df.count()
-    val fraction = if (total == 0) 0.0 else math.min(1.0, (n * 10.0) / total.toDouble)
     val nanViolation = if (desc.hasNans) lit(false) else isnan(v)
     val extremeViolation = desc.unitOfMeasurement.flatMap(ExtremeValuesByUnit.get) match {
       case Some((lo, hi)) => !isnan(v) && (v < lit(lo) || v > lit(hi))
       case None => lit(false)
     }
-    df.sample(withReplacement = false, fraction, seed)
-      .limit(n)
-      .filter(nanViolation || extremeViolation)
+    nanViolation || extremeViolation
   }
+
+  def randomValueViolations(
+      df: DataFrame,
+      desc: DatasetDescriptor,
+      n: Int = 100,
+      seed: Long = 42L,
+      approxRows: Option[Long] = None): DataFrame = {
+    // No full-scan count: the fraction comes from a caller-supplied row
+    // estimate (store manifest / descriptor) or a fixed tiny fraction,
+    // mirroring the reference's fixed 100-cell sampler
+    // (utils/publish.py:1246-1280). limit(n) bounds the worst case.
+    val fraction = approxRows match {
+      case Some(total) if total > 0 => math.min(1.0, (n * 10.0) / total.toDouble)
+      case _ => 1e-3
+    }
+    df.sample(withReplacement = false, fraction, seed)
+      .limit(n * 10)
+      .filter(valueViolation(desc))
+      .limit(n)
+  }
+
+  /** Exhaustive (deterministic) variant of the random-value check: every
+    * violating cell, not a sample. Used by the correctness gate. */
+  def allValueViolations(df: DataFrame, desc: DatasetDescriptor): DataFrame =
+    df.filter(valueViolation(desc))
 
   /** Per-timestep NaN frequency over a sampled subset.
     *
@@ -133,6 +151,33 @@ object Qc {
     }
   }
 
+  /** Distributed variant of [[nanFrequencyViolations]]: the Wilson bound is
+    * closed-form arithmetic, so it runs as columns and only violating
+    * timesteps ever reach the driver — at ERA5 scale (>639k timesteps,
+    * docs/etl_developers_manual.md:158) collecting every per-timestep row
+    * first (the reference's loop, utils/publish.py:702-728) would not fly.
+    * Input: output of [[nanFrequencyByTime]]. Output adds ci_lo/ci_hi and
+    * keeps only timesteps whose CI excludes the expected frequency.
+    */
+  def nanFrequencyViolationsDF(
+      freqByTime: DataFrame,
+      expectedFrequency: Double,
+      alpha: Double = 1e-5): DataFrame = {
+    val z = inverseNormalCdf(1.0 - alpha / 2.0)
+    val z2 = z * z
+    val n = col("n_sampled").cast("double")
+    val p = col("n_nan").cast("double") / n
+    val denom = lit(1.0) + lit(z2) / n
+    val center = (p + lit(z2) / (lit(2.0) * n)) / denom
+    val half = (lit(z) / denom) *
+      sqrt(p * (lit(1.0) - p) / n + lit(z2) / (lit(4.0) * n * n))
+    freqByTime
+      .withColumn("ci_lo", greatest(lit(0.0), center - half))
+      .withColumn("ci_hi", least(lit(1.0), center + half))
+      .filter(lit(expectedFrequency) < col("ci_lo") ||
+        lit(expectedFrequency) > col("ci_hi"))
+  }
+
   /** Infinite-ish predicate: ±Inf or |x| beyond the dtype's plausible range.
     * Reference: `_is_infish` (utils/publish.py:1283-1293) — 1e100 for f8,
     * 1e38 for f4. */
@@ -175,8 +220,14 @@ object Qc {
       tolerance: Double = 1e-4): DataFrame = {
     val s = source.withColumnRenamed(valueCol, "__src")
     val t = store.withColumnRenamed(valueCol, "__dst")
+    // One-side-null is a mismatch, and valuesMatch evaluates to NULL when
+    // exactly one side is NULL (isnan/abs propagate null) — so filter on
+    // NOT coalesce(match, false) plus an explicit null-disagreement term.
+    val oneSideNull = col("__src").isNull =!= col("__dst").isNull
     s.join(t, keyCols)
-      .filter(!valuesMatch(col("__src"), col("__dst"), missingValue, tolerance))
+      .filter(oneSideNull ||
+        not(coalesce(valuesMatch(col("__src"), col("__dst"), missingValue, tolerance),
+          lit(false))))
   }
 
   /** Bounding box of the spatial dims, rounded — `bbox_coords`

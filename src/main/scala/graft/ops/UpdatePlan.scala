@@ -114,10 +114,13 @@ object UpdatePlan {
     val w = Window.orderBy(col(timeCol))
     val tMin = unix_millis(col(timeCol).cast("timestamp")) / 60000L
     val deltaMin = tMin - lag(tMin, 1).over(w)
+    // Materialize the window expression first: Spark disallows window
+    // functions inside WHERE, so filter on the projected column.
+    val d = col("delta_minutes")
     val ok = cadenceBounds match {
       case Some((lo, hi)) =>
-        deltaMin.isNull || (deltaMin >= lit(lo.toMinutes) && deltaMin <= lit(hi.toMinutes))
-      case None => deltaMin.isNull || deltaMin === lit(resolution.toMinutes)
+        d.isNull || (d >= lit(lo.toMinutes) && d <= lit(hi.toMinutes))
+      case None => d.isNull || d === lit(resolution.toMinutes)
     }
     times.select(col(timeCol)).distinct()
       .withColumn("delta_minutes", deltaMin)
