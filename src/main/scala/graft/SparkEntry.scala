@@ -9,8 +9,9 @@ import org.apache.spark.sql.types
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 import graft.functions.{Dedup, Similarity, Text}
-import graft.model.{DatasetCategory, DatasetDescriptor, TimeSpan}
+import graft.model.{DatasetCategory, DatasetDescriptor, TimeSpan, TimeUnitKind}
 import graft.ops.{Filters, Normalize, Qc, Stats, UpdatePlan}
+import graft.store.GridStore
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with DuckDB oracle SQL for everything SQL-expressible.
@@ -67,6 +68,17 @@ object SparkEntry {
   private def embQuery(s: SparkSession, dir: String): Seq[Float] =
     table(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0)
+
+  /** A store under java.io.tmpdir, wiped before use (queries must be
+    * idempotent across runs and scale factors). */
+  private def freshStore(s: SparkSession, dir: String, tag: String,
+      desc: DatasetDescriptor): GridStore = {
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_${tag}_$sf"
+    val fs = GridStore.fileSystem(s, path)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    new GridStore(s, path, desc, bucketSpan = TimeUnitKind.Days)
+  }
 
   private val EventsDesc = DatasetDescriptor(
     datasetName = "events", dataVar = "value",
@@ -393,6 +405,44 @@ object SparkEntry {
       Similarity.annTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
         embQuery(s, dir), 10, nBits = 8)),
 
+    // --- store write engine (W2-W8, W10, W14) ---
+    "q43_store_roundtrip" -> ((s, dir) => {
+      // Full initial→update lifecycle: write days 1-20, then publish an
+      // update covering days 15-25 with corrected values (+1000). Inserts
+      // (15-20) dynamically overwrite their day-buckets via combine-first
+      // padding; appends (21-25) create new buckets. The returned frame is
+      // the reopened store, which the oracle recomputes relationally.
+      val grid = eventsWithDay(s, dir)
+        .groupBy(col("d").as("time"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val desc = DatasetDescriptor("events_grid", "n",
+        spatialDims = Seq("event_type"), timeResolution = TimeSpan.Daily)
+      val store = freshStore(s, dir, "roundtrip", desc)
+      val original = grid.filter(col("time") < ldt("2024-01-21T00:00:00"))
+      val update = grid
+        .filter(col("time").between(ldt("2024-01-15T00:00:00"), ldt("2024-01-25T00:00:00")))
+        .withColumn("n", col("n") + lit(1000L))
+      store.publish(original)
+      store.publish(update)
+      store.dataset().select("time", "event_type", "n").orderBy("time", "event_type")
+    }),
+
+    "q44_store_attrs" -> ((s, dir) => {
+      // Attrs sidecar after an initial write (W8/W14): date range assembly +
+      // cleared commit marker survive the write.
+      val grid = eventsWithDay(s, dir)
+        .groupBy(col("d").as("time"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val desc = DatasetDescriptor("events_grid", "n",
+        spatialDims = Seq("event_type"), timeResolution = TimeSpan.Daily)
+      val store = freshStore(s, dir, "attrs", desc)
+      store.publish(grid)
+      val a = store.readAttrs()
+      val sp = s; import sp.implicits._
+      Seq((a("date_range_start"), a("date_range_end"), a(GridStore.UpdateInProgressKey)))
+        .toDF("date_range_start", "date_range_end", "update_in_progress")
+    }),
+
     "q42_embed_near_dup" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val dup = e.unionByName(e.withColumn("vec_id", col("vec_id") + lit(100000L)))
@@ -636,5 +686,17 @@ object SparkEntry {
     "q40_embed_norms" ->
       s"""SELECT vec_id, round(sqrt($SqSql), 6) AS l2_norm
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q43_store_roundtrip" ->
+      s"""WITH g AS (SELECT $DaydSql, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+         |SELECT d AS time, event_type,
+         |CASE WHEN d >= TIMESTAMP '2024-01-15 00:00:00' THEN n + 1000 ELSE n END AS n
+         |FROM g WHERE d <= TIMESTAMP '2024-01-25 00:00:00'
+         |ORDER BY time, event_type""".stripMargin,
+
+    "q44_store_attrs" ->
+      """SELECT strftime(min(CAST(date_trunc('day', ts) AS TIMESTAMP)), '%Y%m%d%H') AS date_range_start,
+        |strftime(max(CAST(date_trunc('day', ts) AS TIMESTAMP)), '%Y%m%d%H') AS date_range_end,
+        |'false' AS update_in_progress FROM events""".stripMargin,
   )
 }

@@ -144,15 +144,20 @@ object UpdatePlan {
     if (nIns == 0 && nApp == 0)
       throw new IllegalStateException("Update contains no new or changed records")
     if (nApp > 0) {
-      val firstAppend = appendTimes.agg(min(col(timeCol))).head().getTimestamp(0)
-      val deltaMin = (firstAppend.getTime - existingEnd.getTime) / 60000L
+      // NTZ columns surface as LocalDateTime, LTZ as Timestamp — accept both.
+      val firstAppendMs = appendTimes.agg(min(col(timeCol))).head().get(0) match {
+        case t: java.sql.Timestamp => t.getTime
+        case l: java.time.LocalDateTime => java.sql.Timestamp.valueOf(l).getTime
+        case other => throw new IllegalArgumentException(s"Unexpected time value: $other")
+      }
+      val deltaMin = (firstAppendMs - existingEnd.getTime) / 60000L
       val contiguous = cadenceBounds match {
         case Some((lo, hi)) => deltaMin >= lo.toMinutes && deltaMin <= hi.toMinutes
         case None => deltaMin == resolution.toMinutes
       }
       if (!contiguous)
         throw new IllegalStateException(
-          s"Append at $firstAppend is not contiguous with existing end $existingEnd " +
+          s"Append is not contiguous with existing end $existingEnd " +
             s"(gap $deltaMin min, expected ${resolution.toMinutes})")
     }
   }

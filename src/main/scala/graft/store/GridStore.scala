@@ -1,0 +1,343 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+import graft.model.{DatasetDescriptor, TimeSpan, TimeUnitKind}
+import graft.ops.UpdatePlan
+
+/** Incremental grid store on bucket-partitioned parquet — the Spark-native
+  * re-expression of the reference's Zarr write engine
+  * (gridded_etl_tools/utils/publish.py + store.py).
+  *
+  * Layout: one parquet dataset partitioned by a coarse time bucket column
+  * (`__bucket`, e.g. one directory per month). The bucket is the unit of
+  * in-place replacement: appends only create new bucket directories, inserts
+  * dynamically overwrite only the touched buckets (publish.py:406-478), and
+  * partition pruning keeps every read bounded. Within buckets rows are
+  * sorted by the standard dims and split at `maxRecordsPerFile` — the
+  * two-level dask-chunk / zarr-chunk sizing analog
+  * (docs/etl_developers_manual.md:135-152).
+  *
+  * Scale notes (100 TB): all data paths are single `df.write` jobs — no
+  * driver-side row handling. The only driver I/O is the attrs sidecar (a few
+  * KB of JSON via the Hadoop FS API, so file:// and s3a:// behave alike).
+  */
+final class GridStore(
+    val spark: SparkSession,
+    val path: String,
+    val desc: DatasetDescriptor,
+    /** Bucket granularity; must be ≥ the dataset resolution. */
+    val bucketSpan: TimeUnitKind = TimeUnitKind.Months,
+    /** Storage-chunk analog: rows per parquet file within a bucket. */
+    val maxRecordsPerFile: Long = 5000000L) {
+
+  import GridStore._
+
+  private def timeCol = desc.timeDim
+
+  /** Directory-key expression for the time bucket. */
+  private def bucketExpr = {
+    val pattern = bucketSpan match {
+      case TimeUnitKind.Days => "yyyy-MM-dd"
+      case TimeUnitKind.Months => "yyyy-MM"
+      case TimeUnitKind.Years => "yyyy"
+      case other => throw new IllegalArgumentException(
+        s"Unsupported bucket span: $other (use days/months/years)")
+    }
+    date_format(col(timeCol), pattern)
+  }
+
+  // ------------------------------------------------------------- existence
+
+  /** S12 guard — `has_existing` (store.py:388-396): a store exists when its
+    * attrs sidecar does. */
+  def hasExisting: Boolean = {
+    val fs = fileSystem(spark, path)
+    fs.exists(new HPath(attrsPath))
+  }
+
+  /** S12 — open the existing store (store.py:182-198). Partition pruning on
+    * `__bucket` applies to any time-bounded read. */
+  def dataset(): DataFrame = {
+    require(hasExisting, s"No existing store at $path")
+    spark.read.parquet(dataPath)
+      .withColumn(timeCol, col(timeCol).cast(TimestampNTZType))
+      .drop("__bucket")
+  }
+
+  // ----------------------------------------------------------- attrs (W8)
+
+  def attrsPath: String = s"$path/_graft_metadata/attrs.json"
+  private def dataPath: String = s"$path/data"
+
+  /** Metadata-only read-modify-write of the attrs sidecar
+    * (store.py:200-247). */
+  def readAttrs(): Map[String, String] = {
+    val fs = fileSystem(spark, path)
+    val p = new HPath(attrsPath)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try parseFlatJson(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  def writeAttrs(attrs: Map[String, String]): Unit = {
+    val fs = fileSystem(spark, path)
+    val out = fs.create(new HPath(attrsPath), true)
+    try out.write(renderFlatJson(attrs).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** W8 partial update: patch only the given keys, preserving the rest —
+    * the failure path must never clobber unrelated attrs
+    * (publish.py:211-266). */
+  def patchAttrs(patch: Map[String, String]): Unit =
+    writeAttrs(readAttrs() ++ patch)
+
+  // --------------------------------------------------- commit marker (W6)
+
+  /** W10 — refuse to plan an update while another writer is in flight;
+    * strict string "true" mirrors the reference's strict `is True`
+    * (publish.py:358-375). */
+  def checkNotInProgress(): Unit =
+    if (readAttrs().get(UpdateInProgressKey).contains("true"))
+      throw new IllegalStateException(
+        s"Store at $path has update_in_progress=true; refusing concurrent update")
+
+  /** W6 — the mini write-ahead protocol around every data write: set the
+    * in-progress flag, run the write, then persist the full post-write
+    * attrs with the flag cleared; on failure clear ONLY the flag
+    * (publish.py:155-268). */
+  private def withCommitMarker(postAttrs: => Map[String, String])(write: => Unit): Unit = {
+    patchAttrs(Map(UpdateInProgressKey -> "true"))
+    try {
+      write
+      writeAttrs(readAttrs() ++ postAttrs + (UpdateInProgressKey -> "false"))
+    } catch {
+      case e: Throwable =>
+        patchAttrs(Map(UpdateInProgressKey -> "false"))
+        throw e
+    }
+  }
+
+  // -------------------------------------------------------------- writes
+
+  private def layout(df: DataFrame): DataFrame =
+    df.withColumn("__bucket", bucketExpr)
+      .repartition(col("__bucket"))
+      .sortWithinPartitions((timeCol +: desc.standardDims.filter(df.columns.contains))
+        .distinct.map(col): _*)
+
+  private def writeJob(df: DataFrame, mode: String): Unit = {
+    layout(df).write
+      .mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("__bucket")
+      .parquet(dataPath)
+    // Spark caches the file listing per path; after an in-place partition
+    // overwrite a reader holding the stale index hits FILE_NOT_EXIST.
+    spark.catalog.refreshByPath(dataPath)
+  }
+
+  /** Sever plan lineage from the store's files before overwriting them:
+    * a frame that reads the same buckets it is about to replace must be
+    * materialized first (executor-local, bucket-bounded — never the whole
+    * store). */
+  private def materialize(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  /** W3 — initial write (publish.py:301-318). */
+  def writeInitial(df: DataFrame, dryRun: Boolean = false): Unit = {
+    if (dryRun) return
+    withCommitMarker(computedAttrs(df, isUpdate = false)) {
+      writeJob(df, "overwrite")
+    }
+  }
+
+  /** W4 — append: only new bucket directories appear; an existing partial
+    * bucket is completed via dynamic overwrite of that single bucket (the
+    * chunk-butt-joining analog of publish.py:520-553). */
+  private def appendSlice(df: DataFrame): Unit = {
+    val touched = df.select(bucketExpr.as("__bucket")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val existingTouched = existingBuckets.intersect(touched)
+    if (existingTouched.isEmpty) writeJob(df, "append")
+    else {
+      // Merge appended rows into their (last, partial) existing buckets.
+      val existing = dataset().withColumn("__b", bucketExpr)
+        .filter(col("__b").isin(existingTouched.toSeq: _*)).drop("__b")
+      val merged = materialize(existing.unionByName(df.select(existing.columns.map(col): _*)))
+      withDynamicOverwrite {
+        writeJob(merged, "overwrite")
+      }
+    }
+  }
+
+  /** W5 — region insert: pad each contiguous run's buckets back to
+    * completeness with `combineFirst` (J3, publish.py:1341-1385), then
+    * dynamically overwrite only those buckets. The original side is bounded
+    * to the touched buckets FIRST, so the full-outer join never sees the
+    * rest of the store. */
+  private def insertSlice(df: DataFrame): Unit = {
+    val touched = df.select(bucketExpr.as("__bucket")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val original = dataset().withColumn("__b", bucketExpr)
+      .filter(col("__b").isin(touched.toSeq: _*)).drop("__b")
+    val keys = desc.standardDims.filter(df.columns.contains)
+    val padded = materialize(UpdatePlan.combineFirst(df, original, keys, desc.dataVar))
+    withDynamicOverwrite {
+      writeJob(padded, "overwrite")
+    }
+  }
+
+  /** W2 — publish dispatch (publish.py:86-129): initial when nothing
+    * exists (or rebuilding), else classify + insert + append. */
+  def publish(
+      update: DataFrame,
+      rebuild: Boolean = false,
+      allowOverwrite: Boolean = true,
+      dryRun: Boolean = false): Unit = {
+    if (!hasExisting || rebuild) {
+      if (hasExisting && rebuild && !allowOverwrite)
+        throw new IllegalStateException(
+          "Rebuild of an existing store requires allowOverwrite " +
+            "(publish.py:342-348 semantics)")
+      writeInitial(update, dryRun)
+    } else runUpdate(update, dryRun)
+  }
+
+  /** Update path (publish.py:322-356): guard, classify times, gate, insert
+    * per region, then append. */
+  private def runUpdate(updateDf: DataFrame, dryRun: Boolean): Unit = {
+    checkNotInProgress()
+    val existing = dataset()
+    // The classified time sets are tiny (one row per timestep) but their
+    // plans reference the CURRENT store files — materialize them before any
+    // write replaces those files underneath the plan.
+    val (insertTimes0, appendTimes0) =
+      UpdatePlan.prepareUpdateTimes(existing, updateDf, timeCol)
+    val insertTimes = materialize(insertTimes0)
+    val appendTimes = materialize(appendTimes0)
+    val existingEnd = existing.agg(max(col(timeCol))).head().get(0)
+    UpdatePlan.updateQualityCheck(spark, insertTimes, appendTimes, timeCol,
+      java.sql.Timestamp.valueOf(existingEnd.asInstanceOf[java.time.LocalDateTime]),
+      desc.timeResolution, desc.updateCadenceBounds)
+    if (dryRun) return
+    val inserts = updateDf.join(insertTimes.select(timeCol), Seq(timeCol), "left_semi")
+    val appends = updateDf.join(appendTimes.select(timeCol), Seq(timeCol), "left_semi")
+    val nIns = inserts.limit(1).count()
+    val nApp = appends.limit(1).count()
+    withCommitMarker(computedAttrs(updateDf, isUpdate = true)) {
+      if (nIns > 0) insertSlice(inserts)
+      if (nApp > 0) appendSlice(appends)
+    }
+  }
+
+  // ------------------------------------------------------------- helpers
+
+  private def existingBuckets: Set[String] = {
+    val fs = fileSystem(spark, path)
+    val p = new HPath(dataPath)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("__bucket="))
+      .map(_.stripPrefix("__bucket="))
+      .toSet
+  }
+
+  private def withDynamicOverwrite[T](body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** W14 — attrs assembly after a write (metadata.py:870-921): date range,
+    * update range, previous end, append-only flag, created stamp. */
+  private def computedAttrs(df: DataFrame, isUpdate: Boolean): Map[String, String] = {
+    val fmt = "yyyyMMddHH"
+    val r = df.agg(
+      date_format(min(col(timeCol)), fmt).as("lo"),
+      date_format(max(col(timeCol)), fmt).as("hi")).head()
+    val (lo, hi) = (r.getString(0), r.getString(1))
+    val prior = readAttrs()
+    val start = if (isUpdate) prior.getOrElse("date_range_start", lo) else lo
+    val priorEnd = prior.get("date_range_end")
+    val end = priorEnd.filter(_ > hi).getOrElse(hi)
+    Map(
+      "dataset_name" -> desc.datasetName,
+      "data_var" -> desc.dataVar,
+      "time_resolution" -> desc.timeResolution.toString,
+      "date_range_start" -> start,
+      "date_range_end" -> end,
+      "update_date_range_start" -> lo,
+      "update_date_range_end" -> hi,
+      "update_is_append_only" -> (!isUpdate).toString,
+      "update_previous_end_date" -> priorEnd.getOrElse(""),
+    ) ++ desc.staticMetadata
+  }
+}
+
+object GridStore {
+  val UpdateInProgressKey = "update_in_progress"
+
+  def fileSystem(spark: SparkSession, path: String): FileSystem =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // Minimal flat string→string JSON codec for the attrs sidecar (the
+  // reference's attrs are JSON-able dicts; flat strings suffice here and
+  // keep the sidecar greppable).
+  private[store] def renderFlatJson(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",\n ", "}")
+
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private[store] def parseFlatJson(s: String): Map[String, String] = {
+    // Tolerant parser for the codec above (flat object, string values).
+    val pair = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    pair.findAllMatchIn(s).map(m => unq(m.group(1)) -> unq(m.group(2))).toMap
+  }
+
+  private def unq(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'u' =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case other => sb += other; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+}
