@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  test("dot and l2Norm compute known values") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val r = df.select(Similarity.dot(col("a"), col("b")), Similarity.l2Norm(col("a"))).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+  }
+
+  test("cosine: parallel=1, orthogonal=0, antiparallel=-1, zero-safe") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(2.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 3.0f)),
+      (Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f)),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(out(0) == 1.0 && out(1) == 0.0 && out(2) == -1.0 && out(3) == 0.0)
+  }
+
+  test("bruteForceTopK returns the k nearest by cosine with id tiebreak") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(-1.0f, 0.0f))).toDF("id", "vec")
+    val out = Similarity.bruteForceTopK(df, "id", "vec", Seq(1.0f, 0.0f), 2)
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("annTopK finds the query's bucket-mates (query vector from data)") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.01f, 0.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val out = Similarity.annTopK(df, "id", "vec", Seq(1.0f, 0.0f, 0.0f, 0.0f), 5, 4)
+      .select("id").as[Long].collect().toSet
+    assert(out.contains(1L)) // its own bucket always contains the query twin
+    assert(!out.contains(3L) || out.contains(2L))
+  }
+
+  test("embeddingNearDupPairs finds duplicated vectors via bucket join") {
+    val df = Seq(
+      (1L, Seq(0.5f, 0.5f, 0.1f, 0.9f)),
+      (2L, Seq(0.5f, 0.5f, 0.1f, 0.9f)),
+      (3L, Seq(-0.5f, 0.4f, -0.9f, 0.2f))).toDF("id", "vec")
+    val out = Similarity.embeddingNearDupPairs(df, "id", "vec", 4, 0.999, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+}

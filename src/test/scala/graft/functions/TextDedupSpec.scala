@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextDedupSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  test("tokens split on any whitespace and drop empties") {
+    val out = Seq("a b\tc\nd  e ", "").toDF("t")
+      .select(Text.tokens(col("t"))).as[Seq[String]].collect()
+    assert(out(0) == Seq("a", "b", "c", "d", "e"))
+    assert(out(1) == Seq.empty)
+  }
+
+  test("shingles produce n-grams in order") {
+    val out = Seq("a b c d").toDF("t")
+      .select(Text.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(out == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(Text.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(short == Seq.empty)
+  }
+
+  test("quality metrics: ratios in [0,1], empty text safe") {
+    val df = Seq("the cat sat on the mat", "", "zzz zzz zzz zzz").toDF("t")
+    val rows = df.select(
+      Text.distinctRatio(col("t")),
+      Text.stopwordRatio(col("t"), Text.DefaultStopwords),
+      Text.punctRatio(col("t")),
+      Text.qualityScore(col("t"))).collect()
+    rows.foreach { r =>
+      (0 until 4).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0)
+      }
+    }
+    // diverse natural text beats repeated garbage
+    assert(rows(0).getDouble(3) > rows(2).getDouble(3))
+  }
+
+  test("langIdNgram identifies obvious English and German") {
+    val out = Seq("the quick brown fox and the lazy dog of the farm",
+        "ich bin ein berliner und die schule ist schön")
+      .toDF("t").select(Text.langIdNgram(col("t"))).as[String].collect()
+    assert(out(0) == "en")
+    assert(out(1) == "de")
+  }
+
+  test("fingerprint is deterministic, order-sensitive, no ANSI overflow") {
+    val out = Seq("alpha beta gamma delta epsilon", "beta alpha gamma delta epsilon",
+        "alpha beta gamma delta epsilon")
+      .toDF("t").select(Text.fingerprint(col("t"))).as[Long].collect()
+    assert(out(0) == out(2))
+    assert(out(0) != out(1))
+  }
+
+  test("exactDupGroups finds duplicate texts; exactDedup keeps min id") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "t")
+    val groups = Dedup.exactDupGroups(df, "id", "t").collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("n_dups") == 2
+      && groups.head.getAs[Long]("keeper_id") == 1L)
+    val kept = Dedup.exactDedup(df, "id", "t").select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("minhash: identical docs collide in every band; signature length respected") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "x1 x2 x3 x4 x5 x6")).toDF("id", "t")
+    val pairs = Dedup.minhashCandidatePairs(df, "id", "t", 3, 16, 4).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("minhash rejects non-divisible banding") {
+    val df = Seq((1L, "a b c d")).toDF("id", "t")
+    assertThrows[IllegalArgumentException] {
+      Dedup.minhashCandidatePairs(df, "id", "t", 3, 16, 5)
+    }
+  }
+
+  test("nearDupPairs verifies candidates with exact jaccard") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),    // identical → jaccard 1.0
+      (3L, "a b c d e f g zz"),   // near dup
+      (4L, "p q r s t u v w"))    // unrelated
+      .toDF("id", "t")
+    val out = Dedup.nearDupPairs(df, "id", "t", 3, 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)))
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical text → distance 0, related text close, unrelated far") {
+    val df = Seq(
+      ("a b c d e f g h i j", "a b c d e f g h i j"),
+      ("a b c d e f g h i j", "k l m n o p q r s t"))
+      .toDF("x", "y")
+    val d = df.select(Dedup.hamming64(Dedup.simhash64(col("x")), Dedup.simhash64(col("y"))))
+      .as[Int].collect()
+    assert(d(0) == 0)
+    assert(d(1) > 10)
+  }
+
+  test("ngramJaccardPairs computes exact jaccard above threshold") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z")).toDF("id", "t")
+    val out = Dedup.ngramJaccardPairs(df, "id", "t", 2, 0.9).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("jaccard") == 1.0)
+  }
+}
