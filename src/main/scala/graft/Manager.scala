@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{DatasetDescriptor, TimeUnitKind}
+import graft.ops.{Normalize, QcDrivers}
+import graft.sources.Manifest
+import graft.store.GridStore
+
+/** Composition root (SURVEY §2.8 O1-O4) — the Scala analog of the
+  * reference's `DatasetManager` ABC (dataset_manager.py:28-534): concrete
+  * datasets override the descriptor, the extract step, and the
+  * pre/post-process hooks, and inherit the scan → normalize → publish
+  * lifecycle.
+  */
+trait DatasetManager {
+  def spark: SparkSession
+  def desc: DatasetDescriptor
+  def storePath: String
+  def inputDir: String
+
+  def bucketSpan: TimeUnitKind = TimeUnitKind.Months
+
+  lazy val store: GridStore = new GridStore(spark, storePath, desc, bucketSpan)
+
+  /** O2 — acquisition hook with the date-range guard
+    * (dataset_manager.py:394-404). Default: nothing to download (files are
+    * already in `inputDir`). */
+  def extract(dateRange: Option[(java.time.LocalDateTime, java.time.LocalDateTime)] = None)
+      : Unit = {
+    for ((start, _) <- dateRange; ds <- desc.datasetStartDate) {
+      val startInstant = start.toInstant(java.time.ZoneOffset.UTC)
+      if (startInstant.isBefore(ds))
+        throw new IllegalArgumentException(
+          s"Requested start $start predates dataset start $ds")
+    }
+  }
+
+  /** P6 hooks — identity by default (transform.py:377-396, 614-650). */
+  def preprocess(df: DataFrame): DataFrame = df
+  def postprocess(df: DataFrame): DataFrame = df
+
+  /** Which files in `inputDir` feed the scan; override per dataset. */
+  def inputFiles(): Seq[String] =
+    Manifest.listInputFiles(spark, inputDir, Seq(".parquet"))
+      .select("path").collect().map(_.getString(0)).toSeq
+
+  /** O1 — `transform()`: multi-file scan → descriptor-driven normalize
+    * (dataset_manager.py:408-468). A lazy DataFrame, the Catalyst analog of
+    * the reference's dask-backed lazy Dataset. */
+  def transform(): DataFrame = {
+    val files = inputFiles()
+    require(files.nonEmpty, s"No input files in $inputDir")
+    val scanned = Manifest.multiScan(spark, files)
+    Normalize.normalize(scanned, desc, pre = preprocess, post = postprocess)
+  }
+
+  /** O3 — `check_if_new_data` (convenience.py:473-504): newest input end
+    * date vs the store's recorded end. */
+  def checkIfNewData(): Boolean = {
+    if (!store.hasExisting) return true
+    val files = inputFiles()
+    if (files.isEmpty) return false
+    val newestEnd = Manifest.withTimeRanges(spark, files, desc.timeDim)
+      .agg(max(col("max_time"))).head().get(0)
+    (newestEnd, getMetadataDateRange()) match {
+      case (end: java.time.LocalDateTime, Some((_, storeEnd))) => end.isAfter(storeEnd)
+      case _ => true
+    }
+  }
+
+  /** O4 — store attrs `date range` → datetimes (convenience.py:167-196);
+    * format `yyyyMMddHH` per metadata.py:870-921. */
+  def getMetadataDateRange(): Option[(java.time.LocalDateTime, java.time.LocalDateTime)] = {
+    val attrs = store.readAttrs()
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHH")
+    for {
+      s <- attrs.get("date_range_start")
+      e <- attrs.get("date_range_end")
+    } yield (java.time.LocalDate.parse(s.take(8),
+        java.time.format.DateTimeFormatter.BASIC_ISO_DATE).atTime(s.drop(8).toInt, 0),
+      java.time.LocalDate.parse(e.take(8),
+        java.time.format.DateTimeFormatter.BASIC_ISO_DATE).atTime(e.drop(8).toInt, 0))
+  }
+
+  /** The full lifecycle: transform → pre-parse QC → publish
+    * (parse, publish.py:41-129). */
+  def run(dryRun: Boolean = false, rebuild: Boolean = false,
+      skipPreParseQc: Boolean = false): Unit = {
+    val df = transform()
+    if (!skipPreParseQc)
+      QcDrivers.preParseQualityCheck(df, desc, hasExisting = store.hasExisting,
+        rebuild = rebuild)
+    store.publish(df, rebuild = rebuild, dryRun = dryRun)
+  }
+}

@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
-import graft.functions.{Dedup, Similarity, Text}
+import graft.functions.{Dedup, Multimodal, Similarity, Text}
 import graft.model.{DatasetCategory, DatasetDescriptor, TimeSpan, TimeUnitKind}
-import graft.ops.{Filters, Normalize, Qc, Stats, UpdatePlan}
+import graft.ops.{Filters, Normalize, Projection, Qc, Stats, UpdatePlan}
+import graft.sources.Manifest
 import graft.store.GridStore
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -450,6 +451,70 @@ object SparkEntry {
           threshold = 0.99, nBits = 8)
         .orderBy("id_a", "id_b")
     }),
+
+    // --- sources / manifest (S8, S14, C9) ---
+    "q45_manifest_list" -> ((s, dir) =>
+      Manifest.listInputFiles(s, dir, Seq(".parquet")).select("file_name")),
+
+    "q46_file_time_ranges" -> ((s, dir) =>
+      Manifest.timeRangesByFile(table(s, dir, "events"), "ts")
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+          col("min_time"), col("max_time"), col("n_rows"))),
+
+    "q47_missing_combos" -> ((s, dir) => {
+      // A gappy manifest: every (event_type, user_id%3) combination except
+      // the one we filter out; the completeness check must surface it.
+      val m = table(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 3).as("slot"))
+        .filter(!(col("event_type") === "error" && col("slot") === 1))
+      Manifest.missingCombinations(m, Seq("event_type", "slot"))
+        .orderBy("event_type", "slot")
+    }),
+
+    // --- projection (C6) ---
+    "q48_projection_roundtrip" -> ((s, dir) => {
+      // Spherical-Mercator forward+inverse must round-trip to ≤1e-9 deg.
+      val pts = table(s, dir, "events").select(
+        (abs(col("value")) % lit(160.0) - lit(80.0)).as("lat"),
+        ((col("user_id") * lit(7L)) % lit(360L)).cast("double").minus(lit(180.0)).as("lon"))
+      val proj = Projection.assignCrs(pts, "lat", "lon", 3857)
+      val (latBack, lonBack) = Projection.unproject3857(col("northing"), col("easting"))
+      proj.select(
+          (abs(latBack - col("lat")) > lit(1e-9) ||
+            abs(lonBack - col("lon")) > lit(1e-9)).as("bad"))
+        .agg(sum(when(col("bad"), 1L).otherwise(0L)).as("n_bad"))
+    }),
+
+    // --- multimodal binary columns ---
+    "q49_multimodal_meta" -> ((s, dir) => {
+      val bin = table(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      val meta = bin.select(col("doc_id"),
+        Multimodal.mediaMeta(col("media")).getField("byte_len").as("byte_len"))
+      val frames = Multimodal.frameSample(bin, "doc_id", "media", 4)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+      meta.join(frames, Seq("doc_id")).orderBy("doc_id")
+    }),
+
+    "q50_multimodal_decode" -> ((s, dir) => {
+      // Stubbed decode → pooled embedding: verify the Spark plumbing shape
+      // (dims, bounded values), not the fake pixels.
+      val bin = table(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      val decoded = Multimodal.decodeResize(bin, "doc_id", "media", 16, 16)
+      Multimodal.pooledEmbedding(decoded, 8)
+        .select(col("id").as("doc_id"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          size(filter(col("embedding"), v => v < 0.0 || v > 1.0)).cast("long").as("n_bad"))
+        .orderBy("doc_id")
+    }),
+
+    "q51_media_fingerprint" -> ((s, dir) => {
+      val bin = table(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      bin.select(col("doc_id"), Multimodal.mediaFingerprint(col("media")).as("media_fp"))
+        .orderBy("doc_id")
+    }),
   )
 
   // -------------------------------------------------------------- oracleSql
@@ -698,5 +763,34 @@ object SparkEntry {
       """SELECT strftime(min(CAST(date_trunc('day', ts) AS TIMESTAMP)), '%Y%m%d%H') AS date_range_start,
         |strftime(max(CAST(date_trunc('day', ts) AS TIMESTAMP)), '%Y%m%d%H') AS date_range_end,
         |'false' AS update_in_progress FROM events""".stripMargin,
+
+    "q45_manifest_list" ->
+      """SELECT * FROM (VALUES ('customer.parquet'), ('documents.parquet'),
+        |('embeddings.parquet'), ('events.parquet'), ('lineitem.parquet'),
+        |('nation.parquet'), ('orders.parquet'), ('part.parquet'),
+        |('region.parquet'), ('supplier.parquet')) AS t(file_name)""".stripMargin,
+
+    "q46_file_time_ranges" ->
+      """SELECT 'events.parquet' AS file_name, min(ts) AS min_time,
+        |max(ts) AS max_time, count(*) AS n_rows FROM events""".stripMargin,
+
+    "q47_missing_combos" ->
+      """WITH m AS (SELECT event_type, user_id % 3 AS slot FROM events
+        |WHERE NOT (event_type = 'error' AND user_id % 3 = 1)),
+        |et AS (SELECT DISTINCT event_type FROM m),
+        |sl AS (SELECT DISTINCT slot FROM m)
+        |SELECT event_type, slot FROM et CROSS JOIN sl
+        |EXCEPT SELECT DISTINCT event_type, slot FROM m
+        |ORDER BY event_type, slot""".stripMargin,
+
+    "q48_projection_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_bad",
+
+    "q49_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |CAST(4 AS BIGINT) AS n_frames FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q50_multimodal_decode" ->
+      """SELECT doc_id, CAST(8 AS BIGINT) AS n_dims, CAST(0 AS BIGINT) AS n_bad
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -52,8 +52,12 @@ object Qc {
       case Some(total) if total > 0 => math.min(1.0, (n * 10.0) / total.toDouble)
       case _ => 1e-3
     }
+    // The deterministic limit(n) arm guarantees the check sees cells even
+    // when the fraction undershoots (tiny inputs); CollectLimit reads only
+    // the first partitions, so it stays cheap at scale.
     df.sample(withReplacement = false, fraction, seed)
       .limit(n * 10)
+      .unionAll(df.limit(n))
       .filter(valueViolation(desc))
       .limit(n)
   }

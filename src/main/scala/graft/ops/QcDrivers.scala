@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.DatasetDescriptor
+
+/** Pre/post-parse quality-gate drivers (SURVEY §2.8 O7-O8) composing the Qc
+  * primitives into the go/no-go checks that bracket every write. */
+object QcDrivers {
+
+  final case class QcFailure(msg: String) extends RuntimeException(msg)
+
+  /** O8 — pre-parse gate (publish.py:624-664): time contiguity (A6), random
+    * cell values (A5), dtype encoding, and — when updating an existing store
+    * and not skipped — NaN frequency vs expectation (A4). Raises QcFailure;
+    * returning normally means the write may proceed. */
+  def preParseQualityCheck(
+      df: DataFrame,
+      desc: DatasetDescriptor,
+      hasExisting: Boolean = false,
+      skipNanCheck: Boolean = false,
+      rebuild: Boolean = false,
+      approxRows: Option[Long] = None): Unit = {
+    val timeCol = desc.timeDim
+
+    // A6 — expected order / contiguity of the update's time coordinate.
+    val times = df.select(col(timeCol)).distinct()
+    val cadenceBad = UpdatePlan.cadenceViolations(
+      times, timeCol, desc.timeResolution, desc.updateCadenceBounds).limit(1).count()
+    if (cadenceBad > 0)
+      throw QcFailure(s"Update times are not contiguous at ${desc.timeResolution}")
+
+    // dtype — the value column must carry the declared type post-normalize
+    // (publish.py:653-657).
+    val dt = df.schema(desc.dataVar).dataType
+    if (dt != org.apache.spark.sql.types.FloatType &&
+        dt != org.apache.spark.sql.types.DoubleType)
+      throw QcFailure(s"Data variable ${desc.dataVar} has non-float type $dt")
+
+    // A5 — sampled random cells: forbidden NaN / extreme values.
+    val bad = Qc.randomValueViolations(df, desc, approxRows = approxRows).limit(1).count()
+    if (bad > 0)
+      throw QcFailure("Random-value check found NaN/extreme cells")
+
+    // A4 — NaN frequency binomial test, update-only (publish.py:702-728).
+    if (hasExisting && !skipNanCheck && !rebuild) {
+      desc.expectedNanFrequency.foreach { expected =>
+        val viol = Qc.nanFrequencyViolationsDF(
+          Qc.nanFrequencyByTime(df, timeCol, desc.dataVar), expected).limit(1).count()
+        if (viol > 0)
+          throw QcFailure(
+            s"NaN frequency outside the confidence interval of expected $expected")
+      }
+    }
+  }
+
+  /** O7 — post-parse gate (publish.py:824-895): sample up to `maxChecks`
+    * timesteps across the files overlapping the update window, compare
+    * source cells against store cells (J4), bounded by a wall-clock cap
+    * (publish.py:23 — 20 minutes). Returns the mismatching cells actually
+    * found (empty = pass); respects the caps rather than scanning
+    * everything, like the reference's 10→1 checks-per-file scaling. */
+  def postParseQualityCheck(
+      spark: SparkSession,
+      store: DataFrame,
+      sourceFiles: Seq[String],
+      openFile: String => DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      desc: DatasetDescriptor,
+      maxChecks: Int = 100,
+      timeLimitMillis: Long = 20L * 60 * 1000,
+      seed: Long = 42L): DataFrame = {
+    require(sourceFiles.nonEmpty, "postParseQualityCheck needs at least one source file")
+    val checksPerFile = math.max(1, maxChecks / sourceFiles.length)
+    val deadline = System.currentTimeMillis() + timeLimitMillis
+    val empty = store.limit(0).select(
+      (keyCols.map(col) :+ col(valueCol).as("__src") :+ col(valueCol).as("__dst")): _*)
+    var acc = empty
+    var checksDone = 0
+    val it = sourceFiles.iterator
+    while (it.hasNext && checksDone < maxChecks &&
+        System.currentTimeMillis() < deadline) {
+      val f = it.next()
+      val sample = openFile(f)
+        .select((keyCols :+ valueCol).map(col): _*)
+        .orderBy(abs(xxhash64(keyCols.map(col): _*) + lit(seed)))
+        .limit(checksPerFile)
+      acc = acc.unionByName(
+        Qc.mismatchedCells(sample, store, keyCols, valueCol, desc.missingValue))
+      checksDone += checksPerFile
+    }
+    acc
+  }
+}

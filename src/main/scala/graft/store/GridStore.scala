@@ -136,9 +136,14 @@ final class GridStore(
       .sortWithinPartitions((timeCol +: desc.standardDims.filter(df.columns.contains))
         .distinct.map(col): _*)
 
-  private def writeJob(df: DataFrame, mode: String): Unit = {
+  private def writeJob(df: DataFrame, mode: String, dynamic: Boolean = false): Unit = {
+    // The overwrite mode rides on the writer, not the session conf: inside
+    // foreachBatch the batch frame belongs to streaming's CLONED session, so
+    // a session-conf toggle on the captured session would silently leave the
+    // write in static mode and wipe every untouched partition.
     layout(df).write
       .mode(mode)
+      .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("__bucket")
       .parquet(dataPath)
@@ -174,9 +179,7 @@ final class GridStore(
       val existing = dataset().withColumn("__b", bucketExpr)
         .filter(col("__b").isin(existingTouched.toSeq: _*)).drop("__b")
       val merged = materialize(existing.unionByName(df.select(existing.columns.map(col): _*)))
-      withDynamicOverwrite {
-        writeJob(merged, "overwrite")
-      }
+      writeJob(merged, "overwrite", dynamic = true)
     }
   }
 
@@ -192,9 +195,7 @@ final class GridStore(
       .filter(col("__b").isin(touched.toSeq: _*)).drop("__b")
     val keys = desc.standardDims.filter(df.columns.contains)
     val padded = materialize(UpdatePlan.combineFirst(df, original, keys, desc.dataVar))
-    withDynamicOverwrite {
-      writeJob(padded, "overwrite")
-    }
+    writeJob(padded, "overwrite", dynamic = true)
   }
 
   /** W2 — publish dispatch (publish.py:86-129): initial when nothing
@@ -252,17 +253,6 @@ final class GridStore(
       .filter(_.startsWith("__bucket="))
       .map(_.stripPrefix("__bucket="))
       .toSet
-  }
-
-  private def withDynamicOverwrite[T](body: => T): T = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
   }
 
   /** W14 — attrs assembly after a write (metadata.py:870-921): date range,

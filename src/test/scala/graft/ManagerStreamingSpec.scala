@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{DatasetDescriptor, TimeSpan, TimeUnitKind}
+import graft.store.GridStore
+import graft.streaming.StreamingUpdate
+
+/** End-to-end lifecycle specs: the DatasetManager composition (O1-O4) and
+  * the Structured Streaming façade driving the same update planner. */
+class ManagerStreamingSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  private val testDesc = DatasetDescriptor("mgr_test", "value",
+    spatialDims = Seq("latitude", "longitude"), timeResolution = TimeSpan.Daily)
+
+  private class TestManager(root: String) extends DatasetManager {
+    val spark: SparkSession = sp
+    val desc: DatasetDescriptor = testDesc
+    val storePath: String = s"$root/store"
+    val inputDir: String = s"$root/input"
+    override def bucketSpan: TimeUnitKind = TimeUnitKind.Days
+    var postprocessRan = false
+    override def postprocess(df: DataFrame): DataFrame = { postprocessRan = true; df }
+    override def inputFiles(): Seq[String] = {
+      val fs = GridStore.fileSystem(spark, inputDir)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(inputDir))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(inputDir)).toSeq
+        .filter(_.isDirectory).map(_.getPath.toString).sorted
+    }
+  }
+
+  test("manager lifecycle: transform → QC → publish → incremental append (O1-O4)") {
+    val root = Files.createTempDirectory("mgr_spec").toString
+    val mgr = new TestManager(root)
+    dailyGrid(1, 6).write.parquet(s"${mgr.inputDir}/batch1")
+    assert(mgr.checkIfNewData()) // no store yet
+    mgr.run()
+    assert(mgr.postprocessRan)
+    assert(mgr.store.dataset().count() == 24)
+    assert(mgr.getMetadataDateRange().map(_._2.toString) == Some("2024-01-06T00:00"))
+    assert(!mgr.checkIfNewData()) // inputs fully ingested
+
+    dailyGrid(7, 2, base = 50.0).write.parquet(s"${mgr.inputDir}/batch2")
+    assert(mgr.checkIfNewData())
+    mgr.run()
+    assert(mgr.store.dataset().count() == 32)
+    assert(mgr.getMetadataDateRange().map(_._2.toString) == Some("2024-01-08T00:00"))
+  }
+
+  test("manager extract guard rejects ranges before dataset start (O2)") {
+    val root = Files.createTempDirectory("mgr_spec2").toString
+    val mgr = new TestManager(root) {
+      override val desc: DatasetDescriptor = testDesc.copy(
+        datasetStartDate = Some(java.time.Instant.parse("2024-01-01T00:00:00Z")))
+    }
+    assertThrows[IllegalArgumentException] {
+      mgr.extract(Some((ts("2023-12-01T00:00:00"), ts("2024-01-05T00:00:00"))))
+    }
+    mgr.extract(Some((ts("2024-01-02T00:00:00"), ts("2024-01-05T00:00:00"))))
+  }
+
+  test("manager dry run leaves no store") {
+    val root = Files.createTempDirectory("mgr_spec3").toString
+    val mgr = new TestManager(root)
+    dailyGrid(1, 3).write.parquet(s"${mgr.inputDir}/batch1")
+    mgr.run(dryRun = true)
+    assert(!mgr.store.hasExisting)
+  }
+
+  test("streaming façade: file stream drives initial write then incremental update") {
+    val root = Files.createTempDirectory("stream_spec").toString
+    val inDir = s"$root/incoming"
+    val store = new GridStore(spark, s"$root/store", testDesc,
+      bucketSpan = TimeUnitKind.Days)
+
+    // batch 1 lands before the stream starts
+    dailyGrid(1, 4).write.parquet(inDir)
+    val schema = dailyGrid(1, 1).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val q1 = StreamingUpdate.attach(stream, store, s"$root/ckpt")
+    q1.awaitTermination(60000)
+    assert(store.hasExisting)
+    assert(store.dataset().count() == 16)
+
+    // late + new data arrives; a fresh AvailableNow pass picks up only it
+    dailyGrid(4, 2, base = 900.0).write.mode("append").parquet(inDir)
+    val q2 = StreamingUpdate.attach(
+      spark.readStream.schema(schema).parquet(inDir), store, s"$root/ckpt")
+    q2.awaitTermination(60000)
+    val ds = store.dataset()
+    assert(ds.count() == 20) // day 4 overwritten in place, day 5 appended
+    val day4 = ds.filter(col("time") === lit(ts("2024-01-04T00:00:00")))
+      .agg(min("value")).as[Double].head()
+    assert(day4 == 900.0 + 0 + 10.0 + 100.0)
+  }
+}

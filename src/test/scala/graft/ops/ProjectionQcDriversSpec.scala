@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.{DatasetDescriptor, TimeSpan}
+
+class ProjectionQcDriversSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  test("EPSG:4326 is identity; EPSG:3857 matches known landmark") {
+    val df = Seq((51.5, -0.12)).toDF("lat", "lon") // London
+    val id = Projection.assignCrs(df, "lat", "lon", 4326).head()
+    assert(id.getAs[Double]("northing") == 51.5 && id.getAs[Double]("easting") == -0.12)
+    val merc = Projection.assignCrs(df, "lat", "lon", 3857).head()
+    assert(math.abs(merc.getAs[Double]("easting") - -13358.34) < 1.0)
+    assert(math.abs(merc.getAs[Double]("northing") - 6710219.11) < 10.0)
+  }
+
+  test("EPSG:3857 round-trips through the inverse") {
+    val df = Seq((45.0, 90.0), (-60.0, -170.0), (0.0, 0.0)).toDF("lat", "lon")
+    val proj = Projection.assignCrs(df, "lat", "lon", 3857)
+    val (latB, lonB) = Projection.unproject3857(col("northing"), col("easting"))
+    val bad = proj.filter(abs(latB - col("lat")) > 1e-9 || abs(lonB - col("lon")) > 1e-9)
+    assert(bad.count() == 0)
+  }
+
+  test("unsupported EPSG raises") {
+    assertThrows[IllegalArgumentException] {
+      Projection.project(lit(0.0), lit(0.0), 32633)
+    }
+  }
+
+  test("isRegularGrid accepts even spacing, rejects jitter (conventions.py:200-260)") {
+    val even = (0 until 20).map(i => Tuple1(i * 0.25)).toDF("latitude")
+    assert(Projection.isRegularGrid(even, "latitude"))
+    val jittered = (Seq(0.0, 0.25, 0.5, 1.5, 1.75)).map(Tuple1(_)).toDF("latitude")
+    assert(!Projection.isRegularGrid(jittered, "latitude"))
+  }
+
+  private def grid(nDays: Int) = dailyGrid(1, nDays)
+  private val desc = DatasetDescriptor("x", "value",
+    spatialDims = Seq("latitude", "longitude"), timeResolution = TimeSpan.Daily,
+    hasNans = false, unitOfMeasurement = None)
+
+  test("preParseQualityCheck passes a clean contiguous grid") {
+    QcDrivers.preParseQualityCheck(
+      grid(5).withColumn("value", col("value").cast("float")), desc)
+  }
+
+  test("preParseQualityCheck rejects gapped times, bad dtype, forbidden NaN") {
+    val gapped = grid(3).unionByName(dailyGrid(7, 2))
+      .withColumn("value", col("value").cast("float"))
+    assertThrows[QcDrivers.QcFailure](QcDrivers.preParseQualityCheck(gapped, desc))
+
+    val intTyped = grid(3).withColumn("value", lit(1L))
+    assertThrows[QcDrivers.QcFailure](QcDrivers.preParseQualityCheck(intTyped, desc))
+
+    val withNaN = grid(3).withColumn("value", lit(Float.NaN))
+    assertThrows[QcDrivers.QcFailure](QcDrivers.preParseQualityCheck(withNaN, desc))
+  }
+
+  test("preParseQualityCheck NaN-frequency gate fires only for existing stores") {
+    val d = desc.copy(hasNans = true, expectedNanFrequency = Some(0.0))
+    val noisy = grid(5).withColumn("value",
+      when(col("latitude") === 10.0, lit(Double.NaN)).otherwise(col("value")))
+    QcDrivers.preParseQualityCheck(noisy, d, hasExisting = false) // initial: skipped
+    assertThrows[QcDrivers.QcFailure] {
+      QcDrivers.preParseQualityCheck(noisy, d, hasExisting = true)
+    }
+  }
+
+  test("postParseQualityCheck compares sampled source cells against the store") {
+    val dir = java.nio.file.Files.createTempDirectory("ppqc").toString
+    val src = grid(3)
+    src.write.parquet(s"$dir/f1")
+    val store = grid(3) // identical → no mismatches
+    val keys = Seq("time", "latitude", "longitude")
+    val ok = QcDrivers.postParseQualityCheck(spark, store, Seq(s"$dir/f1"),
+      f => spark.read.parquet(f), keys, "value", desc, maxChecks = 10)
+    assert(ok.count() == 0)
+    val corrupted = store.withColumn("value", col("value") + 5.0)
+    val bad = QcDrivers.postParseQualityCheck(spark, corrupted, Seq(s"$dir/f1"),
+      f => spark.read.parquet(f), keys, "value", desc, maxChecks = 10)
+    assert(bad.count() > 0)
+  }
+
+  test("postParseQualityCheck honors the wall-clock cap (publish.py:23)") {
+    val dir = java.nio.file.Files.createTempDirectory("ppqc2").toString
+    dailyGrid(1, 2).write.parquet(s"$dir/f1")
+    val out = QcDrivers.postParseQualityCheck(spark, dailyGrid(1, 2),
+      Seq(s"$dir/f1", s"$dir/f1"), f => spark.read.parquet(f),
+      Seq("time", "latitude", "longitude"), "value", desc,
+      maxChecks = 100, timeLimitMillis = 0)
+    assert(out.count() == 0) // deadline already passed → no checks run
+  }
+}
