@@ -30,17 +30,38 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature of a shingle set: `numHashes` independent permutation
-    * approximations h_i(s) = min over shingles of xxhash64(i, s).
+  /** MinHash signatures for a corpus: one row per doc, `sig` =
+    * ArrayType(Long) of length `numHashes`.
     *
-    * Emitted as one ArrayType(LongType) column via a single `transform` over
-    * the hash seeds — the shingle array is traversed once per seed inside
-    * codegen, no explode, no shuffle.
-    */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
-    }: _*)
+    * Shape chosen for codegen: higher-order array functions (transform/
+    * zip_with/aggregate) are CodegenFallback — interpreted, boxed, per-
+    * element closure calls — so the signature is computed instead as
+    * explode(shingles) → two string hashes per shingle → vectorized
+    * hash-aggregate of `numHashes` mins. Permutation i is double hashing
+    * (Kirsch–Mitzenmacher): h_i = (a & 2³²−1) + i·(b & 2³²−1); 32-bit
+    * operands bound every product below 2³⁹, so ANSI mode never overflows.
+    * Map-side partial aggregation means the shuffle carries one row per
+    * (partition, doc), not per shingle. */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      numHashes: Int): DataFrame = {
+    val m = lit(0xffffffffL)
+    val exploded = df
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(Text.shingles(col(textCol), shingleSize))).as("__s"))
+      .select(col("doc_id"),
+        xxhash64(col("__s")).bitwiseAND(m).as("__a"),
+        xxhash64(lit(1), col("__s")).bitwiseAND(m).as("__b"))
+    val mins = (0 until numHashes).map(i =>
+      min(col("__a") + lit(i.toLong) * col("__b")).as(s"__h$i"))
+    exploded.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+  }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
     * and hash each band; docs sharing any band hash are candidate pairs. */
@@ -68,15 +89,7 @@ object Dedup {
       s"numHashes ($numHashes) must be divisible by bands ($bands): " +
         "a truncated rowsPerBand would silently leave signature slots unused")
     val rowsPerBand = numHashes / bands
-    // Materialize the shingle array in its own projection first: the
-    // signature references its input once per hash seed, and an inlined
-    // shingle *expression tree* would re-run tokenize+slice numHashes times
-    // per row (measured 60× slowdown); an attribute reference is evaluated
-    // once.
-    val sigs = df
-      .select(col(idCol).as("doc_id"),
-        array_distinct(Text.shingles(col(textCol), shingleSize)).as("__sh"))
-      .select(col("doc_id"), minhashSignature(col("__sh"), numHashes).as("sig"))
+    val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
       .withColumn("band", explode(bandHashes(col("sig"), bands, rowsPerBand)))
       .select(col("doc_id"), col("sig"), col("band.band").as("band"), col("band.h").as("h"))
     val a = sigs.select(col("band"), col("h"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
@@ -108,8 +121,12 @@ object Dedup {
       threshold: Double = 0.9): DataFrame = {
     val cands = minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
       .select("doc_a", "doc_b")
+    // Verification compares hashed shingle sets (8 bytes/shingle in the join
+    // payload instead of the string): set sizes — and hence Jaccard — are
+    // collision-exact in practice, matching the string-set computation.
     val sh = df.select(col(idCol).as("__id"),
-      array_distinct(Text.shingles(col(textCol), shingleSize)).as("__sh"))
+      array_distinct(transform(
+        Text.shingles(col(textCol), shingleSize), s => xxhash64(s))).as("__sh"))
     cands
       .join(sh.select(col("__id").as("doc_a"), col("__sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("__id").as("doc_b"), col("__sh").as("sh_b")), Seq("doc_b"))
@@ -124,16 +141,16 @@ object Dedup {
     * token hash's bit value; bit set when the vote is positive. Near-dups
     * have small Hamming distance. Pure expression tree — per-bit aggregate
     * over the token array. */
-  def simhash64(textCol: Column): Column = {
-    val tokenHashes = transform(Text.tokens(textCol), t => xxhash64(t))
-    val bitCols = (0 until 64).map { bit =>
-      val vote = aggregate(tokenHashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, lit(1L))
-          .otherwise(lit(-1L)))
-      when(vote > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+  def simhash64(textCol: Column): Column =
+    Text.bind(transform(Text.tokens(textCol), t => xxhash64(t))) { tokenHashes =>
+      val bitCols = (0 until 64).map { bit =>
+        val vote = aggregate(tokenHashes, lit(0L),
+          (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L)))
+        when(vote > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+      }
+      bitCols.reduce((a, b) => a.bitwiseOR(b))
     }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
-  }
 
   /** Hamming distance between two 64-bit simhashes via bit_count(xor). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -153,8 +170,12 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double): DataFrame = {
+    // Shuffle 8-byte shingle hashes, not shingle strings: the join key and
+    // every exchange shrink ~4×, and Jaccard counts are unchanged short of
+    // an xxhash64 collision (~n²/2⁶⁵ — negligible at any realistic corpus).
     val sh = df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(Text.shingles(col(textCol), n))).as("shingle"))
+        explode(array_distinct(transform(
+          Text.shingles(col(textCol), n), s => xxhash64(s)))).as("shingle"))
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val pairs = sh.toDF("doc_a", "shingle")
       .join(sh.toDF("doc_b", "shingle"), Seq("shingle"))
