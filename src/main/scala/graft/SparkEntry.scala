@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
-import graft.functions.{Dedup, Multimodal, Similarity, Text}
+import graft.functions.{Dedup, Encryption, Multimodal, Similarity, Text}
 import graft.model.{DatasetCategory, DatasetDescriptor, TimeSpan, TimeUnitKind}
 import graft.ops.{Filters, Normalize, Projection, Qc, Stats, UpdatePlan}
 import graft.sources.Manifest
@@ -515,6 +515,53 @@ object SparkEntry {
       bin.select(col("doc_id"), Multimodal.mediaFingerprint(col("media")).as("media_fp"))
         .orderBy("doc_id")
     }),
+
+    // --- as-of join (F4 bulk) ---
+    "q52_asof_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val left = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val right = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("rts"))
+        .agg(max(col("value")).as("signup_value"))
+      Filters.asofJoinBackward(left, right, "ts", "rts", Seq("user_id"),
+          Seq("signup_value"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("signup_value"),
+          col("__matched_time").as("matched_time"))
+        .orderBy("event_id")
+    }),
+
+    // --- encryption (W12) ---
+    "q53_encrypt_roundtrip" -> ((s, dir) => {
+      // XChaCha20-Poly1305 roundtrip over every document: n_bad counts
+      // decrypt(encrypt(text)) != text plus any chunk whose layout overhead
+      // is not exactly nonce(24)+tag(16).
+      val kh = Encryption.registerEncryptionKey(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("plain"))
+      val enc = docs.select(col("doc_id"), col("plain"),
+        Encryption.encryptColumn(col("plain"), kh).as("enc"))
+      enc.select(col("doc_id"), col("plain"), col("enc"),
+          Encryption.decryptColumn(col("enc"), kh).as("back"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("back") === col("plain") &&
+            length(col("enc")) === length(col("plain")) + lit(40), 0L)
+            .otherwise(1L)).as("n_bad"))
+    }),
+
+    // --- chunk-alignment boundary math (W7) ---
+    "q54_chunk_layout" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      Seq((3, 5, 8), (0, 5, 12), (4, 5, 1), (5, 5, 7), (3, 5, 0))
+        .map { case (tail, chunk, len) =>
+          (tail.toLong, chunk.toLong, len.toLong,
+            graft.store.ChunkLayout.calculateTimeDimChunks(tail, chunk, len)
+              .mkString(","))
+        }
+        .toDF("tail", "chunk", "len", "chunks")
+        .orderBy("tail", "chunk", "len")
+    }),
   )
 
   // -------------------------------------------------------------- oracleSql
@@ -792,5 +839,25 @@ object SparkEntry {
     "q50_multimodal_decode" ->
       """SELECT doc_id, CAST(8 AS BIGINT) AS n_dims, CAST(0 AS BIGINT) AS n_bad
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q52_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts AS rts, max(value) AS signup_value
+        |      FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts, r.signup_value, r.rts AS matched_time
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
+        |ORDER BY event_id""".stripMargin,
+
+    "q53_encrypt_roundtrip" ->
+      "SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_bad FROM documents",
+
+    "q54_chunk_layout" ->
+      """SELECT * FROM (VALUES
+        |(CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(12 AS BIGINT), '5,5,2'),
+        |(CAST(3 AS BIGINT), CAST(5 AS BIGINT), CAST(0 AS BIGINT), ''),
+        |(CAST(3 AS BIGINT), CAST(5 AS BIGINT), CAST(8 AS BIGINT), '2,5,1'),
+        |(CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT), '1'),
+        |(CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(7 AS BIGINT), '5,2'))
+        |AS t(tail, chunk, len, chunks) ORDER BY tail, chunk, len""".stripMargin,
   )
 }

@@ -58,6 +58,59 @@ object Filters {
       .limit(1)
   }
 
+  /** F4 (bulk) — backward as-of join: for every left row, the most recent
+    * right row with `rightTime <= leftTime` (within `toleranceSeconds`, if
+    * given), matched within `partitionKeys`.
+    *
+    * Scale shape: tag + union + window, ONE shuffle on the partition keys —
+    * never a range-join explosion and never a per-key loop. Within each key
+    * the rows sort by time; `last(_, ignoreNulls)` over an unbounded
+    * preceding frame carries the latest right-side values forward onto left
+    * rows. Ties (equal timestamps) order the right row first, so an exact
+    * match wins over an earlier one.
+    */
+  def asofJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      partitionKeys: Seq[String],
+      valueCols: Seq[String],
+      toleranceSeconds: Option[Double] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // `valueCols` must not collide with left-side column names, and the two
+    // time columns must share a timestamp type.
+    val l = left.withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      (partitionKeys.map(col) :+ col(rightTime).as("__t")) ++
+        valueCols.map(col): _*)
+      .withColumn("__side", lit(0))
+      .withColumn("__rt", col("__t"))
+    // allowMissingColumns null-fills each side's exclusive columns (left
+    // rows get null valueCols/__rt; right rows get null left attributes).
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(partitionKeys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(
+        unioned.withColumn("__last_rt", last(col("__rt"), ignoreNulls = true).over(w))) {
+      (d, v) => d.withColumn(v, last(when(col("__side") === 0, col(v)), true).over(w))
+    }
+    val withinTol = toleranceSeconds match {
+      case Some(tol) =>
+        col("__last_rt").isNotNull &&
+          (unix_micros(col("__t").cast("timestamp")) -
+            unix_micros(col("__last_rt").cast("timestamp"))) <= lit((tol * 1e6).toLong)
+      case None => col("__last_rt").isNotNull
+    }
+    val kept = carried.filter(col("__side") === 1)
+    val result = valueCols.foldLeft(kept) { (d, v) =>
+      d.withColumn(v, when(withinTol, col(v))) }
+    result.withColumn("__matched_time", when(withinTol, col("__last_rt")))
+      .drop("__t", "__side", "__rt", "__last_rt")
+  }
+
   /** F6/J5 — prune a file manifest to entries overlapping [start, end].
     * Reference: binary search over the time-sorted manifest
     * (utils/publish.py:897-949). Spark-first this is a range predicate over
