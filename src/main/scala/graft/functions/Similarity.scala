@@ -59,16 +59,37 @@ object Similarity {
     */
   def srpBucket(vecCol: Column, dim: Int, nBits: Int): Column = {
     val bits = (0 until nBits).map { plane =>
-      // ±1 hyperplane component for (plane, i); projection sign decides bit.
+      // The ±1 hyperplane components depend only on (plane, dim index) —
+      // precomputed driver-side into a literal array. The per-row work is
+      // one multiply-add pass; an in-expression hash per element was ~10×
+      // the cost (higher-order functions are interpreted, not codegen'd).
+      val signs = array((0 until dim).map(i => lit(planeSign(plane, i))): _*)
       val proj = aggregate(
-        zip_with(vecCol, sequence(lit(0), lit(dim - 1)), (v, i) =>
-          v.cast("double") *
-            when(pmod(xxhash64(lit(plane), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+        zip_with(vecCol, signs, (v, s) => v.cast("double") * s),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), plane)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** Deterministic ±1 hyperplane component (splitmix64 finalizer of
+    * (plane, i)) — identical on driver and executors across JVMs. */
+  private def planeSign(plane: Int, i: Int): Double = {
+    var z = (plane.toLong << 32) | (i.toLong & 0xffffffffL)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= z >>> 31
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Driver-side SRP bucket of a constant query vector — same arithmetic as
+    * [[srpBucket]] (left-to-right double accumulation), no Spark job. */
+  def srpBucketOf(query: Seq[Float], nBits: Int): Long =
+    (0 until nBits).map { plane =>
+      val proj = query.zipWithIndex
+        .foldLeft(0.0) { case (acc, (v, i)) => acc + v.toDouble * planeSign(plane, i) }
+      if (proj > 0) 1L << plane else 0L
+    }.reduce(_ | _)
 
   /** ANN via SRP-LSH: restrict the brute-force search to rows whose bucket
     * matches the query's bucket, then exact-rank within the bucket. */
@@ -82,9 +103,7 @@ object Similarity {
     val dim = query.length
     val q = array(query.map(v => lit(v)): _*)
     val withBucket = df.withColumn("__bucket", srpBucket(col(vecCol), dim, nBits))
-    val queryBucket = withBucket.sparkSession.range(1)
-      .select(srpBucket(q, dim, nBits).as("__qb"))
-      .head().getLong(0)
+    val queryBucket = srpBucketOf(query, nBits)
     withBucket.filter(col("__bucket") === lit(queryBucket))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))

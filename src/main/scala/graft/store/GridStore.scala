@@ -219,25 +219,26 @@ final class GridStore(
   private def runUpdate(updateDf: DataFrame, dryRun: Boolean): Unit = {
     checkNotInProgress()
     val existing = dataset()
-    // The classified time sets are tiny (one row per timestep) but their
-    // plans reference the CURRENT store files — materialize them before any
-    // write replaces those files underneath the plan.
-    val (insertTimes0, appendTimes0) =
-      UpdatePlan.prepareUpdateTimes(existing, updateDf, timeCol)
-    val insertTimes = materialize(insertTimes0)
-    val appendTimes = materialize(appendTimes0)
+    // One classified time frame (one row per distinct update timestep) —
+    // tiny, but its plan references the CURRENT store files, so materialize
+    // it once before any write replaces those files underneath the plan.
+    // All subsequent planning decisions read this frame, not the store.
+    val classified = materialize(
+      UpdatePlan.classifyUpdateTimes(existing, updateDf, timeCol))
+    val insertTimes = classified.filter(col("kind") === "insert").select(timeCol)
+    val appendTimes = classified.filter(col("kind") === "append").select(timeCol)
     val existingEnd = existing.agg(max(col(timeCol))).head().get(0)
     UpdatePlan.updateQualityCheck(spark, insertTimes, appendTimes, timeCol,
       java.sql.Timestamp.valueOf(existingEnd.asInstanceOf[java.time.LocalDateTime]),
       desc.timeResolution, desc.updateCadenceBounds)
     if (dryRun) return
-    val inserts = updateDf.join(insertTimes.select(timeCol), Seq(timeCol), "left_semi")
-    val appends = updateDf.join(appendTimes.select(timeCol), Seq(timeCol), "left_semi")
-    val nIns = inserts.limit(1).count()
-    val nApp = appends.limit(1).count()
+    val kindCounts = classified.groupBy("kind").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inserts = updateDf.join(insertTimes, Seq(timeCol), "left_semi")
+    val appends = updateDf.join(appendTimes, Seq(timeCol), "left_semi")
     withCommitMarker(computedAttrs(updateDf, isUpdate = true)) {
-      if (nIns > 0) insertSlice(inserts)
-      if (nApp > 0) appendSlice(appends)
+      if (kindCounts.getOrElse("insert", 0L) > 0) insertSlice(inserts)
+      if (kindCounts.getOrElse("append", 0L) > 0) appendSlice(appends)
     }
   }
 
