@@ -14,11 +14,13 @@ import graft.store.GridStore
   * pre/post-process hooks, and inherit the scan → normalize → publish
   * lifecycle.
   */
-trait DatasetManager {
+trait DatasetManager extends Logging {
   def spark: SparkSession
   def desc: DatasetDescriptor
   def storePath: String
   def inputDir: String
+
+  override def logName: String = desc.datasetName
 
   def bucketSpan: TimeUnitKind = TimeUnitKind.Months
 
@@ -88,10 +90,13 @@ trait DatasetManager {
     * (parse, publish.py:41-129). */
   def run(dryRun: Boolean = false, rebuild: Boolean = false,
       skipPreParseQc: Boolean = false): Unit = {
+    val t0 = System.nanoTime()
     val df = transform()
     if (!skipPreParseQc)
       QcDrivers.preParseQualityCheck(df, desc, hasExisting = store.hasExisting,
         rebuild = rebuild)
     store.publish(df, rebuild = rebuild, dryRun = dryRun)
+    info(f"run(dryRun=$dryRun, rebuild=$rebuild) finished in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
   }
 }

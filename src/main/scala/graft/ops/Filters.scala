@@ -111,6 +111,12 @@ object Filters {
       .drop("__t", "__side", "__rt", "__last_rt")
   }
 
+  /** F8 — drop non-key columns (e.g. stray coords on an insert slice).
+    * Reference: `drop_vars` (utils/publish.py:441). Tolerates absent names,
+    * like xarray's `errors="ignore"`. */
+  def dropVars(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.drop(cols: _*)
+
   /** F6/J5 — prune a file manifest to entries overlapping [start, end].
     * Reference: binary search over the time-sorted manifest
     * (utils/publish.py:897-949). Spark-first this is a range predicate over

@@ -99,4 +99,21 @@ object Manifest {
     * the caller composes Normalize.normalize on top. */
   def openRaw(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** P4 — move original input files into `<dir>_originals/` after a
+    * conversion pass (transform.py:521-537). Hadoop FS rename, so file://
+    * and object stores behave alike. Returns the new paths. */
+  def archiveOriginals(spark: SparkSession, files: Seq[String]): Seq[String] = {
+    files.map { f =>
+      val p = new HPath(f)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parent = p.getParent
+      val archiveDir = new HPath(parent.getParent,
+        s"${parent.getName}_originals")
+      fs.mkdirs(archiveDir)
+      val dest = new HPath(archiveDir, p.getName)
+      require(fs.rename(p, dest), s"Failed to archive $f to $dest")
+      dest.toString
+    }
+  }
 }

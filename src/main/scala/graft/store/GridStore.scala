@@ -35,7 +35,11 @@ final class GridStore(
     /** Bucket granularity; must be ≥ the dataset resolution. */
     val bucketSpan: TimeUnitKind = TimeUnitKind.Months,
     /** Storage-chunk analog: rows per parquet file within a bucket. */
-    val maxRecordsPerFile: Long = 5000000L) {
+    val maxRecordsPerFile: Long = 5000000L,
+    /** W13 — compression codec (`use_compression` toggle + Blosc LZ4
+      * default, metadata.py:939-959): any Spark parquet codec name, or
+      * "none"/"uncompressed" to disable. */
+    val compression: String = "lz4") {
 
   import GridStore._
 
@@ -145,6 +149,8 @@ final class GridStore(
       .mode(mode)
       .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression",
+        if (compression == "none") "uncompressed" else compression)
       .partitionBy("__bucket")
       .parquet(dataPath)
     // Spark caches the file listing per path; after an in-place partition

@@ -105,4 +105,17 @@ class ManifestExtractSpec extends SparkSpec {
       keep = _.endsWith(".nc"))
     assert(links == Seq("http://example.com/data/f1.nc", "http://example.com/data/sub/f2.nc"))
   }
+
+  test("archiveOriginals moves files into <dir>_originals (transform.py:521-537)") {
+    val root = java.nio.file.Files.createTempDirectory("arch").toString
+    val in = java.nio.file.Paths.get(root, "input")
+    java.nio.file.Files.createDirectories(in)
+    val f1 = in.resolve("a.nc"); val f2 = in.resolve("b.nc")
+    java.nio.file.Files.writeString(f1, "x"); java.nio.file.Files.writeString(f2, "y")
+    val moved = Manifest.archiveOriginals(spark, Seq(f1.toString, f2.toString))
+    assert(moved.forall(_.contains("input_originals/")))
+    assert(!java.nio.file.Files.exists(f1) && !java.nio.file.Files.exists(f2))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "input_originals", "a.nc")))
+  }
 }
