@@ -172,35 +172,29 @@ final class GridStore(
     }
   }
 
-  /** W4 — append: only new bucket directories appear; an existing partial
-    * bucket is completed via dynamic overwrite of that single bucket (the
-    * chunk-butt-joining analog of publish.py:520-553). */
-  private def appendSlice(df: DataFrame): Unit = {
+  /** W4 + W5 — unified delta write: ONE dynamic-partition-overwrite job
+    * covers both cases, because dynamic overwrite replaces touched buckets
+    * (inserts, publish.py:406-450) and creates brand-new ones (appends,
+    * publish.py:452-478) in the same pass.
+    *
+    * Buckets that overlap the existing store are padded back to
+    * completeness with `combineFirst` (J3, publish.py:1341-1385) — this
+    * both completes a partial tail bucket on append (the chunk-butt-join
+    * analog of publish.py:520-553) and preserves unreplaced cells on
+    * insert. The original side is bounded to the touched buckets FIRST, so
+    * the full-outer join never sees the rest of the store. */
+  private def writeDelta(df: DataFrame): Unit = {
     val touched = df.select(bucketExpr.as("__bucket")).distinct()
       .collect().map(_.getString(0)).toSet
-    val existingTouched = existingBuckets.intersect(touched)
-    if (existingTouched.isEmpty) writeJob(df, "append")
-    else {
-      // Merge appended rows into their (last, partial) existing buckets.
-      val existing = dataset().withColumn("__b", bucketExpr)
-        .filter(col("__b").isin(existingTouched.toSeq: _*)).drop("__b")
-      val merged = materialize(existing.unionByName(df.select(existing.columns.map(col): _*)))
-      writeJob(merged, "overwrite", dynamic = true)
-    }
-  }
-
-  /** W5 — region insert: pad each contiguous run's buckets back to
-    * completeness with `combineFirst` (J3, publish.py:1341-1385), then
-    * dynamically overwrite only those buckets. The original side is bounded
-    * to the touched buckets FIRST, so the full-outer join never sees the
-    * rest of the store. */
-  private def insertSlice(df: DataFrame): Unit = {
-    val touched = df.select(bucketExpr.as("__bucket")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val original = dataset().withColumn("__b", bucketExpr)
-      .filter(col("__b").isin(touched.toSeq: _*)).drop("__b")
-    val keys = desc.standardDims.filter(df.columns.contains)
-    val padded = materialize(UpdatePlan.combineFirst(df, original, keys, desc.dataVar))
+    val overlap = existingBuckets.intersect(touched)
+    val padded =
+      if (overlap.isEmpty) df
+      else {
+        val original = dataset().withColumn("__b", bucketExpr)
+          .filter(col("__b").isin(overlap.toSeq: _*)).drop("__b")
+        val keys = desc.standardDims.filter(df.columns.contains)
+        materialize(UpdatePlan.combineFirst(df, original, keys, desc.dataVar))
+      }
     writeJob(padded, "overwrite", dynamic = true)
   }
 
@@ -222,8 +216,14 @@ final class GridStore(
 
   /** Update path (publish.py:322-356): guard, classify times, gate, insert
     * per region, then append. */
-  private def runUpdate(updateDf: DataFrame, dryRun: Boolean): Unit = {
+  private def runUpdate(updateDf0: DataFrame, dryRun: Boolean): Unit = {
     checkNotInProgress()
+    // Materialize the delta ONCE: classification, gate checks, bucket
+    // discovery, and both write paths all re-read it, and its lineage may be
+    // an arbitrary upstream pipeline. An update is a bounded delta relative
+    // to the store (the reference holds it in memory too), so this is an
+    // executor-local checkpoint of the small side, never the store.
+    val updateDf = materialize(updateDf0)
     val existing = dataset()
     // One classified time frame (one row per distinct update timestep) —
     // tiny, but its plan references the CURRENT store files, so materialize
@@ -233,22 +233,29 @@ final class GridStore(
       UpdatePlan.classifyUpdateTimes(existing, updateDf, timeCol))
     val insertTimes = classified.filter(col("kind") === "insert").select(timeCol)
     val appendTimes = classified.filter(col("kind") === "append").select(timeCol)
-    val existingEnd = existing.agg(max(col(timeCol))).head().get(0)
+    val existingEnd = existingEndTime()
     UpdatePlan.updateQualityCheck(spark, insertTimes, appendTimes, timeCol,
       java.sql.Timestamp.valueOf(existingEnd.asInstanceOf[java.time.LocalDateTime]),
       desc.timeResolution, desc.updateCadenceBounds)
     if (dryRun) return
-    val kindCounts = classified.groupBy("kind").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val inserts = updateDf.join(insertTimes, Seq(timeCol), "left_semi")
-    val appends = updateDf.join(appendTimes, Seq(timeCol), "left_semi")
     withCommitMarker(computedAttrs(updateDf, isUpdate = true)) {
-      if (kindCounts.getOrElse("insert", 0L) > 0) insertSlice(inserts)
-      if (kindCounts.getOrElse("append", 0L) > 0) appendSlice(appends)
+      writeDelta(updateDf)
     }
   }
 
   // ------------------------------------------------------------- helpers
+
+  /** Max time of the existing store, read from the LAST bucket only —
+    * partition pruning makes this one directory's footers, not a full-store
+    * scan (the binary-search-the-manifest analog, publish.py:897-949). */
+  private def existingEndTime(): Any = {
+    val bounded = existingBuckets.toSeq.sorted.lastOption match {
+      case Some(last) =>
+        spark.read.parquet(dataPath).filter(col("__bucket") === last)
+      case None => spark.read.parquet(dataPath)
+    }
+    bounded.agg(max(col(timeCol).cast(TimestampNTZType))).head().get(0)
+  }
 
   private def existingBuckets: Set[String] = {
     val fs = fileSystem(spark, path)

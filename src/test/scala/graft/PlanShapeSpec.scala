@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity}
+import graft.ops.Filters
+
+/** Physical-plan shape assertions: the scale claims in the operator docs
+  * must be visible in `explain` output — filters pushed to the scan, small
+  * sides broadcast, top-k as TakeOrderedAndProject, no cartesian products.
+  * These tests pin the plans so a refactor that silently loses a pushdown
+  * or broadcasts the wrong side fails CI, not the 100 TB run.
+  */
+class PlanShapeSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  private lazy val dataDir: String = {
+    val dir = Files.createTempDirectory("planspec").toString
+    dailyGrid(1, 20).write.parquet(s"$dir/grid")
+    dir
+  }
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("time-slice filter pushes down to the parquet scan") {
+    val scan = spark.read.parquet(s"$dataDir/grid")
+    val q = Filters.timeSlice(scan, "time",
+      lit(ts("2024-01-05T00:00:00")), lit(ts("2024-01-10T00:00:00")))
+    val plan = planOf(q)
+    assert(plan.contains("PushedFilters:") &&
+      plan.replaceAll("\\s", "").contains("GreaterThanOrEqual(time"),
+      s"expected pushed time predicate in:\n$plan")
+  }
+
+  test("column pruning: a two-column projection reads a two-column schema") {
+    val scan = spark.read.parquet(s"$dataDir/grid")
+    val q = scan.select("time", "value").filter(col("value") > 0)
+    val plan = planOf(q)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("time") && readSchema.contains("value") &&
+      !readSchema.contains("latitude"),
+      s"expected pruned ReadSchema, got: $readSchema")
+  }
+
+  test("semi-join filter broadcasts the small distinct key side") {
+    val scan = spark.read.parquet(s"$dataDir/grid")
+    val keys = dailyGrid(1, 3).select("time")
+    val plan = planOf(Filters.semiJoinFilter(scan, keys, Seq("time")))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast left-semi join in:\n$plan")
+  }
+
+  test("nearest-with-tolerance is a TakeOrderedAndProject, not a global sort") {
+    val scan = spark.read.parquet(s"$dataDir/grid")
+    val q = Filters.nearestWithTolerance(scan, "time",
+      lit(ts("2024-01-05T12:00:00")), 86400.0)
+    val plan = planOf(q)
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k in:\n$plan")
+    assert(!plan.contains("Sort ["), s"no global sort expected in:\n$plan")
+  }
+
+  test("brute-force cosine top-k is a TakeOrderedAndProject") {
+    val vecs = (0 until 100)
+      .map(i => (i.toLong, Array.fill(8)(i.toFloat / 100)))
+      .toDF("vec_id", "embedding")
+    val plan = planOf(Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Seq.fill(8)(0.5f), 5))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k in:\n$plan")
+  }
+
+  test("minhash candidate pairs: no cartesian product anywhere") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val plan = planOf(Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 16, 4))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join:\n$plan")
+  }
+
+  test("minhash signature is a hash-aggregate with map-side combine") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = planOf(Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16))
+    assert(plan.contains("HashAggregate"), s"expected hash aggregate in:\n$plan")
+    // partial_min proves the shuffle carries one row per (partition, doc),
+    // not one per shingle
+    assert(plan.contains("partial_min"), s"expected map-side combine in:\n$plan")
+  }
+
+  test("exact dedup shuffles the hash, not the text") {
+    val docs = Seq((1L, "some long document body")).toDF("doc_id", "text")
+    val plan = planOf(Dedup.exactDupGroups(docs, "doc_id", "text"))
+    val exchangeLine = plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(exchangeLine.contains("content_hash"),
+      s"shuffle key should be the md5 hash:\n$exchangeLine")
+  }
+}
