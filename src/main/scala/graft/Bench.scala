@@ -11,10 +11,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen/parquet-footer paths so the first timed query
-    // doesn't absorb session initialization.
+    // doesn't absorb session initialization: one tiny representative query
+    // per subsystem (scan+agg, text HOFs, embedding HOFs).
     try {
-      Seq("events", "documents", "embeddings", "lineitem").foreach { t =>
-        spark.read.parquet(s"$sfDir/$t.parquet").count()
+      Seq("q18_date_range", "q33_token_stats", "q40_embed_norms").foreach { q =>
+        SparkEntry.queries(q)(spark, sfDir).count()
       }
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>

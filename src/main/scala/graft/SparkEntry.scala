@@ -406,6 +406,12 @@ object SparkEntry {
       Similarity.annTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
         embQuery(s, dir), 10, nBits = 8)),
 
+    "q55_ivf_topk" -> ((s, dir) =>
+      // nProbe == nCentroids → exhaustive IVF, so the result is provably
+      // identical to brute-force cosine and shares its oracle.
+      Similarity.ivfTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
+        embQuery(s, dir), 10, nCentroids = 16, nProbe = 16)),
+
     // --- store write engine (W2-W8, W10, W14) ---
     "q43_store_roundtrip" -> ((s, dir) => {
       // Full initial→update lifecycle: write days 1-20, then publish an
@@ -798,6 +804,14 @@ object SparkEntry {
     "q40_embed_norms" ->
       s"""SELECT vec_id, round(sqrt($SqSql), 6) AS l2_norm
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q55_ivf_topk" ->
+      s"""WITH qq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |dd AS (SELECT vec_id, $DotQSql AS dp, $SqSql AS na, $SqQSql AS nq
+         |FROM embeddings, qq)
+         |SELECT vec_id, round(CASE WHEN sqrt(na) * sqrt(nq) > 0
+         |  THEN dp / (sqrt(na) * sqrt(nq)) ELSE 0.0 END, 6) AS cos_sim
+         |FROM dd ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q43_store_roundtrip" ->
       s"""WITH g AS (SELECT $DaydSql, event_type, count(*) AS n FROM events GROUP BY 1, 2)

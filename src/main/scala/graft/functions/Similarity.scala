@@ -110,6 +110,68 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF centroid selection: a deterministic hash-ordered sample of corpus
+    * vectors (TakeOrderedAndProject — no full sort, no RNG so re-runs are
+    * stable). Real IVF refines these with k-means; hash-sampled seeds are
+    * the standard zero-training fallback and preserve the search contract. */
+  def ivfCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      seed: Long = 42L): Seq[Seq[Float]] =
+    df.select(col(vecCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)))
+      .limit(nCentroids)
+      .collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+
+  /** Assign each row to its max-dot-product centroid (IVF list id). The
+    * centroids ride along as literal arrays, so assignment is one scan. */
+  def ivfAssign(df: DataFrame, vecCol: String,
+      centroids: Seq[Seq[Float]]): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(v => lit(v)): _*)
+      struct(dot(col(vecCol), cLit).as("score"), lit(i).as("idx"))
+    }
+    df.withColumn("__ivf_bucket",
+      array_max(array(scored: _*)).getField("idx"))
+  }
+
+  /** Driver-side: the `nProbe` centroid ids nearest to the query. */
+  def ivfProbes(query: Seq[Float], centroids: Seq[Seq[Float]], nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) =>
+        (c.zip(query).foldLeft(0.0) { case (acc, (a, b)) =>
+          acc + a.toDouble * b.toDouble }, i)
+      }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(nProbe).map(_._2)
+
+  /** ANN via IVF: search only the `nProbe` inverted lists nearest the
+    * query, exact-rank within them. With `nProbe == nCentroids` the search
+    * is exhaustive and matches [[bruteForceTopK]] exactly. At scale the
+    * assignment is written once (partitioned by list id) and a probe is a
+    * partition-pruned scan. */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val cents = ivfCentroids(df, idCol, vecCol, nCentroids, seed)
+    val probes = ivfProbes(query, cents, nProbe)
+    val q = array(query.map(v => lit(v)): _*)
+    ivfAssign(df, vecCol, cents)
+      .filter(col("__ivf_bucket").isin(probes: _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs cosine above a threshold among rows sharing an SRP bucket —
     * embedding near-duplicate detection at scale (bucket join, not O(n²)). */
   def embeddingNearDupPairs(

@@ -56,4 +56,31 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((1L, 2L)))
   }
+
+  test("ivfTopK with nProbe == nCentroids matches brute force exactly") {
+    val sp2 = spark; import sp2.implicits._
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 0.37 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val query = (0 until 8).map(d => math.cos(d * 0.5).toFloat)
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", query, 5)
+      .collect().map(_.toSeq).toSeq
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", query, 5,
+      nCentroids = 8, nProbe = 8).collect().map(_.toSeq).toSeq
+    assert(ivf == exact)
+  }
+
+  test("ivfTopK with few probes returns a subset ranked identically") {
+    val sp2 = spark; import sp2.implicits._
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 0.37 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val query = (0 until 8).map(d => math.cos(d * 0.5).toFloat)
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", query, 5,
+      nCentroids = 8, nProbe = 2).collect()
+    assert(ivf.length <= 5 && ivf.nonEmpty)
+    // scores descend
+    val scores = ivf.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
 }
