@@ -44,6 +44,63 @@ object Projection {
     (lat, lon)
   }
 
+  /** W15 — GeoZarr-style CRS convention attrs (conventions.py:44-199):
+    * `proj:code`, `proj:wkt2`, `proj:projjson` for the supported EPSG codes.
+    * The WKT2/PROJJSON texts are the standard published definitions (EPSG
+    * registry / OGC WKT2:2019); a projection library would emit the same
+    * strings. Merged into the store's attrs sidecar / STAC item properties.
+    */
+  def crsAttrs(epsg: Int): Map[String, String] = epsg match {
+    case 4326 => Map(
+      "proj:code" -> "EPSG:4326",
+      "proj:wkt2" ->
+        ("""GEOGCRS["WGS 84",DATUM["World Geodetic System 1984",""" +
+          """ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]],""" +
+          """PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]],""" +
+          """CS[ellipsoidal,2],AXIS["geodetic latitude (Lat)",north],""" +
+          """AXIS["geodetic longitude (Lon)",east],""" +
+          """ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",4326]]"""),
+      "proj:projjson" ->
+        ("""{"type":"GeographicCRS","name":"WGS 84","datum":{"type":"GeodeticReferenceFrame",""" +
+          """"name":"World Geodetic System 1984","ellipsoid":{"name":"WGS 84",""" +
+          """"semi_major_axis":6378137,"inverse_flattening":298.257223563}},""" +
+          """"id":{"authority":"EPSG","code":4326}}"""))
+    case 3857 => Map(
+      "proj:code" -> "EPSG:3857",
+      "proj:wkt2" ->
+        ("""PROJCRS["WGS 84 / Pseudo-Mercator",BASEGEOGCRS["WGS 84",""" +
+          """DATUM["World Geodetic System 1984",ELLIPSOID["WGS 84",6378137,""" +
+          """298.257223563,LENGTHUNIT["metre",1]]],ID["EPSG",4326]],""" +
+          """CONVERSION["Popular Visualisation Pseudo-Mercator",""" +
+          """METHOD["Popular Visualisation Pseudo Mercator",ID["EPSG",1024]]],""" +
+          """CS[Cartesian,2],AXIS["easting (X)",east],AXIS["northing (Y)",north],""" +
+          """LENGTHUNIT["metre",1],ID["EPSG",3857]]"""),
+      "proj:projjson" ->
+        ("""{"type":"ProjectedCRS","name":"WGS 84 / Pseudo-Mercator",""" +
+          """"base_crs":{"name":"WGS 84","id":{"authority":"EPSG","code":4326}},""" +
+          """"conversion":{"name":"Popular Visualisation Pseudo-Mercator",""" +
+          """"method":{"name":"Popular Visualisation Pseudo Mercator",""" +
+          """"id":{"authority":"EPSG","code":1024}}},""" +
+          """"id":{"authority":"EPSG","code":3857}}"""))
+    case other =>
+      throw new IllegalArgumentException(s"Unsupported EPSG:$other (4326, 3857 available)")
+  }
+
+  /** W15 — `spatial:` convention attrs for a regular grid: dimensions,
+    * shape, bbox, registration (conventions.py:200-312). Computed from the
+    * distinct coordinate sets in one tiny aggregation. */
+  def spatialAttrs(df: DataFrame, latCol: String, lonCol: String): Map[String, String] = {
+    val r = df.agg(
+      countDistinct(col(latCol)).as("nlat"), countDistinct(col(lonCol)).as("nlon"),
+      min(col(lonCol)).as("minlon"), min(col(latCol)).as("minlat"),
+      max(col(lonCol)).as("maxlon"), max(col(latCol)).as("maxlat")).head()
+    Map(
+      "spatial:dimensions" -> s"$latCol,$lonCol",
+      "spatial:shape" -> s"${r.getLong(0)},${r.getLong(1)}",
+      "spatial:bbox" -> s"${r.get(2)},${r.get(3)},${r.get(4)},${r.get(5)}",
+      "spatial:registration" -> "center")
+  }
+
   /** W15 helper — regular-grid detection (conventions.py:200-260): the
     * distinct coordinate values must be evenly spaced within 1% of the
     * median spacing. One tiny aggregation over the distinct coord set. */

@@ -1,8 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StreamingQuery, Trigger}
 
+import graft.model.TimeSpan
 import graft.store.GridStore
 
 /** Structured Streaming façade over the incremental update planner
@@ -33,5 +36,74 @@ object StreamingUpdate {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) store.publish(batch)
       }
+      .start()
+
+  /** Watermarked tumbling-window aggregation over an event stream — the
+    * streaming analog of the per-timestep grid aggregation (and the
+    * tumbling-bucket counterpart of the store's chunk-aligned time buckets,
+    * SURVEY §2.9). Late rows beyond `lateness` are dropped by the
+    * watermark; everything inside it lands in its window via streaming
+    * state, so no post-hoc insert pass is needed for mildly-late data.
+    *
+    * Returns window_start, window_end, n_rows, mean_value per window.
+    */
+  def windowedStats(
+      stream: DataFrame,
+      timeCol: String,
+      valueCol: String,
+      windowLength: String = "1 day",
+      lateness: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(timeCol, lateness)
+      .groupBy(window(col(timeCol), windowLength))
+      .agg(count(lit(1)).as("n_rows"), avg(col(valueCol)).as("mean_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_rows"), col("mean_value"))
+
+  /** One observed cadence gap: consecutive timesteps of `key` further apart
+    * than expected (the streaming A6 — UpdatePlan.cadenceViolations as a
+    * continuous monitor). */
+  final case class CadenceGap(key: String, from: java.sql.Timestamp,
+    to: java.sql.Timestamp, deltaMinutes: Long)
+
+  /** Custom streaming state via mapGroupsWithState: track the last-seen
+    * timestamp per key and emit the gaps each micro-batch adds. State is
+    * one timestamp per key — bounded by key cardinality, not stream length.
+    */
+  def cadenceMonitor(
+      events: Dataset[(String, java.sql.Timestamp)],
+      resolution: TimeSpan): Dataset[CadenceGap] = {
+    import events.sparkSession.implicits._
+    val expectedMin = resolution.toMinutes
+    events.groupByKey(_._1)
+      .mapGroupsWithState[Long, List[CadenceGap]](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          val sorted = rows.map(_._2.getTime).toSeq.sorted
+          val start = state.getOption
+          val all = start.toSeq ++ sorted
+          val gaps = all.sliding(2).collect {
+            case Seq(a, b) if (b - a) / 60000L != expectedMin =>
+              CadenceGap(key, new java.sql.Timestamp(a),
+                new java.sql.Timestamp(b), (b - a) / 60000L)
+          }.toList
+          if (all.nonEmpty) state.update(all.max)
+          gaps
+      }
+      .flatMap(identity)
+  }
+
+  /** Run [[cadenceMonitor]] to a memory sink (testing/monitoring). */
+  def startCadenceMonitor(
+      events: Dataset[(String, java.sql.Timestamp)],
+      resolution: TimeSpan,
+      queryName: String,
+      checkpointDir: String): StreamingQuery =
+    cadenceMonitor(events, resolution).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
       .start()
 }

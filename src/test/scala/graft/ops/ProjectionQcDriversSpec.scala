@@ -95,4 +95,18 @@ class ProjectionQcDriversSpec extends SparkSpec {
       maxChecks = 100, timeLimitMillis = 0)
     assert(out.count() == 0) // deadline already passed → no checks run
   }
+
+  test("crsAttrs emits proj:code/wkt2/projjson; spatialAttrs summarizes the grid (W15)") {
+    val a = Projection.crsAttrs(3857)
+    assert(a("proj:code") == "EPSG:3857")
+    assert(a("proj:wkt2").startsWith("PROJCRS[") && a("proj:wkt2").contains("3857"))
+    assert(a("proj:projjson").contains("\"code\":3857"))
+    assert(Projection.crsAttrs(4326)("proj:wkt2").startsWith("GEOGCRS["))
+    assertThrows[IllegalArgumentException](Projection.crsAttrs(32633))
+
+    val g = dailyGrid(1, 2)
+    val s = Projection.spatialAttrs(g, "latitude", "longitude")
+    assert(s("spatial:shape") == "2,2")
+    assert(s("spatial:bbox") == "100.0,10.0,100.25,10.25")
+  }
 }

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.SparkSpec
+import graft.model.TimeSpan
+
+/** Streaming operators beyond the store façade: watermarked windowed aggs
+  * and the mapGroupsWithState cadence monitor. */
+class StreamingOpsSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  private def tsq(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("windowedStats: tumbling day windows with watermark, late row beyond " +
+      "watermark dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = StreamingUpdate.windowedStats(
+        in.toDF().toDF("time", "value"), "time", "value",
+        windowLength = "1 day", lateness = "1 hour")
+      .writeStream.format("memory").queryName("wstats")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("ws").toString)
+      .start()
+
+    // batch 1: two days of data → watermark advances past day 1's window
+    in.addData((tsq("2024-01-01 05:00:00"), 1.0), (tsq("2024-01-01 06:00:00"), 3.0),
+      (tsq("2024-01-03 09:00:00"), 5.0))
+    q.processAllAvailable()
+    // batch 2: a row for day 1 arrives FAR beyond the watermark → dropped
+    in.addData((tsq("2024-01-01 07:00:00"), 100.0))
+    q.processAllAvailable()
+    // batch 3: advance watermark past day 3 so its window also finalizes
+    in.addData((tsq("2024-01-05 00:00:00"), 7.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wstats")
+      .select("window_start", "n_rows", "mean_value").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSet
+    // day-1 window: only the 2 pre-watermark rows (the 100.0 was dropped)
+    assert(rows.contains(("2024-01-01 00:00:00.0", 2L, 2.0)), s"got $rows")
+    assert(rows.contains(("2024-01-03 00:00:00.0", 1L, 5.0)), s"got $rows")
+  }
+
+  test("cadenceMonitor: per-key gaps emitted across micro-batches via state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val name = "cadence_out"
+    val q = StreamingUpdate.cadenceMonitor(in.toDS(), TimeSpan.Daily)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", Files.createTempDirectory("cm").toString)
+      .start()
+
+    // batch 1: contiguous days 1-3 for A; day 1 for B
+    in.addData(("A", tsq("2024-01-01 00:00:00")), ("A", tsq("2024-01-02 00:00:00")),
+      ("A", tsq("2024-01-03 00:00:00")), ("B", tsq("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 0) // no gaps yet
+
+    // batch 2: A jumps to day 6 (gap vs day 3 held in state); B continues
+    in.addData(("A", tsq("2024-01-06 00:00:00")), ("B", tsq("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val gaps = spark.table(name).as[StreamingUpdate.CadenceGap].collect().toSet
+    assert(gaps == Set(StreamingUpdate.CadenceGap("A",
+      tsq("2024-01-03 00:00:00"), tsq("2024-01-06 00:00:00"), 3 * 1440L)))
+  }
+}
