@@ -134,11 +134,19 @@ final class GridStore(
 
   // -------------------------------------------------------------- writes
 
-  private def layout(df: DataFrame): DataFrame =
+  private def layout(df: DataFrame): DataFrame = {
+    val sortCols = (timeCol +: desc.standardDims.filter(df.columns.contains))
+      .distinct.map(col)
+    // Range-partition on (bucket, sort dims): a plain repartition(bucket)
+    // would cap write parallelism at one task per bucket — a hot bucket of
+    // a 100 TB store would funnel through a single task. Range partitioning
+    // splits large buckets across tasks by sort-dim ranges (files within a
+    // bucket stay sorted and non-overlapping — the chunk-grid analog) while
+    // small buckets still coalesce into few files.
     df.withColumn("__bucket", bucketExpr)
-      .repartition(col("__bucket"))
-      .sortWithinPartitions((timeCol +: desc.standardDims.filter(df.columns.contains))
-        .distinct.map(col): _*)
+      .repartitionByRange((col("__bucket") +: sortCols): _*)
+      .sortWithinPartitions(sortCols: _*)
+  }
 
   private def writeJob(df: DataFrame, mode: String, dynamic: Boolean = false): Unit = {
     // The overwrite mode rides on the writer, not the session conf: inside
