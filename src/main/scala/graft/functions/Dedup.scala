@@ -2,6 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.expressions.ShinglePairHashes
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard.
@@ -42,6 +45,13 @@ object Dedup {
     * operands bound every product below 2³⁹, so ANSI mode never overflows.
     * Map-side partial aggregation means the shuffle carries one row per
     * (partition, doc), not per shingle. */
+  /** Distinct shingle hash pairs via the native [[ShinglePairHashes]]
+    * expression — one tight codegen'd loop per row instead of interpreted
+    * higher-order functions. Values are bit-identical to
+    * `xxhash64(shingle)` / `xxhash64(lit(1), shingle)`. */
+  def shinglePairHashes(textCol: Column, n: Int): Column =
+    ColumnBridge.column(ShinglePairHashes(ColumnBridge.expression(textCol), n))
+
   def minhashSignatures(
       df: DataFrame,
       idCol: String,
@@ -51,10 +61,10 @@ object Dedup {
     val m = lit(0xffffffffL)
     val exploded = df
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(Text.shingles(col(textCol), shingleSize))).as("__s"))
+        explode(shinglePairHashes(col(textCol), shingleSize)).as("__p"))
       .select(col("doc_id"),
-        xxhash64(col("__s")).bitwiseAND(m).as("__a"),
-        xxhash64(lit(1), col("__s")).bitwiseAND(m).as("__b"))
+        col("__p.a").bitwiseAND(m).as("__a"),
+        col("__p.b").bitwiseAND(m).as("__b"))
     val mins = (0 until numHashes).map(i =>
       min(col("__a") + lit(i.toLong) * col("__b")).as(s"__h$i"))
     exploded.groupBy("doc_id")
@@ -125,8 +135,7 @@ object Dedup {
     // payload instead of the string): set sizes — and hence Jaccard — are
     // collision-exact in practice, matching the string-set computation.
     val sh = df.select(col(idCol).as("__id"),
-      array_distinct(transform(
-        Text.shingles(col(textCol), shingleSize), s => xxhash64(s))).as("__sh"))
+      shinglePairHashes(col(textCol), shingleSize).getField("a").as("__sh"))
     cands
       .join(sh.select(col("__id").as("doc_a"), col("__sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("__id").as("doc_b"), col("__sh").as("sh_b")), Seq("doc_b"))
@@ -174,8 +183,7 @@ object Dedup {
     // every exchange shrink ~4×, and Jaccard counts are unchanged short of
     // an xxhash64 collision (~n²/2⁶⁵ — negligible at any realistic corpus).
     val sh = df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(transform(
-          Text.shingles(col(textCol), n), s => xxhash64(s)))).as("shingle"))
+        explode(shinglePairHashes(col(textCol), n).getField("a")).as("shingle"))
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val pairs = sh.toDF("doc_a", "shingle")
       .join(sh.toDF("doc_b", "shingle"), Seq("shingle"))
