@@ -2,6 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.expressions.VectorDot
 
 /** Vector-similarity operators over an embedding column (Array[Float]):
   * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
@@ -9,11 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array columns, accumulated in double.
-    * `zip_with` + `aggregate` stay inside codegen — no UDF. */
+  /** Dot product of two float-array columns, accumulated left-to-right in
+    * double — the native [[VectorDot]] expression: one codegen'd loop per
+    * row, bit-identical to the `aggregate(zip_with(...))` formulation that
+    * higher-order functions would evaluate interpreted. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    ColumnBridge.column(VectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
