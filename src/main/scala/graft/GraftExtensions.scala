@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.expressions.{ShinglePairHashes, VectorDot}
+
+/** SparkSessionExtensions entry point: registers graft's native expressions
+  * as SQL functions so `spark.sql` users get the same codegen'd hot paths
+  * as the Scala API.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`.
+  *
+  *  - `shingle_pair_hashes(text, n)` → array<struct<a,b>> distinct word
+  *    n-gram hashes ([[graft.expressions.ShinglePairHashes]])
+  *  - `vector_dot(a, b)` → double ([[graft.expressions.VectorDot]])
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      ext.injectFunction((id, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private[graft] val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("shingle_pair_hashes"),
+      new ExpressionInfo(classOf[ShinglePairHashes].getName, "shingle_pair_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "shingle_pair_hashes(text, n) takes exactly 2 arguments")
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_pair_hashes: n must be an integer literal, got $other")
+        }
+        ShinglePairHashes(children.head, n)
+      }),
+    (new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vector_dot(a, b) takes exactly 2 arguments")
+        VectorDot(children.head, children(1))
+      }))
+
+  /** Register on an already-built session (extensions only apply at build
+    * time; this covers notebook/REPL sessions that already exist). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .registerFunction(spark, id, info, builder)
+    }
+}
