@@ -77,25 +77,5 @@ final case class DatasetDescriptor(
   def columns: Seq[String] = standardDims :+ dataVar
 }
 
-/** Runtime registry resolving descriptors by name (+ optional resolution) —
-  * analog of the subclass walk in dataset_manager.py:494-534. */
-object DescriptorRegistry {
-  private val reg =
-    scala.collection.concurrent.TrieMap.empty[(String, Option[TimeSpan]), DatasetDescriptor]
-
-  def register(d: DatasetDescriptor): Unit =
-    reg.put((d.datasetName, Some(d.timeResolution)), d)
-
-  def lookup(name: String, resolution: Option[TimeSpan] = None): Option[DatasetDescriptor] =
-    resolution match {
-      case Some(r) => reg.get((name, Some(r)))
-      case None =>
-        val hits = reg.collect { case ((n, _), d) if n == name => d }.toSeq
-        if (hits.size > 1)
-          throw new IllegalArgumentException(
-            s"Multiple descriptors named '$name'; qualify with a time resolution")
-        hits.headOption
-    }
-
-  def clear(): Unit = reg.clear()
-}
+// O5 registry: see [[graft.model.Registry]] (generic name + time-resolution
+// lookup; `Registry.descriptors` is the process-wide descriptor instance).
