@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.expressions.ShinglePairHashes
+import graft.expressions.{MinHashSignature, ShinglePairHashes}
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard.
@@ -33,18 +33,6 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signatures for a corpus: one row per doc, `sig` =
-    * ArrayType(Long) of length `numHashes`.
-    *
-    * Shape chosen for codegen: higher-order array functions (transform/
-    * zip_with/aggregate) are CodegenFallback — interpreted, boxed, per-
-    * element closure calls — so the signature is computed instead as
-    * explode(shingles) → two string hashes per shingle → vectorized
-    * hash-aggregate of `numHashes` mins. Permutation i is double hashing
-    * (Kirsch–Mitzenmacher): h_i = (a & 2³²−1) + i·(b & 2³²−1); 32-bit
-    * operands bound every product below 2³⁹, so ANSI mode never overflows.
-    * Map-side partial aggregation means the shuffle carries one row per
-    * (partition, doc), not per shingle. */
   /** Distinct shingle hash pairs via the native [[ShinglePairHashes]]
     * expression — one tight codegen'd loop per row instead of interpreted
     * higher-order functions. Values are bit-identical to
@@ -52,26 +40,20 @@ object Dedup {
   def shinglePairHashes(textCol: Column, n: Int): Column =
     ColumnBridge.column(ShinglePairHashes(ColumnBridge.expression(textCol), n))
 
+  /** MinHash signatures for a corpus: one row per doc, `sig` =
+    * ArrayType(Long) of length `numHashes`, computed SHUFFLE-FREE by the
+    * native [[MinHashSignature]] expression (one codegen'd loop per row,
+    * independent full-width permutations — see the expression's scaladoc
+    * for why an arithmetic double-hashing family loses LSH recall). */
   def minhashSignatures(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int,
-      numHashes: Int): DataFrame = {
-    val m = lit(0xffffffffL)
-    val exploded = df
-      .select(col(idCol).as("doc_id"),
-        explode(shinglePairHashes(col(textCol), shingleSize)).as("__p"))
-      .select(col("doc_id"),
-        col("__p.a").bitwiseAND(m).as("__a"),
-        col("__p.b").bitwiseAND(m).as("__b"))
-    val mins = (0 until numHashes).map(i =>
-      min(col("__a") + lit(i.toLong) * col("__b")).as(s"__h$i"))
-    exploded.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
-  }
+      numHashes: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      ColumnBridge.column(MinHashSignature(
+        ColumnBridge.expression(col(textCol)), shingleSize, numHashes)).as("sig"))
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
     * and hash each band; docs sharing any band hash are candidate pairs. */

@@ -81,13 +81,14 @@ class PlanShapeSpec extends SparkSpec {
       s"candidate generation must stay an equi-join:\n$plan")
   }
 
-  test("minhash signature is a hash-aggregate with map-side combine") {
-    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+  test("minhash signatures are computed shuffle-free (native expression)") {
+    Seq((1L, "a b c d e"), (2L, "b c d e f"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dataDir/docs")
+    val docs = spark.read.parquet(s"$dataDir/docs")
     val plan = planOf(Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16))
-    assert(plan.contains("HashAggregate"), s"expected hash aggregate in:\n$plan")
-    // partial_min proves the shuffle carries one row per (partition, doc),
-    // not one per shingle
-    assert(plan.contains("partial_min"), s"expected map-side combine in:\n$plan")
+    assert(plan.contains("minhash_signature"), s"expected native expr in:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"signature generation must not shuffle:\n$plan")
   }
 
   test("exact dedup shuffles the hash, not the text") {
