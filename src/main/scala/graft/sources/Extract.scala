@@ -77,6 +77,9 @@ object Extract {
   /** S4 — sessioned HTTP GET with status-code retries (500/502/503/504) and
     * ignorable status codes, writing to a local path
     * (extractor.py:349-560). */
+  final case class RetryableStatus(code: Int)
+    extends RuntimeException(s"HTTP $code")
+
   final class HttpExtractor(
       retries: Int = 5,
       backoffSeconds: Double = 1.0,
@@ -88,9 +91,6 @@ object Extract {
       .connectTimeout(Duration.ofSeconds(30))
       .followRedirects(HttpClient.Redirect.NORMAL)
       .build()
-
-    final case class RetryableStatus(code: Int)
-      extends RuntimeException(s"HTTP $code")
 
     def fetchString(url: String): Option[String] =
       fetch(url, HttpResponse.BodyHandlers.ofString()).map(_.body())
