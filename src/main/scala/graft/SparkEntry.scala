@@ -522,6 +522,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- corpus analytics / decontamination ---
+    "q56_token_freq" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)),
+
+    "q57_corpus_stats" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"))
+        .withColumn("n_exact_dups", col("n_docs") - col("n_distinct_texts"))
+    }),
+
+    "q58_decontaminate" -> ((s, dir) => {
+      // First 10 docs play the benchmark; the rest are the corpus. A doc is
+      // contaminated when it shares any 8-gram with a benchmark doc.
+      val d = table(s, dir, "documents")
+      val benchmark = d.filter(col("doc_id") < 10)
+      val corpus = d.filter(col("doc_id") >= 10)
+      Dedup.contaminatedDocs(corpus, benchmark, "doc_id", "text", 8)
+        .orderBy("doc_id")
+    }),
+
     // --- as-of join (F4 bulk) ---
     "q52_asof_join" -> ((s, dir) => {
       val ev = table(s, dir, "events")
@@ -853,6 +880,29 @@ object SparkEntry {
     "q50_multimodal_decode" ->
       """SELECT doc_id, CAST(8 AS BIGINT) AS n_dims, CAST(0 AS BIGINT) AS n_bad
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q56_token_freq" ->
+      s"""WITH tk AS (SELECT unnest($ToksSql) AS token FROM documents)
+         |SELECT token, count(*) AS n FROM tk GROUP BY 1
+         |ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "q57_corpus_stats" ->
+      s"""WITH tk AS (SELECT text, $ToksSql AS t FROM documents)
+         |SELECT count(*) AS n_docs,
+         |CAST(sum(len(t)) AS BIGINT) AS total_tokens,
+         |count(DISTINCT md5(text)) AS n_distinct_texts,
+         |count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+         |FROM tk""".stripMargin,
+
+    "q58_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM tk),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s FROM idx),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+         |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10)
+         |SELECT DISTINCT corpus.doc_id AS doc_id
+         |FROM corpus JOIN bench ON corpus.s = bench.s
+         |ORDER BY doc_id""".stripMargin,
 
     "q52_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

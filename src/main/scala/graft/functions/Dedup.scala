@@ -128,6 +128,26 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least one
+    * word-`n`-gram with any benchmark document — the standard training-data
+    * hygiene check before evaluation. One shuffle on 8-byte shingle hashes;
+    * the benchmark side's distinct shingle set is broadcast when small.
+    * Returns the contaminated corpus ids (one row each). */
+  def contaminatedDocs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val corpusShingles = corpus.select(col(idCol).as("doc_id"),
+      explode(shinglePairHashes(col(textCol), n).getField("a")).as("__sh"))
+    val benchShingles = benchmark
+      .select(explode(shinglePairHashes(col(textCol), n).getField("a")).as("__sh"))
+      .distinct()
+    corpusShingles.join(benchShingles, Seq("__sh"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
   /** 64-bit SimHash over tokens: for each bit, sum ±1 votes weighted by the
     * token hash's bit value; bit set when the vote is positive. Near-dups
     * have small Hamming distance. Pure expression tree — per-bit aggregate

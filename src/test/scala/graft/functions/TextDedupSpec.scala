@@ -111,4 +111,17 @@ class TextDedupSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.getAs[Double]("jaccard") == 1.0)
   }
+
+  test("contaminatedDocs flags corpus docs sharing an n-gram with the benchmark") {
+    val sp2 = spark; import sp2.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "t")
+    val corpus = Seq(
+      (10L, "prefix alpha beta gamma delta epsilon zeta suffix"), // contains the 6-gram
+      (11L, "totally unrelated words in this one here now"),
+      (12L, "alpha beta gamma delta DIFFERENT epsilon zeta")      // no shared 6-gram
+    ).toDF("id", "t")
+    val out = Dedup.contaminatedDocs(corpus, bench, "id", "t", 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(10L))
+  }
 }
