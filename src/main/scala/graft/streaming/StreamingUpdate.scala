@@ -60,6 +60,22 @@ object StreamingUpdate {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("n_rows"), col("mean_value"))
 
+  /** Streaming exact dedup: drop rows whose content hash was already seen,
+    * with state bounded by the watermark horizon (rows older than
+    * `lateness` are both dropped and evicted from state). The streaming
+    * face of `Dedup.exactDedup` — the hash, not the text, is what state
+    * stores. */
+  def streamingExactDedup(
+      stream: DataFrame,
+      timeCol: String,
+      textCol: String,
+      lateness: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("__content_hash", md5(col(textCol)))
+      .withWatermark(timeCol, lateness)
+      .dropDuplicates("__content_hash")
+      .drop("__content_hash")
+
   /** One observed cadence gap: consecutive timesteps of `key` further apart
     * than expected (the streaming A6 — UpdatePlan.cadenceViolations as a
     * continuous monitor). */

@@ -74,4 +74,24 @@ class StreamingOpsSpec extends SparkSpec {
     assert(gaps == Set(StreamingUpdate.CadenceGap("A",
       tsq("2024-01-03 00:00:00"), tsq("2024-01-06 00:00:00"), 3 * 1440L)))
   }
+
+  test("streamingExactDedup drops repeated content across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingUpdate.streamingExactDedup(
+        in.toDF().toDF("time", "text"), "time", "text")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("sd").toString)
+      .start()
+    in.addData((tsq("2024-01-01 10:00:00"), "doc A"), (tsq("2024-01-01 10:01:00"), "doc B"),
+      (tsq("2024-01-01 10:02:00"), "doc A"))
+    q.processAllAvailable()
+    // duplicate arriving in a LATER batch is also dropped (state remembers)
+    in.addData((tsq("2024-01-01 10:03:00"), "doc B"), (tsq("2024-01-01 10:04:00"), "doc C"))
+    q.processAllAvailable()
+    q.stop()
+    val texts = spark.table("sdedup").select("text").collect().map(_.getString(0)).toSeq
+    assert(texts.sorted == Seq("doc A", "doc B", "doc C"))
+  }
 }
