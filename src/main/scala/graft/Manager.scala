@@ -86,16 +86,31 @@ trait DatasetManager extends Logging {
         java.time.format.DateTimeFormatter.BASIC_ISO_DATE).atTime(e.drop(8).toInt, 0))
   }
 
-  /** The full lifecycle: transform → pre-parse QC → publish
-    * (parse, publish.py:41-129). */
+  /** The full lifecycle: transform → pre-parse QC → publish → optional
+    * post-parse QC (parse, publish.py:41-129; O7 runs after the write,
+    * publish.py:824-895). `postParseQc = true` samples cells from the
+    * input files and compares against the freshly-written store, raising
+    * on any mismatch. */
   def run(dryRun: Boolean = false, rebuild: Boolean = false,
-      skipPreParseQc: Boolean = false): Unit = {
+      skipPreParseQc: Boolean = false, postParseQc: Boolean = false,
+      postParseMaxChecks: Int = 100): Unit = {
     val t0 = System.nanoTime()
     val df = transform()
     if (!skipPreParseQc)
       QcDrivers.preParseQualityCheck(df, desc, hasExisting = store.hasExisting,
         rebuild = rebuild)
     store.publish(df, rebuild = rebuild, dryRun = dryRun)
+    if (postParseQc && !dryRun) {
+      val keys = desc.standardDims
+      val mismatches = QcDrivers.postParseQualityCheck(spark, store.dataset(),
+        inputFiles(), f => Normalize.normalize(spark.read.parquet(f), desc,
+          pre = preprocess, post = postprocess),
+        keys, desc.dataVar, desc, maxChecks = postParseMaxChecks)
+      val bad = mismatches.limit(1).count()
+      if (bad > 0)
+        throw new IllegalStateException(
+          s"Post-parse QC found mismatched cells between inputs and store")
+    }
     info(f"run(dryRun=$dryRun, rebuild=$rebuild) finished in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
   }

@@ -278,13 +278,39 @@ final class GridStore(
   }
 
   /** W14 — attrs assembly after a write (metadata.py:870-921): date range,
-    * update range, previous end, append-only flag, created stamp. */
+    * update range, previous end, append-only flag, bbox when the frame
+    * carries lat/lon spatial dims. */
   private def computedAttrs(df: DataFrame, isUpdate: Boolean): Map[String, String] = {
     val fmt = "yyyyMMddHH"
-    val r = df.agg(
+    val spatial = desc.spatialDims.take(2)
+    val hasBbox = spatial.length == 2 && spatial.forall(df.columns.contains) &&
+      spatial == Seq("latitude", "longitude")
+    val aggs = Seq(
       date_format(min(col(timeCol)), fmt).as("lo"),
-      date_format(max(col(timeCol)), fmt).as("hi")).head()
+      date_format(max(col(timeCol)), fmt).as("hi")) ++
+      (if (hasBbox) Seq(
+        round(min(col("longitude")), desc.bboxRounding).as("bb0"),
+        round(min(col("latitude")), desc.bboxRounding).as("bb1"),
+        round(max(col("longitude")), desc.bboxRounding).as("bb2"),
+        round(max(col("latitude")), desc.bboxRounding).as("bb3"))
+      else Seq.empty)
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
     val (lo, hi) = (r.getString(0), r.getString(1))
+    val bboxAttrs =
+      if (!hasBbox) Map.empty[String, String]
+      else {
+        val prior = readAttrs()
+        // union-extend the prior bbox (metadata.py bbox merge semantics)
+        def d(i: Int) = r.getDouble(i)
+        val merged = prior.get("bbox") match {
+          case Some(old) if isUpdate =>
+            val o = old.split(",").map(_.toDouble)
+            Seq(math.min(o(0), d(2)), math.min(o(1), d(3)),
+              math.max(o(2), d(4)), math.max(o(3), d(5)))
+          case _ => Seq(d(2), d(3), d(4), d(5))
+        }
+        Map("bbox" -> merged.mkString(","))
+      }
     val prior = readAttrs()
     val start = if (isUpdate) prior.getOrElse("date_range_start", lo) else lo
     val priorEnd = prior.get("date_range_end")
@@ -299,7 +325,7 @@ final class GridStore(
       "update_date_range_end" -> hi,
       "update_is_append_only" -> (!isUpdate).toString,
       "update_previous_end_date" -> priorEnd.getOrElse(""),
-    ) ++ desc.staticMetadata
+    ) ++ bboxAttrs ++ desc.staticMetadata
   }
 }
 

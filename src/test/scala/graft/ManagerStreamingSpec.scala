@@ -98,4 +98,26 @@ class ManagerStreamingSpec extends SparkSpec {
       .agg(min("value")).as[Double].head()
     assert(day4 == 900.0 + 0 + 10.0 + 100.0)
   }
+
+  test("post-parse QC passes on a faithful write and catches store corruption") {
+    val root = Files.createTempDirectory("mgr_ppqc").toString
+    val mgr = new TestManager(root)
+    dailyGrid(1, 4).write.parquet(s"${mgr.inputDir}/batch1")
+    mgr.run(postParseQc = true) // faithful write: no throw
+
+    // corrupt one bucket's values directly, rerun only the QC step
+    val corrupted = mgr.store.dataset().withColumn("value", col("value") + lit(7.0))
+    val bad = graft.ops.QcDrivers.postParseQualityCheck(spark, corrupted,
+      mgr.inputFiles(), f => spark.read.parquet(f),
+      Seq("time", "latitude", "longitude"), "value", mgr.desc, maxChecks = 20)
+    assert(bad.count() > 0)
+  }
+
+  test("attrs carry a union-extended bbox when spatial dims are lat/lon") {
+    val root = Files.createTempDirectory("mgr_bbox").toString
+    val mgr = new TestManager(root)
+    dailyGrid(1, 3).write.parquet(s"${mgr.inputDir}/batch1")
+    mgr.run()
+    assert(mgr.store.readAttrs()("bbox") == "100.0,10.0,100.25,10.25")
+  }
 }
