@@ -66,12 +66,45 @@ final class GridStore(
     fs.exists(new HPath(attrsPath))
   }
 
-  /** S12 — open the existing store (store.py:182-198). Partition pruning on
-    * `__bucket` applies to any time-bounded read. */
+  /** S12 — open the existing store (store.py:182-198). NOTE: `__bucket` is
+    * dropped here, so a time filter on this frame prunes via row-group
+    * stats only; time-BOUNDED reads should use [[readRange]] /
+    * [[readBuckets]], which filter the partition column before the drop and
+    * skip unlisted bucket directories entirely. */
   def dataset(): DataFrame = {
     require(hasExisting, s"No existing store at $path")
     spark.read.parquet(dataPath)
       .withColumn(timeCol, col(timeCol).cast(TimestampNTZType))
+      .drop("__bucket")
+  }
+
+  /** Partition-pruned read of specific buckets: the `__bucket` predicate is
+    * applied to the partition column itself, so unselected directories are
+    * never listed or footer-read — the mechanism every update-path read of
+    * the existing store uses. */
+  def readBuckets(buckets: Set[String]): DataFrame =
+    spark.read.parquet(dataPath)
+      .filter(col("__bucket").isin(buckets.toSeq: _*))
+      .withColumn(timeCol, col(timeCol).cast(TimestampNTZType))
+      .drop("__bucket")
+
+  /** F1 at store level — time-range read with bucket-level partition
+    * pruning (bucket strings sort chronologically) plus the exact time
+    * predicate for row-group pruning within the edge buckets. */
+  def readRange(start: java.time.LocalDateTime,
+      end: java.time.LocalDateTime): DataFrame = {
+    val fmtStr = bucketSpan match {
+      case TimeUnitKind.Days => "yyyy-MM-dd"
+      case TimeUnitKind.Months => "yyyy-MM"
+      case TimeUnitKind.Years => "yyyy"
+      case other => throw new IllegalArgumentException(s"Unsupported: $other")
+    }
+    val fmt = java.time.format.DateTimeFormatter.ofPattern(fmtStr)
+    spark.read.parquet(dataPath)
+      .filter(col("__bucket") >= start.format(fmt) &&
+        col("__bucket") <= end.format(fmt))
+      .withColumn(timeCol, col(timeCol).cast(TimestampNTZType))
+      .filter(col(timeCol).between(lit(start), lit(end)))
       .drop("__bucket")
   }
 
@@ -198,8 +231,8 @@ final class GridStore(
     val padded =
       if (overlap.isEmpty) df
       else {
-        val original = dataset().withColumn("__b", bucketExpr)
-          .filter(col("__b").isin(overlap.toSeq: _*)).drop("__b")
+        // partition-pruned: only the overlapping bucket dirs are listed
+        val original = readBuckets(overlap)
         val keys = desc.standardDims.filter(df.columns.contains)
         materialize(UpdatePlan.combineFirst(df, original, keys, desc.dataVar))
       }
@@ -232,7 +265,14 @@ final class GridStore(
     // to the store (the reference holds it in memory too), so this is an
     // executor-local checkpoint of the small side, never the store.
     val updateDf = materialize(updateDf0)
-    val existing = dataset()
+    // Classification only needs the store's times INSIDE the update window
+    // (a time can only be an insert if both sides contain it), so the
+    // existing side is a bucket-pruned range read — never a full-store
+    // scan, even of just the time column.
+    val ub = updateDf.agg(min(col(timeCol)), max(col(timeCol))).head()
+    val (uLo, uHi) = (ub.get(0).asInstanceOf[java.time.LocalDateTime],
+      ub.get(1).asInstanceOf[java.time.LocalDateTime])
+    val existing = readRange(uLo, uHi)
     // One classified time frame (one row per distinct update timestep) —
     // tiny, but its plan references the CURRENT store files, so materialize
     // it once before any write replaces those files underneath the plan.

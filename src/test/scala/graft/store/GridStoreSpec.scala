@@ -131,4 +131,22 @@ class GridStoreSpec extends SparkSpec {
     val m = Map("a\"b" -> "line1\nline2", "tab" -> "x\ty", "plain" -> "v")
     assert(GridStore.parseFlatJson(GridStore.renderFlatJson(m)) == m)
   }
+
+  test("readRange / readBuckets prune bucket partitions in the plan") {
+    val root = java.nio.file.Files.createTempDirectory("prune_spec").toString
+    val desc = graft.model.DatasetDescriptor("prune", "value",
+      spatialDims = Seq("latitude", "longitude"),
+      timeResolution = graft.model.TimeSpan.Daily)
+    val store = new GridStore(spark, s"$root/store", desc,
+      bucketSpan = graft.model.TimeUnitKind.Days)
+    store.publish(dailyGrid(1, 10))
+
+    val pruned = store.readRange(ts("2024-01-03T00:00:00"), ts("2024-01-04T00:00:00"))
+    assert(pruned.count() == 8) // 2 days x 4 cells
+    val plan = pruned.queryExecution.executedPlan.toString
+    val partLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(partLine.contains("__bucket"), s"expected bucket partition filter in: $plan")
+
+    assert(store.readBuckets(Set("2024-01-05")).count() == 4)
+  }
 }
