@@ -239,6 +239,22 @@ final class GridStore(
     writeJob(padded, "overwrite", dynamic = true)
   }
 
+  /** Maintenance — compact the given buckets (default: all): incremental
+    * appends accumulate small files per bucket; compaction rewrites each
+    * selected bucket as maxRecordsPerFile-sized sorted files via the same
+    * dynamic-overwrite path as inserts, under the commit marker, leaving
+    * attrs untouched. The store-layout "gardening" analog of the
+    * reference's offline rechunking (metadata.py:961-1072). */
+  def compact(buckets: Set[String] = Set.empty): Unit = {
+    checkNotInProgress()
+    val target = if (buckets.isEmpty) existingBuckets else buckets
+    if (target.isEmpty) return
+    withCommitMarker(Map.empty) {
+      val data = materialize(readBuckets(target))
+      writeJob(data, "overwrite", dynamic = true)
+    }
+  }
+
   /** W2 — publish dispatch (publish.py:86-129): initial when nothing
     * exists (or rebuilding), else classify + insert + append. */
   def publish(

@@ -149,4 +149,37 @@ class GridStoreSpec extends SparkSpec {
 
     assert(store.readBuckets(Set("2024-01-05")).count() == 4)
   }
+
+  test("compact merges small files per bucket without changing data or attrs") {
+    val dir = Files.createTempDirectory("compact_spec").toString
+    // a tiny maxRecordsPerFile forces many small files per bucket
+    val writer = new GridStore(spark, s"$dir/store", desc,
+      bucketSpan = TimeUnitKind.Months, maxRecordsPerFile = 4L)
+    writer.publish(dailyGrid(1, 2))
+    (3 to 9 by 2).foreach(d => writer.publish(dailyGrid(d, 2, base = d.toDouble)))
+    // compact through a handle with production-sized files
+    val store = new GridStore(spark, s"$dir/store", desc,
+      bucketSpan = TimeUnitKind.Months)
+    val before = store.dataset().orderBy("time", "latitude", "longitude")
+      .collect().map(_.toSeq).toSeq
+    val attrsBefore = store.readAttrs()
+
+    def nFiles: Int = {
+      val fs = GridStore.fileSystem(spark, s"$dir/store/data")
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/store/data"), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val filesBefore = nFiles
+    store.compact()
+    assert(nFiles < filesBefore, s"expected fewer files than $filesBefore")
+    val after = store.dataset().orderBy("time", "latitude", "longitude")
+      .collect().map(_.toSeq).toSeq
+    assert(after == before)
+    val attrsAfter = store.readAttrs()
+    assert(attrsAfter - GridStore.UpdateInProgressKey ==
+      attrsBefore - GridStore.UpdateInProgressKey)
+    assert(attrsAfter(GridStore.UpdateInProgressKey) == "false")
+  }
 }
