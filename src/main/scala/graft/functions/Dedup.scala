@@ -81,7 +81,11 @@ object Dedup {
       s"numHashes ($numHashes) must be divisible by bands ($bands): " +
         "a truncated rowsPerBand would silently leave signature slots unused")
     val rowsPerBand = numHashes / bands
+    // Shingle-less documents (< shingleSize tokens) carry the sentinel
+    // signature — drop them before banding or every such pair would
+    // band-collide as a spurious candidate.
     val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
+      .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
       .withColumn("band", explode(bandHashes(col("sig"), bands, rowsPerBand)))
       .select(col("doc_id"), col("sig"), col("band.band").as("band"), col("band.h").as("h"))
     val a = sigs.select(col("band"), col("h"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))

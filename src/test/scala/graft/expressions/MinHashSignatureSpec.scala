@@ -43,4 +43,12 @@ class MinHashSignatureSpec extends SparkSpec {
     assert(out(0).isNullAt(1))
     assert(!out(1).isNullAt(1))
   }
+
+  test("shingle-less documents never become candidate pairs") {
+    val df = Seq((1L, "one two"), (2L, "three four"), (3L, ""),
+      (4L, "a b c d e f g"), (5L, "a b c d e f g")).toDF("id", "t")
+    val pairs = Dedup.minhashCandidatePairs(df, "id", "t", 3, 16, 4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((4L, 5L))) // only the real duplicates, no sentinel pairs
+  }
 }
