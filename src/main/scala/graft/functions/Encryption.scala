@@ -66,10 +66,13 @@ object Encryption {
 
   /** Encrypt one chunk: 24-byte random nonce ‖ 16-byte tag ‖ ciphertext
     * (encryption.py:111-120). */
-  def encryptChunk(plain: Array[Byte], keyHash: String): Array[Byte] = {
+  def encryptChunk(plain: Array[Byte], keyHash: String): Array[Byte] =
+    encryptWithKey(plain, lookup(keyHash))
+
+  private[functions] def encryptWithKey(plain: Array[Byte], key: Array[Byte]): Array[Byte] = {
     val nonce = new Array[Byte](24)
     new SecureRandom().nextBytes(nonce)
-    val tagAndCt = xchacha(Cipher.ENCRYPT_MODE, lookup(keyHash), nonce, plain)
+    val tagAndCt = xchacha(Cipher.ENCRYPT_MODE, key, nonce, plain)
     // JDK AEAD appends the tag AFTER the ciphertext; the reference stores it
     // before. Reorder to match the reference layout.
     val ct = java.util.Arrays.copyOfRange(tagAndCt, 0, tagAndCt.length - 16)
@@ -79,12 +82,15 @@ object Encryption {
 
   /** Decrypt one chunk; throws AEADBadTagException on tamper or wrong key
     * (encryption.py:122-134). */
-  def decryptChunk(buf: Array[Byte], keyHash: String): Array[Byte] = {
+  def decryptChunk(buf: Array[Byte], keyHash: String): Array[Byte] =
+    decryptWithKey(buf, lookup(keyHash))
+
+  private[functions] def decryptWithKey(buf: Array[Byte], key: Array[Byte]): Array[Byte] = {
     require(buf.length >= 40, s"Encrypted chunk too short: ${buf.length}")
     val nonce = java.util.Arrays.copyOfRange(buf, 0, 24)
     val tag = java.util.Arrays.copyOfRange(buf, 24, 40)
     val ct = java.util.Arrays.copyOfRange(buf, 40, buf.length)
-    xchacha(Cipher.DECRYPT_MODE, lookup(keyHash), nonce, ct ++ tag)
+    xchacha(Cipher.DECRYPT_MODE, key, nonce, ct ++ tag)
   }
 
   private def xchacha(mode: Int, key: Array[Byte], nonce24: Array[Byte],
@@ -133,16 +139,19 @@ object Encryption {
   // ---------------------------------------------------------------- columns
 
   /** Encrypt a binary column. The key hash is resolved through the runtime
-    * registry ON THE EXECUTOR, so the registry must be populated in the same
-    * JVM (local mode) or via a broadcast-registered key; the stored data
-    * carries only the hash, like the serialized Zarr filter config. */
+    * registry ON THE DRIVER at column-construction time and the key bytes
+    * ride in the task closure — executors never need the registry (the
+    * reference gets the same effect from each dask worker importing the
+    * registry module). Persisted data carries only the hash. */
   def encryptColumn(bin: Column, keyHashStr: String): Column = {
-    val f = udf((b: Array[Byte]) => if (b == null) null else encryptChunk(b, keyHashStr))
+    val key = lookup(keyHashStr)
+    val f = udf((b: Array[Byte]) => if (b == null) null else encryptWithKey(b, key))
     f(bin)
   }
 
   def decryptColumn(bin: Column, keyHashStr: String): Column = {
-    val f = udf((b: Array[Byte]) => if (b == null) null else decryptChunk(b, keyHashStr))
+    val key = lookup(keyHashStr)
+    val f = udf((b: Array[Byte]) => if (b == null) null else decryptWithKey(b, key))
     f(bin)
   }
 
