@@ -96,19 +96,27 @@ object Similarity {
     }.reduce(_ | _)
 
   /** ANN via SRP-LSH: restrict the brute-force search to rows whose bucket
-    * matches the query's bucket, then exact-rank within the bucket. */
+    * lies within `hammingRadius` bit flips of the query's bucket (multi-
+    * probe — radius 0 is the single-bucket search, radius 1 adds the nBits
+    * adjacent buckets and recovers neighbors that fall just across a
+    * hyperplane), then exact-rank within the probed buckets. The probe set
+    * is computed driver-side; with data written partitioned by bucket the
+    * scan is partition-pruned to the probes. */
   def annTopK(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       query: Seq[Float],
       k: Int,
-      nBits: Int = 8): DataFrame = {
+      nBits: Int = 8,
+      hammingRadius: Int = 0): DataFrame = {
     val dim = query.length
     val q = array(query.map(v => lit(v)): _*)
     val withBucket = df.withColumn("__bucket", srpBucket(col(vecCol), dim, nBits))
     val queryBucket = srpBucketOf(query, nBits)
-    withBucket.filter(col("__bucket") === lit(queryBucket))
+    val probes = (0L until (1L << nBits))
+      .filter(b => java.lang.Long.bitCount(b ^ queryBucket) <= hammingRadius)
+    withBucket.filter(col("__bucket").isin(probes: _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)

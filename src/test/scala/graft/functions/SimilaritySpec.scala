@@ -83,4 +83,22 @@ class SimilaritySpec extends SparkSpec {
     val scores = ivf.map(_.getDouble(1)).toSeq
     assert(scores == scores.sorted.reverse)
   }
+
+  test("annTopK multi-probe widens recall over the single bucket") {
+    val sp2 = spark; import sp2.implicits._
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 0.91 + d * 1.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val query = (0 until 8).map(d => math.sin(d * 1.1).toFloat)
+    val r0 = Similarity.annTopK(vecs, "vec_id", "embedding", query, 10,
+      nBits = 6, hammingRadius = 0).count()
+    val r1 = Similarity.annTopK(vecs, "vec_id", "embedding", query, 10,
+      nBits = 6, hammingRadius = 1).count()
+    val rAll = Similarity.annTopK(vecs, "vec_id", "embedding", query, 10,
+      nBits = 6, hammingRadius = 6)
+    assert(r0 <= r1)
+    // full-radius probing degenerates to exact brute force
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", query, 10)
+    assert(rAll.collect().map(_.toSeq).toSeq == exact.collect().map(_.toSeq).toSeq)
+  }
 }
