@@ -549,6 +549,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q59_chunking" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Text.chunkDocument(col("text"), 40, 8)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          Text.tokenCount(col("col")).cast("long").as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // --- as-of join (F4 bulk) ---
     "q52_asof_join" -> ((s, dir) => {
       val ev = table(s, dir, "events")
@@ -880,6 +888,16 @@ object SparkEntry {
     "q50_multimodal_decode" ->
       """SELECT doc_id, CAST(8 AS BIGINT) AS n_dims, CAST(0 AS BIGINT) AS n_bad
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q59_chunking" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |c AS (SELECT doc_id, t,
+         |  greatest(CAST(ceil(CAST(len(t) - 8 AS DOUBLE) / 32.0) AS INT), 1) AS nc
+         |  FROM tk WHERE len(t) > 0),
+         |e AS (SELECT doc_id, t, unnest(range(0, nc)) AS i FROM c)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |CAST(len(t[i*32+1 : i*32+40]) AS BIGINT) AS chunk_tokens
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q56_token_freq" ->
       s"""WITH tk AS (SELECT unnest($ToksSql) AS token FROM documents)

@@ -133,6 +133,29 @@ object Text {
       array_max(array(scored: _*)).getField("lang")
     }
 
+  /** Split a document into fixed-size token windows with overlap — the
+    * standard chunking step before tokenization/packing in a training
+    * pipeline. Returns an array of chunk strings; the last chunk may be
+    * short; documents shorter than one chunk yield a single chunk; empty
+    * documents yield an empty array. Pure expression (one bind, no UDF). */
+  def chunkDocument(text: Column, chunkTokens: Int, overlap: Int = 0): Column = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    bind(tokens(text)) { toks =>
+      val n = size(toks)
+      // number of stride-steps whose window still starts inside the doc;
+      // the empty case is guarded explicitly (sequence(0, -1) would emit a
+      // DESCENDING sequence, not an empty one)
+      val nChunks = greatest(ceil((n - lit(overlap)).cast("double") / lit(stride))
+        .cast("int"), lit(1))
+      when(n <= 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * lit(stride) + 1, lit(chunkTokens)), " ")))
+    }
+  }
+
   /** Rolling-hash fingerprint over tokens (document fingerprinting à la
     * winnowing, collapsed to one 64-bit value). The mix step is
     * xxhash64(acc, token): overflow-free under ANSI mode (a multiplicative

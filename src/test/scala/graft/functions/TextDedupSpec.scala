@@ -124,4 +124,16 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(out == Set(10L))
   }
+
+  test("chunkDocument windows tokens with overlap; edge cases") {
+    val sp2 = spark; import sp2.implicits._
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b"), (3L, "")).toDF("id", "t")
+    val out = df.select(col("id"), Text.chunkDocument(col("t"), 4, 1).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](0 + 1)).toMap
+    // stride 3: ceil((10-1)/3) = 3 windows — t1-t4, t4-t7, t7-t10 cover all
+    assert(out(1L) == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(out(2L) == Seq("a b")) // shorter than one chunk
+    assert(out(3L) == Seq.empty)  // empty doc
+  }
 }
