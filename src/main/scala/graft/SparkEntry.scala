@@ -549,6 +549,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q60_repetition" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        round(Text.duplicateLineFraction(col("text")), 6).as("dup_line_frac"),
+        round(Text.topBigramCoverage(col("text")), 6).as("top_bigram_cov"))
+        .orderBy("doc_id")),
+
     "q59_chunking" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"),
@@ -888,6 +895,24 @@ object SparkEntry {
     "q50_multimodal_decode" ->
       """SELECT doc_id, CAST(8 AS BIGINT) AS n_dims, CAST(0 AS BIGINT) AS n_bad
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q60_repetition" ->
+      s"""WITH base AS (SELECT doc_id,
+         |  list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
+         |  $ToksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, lines,
+         |  CASE WHEN len(t) >= 2 THEN
+         |    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         |  ELSE [] END AS bg FROM base)
+         |SELECT doc_id,
+         |round(CASE WHEN len(lines) > 0
+         |  THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+         |  ELSE 0.0 END, 6) AS dup_line_frac,
+         |round(CASE WHEN len(bg) > 0
+         |  THEN CAST(list_max(list_transform(list_distinct(bg),
+         |    x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
+         |  ELSE 0.0 END, 6) AS top_bigram_cov
+         |FROM sh ORDER BY doc_id""".stripMargin,
 
     "q59_chunking" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),

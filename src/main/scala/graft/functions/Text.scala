@@ -156,6 +156,29 @@ object Text {
     }
   }
 
+  /** Fraction of non-empty lines that are duplicates of an earlier line —
+    * the Gopher-style repetition filter (high for boilerplate/spam). */
+  def duplicateLineFraction(text: Column): Column =
+    bind(filter(split(text, "\n"), l => l =!= lit(""))) { lines =>
+      when(size(lines) > 0,
+        (size(lines) - size(array_distinct(lines))).cast("double") /
+          size(lines).cast("double"))
+        .otherwise(lit(0.0))
+    }
+
+  /** Fraction of all word bigrams taken up by the single most frequent
+    * bigram — the top-n-gram-coverage repetition filter. O(distinct ×
+    * total) per row; bounded by document length, not corpus size. */
+  def topBigramCoverage(text: Column): Column =
+    bind(shingles(text, 2)) { sh =>
+      when(size(sh) > 0,
+        bind(array_distinct(sh)) { d =>
+          array_max(transform(d, x => size(filter(sh, y => y === x))))
+            .cast("double") / size(sh).cast("double")
+        })
+        .otherwise(lit(0.0))
+    }
+
   /** Rolling-hash fingerprint over tokens (document fingerprinting à la
     * winnowing, collapsed to one 64-bit value). The mix step is
     * xxhash64(acc, token): overflow-free under ANSI mode (a multiplicative

@@ -136,4 +136,22 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2L) == Seq("a b")) // shorter than one chunk
     assert(out(3L) == Seq.empty)  // empty doc
   }
+
+  test("repetition filters: duplicate lines and top-bigram coverage") {
+    val sp2 = spark; import sp2.implicits._
+    val df = Seq(
+      (1L, "line one\nline two\nline one\nline three"),   // 1 dup of 4 lines
+      (2L, "spam spam spam spam spam"),                      // one bigram repeated
+      (3L, "all distinct lines\nno repeats here"),
+      (4L, "")
+    ).toDF("id", "t")
+    val out = df.select(col("id"),
+        Text.duplicateLineFraction(col("t")).as("dl"),
+        Text.topBigramCoverage(col("t")).as("tb"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 0.25)
+    assert(out(2L)._2 == 1.0) // "spam spam" is every bigram
+    assert(out(3L)._1 == 0.0)
+    assert(out(4L) == ((0.0, 0.0)))
+  }
 }
