@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.meta.StacCatalog
 import graft.model.{DatasetDescriptor, TimeUnitKind}
 import graft.ops.{Normalize, QcDrivers}
 import graft.sources.Manifest
@@ -113,5 +114,28 @@ trait DatasetManager extends Logging {
     }
     info(f"run(dryRun=$dryRun, rebuild=$rebuild) finished in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+
+  /** `publish_metadata` (publish.py:131-153): assemble the STAC collection
+    * and item for this dataset from the store's attrs — catalog ensured,
+    * collection bbox/interval union-extended, item pushed with history.
+    * The STAC tree lives beside the store under `<storePath>/_stac`. */
+  def publishMetadata(): Unit = {
+    require(store.hasExisting, "publishMetadata needs an existing store")
+    val attrs = store.readAttrs()
+    val stac = new StacCatalog(spark, s"$storePath/_stac")
+    stac.ensureRootCatalog("graft", s"graft catalog for ${desc.datasetName}")
+    val bbox = attrs.get("bbox")
+      .map(_.split(",").map(_.toDouble).toSeq)
+      .getOrElse(Seq(0.0, 0.0, 0.0, 0.0))
+    val (start, end) = (attrs("date_range_start"), attrs("date_range_end"))
+    stac.upsertCollection(desc.datasetName, bbox, start, end,
+      license = desc.staticMetadata.getOrElse("license", "proprietary"))
+    val ds = store.dataset()
+    val dimSizes = desc.standardDims.filter(ds.columns.contains)
+      .map(d => d -> ds.select(d).distinct().count()).toMap
+    stac.pushItem(desc.datasetName, s"${desc.datasetName}-latest", bbox,
+      start, end, desc, dimSizes, extraProperties = desc.staticMetadata)
+    info(s"published STAC metadata for ${desc.datasetName}")
   }
 }

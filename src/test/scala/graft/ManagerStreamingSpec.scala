@@ -120,4 +120,30 @@ class ManagerStreamingSpec extends SparkSpec {
     mgr.run()
     assert(mgr.store.readAttrs()("bbox") == "100.0,10.0,100.25,10.25")
   }
+
+  test("publishMetadata assembles STAC from store attrs; repush preserves history") {
+    val root = Files.createTempDirectory("mgr_stac").toString
+    val mgr = new TestManager(root)
+    dailyGrid(1, 3).write.parquet(s"${mgr.inputDir}/batch1")
+    mgr.run()
+    mgr.publishMetadata()
+    val stac = new graft.meta.StacCatalog(spark, s"${mgr.storePath}/_stac")
+    val coll = stac.readCollection("mgr_test")
+    assert(coll.isDefined)
+    val item = stac.readItem("mgr_test", "mgr_test-latest")
+      .collect { case o: graft.meta.JObj => o }.get
+    val props = item.get("properties").collect { case o: graft.meta.JObj => o }.get
+    assert(props.get("start_datetime") == Some(graft.meta.JStr("2024010100")))
+    assert(props.get("dim_size:time") == Some(graft.meta.JNum(3.0)))
+
+    // append + republish: interval extends, old item goes to history
+    dailyGrid(4, 2).write.mode("append").parquet(s"${mgr.inputDir}/batch1")
+    mgr.run()
+    mgr.publishMetadata()
+    assert(stac.historyCount("mgr_test", "mgr_test-latest") == 1)
+    val item2 = stac.readItem("mgr_test", "mgr_test-latest")
+      .collect { case o: graft.meta.JObj => o }.get
+    val props2 = item2.get("properties").collect { case o: graft.meta.JObj => o }.get
+    assert(props2.get("end_datetime") == Some(graft.meta.JStr("2024010500")))
+  }
 }
