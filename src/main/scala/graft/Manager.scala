@@ -67,8 +67,15 @@ trait DatasetManager extends Logging {
     if (files.isEmpty) return false
     val newestEnd = Manifest.withTimeRanges(spark, files, desc.timeDim)
       .agg(max(col("max_time"))).head().get(0)
-    (newestEnd, getMetadataDateRange()) match {
-      case (end: java.time.LocalDateTime, Some((_, storeEnd))) => end.isAfter(storeEnd)
+    // NTZ columns surface as LocalDateTime, LTZ as java.sql.Timestamp —
+    // accept both; an unknown store state (no recorded range) means "new".
+    val endOpt: Option[java.time.LocalDateTime] = newestEnd match {
+      case t: java.time.LocalDateTime => Some(t)
+      case t: java.sql.Timestamp => Some(t.toLocalDateTime)
+      case _ => None
+    }
+    (endOpt, getMetadataDateRange()) match {
+      case (Some(end), Some((_, storeEnd))) => end.isAfter(storeEnd)
       case _ => true
     }
   }
@@ -132,8 +139,10 @@ trait DatasetManager extends Logging {
     stac.upsertCollection(desc.datasetName, bbox, start, end,
       license = desc.staticMetadata.getOrElse("license", "proprietary"))
     val ds = store.dataset()
-    val dimSizes = desc.standardDims.filter(ds.columns.contains)
-      .map(d => d -> ds.select(d).distinct().count()).toMap
+    // one aggregation pass for all dim cardinalities, not one job per dim
+    val dims = desc.standardDims.filter(ds.columns.contains)
+    val statsRow = graft.ops.Stats.dimSizeStats(ds, dims).head()
+    val dimSizes = dims.map(d => d -> statsRow.getAs[Long](s"n_$d")).toMap
     stac.pushItem(desc.datasetName, s"${desc.datasetName}-latest", bbox,
       start, end, desc, dimSizes, extraProperties = desc.staticMetadata)
     info(s"published STAC metadata for ${desc.datasetName}")

@@ -46,10 +46,12 @@ object Multimodal {
     * decoding: xxhash of fixed-position byte windows folded simhash-style.
     * Pure expression — the binary never leaves the scan. */
   def mediaFingerprint(binCol: Column, windows: Int = 8): Column = {
-    val n = length(binCol)
+    // Long arithmetic BEFORE multiplying: Int byte-lengths overflow at
+    // w * ~300MB under ANSI mode.
+    val n = length(binCol).cast(LongType)
     val hashes = (0 until windows).map { w =>
       // window w starts at floor(w * n / windows) (1-based substring)
-      val start = (lit(w) * n).cast(LongType) / lit(windows.toLong)
+      val start = (lit(w.toLong) * n) / lit(windows.toLong)
       xxhash64(lit(w), substring(binCol, (start + 1).cast(IntegerType), lit(64)))
     }
     hashes.reduce((a: Column, b: Column) => xxhash64(a, b))
@@ -117,10 +119,12 @@ object Multimodal {
     * `frames` equal windows and emit (id, frame_idx, frame_bytes) — the
     * explode happens in the engine, not the driver. */
   def frameSample(df: DataFrame, idCol: String, binCol: String, frames: Int): DataFrame = {
-    val n = length(col(binCol))
+    // cast to Long BEFORE the multiply: Int frame-index × Int byte-length
+    // overflows for multi-hundred-MB payloads under ANSI mode
+    val n = length(col(binCol)).cast(LongType)
     df.select(col(idCol), posexplode(transform(sequence(lit(0), lit(frames - 1)), f => {
-        val start = (f * n).cast(LongType) / lit(frames.toLong)
-        val end = ((f + lit(1)) * n).cast(LongType) / lit(frames.toLong)
+        val start = f.cast(LongType) * n / lit(frames.toLong)
+        val end = (f.cast(LongType) + lit(1L)) * n / lit(frames.toLong)
         substring(col(binCol), (start + 1).cast(IntegerType),
           greatest((end - start).cast(IntegerType), lit(1)))
       })))

@@ -114,8 +114,15 @@ object Similarity {
     val q = array(query.map(v => lit(v)): _*)
     val withBucket = df.withColumn("__bucket", srpBucket(col(vecCol), dim, nBits))
     val queryBucket = srpBucketOf(query, nBits)
-    val probes = (0L until (1L << nBits))
-      .filter(b => java.lang.Long.bitCount(b ^ queryBucket) <= hammingRadius)
+    // generate the C(nBits, <=radius) neighbor masks combinatorially — an
+    // exhaustive 2^nBits sweep would hang the driver beyond ~24 bits
+    def masks(radius: Int): Seq[Long] =
+      if (radius == 0) Seq(0L)
+      else masks(radius - 1).flatMap { m =>
+        val highest = if (m == 0L) -1 else 63 - java.lang.Long.numberOfLeadingZeros(m)
+        (highest + 1 until nBits).map(b => m | (1L << b))
+      } ++ masks(radius - 1)
+    val probes = masks(hammingRadius).distinct.map(_ ^ queryBucket)
     withBucket.filter(col("__bucket").isin(probes: _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))

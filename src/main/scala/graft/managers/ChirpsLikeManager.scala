@@ -53,7 +53,10 @@ final class ChirpsLikeManager(
     * (chirps.py:158-204's year-range logic, driven by O4 metadata). */
   def extractUrls(urls: Seq[String]): Seq[java.nio.file.Path] = {
     extract(None) // O2 guard (no explicit range here)
-    val results = Extract.batchDownload(urls, inputDir, fetcher)
+    // any-success: one bad URL must not abort the batch — the successes
+    // below are what feed the manifest scan
+    val results = Extract.batchDownload(urls, inputDir, fetcher,
+      acceptAnySuccess = true)
     results.collect { case scala.util.Success(p) => p }
   }
 

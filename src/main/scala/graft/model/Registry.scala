@@ -21,7 +21,8 @@ final class Registry[T] {
 
   /** Lookup by name; `timeResolution` differentiates same-name entries
     * (dataset_manager.py:524-530). Returns None (with no throw) on a miss,
-    * like the reference's warn-and-None. */
+    * like the reference's warn-and-None — but an AMBIGUOUS unqualified
+    * lookup throws rather than returning a hash-order-arbitrary entry. */
   def get(name: String, timeResolution: Option[TimeSpan] = None): Option[T] = {
     import scala.jdk.CollectionConverters._
     timeResolution match {
@@ -29,8 +30,13 @@ final class Registry[T] {
         Option(entries.get((name, Some(res))))
           .orElse(Option(entries.get((name, None))))
       case None =>
-        Option(entries.get((name, None))).orElse(
-          entries.asScala.collectFirst { case ((n, _), v) if n == name => v })
+        Option(entries.get((name, None))).orElse {
+          val hits = entries.asScala.collect { case ((n, _), v) if n == name => v }.toSeq
+          if (hits.size > 1)
+            throw new IllegalArgumentException(
+              s"Multiple entries named '$name'; qualify with a time resolution")
+          hits.headOption
+        }
     }
   }
 

@@ -93,22 +93,27 @@ object Filters {
     val w = Window.partitionBy(partitionKeys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(
-        unioned.withColumn("__last_rt", last(col("__rt"), ignoreNulls = true).over(w))) {
-      (d, v) => d.withColumn(v, last(when(col("__side") === 0, col(v)), true).over(w))
-    }
+    // ALL carried values ride in ONE struct per right row, so every output
+    // column comes from the SAME matched row — carrying columns
+    // independently would back-fill a null field from an older right row
+    // (diverging from true as-of semantics).
+    val payload = when(col("__side") === 0,
+      struct((col("__rt").as("__rt") +: valueCols.map(col)): _*))
+    val carried = unioned
+      .withColumn("__m", last(payload, ignoreNulls = true).over(w))
+    val matchedRt = col("__m").getField("__rt")
     val withinTol = toleranceSeconds match {
       case Some(tol) =>
-        col("__last_rt").isNotNull &&
+        col("__m").isNotNull &&
           (unix_micros(col("__t").cast("timestamp")) -
-            unix_micros(col("__last_rt").cast("timestamp"))) <= lit((tol * 1e6).toLong)
-      case None => col("__last_rt").isNotNull
+            unix_micros(matchedRt.cast("timestamp"))) <= lit((tol * 1e6).toLong)
+      case None => col("__m").isNotNull
     }
     val kept = carried.filter(col("__side") === 1)
     val result = valueCols.foldLeft(kept) { (d, v) =>
-      d.withColumn(v, when(withinTol, col(v))) }
-    result.withColumn("__matched_time", when(withinTol, col("__last_rt")))
-      .drop("__t", "__side", "__rt", "__last_rt")
+      d.withColumn(v, when(withinTol, col("__m").getField(v))) }
+    result.withColumn("__matched_time", when(withinTol, matchedRt))
+      .drop("__t", "__side", "__rt", "__m")
   }
 
   /** F8 — drop non-key columns (e.g. stray coords on an insert slice).

@@ -50,6 +50,12 @@ object Normalize {
     * distinct present times, usually a handful — are cross-joined with the
     * distinct spatial key set and unioned in with null values. A naive
     * spine×spatial left join would shuffle the full grid to fill a few holes.
+    *
+    * Precondition (xarray's dense model, which the reference reindexes):
+    * timesteps PRESENT in the input are spatially complete. Only wholly-
+    * absent timesteps are padded; a ragged long-form input with partial
+    * spatial coverage on a present timestep keeps its holes (use
+    * `Manifest.missingCombinations` to detect that case).
     */
   def fillMissingTimeSteps(
       df: DataFrame,

@@ -75,9 +75,14 @@ object QcDrivers {
     require(sourceFiles.nonEmpty, "postParseQualityCheck needs at least one source file")
     val checksPerFile = math.max(1, maxChecks / sourceFiles.length)
     val deadline = System.currentTimeMillis() + timeLimitMillis
-    val empty = store.limit(0).select(
+    val schema = store.limit(0).select(
       (keyCols.map(col) :+ col(valueCol).as("__src") :+ col(valueCol).as("__dst")): _*)
-    var acc = empty
+      .schema
+    // Each file's comparison EXECUTES inside the loop (collect of at most
+    // checksPerFile mismatch rows) — with lazy accumulation the deadline
+    // would only bound plan construction and the 20-minute cap would never
+    // take effect on the actual I/O.
+    val found = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     var checksDone = 0
     val it = sourceFiles.iterator
     while (it.hasNext && checksDone < maxChecks &&
@@ -87,10 +92,11 @@ object QcDrivers {
         .select((keyCols :+ valueCol).map(col): _*)
         .orderBy(abs(xxhash64(keyCols.map(col): _*) + lit(seed)))
         .limit(checksPerFile)
-      acc = acc.unionByName(
-        Qc.mismatchedCells(sample, store, keyCols, valueCol, desc.missingValue))
+      found ++= Qc.mismatchedCells(sample, store, keyCols, valueCol, desc.missingValue)
+        .limit(checksPerFile).collect()
       checksDone += checksPerFile
     }
-    acc
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(found.toSeq, 1), schema)
   }
 }

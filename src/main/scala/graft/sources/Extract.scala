@@ -138,15 +138,18 @@ object Extract {
   }
 
   /** Batch download into an input directory (the extract→manifest handoff):
-    * each job lands `<inputDir>/<fileName(url)>`. */
+    * each job lands `<inputDir>/<fileName(url)>`. `acceptAnySuccess = true`
+    * keeps partial batches (one bad URL doesn't abort the rest); the
+    * default all-or-nothing mirrors the reference's strict pool. */
   def batchDownload(urls: Seq[String], inputDir: String,
-      fetchOne: (String, Path) => Unit, concurrency: Int = 8): Seq[Try[Path]] = {
+      fetchOne: (String, Path) => Unit, concurrency: Int = 8,
+      acceptAnySuccess: Boolean = false): Seq[Try[Path]] = {
     val dir = Paths.get(inputDir)
     Files.createDirectories(dir)
     pool(urls.map { url => () =>
       val dest = dir.resolve(Paths.get(URI.create(url).getPath).getFileName.toString)
       fetchOne(url, dest)
       dest
-    }, concurrency)
+    }, concurrency, acceptAnySuccess)
   }
 }

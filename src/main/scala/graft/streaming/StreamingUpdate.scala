@@ -60,11 +60,13 @@ object StreamingUpdate {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("n_rows"), col("mean_value"))
 
-  /** Streaming exact dedup: drop rows whose content hash was already seen,
-    * with state bounded by the watermark horizon (rows older than
-    * `lateness` are both dropped and evicted from state). The streaming
-    * face of `Dedup.exactDedup` — the hash, not the text, is what state
-    * stores. */
+  /** Streaming exact dedup: drop rows whose content hash was already seen
+    * within the watermark horizon. `dropDuplicatesWithinWatermark` is what
+    * actually bounds state — a plain `dropDuplicates` on a non-event-time
+    * subset NEVER evicts, growing state forever. The trade is the standard
+    * one: duplicates separated by more than `lateness` can re-emit (cross-
+    * horizon dedup belongs to the batch `Dedup.exactDedup` pass). The
+    * hash, not the text, is what state stores. */
   def streamingExactDedup(
       stream: DataFrame,
       timeCol: String,
@@ -73,7 +75,7 @@ object StreamingUpdate {
     stream
       .withColumn("__content_hash", md5(col(textCol)))
       .withWatermark(timeCol, lateness)
-      .dropDuplicates("__content_hash")
+      .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
 
   /** One observed cadence gap: consecutive timesteps of `key` further apart

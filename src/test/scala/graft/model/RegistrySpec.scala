@@ -16,8 +16,8 @@ class RegistrySpec extends AnyFunSuite {
       == Some(TimeSpan.Daily))
     assert(r.get("chirps", Some(TimeSpan.Weekly)).map(_.timeResolution)
       == Some(TimeSpan.Weekly))
-    // without resolution: some matching entry
-    assert(r.get("chirps").isDefined)
+    // unqualified lookup with several same-name entries is ambiguous
+    assertThrows[IllegalArgumentException](r.get("chirps"))
   }
 
   test("miss returns None, not a throw (reference warns and returns None)") {
