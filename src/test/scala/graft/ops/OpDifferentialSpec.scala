@@ -84,4 +84,18 @@ class OpDifferentialSpec extends SparkSpec {
       assert(out == expected)
     }
   }
+
+  test("asofJoinBackward: null value in the matched row is NOT back-filled") {
+    // right rows for key a: (t1, 5.0), (t2, null); left at t3 matches t2,
+    // so v must be null and matched_time t2 - not 5.0 from the older row
+    val left = Seq(("a", ts("2024-01-03T00:00:00"))).toDF("k", "ts")
+    val right = Seq(
+      ("a", ts("2024-01-01T00:00:00"), Some(5.0)),
+      ("a", ts("2024-01-02T00:00:00"), Option.empty[Double])
+    ).toDF("k", "rts", "v")
+    val out = Filters.asofJoinBackward(left, right, "ts", "rts", Seq("k"), Seq("v"))
+      .select("v", "__matched_time").head()
+    assert(out.isNullAt(0), "null value must come from the matched row")
+    assert(out.getAs[java.time.LocalDateTime](1) == ts("2024-01-02T00:00:00"))
+  }
 }
