@@ -110,7 +110,9 @@ trait DatasetManager extends Logging {
     store.publish(df, rebuild = rebuild, dryRun = dryRun)
     if (postParseQc && !dryRun) {
       val keys = desc.standardDims
-      val mismatches = QcDrivers.postParseQualityCheck(spark, store.dataset(),
+      // store side is bucket-pruned per sampled file range — never a full
+      // store scan (publish.py:1011-1095 region-bounding)
+      val mismatches = QcDrivers.postParseQualityCheck(spark, store.readRange,
         inputFiles(), f => Normalize.normalize(spark.read.parquet(f), desc,
           pre = preprocess, post = postprocess),
         keys, desc.dataVar, desc, maxChecks = postParseMaxChecks)

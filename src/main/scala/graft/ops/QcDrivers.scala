@@ -60,10 +60,20 @@ object QcDrivers {
     * source cells against store cells (J4), bounded by a wall-clock cap
     * (publish.py:23 — 20 minutes). Returns the mismatching cells actually
     * found (empty = pass); respects the caps rather than scanning
-    * everything, like the reference's 10→1 checks-per-file scaling. */
+    * everything, like the reference's 10→1 checks-per-file scaling.
+    *
+    * The store side is NOT a frame but a range accessor
+    * (`GridStore.readRange`): each file's comparison reads only the store
+    * buckets overlapping that file's sampled time range — the reference
+    * region-bounds the store the same way (publish.py:1011-1095). Passing
+    * the full store here would cost one full-store scan per source file,
+    * the single worst plan possible at 100 TB. The ≤`checksPerFile`-row
+    * sample is collected to the driver (that bound is what makes O7 a spot
+    * check, not a recompute) so its exact time range bounds the store read,
+    * then re-parallelized and broadcast into the comparison join. */
   def postParseQualityCheck(
       spark: SparkSession,
-      store: DataFrame,
+      storeForRange: (java.time.LocalDateTime, java.time.LocalDateTime) => DataFrame,
       sourceFiles: Seq[String],
       openFile: String => DataFrame,
       keyCols: Seq[String],
@@ -73,11 +83,16 @@ object QcDrivers {
       timeLimitMillis: Long = 20L * 60 * 1000,
       seed: Long = 42L): DataFrame = {
     require(sourceFiles.nonEmpty, "postParseQualityCheck needs at least one source file")
+    val timeCol = desc.timeDim
+    require(keyCols.contains(timeCol),
+      s"postParseQualityCheck keys must include the time dim $timeCol")
     val checksPerFile = math.max(1, maxChecks / sourceFiles.length)
     val deadline = System.currentTimeMillis() + timeLimitMillis
-    val schema = store.limit(0).select(
-      (keyCols.map(col) :+ col(valueCol).as("__src") :+ col(valueCol).as("__dst")): _*)
-      .schema
+    val sampleCols = (keyCols :+ valueCol).map(col)
+    val sampleSchema = openFile(sourceFiles.head).limit(0).select(sampleCols: _*).schema
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sampleSchema.dropRight(1) ++ Seq(
+        sampleSchema.last.copy(name = "__src"), sampleSchema.last.copy(name = "__dst")))
     // Each file's comparison EXECUTES inside the loop (collect of at most
     // checksPerFile mismatch rows) — with lazy accumulation the deadline
     // would only bound plan construction and the 20-minute cap would never
@@ -88,15 +103,30 @@ object QcDrivers {
     while (it.hasNext && checksDone < maxChecks &&
         System.currentTimeMillis() < deadline) {
       val f = it.next()
-      val sample = openFile(f)
-        .select((keyCols :+ valueCol).map(col): _*)
+      val sampleRows = openFile(f)
+        .select(sampleCols: _*)
         .orderBy(abs(xxhash64(keyCols.map(col): _*) + lit(seed)))
         .limit(checksPerFile)
-      found ++= Qc.mismatchedCells(sample, store, keyCols, valueCol, desc.missingValue)
-        .limit(checksPerFile).collect()
+        .collect()
+      if (sampleRows.nonEmpty) {
+        val ti = sampleSchema.fieldIndex(timeCol)
+        val times = sampleRows.toSeq.map(_.get(ti) match {
+          case t: java.time.LocalDateTime => t
+          case t: java.sql.Timestamp => t.toLocalDateTime
+          case other => throw new IllegalArgumentException(
+            s"Non-timestamp time value in $f: $other")
+        })
+        implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+          Ordering.fromLessThan(_ isBefore _)
+        val sample = spark.createDataFrame(
+          java.util.Arrays.asList(sampleRows: _*), sampleSchema)
+        val bounded = storeForRange(times.min, times.max).select(sampleCols: _*)
+        found ++= Qc.mismatchedCells(broadcast(sample), bounded, keyCols, valueCol,
+          desc.missingValue).limit(checksPerFile).collect()
+      }
       checksDone += checksPerFile
     }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(found.toSeq, 1), schema)
+      spark.sparkContext.parallelize(found.toSeq, 1), outSchema)
   }
 }

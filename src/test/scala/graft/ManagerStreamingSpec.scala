@@ -107,7 +107,8 @@ class ManagerStreamingSpec extends SparkSpec {
 
     // corrupt one bucket's values directly, rerun only the QC step
     val corrupted = mgr.store.dataset().withColumn("value", col("value") + lit(7.0))
-    val bad = graft.ops.QcDrivers.postParseQualityCheck(spark, corrupted,
+    val bad = graft.ops.QcDrivers.postParseQualityCheck(spark,
+      (lo, hi) => corrupted.filter(col("time").between(lit(lo), lit(hi))),
       mgr.inputFiles(), f => spark.read.parquet(f),
       Seq("time", "latitude", "longitude"), "value", mgr.desc, maxChecks = 20)
     assert(bad.count() > 0)

@@ -91,6 +91,32 @@ class PlanShapeSpec extends SparkSpec {
       s"signature generation must not shuffle:\n$plan")
   }
 
+  test("post-parse QC bounds the store side to each file's time range (O7)") {
+    import graft.model.{DatasetDescriptor, TimeSpan, TimeUnitKind}
+    import graft.ops.QcDrivers
+    import graft.store.GridStore
+    val root = Files.createTempDirectory("o7prune").toString
+    val desc = DatasetDescriptor("o7", "value", timeResolution = TimeSpan.Daily)
+    val store = new GridStore(spark, s"$root/store", desc, TimeUnitKind.Days)
+    store.writeInitial(dailyGrid(1, 6)) // six daily bucket directories
+    dailyGrid(1, 6).filter(col("time") === lit(ts("2024-01-02T00:00:00")))
+      .write.parquet(s"$root/f1") // source file covers day 2 only
+    var ranges = List.empty[(java.time.LocalDateTime, java.time.LocalDateTime)]
+    val out = QcDrivers.postParseQualityCheck(spark,
+      (lo, hi) => { ranges ::= (lo, hi); store.readRange(lo, hi) },
+      Seq(s"$root/f1"), f => spark.read.parquet(f),
+      Seq("time", "latitude", "longitude"), "value", desc, maxChecks = 10)
+    assert(out.count() == 0)
+    // the accessor saw only the file's own (day-2) range …
+    val (lo, hi) = ranges.head
+    assert(lo.toLocalDate.toString == "2024-01-02" && hi.toLocalDate == lo.toLocalDate)
+    // … and the bucket-pruned range read touches ONLY that bucket directory
+    val files = store.readRange(lo, hi)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("__bucket=2024-01-02")),
+      s"expected only the day-2 bucket, read: ${files.mkString(", ")}")
+  }
+
   test("exact dedup shuffles the hash, not the text") {
     val docs = Seq((1L, "some long document body")).toDF("doc_id", "text")
     val plan = planOf(Dedup.exactDupGroups(docs, "doc_id", "text"))

@@ -76,12 +76,15 @@ class ProjectionQcDriversSpec extends SparkSpec {
     val src = grid(3)
     src.write.parquet(s"$dir/f1")
     val store = grid(3) // identical → no mismatches
+    def ranged(df: org.apache.spark.sql.DataFrame)(
+        lo: java.time.LocalDateTime, hi: java.time.LocalDateTime) =
+      df.filter(col("time").between(lit(lo), lit(hi)))
     val keys = Seq("time", "latitude", "longitude")
-    val ok = QcDrivers.postParseQualityCheck(spark, store, Seq(s"$dir/f1"),
+    val ok = QcDrivers.postParseQualityCheck(spark, ranged(store), Seq(s"$dir/f1"),
       f => spark.read.parquet(f), keys, "value", desc, maxChecks = 10)
     assert(ok.count() == 0)
     val corrupted = store.withColumn("value", col("value") + 5.0)
-    val bad = QcDrivers.postParseQualityCheck(spark, corrupted, Seq(s"$dir/f1"),
+    val bad = QcDrivers.postParseQualityCheck(spark, ranged(corrupted), Seq(s"$dir/f1"),
       f => spark.read.parquet(f), keys, "value", desc, maxChecks = 10)
     assert(bad.count() > 0)
   }
@@ -89,7 +92,8 @@ class ProjectionQcDriversSpec extends SparkSpec {
   test("postParseQualityCheck honors the wall-clock cap (publish.py:23)") {
     val dir = java.nio.file.Files.createTempDirectory("ppqc2").toString
     dailyGrid(1, 2).write.parquet(s"$dir/f1")
-    val out = QcDrivers.postParseQualityCheck(spark, dailyGrid(1, 2),
+    val out = QcDrivers.postParseQualityCheck(spark,
+      (_, _) => dailyGrid(1, 2),
       Seq(s"$dir/f1", s"$dir/f1"), f => spark.read.parquet(f),
       Seq("time", "latitude", "longitude"), "value", desc,
       maxChecks = 100, timeLimitMillis = 0)
