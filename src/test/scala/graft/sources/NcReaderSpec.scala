@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataOutputStream}
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.nc.NcFormat
+import graft.sources.nc.NcFormat._
+
+class NcReaderSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  /** A small record-dim grid: time(rec) × lat(3, DESCENDING) × lon(4),
+    * vars t2m:double = t*1000 + y*100 + x and rh:float = t + y + x. */
+  private def writeGrid(path: String, nt: Int, timeOffset: Int = 0): Unit = {
+    val lat = Array(42.5, 42.0, 41.5) // descending, like real reanalyses
+    val lon = Array.tabulate(4)(j => 10.0 + 0.5 * j)
+    val t2m = for (t <- 0 until nt; y <- 0 until 3; x <- 0 until 4)
+      yield ((t + timeOffset) * 1000 + y * 100 + x).toDouble
+    val rh = for (t <- 0 until nt; y <- 0 until 3; x <- 0 until 4)
+      yield ((t + timeOffset) + y + x).toDouble
+    NcFormat.writeFile(spark, path,
+      dims = Seq("time" -> nt, "lat" -> 3, "lon" -> 4),
+      vars = Seq(
+        WriteVar("time", Seq("time"), NcInt,
+          Array.tabulate(nt)(t => (t + timeOffset).toDouble),
+          attrs = Seq("units" -> "hours since 2024-03-01 00:00:00")),
+        WriteVar("lat", Seq("lat"), NcDouble, lat,
+          attrs = Seq("units" -> "degrees_north")),
+        WriteVar("lon", Seq("lon"), NcDouble, lon),
+        WriteVar("t2m", Seq("time", "lat", "lon"), NcDouble, t2m.toArray,
+          attrs = Seq("units" -> "K")),
+        WriteVar("rh", Seq("time", "lat", "lon"), NcFloat, rh.toArray)),
+      recordDim = Some("time"),
+      gattrs = Seq("title" -> "graft test grid"))
+  }
+
+  test("writer → parser header roundtrip (dims, attrs, types, record dim)") {
+    val bos = new ByteArrayOutputStream()
+    NcFormat.write(new DataOutputStream(bos),
+      dims = Seq("time" -> 5, "lat" -> 3),
+      vars = Seq(
+        WriteVar("time", Seq("time"), NcInt, Array.tabulate(5)(_.toDouble),
+          attrs = Seq("units" -> "days since 2020-01-01")),
+        WriteVar("lat", Seq("lat"), NcFloat, Array(1.0, 2.0, 3.0)),
+        WriteVar("v", Seq("time", "lat"), NcDouble,
+          Array.tabulate(15)(_.toDouble))),
+      recordDim = Some("time"),
+      gattrs = Seq("title" -> "x"))
+    val h = parseHeader(new ByteArrayInputStream(bos.toByteArray))
+    assert(h.version == 1 && h.numRecs == 5)
+    assert(h.dims.map(d => (d.name, d.length, d.isRecord)) ==
+      Seq(("time", 5, true), ("lat", 3, false)))
+    assert(h.gattrs("title").asText == "x")
+    val time = h.vars.find(_.name == "time").get
+    assert(time.ncType == NcInt && time.attr("units").contains("days since 2020-01-01"))
+    assert(h.vars.find(_.name == "v").get.dimIds == Seq(0, 1))
+    assert(h.isRecordVar(time) && h.isRecordVar(h.vars.find(_.name == "v").get))
+  }
+
+  test("CF time units parse: unit multipliers and epoch forms") {
+    assert(parseTimeUnits("hours since 2024-03-01 00:00:00").contains(
+      (3600000000L, java.time.LocalDateTime.parse("2024-03-01T00:00")
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L)))
+    assert(parseTimeUnits("days since 2020-01-01").isDefined)
+    assert(parseTimeUnits("SECONDS since 1970-01-01T00:00:00").isDefined)
+    assert(parseTimeUnits("degrees_north").isEmpty)
+  }
+
+  test("full scan: schema, CF timestamps, cell values, both variables") {
+    val dir = Files.createTempDirectory("nc1").toString
+    writeGrid(s"$dir/a.nc", nt = 6)
+    val df = spark.read.format("netcdf").load(s"$dir/a.nc")
+    assert(df.columns.toSeq == Seq("time", "lat", "lon", "t2m", "rh"))
+    assert(df.schema("time").dataType.typeName == "timestamp_ntz")
+    assert(df.schema("t2m").dataType.typeName == "double")
+    assert(df.schema("rh").dataType.typeName == "float")
+    assert(df.count() == 6 * 3 * 4)
+    val r = df.filter(col("time") === lit(ts("2024-03-01T02:00:00")) &&
+      col("lat") === 42.0 && col("lon") === 11.5).head()
+    assert(r.getAs[Double]("t2m") == 2 * 1000 + 1 * 100 + 3)
+    assert(r.getAs[Float]("rh") == (2 + 1 + 3).toFloat)
+  }
+
+  test("aggregates match the generating formula over every cell") {
+    val dir = Files.createTempDirectory("nc2").toString
+    writeGrid(s"$dir/a.nc", nt = 5)
+    val df = spark.read.format("netcdf").load(s"$dir/a.nc")
+    val expected = (for (t <- 0 until 5; y <- 0 until 3; x <- 0 until 4)
+      yield (t * 1000 + y * 100 + x).toDouble).sum
+    assert(df.agg(sum("t2m")).as[Double].head() == expected)
+  }
+
+  test("filter pushdown prunes time (increasing) and lat (decreasing) axes") {
+    val dir = Files.createTempDirectory("nc3").toString
+    writeGrid(s"$dir/a.nc", nt = 10)
+    val df = spark.read.format("netcdf").load(s"$dir/a.nc")
+      .filter(col("time") >= lit(ts("2024-03-01T03:00:00")) &&
+        col("time") < lit(ts("2024-03-01T07:00:00")) &&
+        col("lat") > 41.7)
+    // 4 time steps × 2 lats (42.5, 42.0) × 4 lons
+    assert(df.count() == 4 * 2 * 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-netcdf"), s"expected netcdf scan in:\n$plan")
+    assert(plan.contains("time[3..6]") && plan.contains("lat[0..1]"),
+      s"expected pruned index ranges in:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(time"),
+      s"expected pushed filter in:\n$plan")
+    // values survive the pruned read
+    val r = df.filter(col("lat") === 42.0 && col("lon") === 10.0 &&
+      col("time") === lit(ts("2024-03-01T05:00:00"))).head()
+    assert(r.getAs[Double]("t2m") == 5 * 1000 + 100)
+  }
+
+  test("column pruning reads only the projected variable's bytes") {
+    val dir = Files.createTempDirectory("nc4").toString
+    writeGrid(s"$dir/a.nc", nt = 4)
+    val df = spark.read.format("netcdf").load(s"$dir/a.nc").select("time", "t2m")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<time:timestamp_ntz,t2m:double>"),
+      s"expected pruned ReadSchema in:\n$plan")
+    assert(df.count() == 4 * 3 * 4)
+  }
+
+  test("a directory is one dataset; a time filter skips non-overlapping files") {
+    val dir = Files.createTempDirectory("nc5").toString
+    writeGrid(s"$dir/part1.nc", nt = 6, timeOffset = 0)  // hours 0-5
+    writeGrid(s"$dir/part2.nc", nt = 6, timeOffset = 6)  // hours 6-11
+    val all = spark.read.format("netcdf").load(dir)
+    assert(all.count() == 12 * 3 * 4)
+    // monotonic across both files (each file's axis is checked separately)
+    val filtered = all.filter(col("time") >= lit(ts("2024-03-01T08:00:00")))
+    assert(filtered.count() == 4 * 3 * 4)
+    // file-level pruning: only part2's partitions survive planning
+    assert(filtered.rdd.getNumPartitions < all.rdd.getNumPartitions ||
+      all.rdd.getNumPartitions == 1)
+    val maxT2m = filtered.agg(max("t2m")).as[Double].head()
+    assert(maxT2m == 11 * 1000 + 2 * 100 + 3)
+  }
+
+  test("splitBytes fans a single file out across partitions along time") {
+    val dir = Files.createTempDirectory("nc6").toString
+    writeGrid(s"$dir/a.nc", nt = 8)
+    // one record = 3*4*(8+4) bytes = 144 → 2 records per 300-byte split
+    val df = spark.read.format("netcdf").option("splitBytes", "300").load(s"$dir/a.nc")
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 8 * 3 * 4)
+    // a time filter narrows the outer range before splitting
+    val filtered = spark.read.format("netcdf").option("splitBytes", "300")
+      .load(s"$dir/a.nc")
+      .filter(col("time") >= lit(ts("2024-03-01T06:00:00")))
+    assert(filtered.rdd.getNumPartitions == 1)
+    assert(filtered.count() == 2 * 3 * 4)
+  }
+
+  test("fixed-size (no record dim) files scan identically") {
+    val dir = Files.createTempDirectory("nc7").toString
+    NcFormat.writeFile(spark, s"$dir/f.nc",
+      dims = Seq("y" -> 2, "x" -> 3),
+      vars = Seq(
+        WriteVar("y", Seq("y"), NcDouble, Array(0.0, 1.0)),
+        WriteVar("x", Seq("x"), NcDouble, Array(0.0, 1.0, 2.0)),
+        WriteVar("v", Seq("y", "x"), NcInt,
+          Array.tabulate(6)(i => (i * 10).toDouble))))
+    val df = spark.read.format("netcdf").load(s"$dir/f.nc")
+    assert(df.schema("v").dataType.typeName == "integer")
+    assert(collectSet(df) == (for (y <- 0 until 2; x <- 0 until 3)
+      yield Seq[Any](y.toDouble, x.toDouble, (y * 3 + x) * 10)).toSet)
+  }
+
+  test("dims without coordinate variables surface as long indices") {
+    val dir = Files.createTempDirectory("nc8").toString
+    NcFormat.writeFile(spark, s"$dir/f.nc",
+      dims = Seq("cell" -> 4),
+      vars = Seq(WriteVar("v", Seq("cell"), NcFloat, Array(1.0, 2.0, 3.0, 4.0))))
+    val df = spark.read.format("netcdf").load(s"$dir/f.nc")
+    assert(df.schema("cell").dataType.typeName == "bigint")
+    assert(df.filter(col("cell") === 2L).head().getAs[Float]("v") == 3.0f)
+  }
+}
