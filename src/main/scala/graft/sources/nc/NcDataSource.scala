@@ -117,6 +117,16 @@ object NcTable {
       s"nc_type $other has no scan column mapping (NC_CHAR vars unsupported)")
   }
 
+  /** Scan field for a data variable, CF mask_and_scale-aware: packed vars
+    * (scale_factor/add_offset present) surface unpacked as DOUBLE; vars
+    * declaring _FillValue/missing_value surface as nullable, with the
+    * sentinel decoded to null. The reference sees the same post-decode view
+    * via xarray's decode_cf (transform.py:119-279). */
+  def dataField(v: NcVar): StructField =
+    StructField(v.name,
+      if (v.unpack) DoubleType else sparkType(v.ncType),
+      nullable = v.fillValue.isDefined)
+
   def resolve(options: CaseInsensitiveStringMap): NcTable = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
@@ -127,36 +137,59 @@ object NcTable {
         case None => Option(options.get("path")).toSeq
       }
     require(paths.nonEmpty, "netcdf scan needs a path")
-    val files = paths.flatMap(expand(conf, _)).sorted
+    val files = paths.flatMap(expand(conf, _)).sortBy(_.getPath.toString)
     require(files.nonEmpty, s"No .nc files under ${paths.mkString(",")}")
     val splitBytes = Option(options.get("splitBytes")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
-    val layouts = files.map(layout(conf, _))
+    // Header+axis reads are one remote round-trip per file and `resolve`
+    // runs twice per read (inferSchema, then getTable): memoize per
+    // (path, mtime, length) and fan the cache misses out on a bounded pool
+    // so planning a thousand-file archive is not O(files) SERIAL reads.
+    val layouts = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val misses = files.filter(st => !layoutCache.containsKey(cacheKey(st)))
+      if (misses.nonEmpty) {
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        Await.result(
+          Future.traverse(misses) { st =>
+            Future(layoutCache.putIfAbsent(cacheKey(st),
+              layout(conf, st.getPath.toString)))
+          }, Duration.Inf)
+      }
+      if (layoutCache.size > 4096) layoutCache.clear() // crude bound; re-read on demand
+      files.map(st => Option(layoutCache.get(cacheKey(st)))
+        .getOrElse(layout(conf, st.getPath.toString)))
+    }
     val first = layouts.head
-    val schema = StructType(
-      first.axes.map(a => StructField(a.name, a.sparkType, nullable = false)) ++
-        first.dataVars.map(v =>
-          StructField(v.name, sparkType(v.ncType), nullable = false)))
+    def scanSchema(l: FileLayout): StructType = StructType(
+      l.axes.map(a => StructField(a.name, a.sparkType, nullable = false)) ++
+        l.dataVars.map(dataField))
+    val schema = scanSchema(first)
     // every file must present the same scan schema (a multi-file archive is
     // one dataset split along the record dim, like the reference's
     // multi-file kerchunk combine, S10)
     layouts.tail.foreach { l =>
-      val s = StructType(
-        l.axes.map(a => StructField(a.name, a.sparkType, nullable = false)) ++
-          l.dataVars.map(v => StructField(v.name, sparkType(v.ncType), nullable = false)))
+      val s = scanSchema(l)
       require(s == schema, s"${l.path} schema $s differs from ${first.path} $schema")
     }
     new NcTable(layouts, schema, splitBytes, conf)
   }
 
-  private def expand(conf: Configuration, path: String): Seq[String] = {
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), FileLayout]()
+
+  private def cacheKey(st: org.apache.hadoop.fs.FileStatus): (String, Long, Long) =
+    (st.getPath.toString, st.getModificationTime, st.getLen)
+
+  private def expand(conf: Configuration, path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
     if (st.isDirectory)
-      fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
-        .filter(f => f.endsWith(".nc") || f.endsWith(".cdf"))
-    else Seq(path)
+      fs.listStatus(p).toSeq.filter(_.isFile)
+        .filter(f => f.getPath.getName.endsWith(".nc") || f.getPath.getName.endsWith(".cdf"))
+    else Seq(st)
   }
 
   private def layout(conf: Configuration, path: String): FileLayout = {
@@ -179,11 +212,25 @@ object NcTable {
         val dim = header.dims(id)
         byName.get(dim.name) match {
           case Some(cv) if isCoord(cv) =>
-            val vals = readCoordValues(in, header, cv)
+            val raw = readCoordValues(in, header, cv)
+            // A coordinate axis with missing values has no index semantics.
+            cv.fillValue.foreach { f =>
+              require(!raw.exists(v => v == f || (v.isNaN && f.isNaN)),
+                s"$path: coordinate ${cv.name} contains its fill value $f")
+            }
+            val vals =
+              if (cv.unpack) raw.map(v => v * cv.scaleFactor + cv.addOffset) else raw
+            // CF `calendar`: only proleptic-Gregorian-compatible calendars
+            // decode to timestamps; noleap/360_day/julian fall back to the
+            // raw numeric axis rather than silently shifting dates.
+            val calendarOk = cv.attr("calendar").forall(c =>
+              Set("standard", "gregorian", "proleptic_gregorian", "default")(
+                c.trim.toLowerCase))
             cv.attr("units").flatMap(parseTimeUnits) match {
-              case Some((mult, epoch)) =>
+              case Some((mult, epoch)) if calendarOk =>
                 TimeAxis(dim.name, vals.map(v => epoch + math.round(v * mult)))
-              case None => NumAxis(dim.name, vals, cv.ncType)
+              case _ =>
+                NumAxis(dim.name, vals, if (cv.unpack) NcDouble else cv.ncType)
             }
           case _ => IndexAxis(dim.name, dim.length)
         }
@@ -219,8 +266,12 @@ final class NcScanBuilder(table: NcTable) extends ScanBuilder
       .filter(n => table.layouts.forall(_.axes.find(_.name == n).exists(_.monotonic)))
       .toSet
 
+  /** Axis columns are never null; data columns CAN be (decoded _FillValue),
+    * so IsNotNull is only claimed for axes. */
+  private val axisCols: Set[String] = table.layouts.head.axes.map(_.name).toSet
+
   private def handled(f: Filter): Boolean = f match {
-    case sources.IsNotNull(_) => true // scan columns are never null
+    case sources.IsNotNull(a) => axisCols(a)
     case sources.EqualTo(a, v) => prunable(a) && comparable(v)
     case sources.GreaterThan(a, v) => prunable(a) && comparable(v)
     case sources.GreaterThanOrEqual(a, v) => prunable(a) && comparable(v)
@@ -357,7 +408,8 @@ final class NcScan(
         val outersPerSplit = math.max(1L, splitBytes / bytesPerOuter).toInt
         val (outerLo, outerHi) = ranges.head
         val metas = vars.map(v =>
-          VarMeta(v.name, v.ncType, v.begin, l.header.isRecordVar(v)))
+          VarMeta(v.name, v.ncType, v.begin, l.header.isRecordVar(v),
+            v.scaleFactor, v.addOffset, v.fillValue, v.unpack))
         val cols: Seq[NcColSpec] = required.fieldNames.toSeq.map { f =>
           val ax = l.axes.indexWhere(_.name == f)
           if (ax >= 0) AxisCol(ax) else DataCol(metas.indexWhere(_.name == f))
@@ -390,7 +442,9 @@ sealed trait NcColSpec extends Serializable
 final case class AxisCol(dimPos: Int) extends NcColSpec
 final case class DataCol(varIdx: Int) extends NcColSpec
 
-final case class VarMeta(name: String, ncType: Int, begin: Long, isRecord: Boolean)
+final case class VarMeta(name: String, ncType: Int, begin: Long, isRecord: Boolean,
+    scale: Double = 1.0, offset: Double = 0.0, fill: Option[Double] = None,
+    unpack: Boolean = false)
 
 final case class NcInputPartition(
     path: String,
@@ -504,7 +558,14 @@ final class NcPartitionReader(part: NcInputPartition, conf: Configuration)
         case AxisCol(d) => part.axes(d).emit(idx(d - 1))
         case DataCol(i) =>
           val v = part.vars(i)
-          decodeTyped(spans(i), rel * NcFormat.typeSize(v.ncType), v.ncType)
+          val off = rel * NcFormat.typeSize(v.ncType)
+          if (v.fill.isEmpty && !v.unpack) decodeTyped(spans(i), off, v.ncType)
+          else {
+            val raw = NcFormat.decodeOne(spans(i), off, v.ncType)
+            if (v.fill.exists(f => raw == f || (raw.isNaN && f.isNaN))) null
+            else if (v.unpack) raw * v.scale + v.offset
+            else decodeTyped(spans(i), off, v.ncType)
+          }
       }
       c += 1
     }

@@ -43,6 +43,7 @@ object NcFormat {
   /** Attribute values: text (NC_CHAR) or numeric widened to double. */
   final case class NcAttr(name: String, text: Option[String], nums: Option[Array[Double]]) {
     def asText: String = text.getOrElse(nums.map(_.mkString(",")).getOrElse(""))
+    def asNum: Option[Double] = nums.flatMap(_.headOption)
   }
 
   final case class NcVar(
@@ -52,6 +53,17 @@ object NcFormat {
       attrs: Map[String, NcAttr],
       begin: Long) {
     def attr(n: String): Option[String] = attrs.get(n).map(_.asText)
+    def numAttr(n: String): Option[Double] = attrs.get(n).flatMap(_.asNum)
+
+    /** CF packed-data decode parameters (mask_and_scale — the reference gets
+      * this from xarray's decode_cf; here read straight from the attrs).
+      * `unpack` is attr PRESENCE, not value: an explicit `scale_factor: 1.0`
+      * still means "unpacked values are floating point" per CF §8.1. */
+    def scaleFactor: Double = numAttr("scale_factor").getOrElse(1.0)
+    def addOffset: Double = numAttr("add_offset").getOrElse(0.0)
+    def unpack: Boolean = attrs.contains("scale_factor") || attrs.contains("add_offset")
+    /** `_FillValue` wins over `missing_value` when both are present (CF §2.5.1). */
+    def fillValue: Option[Double] = numAttr("_FillValue").orElse(numAttr("missing_value"))
   }
 
   final case class NcHeader(
@@ -172,13 +184,16 @@ object NcFormat {
   // -------------------------------------------------------------- writing
 
   /** Variable to write: `data` is the row-major cell array (record dim
-    * first, if any) widened to double; it is narrowed back per `ncType`. */
+    * first, if any) widened to double; it is narrowed back per `ncType`.
+    * `nattrs` are numeric attributes as (name, nc_type, values) — e.g. CF
+    * packing attrs scale_factor/add_offset/_FillValue. */
   final case class WriteVar(
       name: String,
       dims: Seq[String],
       ncType: Int,
       data: Array[Double],
-      attrs: Seq[(String, String)] = Nil)
+      attrs: Seq[(String, String)] = Nil,
+      nattrs: Seq[(String, Int, Array[Double])] = Nil)
 
   /** Write a classic (CDF-1) NetCDF file. `dims` carries materialized
     * lengths; `recordDim`, if set, must be the FIRST dim of every variable
@@ -231,7 +246,7 @@ object NcFormat {
         writeName(d, v.name)
         d.writeInt(v.dims.length)
         v.dims.foreach(dn => d.writeInt(dimIdx(dn)))
-        writeAttrList(d, v.attrs)
+        writeAttrList(d, v.attrs, v.nattrs)
         d.writeInt(v.ncType)
         val vsize = pad4(if (isRec(v)) perRecBytes(v) else fixedBytes(v))
         d.writeInt(math.min(vsize, Int.MaxValue).toInt)
@@ -295,10 +310,13 @@ object NcFormat {
     d.write(new Array[Byte](pad4(b.length) - b.length))
   }
 
-  private def writeAttrList(d: DataOutputStream, attrs: Seq[(String, String)]): Unit = {
-    if (attrs.isEmpty) { d.writeInt(0); d.writeInt(0) }
+  private def writeAttrList(
+      d: DataOutputStream,
+      attrs: Seq[(String, String)],
+      nattrs: Seq[(String, Int, Array[Double])] = Nil): Unit = {
+    if (attrs.isEmpty && nattrs.isEmpty) { d.writeInt(0); d.writeInt(0) }
     else {
-      d.writeInt(TagAttribute); d.writeInt(attrs.length)
+      d.writeInt(TagAttribute); d.writeInt(attrs.length + nattrs.length)
       attrs.foreach { case (name, value) =>
         writeName(d, name)
         d.writeInt(NcChar)
@@ -306,6 +324,23 @@ object NcFormat {
         d.writeInt(b.length)
         d.write(b)
         d.write(new Array[Byte](pad4(b.length) - b.length))
+      }
+      nattrs.foreach { case (name, t, vals) =>
+        writeName(d, name)
+        d.writeInt(t)
+        d.writeInt(vals.length)
+        var written = 0L
+        vals.foreach { v =>
+          t match {
+            case NcByte | NcChar => d.writeByte(v.toInt)
+            case NcShort => d.writeShort(v.toInt)
+            case NcInt => d.writeInt(v.toInt)
+            case NcFloat => d.writeFloat(v.toFloat)
+            case NcDouble => d.writeDouble(v)
+          }
+          written += typeSize(t)
+        }
+        d.write(new Array[Byte]((pad4(written) - written).toInt))
       }
     }
   }

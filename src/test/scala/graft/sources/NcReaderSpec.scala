@@ -171,13 +171,75 @@ class NcReaderSpec extends SparkSpec {
       yield Seq[Any](y.toDouble, x.toDouble, (y * 3 + x) * 10)).toSet)
   }
 
+  test("CF packed data: scale_factor/add_offset unpack to double; _FillValue → null") {
+    val dir = Files.createTempDirectory("nc9").toString
+    // packed NC_SHORT var: physical = raw * 0.01 + 100.0; raw -32767 = fill
+    val raw = Array(0.0, 150.0, -32767.0, 2500.0, -150.0, -32767.0)
+    NcFormat.writeFile(spark, s"$dir/p.nc",
+      dims = Seq("y" -> 2, "x" -> 3),
+      vars = Seq(
+        WriteVar("y", Seq("y"), NcDouble, Array(0.0, 1.0)),
+        WriteVar("x", Seq("x"), NcDouble, Array(0.0, 1.0, 2.0)),
+        WriteVar("temp", Seq("y", "x"), NcShort, raw,
+          nattrs = Seq(
+            ("scale_factor", NcDouble, Array(0.01)),
+            ("add_offset", NcDouble, Array(100.0)),
+            ("_FillValue", NcShort, Array(-32767.0))))))
+    val df = spark.read.format("netcdf").load(s"$dir/p.nc")
+    val f = df.schema("temp")
+    assert(f.dataType.typeName == "double" && f.nullable)
+    val got = df.orderBy("y", "x").select("temp").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(Some(100.0), Some(101.5), None,
+      Some(125.0), Some(98.5), None))
+    // IsNotNull on a nullable data column must NOT be pushed (it would be
+    // dropped as "handled" and fill rows would leak through)
+    assert(df.filter(col("temp").isNotNull).count() == 4)
+  }
+
+  test("_FillValue without packing keeps the native type, nullable") {
+    val dir = Files.createTempDirectory("nc10").toString
+    NcFormat.writeFile(spark, s"$dir/f.nc",
+      dims = Seq("x" -> 4),
+      vars = Seq(
+        WriteVar("x", Seq("x"), NcDouble, Array(0.0, 1.0, 2.0, 3.0)),
+        WriteVar("v", Seq("x"), NcFloat, Array(1.5, -9999.0, 3.5, -9999.0),
+          nattrs = Seq(("missing_value", NcFloat, Array(-9999.0))))))
+    val df = spark.read.format("netcdf").load(s"$dir/f.nc")
+    assert(df.schema("v").dataType.typeName == "float" && df.schema("v").nullable)
+    assert(df.filter(col("v").isNull).count() == 2)
+    assert(df.agg(sum("v")).head().getDouble(0) == 5.0)
+  }
+
+  test("non-Gregorian calendar falls back to a numeric axis (no silent shift)") {
+    val dir = Files.createTempDirectory("nc11").toString
+    NcFormat.writeFile(spark, s"$dir/c.nc",
+      dims = Seq("time" -> 3),
+      vars = Seq(
+        WriteVar("time", Seq("time"), NcInt, Array(0.0, 1.0, 2.0),
+          attrs = Seq("units" -> "days since 2000-01-01", "calendar" -> "noleap")),
+        WriteVar("v", Seq("time"), NcDouble, Array(10.0, 20.0, 30.0))))
+    val df = spark.read.format("netcdf").load(s"$dir/c.nc")
+    assert(df.schema("time").dataType.typeName == "integer") // raw, not timestamp
+    // a standard calendar attr still decodes
+    NcFormat.writeFile(spark, s"$dir/g.nc",
+      dims = Seq("time" -> 3),
+      vars = Seq(
+        WriteVar("time", Seq("time"), NcInt, Array(0.0, 1.0, 2.0),
+          attrs = Seq("units" -> "days since 2000-01-01",
+            "calendar" -> "proleptic_gregorian")),
+        WriteVar("v", Seq("time"), NcDouble, Array(10.0, 20.0, 30.0))))
+    val dg = spark.read.format("netcdf").load(s"$dir/g.nc")
+    assert(dg.schema("time").dataType.typeName == "timestamp_ntz")
+  }
+
   test("dims without coordinate variables surface as long indices") {
     val dir = Files.createTempDirectory("nc8").toString
     NcFormat.writeFile(spark, s"$dir/f.nc",
       dims = Seq("cell" -> 4),
       vars = Seq(WriteVar("v", Seq("cell"), NcFloat, Array(1.0, 2.0, 3.0, 4.0))))
     val df = spark.read.format("netcdf").load(s"$dir/f.nc")
-    assert(df.schema("cell").dataType.typeName == "bigint")
+    assert(df.schema("cell").dataType.typeName == "long")
     assert(df.filter(col("cell") === 2L).head().getAs[Float]("v") == 3.0f)
   }
 }
