@@ -12,6 +12,7 @@ import graft.functions.{Dedup, Encryption, Multimodal, Similarity, Text}
 import graft.model.{DatasetCategory, DatasetDescriptor, TimeSpan, TimeUnitKind}
 import graft.ops.{Filters, Normalize, Projection, Qc, Stats, UpdatePlan}
 import graft.sources.Manifest
+import graft.sources.nc.NcFormat
 import graft.store.GridStore
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -79,6 +80,46 @@ object SparkEntry {
     val fs = GridStore.fileSystem(s, path)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     new GridStore(s, path, desc, bucketSpan = TimeUnitKind.Days)
+  }
+
+  /** Deterministic NetCDF fixture derived from `events`: a dense
+    * (day × slot) grid of per-cell event counts, written CF-packed
+    * (NC_INT raw = 4×count, scale_factor 0.25) with _FillValue marking
+    * cells that saw no events — so the q61/q62 scans exercise the DSv2
+    * reader, mask_and_scale decode, null surfacing, filter pushdown, and
+    * CF time decode end-to-end against a parquet-derivable oracle.
+    * Returns (file path, first day of the grid). */
+  private def ncEventsFixture(s: SparkSession, dir: String): (String, LocalDateTime) = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val dayIdx = days.zipWithIndex.toMap
+    val epoch = LocalDateTime.parse("2020-01-01T00:00")
+    val fillRaw = -2000000000.0
+    val data = Array.fill(days.length * 10)(fillRaw)
+    cells.foreach { r =>
+      val i = dayIdx(r.getAs[LocalDateTime]("d")) * 10 + r.getAs[Int]("slot")
+      data(i) = r.getAs[Long]("count") * 4.0
+    }
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_nc_$sf/events_grid.nc"
+    NcFormat.writeFile(s, path,
+      dims = Seq("time" -> days.length, "slot" -> 10),
+      vars = Seq(
+        NcFormat.WriteVar("time", Seq("time"), NcFormat.NcInt,
+          days.map(d => java.time.temporal.ChronoUnit.DAYS.between(epoch, d).toDouble).toArray,
+          attrs = Seq("units" -> "days since 2020-01-01", "calendar" -> "standard")),
+        NcFormat.WriteVar("slot", Seq("slot"), NcFormat.NcInt,
+          Array.tabulate(10)(_.toDouble)),
+        NcFormat.WriteVar("cnt", Seq("time", "slot"), NcFormat.NcInt, data,
+          nattrs = Seq(
+            ("scale_factor", NcFormat.NcDouble, Array(0.25)),
+            ("_FillValue", NcFormat.NcInt, Array(fillRaw))))),
+      recordDim = Some("time"))
+    (path, days.head)
   }
 
   private val EventsDesc = DatasetDescriptor(
@@ -610,6 +651,22 @@ object SparkEntry {
         .toDF("tail", "chunk", "len", "chunks")
         .orderBy("tail", "chunk", "len")
     }),
+
+    // --- NetCDF DSv2 scan (S9's real form: non-parquet file scan) ---
+    "q61_nc_scan" -> ((s, dir) => {
+      val (path, _) = ncEventsFixture(s, dir)
+      s.read.format("netcdf").load(path).orderBy("time", "slot")
+    }),
+    "q62_nc_pushdown" -> ((s, dir) => {
+      // time + slot predicates reach the scan as index-range pruning (only
+      // overlapping record slabs are read); cnt nulls are decoded fills.
+      val (path, minDay) = ncEventsFixture(s, dir)
+      s.read.format("netcdf").load(path)
+        .filter(col("time") >= lit(minDay.plusDays(5)) && col("slot") < 5)
+        .groupBy("slot")
+        .agg(sum("cnt").as("total"), count(col("cnt")).as("ndays"))
+        .orderBy("slot")
+    }),
   )
 
   // -------------------------------------------------------------- oracleSql
@@ -966,5 +1023,36 @@ object SparkEntry {
         |(CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT), '1'),
         |(CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(7 AS BIGINT), '5,2'))
         |AS t(tail, chunk, len, chunks) ORDER BY tail, chunk, len""".stripMargin,
+
+    // The NC fixture is a dense (day × slot) grid of event counts with
+    // no-event cells as _FillValue → the oracle is a day×slot spine
+    // LEFT JOINed to the per-cell counts (null where the grid holds fill).
+    "q61_nc_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s))
+        |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q62_nc_pushdown" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s)),
+        |j AS (SELECT spine.d, spine.slot, g.cnt
+        |      FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |      WHERE spine.slot < 5
+        |        AND spine.d >= (SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP)
+        |                        + INTERVAL 5 DAY FROM events))
+        |SELECT slot, sum(cnt) AS total, count(cnt) AS ndays
+        |FROM j GROUP BY slot ORDER BY slot""".stripMargin,
   )
 }

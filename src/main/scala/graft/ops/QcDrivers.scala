@@ -88,7 +88,18 @@ object QcDrivers {
       s"postParseQualityCheck keys must include the time dim $timeCol")
     val checksPerFile = math.max(1, maxChecks / sourceFiles.length)
     val deadline = System.currentTimeMillis() + timeLimitMillis
-    val sampleCols = (keyCols :+ valueCol).map(col)
+    // Normalize BOTH sides to one comparison schema: the time key as
+    // TIMESTAMP_NTZ (collect then always yields LocalDateTime — never
+    // Instant under java8API, never a default-zone-skewed Timestamp) and
+    // the value as double (a float source vs double store would otherwise
+    // make the collected __dst rows contradict the declared output field).
+    val sampleCols = (keyCols :+ valueCol).map {
+      case c if c == timeCol =>
+        col(c).cast(org.apache.spark.sql.types.TimestampNTZType).as(c)
+      case c if c == valueCol =>
+        col(c).cast(org.apache.spark.sql.types.DoubleType).as(c)
+      case c => col(c)
+    }
     val sampleSchema = openFile(sourceFiles.head).limit(0).select(sampleCols: _*).schema
     val outSchema = org.apache.spark.sql.types.StructType(
       sampleSchema.dropRight(1) ++ Seq(
@@ -111,8 +122,7 @@ object QcDrivers {
       if (sampleRows.nonEmpty) {
         val ti = sampleSchema.fieldIndex(timeCol)
         val times = sampleRows.toSeq.map(_.get(ti) match {
-          case t: java.time.LocalDateTime => t
-          case t: java.sql.Timestamp => t.toLocalDateTime
+          case t: java.time.LocalDateTime => t // guaranteed by the NTZ cast
           case other => throw new IllegalArgumentException(
             s"Non-timestamp time value in $f: $other")
         })
