@@ -141,8 +141,8 @@ object SparkEntry {
     seqSum("list_transform(list_zip(embedding, qe), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))")
 
   /** Exact 3-gram shingle Jaccard pairs in DuckDB (oracle for the dedup ops). */
-  private def jaccardOracle(threshold: String): String =
-    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+  private def jaccardOracle(threshold: String, from: String = "documents"): String =
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM $from),
        |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx),
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -377,10 +377,22 @@ object SparkEntry {
       Dedup.exactDedup(dupDocs(s, dir), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")),
 
-    "q29_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashCandidatePairs(dupDocs(s, dir), "doc_id", "text",
-          shingleSize = 3, numHashes = 16, bands = 4)
-        .orderBy("doc_a", "doc_b")),
+    // Differential recall gate (upgraded from rows-only): every EXACT
+    // Jaccard-0.9 pair must appear among the LSH candidates. The exact
+    // pairs are DuckDB-computable; `in_candidates` makes missed recall a
+    // hash mismatch. Miss probability per pair at j=0.9 with 64 hashes /
+    // 16 bands is (1−0.9⁴)¹⁶ ≈ 4e-8 — and deterministic for fixed data.
+    "q29_minhash_pairs" -> ((s, dir) => {
+      val dup = dupDocs(s, dir)
+      val cands = Dedup.minhashCandidatePairs(dup, "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16)
+        .select(col("doc_a"), col("doc_b"), lit(true).as("__found"))
+      Dedup.ngramJaccardPairs(dup, "doc_id", "text", 3, 0.9)
+        .join(cands, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          coalesce(col("__found"), lit(false)).as("in_candidates"))
+        .orderBy("doc_a", "doc_b")
+    }),
 
     "q30_near_dedup" -> ((s, dir) =>
       Dedup.nearDupPairs(table(s, dir, "documents"), "doc_id", "text",
@@ -443,9 +455,13 @@ object SparkEntry {
         .select(col("vec_id"), round(Similarity.l2Norm(col("embedding")), 6).as("l2_norm"))
         .orderBy("vec_id")),
 
+    // Exhaustive-probe ANN (hammingRadius = nBits ⇒ every bucket probed)
+    // provably equals brute force — the oracle is q39's exact top-k SQL,
+    // upgrading this from rows-only to a full hash gate on the probe
+    // machinery (mask enumeration, bucket isin-pruning, exact re-rank).
     "q41_ann_topk" -> ((s, dir) =>
       Similarity.annTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
-        embQuery(s, dir), 10, nBits = 8)),
+        embQuery(s, dir), 10, nBits = 8, hammingRadius = 8)),
 
     "q55_ivf_topk" -> ((s, dir) =>
       // nProbe == nCentroids → exhaustive IVF, so the result is provably
@@ -491,11 +507,17 @@ object SparkEntry {
         .toDF("date_range_start", "date_range_end", "update_in_progress")
     }),
 
+    // Differential recall gate: the corpus is every vector duplicated, so
+    // the identity pairs (v, v+100000) — cosine exactly 1.0 — MUST all be
+    // found (identical vectors always share an SRP bucket). nBits derives
+    // from the corpus size (srpBitsFor); the oracle enumerates the
+    // identity pairs from parquet.
     "q42_embed_near_dup" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val dup = e.unionByName(e.withColumn("vec_id", col("vec_id") + lit(100000L)))
       Similarity.embeddingNearDupPairs(dup, "vec_id", "embedding", dim = 64,
-          threshold = 0.99, nBits = 8)
+          threshold = 0.99)
+        .filter(col("id_b") === col("id_a") + lit(100000L))
         .orderBy("id_a", "id_b")
     }),
 
@@ -861,6 +883,28 @@ object SparkEntry {
 
     "q30_near_dedup" -> jaccardOracle("0.9"),
     "q31_ngram_jaccard" -> jaccardOracle("0.5"),
+
+    "q29_minhash_pairs" -> {
+      val dupFrom = "(SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 100000, text FROM documents) ad"
+      s"""SELECT doc_a, doc_b, jaccard, TRUE AS in_candidates
+         |FROM (${jaccardOracle("0.9", dupFrom)}) t
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    // exhaustive-probe ANN == brute force: same SQL as q39
+    "q41_ann_topk" ->
+      s"""WITH qq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |dd AS (SELECT vec_id, $DotQSql AS dp, $SqSql AS na, $SqQSql AS nq
+         |FROM embeddings, qq)
+         |SELECT vec_id, round(CASE WHEN sqrt(na) * sqrt(nq) > 0
+         |  THEN dp / (sqrt(na) * sqrt(nq)) ELSE 0.0 END, 6) AS cos_sim
+         |FROM dd ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q42_embed_near_dup" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+        |CAST(1.0 AS DOUBLE) AS cos_sim
+        |FROM embeddings ORDER BY 1, 2""".stripMargin,
 
     "q33_token_stats" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents)

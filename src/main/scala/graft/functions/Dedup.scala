@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.expressions.{MinHashSignature, ShinglePairHashes}
+import graft.expressions.{MinHashSignature, ShinglePairHashes, SimHash64Expr}
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard.
@@ -154,18 +154,11 @@ object Dedup {
 
   /** 64-bit SimHash over tokens: for each bit, sum ±1 votes weighted by the
     * token hash's bit value; bit set when the vote is positive. Near-dups
-    * have small Hamming distance. Pure expression tree — per-bit aggregate
-    * over the token array. */
+    * have small Hamming distance. Native [[SimHash64Expr]]: one codegen'd
+    * tokenize→hash→vote loop per row (the 64-pass HOF formulation it
+    * replaces ran interpreted; a parity spec pins bit-identity). */
   def simhash64(textCol: Column): Column =
-    Text.bind(transform(Text.tokens(textCol), t => xxhash64(t))) { tokenHashes =>
-      val bitCols = (0 until 64).map { bit =>
-        val vote = aggregate(tokenHashes, lit(0L),
-          (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, lit(1L))
-            .otherwise(lit(-1L)))
-        when(vote > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-      }
-      bitCols.reduce((a, b) => a.bitwiseOR(b))
-    }
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(textCol)))
 
   /** Hamming distance between two 64-bit simhashes via bit_count(xor). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

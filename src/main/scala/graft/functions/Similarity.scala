@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.expressions.VectorDot
+import graft.expressions.{SrpBucketExpr, VectorDot}
 
 /** Vector-similarity operators over an embedding column (Array[Float]):
   * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
@@ -61,30 +61,12 @@ object Similarity {
     * bucket id makes the search a partition-pruned scan instead of a full
     * pass.
     */
-  def srpBucket(vecCol: Column, dim: Int, nBits: Int): Column = {
-    val bits = (0 until nBits).map { plane =>
-      // The ±1 hyperplane components depend only on (plane, dim index) —
-      // precomputed driver-side into a literal array. The per-row work is
-      // one multiply-add pass; an in-expression hash per element was ~10×
-      // the cost (higher-order functions are interpreted, not codegen'd).
-      val signs = array((0 until dim).map(i => lit(planeSign(plane, i))): _*)
-      val proj = aggregate(
-        zip_with(vecCol, signs, (v, s) => v.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), plane)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def srpBucket(vecCol: Column, dim: Int, nBits: Int): Column =
+    ColumnBridge.column(
+      SrpBucketExpr(ColumnBridge.expression(vecCol), dim, nBits))
 
-  /** Deterministic ±1 hyperplane component (splitmix64 finalizer of
-    * (plane, i)) — identical on driver and executors across JVMs. */
-  private def planeSign(plane: Int, i: Int): Double = {
-    var z = (plane.toLong << 32) | (i.toLong & 0xffffffffL)
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^= z >>> 31
-    if ((z & 1L) == 0L) 1.0 else -1.0
-  }
+  private def planeSign(plane: Int, i: Int): Double =
+    SrpBucketExpr.planeSign(plane, i)
 
   /** Driver-side SRP bucket of a constant query vector — same arithmetic as
     * [[srpBucket]] (left-to-right double accumulation), no Spark job. */
@@ -191,17 +173,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** SRP bits sized to the corpus: expected bucket occupancy n/2^bits ≈
+    * `targetBucket`, so the within-bucket all-pairs work stays
+    * ~n·targetBucket/2 comparisons TOTAL as the corpus grows, instead of
+    * O(n²/2^fixedBits) — a fixed 8 bits is quadratic ruin at a billion
+    * vectors. Clamped to [4, 24]: below 4 bucketing is pointless, above 24
+    * the per-plane projection cost and probe-set sizes dominate. */
+  def srpBitsFor(n: Long, targetBucket: Long = 256L): Int = {
+    val ratio = math.max(1.0, n.toDouble / math.max(1L, targetBucket).toDouble)
+    val bits = math.ceil(math.log(ratio) / math.log(2.0)).toInt
+    math.min(24, math.max(4, bits))
+  }
+
   /** All-pairs cosine above a threshold among rows sharing an SRP bucket —
-    * embedding near-duplicate detection at scale (bucket join, not O(n²)). */
+    * embedding near-duplicate detection at scale (bucket join, not O(n²)).
+    *
+    * `nBits = 0` (the default) derives the bucket width from the corpus
+    * size via [[srpBitsFor]] — one count() pass, negligible next to the
+    * pairs join it right-sizes. NOTE an adversarially skewed corpus (a
+    * billion copies of ONE vector) still pairs quadratically inside its
+    * bucket — that blowup is semantic (those pairs all exceed any
+    * threshold); run exact dedup first when heavy exact duplication is
+    * expected. */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       dim: Int,
       threshold: Double,
-      nBits: Int = 8): DataFrame = {
+      nBits: Int = 0): DataFrame = {
+    val bits = if (nBits > 0) nBits else srpBitsFor(df.count())
     val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", srpBucket(col("vec"), dim, nBits))
+      .withColumn("bucket", srpBucket(col("vec"), dim, bits))
     val a = withBucket.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = withBucket.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket"))
