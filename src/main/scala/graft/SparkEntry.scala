@@ -674,6 +674,34 @@ object SparkEntry {
         .orderBy("tail", "chunk", "len")
     }),
 
+    // --- parameterized CF grid mappings (C6/W15 beyond 4326/3857) ---
+    "q63_lcc_roundtrip" -> ((s, dir) => {
+      // HRRR-style Lambert conformal conic over CONUS-ish points
+      val m = Projection.LambertConformalConic(38.5, -97.5, 38.5, 38.5)
+      val pts = table(s, dir, "events").select(
+        (abs(col("value")) % lit(60.0) + lit(10.0)).as("lat"),
+        ((col("user_id") * lit(7L)) % lit(60L)).cast("double").minus(lit(130.0)).as("lon"))
+      val proj = Projection.assignCrs(pts, "lat", "lon", m)
+      val (latB, lonB) = Projection.unproject(col("northing"), col("easting"), m)
+      proj.select(
+          (abs(latB - col("lat")) > lit(1e-8) ||
+            abs(lonB - col("lon")) > lit(1e-8)).as("bad"))
+        .agg(sum(when(col("bad"), 1L).otherwise(0L)).as("n_bad"))
+    }),
+    "q64_polar_roundtrip" -> ((s, dir) => {
+      // south-aspect polar stereographic (exercises the equator mirror)
+      val m = Projection.PolarStereographic(northPole = false, lon0 = 0.0, latTs = -71.0)
+      val pts = table(s, dir, "events").select(
+        (abs(col("value")) % lit(35.0) + lit(50.0)).unary_-.as("lat"),
+        ((col("user_id") * lit(7L)) % lit(360L)).cast("double").minus(lit(180.0)).as("lon"))
+      val proj = Projection.assignCrs(pts, "lat", "lon", m)
+      val (latB, lonB) = Projection.unproject(col("northing"), col("easting"), m)
+      proj.select(
+          (abs(latB - col("lat")) > lit(1e-8) ||
+            abs(lonB - col("lon")) > lit(1e-8)).as("bad"))
+        .agg(sum(when(col("bad"), 1L).otherwise(0L)).as("n_bad"))
+    }),
+
     // --- NetCDF DSv2 scan (S9's real form: non-parquet file scan) ---
     "q61_nc_scan" -> ((s, dir) => {
       val (path, _) = ncEventsFixture(s, dir)
@@ -1067,6 +1095,9 @@ object SparkEntry {
         |(CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT), '1'),
         |(CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(7 AS BIGINT), '5,2'))
         |AS t(tail, chunk, len, chunks) ORDER BY tail, chunk, len""".stripMargin,
+
+    "q63_lcc_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_bad",
+    "q64_polar_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_bad",
 
     // The NC fixture is a dense (day × slot) grid of event counts with
     // no-event cells as _FillValue → the oracle is a day×slot spine

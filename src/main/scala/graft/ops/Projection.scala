@@ -44,6 +44,114 @@ object Projection {
     (lat, lon)
   }
 
+  // ------------------------------------------------- CF grid mappings (C6)
+
+  /** Parameterized CF grid mappings — the form real projected datasets
+    * carry (HRRR's Lambert conformal, polar-stereographic sea-ice grids);
+    * the reference resolves these via metpy/pyproj
+    * (util_funcs/projections.py:6-43, conventions.py:44-199). The spherical
+    * closed forms below are Snyder, "Map Projections — A Working Manual"
+    * (USGS PP 1395), eqs. 15-1..15-11 and 21-1..21-15 — public formulas;
+    * NWP grids (HRRR et al.) are defined on exactly this 6371229 m sphere. */
+  sealed trait GridMapping { def radius: Double }
+
+  /** `lambert_conformal_conic`: two standard parallels `lat1`/`lat2`
+    * (degrees), origin (`lat0`, `lon0`). */
+  final case class LambertConformalConic(
+      lat0: Double, lon0: Double, lat1: Double, lat2: Double,
+      radius: Double = 6371229.0) extends GridMapping {
+    private val p1 = math.toRadians(lat1)
+    private val p2 = math.toRadians(lat2)
+    /** Cone constant. */
+    val n: Double =
+      if (lat1 == lat2) math.sin(p1)
+      else math.log(math.cos(p1) / math.cos(p2)) /
+        math.log(math.tan(math.Pi / 4 + p2 / 2) / math.tan(math.Pi / 4 + p1 / 2))
+    val f: Double = math.cos(p1) * math.pow(math.tan(math.Pi / 4 + p1 / 2), n) / n
+    val rho0: Double =
+      radius * f / math.pow(math.tan(math.Pi / 4 + math.toRadians(lat0) / 2), n)
+  }
+
+  /** `polar_stereographic`: `northPole` aspect flag, straight vertical
+    * longitude `lon0`, true-scale (standard) parallel `latTs`. */
+  final case class PolarStereographic(
+      northPole: Boolean, lon0: Double, latTs: Double,
+      radius: Double = 6371229.0) extends GridMapping {
+    /** Scale factor at the pole giving true scale at `latTs` (Snyder 21-7). */
+    val k0: Double =
+      (1.0 + (if (northPole) math.sin(math.toRadians(latTs))
+              else -math.sin(math.toRadians(latTs)))) / 2.0
+  }
+
+  private val D2R = math.Pi / 180.0
+
+  /** Forward (lat, lon in degrees) → (northing, easting in metres). */
+  def project(lat: Column, lon: Column, gm: GridMapping): (Column, Column) = gm match {
+    case m: LambertConformalConic =>
+      val rho = lit(m.radius * m.f) /
+        pow(tan(lit(math.Pi / 4) + lat * lit(D2R / 2)), lit(m.n))
+      val theta = (lon - lit(m.lon0)) * lit(D2R * m.n)
+      val x = rho * sin(theta)
+      val y = lit(m.rho0) - rho * cos(theta)
+      (y, x)
+    case m: PolarStereographic =>
+      // Snyder 21-5..21-10: north aspect y = −ρcos(λ−λ0); south aspect
+      // (mirror through the equator) y = +ρcos(λ−λ0), with pole-relative
+      // latitude s·φ in ρ.
+      val s = if (m.northPole) 1.0 else -1.0
+      val phi = lat * lit(D2R * s)
+      val rho = lit(2.0 * m.radius * m.k0) * tan(lit(math.Pi / 4) - phi / 2)
+      val dl = (lon - lit(m.lon0)) * lit(D2R)
+      val x = rho * sin(dl)
+      val y = negate(rho * cos(dl)) * lit(s)
+      (y, x)
+  }
+
+  /** Inverse (northing, easting in metres) → (lat, lon in degrees). */
+  def unproject(northing: Column, easting: Column, gm: GridMapping): (Column, Column) =
+    gm match {
+      case m: LambertConformalConic =>
+        val dy = lit(m.rho0) - northing
+        val rho = sqrt(easting * easting + dy * dy) * lit(math.signum(m.n))
+        val theta = atan2(easting * lit(math.signum(m.n)), dy * lit(math.signum(m.n)))
+        val lat = (atan(pow(lit(m.radius * m.f) / rho, lit(1.0 / m.n))) * lit(2.0)
+          - lit(math.Pi / 2)) * lit(1.0 / D2R)
+        val lon = lit(m.lon0) + theta * lit(1.0 / (D2R * m.n))
+        (lat, lon)
+      case m: PolarStereographic =>
+        val s = if (m.northPole) 1.0 else -1.0
+        val yn = negate(northing) * lit(s) // = ρ·cos(λ−λ0) in either aspect
+        val rho = sqrt(easting * easting + yn * yn)
+        val phi = lit(math.Pi / 2) - atan(rho / lit(2.0 * m.radius * m.k0)) * lit(2.0)
+        val lat = phi * lit(s / D2R)
+        val lon = lit(m.lon0) + atan2(easting, yn) * lit(1.0 / D2R)
+        (lat, lon)
+    }
+
+  /** C6 over a CF grid mapping — projected `northing`/`easting` columns. */
+  def assignCrs(df: DataFrame, latCol: String, lonCol: String,
+      gm: GridMapping): DataFrame = {
+    val (n, e) = project(col(latCol), col(lonCol), gm)
+    df.withColumn("northing", n).withColumn("easting", e)
+  }
+
+  /** W15 — the CF grid-mapping attrs for a parameterized mapping
+    * (conventions.py:44-199 writes the same keys from pyproj's CF dict). */
+  def cfAttrs(gm: GridMapping): Map[String, String] = gm match {
+    case m: LambertConformalConic => Map(
+      "grid_mapping_name" -> "lambert_conformal_conic",
+      "standard_parallel" -> (if (m.lat1 == m.lat2) s"${m.lat1}" else s"${m.lat1},${m.lat2}"),
+      "latitude_of_projection_origin" -> s"${m.lat0}",
+      "longitude_of_central_meridian" -> s"${m.lon0}",
+      "earth_radius" -> s"${m.radius}")
+    case m: PolarStereographic => Map(
+      "grid_mapping_name" -> "polar_stereographic",
+      "latitude_of_projection_origin" -> (if (m.northPole) "90.0" else "-90.0"),
+      "straight_vertical_longitude_from_pole" -> s"${m.lon0}",
+      "standard_parallel" -> s"${m.latTs}",
+      "earth_radius" -> s"${m.radius}")
+  }
+
   /** W15 — GeoZarr-style CRS convention attrs (conventions.py:44-199):
     * `proj:code`, `proj:wkt2`, `proj:projjson` for the supported EPSG codes.
     * The WKT2/PROJJSON texts are the standard published definitions (EPSG

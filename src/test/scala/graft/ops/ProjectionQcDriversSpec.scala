@@ -32,6 +32,70 @@ class ProjectionQcDriversSpec extends SparkSpec {
     }
   }
 
+  test("Lambert conformal (HRRR-style): origin at (0,0), scale true at the standard parallel") {
+    val m = Projection.LambertConformalConic(38.5, -97.5, 38.5, 38.5)
+    val df = Seq((38.5, -97.5), (38.5, -96.5), (39.5, -97.5)).toDF("lat", "lon")
+    val rows = Projection.assignCrs(df, "lat", "lon", m)
+      .select("lat", "lon", "northing", "easting").collect()
+    val origin = rows.find(r => r.getDouble(0) == 38.5 && r.getDouble(1) == -97.5).get
+    assert(math.abs(origin.getAs[Double]("northing")) < 1e-6)
+    assert(math.abs(origin.getAs[Double]("easting")) < 1e-6)
+    // 1° east at the standard parallel ≈ R·cos(38.5°)·1°·k(=1): ~87 031 m
+    val east = rows.find(_.getDouble(1) == -96.5).get
+    val expectedX = 6371229.0 * math.cos(math.toRadians(38.5)) * math.toRadians(1.0)
+    assert(math.abs(east.getAs[Double]("easting") - expectedX) < 20.0)
+    assert(east.getAs[Double]("northing") > 0.0) // cone curves parallels upward
+    // 1° north along the central meridian ≈ R·1° of arc, x stays 0
+    val north = rows.find(_.getDouble(0) == 39.5).get
+    assert(math.abs(north.getAs[Double]("easting")) < 1e-6)
+    assert(math.abs(north.getAs[Double]("northing") - 6371229.0 * math.toRadians(1.0)) < 300.0)
+  }
+
+  test("LCC with two distinct parallels round-trips tightly") {
+    val m = Projection.LambertConformalConic(40.0, -100.0, 33.0, 45.0)
+    val df = Seq((20.0, -130.0), (55.0, -70.0), (40.0, -100.0), (70.0, -97.0))
+      .toDF("lat", "lon")
+    val proj = Projection.assignCrs(df, "lat", "lon", m)
+    val (latB, lonB) = Projection.unproject(col("northing"), col("easting"), m)
+    assert(proj.filter(abs(latB - col("lat")) > 1e-8 ||
+      abs(lonB - col("lon")) > 1e-8).count() == 0)
+  }
+
+  test("polar stereographic: both aspects, known directions, tight roundtrip") {
+    val n = Projection.PolarStereographic(northPole = true, lon0 = -45.0, latTs = 60.0)
+    // at the pole: (0, 0); at lon0 the point projects straight "down" (y<0)
+    val df = Seq((90.0, 13.0), (70.0, -45.0), (70.0, 45.0)).toDF("lat", "lon")
+    val rows = Projection.assignCrs(df, "lat", "lon", n)
+      .select("lat", "lon", "northing", "easting").collect()
+    val pole = rows.find(_.getDouble(0) == 90.0).get
+    assert(math.abs(pole.getAs[Double]("northing")) < 1e-6 &&
+      math.abs(pole.getAs[Double]("easting")) < 1e-6)
+    val below = rows.find(r => r.getDouble(1) == -45.0).get
+    assert(below.getAs[Double]("northing") < 0 &&
+      math.abs(below.getAs[Double]("easting")) < 1e-6)
+    val right = rows.find(r => r.getDouble(1) == 45.0).get
+    assert(right.getAs[Double]("easting") > 0) // 90° clockwise from lon0
+    // roundtrips, both aspects
+    for (gm <- Seq(n, Projection.PolarStereographic(false, 0.0, -71.0))) {
+      val sign = if (gm.northPole) 1.0 else -1.0
+      val pts = Seq((sign * 85.0, 120.0), (sign * 55.0, -179.0), (sign * 65.0, 0.3))
+        .toDF("lat", "lon")
+      val proj = Projection.assignCrs(pts, "lat", "lon", gm)
+      val (latB, lonB) = Projection.unproject(col("northing"), col("easting"), gm)
+      assert(proj.filter(abs(latB - col("lat")) > 1e-8 ||
+        abs(lonB - col("lon")) > 1e-8).count() == 0, s"aspect north=${gm.northPole}")
+    }
+  }
+
+  test("cfAttrs emit the CF grid-mapping keys") {
+    val lcc = Projection.cfAttrs(Projection.LambertConformalConic(38.5, -97.5, 38.5, 38.5))
+    assert(lcc("grid_mapping_name") == "lambert_conformal_conic")
+    assert(lcc("standard_parallel") == "38.5")
+    val ps = Projection.cfAttrs(Projection.PolarStereographic(false, 0.0, -71.0))
+    assert(ps("grid_mapping_name") == "polar_stereographic")
+    assert(ps("latitude_of_projection_origin") == "-90.0")
+  }
+
   test("isRegularGrid accepts even spacing, rejects jitter (conventions.py:200-260)") {
     val even = (0 until 20).map(i => Tuple1(i * 0.25)).toDF("latitude")
     assert(Projection.isRegularGrid(even, "latitude"))
