@@ -60,12 +60,15 @@ trait DatasetManager extends Logging {
   }
 
   /** O3 — `check_if_new_data` (convenience.py:473-504): newest input end
-    * date vs the store's recorded end. */
+    * date vs the store's recorded end. Opens ONLY the newest file (by the
+    * manifest's natural sort) exactly like the reference — scanning every
+    * input here would waste one full-input pass per run on the
+    * no-new-data path. */
   def checkIfNewData(): Boolean = {
     if (!store.hasExisting) return true
     val files = inputFiles()
     if (files.isEmpty) return false
-    val newestEnd = Manifest.withTimeRanges(spark, files, desc.timeDim)
+    val newestEnd = Manifest.withTimeRanges(spark, Seq(files.last), desc.timeDim)
       .agg(max(col("max_time"))).head().get(0)
     // NTZ columns surface as LocalDateTime, LTZ as java.sql.Timestamp —
     // accept both; an unknown store state (no recorded range) means "new".

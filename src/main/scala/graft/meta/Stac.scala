@@ -40,15 +40,53 @@ final class StacCatalog(spark: SparkSession, rootPath: String) {
   def collectionPath(name: String): String = s"$rootPath/$name/collection.json"
   def itemPath(coll: String, id: String): String = s"$rootPath/$coll/$id.json"
 
+  // ----------------------------------------------------------- link graph
+
+  /** The root↔collection↔item link graph the reference maintains
+    * (metadata.py:332-470 create_stac_collection links, 472-666 item
+    * links): every document carries self/root, children point down
+    * (child/item), non-roots point up (parent/collection). */
+  private def link(rel: String, href: String): JObj =
+    JObj(Seq("rel" -> JStr(rel), "href" -> JStr(href),
+      "type" -> JStr("application/json")))
+
+  /** Append a link unless an identical (rel, href) is already present —
+    * re-publishes must not grow duplicate edges. */
+  private def withLink(doc: JObj, rel: String, href: String): JObj = {
+    val links = doc.get("links").collect { case JArr(ls) => ls }.getOrElse(Seq.empty)
+    val dup = links.exists {
+      case o: JObj =>
+        o.get("rel").contains(JStr(rel)) && o.get("href").contains(JStr(href))
+      case _ => false
+    }
+    if (dup) doc else doc.updated("links", JArr(links :+ link(rel, href)))
+  }
+
+  private def withLinks(doc: JObj, ls: Seq[(String, String)]): JObj =
+    ls.foldLeft(doc) { case (d, (rel, href)) => withLink(d, rel, href) }
+
+  /** Links of a document as (rel, href) pairs — catalog consumers walk
+    * these. */
+  def links(doc: JValue): Seq[(String, String)] = doc match {
+    case o: JObj => o.get("links").collect { case JArr(ls) => ls }
+      .getOrElse(Seq.empty).collect {
+        case l: JObj =>
+          (l.get("rel").collect { case JStr(r) => r }.getOrElse(""),
+            l.get("href").collect { case JStr(h) => h }.getOrElse(""))
+      }
+    case _ => Seq.empty
+  }
+
   /** Root catalog, created once (metadata.py:271-330). */
   def ensureRootCatalog(id: String, description: String): JObj =
     read(catalogPath).collect { case o: JObj => o }.getOrElse {
-      val cat = JObj(Seq(
+      val cat = withLinks(JObj(Seq(
         "type" -> JStr("Catalog"),
         "stac_version" -> JStr("1.0.0"),
         "id" -> JStr(id),
         "description" -> JStr(description),
-        "links" -> JArr(Seq.empty)))
+        "links" -> JArr(Seq.empty))),
+        Seq("self" -> catalogPath, "root" -> catalogPath))
       write(catalogPath, cat)
       cat
     }
@@ -83,7 +121,12 @@ final class StacCatalog(spark: SparkSession, rootPath: String) {
         (merged, s, e)
       case None => (bbox, intervalStart, intervalEnd)
     }
-    val coll = JObj(Seq(
+    // carry forward previously-linked items — a bbox/interval update must
+    // not orphan the collection's item edges (metadata.py:332-470)
+    val priorLinks = existing.map(o => JArr(
+      o.get("links").collect { case JArr(ls) => ls }.getOrElse(Seq.empty)))
+      .getOrElse(JArr(Seq.empty))
+    val coll = withLinks(JObj(Seq(
       "type" -> JStr("Collection"),
       "stac_version" -> JStr("1.0.0"),
       "id" -> JStr(name),
@@ -93,8 +136,15 @@ final class StacCatalog(spark: SparkSession, rootPath: String) {
         "spatial" -> JObj(Seq("bbox" -> JArr(Seq(JArr(newBbox.map(JNum(_))))))),
         "temporal" -> JObj(Seq("interval" -> JArr(Seq(JArr(Seq(
           JStr(newStart), JStr(newEnd))))))))),
-      "links" -> JArr(Seq.empty)))
+      "links" -> priorLinks)),
+      Seq("self" -> collectionPath(name), "root" -> catalogPath,
+        "parent" -> catalogPath))
     write(collectionPath(name), coll)
+    // and the downward edge: catalog → child collection
+    read(catalogPath).collect { case o: JObj => o }.foreach { cat =>
+      val linked = withLink(cat, "child", collectionPath(name))
+      if (linked ne cat) write(catalogPath, linked)
+    }
     coll
   }
 
@@ -136,7 +186,7 @@ final class StacCatalog(spark: SparkSession, rootPath: String) {
         "time_resolution" -> JStr(desc.timeResolution.toString)) ++
       dimSizes.toSeq.sortBy(_._1).map { case (d, n) => s"dim_size:$d" -> JNum(n.toDouble) } ++
       extraProperties.toSeq.sortBy(_._1).map { case (k, v) => k -> JStr(v) }
-    val item = JObj(Seq(
+    val item = withLinks(JObj(Seq(
       "type" -> JStr("Feature"),
       "stac_version" -> JStr("1.0.0"),
       "id" -> JStr(id),
@@ -145,8 +195,15 @@ final class StacCatalog(spark: SparkSession, rootPath: String) {
       "collection" -> JStr(coll),
       "properties" -> JObj(props),
       "links" -> JArr(Seq.empty),
-      "assets" -> JObj(Seq.empty)))
+      "assets" -> JObj(Seq.empty))),
+      Seq("self" -> path, "root" -> catalogPath,
+        "parent" -> collectionPath(coll), "collection" -> collectionPath(coll)))
     write(path, item)
+    // downward edge: collection → item
+    read(collectionPath(coll)).collect { case o: JObj => o }.foreach { c =>
+      val linked = withLink(c, "item", path)
+      if (linked ne c) write(collectionPath(coll), linked)
+    }
     item
   }
 

@@ -113,31 +113,57 @@ final class GridStore(
   def attrsPath: String = s"$path/_graft_metadata/attrs.json"
   private def dataPath: String = s"$path/data"
 
-  /** Metadata-only read-modify-write of the attrs sidecar
-    * (store.py:200-247). */
-  def readAttrs(): Map[String, String] = {
+  /** Attrs sidecar as the full JSON AST — provider metadata is arbitrarily
+    * nested JSON in the reference (store.py:26-46's encoder); nested values
+    * survive read-modify-write untouched. */
+  def readAttrsJson(): graft.meta.JObj = {
     val fs = fileSystem(spark, path)
     val p = new HPath(attrsPath)
-    if (!fs.exists(p)) Map.empty
+    if (!fs.exists(p)) graft.meta.JObj(Seq.empty)
     else {
       val in = fs.open(p)
-      try parseFlatJson(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+      try graft.meta.JValue.parse(
+          new String(in.readAllBytes(), StandardCharsets.UTF_8)) match {
+        case o: graft.meta.JObj => o
+        case _ => graft.meta.JObj(Seq.empty)
+      }
       finally in.close()
     }
   }
 
-  def writeAttrs(attrs: Map[String, String]): Unit = {
+  def writeAttrsJson(attrs: graft.meta.JObj): Unit = {
     val fs = fileSystem(spark, path)
     val out = fs.create(new HPath(attrsPath), true)
-    try out.write(renderFlatJson(attrs).getBytes(StandardCharsets.UTF_8))
+    try out.write(attrs.render.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 
+  /** Nested-safe partial update: only the given keys change. */
+  def patchAttrsJson(patch: Map[String, graft.meta.JValue]): Unit =
+    writeAttrsJson(patch.toSeq.sortBy(_._1).foldLeft(readAttrsJson()) {
+      case (o, (k, v)) => o.updated(k, v)
+    })
+
+  /** Metadata-only read of the attrs sidecar as flat strings
+    * (store.py:200-247) — string values verbatim, nested values rendered
+    * to compact JSON (so flat consumers keep working over nested docs). */
+  def readAttrs(): Map[String, String] =
+    readAttrsJson().fields.map { case (k, v) =>
+      k -> (v match {
+        case graft.meta.JStr(s) => s
+        case other => other.render
+      })
+    }.toMap
+
+  def writeAttrs(attrs: Map[String, String]): Unit =
+    writeAttrsJson(graft.meta.JObj(
+      attrs.toSeq.sortBy(_._1).map { case (k, v) => k -> graft.meta.JStr(v) }))
+
   /** W8 partial update: patch only the given keys, preserving the rest —
-    * the failure path must never clobber unrelated attrs
-    * (publish.py:211-266). */
+    * including NESTED values of untouched keys; the failure path must
+    * never clobber unrelated attrs (publish.py:211-266). */
   def patchAttrs(patch: Map[String, String]): Unit =
-    writeAttrs(readAttrs() ++ patch)
+    patchAttrsJson(patch.map { case (k, v) => k -> (graft.meta.JStr(v): graft.meta.JValue) })
 
   // --------------------------------------------------- commit marker (W6)
 
@@ -157,7 +183,8 @@ final class GridStore(
     patchAttrs(Map(UpdateInProgressKey -> "true"))
     try {
       write
-      writeAttrs(readAttrs() ++ postAttrs + (UpdateInProgressKey -> "false"))
+      // patch (not read++write-all): nested attrs of untouched keys survive
+      patchAttrs(postAttrs + (UpdateInProgressKey -> "false"))
     } catch {
       case e: Throwable =>
         patchAttrs(Map(UpdateInProgressKey -> "false"))
@@ -352,10 +379,10 @@ final class GridStore(
       else Seq.empty)
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val (lo, hi) = (r.getString(0), r.getString(1))
+    val prior = readAttrs() // one sidecar read serves bbox merge + ranges
     val bboxAttrs =
       if (!hasBbox) Map.empty[String, String]
       else {
-        val prior = readAttrs()
         // union-extend the prior bbox (metadata.py bbox merge semantics)
         def d(i: Int) = r.getDouble(i)
         val merged = prior.get("bbox") match {
@@ -367,7 +394,6 @@ final class GridStore(
         }
         Map("bbox" -> merged.mkString(","))
       }
-    val prior = readAttrs()
     val start = if (isUpdate) prior.getOrElse("date_range_start", lo) else lo
     val priorEnd = prior.get("date_range_end")
     val end = priorEnd.filter(_ > hi).getOrElse(hi)
@@ -391,47 +417,6 @@ object GridStore {
   def fileSystem(spark: SparkSession, path: String): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  // Minimal flat string→string JSON codec for the attrs sidecar (the
-  // reference's attrs are JSON-able dicts; flat strings suffice here and
-  // keep the sidecar greppable).
-  private[store] def renderFlatJson(m: Map[String, String]): String =
-    m.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }
-      .mkString("{", ",\n ", "}")
-
-  private def q(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
-
-  private[store] def parseFlatJson(s: String): Map[String, String] = {
-    // Tolerant parser for the codec above (flat object, string values).
-    val pair = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
-    pair.findAllMatchIn(s).map(m => unq(m.group(1)) -> unq(m.group(2))).toMap
-  }
-
-  private def unq(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case '"' => sb += '"'; i += 2
-          case '\\' => sb += '\\'; i += 2
-          case 'n' => sb += '\n'; i += 2
-          case 'r' => sb += '\r'; i += 2
-          case 't' => sb += '\t'; i += 2
-          case 'u' =>
-            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
-          case other => sb += other; i += 2
-        }
-      } else { sb += c; i += 1 }
-    }
-    sb.toString
-  }
+  // The attrs sidecar codec is the shared graft.meta JSON AST (nested
+  // values first-class, store.py:26-46 parity); see read/writeAttrsJson.
 }

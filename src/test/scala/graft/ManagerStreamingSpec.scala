@@ -52,6 +52,21 @@ class ManagerStreamingSpec extends SparkSpec {
     assert(mgr.getMetadataDateRange().map(_._2.toString) == Some("2024-01-08T00:00"))
   }
 
+  test("checkIfNewData opens only the NEWEST manifest file (convenience.py:473-504)") {
+    val root = Files.createTempDirectory("mgr_newest").toString
+    val mgr = new TestManager(root)
+    dailyGrid(1, 6).write.parquet(s"${mgr.inputDir}/batch1")
+    mgr.run()
+    assert(!mgr.checkIfNewData())
+    // new data placed in a file that sorts BEFORE the newest: the
+    // single-file check (the reference's exact semantics) must not see it…
+    dailyGrid(9, 1).write.parquet(s"${mgr.inputDir}/batch0_earlier_name")
+    assert(!mgr.checkIfNewData())
+    // …and new data in the newest-sorted file is seen
+    dailyGrid(9, 1).write.parquet(s"${mgr.inputDir}/batch2")
+    assert(mgr.checkIfNewData())
+  }
+
   test("manager extract guard rejects ranges before dataset start (O2)") {
     val root = Files.createTempDirectory("mgr_spec2").toString
     val mgr = new TestManager(root) {

@@ -63,4 +63,48 @@ class StacSpec extends SparkSpec {
     assert(props.get("dim_size:time") == Some(JNum(60)))
     assert(props.get("end_datetime") == Some(JStr("2024-02-29T00:00:00Z")))
   }
+
+  test("link graph is walkable root→collection→item and back (metadata.py:332-666)") {
+    val cat = newCat()
+    cat.ensureRootCatalog("root", "d")
+    cat.upsertCollection("collA", Seq(0.0, 0.0, 1.0, 1.0),
+      "2024-01-01T00:00:00Z", "2024-02-01T00:00:00Z")
+    cat.pushItem("collA", "item1", Seq(0.0, 0.0, 1.0, 1.0),
+      "2024-01-01T00:00:00Z", "2024-01-31T00:00:00Z", desc, Map("time" -> 31L))
+    cat.pushItem("collA", "item2", Seq(0.0, 0.0, 1.0, 1.0),
+      "2024-02-01T00:00:00Z", "2024-02-29T00:00:00Z", desc, Map("time" -> 29L))
+
+    // walk DOWN: catalog → child href → collection → item hrefs → items
+    val root = JValue.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cat.catalogPath))))
+    val childHrefs = cat.links(root).collect { case ("child", h) => h }
+    assert(childHrefs == Seq(cat.collectionPath("collA")))
+    val coll = cat.readCollection("collA").get
+    val itemHrefs = cat.links(coll).collect { case ("item", h) => h }
+    assert(itemHrefs.toSet ==
+      Set(cat.itemPath("collA", "item1"), cat.itemPath("collA", "item2")))
+    // walk UP: item → parent/collection/root
+    val item = cat.readItem("collA", "item1").get
+    val up = cat.links(item).toMap
+    assert(up("parent") == cat.collectionPath("collA"))
+    assert(up("collection") == cat.collectionPath("collA"))
+    assert(up("root") == cat.catalogPath)
+    assert(up("self") == cat.itemPath("collA", "item1"))
+    // collection points up too
+    val collUp = cat.links(coll).toMap
+    assert(collUp("parent") == cat.catalogPath && collUp("root") == cat.catalogPath)
+
+    // idempotence: re-push and re-upsert grow NO duplicate edges, and the
+    // collection's item links survive the extent update
+    cat.pushItem("collA", "item1", Seq(0.0, 0.0, 1.0, 1.0),
+      "2024-01-01T00:00:00Z", "2024-01-31T00:00:00Z", desc, Map("time" -> 31L))
+    cat.upsertCollection("collA", Seq(-1.0, 0.0, 1.0, 1.0),
+      "2024-01-01T00:00:00Z", "2024-03-01T00:00:00Z")
+    val coll2 = cat.readCollection("collA").get
+    assert(cat.links(coll2).collect { case ("item", h) => h }.toSet == itemHrefs.toSet)
+    assert(cat.links(coll2).size == cat.links(coll).size)
+    val root2 = JValue.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cat.catalogPath))))
+    assert(cat.links(root2).collect { case ("child", h) => h }.size == 1)
+  }
 }

@@ -127,9 +127,29 @@ class GridStoreSpec extends SparkSpec {
     assert(store.dataset().count() == 16)
   }
 
-  test("attrs JSON codec round-trips escapes") {
+  test("attrs sidecar round-trips escapes AND nested JSON; flat patch preserves nesting") {
+    import graft.meta._
+    val store = newStore()
     val m = Map("a\"b" -> "line1\nline2", "tab" -> "x\ty", "plain" -> "v")
-    assert(GridStore.parseFlatJson(GridStore.renderFlatJson(m)) == m)
+    store.writeAttrs(m)
+    assert(store.readAttrs() == m)
+    // nested provider metadata (store.py:26-46): full AST round-trip
+    val nested = JObj(Seq(
+      "provider" -> JObj(Seq(
+        "name" -> JStr("acme"),
+        "ids" -> JArr(Seq(JNum(1), JNum(2), JNum(3))),
+        "active" -> JBool(true),
+        "notes" -> JNull)),
+      "plain" -> JStr("v")))
+    store.writeAttrsJson(nested)
+    assert(store.readAttrsJson() == nested)
+    // a flat string patch must not clobber the untouched nested value
+    store.patchAttrs(Map("plain" -> "v2", "extra" -> "w"))
+    val after = store.readAttrsJson()
+    assert(after.get("provider") == nested.get("provider"))
+    assert(after.get("plain").contains(JStr("v2")))
+    // the flat view renders nested values to compact JSON
+    assert(store.readAttrs()("provider").contains("\"name\":\"acme\""))
   }
 
   test("readRange / readBuckets prune bucket partitions in the plan") {
