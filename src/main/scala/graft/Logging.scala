@@ -1,20 +1,70 @@
 package graft
 
+import java.io.{FileWriter, PrintWriter}
+import java.time.format.DateTimeFormatter
+
 import org.slf4j.{Logger, LoggerFactory}
 
 /** O6 — per-dataset logging mixin (utils/logging.py:8-256): messages carry
-  * the dataset identity; level routing/file handlers are log4j2
-  * configuration, not code. */
+  * the dataset identity and — when `logFilePath` is set — also append to a
+  * per-dataset log file with timestamps, the analog of the reference's
+  * per-dataset INFO/DEBUG FileHandlers. slf4j routing stays the backend's
+  * (log4j2) configuration.
+  */
 trait Logging {
   /** Dataset identity stamped on every message. */
   def logName: String
 
+  /** Per-dataset log file (logging.py:64-132's `<dataset>.log`); None (the
+    * default) keeps logging purely on slf4j. */
+  protected def logFilePath: Option[String] = None
+
   @transient protected lazy val log: Logger =
     LoggerFactory.getLogger(s"graft.${logName}")
 
-  protected def info(msg: => String): Unit = if (log.isInfoEnabled) log.info(msg)
-  protected def debug(msg: => String): Unit = if (log.isDebugEnabled) log.debug(msg)
-  protected def warn(msg: => String): Unit = log.warn(msg)
-  protected def error(msg: => String, t: Throwable = null): Unit =
+  @transient private lazy val fileSink: Option[PrintWriter] =
+    logFilePath.map { p =>
+      val f = new java.io.File(p)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      new PrintWriter(new FileWriter(f, true), true)
+    }
+
+  private def toFile(level: String, msg: String): Unit = fileSink.foreach { w =>
+    val ts = java.time.LocalDateTime.now()
+      .format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    w.println(s"$ts $level graft.$logName: $msg")
+  }
+
+  protected def info(msg: => String): Unit = {
+    if (log.isInfoEnabled) log.info(msg)
+    toFile("INFO", msg)
+  }
+  protected def debug(msg: => String): Unit = {
+    if (log.isDebugEnabled) log.debug(msg)
+    toFile("DEBUG", msg)
+  }
+  protected def warn(msg: => String): Unit = {
+    log.warn(msg)
+    toFile("WARN", msg)
+  }
+  protected def error(msg: => String, t: Throwable = null): Unit = {
     if (t == null) log.error(msg) else log.error(msg, t)
+    toFile("ERROR", if (t == null) msg else s"$msg: ${t}")
+  }
+}
+
+object Logging {
+  /** The reference's `sys.excepthook` analog (logging.py:134-256): route
+    * uncaught driver-thread exceptions through a logger before the JVM's
+    * default handling. Installed once; chains to the prior handler. */
+  def installExcepthook(logger: Logger =
+      LoggerFactory.getLogger("graft.uncaught")): Unit = synchronized {
+    val prior = Thread.getDefaultUncaughtExceptionHandler
+    Thread.setDefaultUncaughtExceptionHandler(new Thread.UncaughtExceptionHandler {
+      override def uncaughtException(t: Thread, e: Throwable): Unit = {
+        logger.error(s"Uncaught exception in thread ${t.getName}", e)
+        if (prior != null) prior.uncaughtException(t, e)
+      }
+    })
+  }
 }

@@ -54,11 +54,14 @@ object Qc {
     }
     // The deterministic limit(n) arm guarantees the check sees cells even
     // when the fraction undershoots (tiny inputs); CollectLimit reads only
-    // the first partitions, so it stays cheap at scale.
+    // the first partitions, so it stays cheap at scale. distinct() keeps a
+    // cell that lands in BOTH arms from being reported twice (identical
+    // violating rows collapse too — fine for a sampled report).
     df.sample(withReplacement = false, fraction, seed)
       .limit(n * 10)
       .unionAll(df.limit(n))
       .filter(valueViolation(desc))
+      .distinct()
       .limit(n)
   }
 

@@ -122,11 +122,33 @@ object Extract {
   }
 
   /** S5 — anonymous FTP via the JDK's ftp: URL handler (extractor.py:749-939):
-    * regex listing is not available without a control-channel client, so
-    * `find` expects the caller to supply the listing; downloads stream per
-    * URL (one connection each, like the reference's per-request connects). */
+    * downloads stream per URL (one connection each, like the reference's
+    * per-request connects); directory listings come from the handler's
+    * NLST stream on a directory URL, and `find` filters them by regex
+    * (extractor.py:904-921's ftp.nlst + re.search). */
   final class FtpExtractor(retries: Int = 5, backoffSeconds: Double = 1.0,
       sleeper: Long => Unit = Thread.sleep) {
+
+    /** Names in the cwd listing (the JDK ftp handler streams NLST output
+      * for a directory URL; entries may arrive as full paths — reduced to
+      * basenames like the reference's nlst view). */
+    def listDirectory(dirUrl: String): Seq[String] =
+      retryWithBackoff(retries, backoffSeconds, sleeper = sleeper) { () =>
+        val url = if (dirUrl.endsWith("/")) dirUrl else dirUrl + "/"
+        val in = URI.create(url).toURL.openStream()
+        try scala.io.Source.fromInputStream(in).getLines()
+          .map(_.trim).filter(_.nonEmpty)
+          .map(l => l.substring(l.lastIndexOf('/') + 1))
+          .toList
+        finally in.close()
+      }
+
+    /** S5 `find`: listing entries matching `pattern`. `lister` is
+      * injectable for offline tests (and for servers whose LIST format
+      * needs custom parsing). */
+    def find(dirUrl: String, pattern: scala.util.matching.Regex,
+        lister: String => Seq[String] = listDirectory): Seq[String] =
+      lister(dirUrl).filter(n => pattern.findFirstIn(n).isDefined)
     def download(url: String, dest: Path): Unit = {
       Files.createDirectories(dest.getParent)
       retryWithBackoff(retries, backoffSeconds, sleeper = sleeper) { () =>

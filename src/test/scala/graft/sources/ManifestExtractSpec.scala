@@ -106,6 +106,17 @@ class ManifestExtractSpec extends SparkSpec {
     assert(links == Seq("http://example.com/data/f1.nc", "http://example.com/data/sub/f2.nc"))
   }
 
+  test("FtpExtractor.find filters a cwd listing by regex (extractor.py:904-921)") {
+    val ftp = new Extract.FtpExtractor(retries = 1)
+    val listing = Seq("chirps-v2.0.2024.01.days_p05.nc", "chirps-v2.0.2024.02.days_p05.nc",
+      "readme.txt", "old/chirps-v2.0.1999.01.days_p05.nc")
+      .map(l => l.substring(l.lastIndexOf('/') + 1))
+    val found = ftp.find("ftp://example.com/pub/",
+      raw"chirps-v2\.0\.2024\.\d\d\.days_p05\.nc".r, lister = _ => listing)
+    assert(found == Seq("chirps-v2.0.2024.01.days_p05.nc", "chirps-v2.0.2024.02.days_p05.nc"))
+    assert(ftp.find("ftp://example.com/pub/", "nope".r, lister = _ => listing).isEmpty)
+  }
+
   test("archiveOriginals moves files into <dir>_originals (transform.py:521-537)") {
     val root = java.nio.file.Files.createTempDirectory("arch").toString
     val in = java.nio.file.Paths.get(root, "input")
