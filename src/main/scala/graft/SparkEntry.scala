@@ -377,22 +377,17 @@ object SparkEntry {
       Dedup.exactDedup(dupDocs(s, dir), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")),
 
-    // Differential recall gate (upgraded from rows-only): every EXACT
-    // Jaccard-0.9 pair must appear among the LSH candidates. The exact
-    // pairs are DuckDB-computable; `in_candidates` makes missed recall a
-    // hash mismatch. Miss probability per pair at j=0.9 with 64 hashes /
-    // 16 bands is (1−0.9⁴)¹⁶ ≈ 4e-8 — and deterministic for fixed data.
-    "q29_minhash_pairs" -> ((s, dir) => {
-      val dup = dupDocs(s, dir)
-      val cands = Dedup.minhashCandidatePairs(dup, "doc_id", "text",
-          shingleSize = 3, numHashes = 64, bands = 16)
-        .select(col("doc_a"), col("doc_b"), lit(true).as("__found"))
-      Dedup.ngramJaccardPairs(dup, "doc_id", "text", 3, 0.9)
-        .join(cands, Seq("doc_a", "doc_b"), "left")
-        .select(col("doc_a"), col("doc_b"), col("jaccard"),
-          coalesce(col("__found"), lit(false)).as("in_candidates"))
-        .orderBy("doc_a", "doc_b")
-    }),
+    // Differential recall gate (upgraded from rows-only): LSH candidates,
+    // exact-verified at j ≥ 0.9, must equal DuckDB's full exact pair set —
+    // a candidate the bands MISS surfaces as a missing row. Exact Jaccard
+    // runs only on candidate pairs (the scale-correct nearDupPairs shape),
+    // not as a corpus-wide join. Miss probability per pair at j=0.9 with
+    // 64 hashes / 16 bands is (1−0.9⁴)¹⁶ ≈ 4e-8 — deterministic for
+    // fixed data.
+    "q29_minhash_pairs" -> ((s, dir) =>
+      Dedup.nearDupPairs(dupDocs(s, dir), "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.9)
+        .orderBy("doc_a", "doc_b")),
 
     "q30_near_dedup" -> ((s, dir) =>
       Dedup.nearDupPairs(table(s, dir, "documents"), "doc_id", "text",
@@ -912,13 +907,9 @@ object SparkEntry {
     "q30_near_dedup" -> jaccardOracle("0.9"),
     "q31_ngram_jaccard" -> jaccardOracle("0.5"),
 
-    "q29_minhash_pairs" -> {
-      val dupFrom = "(SELECT doc_id, text FROM documents " +
-        "UNION ALL SELECT doc_id + 100000, text FROM documents) ad"
-      s"""SELECT doc_a, doc_b, jaccard, TRUE AS in_candidates
-         |FROM (${jaccardOracle("0.9", dupFrom)}) t
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "q29_minhash_pairs" -> jaccardOracle("0.9",
+      "(SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 100000, text FROM documents) ad"),
 
     // exhaustive-probe ANN == brute force: same SQL as q39
     "q41_ann_topk" ->
