@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{ShinglePairHashes, VectorDot}
+import graft.expressions.{ShinglePairHashes, SimHash64Expr, SrpBucketExpr, VectorDot}
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
   * as SQL functions so `spark.sql` users get the same codegen'd hot paths
@@ -47,6 +47,24 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "vector_dot(a, b) takes exactly 2 arguments")
         VectorDot(children.head, children(1))
+      }),
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash64(text) takes exactly 1 argument")
+        SimHash64Expr(children.head)
+      }),
+    (new FunctionIdentifier("srp_bucket"),
+      new ExpressionInfo(classOf[SrpBucketExpr].getName, "srp_bucket"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "srp_bucket(vec, dim, nBits) takes exactly 3 arguments")
+        val Seq(dim, nBits) = children.drop(1).map {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"srp_bucket: dim/nBits must be integer literals, got $other")
+        }
+        SrpBucketExpr(children.head, dim, nBits)
       }))
 
   /** Register on an already-built session (extensions only apply at build

@@ -669,6 +669,22 @@ object SparkEntry {
         .orderBy("tail", "chunk", "len")
     }),
 
+    // --- PII scrub (training-data masking; gate made non-vacuous by a
+    // deterministic augmentation both engines construct identically) ---
+    "q65_pii_scrub" -> ((s, dir) => {
+      val aug = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com and https://example.com/d/"),
+          col("doc_id").cast("string"), lit("?x=1 tail")).as("aug"))
+      aug.select(col("doc_id"),
+          graft.functions.Text.scrubPii(col("aug")).as("scrubbed"),
+          regexp_count(col("aug"), lit(graft.functions.Text.EmailRe))
+            .cast("long").as("n_emails"),
+          regexp_count(col("aug"), lit(graft.functions.Text.UrlRe))
+            .cast("long").as("n_urls"))
+        .orderBy("doc_id")
+    }),
+
     // --- parameterized CF grid mappings (C6/W15 beyond 4326/3857) ---
     "q63_lcc_roundtrip" -> ((s, dir) => {
       // HRRR-style Lambert conformal conic over CONUS-ish points
@@ -1086,6 +1102,22 @@ object SparkEntry {
         |(CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT), '1'),
         |(CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(7 AS BIGINT), '5,2'))
         |AS t(tail, chunk, len, chunks) ORDER BY tail, chunk, len""".stripMargin,
+
+    "q65_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[A-Za-z0-9./_%?=&#-]+"
+      s"""WITH aug AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |       || '@example.com and https://example.com/d/'
+         |       || CAST(doc_id AS VARCHAR) || '?x=1 tail' AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(aug, '$email', '<EMAIL>', 'g'),
+         |                 '$url', '<URL>', 'g') AS scrubbed,
+         |  CAST(len(regexp_extract_all(aug, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(aug, '$url')) AS BIGINT) AS n_urls
+         |FROM aug ORDER BY doc_id""".stripMargin
+    },
 
     "q63_lcc_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_bad",
     "q64_polar_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_bad",

@@ -188,4 +188,17 @@ object Text {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(1125899906842597L),
       (acc, t) => xxhash64(acc, t))
+
+  /** PII scrub patterns — deliberately RE2-compatible (no lookarounds, no
+    * shorthand classes) so the DuckDB oracle runs the IDENTICAL pattern
+    * text; both engines' regexp_replace are global. */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe: String = "https?://[A-Za-z0-9./_%?=&#-]+"
+
+  /** PII masking before training: emails → <EMAIL> first, then URLs →
+    * <URL> (an email never contains "://", so the order only matters for
+    * URL userinfo, where the email match wins deterministically in both
+    * engines). Pure codegen'd regexp_replace — one pass per pattern. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
 }

@@ -33,4 +33,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assertThrows[Exception](
       spark.sql("SELECT vector_dot(array(CAST(1.0 AS FLOAT)))").collect())
   }
+
+  test("simhash64 and srp_bucket callable from SQL, match the Scala API") {
+    GraftExtensions.register(spark)
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val viaSql = spark.sql("SELECT simhash64('the quick brown fox') AS h")
+      .head().getLong(0)
+    val viaApi = Seq("the quick brown fox").toDF("t")
+      .select(graft.functions.Dedup.simhash64(col("t"))).head().getLong(0)
+    assert(viaSql == viaApi)
+    val bSql = spark.sql(
+      "SELECT srp_bucket(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT)), 2, 8) AS b")
+      .head().getLong(0)
+    val bApi = Seq(Seq(0.5f, -1.5f)).toDF("v")
+      .select(graft.functions.Similarity.srpBucket(col("v"), 2, 8))
+      .head().getLong(0)
+    assert(bSql == bApi)
+  }
 }

@@ -154,4 +154,18 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L)._1 == 0.0)
     assert(out(4L) == ((0.0, 0.0)))
   }
+
+  test("scrubPii masks emails then URLs, leaves clean text alone") {
+    val sp2 = spark; import sp2.implicits._
+    val df = Seq(
+      "write to a.user+tag@sub.example.org today",
+      "docs at https://example.com/a/b?x=1&y=2#frag now",
+      "both bob@example.com and http://example.com/z",
+      "nothing to scrub here").toDF("t")
+    val got = df.select(Text.scrubPii(col("t"))).as[String].collect()
+    assert(got(0) == "write to <EMAIL> today")
+    assert(got(1) == "docs at <URL> now")
+    assert(got(2) == "both <EMAIL> and <URL>")
+    assert(got(3) == "nothing to scrub here")
+  }
 }
