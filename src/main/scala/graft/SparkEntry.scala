@@ -105,21 +105,33 @@ object SparkEntry {
       data(i) = r.getAs[Long]("count") * 4.0
     }
     val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_nc_$sf/events_grid.nc"
-    NcFormat.writeFile(s, path,
-      dims = Seq("time" -> days.length, "slot" -> 10),
-      vars = Seq(
-        NcFormat.WriteVar("time", Seq("time"), NcFormat.NcInt,
-          days.map(d => java.time.temporal.ChronoUnit.DAYS.between(epoch, d).toDouble).toArray,
-          attrs = Seq("units" -> "days since 2020-01-01", "calendar" -> "standard")),
-        NcFormat.WriteVar("slot", Seq("slot"), NcFormat.NcInt,
-          Array.tabulate(10)(_.toDouble)),
-        NcFormat.WriteVar("cnt", Seq("time", "slot"), NcFormat.NcInt, data,
-          nattrs = Seq(
-            ("scale_factor", NcFormat.NcDouble, Array(0.25)),
-            ("_FillValue", NcFormat.NcInt, Array(fillRaw))))),
-      recordDim = Some("time"))
-    (path, days.head)
+    val ncDir = s"${System.getProperty("java.io.tmpdir")}/graft_nc_$sf"
+    // wipe stale fixture layouts (file count/naming may change across builds)
+    GridStore.fileSystem(s, ncDir)
+      .delete(new org.apache.hadoop.fs.Path(ncDir), true)
+    // Two files split along the record dim — the scan sees the DIRECTORY
+    // as one dataset (the multi-file kerchunk-combine analog, S10), and
+    // q62's time predicate prunes non-overlapping files at planning time.
+    val nSplit = if (days.length >= 4) days.length / 2 else days.length
+    val parts = Seq((0, nSplit), (nSplit, days.length)).filter(p => p._2 > p._1)
+    parts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      NcFormat.writeFile(s, s"$ncDir/events_grid_$i.nc",
+        dims = Seq("time" -> (hi - lo), "slot" -> 10),
+        vars = Seq(
+          NcFormat.WriteVar("time", Seq("time"), NcFormat.NcInt,
+            days.slice(lo, hi).map(d =>
+              java.time.temporal.ChronoUnit.DAYS.between(epoch, d).toDouble).toArray,
+            attrs = Seq("units" -> "days since 2020-01-01", "calendar" -> "standard")),
+          NcFormat.WriteVar("slot", Seq("slot"), NcFormat.NcInt,
+            Array.tabulate(10)(_.toDouble)),
+          NcFormat.WriteVar("cnt", Seq("time", "slot"), NcFormat.NcInt,
+            data.slice(lo * 10, hi * 10),
+            nattrs = Seq(
+              ("scale_factor", NcFormat.NcDouble, Array(0.25)),
+              ("_FillValue", NcFormat.NcInt, Array(fillRaw))))),
+        recordDim = Some("time"))
+    }
+    (ncDir, days.head)
   }
 
   private val EventsDesc = DatasetDescriptor(
