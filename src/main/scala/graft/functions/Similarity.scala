@@ -173,6 +173,70 @@ object Similarity {
       .limit(k)
   }
 
+  /** The IVF scale path made concrete: compute the assignment ONCE and
+    * write it partitioned by list id (plus a centroids sidecar), so every
+    * subsequent probe is a partition-pruned scan over only the probed
+    * lists — no per-query assignment pass. Returns the centroids. */
+  def ivfWriteAssigned(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nCentroids: Int = 16,
+      seed: Long = 42L): Seq[Seq[Float]] = {
+    val cents = ivfCentroids(df, idCol, vecCol, nCentroids, seed)
+    ivfAssign(df, vecCol, cents)
+      .write.partitionBy("__ivf_bucket").mode("overwrite").parquet(path)
+    val sidecar = graft.meta.JArr(cents.map(c =>
+      graft.meta.JArr(c.map(v => graft.meta.JNum(v.toDouble)))))
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_centroids.json"), true)
+    try out.write(sidecar.render.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    cents
+  }
+
+  /** Centroids persisted by [[ivfWriteAssigned]]. */
+  def ivfReadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Float]] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_centroids.json"))
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    graft.meta.JValue.parse(text) match {
+      case graft.meta.JArr(cs) => cs.map {
+        case graft.meta.JArr(vs) =>
+          vs.collect { case graft.meta.JNum(n) => n.toFloat }.toSeq
+        case other => throw new IllegalArgumentException(s"Bad centroid $other")
+      }
+      case other => throw new IllegalArgumentException(s"Bad centroids doc $other")
+    }
+  }
+
+  /** ANN over a written assignment: the `__ivf_bucket` isin filter is a
+    * PARTITION filter on the layout `ivfWriteAssigned` produced — only the
+    * probed lists' files are read (plan-shape asserted in the spec). */
+  def ivfTopKAssigned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val cents = ivfReadCentroids(spark, path)
+    val probes = ivfProbes(query, cents, nProbe)
+    val q = array(query.map(v => lit(v)): _*)
+    spark.read.parquet(path)
+      .filter(col("__ivf_bucket").isin(probes: _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** SRP bits sized to the corpus: expected bucket occupancy n/2^bits ≈
     * `targetBucket`, so the within-bucket all-pairs work stays
     * ~n·targetBucket/2 comparisons TOTAL as the corpus grows, instead of

@@ -101,4 +101,36 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", query, 10)
     assert(rAll.collect().map(_.toSeq).toSeq == exact.collect().map(_.toSeq).toSeq)
   }
+
+  test("ivfWriteAssigned → ivfTopKAssigned: partition-pruned probes, exhaustive == brute force") {
+    val sp2 = spark; import sp2.implicits._
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 0.53 + d * 0.77).toFloat))
+    }.toDF("vec_id", "embedding")
+    val query = (0 until 8).map(d => math.cos(d * 0.9).toFloat)
+    val path = java.nio.file.Files.createTempDirectory("ivf_store").toString + "/ivf"
+    val cents = Similarity.ivfWriteAssigned(vecs, "vec_id", "embedding", path,
+      nCentroids = 8)
+    assert(Similarity.ivfReadCentroids(spark, path) == cents.map(_.map(_.toFloat)))
+    // exhaustive probes over the WRITTEN layout match brute force exactly
+    val all = Similarity.ivfTopKAssigned(spark, path, "vec_id", "embedding",
+      query, 5, nProbe = 8)
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", query, 5)
+    assert(all.collect().map(_.toSeq).toSeq == exact.collect().map(_.toSeq).toSeq)
+    // restricted probes read ONLY the probed lists' partitions: the bucket
+    // filter must appear as a PartitionFilter on the parquet scan, and the
+    // scan must touch fewer files than the full layout holds
+    val probed = Similarity.ivfTopKAssigned(spark, path, "vec_id", "embedding",
+      query, 5, nProbe = 2)
+    val plan = probed.queryExecution.executedPlan.toString
+    // the bucket predicate must appear in PartitionFilters (dir pruning),
+    // NOT as a post-scan data filter (inputFiles can't show this — it
+    // reports the unpruned listing)
+    assert(plan.contains("PartitionFilters: [__ivf_bucket"),
+      s"expected the bucket isin as a partition filter in:\n$plan")
+    // and the probed lists hold strictly fewer rows than the corpus
+    assert(probed.count() <= 5 &&
+      spark.read.parquet(path).filter(col("__ivf_bucket").isin(
+        Similarity.ivfProbes(query, cents, 2): _*)).count() < 300)
+  }
 }
