@@ -68,6 +68,18 @@ object Similarity {
   private def planeSign(plane: Int, i: Int): Double =
     SrpBucketExpr.planeSign(plane, i)
 
+  /** The C(nBits, ≤radius) Hamming-ball masks, generated combinatorially —
+    * an exhaustive 2^nBits sweep would hang the driver beyond ~24 bits. */
+  private[functions] def probeMasks(nBits: Int, radius: Int): Seq[Long] = {
+    def masks(r: Int): Seq[Long] =
+      if (r == 0) Seq(0L)
+      else masks(r - 1).flatMap { m =>
+        val highest = if (m == 0L) -1 else 63 - java.lang.Long.numberOfLeadingZeros(m)
+        (highest + 1 until nBits).map(b => m | (1L << b))
+      } ++ masks(r - 1)
+    masks(radius).distinct
+  }
+
   /** Driver-side SRP bucket of a constant query vector — same arithmetic as
     * [[srpBucket]] (left-to-right double accumulation), no Spark job. */
   def srpBucketOf(query: Seq[Float], nBits: Int): Long =
@@ -96,15 +108,7 @@ object Similarity {
     val q = array(query.map(v => lit(v)): _*)
     val withBucket = df.withColumn("__bucket", srpBucket(col(vecCol), dim, nBits))
     val queryBucket = srpBucketOf(query, nBits)
-    // generate the C(nBits, <=radius) neighbor masks combinatorially — an
-    // exhaustive 2^nBits sweep would hang the driver beyond ~24 bits
-    def masks(radius: Int): Seq[Long] =
-      if (radius == 0) Seq(0L)
-      else masks(radius - 1).flatMap { m =>
-        val highest = if (m == 0L) -1 else 63 - java.lang.Long.numberOfLeadingZeros(m)
-        (highest + 1 until nBits).map(b => m | (1L << b))
-      } ++ masks(radius - 1)
-    val probes = masks(hammingRadius).distinct.map(_ ^ queryBucket)
+    val probes = probeMasks(nBits, hammingRadius).map(_ ^ queryBucket)
     withBucket.filter(col("__bucket").isin(probes: _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
@@ -168,6 +172,60 @@ object Similarity {
     val q = array(query.map(v => lit(v)): _*)
     ivfAssign(df, vecCol, cents)
       .filter(col("__ivf_bucket").isin(probes: _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The SRP-LSH scale path made concrete: hash the corpus ONCE and write
+    * it partitioned by bucket (with a params sidecar), so a query's probe
+    * set becomes a partition-pruned scan — no per-query bucket pass. */
+  def srpWriteBucketed(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      dim: Int,
+      nBits: Int): Unit = {
+    df.withColumn("__bucket", srpBucket(col(vecCol), dim, nBits))
+      .write.partitionBy("__bucket").mode("overwrite").parquet(path)
+    val sidecar = graft.meta.JObj(Seq(
+      "dim" -> graft.meta.JNum(dim.toDouble),
+      "nBits" -> graft.meta.JNum(nBits.toDouble)))
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_srp_params.json"), true)
+    try out.write(sidecar.render.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** ANN over a bucketed layout: probes (query bucket ± `hammingRadius`
+    * bit flips, driver-side) land in PartitionFilters — only the probed
+    * buckets' directories are read. */
+  def annTopKBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      hammingRadius: Int = 1): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_srp_params.json"))
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val params = graft.meta.JValue.parse(text).asInstanceOf[graft.meta.JObj]
+    val nBits = params.get("nBits").collect { case graft.meta.JNum(n) => n.toInt }.get
+    require(query.length == params.get("dim")
+      .collect { case graft.meta.JNum(n) => n.toInt }.get,
+      "query dim differs from the written layout's")
+    val queryBucket = srpBucketOf(query, nBits)
+    val probes = probeMasks(nBits, hammingRadius).map(_ ^ queryBucket)
+    val q = array(query.map(v => lit(v)): _*)
+    spark.read.parquet(path)
+      .filter(col("__bucket").isin(probes: _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)

@@ -133,4 +133,28 @@ class SimilaritySpec extends SparkSpec {
       spark.read.parquet(path).filter(col("__ivf_bucket").isin(
         Similarity.ivfProbes(query, cents, 2): _*)).count() < 300)
   }
+
+  test("srpWriteBucketed → annTopKBucketed: partition-pruned, full radius == brute force") {
+    val sp2 = spark; import sp2.implicits._
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 0.67 + d * 1.19).toFloat))
+    }.toDF("vec_id", "embedding")
+    val query = (0 until 8).map(d => math.cos(d * 0.7).toFloat)
+    val path = java.nio.file.Files.createTempDirectory("srp_store").toString + "/srp"
+    Similarity.srpWriteBucketed(vecs, "vec_id", "embedding", path, dim = 8, nBits = 5)
+    val all = Similarity.annTopKBucketed(spark, path, "vec_id", "embedding",
+      query, 10, hammingRadius = 5)
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", query, 10)
+    assert(all.collect().map(_.toSeq).toSeq == exact.collect().map(_.toSeq).toSeq)
+    val probed = Similarity.annTopKBucketed(spark, path, "vec_id", "embedding",
+      query, 10, hammingRadius = 1)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [__bucket"),
+      s"expected the probe isin as a partition filter in:\n$plan")
+    // dim mismatch fails loudly
+    assertThrows[IllegalArgumentException] {
+      Similarity.annTopKBucketed(spark, path, "vec_id", "embedding",
+        Seq(1.0f, 2.0f), 10)
+    }
+  }
 }
