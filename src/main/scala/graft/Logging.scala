@@ -50,15 +50,24 @@ trait Logging {
   protected def error(msg: => String, t: Throwable = null): Unit = {
     if (t == null) log.error(msg) else log.error(msg, t)
     toFile("ERROR", if (t == null) msg else s"$msg: ${t}")
+    // the per-dataset file must carry the full trace like the slf4j side —
+    // it is the log someone reads when diagnosing that dataset
+    if (t != null) fileSink.foreach(t.printStackTrace)
   }
 }
 
 object Logging {
+  private var hookInstalled = false
+
   /** The reference's `sys.excepthook` analog (logging.py:134-256): route
     * uncaught driver-thread exceptions through a logger before the JVM's
-    * default handling. Installed once; chains to the prior handler. */
+    * default handling. Idempotent — repeat calls are no-ops, so two entry
+    * points can't build a chain that logs each exception twice. Chains to
+    * the handler present at first install. */
   def installExcepthook(logger: Logger =
       LoggerFactory.getLogger("graft.uncaught")): Unit = synchronized {
+    if (hookInstalled) return
+    hookInstalled = true
     val prior = Thread.getDefaultUncaughtExceptionHandler
     Thread.setDefaultUncaughtExceptionHandler(new Thread.UncaughtExceptionHandler {
       override def uncaughtException(t: Thread, e: Throwable): Unit = {

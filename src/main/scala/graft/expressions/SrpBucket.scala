@@ -68,6 +68,14 @@ object SrpBucketExpr {
 
   def compute(vec: ArrayData, dim: Int, nBits: Int): Long = {
     if (vec.numElements() != dim) return 0L // zip_with null-propagation parity
+    // a null ELEMENT nulls every projection in the HOF formulation → all
+    // bits fall to the otherwise(0) branch → bucket 0; getFloat would
+    // silently read it as 0.0f and fabricate a real bucket
+    var j = 0
+    while (j < dim) {
+      if (vec.isNullAt(j)) return 0L
+      j += 1
+    }
     val tbl = signs(dim, nBits)
     var out = 0L
     var plane = 0

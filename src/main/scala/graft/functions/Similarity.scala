@@ -38,12 +38,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       query: Seq[Float],
-      k: Int): DataFrame = {
-    val q = array(query.map(v => lit(v)): _*)
-    df.select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col(idCol))
-      .limit(k)
-  }
+      k: Int): DataFrame = rerank(df, idCol, vecCol, query, k)
 
   /** Cosine similarity of every row to a query vector (no top-k cutoff). */
   def cosineToQuery(df: DataFrame, idCol: String, vecCol: String,
@@ -105,14 +100,11 @@ object Similarity {
       nBits: Int = 8,
       hammingRadius: Int = 0): DataFrame = {
     val dim = query.length
-    val q = array(query.map(v => lit(v)): _*)
     val withBucket = df.withColumn("__bucket", srpBucket(col(vecCol), dim, nBits))
     val queryBucket = srpBucketOf(query, nBits)
     val probes = probeMasks(nBits, hammingRadius).map(_ ^ queryBucket)
-    withBucket.filter(col("__bucket").isin(probes: _*))
-      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col(idCol))
-      .limit(k)
+    rerank(withBucket.filter(col("__bucket").isin(probes: _*)),
+      idCol, vecCol, query, k)
   }
 
   /** IVF centroid selection: a deterministic hash-ordered sample of corpus
@@ -169,12 +161,40 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val cents = ivfCentroids(df, idCol, vecCol, nCentroids, seed)
     val probes = ivfProbes(query, cents, nProbe)
+    rerank(ivfAssign(df, vecCol, cents).filter(col("__ivf_bucket").isin(probes: _*)),
+      idCol, vecCol, query, k)
+  }
+
+  /** Exact cosine re-rank of candidate rows against a constant query:
+    * the shared tail of every ANN/brute-force search (fused scan
+    * projection + TakeOrderedAndProject, ties broken by id). */
+  private def rerank(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
-    ivfAssign(df, vecCol, cents)
-      .filter(col("__ivf_bucket").isin(probes: _*))
-      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
+    df.select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** JSON sidecar beside a written layout (Hadoop FS, so file:// and
+    * object stores behave alike). */
+  private def writeSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String, doc: graft.meta.JValue): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(doc.render.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String): graft.meta.JValue = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    graft.meta.JValue.parse(text)
   }
 
   /** The SRP-LSH scale path made concrete: hash the corpus ONCE and write
@@ -189,15 +209,9 @@ object Similarity {
       nBits: Int): Unit = {
     df.withColumn("__bucket", srpBucket(col(vecCol), dim, nBits))
       .write.partitionBy("__bucket").mode("overwrite").parquet(path)
-    val sidecar = graft.meta.JObj(Seq(
+    writeSidecar(df.sparkSession, s"$path/_srp_params.json", graft.meta.JObj(Seq(
       "dim" -> graft.meta.JNum(dim.toDouble),
-      "nBits" -> graft.meta.JNum(nBits.toDouble)))
-    val spark = df.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_srp_params.json"), true)
-    try out.write(sidecar.render.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+      "nBits" -> graft.meta.JNum(nBits.toDouble))))
   }
 
   /** ANN over a bucketed layout: probes (query bucket ± `hammingRadius`
@@ -211,24 +225,16 @@ object Similarity {
       query: Seq[Float],
       k: Int,
       hammingRadius: Int = 1): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_srp_params.json"))
-    val text = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    val params = graft.meta.JValue.parse(text).asInstanceOf[graft.meta.JObj]
+    val params = readSidecar(spark, s"$path/_srp_params.json")
+      .asInstanceOf[graft.meta.JObj]
     val nBits = params.get("nBits").collect { case graft.meta.JNum(n) => n.toInt }.get
     require(query.length == params.get("dim")
       .collect { case graft.meta.JNum(n) => n.toInt }.get,
       "query dim differs from the written layout's")
     val queryBucket = srpBucketOf(query, nBits)
     val probes = probeMasks(nBits, hammingRadius).map(_ ^ queryBucket)
-    val q = array(query.map(v => lit(v)): _*)
-    spark.read.parquet(path)
-      .filter(col("__bucket").isin(probes: _*))
-      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col(idCol))
-      .limit(k)
+    rerank(spark.read.parquet(path).filter(col("__bucket").isin(probes: _*)),
+      idCol, vecCol, query, k)
   }
 
   /** The IVF scale path made concrete: compute the assignment ONCE and
@@ -245,26 +251,16 @@ object Similarity {
     val cents = ivfCentroids(df, idCol, vecCol, nCentroids, seed)
     ivfAssign(df, vecCol, cents)
       .write.partitionBy("__ivf_bucket").mode("overwrite").parquet(path)
-    val sidecar = graft.meta.JArr(cents.map(c =>
-      graft.meta.JArr(c.map(v => graft.meta.JNum(v.toDouble)))))
-    val spark = df.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_centroids.json"), true)
-    try out.write(sidecar.render.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    writeSidecar(df.sparkSession, s"$path/_centroids.json",
+      graft.meta.JArr(cents.map(c =>
+        graft.meta.JArr(c.map(v => graft.meta.JNum(v.toDouble))))))
     cents
   }
 
   /** Centroids persisted by [[ivfWriteAssigned]]. */
   def ivfReadCentroids(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[Seq[Float]] = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_centroids.json"))
-    val text = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    graft.meta.JValue.parse(text) match {
+      path: String): Seq[Seq[Float]] =
+    readSidecar(spark, s"$path/_centroids.json") match {
       case graft.meta.JArr(cs) => cs.map {
         case graft.meta.JArr(vs) =>
           vs.collect { case graft.meta.JNum(n) => n.toFloat }.toSeq
@@ -272,7 +268,6 @@ object Similarity {
       }
       case other => throw new IllegalArgumentException(s"Bad centroids doc $other")
     }
-  }
 
   /** ANN over a written assignment: the `__ivf_bucket` isin filter is a
     * PARTITION filter on the layout `ivfWriteAssigned` produced — only the
@@ -287,12 +282,8 @@ object Similarity {
       nProbe: Int = 4): DataFrame = {
     val cents = ivfReadCentroids(spark, path)
     val probes = ivfProbes(query, cents, nProbe)
-    val q = array(query.map(v => lit(v)): _*)
-    spark.read.parquet(path)
-      .filter(col("__ivf_bucket").isin(probes: _*))
-      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col(idCol))
-      .limit(k)
+    rerank(spark.read.parquet(path).filter(col("__ivf_bucket").isin(probes: _*)),
+      idCol, vecCol, query, k)
   }
 
   /** SRP bits sized to the corpus: expected bucket occupancy n/2^bits ≈

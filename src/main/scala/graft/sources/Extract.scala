@@ -129,17 +129,17 @@ object Extract {
   final class FtpExtractor(retries: Int = 5, backoffSeconds: Double = 1.0,
       sleeper: Long => Unit = Thread.sleep) {
 
-    /** Names in the cwd listing (the JDK ftp handler streams NLST output
-      * for a directory URL; entries may arrive as full paths — reduced to
-      * basenames like the reference's nlst view). */
+    /** Names in the cwd listing. The RFC 1738 `;type=d` typecode makes the
+      * JDK ftp handler issue NLST (name list); without it some servers fall
+      * back to LIST long-format rows, so each line is defensively reduced
+      * to its last whitespace token (the filename in both formats), then to
+      * a basename like the reference's nlst view. */
     def listDirectory(dirUrl: String): Seq[String] =
       retryWithBackoff(retries, backoffSeconds, sleeper = sleeper) { () =>
-        val url = if (dirUrl.endsWith("/")) dirUrl else dirUrl + "/"
-        val in = URI.create(url).toURL.openStream()
+        val base = if (dirUrl.endsWith("/")) dirUrl else dirUrl + "/"
+        val in = URI.create(base + ";type=d").toURL.openStream()
         try scala.io.Source.fromInputStream(in).getLines()
-          .map(_.trim).filter(_.nonEmpty)
-          .map(l => l.substring(l.lastIndexOf('/') + 1))
-          .toList
+          .flatMap(Extract.listingName).toList
         finally in.close()
       }
 
@@ -173,5 +173,19 @@ object Extract {
       fetchOne(url, dest)
       dest
     }, concurrency, acceptAnySuccess)
+  }
+
+  /** Normalize one FTP listing line to a filename: NLST emits bare names
+    * or full paths; servers falling back to LIST emit long-format rows
+    * ("-rw-r--r-- 1 ftp ftp 123 Jan 01 name.nc") whose filename is the
+    * last whitespace token. Dotted self/parent entries drop. */
+  private[sources] def listingName(line: String): Option[String] = {
+    val t = line.trim
+    if (t.isEmpty) None
+    else {
+      val tok = t.substring(t.lastIndexWhere(_.isWhitespace) + 1)
+      val base = tok.substring(tok.lastIndexOf('/') + 1)
+      if (base.nonEmpty && base != "." && base != "..") Some(base) else None
+    }
   }
 }

@@ -157,9 +157,13 @@ object NcTable {
               layout(conf, st.getPath.toString)))
           }, Duration.Inf)
       }
-      if (layoutCache.size > 4096) layoutCache.clear() // crude bound; re-read on demand
-      files.map(st => Option(layoutCache.get(cacheKey(st)))
+      val out = files.map(st => Option(layoutCache.get(cacheKey(st)))
         .getOrElse(layout(conf, st.getPath.toString)))
+      // evict AFTER serving this resolve — clearing before the map would
+      // re-read every header serially, defeating the cache exactly for the
+      // large archives it exists for
+      if (layoutCache.size > 4096) layoutCache.clear()
+      out
     }
     val first = layouts.head
     def scanSchema(l: FileLayout): StructType = StructType(
@@ -215,7 +219,7 @@ object NcTable {
             val raw = readCoordValues(in, header, cv)
             // A coordinate axis with missing values has no index semantics.
             cv.fillValue.foreach { f =>
-              require(!raw.exists(v => v == f || (v.isNaN && f.isNaN)),
+              require(!raw.exists(v => NcFormat.fillMatches(v, f, cv.ncType)),
                 s"$path: coordinate ${cv.name} contains its fill value $f")
             }
             val vals =
@@ -562,7 +566,7 @@ final class NcPartitionReader(part: NcInputPartition, conf: Configuration)
           if (v.fill.isEmpty && !v.unpack) decodeTyped(spans(i), off, v.ncType)
           else {
             val raw = NcFormat.decodeOne(spans(i), off, v.ncType)
-            if (v.fill.exists(f => raw == f || (raw.isNaN && f.isNaN))) null
+            if (v.fill.exists(f => NcFormat.fillMatches(raw, f, v.ncType))) null
             else if (v.unpack) raw * v.scale + v.offset
             else decodeTyped(spans(i), off, v.ncType)
           }

@@ -66,6 +66,17 @@ object NcFormat {
     def fillValue: Option[Double] = numAttr("_FillValue").orElse(numAttr("missing_value"))
   }
 
+  /** Fill comparison in the VARIABLE's precision: a _FillValue attr stored
+    * wider than the variable (an NC_DOUBLE 9.96921e36 against an NC_FLOAT
+    * var — a common CF-checker violation in wild files) must still match
+    * the float-widened raw value, or fill cells silently surface as ~1e37
+    * data. NaN fills match NaN raws. */
+  def fillMatches(raw: Double, fill: Double, ncType: Int): Boolean =
+    (raw.isNaN && fill.isNaN) || (ncType match {
+      case NcFloat => raw.toFloat == fill.toFloat
+      case _ => raw == fill
+    })
+
   final case class NcHeader(
       version: Int,
       numRecs: Int,

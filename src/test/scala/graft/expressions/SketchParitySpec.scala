@@ -75,6 +75,14 @@ class SketchParitySpec extends SparkSpec {
     // null propagates
     assert(short.select(Similarity.srpBucket(lit(null).cast("array<float>"), 16, 8))
       .head().isNullAt(0))
+    // a null ELEMENT nulls every HOF projection → bucket 0; the native
+    // expression must match rather than reading the slot as 0.0f
+    val withNullElem = Seq(Tuple1(Seq[java.lang.Float](1.0f, null, 3.0f, 4.0f)))
+      .toDF("vec")
+    val pair = withNullElem.select(
+      Similarity.srpBucket(col("vec"), 4, 8).as("native"),
+      srpHof(col("vec"), 4, 8).as("hof")).head()
+    assert(pair.getLong(0) == 0L && pair.getLong(1) == 0L)
   }
 
   test("driver-side srpBucketOf matches the executor expression") {

@@ -106,6 +106,16 @@ class ManifestExtractSpec extends SparkSpec {
     assert(links == Seq("http://example.com/data/f1.nc", "http://example.com/data/sub/f2.nc"))
   }
 
+  test("listingName handles NLST bare names, full paths, and LIST long rows") {
+    assert(Extract.listingName("chirps.2024.01.nc") == Some("chirps.2024.01.nc"))
+    assert(Extract.listingName("/pub/data/chirps.2024.01.nc") == Some("chirps.2024.01.nc"))
+    assert(Extract.listingName(
+      "-rw-r--r--   1 ftp ftp  123456 Jan 01 12:00 chirps.2024.01.nc")
+      == Some("chirps.2024.01.nc"))
+    assert(Extract.listingName("drwxr-xr-x 2 ftp ftp 4096 Jan 01 .") == None)
+    assert(Extract.listingName("  ") == None)
+  }
+
   test("FtpExtractor.find filters a cwd listing by regex (extractor.py:904-921)") {
     val ftp = new Extract.FtpExtractor(retries = 1)
     val listing = Seq("chirps-v2.0.2024.01.days_p05.nc", "chirps-v2.0.2024.02.days_p05.nc",

@@ -211,6 +211,22 @@ class NcReaderSpec extends SparkSpec {
     assert(df.agg(sum("v")).head().getDouble(0) == 5.0)
   }
 
+  test("_FillValue stored WIDER than the variable still masks (NC_FLOAT var, NC_DOUBLE attr)") {
+    // 9.96921e36 is netCDF's default float fill; wild files often declare
+    // the attr as NC_DOUBLE, whose widened value != the float-widened raw.
+    val fill = 9.96921e36
+    val dir = Files.createTempDirectory("nc12").toString
+    NcFormat.writeFile(spark, s"$dir/w.nc",
+      dims = Seq("x" -> 3),
+      vars = Seq(
+        WriteVar("x", Seq("x"), NcDouble, Array(0.0, 1.0, 2.0)),
+        WriteVar("v", Seq("x"), NcFloat, Array(1.5, fill, 2.5),
+          nattrs = Seq(("_FillValue", NcDouble, Array(fill))))))
+    val df = spark.read.format("netcdf").load(s"$dir/w.nc")
+    assert(df.filter(col("v").isNull).count() == 1)
+    assert(df.agg(sum("v")).head().getDouble(0) == 4.0)
+  }
+
   test("non-Gregorian calendar falls back to a numeric axis (no silent shift)") {
     val dir = Files.createTempDirectory("nc11").toString
     NcFormat.writeFile(spark, s"$dir/c.nc",
