@@ -137,7 +137,7 @@ object NcTable {
         case None => Option(options.get("path")).toSeq
       }
     require(paths.nonEmpty, "netcdf scan needs a path")
-    val files = paths.flatMap(expand(conf, _)).sortBy(_.getPath.toString)
+    val files = listFiles(conf, paths)
     require(files.nonEmpty, s"No .nc files under ${paths.mkString(",")}")
     val splitBytes = Option(options.get("splitBytes")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
@@ -166,19 +166,30 @@ object NcTable {
       out
     }
     val first = layouts.head
-    def scanSchema(l: FileLayout): StructType = StructType(
-      l.axes.map(a => StructField(a.name, a.sparkType, nullable = false)) ++
-        l.dataVars.map(dataField))
-    val schema = scanSchema(first)
+    val schema = scanSchemaOf(first)
     // every file must present the same scan schema (a multi-file archive is
     // one dataset split along the record dim, like the reference's
     // multi-file kerchunk combine, S10)
     layouts.tail.foreach { l =>
-      val s = scanSchema(l)
+      val s = scanSchemaOf(l)
       require(s == schema, s"${l.path} schema $s differs from ${first.path} $schema")
     }
-    new NcTable(layouts, schema, splitBytes, conf)
+    new NcTable(layouts, schema, splitBytes, conf, paths)
   }
+
+  private[nc] def listFiles(conf: Configuration,
+      paths: Seq[String]): Seq[org.apache.hadoop.fs.FileStatus] =
+    paths.flatMap(expand(conf, _)).sortBy(_.getPath.toString)
+
+  private[nc] def scanSchemaOf(l: FileLayout): StructType = StructType(
+    l.axes.map(a => StructField(a.name, a.sparkType, nullable = false)) ++
+      l.dataVars.map(dataField))
+
+  /** Memoized per-(path, mtime, length) layout — shared by batch planning
+    * and the micro-batch stream. */
+  private[nc] def cachedLayout(conf: Configuration,
+      st: org.apache.hadoop.fs.FileStatus): FileLayout =
+    layoutCache.computeIfAbsent(cacheKey(st), _ => layout(conf, st.getPath.toString))
 
   private val layoutCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), FileLayout]()
@@ -248,11 +259,12 @@ final class NcTable(
     val layouts: Seq[FileLayout],
     val schema0: StructType,
     val splitBytes: Long,
-    @transient val conf: Configuration) extends Table with SupportsRead {
+    @transient val conf: Configuration,
+    val paths: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"netcdf(${layouts.head.path}${if (layouts.length > 1) s" +${layouts.length - 1}" else ""})"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NcScanBuilder(this)
 }
@@ -296,7 +308,8 @@ final class NcScanBuilder(table: NcTable) extends ScanBuilder
     required = requiredSchema
 
   override def build(): Scan =
-    new NcScan(table.layouts, required, pushed, table.splitBytes, table.conf)
+    new NcScan(table.layouts, required, pushed, table.splitBytes, table.conf,
+      table.paths)
 }
 
 object NcScan {
@@ -362,10 +375,13 @@ final class NcScan(
     required: StructType,
     pushed: Array[Filter],
     splitBytes: Long,
-    @transient conf: Configuration)
+    @transient conf: Configuration,
+    paths: Seq[String] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  private[nc] def firstLayout: FileLayout = layouts.head
 
   override def description(): String = {
     val ranges = prunedRanges(layouts.head).map { r =>
@@ -378,6 +394,18 @@ final class NcScan(
   }
 
   override def toBatch: Batch = this
+
+  /** Streaming ingest of a landing directory — the reference's incremental
+    * update loop (new files appear, get published) as a Structured
+    * Streaming source. The offset is a FILENAME WATERMARK: a micro-batch
+    * covers files whose sorted name exceeds it, so files must land with
+    * monotonically increasing names — the same manifest naming convention
+    * `checkIfNewData` and the reference rely on (convenience.py:473-504).
+    * Filter pushdown and column pruning apply per micro-batch exactly as
+    * in batch scans. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new NcMicroBatchStream(this, paths, conf)
 
   /** Pruned [lo, hi] per data dim, or None when any axis range is empty —
     * the whole file is skipped (file-level pruning, the F6 analog). */
@@ -400,7 +428,7 @@ final class NcScan(
   private def requiredVars(l: FileLayout): Seq[NcVar] =
     l.dataVars.filter(v => required.fieldNames.contains(v.name))
 
-  private def partitionsFor(l: FileLayout): Seq[NcInputPartition] =
+  private[nc] def partitionsFor(l: FileLayout): Seq[NcInputPartition] =
     prunedRanges(l) match {
       case None => Seq.empty
       case Some(ranges) =>
@@ -440,6 +468,64 @@ final class NcScan(
     override def sizeInBytes(): OptionalLong = OptionalLong.of(rows * math.max(1L, rowBytes))
     override def numRows(): OptionalLong = OptionalLong.of(rows)
   }
+}
+
+/** Offset = the lexicographically largest file name ingested so far ("" =
+  * nothing yet). JSON form is a quoted string. */
+final case class NcOffset(watermark: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = graft.meta.JStr(watermark).render
+}
+
+final class NcMicroBatchStream(
+    scan: NcScan,
+    paths: Seq[String],
+    @transient conf: Configuration)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  require(paths.nonEmpty, "netcdf streaming needs the source paths")
+
+  private def listing(): Seq[org.apache.hadoop.fs.FileStatus] =
+    NcTable.listFiles(conf, paths)
+
+  override def initialOffset(): Offset = NcOffset("")
+
+  override def latestOffset(): Offset = {
+    val files = listing()
+    NcOffset(if (files.isEmpty) "" else files.last.getPath.toString)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    graft.meta.JValue.parse(json) match {
+      case graft.meta.JStr(w) => NcOffset(w)
+      case other => throw new IllegalArgumentException(s"Bad NC offset $other")
+    }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[NcOffset].watermark
+    val hi = end.asInstanceOf[NcOffset].watermark
+    val batch = listing().filter { st =>
+      val p = st.getPath.toString
+      p > lo && p <= hi
+    }
+    val expected = NcTable.scanSchemaOf(scan.firstLayout)
+    batch.flatMap { st =>
+      val l = NcTable.cachedLayout(conf, st)
+      // a late-landing file must present the stream's schema, like S10's
+      // identical-dims assertion in the batch combine
+      require(NcTable.scanSchemaOf(l) == expected,
+        s"${l.path} schema drifted from the stream's ${scan.firstLayout.path}")
+      scan.partitionsFor(l)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NcReaderFactory(new SerializableHadoopConf(conf))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 sealed trait NcColSpec extends Serializable

@@ -249,6 +249,31 @@ class NcReaderSpec extends SparkSpec {
     assert(dg.schema("time").dataType.typeName == "timestamp_ntz")
   }
 
+  test("readStream ingests newly-landed NC files incrementally (filename watermark)") {
+    val dir = Files.createTempDirectory("ncstream").toString
+    writeGrid(s"$dir/part1.nc", nt = 4, timeOffset = 0)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream.format("netcdf").load(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized { batches += ((id, df.count())) }; ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ncstream_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batches.synchronized(batches.map(_._2).sum) == 4 * 3 * 4)
+      // a new file lands (name sorts after part1) → exactly its rows arrive
+      writeGrid(s"$dir/part2.nc", nt = 3, timeOffset = 4)
+      q.processAllAvailable()
+      assert(batches.synchronized(batches.map(_._2).sum) == (4 + 3) * 3 * 4)
+      // no new files → no new non-empty batch
+      q.processAllAvailable()
+      assert(batches.synchronized(batches.map(_._2).sum) == (4 + 3) * 3 * 4)
+    } finally q.stop()
+  }
+
   test("dims without coordinate variables surface as long indices") {
     val dir = Files.createTempDirectory("nc8").toString
     NcFormat.writeFile(spark, s"$dir/f.nc",
