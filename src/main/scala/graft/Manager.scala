@@ -44,9 +44,10 @@ trait DatasetManager extends Logging {
   def preprocess(df: DataFrame): DataFrame = df
   def postprocess(df: DataFrame): DataFrame = df
 
-  /** Which files in `inputDir` feed the scan; override per dataset. */
+  /** Which files in `inputDir` feed the scan; override per dataset.
+    * Parquet and classic NetCDF both scan natively (Manifest.openInput). */
   def inputFiles(): Seq[String] =
-    Manifest.listInputFiles(spark, inputDir, Seq(".parquet"))
+    Manifest.listInputFiles(spark, inputDir, Seq(".parquet", ".nc", ".cdf"))
       .select("path").collect().map(_.getString(0)).toSeq
 
   /** O1 — `transform()`: multi-file scan → descriptor-driven normalize
@@ -116,7 +117,7 @@ trait DatasetManager extends Logging {
       // store side is bucket-pruned per sampled file range — never a full
       // store scan (publish.py:1011-1095 region-bounding)
       val mismatches = QcDrivers.postParseQualityCheck(spark, store.readRange,
-        inputFiles(), f => Normalize.normalize(spark.read.parquet(f), desc,
+        inputFiles(), f => Normalize.normalize(Manifest.openInput(spark, f), desc,
           pre = preprocess, post = postprocess),
         keys, desc.dataVar, desc, maxChecks = postParseMaxChecks)
       val bad = mismatches.limit(1).count()

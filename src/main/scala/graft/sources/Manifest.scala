@@ -71,9 +71,18 @@ object Manifest {
   /** S10 — multi-file union scan with identical-schema assertion
     * (transform.py:40-117): all parts must agree on the dimension schema the
     * way MultiZarrToZarr requires `identical_dimensions` to agree. */
+  /** Open one input by format, dispatched on extension: classic NetCDF
+    * goes through the DSv2 scan (S9's real form), everything else is
+    * parquet — so the SAME manager lifecycle runs on .nc landing dirs and
+    * harness parquet alike (transform.py:75-79's format list analog). */
+  def openInput(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".nc") || path.endsWith(".cdf"))
+      spark.read.format("netcdf").load(path)
+    else spark.read.parquet(path)
+
   def multiScan(spark: SparkSession, paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "multiScan needs at least one path")
-    val parts = paths.map(p => spark.read.parquet(p))
+    val parts = paths.map(openInput(spark, _))
     val schemas = parts.map(_.schema.map(f => (f.name, f.dataType)).toSet)
     schemas.zip(paths).foreach { case (s, p) =>
       require(s == schemas.head,
@@ -98,7 +107,7 @@ object Manifest {
   /** S13 — open a single raw file for QC comparison (publish.py:1097-1175);
     * the caller composes Normalize.normalize on top. */
   def openRaw(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    openInput(spark, path)
 
   /** P4 — move original input files into `<dir>_originals/` after a
     * conversion pass (transform.py:521-537). Hadoop FS rename, so file://

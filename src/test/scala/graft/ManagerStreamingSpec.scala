@@ -52,6 +52,54 @@ class ManagerStreamingSpec extends SparkSpec {
     assert(mgr.getMetadataDateRange().map(_._2.toString) == Some("2024-01-08T00:00"))
   }
 
+  /** A daily NC grid mirroring `dailyGrid`'s cells, written as classic
+    * NetCDF (time record dim, CF day units). */
+  private def writeNcDaily(path: String, startDay: Int, nDays: Int,
+      base: Double = 0.0): Unit = {
+    import graft.sources.nc.NcFormat
+    val lats = Seq(10.0, 10.25); val lons = Seq(100.0, 100.25)
+    val data = for (d <- 0 until nDays; la <- lats; lo <- lons)
+      yield base + d + la + lo
+    NcFormat.writeFile(spark, path,
+      dims = Seq("time" -> nDays, "latitude" -> 2, "longitude" -> 2),
+      vars = Seq(
+        NcFormat.WriteVar("time", Seq("time"), NcFormat.NcInt,
+          Array.tabulate(nDays)(d => (startDay - 1 + d).toDouble),
+          attrs = Seq("units" -> "days since 2024-01-01")),
+        NcFormat.WriteVar("latitude", Seq("latitude"), NcFormat.NcDouble, lats.toArray),
+        NcFormat.WriteVar("longitude", Seq("longitude"), NcFormat.NcDouble, lons.toArray),
+        NcFormat.WriteVar("value", Seq("time", "latitude", "longitude"),
+          NcFormat.NcDouble, data.toArray)),
+      recordDim = Some("time"))
+  }
+
+  test("manager lifecycle runs natively on NetCDF landing files (S9 end-to-end)") {
+    val root = Files.createTempDirectory("mgr_nc").toString
+    val mgr = new DatasetManager {
+      val spark: SparkSession = sp
+      val desc: DatasetDescriptor = testDesc
+      val storePath: String = s"$root/store"
+      val inputDir: String = s"$root/input"
+      override def bucketSpan: TimeUnitKind = TimeUnitKind.Days
+    }
+    new java.io.File(s"$root/input").mkdirs()
+    writeNcDaily(s"$root/input/a_batch1.nc", 1, 6)
+    assert(mgr.checkIfNewData())
+    mgr.run(postParseQc = true) // QC samples NC cells against the store
+    assert(mgr.store.dataset().count() == 24)
+    assert(!mgr.checkIfNewData())
+    writeNcDaily(s"$root/input/b_batch2.nc", 7, 2, base = 50.0)
+    assert(mgr.checkIfNewData())
+    mgr.run()
+    assert(mgr.store.dataset().count() == 32)
+    // cells survive scan → normalize → publish (value standardized to
+    // float32 by Normalize, the reference's dtype convention)
+    val r = mgr.store.dataset()
+      .filter(col("time") === lit(ts("2024-01-08T00:00:00")) &&
+        col("latitude") === 10.25 && col("longitude") === 100.0).head()
+    assert(r.getAs[Float]("value") == (50.0 + 1 + 10.25 + 100.0).toFloat)
+  }
+
   test("checkIfNewData opens only the NEWEST manifest file (convenience.py:473-504)") {
     val root = Files.createTempDirectory("mgr_newest").toString
     val mgr = new TestManager(root)
