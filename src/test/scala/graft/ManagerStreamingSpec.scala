@@ -100,6 +100,31 @@ class ManagerStreamingSpec extends SparkSpec {
     assert(r.getAs[Float]("value") == (50.0 + 1 + 10.25 + 100.0).toFloat)
   }
 
+  test("scheduled AvailableNow runs over an NC landing dir resume from the checkpoint") {
+    // the reference's cron-batch update loop: each run drains what landed
+    // since the last run's offset, publishes it, and exits
+    val root = Files.createTempDirectory("nc_stream_store").toString
+    writeNcDaily(s"$root/input/a.nc", 1, 3)
+    val store = new GridStore(spark, s"$root/store", testDesc,
+      bucketSpan = TimeUnitKind.Days)
+    def runOnce(): Unit = {
+      val q = StreamingUpdate.attach(
+        spark.readStream.format("netcdf").load(s"$root/input"),
+        store, s"$root/ckpt")
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(store.dataset().count() == 3 * 4)
+    // second scheduled run picks up ONLY the newly landed file (the
+    // NcOffset watermark round-trips through the checkpoint)
+    writeNcDaily(s"$root/input/b.nc", 4, 2, base = 9.0)
+    runOnce()
+    assert(store.dataset().count() == 5 * 4)
+    val r = store.dataset().filter(col("time") === lit(ts("2024-01-05T00:00:00")) &&
+      col("latitude") === 10.0 && col("longitude") === 100.25).head()
+    assert(r.getAs[Double]("value") == 9.0 + 1 + 10.0 + 100.25)
+  }
+
   test("checkIfNewData opens only the NEWEST manifest file (convenience.py:473-504)") {
     val root = Files.createTempDirectory("mgr_newest").toString
     val mgr = new TestManager(root)
