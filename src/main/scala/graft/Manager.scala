@@ -45,10 +45,19 @@ trait DatasetManager extends Logging {
   def postprocess(df: DataFrame): DataFrame = df
 
   /** Which files in `inputDir` feed the scan; override per dataset.
-    * Parquet and classic NetCDF both scan natively (Manifest.openInput). */
-  def inputFiles(): Seq[String] =
-    Manifest.listInputFiles(spark, inputDir, Seq(".parquet", ".nc", ".cdf"))
+    * Parquet and classic NetCDF both scan natively (Manifest.openInput) —
+    * but not MIXED in one dir: a conversion window holding raw .nc next to
+    * converted .parquet would double-ingest (or schema-clash), so that
+    * state fails loudly instead. */
+  def inputFiles(): Seq[String] = {
+    val all = Manifest.listInputFiles(spark, inputDir, Seq(".parquet", ".nc", ".cdf"))
       .select("path").collect().map(_.getString(0)).toSeq
+    val (nc, pq) = all.partition(p => p.endsWith(".nc") || p.endsWith(".cdf"))
+    require(nc.isEmpty || pq.isEmpty,
+      s"$inputDir holds both NetCDF (${nc.length}) and parquet (${pq.length}) " +
+        "inputs; archive the originals or override inputFiles() to pick one format")
+    all
+  }
 
   /** O1 — `transform()`: multi-file scan → descriptor-driven normalize
     * (dataset_manager.py:408-468). A lazy DataFrame, the Catalyst analog of

@@ -43,14 +43,20 @@ import NcFormat._
   */
 class NcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "netcdf"
-  override def supportsExternalMetadata(): Boolean = false
+
+  /** External metadata supported so a STREAMING query can start (or
+    * restart from its checkpoint) against an EMPTY landing dir — the
+    * normal state of a drained/pre-first-file source. Batch inference
+    * still requires at least one file. */
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    NcTable.resolve(options).schema
+    NcTable.resolve(options, providedSchema = None).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    NcTable.resolve(new CaseInsensitiveStringMap(properties))
+    NcTable.resolve(new CaseInsensitiveStringMap(properties),
+      providedSchema = Option(schema))
 }
 
 /** One grid axis of the scan, with its materialized (small, driver-read)
@@ -127,7 +133,8 @@ object NcTable {
       if (v.unpack) DoubleType else sparkType(v.ncType),
       nullable = v.fillValue.isDefined)
 
-  def resolve(options: CaseInsensitiveStringMap): NcTable = {
+  def resolve(options: CaseInsensitiveStringMap,
+      providedSchema: Option[StructType] = None): NcTable = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val paths: Seq[String] =
@@ -138,9 +145,16 @@ object NcTable {
       }
     require(paths.nonEmpty, "netcdf scan needs a path")
     val files = listFiles(conf, paths)
-    require(files.nonEmpty, s"No .nc files under ${paths.mkString(",")}")
     val splitBytes = Option(options.get("splitBytes")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
+    val maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+    if (files.isEmpty) {
+      // only a user/checkpoint-provided schema can stand in for the files
+      require(providedSchema.isDefined,
+        s"No .nc files under ${paths.mkString(",")} and no schema provided")
+      return new NcTable(Seq.empty, providedSchema.get, splitBytes, conf, paths,
+        maxFilesPerTrigger)
+    }
     // Header+axis reads are one remote round-trip per file and `resolve`
     // runs twice per read (inferSchema, then getTable): memoize per
     // (path, mtime, length) and fan the cache misses out on a bounded pool
@@ -174,12 +188,18 @@ object NcTable {
       val s = scanSchemaOf(l)
       require(s == schema, s"${l.path} schema $s differs from ${first.path} $schema")
     }
-    new NcTable(layouts, schema, splitBytes, conf, paths)
+    providedSchema.foreach(p => require(p == schema,
+      s"Provided schema $p differs from the files' $schema"))
+    new NcTable(layouts, schema, splitBytes, conf, paths, maxFilesPerTrigger)
   }
 
+  /** Listing in NATURAL-sort order (digit runs compare numerically) — the
+    * manifest convention (`Manifest.naturalKey`): part10.nc sorts AFTER
+    * part9.nc, so the streaming filename watermark never strands it. */
   private[nc] def listFiles(conf: Configuration,
       paths: Seq[String]): Seq[org.apache.hadoop.fs.FileStatus] =
-    paths.flatMap(expand(conf, _)).sortBy(_.getPath.toString)
+    paths.flatMap(expand(conf, _))
+      .sortBy(st => graft.sources.Manifest.naturalKey(st.getPath.toString))
 
   private[nc] def scanSchemaOf(l: FileLayout): StructType = StructType(
     l.axes.map(a => StructField(a.name, a.sparkType, nullable = false)) ++
@@ -260,8 +280,13 @@ final class NcTable(
     val schema0: StructType,
     val splitBytes: Long,
     @transient val conf: Configuration,
-    val paths: Seq[String]) extends Table with SupportsRead {
-  override def name(): String = s"netcdf(${layouts.head.path}${if (layouts.length > 1) s" +${layouts.length - 1}" else ""})"
+    val paths: Seq[String],
+    val maxFilesPerTrigger: Option[Int] = None) extends Table with SupportsRead {
+  override def name(): String = layouts.headOption match {
+    case Some(l) =>
+      s"netcdf(${l.path}${if (layouts.length > 1) s" +${layouts.length - 1}" else ""})"
+    case None => s"netcdf(${paths.mkString(",")} <empty>)"
+  }
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
@@ -276,15 +301,17 @@ final class NcScanBuilder(table: NcTable) extends ScanBuilder
   private var pushed: Array[Filter] = Array.empty
 
   /** Axis monotonic in every file → an index range is an EXACT rewrite of
-    * the predicate, so the filter is fully handled (no residual). */
+    * the predicate, so the filter is fully handled (no residual). An
+    * empty-layout table (a bare streaming landing dir) claims nothing. */
   private val prunable: Set[String] =
-    table.layouts.head.axes.map(_.name)
+    table.layouts.headOption.map(_.axes.map(_.name)
       .filter(n => table.layouts.forall(_.axes.find(_.name == n).exists(_.monotonic)))
-      .toSet
+      .toSet).getOrElse(Set.empty)
 
   /** Axis columns are never null; data columns CAN be (decoded _FillValue),
     * so IsNotNull is only claimed for axes. */
-  private val axisCols: Set[String] = table.layouts.head.axes.map(_.name).toSet
+  private val axisCols: Set[String] =
+    table.layouts.headOption.map(_.axes.map(_.name).toSet).getOrElse(Set.empty)
 
   private def handled(f: Filter): Boolean = f match {
     case sources.IsNotNull(a) => axisCols(a)
@@ -309,7 +336,7 @@ final class NcScanBuilder(table: NcTable) extends ScanBuilder
 
   override def build(): Scan =
     new NcScan(table.layouts, required, pushed, table.splitBytes, table.conf,
-      table.paths)
+      table.paths, table.schema0, table.maxFilesPerTrigger)
 }
 
 object NcScan {
@@ -376,18 +403,22 @@ final class NcScan(
     pushed: Array[Filter],
     splitBytes: Long,
     @transient conf: Configuration,
-    paths: Seq[String] = Seq.empty)
+    paths: Seq[String],
+    tableSchema: StructType,
+    maxFilesPerTrigger: Option[Int])
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
-  private[nc] def firstLayout: FileLayout = layouts.head
+  private[nc] def fullSchema: StructType = tableSchema
 
   override def description(): String = {
-    val ranges = prunedRanges(layouts.head).map { r =>
-      layouts.head.axes.zip(r).map { case (a, (lo, hi)) => s"${a.name}[$lo..$hi]" }
-        .mkString(", ")
-    }.getOrElse("<file pruned>")
+    val ranges = layouts.headOption.map { first =>
+      prunedRanges(first).map { r =>
+        first.axes.zip(r).map { case (a, (lo, hi)) => s"${a.name}[$lo..$hi]" }
+          .mkString(", ")
+      }.getOrElse("<file pruned>")
+    }.getOrElse("<no files>")
     s"graft-netcdf files=${layouts.length}, " +
       s"PushedFilters: [${pushed.mkString(", ")}], firstFileRanges: [$ranges], " +
       s"ReadSchema: ${required.simpleString}"
@@ -405,7 +436,7 @@ final class NcScan(
     * in batch scans. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new NcMicroBatchStream(this, paths, conf)
+    new NcMicroBatchStream(this, paths, conf, maxFilesPerTrigger)
 
   /** Pruned [lo, hi] per data dim, or None when any axis range is empty —
     * the whole file is skipped (file-level pruning, the F6 analog). */
@@ -470,31 +501,71 @@ final class NcScan(
   }
 }
 
-/** Offset = the lexicographically largest file name ingested so far ("" =
+/** Offset = the NATURAL-sort-largest file path ingested so far ("" =
   * nothing yet). JSON form is a quoted string. */
 final case class NcOffset(watermark: String)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = graft.meta.JStr(watermark).render
 }
 
+/** Micro-batch source over a landing directory.
+  *
+  * Contract (documented, like FileStreamSource's): landed files are
+  * IMMUTABLE and the directory is append-only with naturally-increasing
+  * names (the manifest convention — part10 sorts after part9 because
+  * comparisons use `Manifest.naturalKey`). Offsets only ever move forward
+  * (each latestOffset is anchored on the previous end), and
+  * `maxFilesPerTrigger` (table option) bounds how many files one batch
+  * admits, so attaching to a pre-populated archive drains it in bounded
+  * batches instead of one giant transaction. */
 final class NcMicroBatchStream(
     scan: NcScan,
     paths: Seq[String],
-    @transient conf: Configuration)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    @transient conf: Configuration,
+    maxFilesPerTrigger: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   require(paths.nonEmpty, "netcdf streaming needs the source paths")
+
+  private def key(p: String): String = graft.sources.Manifest.naturalKey(p)
 
   private def listing(): Seq[org.apache.hadoop.fs.FileStatus] =
     NcTable.listFiles(conf, paths)
 
+  /** One listing per trigger: latestOffset selects the batch and caches it
+    * for the planInputPartitions call that follows (object stores bill and
+    * throttle LIST calls). */
+  @volatile private var lastBatch: Option[(String, String,
+    Seq[org.apache.hadoop.fs.FileStatus])] = None
+
   override def initialOffset(): Offset = NcOffset("")
 
-  override def latestOffset(): Offset = {
-    val files = listing()
-    NcOffset(if (files.isEmpty) "" else files.last.getPath.toString)
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n): ReadLimit)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[NcOffset].watermark
+    val candidates = listing()
+      .filter(st => key(st.getPath.toString) > key(lo))
+      .sortBy(st => key(st.getPath.toString))
+    val admitted = limit match {
+      case m: ReadMaxFiles => candidates.take(m.maxFiles())
+      case _ => candidates
+    }
+    if (admitted.isEmpty) { lastBatch = None; start }
+    else {
+      val hi = admitted.last.getPath.toString
+      lastBatch = Some((lo, hi, admitted))
+      NcOffset(hi)
+    }
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -506,23 +577,27 @@ final class NcMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[NcOffset].watermark
     val hi = end.asInstanceOf[NcOffset].watermark
-    val batch = listing().filter { st =>
-      val p = st.getPath.toString
-      p > lo && p <= hi
+    val batch = lastBatch match {
+      case Some((l, h, files)) if l == lo && h == hi => files // cached this trigger
+      case _ => // checkpoint replay: re-derive from the (immutable) dir
+        listing().filter { st =>
+          val k = key(st.getPath.toString)
+          k > key(lo) && k <= key(hi)
+        }
     }
-    val expected = NcTable.scanSchemaOf(scan.firstLayout)
     batch.flatMap { st =>
       val l = NcTable.cachedLayout(conf, st)
       // a late-landing file must present the stream's schema, like S10's
       // identical-dims assertion in the batch combine
-      require(NcTable.scanSchemaOf(l) == expected,
-        s"${l.path} schema drifted from the stream's ${scan.firstLayout.path}")
+      require(NcTable.scanSchemaOf(l) == scan.fullSchema,
+        s"${l.path} schema ${NcTable.scanSchemaOf(l)} drifted from the " +
+          s"stream's ${scan.fullSchema}")
       scan.partitionsFor(l)
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NcReaderFactory(new SerializableHadoopConf(conf))
+    scan.createReaderFactory() // identical reader path as batch
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -125,6 +125,25 @@ class ManagerStreamingSpec extends SparkSpec {
     assert(r.getAs[Double]("value") == 9.0 + 1 + 10.0 + 100.25)
   }
 
+  test("a mixed NC+parquet input dir fails loudly (conversion-window double-ingest guard)") {
+    val root = Files.createTempDirectory("mgr_mixed").toString
+    val mgr = new DatasetManager {
+      val spark: SparkSession = sp
+      val desc: DatasetDescriptor = testDesc
+      val storePath: String = s"$root/store"
+      val inputDir: String = s"$root/input"
+    }
+    new java.io.File(s"$root/input").mkdirs()
+    writeNcDaily(s"$root/input/a.nc", 1, 2)
+    dailyGrid(1, 2).coalesce(1).write.parquet(s"$root/input/tmp_pq")
+    // move one parquet part file directly into the input dir
+    val part = new java.io.File(s"$root/input/tmp_pq").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$root/input/b.parquet"))
+    assertThrows[IllegalArgumentException](mgr.inputFiles())
+  }
+
   test("checkIfNewData opens only the NEWEST manifest file (convenience.py:473-504)") {
     val root = Files.createTempDirectory("mgr_newest").toString
     val mgr = new TestManager(root)

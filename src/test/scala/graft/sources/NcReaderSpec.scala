@@ -249,9 +249,12 @@ class NcReaderSpec extends SparkSpec {
     assert(dg.schema("time").dataType.typeName == "timestamp_ntz")
   }
 
-  test("readStream ingests newly-landed NC files incrementally (filename watermark)") {
+  test("readStream ingests newly-landed NC files incrementally (natural-order watermark)") {
     val dir = Files.createTempDirectory("ncstream").toString
-    writeGrid(s"$dir/part1.nc", nt = 4, timeOffset = 0)
+    // part9 → part10 is the ordering trap: lexicographically part10 < part9,
+    // naturally part10 > part9 — the watermark must use natural order or
+    // part10 would be silently stranded
+    writeGrid(s"$dir/part9.nc", nt = 4, timeOffset = 0)
     val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val q = spark.readStream.format("netcdf").load(dir)
       .writeStream
@@ -264,13 +267,56 @@ class NcReaderSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       assert(batches.synchronized(batches.map(_._2).sum) == 4 * 3 * 4)
-      // a new file lands (name sorts after part1) → exactly its rows arrive
-      writeGrid(s"$dir/part2.nc", nt = 3, timeOffset = 4)
+      writeGrid(s"$dir/part10.nc", nt = 3, timeOffset = 4)
       q.processAllAvailable()
       assert(batches.synchronized(batches.map(_._2).sum) == (4 + 3) * 3 * 4)
       // no new files → no new non-empty batch
       q.processAllAvailable()
       assert(batches.synchronized(batches.map(_._2).sum) == (4 + 3) * 3 * 4)
+    } finally q.stop()
+  }
+
+  test("a stream can start on an EMPTY landing dir with a provided schema") {
+    val dir = Files.createTempDirectory("ncstream_empty").toString
+    val probe = Files.createTempDirectory("ncstream_probe").toString
+    writeGrid(s"$probe/schema_probe.nc", nt = 1)
+    val schema = spark.read.format("netcdf").load(probe).schema
+    val counts = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.format("netcdf").schema(schema).load(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        counts.addAndGet(df.count()); ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ncstream_empty_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable() // nothing yet — must not throw
+      assert(counts.get() == 0)
+      writeGrid(s"$dir/a.nc", nt = 2)
+      q.processAllAvailable()
+      assert(counts.get() == 2 * 3 * 4)
+    } finally q.stop()
+  }
+
+  test("maxFilesPerTrigger bounds each micro-batch (admission control)") {
+    val dir = Files.createTempDirectory("ncstream_rate").toString
+    (1 to 3).foreach(i => writeGrid(s"$dir/f$i.nc", nt = 2, timeOffset = (i - 1) * 2))
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("netcdf").option("maxFilesPerTrigger", "1")
+      .load(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count()
+        if (n > 0) batchSizes.synchronized { batchSizes += n }; ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ncstream_rate_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // a pre-populated archive drains in one-file batches, not one giant one
+      assert(batchSizes.synchronized(batchSizes.toList) == List(24, 24, 24))
     } finally q.stop()
   }
 
