@@ -52,7 +52,7 @@ trait DatasetManager extends Logging {
   def inputFiles(): Seq[String] = {
     val all = Manifest.listInputFiles(spark, inputDir, Seq(".parquet", ".nc", ".cdf"))
       .select("path").collect().map(_.getString(0)).toSeq
-    val (nc, pq) = all.partition(p => p.endsWith(".nc") || p.endsWith(".cdf"))
+    val (nc, pq) = all.partition(Manifest.isNetcdf)
     require(nc.isEmpty || pq.isEmpty,
       s"$inputDir holds both NetCDF (${nc.length}) and parquet (${pq.length}) " +
         "inputs; archive the originals or override inputFiles() to pick one format")

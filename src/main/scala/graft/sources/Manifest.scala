@@ -68,18 +68,23 @@ object Manifest {
     full.join(manifest.select(dimCols.map(col): _*).distinct(), dimCols, "left_anti")
   }
 
-  /** S10 — multi-file union scan with identical-schema assertion
-    * (transform.py:40-117): all parts must agree on the dimension schema the
-    * way MultiZarrToZarr requires `identical_dimensions` to agree. */
+  /** One shared extension predicate — format dispatch (openInput), the
+    * manager's mixed-dir guard, and the NC scan's own listing must agree
+    * on what counts as NetCDF. */
+  def isNetcdf(path: String): Boolean =
+    path.endsWith(".nc") || path.endsWith(".cdf")
+
   /** Open one input by format, dispatched on extension: classic NetCDF
     * goes through the DSv2 scan (S9's real form), everything else is
     * parquet — so the SAME manager lifecycle runs on .nc landing dirs and
     * harness parquet alike (transform.py:75-79's format list analog). */
   def openInput(spark: SparkSession, path: String): DataFrame =
-    if (path.endsWith(".nc") || path.endsWith(".cdf"))
-      spark.read.format("netcdf").load(path)
+    if (isNetcdf(path)) spark.read.format("netcdf").load(path)
     else spark.read.parquet(path)
 
+  /** S10 — multi-file union scan with identical-schema assertion
+    * (transform.py:40-117): all parts must agree on the dimension schema the
+    * way MultiZarrToZarr requires `identical_dimensions` to agree. */
   def multiScan(spark: SparkSession, paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "multiScan needs at least one path")
     val parts = paths.map(openInput(spark, _))
@@ -101,8 +106,20 @@ object Manifest {
       .agg(min(col(timeCol)).as("min_time"), max(col(timeCol)).as("max_time"),
         count(lit(1)).as("n_rows"))
 
-  def withTimeRanges(spark: SparkSession, paths: Seq[String], timeCol: String): DataFrame =
-    timeRangesByFile(multiScan(spark, paths), timeCol)
+  /** Per-PATH time ranges: one aggregation branch per input path, unioned
+    * into a single job. Unlike [[timeRangesByFile]] this does not rely on
+    * `input_file_name()` — which returns "" for non-FileFormat DSv2 scans
+    * (the NetCDF reader), collapsing every file into one group. */
+  def withTimeRanges(spark: SparkSession, paths: Seq[String], timeCol: String): DataFrame = {
+    require(paths.nonEmpty, "withTimeRanges needs at least one path")
+    paths.map { p =>
+      openInput(spark, p).agg(
+          min(col(timeCol)).as("min_time"), max(col(timeCol)).as("max_time"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("path", lit(p))
+        .select("path", "min_time", "max_time", "n_rows")
+    }.reduce(_ unionByName _)
+  }
 
   /** S13 — open a single raw file for QC comparison (publish.py:1097-1175);
     * the caller composes Normalize.normalize on top. */

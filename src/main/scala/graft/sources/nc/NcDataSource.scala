@@ -148,6 +148,8 @@ object NcTable {
     val splitBytes = Option(options.get("splitBytes")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
     val maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+    maxFilesPerTrigger.foreach(n => require(n > 0,
+      s"maxFilesPerTrigger must be positive, got $n (0 would stall the stream silently)"))
     if (files.isEmpty) {
       // only a user/checkpoint-provided schema can stand in for the files
       require(providedSchema.isDefined,
@@ -223,7 +225,7 @@ object NcTable {
     val st = fs.getFileStatus(p)
     if (st.isDirectory)
       fs.listStatus(p).toSeq.filter(_.isFile)
-        .filter(f => f.getPath.getName.endsWith(".nc") || f.getPath.getName.endsWith(".cdf"))
+        .filter(f => graft.sources.Manifest.isNetcdf(f.getPath.getName))
     else Seq(st)
   }
 
@@ -325,6 +327,10 @@ final class NcScanBuilder(table: NcTable) extends ScanBuilder
 
   private def comparable(v: Any): Boolean = NcScan.toKey(v).isDefined
 
+  // NOTE a stream STARTED on an empty landing dir has no layouts, so
+  // prunable stays empty and every filter remains residual for the
+  // query's lifetime — correct (Spark re-filters) but unpruned; start
+  // streams against a seeded dir when pushdown matters.
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (h, residual) = filters.partition(handled)
     pushed = h
@@ -411,6 +417,12 @@ final class NcScan(
   override def readSchema(): StructType = required
 
   private[nc] def fullSchema: StructType = tableSchema
+
+  /** Axis columns referenced by CLAIMED (fully-handled) pushed filters —
+    * a late-landing streamed file must keep these monotonic or the
+    * index-range rewrite would be wrong (no residual filter remains). */
+  private[nc] def pushedFilterRefs: Set[String] =
+    pushed.flatMap(_.references).toSet
 
   override def description(): String = {
     val ranges = layouts.headOption.map { first =>
@@ -524,7 +536,8 @@ final class NcMicroBatchStream(
     @transient conf: Configuration,
     maxFilesPerTrigger: Option[Int])
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
@@ -532,6 +545,7 @@ final class NcMicroBatchStream(
 
   private def key(p: String): String = graft.sources.Manifest.naturalKey(p)
 
+  // NcTable.listFiles is already natural-sorted; filters below preserve it
   private def listing(): Seq[org.apache.hadoop.fs.FileStatus] =
     NcTable.listFiles(conf, paths)
 
@@ -540,6 +554,24 @@ final class NcMicroBatchStream(
     * throttle LIST calls). */
   @volatile private var lastBatch: Option[(String, String,
     Seq[org.apache.hadoop.fs.FileStatus])] = None
+
+  /** Trigger.AvailableNow target: pinned at query start so the
+    * MultiBatchExecutor drains up to exactly this point in
+    * maxFilesPerTrigger-bounded batches, then terminates. Without this
+    * interface Spark falls back to ONE single batch whose read limit
+    * would silently strand the backlog. */
+  @volatile private var availableNowTarget: Option[String] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val files = listing()
+    availableNowTarget = Some(
+      if (files.isEmpty) "" else files.last.getPath.toString)
+  }
+
+  override def reportLatestOffset(): Offset = {
+    val files = listing()
+    NcOffset(if (files.isEmpty) "" else files.last.getPath.toString)
+  }
 
   override def initialOffset(): Offset = NcOffset("")
 
@@ -555,7 +587,8 @@ final class NcMicroBatchStream(
     val lo = start.asInstanceOf[NcOffset].watermark
     val candidates = listing()
       .filter(st => key(st.getPath.toString) > key(lo))
-      .sortBy(st => key(st.getPath.toString))
+      .filter(st => availableNowTarget.forall(t =>
+        key(st.getPath.toString) <= key(t)))
     val admitted = limit match {
       case m: ReadMaxFiles => candidates.take(m.maxFiles())
       case _ => candidates
@@ -592,6 +625,14 @@ final class NcMicroBatchStream(
       require(NcTable.scanSchemaOf(l) == scan.fullSchema,
         s"${l.path} schema ${NcTable.scanSchemaOf(l)} drifted from the " +
           s"stream's ${scan.fullSchema}")
+      // …and axes backing CLAIMED pushed filters must stay monotonic: the
+      // index-range rewrite is exact only then, and no residual filter
+      // remains in the plan to catch an out-of-order late file
+      scan.pushedFilterRefs.foreach { ref =>
+        l.axes.find(_.name == ref).foreach(a => require(a.monotonic,
+          s"${l.path}: axis $ref is not monotonic but a pushed filter " +
+            "references it — refuse rather than return wrong rows"))
+      }
       scan.partitionsFor(l)
     }.toArray
   }

@@ -320,6 +320,28 @@ class NcReaderSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow + maxFilesPerTrigger drains the FULL backlog in bounded batches") {
+    // without SupportsTriggerAvailableNow Spark would fall back to ONE
+    // single batch of maxFilesPerTrigger files and terminate successfully
+    // with the backlog stranded — this pins the multi-batch drain
+    val dir = Files.createTempDirectory("ncstream_an").toString
+    (1 to 3).foreach(i => writeGrid(s"$dir/f$i.nc", nt = 2, timeOffset = (i - 1) * 2))
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("netcdf").option("maxFilesPerTrigger", "1")
+      .load(dir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count()
+        if (n > 0) sizes.synchronized { sizes += n }; ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ncstream_an_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    assert(sizes.synchronized(sizes.toList) == List(24, 24, 24))
+  }
+
   test("dims without coordinate variables surface as long indices") {
     val dir = Files.createTempDirectory("nc8").toString
     NcFormat.writeFile(spark, s"$dir/f.nc",
