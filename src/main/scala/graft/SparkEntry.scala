@@ -134,6 +134,28 @@ object SparkEntry {
     (ncDir, days.head)
   }
 
+  /** GRIB1 fixture mirroring the NC one: one message per day holding the
+    * dense (lat 0-1 × lon 0-4 = slot) grid of event counts, no-event cells
+    * as 0 (GRIB1 without a bitmap has no missing cells). */
+  private def gribEventsFixture(s: SparkSession, dir: String): String = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/events.grb"
+    val messages = days.toSeq.map { d =>
+      val vals = new Array[Double](10)
+      byDay(d).foreach(r => vals(r.getAs[Int]("slot")) = r.getAs[Long]("count").toDouble)
+      (61, d, Seq(0.0, 1.0), Seq(0.0, 1.0, 2.0, 3.0, 4.0), vals)
+    }
+    graft.sources.grib.GribFormat.writeFile(s, path, messages)
+    path
+  }
+
   private val EventsDesc = DatasetDescriptor(
     datasetName = "events", dataVar = "value",
     category = DatasetCategory.Observation, spatialDims = Seq("event_id"),
@@ -697,6 +719,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- GRIB1 DSv2 scan (the reference's other ingest format) ---
+    "q66_grib_scan" -> ((s, dir) => {
+      val path = gribEventsFixture(s, dir)
+      s.read.format("grib1").load(path)
+        .withColumn("slot", (col("latitude") * 5 + col("longitude")).cast("int"))
+        .select(col("time"), col("slot"), col("value").as("cnt"))
+        .orderBy("time", "slot")
+    }),
+
     // --- parameterized CF grid mappings (C6/W15 beyond 4326/3857) ---
     "q63_lcc_roundtrip" -> ((s, dir) => {
       // HRRR-style Lambert conformal conic over CONUS-ish points
@@ -1130,6 +1161,20 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(aug, '$url')) AS BIGINT) AS n_urls
          |FROM aug ORDER BY doc_id""".stripMargin
     },
+
+    // dense day×slot spine; GRIB1 (no bitmap) carries 0 for empty cells
+    "q66_grib_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s))
+        |SELECT spine.d AS time, spine.slot AS slot,
+        |       CAST(COALESCE(g.cnt, 0) AS DOUBLE) AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2""".stripMargin,
 
     "q63_lcc_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_bad",
     "q64_polar_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_bad",

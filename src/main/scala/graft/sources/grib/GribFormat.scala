@@ -1,0 +1,314 @@
+package graft.sources.grib
+
+import java.io.{DataOutputStream, EOFException, InputStream}
+
+/** GRIB edition 1 binary format model (WMO FM 92-VIII Ext., public spec):
+  * writer + parser for the subset the DSv2 scan supports — the OTHER input
+  * format of the reference next to NetCDF (transform.py:75-79 lists grib
+  * alongside netcdf; kerchunk's grib2 path plays the reader role there).
+  *
+  * Subset: one or more messages per file; PDS with a full yyyy-mm-dd hh:mm
+  * reference time; GDS grid type 0 (regular latitude/longitude); no bitmap
+  * (BMS absent); BDS simple packing — value = (R + X·2^E) / 10^D with R an
+  * IBM System/370 float32, X a bit-packed unsigned integer.
+  *
+  * All multi-byte integers are big-endian; "signed" GRIB1 fields are
+  * SIGN-MAGNITUDE (high bit = sign), not two's complement.
+  */
+object GribFormat {
+
+  // ------------------------------------------------------------ primitives
+
+  private[grib] def u16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+
+  private[grib] def u24(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 16) | ((b(off + 1) & 0xFF) << 8) | (b(off + 2) & 0xFF)
+
+  /** GRIB1 sign-magnitude signed int from 2 or 3 bytes. */
+  private[grib] def sm(b: Array[Byte], off: Int, len: Int): Int = {
+    var v = b(off) & 0x7F
+    var i = 1
+    while (i < len) { v = (v << 8) | (b(off + i) & 0xFF); i += 1 }
+    if ((b(off) & 0x80) != 0) -v else v
+  }
+
+  private[grib] def writeSm(out: DataOutputStream, v: Int, len: Int): Unit = {
+    val mag = math.abs(v)
+    val signBit = if (v < 0) 0x80 else 0x00
+    len match {
+      case 2 =>
+        out.writeByte(signBit | ((mag >> 8) & 0x7F)); out.writeByte(mag & 0xFF)
+      case 3 =>
+        out.writeByte(signBit | ((mag >> 16) & 0x7F))
+        out.writeByte((mag >> 8) & 0xFF); out.writeByte(mag & 0xFF)
+    }
+  }
+
+  /** IBM System/370 single-precision float: sign(1) exponent(7, base 16,
+    * bias 64) fraction(24). The GRIB1 reference-value encoding. */
+  private[grib] def ibmToDouble(bits: Int): Double = {
+    if ((bits & 0x7FFFFFFF) == 0) return 0.0
+    val sign = if ((bits & 0x80000000) != 0) -1.0 else 1.0
+    val exp = (bits >>> 24) & 0x7F
+    val frac = (bits & 0x00FFFFFF).toDouble / 0x1000000.toDouble
+    sign * frac * math.pow(16.0, exp - 64)
+  }
+
+  private[grib] def doubleToIbm(v: Double): Int = {
+    if (v == 0.0) return 0
+    val sign = if (v < 0) 0x80000000 else 0
+    var mag = math.abs(v)
+    // normalize so fraction ∈ [1/16, 1): mag = frac * 16^(exp-64)
+    var exp = 64
+    while (mag >= 1.0) { mag /= 16.0; exp += 1 }
+    while (mag < 1.0 / 16.0) { mag *= 16.0; exp -= 1 }
+    require(exp >= 0 && exp <= 127, s"IBM float exponent out of range for $v")
+    val frac = math.round(mag * 0x1000000.toDouble).toInt.min(0x00FFFFFF)
+    sign | (exp << 24) | frac
+  }
+
+  // --------------------------------------------------------------- model
+
+  /** One parsed message's planning state: grid + packing + the absolute
+    * byte offset of the packed data (reading is a positioned slab read). */
+  final case class GribMessage(
+      paramId: Int,
+      refTime: java.time.LocalDateTime,
+      ni: Int, nj: Int,
+      la1: Double, lo1: Double, la2: Double, lo2: Double,
+      decimalScale: Int,
+      binaryScale: Int,
+      refValue: Double,
+      bitsPerValue: Int,
+      dataOffset: Long,
+      dataBytes: Int,
+      totalLength: Int) {
+    def lats: Array[Double] =
+      Array.tabulate(nj)(j => la1 + (if (nj == 1) 0.0 else (la2 - la1) * j / (nj - 1)))
+    def lons: Array[Double] =
+      Array.tabulate(ni)(i => lo1 + (if (ni == 1) 0.0 else (lo2 - lo1) * i / (ni - 1)))
+    def nValues: Int = ni * nj
+    /** Decode cell k (row-major: lat rows, lon fastest) from the packed
+      * slab bytes. */
+    def decode(slab: Array[Byte], k: Int): Double = {
+      if (bitsPerValue == 0) return refValue / math.pow(10.0, decimalScale)
+      var acc = 0L
+      var bit = k.toLong * bitsPerValue
+      var got = 0
+      while (got < bitsPerValue) {
+        val byteIdx = (bit / 8).toInt
+        val bitInByte = (bit % 8).toInt
+        val take = math.min(8 - bitInByte, bitsPerValue - got)
+        val chunk = ((slab(byteIdx) & 0xFF) >>> (8 - bitInByte - take)) &
+          ((1 << take) - 1)
+        acc = (acc << take) | chunk
+        got += take
+        bit += take
+      }
+      (refValue + acc.toDouble * math.pow(2.0, binaryScale)) /
+        math.pow(10.0, decimalScale)
+    }
+  }
+
+  // -------------------------------------------------------------- writing
+
+  /** Write one GRIB1 message: a regular lat/lon grid of `values`
+    * (row-major, lat rows with lon fastest), simple-packed with the given
+    * decimal scale. Binary scale 0 and bits sized to the scaled range, so
+    * values with ≤ `decimalScale` decimals round-trip exactly. */
+  def writeMessage(
+      out: DataOutputStream,
+      paramId: Int,
+      refTime: java.time.LocalDateTime,
+      lats: Seq[Double], lons: Seq[Double],
+      values: Array[Double],
+      decimalScale: Int = 0): Unit = {
+    val nj = lats.length; val ni = lons.length
+    require(values.length == ni * nj, s"${values.length} values for $ni x $nj grid")
+    val d = math.pow(10.0, decimalScale)
+    val scaled = values.map(v => math.round(v * d))
+    val minV = scaled.min
+    val range = scaled.max - minV
+    val bits = if (range == 0) 0
+      else math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(range))
+    require(bits <= 24, s"range $range needs $bits bits (>24); raise decimalScale granularity")
+    val refValue = minV.toDouble // stored as IBM float, exact for ints < 2^24
+    val dataBits = scaled.length.toLong * bits
+    val dataByteLen = ((dataBits + 7) / 8).toInt
+    val bdsLen0 = 11 + dataByteLen
+    val bdsLen = bdsLen0 + (bdsLen0 % 2) // BDS length must be even
+    val pdsLen = 28
+    val gdsLen = 32
+    val total = 8 + pdsLen + gdsLen + bdsLen + 4
+
+    // IS
+    out.writeBytes("GRIB")
+    out.writeByte((total >> 16) & 0xFF); out.writeByte((total >> 8) & 0xFF)
+    out.writeByte(total & 0xFF)
+    out.writeByte(1) // edition
+    // PDS
+    out.writeByte(0); out.writeByte(0); out.writeByte(pdsLen) // length u24
+    out.writeByte(128) // table version (local)
+    out.writeByte(255) // center
+    out.writeByte(255) // process
+    out.writeByte(255) // grid id
+    out.writeByte(0x80) // flags: GDS present, no BMS
+    out.writeByte(paramId)
+    out.writeByte(1); writeSm(out, 0, 2) // level type surface, level 0
+    val century = (refTime.getYear - 1) / 100 + 1
+    val yoc = refTime.getYear - (century - 1) * 100
+    out.writeByte(yoc); out.writeByte(refTime.getMonthValue)
+    out.writeByte(refTime.getDayOfMonth); out.writeByte(refTime.getHour)
+    out.writeByte(refTime.getMinute)
+    out.writeByte(1) // time unit hours
+    out.writeByte(0); out.writeByte(0) // P1 P2
+    out.writeByte(0) // time range indicator: analysis
+    out.writeByte(0); out.writeByte(0) // number in average
+    out.writeByte(0) // missing from average
+    out.writeByte(century)
+    out.writeByte(0) // subcenter
+    writeSm(out, decimalScale, 2)
+    // GDS (grid type 0: regular lat/lon; lat/lon in millidegrees)
+    out.writeByte(0); out.writeByte(0); out.writeByte(gdsLen)
+    out.writeByte(0) // NV
+    out.writeByte(255) // PV absent
+    out.writeByte(0) // data representation type 0
+    out.writeShort(ni); out.writeShort(nj)
+    def mdeg(x: Double): Int = math.round(x * 1000).toInt
+    writeSm(out, mdeg(lats.head), 3); writeSm(out, mdeg(lons.head), 3)
+    out.writeByte(0x80) // resolution/component flags: directions given
+    writeSm(out, mdeg(lats.last), 3); writeSm(out, mdeg(lons.last), 3)
+    val di = if (ni > 1) mdeg(math.abs(lons.last - lons.head) / (ni - 1)) else 0
+    val dj = if (nj > 1) mdeg(math.abs(lats.last - lats.head) / (nj - 1)) else 0
+    out.writeShort(di); out.writeShort(dj)
+    out.writeByte(if (lats.last >= lats.head) 0x40 else 0x00) // scanning mode: +j if increasing
+    out.writeByte(0); out.writeByte(0); out.writeByte(0); out.writeByte(0) // reserved
+    // BDS (length is a full u24 — big grids exceed 65535 bytes)
+    out.writeByte((bdsLen >> 16) & 0xFF); out.writeByte((bdsLen >> 8) & 0xFF)
+    out.writeByte(bdsLen & 0xFF)
+    val unusedBits = (bdsLen - bdsLen0) * 8 + (dataByteLen * 8 - dataBits).toInt
+    out.writeByte((unusedBits & 0x0F)) // flags 0 (simple, grid-point) + unused-bit count low nibble
+    writeSm(out, 0, 2) // binary scale factor E = 0
+    out.writeInt(doubleToIbm(refValue))
+    out.writeByte(bits)
+    // bit-packed X values, MSB first
+    var acc = 0L; var nAcc = 0
+    scaled.foreach { s =>
+      val x = s - minV
+      acc = (acc << bits) | x
+      nAcc += bits
+      while (nAcc >= 8) {
+        out.writeByte(((acc >> (nAcc - 8)) & 0xFF).toInt)
+        nAcc -= 8
+      }
+    }
+    if (nAcc > 0) out.writeByte(((acc << (8 - nAcc)) & 0xFF).toInt)
+    // pad BDS to even length
+    if (bdsLen != bdsLen0) out.writeByte(0)
+    // end section
+    out.writeBytes("7777")
+  }
+
+  // -------------------------------------------------------------- parsing
+
+  /** Parse all message descriptors in a stream (headers only — the packed
+    * data is skipped and read later as a positioned slab). */
+  def parseMessages(in: InputStream): Seq[GribMessage] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[GribMessage]
+    var offset = 0L
+    def readN(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var got = 0
+      while (got < n) {
+        val r = in.read(b, got, n - got)
+        if (r < 0) throw new EOFException(s"Truncated GRIB at offset $offset")
+        got += r
+      }
+      offset += n
+      b
+    }
+    while (true) {
+      // IS or EOF
+      val head = new Array[Byte](8)
+      var got = 0
+      var eof = false
+      while (got < 8 && !eof) {
+        val r = in.read(head, got, 8 - got)
+        if (r < 0) { eof = true } else got += r
+      }
+      if (eof) {
+        require(got == 0, s"Trailing ${got} bytes at offset $offset")
+        return out.toSeq
+      }
+      val msgStart = offset
+      offset += 8
+      require(new String(head, 0, 4, "US-ASCII") == "GRIB", "Bad GRIB magic")
+      val total = u24(head, 4)
+      require(head(7) == 1, s"Only GRIB edition 1 supported, got ${head(7)}")
+      // PDS
+      val pdsLenB = readN(3)
+      val pdsLen = u24(pdsLenB, 0)
+      val pds = readN(pdsLen - 3)
+      val flags = pds(4) & 0xFF
+      require((flags & 0x80) != 0, "GDS-less messages unsupported")
+      require((flags & 0x40) == 0, "Bitmap (BMS) unsupported")
+      val paramId = pds(5) & 0xFF
+      val century = pds(21) & 0xFF
+      val year = (century - 1) * 100 + (pds(9) & 0xFF)
+      val refTime = java.time.LocalDateTime.of(year, pds(10) & 0xFF,
+        pds(11) & 0xFF, pds(12) & 0xFF, pds(13) & 0xFF)
+      val decimalScale = sm(pds, 23, 2)
+      // GDS
+      val gdsLenB = readN(3)
+      val gdsLen = u24(gdsLenB, 0)
+      val gds = readN(gdsLen - 3)
+      require((gds(2) & 0xFF) == 0, s"Grid type ${gds(2)} unsupported (only 0)")
+      val ni = u16(gds, 3); val nj = u16(gds, 5)
+      val la1 = sm(gds, 7, 3) / 1000.0; val lo1 = sm(gds, 10, 3) / 1000.0
+      val la2 = sm(gds, 14, 3) / 1000.0; val lo2 = sm(gds, 17, 3) / 1000.0
+      // BDS
+      val bdsLenB = readN(3)
+      val bdsLen = u24(bdsLenB, 0)
+      val bdsHead = readN(8)
+      require((bdsHead(0) & 0xF0) == 0, "Only simple grid-point packing supported")
+      val binaryScale = sm(bdsHead, 1, 2)
+      val refValue = ibmToDouble(
+        ((bdsHead(3) & 0xFF) << 24) | ((bdsHead(4) & 0xFF) << 16) |
+          ((bdsHead(5) & 0xFF) << 8) | (bdsHead(6) & 0xFF))
+      val bits = bdsHead(7) & 0xFF
+      val dataOffset = offset
+      val dataBytes = bdsLen - 11
+      // skip the packed data + the 4-byte end section
+      val toSkip = dataBytes.toLong + 4
+      var left = toSkip
+      while (left > 0) {
+        val s = in.skip(left)
+        if (s <= 0) throw new EOFException("Truncated GRIB data section")
+        left -= s
+      }
+      offset += toSkip
+      require(offset - msgStart == total,
+        s"Message length mismatch: read ${offset - msgStart}, declared $total")
+      out += GribMessage(paramId, refTime, ni, nj, la1, lo1, la2, lo2,
+        decimalScale, binaryScale, refValue, bits, dataOffset, dataBytes, total)
+    }
+    out.toSeq
+  }
+
+  /** Convenience: write messages to a Hadoop-visible path. */
+  def writeFile(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      messages: Seq[(Int, java.time.LocalDateTime, Seq[Double], Seq[Double], Array[Double])],
+      decimalScale: Int = 0): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      fs.create(new org.apache.hadoop.fs.Path(path), true)))
+    try messages.foreach { case (param, t, lats, lons, vals) =>
+      writeMessage(out, param, t, lats, lons, vals, decimalScale)
+    }
+    finally out.close()
+  }
+}
