@@ -50,12 +50,16 @@ trait DatasetManager extends Logging {
     * converted .parquet would double-ingest (or schema-clash), so that
     * state fails loudly instead. */
   def inputFiles(): Seq[String] = {
-    val all = Manifest.listInputFiles(spark, inputDir, Seq(".parquet", ".nc", ".cdf"))
+    val all = Manifest.listInputFiles(spark, inputDir,
+        Seq(".parquet", ".nc", ".cdf", ".grb", ".grib", ".grb1"))
       .select("path").collect().map(_.getString(0)).toSeq
-    val (nc, pq) = all.partition(Manifest.isNetcdf)
-    require(nc.isEmpty || pq.isEmpty,
-      s"$inputDir holds both NetCDF (${nc.length}) and parquet (${pq.length}) " +
-        "inputs; archive the originals or override inputFiles() to pick one format")
+    val kinds = all.groupBy(p =>
+      if (Manifest.isNetcdf(p)) "netcdf"
+      else if (Manifest.isGrib(p)) "grib" else "parquet")
+    require(kinds.size <= 1,
+      s"$inputDir mixes input formats ${kinds.keys.mkString(", ")} " +
+        s"(${kinds.view.mapValues(_.length).toMap}); archive the originals " +
+        "or override inputFiles() to pick one format")
     all
   }
 

@@ -68,18 +68,22 @@ object Manifest {
     full.join(manifest.select(dimCols.map(col): _*).distinct(), dimCols, "left_anti")
   }
 
-  /** One shared extension predicate — format dispatch (openInput), the
-    * manager's mixed-dir guard, and the NC scan's own listing must agree
-    * on what counts as NetCDF. */
+  /** One shared extension predicate per format — dispatch (openInput), the
+    * manager's mixed-dir guard, and the scans' own listings must agree on
+    * what counts as what. */
   def isNetcdf(path: String): Boolean =
     path.endsWith(".nc") || path.endsWith(".cdf")
 
-  /** Open one input by format, dispatched on extension: classic NetCDF
-    * goes through the DSv2 scan (S9's real form), everything else is
-    * parquet — so the SAME manager lifecycle runs on .nc landing dirs and
-    * harness parquet alike (transform.py:75-79's format list analog). */
+  def isGrib(path: String): Boolean =
+    path.endsWith(".grb") || path.endsWith(".grib") || path.endsWith(".grb1")
+
+  /** Open one input by format, dispatched on extension: classic NetCDF and
+    * GRIB1 go through their DSv2 scans (S9's real forms), everything else
+    * is parquet — so the SAME manager lifecycle runs on climate landing
+    * dirs and harness parquet alike (transform.py:75-79's format list). */
   def openInput(spark: SparkSession, path: String): DataFrame =
     if (isNetcdf(path)) spark.read.format("netcdf").load(path)
+    else if (isGrib(path)) spark.read.format("grib1").load(path)
     else spark.read.parquet(path)
 
   /** S10 — multi-file union scan with identical-schema assertion

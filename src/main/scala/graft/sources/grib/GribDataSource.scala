@@ -70,7 +70,7 @@ object GribTable {
       })
 
   private def isGrib(name: String): Boolean =
-    name.endsWith(".grb") || name.endsWith(".grib") || name.endsWith(".grb1")
+    graft.sources.Manifest.isGrib(name)
 
   def resolve(options: CaseInsensitiveStringMap): GribTable = {
     val spark = SparkSession.active
