@@ -45,8 +45,13 @@ class GribDataSource extends TableProvider with DataSourceRegister {
     GribTable.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
+      properties: java.util.Map[String, String]): Table = {
+    // the scan schema is fixed; a user-supplied schema must MATCH, not be
+    // silently discarded
+    require(schema == GribTable.Schema,
+      s"grib1 scans always present ${GribTable.Schema.simpleString}; got ${schema.simpleString}")
     GribTable.resolve(new CaseInsensitiveStringMap(properties))
+  }
 }
 
 object GribTable {
@@ -145,9 +150,9 @@ final class GribScan(
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  private def timeMicros(m: GribMessage): Double =
-    m.refTime.toEpochSecond(java.time.ZoneOffset.UTC) * 1e6 +
-      m.refTime.getNano / 1000
+  /** SAME conversion as the filter-literal side (NcScan.toKey) so the
+    * Double equality in keep() is exact by construction. */
+  private def timeMicros(m: GribMessage): Double = NcScan.toKey(m.refTime).get
 
   /** Message survives every pushed predicate? (time/param only). */
   private def keep(m: GribMessage): Boolean = pushed.forall {
@@ -161,7 +166,9 @@ final class GribScan(
     case _ => true
   }
 
-  private def survivors: Seq[(String, GribMessage)] =
+  // lazy: description(), planInputPartitions(), and estimateStatistics()
+  // all consult it — filter the message set once per scan, not per call
+  private lazy val survivors: Seq[(String, GribMessage)] =
     byFile.flatMap { case (p, ms) => ms.filter(keep).map(p -> _) }
 
   override def description(): String =
@@ -215,20 +222,31 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
   private val timeMicros: Long =
     m.refTime.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
       m.refTime.getNano / 1000
+  // hoist the per-column dispatch out of the per-cell loop: a message is
+  // ~10⁶ cells; string-matching column names per cell is pure overhead
+  private val TimeC = 0; private val LatC = 1; private val LonC = 2
+  private val ParamC = 3; private val ValueC = 4
+  private val colCodes: Array[Int] = part.cols.map {
+    case "time" => TimeC
+    case "latitude" => LatC
+    case "longitude" => LonC
+    case "param" => ParamC
+    case "value" => ValueC
+  }
   private var k = -1
 
   override def next(): Boolean = { k += 1; k < m.nValues }
 
   override def get(): InternalRow = {
-    val row = new Array[Any](part.cols.length)
+    val row = new Array[Any](colCodes.length)
     var c = 0
-    while (c < part.cols.length) {
-      row(c) = part.cols(c) match {
-        case "time" => timeMicros
-        case "latitude" => lats(k / m.ni)
-        case "longitude" => lons(k % m.ni)
-        case "param" => m.paramId
-        case "value" => m.decode(slab, k)
+    while (c < colCodes.length) {
+      row(c) = colCodes(c) match {
+        case TimeC => timeMicros
+        case LatC => lats(k / m.ni)
+        case LonC => lons(k % m.ni)
+        case ParamC => m.paramId
+        case ValueC => m.decode(slab, k)
       }
       c += 1
     }

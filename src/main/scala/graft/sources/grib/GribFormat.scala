@@ -123,9 +123,15 @@ object GribFormat {
       refTime: java.time.LocalDateTime,
       lats: Seq[Double], lons: Seq[Double],
       values: Array[Double],
-      decimalScale: Int = 0): Unit = {
+      decimalScale: Int = 0,
+      leadHours: Int = 0): Unit = {
+    require(leadHours >= 0 && leadHours <= 255, s"leadHours $leadHours not in PDS octet range")
     val nj = lats.length; val ni = lons.length
     require(values.length == ni * nj, s"${values.length} values for $ni x $nj grid")
+    require(ni <= 65535 && nj <= 65535, s"grid $ni x $nj exceeds GDS u16 dims")
+    // GRIB1 without a bitmap has no missing-cell representation: NaN would
+    // silently round to 0 (math.round(NaN) == 0) — refuse loudly instead
+    require(!values.exists(_.isNaN), "NaN values need a bitmap (unsupported)")
     val d = math.pow(10.0, decimalScale)
     val scaled = values.map(v => math.round(v * d))
     val minV = scaled.min
@@ -141,6 +147,8 @@ object GribFormat {
     val pdsLen = 28
     val gdsLen = 32
     val total = 8 + pdsLen + gdsLen + bdsLen + 4
+    require(total <= 0xFFFFFF,
+      s"message of $total bytes exceeds the 24-bit GRIB1 length; split the grid")
 
     // IS
     out.writeBytes("GRIB")
@@ -162,7 +170,7 @@ object GribFormat {
     out.writeByte(refTime.getDayOfMonth); out.writeByte(refTime.getHour)
     out.writeByte(refTime.getMinute)
     out.writeByte(1) // time unit hours
-    out.writeByte(0); out.writeByte(0) // P1 P2
+    out.writeByte(leadHours); out.writeByte(0) // P1 (forecast lead), P2
     out.writeByte(0) // time range indicator: analysis
     out.writeByte(0); out.writeByte(0) // number in average
     out.writeByte(0) // missing from average
@@ -256,8 +264,25 @@ object GribFormat {
       val paramId = pds(5) & 0xFF
       val century = pds(21) & 0xFF
       val year = (century - 1) * 100 + (pds(9) & 0xFF)
-      val refTime = java.time.LocalDateTime.of(year, pds(10) & 0xFF,
+      val refTime0 = java.time.LocalDateTime.of(year, pds(10) & 0xFF,
         pds(11) & 0xFF, pds(12) & 0xFF, pds(13) & 0xFF)
+      // forecast messages carry their lead in P1 (octet 19) in the PDS
+      // time unit (octet 18): the VALID time is ref + P1·unit. Only the
+      // "forecast at reference + P1" indicator (0) is supported — anything
+      // else (averages, accumulations) fails loudly, like the other
+      // unsupported-subset conditions.
+      val timeUnit = pds(14) & 0xFF
+      val p1 = pds(15) & 0xFF
+      val rangeIndicator = pds(17) & 0xFF
+      require(rangeIndicator == 0,
+        s"time range indicator $rangeIndicator unsupported (only 0: forecast at ref+P1)")
+      val refTime = timeUnit match {
+        case 0 => refTime0.plusMinutes(p1)
+        case 1 => refTime0.plusHours(p1)
+        case 2 => refTime0.plusDays(p1)
+        case u => throw new IllegalArgumentException(
+          s"PDS time unit $u unsupported (0=min, 1=hour, 2=day)")
+      }
       val decimalScale = sm(pds, 23, 2)
       // GDS
       val gdsLenB = readN(3)
@@ -267,6 +292,12 @@ object GribFormat {
       val ni = u16(gds, 3); val nj = u16(gds, 5)
       val la1 = sm(gds, 7, 3) / 1000.0; val lo1 = sm(gds, 10, 3) / 1000.0
       val la2 = sm(gds, 14, 3) / 1000.0; val lo2 = sm(gds, 17, 3) / 1000.0
+      // scanning mode (octet 28): ±i/±j direction is captured by the
+      // la1→la2 / lo1→lo2 interpolation, but the j-CONSECUTIVE bit (0x20)
+      // transposes the cell order — decoding it as i-consecutive would
+      // silently swap lat/lon attribution, so refuse it
+      require((gds(24) & 0x20) == 0,
+        "j-consecutive scanning mode (0x20) unsupported (i-consecutive only)")
       // BDS
       val bdsLenB = readN(3)
       val bdsLen = u24(bdsLenB, 0)

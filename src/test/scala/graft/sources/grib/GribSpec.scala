@@ -62,6 +62,26 @@ class GribSpec extends SparkSpec {
     assert(got.toSeq == vals.toSeq)
   }
 
+  test("forecast lead (P1) shifts the valid time; averages are rejected") {
+    val dir = Files.createTempDirectory("grib_lead").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.DataOutputStream(
+      fs.create(new org.apache.hadoop.fs.Path(s"$dir/lead.grb"), true))
+    try {
+      GribFormat.writeMessage(out, 61, LocalDateTime.of(2024, 3, 1, 0, 0),
+        Seq(0.0), Seq(0.0), Array(1.0), leadHours = 0)
+      GribFormat.writeMessage(out, 61, LocalDateTime.of(2024, 3, 1, 0, 0),
+        Seq(0.0), Seq(0.0), Array(2.0), leadHours = 6)
+    } finally out.close()
+    val df = spark.read.format("grib1").load(s"$dir/lead.grb")
+    val got = df.orderBy("time").select("time", "value").collect()
+      .map(r => (r.getAs[LocalDateTime]("time"), r.getDouble(1))).toSeq
+    assert(got == Seq(
+      (LocalDateTime.of(2024, 3, 1, 0, 0), 1.0),
+      (LocalDateTime.of(2024, 3, 1, 6, 0), 2.0)))
+  }
+
   test("constant fields (zero range) decode via bits-per-value 0") {
     val dir = Files.createTempDirectory("grib3").toString
     GribFormat.writeFile(spark, s"$dir/c.grb", Seq(
