@@ -719,6 +719,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- corpus-level line dedup (CCNet-style boilerplate removal) ---
+    "q67_line_dedup" -> ((s, dir) => {
+      // deterministic boilerplate both engines construct identically: a
+      // footer shared by every doc (removed at minDocs=10) + a unique line
+      val aug = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("\nshared boilerplate footer line\nunique "),
+          col("doc_id").cast("string")).as("aug"))
+      Dedup.corpusLineDedup(aug, "doc_id", "aug", minDocs = 10)
+        .select(col("doc_id"), md5(col("cleaned")).as("cleaned_md5"),
+          col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     // --- GRIB1 DSv2 scan (the reference's other ingest format) ---
     "q66_grib_scan" -> ((s, dir) => {
       val path = gribEventsFixture(s, dir)
@@ -1161,6 +1174,24 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(aug, '$url')) AS BIGINT) AS n_urls
          |FROM aug ORDER BY doc_id""".stripMargin
     },
+
+    "q67_line_dedup" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || chr(10) || 'shared boilerplate footer line' || chr(10)
+        |       || 'unique ' || CAST(doc_id AS VARCHAR) AS aug FROM documents),
+        |ls AS (SELECT doc_id, string_split(aug, chr(10)) AS lns FROM aug),
+        |lines AS (SELECT doc_id, unnest(range(1, len(lns) + 1)) AS i, lns FROM ls),
+        |ln AS (SELECT doc_id, i, lns[i] AS line FROM lines),
+        |common AS (SELECT line FROM ln WHERE line <> ''
+        |           GROUP BY line HAVING count(DISTINCT doc_id) >= 10),
+        |flagged AS (SELECT ln.doc_id, ln.i, ln.line,
+        |            (common.line IS NOT NULL) AS dropped
+        |            FROM ln LEFT JOIN common ON ln.line = common.line)
+        |SELECT doc_id,
+        |  md5(COALESCE(string_agg(CASE WHEN NOT dropped THEN line END,
+        |        chr(10) ORDER BY i), '')) AS cleaned_md5,
+        |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // dense day×slot spine; GRIB1 (no bitmap) carries 0 for empty cells
     "q66_grib_scan" ->

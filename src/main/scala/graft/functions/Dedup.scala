@@ -163,6 +163,38 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes via bit_count(xor). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** CCNet-style corpus-level line dedup: drop every line that appears in
+    * ≥ `minDocs` DISTINCT documents (boilerplate headers/footers/nav), and
+    * reconstruct each document from its kept lines in original order.
+    * Returns (idCol, cleaned, n_removed).
+    *
+    * Scale shape: the shuffle key is the line string only while counting
+    * document frequency (the classic inverted count); the common-line set
+    * is then the small side of the membership join. Reconstruction is a
+    * per-document sort_array over (position, line) structs — no window. */
+  def corpusLineDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int): DataFrame = {
+    val lines = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val common = lines.filter(col("__line") =!= "")
+      .groupBy("__line")
+      .agg(countDistinct(col("__id")).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__line"), lit(true).as("__drop"))
+    lines.join(common, Seq("__line"), "left")
+      .groupBy(col("__id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list( // collect_list drops the nulled (removed) rows
+            when(col("__drop").isNull, struct(col("__pos"), col("__line"))))),
+          x => x.getField("__line")), "\n").as("cleaned"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_removed"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Exact n-gram Jaccard similar pairs above `threshold`.
     *
     * Explode distinct shingles → self-join on shingle → per-pair common

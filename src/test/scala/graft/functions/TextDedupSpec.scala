@@ -155,6 +155,23 @@ class TextDedupSpec extends SparkSpec {
     assert(out(4L) == ((0.0, 0.0)))
   }
 
+  test("corpusLineDedup drops corpus-frequent lines, keeps order, counts removals") {
+    val sp2 = spark; import sp2.implicits._
+    val docs = (1 to 5).map(i =>
+      (i.toLong, s"unique head $i\nCOMMON FOOTER\nbody line $i\nCOMMON FOOTER")) :+
+      (6L, "all alone here")
+    val out = Dedup.corpusLineDedup(docs.toDF("id", "t"), "id", "t", minDocs = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // the footer (in 5 distinct docs) is dropped — BOTH occurrences per doc
+    assert(out(1L) == (("unique head 1\nbody line 1", 2L)))
+    assert(out(3L) == (("unique head 3\nbody line 3", 2L)))
+    assert(out(6L) == (("all alone here", 0L)))
+    // below the threshold nothing is dropped
+    val none = Dedup.corpusLineDedup(docs.toDF("id", "t"), "id", "t", minDocs = 6)
+      .filter(col("n_removed") > 0).count()
+    assert(none == 0)
+  }
+
   test("scrubPii masks emails then URLs, leaves clean text alone") {
     val sp2 = spark; import sp2.implicits._
     val df = Seq(
