@@ -36,12 +36,16 @@ trait Logging {
   }
 
   protected def info(msg: => String): Unit = {
-    if (log.isInfoEnabled) log.info(msg)
-    toFile("INFO", msg)
+    // evaluate the by-name msg at most once, and not at all when the level
+    // is off and no file sink will consume it
+    lazy val m = msg
+    if (log.isInfoEnabled) log.info(m)
+    if (fileSink.isDefined) toFile("INFO", m)
   }
   protected def debug(msg: => String): Unit = {
-    if (log.isDebugEnabled) log.debug(msg)
-    toFile("DEBUG", msg)
+    lazy val m = msg
+    if (log.isDebugEnabled) log.debug(m)
+    if (fileSink.isDefined) toFile("DEBUG", m)
   }
   protected def warn(msg: => String): Unit = {
     log.warn(msg)

@@ -93,6 +93,11 @@ object GribTable {
     }.sortBy(st => graft.sources.Manifest.naturalKey(st.getPath.toString))
     val byFile = files.map(st =>
       st.getPath.toString -> cachedMessages(conf, st))
+    // size-bounded eviction like NcTable.layoutCache: a long-lived driver
+    // scanning many (or rewritten — each rewrite is a fresh (path,mtime,len)
+    // key) GRIB files must not grow the cache unboundedly; clear AFTER
+    // serving this resolve so the current scan still hits
+    if (messageCache.size > 4096) messageCache.clear()
     new GribTable(byFile, conf)
   }
 }

@@ -169,8 +169,13 @@ object NcTable {
         implicit val ec: ExecutionContext = ExecutionContext.global
         Await.result(
           Future.traverse(misses) { st =>
-            Future(layoutCache.putIfAbsent(cacheKey(st),
-              layout(conf, st.getPath.toString)))
+            // blocking{}: these are blocking Hadoop IO calls — let the
+            // global fork-join pool grow past CPU count instead of
+            // deadlocking if resolve is ever entered from a global-EC thread
+            Future(scala.concurrent.blocking {
+              layoutCache.putIfAbsent(cacheKey(st),
+                layout(conf, st.getPath.toString))
+            })
           }, Duration.Inf)
       }
       val out = files.map(st => Option(layoutCache.get(cacheKey(st)))
