@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 import graft.functions.{Dedup, Encryption, Multimodal, Similarity, Text}
 import graft.model.{DatasetCategory, DatasetDescriptor, TimeSpan, TimeUnitKind}
-import graft.ops.{Filters, Normalize, Projection, Qc, Stats, UpdatePlan}
+import graft.ops.{Filters, Normalize, Projection, Qc, Sampling, Stats, UpdatePlan}
 import graft.sources.Manifest
 import graft.sources.nc.NcFormat
 import graft.store.GridStore
@@ -437,6 +437,26 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
         .orderBy("doc_id")),
 
+    // Connected components over the verified near-dup pair graph (the
+    // cluster step a corpus dedup runs after pair generation). The pair set
+    // provably equals DuckDB's exact Jaccard-0.9 pairs (q29's gate), so the
+    // oracle recomputes the same components with a recursive CTE.
+    "q68_dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.nearDupPairs(dupDocs(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.9)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
+    // --- deterministic stratified sampling (corpus rebalancing) ---
+    "q69_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSampleByHash(table(s, dir, "documents"),
+          "doc_id", "lang", Map("en" -> 0.25, "zh" -> 0.75),
+          defaultFraction = 0.5, seed = "s1")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // --- text analysis (documents) ---
     "q33_token_stats" -> ((s, dir) =>
       table(s, dir, "documents").select(
@@ -647,6 +667,17 @@ object SparkEntry {
         round(Text.duplicateLineFraction(col("text")), 6).as("dup_line_frac"),
         round(Text.topBigramCoverage(col("text")), 6).as("top_bigram_cov"))
         .orderBy("doc_id")),
+
+    // Gopher-rule quality filter: integer-arithmetic verdicts, so the flag
+    // columns are bit-portable to the oracle (booleans surfaced as 0/1)
+    "q70_quality_filter" -> ((s, dir) => {
+      val f = Text.gopherQualityFilter(table(s, dir, "documents"),
+        "doc_id", "text", minWords = 30, maxWords = 90,
+        minMeanLen = 4, maxMeanLen = 10, minDistinctStopwords = 2)
+      f.select(col("doc_id") +:
+        f.columns.filter(_ != "doc_id").map(c => col(c).cast("long").as(c)): _*)
+        .orderBy("doc_id")
+    }),
 
     "q59_chunking" -> ((s, dir) =>
       table(s, dir, "documents")
@@ -983,6 +1014,31 @@ object SparkEntry {
       "(SELECT doc_id, text FROM documents " +
         "UNION ALL SELECT doc_id + 100000, text FROM documents) ad"),
 
+    // same exact pair set as q29, then components via min-label closure: a
+    // label walks an edge only when it lowers the endpoint, so the reachable
+    // minimum is each node's component id
+    "q68_dedup_components" ->
+      s"""WITH RECURSIVE
+        |toks AS (SELECT doc_id, $ToksSql AS t
+        |         FROM (SELECT doc_id, text FROM documents
+        |               UNION ALL SELECT doc_id + 100000, text FROM documents) ad),
+        |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |          FROM p JOIN cnt na ON p.doc_a = na.doc_id JOIN cnt nb ON p.doc_b = nb.doc_id
+        |          WHERE round(CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE), 6) >= 0.9),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |n AS (SELECT DISTINCT u AS node FROM e),
+        |cc(node, lbl) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT e.v, cc.lbl FROM cc JOIN e ON e.u = cc.node WHERE cc.lbl < e.v
+        |)
+        |SELECT node AS doc_id, min(lbl) AS component FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
+
     // exhaustive-probe ANN == brute force: same SQL as q39
     "q41_ann_topk" ->
       s"""WITH qq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -996,6 +1052,14 @@ object SparkEntry {
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
         |CAST(1.0 AS DOUBLE) AS cos_sim
         |FROM embeddings ORDER BY 1, 2""".stripMargin,
+
+    // replays the md5-hex threshold predicate byte-for-byte
+    "q69_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8) <
+        |  CASE lang WHEN 'en' THEN '40000000' WHEN 'zh' THEN 'c0000000'
+        |  ELSE '80000000' END
+        |ORDER BY doc_id""".stripMargin,
 
     "q33_token_stats" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents)
@@ -1128,6 +1192,36 @@ object SparkEntry {
          |count(DISTINCT md5(text)) AS n_distinct_texts,
          |count(*) - count(DISTINCT md5(text)) AS n_exact_dups
          |FROM tk""".stripMargin,
+
+    "q70_quality_filter" ->
+      s"""WITH base AS (SELECT doc_id, text, $ToksSql AS t,
+         |  list_filter(string_split(text, chr(10)), l -> l <> '') AS lines FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n,
+         |  CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS sumlen,
+         |  CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS nalpha,
+         |  CAST(len(list_distinct(list_filter(t, x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x)))) AS BIGINT) AS nsw,
+         |  CAST(len(lines) AS BIGINT) AS nlines,
+         |  CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS ndup,
+         |  CAST(length(text) - length(replace(text, '#', ''))
+         |    + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS nsym,
+         |  CAST(len(list_filter(lines, l -> substr(l, 1, 1) IN ('-', '*'))) AS BIGINT) AS nbul,
+         |  CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS nell
+         |FROM base)
+         |SELECT doc_id,
+         |  CAST(n BETWEEN 30 AND 90 AS BIGINT) AS pass_words,
+         |  CAST(sumlen >= 4 * n AND sumlen <= 10 * n AS BIGINT) AS pass_mean_len,
+         |  CAST(nalpha * 5 >= n * 4 AS BIGINT) AS pass_alpha,
+         |  CAST(nsw >= 2 AS BIGINT) AS pass_stopwords,
+         |  CAST(ndup * 10 <= nlines * 3 AS BIGINT) AS pass_dup_lines,
+         |  CAST(nsym * 10 <= n AS BIGINT) AS pass_symbols,
+         |  CAST(nbul * 10 <= nlines * 9 AS BIGINT) AS pass_bullets,
+         |  CAST(nell * 10 <= nlines * 3 AS BIGINT) AS pass_ellipsis,
+         |  CAST(n BETWEEN 30 AND 90 AND sumlen >= 4 * n AND sumlen <= 10 * n
+         |    AND nalpha * 5 >= n * 4 AND nsw >= 2 AND ndup * 10 <= nlines * 3
+         |    AND nsym * 10 <= n AND nbul * 10 <= nlines * 9
+         |    AND nell * 10 <= nlines * 3 AS BIGINT) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q58_decontaminate" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),

@@ -195,6 +195,106 @@ object Dedup {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** Connected components over a near-duplicate pair graph, via alternating
+    * large-star / small-star rounds (the classic MapReduce construction:
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Returns `(node, component)` for every node appearing in
+    * `pairs`, where `component` is the MINIMUM node id in the component —
+    * the canonical cluster id a dedup pass keeps.
+    *
+    * Scale shape: each round is two hash aggregations + joins keyed on node
+    * ids (8 bytes); no adjacency list is ever collected, and the edge set
+    * only shrinks toward one star per component. Convergence is O(log n)
+    * rounds on any graph (per the paper), each round a constant number of
+    * shuffles. Lineage is truncated per round with an eager
+    * `localCheckpoint` so the plan does not grow with the round count.
+    *
+    * Dedup pipelines chain this after [[nearDupPairs]]: pairs → components
+    * → keep the member equal to its component id (see
+    * [[clusterCanonicalDedup]]).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 30): DataFrame = {
+    val nodes = pairs.select(col(aCol).cast("long").as("n"))
+      .union(pairs.select(col(bCol).cast("long").as("n"))).distinct()
+
+    // canonical undirected edges (u < v), self-loops dropped
+    var edges = pairs
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // order-independent edge-set digest: (count, xor of pair hashes). Equal
+    // digests across a round ⇒ the set is (up to a 2⁻⁶⁴ collision) stable —
+    // at the fixpoint every component is a star centered at its minimum.
+    def digest(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(
+        // BIT_XOR via sum-free fold: xor is exposed as an aggregate through
+        // expr; xxhash64 over both endpoints keys the digest to the pair
+        expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prev = digest(edges)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      // LARGE-STAR: for each center u over the SYMMETRIC adjacency, link
+      // every strictly larger neighbor to m = min(u, Γ(u)).
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      val large = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
+        .distinct()
+      // SMALL-STAR: center = the larger endpoint of each canonical edge;
+      // link all of its ≤ neighbors (and itself) to their minimum.
+      val ssMin = large.groupBy(col("v")).agg(min(col("u")).as("m"))
+      val small = large.join(ssMin, "v")
+        .select(col("m").as("u"), col("u").as("v"))
+        .filter(col("u") =!= col("v"))
+        .union(large.join(ssMin, "v").select(col("m").as("u"), col("v")))
+        .distinct()
+        .localCheckpoint(true)
+      val cur = digest(small)
+      converged = cur == prev
+      prev = cur
+      edges = small
+      rounds += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+
+    // at the fixpoint, edges are (componentMin, member): map members
+    // directly, centers (and nodes that lost all edges to self-loop
+    // dropping) to themselves
+    nodes.join(edges.select(col("v").as("n"), col("u").as("c")), Seq("n"), "left")
+      .select(col("n").as("node"), coalesce(col("c"), col("n")).as("component"))
+  }
+
+  /** Cluster-canonical near-dedup: the full pipeline a corpus-scale dedup
+    * actually runs — LSH candidates → exact verify ([[nearDupPairs]]) →
+    * [[connectedComponents]] → keep ONE doc per component (the minimum id)
+    * plus every doc in no near-dup pair. Returns the kept `(idCol)` rows. */
+  def clusterCanonicalDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.9): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
+    val cc = connectedComponents(pairs, "doc_a", "doc_b")
+    df.select(col(idCol))
+      .join(cc.filter(col("node") =!= col("component"))
+        .select(col("node").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similar pairs above `threshold`.
     *
     * Explode distinct shingles → self-join on shingle → per-pair common

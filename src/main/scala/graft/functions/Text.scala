@@ -103,6 +103,65 @@ object Text {
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
 
+  /** Gopher-style rule-based quality filter (the pre-training corpus
+    * hygiene pass of Rae et al. 2021, table A1): per-document boolean
+    * verdicts for each rule plus the conjunctive `keep`.
+    *
+    * Every rule is expressed in INTEGER arithmetic (`10·dup ≤ 3·lines`
+    * instead of `dup/lines ≤ 0.3`), so verdicts are bit-portable across
+    * engines — no float-division drift can flip a boundary document.
+    *
+    * Rules: token count in `[minWords, maxWords]`; mean token length in
+    * `[minMeanLen, maxMeanLen]`; ≥80% of tokens contain an alphabetic
+    * character; ≥ `minDistinctStopwords` distinct stopwords (prose
+    * indicator); duplicate-line fraction ≤ 30%; symbol (`#`/`…`) to word
+    * ratio ≤ 10%; ≤90% bullet-point lines; ≤30% of lines ending in an
+    * ellipsis. Per-row, shuffle-free, bounded by document length. */
+  def gopherQualityFilter(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Int = 3,
+      maxMeanLen: Int = 10,
+      minDistinctStopwords: Int = 2,
+      stopwords: Seq[String] = DefaultStopwords): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val flags = bind(tokens(text)) { toks =>
+      bind(filter(split(text, "\n"), l => l =!= lit(""))) { lines =>
+        val n = size(toks).cast("long")
+        val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+        val sw = array(stopwords.map(lit): _*)
+        val nSw = size(array_distinct(filter(toks, t => array_contains(sw, t)))).cast("long")
+        val nLines = size(lines).cast("long")
+        val nDupLines = nLines - size(array_distinct(lines)).cast("long")
+        val nSymbols = (length(text) - length(translate(text, "#", ""))).cast("long") +
+          ((length(text) - length(replace(text, lit("..."), lit("")))) / 3).cast("long")
+        val nBullets = size(filter(lines,
+          l => substring(l, 1, 1).isin("-", "*"))).cast("long")
+        val nEllLines = size(filter(lines, l => l.endsWith("..."))).cast("long")
+        struct(
+          n.between(minWords, maxWords).as("pass_words"),
+          (sumLen >= lit(minMeanLen.toLong) * n &&
+            sumLen <= lit(maxMeanLen.toLong) * n).as("pass_mean_len"),
+          (nAlpha * 5 >= n * 4).as("pass_alpha"),
+          (nSw >= minDistinctStopwords).as("pass_stopwords"),
+          (nDupLines * 10 <= nLines * 3).as("pass_dup_lines"),
+          (nSymbols * 10 <= n).as("pass_symbols"),
+          (nBullets * 10 <= nLines * 9).as("pass_bullets"),
+          (nEllLines * 10 <= nLines * 3).as("pass_ellipsis"))
+      }
+    }
+    df.select(col(idCol), flags.as("__f"))
+      .select(col(idCol), col("__f.*"))
+      .withColumn("keep",
+        col("pass_words") && col("pass_mean_len") && col("pass_alpha") &&
+          col("pass_stopwords") && col("pass_dup_lines") && col("pass_symbols") &&
+          col("pass_bullets") && col("pass_ellipsis"))
+  }
+
   /** Character n-gram profiles per language for heuristic language ID.
     * Tiny profiles (top trigrams of each language) broadcast as a literal
     * map expression; the scoring is one codegen'd expression per language.

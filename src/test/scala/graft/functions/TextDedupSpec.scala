@@ -185,4 +185,34 @@ class TextDedupSpec extends SparkSpec {
     assert(got(2) == "both <EMAIL> and <URL>")
     assert(got(3) == "nothing to scrub here")
   }
+
+  test("gopherQualityFilter: each rule trips on its crafted violator") {
+    val sp2 = spark; import sp2.implicits._
+    val prose = ("the cat sat and the dog ran to the mat " * 3).trim // 30 words, stopwords
+    val docs = Seq(
+      (1L, prose),                                      // passes everything
+      (2L, "too short"),                                // fails words (< 5)
+      (3L, ("a " * 40).trim),                           // fails mean len (1 char)
+      (4L, (("0 1 2 " * 10) + "the a it").trim),        // fails alpha (30/33 numeric)
+      (5L, ("cat dog mat bird " * 8).trim),             // fails stopwords (none)
+      (6L, Seq.fill(10)("same line of the text a b").mkString("\n")), // dup lines
+      (7L, (("# " * 20) + prose).trim),                 // fails symbols
+      (8L, (1 to 10).map(i => s"- bullet the a $i").mkString("\n")),  // bullets
+      (9L, (1 to 10).map(i => s"line the a $i...").mkString("\n")))   // ellipsis lines
+      .toDF("doc_id", "text")
+    val out = Text.gopherQualityFilter(docs, "doc_id", "text",
+        minWords = 5, maxWords = 1000, minMeanLen = 2, maxMeanLen = 10)
+      .collect().map(r => r.getLong(0) ->
+        r.schema.fieldNames.drop(1).map(f => f -> r.getAs[Boolean](f)).toMap).toMap
+    assert(out(1L).values.forall(identity))
+    assert(!out(2L)("pass_words") && out(2L)("pass_alpha"))
+    assert(!out(3L)("pass_mean_len"))
+    assert(!out(4L)("pass_alpha"))
+    assert(!out(5L)("pass_stopwords"))
+    assert(!out(6L)("pass_dup_lines"))
+    assert(!out(7L)("pass_symbols"))
+    assert(!out(8L)("pass_bullets"))
+    assert(!out(9L)("pass_ellipsis"))
+    assert(out.filter(_._1 != 1L).values.forall(m => !m("keep")))
+  }
 }

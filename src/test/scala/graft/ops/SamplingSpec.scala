@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  private def ids(n: Int) = (0L until n.toLong).toDF("id")
+
+  test("thresholdHex endpoints and midpoints") {
+    assert(Sampling.thresholdHex(0.0) == "00000000")
+    assert(Sampling.thresholdHex(0.5) == "80000000")
+    assert(Sampling.thresholdHex(0.25) == "40000000")
+    assert(Sampling.thresholdHex(1.0) == "g")
+    intercept[IllegalArgumentException](Sampling.thresholdHex(1.5))
+  }
+
+  test("fraction 0 keeps nothing, fraction 1 keeps everything") {
+    assert(Sampling.sampleByHash(ids(500), "id", 0.0).count() == 0L)
+    assert(Sampling.sampleByHash(ids(500), "id", 1.0).count() == 500L)
+  }
+
+  test("sample is deterministic and partitioning-independent") {
+    val a = Sampling.sampleByHash(ids(2000).repartition(1), "id", 0.3, "s")
+      .as[Long].collect().sorted.toSeq
+    val b = Sampling.sampleByHash(ids(2000).repartition(13), "id", 0.3, "s")
+      .as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("sampled fraction approximates the target and seeds decorrelate") {
+    val n = 20000
+    val k1 = Sampling.sampleByHash(ids(n), "id", 0.2, "seedA").count().toDouble
+    assert(math.abs(k1 / n - 0.2) < 0.02, s"got ${k1 / n}")
+    val s1 = Sampling.sampleByHash(ids(n), "id", 0.2, "seedA").as[Long].collect().toSet
+    val s2 = Sampling.sampleByHash(ids(n), "id", 0.2, "seedB").as[Long].collect().toSet
+    val overlap = (s1 & s2).size.toDouble / s1.size
+    assert(overlap < 0.3, s"seeds should decorrelate; overlap $overlap")
+  }
+
+  test("sample at fraction f is a SUBSET of the sample at f' > f (same seed)") {
+    // nested samples are what make hash sampling operationally useful:
+    // growing the rate only ADDS rows, it never reshuffles the sample
+    val small = Sampling.sampleByHash(ids(5000), "id", 0.1, "s").as[Long].collect().toSet
+    val big = Sampling.sampleByHash(ids(5000), "id", 0.4, "s").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    val df = (0L until 9000L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val out = Sampling.stratifiedSampleByHash(df, "id", "stratum",
+      Map("s0" -> 0.1, "s1" -> 0.9), defaultFraction = 0.5, seed = "x")
+    val byStratum = out.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(byStratum("s0") / 3000.0 - 0.1) < 0.03)
+    assert(math.abs(byStratum("s1") / 3000.0 - 0.9) < 0.03)
+    assert(math.abs(byStratum("s2") / 3000.0 - 0.5) < 0.03)
+  }
+
+  test("the hash predicate is partition-pruning friendly (no shuffle)") {
+    val plan = Sampling.sampleByHash(ids(100), "id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+}
