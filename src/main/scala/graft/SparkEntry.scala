@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
-import graft.functions.{Dedup, Encryption, Multimodal, Similarity, Text}
+import graft.functions.{Dedup, Encryption, Multimodal, Similarity, Text, Web}
 import graft.model.{DatasetCategory, DatasetDescriptor, TimeSpan, TimeUnitKind}
 import graft.ops.{Filters, Normalize, Projection, Qc, Sampling, Stats, UpdatePlan}
 import graft.sources.Manifest
@@ -750,6 +750,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- URL canonicalization + dedup (crawl-frontier hygiene; messy
+    // variants constructed identically by both engines, q65 pattern) ---
+    "q71_url_dedup" -> ((s, dir) => {
+      val aug = table(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("HTTPS://WWW.Example"), (col("doc_id") % 3).cast("string"), lit(".COM"),
+          when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+          lit("/Path/"), col("source"),
+          when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+          lit("?b=2&utm_source=x&a="), (col("doc_id") % 5).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
+      Web.urlDedup(aug, "doc_id", "url").orderBy("canonical_url")
+    }),
+
     // --- corpus-level line dedup (CCNet-style boilerplate removal) ---
     "q67_line_dedup" -> ((s, dir) => {
       // deterministic boilerplate both engines construct identically: a
@@ -1192,6 +1206,40 @@ object SparkEntry {
          |count(DISTINCT md5(text)) AS n_distinct_texts,
          |count(*) - count(DISTINCT md5(text)) AS n_exact_dups
          |FROM tk""".stripMargin,
+
+    // replays canonicalization with the same regexp_extract groups + list
+    // ops (no backreference replacement — its syntax is engine-specific)
+    "q71_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://WWW.Example' || CAST(doc_id % 3 AS VARCHAR) || '.COM' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+        |  '/Path/' || source ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+        |  '?b=2&utm_source=x&a=' || CAST(doc_id % 5 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END AS url FROM documents),
+        |c AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2)) AS hostport,
+        |  regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://[^/?#]*([^?#]*)', 2) AS rawpath,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS q FROM u),
+        |c2 AS (SELECT doc_id, scheme,
+        |  CASE WHEN scheme = 'http' AND ends_with(hostport, ':80')
+        |         THEN substr(hostport, 1, length(hostport) - 3)
+        |       WHEN scheme = 'https' AND ends_with(hostport, ':443')
+        |         THEN substr(hostport, 1, length(hostport) - 4)
+        |       ELSE hostport END AS host,
+        |  CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS p0, q FROM c),
+        |c3 AS (SELECT doc_id, scheme, host,
+        |  CASE WHEN length(p0) > 1 AND ends_with(p0, '/')
+        |    THEN substr(p0, 1, length(p0) - 1) ELSE p0 END AS p,
+        |  array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |    x -> x <> '' AND NOT starts_with(x, 'utm_')
+        |      AND NOT starts_with(x, 'fbclid')
+        |      AND NOT starts_with(x, 'gclid'))), '&') AS kept FROM c2),
+        |canon AS (SELECT doc_id, scheme || '://' || host || p ||
+        |  CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url FROM c3)
+        |SELECT canonical_url, count(*) AS n_dups, min(doc_id) AS keeper_id
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q70_quality_filter" ->
       s"""WITH base AS (SELECT doc_id, text, $ToksSql AS t,
