@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
-import graft.functions.{Dedup, Encryption, Multimodal, Similarity, Text, Web}
+import graft.functions.{Clustering, Dedup, Encryption, Multimodal, Similarity, Text, Web}
 import graft.model.{DatasetCategory, DatasetDescriptor, TimeSpan, TimeUnitKind}
 import graft.ops.{Filters, Normalize, Projection, Qc, Sampling, Stats, UpdatePlan}
 import graft.sources.Manifest
@@ -561,6 +561,21 @@ object SparkEntry {
     // found (identical vectors always share an SRP bucket). nBits derives
     // from the corpus size (srpBitsFor); the oracle enumerates the
     // identity pairs from parquet.
+    // SemDeDup differential gate (q42's pattern): on the doubled corpus the
+    // kept set must be EXACTLY the original ids — identical vectors always
+    // share a cluster (same quantization → same argmin) so every +100000
+    // twin drops at cosine 1.0 ≥ τ, and no natural pair reaches τ=0.95
+    // (max non-identical cosine in this corpus is ≈0.60 at both SFs). A
+    // clustering bug that splits a twin pair, or a τ bug that drops a
+    // natural pair, surfaces as an extra/missing row.
+    "q72_semantic_dedup" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val doubled = e.unionByName(e.withColumn("vec_id", col("vec_id") + lit(100000L)))
+      Clustering.semanticDedup(doubled, "vec_id", "embedding",
+          k = 8, iters = 3, tau = 0.95)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     "q42_embed_near_dup" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val dup = e.unionByName(e.withColumn("vec_id", col("vec_id") + lit(100000L)))
@@ -1061,6 +1076,9 @@ object SparkEntry {
          |SELECT vec_id, round(CASE WHEN sqrt(na) * sqrt(nq) > 0
          |  THEN dp / (sqrt(na) * sqrt(nq)) ELSE 0.0 END, 6) AS cos_sim
          |FROM dd ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q72_semantic_dedup" ->
+      "SELECT vec_id FROM embeddings ORDER BY 1",
 
     "q42_embed_near_dup" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b,

@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means over embedding columns and the SemDeDup-style
+  * semantic dedup built on it (Abbas et al. 2023: cluster the corpus, then
+  * drop near-identical members WITHIN each cluster — the cross-cluster
+  * pair explosion never happens).
+  *
+  * Determinism design: Lloyd's over floats is not reproducible across
+  * partitionings (double addition is not associative), so vectors are
+  * first QUANTIZED to exact small integers (`round(x·scale)` — exactly
+  * representable in float up to 2²⁴). Centroid updates then reduce LONG
+  * sums (order-independent by construction), seeding takes the k
+  * lowest-id vectors, and argmin ties break on centroid index — the same
+  * model comes out of 1 partition or 1000.
+  *
+  * Scale shape per iteration: one scan computing assignments (centroids
+  * ride as literals through the codegen'd [[VectorDot]] — no join), one
+  * map-side-combined `(cluster, dim)` aggregation of k·d longs. Only k·d
+  * values ever reach the driver.
+  */
+object Clustering {
+
+  /** Exact-integer quantization: `round(x·scale)` as float (integers up to
+    * 2²⁴ are exact; embedding components at |x|≤100 with the default scale
+    * stay far below that). */
+  def quantized(vec: Column, scale: Double = 10000.0): Column =
+    transform(vec, x => round(x * scale).cast("float"))
+
+  /** Nearest-centroid index by squared L2 distance: argmin(|c|² − 2·q·c)
+    * (the row-constant |q|² cancels). One fused expression per row; ties
+    * break on the LOWER index via lexicographic struct min. */
+  def assignToCentroids(qv: Column, centroids: Seq[Seq[Float]]): Column = {
+    require(centroids.nonEmpty, "assignToCentroids needs at least one centroid")
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
+      val cLit = array(c.map(v => lit(v)): _*)
+      struct((lit(c2) - lit(2.0) * Similarity.dot(qv, cLit)).as("score"),
+        lit(i).as("idx"))
+    }
+    array_min(array(scored: _*)).getField("idx")
+  }
+
+  /** Lloyd's iterations over the quantized vectors; returns the final
+    * centroids (in QUANTIZED units). Seeds are the k lowest-id vectors; a
+    * cluster that empties keeps its centroid. */
+  def kmeansCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scale: Double = 10000.0): Seq[Seq[Float]] = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    val qdf = df.select(col(idCol).as("__id"), quantized(col(vecCol), scale).as("__qv"))
+    var centroids: Seq[Seq[Float]] = qdf.orderBy("__id").limit(k)
+      .collect().map(_.getSeq[Float](1).toSeq).toSeq
+    require(centroids.nonEmpty, "kmeansCentroids: empty input")
+    for (_ <- 0 until iters) {
+      val sums = qdf
+        .select(assignToCentroids(col("__qv"), centroids).as("__c"),
+          posexplode(col("__qv")).as(Seq("__pos", "__v")))
+        .groupBy("__c", "__pos")
+        .agg(sum(col("__v").cast("long")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getAs[Int]("__c"))
+      centroids = centroids.zipWithIndex.map { case (old, ci) =>
+        byCluster.get(ci).fold(old) { rows =>
+          val arr = old.toArray.clone()
+          rows.foreach { r =>
+            arr(r.getAs[Int]("__pos")) =
+              (r.getAs[Long]("__s").toDouble / r.getAs[Long]("__n")).toFloat
+          }
+          arr.toSeq
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Attach a `cluster` column: nearest final centroid per row. */
+  def kmeansAssign(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Seq[Seq[Float]],
+      scale: Double = 10000.0): DataFrame =
+    df.withColumn("cluster",
+      assignToCentroids(quantized(col(vecCol), scale), centroids))
+
+  /** SemDeDup: k-means cluster, then inside each cluster drop every row
+    * whose exact cosine to a LOWER-id member is ≥ `tau`. Returns the kept
+    * rows of `df` unchanged.
+    *
+    * The pair join is keyed on the cluster id, so pair work is
+    * Σ n_c² / 2 — at corpus scale pick k ≈ n / (a few thousand) to bound
+    * cluster sizes (the SemDeDup recipe), never k « n. Verification uses
+    * the RAW float vectors (quantization only steers clustering). */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 4,
+      tau: Double = 0.95,
+      scale: Double = 10000.0): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, iters, scale)
+    val assigned = df
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__c", assignToCentroids(quantized(col("__v"), scale), cents))
+    val a = assigned.select(col("__c"), col("__id").as("__ida"), col("__v").as("__va"))
+    val b = assigned.select(col("__c"), col("__id").as("__idb"), col("__v").as("__vb"))
+    val dropped = a.join(b, Seq("__c"))
+      .filter(col("__ida") < col("__idb") &&
+        Similarity.cosine(col("__va"), col("__vb")) >= tau)
+      .select(col("__idb").as("__drop")).distinct()
+    df.join(dropped, col(idCol) === col("__drop"), "left_anti")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ClusteringSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  /** Three well-separated 4-d blobs, 20 points each, deterministic jitter. */
+  private def blobs = {
+    val centers = Seq(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f), Array(0f, 0f, 10f, 0f))
+    // jitter residues mod 23 (coprime to the 60-point range) guarantee no
+    // two distinct points are identical or near-parallel: every dimension
+    // differs by ≥ 0.3, so natural cosine stays ≤ ~0.9987 — taus below pick
+    // the gap between that and the exact-twin cosine of 1
+    (0 until 60).map { i =>
+      val c = centers(i % 3)
+      val jit = Array.tabulate(4)(d => ((i * 13 + d * 7) % 23 - 11) * 0.3f)
+      (i.toLong, c.zip(jit).map { case (x, j) => x + j }.toSeq)
+    }.toDF("id", "vec")
+  }
+
+  test("kmeans recovers well-separated blobs") {
+    val cents = Clustering.kmeansCentroids(blobs, "id", "vec", k = 3, iters = 5)
+    val out = Clustering.kmeansAssign(blobs, "vec", cents)
+      .select(col("id"), col("cluster")).as[(Long, Int)].collect()
+    // every blob (i % 3) must map to exactly one cluster, and clusters differ
+    val mapping = out.groupBy(_._1 % 3).map { case (blob, xs) =>
+      blob -> xs.map(_._2).distinct
+    }
+    assert(mapping.values.forall(_.length == 1), s"split blob: $mapping")
+    assert(mapping.values.flatten.toSet.size == 3, s"merged blobs: $mapping")
+  }
+
+  test("centroids are deterministic across partitionings") {
+    val one = Clustering.kmeansCentroids(blobs.repartition(1), "id", "vec", 3, 4)
+    val many = Clustering.kmeansCentroids(blobs.repartition(13), "id", "vec", 3, 4)
+    assert(one == many)
+  }
+
+  test("k larger than the point count keeps surplus seed centroids") {
+    val tiny = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("id", "vec")
+    val cents = Clustering.kmeansCentroids(tiny, "id", "vec", k = 2, iters = 3)
+    assert(cents.length == 2)
+    val assigned = Clustering.kmeansAssign(tiny, "vec", cents)
+      .select("cluster").as[Int].collect().toSet
+    assert(assigned.size == 2)
+  }
+
+  test("semanticDedup drops planted duplicates, keeps distinct docs") {
+    val base = blobs
+    val doubled = base.unionByName(base.withColumn("id", col("id") + 1000L))
+    val kept = Clustering.semanticDedup(doubled, "id", "vec",
+        k = 3, iters = 3, tau = 0.9995)
+      .select("id").as[Long].collect().toSet
+    // exact twins (cosine 1) always share a cluster → every +1000 id drops
+    assert(kept == (0L until 60L).toSet)
+  }
+
+  test("semanticDedup with tau above all natural similarity keeps everything") {
+    val kept = Clustering.semanticDedup(blobs, "id", "vec",
+        k = 3, iters = 3, tau = 0.9995)
+      .count()
+    assert(kept == 60L)
+  }
+}
