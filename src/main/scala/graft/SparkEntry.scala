@@ -556,11 +556,6 @@ object SparkEntry {
         .toDF("date_range_start", "date_range_end", "update_in_progress")
     }),
 
-    // Differential recall gate: the corpus is every vector duplicated, so
-    // the identity pairs (v, v+100000) — cosine exactly 1.0 — MUST all be
-    // found (identical vectors always share an SRP bucket). nBits derives
-    // from the corpus size (srpBitsFor); the oracle enumerates the
-    // identity pairs from parquet.
     // SemDeDup differential gate (q42's pattern): on the doubled corpus the
     // kept set must be EXACTLY the original ids — identical vectors always
     // share a cluster (same quantization → same argmin) so every +100000
@@ -576,6 +571,11 @@ object SparkEntry {
         .select("vec_id").orderBy("vec_id")
     }),
 
+    // Differential recall gate: the corpus is every vector duplicated, so
+    // the identity pairs (v, v+100000) — cosine exactly 1.0 — MUST all be
+    // found (identical vectors always share an SRP bucket). nBits derives
+    // from the corpus size (srpBitsFor); the oracle enumerates the
+    // identity pairs from parquet.
     "q42_embed_near_dup" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val dup = e.unionByName(e.withColumn("vec_id", col("vec_id") + lit(100000L)))
@@ -1239,7 +1239,7 @@ object SparkEntry {
         |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
         |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2)) AS hostport,
         |  regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://[^/?#]*([^?#]*)', 2) AS rawpath,
-        |  regexp_extract(url, '\?([^#]*)', 1) AS q FROM u),
+        |  regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS q FROM u),
         |c2 AS (SELECT doc_id, scheme,
         |  CASE WHEN scheme = 'http' AND ends_with(hostport, ':80')
         |         THEN substr(hostport, 1, length(hostport) - 3)

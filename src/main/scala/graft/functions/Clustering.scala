@@ -44,8 +44,9 @@ object Clustering {
   }
 
   /** Lloyd's iterations over the quantized vectors; returns the final
-    * centroids (in QUANTIZED units). Seeds are the k lowest-id vectors; a
-    * cluster that empties keeps its centroid. */
+    * centroids (in QUANTIZED units). Seeds are the min(k, n) lowest-id
+    * vectors — fewer than k points yield fewer than k centroids; a cluster
+    * that empties keeps its centroid. */
   def kmeansCentroids(
       df: DataFrame,
       idCol: String,
@@ -54,30 +55,37 @@ object Clustering {
       iters: Int,
       scale: Double = 10000.0): Seq[Seq[Float]] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    // cache the quantized corpus: every Lloyd's iteration re-reads it, and
+    // without the cache each of the `iters` actions re-runs the scan +
+    // quantization from the source (MEMORY_AND_DISK spills rather than
+    // recomputes when the corpus outgrows executor memory)
     val qdf = df.select(col(idCol).as("__id"), quantized(col(vecCol), scale).as("__qv"))
-    var centroids: Seq[Seq[Float]] = qdf.orderBy("__id").limit(k)
-      .collect().map(_.getSeq[Float](1).toSeq).toSeq
-    require(centroids.nonEmpty, "kmeansCentroids: empty input")
-    for (_ <- 0 until iters) {
-      val sums = qdf
-        .select(assignToCentroids(col("__qv"), centroids).as("__c"),
-          posexplode(col("__qv")).as(Seq("__pos", "__v")))
-        .groupBy("__c", "__pos")
-        .agg(sum(col("__v").cast("long")).as("__s"), count(lit(1)).as("__n"))
-        .collect()
-      val byCluster = sums.groupBy(_.getAs[Int]("__c"))
-      centroids = centroids.zipWithIndex.map { case (old, ci) =>
-        byCluster.get(ci).fold(old) { rows =>
-          val arr = old.toArray.clone()
-          rows.foreach { r =>
-            arr(r.getAs[Int]("__pos")) =
-              (r.getAs[Long]("__s").toDouble / r.getAs[Long]("__n")).toFloat
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Seq[Seq[Float]] = qdf.orderBy("__id").limit(k)
+        .collect().map(_.getSeq[Float](1).toSeq).toSeq
+      require(centroids.nonEmpty, "kmeansCentroids: empty input")
+      for (_ <- 0 until iters) {
+        val sums = qdf
+          .select(assignToCentroids(col("__qv"), centroids).as("__c"),
+            posexplode(col("__qv")).as(Seq("__pos", "__v")))
+          .groupBy("__c", "__pos")
+          .agg(sum(col("__v").cast("long")).as("__s"), count(lit(1)).as("__n"))
+          .collect()
+        val byCluster = sums.groupBy(_.getAs[Int]("__c"))
+        centroids = centroids.zipWithIndex.map { case (old, ci) =>
+          byCluster.get(ci).fold(old) { rows =>
+            val arr = old.toArray.clone()
+            rows.foreach { r =>
+              arr(r.getAs[Int]("__pos")) =
+                (r.getAs[Long]("__s").toDouble / r.getAs[Long]("__n")).toFloat
+            }
+            arr.toSeq
           }
-          arr.toSeq
         }
       }
-    }
-    centroids
+      centroids
+    } finally qdf.unpersist(blocking = false)
   }
 
   /** Attach a `cluster` column: nearest final centroid per row. */
@@ -106,14 +114,22 @@ object Clustering {
       tau: Double = 0.95,
       scale: Double = 10000.0): DataFrame = {
     val cents = kmeansCentroids(df, idCol, vecCol, k, iters, scale)
+    // norms are computed ONCE per row before the pair join — cosine's two
+    // norm factors would otherwise be recomputed per PAIR (quadratic in
+    // cluster size, 3× the VectorDot work)
     val assigned = df
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__c", assignToCentroids(quantized(col("__v"), scale), cents))
-    val a = assigned.select(col("__c"), col("__id").as("__ida"), col("__v").as("__va"))
-    val b = assigned.select(col("__c"), col("__id").as("__idb"), col("__v").as("__vb"))
+      .withColumn("__n", Similarity.l2Norm(col("__v")))
+    val a = assigned.select(col("__c"), col("__id").as("__ida"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = assigned.select(col("__c"), col("__id").as("__idb"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    val denom = col("__na") * col("__nb")
+    val cos = when(denom > 0, Similarity.dot(col("__va"), col("__vb")) / denom)
+      .otherwise(lit(0.0))
     val dropped = a.join(b, Seq("__c"))
-      .filter(col("__ida") < col("__idb") &&
-        Similarity.cosine(col("__va"), col("__vb")) >= tau)
+      .filter(col("__ida") < col("__idb") && cos >= tau)
       .select(col("__idb").as("__drop")).distinct()
     df.join(dropped, col(idCol) === col("__drop"), "left_anti")
   }

@@ -218,12 +218,19 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxRounds: Int = 30): DataFrame = {
-    val nodes = pairs.select(col(aCol).cast("long").as("n"))
-      .union(pairs.select(col(bCol).cast("long").as("n"))).distinct()
+    // materialize the (possibly expensive — LSH + exact verify) pair
+    // pipeline ONCE; both `nodes` and the edge iteration derive from the
+    // checkpoint, never from the original lineage (exchange reuse does not
+    // span the separate actions below)
+    val base = pairs
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .localCheckpoint(true)
+
+    val nodes = base.select(col("x").as("n"))
+      .union(base.select(col("y").as("n"))).distinct()
 
     // canonical undirected edges (u < v), self-loops dropped
-    var edges = pairs
-      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+    var edges = base
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
       .distinct()
@@ -248,10 +255,12 @@ object Dedup {
       // every strictly larger neighbor to m = min(u, Γ(u)).
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val lsMin = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      // no distinct here: duplicate (m, v) edges are absorbed by the
+      // small-star groupBy/join and the final distinct — dropping the
+      // extra shuffle stage per round is worth the bounded dup carry
       val large = sym.join(lsMin, "u")
         .filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v"))
-        .distinct()
       // SMALL-STAR: center = the larger endpoint of each canonical edge;
       // link all of its ≤ neighbors (and itself) to their minimum.
       val ssMin = large.groupBy(col("v")).agg(min(col("u")).as("m"))

@@ -40,10 +40,13 @@ object Web {
     val path0 = when(rawPath === "", lit("/")).otherwise(rawPath)
     val path = when(length(path0) > 1 && path0.endsWith("/"),
       path0.substr(lit(1), length(path0) - 1)).otherwise(path0)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // the query starts at the FIRST '?' only if it precedes any '#' — a '?'
+    // inside the fragment is fragment content and must vanish with it
+    val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val kept = array_join(array_sort(filter(split(query, "&"),
       p => p =!= lit("") &&
-        !trackingPrefixes.map(t => p.startsWith(t)).reduce(_ || _))), "&")
+        !trackingPrefixes.map(t => p.startsWith(t))
+          .foldLeft(lit(false))(_ || _))), "&")
     val canon = concat(scheme, lit("://"), host, path,
       when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
     when(scheme === "", url).otherwise(canon)

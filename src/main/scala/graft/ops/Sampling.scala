@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** First 8 lowercase-hex chars of md5(key ‖ seed) — a uniform draw from
-    * [0, 2³²) rendered as text. */
+    * [0, 2³²) rendered as text. NULL keys draw as the empty string (sharing
+    * its hash) rather than producing a NULL predicate that would silently
+    * drop the row at every fraction including 1.0. */
   def hashHex(key: Column, seed: String): Column =
-    substring(md5(concat(key.cast("string"), lit(seed))), 1, 8)
+    substring(md5(concat(coalesce(key.cast("string"), lit("")), lit(seed))), 1, 8)
 
   /** `fraction` as an 8-digit lowercase-hex threshold. Fraction 1.0 maps to
     * "g" — one char past 'f' in ASCII — so every 8-hex draw compares below

@@ -41,9 +41,9 @@ class ClusteringSpec extends SparkSpec {
     assert(one == many)
   }
 
-  test("k larger than the point count keeps surplus seed centroids") {
+  test("k larger than the point count caps at n seed centroids") {
     val tiny = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("id", "vec")
-    val cents = Clustering.kmeansCentroids(tiny, "id", "vec", k = 2, iters = 3)
+    val cents = Clustering.kmeansCentroids(tiny, "id", "vec", k = 5, iters = 3)
     assert(cents.length == 2)
     val assigned = Clustering.kmeansAssign(tiny, "vec", cents)
       .select("cluster").as[Int].collect().toSet

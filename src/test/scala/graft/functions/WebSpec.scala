@@ -34,6 +34,15 @@ class WebSpec extends SparkSpec {
       "https://a.com/p?a=1&b=2")
     assert(canon("https://a.com/p?utm_campaign=only") == "https://a.com/p")
     assert(canon("https://a.com/p#frag") == "https://a.com/p")
+    // a '?' INSIDE the fragment is fragment content, not a query
+    assert(canon("https://a.com/p#sec?x=1") == "https://a.com/p")
+  }
+
+  test("empty trackingPrefixes disables stripping without crashing") {
+    val out = Seq("https://a.com/p?utm_source=x&a=1").toDF("u")
+      .select(Web.canonicalizeUrl(col("u"), trackingPrefixes = Seq.empty))
+      .as[String].head()
+    assert(out == "https://a.com/p?a=1&utm_source=x")
   }
 
   test("non-absolute strings pass through unchanged") {

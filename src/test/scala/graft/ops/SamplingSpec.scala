@@ -23,6 +23,14 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sampleByHash(ids(500), "id", 1.0).count() == 500L)
   }
 
+  test("NULL keys draw deterministically instead of being dropped") {
+    val df = Seq(Some(1L), None, Some(3L), None).toDF("id")
+    assert(Sampling.sampleByHash(df, "id", 1.0).count() == 4L)
+    val kept = Sampling.sampleByHash(df, "id", 0.5, "s").count()
+    val keptAgain = Sampling.sampleByHash(df, "id", 0.5, "s").count()
+    assert(kept == keptAgain)
+  }
+
   test("sample is deterministic and partitioning-independent") {
     val a = Sampling.sampleByHash(ids(2000).repartition(1), "id", 0.3, "s")
       .as[Long].collect().sorted.toSeq
