@@ -204,6 +204,19 @@ object SparkEntry {
 
   private val wilsonZ: Double = Qc.inverseNormalCdf(1.0 - 1e-5 / 2.0)
 
+  /** Exact 8-gram decontamination oracle — shared by q58 (set-semi-join
+    * path) and q74 (Bloom-prefilter path), which provably compute the same
+    * set. */
+  private val DecontaminateOracle: String =
+    s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM tk),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s FROM idx),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+       |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10)
+       |SELECT DISTINCT corpus.doc_id AS doc_id
+       |FROM corpus JOIN bench ON corpus.s = bench.s
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ entry
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): the
@@ -681,6 +694,27 @@ object SparkEntry {
         col("doc_id"),
         round(Text.duplicateLineFraction(col("text")), 6).as("dup_line_frac"),
         round(Text.topBigramCoverage(col("text")), 6).as("top_bigram_cov"))
+        .orderBy("doc_id")),
+
+    // --- BPE pair-merge counting (tokenizer training support): top-50
+    // adjacent character pairs under a deterministic total order ---
+    "q73_bpe_pairs" -> ((s, dir) =>
+      Text.charPairCounts(table(s, dir, "documents"), "text").limit(50)),
+
+    // --- Bloom-prefiltered decontamination: output provably equals the
+    // exact q58 set (FPs verified away, FNs impossible) — shares its oracle
+    // while exercising the broadcast-filter scale path ---
+    "q74_bloom_decontaminate" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val bench = d.filter(col("doc_id") < 10)
+      val corpus = d.filter(col("doc_id") >= 10)
+      Dedup.contaminatedDocsBloom(corpus, bench, "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // --- unigram-LM surprisal (perplexity-proxy quality scoring) ---
+    "q75_surprisal" -> ((s, dir) =>
+      Text.unigramSurprisal(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
     // Gopher-rule quality filter: integer-arithmetic verdicts, so the flag
@@ -1289,15 +1323,31 @@ object SparkEntry {
          |    AND nell * 10 <= nlines * 3 AS BIGINT) AS keep
          |FROM m ORDER BY doc_id""".stripMargin,
 
-    "q58_decontaminate" ->
+    "q58_decontaminate" -> DecontaminateOracle,
+    // Bloom prefilter + exact verify provably computes the same set
+    "q74_bloom_decontaminate" -> DecontaminateOracle,
+
+    "q73_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest($ToksSql) AS w FROM documents),
+         |p AS (SELECT substr(w, i, 2) AS pair
+         |      FROM (SELECT w, unnest(range(1, length(w))) AS i FROM w))
+         |SELECT pair, count(*) AS cnt FROM p GROUP BY 1
+         |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+    "q75_surprisal" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
-         |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM tk),
-         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s FROM idx),
-         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
-         |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10)
-         |SELECT DISTINCT corpus.doc_id AS doc_id
-         |FROM corpus JOIN bench ON corpus.s = bench.s
-         |ORDER BY doc_id""".stripMargin,
+         |pos AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM tk),
+         |ptok AS (SELECT doc_id, i, t[i] AS tok FROM pos),
+         |cnt AS (SELECT tok, count(*) AS c FROM ptok GROUP BY 1),
+         |tot AS (SELECT count(*) AS n FROM ptok),
+         |sc AS (SELECT p.doc_id, p.i, -ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS v
+         |       FROM ptok p JOIN cnt ON p.tok = cnt.tok CROSS JOIN tot),
+         |agg AS (SELECT doc_id, list(v ORDER BY i) AS vs, count(*) AS n_tokens
+         |        FROM sc GROUP BY 1)
+         |SELECT doc_id,
+         |  round(list_reduce(list_prepend(0.0, vs), (acc, x) -> acc + x), 4) AS surprisal,
+         |  n_tokens
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q52_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

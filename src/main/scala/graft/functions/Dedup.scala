@@ -152,6 +152,37 @@ object Dedup {
       .select("doc_id").distinct()
   }
 
+  /** Benchmark decontamination at the scale where the benchmark's distinct
+    * shingle set is too large to broadcast as a hash set: a Bloom filter of
+    * the benchmark shingles (a few bits per element) broadcasts instead and
+    * prunes the corpus side BEFORE the exact join, which then only verifies
+    * the pruned survivors.
+    *
+    * The OUTPUT is exactly [[contaminatedDocs]]: Bloom false positives are
+    * eliminated by the exact verify, and false negatives are impossible —
+    * so this shares q58's oracle while exercising the scale path. `fpp`
+    * trades filter size against wasted verify work only. */
+  def contaminatedDocsBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(shinglePairHashes(col(textCol), n).getField("a")).as("__sh"))
+      .distinct()
+    val expected = math.max(benchShingles.count(), 1L)
+    val bf = benchShingles.stat.bloomFilter("__sh", expected, fpp)
+    val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bcast.value.mightContain(h))
+    val corpusShingles = corpus.select(col(idCol).as("doc_id"),
+      explode(shinglePairHashes(col(textCol), n).getField("a")).as("__sh"))
+      .filter(mightContain(col("__sh")))
+    corpusShingles.join(benchShingles, Seq("__sh"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
   /** 64-bit SimHash over tokens: for each bit, sum ±1 votes weighted by the
     * token hash's bit value; bit set when the vote is positive. Near-dups
     * have small Hamming distance. Native [[SimHash64Expr]]: one codegen'd

@@ -103,6 +103,56 @@ object Text {
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
 
+  /** Adjacent character-pair counts over whitespace tokens — the counting
+    * core of BPE tokenizer training (each merge step picks the most
+    * frequent adjacent pair). Returns `(pair, cnt)` sorted by count desc
+    * then pair asc (a deterministic total order, so a top-N cut is stable).
+    *
+    * Scale shape: pair extraction is per-row; the only shuffle is the
+    * map-side-combined count over 2-char keys (vocabulary-bounded — at most
+    * |alphabet|² distinct groups, thousands not billions). */
+  def charPairCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("w"))
+      .select(explode(bind(col("w")) { w =>
+        when(length(w) >= 2,
+          transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))
+      }).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+
+  /** Unigram-LM surprisal: Σ −ln(count(tok)/N) over each document's tokens
+    * in ORIGINAL order — the cheap corpus-trained stand-in for
+    * model-perplexity quality filtering (low = generic text, high =
+    * rare-token text). Documents with no tokens emit no row.
+    *
+    * Engine portability: the per-token join order doesn't matter because
+    * the final accumulation re-sorts by position and folds sequentially
+    * (the q67 reconstruction trick); `ln` may differ from another engine's
+    * by an ulp, so the score is rounded to 4 decimals — ~8 orders of
+    * magnitude above the worst accumulated drift.
+    *
+    * Scale shape: one shuffle on token strings for the count (map-side
+    * combined, vocabulary-bounded), one broadcast-or-shuffle join of
+    * tokens to counts, one per-doc aggregation. N is a driver-side long. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+    val n = toks.count()
+    toks.join(counts, Seq("__tok"))
+      .withColumn("__v", -log(col("__cnt").cast("double") / lit(n.toDouble)))
+      .groupBy("__id")
+      .agg(
+        round(aggregate(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__v")))),
+            s => s.getField("__v")),
+          lit(0.0), (acc, x) => acc + x), 4).as("surprisal"),
+        count(lit(1)).as("n_tokens"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Gopher-style rule-based quality filter (the pre-training corpus
     * hygiene pass of Rae et al. 2021, table A1): per-document boolean
     * verdicts for each rule plus the conjunctive `keep`.

@@ -186,6 +186,44 @@ class TextDedupSpec extends SparkSpec {
     assert(got(3) == "nothing to scrub here")
   }
 
+  test("charPairCounts: BPE pair frequencies with deterministic ordering") {
+    val sp2 = spark; import sp2.implicits._
+    val df = Seq("abab ab", "x").toDF("t")
+    // "abab" → ab, ba, ab; "ab" → ab; "x" → nothing
+    val out = Text.charPairCounts(df, "t").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("ab", 3L), ("ba", 1L)))
+  }
+
+  test("contaminatedDocsBloom equals the exact contaminatedDocs set") {
+    val sp2 = spark; import sp2.implicits._
+    val shared = "one two three four five six seven eight nine ten"
+    val corpus = Seq(
+      (10L, s"prefix words $shared suffix words"),
+      (11L, "totally unrelated text with completely different tokens here now"),
+      (12L, s"another hit $shared trailing")).toDF("doc_id", "text")
+    val bench = Seq((1L, s"benchmark doc containing $shared inside")).toDF("doc_id", "text")
+    val exact = Dedup.contaminatedDocs(corpus, bench, "doc_id", "text", n = 8)
+      .as[Long].collect().toSet
+    val bloom = Dedup.contaminatedDocsBloom(corpus, bench, "doc_id", "text", n = 8)
+      .as[Long].collect().toSet
+    assert(bloom == exact && exact == Set(10L, 12L))
+  }
+
+  test("unigramSurprisal: rare tokens score higher; order-stable") {
+    val sp2 = spark; import sp2.implicits._
+    val df = Seq(
+      (1L, "common common common common"),
+      (2L, "common common rare1 rare2")).toDF("doc_id", "text")
+    val out = Text.unigramSurprisal(df, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(out.map(_._3).toSeq == Seq(4L, 4L))
+    assert(out(1)._2 > out(0)._2) // the rare-token doc is more surprising
+    // repartitioning must not change a single rounded score
+    val again = Text.unigramSurprisal(df.repartition(7), "doc_id", "text")
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("gopherQualityFilter: each rule trips on its crafted violator") {
     val sp2 = spark; import sp2.implicits._
     val prose = ("the cat sat and the dog ran to the mat " * 3).trim // 30 words, stopwords
