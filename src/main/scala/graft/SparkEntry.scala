@@ -717,6 +717,20 @@ object SparkEntry {
       Text.unigramSurprisal(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // --- shard-local sequence packing (pretraining batch prep; the window
+    // is partition-local by construction — no global single-partition sort) ---
+    "q76_sequence_packing" -> ((s, dir) =>
+      Text.packSequences(table(s, dir, "documents"), "doc_id", "text",
+        budgetTokens = 512, shards = 4).orderBy("doc_id")),
+
+    // --- per-doc contamination overlap fraction (threshold signal) ---
+    "q77_overlap_fraction" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Dedup.contaminationOverlap(d.filter(col("doc_id") >= 10),
+          d.filter(col("doc_id") < 10), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // Gopher-rule quality filter: integer-arithmetic verdicts, so the flag
     // columns are bit-portable to the oracle (booleans surfaced as 0/1)
     "q70_quality_filter" -> ((s, dir) => {
@@ -1326,6 +1340,26 @@ object SparkEntry {
     "q58_decontaminate" -> DecontaminateOracle,
     // Bloom prefilter + exact verify provably computes the same set
     "q74_bloom_decontaminate" -> DecontaminateOracle,
+
+    "q76_sequence_packing" ->
+      s"""WITH tk AS (SELECT doc_id, doc_id % 4 AS shard,
+         |  CAST(len($ToksSql) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT doc_id, shard, n_tokens,
+         |  (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens) // 512 AS bin
+         |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "q77_overlap_fraction" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM tk),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s FROM idx),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+         |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+         |com AS (SELECT corpus.doc_id, count(*) AS n_common
+         |        FROM corpus JOIN bench ON corpus.s = bench.s GROUP BY 1)
+         |SELECT t.doc_id, t.n_shingles, coalesce(c.n_common, 0) AS n_common,
+         |  round(CAST(coalesce(c.n_common, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE), 6) AS overlap
+         |FROM tot t LEFT JOIN com c ON t.doc_id = c.doc_id ORDER BY 1""".stripMargin,
 
     "q73_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest($ToksSql) AS w FROM documents),

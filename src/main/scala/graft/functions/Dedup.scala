@@ -183,6 +183,33 @@ object Dedup {
       .select("doc_id").distinct()
   }
 
+  /** Per-document contamination FRACTION (not just the boolean flag): the
+    * share of a corpus document's distinct word-`n`-grams that appear in
+    * the benchmark set — the signal a pipeline thresholds on instead of
+    * hard-dropping every touching doc. Documents with fewer than `n`
+    * tokens have no shingles and emit no row. Same shuffle shape as
+    * [[contaminatedDocs]] (8-byte shingle hashes; benchmark side distinct
+    * + broadcastable). */
+  def contaminationOverlap(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val corpusSh = corpus.select(col(idCol).as("doc_id"),
+      explode(shinglePairHashes(col(textCol), n).getField("a")).as("__sh"))
+    val benchSh = benchmark
+      .select(explode(shinglePairHashes(col(textCol), n).getField("a")).as("__sh"))
+      .distinct()
+    val totals = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val common = corpusSh.join(benchSh, Seq("__sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+    totals.join(common, Seq("doc_id"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("overlap", round(
+        col("n_common").cast("double") / col("n_shingles").cast("double"), 6))
+  }
+
   /** 64-bit SimHash over tokens: for each bit, sum ±1 votes weighted by the
     * token hash's bit value; bit set when the vote is positive. Near-dups
     * have small Hamming distance. Native [[SimHash64Expr]]: one codegen'd

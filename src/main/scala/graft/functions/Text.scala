@@ -122,6 +122,32 @@ object Text {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
 
+  /** Sequence packing for pretraining batches: assign each document to a
+    * fixed-token-budget bin, SHARD-LOCALLY. A global greedy packer needs a
+    * corpus-wide ordered window (single-partition — the classic scale
+    * anti-pattern); sharding first makes each window partition-local and
+    * embarrassingly parallel, at the cost of ≤ one underfull bin per shard.
+    * Within a shard, docs fill bins contiguously in id order:
+    * `bin = ⌊exclusive-prefix-tokens / budget⌋` (integer arithmetic —
+    * engine-portable). Returns (idCol, shard, n_tokens, bin). */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budgetTokens: Int,
+      shards: Int): DataFrame = {
+    require(budgetTokens > 0 && shards > 0,
+      s"need positive budget/shards, got $budgetTokens/$shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(idCol)
+    df.select(col(idCol),
+        pmod(col(idCol), lit(shards.toLong)).as("shard"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("bin",
+        ((sum(col("n_tokens")).over(w) - col("n_tokens")) /
+          lit(budgetTokens.toLong)).cast("long"))
+  }
+
   /** Unigram-LM surprisal: Σ −ln(count(tok)/N) over each document's tokens
     * in ORIGINAL order — the cheap corpus-trained stand-in for
     * model-perplexity quality filtering (low = generic text, high =

@@ -224,6 +224,35 @@ class TextDedupSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("packSequences fills shard-local bins contiguously") {
+    val sp2 = spark; import sp2.implicits._
+    // one shard, budget 5: docs of 3,3,3 tokens → exclusive prefixes 0,3,6
+    // → bins 0,0,1
+    val df = Seq((0L, "a b c"), (1L, "d e f"), (2L, "g h i")).toDF("doc_id", "text")
+    val out = Text.packSequences(df, "doc_id", "text", budgetTokens = 5, shards = 1)
+      .select("doc_id", "shard", "n_tokens", "bin")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 0L, 3L, 0L), (1L, 0L, 3L, 0L), (2L, 0L, 3L, 1L)))
+    // sharding keeps windows partition-local: same docs, 3 shards → each
+    // doc is alone in its shard, all bins 0
+    val sharded = Text.packSequences(df, "doc_id", "text", 5, 3)
+      .select("bin").as[Long].collect()
+    assert(sharded.forall(_ == 0L))
+  }
+
+  test("contaminationOverlap: fraction of shingles shared with the benchmark") {
+    val sp2 = spark; import sp2.implicits._
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val corpus = Seq(
+      (10L, s"$run x1 x2 x3 x4 x5 x6 x7"),   // 8 shingles, 1 shared
+      (11L, "z1 z2 z3 z4 z5 z6 z7 z8 z9")).toDF("doc_id", "text")
+    val bench = Seq((1L, run)).toDF("doc_id", "text")
+    val out = Dedup.contaminationOverlap(corpus, bench, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((10L, 8L, 1L, 0.125)))
+    assert(out(1) == ((11L, 2L, 0L, 0.0)))
+  }
+
   test("gopherQualityFilter: each rule trips on its crafted violator") {
     val sp2 = spark; import sp2.implicits._
     val prose = ("the cat sat and the dog ran to the mat " * 3).trim // 30 words, stopwords
