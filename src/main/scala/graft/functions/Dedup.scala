@@ -137,18 +137,24 @@ object Dedup {
     * hygiene check before evaluation. One shuffle on 8-byte shingle hashes;
     * the benchmark side's distinct shingle set is broadcast when small.
     * Returns the contaminated corpus ids (one row each). */
+  /** Per-doc distinct shingle hashes as (doc_id, __sh) — the shared input
+    * of every decontamination variant (ShinglePairHashes dedupes per row,
+    * so the stream is already per-doc distinct). */
+  private def shingleStream(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(shinglePairHashes(col(textCol), n).getField("a")).as("__sh"))
+
   def contaminatedDocs(
       corpus: DataFrame,
       benchmark: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 8): DataFrame = {
-    val corpusShingles = corpus.select(col(idCol).as("doc_id"),
-      explode(shinglePairHashes(col(textCol), n).getField("a")).as("__sh"))
-    val benchShingles = benchmark
-      .select(explode(shinglePairHashes(col(textCol), n).getField("a")).as("__sh"))
-      .distinct()
-    corpusShingles.join(benchShingles, Seq("__sh"), "left_semi")
+    val benchShingles = shingleStream(benchmark, idCol, textCol, n)
+      .select("__sh").distinct()
+    shingleStream(corpus, idCol, textCol, n)
+      .join(benchShingles, Seq("__sh"), "left_semi")
       .select("doc_id").distinct()
   }
 
@@ -169,17 +175,30 @@ object Dedup {
       textCol: String,
       n: Int = 8,
       fpp: Double = 0.01): DataFrame = {
-    val benchShingles = benchmark
-      .select(explode(shinglePairHashes(col(textCol), n).getField("a")).as("__sh"))
-      .distinct()
+    // materialize the (large) benchmark shingle set ONCE: the size count,
+    // the Bloom aggregation, and the exact verify join all read the
+    // checkpoint instead of re-running tokenize+shingle+distinct three times
+    val benchShingles = shingleStream(benchmark, idCol, textCol, n)
+      .select("__sh").distinct()
+      .localCheckpoint(true)
     val expected = math.max(benchShingles.count(), 1L)
     val bf = benchShingles.stat.bloomFilter("__sh", expected, fpp)
-    val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bcast.value.mightContain(h))
-    val corpusShingles = corpus.select(col(idCol).as("doc_id"),
-      explode(shinglePairHashes(col(textCol), n).getField("a")).as("__sh"))
-      .filter(mightContain(col("__sh")))
-    corpusShingles.join(benchShingles, Seq("__sh"), "left_semi")
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    // Spark's native might_contain expression (the runtime-filter codegen
+    // path) instead of an interpreted Scala UDF — no whole-stage-codegen
+    // barrier, no per-shingle boxing on the hot corpus scan
+    val mightContain = ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bfBytes, org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(col("__sh"))))
+    shingleStream(corpus, idCol, textCol, n)
+      .filter(mightContain)
+      .join(benchShingles, Seq("__sh"), "left_semi")
       .select("doc_id").distinct()
   }
 
@@ -196,16 +215,15 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 8): DataFrame = {
-    val corpusSh = corpus.select(col(idCol).as("doc_id"),
-      explode(shinglePairHashes(col(textCol), n).getField("a")).as("__sh"))
-    val benchSh = benchmark
-      .select(explode(shinglePairHashes(col(textCol), n).getField("a")).as("__sh"))
-      .distinct()
-    val totals = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val common = corpusSh.join(benchSh, Seq("__sh"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
-    totals.join(common, Seq("doc_id"), "left")
-      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+    val benchSh = shingleStream(benchmark, idCol, textCol, n)
+      .select(col("__sh"), lit(1L).as("__hit")).distinct()
+    // single pass: one corpus explode, one left join flagging benchmark
+    // hits, one per-doc aggregate computing both counts together
+    shingleStream(corpus, idCol, textCol, n)
+      .join(benchSh, Seq("__sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_common"))
       .withColumn("overlap", round(
         col("n_common").cast("double") / col("n_shingles").cast("double"), 6))
   }

@@ -143,9 +143,12 @@ object Text {
     df.select(col(idCol),
         pmod(col(idCol), lit(shards.toLong)).as("shard"),
         tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .withColumn("bin",
-        ((sum(col("n_tokens")).over(w) - col("n_tokens")) /
-          lit(budgetTokens.toLong)).cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // `div`, not `/`: long / long promotes to double, whose 2⁵³ mantissa
+      // would misplace boundary docs once a shard's token prefix sum passes
+      // ~9e15 — exactly the regime this operator is for
+      .withColumn("bin", expr(s"__cum div ${budgetTokens}L"))
+      .drop("__cum")
   }
 
   /** Unigram-LM surprisal: Σ −ln(count(tok)/N) over each document's tokens
@@ -163,8 +166,12 @@ object Text {
     * combined, vocabulary-bounded), one broadcast-or-shuffle join of
     * tokens to counts, one per-doc aggregation. N is a driver-side long. */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // materialize the tokenized stream once: the count, the frequency
+    // aggregate, and the join probe side all read the checkpoint instead
+    // of re-running tokenize+posexplode three times over the corpus
     val toks = df.select(col(idCol).as("__id"),
       posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .localCheckpoint(true)
     val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
     val n = toks.count()
     toks.join(counts, Seq("__tok"))
