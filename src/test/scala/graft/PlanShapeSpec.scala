@@ -125,4 +125,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchangeLine.contains("content_hash"),
       s"shuffle key should be the md5 hash:\n$exchangeLine")
   }
+
+  test("hash sampling is a pure filter: no exchange, no aggregate") {
+    val docs = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+    val plan = planOf(graft.ops.Sampling.stratifiedSampleByHash(
+      docs, "doc_id", "lang", Map("en" -> 0.5), 0.25))
+    assert(!plan.contains("Exchange") && !plan.contains("Aggregate"),
+      s"sampling must stay a per-row filter:\n$plan")
+  }
+
+  test("sequence packing windows are shard-partitioned, never global") {
+    val docs = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val plan = planOf(graft.functions.Text.packSequences(docs, "doc_id", "text", 512, 4))
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"the window must partition by shard:\n$plan")
+    assert(!windowLines.contains("SinglePartition"),
+      s"no global single-partition window allowed:\n$windowLines")
+  }
+
+  test("Bloom decontamination keeps might_contain out of interpreted UDF land") {
+    val corpus = Seq((10L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")).toDF("doc_id", "text")
+    val bench = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    val plan = planOf(Dedup.contaminatedDocsBloom(corpus, bench, "doc_id", "text"))
+    assert(plan.contains("might_contain"), s"expected the native expression:\n$plan")
+    assert(!plan.contains("UDF"), s"no Scala UDF on the corpus scan:\n$plan")
+  }
+
+  test("BPE pair counting partial-aggregates map-side before the shuffle") {
+    val docs = Seq((1L, "abab cd")).toDF("doc_id", "text")
+    val plan = planOf(graft.functions.Text.charPairCounts(docs, "text"))
+    val firstAgg = plan.linesIterator.filter(_.contains("HashAggregate"))
+      .toSeq.lastOption.getOrElse("")
+    assert(firstAgg.contains("partial_count") || plan.contains("partial_count"),
+      s"expected a partial (map-side) count before the exchange:\n$plan")
+  }
 }
