@@ -53,6 +53,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("stress: 150k-edge random graph over 100k nodes matches union-find") {
+    val rnd = new scala.util.Random(7)
+    val n = 100000
+    val edges = Seq.fill(150000)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val expected = ufComponents(edges)
+    val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
   test("result is partitioning-independent") {
     val edges = Seq((5L, 9L), (9L, 2L), (7L, 8L), (3L, 3L), (1L, 8L))
     val one = Dedup.connectedComponents(
