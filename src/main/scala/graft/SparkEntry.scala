@@ -470,6 +470,13 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // --- per-source capping (bound any stratum's corpus contribution) ---
+    "q78_domain_cap" -> ((s, dir) =>
+      Sampling.capPerStratum(table(s, dir, "documents"),
+          "doc_id", "source", maxPerStratum = 3, seed = "cap1")
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // --- text analysis (documents) ---
     "q33_token_stats" -> ((s, dir) =>
       table(s, dir, "documents").select(
@@ -1132,6 +1139,14 @@ object SparkEntry {
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
         |CAST(1.0 AS DOUBLE) AS cos_sim
         |FROM embeddings ORDER BY 1, 2""".stripMargin,
+
+    "q78_domain_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'cap1'), 1, 8), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY doc_id""".stripMargin,
 
     // replays the md5-hex threshold predicate byte-for-byte
     "q69_stratified_sample" ->

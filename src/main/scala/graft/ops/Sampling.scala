@@ -44,6 +44,27 @@ object Sampling {
       seed: String = ""): DataFrame =
     df.filter(hashHex(col(keyCol), seed) < lit(thresholdHex(fraction)))
 
+  /** Per-stratum cap ("domain capping"): keep at most `maxPerStratum` rows
+    * of each stratum, chosen by a deterministic hash RANK rather than a
+    * fraction — the standard guard against any single source dominating a
+    * corpus mix. Rank order is (hash draw, key), so the kept subset is a
+    * uniform, reproducible choice and adding new rows to a stratum never
+    * evicts more than the overflow. One shuffle on the stratum key. */
+  def capPerStratum(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      maxPerStratum: Int,
+      seed: String = ""): DataFrame = {
+    require(maxPerStratum > 0, s"cap must be positive, got $maxPerStratum")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hashHex(col(keyCol), seed), col(keyCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= maxPerStratum)
+      .drop("__rank")
+  }
+
   /** Stratified deterministic sample: per-stratum fractions (e.g. language
     * rebalancing — downsample the head languages, keep the tail whole).
     * Strata not in `fractions` use `defaultFraction`. Still per-row and

@@ -68,6 +68,19 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(byStratum("s2") / 3000.0 - 0.5) < 0.03)
   }
 
+  test("capPerStratum keeps at most N per stratum, deterministically") {
+    val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("id", "stratum")
+    val out = Sampling.capPerStratum(df, "id", "stratum", 7, "s")
+    val byStratum = out.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(byStratum.values.forall(_ == 7L) && byStratum.size == 3)
+    val again = Sampling.capPerStratum(df.repartition(11), "id", "stratum", 7, "s")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == out.select("id").as[Long].collect().sorted.toSeq)
+    // a stratum under the cap is untouched
+    val small = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "stratum")
+    assert(Sampling.capPerStratum(small, "id", "stratum", 5).count() == 3L)
+  }
+
   test("the hash predicate is partition-pruning friendly (no shuffle)") {
     val plan = Sampling.sampleByHash(ids(100), "id", 0.5)
       .queryExecution.executedPlan.toString
