@@ -132,31 +132,31 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  // Shared decontamination inputs. ShinglePairHashes dedupes per row, so
+  // the corpus stream is already per-doc distinct.
+  private def shingleStream(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(shinglePairHashes(col(textCol), n).getField("a")).as("__sh"))
+  // benchmark side needs only the text column — no id required
+  private def shingleSet(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.select(explode(shinglePairHashes(col(textCol), n).getField("a")).as("__sh"))
+      .distinct()
+
   /** Benchmark decontamination: corpus documents sharing at least one
     * word-`n`-gram with any benchmark document — the standard training-data
     * hygiene check before evaluation. One shuffle on 8-byte shingle hashes;
     * the benchmark side's distinct shingle set is broadcast when small.
     * Returns the contaminated corpus ids (one row each). */
-  /** Per-doc distinct shingle hashes as (doc_id, __sh) — the shared input
-    * of every decontamination variant (ShinglePairHashes dedupes per row,
-    * so the stream is already per-doc distinct). */
-  private def shingleStream(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-      explode(shinglePairHashes(col(textCol), n).getField("a")).as("__sh"))
-
   def contaminatedDocs(
       corpus: DataFrame,
       benchmark: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int = 8): DataFrame = {
-    val benchShingles = shingleStream(benchmark, idCol, textCol, n)
-      .select("__sh").distinct()
+      n: Int = 8): DataFrame =
     shingleStream(corpus, idCol, textCol, n)
-      .join(benchShingles, Seq("__sh"), "left_semi")
+      .join(shingleSet(benchmark, textCol, n), Seq("__sh"), "left_semi")
       .select("doc_id").distinct()
-  }
 
   /** Benchmark decontamination at the scale where the benchmark's distinct
     * shingle set is too large to broadcast as a hash set: a Bloom filter of
@@ -178,8 +178,7 @@ object Dedup {
     // materialize the (large) benchmark shingle set ONCE: the size count,
     // the Bloom aggregation, and the exact verify join all read the
     // checkpoint instead of re-running tokenize+shingle+distinct three times
-    val benchShingles = shingleStream(benchmark, idCol, textCol, n)
-      .select("__sh").distinct()
+    val benchShingles = shingleSet(benchmark, textCol, n)
       .localCheckpoint(true)
     val expected = math.max(benchShingles.count(), 1L)
     val bf = benchShingles.stat.bloomFilter("__sh", expected, fpp)
@@ -215,8 +214,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 8): DataFrame = {
-    val benchSh = shingleStream(benchmark, idCol, textCol, n)
-      .select(col("__sh"), lit(1L).as("__hit")).distinct()
+    val benchSh = shingleSet(benchmark, textCol, n)
+      .withColumn("__hit", lit(1L))
     // single pass: one corpus explode, one left join flagging benchmark
     // hits, one per-doc aggregate computing both counts together
     shingleStream(corpus, idCol, textCol, n)

@@ -166,16 +166,17 @@ object Text {
     * combined, vocabulary-bounded), one broadcast-or-shuffle join of
     * tokens to counts, one per-doc aggregation. N is a driver-side long. */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // materialize the tokenized stream once: the count, the frequency
-    // aggregate, and the join probe side all read the checkpoint instead
-    // of re-running tokenize+posexplode three times over the corpus
     val toks = df.select(col(idCol).as("__id"),
       posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
-      .localCheckpoint(true)
     val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
-    val n = toks.count()
+    // N derives from the counts aggregate IN-PLAN (a one-row broadcast
+    // cross join): no driver-side job, no materialized corpus-scale state,
+    // and the counts exchange is reused between the join build side and
+    // the total — the whole operator is one action with two token scans
+    val total = counts.agg(sum(col("__cnt")).as("__n"))
     toks.join(counts, Seq("__tok"))
-      .withColumn("__v", -log(col("__cnt").cast("double") / lit(n.toDouble)))
+      .crossJoin(broadcast(total))
+      .withColumn("__v", -log(col("__cnt").cast("double") / col("__n").cast("double")))
       .groupBy("__id")
       .agg(
         round(aggregate(
