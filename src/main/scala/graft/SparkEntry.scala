@@ -709,10 +709,15 @@ object SparkEntry {
       Text.charPairCounts(table(s, dir, "documents"), "text").limit(50)),
 
     // --- Bloom-prefiltered decontamination: output provably equals the
-    // exact q58 set (FPs verified away, FNs impossible) — shares its oracle
-    // while exercising the broadcast-filter scale path ---
+    // exact set computed on the same corpus (FPs verified away, FNs
+    // impossible). Contamination is PLANTED deterministically (q65
+    // pattern: every 97th corpus doc carries the benchmark phrase) so the
+    // gate is non-vacuous at every scale factor ---
     "q74_bloom_decontaminate" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
+      val phrase = " p1 p2 p3 p4 p5 p6 p7 p8"
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") < 10 || col("doc_id") % 97 === 0,
+          concat(col("text"), lit(phrase))).otherwise(col("text")).as("text"))
       val bench = d.filter(col("doc_id") < 10)
       val corpus = d.filter(col("doc_id") >= 10)
       Dedup.contaminatedDocsBloom(corpus, bench, "doc_id", "text", n = 8)
@@ -1353,8 +1358,22 @@ object SparkEntry {
          |FROM m ORDER BY doc_id""".stripMargin,
 
     "q58_decontaminate" -> DecontaminateOracle,
-    // Bloom prefilter + exact verify provably computes the same set
-    "q74_bloom_decontaminate" -> DecontaminateOracle,
+
+    // q58's oracle over the planted-contamination corpus (Bloom prefilter
+    // + exact verify provably computes the exact set)
+    "q74_bloom_decontaminate" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |  CASE WHEN doc_id < 10 OR doc_id % 97 = 0
+         |    THEN text || ' p1 p2 p3 p4 p5 p6 p7 p8' ELSE text END AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id, $ToksSql AS t FROM aug),
+         |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM tk),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s FROM idx),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+         |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10)
+         |SELECT DISTINCT corpus.doc_id AS doc_id
+         |FROM corpus JOIN bench ON corpus.s = bench.s
+         |ORDER BY doc_id""".stripMargin,
 
     "q76_sequence_packing" ->
       s"""WITH tk AS (SELECT doc_id, doc_id % 4 AS shard,
