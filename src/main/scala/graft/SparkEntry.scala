@@ -134,10 +134,12 @@ object SparkEntry {
     (ncDir, days.head)
   }
 
-  /** GRIB1 fixture mirroring the NC one: one message per day holding the
+  /** GRIB fixture mirroring the NC one: one message per day holding the
     * dense (lat 0-1 × lon 0-4 = slot) grid of event counts, no-event cells
-    * as 0 (GRIB1 without a bitmap has no missing cells). */
-  private def gribEventsFixture(s: SparkSession, dir: String): String = {
+    * as 0 (GRIB without a bitmap has no missing cells). Written in the
+    * requested edition — q66 scans edition 1, q79 edition 2. */
+  private def gribEventsFixture(s: SparkSession, dir: String,
+      edition: Int = 1): String = {
     val cells = eventsWithDay(s, dir)
       .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
       .count().collect()
@@ -146,13 +148,14 @@ object SparkEntry {
     val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
     val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
     val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/events.grb"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/" +
+      (if (edition == 1) "events.grb" else "events.grb2")
     val messages = days.toSeq.map { d =>
       val vals = new Array[Double](10)
       byDay(d).foreach(r => vals(r.getAs[Int]("slot")) = r.getAs[Long]("count").toDouble)
       (61, d, Seq(0.0, 1.0), Seq(0.0, 1.0, 2.0, 3.0, 4.0), vals)
     }
-    graft.sources.grib.GribFormat.writeFile(s, path, messages)
+    graft.sources.grib.GribFormat.writeFile(s, path, messages, edition = edition)
     path
   }
 
@@ -203,6 +206,21 @@ object SparkEntry {
   }
 
   private val wilsonZ: Double = Qc.inverseNormalCdf(1.0 - 1e-5 / 2.0)
+
+  /** Events-derived dense (day × slot) grid oracle — shared by q66 (GRIB
+    * edition 1) and q79 (edition 2), whose fixtures encode the same grid. */
+  private val GribScanOracle: String =
+    """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+      |                  CAST(event_id % 10 AS INTEGER) AS slot,
+      |                  CAST(count(*) AS DOUBLE) AS cnt
+      |           FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+      |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+      |          FROM days, (SELECT unnest(range(10)) AS s))
+      |SELECT spine.d AS time, spine.slot AS slot,
+      |       CAST(COALESCE(g.cnt, 0) AS DOUBLE) AS cnt
+      |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+      |ORDER BY 1, 2""".stripMargin
 
   /** Exact 8-gram decontamination oracle — shared by q58 (set-semi-join
     * path) and q74 (Bloom-prefilter path), which provably compute the same
@@ -749,8 +767,8 @@ object SparkEntry {
       val f = Text.gopherQualityFilter(table(s, dir, "documents"),
         "doc_id", "text", minWords = 30, maxWords = 90,
         minMeanLen = 4, maxMeanLen = 10, minDistinctStopwords = 2)
-      f.select(col("doc_id") +:
-        f.columns.filter(_ != "doc_id").map(c => col(c).cast("long").as(c)): _*)
+      f.select((col("doc_id") +:
+        f.columns.filter(_ != "doc_id").map(c => col(c).cast("long").as(c)).toSeq): _*)
         .orderBy("doc_id")
     }),
 
@@ -855,6 +873,17 @@ object SparkEntry {
     // --- GRIB1 DSv2 scan (the reference's other ingest format) ---
     "q66_grib_scan" -> ((s, dir) => {
       val path = gribEventsFixture(s, dir)
+      s.read.format("grib1").load(path)
+        .withColumn("slot", (col("latitude") * 5 + col("longitude")).cast("int"))
+        .select(col("time"), col("slot"), col("value").as("cnt"))
+        .orderBy("time", "slot")
+    }),
+
+    // --- GRIB edition 2 DSv2 scan (same oracle shape as q66; exercises
+    // the section-stream parser, IEEE reference values, and microdegree
+    // sign-magnitude coordinates) ---
+    "q79_grib2_scan" -> ((s, dir) => {
+      val path = gribEventsFixture(s, dir, edition = 2)
       s.read.format("grib1").load(path)
         .withColumn("slot", (col("latitude") * 5 + col("longitude")).cast("int"))
         .select(col("time"), col("slot"), col("value").as("cnt"))
@@ -1472,18 +1501,9 @@ object SparkEntry {
         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // dense day×slot spine; GRIB1 (no bitmap) carries 0 for empty cells
-    "q66_grib_scan" ->
-      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
-        |                  CAST(event_id % 10 AS INTEGER) AS slot,
-        |                  CAST(count(*) AS DOUBLE) AS cnt
-        |           FROM events GROUP BY 1, 2),
-        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
-        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
-        |          FROM days, (SELECT unnest(range(10)) AS s))
-        |SELECT spine.d AS time, spine.slot AS slot,
-        |       CAST(COALESCE(g.cnt, 0) AS DOUBLE) AS cnt
-        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
-        |ORDER BY 1, 2""".stripMargin,
+    "q66_grib_scan" -> GribScanOracle,
+    // edition-2 fixture decodes to the identical grid
+    "q79_grib2_scan" -> GribScanOracle,
 
     "q63_lcc_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_bad",
     "q64_polar_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_bad",

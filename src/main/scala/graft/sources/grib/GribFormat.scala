@@ -2,18 +2,24 @@ package graft.sources.grib
 
 import java.io.{DataOutputStream, EOFException, InputStream}
 
-/** GRIB edition 1 binary format model (WMO FM 92-VIII Ext., public spec):
+/** GRIB editions 1 AND 2 binary format model (WMO FM 92, public specs):
   * writer + parser for the subset the DSv2 scan supports — the OTHER input
   * format of the reference next to NetCDF (transform.py:75-79 lists grib
   * alongside netcdf; kerchunk's grib2 path plays the reader role there).
+  * Both editions parse into the same [[GribMessage]] planning state: the
+  * decode formula `(R + X·2^E) / 10^D` is identical, only header layout
+  * and the reference-value float encoding (IBM/370 vs IEEE 754) differ,
+  * and parsing resolves both to a Double. Files may mix editions.
   *
-  * Subset: one or more messages per file; PDS with a full yyyy-mm-dd hh:mm
-  * reference time; GDS grid type 0 (regular latitude/longitude); no bitmap
-  * (BMS absent); BDS simple packing — value = (R + X·2^E) / 10^D with R an
-  * IBM System/370 float32, X a bit-packed unsigned integer.
+  * Edition-1 subset: PDS with full reference time; GDS grid type 0
+  * (regular lat/lon); no bitmap; BDS simple packing.
+  * Edition-2 subset: grid template 3.0 (regular lat/lon, 10⁻⁶ degrees),
+  * product template 4.0, data representation template 5.0 (simple
+  * packing, IEEE float reference), bitmap indicator 255 (none).
   *
-  * All multi-byte integers are big-endian; "signed" GRIB1 fields are
-  * SIGN-MAGNITUDE (high bit = sign), not two's complement.
+  * All multi-byte integers are big-endian; "signed" GRIB fields are
+  * SIGN-MAGNITUDE (high bit = sign) in both editions, not two's
+  * complement.
   */
 object GribFormat {
 
@@ -24,6 +30,17 @@ object GribFormat {
 
   private[grib] def u24(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xFF) << 16) | ((b(off + 1) & 0xFF) << 8) | (b(off + 2) & 0xFF)
+
+  private[grib] def u32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+
+  private[grib] def u64(b: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(off + i) & 0xFFL); i += 1 }
+    v
+  }
 
   /** GRIB1 sign-magnitude signed int from 2 or 3 bytes. */
   private[grib] def sm(b: Array[Byte], off: Int, len: Int): Int = {
@@ -41,6 +58,10 @@ object GribFormat {
         out.writeByte(signBit | ((mag >> 8) & 0x7F)); out.writeByte(mag & 0xFF)
       case 3 =>
         out.writeByte(signBit | ((mag >> 16) & 0x7F))
+        out.writeByte((mag >> 8) & 0xFF); out.writeByte(mag & 0xFF)
+      case 4 =>
+        out.writeByte(signBit | ((mag >> 24) & 0x7F))
+        out.writeByte((mag >> 16) & 0xFF)
         out.writeByte((mag >> 8) & 0xFF); out.writeByte(mag & 0xFF)
     }
   }
@@ -218,6 +239,115 @@ object GribFormat {
     out.writeBytes("7777")
   }
 
+  /** Write one GRIB2 message (grid template 3.0, product template 4.0,
+    * data template 5.0): a regular lat/lon grid of `values` (row-major,
+    * lat rows with lon fastest), simple-packed. `paramId` encodes the
+    * product parameter as (category << 8) | number. Binary scale 0 and
+    * bits sized to the scaled range, like the edition-1 writer. */
+  def writeMessage2(
+      out: DataOutputStream,
+      paramId: Int,
+      refTime: java.time.LocalDateTime,
+      lats: Seq[Double], lons: Seq[Double],
+      values: Array[Double],
+      decimalScale: Int = 0,
+      leadHours: Int = 0): Unit = {
+    require(leadHours >= 0, s"negative lead $leadHours")
+    require(paramId >= 0 && paramId <= 0xFFFF, s"paramId $paramId not (cat<<8)|num")
+    val nj = lats.length; val ni = lons.length
+    require(values.length == ni * nj, s"${values.length} values for $ni x $nj grid")
+    require(!values.exists(_.isNaN), "NaN values need a bitmap (unsupported)")
+    val d = math.pow(10.0, decimalScale)
+    val scaled = values.map(v => math.round(v * d))
+    val minV = scaled.min
+    val range = scaled.max - minV
+    val bits = if (range == 0) 0
+      else math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(range))
+    require(bits <= 24, s"range $range needs $bits bits (>24); raise decimalScale granularity")
+    // the reference value travels as IEEE float32 — exact for ints < 2^24
+    val refValue = minV.toFloat
+    require(refValue.toLong == minV, s"reference $minV not exact in float32")
+    val dataBits = scaled.length.toLong * bits
+    val dataByteLen = ((dataBits + 7) / 8).toInt
+    val sec7Len = 5 + dataByteLen
+    val total = 16L + 21 + 72 + 34 + 21 + 6 + sec7Len + 4
+
+    // Section 0 — indicator
+    out.writeBytes("GRIB")
+    out.writeByte(0); out.writeByte(0) // reserved
+    out.writeByte(0) // discipline: meteorological
+    out.writeByte(2) // edition
+    out.writeLong(total)
+    // Section 1 — identification
+    out.writeInt(21); out.writeByte(1)
+    out.writeShort(255); out.writeShort(0) // centre, subcentre
+    out.writeByte(2); out.writeByte(0) // master/local table versions
+    out.writeByte(1) // significance: start of forecast
+    out.writeShort(refTime.getYear)
+    out.writeByte(refTime.getMonthValue); out.writeByte(refTime.getDayOfMonth)
+    out.writeByte(refTime.getHour); out.writeByte(refTime.getMinute)
+    out.writeByte(refTime.getSecond)
+    out.writeByte(0); out.writeByte(1) // production status, data type: forecast
+    // Section 3 — grid definition, template 3.0 (lat/lon in 10^-6 degrees)
+    out.writeInt(72); out.writeByte(3)
+    out.writeByte(0) // source: templates
+    out.writeInt(ni * nj)
+    out.writeByte(0); out.writeByte(0) // no optional number list
+    out.writeShort(0) // template 3.0
+    out.writeByte(6) // shape of earth: spherical r=6371229
+    out.writeByte(0); out.writeInt(0) // radius scale/value (n/a for shape 6)
+    out.writeByte(0); out.writeInt(0) // major axis
+    out.writeByte(0); out.writeInt(0) // minor axis
+    out.writeInt(ni); out.writeInt(nj)
+    out.writeInt(0); out.writeInt(0) // basic angle + subdivisions: 10^-6 unit
+    def udeg(x: Double): Int = math.round(x * 1e6).toInt
+    writeSm(out, udeg(lats.head), 4); writeSm(out, udeg(lons.head), 4)
+    out.writeByte(0x30) // resolution flags: i and j increments given
+    writeSm(out, udeg(lats.last), 4); writeSm(out, udeg(lons.last), 4)
+    val di = if (ni > 1) udeg(math.abs(lons.last - lons.head) / (ni - 1)) else 0
+    val dj = if (nj > 1) udeg(math.abs(lats.last - lats.head) / (nj - 1)) else 0
+    out.writeInt(di); out.writeInt(dj)
+    out.writeByte(if (lats.last >= lats.head) 0x40 else 0x00) // scanning mode
+    // Section 4 — product definition, template 4.0
+    out.writeInt(34); out.writeByte(4)
+    out.writeShort(0) // no coordinate values
+    out.writeShort(0) // template 4.0
+    out.writeByte((paramId >> 8) & 0xFF) // parameter category
+    out.writeByte(paramId & 0xFF) // parameter number
+    out.writeByte(2); out.writeByte(0); out.writeByte(0) // process type/bg/id
+    out.writeShort(0); out.writeByte(0) // cutoff
+    out.writeByte(1) // time unit: hours
+    out.writeInt(leadHours) // forecast time
+    out.writeByte(1); out.writeByte(0); out.writeInt(0) // surface 1: ground
+    out.writeByte(255); out.writeByte(255); out.writeInt(-1) // surface 2: none
+    // Section 5 — data representation, template 5.0 (simple packing)
+    out.writeInt(21); out.writeByte(5)
+    out.writeInt(ni * nj)
+    out.writeShort(0) // template 5.0
+    out.writeInt(java.lang.Float.floatToIntBits(refValue))
+    writeSm(out, 0, 2) // binary scale E = 0
+    writeSm(out, decimalScale, 2)
+    out.writeByte(bits)
+    out.writeByte(0) // field type: floating point
+    // Section 6 — bitmap: none
+    out.writeInt(6); out.writeByte(6); out.writeByte(255)
+    // Section 7 — data
+    out.writeInt(sec7Len); out.writeByte(7)
+    var acc = 0L; var nAcc = 0
+    scaled.foreach { s =>
+      val x = s - minV
+      acc = (acc << bits) | x
+      nAcc += bits
+      while (nAcc >= 8) {
+        out.writeByte(((acc >> (nAcc - 8)) & 0xFF).toInt)
+        nAcc -= 8
+      }
+    }
+    if (nAcc > 0) out.writeByte(((acc << (8 - nAcc)) & 0xFF).toInt)
+    // Section 8 — end
+    out.writeBytes("7777")
+  }
+
   // -------------------------------------------------------------- parsing
 
   /** Parse all message descriptors in a stream (headers only — the packed
@@ -236,6 +366,100 @@ object GribFormat {
       offset += n
       b
     }
+    def skipN(n: Long): Unit = {
+      var left = n
+      while (left > 0) {
+        val s = in.skip(left)
+        if (s <= 0) throw new EOFException("Truncated GRIB data section")
+        left -= s
+      }
+      offset += n
+    }
+
+    /** Edition-2 message body: a stream of (length, number, body) sections
+      * bracketed by section 0 (already consumed as `head` + the 8 length
+      * bytes) and the "7777" end section. */
+    def parseEdition2(msgStart: Long): GribMessage = {
+      val total = u64(readN(8), 0)
+      require(total <= Int.MaxValue, s"GRIB2 message of $total bytes unsupported")
+      var paramId = -1
+      var refTime0: java.time.LocalDateTime = null
+      var timeUnit = 1
+      var forecast = 0
+      var ni = 0; var nj = 0
+      var la1 = 0.0; var lo1 = 0.0; var la2 = 0.0; var lo2 = 0.0
+      var decimalScale = 0; var binaryScale = 0
+      var refValue = 0.0
+      var bits = 0
+      var dataOffset = 0L
+      var dataBytes = 0
+      var done = false
+      while (!done) {
+        val first4 = readN(4)
+        if (new String(first4, "US-ASCII") == "7777") done = true
+        else {
+          val secLen = u32(first4, 0).toInt
+          val num = readN(1)(0) & 0xFF
+          // body(i) is section octet i+6 (1-based octets in the WMO tables)
+          if (num == 7) {
+            dataOffset = offset
+            dataBytes = secLen - 5
+            skipN((secLen - 5).toLong)
+          } else {
+            val body = readN(secLen - 5)
+            num match {
+              case 1 =>
+                refTime0 = java.time.LocalDateTime.of(u16(body, 7),
+                  body(9) & 0xFF, body(10) & 0xFF, body(11) & 0xFF,
+                  body(12) & 0xFF, body(13) & 0xFF)
+              case 2 => // local use — ignored
+              case 3 =>
+                require(u16(body, 7) == 0,
+                  s"grid template ${u16(body, 7)} unsupported (only 3.0 lat/lon)")
+                require(u32(body, 33) == 0L,
+                  "non-default basic angle unsupported (10^-6 degree unit only)")
+                ni = u32(body, 25).toInt; nj = u32(body, 29).toInt
+                la1 = sm(body, 41, 4) / 1e6; lo1 = sm(body, 45, 4) / 1e6
+                la2 = sm(body, 50, 4) / 1e6; lo2 = sm(body, 54, 4) / 1e6
+                require((body(66) & 0x20) == 0,
+                  "j-consecutive scanning mode (0x20) unsupported (i-consecutive only)")
+              case 4 =>
+                require(u16(body, 2) == 0,
+                  s"product template ${u16(body, 2)} unsupported (only 4.0)")
+                paramId = ((body(4) & 0xFF) << 8) | (body(5) & 0xFF)
+                timeUnit = body(12) & 0xFF
+                forecast = sm(body, 13, 4)
+              case 5 =>
+                require(u16(body, 4) == 0,
+                  s"data representation template ${u16(body, 4)} unsupported (only 5.0)")
+                refValue = java.lang.Float.intBitsToFloat(u32(body, 6).toInt).toDouble
+                binaryScale = sm(body, 10, 2)
+                decimalScale = sm(body, 12, 2)
+                bits = body(14) & 0xFF
+                require((body(15) & 0xFF) == 0,
+                  s"field type ${body(15)} unsupported (only 0: floating point)")
+              case 6 =>
+                require((body(0) & 0xFF) == 255, "Bitmap unsupported (indicator must be 255)")
+              case n => throw new IllegalArgumentException(s"Unexpected GRIB2 section $n")
+            }
+          }
+        }
+      }
+      require(offset - msgStart == total,
+        s"GRIB2 message length mismatch: read ${offset - msgStart}, declared $total")
+      require(refTime0 != null && paramId >= 0 && ni > 0 && bits >= 0,
+        "GRIB2 message missing a required section")
+      val validTime = timeUnit match {
+        case 0 => refTime0.plusMinutes(forecast)
+        case 1 => refTime0.plusHours(forecast)
+        case 2 => refTime0.plusDays(forecast)
+        case u => throw new IllegalArgumentException(
+          s"GRIB2 time unit $u unsupported (0=min, 1=hour, 2=day)")
+      }
+      GribMessage(paramId, validTime, ni, nj, la1, lo1, la2, lo2,
+        decimalScale, binaryScale, refValue, bits, dataOffset, dataBytes,
+        total.toInt)
+    }
     while (true) {
       // IS or EOF
       val head = new Array[Byte](8)
@@ -252,8 +476,11 @@ object GribFormat {
       val msgStart = offset
       offset += 8
       require(new String(head, 0, 4, "US-ASCII") == "GRIB", "Bad GRIB magic")
+      if (head(7) == 2) {
+        out += parseEdition2(msgStart)
+      } else {
       val total = u24(head, 4)
-      require(head(7) == 1, s"Only GRIB edition 1 supported, got ${head(7)}")
+      require(head(7) == 1, s"Only GRIB editions 1 and 2 supported, got ${head(7)}")
       // PDS
       val pdsLenB = readN(3)
       val pdsLen = u24(pdsLenB, 0)
@@ -311,34 +538,32 @@ object GribFormat {
       val dataOffset = offset
       val dataBytes = bdsLen - 11
       // skip the packed data + the 4-byte end section
-      val toSkip = dataBytes.toLong + 4
-      var left = toSkip
-      while (left > 0) {
-        val s = in.skip(left)
-        if (s <= 0) throw new EOFException("Truncated GRIB data section")
-        left -= s
-      }
-      offset += toSkip
+      skipN(dataBytes.toLong + 4)
       require(offset - msgStart == total,
         s"Message length mismatch: read ${offset - msgStart}, declared $total")
       out += GribMessage(paramId, refTime, ni, nj, la1, lo1, la2, lo2,
         decimalScale, binaryScale, refValue, bits, dataOffset, dataBytes, total)
+      } // end edition-1 branch
     }
     out.toSeq
   }
 
-  /** Convenience: write messages to a Hadoop-visible path. */
+  /** Convenience: write messages to a Hadoop-visible path in the given
+    * edition (1 or 2). */
   def writeFile(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       messages: Seq[(Int, java.time.LocalDateTime, Seq[Double], Seq[Double], Array[Double])],
-      decimalScale: Int = 0): Unit = {
+      decimalScale: Int = 0,
+      edition: Int = 1): Unit = {
+    require(edition == 1 || edition == 2, s"edition $edition not in {1, 2}")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       fs.create(new org.apache.hadoop.fs.Path(path), true)))
     try messages.foreach { case (param, t, lats, lons, vals) =>
-      writeMessage(out, param, t, lats, lons, vals, decimalScale)
+      if (edition == 1) writeMessage(out, param, t, lats, lons, vals, decimalScale)
+      else writeMessage2(out, param, t, lats, lons, vals, decimalScale)
     }
     finally out.close()
   }

@@ -12,8 +12,9 @@ import graft.SparkSpec
   * multi-message files, constant fields) round-trip every cell exactly. */
 class GribFuzzSpec extends SparkSpec {
 
-  test("random messages round-trip bit-exactly through write → scan (20 seeds)") {
+  test("random messages round-trip bit-exactly through write → scan (20 seeds, both editions)") {
     for (seed <- 0 until 20) {
+      val edition = 1 + (seed % 2) // alternate GRIB1 / GRIB2 per seed
       val rnd = new Random(seed * 104729 + 7)
       val nMsgs = 1 + rnd.nextInt(3)
       val ni = 1 + rnd.nextInt(5)
@@ -32,7 +33,7 @@ class GribFuzzSpec extends SparkSpec {
           rnd.nextInt(24), 0).plusHours(0), lats, lons, vals)
       }
       val dir = Files.createTempDirectory(s"gribfuzz$seed").toString
-      GribFormat.writeFile(spark, s"$dir/f.grb", msgs, decimalScale)
+      GribFormat.writeFile(spark, s"$dir/f.grb", msgs, decimalScale, edition)
 
       val rows = spark.read.format("grib1").load(s"$dir/f.grb").collect()
       assert(rows.length == nMsgs * ni * nj, s"seed=$seed row count")
