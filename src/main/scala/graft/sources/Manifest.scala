@@ -75,7 +75,8 @@ object Manifest {
     path.endsWith(".nc") || path.endsWith(".cdf")
 
   def isGrib(path: String): Boolean =
-    path.endsWith(".grb") || path.endsWith(".grib") || path.endsWith(".grb1")
+    path.endsWith(".grb") || path.endsWith(".grib") || path.endsWith(".grb1") ||
+      path.endsWith(".grb2") || path.endsWith(".grib2")
 
   /** Open one input by format, dispatched on extension: classic NetCDF and
     * GRIB1 go through their DSv2 scans (S9's real forms), everything else
