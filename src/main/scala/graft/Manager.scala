@@ -51,7 +51,7 @@ trait DatasetManager extends Logging {
     * state fails loudly instead. */
   def inputFiles(): Seq[String] = {
     val all = Manifest.listInputFiles(spark, inputDir,
-        Seq(".parquet", ".nc", ".cdf", ".grb", ".grib", ".grb1"))
+        Manifest.KnownInputExtensions)
       .select("path").collect().map(_.getString(0)).toSeq
     val kinds = all.groupBy(p =>
       if (Manifest.isNetcdf(p)) "netcdf"

@@ -68,20 +68,24 @@ object Manifest {
     full.join(manifest.select(dimCols.map(col): _*).distinct(), dimCols, "left_anti")
   }
 
-  /** One shared extension predicate per format — dispatch (openInput), the
+  /** One shared extension list per format — dispatch (openInput), the
     * manager's mixed-dir guard, and the scans' own listings must agree on
-    * what counts as what. */
-  def isNetcdf(path: String): Boolean =
-    path.endsWith(".nc") || path.endsWith(".cdf")
+    * what counts as what, so they all derive from these. */
+  val NetcdfExtensions: Seq[String] = Seq(".nc", ".cdf")
+  val GribExtensions: Seq[String] =
+    Seq(".grb", ".grib", ".grb1", ".grb2", ".grib2")
+  val KnownInputExtensions: Seq[String] =
+    ".parquet" +: (NetcdfExtensions ++ GribExtensions)
 
-  def isGrib(path: String): Boolean =
-    path.endsWith(".grb") || path.endsWith(".grib") || path.endsWith(".grb1") ||
-      path.endsWith(".grb2") || path.endsWith(".grib2")
+  def isNetcdf(path: String): Boolean = NetcdfExtensions.exists(path.endsWith)
+
+  def isGrib(path: String): Boolean = GribExtensions.exists(path.endsWith)
 
   /** Open one input by format, dispatched on extension: classic NetCDF and
-    * GRIB1 go through their DSv2 scans (S9's real forms), everything else
-    * is parquet — so the SAME manager lifecycle runs on climate landing
-    * dirs and harness parquet alike (transform.py:75-79's format list). */
+    * GRIB (either edition) go through their DSv2 scans (S9's real forms),
+    * everything else is parquet — so the SAME manager lifecycle runs on
+    * climate landing dirs and harness parquet alike (transform.py:75-79's
+    * format list). */
   def openInput(spark: SparkSession, path: String): DataFrame =
     if (isNetcdf(path)) spark.read.format("netcdf").load(path)
     else if (isGrib(path)) spark.read.format("grib1").load(path)

@@ -19,10 +19,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.sources.nc.{NcScan, SerializableHadoopConf}
 import GribFormat.GribMessage
 
-/** DataSource V2 batch reader for GRIB edition 1 (regular lat/lon grids,
-  * simple packing) — the reference's OTHER ingest format next to NetCDF
-  * (transform.py:75-79). `spark.read.format("grib1").load(pathOrDir)`
-  * yields one row per grid cell:
+/** DataSource V2 batch reader for GRIB editions 1 AND 2 (regular lat/lon
+  * grids, simple packing; files may mix editions) — the reference's OTHER
+  * ingest format next to NetCDF (transform.py:75-79).
+  * `spark.read.format("grib1").load(pathOrDir)` (the short name predates
+  * edition-2 support) yields one row per grid cell:
   * (time TIMESTAMP_NTZ, latitude, longitude, param INT, value DOUBLE).
   *
   * Scale design:
@@ -55,7 +56,8 @@ class GribDataSource extends TableProvider with DataSourceRegister {
 }
 
 object GribTable {
-  /** The scan schema is FIXED — GRIB1 messages self-describe onto it. */
+  /** The scan schema is FIXED — GRIB messages (either edition)
+    * self-describe onto it. */
   val Schema: StructType = StructType(Seq(
     StructField("time", TimestampNTZType, nullable = false),
     StructField("latitude", DoubleType, nullable = false),

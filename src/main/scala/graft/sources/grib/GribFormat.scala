@@ -42,7 +42,8 @@ object GribFormat {
     v
   }
 
-  /** GRIB1 sign-magnitude signed int from 2 or 3 bytes. */
+  /** GRIB sign-magnitude signed int from 2-4 bytes (4-byte width carries
+    * edition-2 microdegree coordinates; magnitude is capped at 31 bits). */
   private[grib] def sm(b: Array[Byte], off: Int, len: Int): Int = {
     var v = b(off) & 0x7F
     var i = 1
@@ -134,6 +135,42 @@ object GribFormat {
 
   // -------------------------------------------------------------- writing
 
+  /** Scale values by 10^decimalScale and derive the packing width —
+    * shared by both editions' writers so the simple-packing encoder can
+    * never diverge between them. Returns (scaled, min, bitsPerValue). */
+  private def packPlan(values: Array[Double],
+      decimalScale: Int): (Array[Long], Long, Int) = {
+    // neither edition's subset carries a bitmap, so NaN has no
+    // representation: math.round(NaN) == 0 would silently write zeros
+    require(!values.exists(_.isNaN), "NaN values need a bitmap (unsupported)")
+    val d = math.pow(10.0, decimalScale)
+    val scaled = values.map(v => math.round(v * d))
+    val minV = scaled.min
+    val range = scaled.max - minV
+    val bits = if (range == 0) 0
+      else math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(range))
+    require(bits <= 24,
+      s"range $range needs $bits bits (>24); raise decimalScale granularity")
+    (scaled, minV, bits)
+  }
+
+  /** MSB-first bit-packing of (scaled − min) offsets — the shared data
+    * section encoder. */
+  private def writePacked(out: DataOutputStream, scaled: Array[Long],
+      minV: Long, bits: Int): Unit = {
+    var acc = 0L; var nAcc = 0
+    scaled.foreach { s =>
+      val x = s - minV
+      acc = (acc << bits) | x
+      nAcc += bits
+      while (nAcc >= 8) {
+        out.writeByte(((acc >> (nAcc - 8)) & 0xFF).toInt)
+        nAcc -= 8
+      }
+    }
+    if (nAcc > 0) out.writeByte(((acc << (8 - nAcc)) & 0xFF).toInt)
+  }
+
   /** Write one GRIB1 message: a regular lat/lon grid of `values`
     * (row-major, lat rows with lon fastest), simple-packed with the given
     * decimal scale. Binary scale 0 and bits sized to the scaled range, so
@@ -150,16 +187,7 @@ object GribFormat {
     val nj = lats.length; val ni = lons.length
     require(values.length == ni * nj, s"${values.length} values for $ni x $nj grid")
     require(ni <= 65535 && nj <= 65535, s"grid $ni x $nj exceeds GDS u16 dims")
-    // GRIB1 without a bitmap has no missing-cell representation: NaN would
-    // silently round to 0 (math.round(NaN) == 0) — refuse loudly instead
-    require(!values.exists(_.isNaN), "NaN values need a bitmap (unsupported)")
-    val d = math.pow(10.0, decimalScale)
-    val scaled = values.map(v => math.round(v * d))
-    val minV = scaled.min
-    val range = scaled.max - minV
-    val bits = if (range == 0) 0
-      else math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(range))
-    require(bits <= 24, s"range $range needs $bits bits (>24); raise decimalScale granularity")
+    val (scaled, minV, bits) = packPlan(values, decimalScale)
     val refValue = minV.toDouble // stored as IBM float, exact for ints < 2^24
     val dataBits = scaled.length.toLong * bits
     val dataByteLen = ((dataBits + 7) / 8).toInt
@@ -221,18 +249,7 @@ object GribFormat {
     writeSm(out, 0, 2) // binary scale factor E = 0
     out.writeInt(doubleToIbm(refValue))
     out.writeByte(bits)
-    // bit-packed X values, MSB first
-    var acc = 0L; var nAcc = 0
-    scaled.foreach { s =>
-      val x = s - minV
-      acc = (acc << bits) | x
-      nAcc += bits
-      while (nAcc >= 8) {
-        out.writeByte(((acc >> (nAcc - 8)) & 0xFF).toInt)
-        nAcc -= 8
-      }
-    }
-    if (nAcc > 0) out.writeByte(((acc << (8 - nAcc)) & 0xFF).toInt)
+    writePacked(out, scaled, minV, bits)
     // pad BDS to even length
     if (bdsLen != bdsLen0) out.writeByte(0)
     // end section
@@ -256,14 +273,7 @@ object GribFormat {
     require(paramId >= 0 && paramId <= 0xFFFF, s"paramId $paramId not (cat<<8)|num")
     val nj = lats.length; val ni = lons.length
     require(values.length == ni * nj, s"${values.length} values for $ni x $nj grid")
-    require(!values.exists(_.isNaN), "NaN values need a bitmap (unsupported)")
-    val d = math.pow(10.0, decimalScale)
-    val scaled = values.map(v => math.round(v * d))
-    val minV = scaled.min
-    val range = scaled.max - minV
-    val bits = if (range == 0) 0
-      else math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(range))
-    require(bits <= 24, s"range $range needs $bits bits (>24); raise decimalScale granularity")
+    val (scaled, minV, bits) = packPlan(values, decimalScale)
     // the reference value travels as IEEE float32 — exact for ints < 2^24
     val refValue = minV.toFloat
     require(refValue.toLong == minV, s"reference $minV not exact in float32")
@@ -333,17 +343,7 @@ object GribFormat {
     out.writeInt(6); out.writeByte(6); out.writeByte(255)
     // Section 7 — data
     out.writeInt(sec7Len); out.writeByte(7)
-    var acc = 0L; var nAcc = 0
-    scaled.foreach { s =>
-      val x = s - minV
-      acc = (acc << bits) | x
-      nAcc += bits
-      while (nAcc >= 8) {
-        out.writeByte(((acc >> (nAcc - 8)) & 0xFF).toInt)
-        nAcc -= 8
-      }
-    }
-    if (nAcc > 0) out.writeByte(((acc << (8 - nAcc)) & 0xFF).toInt)
+    writePacked(out, scaled, minV, bits)
     // Section 8 — end
     out.writeBytes("7777")
   }
@@ -393,15 +393,26 @@ object GribFormat {
       var bits = 0
       var dataOffset = 0L
       var dataBytes = 0
+      var seenRepr = false; var seenData = false
       var done = false
       while (!done) {
         val first4 = readN(4)
         if (new String(first4, "US-ASCII") == "7777") done = true
         else {
           val secLen = u32(first4, 0).toInt
+          // a section is at least its 5-byte header; EXACTLY 5 is legal
+          // for a constant field's data section (bits-per-value 0, no
+          // packed bytes)
+          require(secLen >= 5, s"Corrupt GRIB2 section length $secLen")
           val num = readN(1)(0) & 0xFF
           // body(i) is section octet i+6 (1-based octets in the WMO tables)
           if (num == 7) {
+            // multi-field messages (a second 4-7 group) would silently
+            // overwrite the first field's state — refuse loudly like every
+            // other out-of-subset condition
+            require(!seenData,
+              "Multi-field GRIB2 messages (repeated section 4-7 groups) unsupported")
+            seenData = true
             dataOffset = offset
             dataBytes = secLen - 5
             skipN((secLen - 5).toLong)
@@ -421,8 +432,12 @@ object GribFormat {
                 ni = u32(body, 25).toInt; nj = u32(body, 29).toInt
                 la1 = sm(body, 41, 4) / 1e6; lo1 = sm(body, 45, 4) / 1e6
                 la2 = sm(body, 50, 4) / 1e6; lo2 = sm(body, 54, 4) / 1e6
-                require((body(66) & 0x20) == 0,
-                  "j-consecutive scanning mode (0x20) unsupported (i-consecutive only)")
+                // 0x20 = j-consecutive (transposed cell order); 0x10 =
+                // boustrophedon (alternate rows reversed) — both would
+                // silently misattribute cells if decoded i-consecutive
+                require((body(66) & 0x30) == 0,
+                  s"scanning mode 0x${(body(66) & 0xFF).toHexString} unsupported " +
+                    "(i-consecutive, uniform row direction only)")
               case 4 =>
                 require(u16(body, 2) == 0,
                   s"product template ${u16(body, 2)} unsupported (only 4.0)")
@@ -432,6 +447,7 @@ object GribFormat {
               case 5 =>
                 require(u16(body, 4) == 0,
                   s"data representation template ${u16(body, 4)} unsupported (only 5.0)")
+                seenRepr = true
                 refValue = java.lang.Float.intBitsToFloat(u32(body, 6).toInt).toDouble
                 binaryScale = sm(body, 10, 2)
                 decimalScale = sm(body, 12, 2)
@@ -447,8 +463,8 @@ object GribFormat {
       }
       require(offset - msgStart == total,
         s"GRIB2 message length mismatch: read ${offset - msgStart}, declared $total")
-      require(refTime0 != null && paramId >= 0 && ni > 0 && bits >= 0,
-        "GRIB2 message missing a required section")
+      require(refTime0 != null && paramId >= 0 && ni > 0 && seenRepr && seenData,
+        "GRIB2 message missing a required section (1, 3, 4, 5 and 7 all needed)")
       val validTime = timeUnit match {
         case 0 => refTime0.plusMinutes(forecast)
         case 1 => refTime0.plusHours(forecast)
