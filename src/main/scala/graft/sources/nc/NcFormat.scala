@@ -206,15 +206,21 @@ object NcFormat {
       attrs: Seq[(String, String)] = Nil,
       nattrs: Seq[(String, Int, Array[Double])] = Nil)
 
-  /** Write a classic (CDF-1) NetCDF file. `dims` carries materialized
-    * lengths; `recordDim`, if set, must be the FIRST dim of every variable
-    * that uses it (classic-format rule). */
+  /** Write a classic NetCDF file — CDF-1 normally, CDF-2 (64-bit offsets)
+    * automatically when the layout's variable begins exceed 32 bits (the
+    * classic large-file rule), or when `forceVersion` pins one (tests
+    * exercise the CDF-2 header path without writing a 2 GB file). `dims`
+    * carries materialized lengths; `recordDim`, if set, must be the FIRST
+    * dim of every variable that uses it (classic-format rule). */
   def write(
       out: DataOutputStream,
       dims: Seq[(String, Int)],
       vars: Seq[WriteVar],
       recordDim: Option[String] = None,
-      gattrs: Seq[(String, String)] = Nil): Unit = {
+      gattrs: Seq[(String, String)] = Nil,
+      forceVersion: Option[Int] = None): Unit = {
+    forceVersion.foreach(v => require(v == 1 || v == 2,
+      s"forceVersion $v not in {1, 2}"))
     val dimIdx = dims.map(_._1).zipWithIndex.toMap
     val dimLen = dims.toMap
     recordDim.foreach { rd =>
@@ -240,10 +246,10 @@ object NcFormat {
 
     // Two-pass: serialize header with zero begins to learn its length, then
     // place fixed vars (padded to 4) followed by the record region.
-    def headerBytes(begins: Map[String, Long]): Array[Byte] = {
+    def headerBytes(begins: Map[String, Long], version: Int): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val d = new DataOutputStream(bos)
-      d.writeBytes("CDF"); d.writeByte(1)
+      d.writeBytes("CDF"); d.writeByte(version)
       d.writeInt(numRecs)
       // dim list
       d.writeInt(TagDimension); d.writeInt(dims.length)
@@ -261,27 +267,44 @@ object NcFormat {
         d.writeInt(v.ncType)
         val vsize = pad4(if (isRec(v)) perRecBytes(v) else fixedBytes(v))
         d.writeInt(math.min(vsize, Int.MaxValue).toInt)
-        d.writeInt(begins.getOrElse(v.name, 0L).toInt)
+        // CDF-1 carries 32-bit variable begins, CDF-2 64-bit
+        if (version == 2) d.writeLong(begins.getOrElse(v.name, 0L))
+        else d.writeInt(begins.getOrElse(v.name, 0L).toInt)
       }
       d.flush(); bos.toByteArray
     }
 
-    val headerLen = headerBytes(Map.empty).length.toLong
-    var offset = pad4(headerLen)
-    val begins = scala.collection.mutable.Map.empty[String, Long]
-    fixedVars.foreach { v =>
-      begins(v.name) = offset
-      offset += pad4(fixedBytes(v))
+    // the header length itself depends on the version (4 vs 8 bytes per
+    // begin), so layout is computed per candidate version
+    def layout(version: Int): Map[String, Long] = {
+      val headerLen = headerBytes(Map.empty, version).length.toLong
+      var offset = pad4(headerLen)
+      val begins = scala.collection.mutable.Map.empty[String, Long]
+      fixedVars.foreach { v =>
+        begins(v.name) = offset
+        offset += pad4(fixedBytes(v))
+      }
+      val singleRec = recVars.length == 1
+      recVars.foreach { v =>
+        begins(v.name) = offset
+        offset += (if (singleRec) perRecBytes(v) else pad4(perRecBytes(v)))
+      }
+      begins.toMap
     }
+    def fitsCdf1(b: Map[String, Long]) = b.values.forall(_ <= Int.MaxValue.toLong)
     val singleRec = recVars.length == 1
-    recVars.foreach { v =>
-      begins(v.name) = offset
-      offset += (if (singleRec) perRecBytes(v) else pad4(perRecBytes(v)))
+    val (version, begins) = forceVersion match {
+      case Some(1) =>
+        val b = layout(1)
+        require(fitsCdf1(b), "Layout exceeds CDF-1 32-bit offsets; use CDF-2")
+        (1, b)
+      case Some(2) => (2, layout(2))
+      case _ =>
+        val b1 = layout(1)
+        if (fitsCdf1(b1)) (1, b1) else (2, layout(2))
     }
-    require(begins.values.forall(_ <= Int.MaxValue.toLong),
-      "Layout exceeds CDF-1 32-bit offsets; split the file")
 
-    val hdr = headerBytes(begins.toMap)
+    val hdr = headerBytes(begins, version)
     out.write(hdr)
     padTo4(out, hdr.length.toLong)
 
@@ -368,12 +391,13 @@ object NcFormat {
       dims: Seq[(String, Int)],
       vars: Seq[WriteVar],
       recordDim: Option[String] = None,
-      gattrs: Seq[(String, String)] = Nil): Unit = {
+      gattrs: Seq[(String, String)] = Nil,
+      forceVersion: Option[Int] = None): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       fs.create(new org.apache.hadoop.fs.Path(path), true)))
-    try write(out, dims, vars, recordDim, gattrs)
+    try write(out, dims, vars, recordDim, gattrs, forceVersion)
     finally out.close()
   }
 

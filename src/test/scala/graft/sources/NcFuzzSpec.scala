@@ -74,7 +74,9 @@ class NcFuzzSpec extends SparkSpec {
       NcFormat.writeFile(spark, s"$dir/f.nc",
         dims = dimNames.zip(dimSizes),
         vars = coordVars ++ dataVars,
-        recordDim = if (hasRecord) Some(dimNames.head) else None)
+        recordDim = if (hasRecord) Some(dimNames.head) else None,
+        // alternate CDF-1 / CDF-2 (64-bit offset) headers per seed
+        forceVersion = Some(1 + seed % 2))
 
       val df = spark.read.format("netcdf").load(s"$dir/f.nc")
       val rows = df.orderBy(dimNames.map(col): _*).collect()

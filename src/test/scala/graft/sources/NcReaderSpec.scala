@@ -171,6 +171,32 @@ class NcReaderSpec extends SparkSpec {
       yield Seq[Any](y.toDouble, x.toDouble, (y * 3 + x) * 10)).toSet)
   }
 
+  test("CDF-2 (64-bit offset) files write and scan identically to CDF-1") {
+    val dir = Files.createTempDirectory("nc_cdf2").toString
+    def grid(path: String, v: Option[Int]): Unit =
+      NcFormat.writeFile(spark, path,
+        dims = Seq("y" -> 2, "x" -> 3),
+        vars = Seq(
+          WriteVar("y", Seq("y"), NcDouble, Array(0.0, 1.0)),
+          WriteVar("x", Seq("x"), NcDouble, Array(0.0, 1.0, 2.0)),
+          WriteVar("v", Seq("y", "x"), NcInt,
+            Array.tabulate(6)(i => (i * 10).toDouble))),
+        forceVersion = v)
+    grid(s"$dir/v1.nc", Some(1))
+    grid(s"$dir/v2.nc", Some(2))
+    // magic bytes differ; decoded rows are identical
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def versionByte(p: String): Int = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(p))
+      try { in.skip(3); in.read() } finally in.close()
+    }
+    assert(versionByte(s"$dir/v1.nc") == 1 && versionByte(s"$dir/v2.nc") == 2)
+    val one = collectSet(spark.read.format("netcdf").load(s"$dir/v1.nc"))
+    val two = collectSet(spark.read.format("netcdf").load(s"$dir/v2.nc"))
+    assert(one == two && one.nonEmpty)
+  }
+
   test("CF packed data: scale_factor/add_offset unpack to double; _FillValue → null") {
     val dir = Files.createTempDirectory("nc9").toString
     // packed NC_SHORT var: physical = raw * 0.01 + 100.0; raw -32767 = fill
