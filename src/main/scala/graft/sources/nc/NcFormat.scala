@@ -266,7 +266,11 @@ object NcFormat {
         writeAttrList(d, v.attrs, v.nattrs)
         d.writeInt(v.ncType)
         val vsize = pad4(if (isRec(v)) perRecBytes(v) else fixedBytes(v))
-        d.writeInt(math.min(vsize, Int.MaxValue).toInt)
+        // vsize is an UNSIGNED 32-bit field; beyond its 2^32-4 maximum the
+        // spec stores the all-ones sentinel and readers recompute the true
+        // size (clamping to Int.MaxValue would feed external readers a
+        // wrong record stride)
+        d.writeInt(if (vsize > 0xFFFFFFFCL) -1 else vsize.toInt)
         // CDF-1 carries 32-bit variable begins, CDF-2 64-bit
         if (version == 2) d.writeLong(begins.getOrElse(v.name, 0L))
         else d.writeInt(begins.getOrElse(v.name, 0L).toInt)

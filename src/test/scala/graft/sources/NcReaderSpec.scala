@@ -189,7 +189,9 @@ class NcReaderSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration)
     def versionByte(p: String): Int = {
       val in = fs.open(new org.apache.hadoop.fs.Path(p))
-      try { in.skip(3); in.read() } finally in.close()
+      // readFully, not skip(3): InputStream.skip may legally skip fewer
+      try { val b = new Array[Byte](4); in.readFully(b); b(3) & 0xFF }
+      finally in.close()
     }
     assert(versionByte(s"$dir/v1.nc") == 1 && versionByte(s"$dir/v2.nc") == 2)
     val one = collectSet(spark.read.format("netcdf").load(s"$dir/v1.nc"))
