@@ -201,18 +201,19 @@ object Text {
     * indicator); duplicate-line fraction ≤ 30%; symbol (`#`/`…`) to word
     * ratio ≤ 10%; ≤90% bullet-point lines; ≤30% of lines ending in an
     * ellipsis. Per-row, shuffle-free, bounded by document length. */
-  def gopherQualityFilter(
-      df: org.apache.spark.sql.DataFrame,
-      idCol: String,
-      textCol: String,
+  /** The per-rule verdict struct behind [[gopherQualityFilter]] — also
+    * usable standalone as a COLUMN (see [[gopherKeep]]), e.g. on a
+    * streaming DataFrame where the row-level gate must run without the
+    * id-projection wrapper. */
+  def gopherQualityFlags(
+      text: Column,
       minWords: Int = 50,
       maxWords: Int = 100000,
       minMeanLen: Int = 3,
       maxMeanLen: Int = 10,
       minDistinctStopwords: Int = 2,
-      stopwords: Seq[String] = DefaultStopwords): org.apache.spark.sql.DataFrame = {
-    val text = col(textCol)
-    val flags = bind(tokens(text)) { toks =>
+      stopwords: Seq[String] = DefaultStopwords): Column =
+    bind(tokens(text)) { toks =>
       bind(filter(split(text, "\n"), l => l =!= lit(""))) { lines =>
         val n = size(toks).cast("long")
         val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
@@ -226,7 +227,7 @@ object Text {
         val nBullets = size(filter(lines,
           l => substring(l, 1, 1).isin("-", "*"))).cast("long")
         val nEllLines = size(filter(lines, l => l.endsWith("..."))).cast("long")
-        struct(
+        val passes = Seq(
           n.between(minWords, maxWords).as("pass_words"),
           (sumLen >= lit(minMeanLen.toLong) * n &&
             sumLen <= lit(maxMeanLen.toLong) * n).as("pass_mean_len"),
@@ -236,15 +237,37 @@ object Text {
           (nSymbols * 10 <= n).as("pass_symbols"),
           (nBullets * 10 <= nLines * 9).as("pass_bullets"),
           (nEllLines * 10 <= nLines * 3).as("pass_ellipsis"))
+        struct(passes :+ passes.reduce(_ && _).as("keep"): _*)
       }
     }
-    df.select(col(idCol), flags.as("__f"))
+
+  /** Row-level conjunction of all Gopher rules — the streaming-safe gate
+    * (no projection, no shuffle, usable directly in `filter`). */
+  def gopherKeep(
+      text: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Int = 3,
+      maxMeanLen: Int = 10,
+      minDistinctStopwords: Int = 2,
+      stopwords: Seq[String] = DefaultStopwords): Column =
+    gopherQualityFlags(text, minWords, maxWords, minMeanLen, maxMeanLen,
+      minDistinctStopwords, stopwords).getField("keep")
+
+  def gopherQualityFilter(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Int = 3,
+      maxMeanLen: Int = 10,
+      minDistinctStopwords: Int = 2,
+      stopwords: Seq[String] = DefaultStopwords): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        gopherQualityFlags(col(textCol), minWords, maxWords, minMeanLen,
+          maxMeanLen, minDistinctStopwords, stopwords).as("__f"))
       .select(col(idCol), col("__f.*"))
-      .withColumn("keep",
-        col("pass_words") && col("pass_mean_len") && col("pass_alpha") &&
-          col("pass_stopwords") && col("pass_dup_lines") && col("pass_symbols") &&
-          col("pass_bullets") && col("pass_ellipsis"))
-  }
 
   /** Character n-gram profiles per language for heuristic language ID.
     * Tiny profiles (top trigrams of each language) broadcast as a literal

@@ -78,6 +78,27 @@ object StreamingUpdate {
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
 
+  /** Streaming corpus curation — the subset of the batch curation pipeline
+    * that runs ON the stream: the Gopher quality gate (per-row), PII scrub
+    * (per-row), and exact dedup within the watermark horizon (bounded
+    * state). Corpus-level passes (near-dup clustering, URL dedup, corpus
+    * line dedup, semantic dedup) need corpus-wide joins and stay in the
+    * batch layer over the landed output — the standard split between
+    * streaming admission control and batch reprocessing. */
+  def streamingCurate(
+      stream: DataFrame,
+      timeCol: String,
+      textCol: String,
+      lateness: String = "1 hour",
+      minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val gated = stream
+      .filter(graft.functions.Text.gopherKeep(col(textCol),
+        minWords = minWords, maxWords = maxWords))
+      .withColumn(textCol, graft.functions.Text.scrubPii(col(textCol)))
+    streamingExactDedup(gated, timeCol, textCol, lateness)
+  }
+
   /** One observed cadence gap: consecutive timesteps of `key` further apart
     * than expected (the streaming A6 — UpdatePlan.cadenceViolations as a
     * continuous monitor). */

@@ -75,6 +75,27 @@ class StreamingOpsSpec extends SparkSpec {
       tsq("2024-01-03 00:00:00"), tsq("2024-01-06 00:00:00"), 3 * 1440L)))
   }
 
+  test("streamingCurate: quality gate + PII scrub + dedup on the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val prose = ("the quick brown fox jumps over the lazy dog and runs on " * 3).trim
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingUpdate.streamingCurate(
+        in.toDF().toDF("time", "text"), "time", "text", minWords = 10)
+      .writeStream.format("memory").queryName("scurate")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("sc").toString)
+      .start()
+    in.addData(
+      (tsq("2024-01-01 10:00:00"), s"$prose contact bob@example.com today"),
+      (tsq("2024-01-01 10:01:00"), "too short"),                 // gated out
+      (tsq("2024-01-01 10:02:00"), s"$prose contact bob@example.com today")) // dup
+    q.processAllAvailable()
+    q.stop()
+    val texts = spark.table("scurate").select("text").collect().map(_.getString(0)).toSeq
+    assert(texts == Seq(s"$prose contact <EMAIL> today"),
+      s"expected one curated, scrubbed doc; got $texts")
+  }
+
   test("streamingExactDedup drops repeated content across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
