@@ -1,0 +1,402 @@
+package graft.sources.zarr
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+
+import org.apache.spark.sql.types._
+
+import graft.meta.{JArr, JBool, JNull, JNum, JObj, JStr, JValue}
+
+/** Zarr v2 store metadata model: numpy dtype strings, `.zarray` documents,
+  * and the two chunk-addressing schemes the scan reads through — a
+  * directory store (one object per chunk) and a kerchunk-style reference
+  * manifest (chunk key → byte range in some other file, the reference's
+  * scan substrate, transform.py:119-279 `kerchunkify`).
+  */
+object ZarrMeta {
+
+  // ----------------------------------------------------------------- dtype
+
+  /** Numpy typestr: byte order ('<' | '>' | '|') + kind + item size. */
+  final case class ZDtype(littleEndian: Boolean, kind: Char, size: Int) extends Serializable {
+    def sparkType: DataType = (kind, size) match {
+      case ('f', 8) => DoubleType
+      case ('f', 4) => FloatType
+      case ('i', 8) => LongType
+      case ('i', 4) => IntegerType
+      case ('i', 2) => ShortType
+      case ('i', 1) => ByteType
+      // unsigned widens to the next signed type (Spark has no unsigned)
+      case ('u', 1) => ShortType
+      case ('u', 2) => IntegerType
+      case ('u', 4) => LongType
+      case ('b', 1) => BooleanType
+      case other => throw new IllegalArgumentException(s"Unsupported zarr dtype $render")
+    }
+
+    def render: String =
+      (if (size == 1) "|" else if (littleEndian) "<" else ">") + s"$kind$size"
+
+    /** Decode element i of a raw chunk buffer to the Catalyst-internal value
+      * for [[sparkType]]. */
+    def decode(buf: Array[Byte], i: Int): Any = {
+      val off = i * size
+      (kind, size) match {
+        case ('f', 8) => java.lang.Double.longBitsToDouble(long64(buf, off))
+        case ('f', 4) => java.lang.Float.intBitsToFloat(int32(buf, off))
+        case ('i', 8) => long64(buf, off)
+        case ('i', 4) => int32(buf, off)
+        case ('i', 2) => int16(buf, off).toShort
+        case ('i', 1) => buf(off)
+        case ('u', 1) => (buf(off) & 0xFF).toShort
+        case ('u', 2) => int16(buf, off) & 0xFFFF
+        case ('u', 4) => int32(buf, off).toLong & 0xFFFFFFFFL
+        case ('b', 1) => buf(off) != 0
+        case _ => throw new IllegalArgumentException(s"Unsupported zarr dtype $render")
+      }
+    }
+
+    /** Element i widened to double (axis planning, fill comparison). */
+    def decodeDouble(buf: Array[Byte], i: Int): Double = decode(buf, i) match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case l: Long => l.toDouble
+      case n: Int => n.toDouble
+      case s: Short => s.toDouble
+      case b: Byte => b.toDouble
+      case b: Boolean => if (b) 1.0 else 0.0
+      case other => throw new IllegalStateException(s"$other")
+    }
+
+    /** Encode a cell value (widened to double) into the buffer at index i —
+      * the write path's inverse of [[decodeDouble]]. */
+    def encodeDouble(buf: Array[Byte], i: Int, v: Double): Unit = {
+      val off = i * size
+      (kind, size) match {
+        case ('f', 8) => put64(buf, off, java.lang.Double.doubleToRawLongBits(v))
+        case ('f', 4) => put32(buf, off, java.lang.Float.floatToRawIntBits(v.toFloat))
+        case ('i', 8) | ('u', 4) => put64(buf, off, v.toLong)
+        case ('i', 4) => put32(buf, off, v.toInt)
+        case ('i', 2) | ('u', 2) => put16(buf, off, v.toInt)
+        case ('i', 1) | ('u', 1) | ('b', 1) => buf(off) = v.toByte
+        case _ => throw new IllegalArgumentException(s"Unsupported zarr dtype $render")
+      }
+    }
+
+    private def int16(b: Array[Byte], off: Int): Int =
+      if (littleEndian) (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+      else ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+    private def int32(b: Array[Byte], off: Int): Int =
+      if (littleEndian)
+        (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+          ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+      else
+        ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+          ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+    private def long64(b: Array[Byte], off: Int): Long =
+      if (littleEndian)
+        (int32(b, off).toLong & 0xFFFFFFFFL) | (int32(b, off + 4).toLong << 32)
+      else (int32(b, off).toLong << 32) | (int32(b, off + 4).toLong & 0xFFFFFFFFL)
+    private def put16(b: Array[Byte], off: Int, v: Int): Unit =
+      if (littleEndian) { b(off) = v.toByte; b(off + 1) = (v >> 8).toByte }
+      else { b(off) = (v >> 8).toByte; b(off + 1) = v.toByte }
+    private def put32(b: Array[Byte], off: Int, v: Int): Unit =
+      if (littleEndian) { put16(b, off, v & 0xFFFF); put16(b, off + 2, v >>> 16) }
+      else { put16(b, off, v >>> 16); put16(b, off + 2, v & 0xFFFF) }
+    private def put64(b: Array[Byte], off: Int, v: Long): Unit =
+      if (littleEndian) { put32(b, off, v.toInt); put32(b, off + 4, (v >>> 32).toInt) }
+      else { put32(b, off, (v >>> 32).toInt); put32(b, off + 4, v.toInt) }
+  }
+
+  def parseDtype(s: String): ZDtype = {
+    require(s.length >= 3, s"Bad dtype '$s'")
+    val order = s.charAt(0)
+    require("<>|".contains(order), s"Bad dtype byte order in '$s'")
+    val kind = s.charAt(1)
+    val size = s.substring(2).toInt
+    require("fiub".contains(kind), s"Unsupported dtype kind '$kind' in '$s' " +
+      "(datetime64 axes are stored as integers + CF units attrs by xarray)")
+    ZDtype(order != '>', kind, size)
+  }
+
+  // --------------------------------------------------------------- .zarray
+
+  /** One array's `.zarray` + `.zattrs`. `fill` is the decoded fill_value
+    * (None = JSON null = no fill defined). */
+  final case class ZArrayMeta(
+      shape: Seq[Int],
+      chunks: Seq[Int],
+      dtype: ZDtype,
+      codec: ZarrCodec.Codec,
+      fill: Option[Double],
+      dimSeparator: String,
+      attrs: JObj) extends Serializable {
+
+    require(shape.length == chunks.length && shape.nonEmpty,
+      s"shape $shape / chunks $chunks rank mismatch")
+    require(chunks.forall(_ > 0), s"chunks must be positive: $chunks")
+
+    def ndim: Int = shape.length
+    /** Chunk-grid extent per dimension. */
+    def gridShape: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+    def cellsPerChunk: Long = chunks.map(_.toLong).product
+    def bytesPerChunk: Long = cellsPerChunk * dtype.size
+    def chunkKey(coords: Seq[Int]): String = coords.mkString(dimSeparator)
+
+    def dimNames: Option[Seq[String]] = attrs.get("_ARRAY_DIMENSIONS").collect {
+      case JArr(items) => items.collect { case JStr(s) => s }
+    }
+    def attr(name: String): Option[String] = attrs.get(name).collect {
+      case JStr(s) => s
+      case JNum(n) => n.toString
+    }
+    def numAttr(name: String): Option[Double] = attrs.get(name).collect {
+      case JNum(n) => n
+    }
+    /** CF mask_and_scale, exactly as the NC scan reads it off variable
+      * attrs (kerchunk manifests carry the NC attrs through verbatim). */
+    def scaleFactor: Double = numAttr("scale_factor").getOrElse(1.0)
+    def addOffset: Double = numAttr("add_offset").getOrElse(0.0)
+    def unpack: Boolean =
+      attrs.get("scale_factor").isDefined || attrs.get("add_offset").isDefined
+    /** Attr-declared fill (kerchunk from NC) falls back on the .zarray
+      * fill_value; _FillValue wins over missing_value (CF §2.5.1). */
+    def effectiveFill: Option[Double] =
+      numAttr("_FillValue").orElse(numAttr("missing_value")).orElse(fill)
+
+    def render: String = JObj(Seq(
+      "chunks" -> JArr(chunks.map(c => JNum(c))),
+      "compressor" -> codec.json,
+      "dtype" -> JStr(dtype.render),
+      "fill_value" -> fill.map(fillJson).getOrElse(JNull),
+      "filters" -> JNull,
+      "order" -> JStr("C"),
+      "shape" -> JArr(shape.map(s => JNum(s))),
+      "zarr_format" -> JNum(2),
+    ) ++ (if (dimSeparator == ".") Seq.empty
+          else Seq("dimension_separator" -> JStr(dimSeparator)))).render
+
+    private def fillJson(f: Double): JValue =
+      if (f.isNaN) JStr("NaN")
+      else if (f.isPosInfinity) JStr("Infinity")
+      else if (f.isNegInfinity) JStr("-Infinity")
+      else JNum(f)
+  }
+
+  def parseZArray(doc: JValue, attrs: JObj): ZArrayMeta = doc match {
+    case o: JObj =>
+      def ints(key: String): Seq[Int] = o.get(key) match {
+        case Some(JArr(items)) => items.map {
+          case JNum(n) => n.toInt
+          case other => throw new IllegalArgumentException(s".zarray $key: $other")
+        }
+        case other => throw new IllegalArgumentException(s".zarray missing $key: $other")
+      }
+      o.get("zarr_format") match {
+        case Some(JNum(v)) => require(v.toInt == 2, s"zarr_format ${v.toInt} != 2")
+        case _ => throw new IllegalArgumentException(".zarray missing zarr_format")
+      }
+      o.get("order").foreach {
+        case JStr("C") => ()
+        case other => throw new IllegalArgumentException(
+          s"Only C-order zarr arrays are supported, got $other")
+      }
+      o.get("filters").foreach {
+        case JNull => ()
+        case JArr(Seq()) => ()
+        case other => throw new IllegalArgumentException(
+          s"zarr filters are not supported: $other")
+      }
+      val dtype = o.get("dtype") match {
+        case Some(JStr(s)) => parseDtype(s)
+        case other => throw new IllegalArgumentException(s".zarray dtype: $other")
+      }
+      val fill = o.get("fill_value") match {
+        case None | Some(JNull) => None
+        case Some(JNum(n)) => Some(n)
+        case Some(JStr("NaN")) => Some(Double.NaN)
+        case Some(JStr("Infinity")) => Some(Double.PositiveInfinity)
+        case Some(JStr("-Infinity")) => Some(Double.NegativeInfinity)
+        case Some(JBool(b)) => Some(if (b) 1.0 else 0.0)
+        case other => throw new IllegalArgumentException(s"fill_value $other")
+      }
+      val sep = o.get("dimension_separator") match {
+        case Some(JStr(s)) => s
+        case _ => "."
+      }
+      ZArrayMeta(ints("shape"), ints("chunks"), dtype,
+        ZarrCodec.fromJson(o.get("compressor").getOrElse(JNull)), fill, sep, attrs)
+    case other => throw new IllegalArgumentException(s"Bad .zarray: $other")
+  }
+
+  // ------------------------------------------------------- chunk addressing
+
+  /** Where one chunk's bytes live. Serializable — shipped inside input
+    * partitions. */
+  sealed trait ChunkRef extends Serializable
+  /** Whole object in a directory store; may legitimately not exist (an
+    * all-fill chunk is simply never written). */
+  final case class FileChunk(path: String) extends ChunkRef
+  /** Byte range inside some other file (kerchunk reference). */
+  final case class RangeChunk(path: String, offset: Long, length: Long) extends ChunkRef
+  /** Inline bytes (kerchunk inlines small chunks straight into the JSON). */
+  final case class InlineChunk(bytes: Array[Byte]) extends ChunkRef
+
+  /** One array resolved for scanning: metadata + how to find each chunk.
+    * `refs` is None for directory stores (paths are derived; existence is
+    * checked at read time) and Some for reference manifests (missing key =
+    * fill chunk). */
+  final case class ResolvedArray(
+      name: String,
+      meta: ZArrayMeta,
+      dir: Option[String],
+      refs: Option[Map[String, ChunkRef]]) extends Serializable {
+    def chunkRef(coords: Seq[Int]): Option[ChunkRef] = refs match {
+      case Some(m) => m.get(meta.chunkKey(coords))
+      case None => Some(FileChunk(s"${dir.get}/${meta.chunkKey(coords)}"))
+    }
+  }
+
+  /** A resolved store: group attrs + arrays, independent of how the bytes
+    * are addressed. */
+  final case class ResolvedStore(attrs: JObj, arrays: Seq[ResolvedArray])
+
+  // --------------------------------------------------- directory store read
+
+  private def readUtf8(conf: Configuration, path: String): Option[String] = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  private def parseObj(s: String, what: String): JObj = JValue.parse(s) match {
+    case o: JObj => o
+    case other => throw new IllegalArgumentException(s"$what is not an object: $other")
+  }
+
+  /** Resolve a zarr DIRECTORY store. Prefers `.zmetadata` (consolidated —
+    * ONE read instead of one per array; the reference consolidates on every
+    * publish) and falls back to listing array subdirectories. */
+  def resolveDirectory(conf: Configuration, root: String): ResolvedStore = {
+    readUtf8(conf, s"$root/.zmetadata") match {
+      case Some(s) =>
+        val metaDoc = parseObj(s, ".zmetadata")
+        val entries = metaDoc.get("metadata") match {
+          case Some(o: JObj) => o
+          case other => throw new IllegalArgumentException(s".zmetadata metadata: $other")
+        }
+        val rootAttrs = entries.get(".zattrs").collect { case o: JObj => o }
+          .getOrElse(JObj(Seq.empty))
+        val arrayNames = entries.fields.collect {
+          case (k, _) if k.endsWith("/.zarray") => k.stripSuffix("/.zarray")
+        }
+        val arrays = arrayNames.map { name =>
+          val attrs = entries.get(s"$name/.zattrs").collect { case o: JObj => o }
+            .getOrElse(JObj(Seq.empty))
+          ResolvedArray(name,
+            parseZArray(entries.get(s"$name/.zarray").get, attrs),
+            Some(s"$root/$name"), refs = None)
+        }
+        ResolvedStore(rootAttrs, arrays)
+      case None =>
+        val rootAttrs = readUtf8(conf, s"$root/.zattrs")
+          .map(parseObj(_, ".zattrs")).getOrElse(JObj(Seq.empty))
+        val p = new HPath(root)
+        val fs = p.getFileSystem(conf)
+        require(fs.exists(p), s"No zarr store at $root")
+        val arrays = fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+          val name = st.getPath.getName
+          readUtf8(conf, s"$root/$name/.zarray").map { za =>
+            val attrs = readUtf8(conf, s"$root/$name/.zattrs")
+              .map(parseObj(_, s"$name/.zattrs")).getOrElse(JObj(Seq.empty))
+            ResolvedArray(name, parseZArray(JValue.parse(za), attrs),
+              Some(s"$root/$name"), refs = None)
+          }
+        }
+        require(arrays.nonEmpty, s"No zarr arrays under $root (no .zmetadata, no */.zarray)")
+        ResolvedStore(rootAttrs, arrays)
+    }
+  }
+
+  // ------------------------------------------------- kerchunk manifest read
+
+  /** Resolve a kerchunk reference manifest (`{"version":1,"refs":{...}}`,
+    * the output shape of the reference's `create_zarr_json`,
+    * transform.py:40-117): metadata documents are inline JSON strings,
+    * chunks are `[url, offset, length]`, `[url]`, or inline (optionally
+    * `base64:`-prefixed) strings. */
+  def resolveRefs(conf: Configuration, manifestPath: String): ResolvedStore = {
+    val doc = parseObj(readUtf8(conf, manifestPath).getOrElse(
+      throw new IllegalArgumentException(s"No kerchunk manifest at $manifestPath")),
+      "kerchunk manifest")
+    val refs = doc.get("refs") match {
+      case Some(o: JObj) => o
+      case _ => doc // bare refs dict (version 0 style)
+    }
+    def chunkRefOf(v: JValue): ChunkRef = v match {
+      case JStr(s) if s.startsWith("base64:") =>
+        InlineChunk(java.util.Base64.getDecoder.decode(s.stripPrefix("base64:")))
+      case JStr(s) => InlineChunk(s.getBytes(StandardCharsets.ISO_8859_1))
+      case JArr(Seq(JStr(url))) => FileChunk(url)
+      case JArr(Seq(JStr(url), JNum(off), JNum(len))) =>
+        RangeChunk(url, off.toLong, len.toLong)
+      case other => throw new IllegalArgumentException(s"Bad chunk ref: $other")
+    }
+    val rootAttrs = refs.get(".zattrs").collect {
+      case JStr(s) => parseObj(s, ".zattrs")
+    }.getOrElse(JObj(Seq.empty))
+    val arrayNames = refs.fields.collect {
+      case (k, _) if k.endsWith("/.zarray") => k.stripSuffix("/.zarray")
+    }
+    val arrays = arrayNames.map { name =>
+      val metaJson = refs.get(s"$name/.zarray") match {
+        case Some(JStr(s)) => JValue.parse(s)
+        case other => throw new IllegalArgumentException(s"$name/.zarray: $other")
+      }
+      val attrs = refs.get(s"$name/.zattrs").collect {
+        case JStr(s) => parseObj(s, s"$name/.zattrs")
+      }.getOrElse(JObj(Seq.empty))
+      val meta = parseZArray(metaJson, attrs)
+      val chunkMap = refs.fields.collect {
+        case (k, v) if k.startsWith(s"$name/") && !k.substring(name.length + 1).startsWith(".") =>
+          k.substring(name.length + 1) -> chunkRefOf(v)
+      }.toMap
+      ResolvedArray(name, meta, dir = None, refs = Some(chunkMap))
+    }
+    require(arrays.nonEmpty, s"Kerchunk manifest $manifestPath declares no arrays")
+    ResolvedStore(rootAttrs, arrays)
+  }
+
+  /** Fetch + decompress one chunk to its raw fixed-size buffer. Missing
+    * directory-store chunks return None (fill semantics). */
+  def readChunk(conf: Configuration, meta: ZArrayMeta, ref: Option[ChunkRef]): Option[Array[Byte]] = {
+    val rawLen = meta.bytesPerChunk.toInt
+    ref match {
+      case None => None
+      case Some(InlineChunk(bytes)) => Some(meta.codec.decode(bytes, rawLen))
+      case Some(FileChunk(path)) =>
+        val p = new HPath(path)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val bytes = try in.readAllBytes() finally in.close()
+          Some(meta.codec.decode(bytes, rawLen))
+        }
+      case Some(RangeChunk(path, off, len)) =>
+        val p = new HPath(path)
+        val fs = p.getFileSystem(conf)
+        val in = fs.open(p)
+        val bytes = new Array[Byte](len.toInt)
+        try in.readFully(off, bytes) finally in.close()
+        Some(meta.codec.decode(bytes, rawLen))
+    }
+  }
+}
