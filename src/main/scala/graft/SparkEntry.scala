@@ -13,7 +13,8 @@ import graft.model.{DatasetCategory, DatasetDescriptor, TimeSpan, TimeUnitKind}
 import graft.ops.{Filters, Normalize, Projection, Qc, Sampling, Stats, UpdatePlan}
 import graft.sources.Manifest
 import graft.sources.nc.NcFormat
-import graft.store.GridStore
+import graft.sources.zarr.Kerchunk
+import graft.store.{GridStore, ZarrStore}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with DuckDB oracle SQL for everything SQL-expressible.
@@ -933,6 +934,46 @@ object SparkEntry {
         .agg(sum("cnt").as("total"), count(col("cnt")).as("ndays"))
         .orderBy("slot")
     }),
+
+    // --- Zarr native-format store + kerchunk scan (S11/S12, W2-W8 on zarr) ---
+    "q80_zarr_roundtrip" -> ((s, dir) => {
+      // q43's lifecycle on the reference's NATIVE format: initial publish of
+      // a dense (day × slot) grid, then an insert+append update (+1000 over
+      // days 15-25), reopened through the chunk-pruned `zarr` DSv2 scan.
+      // timeChunk=8 forces the append to butt-join a partial tail chunk;
+      // the zarr grid is DENSE, so never-written cells surface as null.
+      val grid = eventsWithDay(s, dir)
+        .groupBy(col("d").as("time"),
+          (col("event_id") % 10).cast("double").as("slot"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val desc = DatasetDescriptor("events_grid", "n",
+        spatialDims = Seq("slot"), timeResolution = TimeSpan.Daily)
+      val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zarr_$sf"
+      GridStore.fileSystem(s, path).delete(new org.apache.hadoop.fs.Path(path), true)
+      val store = new ZarrStore(s, path, desc, timeChunk = 8,
+        spatialChunks = Some(Seq(4)))
+      store.publish(grid.filter(col("time") < ldt("2024-01-21T00:00:00")))
+      store.publish(grid
+        .filter(col("time").between(ldt("2024-01-15T00:00:00"), ldt("2024-01-25T00:00:00")))
+        .withColumn("n", col("n") + lit(1000.0)))
+      store.dataset().select("time", "slot", "n").orderBy("time", "slot")
+    }),
+
+    "q81_kerchunk_scan" -> ((s, dir) => {
+      // MultiZarrToZarr analog (S11): index the two-file NC fixture as ONE
+      // kerchunk manifest (byte ranges into the original files, no copy),
+      // then scan through the `kerchunk` DSv2 — same spine oracle as q61.
+      val (ncDir, _) = ncEventsFixture(s, dir)
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(ncDir).getFileSystem(conf)
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(ncDir)).toSeq
+        .map(_.getPath.toString).filter(_.endsWith(".nc")).sorted
+      val manifest = Kerchunk.combineNetcdf(conf, parts)
+      val mPath = s"$ncDir/combined_refs.json"
+      Kerchunk.writeManifest(conf, manifest, mPath)
+      s.read.format("kerchunk").load(mPath).orderBy("time", "slot")
+    }),
   )
 
   // -------------------------------------------------------------- oracleSql
@@ -1247,6 +1288,22 @@ object SparkEntry {
          |FROM g WHERE d <= TIMESTAMP '2024-01-25 00:00:00'
          |ORDER BY time, event_type""".stripMargin,
 
+    // Dense zarr grid: (days ≤ 25 seen in events) × (slots seen before day
+    // 21, the axis the initial publish created); never-written cells are
+    // fill → NULL. Updated region (day ≥ 15) carries +1000.
+    "q80_zarr_roundtrip" ->
+      s"""WITH g AS (SELECT $DaydSql, CAST(event_id % 10 AS DOUBLE) AS slot,
+         |             CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT d FROM g WHERE d <= TIMESTAMP '2024-01-25 00:00:00'),
+         |slots AS (SELECT DISTINCT slot FROM g WHERE d < TIMESTAMP '2024-01-21 00:00:00'),
+         |spine AS (SELECT d, slot FROM days CROSS JOIN slots)
+         |SELECT spine.d AS time, spine.slot AS slot,
+         |  CASE WHEN g.n IS NULL THEN NULL
+         |       WHEN spine.d >= TIMESTAMP '2024-01-15 00:00:00' THEN g.n + 1000
+         |       ELSE g.n END AS n
+         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+         |ORDER BY time, slot""".stripMargin,
+
     "q44_store_attrs" ->
       """SELECT strftime(min(CAST(date_trunc('day', ts) AS TIMESTAMP)), '%Y%m%d%H') AS date_range_start,
         |strftime(max(CAST(date_trunc('day', ts) AS TIMESTAMP)), '%Y%m%d%H') AS date_range_end,
@@ -1408,7 +1465,8 @@ object SparkEntry {
       s"""WITH tk AS (SELECT doc_id, doc_id % 4 AS shard,
          |  CAST(len($ToksSql) AS BIGINT) AS n_tokens FROM documents)
          |SELECT doc_id, shard, n_tokens,
-         |  (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens) // 512 AS bin
+         |  CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens) // 512
+         |    AS BIGINT) AS bin
          |FROM tk ORDER BY doc_id""".stripMargin,
 
     "q77_overlap_fraction" ->
@@ -1538,5 +1596,19 @@ object SparkEntry {
         |                        + INTERVAL 5 DAY FROM events))
         |SELECT slot, sum(cnt) AS total, count(cnt) AS ndays
         |FROM j GROUP BY slot ORDER BY slot""".stripMargin,
+
+    // the kerchunk manifest indexes the SAME two-file NC fixture q61 scans,
+    // so the combined-manifest scan shares q61's spine oracle exactly
+    "q81_kerchunk_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s))
+        |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -408,10 +408,12 @@ object NcFormat {
   /** CF-style time units: "<unit> since <epoch>" → (micros multiplier,
     * epoch micros). Public CF convention, e.g. "hours since 2024-01-01". */
   def parseTimeUnits(units: String): Option[(Long, Long)] = {
-    val m = "(?i)(second|minute|hour|day)s?\\s+since\\s+(.+)".r
+    val m = "(?i)(microsecond|millisecond|second|minute|hour|day)s?\\s+since\\s+(.+)".r
     units.trim match {
       case m(unit, epochStr) =>
         val mult = unit.toLowerCase match {
+          case "microsecond" => 1L
+          case "millisecond" => 1000L
           case "second" => 1000000L
           case "minute" => 60L * 1000000L
           case "hour" => 3600L * 1000000L

@@ -185,17 +185,23 @@ object ZarrCodec {
     val codec = flags >>> 5
     val nblocks = (nbytes + blocksize - 1) / blocksize
     val out = new Array[Byte](nbytes)
-    var outPos = 0
     var j = 0
     while (j < nblocks) {
       val bstart = le32(buf, 16 + 4 * j)
-      val bsize = math.min(blocksize, nbytes - j * blocksize)
-      // lz4/blosclz blocks split into typesize streams unless dont-split
+      val outOff = j * blocksize
+      val bsize = math.min(blocksize, nbytes - outOff)
+      // c-blosc records the compress-time split decision in the 0x10 flag
+      // and NEVER splits the leftover (short last) block — blosc.c blosc_d:
+      // nstreams = (leftoverblock || dont_split) ? 1 : typesize. The split
+      // does not depend on the shuffle flag.
+      val leftoverBlock = bsize < blocksize
       val nstreams =
-        if (dontSplit || !byteShuffle || typesize <= 1 || bsize % typesize != 0) 1
-        else typesize
+        if (dontSplit || leftoverBlock || typesize <= 1) 1 else typesize
       val neblock = bsize / nstreams
+      require(neblock * nstreams == bsize,
+        s"blosc block $j: $bsize bytes not divisible into $nstreams streams")
       var pos = bstart
+      var outPos = outOff
       var s = 0
       while (s < nstreams) {
         val csize = le32(buf, pos); pos += 4
@@ -215,21 +221,28 @@ object ZarrCodec {
         outPos += neblock
         s += 1
       }
+      // shuffle is applied PER BLOCK at compress time (c-blosc shuffles each
+      // bsize-byte block independently), so unshuffle per block too — one
+      // whole-buffer unshuffle permutes any multi-block chunk.
+      if (byteShuffle && typesize > 1) unshuffleBlock(out, outOff, bsize, typesize)
       j += 1
     }
-    if (byteShuffle && typesize > 1) unshuffle(out, typesize) else out
+    out
   }
 
-  /** Undo blosc byte-shuffle: input holds `typesize` planes of n bytes. */
-  private[zarr] def unshuffle(data: Array[Byte], typesize: Int): Array[Byte] = {
-    val n = data.length / typesize
-    val out = new Array[Byte](data.length)
+  /** Undo blosc byte-shuffle over one block in place: `[off, off+len)` holds
+    * `typesize` planes of `len/typesize` bytes; the trailing `len % typesize`
+    * bytes are stored unshuffled (c-blosc shuffle.c leftover rule). */
+  private[zarr] def unshuffleBlock(data: Array[Byte], off: Int, len: Int,
+      typesize: Int): Unit = {
+    val n = len / typesize
+    val tmp = new Array[Byte](n * typesize)
     var b = 0
     while (b < typesize) {
       var i = 0
-      while (i < n) { out(i * typesize + b) = data(b * n + i); i += 1 }
+      while (i < n) { tmp(i * typesize + b) = data(off + b * n + i); i += 1 }
       b += 1
     }
-    out
+    System.arraycopy(tmp, 0, data, off, n * typesize)
   }
 }

@@ -77,8 +77,11 @@ object ZarrMeta {
       (kind, size) match {
         case ('f', 8) => put64(buf, off, java.lang.Double.doubleToRawLongBits(v))
         case ('f', 4) => put32(buf, off, java.lang.Float.floatToRawIntBits(v.toFloat))
-        case ('i', 8) | ('u', 4) => put64(buf, off, v.toLong)
+        case ('i', 8) => put64(buf, off, v.toLong)
         case ('i', 4) => put32(buf, off, v.toInt)
+        // u4 is a 4-byte element: write 32 bits (the low word of the
+        // unsigned value), never put64 — that would stomp the next element
+        case ('u', 4) => put32(buf, off, v.toLong.toInt)
         case ('i', 2) | ('u', 2) => put16(buf, off, v.toInt)
         case ('i', 1) | ('u', 1) | ('b', 1) => buf(off) = v.toByte
         case _ => throw new IllegalArgumentException(s"Unsupported zarr dtype $render")

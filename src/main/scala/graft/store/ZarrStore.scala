@@ -277,8 +277,7 @@ final class ZarrStore(
         "_ARRAY_DIMENSIONS" -> graft.meta.JArr(Seq(JStr(timeCol))),
         "units" -> JStr(TimeUnits),
         "calendar" -> JStr("proleptic_gregorian"))))
-    ZarrIO.writeArray(conf, path, timeCol, timeMeta,
-      timeMicros.map(m => (m / 1000000L).toDouble))
+    ZarrIO.writeArray(conf, path, timeCol, timeMeta, timeMicros.map(_.toDouble))
     desc.spatialDims.zip(spatial).foreach { case (dim, vals) =>
       val m = ZArrayMeta(
         shape = Seq(vals.length), chunks = Seq(math.max(vals.length, 1)),
@@ -309,7 +308,7 @@ final class ZarrStore(
         Some(ZarrMeta.FileChunk(s"$path/$timeCol/${meta.chunkKey(Seq(c))}"))).get
       var i = 0
       while (i < chunk && c * chunk + i < n) {
-        out(c * chunk + i) = meta.dtype.decodeDouble(buf, i).toLong * 1000000L
+        out(c * chunk + i) = meta.dtype.decodeDouble(buf, i).toLong
         i += 1
       }
       c += 1
@@ -342,9 +341,13 @@ final class ZarrStore(
 }
 
 object ZarrStore {
-  /** CF time units for the store's time axis (epoch-seconds resolution —
-    * the reference's datasets are daily/hourly). */
-  val TimeUnits = "seconds since 1970-01-01T00:00:00"
+  /** CF time units for the store's time axis. MICROSECOND resolution — the
+    * update path compares the frame's epoch-micros timestamps against the
+    * persisted axis, so the axis must hold full precision or any sub-second
+    * timestamp would look like a brand-new coordinate and trip the
+    * append-monotonicity check. (Micros stay exact in an f8/i8 value until
+    * year ~2255: 2^53 µs.) */
+  val TimeUnits = "microseconds since 1970-01-01T00:00:00"
 
   def ldt2micros(t: java.time.LocalDateTime): Long =
     t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
