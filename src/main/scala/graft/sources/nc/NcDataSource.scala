@@ -51,11 +51,11 @@ class NcDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    NcTable.resolve(options, providedSchema = None).schema
+    NcTable.resolveAny(options, providedSchema = None).schema()
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    NcTable.resolve(new CaseInsensitiveStringMap(properties),
+    NcTable.resolveAny(new CaseInsensitiveStringMap(properties),
       providedSchema = Option(schema))
 }
 
@@ -132,6 +132,40 @@ object NcTable {
     StructField(v.name,
       if (v.unpack) DoubleType else sparkType(v.ncType),
       nullable = v.fillValue.isDefined)
+
+  /** Route on the files' magic: classic CDF-1/2 goes through the record
+    * reader; netCDF-4 (HDF5) goes through the kerchunk-manifest → zarr
+    * scan, exactly the reference's own architecture (`kerchunkify` runs
+    * SingleHdf5ToZarr + MultiZarrToZarr, transform.py:16, 84-155). One
+    * `format("netcdf")` covers both, like xarray's open_dataset. */
+  def resolveAny(options: CaseInsensitiveStringMap,
+      providedSchema: Option[StructType]): Table with SupportsRead = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val paths: Seq[String] = Option(options.get("paths")) match {
+      case Some(js) => "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(js)
+        .map(_.group(1)).toSeq
+      case None => Option(options.get("path")).toSeq
+    }
+    val files = if (paths.nonEmpty) listFiles(conf, paths) else Seq.empty
+    val hdf5 = files.headOption.exists { st =>
+      val in = st.getPath.getFileSystem(conf).open(st.getPath)
+      val magic = new Array[Byte](8)
+      try { in.readFully(0L, magic); graft.sources.h5.H5Format.isHdf5(magic) }
+      catch { case _: java.io.EOFException => false }
+      finally in.close()
+    }
+    if (!hdf5) resolve(options, providedSchema)
+    else {
+      val splitBytes = Option(options.get("splitBytes")).map(_.toLong)
+        .getOrElse(128L * 1024 * 1024)
+      val filePaths = files.map(_.getPath.toString)
+      val doc = graft.sources.h5.Hdf5Kerchunk.combineHdf5(conf, filePaths)
+      val label = paths.mkString(",") +
+        (if (filePaths.length > 1) s" (${filePaths.length} nc4 files)" else "")
+      graft.sources.zarr.ZarrTable.fromStore(conf, label,
+        graft.sources.zarr.ZarrMeta.resolveRefsDoc(doc), splitBytes)
+    }
+  }
 
   def resolve(options: CaseInsensitiveStringMap,
       providedSchema: Option[StructType] = None): NcTable = {

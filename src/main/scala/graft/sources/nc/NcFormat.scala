@@ -419,15 +419,22 @@ object NcFormat {
           case "hour" => 3600L * 1000000L
           case "day" => 86400L * 1000000L
         }
-        val cleaned = epochStr.trim.replace(" ", "T")
-        val epoch =
-          try {
-            val ldt =
-              if (cleaned.contains("T")) java.time.LocalDateTime.parse(cleaned)
-              else java.time.LocalDate.parse(cleaned).atStartOfDay()
-            Some(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L)
-          } catch { case _: java.time.format.DateTimeParseException => None }
-        epoch.map(e => (mult, e))
+        // real-world CF epochs are often NOT zero-padded ("days since
+        // 1980-1-1 0:0:0", CHIRPS) — parse digit groups, not ISO strings
+        val dt = ("(\\d{1,4})-(\\d{1,2})-(\\d{1,2})" +
+          "(?:[T ](\\d{1,2}):(\\d{1,2})(?::(\\d{1,2})(?:\\.\\d+)?)?)?" +
+          "(?:\\s*(?:Z|UTC|\\+0+:?0*))?").r
+        epochStr.trim match {
+          case dt(y, mo, d, h, mi, sec) =>
+            try {
+              val ldt = java.time.LocalDateTime.of(y.toInt, mo.toInt, d.toInt,
+                Option(h).map(_.toInt).getOrElse(0),
+                Option(mi).map(_.toInt).getOrElse(0),
+                Option(sec).map(_.toInt).getOrElse(0))
+              Some((mult, ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L))
+            } catch { case _: java.time.DateTimeException => None }
+          case _ => None
+        }
       case _ => None
     }
   }

@@ -85,6 +85,12 @@ object ZarrTable {
     new ZarrTable(planGrid(conf, path, store), splitBytes, conf)
   }
 
+  /** Scan table over an already-resolved store (the netCDF-4/HDF5 route —
+    * its manifest is built in memory, not read from a file). */
+  def fromStore(conf: Configuration, label: String, store: ResolvedStore,
+      splitBytes: Long): ZarrTable =
+    new ZarrTable(planGrid(conf, label, store), splitBytes, conf)
+
   /** Coordinate arrays are 1-D arrays labeled with their own name
     * (xarray's `_ARRAY_DIMENSIONS` convention); everything else is data.
     * All data arrays must share one dimension list AND one chunk grid —

@@ -126,6 +126,24 @@ object ZarrMeta {
 
   // --------------------------------------------------------------- .zarray
 
+  /** Pre-compression filter (zarr v2 `filters` list): applied in order on
+    * encode BEFORE the compressor, undone in reverse on decode. The only
+    * one the scan needs is byte-shuffle — HDF5's shuffle filter (id 2) and
+    * numcodecs `Shuffle` both reorganize the whole chunk buffer into
+    * `elementsize` byte planes. */
+  final case class ShuffleFilter(elementSize: Int) extends Serializable {
+    def json: JValue = JObj(Seq(
+      "id" -> JStr("shuffle"), "elementsize" -> JNum(elementSize)))
+    def decode(buf: Array[Byte]): Array[Byte] = {
+      if (elementSize <= 1) buf
+      else {
+        val out = buf.clone()
+        ZarrCodec.unshuffleBlock(out, 0, out.length, elementSize)
+        out
+      }
+    }
+  }
+
   /** One array's `.zarray` + `.zattrs`. `fill` is the decoded fill_value
     * (None = JSON null = no fill defined). */
   final case class ZArrayMeta(
@@ -135,7 +153,8 @@ object ZarrMeta {
       codec: ZarrCodec.Codec,
       fill: Option[Double],
       dimSeparator: String,
-      attrs: JObj) extends Serializable {
+      attrs: JObj,
+      filters: Seq[ShuffleFilter] = Seq.empty) extends Serializable {
 
     require(shape.length == chunks.length && shape.nonEmpty,
       s"shape $shape / chunks $chunks rank mismatch")
@@ -174,7 +193,7 @@ object ZarrMeta {
       "compressor" -> codec.json,
       "dtype" -> JStr(dtype.render),
       "fill_value" -> fill.map(fillJson).getOrElse(JNull),
-      "filters" -> JNull,
+      "filters" -> (if (filters.isEmpty) JNull else JArr(filters.map(_.json))),
       "order" -> JStr("C"),
       "shape" -> JArr(shape.map(s => JNum(s))),
       "zarr_format" -> JNum(2),
@@ -206,11 +225,16 @@ object ZarrMeta {
         case other => throw new IllegalArgumentException(
           s"Only C-order zarr arrays are supported, got $other")
       }
-      o.get("filters").foreach {
-        case JNull => ()
-        case JArr(Seq()) => ()
-        case other => throw new IllegalArgumentException(
-          s"zarr filters are not supported: $other")
+      val filters: Seq[ShuffleFilter] = o.get("filters") match {
+        case None | Some(JNull) | Some(JArr(Seq())) => Seq.empty
+        case Some(JArr(items)) => items.map {
+          case f: JObj if f.get("id").contains(JStr("shuffle")) =>
+            ShuffleFilter(f.get("elementsize").collect { case JNum(n) => n.toInt }
+              .getOrElse(4))
+          case other => throw new IllegalArgumentException(
+            s"zarr filter not supported: $other (only shuffle)")
+        }
+        case other => throw new IllegalArgumentException(s"zarr filters: $other")
       }
       val dtype = o.get("dtype") match {
         case Some(JStr(s)) => parseDtype(s)
@@ -230,7 +254,8 @@ object ZarrMeta {
         case _ => "."
       }
       ZArrayMeta(ints("shape"), ints("chunks"), dtype,
-        ZarrCodec.fromJson(o.get("compressor").getOrElse(JNull)), fill, sep, attrs)
+        ZarrCodec.fromJson(o.get("compressor").getOrElse(JNull)), fill, sep, attrs,
+        filters)
     case other => throw new IllegalArgumentException(s"Bad .zarray: $other")
   }
 
@@ -335,10 +360,12 @@ object ZarrMeta {
     * transform.py:40-117): metadata documents are inline JSON strings,
     * chunks are `[url, offset, length]`, `[url]`, or inline (optionally
     * `base64:`-prefixed) strings. */
-  def resolveRefs(conf: Configuration, manifestPath: String): ResolvedStore = {
-    val doc = parseObj(readUtf8(conf, manifestPath).getOrElse(
+  def resolveRefs(conf: Configuration, manifestPath: String): ResolvedStore =
+    resolveRefsDoc(parseObj(readUtf8(conf, manifestPath).getOrElse(
       throw new IllegalArgumentException(s"No kerchunk manifest at $manifestPath")),
-      "kerchunk manifest")
+      "kerchunk manifest"))
+
+  def resolveRefsDoc(doc: JObj): ResolvedStore = {
     val refs = doc.get("refs") match {
       case Some(o: JObj) => o
       case _ => doc // bare refs dict (version 0 style)
@@ -373,17 +400,21 @@ object ZarrMeta {
       }.toMap
       ResolvedArray(name, meta, dir = None, refs = Some(chunkMap))
     }
-    require(arrays.nonEmpty, s"Kerchunk manifest $manifestPath declares no arrays")
+    require(arrays.nonEmpty, "Kerchunk manifest declares no arrays")
     ResolvedStore(rootAttrs, arrays)
   }
 
-  /** Fetch + decompress one chunk to its raw fixed-size buffer. Missing
+  /** Fetch + decompress one chunk to its raw fixed-size buffer (compressor
+    * first, then filters undone in reverse — zarr v2 decode order). Missing
     * directory-store chunks return None (fill semantics). */
   def readChunk(conf: Configuration, meta: ZArrayMeta, ref: Option[ChunkRef]): Option[Array[Byte]] = {
     val rawLen = meta.bytesPerChunk.toInt
+    def decode(bytes: Array[Byte]): Array[Byte] =
+      meta.filters.reverse.foldLeft(meta.codec.decode(bytes, rawLen))(
+        (b, f) => f.decode(b))
     ref match {
       case None => None
-      case Some(InlineChunk(bytes)) => Some(meta.codec.decode(bytes, rawLen))
+      case Some(InlineChunk(bytes)) => Some(decode(bytes))
       case Some(FileChunk(path)) =>
         val p = new HPath(path)
         val fs = p.getFileSystem(conf)
@@ -391,7 +422,7 @@ object ZarrMeta {
         else {
           val in = fs.open(p)
           val bytes = try in.readAllBytes() finally in.close()
-          Some(meta.codec.decode(bytes, rawLen))
+          Some(decode(bytes))
         }
       case Some(RangeChunk(path, off, len)) =>
         val p = new HPath(path)
@@ -399,7 +430,7 @@ object ZarrMeta {
         val in = fs.open(p)
         val bytes = new Array[Byte](len.toInt)
         try in.readFully(off, bytes) finally in.close()
-        Some(meta.codec.decode(bytes, rawLen))
+        Some(decode(bytes))
     }
   }
 }
