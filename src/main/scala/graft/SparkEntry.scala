@@ -135,6 +135,51 @@ object SparkEntry {
     (ncDir, days.head)
   }
 
+  /** The same events grid as netCDF-4 (HDF5): two files split along time,
+    * per-day chunks, shuffle+deflate, CF-packed i4 with _FillValue — the
+    * reference's RECOMMENDED input format (transform.py:136-155), scanned
+    * through the HDF5 → kerchunk-manifest → zarr route. */
+  private def nc4EventsFixture(s: SparkSession, dir: String): (String, LocalDateTime) = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val dayIdx = days.zipWithIndex.toMap
+    val epoch = LocalDateTime.parse("2020-01-01T00:00")
+    val fillRaw = -2000000000.0
+    val data = Array.fill(days.length * 10)(fillRaw)
+    cells.foreach { r =>
+      val i = dayIdx(r.getAs[LocalDateTime]("d")) * 10 + r.getAs[Int]("slot")
+      data(i) = r.getAs[Long]("count") * 4.0
+    }
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ncDir = s"${System.getProperty("java.io.tmpdir")}/graft_nc4_$sf"
+    GridStore.fileSystem(s, ncDir)
+      .delete(new org.apache.hadoop.fs.Path(ncDir), true)
+    val nSplit = if (days.length >= 4) days.length / 2 else days.length
+    val parts = Seq((0, nSplit), (nSplit, days.length)).filter(p => p._2 > p._1)
+    parts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      graft.sources.h5.H5Write.writeFile(s, s"$ncDir/events_grid_$i.nc",
+        dims = Seq("time" -> (hi - lo), "slot" -> 10),
+        vars = Seq(
+          graft.sources.h5.H5Write.WriteVar("time", Seq("time"), "i4",
+            days.slice(lo, hi).map(d =>
+              java.time.temporal.ChronoUnit.DAYS.between(epoch, d).toDouble).toArray,
+            attrs = Seq("units" -> "days since 2020-01-01", "calendar" -> "standard")),
+          graft.sources.h5.H5Write.WriteVar("slot", Seq("slot"), "i4",
+            Array.tabulate(10)(_.toDouble)),
+          graft.sources.h5.H5Write.WriteVar("cnt", Seq("time", "slot"), "i4",
+            data.slice(lo * 10, hi * 10),
+            numAttrs = Seq(
+              ("scale_factor", "f8", Array(0.25)),
+              ("_FillValue", "i4", Array(fillRaw))))),
+        chunkLead = 1, compress = true)
+    }
+    (ncDir, days.head)
+  }
+
   /** GRIB fixture mirroring the NC one: one message per day holding the
     * dense (lat 0-1 × lon 0-4 = slot) grid of event counts, no-event cells
     * as 0 (GRIB without a bitmap has no missing cells). Written in the
@@ -960,6 +1005,14 @@ object SparkEntry {
       store.dataset().select("time", "slot", "n").orderBy("time", "slot")
     }),
 
+    // netCDF-4/HDF5 scan (S9's recommended-format form): two HDF5 files
+    // with per-day shuffle+deflate chunks, auto-routed by file magic and
+    // combined along time — q61's oracle, since the grid is identical.
+    "q82_nc4_scan" -> ((s, dir) => {
+      val (path, _) = nc4EventsFixture(s, dir)
+      s.read.format("netcdf").load(path).orderBy("time", "slot")
+    }),
+
     "q81_kerchunk_scan" -> ((s, dir) => {
       // MultiZarrToZarr analog (S11): index the two-file NC fixture as ONE
       // kerchunk manifest (byte ranges into the original files, no copy),
@@ -1596,6 +1649,20 @@ object SparkEntry {
         |                        + INTERVAL 5 DAY FROM events))
         |SELECT slot, sum(cnt) AS total, count(cnt) AS ndays
         |FROM j GROUP BY slot ORDER BY slot""".stripMargin,
+
+    // the netCDF-4 fixture encodes the SAME grid as q61's classic-NC one,
+    // so the HDF5 route shares q61's spine oracle exactly
+    "q82_nc4_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s))
+        |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2""".stripMargin,
 
     // the kerchunk manifest indexes the SAME two-file NC fixture q61 scans,
     // so the combined-manifest scan shares q61's spine oracle exactly

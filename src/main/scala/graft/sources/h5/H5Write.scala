@@ -1,0 +1,417 @@
+package graft.sources.h5
+
+import java.util.zip.Deflater
+
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable
+
+/** Minimal netCDF-4 (HDF5) WRITER — enough to produce spec-faithful
+  * fixtures for the HDF5 scan path (the format the reference recommends
+  * converting everything to, transform.py:136-155). Emits the classic
+  * HDF5 1.8 "old-style" layout, all checksum-free:
+  *
+  *  - superblock v0, root group as symbol table (v1 B-tree + local heap +
+  *    SNOD), v1 object headers;
+  *  - coordinate variables as DIMENSION_SCALEs (CLASS/NAME attrs),
+  *    data variables carrying DIMENSION_LIST (VL object references
+  *    through a global heap collection) — the netCDF-4 dimension model;
+  *  - contiguous layout for coordinates; chunked layout (v1 B-tree chunk
+  *    index) with optional shuffle + deflate filters for data variables;
+  *  - compact v1 attribute messages (units, scale/offset, _FillValue…).
+  */
+object H5Write {
+
+  final case class WriteVar(
+      name: String,
+      dims: Seq[String],
+      dtype: String, // "f8" | "f4" | "i4"
+      data: Array[Double],
+      attrs: Seq[(String, String)] = Seq.empty,
+      numAttrs: Seq[(String, String, Array[Double])] = Seq.empty)
+
+  // ------------------------------------------------------------ primitives
+
+  private final class Out(val b: mutable.ArrayBuffer[Byte] = mutable.ArrayBuffer.empty) {
+    def size: Int = b.length
+    def u8(v: Int): this.type = { b += v.toByte; this }
+    def u16(v: Int): this.type = { b += v.toByte += (v >> 8).toByte; this }
+    def u32(v: Long): this.type = { (0 until 4).foreach(i => b += (v >> (8 * i)).toByte); this }
+    def u64(v: Long): this.type = { (0 until 8).foreach(i => b += (v >> (8 * i)).toByte); this }
+    def raw(a: Array[Byte]): this.type = { b ++= a; this }
+    def pad(align: Int): this.type = { while (b.length % align != 0) b += 0; this }
+    def bytes: Array[Byte] = b.toArray
+  }
+
+  private val Undef = -1L
+
+  private def elemSize(dtype: String): Int = dtype match {
+    case "f8" => 8
+    case "f4" | "i4" => 4
+    case other => throw new IllegalArgumentException(s"dtype $other")
+  }
+
+  private def encodeVals(dtype: String, vals: Array[Double]): Array[Byte] = {
+    val out = new Out()
+    dtype match {
+      case "f8" => vals.foreach(v => out.u64(java.lang.Double.doubleToRawLongBits(v)))
+      case "f4" => vals.foreach(v => out.u32(java.lang.Float.floatToRawIntBits(v.toFloat) & 0xFFFFFFFFL))
+      case "i4" => vals.foreach(v => out.u32(v.toLong & 0xFFFFFFFFL))
+    }
+    out.bytes
+  }
+
+  /** Datatype message body (v1). */
+  private def datatypeMsg(dtype: String): Array[Byte] = {
+    val out = new Out()
+    dtype match {
+      case "f4" =>
+        out.u8(0x11).u8(0x20).u8(0x1f).u8(0x00).u32(4)
+        out.u16(0).u16(32).u8(23).u8(8).u8(0).u8(23).u32(127)
+      case "f8" =>
+        out.u8(0x11).u8(0x20).u8(0x3f).u8(0x00).u32(8)
+        out.u16(0).u16(64).u8(52).u8(11).u8(0).u8(52).u32(1023)
+      case "i4" =>
+        out.u8(0x10).u8(0x08).u8(0x00).u8(0x00).u32(4)
+        out.u16(0).u16(32)
+    }
+    out.bytes
+  }
+
+  private def stringType(len: Int): Array[Byte] =
+    new Out().u8(0x13).u8(0x00).u8(0x00).u8(0x00).u32(len).bytes
+
+  private val RefType: Array[Byte] =
+    new Out().u8(0x17).u8(0x00).u8(0x00).u8(0x00).u32(8).bytes
+
+  private val VlRefType: Array[Byte] = {
+    val out = new Out().u8(0x19).u8(0x00).u8(0x00).u8(0x00).u32(16)
+    out.raw(RefType).bytes
+  }
+
+  /** Dataspace message body (v1). */
+  private def dataspaceMsg(dims: Seq[Int]): Array[Byte] = {
+    val out = new Out().u8(1).u8(dims.length).u8(0).u8(0).u32(0)
+    dims.foreach(d => out.u64(d.toLong))
+    out.bytes
+  }
+
+  /** Fill message v2: fill undefined (netCDF uses the _FillValue attr). */
+  private val FillMsg: Array[Byte] = Array[Byte](2, 2, 0, 0)
+
+  /** v1 attribute message: name/datatype/dataspace 8-padded, data raw. */
+  private def attrMsg(name: String, dt: Array[Byte], ds: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val nameB = (name + "\u0000").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Out()
+    out.u8(1).u8(0).u16(nameB.length).u16(dt.length).u16(ds.length)
+    out.raw(nameB).pad(8)
+    out.raw(dt).pad(8)
+    out.raw(ds).pad(8)
+    out.raw(data)
+    out.bytes
+  }
+
+  private def strAttr(name: String, value: String): Array[Byte] = {
+    val vb = (value + "\u0000").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    attrMsg(name, stringType(vb.length), dataspaceMsg(Seq.empty), vb)
+  }
+
+  private def numAttr(name: String, dtype: String, vals: Array[Double]): Array[Byte] =
+    attrMsg(name, datatypeMsg(dtype),
+      if (vals.length == 1) dataspaceMsg(Seq.empty) else dataspaceMsg(Seq(vals.length)),
+      encodeVals(dtype, vals))
+
+  /** Messages → v1 object header bytes (prefix + pad + 8-padded messages). */
+  private def objectHeader(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+    val bodies = msgs.map { case (t, body) =>
+      val padded = new Out().raw(body).pad(8).bytes
+      (t, padded)
+    }
+    val total = bodies.map(_._2.length + 8).sum
+    val out = new Out()
+    out.u8(1).u8(0).u16(msgs.length).u32(1L).u32(total.toLong).u32(0L) // +pad to 16
+    bodies.foreach { case (t, body) =>
+      out.u16(t).u16(body.length).u8(0).u8(0).u8(0).u8(0)
+      out.raw(body)
+    }
+    out.bytes
+  }
+
+  // -------------------------------------------------------------- writeFile
+
+  /** Write one netCDF-4-classic file. Data variables are chunked along the
+    * leading dimension (`chunkLead` steps per chunk, full inner extent) and
+    * filtered with shuffle+deflate when `compress`. Coordinate variables
+    * (`dims == Seq(name)`) become contiguous DIMENSION_SCALEs. */
+  def writeFile(
+      spark: SparkSession,
+      path: String,
+      dims: Seq[(String, Int)],
+      vars: Seq[WriteVar],
+      chunkLead: Int = 1,
+      compress: Boolean = true): Unit = {
+    val dimLen = dims.toMap
+    def isCoord(v: WriteVar) = v.dims == Seq(v.name) && dimLen.contains(v.name)
+    val ordered = vars // fixture order = symbol table insert order (sorted below)
+
+    // ---- plan piece sizes first (addresses are all 8 bytes, so sizes are
+    // address-independent), then lay out, then render with real addresses.
+
+    final case class VarPlan(
+        v: WriteVar,
+        shape: Seq[Int],
+        chunks: Option[Seq[Int]], // None = contiguous
+        payloads: Seq[(Seq[Int], Array[Byte])]) // per chunk: grid coords + stored bytes
+
+    val plans = ordered.map { v =>
+      val shape = v.dims.map(d => dimLen.getOrElse(d,
+        throw new IllegalArgumentException(s"${v.name}: unknown dim $d")))
+      require(v.data.length == shape.product,
+        s"${v.name}: ${v.data.length} values for shape $shape")
+      if (isCoord(v) || shape.length == 0)
+        VarPlan(v, shape, None, Seq((Seq.empty, encodeVals(v.dtype, v.data))))
+      else {
+        val lead = math.min(math.max(chunkLead, 1), shape.head)
+        val chunkShape = lead +: shape.tail
+        val inner = shape.tail.product
+        val es = elemSize(v.dtype)
+        val nChunks = (shape.head + lead - 1) / lead
+        val payloads = (0 until nChunks).map { c =>
+          val lo = c * lead
+          val rows = math.min(lead, shape.head - lo)
+          // chunks are stored FULL size; pad the tail chunk with zeros
+          val cells = new Array[Double](lead * inner)
+          System.arraycopy(v.data, lo * inner, cells, 0, rows * inner)
+          var raw = encodeVals(v.dtype, cells)
+          if (compress) {
+            // pipeline order: shuffle, then deflate
+            raw = shuffleBytes(raw, es)
+            raw = deflate(raw)
+          }
+          (Seq(c) ++ Seq.fill(shape.length - 1)(0), raw)
+        }
+        VarPlan(v, shape, Some(chunkShape), payloads)
+      }
+    }
+
+    // ---- allocator
+    var cursor = 0L
+    def alloc(n: Int): Long = { val a = cursor; cursor += n; a }
+
+    alloc(96) // superblock v0 + root symbol table entry
+
+    // local heap: names data (offset 0 = empty string), 8-aligned
+    val heapNames = mutable.LinkedHashMap.empty[String, Long]
+    val heapData = {
+      val out = new Out().u8(0).pad(8)
+      plans.map(_.v.name).sorted.foreach { n =>
+        heapNames(n) = out.size.toLong
+        out.raw((n + "\u0000").getBytes).pad(8)
+      }
+      out.pad(8).bytes
+    }
+    val heapHdrAddr = alloc(32)
+    val heapDataAddr = alloc(heapData.length)
+    val btreeAddr = alloc(24 + 2 * 16 + 8) // 1-entry group B-tree (2 keys)
+    val snodAddr = alloc(8 + plans.length * 40)
+
+    // global heap for DIMENSION_LIST references (one object per dim scale)
+    val dimScales = plans.filter(p => isCoord(p.v)).map(_.v.name)
+    val gcolObjSize = dimScales.length * (16 + 8) + 16 // objects + terminator
+    val gcolSize = 16 + gcolObjSize
+    val gcolAddr = alloc((gcolSize + 7) / 8 * 8)
+
+    // object headers: sizes via a dry render with placeholder addresses
+    def headerMsgs(p: VarPlan, addrs: Map[String, Long], gcol: Long,
+        gIdx: Map[String, Int], btAddrs: Map[String, Long],
+        dataAddrs: Map[String, Long]): Seq[(Int, Array[Byte])] = {
+      val v = p.v
+      val es = elemSize(v.dtype)
+      val layout: Array[Byte] = p.chunks match {
+        case None =>
+          new Out().u8(3).u8(1)
+            .u64(dataAddrs.getOrElse(v.name, Undef))
+            .u64(p.payloads.head._2.length.toLong).bytes
+        case Some(cs) =>
+          val out = new Out().u8(3).u8(2).u8(cs.length + 1)
+            .u64(btAddrs.getOrElse(v.name, Undef))
+          cs.foreach(c => out.u32(c.toLong))
+          out.u32(es.toLong).bytes
+      }
+      val filters: Seq[(Int, Array[Byte])] =
+        if (p.chunks.isDefined && compress) {
+          val out = new Out().u8(1).u8(2).u16(0).u32(0L)
+          out.u16(2).u16(0).u16(0).u16(1).u32(es.toLong).u32(0L) // shuffle (+pad)
+          out.u16(1).u16(0).u16(0).u16(1).u32(6L).u32(0L) // deflate level 6 (+pad)
+          Seq((0x0B, out.bytes))
+        } else Seq.empty
+      val dimAttrs: Seq[(Int, Array[Byte])] =
+        if (isCoord(v)) Seq(
+          (0x0C, strAttr("CLASS", "DIMENSION_SCALE")),
+          (0x0C, strAttr("NAME", v.name)),
+          (0x0C, numAttr("_Netcdf4Dimid", "i4",
+            Array(dims.indexWhere(_._1 == v.name).toDouble))))
+        else Seq((0x0C, {
+          // DIMENSION_LIST: one VL element per dimension, each one object ref
+          val data = new Out()
+          v.dims.foreach { d =>
+            data.u32(1L).u64(gcol).u32((gIdx(d) + 1).toLong)
+          }
+          attrMsg("DIMENSION_LIST", VlRefType, dataspaceMsg(Seq(v.dims.length)),
+            data.bytes)
+        }))
+      val userAttrs = v.attrs.map { case (k, s) => (0x0C, strAttr(k, s)) } ++
+        v.numAttrs.map { case (k, t, vals) => (0x0C, numAttr(k, t, vals)) }
+      Seq(
+        (0x01, dataspaceMsg(p.shape)),
+        (0x03, datatypeMsg(v.dtype)),
+        (0x05, FillMsg),
+        (0x08, layout)) ++ filters ++ dimAttrs ++ userAttrs
+    }
+
+    val emptyAddrs = Map.empty[String, Long]
+    val emptyIdx = dimScales.zipWithIndex.toMap
+    val headerSizes = plans.map { p =>
+      p.v.name -> objectHeader(
+        headerMsgs(p, emptyAddrs, gcolAddr, emptyIdx, emptyAddrs, emptyAddrs)).length
+    }.toMap
+    val headerAddrs = plans.map(p => p.v.name -> alloc(headerSizes(p.v.name))).toMap
+
+    // chunk B-trees + data blobs
+    val btAddrs = plans.collect {
+      case p if p.chunks.isDefined =>
+        val nd = p.shape.length
+        val keySize = 8 + (nd + 1) * 8
+        p.v.name -> alloc(24 + p.payloads.length * (keySize + 8) + keySize)
+    }.toMap
+    val chunkAddrs: Map[String, Seq[Long]] = plans.map { p =>
+      p.v.name -> p.payloads.map { case (_, bytes) => alloc(bytes.length) }
+    }.toMap
+    val dataAddrs = plans.collect {
+      case p if p.chunks.isEmpty => p.v.name -> chunkAddrs(p.v.name).head
+    }.toMap
+
+    val rootHeaderMsgs = Seq((0x11, new Out().u64(btreeAddr).u64(heapHdrAddr).bytes))
+    val rootAddr = alloc(objectHeader(rootHeaderMsgs).length)
+    val eof = cursor
+
+    // ---- render
+    val file = new Array[Byte](eof.toInt)
+    def put(addr: Long, bytes: Array[Byte]): Unit =
+      System.arraycopy(bytes, 0, file, addr.toInt, bytes.length)
+
+    // superblock v0
+    val sb = new Out()
+    sb.raw(H5Format.Signature)
+    sb.u8(0).u8(0).u8(0).u8(0).u8(0).u8(8).u8(8).u8(0)
+    sb.u16(4).u16(16).u32(0L)
+    sb.u64(0L).u64(Undef).u64(eof).u64(Undef)
+    sb.u64(0L).u64(rootAddr) // root symbol-table entry: name off + header addr
+    sb.u32(0L).u32(0L) // cache type + reserved
+    sb.u64(0L).u64(0L) // scratch
+    put(0, sb.bytes)
+
+    // local heap
+    val heap = new Out()
+    heap.raw("HEAP".getBytes).u8(0).u8(0).u8(0).u8(0)
+    heap.u64(heapData.length.toLong).u64(heapData.length.toLong).u64(heapDataAddr)
+    put(heapHdrAddr, heap.bytes)
+    put(heapDataAddr, heapData)
+
+    // group B-tree (single leaf pointing at the SNOD)
+    val bt = new Out()
+    bt.raw("TREE".getBytes).u8(0).u8(0).u16(1)
+    bt.u64(Undef).u64(Undef)
+    bt.u64(0L) // key 0: empty-string heap offset
+    bt.u64(snodAddr)
+    bt.u64(heapNames(plans.map(_.v.name).max)) // key 1: greatest name
+    put(btreeAddr, bt.bytes)
+
+    // SNOD, sorted by name
+    val snod = new Out()
+    snod.raw("SNOD".getBytes).u8(1).u8(0).u16(plans.length)
+    plans.map(_.v.name).sorted.foreach { n =>
+      snod.u64(heapNames(n)).u64(headerAddrs(n))
+      snod.u32(0L).u32(0L)
+      (0 until 16).foreach(_ => snod.u8(0))
+    }
+    put(snodAddr, snod.bytes)
+
+    // global heap: object i+1 = 8-byte header address of dim scale i
+    val gcol = new Out()
+    gcol.raw("GCOL".getBytes).u8(1).u8(0).u8(0).u8(0)
+    gcol.u64(((gcolSize + 7) / 8 * 8).toLong)
+    dimScales.zipWithIndex.foreach { case (d, i) =>
+      gcol.u16(i + 1).u16(1).u32(0L).u64(8L).u64(headerAddrs(d))
+    }
+    gcol.u16(0).u16(0).u32(0L).u64(0L) // terminator
+    put(gcolAddr, gcol.bytes)
+
+    // variable object headers
+    plans.foreach { p =>
+      put(headerAddrs(p.v.name), objectHeader(
+        headerMsgs(p, headerAddrs, gcolAddr, emptyIdx, btAddrs, dataAddrs)))
+    }
+
+    // chunk B-trees + payloads
+    plans.foreach { p =>
+      p.chunks.foreach { cs =>
+        val nd = p.shape.length
+        val node = new Out()
+        node.raw("TREE".getBytes).u8(1).u8(0).u16(p.payloads.length)
+        node.u64(Undef).u64(Undef)
+        p.payloads.zipWithIndex.foreach { case ((coords, bytes), i) =>
+          node.u32(bytes.length.toLong).u32(0L)
+          coords.zip(cs).foreach { case (c, cdim) => node.u64(c.toLong * cdim) }
+          node.u64(0L) // trailing element offset
+          node.u64(chunkAddrs(p.v.name)(i))
+        }
+        // final key: one past the end
+        node.u32(0L).u32(0L)
+        node.u64(p.shape.head.toLong)
+        (1 until nd).foreach(_ => node.u64(0L))
+        node.u64(0L)
+        put(btAddrs(p.v.name), node.bytes)
+      }
+      p.payloads.zipWithIndex.foreach { case ((_, bytes), i) =>
+        put(chunkAddrs(p.v.name)(i), bytes)
+      }
+    }
+
+    // root group header
+    put(rootAddr, objectHeader(rootHeaderMsgs))
+
+    // ---- flush
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(hp, true)
+    try out.write(file) finally out.close()
+  }
+
+  private def shuffleBytes(data: Array[Byte], es: Int): Array[Byte] = {
+    if (es <= 1) return data
+    val n = data.length / es
+    val out = new Array[Byte](data.length)
+    var b = 0
+    while (b < es) {
+      var i = 0
+      while (i < n) { out(b * n + i) = data(i * es + b); i += 1 }
+      b += 1
+    }
+    // trailing data.length % es bytes stay in place
+    var t = n * es
+    while (t < data.length) { out(t) = data(t); t += 1 }
+    out
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(6)
+    d.setInput(raw); d.finish()
+    val bos = new java.io.ByteArrayOutputStream(math.max(64, raw.length / 4))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    bos.toByteArray
+  }
+}

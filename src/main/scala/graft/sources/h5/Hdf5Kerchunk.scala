@@ -27,10 +27,14 @@ object Hdf5Kerchunk {
   private def pread(conf: Configuration, path: String): (PRead, () => Unit) = {
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(p).getLen
     val in = fs.open(p)
+    // the parser reads fixed-size windows (e.g. a 4 KB B-tree node slot)
+    // that may extend past EOF on small files — clamp and zero-fill
     val f: PRead = (off, len) => {
       val buf = new Array[Byte](len)
-      in.readFully(off, buf)
+      val avail = math.max(0L, math.min(len.toLong, fileLen - off)).toInt
+      if (avail > 0) in.readFully(off, buf, 0, avail)
       buf
     }
     (f, () => in.close())
