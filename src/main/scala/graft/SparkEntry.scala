@@ -185,7 +185,8 @@ object SparkEntry {
     * as 0 (GRIB without a bitmap has no missing cells). Written in the
     * requested edition — q66 scans edition 1, q79 edition 2. */
   private def gribEventsFixture(s: SparkSession, dir: String,
-      edition: Int = 1): String = {
+      edition: Int = 1, holes: Boolean = false,
+      complexPacking: Boolean = false): String = {
     val cells = eventsWithDay(s, dir)
       .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
       .count().collect()
@@ -194,14 +195,17 @@ object SparkEntry {
     val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
     val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
     val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = (if (holes) "_bm" else "") + (if (complexPacking) "_cx" else "")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/" +
-      (if (edition == 1) "events.grb" else "events.grb2")
+      (if (edition == 1) s"events$tag.grb" else s"events$tag.grb2")
     val messages = days.toSeq.map { d =>
-      val vals = new Array[Double](10)
+      // holes: no-event cells become bitmap-masked NaN instead of 0
+      val vals = Array.fill(10)(if (holes) Double.NaN else 0.0)
       byDay(d).foreach(r => vals(r.getAs[Int]("slot")) = r.getAs[Long]("count").toDouble)
       (61, d, Seq(0.0, 1.0), Seq(0.0, 1.0, 2.0, 3.0, 4.0), vals)
     }
-    graft.sources.grib.GribFormat.writeFile(s, path, messages, edition = edition)
+    graft.sources.grib.GribFormat.writeFile(s, path, messages, edition = edition,
+      complexPacking = complexPacking)
     path
   }
 
@@ -936,6 +940,19 @@ object SparkEntry {
         .orderBy("time", "slot")
     }),
 
+    // GRIB with a BITMAP (section 6) + complex packing (template 5.2):
+    // no-event cells are bitmap holes that must surface as NULL — the
+    // shape real archives use (the reference's rtma_pcp.grib input is
+    // bitmap + 5.2).
+    "q83_grib_bitmap_scan" -> ((s, dir) => {
+      val path = gribEventsFixture(s, dir, edition = 2, holes = true,
+        complexPacking = true)
+      s.read.format("grib1").load(path)
+        .withColumn("slot", (col("latitude") * 5 + col("longitude")).cast("int"))
+        .select(col("time"), col("slot"), col("value").as("cnt"))
+        .orderBy("time", "slot")
+    }),
+
     // --- parameterized CF grid mappings (C6/W15 beyond 4326/3857) ---
     "q63_lcc_roundtrip" -> ((s, dir) => {
       // HRRR-style Lambert conformal conic over CONUS-ish points
@@ -1615,6 +1632,20 @@ object SparkEntry {
     "q66_grib_scan" -> GribScanOracle,
     // edition-2 fixture decodes to the identical grid
     "q79_grib2_scan" -> GribScanOracle,
+
+    // bitmap fixture: no-event cells are NULL (holes), not 0 — q61's
+    // spine-with-nulls shape
+    "q83_grib_bitmap_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s))
+        |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2""".stripMargin,
 
     "q63_lcc_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_bad",
     "q64_polar_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_bad",

@@ -70,6 +70,26 @@ object Projection {
     val f: Double = math.cos(p1) * math.pow(math.tan(math.Pi / 4 + p1 / 2), n) / n
     val rho0: Double =
       radius * f / math.pow(math.tan(math.Pi / 4 + math.toRadians(lat0) / 2), n)
+
+    /** Scalar forward (same formula as the Column path) — used by readers
+      * that walk projected grids cell-by-cell (GRIB template 3.30). */
+    def forwardXY(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val rho = radius * f /
+        math.pow(math.tan(math.Pi / 4 + math.toRadians(latDeg) / 2), n)
+      val theta = math.toRadians(lonDeg - lon0) * n
+      (rho0 - rho * math.cos(theta), rho * math.sin(theta)) // (y, x)
+    }
+
+    /** Scalar inverse → (lat, lon) degrees. */
+    def inverseXY(y: Double, x: Double): (Double, Double) = {
+      val dy = rho0 - y
+      val s = math.signum(n)
+      val rho = math.sqrt(x * x + dy * dy) * s
+      val theta = math.atan2(x * s, dy * s)
+      val lat = math.toDegrees(
+        2.0 * math.atan(math.pow(radius * f / rho, 1.0 / n)) - math.Pi / 2)
+      (lat, lon0 + math.toDegrees(theta) / n)
+    }
   }
 
   /** `polar_stereographic`: `northPole` aspect flag, straight vertical

@@ -63,7 +63,8 @@ object GribTable {
     StructField("latitude", DoubleType, nullable = false),
     StructField("longitude", DoubleType, nullable = false),
     StructField("param", IntegerType, nullable = false),
-    StructField("value", DoubleType, nullable = false)))
+    // nullable: bitmap-masked cells surface as null
+    StructField("value", DoubleType, nullable = true)))
 
   private val messageCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Seq[GribMessage]]()
@@ -125,7 +126,9 @@ final class GribScanBuilder(table: GribTable) extends ScanBuilder
   /** time/param predicates prune whole messages EXACTLY (all cells of a
     * message share them) → fully handled; lat/lon stay residual. */
   private def handled(f: Filter): Boolean = f match {
-    case sources.IsNotNull(a) => GribTable.Schema.fieldNames.contains(a)
+    // `value` CAN be null (bitmap holes) — its IsNotNull must stay residual
+    case sources.IsNotNull(a) => a != "value" &&
+      GribTable.Schema.fieldNames.contains(a)
     case sources.EqualTo("param", _: Integer) => true
     case sources.EqualTo("time", v) => NcScan.toKey(v).isDefined
     case sources.GreaterThan("time", v) => NcScan.toKey(v).isDefined
@@ -215,17 +218,24 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val m = part.message
-  private val slab: Array[Byte] = {
+  private val (slab, bitmapSlab): (Array[Byte], Array[Byte]) = {
     val p = new HPath(part.path)
     val in = p.getFileSystem(conf).open(p)
     try {
       val b = new Array[Byte](m.dataBytes)
       in.readFully(m.dataOffset, b)
-      b
+      val bm = if (!m.hasBitmap) null else {
+        val a = new Array[Byte](m.bitmapBytes)
+        in.readFully(m.bitmapOffset, a)
+        a
+      }
+      (b, bm)
     } finally in.close()
   }
-  private val lats = m.lats
-  private val lons = m.lons
+  private val cellValue: Int => Double = m.decoder(slab, bitmapSlab)
+  private val regular = m.lcc.isEmpty
+  private val lats = if (regular) m.lats else null
+  private val lons = if (regular) m.lons else null
   private val timeMicros: Long =
     m.refTime.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
       m.refTime.getNano / 1000
@@ -250,10 +260,12 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
     while (c < colCodes.length) {
       row(c) = colCodes(c) match {
         case TimeC => timeMicros
-        case LatC => lats(k / m.ni)
-        case LonC => lons(k % m.ni)
+        case LatC => if (regular) lats(k / m.ni) else m.latLonAt(k)._1
+        case LonC => if (regular) lons(k % m.ni) else m.latLonAt(k)._2
         case ParamC => m.paramId
-        case ValueC => m.decode(slab, k)
+        case ValueC =>
+          val v = cellValue(k)
+          if (v.isNaN) null else v
       }
       c += 1
     }

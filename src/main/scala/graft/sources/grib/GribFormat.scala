@@ -92,6 +92,27 @@ object GribFormat {
 
   // --------------------------------------------------------------- model
 
+  /** Lambert-conformal grid (edition-2 template 3.30): first point +
+    * orientation + standard parallels + metre spacing. Cell lat/lon come
+    * from the shared scalar LCC inverse (ops/Projection.scala). */
+  final case class LccGrid(
+      la1: Double, lo1: Double, lov: Double, latin1: Double, latin2: Double,
+      latD: Double, dxM: Double, dyM: Double, radius: Double) extends Serializable {
+    @transient lazy val mapping: graft.ops.Projection.LambertConformalConic =
+      graft.ops.Projection.LambertConformalConic(
+        lat0 = latD, lon0 = lov, lat1 = latin1, lat2 = latin2, radius = radius)
+    /** Projected (y, x) of the first grid point. lo1 and lov share the
+      * GRIB 0..360 convention, so Δλ is consistent as-is. */
+    @transient lazy val origin: (Double, Double) = mapping.forwardXY(la1, lo1)
+  }
+
+  /** Edition-2 template 5.2 (complex packing) group parameters. */
+  final case class ComplexParams(
+      ng: Int,
+      widthRef: Int, widthBits: Int,
+      lengthRef: Long, lengthInc: Int, lastLength: Long, lengthBits: Int)
+      extends Serializable
+
   /** One parsed message's planning state: grid + packing + the absolute
     * byte offset of the packed data (reading is a positioned slab read). */
   final case class GribMessage(
@@ -105,31 +126,134 @@ object GribFormat {
       bitsPerValue: Int,
       dataOffset: Long,
       dataBytes: Int,
-      totalLength: Int) {
+      totalLength: Int,
+      bitmapOffset: Long = -1L,
+      bitmapBytes: Int = 0,
+      complex: Option[ComplexParams] = None,
+      lcc: Option[LccGrid] = None) {
     def lats: Array[Double] =
       Array.tabulate(nj)(j => la1 + (if (nj == 1) 0.0 else (la2 - la1) * j / (nj - 1)))
     def lons: Array[Double] =
       Array.tabulate(ni)(i => lo1 + (if (ni == 1) 0.0 else (lo2 - lo1) * i / (ni - 1)))
     def nValues: Int = ni * nj
-    /** Decode cell k (row-major: lat rows, lon fastest) from the packed
-      * slab bytes. */
-    def decode(slab: Array[Byte], k: Int): Double = {
-      if (bitsPerValue == 0) return refValue / math.pow(10.0, decimalScale)
+    def hasBitmap: Boolean = bitmapOffset >= 0
+
+    /** Cell k's latitude/longitude. Regular grids read the axis arrays;
+      * LCC grids invert the projection at (x0 + i·dx, y0 + j·dy). */
+    def latLonAt(k: Int): (Double, Double) = lcc match {
+      case None => (lats(k / ni), lons(k % ni))
+      case Some(g) =>
+        val (y0, x0) = g.origin
+        val (lat, lon) = g.mapping.inverseXY(y0 + (k / ni) * g.dyM,
+          x0 + (k % ni) * g.dxM)
+        (lat, if (lon < 0) lon + 360 else lon) // GRIB convention 0..360
+    }
+
+    private def unscale(x: Double): Double =
+      (refValue + x * math.pow(2.0, binaryScale)) / math.pow(10.0, decimalScale)
+
+    /** MSB-first bit extraction. */
+    private def extract(slab: Array[Byte], startBit: Long, nbits: Int): Long = {
+      if (nbits == 0) return 0L
       var acc = 0L
-      var bit = k.toLong * bitsPerValue
+      var bit = startBit
       var got = 0
-      while (got < bitsPerValue) {
+      while (got < nbits) {
         val byteIdx = (bit / 8).toInt
         val bitInByte = (bit % 8).toInt
-        val take = math.min(8 - bitInByte, bitsPerValue - got)
+        val take = math.min(8 - bitInByte, nbits - got)
         val chunk = ((slab(byteIdx) & 0xFF) >>> (8 - bitInByte - take)) &
           ((1 << take) - 1)
         acc = (acc << take) | chunk
         got += take
         bit += take
       }
-      (refValue + acc.toDouble * math.pow(2.0, binaryScale)) /
-        math.pow(10.0, decimalScale)
+      acc
+    }
+
+    /** Build a cell decoder over the data (and bitmap) slabs. Returns NaN
+      * for bitmap-masked cells — the scan surfaces them as null. */
+    def decoder(slab: Array[Byte], bitmapSlab: Array[Byte]): Int => Double = {
+      // bitmap rank: prefix popcounts per 64-bit word → rank(k) in O(1)
+      val (present, rank): (Int => Boolean, Int => Int) =
+        if (!hasBitmap) ((_: Int) => true, (k: Int) => k)
+        else {
+          val words = (nValues + 63) / 64
+          val bm = new Array[Long](words)
+          var k = 0
+          while (k < nValues) {
+            if (((bitmapSlab(k / 8) >> (7 - k % 8)) & 1) != 0)
+              bm(k / 64) |= 1L << (k % 64)
+            k += 1
+          }
+          val prefix = new Array[Int](words + 1)
+          var w = 0
+          while (w < words) {
+            prefix(w + 1) = prefix(w) + java.lang.Long.bitCount(bm(w))
+            w += 1
+          }
+          ((k: Int) => ((bm(k / 64) >> (k % 64)) & 1L) != 0,
+            (k: Int) => prefix(k / 64) +
+              java.lang.Long.bitCount(bm(k / 64) & ((1L << (k % 64)) - 1)))
+        }
+      complex match {
+        case None =>
+          (k: Int) =>
+            if (!present(k)) Double.NaN
+            else if (bitsPerValue == 0) unscale(0.0)
+            else unscale(extract(slab, rank(k).toLong * bitsPerValue,
+              bitsPerValue).toDouble)
+        case Some(cp) =>
+          // template 7.2: byte-aligned streams of group refs, widths,
+          // lengths, then the per-group packed values (layout verified
+          // against NCEP g2clib output, rtma_pcp.grib)
+          val vals = new Array[Double](if (hasBitmap) rank(nValues - 1) +
+            (if (present(nValues - 1)) 1 else 0) else nValues)
+          var bit = 0L
+          val refs = new Array[Long](cp.ng)
+          var g = 0
+          while (g < cp.ng) { refs(g) = extract(slab, bit, bitsPerValue); bit += bitsPerValue; g += 1 }
+          bit = (bit + 7) / 8 * 8
+          val widths = new Array[Int](cp.ng)
+          g = 0
+          while (g < cp.ng) {
+            widths(g) = cp.widthRef + extract(slab, bit, cp.widthBits).toInt
+            bit += cp.widthBits; g += 1
+          }
+          bit = (bit + 7) / 8 * 8
+          val lengths = new Array[Int](cp.ng)
+          g = 0
+          while (g < cp.ng) {
+            lengths(g) = (cp.lengthRef + extract(slab, bit, cp.lengthBits) *
+              cp.lengthInc).toInt
+            bit += cp.lengthBits; g += 1
+          }
+          if (cp.ng > 0) lengths(cp.ng - 1) = cp.lastLength.toInt
+          bit = (bit + 7) / 8 * 8
+          var out = 0
+          g = 0
+          while (g < cp.ng) {
+            var i = 0
+            while (i < lengths(g)) {
+              vals(out) = unscale((refs(g) + extract(slab, bit, widths(g))).toDouble)
+              bit += widths(g)
+              out += 1
+              i += 1
+            }
+            g += 1
+          }
+          require(out == vals.length,
+            s"complex packing decoded $out of ${vals.length} present values")
+          (k: Int) => if (!present(k)) Double.NaN else vals(rank(k))
+      }
+    }
+
+    /** Decode cell k (row-major: lat rows, lon fastest) from the packed
+      * slab bytes — simple packing without bitmap (the original fast
+      * path; the DSv2 reader uses [[decoder]] for the general case). */
+    def decode(slab: Array[Byte], k: Int): Double = {
+      if (bitsPerValue == 0) return unscale(0.0)
+      unscale(extract(slab, k.toLong * bitsPerValue, bitsPerValue).toDouble)
     }
   }
 
@@ -137,21 +261,108 @@ object GribFormat {
 
   /** Scale values by 10^decimalScale and derive the packing width —
     * shared by both editions' writers so the simple-packing encoder can
-    * never diverge between them. Returns (scaled, min, bitsPerValue). */
+    * never diverge between them. NaN cells become bitmap holes: returns
+    * (present scaled values, min, bitsPerValue, bitmap bytes or None). */
   private def packPlan(values: Array[Double],
-      decimalScale: Int): (Array[Long], Long, Int) = {
-    // neither edition's subset carries a bitmap, so NaN has no
-    // representation: math.round(NaN) == 0 would silently write zeros
-    require(!values.exists(_.isNaN), "NaN values need a bitmap (unsupported)")
+      decimalScale: Int): (Array[Long], Long, Int, Option[Array[Byte]]) = {
+    val hasNaN = values.exists(_.isNaN)
+    val present = if (hasNaN) values.filterNot(_.isNaN) else values
+    require(present.nonEmpty, "all-missing GRIB field unsupported")
     val d = math.pow(10.0, decimalScale)
-    val scaled = values.map(v => math.round(v * d))
+    val scaled = present.map(v => math.round(v * d))
     val minV = scaled.min
     val range = scaled.max - minV
     val bits = if (range == 0) 0
       else math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(range))
     require(bits <= 24,
       s"range $range needs $bits bits (>24); raise decimalScale granularity")
-    (scaled, minV, bits)
+    val bitmap = if (!hasNaN) None else Some {
+      val bm = new Array[Byte]((values.length + 7) / 8)
+      var k = 0
+      while (k < values.length) {
+        if (!values(k).isNaN) bm(k / 8) = (bm(k / 8) | (1 << (7 - k % 8))).toByte
+        k += 1
+      }
+      bm
+    }
+    (scaled, minV, bits, bitmap)
+  }
+
+  /** MSB-first bit stream with byte alignment — the template 7.2 stream
+    * encoder. */
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var acc = 0L
+    private var nAcc = 0
+    def put(v: Long, bits: Int): Unit = {
+      if (bits == 0) return
+      acc = (acc << bits) | (v & ((1L << bits) - 1))
+      nAcc += bits
+      while (nAcc >= 8) {
+        buf += ((acc >> (nAcc - 8)) & 0xFF).toByte
+        nAcc -= 8
+      }
+    }
+    def align(): Unit = if (nAcc > 0) {
+      buf += ((acc << (8 - nAcc)) & 0xFF).toByte
+      nAcc = 0
+    }
+    def bytes: Array[Byte] = { align(); buf.toArray }
+  }
+
+  private def bitsFor(x: Long): Int =
+    if (x <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x)
+
+  /** Template 5.2/7.2 encoding of the present values: fixed 32-cell groups,
+    * per-group reference + width, byte-aligned ref/width/length streams.
+    * Returns (section-5 template body from octet 20 on, section-7 bytes,
+    * bitsForRefs). */
+  private def complexPack(scaled: Array[Long], minV: Long):
+      (ComplexParams, Array[Byte], Int) = {
+    val G = 32
+    val nGroups = (scaled.length + G - 1) / G
+    val refs = new Array[Long](nGroups)
+    val widths = new Array[Int](nGroups)
+    val lengths = new Array[Int](nGroups)
+    var g = 0
+    while (g < nGroups) {
+      val lo = g * G
+      val hi = math.min(lo + G, scaled.length)
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      var i = lo
+      while (i < hi) {
+        if (scaled(i) < mn) mn = scaled(i)
+        if (scaled(i) > mx) mx = scaled(i)
+        i += 1
+      }
+      refs(g) = mn - minV
+      widths(g) = bitsFor(mx - mn)
+      lengths(g) = hi - lo
+      g += 1
+    }
+    val refBits = bitsFor(refs.max)
+    val widthRef = widths.min
+    val widthBits = bitsFor((widths.max - widthRef).toLong)
+    val lengthRef = lengths.min.toLong
+    val lengthBits = bitsFor((lengths.max - lengthRef).toLong)
+    val cp = ComplexParams(nGroups, widthRef, widthBits,
+      lengthRef, 1, lengths.last.toLong, lengthBits)
+    val w = new BitWriter
+    refs.foreach(r => w.put(r, refBits)); w.align()
+    widths.foreach(x => w.put((x - widthRef).toLong, widthBits)); w.align()
+    lengths.foreach(l => w.put(l - lengthRef, lengthBits)); w.align()
+    g = 0
+    while (g < nGroups) {
+      val lo = g * G
+      val hi = math.min(lo + G, scaled.length)
+      var i = lo
+      while (i < hi) {
+        w.put(scaled(i) - minV - refs(g), widths(g))
+        i += 1
+      }
+      g += 1
+    }
+    (cp, w.bytes, refBits)
   }
 
   /** MSB-first bit-packing of (scaled − min) offsets — the shared data
@@ -187,7 +398,7 @@ object GribFormat {
     val nj = lats.length; val ni = lons.length
     require(values.length == ni * nj, s"${values.length} values for $ni x $nj grid")
     require(ni <= 65535 && nj <= 65535, s"grid $ni x $nj exceeds GDS u16 dims")
-    val (scaled, minV, bits) = packPlan(values, decimalScale)
+    val (scaled, minV, bits, bitmap) = packPlan(values, decimalScale)
     val refValue = minV.toDouble // stored as IBM float, exact for ints < 2^24
     val dataBits = scaled.length.toLong * bits
     val dataByteLen = ((dataBits + 7) / 8).toInt
@@ -195,7 +406,9 @@ object GribFormat {
     val bdsLen = bdsLen0 + (bdsLen0 % 2) // BDS length must be even
     val pdsLen = 28
     val gdsLen = 32
-    val total = 8 + pdsLen + gdsLen + bdsLen + 4
+    val bmsLen0 = bitmap.map(6 + _.length).getOrElse(0)
+    val bmsLen = bmsLen0 + (bmsLen0 % 2) // BMS length must be even too
+    val total = 8 + pdsLen + gdsLen + bmsLen + bdsLen + 4
     require(total <= 0xFFFFFF,
       s"message of $total bytes exceeds the 24-bit GRIB1 length; split the grid")
 
@@ -210,7 +423,7 @@ object GribFormat {
     out.writeByte(255) // center
     out.writeByte(255) // process
     out.writeByte(255) // grid id
-    out.writeByte(0x80) // flags: GDS present, no BMS
+    out.writeByte(0x80 | (if (bitmap.isDefined) 0x40 else 0x00)) // GDS present, BMS if holes
     out.writeByte(paramId)
     out.writeByte(1); writeSm(out, 0, 2) // level type surface, level 0
     val century = (refTime.getYear - 1) / 100 + 1
@@ -241,6 +454,16 @@ object GribFormat {
     out.writeShort(di); out.writeShort(dj)
     out.writeByte(if (lats.last >= lats.head) 0x40 else 0x00) // scanning mode: +j if increasing
     out.writeByte(0); out.writeByte(0); out.writeByte(0); out.writeByte(0) // reserved
+    // BMS (only when the field has holes)
+    bitmap.foreach { bm =>
+      out.writeByte((bmsLen >> 16) & 0xFF); out.writeByte((bmsLen >> 8) & 0xFF)
+      out.writeByte(bmsLen & 0xFF)
+      val unused = (bmsLen - 6) * 8 - values.length
+      out.writeByte(unused & 0xFF)
+      out.writeShort(0) // table reference: bitmap follows
+      out.write(bm)
+      if (bmsLen != bmsLen0) out.writeByte(0)
+    }
     // BDS (length is a full u24 — big grids exceed 65535 bytes)
     out.writeByte((bdsLen >> 16) & 0xFF); out.writeByte((bdsLen >> 8) & 0xFF)
     out.writeByte(bdsLen & 0xFF)
@@ -268,19 +491,27 @@ object GribFormat {
       lats: Seq[Double], lons: Seq[Double],
       values: Array[Double],
       decimalScale: Int = 0,
-      leadHours: Int = 0): Unit = {
+      leadHours: Int = 0,
+      complexPacking: Boolean = false): Unit = {
     require(leadHours >= 0, s"negative lead $leadHours")
     require(paramId >= 0 && paramId <= 0xFFFF, s"paramId $paramId not (cat<<8)|num")
     val nj = lats.length; val ni = lons.length
     require(values.length == ni * nj, s"${values.length} values for $ni x $nj grid")
-    val (scaled, minV, bits) = packPlan(values, decimalScale)
+    val (scaled, minV, bits, bitmap) = packPlan(values, decimalScale)
     // the reference value travels as IEEE float32 — exact for ints < 2^24
     val refValue = minV.toFloat
     require(refValue.toLong == minV, s"reference $minV not exact in float32")
+    val complexParts: Option[(ComplexParams, Array[Byte], Int)] =
+      if (complexPacking) Some(complexPack(scaled, minV)) else None
     val dataBits = scaled.length.toLong * bits
-    val dataByteLen = ((dataBits + 7) / 8).toInt
+    val dataByteLen = complexParts match {
+      case Some((_, bytes, _)) => bytes.length
+      case None => ((dataBits + 7) / 8).toInt
+    }
+    val sec5Len = if (complexPacking) 47 else 21
+    val sec6Len = 6 + bitmap.map(_.length).getOrElse(0)
     val sec7Len = 5 + dataByteLen
-    val total = 16L + 21 + 72 + 34 + 21 + 6 + sec7Len + 4
+    val total = 16L + 21 + 72 + 34 + sec5Len + sec6Len + sec7Len + 4
 
     // Section 0 — indicator
     out.writeBytes("GRIB")
@@ -330,20 +561,48 @@ object GribFormat {
     out.writeInt(leadHours) // forecast time
     out.writeByte(1); out.writeByte(0); out.writeInt(0) // surface 1: ground
     out.writeByte(255); out.writeByte(255); out.writeInt(-1) // surface 2: none
-    // Section 5 — data representation, template 5.0 (simple packing)
-    out.writeInt(21); out.writeByte(5)
-    out.writeInt(ni * nj)
-    out.writeShort(0) // template 5.0
-    out.writeInt(java.lang.Float.floatToIntBits(refValue))
-    writeSm(out, 0, 2) // binary scale E = 0
-    writeSm(out, decimalScale, 2)
-    out.writeByte(bits)
-    out.writeByte(0) // field type: floating point
-    // Section 6 — bitmap: none
-    out.writeInt(6); out.writeByte(6); out.writeByte(255)
+    // Section 5 — data representation (template 5.0 simple / 5.2 complex);
+    // ndata = number of points carried in section 7 (present cells only)
+    out.writeInt(sec5Len); out.writeByte(5)
+    out.writeInt(scaled.length)
+    complexParts match {
+      case None =>
+        out.writeShort(0) // template 5.0
+        out.writeInt(java.lang.Float.floatToIntBits(refValue))
+        writeSm(out, 0, 2) // binary scale E = 0
+        writeSm(out, decimalScale, 2)
+        out.writeByte(bits)
+        out.writeByte(0) // field type: floating point
+      case Some((cp, _, refBits)) =>
+        out.writeShort(2) // template 5.2
+        out.writeInt(java.lang.Float.floatToIntBits(refValue))
+        writeSm(out, 0, 2) // binary scale E = 0
+        writeSm(out, decimalScale, 2)
+        out.writeByte(refBits) // bits per group reference
+        out.writeByte(0) // field type: floating point
+        out.writeByte(1) // group splitting: general
+        out.writeByte(0) // missing-value management: none (bitmap carries holes)
+        out.writeInt(0); out.writeInt(0) // primary/secondary missing substitutes
+        out.writeInt(cp.ng)
+        out.writeByte(cp.widthRef)
+        out.writeByte(cp.widthBits)
+        out.writeInt(cp.lengthRef.toInt)
+        out.writeByte(cp.lengthInc)
+        out.writeInt(cp.lastLength.toInt)
+        out.writeByte(cp.lengthBits)
+    }
+    // Section 6 — bitmap (indicator 0) or none (255)
+    out.writeInt(sec6Len); out.writeByte(6)
+    bitmap match {
+      case Some(bm) => out.writeByte(0); out.write(bm)
+      case None => out.writeByte(255)
+    }
     // Section 7 — data
     out.writeInt(sec7Len); out.writeByte(7)
-    writePacked(out, scaled, minV, bits)
+    complexParts match {
+      case Some((_, bytes, _)) => out.write(bytes)
+      case None => writePacked(out, scaled, minV, bits)
+    }
     // Section 8 — end
     out.writeBytes("7777")
   }
@@ -393,6 +652,9 @@ object GribFormat {
       var bits = 0
       var dataOffset = 0L
       var dataBytes = 0
+      var bitmapOffset = -1L; var bitmapBytes = 0
+      var complex: Option[ComplexParams] = None
+      var lcc: Option[LccGrid] = None
       var seenRepr = false; var seenData = false
       var done = false
       while (!done) {
@@ -416,6 +678,17 @@ object GribFormat {
             dataOffset = offset
             dataBytes = secLen - 5
             skipN((secLen - 5).toLong)
+          } else if (num == 6) {
+            val indicator = readN(1)(0) & 0xFF
+            indicator match {
+              case 255 => // no bitmap
+              case 0 => // bitmap in this section, right after the indicator
+                bitmapOffset = offset
+                bitmapBytes = secLen - 6
+              case other => throw new IllegalArgumentException(
+                s"bitmap indicator $other unsupported (0 = present, 255 = none)")
+            }
+            skipN((secLen - 6).toLong)
           } else {
             val body = readN(secLen - 5)
             num match {
@@ -425,37 +698,84 @@ object GribFormat {
                   body(12) & 0xFF, body(13) & 0xFF)
               case 2 => // local use — ignored
               case 3 =>
-                require(u16(body, 7) == 0,
-                  s"grid template ${u16(body, 7)} unsupported (only 3.0 lat/lon)")
-                require(u32(body, 33) == 0L,
-                  "non-default basic angle unsupported (10^-6 degree unit only)")
-                ni = u32(body, 25).toInt; nj = u32(body, 29).toInt
-                la1 = sm(body, 41, 4) / 1e6; lo1 = sm(body, 45, 4) / 1e6
-                la2 = sm(body, 50, 4) / 1e6; lo2 = sm(body, 54, 4) / 1e6
-                // 0x20 = j-consecutive (transposed cell order); 0x10 =
-                // boustrophedon (alternate rows reversed) — both would
-                // silently misattribute cells if decoded i-consecutive
-                require((body(66) & 0x30) == 0,
-                  s"scanning mode 0x${(body(66) & 0xFF).toHexString} unsupported " +
-                    "(i-consecutive, uniform row direction only)")
+                u16(body, 7) match {
+                  case 0 =>
+                    require(u32(body, 33) == 0L,
+                      "non-default basic angle unsupported (10^-6 degree unit only)")
+                    ni = u32(body, 25).toInt; nj = u32(body, 29).toInt
+                    la1 = sm(body, 41, 4) / 1e6; lo1 = sm(body, 45, 4) / 1e6
+                    la2 = sm(body, 50, 4) / 1e6; lo2 = sm(body, 54, 4) / 1e6
+                    // 0x20 = j-consecutive (transposed cell order); 0x10 =
+                    // boustrophedon (alternate rows reversed) — both would
+                    // silently misattribute cells if decoded i-consecutive
+                    require((body(66) & 0x30) == 0,
+                      s"scanning mode 0x${(body(66) & 0xFF).toHexString} unsupported " +
+                        "(i-consecutive, uniform row direction only)")
+                  case 30 => // Lambert conformal (RTMA/HRRR/NDFD grids)
+                    val radius = (body(9) & 0xFF) match { // octet 15: shape
+                      case 0 => 6367470.0
+                      case 1 =>
+                        val scale = body(10) & 0xFF
+                        u32(body, 11).toDouble / math.pow(10.0, scale)
+                      case 6 => 6371229.0
+                      case s => throw new IllegalArgumentException(
+                        s"earth shape $s unsupported (0, 1, 6)")
+                    }
+                    ni = u32(body, 25).toInt; nj = u32(body, 29).toInt
+                    val gla1 = sm(body, 33, 4) / 1e6 // octets 39-42
+                    val glo1 = sm(body, 37, 4) / 1e6 // octets 43-46
+                    val latD = sm(body, 42, 4) / 1e6 // octets 48-51
+                    val lov = sm(body, 46, 4) / 1e6 // octets 52-55
+                    val dx = u32(body, 50).toDouble / 1e3 // mm → m
+                    val dy = u32(body, 54).toDouble / 1e3
+                    require((body(58) & 0x80) == 0, // octet 64
+                      "south-pole-centred Lambert projection unsupported")
+                    require((body(59) & 0x30) == 0 && (body(59) & 0x40) != 0,
+                      s"scanning mode 0x${(body(59) & 0xFF).toHexString} unsupported " +
+                        "(+i, +j, i-consecutive only)")
+                    val latin1 = sm(body, 60, 4) / 1e6 // octets 66-69
+                    val latin2 = sm(body, 64, 4) / 1e6
+                    la1 = gla1; lo1 = glo1
+                    lcc = Some(LccGrid(gla1, glo1, lov, latin1, latin2, latD,
+                      dx, dy, radius))
+                  case t => throw new IllegalArgumentException(
+                    s"grid template $t unsupported (3.0 lat/lon, 3.30 Lambert)")
+                }
               case 4 =>
-                require(u16(body, 2) == 0,
-                  s"product template ${u16(body, 2)} unsupported (only 4.0)")
+                // 4.0 (analysis/forecast at a point) and 4.8 (accumulation
+                // over an interval) share the leading octets the scan needs
+                require(u16(body, 2) == 0 || u16(body, 2) == 8,
+                  s"product template ${u16(body, 2)} unsupported (4.0 and 4.8)")
                 paramId = ((body(4) & 0xFF) << 8) | (body(5) & 0xFF)
                 timeUnit = body(12) & 0xFF
                 forecast = sm(body, 13, 4)
               case 5 =>
-                require(u16(body, 4) == 0,
-                  s"data representation template ${u16(body, 4)} unsupported (only 5.0)")
                 seenRepr = true
                 refValue = java.lang.Float.intBitsToFloat(u32(body, 6).toInt).toDouble
                 binaryScale = sm(body, 10, 2)
                 decimalScale = sm(body, 12, 2)
                 bits = body(14) & 0xFF
-                require((body(15) & 0xFF) == 0,
-                  s"field type ${body(15)} unsupported (only 0: floating point)")
-              case 6 =>
-                require((body(0) & 0xFF) == 255, "Bitmap unsupported (indicator must be 255)")
+                u16(body, 4) match {
+                  case 0 =>
+                    require((body(15) & 0xFF) == 0,
+                      s"field type ${body(15)} unsupported (only 0: floating point)")
+                  case 2 => // complex packing (template 5.2)
+                    require((body(16) & 0xFF) == 1,
+                      s"group splitting method ${body(16)} unsupported (1: general)")
+                    require((body(17) & 0xFF) == 0,
+                      s"missing-value management ${body(17)} unsupported (0: none — " +
+                        "missing cells travel in the bitmap)")
+                    complex = Some(ComplexParams(
+                      ng = u32(body, 26).toInt,
+                      widthRef = body(30) & 0xFF,
+                      widthBits = body(31) & 0xFF,
+                      lengthRef = u32(body, 32),
+                      lengthInc = body(36) & 0xFF,
+                      lastLength = u32(body, 37),
+                      lengthBits = body(41) & 0xFF))
+                  case t => throw new IllegalArgumentException(
+                    s"data representation template $t unsupported (5.0, 5.2)")
+                }
               case n => throw new IllegalArgumentException(s"Unexpected GRIB2 section $n")
             }
           }
@@ -474,7 +794,7 @@ object GribFormat {
       }
       GribMessage(paramId, validTime, ni, nj, la1, lo1, la2, lo2,
         decimalScale, binaryScale, refValue, bits, dataOffset, dataBytes,
-        total.toInt)
+        total.toInt, bitmapOffset, bitmapBytes, complex, lcc)
     }
     while (true) {
       // IS or EOF
@@ -503,7 +823,7 @@ object GribFormat {
       val pds = readN(pdsLen - 3)
       val flags = pds(4) & 0xFF
       require((flags & 0x80) != 0, "GDS-less messages unsupported")
-      require((flags & 0x40) == 0, "Bitmap (BMS) unsupported")
+      val hasBms = (flags & 0x40) != 0
       val paramId = pds(5) & 0xFF
       val century = pds(21) & 0xFF
       val year = (century - 1) * 100 + (pds(9) & 0xFF)
@@ -541,6 +861,19 @@ object GribFormat {
       // silently swap lat/lon attribution, so refuse it
       require((gds(24) & 0x20) == 0,
         "j-consecutive scanning mode (0x20) unsupported (i-consecutive only)")
+      // BMS: length(3) unused-bits(1) table-ref(2) then the bitmap bits
+      var bitmapOffset = -1L
+      var bitmapBytes = 0
+      if (hasBms) {
+        val bmsLenB = readN(3)
+        val bmsLen = u24(bmsLenB, 0)
+        val bmsHead = readN(3) // unused bits + table reference
+        require(u16(bmsHead, 1) == 0,
+          s"predefined bitmap ${u16(bmsHead, 1)} unsupported (inline bitmaps only)")
+        bitmapOffset = offset
+        bitmapBytes = bmsLen - 6
+        skipN(bitmapBytes.toLong)
+      }
       // BDS
       val bdsLenB = readN(3)
       val bdsLen = u24(bdsLenB, 0)
@@ -558,7 +891,8 @@ object GribFormat {
       require(offset - msgStart == total,
         s"Message length mismatch: read ${offset - msgStart}, declared $total")
       out += GribMessage(paramId, refTime, ni, nj, la1, lo1, la2, lo2,
-        decimalScale, binaryScale, refValue, bits, dataOffset, dataBytes, total)
+        decimalScale, binaryScale, refValue, bits, dataOffset, dataBytes, total,
+        bitmapOffset, bitmapBytes)
       } // end edition-1 branch
     }
     out.toSeq
@@ -571,15 +905,18 @@ object GribFormat {
       path: String,
       messages: Seq[(Int, java.time.LocalDateTime, Seq[Double], Seq[Double], Array[Double])],
       decimalScale: Int = 0,
-      edition: Int = 1): Unit = {
+      edition: Int = 1,
+      complexPacking: Boolean = false): Unit = {
     require(edition == 1 || edition == 2, s"edition $edition not in {1, 2}")
+    require(!complexPacking || edition == 2, "complex packing is edition-2 only")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       fs.create(new org.apache.hadoop.fs.Path(path), true)))
     try messages.foreach { case (param, t, lats, lons, vals) =>
       if (edition == 1) writeMessage(out, param, t, lats, lons, vals, decimalScale)
-      else writeMessage2(out, param, t, lats, lons, vals, decimalScale)
+      else writeMessage2(out, param, t, lats, lons, vals, decimalScale,
+        complexPacking = complexPacking)
     }
     finally out.close()
   }

@@ -1,0 +1,120 @@
+package graft.sources.grib
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** GRIB bitmap (section 6 / BMS) + complex packing (template 5.2) — the
+  * features real archives carry (the reference's own `rtma_pcp.grib` test
+  * input is LCC grid + bitmap + 5.2): writer↔scan roundtrips for both
+  * editions, and a scan of the REAL NCEP-written rtma file. */
+class GribBitmapSpec extends SparkSpec {
+
+  private val lats = Seq(10.0, 11.0, 12.0)
+  private val lons = Seq(20.0, 21.0, 22.0, 23.0)
+  private def vals(holes: Boolean): Array[Double] =
+    Array.tabulate(12)(k => if (holes && (k == 3 || k == 7)) Double.NaN else k * 2.0)
+
+  private def writeTmp(tag: String, edition: Int, complexPacking: Boolean,
+      holes: Boolean = true): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/grib_bm_$tag." +
+      (if (edition == 1) "grb" else "grb2")
+    GribFormat.writeFile(spark, path,
+      Seq((7, LocalDateTime.parse("2024-04-01T06:00"), lats, lons, vals(holes))),
+      edition = edition, complexPacking = complexPacking)
+    path
+  }
+
+  private def checkHoles(path: String): Unit = {
+    val rows = spark.read.format("grib1").load(path)
+      .orderBy("latitude", "longitude").collect()
+    assert(rows.length == 12)
+    rows.zipWithIndex.foreach { case (r, k) =>
+      if (k == 3 || k == 7) assert(r.isNullAt(4), s"cell $k must be null")
+      else assert(r.getAs[Double]("value") == k * 2.0, s"cell $k")
+    }
+  }
+
+  test("edition-1 bitmap: NaN cells round-trip as nulls") {
+    checkHoles(writeTmp("ed1", edition = 1, complexPacking = false))
+  }
+
+  test("edition-2 bitmap: NaN cells round-trip as nulls") {
+    checkHoles(writeTmp("ed2", edition = 2, complexPacking = false))
+  }
+
+  test("edition-2 complex packing round-trips exactly (with bitmap)") {
+    checkHoles(writeTmp("cx", edition = 2, complexPacking = true))
+  }
+
+  test("complex packing without bitmap round-trips a large ramp exactly") {
+    val n = 40 * 50
+    val big = Array.tabulate(n)(k => (k % 977).toDouble) // >1 group, wide refs
+    val path = s"${System.getProperty("java.io.tmpdir")}/grib_bm_big.grb2"
+    GribFormat.writeFile(spark, path,
+      Seq((7, LocalDateTime.parse("2024-04-01T06:00"),
+        (0 until 40).map(10.0 + _ * 0.1), (0 until 50).map(20.0 + _ * 0.1), big)),
+      edition = 2, complexPacking = true)
+    val rows = spark.read.format("grib1").load(path)
+      .select("latitude", "longitude", "value").collect()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val j = math.round((r.getDouble(0) - 10.0) * 10).toInt
+      val i = math.round((r.getDouble(1) - 20.0) * 10).toInt
+      assert(r.getDouble(2) == big(j * 50 + i), s"cell ($j, $i)")
+    }
+  }
+
+  private val rtma = "/root/reference/tests/unit/inputs/rtma_pcp.grib"
+
+  test("REAL NCEP rtma_pcp.grib (LCC grid + bitmap + template 5.2) scans") {
+    assume(new java.io.File(rtma).isFile)
+    val df = spark.read.format("grib1").load(rtma)
+    val agg = df.agg(
+      count(lit(1)), count(col("value")), min("value"), max("value"),
+      min("latitude"), max("latitude"), min("longitude"), max("longitude"),
+      min("time")).head()
+    assert(agg.getLong(0) == 2145L * 1377) // Nx × Ny cells
+    assert(agg.getLong(1) == 2385858L) // present cells = section-5 ndata
+    assert(agg.getDouble(2) >= 0.0) // precipitation is non-negative
+    assert(agg.getDouble(3) < 1000.0) // sane mm upper bound
+    // CONUS 2.5 km RTMA extent (degrees; lon in GRIB 0..360 convention)
+    assert(agg.getDouble(4) > 19.0 && agg.getDouble(5) < 58.0)
+    assert(agg.getDouble(6) > 225.0 && agg.getDouble(7) < 310.0)
+  }
+
+  test("rtma first grid point inverts to exactly La1/Lo1") {
+    assume(new java.io.File(rtma).isFile)
+    val in = new java.io.FileInputStream(rtma)
+    val msgs = try GribFormat.parseMessages(in) finally in.close()
+    assert(msgs.length == 1)
+    val m = msgs.head
+    assert(m.ni == 2145 && m.nj == 1377)
+    assert(m.complex.isDefined && m.hasBitmap && m.lcc.isDefined)
+    assert(m.complex.get.ng == 12891)
+    val (lat0, lon0) = m.latLonAt(0)
+    assert(math.abs(lat0 - 20.191999) < 1e-9, lat0)
+    assert(math.abs(lon0 - 238.445999) < 1e-9, lon0)
+    // a diagonal of cells must invert inside the projection's valid area
+    (0 until 20).foreach { t =>
+      val k = t * (m.nValues / 20) + t
+      val (la, lo) = m.latLonAt(k)
+      assert(la > 15 && la < 60 && lo > 220 && lo < 315, s"cell $k: ($la, $lo)")
+    }
+  }
+
+  test("bitmap message survives the fuzz writer's even-length padding") {
+    // 5 cells → bitmap byte with 3 unused bits; BMS forced odd→even
+    val path = s"${System.getProperty("java.io.tmpdir")}/grib_bm_pad.grb"
+    GribFormat.writeFile(spark, path,
+      Seq((7, LocalDateTime.parse("2024-04-01T06:00"), Seq(10.0),
+        (0 until 5).map(20.0 + _), Array(1.0, Double.NaN, 3.0, Double.NaN, 5.0))),
+      edition = 1)
+    val rows = spark.read.format("grib1").load(path).orderBy("longitude").collect()
+    assert(rows.map(r => if (r.isNullAt(4)) None else Some(r.getDouble(4))).toSeq ==
+      Seq(Some(1.0), None, Some(3.0), None, Some(5.0)))
+  }
+}
