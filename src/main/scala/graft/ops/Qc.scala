@@ -139,32 +139,16 @@ object Qc {
   }
 
   /** Check each timestep's observed NaN frequency against the expected one:
-    * expected must lie inside the Wilson CI of the observed proportion.
-    * Returns timesteps that FAIL (reference raises
+    * expected must lie inside the Wilson CI of the observed proportion;
+    * only FAILING timesteps survive (reference raises
     * NanFrequencyMismatchError — utils/publish.py:1178-1243, errors.py).
-    */
-  def nanFrequencyViolations(
-      freqByTime: DataFrame,
-      expectedFrequency: Double,
-      alpha: Double = 1e-5): Seq[(Any, Double)] = {
-    freqByTime.collect().toSeq.flatMap { row =>
-      val t = row.get(0)
-      val n = row.getAs[Long]("n_sampled")
-      val k = row.getAs[Long]("n_nan")
-      val (lo, hi) = wilsonInterval(k, n, alpha)
-      if (expectedFrequency < lo || expectedFrequency > hi)
-        Some((t, k.toDouble / n))
-      else None
-    }
-  }
-
-  /** Distributed variant of [[nanFrequencyViolations]]: the Wilson bound is
-    * closed-form arithmetic, so it runs as columns and only violating
-    * timesteps ever reach the driver — at ERA5 scale (>639k timesteps,
-    * docs/etl_developers_manual.md:158) collecting every per-timestep row
-    * first (the reference's loop, utils/publish.py:702-728) would not fly.
-    * Input: output of [[nanFrequencyByTime]]. Output adds ci_lo/ci_hi and
-    * keeps only timesteps whose CI excludes the expected frequency.
+    * The Wilson bound is closed-form arithmetic, so it runs as columns and
+    * only violating timesteps ever reach the driver — at ERA5 scale (>639k
+    * timesteps, docs/etl_developers_manual.md:158) collecting every
+    * per-timestep row first (the reference's loop, utils/publish.py:702-728)
+    * would not fly; a collect-then-loop variant is deliberately NOT
+    * provided. Input: output of [[nanFrequencyByTime]]. Output adds
+    * ci_lo/ci_hi.
     */
   def nanFrequencyViolationsDF(
       freqByTime: DataFrame,

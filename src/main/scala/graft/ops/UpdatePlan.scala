@@ -105,6 +105,15 @@ object UpdatePlan {
     *
     * Reference: `check_if_update_is_contiguous` / expected-order check
     * (utils/publish.py:780-822).
+    *
+    * SCALE BOUND — like [[contiguousRanges]], the lag window has no
+    * partition key and therefore sorts on a single task. That is correct
+    * and cheap ONLY because the input contract is a time-COORDINATE set
+    * (one row per distinct timestep — ERA5's full history is ~639k rows,
+    * docs/etl_developers_manual.md:158). Never feed it cell-grain rows:
+    * call `.select(timeCol).distinct()` first (this method re-applies
+    * distinct defensively) and keep inputs under ~1e7 timesteps; beyond
+    * that, pre-aggregate per year and run per-year windows.
     */
   def cadenceViolations(
       times: DataFrame,

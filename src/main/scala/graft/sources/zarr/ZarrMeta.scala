@@ -154,7 +154,9 @@ object ZarrMeta {
       fill: Option[Double],
       dimSeparator: String,
       attrs: JObj,
-      filters: Seq[ShuffleFilter] = Seq.empty) extends Serializable {
+      filters: Seq[ShuffleFilter] = Seq.empty,
+      /** "c" for zarr v3 stores (keys are `c/0/0`), "" for v2. */
+      keyPrefix: String = "") extends Serializable {
 
     require(shape.length == chunks.length && shape.nonEmpty,
       s"shape $shape / chunks $chunks rank mismatch")
@@ -165,7 +167,9 @@ object ZarrMeta {
     def gridShape: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def cellsPerChunk: Long = chunks.map(_.toLong).product
     def bytesPerChunk: Long = cellsPerChunk * dtype.size
-    def chunkKey(coords: Seq[Int]): String = coords.mkString(dimSeparator)
+    def chunkKey(coords: Seq[Int]): String =
+      if (keyPrefix.isEmpty) coords.mkString(dimSeparator)
+      else (keyPrefix +: coords.map(_.toString)).mkString(dimSeparator)
 
     def dimNames: Option[Seq[String]] = attrs.get("_ARRAY_DIMENSIONS").collect {
       case JArr(items) => items.collect { case JStr(s) => s }
@@ -309,10 +313,143 @@ object ZarrMeta {
     case other => throw new IllegalArgumentException(s"$what is not an object: $other")
   }
 
-  /** Resolve a zarr DIRECTORY store. Prefers `.zmetadata` (consolidated —
-    * ONE read instead of one per array; the reference consolidates on every
-    * publish) and falls back to listing array subdirectories. */
+  // ----------------------------------------------------------- zarr v3 read
+
+  /** Map a v3 `data_type` name onto the v2 typestr model. */
+  private def v3Dtype(name: String, littleEndian: Boolean): ZDtype = {
+    val (kind, size) = name match {
+      case "float64" => ('f', 8)
+      case "float32" => ('f', 4)
+      case "int64" => ('i', 8)
+      case "int32" => ('i', 4)
+      case "int16" => ('i', 2)
+      case "int8" => ('i', 1)
+      case "uint8" => ('u', 1)
+      case "uint16" => ('u', 2)
+      case "uint32" => ('u', 4)
+      case "bool" => ('b', 1)
+      case other => throw new IllegalArgumentException(s"zarr v3 data_type $other")
+    }
+    ZDtype(littleEndian, kind, size)
+  }
+
+  /** Parse one v3 array document (`zarr.json` with node_type "array",
+    * zarr v3 core spec): regular chunk grid, default chunk-key encoding,
+    * `bytes` + optional gzip/blosc/zlib codecs. */
+  def parseV3Array(doc: JObj): ZArrayMeta = {
+    require(doc.get("zarr_format").contains(JNum(3)), s"not a v3 array: $doc")
+    require(doc.get("node_type").contains(JStr("array")),
+      s"node_type ${doc.get("node_type")} is not an array")
+    def ints(v: JValue): Seq[Int] = v match {
+      case JArr(items) => items.map { case JNum(n) => n.toInt
+        case other => throw new IllegalArgumentException(s"$other") }
+      case other => throw new IllegalArgumentException(s"$other")
+    }
+    val shape = ints(doc.get("shape").getOrElse(
+      throw new IllegalArgumentException("v3 array missing shape")))
+    val chunkGrid = doc.get("chunk_grid").collect { case o: JObj => o }.getOrElse(
+      throw new IllegalArgumentException("v3 array missing chunk_grid"))
+    require(chunkGrid.get("name").contains(JStr("regular")),
+      s"chunk_grid ${chunkGrid.get("name")} unsupported (regular only)")
+    val chunks = ints(chunkGrid.get("configuration")
+      .collect { case o: JObj => o }.flatMap(_.get("chunk_shape")).getOrElse(
+        throw new IllegalArgumentException("v3 chunk_grid missing chunk_shape")))
+    val sep = doc.get("chunk_key_encoding").collect { case o: JObj => o }
+      .flatMap(_.get("configuration")).collect { case o: JObj => o }
+      .flatMap(_.get("separator")).collect { case JStr(s) => s }.getOrElse("/")
+    // codecs: the array→bytes codec fixes endianness; bytes→bytes codecs
+    // compress. v3 sharding/transpose are out of the netCDF-style profile.
+    var littleEndian = true
+    var codec: ZarrCodec.Codec = ZarrCodec.NullCodec
+    doc.get("codecs") match {
+      case Some(JArr(items)) => items.foreach {
+        case o: JObj =>
+          val cfg = o.get("configuration").collect { case c: JObj => c }
+          o.get("name") match {
+            case Some(JStr("bytes")) =>
+              littleEndian = !cfg.flatMap(_.get("endian")).contains(JStr("big"))
+            case Some(JStr("gzip")) =>
+              codec = ZarrCodec.GzipCodec(cfg.flatMap(_.get("level"))
+                .collect { case JNum(n) => n.toInt }.getOrElse(1))
+            case Some(JStr("zlib")) =>
+              codec = ZarrCodec.ZlibCodec(cfg.flatMap(_.get("level"))
+                .collect { case JNum(n) => n.toInt }.getOrElse(1))
+            case Some(JStr("blosc")) => codec = ZarrCodec.BloscCodec
+            case other => throw new IllegalArgumentException(
+              s"zarr v3 codec $other unsupported (bytes, gzip, zlib, blosc)")
+          }
+        case other => throw new IllegalArgumentException(s"bad codec entry $other")
+      }
+      case _ => ()
+    }
+    val dtype = doc.get("data_type") match {
+      case Some(JStr(s)) => v3Dtype(s, littleEndian)
+      case other => throw new IllegalArgumentException(s"v3 data_type: $other")
+    }
+    val fill = doc.get("fill_value") match {
+      case None | Some(JNull) => None
+      case Some(JNum(n)) => Some(n)
+      case Some(JStr("NaN")) => Some(Double.NaN)
+      case Some(JStr("Infinity")) => Some(Double.PositiveInfinity)
+      case Some(JStr("-Infinity")) => Some(Double.NegativeInfinity)
+      case Some(JBool(b)) => Some(if (b) 1.0 else 0.0)
+      case other => throw new IllegalArgumentException(s"v3 fill_value $other")
+    }
+    val attrs0 = doc.get("attributes").collect { case o: JObj => o }
+      .getOrElse(JObj(Seq.empty))
+    // v3 dimension_names plays v2's _ARRAY_DIMENSIONS role — normalize so
+    // planGrid sees one convention
+    val attrs = doc.get("dimension_names") match {
+      case Some(arr: JArr) if attrs0.get("_ARRAY_DIMENSIONS").isEmpty =>
+        JObj(attrs0.fields :+ ("_ARRAY_DIMENSIONS" -> (arr: JValue)))
+      case _ => attrs0
+    }
+    ZArrayMeta(shape, chunks, dtype, codec, fill, sep, attrs,
+      filters = Seq.empty, keyPrefix = "c")
+  }
+
+  /** Resolve a zarr V3 store rooted at a `zarr.json` group document:
+    * consolidated metadata when present (zarr-python writes it the same
+    * way the reference consolidates v2 stores, store.py:229-262), else one
+    * `zarr.json` per child directory. */
+  def resolveV3Directory(conf: Configuration, root: String, rootDoc: JObj): ResolvedStore = {
+    require(rootDoc.get("zarr_format").contains(JNum(3)), s"$root: not zarr v3")
+    val rootAttrs = rootDoc.get("attributes").collect { case o: JObj => o }
+      .getOrElse(JObj(Seq.empty))
+    val consolidated = rootDoc.get("consolidated_metadata")
+      .collect { case o: JObj => o }
+      .flatMap(_.get("metadata")).collect { case o: JObj => o }
+    val arrays = consolidated match {
+      case Some(entries) =>
+        entries.fields.collect {
+          case (name, doc: JObj) if doc.get("node_type").contains(JStr("array")) =>
+            ResolvedArray(name, parseV3Array(doc), Some(s"$root/$name"), refs = None)
+        }
+      case None =>
+        val p = new HPath(root)
+        val fs = p.getFileSystem(conf)
+        fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+          val name = st.getPath.getName
+          readUtf8(conf, s"$root/$name/zarr.json").map { s =>
+            ResolvedArray(name, parseV3Array(parseObj(s, s"$name/zarr.json")),
+              Some(s"$root/$name"), refs = None)
+          }
+        }
+    }
+    require(arrays.nonEmpty, s"No v3 arrays under $root")
+    ResolvedStore(rootAttrs, arrays)
+  }
+
+  /** Resolve a zarr DIRECTORY store, either format: v3 when `zarr.json`
+    * exists (store.py:250 `has_v3_metadata` makes the same probe), else v2
+    * preferring `.zmetadata` (consolidated — ONE read instead of one per
+    * array; the reference consolidates on every publish) with a fallback
+    * to listing array subdirectories. */
   def resolveDirectory(conf: Configuration, root: String): ResolvedStore = {
+    readUtf8(conf, s"$root/zarr.json") match {
+      case Some(s) => return resolveV3Directory(conf, root, parseObj(s, "zarr.json"))
+      case None => ()
+    }
     readUtf8(conf, s"$root/.zmetadata") match {
       case Some(s) =>
         val metaDoc = parseObj(s, ".zmetadata")

@@ -55,8 +55,15 @@ final class ZarrStore(
 
   // ------------------------------------------------------------- existence
 
-  def hasExisting: Boolean =
-    GridStore.fileSystem(spark, path).exists(new HPath(s"$path/.zattrs"))
+  def hasExisting: Boolean = {
+    val fs = GridStore.fileSystem(spark, path)
+    fs.exists(new HPath(s"$path/.zattrs")) || isV3
+  }
+
+  /** v3 stores root their metadata in `zarr.json` (store.py:250
+    * `has_v3_metadata` makes the same probe). */
+  private def isV3: Boolean =
+    GridStore.fileSystem(spark, path).exists(new HPath(s"$path/zarr.json"))
 
   /** Open through the chunk-pruned DSv2 scan. */
   def dataset(): DataFrame = {
@@ -70,20 +77,29 @@ final class ZarrStore(
 
   // ----------------------------------------------------------- attrs (W8)
 
-  def readAttrsJson(): JObj = {
+  private def readJsonFile(rel: String): Option[JObj] = {
     val fs = GridStore.fileSystem(spark, path)
-    val p = new HPath(s"$path/.zattrs")
-    if (!fs.exists(p)) JObj(Seq.empty)
+    val p = new HPath(s"$path/$rel")
+    if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       try JValue.parse(new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)) match {
-        case o: JObj => o
-        case _ => JObj(Seq.empty)
+        case o: JObj => Some(o)
+        case _ => None
       }
       finally in.close()
     }
   }
+
+  /** Root attributes, format-agnostic: a v3 store's live in `zarr.json`'s
+    * "attributes" member, a v2 store's in `.zattrs`. */
+  def readAttrsJson(): JObj =
+    if (isV3)
+      readJsonFile("zarr.json")
+        .flatMap(_.get("attributes")).collect { case o: JObj => o }
+        .getOrElse(JObj(Seq.empty))
+    else readJsonFile(".zattrs").getOrElse(JObj(Seq.empty))
 
   def readAttrs(): Map[String, String] =
     readAttrsJson().fields.map { case (k, v) =>
@@ -94,9 +110,18 @@ final class ZarrStore(
     val updated = patch.toSeq.sortBy(_._1).foldLeft(readAttrsJson()) {
       case (o, (k, v)) => o.updated(k, JStr(v))
     }
-    ZarrIO.writeUtf8(conf, s"$path/.zattrs", updated.render)
-    // keep the consolidated doc in sync (readers do ONE metadata fetch)
-    refreshConsolidated(updated)
+    if (isV3) {
+      // patch the "attributes" member in place; the rest of zarr.json
+      // (node_type, consolidated_metadata, …) is preserved verbatim
+      val doc = readJsonFile("zarr.json").getOrElse(
+        throw new IllegalStateException(s"$path: zarr.json vanished"))
+      ZarrIO.writeUtf8(conf, s"$path/zarr.json",
+        doc.updated("attributes", updated).render)
+    } else {
+      ZarrIO.writeUtf8(conf, s"$path/.zattrs", updated.render)
+      // keep the consolidated doc in sync (readers do ONE metadata fetch)
+      refreshConsolidated(updated)
+    }
   }
 
   private def refreshConsolidated(rootAttrs: JObj): Unit = {

@@ -1,0 +1,150 @@
+package graft.sources.zarr
+
+import java.time.LocalDateTime
+
+import graft.SparkSpec
+import graft.meta.{JArr, JObj, JStr, JValue}
+import graft.sources.zarr.ZarrMeta.ZArrayMeta
+
+/** Zarr v3 metadata: `zarr.json` group/array documents (consolidated and
+  * per-directory), `c/`-prefixed chunk keys, v3 codec chains — gated by
+  * PARITY with an equivalent v2 store through the same scan, plus
+  * ZarrStore attrs patching on a v3 store (store.py:229-262 reads/writes
+  * both formats the same way). */
+class ZarrV3Spec extends SparkSpec {
+
+  private val conf = spark.sparkContext.hadoopConfiguration
+
+  /** time(5) × x(4) grid with a fill hole at (1,2) — the ZarrScanSpec v2
+    * roundtrip fixture, rebuilt as a v3 store. */
+  private def v3ArrayDoc(name: String, shape: Seq[Int], chunks: Seq[Int],
+      dtype: String, fill: JValue, dims: Seq[String],
+      extraAttrs: Seq[(String, JValue)] = Seq.empty): JObj =
+    JObj(Seq(
+      "zarr_format" -> graft.meta.JNum(3),
+      "node_type" -> JStr("array"),
+      "shape" -> JArr(shape.map(s => graft.meta.JNum(s))),
+      "data_type" -> JStr(dtype),
+      "chunk_grid" -> JObj(Seq(
+        "name" -> JStr("regular"),
+        "configuration" -> JObj(Seq(
+          "chunk_shape" -> JArr(chunks.map(c => graft.meta.JNum(c))))))),
+      "chunk_key_encoding" -> JObj(Seq(
+        "name" -> JStr("default"),
+        "configuration" -> JObj(Seq("separator" -> JStr("/"))))),
+      "fill_value" -> fill,
+      "codecs" -> JArr(Seq(
+        JObj(Seq("name" -> JStr("bytes"),
+          "configuration" -> JObj(Seq("endian" -> JStr("little"))))),
+        JObj(Seq("name" -> JStr("gzip"),
+          "configuration" -> JObj(Seq("level" -> graft.meta.JNum(1))))))),
+      "attributes" -> JObj(extraAttrs),
+      "dimension_names" -> JArr(dims.map(JStr(_)))))
+
+  /** Writes both stores; returns (v2 dir, v3 dir, consolidatedV3). */
+  private def buildStores(tag: String, consolidated: Boolean): (String, String) = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/zarr_v3_$tag"
+    graft.store.GridStore.fileSystem(spark, base)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val v2 = s"$base/v2"
+    val v3 = s"$base/v3"
+    val vals = Array.tabulate(20)(i => if (i == 6) Double.NaN else i * 10.0)
+
+    // ---- v2 store (the proven ZarrIO path)
+    val codec = ZarrCodec.GzipCodec(1)
+    val tMeta2 = ZArrayMeta(Seq(5), Seq(5), ZarrMeta.parseDtype("<i8"), codec,
+      None, ".", JObj(Seq("_ARRAY_DIMENSIONS" -> JArr(Seq(JStr("time"))),
+        "units" -> JStr("hours since 2024-06-01T00:00:00"))))
+    val xMeta2 = ZArrayMeta(Seq(4), Seq(4), ZarrMeta.parseDtype("<f8"), codec,
+      None, ".", JObj(Seq("_ARRAY_DIMENSIONS" -> JArr(Seq(JStr("x"))))))
+    val vMeta2 = ZArrayMeta(Seq(5, 4), Seq(2, 3), ZarrMeta.parseDtype("<f8"),
+      codec, Some(Double.NaN), ".",
+      JObj(Seq("_ARRAY_DIMENSIONS" -> JArr(Seq(JStr("time"), JStr("x"))))))
+    ZarrIO.writeArray(conf, v2, "time", tMeta2, Array.tabulate(5)(_.toDouble))
+    ZarrIO.writeArray(conf, v2, "x", xMeta2, Array(0.5, 1.5, 2.5, 3.5))
+    ZarrIO.writeArray(conf, v2, "v", vMeta2, vals)
+    ZarrIO.writeGroupMetadata(conf, v2, JObj(Seq.empty),
+      Seq("time" -> tMeta2, "x" -> xMeta2, "v" -> vMeta2))
+
+    // ---- v3 store: same grid, v3 documents + c/-prefixed chunk keys
+    val tDoc = v3ArrayDoc("time", Seq(5), Seq(5), "int64", graft.meta.JNull,
+      Seq("time"), Seq("units" -> JStr("hours since 2024-06-01T00:00:00")))
+    val xDoc = v3ArrayDoc("x", Seq(4), Seq(4), "float64", graft.meta.JNull, Seq("x"))
+    val vDoc = v3ArrayDoc("v", Seq(5, 4), Seq(2, 3), "float64", JStr("NaN"),
+      Seq("time", "x"))
+    val entries = Seq("time" -> tDoc, "x" -> xDoc, "v" -> vDoc)
+    val rootDoc = JObj(Seq(
+      "zarr_format" -> graft.meta.JNum(3),
+      "node_type" -> JStr("group"),
+      "attributes" -> JObj(Seq("title" -> JStr("v3 parity fixture")))) ++
+      (if (consolidated)
+        Seq("consolidated_metadata" -> (JObj(Seq(
+          "metadata" -> JObj(entries.map { case (k, v) => k -> (v: JValue) }),
+          "kind" -> JStr("inline"))): JValue))
+      else Seq.empty))
+    ZarrIO.writeUtf8(conf, s"$v3/zarr.json", rootDoc.render)
+    entries.foreach { case (name, doc) =>
+      ZarrIO.writeUtf8(conf, s"$v3/$name/zarr.json", doc.render)
+    }
+    // chunks through the SAME writer, with v3 metas (keyPrefix drives c/)
+    def v3Meta(doc: JObj): ZArrayMeta = ZarrMeta.parseV3Array(doc)
+    ZarrIO.writeArray(conf, v3, "time", v3Meta(tDoc).copy(attrs = JObj(Seq.empty)),
+      Array.tabulate(5)(_.toDouble))
+    ZarrIO.writeArray(conf, v3, "x", v3Meta(xDoc).copy(attrs = JObj(Seq.empty)),
+      Array(0.5, 1.5, 2.5, 3.5))
+    ZarrIO.writeArray(conf, v3, "v", v3Meta(vDoc).copy(attrs = JObj(Seq.empty)),
+      vals)
+    // writeArray drops v2 sidecars (.zarray) into the v3 dirs — remove
+    // them so the scan resolves the store purely through zarr.json
+    Seq("time", "x", "v").foreach { n =>
+      graft.store.GridStore.fileSystem(spark, v3)
+        .delete(new org.apache.hadoop.fs.Path(s"$v3/$n/.zarray"), false)
+    }
+    (v2, v3)
+  }
+
+  private def parity(tag: String, consolidated: Boolean): Unit = {
+    val (v2, v3) = buildStores(tag, consolidated)
+    val a = spark.read.format("zarr").load(v2).orderBy("time", "x").collect()
+    val b = spark.read.format("zarr").load(v3).orderBy("time", "x").collect()
+    assert(a.length == 20 && b.length == 20)
+    assert(a.toSeq == b.toSeq, "v3 scan must equal the v2 scan row-for-row")
+    assert(b(6).isNullAt(2), "fill hole must surface as null in v3 too")
+  }
+
+  test("consolidated v3 store scans identically to its v2 twin") {
+    parity("cons", consolidated = true)
+  }
+
+  test("unconsolidated v3 store resolves per-array zarr.json documents") {
+    parity("plain", consolidated = false)
+  }
+
+  test("ZarrStore attrs read/patch work on a v3 store (W8 parity)") {
+    val (_, v3) = buildStores("attrs", consolidated = true)
+    val store = new graft.store.ZarrStore(spark,
+      v3, graft.model.DatasetDescriptor("t", "v", spatialDims = Seq("x"),
+        timeResolution = graft.model.TimeSpan.Daily))
+    assert(store.hasExisting)
+    assert(store.readAttrs()("title") == "v3 parity fixture")
+    store.patchAttrs(Map("provenance" -> "unit-test",
+      graft.store.GridStore.UpdateInProgressKey -> "true"))
+    assert(store.readAttrs()("provenance") == "unit-test")
+    assert(store.readAttrs()("title") == "v3 parity fixture") // preserved
+    // the concurrency guard reads through the same v3 path
+    intercept[IllegalStateException](store.checkNotInProgress())
+    store.patchAttrs(Map(graft.store.GridStore.UpdateInProgressKey -> "false"))
+    store.checkNotInProgress()
+    // the rest of zarr.json survives patching: the store still scans
+    assert(spark.read.format("zarr").load(v3).count() == 20)
+  }
+
+  test("time axis decodes as CF timestamps through v3 dimension_names/attrs") {
+    val (_, v3) = buildStores("time", consolidated = true)
+    val rows = spark.read.format("zarr").load(v3).orderBy("time", "x").collect()
+    assert(rows.head.getAs[LocalDateTime]("time") ==
+      LocalDateTime.parse("2024-06-01T00:00"))
+    assert(rows.last.getAs[LocalDateTime]("time") ==
+      LocalDateTime.parse("2024-06-01T04:00"))
+  }
+}
