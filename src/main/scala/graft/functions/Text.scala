@@ -129,7 +129,14 @@ object Text {
     * embarrassingly parallel, at the cost of ≤ one underfull bin per shard.
     * Within a shard, docs fill bins contiguously in id order:
     * `bin = ⌊exclusive-prefix-tokens / budget⌋` (integer arithmetic —
-    * engine-portable). Returns (idCol, shard, n_tokens, bin). */
+    * engine-portable). Returns (idCol, shard, n_tokens, bin).
+    *
+    * SIZING `shards`: it caps the window parallelism — each shard's
+    * running sum is one task. Real runs set `shards` ≈ the cluster's task
+    * slots (e.g. `spark.sparkContext.defaultParallelism`), NOT a small
+    * constant; a shard should hold ~100k-1M docs so the per-task sort
+    * stays in memory. More shards = more parallelism and at most one
+    * extra underfull bin each — the trade is almost free, so err high. */
   def packSequences(
       df: DataFrame,
       idCol: String,

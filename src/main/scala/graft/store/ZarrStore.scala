@@ -51,7 +51,12 @@ final class ZarrStore(
 
   private def conf = spark.sparkContext.hadoopConfiguration
   private def timeCol = desc.timeDim
-  private def dims: Seq[String] = timeCol +: desc.spatialDims
+  /** All non-time grid dimensions in standard order — for hindcast/
+    * ensemble categories this includes the leading offset/step/ensemble
+    * dims, not just the spatial pair (they are numeric axes like any
+    * other to the zarr grid). */
+  private def nonTimeDims: Seq[String] = desc.standardDims.drop(1)
+  private def dims: Seq[String] = desc.standardDims
 
   // ------------------------------------------------------------- existence
 
@@ -226,7 +231,7 @@ final class ZarrStore(
     val newTime = existingTime ++ appended
     val spatialAxes = readSpatialAxes()
     // update rows must land on the existing spatial grid
-    spatialVals.zip(spatialAxes.map(_._2)).zip(desc.spatialDims).foreach {
+    spatialVals.zip(spatialAxes.map(_._2)).zip(nonTimeDims).foreach {
       case ((got, have), dim) =>
         val haveSet = have.toSet
         val missing = got.filterNot(haveSet)
@@ -255,7 +260,7 @@ final class ZarrStore(
     val t = df.select(col(timeCol).cast(TimestampNTZType)).distinct()
       .orderBy(timeCol).collect()
       .map(r => ldt2micros(r.getAs[java.time.LocalDateTime](0)))
-    val spatial = desc.spatialDims.map { d =>
+    val spatial = nonTimeDims.map { d =>
       df.select(col(d).cast("double")).distinct().orderBy(d).collect()
         .map(_.getDouble(0))
     }
@@ -265,7 +270,7 @@ final class ZarrStore(
   private def axisKeys(timeMicros: Array[Long],
       spatial: Seq[Array[Double]]): Seq[(String, Array[Double])] =
     (timeCol -> timeMicros.map(_.toDouble)) +:
-      desc.spatialDims.zip(spatial)
+      nonTimeDims.zip(spatial)
 
   /** Chunk shape is FIXED at store creation (zarr permits chunks larger
     * than the current shape, so the time chunk stays `timeChunk` even when
@@ -303,7 +308,7 @@ final class ZarrStore(
         "units" -> JStr(TimeUnits),
         "calendar" -> JStr("proleptic_gregorian"))))
     ZarrIO.writeArray(conf, path, timeCol, timeMeta, timeMicros.map(_.toDouble))
-    desc.spatialDims.zip(spatial).foreach { case (dim, vals) =>
+    nonTimeDims.zip(spatial).foreach { case (dim, vals) =>
       val m = ZArrayMeta(
         shape = Seq(vals.length), chunks = Seq(math.max(vals.length, 1)),
         dtype = ZarrMeta.parseDtype("<f8"),
@@ -343,7 +348,7 @@ final class ZarrStore(
 
   private def readSpatialAxes(): Seq[(String, Array[Double])] = {
     val arrays = listArrays().toMap
-    desc.spatialDims.map { dim =>
+    nonTimeDims.map { dim =>
       val meta = arrays.getOrElse(dim,
         throw new IllegalStateException(s"Store at $path has no $dim axis"))
       val n = meta.shape.head

@@ -64,4 +64,22 @@ class HindcastGridSpec extends SparkSpec {
     // day 3 untouched: base 0, d=2: 2+0+6+1+10.0+100.0
     assert(cell(3, 0L, 6L, 1, 10.0, 100.0) == 2.0 + 6 + 1 + 10.0 + 100.0)
   }
+
+  test("6-D publish → update through the NATIVE ZarrStore matches the parquet store") {
+    // the zarr grid is dense and the fixture covers the full product space,
+    // so the two stores must agree cell-for-cell
+    val root = Files.createTempDirectory("hind6dz").toString
+    val store = new ZarrStore(spark, s"$root/zstore", desc, timeChunk = 2)
+    store.publish(grid(1, 4))
+    val update = grid(2, 1, base = 1000.0).unionByName(grid(5, 1))
+    store.publish(update) // insert day 2 + append day 5 (butt-join on chunk 1)
+    val ds = store.dataset()
+    assert(ds.schema.fieldNames.toSeq == desc.standardDims :+ "value")
+    assert(ds.count() == 160)
+    val expect = grid(1, 4)
+      .filter(col("hindcast_reference_time") =!= lit(ts("2024-01-02T00:00:00")))
+      .unionByName(update)
+    assert(collectSet(ds.select(desc.columns.map(col): _*))
+      == collectSet(expect.select(desc.columns.map(col): _*)))
+  }
 }
