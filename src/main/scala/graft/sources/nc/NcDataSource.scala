@@ -159,13 +159,23 @@ object NcTable {
       val splitBytes = Option(options.get("splitBytes")).map(_.toLong)
         .getOrElse(128L * 1024 * 1024)
       val filePaths = files.map(_.getPath.toString)
-      val doc = graft.sources.h5.Hdf5Kerchunk.combineHdf5(conf, filePaths)
+      // resolve runs twice per read (inferSchema, then getTable) and the
+      // manifest walks every file's metadata — memoize per (path, mtime,
+      // length) set like the classic-NC layout cache
+      val key = files.map(st =>
+        (st.getPath.toString, st.getModificationTime, st.getLen))
+      val store = h5StoreCache.computeIfAbsent(key, _ =>
+        graft.sources.zarr.ZarrMeta.resolveRefsDoc(
+          graft.sources.h5.Hdf5Kerchunk.combineHdf5(conf, filePaths)))
+      if (h5StoreCache.size > 1024) h5StoreCache.clear()
       val label = paths.mkString(",") +
         (if (filePaths.length > 1) s" (${filePaths.length} nc4 files)" else "")
-      graft.sources.zarr.ZarrTable.fromStore(conf, label,
-        graft.sources.zarr.ZarrMeta.resolveRefsDoc(doc), splitBytes)
+      graft.sources.zarr.ZarrTable.fromStore(conf, label, store, splitBytes)
     }
   }
+
+  private val h5StoreCache = new java.util.concurrent.ConcurrentHashMap[
+    Seq[(String, Long, Long)], graft.sources.zarr.ZarrMeta.ResolvedStore]()
 
   def resolve(options: CaseInsensitiveStringMap,
       providedSchema: Option[StructType] = None): NcTable = {
