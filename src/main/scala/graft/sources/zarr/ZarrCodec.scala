@@ -67,9 +67,25 @@ object ZarrCodec {
   case object BloscCodec extends Codec {
     def encode(raw: Array[Byte]): Array[Byte] =
       throw new UnsupportedOperationException(
-        "blosc encode is not supported; write with zlib/gzip/null instead")
+        "generic blosc encode needs a typesize; use BloscLz4Codec(typesize)")
     def decode(buf: Array[Byte], rawLen: Int): Array[Byte] = bloscDecode(buf)
     def json: JValue = JObj(Seq("id" -> JStr("blosc")))
+  }
+
+  /** Blosc-LZ4 + byte-shuffle ENCODE — the reference's default numcodecs
+    * compressor (metadata.py:939-959), so stores this engine writes carry
+    * the same codec the reference's own tooling writes and reads. Emits
+    * dont-split blocks (one stream per block — a mode every c-blosc build
+    * reads) and falls back to memcpy mode when compression doesn't pay,
+    * exactly like c-blosc. Decode goes through the shared container
+    * reader, which is pinned against real c-blosc output. */
+  final case class BloscLz4Codec(typesize: Int, clevel: Int = 5) extends Codec {
+    require(typesize >= 1 && typesize <= 255, s"blosc typesize $typesize")
+    def encode(raw: Array[Byte]): Array[Byte] = bloscLz4Encode(raw, typesize)
+    def decode(buf: Array[Byte], rawLen: Int): Array[Byte] = bloscDecode(buf)
+    def json: JValue = JObj(Seq(
+      "id" -> JStr("blosc"), "cname" -> JStr("lz4"), "clevel" -> JNum(clevel),
+      "shuffle" -> JNum(1), "blocksize" -> JNum(0)))
   }
 
   /** Parse a `.zarray` compressor value. Unknown ids fail loudly at PLANNING
@@ -244,5 +260,134 @@ object ZarrCodec {
       b += 1
     }
     System.arraycopy(tmp, 0, data, off, n * typesize)
+  }
+
+  /** Forward byte-shuffle of one block (inverse of [[unshuffleBlock]]). */
+  private[zarr] def shuffleBlock(data: Array[Byte], off: Int, len: Int,
+      typesize: Int): Array[Byte] = {
+    val n = len / typesize
+    val out = new Array[Byte](len)
+    var b = 0
+    while (b < typesize) {
+      var i = 0
+      while (i < n) { out(b * n + i) = data(off + i * typesize + b); i += 1 }
+      b += 1
+    }
+    var t = n * typesize
+    while (t < len) { out(t) = data(off + t); t += 1 }
+    out
+  }
+
+  // ----------------------------------------------------------- LZ4 encode
+
+  /** LZ4 BLOCK format compression: greedy 4-byte-hash matcher, spec rules
+    * observed (final sequence is literals-only; the last 5 bytes are
+    * always literals; a match never starts within the last 12 bytes).
+    * Output is readable by any conformant LZ4 decoder; round-trips are
+    * gated through [[lz4Decompress]], which real c-blosc output pins. */
+  def lz4Compress(src: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, len / 2))
+    def varLen(base: Int): Unit = {
+      var rest = base
+      while (rest >= 0xFF) { out.write(0xFF); rest -= 0xFF }
+      out.write(rest)
+    }
+    def emit(litFrom: Int, litLen: Int, matchOff: Int, matchLen: Int): Unit = {
+      val litTok = math.min(litLen, 15)
+      val mlTok = if (matchLen == 0) 0 else math.min(matchLen - 4, 15)
+      out.write((litTok << 4) | mlTok)
+      if (litTok == 15) varLen(litLen - 15)
+      out.write(src, litFrom, litLen)
+      if (matchLen > 0) {
+        out.write(matchOff & 0xFF); out.write((matchOff >> 8) & 0xFF)
+        if (mlTok == 15) varLen(matchLen - 4 - 15)
+      }
+    }
+    if (len < 13) { emit(off, len, 0, 0); return out.toByteArray }
+    val hashBits = 16
+    val table = new Array[Int](1 << hashBits)
+    java.util.Arrays.fill(table, -1)
+    def word(i: Int): Int =
+      (src(i) & 0xFF) | ((src(i + 1) & 0xFF) << 8) |
+        ((src(i + 2) & 0xFF) << 16) | ((src(i + 3) & 0xFF) << 24)
+    def hash(w: Int): Int = (w * -1640531535) >>> (32 - hashBits)
+    val end = off + len
+    val matchLimit = end - 5 // last 5 bytes: literals only
+    val mfLimit = end - 12 // no match may start past here
+    var anchor = off
+    var i = off
+    while (i < mfLimit) {
+      val h = hash(word(i))
+      val cand = table(h)
+      table(h) = i
+      if (cand >= off && i - cand <= 0xFFFF && word(cand) == word(i)) {
+        var m = i + 4
+        var c = cand + 4
+        while (m < matchLimit && src(m) == src(c)) { m += 1; c += 1 }
+        emit(anchor, i - anchor, i - cand, m - i)
+        anchor = m
+        i = m
+      } else i += 1
+    }
+    emit(anchor, end - anchor, 0, 0)
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------- blosc encode
+
+  /** Encode one chunk as a c-blosc 1.x container: per-block byte-shuffle +
+    * LZ4, dont-split streams, memcpy fallback. */
+  private[zarr] def bloscLz4Encode(raw: Array[Byte], typesize: Int): Array[Byte] = {
+    val nbytes = raw.length
+    // block sizing: a few L1-friendly chunks; multiple of typesize so only
+    // the leftover block can be ragged (matches c-blosc's invariant)
+    val blocksize0 = math.min(math.max(nbytes, typesize), 256 * 1024)
+    val blocksize = math.max(typesize, blocksize0 / typesize * typesize)
+    val nblocks = math.max(1, (nbytes + blocksize - 1) / blocksize)
+    val doShuffle = typesize > 1
+    val blocks = (0 until nblocks).map { j =>
+      val boff = j * blocksize
+      val bsize = math.min(blocksize, nbytes - boff)
+      val body =
+        if (doShuffle) shuffleBlock(raw, boff, bsize, typesize)
+        else java.util.Arrays.copyOfRange(raw, boff, boff + bsize)
+      val packed = lz4Compress(body, 0, body.length)
+      // store-verbatim marker: csize == block size means "not compressed"
+      if (packed.length >= body.length) (body.length, body) else (packed.length, packed)
+    }
+    val headerLen = 16 + 4 * nblocks
+    val total = headerLen + blocks.map(_._1 + 4).sum
+    if (total >= nbytes + 16) {
+      // compression lost: memcpy mode stores the ORIGINAL buffer
+      val out = new Array[Byte](16 + nbytes)
+      out(0) = 2; out(1) = 1
+      out(2) = (0x2 | (if (doShuffle) 0x1 else 0) | (1 << 5)).toByte
+      out(3) = typesize.toByte
+      putLe32(out, 4, nbytes)
+      putLe32(out, 8, blocksize)
+      putLe32(out, 12, 16 + nbytes)
+      System.arraycopy(raw, 0, out, 16, nbytes)
+      return out
+    }
+    val out = new Array[Byte](total)
+    out(0) = 2; out(1) = 1 // version, versionlz
+    out(2) = ((if (doShuffle) 0x1 else 0) | 0x10 | (1 << 5)).toByte // shuffle+dontsplit+lz4
+    out(3) = typesize.toByte
+    putLe32(out, 4, nbytes)
+    putLe32(out, 8, blocksize)
+    putLe32(out, 12, total)
+    var pos = headerLen
+    blocks.zipWithIndex.foreach { case ((csize, body), j) =>
+      putLe32(out, 16 + 4 * j, pos)
+      putLe32(out, pos, csize)
+      System.arraycopy(body, 0, out, pos + 4, csize)
+      pos += 4 + csize
+    }
+    out
+  }
+
+  private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
   }
 }

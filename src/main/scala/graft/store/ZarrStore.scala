@@ -283,12 +283,25 @@ final class ZarrStore(
           case (vals, c) => math.min(math.max(c, 1), math.max(vals.length, 1))
         })
 
+  /** Codec for writes: an UPDATE must keep encoding in whatever codec the
+    * store's `.zarray` declares (otherwise newly-written chunks disagree
+    * with the persisted metadata and every reader decodes garbage). Only
+    * an initial write / rebuild uses the constructor's codec. A persisted
+    * decode-only blosc declaration maps to the LZ4 encoder (same id, same
+    * container). */
+  private def writeCodec: ZarrCodec.Codec =
+    listArrays().toMap.get(desc.dataVar).map(_.codec) match {
+      case Some(ZarrCodec.BloscCodec) => ZarrCodec.BloscLz4Codec(typesize = 8)
+      case Some(c) => c
+      case None => codec
+    }
+
   private def dataMeta(nt: Int, spatial: Seq[Array[Double]]): ZArrayMeta =
     ZArrayMeta(
       shape = nt +: spatial.map(_.length),
       chunks = chunkShape(spatial),
       dtype = ZarrMeta.parseDtype("<f8"),
-      codec = codec,
+      codec = writeCodec,
       fill = Some(Double.NaN),
       dimSeparator = ".",
       attrs = JObj(Seq(
@@ -302,7 +315,7 @@ final class ZarrStore(
       shape = Seq(timeMicros.length),
       chunks = Seq(math.max(timeMicros.length, 1)),
       dtype = ZarrMeta.parseDtype("<i8"),
-      codec = codec, fill = None, dimSeparator = ".",
+      codec = writeCodec, fill = None, dimSeparator = ".",
       attrs = JObj(Seq(
         "_ARRAY_DIMENSIONS" -> graft.meta.JArr(Seq(JStr(timeCol))),
         "units" -> JStr(TimeUnits),
@@ -312,7 +325,7 @@ final class ZarrStore(
       val m = ZArrayMeta(
         shape = Seq(vals.length), chunks = Seq(math.max(vals.length, 1)),
         dtype = ZarrMeta.parseDtype("<f8"),
-        codec = codec, fill = None, dimSeparator = ".",
+        codec = writeCodec, fill = None, dimSeparator = ".",
         attrs = JObj(Seq(
           "_ARRAY_DIMENSIONS" -> graft.meta.JArr(Seq(JStr(dim))))))
       ZarrIO.writeArray(conf, path, dim, m, vals)

@@ -188,10 +188,77 @@ class ZarrCodecSpec extends AnyFunSuite {
     assert(new String(out) == "abcdefgh" + "abcdefgh" + "h" * 12 + "z")
   }
 
-  test("zlib and gzip codecs round-trip; blosc refuses encode") {
+  test("zlib and gzip codecs round-trip; bare blosc refuses encode") {
     val raw = doubles(100)
     assert(ZarrCodec.ZlibCodec(1).decode(ZarrCodec.ZlibCodec(1).encode(raw), raw.length).toSeq == raw.toSeq)
     assert(ZarrCodec.GzipCodec(1).decode(ZarrCodec.GzipCodec(1).encode(raw), raw.length).toSeq == raw.toSeq)
     intercept[UnsupportedOperationException](ZarrCodec.BloscCodec.encode(raw))
+  }
+
+  // ----------------------------------------------------------- lz4 encode
+
+  test("lz4 compressor round-trips through the c-blosc-pinned decoder (fuzz)") {
+    val rnd = new scala.util.Random(42)
+    (0 until 30).foreach { trial =>
+      val n = 13 + rnd.nextInt(5000)
+      val src = new Array[Byte](n)
+      trial % 3 match {
+        case 0 => rnd.nextBytes(src) // incompressible
+        case 1 => (0 until n).foreach(i => src(i) = (i % 17).toByte) // periodic
+        case 2 => (0 until n).foreach(i => // runs + noise
+          src(i) = if (rnd.nextInt(10) == 0) rnd.nextInt(256).toByte else 7)
+      }
+      val packed = ZarrCodec.lz4Compress(src, 0, n)
+      val back = ZarrCodec.lz4Decompress(packed, 0, packed.length, n)
+      assert(back.toSeq == src.toSeq, s"trial $trial (n=$n)")
+    }
+  }
+
+  test("lz4 compressor handles tiny inputs (literals-only path)") {
+    (0 to 13).foreach { n =>
+      val src = Array.tabulate(n)(_.toByte)
+      val packed = ZarrCodec.lz4Compress(src, 0, n)
+      assert(ZarrCodec.lz4Decompress(packed, 0, packed.length, n).toSeq == src.toSeq)
+    }
+  }
+
+  // --------------------------------------------------------- blosc encode
+
+  test("blosc-lz4 encode round-trips multi-block shuffled chunks") {
+    // > 256 KB of f8 → multiple blocks incl. a ragged leftover
+    val n = 50000
+    val buf = java.nio.ByteBuffer.allocate(n * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => buf.putDouble(i * 0.25))
+    val raw = buf.array()
+    val codec = ZarrCodec.BloscLz4Codec(typesize = 8)
+    val enc = codec.encode(raw)
+    assert(enc.length < raw.length / 2, s"ramp should compress (${enc.length})")
+    assert(codec.decode(enc, raw.length).toSeq == raw.toSeq)
+  }
+
+  test("blosc-lz4 encode falls back to memcpy for incompressible data") {
+    val rnd = new scala.util.Random(7)
+    val raw = new Array[Byte](4096)
+    rnd.nextBytes(raw)
+    val codec = ZarrCodec.BloscLz4Codec(typesize = 8)
+    val enc = codec.encode(raw)
+    assert(enc.length == raw.length + 16) // header + verbatim payload
+    assert((enc(2) & 0x2) != 0, "memcpy flag must be set")
+    assert(codec.decode(enc, raw.length).toSeq == raw.toSeq)
+  }
+
+  test("blosc-lz4 encode fuzz across typesizes and sizes") {
+    val rnd = new scala.util.Random(1234)
+    Seq(1, 2, 4, 8).foreach { ts =>
+      Seq(ts, 100 * ts, 4097 * ts).foreach { n =>
+        val raw = new Array[Byte](n)
+        if (rnd.nextBoolean()) rnd.nextBytes(raw)
+        else (0 until n).foreach(i => raw(i) = ((i / ts) % 251).toByte)
+        val codec = ZarrCodec.BloscLz4Codec(typesize = ts)
+        assert(codec.decode(codec.encode(raw), n).toSeq == raw.toSeq,
+          s"ts=$ts n=$n")
+      }
+    }
   }
 }

@@ -159,6 +159,28 @@ class ZarrStoreSpec extends SparkSpec {
     assert(resolved.attrs.get("provenance").contains(graft.meta.JStr("unit-test")))
   }
 
+  test("blosc-lz4 store (the reference's default codec) round-trips, and a " +
+      "reopening writer keeps the persisted codec") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_zarrstore_blosc"
+    GridStore.fileSystem(spark, path).delete(new HPath(path), true)
+    val store = new ZarrStore(spark, path, desc, timeChunk = 8,
+      codec = graft.sources.zarr.ZarrCodec.BloscLz4Codec(typesize = 8))
+    store.publish(dailyGrid(1, 10))
+    // a SECOND instance with the default (zlib) constructor codec must
+    // keep writing blosc — the persisted .zarray wins for updates
+    val reopened = new ZarrStore(spark, path, desc, timeChunk = 8)
+    reopened.publish(dailyGrid(11, 5, base = 100.0))
+    val expect = dailyGrid(1, 10).unionByName(dailyGrid(11, 5, base = 100.0))
+    assert(collectSet(reopened.dataset()
+      .select("time", "latitude", "longitude", "value")) == collectSet(expect))
+    // chunk bytes really are blosc containers (2-byte version prefix 0x02)
+    val fs = GridStore.fileSystem(spark, path)
+    val in = fs.open(new HPath(s"$path/value/1.0.0"))
+    val head = new Array[Byte](2)
+    try in.readFully(0, head) finally in.close()
+    assert(head(0) == 2, "chunk written on reopen must still be blosc")
+  }
+
   test("time predicate on the reopened store prunes chunks") {
     val store = freshStore("prune")
     store.publish(dailyGrid(1, 20)) // chunks 0,1,2 along time
