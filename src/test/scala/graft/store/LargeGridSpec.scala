@@ -56,4 +56,45 @@ class LargeGridSpec extends SparkSpec {
     // day 5 appended
     assert(cell(5, 0.0, 1.0) == 1.0)
   }
+
+  test("native ZarrStore at the same tier: chunked distributed write, pruned lookups") {
+    val days = 4
+    val side = 250 // 62.5k cells/day, 312.5k rows total incl. append
+    val root = Files.createTempDirectory("large_zarr").toString
+    val desc = DatasetDescriptor("largez", "value",
+      spatialDims = Seq("latitude", "longitude"), timeResolution = TimeSpan.Daily)
+    // spatial chunks 64×64 → each day spans 16 chunks; timeChunk 2 → the
+    // data path fans out across (days/2)×16 chunk tasks
+    val store = new ZarrStore(spark, s"$root/zstore", desc,
+      timeChunk = 2, spatialChunks = Some(Seq(64, 64)),
+      codec = graft.sources.zarr.ZarrCodec.BloscLz4Codec(typesize = 8))
+
+    def grid(startDay: Int, nDays: Int, base: Double) = {
+      spark.range(nDays.toLong * side * side).select(
+        (expr(s"timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id / ${side * side} AS INT) + ${startDay - 1},0,0,0)"))
+          .cast("timestamp_ntz").as("time"),
+        ((col("id") % (side * side)) / side).cast("int").cast("double").as("latitude"),
+        (col("id") % side).cast("double").as("longitude"),
+        (lit(base) + col("id") % 1000).cast("double").as("value"))
+    }
+
+    store.publish(grid(1, days, 0.0))
+    val update = grid(2, 1, 1e6).unionByName(grid(5, 1, 0.0))
+    store.publish(update)
+    val ds = store.dataset()
+    assert(ds.count() == (days + 1).toLong * side * side)
+
+    // pruned range read: 1 day = 1 time index → only chunks of one time
+    // chunk row are fetched
+    val day3 = store.readRange(ts("2024-01-03T00:00:00"), ts("2024-01-03T00:00:00"))
+    assert(day3.count() == side.toLong * side)
+
+    def cell(day: Int, lat: Double, lon: Double): Double =
+      ds.filter(col("time") === lit(java.time.LocalDateTime.parse(f"2024-01-0${day}T00:00:00")) &&
+          col("latitude") === lat && col("longitude") === lon)
+        .select("value").head().getDouble(0)
+    assert(cell(2, 123.0, 45.0) == 1e6 + (123 * side + 45) % 1000)
+    assert(cell(3, 7.0, 9.0) == (2L * side * side + 7 * side + 9) % 1000)
+    assert(cell(5, 0.0, 1.0) == 1.0)
+  }
 }
