@@ -492,26 +492,51 @@ object GribFormat {
       values: Array[Double],
       decimalScale: Int = 0,
       leadHours: Int = 0,
+      complexPacking: Boolean = false): Unit =
+    writeMessage2Fields(out, refTime, lats, lons,
+      Seq((paramId, leadHours, values)), decimalScale, complexPacking)
+
+  /** Write one GRIB2 MESSAGE carrying one or more FIELDS: sections 0-3 are
+    * shared, each field contributes its own section 4-7 group (WMO FM 92
+    * multi-field form — how archives pack several parameters of one grid
+    * and reference time into one message). */
+  def writeMessage2Fields(
+      out: DataOutputStream,
+      refTime: java.time.LocalDateTime,
+      lats: Seq[Double], lons: Seq[Double],
+      fields: Seq[(Int, Int, Array[Double])], // (paramId, leadHours, values)
+      decimalScale: Int = 0,
       complexPacking: Boolean = false): Unit = {
-    require(leadHours >= 0, s"negative lead $leadHours")
-    require(paramId >= 0 && paramId <= 0xFFFF, s"paramId $paramId not (cat<<8)|num")
+    require(fields.nonEmpty, "a GRIB2 message needs at least one field")
     val nj = lats.length; val ni = lons.length
-    require(values.length == ni * nj, s"${values.length} values for $ni x $nj grid")
-    val (scaled, minV, bits, bitmap) = packPlan(values, decimalScale)
-    // the reference value travels as IEEE float32 — exact for ints < 2^24
-    val refValue = minV.toFloat
-    require(refValue.toLong == minV, s"reference $minV not exact in float32")
-    val complexParts: Option[(ComplexParams, Array[Byte], Int)] =
-      if (complexPacking) Some(complexPack(scaled, minV)) else None
-    val dataBits = scaled.length.toLong * bits
-    val dataByteLen = complexParts match {
-      case Some((_, bytes, _)) => bytes.length
-      case None => ((dataBits + 7) / 8).toInt
+
+    final case class FieldPlan(
+        paramId: Int, leadHours: Int,
+        scaled: Array[Long], minV: Long, bits: Int,
+        bitmap: Option[Array[Byte]],
+        complexParts: Option[(ComplexParams, Array[Byte], Int)],
+        sec5Len: Int, sec6Len: Int, sec7Len: Int)
+
+    val plans = fields.map { case (paramId, leadHours, values) =>
+      require(leadHours >= 0, s"negative lead $leadHours")
+      require(paramId >= 0 && paramId <= 0xFFFF, s"paramId $paramId not (cat<<8)|num")
+      require(values.length == ni * nj, s"${values.length} values for $ni x $nj grid")
+      val (scaled, minV, bits, bitmap) = packPlan(values, decimalScale)
+      // the reference value travels as IEEE float32 — exact for ints < 2^24
+      require(minV.toFloat.toLong == minV, s"reference $minV not exact in float32")
+      val complexParts =
+        if (complexPacking) Some(complexPack(scaled, minV)) else None
+      val dataByteLen = complexParts match {
+        case Some((_, bytes, _)) => bytes.length
+        case None => ((scaled.length.toLong * bits + 7) / 8).toInt
+      }
+      FieldPlan(paramId, leadHours, scaled, minV, bits, bitmap, complexParts,
+        sec5Len = if (complexPacking) 47 else 21,
+        sec6Len = 6 + bitmap.map(_.length).getOrElse(0),
+        sec7Len = 5 + dataByteLen)
     }
-    val sec5Len = if (complexPacking) 47 else 21
-    val sec6Len = 6 + bitmap.map(_.length).getOrElse(0)
-    val sec7Len = 5 + dataByteLen
-    val total = 16L + 21 + 72 + 34 + sec5Len + sec6Len + sec7Len + 4
+    val total = 16L + 21 + 72 +
+      plans.map(p => 34L + p.sec5Len + p.sec6Len + p.sec7Len).sum + 4
 
     // Section 0 — indicator
     out.writeBytes("GRIB")
@@ -549,59 +574,62 @@ object GribFormat {
     val dj = if (nj > 1) udeg(math.abs(lats.last - lats.head) / (nj - 1)) else 0
     out.writeInt(di); out.writeInt(dj)
     out.writeByte(if (lats.last >= lats.head) 0x40 else 0x00) // scanning mode
-    // Section 4 — product definition, template 4.0
-    out.writeInt(34); out.writeByte(4)
-    out.writeShort(0) // no coordinate values
-    out.writeShort(0) // template 4.0
-    out.writeByte((paramId >> 8) & 0xFF) // parameter category
-    out.writeByte(paramId & 0xFF) // parameter number
-    out.writeByte(2); out.writeByte(0); out.writeByte(0) // process type/bg/id
-    out.writeShort(0); out.writeByte(0) // cutoff
-    out.writeByte(1) // time unit: hours
-    out.writeInt(leadHours) // forecast time
-    out.writeByte(1); out.writeByte(0); out.writeInt(0) // surface 1: ground
-    out.writeByte(255); out.writeByte(255); out.writeInt(-1) // surface 2: none
-    // Section 5 — data representation (template 5.0 simple / 5.2 complex);
-    // ndata = number of points carried in section 7 (present cells only)
-    out.writeInt(sec5Len); out.writeByte(5)
-    out.writeInt(scaled.length)
-    complexParts match {
-      case None =>
-        out.writeShort(0) // template 5.0
-        out.writeInt(java.lang.Float.floatToIntBits(refValue))
-        writeSm(out, 0, 2) // binary scale E = 0
-        writeSm(out, decimalScale, 2)
-        out.writeByte(bits)
-        out.writeByte(0) // field type: floating point
-      case Some((cp, _, refBits)) =>
-        out.writeShort(2) // template 5.2
-        out.writeInt(java.lang.Float.floatToIntBits(refValue))
-        writeSm(out, 0, 2) // binary scale E = 0
-        writeSm(out, decimalScale, 2)
-        out.writeByte(refBits) // bits per group reference
-        out.writeByte(0) // field type: floating point
-        out.writeByte(1) // group splitting: general
-        out.writeByte(0) // missing-value management: none (bitmap carries holes)
-        out.writeInt(0); out.writeInt(0) // primary/secondary missing substitutes
-        out.writeInt(cp.ng)
-        out.writeByte(cp.widthRef)
-        out.writeByte(cp.widthBits)
-        out.writeInt(cp.lengthRef.toInt)
-        out.writeByte(cp.lengthInc)
-        out.writeInt(cp.lastLength.toInt)
-        out.writeByte(cp.lengthBits)
-    }
-    // Section 6 — bitmap (indicator 0) or none (255)
-    out.writeInt(sec6Len); out.writeByte(6)
-    bitmap match {
-      case Some(bm) => out.writeByte(0); out.write(bm)
-      case None => out.writeByte(255)
-    }
-    // Section 7 — data
-    out.writeInt(sec7Len); out.writeByte(7)
-    complexParts match {
-      case Some((_, bytes, _)) => out.write(bytes)
-      case None => writePacked(out, scaled, minV, bits)
+    plans.foreach { p =>
+      val refValue = p.minV.toFloat
+      // Section 4 — product definition, template 4.0
+      out.writeInt(34); out.writeByte(4)
+      out.writeShort(0) // no coordinate values
+      out.writeShort(0) // template 4.0
+      out.writeByte((p.paramId >> 8) & 0xFF) // parameter category
+      out.writeByte(p.paramId & 0xFF) // parameter number
+      out.writeByte(2); out.writeByte(0); out.writeByte(0) // process type/bg/id
+      out.writeShort(0); out.writeByte(0) // cutoff
+      out.writeByte(1) // time unit: hours
+      out.writeInt(p.leadHours) // forecast time
+      out.writeByte(1); out.writeByte(0); out.writeInt(0) // surface 1: ground
+      out.writeByte(255); out.writeByte(255); out.writeInt(-1) // surface 2: none
+      // Section 5 — data representation (template 5.0 simple / 5.2 complex);
+      // ndata = number of points carried in section 7 (present cells only)
+      out.writeInt(p.sec5Len); out.writeByte(5)
+      out.writeInt(p.scaled.length)
+      p.complexParts match {
+        case None =>
+          out.writeShort(0) // template 5.0
+          out.writeInt(java.lang.Float.floatToIntBits(refValue))
+          writeSm(out, 0, 2) // binary scale E = 0
+          writeSm(out, decimalScale, 2)
+          out.writeByte(p.bits)
+          out.writeByte(0) // field type: floating point
+        case Some((cp, _, refBits)) =>
+          out.writeShort(2) // template 5.2
+          out.writeInt(java.lang.Float.floatToIntBits(refValue))
+          writeSm(out, 0, 2) // binary scale E = 0
+          writeSm(out, decimalScale, 2)
+          out.writeByte(refBits) // bits per group reference
+          out.writeByte(0) // field type: floating point
+          out.writeByte(1) // group splitting: general
+          out.writeByte(0) // missing-value management: none (bitmap carries holes)
+          out.writeInt(0); out.writeInt(0) // primary/secondary missing substitutes
+          out.writeInt(cp.ng)
+          out.writeByte(cp.widthRef)
+          out.writeByte(cp.widthBits)
+          out.writeInt(cp.lengthRef.toInt)
+          out.writeByte(cp.lengthInc)
+          out.writeInt(cp.lastLength.toInt)
+          out.writeByte(cp.lengthBits)
+      }
+      // Section 6 — bitmap (indicator 0) or none (255)
+      out.writeInt(p.sec6Len); out.writeByte(6)
+      p.bitmap match {
+        case Some(bm) => out.writeByte(0); out.write(bm)
+        case None => out.writeByte(255)
+      }
+      // Section 7 — data
+      out.writeInt(p.sec7Len); out.writeByte(7)
+      p.complexParts match {
+        case Some((_, bytes, _)) => out.write(bytes)
+        case None => writePacked(out, p.scaled, p.minV, p.bits)
+      }
     }
     // Section 8 — end
     out.writeBytes("7777")
@@ -637,10 +665,14 @@ object GribFormat {
 
     /** Edition-2 message body: a stream of (length, number, body) sections
       * bracketed by section 0 (already consumed as `head` + the 8 length
-      * bytes) and the "7777" end section. */
-    def parseEdition2(msgStart: Long): GribMessage = {
+      * bytes) and the "7777" end section. A MESSAGE may carry several
+      * FIELDS (repeated section 4-7 groups sharing the earlier sections,
+      * WMO FM 92 §2) — every completed section 7 snapshots one
+      * [[GribMessage]] from the current section state. */
+    def parseEdition2(msgStart: Long): Seq[GribMessage] = {
       val total = u64(readN(8), 0)
       require(total <= Int.MaxValue, s"GRIB2 message of $total bytes unsupported")
+      val fields = scala.collection.mutable.ArrayBuffer.empty[GribMessage]
       var paramId = -1
       var refTime0: java.time.LocalDateTime = null
       var timeUnit = 1
@@ -650,12 +682,10 @@ object GribFormat {
       var decimalScale = 0; var binaryScale = 0
       var refValue = 0.0
       var bits = 0
-      var dataOffset = 0L
-      var dataBytes = 0
       var bitmapOffset = -1L; var bitmapBytes = 0
       var complex: Option[ComplexParams] = None
       var lcc: Option[LccGrid] = None
-      var seenRepr = false; var seenData = false
+      var seenRepr = false
       var done = false
       while (!done) {
         val first4 = readN(4)
@@ -669,24 +699,33 @@ object GribFormat {
           val num = readN(1)(0) & 0xFF
           // body(i) is section octet i+6 (1-based octets in the WMO tables)
           if (num == 7) {
-            // multi-field messages (a second 4-7 group) would silently
-            // overwrite the first field's state — refuse loudly like every
-            // other out-of-subset condition
-            require(!seenData,
-              "Multi-field GRIB2 messages (repeated section 4-7 groups) unsupported")
-            seenData = true
-            dataOffset = offset
-            dataBytes = secLen - 5
+            val dataOffset = offset
+            val dataBytes = secLen - 5
             skipN((secLen - 5).toLong)
+            require(refTime0 != null && paramId >= 0 && ni > 0 && seenRepr,
+              "GRIB2 field reached section 7 without sections 1, 3, 4 and 5")
+            val validTime = timeUnit match {
+              case 0 => refTime0.plusMinutes(forecast)
+              case 1 => refTime0.plusHours(forecast)
+              case 2 => refTime0.plusDays(forecast)
+              case u => throw new IllegalArgumentException(
+                s"GRIB2 time unit $u unsupported (0=min, 1=hour, 2=day)")
+            }
+            fields += GribMessage(paramId, validTime, ni, nj, la1, lo1, la2,
+              lo2, decimalScale, binaryScale, refValue, bits, dataOffset,
+              dataBytes, total.toInt, bitmapOffset, bitmapBytes, complex, lcc)
           } else if (num == 6) {
             val indicator = readN(1)(0) & 0xFF
             indicator match {
-              case 255 => // no bitmap
+              case 255 => // no bitmap for THIS field
+                bitmapOffset = -1L; bitmapBytes = 0
+              case 254 => () // reuse the previously-defined bitmap
               case 0 => // bitmap in this section, right after the indicator
                 bitmapOffset = offset
                 bitmapBytes = secLen - 6
               case other => throw new IllegalArgumentException(
-                s"bitmap indicator $other unsupported (0 = present, 255 = none)")
+                s"bitmap indicator $other unsupported (0 = present, 254 = " +
+                  "previous, 255 = none)")
             }
             skipN((secLen - 6).toLong)
           } else {
@@ -759,6 +798,7 @@ object GribFormat {
                   case 0 =>
                     require((body(15) & 0xFF) == 0,
                       s"field type ${body(15)} unsupported (only 0: floating point)")
+                    complex = None // a later field may revert to simple packing
                   case 2 => // complex packing (template 5.2)
                     require((body(16) & 0xFF) == 1,
                       s"group splitting method ${body(16)} unsupported (1: general)")
@@ -783,18 +823,9 @@ object GribFormat {
       }
       require(offset - msgStart == total,
         s"GRIB2 message length mismatch: read ${offset - msgStart}, declared $total")
-      require(refTime0 != null && paramId >= 0 && ni > 0 && seenRepr && seenData,
+      require(fields.nonEmpty,
         "GRIB2 message missing a required section (1, 3, 4, 5 and 7 all needed)")
-      val validTime = timeUnit match {
-        case 0 => refTime0.plusMinutes(forecast)
-        case 1 => refTime0.plusHours(forecast)
-        case 2 => refTime0.plusDays(forecast)
-        case u => throw new IllegalArgumentException(
-          s"GRIB2 time unit $u unsupported (0=min, 1=hour, 2=day)")
-      }
-      GribMessage(paramId, validTime, ni, nj, la1, lo1, la2, lo2,
-        decimalScale, binaryScale, refValue, bits, dataOffset, dataBytes,
-        total.toInt, bitmapOffset, bitmapBytes, complex, lcc)
+      fields.toSeq
     }
     while (true) {
       // IS or EOF
@@ -813,7 +844,7 @@ object GribFormat {
       offset += 8
       require(new String(head, 0, 4, "US-ASCII") == "GRIB", "Bad GRIB magic")
       if (head(7) == 2) {
-        out += parseEdition2(msgStart)
+        out ++= parseEdition2(msgStart)
       } else {
       val total = u24(head, 4)
       require(head(7) == 1, s"Only GRIB editions 1 and 2 supported, got ${head(7)}")

@@ -106,6 +106,45 @@ class GribBitmapSpec extends SparkSpec {
     }
   }
 
+  test("multi-field GRIB2 message: repeated 4-7 groups, one per parameter") {
+    // one message, three fields sharing sections 0-3: different params,
+    // one with a bitmap, one complex-packed — each must surface as its own
+    // scan row set with the right values
+    val path = s"${System.getProperty("java.io.tmpdir")}/grib_multifield.grb2"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new DataOutputStream(fs.create(
+      new org.apache.hadoop.fs.Path(path), true))
+    try GribFormat.writeMessage2Fields(out,
+      LocalDateTime.parse("2024-04-02T00:00"), lats, lons,
+      fields = Seq(
+        (0x0101, 0, vals(holes = false)),
+        (0x0102, 6, vals(holes = true)), // bitmap field, +6h lead
+        (0x0103, 0, Array.tabulate(12)(k => (k * 7 % 29).toDouble))))
+    finally out.close()
+
+    val in = new java.io.FileInputStream(path)
+    val msgs = try GribFormat.parseMessages(in) finally in.close()
+    assert(msgs.length == 3)
+    assert(msgs.map(_.paramId) == Seq(0x0101, 0x0102, 0x0103))
+    assert(msgs(1).hasBitmap && !msgs(0).hasBitmap && !msgs(2).hasBitmap)
+    assert(msgs(1).refTime == LocalDateTime.parse("2024-04-02T06:00"))
+
+    val df = spark.read.format("grib1").load(path)
+    assert(df.count() == 36)
+    val f2 = df.filter(col("param") === 0x0102)
+      .orderBy("latitude", "longitude").collect()
+    f2.zipWithIndex.foreach { case (r, k) =>
+      if (k == 3 || k == 7) assert(r.isNullAt(4), s"field-2 cell $k")
+      else assert(r.getAs[Double]("value") == k * 2.0, s"field-2 cell $k")
+    }
+    val f3 = df.filter(col("param") === 0x0103)
+      .orderBy("latitude", "longitude").collect()
+    f3.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getAs[Double]("value") == (k * 7 % 29).toDouble, s"field-3 cell $k")
+    }
+  }
+
   test("bitmap message survives the fuzz writer's even-length padding") {
     // 5 cells → bitmap byte with 3 unused bits; BMS forced odd→even
     val path = s"${System.getProperty("java.io.tmpdir")}/grib_bm_pad.grb"
