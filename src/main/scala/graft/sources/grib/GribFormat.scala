@@ -12,10 +12,14 @@ import java.io.{DataOutputStream, EOFException, InputStream}
   * and parsing resolves both to a Double. Files may mix editions.
   *
   * Edition-1 subset: PDS with full reference time; GDS grid type 0
-  * (regular lat/lon); no bitmap; BDS simple packing.
-  * Edition-2 subset: grid template 3.0 (regular lat/lon, 10⁻⁶ degrees),
-  * product template 4.0, data representation template 5.0 (simple
-  * packing, IEEE float reference), bitmap indicator 255 (none).
+  * (regular lat/lon); BMS bitmaps (inline); BDS simple packing.
+  * Edition-2 subset: grid templates 3.0 (regular lat/lon, 10⁻⁶ degrees)
+  * and 3.30 (Lambert conformal — RTMA/HRRR grids); product templates 4.0
+  * and 4.8; data representation templates 5.0 (simple packing, IEEE
+  * float reference) and 5.2 (complex packing, byte-aligned group
+  * streams); section-6 bitmaps (present/previous/none); multi-FIELD
+  * messages (repeated section 4-7 groups). Validated against NCEP's
+  * rtma_pcp.grib (the reference's own test input).
   *
   * All multi-byte integers are big-endian; "signed" GRIB fields are
   * SIGN-MAGNITUDE (high bit = sign) in both editions, not two's

@@ -187,7 +187,15 @@ final class ZarrStore(
   /** W2 — publish dispatch (publish.py:86-129). */
   def publish(update: DataFrame, rebuild: Boolean = false): Unit = {
     if (!hasExisting || rebuild) writeInitial(update)
-    else writeUpdate(update)
+    else {
+      // v3 stores: scan + attrs patching are supported; the chunk-update
+      // machinery targets the v2 layout (the reference's own write format,
+      // publish.py:155-268) — refuse rather than mix sidecar conventions
+      require(!isV3,
+        s"$path is a zarr v3 store: reads and metadata patches are " +
+          "supported, data updates require a v2 store (rebuild=true rewrites)")
+      writeUpdate(update)
+    }
   }
 
   /** W3 — initial write: axes from the frame, metadata + coords from the

@@ -139,6 +139,18 @@ class ZarrV3Spec extends SparkSpec {
     assert(spark.read.format("zarr").load(v3).count() == 20)
   }
 
+  test("data updates on a v3 store refuse loudly (read + attrs-patch only)") {
+    val (_, v3) = buildStores("noupdate", consolidated = true)
+    val store = new graft.store.ZarrStore(spark,
+      v3, graft.model.DatasetDescriptor("t", "v", spatialDims = Seq("x"),
+        timeResolution = graft.model.TimeSpan.Daily))
+    val sp = spark; import sp.implicits._
+    val upd = Seq((ts("2024-06-01T00:00:00"), 0.5, 1.0))
+      .toDF("time", "x", "v")
+    val ex = intercept[IllegalArgumentException](store.publish(upd))
+    assert(ex.getMessage.contains("v3"))
+  }
+
   test("time axis decodes as CF timestamps through v3 dimension_names/attrs") {
     val (_, v3) = buildStores("time", consolidated = true)
     val rows = spark.read.format("zarr").load(v3).orderBy("time", "x").collect()
