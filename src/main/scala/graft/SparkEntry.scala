@@ -1044,6 +1044,29 @@ object SparkEntry {
       Kerchunk.writeManifest(conf, manifest, mPath)
       s.read.format("kerchunk").load(mPath).orderBy("time", "slot")
     }),
+
+    // q80's publish→update→reopen lifecycle, zarr FORMAT 3: zarr.json
+    // documents, c/-prefixed chunk keys, consolidated_metadata — the
+    // reference reads/writes both formats (store.py:229-262), so the
+    // engine must publish either on demand. Same oracle as q80.
+    "q84_zarr_v3_roundtrip" -> ((s, dir) => {
+      val grid = eventsWithDay(s, dir)
+        .groupBy(col("d").as("time"),
+          (col("event_id") % 10).cast("double").as("slot"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val desc = DatasetDescriptor("events_grid_v3", "n",
+        spatialDims = Seq("slot"), timeResolution = TimeSpan.Daily)
+      val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zarr_v3_$sf"
+      GridStore.fileSystem(s, path).delete(new org.apache.hadoop.fs.Path(path), true)
+      val store = new ZarrStore(s, path, desc, timeChunk = 8,
+        spatialChunks = Some(Seq(4)), zarrFormat = 3)
+      store.publish(grid.filter(col("time") < ldt("2024-01-21T00:00:00")))
+      store.publish(grid
+        .filter(col("time").between(ldt("2024-01-15T00:00:00"), ldt("2024-01-25T00:00:00")))
+        .withColumn("n", col("n") + lit(1000.0)))
+      store.dataset().select("time", "slot", "n").orderBy("time", "slot")
+    }),
   )
 
   // -------------------------------------------------------------- oracleSql
@@ -1362,6 +1385,20 @@ object SparkEntry {
     // 21, the axis the initial publish created); never-written cells are
     // fill → NULL. Updated region (day ≥ 15) carries +1000.
     "q80_zarr_roundtrip" ->
+      s"""WITH g AS (SELECT $DaydSql, CAST(event_id % 10 AS DOUBLE) AS slot,
+         |             CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT d FROM g WHERE d <= TIMESTAMP '2024-01-25 00:00:00'),
+         |slots AS (SELECT DISTINCT slot FROM g WHERE d < TIMESTAMP '2024-01-21 00:00:00'),
+         |spine AS (SELECT d, slot FROM days CROSS JOIN slots)
+         |SELECT spine.d AS time, spine.slot AS slot,
+         |  CASE WHEN g.n IS NULL THEN NULL
+         |       WHEN spine.d >= TIMESTAMP '2024-01-15 00:00:00' THEN g.n + 1000
+         |       ELSE g.n END AS n
+         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+         |ORDER BY time, slot""".stripMargin,
+
+    // identical lifecycle, v3 metadata — the grid contents cannot differ
+    "q84_zarr_v3_roundtrip" ->
       s"""WITH g AS (SELECT $DaydSql, CAST(event_id % 10 AS DOUBLE) AS slot,
          |             CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2),
          |days AS (SELECT DISTINCT d FROM g WHERE d <= TIMESTAMP '2024-01-25 00:00:00'),

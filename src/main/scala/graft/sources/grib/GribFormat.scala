@@ -110,11 +110,17 @@ object GribFormat {
     @transient lazy val origin: (Double, Double) = mapping.forwardXY(la1, lo1)
   }
 
-  /** Edition-2 template 5.2 (complex packing) group parameters. */
+  /** Edition-2 template 5.2/5.3 (complex packing) group parameters.
+    * `spatialOrder` > 0 marks template 5.3: the packed integers are
+    * first/second spatial DIFFERENCES, reconstructed per g2clib
+    * `comunpack` before unscaling; `spatialDescBytes` is the octet width
+    * of the extra descriptors (initial value(s) + overall minimum) that
+    * template 7.3 prepends to the data section. */
   final case class ComplexParams(
       ng: Int,
       widthRef: Int, widthBits: Int,
-      lengthRef: Long, lengthInc: Int, lastLength: Long, lengthBits: Int)
+      lengthRef: Long, lengthInc: Int, lastLength: Long, lengthBits: Int,
+      spatialOrder: Int = 0, spatialDescBytes: Int = 0)
       extends Serializable
 
   /** One parsed message's planning state: grid + packing + the absolute
@@ -208,12 +214,25 @@ object GribFormat {
             else unscale(extract(slab, rank(k).toLong * bitsPerValue,
               bitsPerValue).toDouble)
         case Some(cp) =>
-          // template 7.2: byte-aligned streams of group refs, widths,
+          // template 7.2/7.3: byte-aligned streams of group refs, widths,
           // lengths, then the per-group packed values (layout verified
-          // against NCEP g2clib output, rtma_pcp.grib)
-          val vals = new Array[Double](if (hasBitmap) rank(nValues - 1) +
-            (if (present(nValues - 1)) 1 else 0) else nValues)
+          // against NCEP g2clib output, rtma_pcp.grib). 7.3 prepends the
+          // spatial-differencing extra descriptors.
+          val nPresent = if (hasBitmap) rank(nValues - 1) +
+            (if (present(nValues - 1)) 1 else 0) else nValues
+          val raw = new Array[Long](nPresent)
           var bit = 0L
+          // 7.3 extra descriptors: order initial value(s) + overall minimum,
+          // signed-magnitude in spatialDescBytes octets each (WMO 7.3 note 2)
+          var ival1 = 0L; var ival2 = 0L; var minsd = 0L
+          if (cp.spatialOrder > 0) {
+            val db = cp.spatialDescBytes * 8
+            def signedMag(v: Long): Long =
+              if ((v & (1L << (db - 1))) != 0) -(v & ((1L << (db - 1)) - 1)) else v
+            ival1 = signedMag(extract(slab, bit, db)); bit += db
+            if (cp.spatialOrder == 2) { ival2 = signedMag(extract(slab, bit, db)); bit += db }
+            minsd = signedMag(extract(slab, bit, db)); bit += db
+          }
           val refs = new Array[Long](cp.ng)
           var g = 0
           while (g < cp.ng) { refs(g) = extract(slab, bit, bitsPerValue); bit += bitsPerValue; g += 1 }
@@ -239,15 +258,32 @@ object GribFormat {
           while (g < cp.ng) {
             var i = 0
             while (i < lengths(g)) {
-              vals(out) = unscale((refs(g) + extract(slab, bit, widths(g))).toDouble)
+              raw(out) = refs(g) + extract(slab, bit, widths(g))
               bit += widths(g)
               out += 1
               i += 1
             }
             g += 1
           }
-          require(out == vals.length,
-            s"complex packing decoded $out of ${vals.length} present values")
+          require(out == nPresent,
+            s"complex packing decoded $out of $nPresent present values")
+          // spatial-difference reconstruction (g2clib comunpack.c): the
+          // first `order` entries are REPLACED by the initial values, the
+          // rest shift by the overall minimum and integrate
+          if (cp.spatialOrder == 1 && nPresent > 0) {
+            raw(0) = ival1
+            var n = 1
+            while (n < nPresent) { raw(n) += minsd + raw(n - 1); n += 1 }
+          } else if (cp.spatialOrder == 2 && nPresent > 1) {
+            raw(0) = ival1; raw(1) = ival2
+            var n = 2
+            while (n < nPresent) {
+              raw(n) += minsd + 2 * raw(n - 1) - raw(n - 2); n += 1
+            }
+          }
+          val vals = new Array[Double](nPresent)
+          var j = 0
+          while (j < nPresent) { vals(j) = unscale(raw(j).toDouble); j += 1 }
           (k: Int) => if (!present(k)) Double.NaN else vals(rank(k))
       }
     }
@@ -803,12 +839,22 @@ object GribFormat {
                     require((body(15) & 0xFF) == 0,
                       s"field type ${body(15)} unsupported (only 0: floating point)")
                     complex = None // a later field may revert to simple packing
-                  case 2 => // complex packing (template 5.2)
+                  case t @ (2 | 3) => // complex packing (5.2) / + spatial differencing (5.3)
                     require((body(16) & 0xFF) == 1,
                       s"group splitting method ${body(16)} unsupported (1: general)")
                     require((body(17) & 0xFF) == 0,
                       s"missing-value management ${body(17)} unsupported (0: none — " +
                         "missing cells travel in the bitmap)")
+                    val (order, descBytes) =
+                      if (t == 2) (0, 0)
+                      else ((body(42) & 0xFF, body(43) & 0xFF): @unchecked) match {
+                        case (o, db) =>
+                          require(o == 1 || o == 2,
+                            s"spatial differencing order $o unsupported (1, 2)")
+                          require(db >= 1 && db <= 4,
+                            s"spatial-differencing descriptor width $db octets (1-4)")
+                          (o, db)
+                      }
                     complex = Some(ComplexParams(
                       ng = u32(body, 26).toInt,
                       widthRef = body(30) & 0xFF,
@@ -816,9 +862,11 @@ object GribFormat {
                       lengthRef = u32(body, 32),
                       lengthInc = body(36) & 0xFF,
                       lastLength = u32(body, 37),
-                      lengthBits = body(41) & 0xFF))
+                      lengthBits = body(41) & 0xFF,
+                      spatialOrder = order,
+                      spatialDescBytes = descBytes))
                   case t => throw new IllegalArgumentException(
-                    s"data representation template $t unsupported (5.0, 5.2)")
+                    s"data representation template $t unsupported (5.0, 5.2, 5.3)")
                 }
               case n => throw new IllegalArgumentException(s"Unexpected GRIB2 section $n")
             }

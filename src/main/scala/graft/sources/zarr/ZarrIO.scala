@@ -51,9 +51,15 @@ object ZarrIO {
       meta: ZArrayMeta, data: Array[Double]): Unit = {
     require(data.length == meta.shape.map(_.toLong).product,
       s"$name: ${data.length} cells, shape ${meta.shape} implies ${meta.shape.product}")
-    writeUtf8(conf, s"$root/$name/.zarray", meta.render)
-    if (meta.attrs.fields.nonEmpty)
-      writeUtf8(conf, s"$root/$name/.zattrs", meta.attrs.render)
+    // v3 arrays (keyPrefix "c") keep ALL their metadata in one zarr.json;
+    // v2 splits it across .zarray + .zattrs
+    if (meta.keyPrefix.nonEmpty)
+      writeUtf8(conf, s"$root/$name/zarr.json", meta.renderV3)
+    else {
+      writeUtf8(conf, s"$root/$name/.zarray", meta.render)
+      if (meta.attrs.fields.nonEmpty)
+        writeUtf8(conf, s"$root/$name/.zattrs", meta.attrs.render)
+    }
     // iterate the chunk grid; gather each chunk's cells from the C-order data
     val grid = meta.gridShape
     val coordsList = grid.foldLeft(Seq(Seq.empty[Int])) { case (acc, g) =>
@@ -128,6 +134,26 @@ object ZarrIO {
     writeUtf8(conf, s"$root/.zmetadata", JObj(Seq(
       "metadata" -> JObj(entries),
       "zarr_consolidated_format" -> JNum(1))).render)
+  }
+
+  /** v3 analog of [[writeGroupMetadata]]: ONE root `zarr.json` group
+    * document carrying the attributes and the consolidated per-array
+    * documents (zarr-python writes `consolidated_metadata` the same way;
+    * the reference consolidates v2 stores for the identical one-fetch
+    * reason, store.py:229-262). */
+  def writeGroupMetadataV3(conf: Configuration, root: String, rootAttrs: JObj,
+      arrays: Seq[(String, ZArrayMeta)]): Unit = {
+    val entries = arrays.map { case (name, meta) =>
+      name -> JValue.parse(meta.renderV3)
+    }
+    writeUtf8(conf, s"$root/zarr.json", JObj(Seq(
+      "zarr_format" -> JNum(3),
+      "node_type" -> JStr("group"),
+      "attributes" -> rootAttrs,
+      "consolidated_metadata" -> JObj(Seq(
+        "kind" -> JStr("inline"),
+        "must_understand" -> graft.meta.JBool(false),
+        "metadata" -> JObj(entries))))).render)
   }
 
   // -------------------------------------------------- distributed data path

@@ -39,6 +39,21 @@ object ZarrMeta {
     def render: String =
       (if (size == 1) "|" else if (littleEndian) "<" else ">") + s"$kind$size"
 
+    /** v3 `data_type` name (the inverse of [[ZarrMeta.v3Dtype]]). */
+    def v3Name: String = (kind, size) match {
+      case ('f', 8) => "float64"
+      case ('f', 4) => "float32"
+      case ('i', 8) => "int64"
+      case ('i', 4) => "int32"
+      case ('i', 2) => "int16"
+      case ('i', 1) => "int8"
+      case ('u', 1) => "uint8"
+      case ('u', 2) => "uint16"
+      case ('u', 4) => "uint32"
+      case ('b', 1) => "bool"
+      case _ => throw new IllegalArgumentException(s"No v3 name for dtype $render")
+    }
+
     /** Decode element i of a raw chunk buffer to the Catalyst-internal value
       * for [[sparkType]]. */
     def decode(buf: Array[Byte], i: Int): Any = {
@@ -209,6 +224,57 @@ object ZarrMeta {
       else if (f.isPosInfinity) JStr("Infinity")
       else if (f.isNegInfinity) JStr("-Infinity")
       else JNum(f)
+
+    /** v3 array document (`zarr.json`, zarr v3 core spec) — the inverse of
+      * [[ZarrMeta.parseV3Array]]. The v2 `_ARRAY_DIMENSIONS` convention
+      * becomes the spec-level `dimension_names` member (the parser
+      * normalizes it back, so roundtrips are lossless). `gzip` is the
+      * portable compressor choice for v3 (`zlib` roundtrips with this
+      * reader but is not a registered zarr-python v3 codec). */
+    def renderV3: String = {
+      require(filters.isEmpty, "v3 arrays carry no v2-style filters")
+      val bytesCodec: JValue = JObj(Seq(
+        "name" -> JStr("bytes"),
+        "configuration" -> JObj(Seq(
+          "endian" -> JStr(if (littleEndianOrByte) "little" else "big")))))
+      val compressor: Seq[JValue] = codec match {
+        case ZarrCodec.NullCodec => Seq.empty
+        case ZarrCodec.ZlibCodec(level) => Seq(JObj(Seq(
+          "name" -> JStr("zlib"),
+          "configuration" -> JObj(Seq("level" -> JNum(level))))))
+        case ZarrCodec.GzipCodec(level) => Seq(JObj(Seq(
+          "name" -> JStr("gzip"),
+          "configuration" -> JObj(Seq("level" -> JNum(level))))))
+        case ZarrCodec.BloscCodec => Seq(JObj(Seq("name" -> JStr("blosc"))))
+        case ZarrCodec.BloscLz4Codec(typesize, clevel) => Seq(JObj(Seq(
+          "name" -> JStr("blosc"),
+          "configuration" -> JObj(Seq(
+            "cname" -> JStr("lz4"), "clevel" -> JNum(clevel),
+            "shuffle" -> JStr("shuffle"), "typesize" -> JNum(typesize),
+            "blocksize" -> JNum(0))))))
+      }
+      val plainAttrs = JObj(attrs.fields.filterNot(_._1 == "_ARRAY_DIMENSIONS"))
+      JObj(Seq(
+        "zarr_format" -> JNum(3),
+        "node_type" -> JStr("array"),
+        "shape" -> JArr(shape.map(s => JNum(s))),
+        "data_type" -> JStr(dtype.v3Name),
+        "chunk_grid" -> JObj(Seq(
+          "name" -> JStr("regular"),
+          "configuration" -> JObj(Seq(
+            "chunk_shape" -> JArr(chunks.map(c => JNum(c))))))),
+        "chunk_key_encoding" -> JObj(Seq(
+          "name" -> JStr("default"),
+          "configuration" -> JObj(Seq("separator" -> JStr(dimSeparator))))),
+        "fill_value" -> fill.map(fillJson).getOrElse(JNull),
+        "codecs" -> JArr(bytesCodec +: compressor),
+      ) ++ dimNames.map(names =>
+        "dimension_names" -> (JArr(names.map(JStr(_))): JValue)).toSeq
+        ++ (if (plainAttrs.fields.isEmpty) Seq.empty
+            else Seq("attributes" -> (plainAttrs: JValue)))).render
+    }
+
+    private def littleEndianOrByte: Boolean = dtype.size == 1 || dtype.littleEndian
   }
 
   def parseZArray(doc: JValue, attrs: JObj): ZArrayMeta = doc match {

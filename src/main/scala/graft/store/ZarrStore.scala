@@ -11,10 +11,12 @@ import graft.model.DatasetDescriptor
 import graft.sources.zarr.{ZarrCodec, ZarrIO, ZarrMeta}
 import graft.sources.zarr.ZarrMeta.ZArrayMeta
 
-/** Incremental grid store in the reference's NATIVE format: a Zarr v2
-  * directory store with chunk-aligned in-place updates — `update_zarr`'s
-  * insert/append machinery (publish.py:322-553) re-expressed as one
-  * distributed read-modify-write job over the touched chunks.
+/** Incremental grid store in the reference's NATIVE format: a Zarr
+  * directory store (v2 `.zattrs`/`.zarray` by default, v3 `zarr.json` on
+  * request — the reference reads and writes both, store.py:229-262) with
+  * chunk-aligned in-place updates — `update_zarr`'s insert/append
+  * machinery (publish.py:322-553) re-expressed as one distributed
+  * read-modify-write job over the touched chunks.
   *
   * Layout: `<path>/.zgroup|.zattrs|.zmetadata` + one array per coordinate
   * (time as CF "seconds since epoch") + the data variable, chunked
@@ -45,7 +47,14 @@ final class ZarrStore(
     /** Per-spatial-dim chunk lengths; None = full extent (small grids). */
     val spatialChunks: Option[Seq[Int]] = None,
     /** Chunk codec; zlib by default so any zarr reader can open the store. */
-    val codec: ZarrCodec.Codec = ZarrCodec.ZlibCodec(1)) {
+    val codec: ZarrCodec.Codec = ZarrCodec.ZlibCodec(1),
+    /** Metadata format for NEW stores: 2 (`.zattrs`/`.zarray`, the
+      * reference's write format) or 3 (`zarr.json` documents, c/-prefixed
+      * chunk keys). An EXISTING store's persisted format always wins —
+      * updates and rebuilds never mix sidecar conventions. */
+    val zarrFormat: Int = 2) {
+
+  require(zarrFormat == 2 || zarrFormat == 3, s"zarr format $zarrFormat (2 or 3)")
 
   import ZarrStore._
 
@@ -69,6 +78,15 @@ final class ZarrStore(
     * `has_v3_metadata` makes the same probe). */
   private def isV3: Boolean =
     GridStore.fileSystem(spark, path).exists(new HPath(s"$path/zarr.json"))
+
+  /** The format every metadata/chunk write must use: the persisted format
+    * when the store exists, the constructor's choice when creating one. */
+  private def useV3: Boolean = isV3 || (zarrFormat == 3 && !hasExisting)
+
+  /** Chunk-key conventions follow the metadata format (v3 keys are
+    * `c/0/0`, v2 keys `0.0`). */
+  private def keySep: String = if (useV3) "/" else "."
+  private def keyPfx: String = if (useV3) "c" else ""
 
   /** Open through the chunk-pruned DSv2 scan. */
   def dataset(): DataFrame = {
@@ -115,11 +133,14 @@ final class ZarrStore(
     val updated = patch.toSeq.sortBy(_._1).foldLeft(readAttrsJson()) {
       case (o, (k, v)) => o.updated(k, JStr(v))
     }
-    if (isV3) {
+    if (useV3) {
       // patch the "attributes" member in place; the rest of zarr.json
-      // (node_type, consolidated_metadata, …) is preserved verbatim
-      val doc = readJsonFile("zarr.json").getOrElse(
-        throw new IllegalStateException(s"$path: zarr.json vanished"))
+      // (node_type, consolidated_metadata, …) is preserved verbatim. An
+      // initial v3 publish patches the commit marker in before any other
+      // metadata exists — seed a minimal group document.
+      val doc = readJsonFile("zarr.json").getOrElse(JObj(Seq(
+        "zarr_format" -> graft.meta.JNum(3),
+        "node_type" -> JStr("group"))))
       ZarrIO.writeUtf8(conf, s"$path/zarr.json",
         doc.updated("attributes", updated).render)
     } else {
@@ -131,13 +152,21 @@ final class ZarrStore(
 
   private def refreshConsolidated(rootAttrs: JObj): Unit = {
     val arrays = listArrays()
-    ZarrIO.writeGroupMetadata(conf, path, rootAttrs, arrays)
+    if (useV3) ZarrIO.writeGroupMetadataV3(conf, path, rootAttrs, arrays)
+    else ZarrIO.writeGroupMetadata(conf, path, rootAttrs, arrays)
   }
 
+  /** Every array under the root, from the PER-ARRAY documents (not the
+    * consolidated doc, which may be mid-rewrite during a publish). */
   private def listArrays(): Seq[(String, ZArrayMeta)] = {
     val fs = GridStore.fileSystem(spark, path)
     val p = new HPath(path)
     if (!fs.exists(p)) Seq.empty
+    else if (useV3) fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+      val name = st.getPath.getName
+      readJsonFile(s"$name/zarr.json").map(doc =>
+        name -> ZarrMeta.parseV3Array(doc))
+    }
     else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
       val name = st.getPath.getName
       val za = new HPath(s"$path/$name/.zarray")
@@ -184,19 +213,12 @@ final class ZarrStore(
 
   // -------------------------------------------------------------- writes
 
-  /** W2 — publish dispatch (publish.py:86-129). */
-  def publish(update: DataFrame, rebuild: Boolean = false): Unit = {
+  /** W2 — publish dispatch (publish.py:86-129). Updates run against either
+    * metadata format — the persisted format decides every key and document
+    * convention (see [[useV3]]). */
+  def publish(update: DataFrame, rebuild: Boolean = false): Unit =
     if (!hasExisting || rebuild) writeInitial(update)
-    else {
-      // v3 stores: scan + attrs patching are supported; the chunk-update
-      // machinery targets the v2 layout (the reference's own write format,
-      // publish.py:155-268) — refuse rather than mix sidecar conventions
-      require(!isV3,
-        s"$path is a zarr v3 store: reads and metadata patches are " +
-          "supported, data updates require a v2 store (rebuild=true rewrites)")
-      writeUpdate(update)
-    }
-  }
+    else writeUpdate(update)
 
   /** W3 — initial write: axes from the frame, metadata + coords from the
     * driver, data chunks distributed. */
@@ -298,22 +320,39 @@ final class ZarrStore(
     * decode-only blosc declaration maps to the LZ4 encoder (same id, same
     * container). */
   private def writeCodec: ZarrCodec.Codec =
-    listArrays().toMap.get(desc.dataVar).map(_.codec) match {
-      case Some(ZarrCodec.BloscCodec) => ZarrCodec.BloscLz4Codec(typesize = 8)
-      case Some(c) => c
+    listArrays().toMap.get(desc.dataVar) match {
+      case Some(m) if m.codec == ZarrCodec.BloscCodec =>
+        ZarrCodec.BloscLz4Codec(typesize = m.dtype.size)
+      case Some(m) => m.codec
       case None => codec
     }
 
-  private def dataMeta(nt: Int, spatial: Seq[Array[Double]]): ZArrayMeta =
-    ZArrayMeta(
-      shape = nt +: spatial.map(_.length),
-      chunks = chunkShape(spatial),
-      dtype = ZarrMeta.parseDtype("<f8"),
-      codec = writeCodec,
-      fill = Some(Double.NaN),
-      dimSeparator = ".",
-      attrs = JObj(Seq(
-        "_ARRAY_DIMENSIONS" -> graft.meta.JArr(dims.map(JStr(_))))))
+  /** Data-variable metadata. An UPDATE reuses the persisted document
+    * wholesale (dtype, fill, chunk grid, key conventions) so chunks written
+    * into an existing store — including an f4 store the reference's own
+    * tooling wrote — stay bit-compatible; only the shape advances. An
+    * initial write starts the engine's native f8 profile. */
+  private def dataMeta(nt: Int, spatial: Seq[Array[Double]]): ZArrayMeta = {
+    val shape = nt +: spatial.map(_.length)
+    listArrays().toMap.get(desc.dataVar) match {
+      case Some(m) =>
+        require(m.filters.isEmpty,
+          s"${desc.dataVar} declares v2 filters — the chunk writer emits " +
+            "codec-only chunks; updates would disagree with the metadata")
+        m.copy(shape = shape, codec = writeCodec)
+      case None =>
+        ZArrayMeta(
+          shape = shape,
+          chunks = chunkShape(spatial),
+          dtype = ZarrMeta.parseDtype("<f8"),
+          codec = writeCodec,
+          fill = Some(Double.NaN),
+          dimSeparator = keySep,
+          attrs = JObj(Seq(
+            "_ARRAY_DIMENSIONS" -> graft.meta.JArr(dims.map(JStr(_))))),
+          keyPrefix = keyPfx)
+    }
+  }
 
   /** Rewrite coordinate arrays + all `.zarray` docs + consolidated
     * metadata for the given axes (driver-side; coords are KB-scale). */
@@ -323,26 +362,31 @@ final class ZarrStore(
       shape = Seq(timeMicros.length),
       chunks = Seq(math.max(timeMicros.length, 1)),
       dtype = ZarrMeta.parseDtype("<i8"),
-      codec = writeCodec, fill = None, dimSeparator = ".",
+      codec = writeCodec, fill = None, dimSeparator = keySep,
       attrs = JObj(Seq(
         "_ARRAY_DIMENSIONS" -> graft.meta.JArr(Seq(JStr(timeCol))),
         "units" -> JStr(TimeUnits),
-        "calendar" -> JStr("proleptic_gregorian"))))
+        "calendar" -> JStr("proleptic_gregorian"))),
+      keyPrefix = keyPfx)
     ZarrIO.writeArray(conf, path, timeCol, timeMeta, timeMicros.map(_.toDouble))
     nonTimeDims.zip(spatial).foreach { case (dim, vals) =>
       val m = ZArrayMeta(
         shape = Seq(vals.length), chunks = Seq(math.max(vals.length, 1)),
         dtype = ZarrMeta.parseDtype("<f8"),
-        codec = writeCodec, fill = None, dimSeparator = ".",
+        codec = writeCodec, fill = None, dimSeparator = keySep,
         attrs = JObj(Seq(
-          "_ARRAY_DIMENSIONS" -> graft.meta.JArr(Seq(JStr(dim))))))
+          "_ARRAY_DIMENSIONS" -> graft.meta.JArr(Seq(JStr(dim))))),
+        keyPrefix = keyPfx)
       ZarrIO.writeArray(conf, path, dim, m, vals)
     }
-    // data .zarray reflects the (possibly extended) shape
-    ZarrIO.writeUtf8(conf, s"$path/${desc.dataVar}/.zarray",
-      dataMeta(timeMicros.length, spatial).render)
-    ZarrIO.writeUtf8(conf, s"$path/${desc.dataVar}/.zattrs",
-      dataMeta(timeMicros.length, spatial).attrs.render)
+    // the data variable's document reflects the (possibly extended) shape
+    val dm = dataMeta(timeMicros.length, spatial)
+    if (useV3)
+      ZarrIO.writeUtf8(conf, s"$path/${desc.dataVar}/zarr.json", dm.renderV3)
+    else {
+      ZarrIO.writeUtf8(conf, s"$path/${desc.dataVar}/.zarray", dm.render)
+      ZarrIO.writeUtf8(conf, s"$path/${desc.dataVar}/.zattrs", dm.attrs.render)
+    }
     refreshConsolidated(readAttrsJson())
   }
 
@@ -350,6 +394,11 @@ final class ZarrStore(
     val arrays = listArrays().toMap
     val meta = arrays.getOrElse(timeCol,
       throw new IllegalStateException(s"Store at $path has no $timeCol axis"))
+    // honor the persisted CF units — a store written by other tooling
+    // typically encodes "hours/days since <epoch>", not raw epoch-micros
+    val (mult, epoch) = meta.attr("units")
+      .flatMap(graft.sources.nc.NcFormat.parseTimeUnits)
+      .getOrElse((1L, 0L))
     val n = meta.shape.head
     val out = new Array[Long](n)
     var c = 0
@@ -359,7 +408,7 @@ final class ZarrStore(
         Some(ZarrMeta.FileChunk(s"$path/$timeCol/${meta.chunkKey(Seq(c))}"))).get
       var i = 0
       while (i < chunk && c * chunk + i < n) {
-        out(c * chunk + i) = meta.dtype.decodeDouble(buf, i).toLong
+        out(c * chunk + i) = meta.dtype.decodeDouble(buf, i).toLong * mult + epoch
         i += 1
       }
       c += 1

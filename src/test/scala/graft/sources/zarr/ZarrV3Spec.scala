@@ -83,23 +83,12 @@ class ZarrV3Spec extends SparkSpec {
           "kind" -> JStr("inline"))): JValue))
       else Seq.empty))
     ZarrIO.writeUtf8(conf, s"$v3/zarr.json", rootDoc.render)
-    entries.foreach { case (name, doc) =>
-      ZarrIO.writeUtf8(conf, s"$v3/$name/zarr.json", doc.render)
-    }
-    // chunks through the SAME writer, with v3 metas (keyPrefix drives c/)
+    // arrays + chunks through the SAME writer — v3 metas (keyPrefix "c")
+    // route writeArray to per-array zarr.json documents and c/-keys
     def v3Meta(doc: JObj): ZArrayMeta = ZarrMeta.parseV3Array(doc)
-    ZarrIO.writeArray(conf, v3, "time", v3Meta(tDoc).copy(attrs = JObj(Seq.empty)),
-      Array.tabulate(5)(_.toDouble))
-    ZarrIO.writeArray(conf, v3, "x", v3Meta(xDoc).copy(attrs = JObj(Seq.empty)),
-      Array(0.5, 1.5, 2.5, 3.5))
-    ZarrIO.writeArray(conf, v3, "v", v3Meta(vDoc).copy(attrs = JObj(Seq.empty)),
-      vals)
-    // writeArray drops v2 sidecars (.zarray) into the v3 dirs — remove
-    // them so the scan resolves the store purely through zarr.json
-    Seq("time", "x", "v").foreach { n =>
-      graft.store.GridStore.fileSystem(spark, v3)
-        .delete(new org.apache.hadoop.fs.Path(s"$v3/$n/.zarray"), false)
-    }
+    ZarrIO.writeArray(conf, v3, "time", v3Meta(tDoc), Array.tabulate(5)(_.toDouble))
+    ZarrIO.writeArray(conf, v3, "x", v3Meta(xDoc), Array(0.5, 1.5, 2.5, 3.5))
+    ZarrIO.writeArray(conf, v3, "v", v3Meta(vDoc), vals)
     (v2, v3)
   }
 
@@ -139,16 +128,69 @@ class ZarrV3Spec extends SparkSpec {
     assert(spark.read.format("zarr").load(v3).count() == 20)
   }
 
-  test("data updates on a v3 store refuse loudly (read + attrs-patch only)") {
-    val (_, v3) = buildStores("noupdate", consolidated = true)
+  test("region insert updates a v3 store IN PLACE, honoring its CF units") {
+    // the fixture axis is "hours since 2024-06-01" int64 — the update path
+    // must map it to epoch-micros before classifying insert vs append
+    val (_, v3) = buildStores("update", consolidated = true)
     val store = new graft.store.ZarrStore(spark,
       v3, graft.model.DatasetDescriptor("t", "v", spatialDims = Seq("x"),
         timeResolution = graft.model.TimeSpan.Daily))
     val sp = spark; import sp.implicits._
-    val upd = Seq((ts("2024-06-01T00:00:00"), 0.5, 1.0))
+    val upd = Seq((ts("2024-06-01T01:00:00"), 2.5, 7777.0))
       .toDF("time", "x", "v")
-    val ex = intercept[IllegalArgumentException](store.publish(upd))
-    assert(ex.getMessage.contains("v3"))
+    store.publish(upd)
+    val rows = spark.read.format("zarr").load(v3)
+      .orderBy("time", "x").collect()
+    assert(rows.length == 20, "grid extent unchanged by a pure insert")
+    // row (t=1h, x=2.5) is linear index 6 — the NaN hole, now overwritten
+    assert(rows(6).getDouble(2) == 7777.0)
+    assert(rows(5).getDouble(2) == 50.0, "neighbors in the same chunk keep their values")
+    assert(rows(7).getDouble(2) == 70.0)
+    // marker cleared; metadata still v3 (no v2 sidecars appeared)
+    store.checkNotInProgress()
+    val fs = graft.store.GridStore.fileSystem(spark, v3)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$v3/.zattrs")),
+      "an update must not leak v2 sidecars into a v3 store")
+  }
+
+  test("ZarrStore publishes a NEW v3 store; append butt-joins; v2 twin is row-identical") {
+    val sp = spark; import sp.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/zarr_v3_lifecycle"
+    graft.store.GridStore.fileSystem(spark, base)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val desc = graft.model.DatasetDescriptor("life", "v",
+      spatialDims = Seq("x"), timeResolution = graft.model.TimeSpan.Daily)
+    def frame(days: Range, bump: Double) = days.flatMap { d =>
+      (0 until 4).map(x => (ts(f"2024-06-${d + 1}%02dT00:00:00"), x.toDouble, d * 10.0 + x + bump))
+    }.toDF("time", "x", "v")
+
+    val stores = Seq(2, 3).map { fmt =>
+      val p = s"$base/v$fmt"
+      val st = new graft.store.ZarrStore(spark, p, desc, timeChunk = 4,
+        spatialChunks = Some(Seq(4)), zarrFormat = fmt)
+      st.publish(frame(0 until 6, 0.0)) // initial: 6 days → tail chunk half-full
+      st.publish(frame(4 until 9, 0.5)) // insert days 4-5 + append 6-8 (butt-join)
+      (fmt, p, st)
+    }
+    val Seq((_, p2, _), (_, p3, st3)) = stores
+    // v3 store must be pure v3 on disk
+    val fs = graft.store.GridStore.fileSystem(spark, p3)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p3/zarr.json")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p3/.zattrs")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p3/v/.zarray")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p3/v/c/1/0")),
+      "v3 chunk keys are c/-prefixed")
+    st3.checkNotInProgress()
+    assert(st3.readAttrs()("dataset_name") == "life")
+    val a = spark.read.format("zarr").load(p2).orderBy("time", "x").collect()
+    val b = spark.read.format("zarr").load(p3).orderBy("time", "x").collect()
+    assert(a.length == 36 && a.toSeq == b.toSeq,
+      "v2 and v3 lifecycles must produce row-identical datasets")
+    // the butt-joined tail chunk kept pre-update rows AND overlaid ones
+    val m = b.map(r => (r.getAs[LocalDateTime](0).getDayOfMonth, r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(m((3, 1.0)) == 21.0) // untouched initial row
+    assert(m((5, 2.0)) == 42.5) // insert overlaid
+    assert(m((9, 3.0)) == 83.5) // appended
   }
 
   test("time axis decodes as CF timestamps through v3 dimension_names/attrs") {
