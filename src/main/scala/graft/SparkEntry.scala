@@ -186,7 +186,8 @@ object SparkEntry {
     * requested edition — q66 scans edition 1, q79 edition 2. */
   private def gribEventsFixture(s: SparkSession, dir: String,
       edition: Int = 1, holes: Boolean = false,
-      complexPacking: Boolean = false): String = {
+      complexPacking: Boolean = false,
+      spatialDiffOrder: Int = 0): String = {
     val cells = eventsWithDay(s, dir)
       .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
       .count().collect()
@@ -195,7 +196,8 @@ object SparkEntry {
     val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
     val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
     val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val tag = (if (holes) "_bm" else "") + (if (complexPacking) "_cx" else "")
+    val tag = (if (holes) "_bm" else "") + (if (complexPacking) "_cx" else "") +
+      (if (spatialDiffOrder > 0) s"_sd$spatialDiffOrder" else "")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/" +
       (if (edition == 1) s"events$tag.grb" else s"events$tag.grb2")
     val messages = days.toSeq.map { d =>
@@ -205,7 +207,7 @@ object SparkEntry {
       (61, d, Seq(0.0, 1.0), Seq(0.0, 1.0, 2.0, 3.0, 4.0), vals)
     }
     graft.sources.grib.GribFormat.writeFile(s, path, messages, edition = edition,
-      complexPacking = complexPacking)
+      complexPacking = complexPacking, spatialDiffOrder = spatialDiffOrder)
     path
   }
 
@@ -952,6 +954,16 @@ object SparkEntry {
         .select(col("time"), col("slot"), col("value").as("cnt"))
         .orderBy("time", "slot")
     }),
+    // template 5.3 (complex packing + order-2 spatial differencing — the
+    // packing operational GFS/NDFD archives carry), same grid + bitmap
+    "q85_grib_spatial_diff_scan" -> ((s, dir) => {
+      val path = gribEventsFixture(s, dir, edition = 2, holes = true,
+        complexPacking = true, spatialDiffOrder = 2)
+      s.read.format("grib1").load(path)
+        .withColumn("slot", (col("latitude") * 5 + col("longitude")).cast("int"))
+        .select(col("time"), col("slot"), col("value").as("cnt"))
+        .orderBy("time", "slot")
+    }),
 
     // --- parameterized CF grid mappings (C6/W15 beyond 4326/3857) ---
     "q63_lcc_roundtrip" -> ((s, dir) => {
@@ -1673,6 +1685,19 @@ object SparkEntry {
     // bitmap fixture: no-event cells are NULL (holes), not 0 — q61's
     // spine-with-nulls shape
     "q83_grib_bitmap_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s))
+        |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2""".stripMargin,
+
+    // 5.3 reconstruction must land on exactly the 5.2 grid
+    "q85_grib_spatial_diff_scan" ->
       """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
         |                  CAST(event_id % 10 AS INTEGER) AS slot,
         |                  CAST(count(*) AS DOUBLE) AS cnt

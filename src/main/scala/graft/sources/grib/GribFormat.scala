@@ -16,10 +16,12 @@ import java.io.{DataOutputStream, EOFException, InputStream}
   * Edition-2 subset: grid templates 3.0 (regular lat/lon, 10⁻⁶ degrees)
   * and 3.30 (Lambert conformal — RTMA/HRRR grids); product templates 4.0
   * and 4.8; data representation templates 5.0 (simple packing, IEEE
-  * float reference) and 5.2 (complex packing, byte-aligned group
-  * streams); section-6 bitmaps (present/previous/none); multi-FIELD
-  * messages (repeated section 4-7 groups). Validated against NCEP's
-  * rtma_pcp.grib (the reference's own test input).
+  * float reference), 5.2 (complex packing, byte-aligned group
+  * streams) and 5.3 (complex packing + order-1/2 spatial differencing —
+  * the packing operational NCEP archives like GFS carry); section-6
+  * bitmaps (present/previous/none); multi-FIELD messages (repeated
+  * section 4-7 groups). Validated against NCEP's rtma_pcp.grib (the
+  * reference's own test input).
   *
   * All multi-byte integers are big-endian; "signed" GRIB fields are
   * SIGN-MAGNITUDE (high bit = sign) in both editions, not two's
@@ -314,8 +316,8 @@ object GribFormat {
     val range = scaled.max - minV
     val bits = if (range == 0) 0
       else math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(range))
-    require(bits <= 24,
-      s"range $range needs $bits bits (>24); raise decimalScale granularity")
+    // callers that SIMPLE-pack enforce bits <= 24; complex/spatial-diff
+    // paths pack group widths instead, so a wide range is fine there
     val bitmap = if (!hasNaN) None else Some {
       val bm = new Array[Byte]((values.length + 7) / 8)
       var k = 0
@@ -405,6 +407,40 @@ object GribFormat {
     (cp, w.bytes, refBits)
   }
 
+  /** Template 5.3/7.3 pre-pass (the encode mirror of the decoder's
+    * g2clib-style reconstruction): order-1/2 differences of the scaled
+    * values, shifted nonnegative by the overall minimum. Positions
+    * 0..order-1 pack as 0 — the decoder replaces them with the initial
+    * values carried in the extra descriptors. Returns the array to
+    * group-pack plus (ival1, ival2, minsd). */
+  private def spatialDiffPlan(scaled: Array[Long], order: Int):
+      (Array[Long], Long, Long, Long) = {
+    val n = scaled.length
+    require(n > order, s"order-$order spatial differencing needs > $order values")
+    val d = new Array[Long](n)
+    if (order == 1) {
+      var k = n - 1
+      while (k >= 1) { d(k) = scaled(k) - scaled(k - 1); k -= 1 }
+    } else {
+      var k = n - 1
+      while (k >= 2) { d(k) = scaled(k) - 2 * scaled(k - 1) + scaled(k - 2); k -= 1 }
+    }
+    var minsd = Long.MaxValue
+    var k = order
+    while (k < n) { if (d(k) < minsd) minsd = d(k); k += 1 }
+    val sd = new Array[Long](n)
+    k = order
+    while (k < n) { sd(k) = d(k) - minsd; k += 1 }
+    (sd, scaled(0), if (order == 2) scaled(1) else 0L, minsd)
+  }
+
+  /** Signed-magnitude u32 for the 7.3 extra descriptors (first bit =
+    * sign, WMO regulation 92.1.5). */
+  private def signedMag32(v: Long): Long = {
+    require(math.abs(v) < (1L << 31), s"descriptor $v exceeds 31-bit magnitude")
+    if (v < 0) (1L << 31) | -v else v
+  }
+
   /** MSB-first bit-packing of (scaled − min) offsets — the shared data
     * section encoder. */
   private def writePacked(out: DataOutputStream, scaled: Array[Long],
@@ -439,6 +475,8 @@ object GribFormat {
     require(values.length == ni * nj, s"${values.length} values for $ni x $nj grid")
     require(ni <= 65535 && nj <= 65535, s"grid $ni x $nj exceeds GDS u16 dims")
     val (scaled, minV, bits, bitmap) = packPlan(values, decimalScale)
+    require(bits <= 24,
+      s"range needs $bits bits (>24); raise decimalScale granularity")
     val refValue = minV.toDouble // stored as IBM float, exact for ints < 2^24
     val dataBits = scaled.length.toLong * bits
     val dataByteLen = ((dataBits + 7) / 8).toInt
@@ -532,9 +570,11 @@ object GribFormat {
       values: Array[Double],
       decimalScale: Int = 0,
       leadHours: Int = 0,
-      complexPacking: Boolean = false): Unit =
+      complexPacking: Boolean = false,
+      spatialDiffOrder: Int = 0): Unit =
     writeMessage2Fields(out, refTime, lats, lons,
-      Seq((paramId, leadHours, values)), decimalScale, complexPacking)
+      Seq((paramId, leadHours, values)), decimalScale, complexPacking,
+      spatialDiffOrder)
 
   /** Write one GRIB2 MESSAGE carrying one or more FIELDS: sections 0-3 are
     * shared, each field contributes its own section 4-7 group (WMO FM 92
@@ -546,8 +586,15 @@ object GribFormat {
       lats: Seq[Double], lons: Seq[Double],
       fields: Seq[(Int, Int, Array[Double])], // (paramId, leadHours, values)
       decimalScale: Int = 0,
-      complexPacking: Boolean = false): Unit = {
+      complexPacking: Boolean = false,
+      /** 0 = plain 5.2 groups; 1|2 = template 5.3 spatial differencing
+        * (requires complexPacking). */
+      spatialDiffOrder: Int = 0): Unit = {
     require(fields.nonEmpty, "a GRIB2 message needs at least one field")
+    require(spatialDiffOrder >= 0 && spatialDiffOrder <= 2,
+      s"spatial differencing order $spatialDiffOrder (0, 1, 2)")
+    require(spatialDiffOrder == 0 || complexPacking,
+      "spatial differencing (5.3) rides on complex packing")
     val nj = lats.length; val ni = lons.length
 
     final case class FieldPlan(
@@ -555,6 +602,7 @@ object GribFormat {
         scaled: Array[Long], minV: Long, bits: Int,
         bitmap: Option[Array[Byte]],
         complexParts: Option[(ComplexParams, Array[Byte], Int)],
+        refValue: Float,
         sec5Len: Int, sec6Len: Int, sec7Len: Int)
 
     val plans = fields.map { case (paramId, leadHours, values) =>
@@ -562,16 +610,35 @@ object GribFormat {
       require(paramId >= 0 && paramId <= 0xFFFF, s"paramId $paramId not (cat<<8)|num")
       require(values.length == ni * nj, s"${values.length} values for $ni x $nj grid")
       val (scaled, minV, bits, bitmap) = packPlan(values, decimalScale)
+      if (!complexPacking) require(bits <= 24,
+        s"range needs $bits bits (>24); raise decimalScale or complex-pack")
       // the reference value travels as IEEE float32 — exact for ints < 2^24
       require(minV.toFloat.toLong == minV, s"reference $minV not exact in float32")
+      // a field with ≤ order present cells can't difference — degrade to
+      // plain 5.2 groups for THAT field (encoders in the wild do the same)
+      val fieldOrder = if (scaled.length > spatialDiffOrder) spatialDiffOrder else 0
       val complexParts =
-        if (complexPacking) Some(complexPack(scaled, minV)) else None
+        if (fieldOrder > 0) {
+          // 5.3: group-pack the shifted differences; R = 0 because the
+          // reconstruction rebuilds the FULL scaled values (g2clib)
+          val (sd, ival1, ival2, minsd) = spatialDiffPlan(scaled, fieldOrder)
+          val (cp0, groupBytes, refBits) = complexPack(sd, 0L)
+          val w = new BitWriter
+          w.put(signedMag32(ival1), 32)
+          if (fieldOrder == 2) w.put(signedMag32(ival2), 32)
+          w.put(signedMag32(minsd), 32)
+          val cp = cp0.copy(spatialOrder = fieldOrder, spatialDescBytes = 4)
+          Some((cp, w.bytes ++ groupBytes, refBits))
+        }
+        else if (complexPacking) Some(complexPack(scaled, minV))
+        else None
       val dataByteLen = complexParts match {
         case Some((_, bytes, _)) => bytes.length
         case None => ((scaled.length.toLong * bits + 7) / 8).toInt
       }
       FieldPlan(paramId, leadHours, scaled, minV, bits, bitmap, complexParts,
-        sec5Len = if (complexPacking) 47 else 21,
+        refValue = if (fieldOrder > 0) 0f else minV.toFloat,
+        sec5Len = if (fieldOrder > 0) 49 else if (complexPacking) 47 else 21,
         sec6Len = 6 + bitmap.map(_.length).getOrElse(0),
         sec7Len = 5 + dataByteLen)
     }
@@ -615,7 +682,7 @@ object GribFormat {
     out.writeInt(di); out.writeInt(dj)
     out.writeByte(if (lats.last >= lats.head) 0x40 else 0x00) // scanning mode
     plans.foreach { p =>
-      val refValue = p.minV.toFloat
+      val refValue = p.refValue
       // Section 4 — product definition, template 4.0
       out.writeInt(34); out.writeByte(4)
       out.writeShort(0) // no coordinate values
@@ -641,7 +708,7 @@ object GribFormat {
           out.writeByte(p.bits)
           out.writeByte(0) // field type: floating point
         case Some((cp, _, refBits)) =>
-          out.writeShort(2) // template 5.2
+          out.writeShort(if (cp.spatialOrder > 0) 3 else 2) // template 5.2/5.3
           out.writeInt(java.lang.Float.floatToIntBits(refValue))
           writeSm(out, 0, 2) // binary scale E = 0
           writeSm(out, decimalScale, 2)
@@ -657,6 +724,10 @@ object GribFormat {
           out.writeByte(cp.lengthInc)
           out.writeInt(cp.lastLength.toInt)
           out.writeByte(cp.lengthBits)
+          if (cp.spatialOrder > 0) {
+            out.writeByte(cp.spatialOrder) // octet 48
+            out.writeByte(cp.spatialDescBytes) // octet 49
+          }
       }
       // Section 6 — bitmap (indicator 0) or none (255)
       out.writeInt(p.sec6Len); out.writeByte(6)
@@ -989,7 +1060,8 @@ object GribFormat {
       messages: Seq[(Int, java.time.LocalDateTime, Seq[Double], Seq[Double], Array[Double])],
       decimalScale: Int = 0,
       edition: Int = 1,
-      complexPacking: Boolean = false): Unit = {
+      complexPacking: Boolean = false,
+      spatialDiffOrder: Int = 0): Unit = {
     require(edition == 1 || edition == 2, s"edition $edition not in {1, 2}")
     require(!complexPacking || edition == 2, "complex packing is edition-2 only")
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -999,7 +1071,7 @@ object GribFormat {
     try messages.foreach { case (param, t, lats, lons, vals) =>
       if (edition == 1) writeMessage(out, param, t, lats, lons, vals, decimalScale)
       else writeMessage2(out, param, t, lats, lons, vals, decimalScale,
-        complexPacking = complexPacking)
+        complexPacking = complexPacking, spatialDiffOrder = spatialDiffOrder)
     }
     finally out.close()
   }

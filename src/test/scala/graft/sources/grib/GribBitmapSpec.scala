@@ -68,6 +68,67 @@ class GribBitmapSpec extends SparkSpec {
     }
   }
 
+  test("template 5.3 spatial differencing round-trips exactly (orders 1 and 2, with bitmap)") {
+    Seq(1, 2).foreach { order =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/grib_sd_$order.grb2"
+      GribFormat.writeFile(spark, path,
+        Seq((7, LocalDateTime.parse("2024-04-01T06:00"), lats, lons, vals(holes = true))),
+        edition = 2, complexPacking = true, spatialDiffOrder = order)
+      // header sanity: the parser must see order + descriptor width
+      val in = new java.io.FileInputStream(path)
+      val m = (try GribFormat.parseMessages(in) finally in.close()).head
+      assert(m.complex.exists(cp =>
+        cp.spatialOrder == order && cp.spatialDescBytes == 4), s"order $order header")
+      checkHoles(path)
+    }
+  }
+
+  test("template 5.3 carries a smooth wide-range field a 24-bit simple pack cannot") {
+    // a ramp whose scaled range exceeds 2^24 — simple packing refuses it,
+    // spatial differencing stores only the tiny constant differences
+    val n = 60 * 70
+    val smooth = Array.tabulate(n)(k => 1.0e5 + k * 500.0) // scaled range ~21M > 2^24
+    val latsW = (0 until 60).map(10.0 + _ * 0.1)
+    val lonsW = (0 until 70).map(20.0 + _ * 0.1)
+    val p53 = s"${System.getProperty("java.io.tmpdir")}/grib_sd_wide.grb2"
+    intercept[IllegalArgumentException] {
+      GribFormat.writeFile(spark, s"$p53.simple",
+        Seq((7, LocalDateTime.parse("2024-04-01T06:00"), latsW, lonsW, smooth)),
+        decimalScale = 1, edition = 2)
+    }
+    GribFormat.writeFile(spark, p53,
+      Seq((7, LocalDateTime.parse("2024-04-01T06:00"), latsW, lonsW, smooth)),
+      decimalScale = 1, edition = 2, complexPacking = true, spatialDiffOrder = 2)
+    val rows = spark.read.format("grib1").load(p53)
+      .select("latitude", "longitude", "value").collect()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val j = math.round((r.getDouble(0) - 10.0) * 10).toInt
+      val i = math.round((r.getDouble(1) - 20.0) * 10).toInt
+      assert(r.getDouble(2) == smooth(j * 70 + i), s"cell ($j, $i)")
+    }
+    // ...and the differenced sections are much smaller than simple packing
+    // would be (25 bits × 4200 cells ≈ 13 KB): whole file under 4 KB
+    assert(new java.io.File(p53).length() < 4096)
+  }
+
+  test("template 5.3 negative values and negative differences round-trip") {
+    val v = Array(-40.5, -41.0, -39.5, -38.0, -42.5, -44.0,
+      -37.5, -36.0, -45.5, -47.0, -35.5, -34.0)
+    Seq(1, 2).foreach { order =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/grib_sd_neg_$order.grb2"
+      GribFormat.writeFile(spark, path,
+        Seq((7, LocalDateTime.parse("2024-04-01T06:00"), lats, lons, v)),
+        decimalScale = 1, edition = 2, complexPacking = true,
+        spatialDiffOrder = order)
+      val rows = spark.read.format("grib1").load(path)
+        .orderBy("latitude", "longitude").collect()
+      rows.zipWithIndex.foreach { case (r, k) =>
+        assert(r.getAs[Double]("value") == v(k), s"order $order cell $k")
+      }
+    }
+  }
+
   private val rtma = "/root/reference/tests/unit/inputs/rtma_pcp.grib"
 
   test("REAL NCEP rtma_pcp.grib (LCC grid + bitmap + template 5.2) scans") {

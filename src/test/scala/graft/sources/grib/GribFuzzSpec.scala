@@ -33,7 +33,17 @@ class GribFuzzSpec extends SparkSpec {
           rnd.nextInt(24), 0).plusHours(0), lats, lons, vals)
       }
       val dir = Files.createTempDirectory(s"gribfuzz$seed").toString
-      GribFormat.writeFile(spark, s"$dir/f.grb", msgs, decimalScale, edition)
+      // GRIB2 seeds rotate packing: simple → complex (5.2) → spatial-diff
+      // (5.3 order 1 or 2); grids with < 3 cells can't difference at order 2
+      val (cx, sd) = edition match {
+        case 1 => (false, 0)
+        case _ => (seed % 4) / 2 match {
+          case 0 => (seed % 8 >= 4, 0)
+          case _ => (true, 1 + (if (ni * nj > 2) seed % 2 else 0))
+        }
+      }
+      GribFormat.writeFile(spark, s"$dir/f.grb", msgs, decimalScale, edition,
+        complexPacking = cx, spatialDiffOrder = if (ni * nj > sd) sd else 0)
 
       val rows = spark.read.format("grib1").load(s"$dir/f.grb").collect()
       assert(rows.length == nMsgs * ni * nj, s"seed=$seed row count")
