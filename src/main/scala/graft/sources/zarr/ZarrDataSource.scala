@@ -160,7 +160,7 @@ object ZarrTable {
     val out = new Array[Double](n)
     var c = 0
     while (c * chunk < n) {
-      val buf = ZarrMeta.readChunk(conf, a.meta, a.chunkRef(Seq(c))).getOrElse(
+      val buf = ZarrMeta.readChunk(conf, a.meta, a.chunkRef(conf, Seq(c))).getOrElse(
         throw new IllegalStateException(
           s"Coordinate ${a.name} chunk $c is missing — axes cannot have fill holes"))
       var i = 0
@@ -303,7 +303,7 @@ final class ZarrScan(
       chunkCoords.grouped(perPart).map { group =>
         val chunks = group.map(_.toArray).toArray
         val varParts = vars.map { a =>
-          ZVarPart(a.name, a.meta, group.map(c => a.chunkRef(c)).toArray)
+          ZVarPart(a.name, a.meta, group.map(c => a.chunkRef(conf, c)).toArray)
         }.toArray
         ZarrInputPartition(chunks, box.map { case (lo, hi) => Array(lo, hi) },
           chunkDims, grid.axes.toArray, varParts, cols)

@@ -159,6 +159,23 @@ object ZarrMeta {
     }
   }
 
+  /** v3 `sharding_indexed` layout: each STORED object (addressed by the
+    * outer chunk grid) is a shard holding a grid of separately-encoded
+    * inner chunks plus a binary index of (offset, nbytes) u64-LE pairs in
+    * row-major inner order — 2^64-1 pairs mark missing chunks. The meta's
+    * `chunks` are the INNER shape; reads become ranged reads into the
+    * shard object. */
+  final case class ShardingInfo(
+      shardShape: Seq[Int],
+      indexAtEnd: Boolean,
+      indexCrc: Boolean) extends Serializable {
+    /** Inner chunks per shard along each dim. */
+    def ratio(inner: Seq[Int]): Seq[Int] =
+      shardShape.zip(inner).map { case (s, c) => s / c }
+    def indexBytes(inner: Seq[Int]): Int =
+      ratio(inner).product * 16 + (if (indexCrc) 4 else 0)
+  }
+
   /** One array's `.zarray` + `.zattrs`. `fill` is the decoded fill_value
     * (None = JSON null = no fill defined). */
   final case class ZArrayMeta(
@@ -171,7 +188,9 @@ object ZarrMeta {
       attrs: JObj,
       filters: Seq[ShuffleFilter] = Seq.empty,
       /** "c" for zarr v3 stores (keys are `c/0/0`), "" for v2. */
-      keyPrefix: String = "") extends Serializable {
+      keyPrefix: String = "",
+      /** Present when this v3 array uses the sharding_indexed codec. */
+      sharding: Option[ShardingInfo] = None) extends Serializable {
 
     require(shape.length == chunks.length && shape.nonEmpty,
       s"shape $shape / chunks $chunks rank mismatch")
@@ -208,7 +227,7 @@ object ZarrMeta {
       numAttr("_FillValue").orElse(numAttr("missing_value")).orElse(fill)
 
     def render: String = JObj(Seq(
-      "chunks" -> JArr(chunks.map(c => JNum(c))),
+      "chunks" -> { require(sharding.isEmpty, "sharded arrays are v3-only"); JArr(chunks.map(c => JNum(c))) },
       "compressor" -> codec.json,
       "dtype" -> JStr(dtype.render),
       "fill_value" -> fill.map(fillJson).getOrElse(JNull),
@@ -233,6 +252,7 @@ object ZarrMeta {
       * reader but is not a registered zarr-python v3 codec). */
     def renderV3: String = {
       require(filters.isEmpty, "v3 arrays carry no v2-style filters")
+      require(sharding.isEmpty, "the writer emits one object per chunk, not shards")
       val bytesCodec: JValue = JObj(Seq(
         "name" -> JStr("bytes"),
         "configuration" -> JObj(Seq(
@@ -355,6 +375,93 @@ object ZarrMeta {
       case Some(m) => m.get(meta.chunkKey(coords))
       case None => Some(FileChunk(s"${dir.get}/${meta.chunkKey(coords)}"))
     }
+
+    /** Per-planning-pass shard index memo: one ranged read per TOUCHED
+      * shard (pruning has already run when this is consulted). */
+    @transient private lazy val shardIndexCache =
+      scala.collection.mutable.HashMap.empty[String, Option[Array[Long]]]
+
+    /** Conf-aware resolution: plain arrays delegate to [[chunkRef]];
+      * sharded arrays map inner-chunk coords to a ranged read inside the
+      * shard object via its index. */
+    def chunkRef(conf: Configuration, coords: Seq[Int]): Option[ChunkRef] =
+      meta.sharding match {
+        case None => chunkRef(coords)
+        case Some(sh) =>
+          val ratio = sh.ratio(meta.chunks)
+          val shardCoords = coords.zip(ratio).map { case (k, r) => k / r }
+          val inner = coords.zip(ratio).map { case (k, r) => k % r }
+          val shardKey = meta.chunkKey(shardCoords)
+          val base = refs match {
+            case Some(m) => m.get(shardKey)
+            case None => Some(FileChunk(s"${dir.get}/$shardKey"))
+          }
+          base.flatMap { b =>
+            shardIndexCache.getOrElseUpdate(shardKey,
+              readShardIndex(conf, b, sh, meta.chunks)).flatMap { idx =>
+              var lin = 0
+              inner.zip(ratio).foreach { case (k, r) => lin = lin * r + k }
+              val off = idx(2 * lin); val len = idx(2 * lin + 1)
+              if (off == -1L && len == -1L) None // 2^64-1 pair = missing chunk
+              else b match {
+                case FileChunk(p) => Some(RangeChunk(p, off, len))
+                case RangeChunk(p, o, _) => Some(RangeChunk(p, o + off, len))
+                case InlineChunk(bytes) =>
+                  Some(InlineChunk(bytes.slice(off.toInt, (off + len).toInt)))
+              }
+            }
+          }
+      }
+  }
+
+  /** Read + decode one shard's index: u64-LE (offset, nbytes) pairs in
+    * row-major inner order, optionally guarded by a trailing little-endian
+    * CRC32C (the zarr-python default index chain). None = the shard object
+    * does not exist (every inner chunk is fill). */
+  private def readShardIndex(conf: Configuration, ref: ChunkRef,
+      sh: ShardingInfo, inner: Seq[Int]): Option[Array[Long]] = {
+    val n = sh.indexBytes(inner)
+    val bytes: Option[Array[Byte]] = ref match {
+      case FileChunk(path) =>
+        val p = new HPath(path)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) None
+        else {
+          val len = fs.getFileStatus(p).getLen
+          require(len >= n, s"$path: ${len}B shard < ${n}B index")
+          val buf = new Array[Byte](n)
+          val in = fs.open(p)
+          try in.readFully(if (sh.indexAtEnd) len - n else 0L, buf)
+          finally in.close()
+          Some(buf)
+        }
+      case RangeChunk(path, off, len) =>
+        require(len >= n, s"$path@$off: ${len}B shard < ${n}B index")
+        val p = new HPath(path)
+        val fs = p.getFileSystem(conf)
+        val buf = new Array[Byte](n)
+        val in = fs.open(p)
+        try in.readFully(if (sh.indexAtEnd) off + len - n else off, buf)
+        finally in.close()
+        Some(buf)
+      case InlineChunk(b) =>
+        require(b.length >= n, s"inline shard ${b.length}B < ${n}B index")
+        Some(if (sh.indexAtEnd) b.takeRight(n) else b.take(n))
+    }
+    bytes.map { buf =>
+      val body = if (sh.indexCrc) {
+        val bb = java.nio.ByteBuffer.wrap(buf, n - 4, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val stored = bb.getInt & 0xFFFFFFFFL
+        val crc = new java.util.zip.CRC32C
+        crc.update(buf, 0, n - 4)
+        require(crc.getValue == stored,
+          f"shard index CRC32C mismatch: computed ${crc.getValue}%08x, stored $stored%08x")
+        java.util.Arrays.copyOf(buf, n - 4)
+      } else buf
+      val bb = java.nio.ByteBuffer.wrap(body).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Array.fill(body.length / 8)(bb.getLong)
+    }
   }
 
   /** A resolved store: group attrs + arrays, independent of how the bytes
@@ -424,11 +531,11 @@ object ZarrMeta {
       .flatMap(_.get("configuration")).collect { case o: JObj => o }
       .flatMap(_.get("separator")).collect { case JStr(s) => s }.getOrElse("/")
     // codecs: the array→bytes codec fixes endianness; bytes→bytes codecs
-    // compress. v3 sharding/transpose are out of the netCDF-style profile.
-    var littleEndian = true
-    var codec: ZarrCodec.Codec = ZarrCodec.NullCodec
-    doc.get("codecs") match {
-      case Some(JArr(items)) => items.foreach {
+    // compress; sharding_indexed nests a whole chain per inner chunk.
+    def parseCodecChain(items: Seq[JValue]): (Boolean, ZarrCodec.Codec) = {
+      var littleEndian = true
+      var codec: ZarrCodec.Codec = ZarrCodec.NullCodec
+      items.foreach {
         case o: JObj =>
           val cfg = o.get("configuration").collect { case c: JObj => c }
           o.get("name") match {
@@ -446,6 +553,39 @@ object ZarrMeta {
           }
         case other => throw new IllegalArgumentException(s"bad codec entry $other")
       }
+      (littleEndian, codec)
+    }
+    var littleEndian = true
+    var codec: ZarrCodec.Codec = ZarrCodec.NullCodec
+    var innerChunks = chunks
+    var sharding: Option[ShardingInfo] = None
+    doc.get("codecs") match {
+      case Some(JArr(Seq(o: JObj))) if o.get("name").contains(JStr("sharding_indexed")) =>
+        val cfg = o.get("configuration").collect { case c: JObj => c }.getOrElse(
+          throw new IllegalArgumentException("sharding_indexed missing configuration"))
+        innerChunks = ints(cfg.get("chunk_shape").getOrElse(
+          throw new IllegalArgumentException("sharding_indexed missing chunk_shape")))
+        require(chunks.zip(innerChunks).forall { case (s, c) => c > 0 && s % c == 0 },
+          s"inner chunks $innerChunks must divide the shard shape $chunks")
+        val (le, c) = parseCodecChain(cfg.get("codecs") match {
+          case Some(JArr(items)) => items
+          case _ => Seq.empty
+        })
+        littleEndian = le; codec = c
+        // index codec chain: bytes (little-endian u64 pairs) + optional crc32c
+        val idxNames = cfg.get("index_codecs") match {
+          case Some(JArr(items)) => items.collect {
+            case io: JObj => io.get("name").collect { case JStr(s) => s }.getOrElse("?")
+          }
+          case _ => Seq("bytes")
+        }
+        require(idxNames.forall(n => n == "bytes" || n == "crc32c"),
+          s"shard index codecs $idxNames unsupported (bytes, crc32c)")
+        val atEnd = !cfg.get("index_location").contains(JStr("start"))
+        sharding = Some(ShardingInfo(chunks, atEnd, idxNames.contains("crc32c")))
+      case Some(JArr(items)) =>
+        val (le, c) = parseCodecChain(items)
+        littleEndian = le; codec = c
       case _ => ()
     }
     val dtype = doc.get("data_type") match {
@@ -470,8 +610,8 @@ object ZarrMeta {
         JObj(attrs0.fields :+ ("_ARRAY_DIMENSIONS" -> (arr: JValue)))
       case _ => attrs0
     }
-    ZArrayMeta(shape, chunks, dtype, codec, fill, sep, attrs,
-      filters = Seq.empty, keyPrefix = "c")
+    ZArrayMeta(shape, innerChunks, dtype, codec, fill, sep, attrs,
+      filters = Seq.empty, keyPrefix = "c", sharding = sharding)
   }
 
   /** Resolve a zarr V3 store rooted at a `zarr.json` group document:

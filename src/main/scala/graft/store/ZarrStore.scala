@@ -339,6 +339,9 @@ final class ZarrStore(
         require(m.filters.isEmpty,
           s"${desc.dataVar} declares v2 filters — the chunk writer emits " +
             "codec-only chunks; updates would disagree with the metadata")
+        require(m.sharding.isEmpty,
+          s"${desc.dataVar} is sharded (sharding_indexed) — the chunk writer " +
+            "emits one object per chunk; updating a sharded store would corrupt it")
         m.copy(shape = shape, codec = writeCodec)
       case None =>
         ZArrayMeta(
