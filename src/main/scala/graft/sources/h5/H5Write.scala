@@ -150,7 +150,11 @@ object H5Write {
       dims: Seq[(String, Int)],
       vars: Seq[WriteVar],
       chunkLead: Int = 1,
-      compress: Boolean = true): Unit = {
+      compress: Boolean = true,
+      /** "deflate" (filter id 1, the netCDF-4 classic default) or "zstd"
+        * (registered plugin id 32015, newer archives). */
+      codec: String = "deflate"): Unit = {
+    require(codec == "deflate" || codec == "zstd", s"codec $codec")
     val dimLen = dims.toMap
     def isCoord(v: WriteVar) = v.dims == Seq(v.name) && dimLen.contains(v.name)
     val ordered = vars // fixture order = symbol table insert order (sorted below)
@@ -185,9 +189,10 @@ object H5Write {
           System.arraycopy(v.data, lo * inner, cells, 0, rows * inner)
           var raw = encodeVals(v.dtype, cells)
           if (compress) {
-            // pipeline order: shuffle, then deflate
+            // pipeline order: shuffle, then the compressor
             raw = shuffleBytes(raw, es)
-            raw = deflate(raw)
+            raw = if (codec == "zstd") com.github.luben.zstd.Zstd.compress(raw, 3)
+                  else deflate(raw)
           }
           (Seq(c) ++ Seq.fill(shape.length - 1)(0), raw)
         }
@@ -243,7 +248,15 @@ object H5Write {
         if (p.chunks.isDefined && compress) {
           val out = new Out().u8(1).u8(2).u16(0).u32(0L)
           out.u16(2).u16(0).u16(0).u16(1).u32(es.toLong).u32(0L) // shuffle (+pad)
-          out.u16(1).u16(0).u16(0).u16(1).u32(6L).u32(0L) // deflate level 6 (+pad)
+          if (codec == "zstd") {
+            // registered plugin id 32015; ids ≥ 256 carry a name (8-byte
+            // padded in the v1 message), one client value = level
+            out.u16(32015).u16(8).u16(0).u16(1)
+            "zstd".getBytes("US-ASCII").foreach(b => out.u8(b & 0xFF))
+            out.u8(0).u8(0).u8(0).u8(0)
+            out.u32(3L).u32(0L)
+          } else
+            out.u16(1).u16(0).u16(0).u16(1).u32(6L).u32(0L) // deflate level 6 (+pad)
           Seq((0x0B, out.bytes))
         } else Seq.empty
       val dimAttrs: Seq[(Int, Array[Byte])] =

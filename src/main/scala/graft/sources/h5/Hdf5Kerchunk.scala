@@ -81,12 +81,18 @@ object Hdf5Kerchunk {
         (shape, Seq(s"${ds.name}/$key" -> (JStr("base64:" +
           java.util.Base64.getEncoder.encodeToString(data)): JValue)))
     }
-    val unsupported = ds.filters.filterNot(f => f.id == 1 || f.id == 2)
+    // 1 = deflate, 2 = shuffle, 32015 = registered zstd plugin (newer
+    // netCDF-4/HDF5 archives); both compressors map onto zarr codec ids
+    val unsupported = ds.filters.filterNot(f =>
+      f.id == 1 || f.id == 2 || f.id == 32015)
     require(unsupported.isEmpty,
       s"${ds.name}: HDF5 filters ${unsupported.map(_.id)} unsupported " +
-        "(deflate + shuffle cover the netCDF-4 classic profile)")
+        "(deflate/shuffle/zstd cover the netCDF-4 profiles)")
+    require(!(ds.filters.exists(_.id == 1) && ds.filters.exists(_.id == 32015)),
+      s"${ds.name}: deflate AND zstd on one pipeline is unsupported")
     val compressor: JValue =
       if (ds.filters.exists(_.id == 1)) JObj(Seq("id" -> JStr("zlib")))
+      else if (ds.filters.exists(_.id == 32015)) JObj(Seq("id" -> JStr("zstd")))
       else JNull
     val filters: JValue = ds.filters.find(_.id == 2) match {
       case Some(sh) => JArr(Seq(JObj(Seq("id" -> JStr("shuffle"),

@@ -47,6 +47,22 @@ object ZarrCodec {
     def json: JValue = JObj(Seq("id" -> JStr("zlib"), "level" -> JNum(level)))
   }
 
+  /** zarr id "zstd" — numcodecs `Zstd` for v2 stores and zarr-python 3's
+    * DEFAULT v3 compressor. Backed by zstd-jni (ships with Spark). Decode
+    * accepts any frame (with or without content checksum). */
+  final case class ZstdCodec(level: Int = 3) extends Codec {
+    def encode(raw: Array[Byte]): Array[Byte] =
+      com.github.luben.zstd.Zstd.compress(raw, level)
+    def decode(buf: Array[Byte], rawLen: Int): Array[Byte] = {
+      val dst = new Array[Byte](rawLen)
+      val got = com.github.luben.zstd.Zstd.decompressByteArray(
+        dst, 0, rawLen, buf, 0, buf.length)
+      require(got == rawLen, s"zstd chunk: $got of $rawLen bytes")
+      dst
+    }
+    def json: JValue = JObj(Seq("id" -> JStr("zstd"), "level" -> JNum(level)))
+  }
+
   /** zarr id "gzip": RFC 1952 wrapper (zlib with a different framing). */
   final case class GzipCodec(level: Int = 1) extends Codec {
     def encode(raw: Array[Byte]): Array[Byte] = {
@@ -104,9 +120,10 @@ object ZarrCodec {
       id match {
         case "zlib" => ZlibCodec(level(1))
         case "gzip" => GzipCodec(level(1))
+        case "zstd" => ZstdCodec(level(3))
         case "blosc" => BloscCodec
         case other => throw new IllegalArgumentException(
-          s"Unsupported zarr compressor '$other' (supported: null, zlib, gzip, blosc[decode])")
+          s"Unsupported zarr compressor '$other' (supported: null, zlib, gzip, zstd, blosc[decode])")
       }
     case other => throw new IllegalArgumentException(s"Bad compressor JSON: $other")
   }
@@ -227,8 +244,18 @@ object ZarrCodec {
           val dec = codec match {
             case 1 => lz4Decompress(buf, pos, csize, neblock)
             case 3 => inflate(buf, pos, csize, neblock)
+            case 2 => // snappy RAW block format (snappy-java ships with Spark)
+              val dst = new Array[Byte](neblock)
+              val got = org.xerial.snappy.Snappy.uncompress(buf, pos, csize, dst, 0)
+              require(got == neblock, s"blosc snappy stream: $got of $neblock bytes")
+              dst
+            case 4 =>
+              val dst = new Array[Byte](neblock)
+              val got = com.github.luben.zstd.Zstd.decompressByteArray(
+                dst, 0, neblock, buf, pos, csize)
+              require(got == neblock, s"blosc zstd stream: $got of $neblock bytes")
+              dst
             case 0 => throw new UnsupportedOperationException("blosc inner codec blosclz unsupported")
-            case 2 => throw new UnsupportedOperationException("blosc inner codec snappy unsupported")
             case other => throw new UnsupportedOperationException(s"blosc inner codec #$other unsupported")
           }
           System.arraycopy(dec, 0, out, outPos, neblock)

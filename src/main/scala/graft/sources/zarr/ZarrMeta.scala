@@ -265,6 +265,10 @@ object ZarrMeta {
         case ZarrCodec.GzipCodec(level) => Seq(JObj(Seq(
           "name" -> JStr("gzip"),
           "configuration" -> JObj(Seq("level" -> JNum(level))))))
+        case ZarrCodec.ZstdCodec(level) => Seq(JObj(Seq(
+          "name" -> JStr("zstd"),
+          "configuration" -> JObj(Seq(
+            "level" -> JNum(level), "checksum" -> graft.meta.JBool(false))))))
         case ZarrCodec.BloscCodec => Seq(JObj(Seq("name" -> JStr("blosc"))))
         case ZarrCodec.BloscLz4Codec(typesize, clevel) => Seq(JObj(Seq(
           "name" -> JStr("blosc"),
@@ -547,9 +551,12 @@ object ZarrMeta {
             case Some(JStr("zlib")) =>
               codec = ZarrCodec.ZlibCodec(cfg.flatMap(_.get("level"))
                 .collect { case JNum(n) => n.toInt }.getOrElse(1))
+            case Some(JStr("zstd")) =>
+              codec = ZarrCodec.ZstdCodec(cfg.flatMap(_.get("level"))
+                .collect { case JNum(n) => n.toInt }.getOrElse(3))
             case Some(JStr("blosc")) => codec = ZarrCodec.BloscCodec
             case other => throw new IllegalArgumentException(
-              s"zarr v3 codec $other unsupported (bytes, gzip, zlib, blosc)")
+              s"zarr v3 codec $other unsupported (bytes, gzip, zlib, zstd, blosc)")
           }
         case other => throw new IllegalArgumentException(s"bad codec entry $other")
       }

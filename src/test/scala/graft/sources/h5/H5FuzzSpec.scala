@@ -49,7 +49,8 @@ class H5FuzzSpec extends SparkSpec {
           (if (hasFill) Seq(("_FillValue", dtype, Array(fillRaw))) else Seq.empty))
       val path = s"${System.getProperty("java.io.tmpdir")}/h5fuzz_$seed.nc"
       H5Write.writeFile(spark, path, dimNames.zip(dimSizes), coords :+ dataVar,
-        chunkLead = chunkLead, compress = compress)
+        chunkLead = chunkLead, compress = compress,
+        codec = if (rnd.nextBoolean()) "zstd" else "deflate")
 
       val df = spark.read.format("netcdf").load(path)
       val rows = df.orderBy(dimNames.map(col): _*).collect()

@@ -17,7 +17,8 @@ class H5WriteSpec extends SparkSpec {
 
   private val fillRaw = -999999.0
 
-  private def writeFixture(tag: String, compress: Boolean): String = {
+  private def writeFixture(tag: String, compress: Boolean,
+      codec: String = "deflate"): String = {
     val path = s"${System.getProperty("java.io.tmpdir")}/h5write_$tag.nc"
     // v raw = 4 × (t*100 + y*10 + x), scale 0.25 → decoded = t*100 + y*10 + x
     val data = Array.tabulate(10 * 3 * 4) { i =>
@@ -37,7 +38,7 @@ class H5WriteSpec extends SparkSpec {
           numAttrs = Seq(
             ("scale_factor", "f8", Array(0.25)),
             ("_FillValue", "f4", Array(fillRaw))))),
-      chunkLead = 4, compress = compress)
+      chunkLead = 4, compress = compress, codec = codec)
     path
   }
 
@@ -65,6 +66,10 @@ class H5WriteSpec extends SparkSpec {
 
   test("uncompressed chunked roundtrip") {
     checkScan(writeFixture("rawchunks", compress = false))
+  }
+
+  test("shuffle+zstd (plugin 32015) chunked roundtrip") {
+    checkScan(writeFixture("zstd", compress = true, codec = "zstd"))
   }
 
   test("time predicate prunes written chunks") {

@@ -85,7 +85,8 @@ class ZarrCodecSpec extends AnyFunSuite {
     * `nstreams × (csize | stream)`, shuffle applied PER BLOCK, leftover
     * block never split, streams stored verbatim when compression loses. */
   private def bloscContainer(raw: Array[Byte], typesize: Int, blocksize: Int,
-      shuffle: Boolean, dontSplit: Boolean): Array[Byte] = {
+      shuffle: Boolean, dontSplit: Boolean, codecId: Int = 3,
+      compressFn: (Array[Byte], Int, Int) => Array[Byte] = zlib): Array[Byte] = {
     require(blocksize % typesize == 0)
     val nbytes = raw.length
     val nblocks = (nbytes + blocksize - 1) / blocksize
@@ -99,7 +100,7 @@ class ZarrCodecSpec extends AnyFunSuite {
       val neblock = bsize / nstreams
       val bos = new java.io.ByteArrayOutputStream()
       (0 until nstreams).foreach { s =>
-        val z = zlib(work, off + s * neblock, neblock)
+        val z = compressFn(work, off + s * neblock, neblock)
         val (csize, payload) =
           if (z.length < neblock) (z.length, z)
           else (neblock, java.util.Arrays.copyOfRange(work, off + s * neblock,
@@ -118,7 +119,7 @@ class ZarrCodecSpec extends AnyFunSuite {
       out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
     }
     out.write(2); out.write(1) // version, versionlz
-    out.write((if (shuffle) 0x1 else 0) | (if (dontSplit) 0x10 else 0) | (3 << 5))
+    out.write((if (shuffle) 0x1 else 0) | (if (dontSplit) 0x10 else 0) | (codecId << 5))
     out.write(typesize)
     w32(nbytes); w32(blocksize); w32(total)
     var bstart = headerLen
@@ -174,6 +175,34 @@ class ZarrCodecSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------- primitives
+
+  test("blosc-zstd and blosc-snappy containers decode (Spark-bundled codecs)") {
+    val raw = doubles(1000)
+    val zstdC = bloscContainer(raw, typesize = 8, blocksize = 2048,
+      shuffle = true, dontSplit = false, codecId = 4,
+      compressFn = (b, off, len) =>
+        com.github.luben.zstd.Zstd.compress(
+          java.util.Arrays.copyOfRange(b, off, off + len), 3))
+    assert(ZarrCodec.bloscDecode(zstdC).toSeq == raw.toSeq)
+    val snappyC = bloscContainer(raw, typesize = 8, blocksize = 2048,
+      shuffle = true, dontSplit = true, codecId = 2,
+      compressFn = (b, off, len) =>
+        org.xerial.snappy.Snappy.rawCompress(
+          java.util.Arrays.copyOfRange(b, off, off + len), len))
+    assert(ZarrCodec.bloscDecode(snappyC).toSeq == raw.toSeq)
+  }
+
+  test("zstd codec round-trips and parses from both v2 and v3 documents") {
+    val rnd = new scala.util.Random(11)
+    Seq(1, 17, 4096, 70001).foreach { n =>
+      val raw = Array.fill(n)((rnd.nextInt(7) + 64).toByte) // compressible
+      val c = ZarrCodec.ZstdCodec(3)
+      assert(c.decode(c.encode(raw), n).toSeq == raw.toSeq, s"n=$n")
+    }
+    val v2 = ZarrCodec.fromJson(graft.meta.JValue.parse(
+      """{"id":"zstd","level":5}"""))
+    assert(v2 == ZarrCodec.ZstdCodec(5))
+  }
 
   test("lz4 block decompression handles literals, matches, and RLE overlap") {
     // hand-built stream: 8 literals "abcdefgh", then a match of length 8 at

@@ -166,8 +166,11 @@ class ZarrV3Spec extends SparkSpec {
 
     val stores = Seq(2, 3).map { fmt =>
       val p = s"$base/v$fmt"
+      // v3 twin writes zstd — zarr-python 3's default compressor — so the
+      // row-identity check also pins the zstd chunk path end-to-end
       val st = new graft.store.ZarrStore(spark, p, desc, timeChunk = 4,
-        spatialChunks = Some(Seq(4)), zarrFormat = fmt)
+        spatialChunks = Some(Seq(4)), zarrFormat = fmt,
+        codec = if (fmt == 3) ZarrCodec.ZstdCodec(3) else ZarrCodec.ZlibCodec(1))
       st.publish(frame(0 until 6, 0.0)) // initial: 6 days → tail chunk half-full
       st.publish(frame(4 until 9, 0.5)) // insert days 4-5 + append 6-8 (butt-join)
       (fmt, p, st)
