@@ -39,7 +39,12 @@ final class GridStore(
     /** W13 — compression codec (`use_compression` toggle + Blosc LZ4
       * default, metadata.py:939-959): any Spark parquet codec name, or
       * "none"/"uncompressed" to disable. */
-    val compression: String = "lz4") {
+    val compression: String = "lz4") extends GridPublisher {
+
+  /** [[GridPublisher]] — one streaming micro-batch lands through the same
+    * publish dispatch. */
+  override def publishBatch(update: DataFrame): Unit = publish(update)
+
 
   import GridStore._
 

@@ -52,9 +52,14 @@ final class ZarrStore(
       * reference's write format) or 3 (`zarr.json` documents, c/-prefixed
       * chunk keys). An EXISTING store's persisted format always wins —
       * updates and rebuilds never mix sidecar conventions. */
-    val zarrFormat: Int = 2) {
+    val zarrFormat: Int = 2) extends GridPublisher {
 
   require(zarrFormat == 2 || zarrFormat == 3, s"zarr format $zarrFormat (2 or 3)")
+
+  /** [[GridPublisher]] — one streaming micro-batch lands through the same
+    * publish dispatch (appends must stay time-monotonic, which ordered
+    * micro-batches are by construction). */
+  override def publishBatch(update: DataFrame): Unit = publish(update)
 
   import ZarrStore._
 
