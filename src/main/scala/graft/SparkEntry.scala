@@ -954,6 +954,38 @@ object SparkEntry {
         .select(col("time"), col("slot"), col("value").as("cnt"))
         .orderBy("time", "slot")
     }),
+    // product template 4.1 (individual ensemble member): per-day messages
+    // carry TWO perturbed fields of one parameter; the scan surfaces the
+    // perturbation number as the `member` column — the reference's
+    // `ensemble` dataset category dimension (attributes.py:223-233)
+    "q86_grib_ensemble_scan" -> ((s, dir) => {
+      val cells = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count().collect()
+      implicit val ldtOrd: Ordering[LocalDateTime] =
+        Ordering.fromLessThan(_ isBefore _)
+      val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+      val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+      val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/events_ens.grb2"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        fs.create(new org.apache.hadoop.fs.Path(path), true)))
+      try days.foreach { d =>
+        val base = Array.fill(10)(0.0)
+        byDay(d).foreach(r => base(r.getAs[Int]("slot")) = r.getAs[Long]("count").toDouble)
+        graft.sources.grib.GribFormat.writeMessage2Fields(out, d,
+          Seq(0.0, 1.0), Seq(0.0, 1.0, 2.0, 3.0, 4.0),
+          fields = Seq((61, 0, base), (61, 0, base.map(_ + 1000.0))),
+          members = Seq(0, 1))
+      } finally out.close()
+      s.read.format("grib1").load(path)
+        .withColumn("slot", (col("latitude") * 5 + col("longitude")).cast("int"))
+        .select(col("time"), col("slot"), col("member"), col("value").as("cnt"))
+        .orderBy("time", "slot", "member")
+    }),
+
     // template 5.3 (complex packing + order-2 spatial differencing — the
     // packing operational GFS/NDFD archives carry), same grid + bitmap
     "q85_grib_spatial_diff_scan" -> ((s, dir) => {
@@ -1695,6 +1727,22 @@ object SparkEntry {
         |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
         |ORDER BY 1, 2""".stripMargin,
+
+    // ensemble fixture: the dense spine crossed with members {0, 1};
+    // member 1's field is the base grid + 1000
+    "q86_grib_ensemble_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot, CAST(m AS INTEGER) AS member
+        |          FROM days, (SELECT unnest(range(10)) AS s),
+        |               (SELECT unnest(range(2)) AS m))
+        |SELECT spine.d AS time, spine.slot AS slot, spine.member AS member,
+        |       CAST(COALESCE(g.cnt, 0) + spine.member * 1000 AS DOUBLE) AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     // 5.3 reconstruction must land on exactly the 5.2 grid
     "q85_grib_spatial_diff_scan" ->

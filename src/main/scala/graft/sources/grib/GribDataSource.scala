@@ -24,7 +24,7 @@ import GribFormat.GribMessage
   * ingest format next to NetCDF (transform.py:75-79).
   * `spark.read.format("grib1").load(pathOrDir)` (the short name predates
   * edition-2 support) yields one row per grid cell:
-  * (time TIMESTAMP_NTZ, latitude, longitude, param INT, value DOUBLE).
+  * (time TIMESTAMP_NTZ, latitude, longitude, param INT, member INT?, value DOUBLE).
   *
   * Scale design:
   *  - **A message is the pruning unit**: every cell of a message shares
@@ -63,6 +63,9 @@ object GribTable {
     StructField("latitude", DoubleType, nullable = false),
     StructField("longitude", DoubleType, nullable = false),
     StructField("param", IntegerType, nullable = false),
+    // ensemble perturbation number (product templates 4.1/4.11);
+    // null for deterministic products
+    StructField("member", IntegerType, nullable = true),
     // nullable: bitmap-masked cells surface as null
     StructField("value", DoubleType, nullable = true)))
 
@@ -126,10 +129,12 @@ final class GribScanBuilder(table: GribTable) extends ScanBuilder
   /** time/param predicates prune whole messages EXACTLY (all cells of a
     * message share them) → fully handled; lat/lon stay residual. */
   private def handled(f: Filter): Boolean = f match {
-    // `value` CAN be null (bitmap holes) — its IsNotNull must stay residual
-    case sources.IsNotNull(a) => a != "value" &&
+    // `value` CAN be null (bitmap holes) and `member` null for
+    // deterministic products — their IsNotNull must stay residual
+    case sources.IsNotNull(a) => a != "value" && a != "member" &&
       GribTable.Schema.fieldNames.contains(a)
     case sources.EqualTo("param", _: Integer) => true
+    case sources.EqualTo("member", _: Integer) => true
     case sources.EqualTo("time", v) => NcScan.toKey(v).isDefined
     case sources.GreaterThan("time", v) => NcScan.toKey(v).isDefined
     case sources.GreaterThanOrEqual("time", v) => NcScan.toKey(v).isDefined
@@ -168,6 +173,7 @@ final class GribScan(
   private def keep(m: GribMessage): Boolean = pushed.forall {
     case sources.IsNotNull(_) => true
     case sources.EqualTo("param", v: Integer) => m.paramId == v.intValue()
+    case sources.EqualTo("member", v: Integer) => m.member == v.intValue()
     case sources.EqualTo("time", v) => NcScan.toKey(v).contains(timeMicros(m))
     case sources.GreaterThan("time", v) => NcScan.toKey(v).exists(timeMicros(m) > _)
     case sources.GreaterThanOrEqual("time", v) => NcScan.toKey(v).exists(timeMicros(m) >= _)
@@ -242,13 +248,14 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
   // hoist the per-column dispatch out of the per-cell loop: a message is
   // ~10⁶ cells; string-matching column names per cell is pure overhead
   private val TimeC = 0; private val LatC = 1; private val LonC = 2
-  private val ParamC = 3; private val ValueC = 4
+  private val ParamC = 3; private val ValueC = 4; private val MemberC = 5
   private val colCodes: Array[Int] = part.cols.map {
     case "time" => TimeC
     case "latitude" => LatC
     case "longitude" => LonC
     case "param" => ParamC
     case "value" => ValueC
+    case "member" => MemberC
   }
   private var k = -1
 
@@ -263,6 +270,7 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
         case LatC => if (regular) lats(k / m.ni) else m.latLonAt(k)._1
         case LonC => if (regular) lons(k % m.ni) else m.latLonAt(k)._2
         case ParamC => m.paramId
+        case MemberC => if (m.member < 0) null else m.member
         case ValueC =>
           val v = cellValue(k)
           if (v.isNaN) null else v

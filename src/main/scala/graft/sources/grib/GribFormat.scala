@@ -14,8 +14,9 @@ import java.io.{DataOutputStream, EOFException, InputStream}
   * Edition-1 subset: PDS with full reference time; GDS grid type 0
   * (regular lat/lon); BMS bitmaps (inline); BDS simple packing.
   * Edition-2 subset: grid templates 3.0 (regular lat/lon, 10⁻⁶ degrees)
-  * and 3.30 (Lambert conformal — RTMA/HRRR grids); product templates 4.0
-  * and 4.8; data representation templates 5.0 (simple packing, IEEE
+  * and 3.30 (Lambert conformal — RTMA/HRRR grids); product templates 4.0,
+  * 4.8 and their individual-ensemble-member forms 4.1/4.11 (perturbation
+  * number → the scan's `member` column); data representation templates 5.0 (simple packing, IEEE
   * float reference), 5.2 (complex packing, byte-aligned group
   * streams) and 5.3 (complex packing + order-1/2 spatial differencing —
   * the packing operational NCEP archives like GFS carry); section-6
@@ -142,7 +143,10 @@ object GribFormat {
       bitmapOffset: Long = -1L,
       bitmapBytes: Int = 0,
       complex: Option[ComplexParams] = None,
-      lcc: Option[LccGrid] = None) {
+      lcc: Option[LccGrid] = None,
+      /** Ensemble perturbation number (product templates 4.1/4.11);
+        * -1 = deterministic product. */
+      member: Int = -1) {
     def lats: Array[Double] =
       Array.tabulate(nj)(j => la1 + (if (nj == 1) 0.0 else (la2 - la1) * j / (nj - 1)))
     def lons: Array[Double] =
@@ -589,8 +593,14 @@ object GribFormat {
       complexPacking: Boolean = false,
       /** 0 = plain 5.2 groups; 1|2 = template 5.3 spatial differencing
         * (requires complexPacking). */
-      spatialDiffOrder: Int = 0): Unit = {
+      spatialDiffOrder: Int = 0,
+      /** Ensemble perturbation numbers aligned with `fields` (empty =
+        * deterministic products; -1 entries stay deterministic). Members
+        * write product template 4.1 instead of 4.0. */
+      members: Seq[Int] = Seq.empty): Unit = {
     require(fields.nonEmpty, "a GRIB2 message needs at least one field")
+    require(members.isEmpty || members.length == fields.length,
+      s"${members.length} members for ${fields.length} fields")
     require(spatialDiffOrder >= 0 && spatialDiffOrder <= 2,
       s"spatial differencing order $spatialDiffOrder (0, 1, 2)")
     require(spatialDiffOrder == 0 || complexPacking,
@@ -603,9 +613,12 @@ object GribFormat {
         bitmap: Option[Array[Byte]],
         complexParts: Option[(ComplexParams, Array[Byte], Int)],
         refValue: Float,
-        sec5Len: Int, sec6Len: Int, sec7Len: Int)
+        member: Int,
+        sec4Len: Int, sec5Len: Int, sec6Len: Int, sec7Len: Int)
 
-    val plans = fields.map { case (paramId, leadHours, values) =>
+    val nMembers = members.count(_ >= 0)
+    val plans = fields.zipWithIndex.map { case ((paramId, leadHours, values), fi) =>
+      val member = if (members.isEmpty) -1 else members(fi)
       require(leadHours >= 0, s"negative lead $leadHours")
       require(paramId >= 0 && paramId <= 0xFFFF, s"paramId $paramId not (cat<<8)|num")
       require(values.length == ni * nj, s"${values.length} values for $ni x $nj grid")
@@ -638,12 +651,14 @@ object GribFormat {
       }
       FieldPlan(paramId, leadHours, scaled, minV, bits, bitmap, complexParts,
         refValue = if (fieldOrder > 0) 0f else minV.toFloat,
+        member = member,
+        sec4Len = if (member >= 0) 37 else 34,
         sec5Len = if (fieldOrder > 0) 49 else if (complexPacking) 47 else 21,
         sec6Len = 6 + bitmap.map(_.length).getOrElse(0),
         sec7Len = 5 + dataByteLen)
     }
     val total = 16L + 21 + 72 +
-      plans.map(p => 34L + p.sec5Len + p.sec6Len + p.sec7Len).sum + 4
+      plans.map(p => p.sec4Len.toLong + p.sec5Len + p.sec6Len + p.sec7Len).sum + 4
 
     // Section 0 — indicator
     out.writeBytes("GRIB")
@@ -683,10 +698,11 @@ object GribFormat {
     out.writeByte(if (lats.last >= lats.head) 0x40 else 0x00) // scanning mode
     plans.foreach { p =>
       val refValue = p.refValue
-      // Section 4 — product definition, template 4.0
-      out.writeInt(34); out.writeByte(4)
+      // Section 4 — product definition, template 4.0 (deterministic) or
+      // 4.1 (individual ensemble member: + type/number/count octets)
+      out.writeInt(p.sec4Len); out.writeByte(4)
       out.writeShort(0) // no coordinate values
-      out.writeShort(0) // template 4.0
+      out.writeShort(if (p.member >= 0) 1 else 0) // template 4.0 / 4.1
       out.writeByte((p.paramId >> 8) & 0xFF) // parameter category
       out.writeByte(p.paramId & 0xFF) // parameter number
       out.writeByte(2); out.writeByte(0); out.writeByte(0) // process type/bg/id
@@ -695,6 +711,11 @@ object GribFormat {
       out.writeInt(p.leadHours) // forecast time
       out.writeByte(1); out.writeByte(0); out.writeInt(0) // surface 1: ground
       out.writeByte(255); out.writeByte(255); out.writeInt(-1) // surface 2: none
+      if (p.member >= 0) {
+        out.writeByte(3) // ensemble type: perturbed forecast
+        out.writeByte(p.member) // perturbation number
+        out.writeByte(math.max(nMembers, p.member + 1)) // forecasts in ensemble
+      }
       // Section 5 — data representation (template 5.0 simple / 5.2 complex);
       // ndata = number of points carried in section 7 (present cells only)
       out.writeInt(p.sec5Len); out.writeByte(5)
@@ -796,6 +817,7 @@ object GribFormat {
       var bitmapOffset = -1L; var bitmapBytes = 0
       var complex: Option[ComplexParams] = None
       var lcc: Option[LccGrid] = None
+      var member = -1
       var seenRepr = false
       var done = false
       while (!done) {
@@ -824,7 +846,8 @@ object GribFormat {
             }
             fields += GribMessage(paramId, validTime, ni, nj, la1, lo1, la2,
               lo2, decimalScale, binaryScale, refValue, bits, dataOffset,
-              dataBytes, total.toInt, bitmapOffset, bitmapBytes, complex, lcc)
+              dataBytes, total.toInt, bitmapOffset, bitmapBytes, complex, lcc,
+              member)
           } else if (num == 6) {
             val indicator = readN(1)(0) & 0xFF
             indicator match {
@@ -892,13 +915,17 @@ object GribFormat {
                     s"grid template $t unsupported (3.0 lat/lon, 3.30 Lambert)")
                 }
               case 4 =>
-                // 4.0 (analysis/forecast at a point) and 4.8 (accumulation
-                // over an interval) share the leading octets the scan needs
-                require(u16(body, 2) == 0 || u16(body, 2) == 8,
-                  s"product template ${u16(body, 2)} unsupported (4.0 and 4.8)")
+                // 4.0 (analysis/forecast at a point), 4.8 (accumulation
+                // over an interval) and their ensemble forms 4.1/4.11
+                // (individual member) share the leading octets the scan
+                // needs; 4.1/4.11 add the perturbation number at octet 36
+                val tmpl = u16(body, 2)
+                require(tmpl == 0 || tmpl == 8 || tmpl == 1 || tmpl == 11,
+                  s"product template $tmpl unsupported (4.0, 4.1, 4.8, 4.11)")
                 paramId = ((body(4) & 0xFF) << 8) | (body(5) & 0xFF)
                 timeUnit = body(12) & 0xFF
                 forecast = sm(body, 13, 4)
+                member = if (tmpl == 1 || tmpl == 11) body(30) & 0xFF else -1
               case 5 =>
                 seenRepr = true
                 refValue = java.lang.Float.intBitsToFloat(u32(body, 6).toInt).toDouble

@@ -33,7 +33,7 @@ class GribBitmapSpec extends SparkSpec {
       .orderBy("latitude", "longitude").collect()
     assert(rows.length == 12)
     rows.zipWithIndex.foreach { case (r, k) =>
-      if (k == 3 || k == 7) assert(r.isNullAt(4), s"cell $k must be null")
+      if (k == 3 || k == 7) assert(r.isNullAt(r.fieldIndex("value")), s"cell $k must be null")
       else assert(r.getAs[Double]("value") == k * 2.0, s"cell $k")
     }
   }
@@ -129,6 +129,41 @@ class GribBitmapSpec extends SparkSpec {
     }
   }
 
+  test("template 4.1 ensemble members round-trip; member predicate prunes messages") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/grib_ens.grb2"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new DataOutputStream(fs.create(new org.apache.hadoop.fs.Path(path), true))
+    try GribFormat.writeMessage2Fields(out,
+      LocalDateTime.parse("2024-04-03T00:00"), lats, lons,
+      fields = Seq(
+        (0x0101, 0, vals(holes = false)),
+        (0x0101, 0, vals(holes = false).map(_ + 100.0)),
+        (0x0101, 0, vals(holes = true).map(_ + 200.0))),
+      members = Seq(0, 1, 2))
+    finally out.close()
+    val in = new java.io.FileInputStream(path)
+    val msgs = try GribFormat.parseMessages(in) finally in.close()
+    assert(msgs.map(_.member) == Seq(0, 1, 2))
+
+    val df = spark.read.format("grib1").load(path)
+    assert(df.count() == 36)
+    // deterministic file → member is null; ensemble file → populated
+    val det = writeTmp("det41", edition = 2, complexPacking = false, holes = false)
+    assert(spark.read.format("grib1").load(det).filter(col("member").isNull).count() == 12)
+    val m1 = df.filter(col("member") === 1)
+    assert(m1.queryExecution.executedPlan.toString.contains("messages=1/3"),
+      "member equality must prune whole messages at planning:\n" +
+        m1.queryExecution.executedPlan.toString)
+    val rows = m1.orderBy("latitude", "longitude").collect()
+    rows.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getAs[Double]("value") == k * 2.0 + 100.0, s"member-1 cell $k")
+    }
+    // member 2 keeps its bitmap holes
+    val m2 = df.filter(col("member") === 2).orderBy("latitude", "longitude").collect()
+    assert(m2(3).isNullAt(5) && m2(7).isNullAt(5))
+  }
+
   private val rtma = "/root/reference/tests/unit/inputs/rtma_pcp.grib"
 
   test("REAL NCEP rtma_pcp.grib (LCC grid + bitmap + template 5.2) scans") {
@@ -196,7 +231,7 @@ class GribBitmapSpec extends SparkSpec {
     val f2 = df.filter(col("param") === 0x0102)
       .orderBy("latitude", "longitude").collect()
     f2.zipWithIndex.foreach { case (r, k) =>
-      if (k == 3 || k == 7) assert(r.isNullAt(4), s"field-2 cell $k")
+      if (k == 3 || k == 7) assert(r.isNullAt(r.fieldIndex("value")), s"field-2 cell $k")
       else assert(r.getAs[Double]("value") == k * 2.0, s"field-2 cell $k")
     }
     val f3 = df.filter(col("param") === 0x0103)
@@ -214,7 +249,8 @@ class GribBitmapSpec extends SparkSpec {
         (0 until 5).map(20.0 + _), Array(1.0, Double.NaN, 3.0, Double.NaN, 5.0))),
       edition = 1)
     val rows = spark.read.format("grib1").load(path).orderBy("longitude").collect()
-    assert(rows.map(r => if (r.isNullAt(4)) None else Some(r.getDouble(4))).toSeq ==
+    assert(rows.map(r => if (r.isNullAt(r.fieldIndex("value"))) None
+      else Some(r.getAs[Double]("value"))).toSeq ==
       Seq(Some(1.0), None, Some(3.0), None, Some(5.0)))
   }
 }
