@@ -805,6 +805,13 @@ object SparkEntry {
       Text.packSequences(table(s, dir, "documents"), "doc_id", "text",
         budgetTokens = 512, shards = 4).orderBy("doc_id")),
 
+    // Exact-substring dedup (Lee et al. 2022): every 8-token span occurring
+    // >1× in the corpus is cut from every document carrying it; the planted
+    // exact-dup documents (q27's groups) guarantee the op is non-vacuous
+    "q87_exact_substring_dedup" -> ((s, dir) =>
+      Dedup.exactSubstringDedup(table(s, dir, "documents"),
+        "doc_id", "text", k = 8).orderBy("doc_id")),
+
     // --- per-doc contamination overlap fraction (threshold signal) ---
     "q77_overlap_fraction" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -1619,6 +1626,28 @@ object SparkEntry {
          |  CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens) // 512
          |    AS BIGINT) AS bin
          |FROM tk ORDER BY doc_id""".stripMargin,
+
+    // flagged gram starts expand to removed token positions; kept tokens
+    // rejoin with single spaces — exactly the Spark reconstruction
+    "q87_exact_substring_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM tk WHERE len(t) >= 8),
+         |g AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS s FROM idx),
+         |dup AS (SELECT s FROM g GROUP BY s HAVING count(*) > 1),
+         |f AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (s)),
+         |rm AS (SELECT DISTINCT doc_id, i + u AS j FROM f, (SELECT unnest(range(8)) AS u)),
+         |tokj AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS j FROM tk),
+         |tok AS (SELECT doc_id, j, t[j] AS w FROM tokj),
+         |kept AS (SELECT tok.doc_id, tok.j, tok.w FROM tok
+         |         ANTI JOIN rm ON tok.doc_id = rm.doc_id AND tok.j = rm.j),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |               string_agg(w, ' ' ORDER BY j) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+         |       CAST(len(tk.t) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+         |       COALESCE(agg.clean_text, '') AS clean_text
+         |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+         |ORDER BY tk.doc_id""".stripMargin,
 
     "q77_overlap_fraction" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),

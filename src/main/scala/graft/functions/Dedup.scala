@@ -388,6 +388,60 @@ object Dedup {
     * for larger corpora use `minhashCandidatePairs` first and verify only
     * candidates.
     */
+  /** Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): every K-token span that
+    * occurs MORE THAN ONCE anywhere in the corpus (across documents or
+    * within one) is removed from every document carrying it; surviving
+    * tokens are rejoined. Unlike pair-grain near-dedup this rewrites the
+    * text itself — the suffix-array step of the paper re-expressed as a
+    * gram-frequency shuffle.
+    *
+    * Returns (idCol, n_tokens, n_removed, clean_text).
+    *
+    * Scale: the one corpus-wide shuffle is the gram-hash count (8-byte
+    * xxhash64 keys, map-side combined); flagged positions return via a
+    * join on the hash and a doc-keyed aggregation whose payload is bounded
+    * by document length; reconstruction is a per-row index filter. Skew is
+    * bounded by the hottest duplicated gram — at K ≥ 50 (the paper's
+    * setting) hot grams are exactly the boilerplate this op exists to
+    * delete.
+    */
+  def exactSubstringDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"span length $k: a 1-token span would delete every repeated word")
+    val toks = df.select(col(idCol), graft.functions.Text.tokens(col(textCol)).as("toks"))
+    // gram hash per start position; sequence(0, n-k) is DESCENDING when
+    // n < k, so short documents must produce an empty gram list explicitly
+    val grams = toks.select(col(idCol), posexplode(
+        graft.functions.Text.bind(col("toks")) { t =>
+          when(size(t) >= k,
+            transform(sequence(lit(0), size(t) - k),
+              i => xxhash64(array_join(slice(t, i + 1, lit(k)), " "))))
+            .otherwise(array().cast("array<bigint>"))
+        }).as(Seq("pos", "gh")))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select("gh")
+    val flagged = grams.join(dup, Seq("gh"))
+      .groupBy(idCol).agg(sort_array(collect_set(col("pos"))).as("rm"))
+    val rm = coalesce(col("rm"), array().cast("array<int>"))
+    // bind the KEPT array (a computed filter tree) so its two consumers
+    // read a bound variable instead of re-evaluating the filter
+    toks.join(flagged, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        graft.functions.Text.bind(filter(col("toks"),
+          (_, i) => !exists(rm, p => p <= i && i < p + k))) { kept =>
+          struct(
+            (size(col("toks")) - size(kept)).cast("long").as("n_removed"),
+            array_join(kept, " ").as("clean_text"))
+        }.as("r"))
+      .select(col(idCol), col("n_tokens"),
+        col("r.n_removed"), col("r.clean_text"))
+  }
+
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,

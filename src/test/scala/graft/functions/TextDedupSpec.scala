@@ -282,4 +282,37 @@ class TextDedupSpec extends SparkSpec {
     assert(!out(9L)("pass_ellipsis"))
     assert(out.filter(_._1 != 1L).values.forall(m => !m("keep")))
   }
+
+  test("exactSubstringDedup cuts every >1x K-span, keeps unique flanks, handles short docs") {
+    val sp = spark; import sp.implicits._
+    // the 4-token span "a b c d" appears in docs 1 and 2 (cross-doc dup);
+    // doc 3 repeats "p q r s" twice INTERNALLY; doc 4 is unique; doc 5 is
+    // shorter than K and must pass through untouched
+    val df = Seq(
+      (1L, "u1 u2 a b c d v1 v2"),
+      (2L, "w1 a b c d w2 w3 w4"),
+      (3L, "p q r s x1 p q r s"),
+      (4L, "all of these tokens appear once only here"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val out = graft.functions.Dedup.exactSubstringDedup(df, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(byId(1L) == ((8L, 4L, "u1 u2 v1 v2")))
+    assert(byId(2L) == ((8L, 4L, "w1 w2 w3 w4")))
+    // doc 3: both occurrences of the internal dup vanish; x1 survives
+    assert(byId(3L) == ((9L, 8L, "x1")))
+    assert(byId(4L)._2 == 0L && byId(4L)._3.startsWith("all of these"))
+    assert(byId(5L) == ((2L, 0L, "too short")))
+    // overlapping flagged spans merge rather than double-count
+    val ov = Seq(
+      (10L, "m1 m2 m3 m4 m5 tail1"),
+      (11L, "m1 m2 m3 m4 m5 tail2")).toDF("doc_id", "text")
+    val o2 = graft.functions.Dedup.exactSubstringDedup(ov, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+    // spans [0,4) and [1,5) both duplicated -> tokens 0-4 removed, tail kept
+    assert(o2.map(_.getString(3)).toSeq == Seq("tail1", "tail2"))
+    assert(o2.map(_.getLong(2)).toSeq == Seq(5L, 5L))
+  }
 }
