@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 import graft.functions.{Clustering, Dedup, Encryption, Multimodal, Similarity, Text, Web}
 import graft.model.{DatasetCategory, DatasetDescriptor, TimeSpan, TimeUnitKind}
-import graft.ops.{Filters, Normalize, Projection, Qc, Sampling, Stats, UpdatePlan}
+import graft.ops.{Filters, GridAnalytics, Normalize, Projection, Qc, Sampling, Stats, UpdatePlan}
 import graft.sources.Manifest
 import graft.sources.nc.NcFormat
 import graft.sources.zarr.Kerchunk
@@ -60,6 +60,21 @@ object SparkEntry {
   /** events with a day-truncated NTZ column `d`. */
   private def eventsWithDay(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events").withColumn("d", date_trunc("day", col("ts")).cast(TimestampNTZType))
+
+  /** Long-format regular grid for the read-side analytics queries: per
+    * (day, cell) event counts on a 10×10 half-degree grid anchored at
+    * (40, −100) — every coordinate is a dyadic rational, so the oracle's
+    * decimal arithmetic converts to bit-identical doubles. */
+  private def eventsGrid(s: SparkSession, dir: String): DataFrame =
+    eventsWithDay(s, dir)
+      .groupBy(col("d").as("time"),
+        (col("event_id") % 10).cast("int").as("li"),
+        expr("(event_id div 10) % 10").cast("int").as("lj"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(col("time"),
+        (lit(40.0) + col("li") * 0.5).as("lat"),
+        (lit(-100.0) + col("lj") * 0.5).as("lon"),
+        col("value"))
 
   /** Duplicated documents corpus: every doc appears twice (id and id+100000)
     * — gives the exact-dedup operators a non-trivial duplicate set. */
@@ -1118,6 +1133,54 @@ object SparkEntry {
         .withColumn("n", col("n") + lit(1000.0)))
       store.dataset().select("time", "slot", "n").orderBy("time", "slot")
     }),
+
+    // --- read-side gridded analytics: the xarray verbs users run on a
+    // published store (resample / groupby-climatology / rolling / coarsen
+    // / interp), each as a one-shuffle relational plan ---
+
+    // weekly mean per cell (da.resample(time="W").mean())
+    "q88_temporal_resample" -> ((s, dir) =>
+      GridAnalytics.temporalResample(eventsGrid(s, dir), "time",
+        Seq("lat", "lon"), "value", "week")
+        .withColumn("time", col("time").cast(TimestampNTZType))
+        .orderBy("time", "lat", "lon")),
+
+    // day-of-week climatology + per-observation anomaly
+    // (da.groupby("time.dayofweek") - clim)
+    "q89_climatology_anomaly" -> ((s, dir) =>
+      GridAnalytics.anomalies(eventsGrid(s, dir), "time",
+        Seq("lat", "lon"), "value", "dayofweek")
+        .select("time", "lat", "lon", "value", "climatology", "anomaly")
+        .orderBy("time", "lat", "lon")),
+
+    // 2×2 block sum with canonical block-centre coordinates
+    // (da.coarsen(latitude=2, longitude=2).sum())
+    "q90_spatial_coarsen" -> ((s, dir) =>
+      GridAnalytics.coarsen(eventsGrid(s, dir), "time", "lat", "lon", "value",
+        lat0 = 40.0, dLat = 0.5, lon0 = -100.0, dLon = 0.5, fy = 2, fx = 2,
+        agg = "sum")
+        .orderBy("time", "lat", "lon")),
+
+    // trailing 7-step mean per cell, minPeriods=3
+    // (da.rolling(time=7, min_periods=3).mean())
+    "q91_rolling_mean" -> ((s, dir) =>
+      GridAnalytics.rollingTime(eventsGrid(s, dir), "time",
+        Seq("lat", "lon"), "value", k = 7, agg = "mean", minPeriods = 3)
+        .orderBy("time", "lat", "lon")),
+
+    // bilinear regrid of one day's 10×10 slice onto a 19×19 quarter-degree
+    // target (da.interp(latitude=..., longitude=...)); absent source cells
+    // exercise the present-corner renormalization path
+    "q92_regrid_bilinear" -> ((s, dir) => {
+      val src = eventsGrid(s, dir)
+        .filter(col("time") === ldt("2024-01-05T00:00:00"))
+      val target = s.range(19 * 19).select(
+        (lit(40.0) + expr("id div 19").cast("int") * 0.25).as("lat"),
+        (lit(-100.0) + (col("id") % 19).cast("int") * 0.25).as("lon"))
+      GridAnalytics.regridBilinear(src, target, None, "lat", "lon", "value",
+        lat0 = 40.0, dLat = 0.5, nLat = 10, lon0 = -100.0, dLon = 0.5, nLon = 10)
+        .orderBy("lat", "lon")
+    }),
   )
 
   // -------------------------------------------------------------- oracleSql
@@ -1847,5 +1910,83 @@ object SparkEntry {
         |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
         |ORDER BY 1, 2""".stripMargin,
+
+    // shared long-format grid for the analytics oracles: per (day, cell)
+    // counts on the 10×10 half-degree grid — all-dyadic coordinates and
+    // integer-valued doubles keep every engine's arithmetic exact
+    "q88_temporal_resample" ->
+      s"""$GridCte
+         |SELECT CAST(date_trunc('week', time) AS TIMESTAMP) AS time, lat, lon,
+         |       avg(value) AS value
+         |FROM grid GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q89_climatology_anomaly" ->
+      s"""$GridCte,
+         |clim AS (SELECT CAST(dayofweek(time) + 1 AS INT) AS dow, lat, lon,
+         |                avg(value) AS climatology
+         |         FROM grid GROUP BY 1, 2, 3)
+         |SELECT g.time, g.lat, g.lon, g.value, c.climatology,
+         |       g.value - c.climatology AS anomaly
+         |FROM grid g JOIN clim c
+         |  ON CAST(dayofweek(g.time) + 1 AS INT) = c.dow
+         | AND g.lat = c.lat AND g.lon = c.lon
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q90_spatial_coarsen" ->
+      s"""$GridCte,
+         |b AS (SELECT time,
+         |             CAST(FLOOR(round((lat - 40.0) / 0.5, 6) / 2) AS BIGINT) AS by,
+         |             CAST(FLOOR(round((lon + 100.0) / 0.5, 6) / 2) AS BIGINT) AS bx,
+         |             sum(value) AS value
+         |      FROM grid GROUP BY 1, 2, 3)
+         |SELECT time, CAST(40.0 + (by * 2 + 0.5) * 0.5 AS DOUBLE) AS lat,
+         |       CAST(-100.0 + (bx * 2 + 0.5) * 0.5 AS DOUBLE) AS lon, value
+         |FROM b ORDER BY 1, 2, 3""".stripMargin,
+
+    "q91_rolling_mean" ->
+      s"""$GridCte
+         |SELECT time, lat, lon, value,
+         |       CASE WHEN count(value) OVER w >= 3 THEN avg(value) OVER w END
+         |         AS rolling_mean
+         |FROM grid
+         |WINDOW w AS (PARTITION BY lat, lon ORDER BY time
+         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY time, lat, lon""".stripMargin,
+
+    // corner weights are products of quarter-steps (dyadic) and values are
+    // integer counts, so sum(w*v)/sum(w) is order-independent and exact
+    "q92_regrid_bilinear" ->
+      s"""$GridCte,
+         |src AS (SELECT CAST(round((lat - 40.0) / 0.5, 6) AS INT) AS i,
+         |               CAST(round((lon + 100.0) / 0.5, 6) AS INT) AS j, value
+         |        FROM grid WHERE time = TIMESTAMP '2024-01-05 00:00:00'),
+         |tgt AS (SELECT 40.0 + CAST(r // 19 AS DOUBLE) * 0.25 AS tlat,
+         |               -100.0 + CAST(r % 19 AS DOUBLE) * 0.25 AS tlon
+         |        FROM (SELECT unnest(range(361)) AS r)),
+         |t2 AS (SELECT tlat, tlon,
+         |              CAST(FLOOR((tlat - 40.0) / 0.5) AS INT) AS i0,
+         |              CAST(FLOOR((tlon + 100.0) / 0.5) AS INT) AS j0,
+         |              (tlat - 40.0) / 0.5 - FLOOR((tlat - 40.0) / 0.5) AS wy,
+         |              (tlon + 100.0) / 0.5 - FLOOR((tlon + 100.0) / 0.5) AS wx
+         |       FROM tgt),
+         |corners AS (
+         |  SELECT tlat, tlon, i0 AS i, j0 AS j, (1.0 - wy) * (1.0 - wx) AS w FROM t2
+         |  UNION ALL SELECT tlat, tlon, i0, j0 + 1, (1.0 - wy) * wx FROM t2
+         |  UNION ALL SELECT tlat, tlon, i0 + 1, j0, wy * (1.0 - wx) FROM t2
+         |  UNION ALL SELECT tlat, tlon, i0 + 1, j0 + 1, wy * wx FROM t2),
+         |f AS (SELECT c.tlat, c.tlon, c.w, s.value
+         |      FROM corners c JOIN src s ON c.i = s.i AND c.j = s.j
+         |      WHERE c.w > 0 AND c.i BETWEEN 0 AND 9 AND c.j BETWEEN 0 AND 9)
+         |SELECT tlat AS lat, tlon AS lon, sum(w * value) / sum(w) AS value
+         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
+
+  /** Shared oracle CTE: the long-format analytics grid (eventsGrid). */
+  private val GridCte: String =
+    """WITH grid AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS time,
+      |         CAST(40.0 + CAST(event_id % 10 AS DOUBLE) * 0.5 AS DOUBLE) AS lat,
+      |         CAST(-100.0 + CAST((event_id // 10) % 10 AS DOUBLE) * 0.5 AS DOUBLE) AS lon,
+      |         CAST(count(*) AS DOUBLE) AS value
+      |  FROM events GROUP BY 1, 2, 3)""".stripMargin
 }

@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic operators users of the reference run on a PUBLISHED store —
+  * the xarray verbs (`resample`, `groupby` climatology, `rolling`,
+  * `coarsen`, `interp`) re-expressed as distributed relational plans over
+  * the long-format grid (time, dims..., value).
+  *
+  * The reference ETL finishes at `to_zarr` (utils/publish.py:155-268);
+  * everything downstream of the store is xarray on the opened dataset.
+  * These operators close that loop so the engine covers the read-side
+  * queries too, at cluster scale:
+  *
+  *  - every operator is ONE shuffle (a groupBy on the target key or a
+  *    window partitioned by cell) — never a global sort, never a
+  *    driver-side loop;
+  *  - climatology joins stay on (period, cell) keys so a 1M-cell × 40-year
+  *    hourly archive shuffles climatology rows bounded by period×cells,
+  *    not raw rows twice;
+  *  - regridding enumerates at most 4 corner contributions per target
+  *    point and joins on integer grid indices — work is O(|target|·4),
+  *    independent of source cardinality, and AQE can broadcast whichever
+  *    side is small.
+  */
+object GridAnalytics {
+
+  /** xarray `da.resample(time=freq).mean()` — truncate time to `unit`
+    * buckets ("week", "month", "day", "hour", ...) and aggregate the value
+    * per (bucket, cell). `agg` ∈ {mean, sum, min, max, count}.
+    * Output: (timeCol, dims..., value). One shuffle on the target key. */
+  def temporalResample(df: DataFrame, timeCol: String, dims: Seq[String],
+      valueCol: String, unit: String, agg: String = "mean"): DataFrame = {
+    val v = col(valueCol)
+    val a = agg match {
+      case "mean"  => avg(v)
+      case "sum"   => sum(v)
+      case "min"   => min(v)
+      case "max"   => max(v)
+      case "count" => count(v)
+      case other   => throw new IllegalArgumentException(s"unsupported agg: $other")
+    }
+    df.groupBy(date_trunc(unit, col(timeCol)).as(timeCol) +: dims.map(col): _*)
+      .agg(a.as(valueCol))
+  }
+
+  /** xarray `da.groupby("time.month").mean()` — the long-term mean per
+    * (calendar period, cell). `period` ∈ {month, dayofweek, dayofyear,
+    * hour}. Output: (period, dims..., climatology). The result is bounded
+    * by |periods|×|cells| regardless of archive length. */
+  def climatology(df: DataFrame, timeCol: String, dims: Seq[String],
+      valueCol: String, period: String = "month"): DataFrame =
+    df.groupBy(periodOf(col(timeCol), period).as(period) +: dims.map(col): _*)
+      .agg(avg(col(valueCol)).as("climatology"))
+
+  /** xarray `da.groupby("time.month") - clim` — each observation minus its
+    * period climatology. One extra shuffle: the per-row side repartitions on
+    * (period, cell) to meet the (already aggregated, much smaller)
+    * climatology; AQE broadcasts the climatology side when it fits.
+    * Output: input columns + climatology + anomaly. */
+  def anomalies(df: DataFrame, timeCol: String, dims: Seq[String],
+      valueCol: String, period: String = "month"): DataFrame = {
+    val clim = climatology(df, timeCol, dims, valueCol, period)
+    df.withColumn(period, periodOf(col(timeCol), period))
+      .join(clim, period +: dims, "left")
+      .withColumn("anomaly", col(valueCol) - col("climatology"))
+  }
+
+  private def periodOf(t: Column, period: String): Column = period match {
+    case "month"     => month(t)
+    case "dayofweek" => dayofweek(t) // 1=Sunday..7, Spark convention
+    case "dayofyear" => dayofyear(t)
+    case "hour"      => hour(t)
+    case other       => throw new IllegalArgumentException(s"unsupported period: $other")
+  }
+
+  /** xarray `da.rolling(time=k).mean()` — trailing k-step aggregate per
+    * cell, rows-based (the grid's cadence is the step). Emits a row per
+    * input row with `rolling_<agg>`; windows shorter than `minPeriods`
+    * yield null. The window partitions on the CELL key — there is no
+    * global sort, and per-partition state is one cell's history.
+    * (time, cell) must be unique, which `GridStore`/`ZarrStore` datasets
+    * guarantee by construction. */
+  def rollingTime(df: DataFrame, timeCol: String, dims: Seq[String],
+      valueCol: String, k: Int, agg: String = "mean",
+      minPeriods: Int = 1): DataFrame = {
+    require(k >= 1, s"window of $k steps")
+    require(dims.nonEmpty,
+      "rollingTime needs at least one cell dim: an undimensioned window is a single-partition sort")
+    val w = Window.partitionBy(dims.map(col): _*).orderBy(col(timeCol))
+      .rowsBetween(-(k - 1), Window.currentRow)
+    val v = col(valueCol)
+    val a = agg match {
+      case "mean" => avg(v).over(w)
+      case "sum"  => sum(v).over(w)
+      case "min"  => min(v).over(w)
+      case "max"  => max(v).over(w)
+      case other  => throw new IllegalArgumentException(s"unsupported agg: $other")
+    }
+    df.withColumn(s"rolling_$agg",
+      when(count(v).over(w) >= minPeriods, a))
+  }
+
+  /** xarray `da.coarsen(latitude=fy, longitude=fx).mean()` — block-aggregate
+    * a regular grid by integer factors. Cells are assigned to blocks by
+    * index distance from the grid origin; the output carries the block's
+    * mean coordinate position (xarray's default `coord_func="mean"` on a
+    * trim-complete grid) computed from the block INDEX, so partial edge
+    * blocks still land on the canonical centre. One shuffle. */
+  def coarsen(df: DataFrame, timeCol: String, latCol: String, lonCol: String,
+      valueCol: String, lat0: Double, dLat: Double, lon0: Double, dLon: Double,
+      fy: Int, fx: Int, agg: String = "mean"): DataFrame = {
+    require(fy >= 1 && fx >= 1, s"coarsen factors ($fy,$fx)")
+    val by = floor(round((col(latCol) - lat0) / dLat, 6) / fy).cast("long")
+    val bx = floor(round((col(lonCol) - lon0) / dLon, 6) / fx).cast("long")
+    val v = col(valueCol)
+    val a = agg match {
+      case "mean" => avg(v)
+      case "sum"  => sum(v)
+      case "min"  => min(v)
+      case "max"  => max(v)
+      case other  => throw new IllegalArgumentException(s"unsupported agg: $other")
+    }
+    df.groupBy(col(timeCol), by.as("block_y"), bx.as("block_x"))
+      .agg(a.as(valueCol))
+      .select(col(timeCol),
+        (lit(lat0) + (col("block_y") * fy + (fy - 1) / 2.0) * dLat).as(latCol),
+        (lit(lon0) + (col("block_x") * fx + (fx - 1) / 2.0) * dLon).as(lonCol),
+        col(valueCol))
+  }
+
+  /** xarray `da.interp(latitude=..., longitude=...)` — bilinear regrid from
+    * a regular source grid to arbitrary target points (one time slice or
+    * many; the join carries `timeCol` when present).
+    *
+    * Each target point spans at most 4 source corners; contributions are
+    * enumerated target-side (explode of a 4-element array), joined to the
+    * source on integer (i,j) grid indices, and reduced by a weighted
+    * average. Missing source cells simply drop their corner (NaN-aware
+    * regridding: sum w·v / sum w over PRESENT corners); target points with
+    * no present corner disappear. Work is O(|target|·4) rows through one
+    * equi-join — source cardinality only sets the join's build side.
+    *
+    * `target` must carry (latCol, lonCol) target coordinates. Output:
+    * (timeCol?, latCol, lonCol, value). */
+  def regridBilinear(source: DataFrame, target: DataFrame,
+      timeCol: Option[String], latCol: String, lonCol: String,
+      valueCol: String,
+      lat0: Double, dLat: Double, nLat: Int,
+      lon0: Double, dLon: Double, nLon: Int): DataFrame = {
+    // fractional index of each target point in the source grid
+    val fi = (col(latCol) - lat0) / dLat
+    val fj = (col(lonCol) - lon0) / dLon
+    // corner enumeration: (i, j, weight), weights from the fractional parts.
+    // floor() pins the lower corner; targets outside the grid hull keep
+    // only in-range corners (weights renormalize in the final division).
+    val corners = target
+      .withColumn("__i0", floor(fi).cast("int"))
+      .withColumn("__j0", floor(fj).cast("int"))
+      .withColumn("__wy", fi - col("__i0"))
+      .withColumn("__wx", fj - col("__j0"))
+      .select(col("*"), explode(array(
+        struct(col("__i0").as("i"), col("__j0").as("j"),
+          ((lit(1.0) - col("__wy")) * (lit(1.0) - col("__wx"))).as("w")),
+        struct(col("__i0").as("i"), (col("__j0") + 1).as("j"),
+          ((lit(1.0) - col("__wy")) * col("__wx")).as("w")),
+        struct((col("__i0") + 1).as("i"), col("__j0").as("j"),
+          (col("__wy") * (lit(1.0) - col("__wx"))).as("w")),
+        struct((col("__i0") + 1).as("i"), (col("__j0") + 1).as("j"),
+          (col("__wy") * col("__wx")).as("w")))).as("c"))
+      .filter(col("c.i").between(0, nLat - 1) &&
+        col("c.j").between(0, nLon - 1) && col("c.w") > 0)
+      .select(
+        Seq(col(latCol).as("__tlat"), col(lonCol).as("__tlon"),
+          col("c.i").as("__i"), col("c.j").as("__j"), col("c.w").as("__w")): _*)
+    // source rows keyed by integer grid index (round() absorbs coordinate
+    // float noise before the cast)
+    val src = source.select(
+      timeCol.map(col).toSeq ++ Seq(
+        round((col(latCol) - lat0) / dLat, 6).cast("int").as("__i"),
+        round((col(lonCol) - lon0) / dLon, 6).cast("int").as("__j"),
+        col(valueCol).as("__v")): _*)
+    val keyCols = Seq(col("__tlat"), col("__tlon")) ++ timeCol.map(col).toSeq
+    corners.join(src, Seq("__i", "__j"))
+      .groupBy(keyCols: _*)
+      .agg((sum(col("__w") * col("__v")) / sum(col("__w"))).as(valueCol))
+      .select(timeCol.map(col).toSeq ++ Seq(
+        col("__tlat").as(latCol), col("__tlon").as(lonCol), col(valueCol)): _*)
+  }
+
+  /** Nearest-neighbour regrid: same join shape as [[regridBilinear]] but a
+    * single rounded corner per target point — for categorical/flag grids
+    * where interpolation is meaningless. */
+  def regridNearest(source: DataFrame, target: DataFrame,
+      timeCol: Option[String], latCol: String, lonCol: String,
+      valueCol: String,
+      lat0: Double, dLat: Double, nLat: Int,
+      lon0: Double, dLon: Double, nLon: Int): DataFrame = {
+    val corners = target.select(
+      col(latCol).as("__tlat"), col(lonCol).as("__tlon"),
+      round((col(latCol) - lat0) / dLat, 0).cast("int").as("__i"),
+      round((col(lonCol) - lon0) / dLon, 0).cast("int").as("__j"))
+      .filter(col("__i").between(0, nLat - 1) && col("__j").between(0, nLon - 1))
+    val src = source.select(
+      timeCol.map(col).toSeq ++ Seq(
+        round((col(latCol) - lat0) / dLat, 6).cast("int").as("__i"),
+        round((col(lonCol) - lon0) / dLon, 6).cast("int").as("__j"),
+        col(valueCol).as("__v")): _*)
+    corners.join(src, Seq("__i", "__j"))
+      .select(timeCol.map(col).toSeq ++ Seq(
+        col("__tlat").as(latCol), col("__tlon").as(lonCol),
+        col("__v").as(valueCol)): _*)
+  }
+}

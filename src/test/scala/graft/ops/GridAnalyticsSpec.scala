@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GridAnalyticsSpec extends SparkSpec {
+
+  test("temporalResample buckets time and aggregates per cell") {
+    val sp = spark; import sp.implicits._
+    // two cells, four daily steps spanning an ISO week boundary
+    // (2024-01-07 is a Sunday; week-truncation pins Monday starts)
+    val df = Seq(
+      (ts("2024-01-05T00:00"), 0.0, 1.0), (ts("2024-01-06T00:00"), 0.0, 3.0),
+      (ts("2024-01-08T00:00"), 0.0, 10.0), (ts("2024-01-09T00:00"), 0.0, 20.0),
+      (ts("2024-01-05T00:00"), 1.0, 100.0), (ts("2024-01-08T00:00"), 1.0, 7.0)
+    ).toDF("time", "lat", "value")
+    val out = GridAnalytics.temporalResample(df, "time", Seq("lat"), "value", "week")
+      .orderBy("time", "lat").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("time").toLocalDateTime.toLocalDate.toString,
+        r.getDouble(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0.0, 2.0), ("2024-01-01", 1.0, 100.0),
+      ("2024-01-08", 0.0, 15.0), ("2024-01-08", 1.0, 7.0)))
+    val mx = GridAnalytics.temporalResample(df, "time", Seq("lat"), "value", "week", "max")
+      .orderBy("time", "lat").collect().map(_.getDouble(2))
+    assert(mx.toSeq == Seq(3.0, 100.0, 20.0, 7.0))
+  }
+
+  test("climatology and anomalies by calendar period") {
+    val sp = spark; import sp.implicits._
+    // Mondays (2024-01-01, -08) vs Tuesdays (-02, -09) on one cell
+    val df = Seq(
+      (ts("2024-01-01T00:00"), 0.0, 10.0), (ts("2024-01-08T00:00"), 0.0, 20.0),
+      (ts("2024-01-02T00:00"), 0.0, 100.0), (ts("2024-01-09T00:00"), 0.0, 300.0)
+    ).toDF("time", "lat", "value")
+    val clim = GridAnalytics.climatology(df, "time", Seq("lat"), "value", "dayofweek")
+      .orderBy("dayofweek").collect()
+    // Spark dayofweek: Sunday=1 → Monday=2, Tuesday=3
+    assert(clim.map(r => (r.getInt(0), r.getDouble(2))).toSeq ==
+      Seq((2, 15.0), (3, 200.0)))
+    val an = GridAnalytics.anomalies(df, "time", Seq("lat"), "value", "dayofweek")
+      .orderBy("time").select("anomaly").collect().map(_.getDouble(0))
+    assert(an.toSeq == Seq(-5.0, -100.0, 5.0, 100.0))
+  }
+
+  test("rollingTime trailing window per cell with minPeriods") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (ts("2024-01-01T00:00"), 0.0, 1.0), (ts("2024-01-02T00:00"), 0.0, 2.0),
+      (ts("2024-01-03T00:00"), 0.0, 3.0), (ts("2024-01-04T00:00"), 0.0, 4.0),
+      (ts("2024-01-01T00:00"), 1.0, 10.0), (ts("2024-01-02T00:00"), 1.0, 30.0)
+    ).toDF("time", "lat", "value")
+    val out = GridAnalytics.rollingTime(df, "time", Seq("lat"), "value", k = 3,
+      agg = "mean", minPeriods = 2)
+      .orderBy("lat", "time").collect()
+      .map(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
+    // cell 0: null, (1+2)/2, (1+2+3)/3, (2+3+4)/3 ; cell 1: null, 20
+    assert(out.toSeq == Seq(None, Some(1.5), Some(2.0), Some(3.0), None, Some(20.0)))
+    intercept[IllegalArgumentException] {
+      GridAnalytics.rollingTime(df, "time", Seq.empty, "value", 3)
+    }
+  }
+
+  test("coarsen block-aggregates a regular grid, centre coords on edges too") {
+    val sp = spark; import sp.implicits._
+    val t = ts("2024-01-01T00:00")
+    // 3x3 grid at step 0.5 from origin (10, 20); factor 2 → blocks of 2x2
+    // with a trailing partial row/column
+    val rows = for (i <- 0 until 3; j <- 0 until 3)
+      yield (t, 10.0 + i * 0.5, 20.0 + j * 0.5, (i * 3 + j).toDouble)
+    val df = rows.toDF("time", "lat", "lon", "value")
+    val out = GridAnalytics.coarsen(df, "time", "lat", "lon", "value",
+      lat0 = 10.0, dLat = 0.5, lon0 = 20.0, dLon = 0.5, fy = 2, fx = 2)
+      .orderBy("lat", "lon").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // block (0,0): cells (0,0)(0,1)(1,0)(1,1) = 0,1,3,4 → 2.0, centre (10.25, 20.25)
+    // block (0,1): cells (0,2)(1,2) = 2,5 → 3.5, centre lon 20.25+1.0
+    // block (1,0): cells (2,0)(2,1) = 6,7 → 6.5
+    // block (1,1): cell (2,2) = 8
+    assert(out.toSeq == Seq(
+      (10.25, 20.25, 2.0), (10.25, 21.25, 3.5),
+      (11.25, 20.25, 6.5), (11.25, 21.25, 8.0)))
+  }
+
+  test("regridBilinear interpolates, renormalizes on missing corners, clips the hull") {
+    val sp = spark; import sp.implicits._
+    val t = ts("2024-01-01T00:00")
+    // 2x2 source grid step 1.0 at origin (0,0): v(i,j) = 2i + j
+    val src = Seq(
+      (t, 0.0, 0.0, 0.0), (t, 0.0, 1.0, 1.0),
+      (t, 1.0, 0.0, 2.0), (t, 1.0, 1.0, 3.0)
+    ).toDF("time", "lat", "lon", "value")
+    val target = Seq(
+      (0.5, 0.5),   // centre → mean of all 4 = 1.5
+      (0.0, 0.0),   // exact corner → 0.0
+      (0.25, 0.75), // 0.75*(0.25*0+0.75*1 is lon) ... = 2*0.25 + 0.75 = 1.25
+      (-1.0, 0.5)   // outside hull → dropped
+    ).toDF("lat", "lon")
+    val out = GridAnalytics.regridBilinear(src, target, Some("time"),
+      "lat", "lon", "value", 0.0, 1.0, 2, 0.0, 1.0, 2)
+      .orderBy("lat", "lon").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0.0, 0.0, 0.0), (0.25, 0.75, 1.25), (0.5, 0.5, 1.5)))
+
+    // drop one corner: centre point renormalizes over the 3 present ones
+    val holed = src.filter(!(col("lat") === 1.0 && col("lon") === 1.0))
+    val out2 = GridAnalytics.regridBilinear(holed, Seq((0.5, 0.5)).toDF("lat", "lon"),
+      Some("time"), "lat", "lon", "value", 0.0, 1.0, 2, 0.0, 1.0, 2)
+      .collect().map(_.getDouble(3))
+    assert(out2.toSeq == Seq((0.25 * 0 + 0.25 * 1 + 0.25 * 2) / 0.75))
+  }
+
+  test("regridNearest snaps to the closest source cell") {
+    val sp = spark; import sp.implicits._
+    val t = ts("2024-01-01T00:00")
+    val src = Seq(
+      (t, 0.0, 0.0, 0.0), (t, 0.0, 1.0, 1.0),
+      (t, 1.0, 0.0, 2.0), (t, 1.0, 1.0, 3.0)
+    ).toDF("time", "lat", "lon", "value")
+    val target = Seq((0.1, 0.9), (0.9, 0.2), (3.0, 0.0)).toDF("lat", "lon")
+    val out = GridAnalytics.regridNearest(src, target, Some("time"),
+      "lat", "lon", "value", 0.0, 1.0, 2, 0.0, 1.0, 2)
+      .orderBy("lat").collect().map(r => (r.getDouble(1), r.getDouble(3)))
+    assert(out.toSeq == Seq((0.1, 1.0), (0.9, 2.0)))
+  }
+}
