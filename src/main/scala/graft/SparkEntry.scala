@@ -1181,6 +1181,14 @@ object SparkEntry {
         lat0 = 40.0, dLat = 0.5, nLat = 10, lon0 = -100.0, dLon = 0.5, nLon = 10)
         .orderBy("lat", "lon")
     }),
+
+    // BM25 relevance of every document against a query vocabulary — the
+    // lexical data-selection baseline (rank training docs vs a target
+    // domain); tokens filter to the query set BEFORE any shuffle
+    "q93_bm25_rank" -> ((s, dir) =>
+      graft.functions.Rank.bm25Scores(table(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "window", "hash", "vector"))
+        .orderBy("doc_id")),
   )
 
   // -------------------------------------------------------------- oracleSql
@@ -1979,6 +1987,26 @@ object SparkEntry {
          |      WHERE c.w > 0 AND c.i BETWEEN 0 AND 9 AND c.j BETWEEN 0 AND 9)
          |SELECT tlat AS lat, tlon AS lon, sum(w * value) / sum(w) AS value
          |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical formula text both sides; every non-ln op is IEEE-determined
+    // and the 4-decimal rounding absorbs ln()'s cross-engine ulp
+    "q93_bm25_rank" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |base AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, t FROM tk),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS N, avg(dl) AS avgdl FROM base),
+         |m AS (SELECT doc_id, dl, w
+         |      FROM (SELECT doc_id, dl, unnest(t) AS w FROM base)
+         |      WHERE w IN ('spark', 'window', 'hash', 'vector')),
+         |tf AS (SELECT doc_id, w, max(dl) AS dl, CAST(count(*) AS DOUBLE) AS tf
+         |       FROM m GROUP BY 1, 2),
+         |dft AS (SELECT w, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dft
+         |        FROM m GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |              sum(ln((stats.N - dft.dft + 0.5) / (dft.dft + 0.5) + 1.0)
+         |                  * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS s
+         |       FROM tf JOIN dft ON tf.w = dft.w CROSS JOIN stats GROUP BY 1)
+         |SELECT b.doc_id, round(COALESCE(sc.s, 0.0), 4) AS bm25
+         |FROM base b LEFT JOIN sc ON b.doc_id = sc.doc_id ORDER BY 1""".stripMargin,
   )
 
   /** Shared oracle CTE: the long-format analytics grid (eventsGrid). */
