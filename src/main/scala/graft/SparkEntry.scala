@@ -202,7 +202,8 @@ object SparkEntry {
   private def gribEventsFixture(s: SparkSession, dir: String,
       edition: Int = 1, holes: Boolean = false,
       complexPacking: Boolean = false,
-      spatialDiffOrder: Int = 0): String = {
+      spatialDiffOrder: Int = 0,
+      pngPacking: Boolean = false): String = {
     val cells = eventsWithDay(s, dir)
       .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
       .count().collect()
@@ -212,7 +213,8 @@ object SparkEntry {
     val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
     val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
     val tag = (if (holes) "_bm" else "") + (if (complexPacking) "_cx" else "") +
-      (if (spatialDiffOrder > 0) s"_sd$spatialDiffOrder" else "")
+      (if (spatialDiffOrder > 0) s"_sd$spatialDiffOrder" else "") +
+      (if (pngPacking) "_png" else "")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/" +
       (if (edition == 1) s"events$tag.grb" else s"events$tag.grb2")
     val messages = days.toSeq.map { d =>
@@ -222,7 +224,8 @@ object SparkEntry {
       (61, d, Seq(0.0, 1.0), Seq(0.0, 1.0, 2.0, 3.0, 4.0), vals)
     }
     graft.sources.grib.GribFormat.writeFile(s, path, messages, edition = edition,
-      complexPacking = complexPacking, spatialDiffOrder = spatialDiffOrder)
+      complexPacking = complexPacking, spatialDiffOrder = spatialDiffOrder,
+      pngPacking = pngPacking)
     path
   }
 
@@ -1189,6 +1192,18 @@ object SparkEntry {
       graft.functions.Rank.bm25Scores(table(s, dir, "documents"),
         "doc_id", "text", Seq("spark", "window", "hash", "vector"))
         .orderBy("doc_id")),
+
+    // data representation template 5.41 (PNG raster packing, MRMS-style)
+    // + bitmap: holes flatten the raster to one present-cells row —
+    // q83's fixture grid and NULL-carrying oracle, different wire format
+    "q94_grib_png_scan" -> ((s, dir) => {
+      val path = gribEventsFixture(s, dir, edition = 2, holes = true,
+        pngPacking = true)
+      s.read.format("grib1").load(path)
+        .withColumn("slot", (col("latitude") * 5 + col("longitude")).cast("int"))
+        .select(col("time"), col("slot"), col("value").as("cnt"))
+        .orderBy("time", "slot")
+    }),
   )
 
   // -------------------------------------------------------------- oracleSql
@@ -2007,6 +2022,19 @@ object SparkEntry {
          |       FROM tf JOIN dft ON tf.w = dft.w CROSS JOIN stats GROUP BY 1)
          |SELECT b.doc_id, round(COALESCE(sc.s, 0.0), 4) AS bm25
          |FROM base b LEFT JOIN sc ON b.doc_id = sc.doc_id ORDER BY 1""".stripMargin,
+
+    // PNG-packed fixture encodes the SAME holed grid as q83's
+    "q94_grib_png_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s))
+        |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2""".stripMargin,
   )
 
   /** Shared oracle CTE: the long-format analytics grid (eventsGrid). */

@@ -18,8 +18,9 @@ import java.io.{DataOutputStream, EOFException, InputStream}
   * 4.8 and their individual-ensemble-member forms 4.1/4.11 (perturbation
   * number → the scan's `member` column); data representation templates 5.0 (simple packing, IEEE
   * float reference), 5.2 (complex packing, byte-aligned group
-  * streams) and 5.3 (complex packing + order-1/2 spatial differencing —
-  * the packing operational NCEP archives like GFS carry); section-6
+  * streams), 5.3 (complex packing + order-1/2 spatial differencing —
+  * the packing operational NCEP archives like GFS carry) and 5.41 (PNG
+  * rasters — MRMS-style, via the in-repo [[Png]] codec); section-6
   * bitmaps (present/previous/none); multi-FIELD messages (repeated
   * section 4-7 groups). Validated against NCEP's rtma_pcp.grib (the
   * reference's own test input).
@@ -146,7 +147,10 @@ object GribFormat {
       lcc: Option[LccGrid] = None,
       /** Ensemble perturbation number (product templates 4.1/4.11);
         * -1 = deterministic product. */
-      member: Int = -1) {
+      member: Int = -1,
+      /** Data representation template 5.41: the data section is a PNG
+        * image of the scaled offsets (MRMS-style packing). */
+      png: Boolean = false) {
     def lats: Array[Double] =
       Array.tabulate(nj)(j => la1 + (if (nj == 1) 0.0 else (la2 - la1) * j / (nj - 1)))
     def lons: Array[Double] =
@@ -212,6 +216,19 @@ object GribFormat {
             (k: Int) => prefix(k / 64) +
               java.lang.Long.bitCount(bm(k / 64) & ((1L << (k % 64)) - 1)))
         }
+      if (png) {
+        // template 7.41: the section body IS a PNG raster of the scaled
+        // offsets — (ni, nj) without a bitmap, (nPresent, 1) with one
+        val nPresent = if (hasBitmap) rank(nValues - 1) +
+          (if (present(nValues - 1)) 1 else 0) else nValues
+        val (w, h, samples) = Png.decode(slab)
+        require(w * h == nPresent,
+          s"PNG raster $w x $h carries ${w * h} values, field has $nPresent present")
+        val vals = new Array[Double](nPresent)
+        var j = 0
+        while (j < nPresent) { vals(j) = unscale(samples(j).toDouble); j += 1 }
+        return (k: Int) => if (!present(k)) Double.NaN else vals(rank(k))
+      }
       complex match {
         case None =>
           (k: Int) =>
@@ -575,10 +592,11 @@ object GribFormat {
       decimalScale: Int = 0,
       leadHours: Int = 0,
       complexPacking: Boolean = false,
-      spatialDiffOrder: Int = 0): Unit =
+      spatialDiffOrder: Int = 0,
+      pngPacking: Boolean = false): Unit =
     writeMessage2Fields(out, refTime, lats, lons,
       Seq((paramId, leadHours, values)), decimalScale, complexPacking,
-      spatialDiffOrder)
+      spatialDiffOrder, pngPacking = pngPacking)
 
   /** Write one GRIB2 MESSAGE carrying one or more FIELDS: sections 0-3 are
     * shared, each field contributes its own section 4-7 group (WMO FM 92
@@ -594,6 +612,9 @@ object GribFormat {
       /** 0 = plain 5.2 groups; 1|2 = template 5.3 spatial differencing
         * (requires complexPacking). */
       spatialDiffOrder: Int = 0,
+      /** Template 5.41: the scaled offsets travel as a PNG raster
+        * ((ni, nj), or (nPresent, 1) under a bitmap) — g2clib pngpack.c. */
+      pngPacking: Boolean = false,
       /** Ensemble perturbation numbers aligned with `fields` (empty =
         * deterministic products; -1 entries stay deterministic). Members
         * write product template 4.1 instead of 4.0. */
@@ -605,6 +626,8 @@ object GribFormat {
       s"spatial differencing order $spatialDiffOrder (0, 1, 2)")
     require(spatialDiffOrder == 0 || complexPacking,
       "spatial differencing (5.3) rides on complex packing")
+    require(!(complexPacking && pngPacking),
+      "pick one data representation: complex (5.2/5.3) or PNG (5.41)")
     val nj = lats.length; val ni = lons.length
 
     final case class FieldPlan(
@@ -612,6 +635,7 @@ object GribFormat {
         scaled: Array[Long], minV: Long, bits: Int,
         bitmap: Option[Array[Byte]],
         complexParts: Option[(ComplexParams, Array[Byte], Int)],
+        pngBytes: Option[Array[Byte]],
         refValue: Float,
         member: Int,
         sec4Len: Int, sec5Len: Int, sec6Len: Int, sec7Len: Int)
@@ -623,7 +647,9 @@ object GribFormat {
       require(paramId >= 0 && paramId <= 0xFFFF, s"paramId $paramId not (cat<<8)|num")
       require(values.length == ni * nj, s"${values.length} values for $ni x $nj grid")
       val (scaled, minV, bits, bitmap) = packPlan(values, decimalScale)
-      if (!complexPacking) require(bits <= 24,
+      if (pngPacking) require(bits <= 32,
+        s"range needs $bits bits (>32); PNG packing tops out at RGBA depth")
+      else if (!complexPacking) require(bits <= 24,
         s"range needs $bits bits (>24); raise decimalScale or complex-pack")
       // the reference value travels as IEEE float32 — exact for ints < 2^24
       require(minV.toFloat.toLong == minV, s"reference $minV not exact in float32")
@@ -645,11 +671,24 @@ object GribFormat {
         }
         else if (complexPacking) Some(complexPack(scaled, minV))
         else None
-      val dataByteLen = complexParts match {
-        case Some((_, bytes, _)) => bytes.length
-        case None => ((scaled.length.toLong * bits + 7) / 8).toInt
+      // 7.41: PNG of the offsets; a bitmapped field flattens to one row of
+      // present cells (g2clib pngpack.c), a full field keeps the grid shape
+      val pngBytes =
+        if (!pngPacking) None
+        else {
+          val (w, h) = if (bitmap.isDefined) (scaled.length, 1) else (ni, nj)
+          val offsets = new Array[Long](scaled.length)
+          var i = 0
+          while (i < scaled.length) { offsets(i) = scaled(i) - minV; i += 1 }
+          Some(Png.encode(w, h, math.max(bits, 1), offsets))
+        }
+      val dataByteLen = (complexParts, pngBytes) match {
+        case (Some((_, bytes, _)), _) => bytes.length
+        case (_, Some(bytes)) => bytes.length
+        case _ => ((scaled.length.toLong * bits + 7) / 8).toInt
       }
       FieldPlan(paramId, leadHours, scaled, minV, bits, bitmap, complexParts,
+        pngBytes,
         refValue = if (fieldOrder > 0) 0f else minV.toFloat,
         member = member,
         sec4Len = if (member >= 0) 37 else 34,
@@ -722,11 +761,12 @@ object GribFormat {
       out.writeInt(p.scaled.length)
       p.complexParts match {
         case None =>
-          out.writeShort(0) // template 5.0
+          // template 5.41 (PNG) shares 5.0's 21-octet body layout
+          out.writeShort(if (p.pngBytes.isDefined) 41 else 0)
           out.writeInt(java.lang.Float.floatToIntBits(refValue))
           writeSm(out, 0, 2) // binary scale E = 0
           writeSm(out, decimalScale, 2)
-          out.writeByte(p.bits)
+          out.writeByte(if (p.pngBytes.isDefined) math.max(p.bits, 1) else p.bits)
           out.writeByte(0) // field type: floating point
         case Some((cp, _, refBits)) =>
           out.writeShort(if (cp.spatialOrder > 0) 3 else 2) // template 5.2/5.3
@@ -758,9 +798,10 @@ object GribFormat {
       }
       // Section 7 — data
       out.writeInt(p.sec7Len); out.writeByte(7)
-      p.complexParts match {
-        case Some((_, bytes, _)) => out.write(bytes)
-        case None => writePacked(out, p.scaled, p.minV, p.bits)
+      (p.complexParts, p.pngBytes) match {
+        case (Some((_, bytes, _)), _) => out.write(bytes)
+        case (_, Some(bytes)) => out.write(bytes)
+        case _ => writePacked(out, p.scaled, p.minV, p.bits)
       }
     }
     // Section 8 — end
@@ -818,6 +859,7 @@ object GribFormat {
       var complex: Option[ComplexParams] = None
       var lcc: Option[LccGrid] = None
       var member = -1
+      var png = false
       var seenRepr = false
       var done = false
       while (!done) {
@@ -847,7 +889,7 @@ object GribFormat {
             fields += GribMessage(paramId, validTime, ni, nj, la1, lo1, la2,
               lo2, decimalScale, binaryScale, refValue, bits, dataOffset,
               dataBytes, total.toInt, bitmapOffset, bitmapBytes, complex, lcc,
-              member)
+              member, png)
           } else if (num == 6) {
             val indicator = readN(1)(0) & 0xFF
             indicator match {
@@ -937,7 +979,14 @@ object GribFormat {
                     require((body(15) & 0xFF) == 0,
                       s"field type ${body(15)} unsupported (only 0: floating point)")
                     complex = None // a later field may revert to simple packing
+                    png = false
+                  case 41 => // PNG packing — 5.0's 21-octet layout + a raster body
+                    require((body(15) & 0xFF) == 0,
+                      s"field type ${body(15)} unsupported (only 0: floating point)")
+                    complex = None
+                    png = true
                   case t @ (2 | 3) => // complex packing (5.2) / + spatial differencing (5.3)
+                    png = false
                     require((body(16) & 0xFF) == 1,
                       s"group splitting method ${body(16)} unsupported (1: general)")
                     require((body(17) & 0xFF) == 0,
@@ -964,7 +1013,7 @@ object GribFormat {
                       spatialOrder = order,
                       spatialDescBytes = descBytes))
                   case t => throw new IllegalArgumentException(
-                    s"data representation template $t unsupported (5.0, 5.2, 5.3)")
+                    s"data representation template $t unsupported (5.0, 5.2, 5.3, 5.41)")
                 }
               case n => throw new IllegalArgumentException(s"Unexpected GRIB2 section $n")
             }
@@ -1088,9 +1137,11 @@ object GribFormat {
       decimalScale: Int = 0,
       edition: Int = 1,
       complexPacking: Boolean = false,
-      spatialDiffOrder: Int = 0): Unit = {
+      spatialDiffOrder: Int = 0,
+      pngPacking: Boolean = false): Unit = {
     require(edition == 1 || edition == 2, s"edition $edition not in {1, 2}")
     require(!complexPacking || edition == 2, "complex packing is edition-2 only")
+    require(!pngPacking || edition == 2, "PNG packing is edition-2 only")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
@@ -1098,7 +1149,8 @@ object GribFormat {
     try messages.foreach { case (param, t, lats, lons, vals) =>
       if (edition == 1) writeMessage(out, param, t, lats, lons, vals, decimalScale)
       else writeMessage2(out, param, t, lats, lons, vals, decimalScale,
-        complexPacking = complexPacking, spatialDiffOrder = spatialDiffOrder)
+        complexPacking = complexPacking, spatialDiffOrder = spatialDiffOrder,
+        pngPacking = pngPacking)
     }
     finally out.close()
   }
