@@ -1193,6 +1193,30 @@ object SparkEntry {
         "doc_id", "text", Seq("spark", "window", "hash", "vector"))
         .orderBy("doc_id")),
 
+    // q84's lifecycle on a v3 `sharding_indexed` store: shard objects of
+    // (8 time × 4 slot) carrying separately-encoded (4 × 2) inner chunks
+    // behind a CRC32C-guarded index — the zarr v3 cloud layout, written
+    // AND updated (read-modify-write seeds whole shards) by the engine
+    "q95_zarr_sharded_roundtrip" -> ((s, dir) => {
+      val grid = eventsWithDay(s, dir)
+        .groupBy(col("d").as("time"),
+          (col("event_id") % 10).cast("double").as("slot"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val desc = DatasetDescriptor("events_grid_sharded", "n",
+        spatialDims = Seq("slot"), timeResolution = TimeSpan.Daily)
+      val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zarr_shard_$sf"
+      GridStore.fileSystem(s, path).delete(new org.apache.hadoop.fs.Path(path), true)
+      val store = new ZarrStore(s, path, desc, timeChunk = 8,
+        spatialChunks = Some(Seq(4)), zarrFormat = 3,
+        shardChunks = Some(Seq(4, 2)))
+      store.publish(grid.filter(col("time") < ldt("2024-01-21T00:00:00")))
+      store.publish(grid
+        .filter(col("time").between(ldt("2024-01-15T00:00:00"), ldt("2024-01-25T00:00:00")))
+        .withColumn("n", col("n") + lit(1000.0)))
+      store.dataset().select("time", "slot", "n").orderBy("time", "slot")
+    }),
+
     // data representation template 5.41 (PNG raster packing, MRMS-style)
     // + bitmap: holes flatten the raster to one present-cells row —
     // q83's fixture grid and NULL-carrying oracle, different wire format
@@ -2022,6 +2046,20 @@ object SparkEntry {
          |       FROM tf JOIN dft ON tf.w = dft.w CROSS JOIN stats GROUP BY 1)
          |SELECT b.doc_id, round(COALESCE(sc.s, 0.0), 4) AS bm25
          |FROM base b LEFT JOIN sc ON b.doc_id = sc.doc_id ORDER BY 1""".stripMargin,
+
+    // identical lifecycle to q84, different physical layout — same oracle
+    "q95_zarr_sharded_roundtrip" ->
+      s"""WITH g AS (SELECT $DaydSql, CAST(event_id % 10 AS DOUBLE) AS slot,
+         |             CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT d FROM g WHERE d <= TIMESTAMP '2024-01-25 00:00:00'),
+         |slots AS (SELECT DISTINCT slot FROM g WHERE d < TIMESTAMP '2024-01-21 00:00:00'),
+         |spine AS (SELECT d, slot FROM days CROSS JOIN slots)
+         |SELECT spine.d AS time, spine.slot AS slot,
+         |  CASE WHEN g.n IS NULL THEN NULL
+         |       WHEN spine.d >= TIMESTAMP '2024-01-15 00:00:00' THEN g.n + 1000
+         |       ELSE g.n END AS n
+         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+         |ORDER BY time, slot""".stripMargin,
 
     // PNG-packed fixture encodes the SAME holed grid as q83's
     "q94_grib_png_scan" ->

@@ -185,7 +185,8 @@ object ZarrIO {
     val k = meta0.ndim
     require(axes.length == k, s"${axes.length} axes for rank-$k arrays")
     vars.foreach { case (n, _, m) =>
-      require(m.chunks == meta0.chunks && m.shape == meta0.shape,
+      require(m.chunks == meta0.chunks && m.shape == meta0.shape &&
+        m.sharding == meta0.sharding,
         s"$n chunk grid differs — one grid per store")
     }
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
@@ -195,8 +196,11 @@ object ZarrIO {
       vals.zipWithIndex.map { case (v, i) => v -> i }.toMap
     }
     val bAxis = spark.sparkContext.broadcast(axisMaps)
-    val chunks = meta0.chunks.toArray
-    val gridShape = meta0.gridShape.toArray
+    // sharded v3 arrays: the WRITE unit (task ownership, buffer, flush) is
+    // the SHARD object — inner chunks are encoded at flush time
+    val chunks = meta0.sharding.map(_.shardShape).getOrElse(meta0.chunks).toArray
+    val gridShape = meta0.shape.zip(chunks)
+      .map { case (s, c) => (s + c - 1) / c }.toArray
     val chunkStrides = {
       val s = new Array[Long](k); var acc = 1L; var j = k - 1
       while (j >= 0) { s(j) = acc; acc *= chunks(j); j -= 1 }; s
@@ -300,20 +304,24 @@ object ZarrIO {
       c
     }
 
+    // cells per WRITE unit (= the shard when sharded, the chunk otherwise)
+    val unitCells = chunks.map(_.toLong).product.toInt
+
     def open(chunkId: Long): Unit = {
       val c = chunkCoords(chunkId)
       bufs = varMetas.map { case (name, m) =>
-        val key = m.chunkKey(c.toIndexedSeq)
         val existing =
-          if (mergeExisting)
-            ZarrMeta.readChunk(conf.value, m, Some(FileChunk(s"$root/$name/$key")))
-          else None
+          if (!mergeExisting) None
+          else if (m.sharding.isDefined)
+            readShardBuffer(conf.value, root, name, m, c, unitCells)
+          else
+            ZarrMeta.readChunk(conf.value, m,
+              Some(FileChunk(s"$root/$name/${m.chunkKey(c.toIndexedSeq)}")))
         existing.getOrElse {
-          val buf = new Array[Byte](m.bytesPerChunk.toInt)
+          val buf = new Array[Byte](unitCells * m.dtype.size)
           m.fill.foreach { f =>
             var i = 0
-            val cells = m.cellsPerChunk.toInt
-            while (i < cells) { m.dtype.encodeDouble(buf, i, f); i += 1 }
+            while (i < unitCells) { m.dtype.encodeDouble(buf, i, f); i += 1 }
           }
           buf
         }
@@ -323,8 +331,11 @@ object ZarrIO {
     def flush(chunkId: Long): Unit = {
       val c = chunkCoords(chunkId)
       varMetas.zipWithIndex.foreach { case ((name, m), v) =>
-        ZarrIO.writeChunkBytes(conf.value, s"$root/$name/${m.chunkKey(c.toIndexedSeq)}",
-          m, bufs(v))
+        val path = s"$root/$name/${m.chunkKey(c.toIndexedSeq)}"
+        if (m.sharding.isDefined)
+          writeRawBytes(conf.value, path, encodeShard(m, c, bufs(v)))
+        else
+          ZarrIO.writeChunkBytes(conf.value, path, m, bufs(v))
       }
       written += 1
     }
@@ -346,5 +357,153 @@ object ZarrIO {
     }
     if (currentChunk >= 0) flush(currentChunk)
     Iterator.single(written)
+  }
+
+  // ------------------------------------------------------- shard write path
+
+  private def writeRawBytes(conf: Configuration, path: String,
+      bytes: Array[Byte]): Unit = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(bytes)
+    finally out.close()
+  }
+
+  /** Copy one inner chunk between its own buffer and the enclosing shard
+    * buffer, `toShard` picking the direction. Runs are contiguous along the
+    * last dimension in BOTH layouts (C-order), so the copy moves whole
+    * rows. `ic` is the inner chunk's coords within the shard. */
+  private def copyInnerRows(m: ZArrayMeta, ic: Array[Int],
+      shardBuf: Array[Byte], innerBuf: Array[Byte], toShard: Boolean): Unit = {
+    val k = m.ndim
+    val inner = m.chunks.toArray
+    val sh = m.sharding.get.shardShape.toArray
+    val esize = m.dtype.size
+    val shardCellStrides = {
+      val s = new Array[Long](k); var acc = 1L; var j = k - 1
+      while (j >= 0) { s(j) = acc; acc *= sh(j); j -= 1 }; s
+    }
+    val rowLen = inner(k - 1) * esize
+    val rows = inner.take(k - 1).product
+    val p = new Array[Int](math.max(k - 1, 0))
+    var r = 0
+    var innerOff = 0
+    while (r < rows) {
+      var shardCell = (ic(k - 1).toLong * inner(k - 1)) * shardCellStrides(k - 1)
+      var j = 0
+      while (j < k - 1) {
+        shardCell += (ic(j).toLong * inner(j) + p(j)) * shardCellStrides(j)
+        j += 1
+      }
+      val shardOff = (shardCell * esize).toInt
+      if (toShard) System.arraycopy(innerBuf, innerOff, shardBuf, shardOff, rowLen)
+      else System.arraycopy(shardBuf, shardOff, innerBuf, innerOff, rowLen)
+      innerOff += rowLen
+      // advance the row odometer (dims 0..k-2, last fastest)
+      var j2 = k - 2
+      var moved = false
+      while (j2 >= 0 && !moved) {
+        if (p(j2) < inner(j2) - 1) { p(j2) += 1; moved = true }
+        else { p(j2) = 0; j2 -= 1 }
+      }
+      r += 1
+    }
+  }
+
+  /** Seed a full shard buffer from an existing shard object: index read +
+    * per-present-inner-chunk decode (missing inner chunks seed from fill).
+    * None = the object does not exist at all. */
+  private def readShardBuffer(conf: Configuration, root: String, name: String,
+      m: ZArrayMeta, shardCoords: Array[Int], unitCells: Int): Option[Array[Byte]] = {
+    val sh = m.sharding.get
+    val path = s"$root/$name/${m.chunkKey(shardCoords.toIndexedSeq)}"
+    ZarrMeta.readShardIndex(conf, FileChunk(path), sh, m.chunks).map { idx =>
+      val buf = new Array[Byte](unitCells * m.dtype.size)
+      m.fill.foreach { f =>
+        var i = 0
+        while (i < unitCells) { m.dtype.encodeDouble(buf, i, f); i += 1 }
+      }
+      val ratio = sh.ratio(m.chunks).toArray
+      val k = m.ndim
+      val ic = new Array[Int](k)
+      var lin = 0
+      val nInner = ratio.product
+      while (lin < nInner) {
+        val off = idx(2 * lin); val len = idx(2 * lin + 1)
+        if (!(off == -1L && len == -1L)) {
+          val innerBytes = ZarrMeta.readChunk(conf, m,
+            Some(RangeChunk(path, off, len))).getOrElse(
+            throw new IllegalStateException(s"$path: shard index points past object"))
+          copyInnerRows(m, ic, buf, innerBytes, toShard = true)
+        }
+        var j = k - 1
+        var moved = false
+        while (j >= 0 && !moved) {
+          if (ic(j) < ratio(j) - 1) { ic(j) += 1; moved = true }
+          else { ic(j) = 0; j -= 1 }
+        }
+        lin += 1
+      }
+      buf
+    }
+  }
+
+  /** Encode a full shard buffer as a `sharding_indexed` object: each inner
+    * chunk codec-encoded in row-major order, plus the u64-LE
+    * (offset, nbytes) index (CRC32C-guarded when declared), at the
+    * declared end/start location. Inner chunks wholly OUTSIDE the array
+    * shape are marked missing; partial edge chunks ship fill-padded. */
+  private def encodeShard(m: ZArrayMeta, shardCoords: Array[Int],
+      shardBuf: Array[Byte]): Array[Byte] = {
+    val sh = m.sharding.get
+    val inner = m.chunks.toArray
+    val ratio = sh.ratio(m.chunks).toArray
+    val k = m.ndim
+    val nInner = ratio.product
+    val esize = m.dtype.size
+    val innerCells = inner.map(_.toLong).product.toInt
+    val indexLen = sh.indexBytes(m.chunks)
+    val data = new java.io.ByteArrayOutputStream()
+    val pairs = new Array[Long](2 * nInner)
+    java.util.Arrays.fill(pairs, -1L)
+    var pos = if (sh.indexAtEnd) 0L else indexLen.toLong
+    val ic = new Array[Int](k)
+    var lin = 0
+    while (lin < nInner) {
+      var inside = true
+      var j = 0
+      while (j < k) {
+        if ((shardCoords(j).toLong * ratio(j) + ic(j)) * inner(j) >= m.shape(j))
+          inside = false
+        j += 1
+      }
+      if (inside) {
+        val innerBuf = new Array[Byte](innerCells * esize)
+        copyInnerRows(m, ic, shardBuf, innerBuf, toShard = false)
+        val enc = m.codec.encode(innerBuf)
+        pairs(2 * lin) = pos
+        pairs(2 * lin + 1) = enc.length.toLong
+        data.write(enc)
+        pos += enc.length
+      }
+      var j2 = k - 1
+      var moved = false
+      while (j2 >= 0 && !moved) {
+        if (ic(j2) < ratio(j2) - 1) { ic(j2) += 1; moved = true }
+        else { ic(j2) = 0; j2 -= 1 }
+      }
+      lin += 1
+    }
+    val idx = java.nio.ByteBuffer.allocate(indexLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    pairs.foreach(idx.putLong)
+    if (sh.indexCrc) {
+      val crc = new java.util.zip.CRC32C
+      crc.update(idx.array(), 0, indexLen - 4)
+      idx.putInt(crc.getValue.toInt)
+    }
+    val body = data.toByteArray
+    if (sh.indexAtEnd) body ++ idx.array() else idx.array() ++ body
   }
 }

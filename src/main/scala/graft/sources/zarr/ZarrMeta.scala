@@ -252,7 +252,6 @@ object ZarrMeta {
       * reader but is not a registered zarr-python v3 codec). */
     def renderV3: String = {
       require(filters.isEmpty, "v3 arrays carry no v2-style filters")
-      require(sharding.isEmpty, "the writer emits one object per chunk, not shards")
       val bytesCodec: JValue = JObj(Seq(
         "name" -> JStr("bytes"),
         "configuration" -> JObj(Seq(
@@ -278,6 +277,24 @@ object ZarrMeta {
             "blocksize" -> JNum(0))))))
       }
       val plainAttrs = JObj(attrs.fields.filterNot(_._1 == "_ARRAY_DIMENSIONS"))
+      // sharded arrays nest the whole inner chain under one
+      // sharding_indexed codec; the array-level chunk grid is the SHARD
+      // (storage-object) shape and `chunks` is the inner shape — the exact
+      // inverse of [[ZarrMeta.parseV3Array]]'s normalization
+      val (gridChunks, codecChain) = sharding match {
+        case None => (chunks, JArr(bytesCodec +: compressor))
+        case Some(sh) => (sh.shardShape, JArr(Seq(JObj(Seq(
+          "name" -> JStr("sharding_indexed"),
+          "configuration" -> JObj(Seq(
+            "chunk_shape" -> JArr(chunks.map(c => JNum(c))),
+            "codecs" -> JArr(bytesCodec +: compressor),
+            "index_codecs" -> JArr(
+              Seq[JValue](JObj(Seq("name" -> JStr("bytes"),
+                "configuration" -> JObj(Seq("endian" -> JStr("little")))))) ++
+                (if (sh.indexCrc) Seq[JValue](JObj(Seq("name" -> JStr("crc32c"))))
+                 else Seq.empty)),
+            "index_location" -> JStr(if (sh.indexAtEnd) "end" else "start"))))))))
+      }
       JObj(Seq(
         "zarr_format" -> JNum(3),
         "node_type" -> JStr("array"),
@@ -286,12 +303,12 @@ object ZarrMeta {
         "chunk_grid" -> JObj(Seq(
           "name" -> JStr("regular"),
           "configuration" -> JObj(Seq(
-            "chunk_shape" -> JArr(chunks.map(c => JNum(c))))))),
+            "chunk_shape" -> JArr(gridChunks.map(c => JNum(c))))))),
         "chunk_key_encoding" -> JObj(Seq(
           "name" -> JStr("default"),
           "configuration" -> JObj(Seq("separator" -> JStr(dimSeparator))))),
         "fill_value" -> fill.map(fillJson).getOrElse(JNull),
-        "codecs" -> JArr(bytesCodec +: compressor),
+        "codecs" -> codecChain,
       ) ++ dimNames.map(names =>
         "dimension_names" -> (JArr(names.map(JStr(_))): JValue)).toSeq
         ++ (if (plainAttrs.fields.isEmpty) Seq.empty
@@ -422,7 +439,7 @@ object ZarrMeta {
     * row-major inner order, optionally guarded by a trailing little-endian
     * CRC32C (the zarr-python default index chain). None = the shard object
     * does not exist (every inner chunk is fill). */
-  private def readShardIndex(conf: Configuration, ref: ChunkRef,
+  private[zarr] def readShardIndex(conf: Configuration, ref: ChunkRef,
       sh: ShardingInfo, inner: Seq[Int]): Option[Array[Long]] = {
     val n = sh.indexBytes(inner)
     val bytes: Option[Array[Byte]] = ref match {

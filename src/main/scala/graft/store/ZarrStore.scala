@@ -52,9 +52,17 @@ final class ZarrStore(
       * reference's write format) or 3 (`zarr.json` documents, c/-prefixed
       * chunk keys). An EXISTING store's persisted format always wins —
       * updates and rebuilds never mix sidecar conventions. */
-    val zarrFormat: Int = 2) extends GridPublisher {
+    val zarrFormat: Int = 2,
+    /** v3 `sharding_indexed` layout for NEW stores: inner chunk shape
+      * (time-first) nested inside each (timeChunk × spatialChunks) storage
+      * object — the zarr v3 cloud layout that keeps objects large while
+      * reads stay inner-chunk-granular. Must divide the storage chunk
+      * shape elementwise. */
+    val shardChunks: Option[Seq[Int]] = None) extends GridPublisher {
 
   require(zarrFormat == 2 || zarrFormat == 3, s"zarr format $zarrFormat (2 or 3)")
+  require(shardChunks.isEmpty || zarrFormat == 3,
+    "sharding_indexed is a zarr v3 codec — shardChunks needs zarrFormat = 3")
 
   /** [[GridPublisher]] — one streaming micro-batch lands through the same
     * publish dispatch (appends must stay time-monotonic, which ordered
@@ -163,7 +171,7 @@ final class ZarrStore(
 
   /** Every array under the root, from the PER-ARRAY documents (not the
     * consolidated doc, which may be mid-rewrite during a publish). */
-  private def listArrays(): Seq[(String, ZArrayMeta)] = {
+  private[store] def listArrays(): Seq[(String, ZArrayMeta)] = {
     val fs = GridStore.fileSystem(spark, path)
     val p = new HPath(path)
     if (!fs.exists(p)) Seq.empty
@@ -344,21 +352,29 @@ final class ZarrStore(
         require(m.filters.isEmpty,
           s"${desc.dataVar} declares v2 filters — the chunk writer emits " +
             "codec-only chunks; updates would disagree with the metadata")
-        require(m.sharding.isEmpty,
-          s"${desc.dataVar} is sharded (sharding_indexed) — the chunk writer " +
-            "emits one object per chunk; updating a sharded store would corrupt it")
         m.copy(shape = shape, codec = writeCodec)
       case None =>
+        val storage = chunkShape(spatial)
+        val (chunks, sharding) = shardChunks match {
+          case None => (storage, None)
+          case Some(inner) =>
+            require(inner.length == storage.length &&
+              inner.zip(storage).forall { case (i, s) => i > 0 && s % i == 0 },
+              s"shardChunks $inner must divide the storage chunk shape $storage")
+            (inner, Some(ZarrMeta.ShardingInfo(storage,
+              indexAtEnd = true, indexCrc = true)))
+        }
         ZArrayMeta(
           shape = shape,
-          chunks = chunkShape(spatial),
+          chunks = chunks,
           dtype = ZarrMeta.parseDtype("<f8"),
           codec = writeCodec,
           fill = Some(Double.NaN),
           dimSeparator = keySep,
           attrs = JObj(Seq(
             "_ARRAY_DIMENSIONS" -> graft.meta.JArr(dims.map(JStr(_))))),
-          keyPrefix = keyPfx)
+          keyPrefix = keyPfx,
+          sharding = sharding)
     }
   }
 
