@@ -1185,6 +1185,23 @@ object SparkEntry {
         .orderBy("lat", "lon")
     }),
 
+    // linear gap-filling along time per cell (da.interpolate_na): a
+    // deterministic third of the grid goes null, then interpolates back
+    // from the bracketing non-null neighbours; edge gaps stay null
+    "q96_interpolate_na" -> ((s, dir) => {
+      val holed = eventsGrid(s, dir).withColumn("value",
+        when(col("value").cast("int") % 3 === 0, lit(null)).otherwise(col("value")))
+      GridAnalytics.interpolateNaTime(holed, "time", Seq("lat", "lon"), "value")
+        .withColumn("value_filled", round(col("value_filled"), 6))
+        .orderBy("time", "lat", "lon")
+    }),
+
+    // area-correct spatial mean (da.weighted(cos(lat)).mean()) per timestep
+    "q97_weighted_mean" -> ((s, dir) =>
+      GridAnalytics.weightedSpatialMean(eventsGrid(s, dir), "time", "lat", "value")
+        .withColumn("mean", round(col("mean"), 6))
+        .orderBy("time")),
+
     // BM25 relevance of every document against a query vocabulary — the
     // lexical data-selection baseline (rank training docs vs a target
     // domain); tokens filter to the query set BEFORE any shuffle
@@ -2026,6 +2043,41 @@ object SparkEntry {
          |      WHERE c.w > 0 AND c.i BETWEEN 0 AND 9 AND c.j BETWEEN 0 AND 9)
          |SELECT tlat AS lat, tlon AS lon, sum(w * value) / sum(w) AS value
          |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // whole-second epochs and doubled-integer values keep the lerp exact;
+    // round(6) absorbs nothing but belts the division
+    "q96_interpolate_na" ->
+      s"""$GridCte,
+         |holed AS (SELECT time, lat, lon,
+         |                 CASE WHEN CAST(value AS INT) % 3 = 0 THEN NULL
+         |                      ELSE value END AS value
+         |          FROM grid)
+         |SELECT time, lat, lon, value,
+         |  round(CASE WHEN value IS NOT NULL THEN value
+         |        WHEN pv IS NOT NULL AND nv IS NOT NULL
+         |          THEN pv + (nv - pv) * ((t - pt) / (nt - pt)) END, 6) AS value_filled
+         |FROM (
+         |  SELECT time, lat, lon, value, epoch(time) AS t,
+         |    last_value(value IGNORE NULLS) OVER wb AS pv,
+         |    last_value(CASE WHEN value IS NOT NULL THEN epoch(time) END IGNORE NULLS)
+         |      OVER wb AS pt,
+         |    first_value(value IGNORE NULLS) OVER wf AS nv,
+         |    first_value(CASE WHEN value IS NOT NULL THEN epoch(time) END IGNORE NULLS)
+         |      OVER wf AS nt
+         |  FROM holed
+         |  WINDOW wb AS (PARTITION BY lat, lon ORDER BY time
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wf AS (PARTITION BY lat, lon ORDER BY time
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |ORDER BY time, lat, lon""".stripMargin,
+
+    // cos/radians may drift an ulp across libms; terms are O(100) and the
+    // 6-decimal rounding sits ~7 orders above worst-case drift
+    "q97_weighted_mean" ->
+      s"""$GridCte
+         |SELECT time, round(sum(cos(radians(lat)) * value)
+         |                   / sum(cos(radians(lat))), 6) AS mean
+         |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical formula text both sides; every non-ln op is IEEE-determined
     // and the 4-decimal rounding absorbs ln()'s cross-engine ulp

@@ -190,6 +190,50 @@ object GridAnalytics {
         col("__tlat").as(latCol), col("__tlon").as(lonCol), col(valueCol)): _*)
   }
 
+  /** xarray `da.interpolate_na(dim="time", method="linear")` — fill null
+    * cells by linear interpolation between the nearest non-null neighbours
+    * along time, PER CELL. Leading/trailing gaps (no neighbour on one
+    * side) stay null, matching xarray's default (no extrapolation).
+    *
+    * Two window passes over one (cell, time-ordered) partitioning — Spark
+    * plans them in a single sort+window stage, so the cost is one shuffle
+    * on the cell key. Null runs of any length interpolate against the run's
+    * bracketing values; time distances weight the blend, so irregular
+    * cadences interpolate correctly. Adds `<valueCol>_filled`. */
+  def interpolateNaTime(df: DataFrame, timeCol: String, dims: Seq[String],
+      valueCol: String): DataFrame = {
+    require(dims.nonEmpty,
+      "interpolateNaTime needs at least one cell dim: an undimensioned window is a single-partition sort")
+    val v = col(valueCol)
+    // seconds (fractional) since epoch; NTZ routes through TIMESTAMP (the
+    // engine pins the session zone to UTC, so the conversion is identity)
+    val t = col(timeCol).cast(org.apache.spark.sql.types.TimestampType).cast("double")
+    val back = Window.partitionBy(dims.map(col): _*).orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(dims.map(col): _*).orderBy(col(timeCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevV = last(when(v.isNotNull, v), ignoreNulls = true).over(back)
+    val prevT = last(when(v.isNotNull, t), ignoreNulls = true).over(back)
+    val nextV = first(when(v.isNotNull, v), ignoreNulls = true).over(fwd)
+    val nextT = first(when(v.isNotNull, t), ignoreNulls = true).over(fwd)
+    df.withColumn(s"${valueCol}_filled",
+      when(v.isNotNull, v)
+        .when(prevV.isNotNull && nextV.isNotNull,
+          prevV + (nextV - prevV) * ((t - prevT) / (nextT - prevT))))
+  }
+
+  /** xarray `da.weighted(np.cos(np.deg2rad(lat))).mean(("latitude",
+    * "longitude"))` — the area-correct spatial mean on a regular lat/lon
+    * grid (cells shrink towards the poles; an unweighted mean over-weights
+    * high latitudes). Output: (timeCol, mean). One shuffle on time. */
+  def weightedSpatialMean(df: DataFrame, timeCol: String, latCol: String,
+      valueCol: String): DataFrame = {
+    val w = cos(radians(col(latCol)))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(timeCol))
+      .agg((sum(w * col(valueCol)) / sum(w)).as("mean"))
+  }
+
   /** Nearest-neighbour regrid: same join shape as [[regridBilinear]] but a
     * single rounded corner per target point — for categorical/flag grids
     * where interpolation is meaningless. */

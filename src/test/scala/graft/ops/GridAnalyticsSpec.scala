@@ -110,6 +110,37 @@ class GridAnalyticsSpec extends SparkSpec {
     assert(out2.toSeq == Seq((0.25 * 0 + 0.25 * 1 + 0.25 * 2) / 0.75))
   }
 
+  test("interpolateNaTime lerps gaps per cell, leaves edges null, handles irregular cadence") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      // cell 0: leading null, interior run of two nulls, irregular step to day 6
+      (ts("2024-01-01T00:00"), 0.0, None: Option[Double]),
+      (ts("2024-01-02T00:00"), 0.0, Some(10.0)),
+      (ts("2024-01-03T00:00"), 0.0, None),
+      (ts("2024-01-04T00:00"), 0.0, None),
+      (ts("2024-01-06T00:00"), 0.0, Some(50.0)),
+      // cell 1: trailing null
+      (ts("2024-01-01T00:00"), 1.0, Some(5.0)),
+      (ts("2024-01-02T00:00"), 1.0, None)
+    ).toDF("time", "lat", "value")
+    val out = GridAnalytics.interpolateNaTime(df, "time", Seq("lat"), "value")
+      .orderBy("lat", "time").collect()
+      .map(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
+    // cell 0: null (no left), 10, 10+(40)*(1/4)=20, 30, 50
+    assert(out.toSeq == Seq(None, Some(10.0), Some(20.0), Some(30.0), Some(50.0),
+      Some(5.0), None))
+  }
+
+  test("weightedSpatialMean cos-lat weights the spatial reduction") {
+    val sp = spark; import sp.implicits._
+    val t = ts("2024-01-01T00:00")
+    // lat 0 (w=1) value 10, lat 60 (w=0.5) value 40 → (10 + 20)/(1.5) = 20
+    val df = Seq((t, 0.0, 10.0), (t, 60.0, 40.0)).toDF("time", "lat", "value")
+    val out = GridAnalytics.weightedSpatialMean(df, "time", "lat", "value")
+      .collect().map(_.getDouble(1))
+    assert(math.abs(out.head - 20.0) < 1e-9)
+  }
+
   test("regridNearest snaps to the closest source cell") {
     val sp = spark; import sp.implicits._
     val t = ts("2024-01-01T00:00")
