@@ -1202,6 +1202,14 @@ object SparkEntry {
         .withColumn("mean", round(col("mean"), 6))
         .orderBy("time")),
 
+    // exact interpolated per-cell quantiles (da.quantile(q, dim="time"))
+    "q98_cell_percentiles" -> ((s, dir) =>
+      GridAnalytics.percentilesByCell(eventsGrid(s, dir), Seq("lat", "lon"),
+        "value", Seq(0.5, 0.9))
+        .withColumn("p_50", round(col("p_50"), 6))
+        .withColumn("p_90", round(col("p_90"), 6))
+        .orderBy("lat", "lon")),
+
     // BM25 relevance of every document against a query vocabulary — the
     // lexical data-selection baseline (rank training docs vs a target
     // domain); tokens filter to the query set BEFORE any shuffle
@@ -2078,6 +2086,14 @@ object SparkEntry {
          |SELECT time, round(sum(cos(radians(lat)) * value)
          |                   / sum(cos(radians(lat))), 6) AS mean
          |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // both engines linear-interpolate at rank q·(n−1); the blend formula
+    // may differ in the last ulp → round(6)
+    "q98_cell_percentiles" ->
+      s"""$GridCte
+         |SELECT lat, lon, round(quantile_cont(value, 0.5), 6) AS p_50,
+         |       round(quantile_cont(value, 0.9), 6) AS p_90
+         |FROM grid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // identical formula text both sides; every non-ln op is IEEE-determined
     // and the 4-decimal rounding absorbs ln()'s cross-engine ulp

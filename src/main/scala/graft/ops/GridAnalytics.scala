@@ -234,6 +234,18 @@ object GridAnalytics {
       .agg((sum(w * col(valueCol)) / sum(w)).as("mean"))
   }
 
+  /** xarray `da.quantile(q, dim="time")` — exact linear-interpolated
+    * percentiles of the value per cell (Spark's sort-based `percentile`,
+    * not the approximate sketch; the per-group sort is bounded by one
+    * cell's history). Output: (dims..., p_<q> per requested q). */
+  def percentilesByCell(df: DataFrame, dims: Seq[String], valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"quantiles $qs")
+    val aggs = qs.map(q => percentile(col(valueCol), lit(q))
+      .as(s"p_${(q * 100).round}"))
+    df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Nearest-neighbour regrid: same join shape as [[regridBilinear]] but a
     * single rounded corner per target point — for categorical/flag grids
     * where interpolation is meaningless. */

@@ -150,6 +150,28 @@ class ManagerStreamingSpec extends SparkSpec {
     store.checkNotInProgress()
   }
 
+  test("streaming batches append into a SHARDED v3 store (read-modify-write per shard)") {
+    val root = Files.createTempDirectory("nc_stream_shard").toString
+    writeNcDaily(s"$root/input/a.nc", 1, 3)
+    val store = new graft.store.ZarrStore(spark, s"$root/store", testDesc,
+      timeChunk = 2, zarrFormat = 3, shardChunks = Some(Seq(1, 2, 2)))
+    def runOnce(): Unit = {
+      val q = StreamingUpdate.attach(
+        spark.readStream.format("netcdf").load(s"$root/input"),
+        store, s"$root/ckpt")
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(store.dataset().count() == 3 * 4)
+    writeNcDaily(s"$root/input/b.nc", 4, 2, base = 9.0)
+    runOnce() // appends days 4-5: shard 1 merges in place, shard 2 is new
+    assert(store.dataset().count() == 5 * 4)
+    val r = store.dataset().filter(col("time") === lit(ts("2024-01-05T00:00:00")) &&
+      col("latitude") === 10.0 && col("longitude") === 100.25).head()
+    assert(r.getAs[Double]("value") == 9.0 + 1 + 10.0 + 100.25)
+    store.checkNotInProgress()
+  }
+
   test("a mixed NC+parquet input dir fails loudly (conversion-window double-ingest guard)") {
     val root = Files.createTempDirectory("mgr_mixed").toString
     val mgr = new DatasetManager {

@@ -141,6 +141,16 @@ class GridAnalyticsSpec extends SparkSpec {
     assert(math.abs(out.head - 20.0) < 1e-9)
   }
 
+  test("percentilesByCell interpolates exact quantiles per cell") {
+    val sp = spark; import sp.implicits._
+    val df = (1 to 5).map(i => (ts(f"2024-01-0${i}T00:00"), 0.0, i * 10.0))
+      .toDF("time", "lat", "value")
+    val out = GridAnalytics.percentilesByCell(df, Seq("lat"), "value", Seq(0.5, 0.9))
+      .collect().head
+    assert(out.getDouble(1) == 30.0) // median of 10..50
+    assert(math.abs(out.getDouble(2) - 46.0) < 1e-9) // 0.9*(5-1)=3.6 → 40+0.6*10
+  }
+
   test("regridNearest snaps to the closest source cell") {
     val sp = spark; import sp.implicits._
     val t = ts("2024-01-01T00:00")

@@ -34,16 +34,19 @@ class GribFuzzSpec extends SparkSpec {
       }
       val dir = Files.createTempDirectory(s"gribfuzz$seed").toString
       // GRIB2 seeds rotate packing: simple → complex (5.2) → spatial-diff
-      // (5.3 order 1 or 2); grids with < 3 cells can't difference at order 2
-      val (cx, sd) = edition match {
-        case 1 => (false, 0)
+      // (5.3 order 1 or 2) → PNG (5.41); grids with < 3 cells can't
+      // difference at order 2
+      val (cx, sd, png) = edition match {
+        case 1 => (false, 0, false)
+        case _ if seed % 8 == 6 => (false, 0, true)
         case _ => (seed % 4) / 2 match {
-          case 0 => (seed % 8 >= 4, 0)
-          case _ => (true, 1 + (if (ni * nj > 2) seed % 2 else 0))
+          case 0 => (seed % 8 >= 4, 0, false)
+          case _ => (true, 1 + (if (ni * nj > 2) seed % 2 else 0), false)
         }
       }
       GribFormat.writeFile(spark, s"$dir/f.grb", msgs, decimalScale, edition,
-        complexPacking = cx, spatialDiffOrder = if (ni * nj > sd) sd else 0)
+        complexPacking = cx, spatialDiffOrder = if (ni * nj > sd) sd else 0,
+        pngPacking = png)
 
       val rows = spark.read.format("grib1").load(s"$dir/f.grb").collect()
       assert(rows.length == nMsgs * ni * nj, s"seed=$seed row count")
