@@ -1202,6 +1202,12 @@ object SparkEntry {
         .withColumn("mean", round(col("mean"), 6))
         .orderBy("time")),
 
+    // bigram-LM surprisal (conditional q75): the CCNet-perplexity-style
+    // quality signal, add-one smoothed against the corpus's own counts
+    "q99_bigram_surprisal" -> ((s, dir) =>
+      Text.bigramSurprisal(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // exact interpolated per-cell quantiles (da.quantile(q, dim="time"))
     "q98_cell_percentiles" -> ((s, dir) =>
       GridAnalytics.percentilesByCell(eventsGrid(s, dir), Seq("lat", "lon"),
@@ -2086,6 +2092,31 @@ object SparkEntry {
          |SELECT time, round(sum(cos(radians(lat)) * value)
          |                   / sum(cos(radians(lat))), 6) AS mean
          |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q75's position-ordered fold, conditional numerator/denominator;
+    // every count is exact, round(4) absorbs ln()'s ulp
+    "q99_bigram_surprisal" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |bi AS (SELECT doc_id, i, t[i] AS w1, t[i + 1] AS w2
+         |       FROM (SELECT doc_id, unnest(range(1, len(t))) AS i, t
+         |             FROM tk WHERE len(t) >= 2)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         |c1 AS (SELECT w AS w1, count(*) AS c1
+         |       FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+         |v AS (SELECT count(*) AS v FROM c1),
+         |sc AS (SELECT bi.doc_id, bi.i,
+         |              -ln((CAST(c2.c2 AS DOUBLE) + 1.0)
+         |                  / (CAST(c1.c1 AS DOUBLE) + CAST(v.v AS DOUBLE))) AS s
+         |       FROM bi JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+         |            JOIN c1 ON bi.w1 = c1.w1 CROSS JOIN v),
+         |agg AS (SELECT doc_id, list(s ORDER BY i) AS vs, count(*) AS nb
+         |        FROM sc GROUP BY 1)
+         |SELECT tk.doc_id,
+         |  COALESCE(round(list_reduce(list_prepend(0.0, agg.vs),
+         |    (acc, x) -> acc + x), 4), 0.0) AS bigram_surprisal,
+         |  CAST(COALESCE(agg.nb, 0) AS BIGINT) AS n_bigrams
+         |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+         |ORDER BY tk.doc_id""".stripMargin,
 
     // both engines linear-interpolate at rank q·(n−1); the blend formula
     // may differ in the last ulp → round(6)

@@ -194,6 +194,50 @@ object Text {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** Bigram-LM surprisal — the conditional upgrade of
+    * [[unigramSurprisal]]: per document, the add-one-smoothed negative
+    * log-likelihood Σ −ln((c(w₁w₂)+1)/(c(w₁)+|V|)) over its bigrams,
+    * the signal CCNet-style perplexity filters threshold on.
+    *
+    * Scale: bigram and unigram counts are map-side-combined shuffles
+    * bounded by the bigram vocabulary; positions join back on the bigram
+    * strings (the q67 trade: strings shuffle once for counting, never
+    * again); the vocabulary size rides the counts aggregate in-plan as a
+    * one-row broadcast. The per-doc sum folds in position order
+    * (order-independent of the join), and rounds to 4 decimals to absorb
+    * ln()'s cross-engine ulp. Output: (idCol, bigram_surprisal, n_bigrams);
+    * single-token documents score 0. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+    val bi = toks.select(col("__id"), posexplode(
+      bind(col("__t")) { t =>
+        when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      }).as(Seq("__pos", "__b")))
+      .select(col("__id"), col("__pos"), col("__b.w1"), col("__b.w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+    val c1 = toks.select(explode(col("__t")).as("__w"))
+      .groupBy(col("__w").as("w1")).agg(count(lit(1)).as("__c1"))
+    val vocab = c1.agg(count(lit(1)).as("__v"))
+    val terms = bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__s", -log((col("__c2").cast("double") + 1.0) /
+        (col("__c1").cast("double") + col("__v").cast("double"))))
+    val agg = terms.groupBy("__id").agg(
+      round(aggregate(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__s")))),
+          s => s.getField("__s")),
+        lit(0.0), (acc, x) => acc + x), 4).as("bigram_surprisal"),
+      count(lit(1)).as("n_bigrams"))
+    toks.select(col("__id"))
+      .join(agg, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("bigram_surprisal"), lit(0.0)).as("bigram_surprisal"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+  }
+
   /** Gopher-style rule-based quality filter (the pre-training corpus
     * hygiene pass of Rae et al. 2021, table A1): per-document boolean
     * verdicts for each rule plus the conjunctive `keep`.

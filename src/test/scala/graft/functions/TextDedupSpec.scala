@@ -283,6 +283,30 @@ class TextDedupSpec extends SparkSpec {
     assert(out.filter(_._1 != 1L).values.forall(m => !m("keep")))
   }
 
+  test("bigramSurprisal matches an independent driver-side bigram LM") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "solo"), (4L, "c c"))
+    val res = graft.functions.Text.bigramSurprisal(docs.toDF("doc_id", "text"),
+      "doc_id", "text").orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // independent formulation over plain collections
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+    val allToks = toks.flatMap(_._2)
+    val c1 = allToks.groupBy(identity).view.mapValues(_.size).toMap
+    val c2 = toks.flatMap(_._2.sliding(2).filter(_.size == 2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val v = c1.size.toDouble
+    for ((id, ts) <- toks) {
+      val bigrams = ts.sliding(2).filter(_.size == 2).toSeq
+      val expect = bigrams.map(b =>
+        -math.log((c2(b) + 1.0) / (c1(b.head) + v))).sum
+      assert(math.abs(res(id)._1 - math.rint(expect * 10000) / 10000.0) < 1e-9,
+        s"doc $id")
+      assert(res(id)._2 == bigrams.size.toLong)
+    }
+    assert(res(3L) == ((0.0, 0L)))
+  }
+
   test("exactSubstringDedup cuts every >1x K-span, keeps unique flanks, handles short docs") {
     val sp = spark; import sp.implicits._
     // the 4-token span "a b c d" appears in docs 1 and 2 (cross-doc dup);
