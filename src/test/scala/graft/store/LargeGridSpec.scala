@@ -97,4 +97,43 @@ class LargeGridSpec extends SparkSpec {
     assert(cell(3, 7.0, 9.0) == (2L * side * side + 7 * side + 9) % 1000)
     assert(cell(5, 0.0, 1.0) == 1.0)
   }
+
+  test("SHARDED v3 ZarrStore at the same tier: shard-unit write, inner-chunk-pruned reads") {
+    val days = 4
+    val side = 250
+    val root = Files.createTempDirectory("large_zarr_shard").toString
+    val desc = DatasetDescriptor("largezs", "value",
+      spatialDims = Seq("latitude", "longitude"), timeResolution = TimeSpan.Daily)
+    // storage shards of (2 time × 128 × 128) carrying (1 × 64 × 64) inner
+    // chunks → 8 inner chunks per shard; the write fans out per SHARD,
+    // reads prune to inner chunks via the shard index
+    val store = new ZarrStore(spark, s"$root/zstore", desc,
+      timeChunk = 2, spatialChunks = Some(Seq(128, 128)), zarrFormat = 3,
+      shardChunks = Some(Seq(1, 64, 64)),
+      codec = graft.sources.zarr.ZarrCodec.BloscLz4Codec(typesize = 8))
+
+    def grid(startDay: Int, nDays: Int, base: Double) = {
+      spark.range(nDays.toLong * side * side).select(
+        (expr(s"timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id / ${side * side} AS INT) + ${startDay - 1},0,0,0)"))
+          .cast("timestamp_ntz").as("time"),
+        ((col("id") % (side * side)) / side).cast("int").cast("double").as("latitude"),
+        (col("id") % side).cast("double").as("longitude"),
+        (lit(base) + col("id") % 1000).cast("double").as("value"))
+    }
+
+    store.publish(grid(1, days, 0.0))
+    store.publish(grid(2, 1, 1e6).unionByName(grid(5, 1, 0.0)))
+    val ds = store.dataset()
+    assert(ds.count() == (days + 1).toLong * side * side)
+    val day3 = store.readRange(ts("2024-01-03T00:00:00"), ts("2024-01-03T00:00:00"))
+    assert(day3.count() == side.toLong * side)
+
+    def cell(day: Int, lat: Double, lon: Double): Double =
+      ds.filter(col("time") === lit(java.time.LocalDateTime.parse(f"2024-01-0${day}T00:00:00")) &&
+          col("latitude") === lat && col("longitude") === lon)
+        .select("value").head().getDouble(0)
+    assert(cell(2, 123.0, 45.0) == 1e6 + (123 * side + 45) % 1000)
+    assert(cell(3, 7.0, 9.0) == (2L * side * side + 7 * side + 9) % 1000)
+    assert(cell(5, 0.0, 1.0) == 1.0)
+  }
 }
