@@ -1216,6 +1216,27 @@ object SparkEntry {
         .withColumn("p_90", round(col("p_90"), 6))
         .orderBy("lat", "lon")),
 
+    // da.shift/diff/cumsum along time per cell — the three windows share
+    // one (cell, time) sort, so the whole query is a single shuffle
+    "q101_shift_diff_cumsum" -> ((s, dir) =>
+      GridAnalytics.cumsumTime(
+        GridAnalytics.diffTime(
+          GridAnalytics.shiftTime(eventsGrid(s, dir), "time",
+            Seq("lat", "lon"), "value", 1),
+          "time", Seq("lat", "lon"), "value", 1),
+        "time", Seq("lat", "lon"), "value")
+        .orderBy("time", "lat", "lon")),
+
+    // temperature-flattened mixture resampling (mT5-style domain
+    // rebalancing): per-domain keep rates from q_d ∝ p_d^0.5 at a
+    // half-corpus budget, applied through the portable md5 threshold
+    "q100_temperature_mixture" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureMixtureSample(table(s, dir, "documents"),
+        "doc_id", "source", "n_chars", alpha = 0.5, budgetFraction = 0.5,
+        seed = "tm1")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // BM25 relevance of every document against a query vocabulary — the
     // lexical data-selection baseline (rank training docs vs a target
     // domain); tokens filter to the query set BEFORE any shuffle
@@ -2125,6 +2146,43 @@ object SparkEntry {
          |SELECT lat, lon, round(quantile_cont(value, 0.5), 6) AS p_50,
          |       round(quantile_cont(value, 0.9), 6) AS p_90
          |FROM grid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // cumsum accumulates in the window's ORDER BY sequence in both engines
+    // and the values are integer-valued doubles, so every sum is exact
+    "q101_shift_diff_cumsum" ->
+      s"""$GridCte
+         |SELECT time, lat, lon, value,
+         |       lag(value, 1) OVER w AS value_shift,
+         |       value - lag(value, 1) OVER w AS value_diff,
+         |       sum(value) OVER (PARTITION BY lat, lon ORDER BY time
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_cumsum
+         |FROM grid
+         |WINDOW w AS (PARTITION BY lat, lon ORDER BY time)
+         |ORDER BY time, lat, lon""".stripMargin,
+
+    // rate math mirrors Sampling.temperatureMixtureRates step for step:
+    // integer weight sums and w/total and sqrt are IEEE-exact in both
+    // engines, and ROUND(rate, 6) absorbs the one order-dependent float
+    // sum (Σ√p) before the threshold is rendered
+    "q100_temperature_mixture" ->
+      """WITH stats AS (
+        |  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS w
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS total FROM documents),
+        |q AS (SELECT source, w, POWER(w / total, 0.5) AS sq FROM stats, tot),
+        |rates AS (
+        |  SELECT source,
+        |    ROUND(LEAST(1.0, 0.5 * total * (sq / (SELECT SUM(sq) FROM q)) / w), 6) AS rate
+        |  FROM q, tot),
+        |thr AS (
+        |  SELECT source,
+        |    CASE WHEN rate >= 1.0 THEN 'g'
+        |         ELSE printf('%08x', CAST(ROUND(rate * 4294967296.0) AS BIGINT)) END AS t
+        |  FROM rates)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN thr USING (source)
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'tm1'), 1, 8) < thr.t
+        |ORDER BY d.doc_id""".stripMargin,
 
     // identical formula text both sides; every non-ln op is IEEE-determined
     // and the 4-decimal rounding absorbs ln()'s cross-engine ulp

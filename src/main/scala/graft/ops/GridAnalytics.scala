@@ -246,6 +246,47 @@ object GridAnalytics {
     df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** xarray `da.shift(time=k)` — the value k steps back (k < 0: forward)
+    * along each cell's time-ordered history; the first |k| steps are null.
+    * Adds `<valueCol>_shift`. Same one-shuffle cell-key window as
+    * [[rollingTime]]; an undimensioned call is refused for the same
+    * single-partition-sort reason. */
+  def shiftTime(df: DataFrame, timeCol: String, dims: Seq[String],
+      valueCol: String, k: Int): DataFrame = {
+    require(k != 0, "shift of 0 steps is the identity")
+    require(dims.nonEmpty,
+      "shiftTime needs at least one cell dim: an undimensioned window is a single-partition sort")
+    val w = Window.partitionBy(dims.map(col): _*).orderBy(col(timeCol))
+    val shifted = if (k > 0) lag(col(valueCol), k).over(w)
+                  else lead(col(valueCol), -k).over(w)
+    df.withColumn(s"${valueCol}_shift", shifted)
+  }
+
+  /** xarray `da.diff("time", n=k)` — the k-step difference per cell
+    * (`v(t) − v(t−k)`); xarray drops the first k steps, so rows with no
+    * k-back neighbour carry null here rather than disappearing (callers
+    * filter if they want xarray's exact row set). Adds `<valueCol>_diff`. */
+  def diffTime(df: DataFrame, timeCol: String, dims: Seq[String],
+      valueCol: String, k: Int = 1): DataFrame = {
+    require(k >= 1, s"diff over $k steps")
+    require(dims.nonEmpty,
+      "diffTime needs at least one cell dim: an undimensioned window is a single-partition sort")
+    val w = Window.partitionBy(dims.map(col): _*).orderBy(col(timeCol))
+    df.withColumn(s"${valueCol}_diff", col(valueCol) - lag(col(valueCol), k).over(w))
+  }
+
+  /** xarray `da.cumsum("time")` — the running total per cell. Nulls pass
+    * through without contributing (Spark `sum` ignores nulls), matching
+    * xarray's `skipna=True` default. Adds `<valueCol>_cumsum`. */
+  def cumsumTime(df: DataFrame, timeCol: String, dims: Seq[String],
+      valueCol: String): DataFrame = {
+    require(dims.nonEmpty,
+      "cumsumTime needs at least one cell dim: an undimensioned window is a single-partition sort")
+    val w = Window.partitionBy(dims.map(col): _*).orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(s"${valueCol}_cumsum", sum(col(valueCol)).over(w))
+  }
+
   /** Nearest-neighbour regrid: same join shape as [[regridBilinear]] but a
     * single rounded corner per target point — for categorical/flag grids
     * where interpolation is meaningless. */

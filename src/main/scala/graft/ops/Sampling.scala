@@ -65,6 +65,53 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Temperature-based mixture rates (the mT5 / multilingual-mix scheme):
+    * a domain holding weight share p_d of the corpus is resampled toward
+    * q_d ∝ p_d^alpha — alpha = 1 keeps natural proportions, alpha → 0
+    * flattens the mix — and the per-domain KEEP rate is the one that hits
+    * a total budget of `budgetFraction` × corpus weight at those mix
+    * proportions: rate_d = min(1, budgetFraction · total · q_d / w_d).
+    *
+    * Driver-side by design: the per-domain aggregate is bounded by the
+    * number of domains (like k-means centroids), and returning literal
+    * rates keeps the sampling predicate a pure per-row CASE — shuffle-free
+    * and engine-portable. Rates are rounded to 6 decimals so an oracle
+    * recomputing them in SQL lands on the same threshold (every step up to
+    * the Σ√p reduction is IEEE-exact: integer sums, one division, sqrt —
+    * all correctly rounded; the rounding belt absorbs the one
+    * order-dependent float sum). */
+  def temperatureMixtureRates(df: DataFrame, domainCol: String,
+      weightCol: String, alpha: Double, budgetFraction: Double): Map[String, Double] = {
+    require(alpha > 0 && alpha <= 1, s"temperature alpha in (0,1], got $alpha")
+    require(budgetFraction > 0 && budgetFraction <= 1,
+      s"budgetFraction in (0,1], got $budgetFraction")
+    val perDomain = df.groupBy(col(domainCol))
+      .agg(sum(col(weightCol)).as("w"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1) // fixed reduction order for the one inexact float sum
+    val total = perDomain.map(_._2).sum.toDouble
+    val qRaw = perDomain.map { case (d, w) => d -> math.pow(w / total, alpha) }
+    val qSum = qRaw.map(_._2).sum
+    qRaw.map { case (d, q) =>
+      val w = perDomain.find(_._1 == d).get._2.toDouble
+      val rate = math.min(1.0, budgetFraction * total * (q / qSum) / w)
+      d -> BigDecimal(rate).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
+  /** Temperature-based mixture sample: [[temperatureMixtureRates]] rates
+    * applied through the deterministic hash threshold — unknown domains
+    * (none, since rates come from this frame) would keep nothing. Two jobs:
+    * one bounded per-domain aggregate, then the per-row shuffle-free
+    * filter. */
+  def temperatureMixtureSample(df: DataFrame, keyCol: String,
+      domainCol: String, weightCol: String, alpha: Double,
+      budgetFraction: Double, seed: String = ""): DataFrame = {
+    val rates = temperatureMixtureRates(df, domainCol, weightCol, alpha, budgetFraction)
+    stratifiedSampleByHash(df, keyCol, domainCol, rates, defaultFraction = 0.0, seed)
+  }
+
   /** Stratified deterministic sample: per-stratum fractions (e.g. language
     * rebalancing — downsample the head languages, keep the tail whole).
     * Strata not in `fractions` use `defaultFraction`. Still per-row and

@@ -151,6 +151,40 @@ class GridAnalyticsSpec extends SparkSpec {
     assert(math.abs(out.getDouble(2) - 46.0) < 1e-9) // 0.9*(5-1)=3.6 → 40+0.6*10
   }
 
+  test("shift/diff/cumsum run per cell with null edges, sharing one window sort") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (ts("2024-01-01T00:00"), 0.0, 1.0), (ts("2024-01-02T00:00"), 0.0, 4.0),
+      (ts("2024-01-03T00:00"), 0.0, 9.0),
+      (ts("2024-01-01T00:00"), 1.0, 100.0), (ts("2024-01-02T00:00"), 1.0, 50.0)
+    ).toDF("time", "lat", "value")
+    val out = GridAnalytics.cumsumTime(
+      GridAnalytics.diffTime(
+        GridAnalytics.shiftTime(df, "time", Seq("lat"), "value", 1),
+        "time", Seq("lat"), "value"),
+      "time", Seq("lat"), "value")
+      .orderBy("lat", "time").collect()
+      .map(r => (Option(r.get(3)), Option(r.get(4)), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (None, None, 1.0), (Some(1.0), Some(3.0), 5.0), (Some(4.0), Some(5.0), 14.0),
+      (None, None, 100.0), (Some(100.0), Some(-50.0), 150.0)))
+    // negative shift is a lead
+    val led = GridAnalytics.shiftTime(df, "time", Seq("lat"), "value", -1)
+      .orderBy("lat", "time").collect().map(r => Option(r.get(3)))
+    assert(led.toSeq == Seq(Some(4.0), Some(9.0), None, Some(50.0), None))
+    // undimensioned calls are refused (single-partition sort)
+    intercept[IllegalArgumentException] {
+      GridAnalytics.cumsumTime(df, "time", Seq.empty, "value")
+    }
+    // the chained frame plans ONE shuffle: a single cell-key exchange
+    val plan = GridAnalytics.cumsumTime(
+      GridAnalytics.diffTime(
+        GridAnalytics.shiftTime(df, "time", Seq("lat"), "value", 1),
+        "time", Seq("lat"), "value"),
+      "time", Seq("lat"), "value").queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
+  }
+
   test("regridNearest snaps to the closest source cell") {
     val sp = spark; import sp.implicits._
     val t = ts("2024-01-01T00:00")

@@ -81,6 +81,35 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.capPerStratum(small, "id", "stratum", 5).count() == 3L)
   }
 
+  test("temperature mixture flattens domain shares toward the budget") {
+    // heavily skewed corpus: 80% / 15% / 5% of the weight
+    val df = ((0L until 8000L).map(i => (i, "big", 10L)) ++
+      (8000L until 9500L).map(i => (i, "mid", 10L)) ++
+      (9500L until 10000L).map(i => (i, "small", 10L))).toDF("id", "dom", "w")
+    val rates = Sampling.temperatureMixtureRates(df, "dom", "w",
+      alpha = 0.5, budgetFraction = 0.5)
+    // α < 1 upweights the tail: keep rates must invert the size order
+    assert(rates("small") > rates("mid") && rates("mid") > rates("big"))
+    assert(rates.values.forall(r => r > 0 && r <= 1.0))
+    // the realized sample hits ~budgetFraction of total weight
+    val kept = Sampling.temperatureMixtureSample(df, "id", "dom", "w",
+      alpha = 0.5, budgetFraction = 0.5, seed = "t")
+    val keptW = kept.agg(sum("w")).as[Long].collect().head
+    assert(math.abs(keptW / 100000.0 - 0.5) < 0.05)
+    // α = 1 reproduces natural proportions: every rate equals the budget
+    val nat = Sampling.temperatureMixtureRates(df, "dom", "w", 1.0, 0.4)
+    assert(nat.values.forall(r => math.abs(r - 0.4) < 1e-9))
+    // a tiny domain's boosted rate caps at 1.0
+    val tiny = ((0L until 9990L).map(i => (i, "big", 100L)) ++
+      (9990L until 10000L).map(i => (i, "tiny", 1L))).toDF("id", "dom", "w")
+    val capped = Sampling.temperatureMixtureRates(tiny, "dom", "w", 0.3, 0.9)
+    assert(capped("tiny") == 1.0 && capped("big") < 1.0)
+    // deterministic and partitioning-independent
+    val again = Sampling.temperatureMixtureSample(df.repartition(13), "id",
+      "dom", "w", 0.5, 0.5, "t").select("id").as[Long].collect().sorted.toSeq
+    assert(again == kept.select("id").as[Long].collect().sorted.toSeq)
+  }
+
   test("the hash predicate is partition-pruning friendly (no shuffle)") {
     val plan = Sampling.sampleByHash(ids(100), "id", 0.5)
       .queryExecution.executedPlan.toString
