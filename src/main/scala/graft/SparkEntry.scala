@@ -1237,6 +1237,24 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // C4 §2.2 cleaning on a synthesized multi-line corpus (the flat docs
+    // gain deterministic line breaks + trigger phrases via C4SynthSql —
+    // IDENTICAL string ops in the oracle)
+    "q102_c4_line_filter" -> ((s, dir) =>
+      graft.functions.Text.c4LineFilter(
+        table(s, dir, "documents").withColumn("t", expr(C4SynthSql)),
+        "t", minWordsPerLine = 3, minLines = 2)
+        .select("doc_id", "c4_lines", "c4_keep", "c4_text")
+        .orderBy("doc_id")),
+
+    // value-distribution histogram (da.groupby_bins; doc-length histogram
+    // flavor — integer weights keep the per-bin mean exact)
+    "q103_value_bins" -> ((s, dir) =>
+      GridAnalytics.groupbyBins(
+        table(s, dir, "documents").withColumn("len", col("n_chars").cast("double")),
+        "len", lo = 0.0, step = 25.0, nBins = 40)
+        .orderBy("bin_lo")),
+
     // BM25 relevance of every document against a query vocabulary — the
     // lexical data-selection baseline (rank training docs vs a target
     // domain); tokens filter to the query set BEFORE any shuffle
@@ -2160,6 +2178,35 @@ object SparkEntry {
          |WINDOW w AS (PARTITION BY lat, lon ORDER BY time)
          |ORDER BY time, lat, lon""".stripMargin,
 
+    // line predicate and doc verdict replicated in DuckDB list lambdas over
+    // the same C4SynthSql corpus; trim/substring(-1)/split semantics agree
+    "q102_c4_line_filter" ->
+      s"""WITH src AS (SELECT doc_id, $C4SynthSql AS t FROM documents),
+         |k AS (SELECT doc_id, t,
+         |        list_filter(string_split(t, chr(10)),
+         |          l -> substring(trim(l), -1, 1) IN ('.', '!', '?', '"')
+         |               AND len(list_filter(string_split_regex(trim(l), ' +'), w -> w <> '')) >= 3
+         |               AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+         |      FROM src),
+         |v AS (SELECT doc_id, len(kept) AS c4_lines,
+         |        (NOT contains(lower(t), 'lorem ipsum')) AND (NOT contains(t, '{'))
+         |          AND (NOT contains(t, '}')) AND len(kept) >= 2 AS c4_keep,
+         |        array_to_string(kept, chr(10)) AS joined
+         |      FROM k)
+         |SELECT doc_id, c4_lines, c4_keep,
+         |       CASE WHEN c4_keep THEN joined END AS c4_text
+         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // integer-valued doubles: the per-bin sum and mean are exact
+    "q103_value_bins" ->
+      """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS len FROM documents)
+        |SELECT 0.0 + floor((len - 0.0) / 25.0) * 25.0 AS bin_lo,
+        |       count(*) AS n, avg(len) AS mean
+        |FROM v
+        |WHERE len IS NOT NULL AND floor((len - 0.0) / 25.0) >= 0
+        |  AND floor((len - 0.0) / 25.0) < 40
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // rate math mirrors Sampling.temperatureMixtureRates step for step:
     // integer weight sums and w/total and sqrt are IEEE-exact in both
     // engines, and ROUND(rate, 6) absorbs the one order-dependent float
@@ -2233,6 +2280,17 @@ object SparkEntry {
   )
 
   /** Shared oracle CTE: the long-format analytics grid (eventsGrid). */
+  /** Deterministic multi-line corpus for the C4 gate: ' table ' becomes a
+    * sentence break, doc_id-keyed docs gain the C4 trigger phrases. Pure
+    * replace/concat/chr — byte-identical in Spark SQL and DuckDB (no
+    * backslash escapes, which the two engines parse differently). */
+  private val C4SynthSql: String =
+    """concat(
+      |  replace(CASE WHEN doc_id % 7 = 0 THEN replace(text, ' spark ', ' javascript ') ELSE text END,
+      |    ' table ', concat('.', chr(10))),
+      |  CASE WHEN doc_id % 11 = 3 THEN ' lorem ipsum' ELSE '' END,
+      |  CASE WHEN doc_id % 13 = 5 THEN ' {x}' ELSE '' END)""".stripMargin
+
   private val GridCte: String =
     """WITH grid AS (
       |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS time,

@@ -373,6 +373,41 @@ object Text {
     }
   }
 
+  /** C4-style line + document cleaning (Raffel et al. 2020 §2.2, the
+    * public C4 pipeline): keep only lines that end in terminal punctuation
+    * (`.` `!` `?` `"`) and carry at least `minWordsPerLine` words, dropping
+    * lines that mention any of `dropLineWords` (C4: "javascript"); drop the
+    * whole document when it contains any of `dropDocPhrases` ("lorem
+    * ipsum"), any curly brace, or fewer than `minLines` surviving lines.
+    *
+    * Adds `c4_lines` (surviving line count), `c4_keep` (document verdict)
+    * and `c4_text` (the cleaned document, null when dropped). The kept-line
+    * array is materialized ONCE as a column (Catalyst will not inline the
+    * non-cheap HOF into its three consumers), so the per-row cost is one
+    * split + one filter pass — embarrassingly parallel, no shuffle. */
+  def c4LineFilter(df: DataFrame, textCol: String,
+      minWordsPerLine: Int = 3, minLines: Int = 5,
+      dropLineWords: Seq[String] = Seq("javascript"),
+      dropDocPhrases: Seq[String] = Seq("lorem ipsum")): DataFrame = {
+    val text = col(textCol)
+    val keptLines = filter(split(text, "\n"), l => bind(trim(l)) { t =>
+      val lineClean = dropLineWords
+        .map(wd => !contains(lower(t), lit(wd)))
+        .foldLeft(lit(true))(_ && _)
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+        size(filter(split(t, " +"), w => w =!= lit(""))) >= lit(minWordsPerLine) &&
+        lineClean
+    })
+    val docClean = dropDocPhrases
+      .map(p => !contains(lower(text), lit(p)))
+      .foldLeft(!contains(text, lit("{")) && !contains(text, lit("}")))(_ && _)
+    df.withColumn("__c4_kept", keptLines)
+      .withColumn("c4_lines", size(col("__c4_kept")))
+      .withColumn("c4_keep", docClean && col("c4_lines") >= lit(minLines))
+      .withColumn("c4_text", when(col("c4_keep"), array_join(col("__c4_kept"), "\n")))
+      .drop("__c4_kept")
+  }
+
   /** Fraction of non-empty lines that are duplicates of an earlier line —
     * the Gopher-style repetition filter (high for boilerplate/spam). */
   def duplicateLineFraction(text: Column): Column =

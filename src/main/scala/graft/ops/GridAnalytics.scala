@@ -287,6 +287,24 @@ object GridAnalytics {
     df.withColumn(s"${valueCol}_cumsum", sum(col(valueCol)).over(w))
   }
 
+  /** xarray `da.groupby_bins(valueCol, bins).agg()` on uniform bins — the
+    * value-distribution histogram (count + mean per bin). Bins are
+    * left-closed `[lo + i·step, lo + (i+1)·step)` (numpy `digitize`
+    * `right=False`); values outside `[lo, lo + nBins·step)` are discarded,
+    * matching xarray's out-of-range handling. Output: (bin_lo, n, mean).
+    * The bin index is pure per-row arithmetic, so this is one map-side-
+    * combined aggregation bounded by nBins groups. */
+  def groupbyBins(df: DataFrame, valueCol: String, lo: Double, step: Double,
+      nBins: Int): DataFrame = {
+    require(step > 0 && nBins >= 1, s"bins: step=$step n=$nBins")
+    val bin = floor((col(valueCol) - lo) / step).cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__bin", bin)
+      .filter(col("__bin") >= 0 && col("__bin") < nBins)
+      .groupBy((lit(lo) + col("__bin") * step).as("bin_lo"))
+      .agg(count(lit(1)).as("n"), avg(col(valueCol)).as("mean"))
+  }
+
   /** Nearest-neighbour regrid: same join shape as [[regridBilinear]] but a
     * single rounded corner per target point — for categorical/flag grids
     * where interpolation is meaningless. */

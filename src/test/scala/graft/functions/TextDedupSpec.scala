@@ -339,4 +339,32 @@ class TextDedupSpec extends SparkSpec {
     assert(o2.map(_.getString(3)).toSeq == Seq("tail1", "tail2"))
     assert(o2.map(_.getLong(2)).toSeq == Seq(5L, 5L))
   }
+
+  test("c4LineFilter: every C4 rule trips on its crafted line/doc") {
+    val docs = Seq(
+      // doc 0: two good lines + one no-punct line + one short line → kept
+      (0L, "this line ends well.\nno terminal punct here\nshort.\nalso a fine line!"),
+      // doc 1: javascript line dropped, leaving 2 good lines → kept
+      (1L, "click javascript here.\none good line stays.\nquoted line survives \""),
+      // doc 2: enough lines but a curly brace → dropped
+      (2L, "good line number one.\ngood line number two.\nvar x = { }"),
+      // doc 3: lorem ipsum page → dropped
+      (3L, "good line number one.\ngood line number two.\nlorem ipsum dolor sit."),
+      // doc 4: only one surviving line → below minLines, dropped
+      (4L, "just one good line.\nnothing else survives"),
+      // doc 5: empty text → dropped
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = Text.c4LineFilter(docs, "text", minWordsPerLine = 3, minLines = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getBoolean(3)).toSeq ==
+      Seq(true, true, false, false, false, false))
+    assert(out.map(_.getInt(2)).toSeq == Seq(2, 2, 2, 3, 1, 0))
+    assert(out(0).getString(4) == "this line ends well.\nalso a fine line!")
+    assert(out(1).getString(4) == "one good line stays.\nquoted line survives \"")
+    assert(out(2).isNullAt(4) && out(5).isNullAt(4))
+    // no shuffle: the whole filter is per-row
+    val plan = Text.c4LineFilter(docs, "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

@@ -185,6 +185,19 @@ class GridAnalyticsSpec extends SparkSpec {
     assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
   }
 
+  test("groupbyBins: left-closed uniform bins, out-of-range discarded") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(0.0, 0.5, 1.0, 1.5, 2.0, 4.5, -0.1, 10.0)
+      .toDF("v") // bins [0,1) [1,2) ... ×5; -0.1 and 10.0 fall outside
+    val out = GridAnalytics.groupbyBins(df, "v", lo = 0.0, step = 1.0, nBins = 5)
+      .orderBy("bin_lo").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((0.0, 2L, 0.25), (1.0, 2L, 1.25), (2.0, 1L, 2.0), (4.0, 1L, 4.5)))
+    intercept[IllegalArgumentException] {
+      GridAnalytics.groupbyBins(df, "v", 0.0, -1.0, 5)
+    }
+  }
+
   test("regridNearest snaps to the closest source cell") {
     val sp = spark; import sp.implicits._
     val t = ts("2024-01-01T00:00")
