@@ -1247,6 +1247,26 @@ object SparkEntry {
         .select("doc_id", "c4_lines", "c4_keep", "c4_text")
         .orderBy("doc_id")),
 
+    // incremental near-dedup: documents are banded ONCE into a persisted
+    // LSH index; a synthetic re-crawl batch (verbatim every-5th + tail-
+    // perturbed every-7th) probes it with partition-pruned reads. The
+    // oracle recomputes the exact index×batch Jaccard pairs exhaustively.
+    "q104_incremental_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_idx_$sf"
+      GridStore.fileSystem(s, path).delete(new org.apache.hadoop.fs.Path(path), true)
+      Dedup.lshIndexWrite(docs, "doc_id", "text", path,
+        shingleSize = 3, numHashes = 64, bands = 16, nParts = 16)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 300000)
+          .withColumn("text", concat(col("text"), lit(" zz qq ww"))))
+      Dedup.lshProbeNearDups(s, path, batch, "doc_id", "text", 0.9)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // value-distribution histogram (da.groupby_bins; doc-length histogram
     // flavor — integer weights keep the per-bin mean exact)
     "q103_value_bins" -> ((s, dir) =>
@@ -2177,6 +2197,30 @@ object SparkEntry {
          |FROM grid
          |WINDOW w AS (PARTITION BY lat, lon ORDER BY time)
          |ORDER BY time, lat, lon""".stripMargin,
+
+    // exhaustive exact Jaccard between the corpus and the synthetic batch —
+    // the LSH probe must reproduce it exactly (same recall argument as q29)
+    "q104_incremental_dedup" ->
+      s"""WITH batch AS (
+         |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 300000 AS doc_id, text || ' zz qq ww' AS text
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |tA AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |tB AS (SELECT doc_id, $ToksSql AS t FROM batch),
+         |iA AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tA),
+         |iB AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tB),
+         |shA AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM iA),
+         |shB AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM iB),
+         |cA AS (SELECT doc_id, count(*) AS n FROM shA GROUP BY 1),
+         |cB AS (SELECT doc_id, count(*) AS n FROM shB GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |      FROM shA a JOIN shB b ON a.shingle = b.shingle GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       round(CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE), 6) AS jaccard
+         |FROM p JOIN cA na ON p.doc_a = na.doc_id JOIN cB nb ON p.doc_b = nb.doc_id
+         |WHERE round(CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE), 6) >= 0.9
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // line predicate and doc verdict replicated in DuckDB list lambdas over
     // the same C4SynthSql corpus; trim/substring(-1)/split semantics agree

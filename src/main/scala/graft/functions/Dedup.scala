@@ -143,6 +143,127 @@ object Dedup {
     df.select(explode(shinglePairHashes(col(textCol), n).getField("a")).as("__sh"))
       .distinct()
 
+  /** The INCREMENTAL near-dedup scale path: hash and band the corpus ONCE
+    * into a persisted LSH index, then dedup each new crawl batch against it
+    * with partition-pruned reads — the corpus is never rescanned.
+    *
+    * Layout under `path`:
+    *   - `bands/`  one skinny row per (band, band-hash, doc), partitioned by
+    *     `__hb = pmod(h, nParts)` — a probe touches at most nParts
+    *     directories, and only the ones its own band hashes land in;
+    *   - `docs/`   one row per doc carrying its 8-byte shingle hashes,
+    *     partitioned by `__db = pmod(xxhash64(doc_id), nParts)` — the exact
+    *     verify reads only the partitions holding candidate ids;
+    *   - `_lsh_params.json` pins (shingleSize, numHashes, bands, nParts) so
+    *     probes and appends can never mix incompatible hash families.
+    *
+    * Probe cost scales with the BATCH: the batch's band hashes broadcast
+    * into a pruned `bands/` scan, candidates bound the verify join, and
+    * the per-pair exact Jaccard matches [[nearDupPairs]] bit for bit. After
+    * a batch is admitted, [[lshIndexAppend]] grows both tables in place
+    * (parquet append — new files only, no rewrite). */
+  def lshIndexWrite(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      nParts: Int = 64,
+      mode: String = "overwrite"): Unit = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    require(nParts >= 1, s"nParts $nParts")
+    val rowsPerBand = numHashes / bands
+    minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
+      .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
+      .withColumn("__b", explode(bandHashes(col("sig"), bands, rowsPerBand)))
+      .select(col("doc_id"), col("__b.band").as("band"), col("__b.h").as("h"))
+      .withColumn("__hb", pmod(col("h"), lit(nParts.toLong)))
+      .write.partitionBy("__hb").mode(mode).parquet(s"$path/bands")
+    df.select(col(idCol).as("doc_id"),
+        shinglePairHashes(col(textCol), shingleSize).getField("a").as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__db", pmod(xxhash64(col("doc_id")), lit(nParts.toLong)))
+      .write.partitionBy("__db").mode(mode).parquet(s"$path/docs")
+    Similarity.writeSidecar(df.sparkSession, s"$path/_lsh_params.json",
+      graft.meta.JObj(Seq(
+        "shingleSize" -> graft.meta.JNum(shingleSize.toDouble),
+        "numHashes" -> graft.meta.JNum(numHashes.toDouble),
+        "bands" -> graft.meta.JNum(bands.toDouble),
+        "nParts" -> graft.meta.JNum(nParts.toDouble))))
+  }
+
+  private def lshParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, Int, Int) = {
+    val p = Similarity.readSidecar(spark, s"$path/_lsh_params.json")
+      .asInstanceOf[graft.meta.JObj]
+    def n(k: String) = p.get(k).collect { case graft.meta.JNum(v) => v.toInt }
+      .getOrElse(sys.error(s"LSH index at $path missing param $k"))
+    (n("shingleSize"), n("numHashes"), n("bands"), n("nParts"))
+  }
+
+  /** Grow a persisted LSH index with an admitted batch, reusing the
+    * index's pinned hash-family parameters. */
+  def lshIndexAppend(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      df: DataFrame,
+      idCol: String,
+      textCol: String): Unit = {
+    val (shingleSize, numHashes, bands, nParts) = lshParams(spark, path)
+    lshIndexWrite(df, idCol, textCol, path, shingleSize, numHashes, bands,
+      nParts, mode = "append")
+  }
+
+  /** Near-duplicate pairs (index doc, batch doc, exact jaccard) between a
+    * persisted LSH index and a new batch. Both the candidate scan and the
+    * verify scan are partition-pruned by the driver-side (≤ nParts)
+    * partition-value sets the batch actually touches; the batch side
+    * broadcasts. Batch-internal duplicates are out of scope by design —
+    * run [[nearDupPairs]] on the batch itself for those. */
+  def lshProbeNearDups(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.9): DataFrame = {
+    val (shingleSize, numHashes, bands, nParts) = lshParams(spark, path)
+    val rowsPerBand = numHashes / bands
+    val probe = minhashSignatures(batch, idCol, textCol, shingleSize, numHashes)
+      .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
+      .withColumn("__b", explode(bandHashes(col("sig"), bands, rowsPerBand)))
+      .select(col("doc_id").as("doc_b"), col("__b.band").as("band"),
+        col("__b.h").as("h"))
+    val hbs = probe.select(pmod(col("h"), lit(nParts.toLong)).as("hb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val empty = spark.emptyDataFrame
+      .select(lit(0L).as("doc_a"), lit(0L).as("doc_b"),
+        lit(0.0).as("jaccard")).limit(0)
+    if (hbs.isEmpty) return empty
+    val cands = spark.read.parquet(s"$path/bands")
+      .filter(col("__hb").isin(hbs: _*))
+      .join(broadcast(probe), Seq("band", "h"))
+      .filter(col("doc_id") =!= col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+    val dbs = cands.select(pmod(xxhash64(col("doc_a")), lit(nParts.toLong)).as("db"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    if (dbs.isEmpty) return empty
+    val idxSh = spark.read.parquet(s"$path/docs")
+      .filter(col("__db").isin(dbs: _*))
+      .select(col("doc_id").as("doc_a"), col("__sh").as("sh_a"))
+    val batchSh = batch.select(col(idCol).as("doc_b"),
+      shinglePairHashes(col(textCol), shingleSize).getField("a").as("sh_b"))
+    cands.join(idxSh, Seq("doc_a")).join(broadcast(batchSh), Seq("doc_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least one
     * word-`n`-gram with any benchmark document — the standard training-data
     * hygiene check before evaluation. One shuffle on 8-byte shingle hashes;

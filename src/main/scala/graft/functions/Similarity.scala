@@ -178,7 +178,7 @@ object Similarity {
 
   /** JSON sidecar beside a written layout (Hadoop FS, so file:// and
     * object stores behave alike). */
-  private def writeSidecar(spark: org.apache.spark.sql.SparkSession,
+  private[functions] def writeSidecar(spark: org.apache.spark.sql.SparkSession,
       path: String, doc: graft.meta.JValue): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -187,7 +187,7 @@ object Similarity {
     finally out.close()
   }
 
-  private def readSidecar(spark: org.apache.spark.sql.SparkSession,
+  private[functions] def readSidecar(spark: org.apache.spark.sql.SparkSession,
       path: String): graft.meta.JValue = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -340,6 +340,51 @@ class TextDedupSpec extends SparkSpec {
     assert(o2.map(_.getLong(2)).toSeq == Seq(5L, 5L))
   }
 
+  test("lshIndexWrite → lshProbeNearDups: equals nearDupPairs restricted to index×batch; pruned scans; append grows") {
+    val root = java.nio.file.Files.createTempDirectory("lsh_idx").toString
+    val path = s"$root/idx"
+    // doc i's 40 tokens are unique to i → corpus docs are mutually disjoint,
+    // twins share everything
+    def mk(n: Int, off: Long) = (0 until n).map { i =>
+      (off + i, (0 until 40).map(j => s"d${i}tok$j").mkString(" "))
+    }
+    val corpus = mk(60, 0).toDF("doc_id", "text")
+    // batch: 10 verbatim re-crawls + 10 near-dups (one appended token,
+    // jaccard 38/39 ≈ 0.974) + 10 unrelated
+    val batch = (mk(10, 1000) ++
+      mk(10, 2000).map { case (id, t) => (id, t + " tailtok") } ++
+      (0 until 10).map(i => (3000L + i, s"unique snowflake number $i entirely other"))).toDF("doc_id", "text")
+    Dedup.lshIndexWrite(corpus, "doc_id", "text", path, shingleSize = 3,
+      numHashes = 64, bands = 16, nParts = 8)
+    val got = Dedup.lshProbeNearDups(spark, path, batch, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // reference: nearDupPairs on the union, restricted to (index, batch) pairs
+    val union = corpus.unionByName(batch)
+    val want = Dedup.nearDupPairs(union, "doc_id", "text", 3, 64, 16, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < 1000 && b >= 1000 }.sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // verbatim re-crawls land at jaccard 1.0
+    assert(got.count(_._3 == 1.0) >= 10)
+    // the bands scan is partition-pruned: PartitionFilters carries __hb
+    val plan = Dedup.lshProbeNearDups(spark, path, batch, "doc_id", "text", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__hb"), plan)
+    // append the admitted batch, then a fresh probe sees its docs too:
+    // probe doc 9000+i (text of corpus doc i) hits corpus i, verbatim
+    // re-crawl 1000+i, and near-dup 2000+i
+    Dedup.lshIndexAppend(spark, path, batch, "doc_id", "text")
+    val again = Dedup.lshProbeNearDups(spark, path,
+      mk(5, 9000).toDF("doc_id", "text"), "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(again.map(_._2).distinct.sorted == Seq(9000L, 9001L, 9002L, 9003L, 9004L))
+    assert(again.count(_._1 < 1000) == 5 && again.count(_._1 >= 1000) == 10)
+    // the sidecar pins the hash family for appends and probes
+    val p2 = Similarity.readSidecar(spark, s"$path/_lsh_params.json")
+      .asInstanceOf[graft.meta.JObj]
+    assert(p2.get("numHashes").collect { case graft.meta.JNum(v) => v.toInt }.contains(64))
+  }
+
   test("c4LineFilter: every C4 rule trips on its crafted line/doc") {
     val docs = Seq(
       // doc 0: two good lines + one no-punct line + one short line → kept
