@@ -195,6 +195,14 @@ object Dedup {
         "nParts" -> graft.meta.JNum(nParts.toDouble))))
   }
 
+  /** True when `path` holds a committed LSH index (its params sidecar
+    * exists) — the "is this the first batch" test for incremental loops. */
+  def lshIndexExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_lsh_params.json")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   private def lshParams(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int, Int, Int) = {
     val p = Similarity.readSidecar(spark, s"$path/_lsh_params.json")

@@ -99,6 +99,64 @@ object StreamingUpdate {
     streamingExactDedup(gated, timeCol, textCol, lateness)
   }
 
+  /** Continuous corpus admission — the incremental crawl loop as a stream.
+    * Each micro-batch:
+    *   1. canonical-dedups INTERNALLY (LSH → exact verify → connected
+    *      components, min-id canonical survives);
+    *   2. probes the persisted LSH index at `indexPath` for near-dups of
+    *      everything already admitted (partition-pruned, batch-bounded —
+    *      see [[graft.functions.Dedup.lshProbeNearDups]]);
+    *   3. hands the admitted docs to `sink`;
+    *   4. appends them to the index, so every LATER batch dedups against
+    *      them.
+    * Dedup state lives in the index LAYOUT, not executor memory — the
+    * query restarts from the checkpoint with the corpus intact, and state
+    * size is disk-bounded rather than watermark-bounded (this is what
+    * makes unbounded-corpus near-dedup streamable at all; the
+    * `streamingExactDedup` watermark approach caps state by time instead).
+    * The first batch creates the index with the parameters given here;
+    * later batches reuse the persisted family via the sidecar pin. */
+  def startStreamingNearDedup(
+      stream: DataFrame,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      checkpointDir: String,
+      threshold: Double = 0.9,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      nParts: Int = 64)(sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val keepIds = graft.functions.Dedup.clusterCanonicalDedup(
+            batch, idCol, textCol, shingleSize, numHashes, bands, threshold)
+          val selfKept = batch.join(keepIds, Seq(idCol), "left_semi")
+          val admitted =
+            if (graft.functions.Dedup.lshIndexExists(spark, indexPath)) {
+              val dupIds = graft.functions.Dedup.lshProbeNearDups(
+                spark, indexPath, selfKept, idCol, textCol, threshold)
+                .select(col("doc_b").as(idCol)).distinct()
+              selfKept.join(dupIds, Seq(idCol), "left_anti")
+            } else selfKept
+          admitted.persist()
+          try {
+            sink(admitted)
+            if (graft.functions.Dedup.lshIndexExists(spark, indexPath))
+              graft.functions.Dedup.lshIndexAppend(
+                spark, indexPath, admitted, idCol, textCol)
+            else
+              graft.functions.Dedup.lshIndexWrite(admitted, idCol, textCol,
+                indexPath, shingleSize, numHashes, bands, nParts)
+          } finally admitted.unpersist()
+        }
+      }
+      .start()
+
   /** One observed cadence gap: consecutive timesteps of `key` further apart
     * than expected (the streaming A6 — UpdatePlan.cadenceViolations as a
     * continuous monitor). */

@@ -115,4 +115,33 @@ class StreamingOpsSpec extends SparkSpec {
     val texts = spark.table("sdedup").select("text").collect().map(_.getString(0)).toSeq
     assert(texts.sorted == Seq("doc A", "doc B", "doc C"))
   }
+
+  test("startStreamingNearDedup: near-dups dropped within AND across batches; index persists the corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("snd").toString
+    def doc(i: Int, tail: String = "") =
+      (0 until 40).map(j => s"d${i}tok$j").mkString(" ") + tail
+    val in = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamingUpdate.startStreamingNearDedup(
+      in.toDF().toDF("doc_id", "text"), s"$root/idx", "doc_id", "text",
+      s"$root/ckpt", nParts = 8) { batch =>
+      admitted ++= batch.select("doc_id").collect().map(_.getLong(0))
+    }
+    // batch 1: doc 1, doc 2, and 3 = near-dup of 1 (internal, min-id wins)
+    in.addData((1L, doc(1)), (2L, doc(2)), (3L, doc(1, " tailtok")))
+    q.processAllAvailable()
+    assert(admitted.sorted.toSeq == Seq(1L, 2L))
+    // batch 2: 4 = near-dup of ADMITTED 1 (cross-batch, via the index),
+    // 5 = near-dup of REJECTED 3's extra token — still a near-dup of 1,
+    // 6 = genuinely new
+    in.addData((4L, doc(1, " othertok")), (5L, doc(1, " tailtok")), (6L, doc(6)))
+    q.processAllAvailable()
+    assert(admitted.sorted.toSeq == Seq(1L, 2L, 6L))
+    q.stop()
+    // the index now holds exactly the admitted corpus
+    val idx = spark.read.parquet(s"$root/idx/docs").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(idx == Seq(1L, 2L, 6L))
+  }
 }
