@@ -1267,6 +1267,19 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // deterministic train/val/test assignment via consecutive hash ranges
+    "q105_hash_split" -> ((s, dir) =>
+      graft.ops.Sampling.hashSplit(table(s, dir, "documents"), "doc_id",
+        Seq("val" -> 0.1, "test" -> 0.1, "train" -> 0.8), seed = "sp1")
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
+    // per-cell empirical quantile of each observation (percent_rank along
+    // the value axis — the return-period statistic)
+    "q106_cell_percent_rank" -> ((s, dir) =>
+      GridAnalytics.percentRankInCell(eventsGrid(s, dir), Seq("lat", "lon"), "value")
+        .orderBy("lat", "lon", "time")),
+
     // value-distribution histogram (da.groupby_bins; doc-length histogram
     // flavor — integer weights keep the per-bin mean exact)
     "q103_value_bins" -> ((s, dir) =>
@@ -2240,6 +2253,23 @@ object SparkEntry {
          |SELECT doc_id, c4_lines, c4_keep,
          |       CASE WHEN c4_keep THEN joined END AS c4_text
          |FROM v ORDER BY doc_id""".stripMargin,
+
+    // consecutive hash ranges: [0, .1) val, [.1, .2) test, rest train
+    "q105_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'sp1'), 1, 8) < '1999999a' THEN 'val'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'sp1'), 1, 8) < '33333333' THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // (rank-1)/(n-1) is exact integer arithmetic; ties share a rank in
+    // both engines, so the result is order-independent
+    "q106_cell_percent_rank" ->
+      s"""$GridCte
+         |SELECT time, lat, lon, value,
+         |       percent_rank() OVER (PARTITION BY lat, lon ORDER BY value)
+         |         AS value_pct_rank
+         |FROM grid ORDER BY lat, lon, time""".stripMargin,
 
     // integer-valued doubles: the per-bin sum and mean are exact
     "q103_value_bins" ->

@@ -287,6 +287,21 @@ object GridAnalytics {
     df.withColumn(s"${valueCol}_cumsum", sum(col(valueCol)).over(w))
   }
 
+  /** Empirical quantile of each observation WITHIN its cell's history —
+    * `percent_rank` along the value axis per cell, the return-period /
+    * SPI-style statistic ("this month's rainfall sits at the 3rd
+    * percentile of this cell's record"). Exact integer arithmetic
+    * ((rank−1)/(n−1)), ties share a rank, single-observation cells rank 0.
+    * One shuffle on the cell key; per-partition sort bounded by one cell's
+    * history. Adds `<valueCol>_pct_rank`. */
+  def percentRankInCell(df: DataFrame, dims: Seq[String],
+      valueCol: String): DataFrame = {
+    require(dims.nonEmpty,
+      "percentRankInCell needs at least one cell dim: an undimensioned window is a single-partition sort")
+    val w = Window.partitionBy(dims.map(col): _*).orderBy(col(valueCol))
+    df.withColumn(s"${valueCol}_pct_rank", percent_rank().over(w))
+  }
+
   /** xarray `da.groupby_bins(valueCol, bins).agg()` on uniform bins — the
     * value-distribution histogram (count + mean per bin). Bins are
     * left-closed `[lo + i·step, lo + (i+1)·step)` (numpy `digitize`

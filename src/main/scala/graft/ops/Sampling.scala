@@ -65,6 +65,31 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Deterministic train/val/test assignment: the unit interval is carved
+    * into consecutive hash ranges — [0, f₁) → split 1, [f₁, f₁+f₂) →
+    * split 2, … — and each row lands where its draw falls; the remainder
+    * is the LAST split. Adds `<splitCol>`. Per-row, shuffle-free,
+    * engine-portable, and STABLE under corpus growth: a row's split never
+    * changes when other rows arrive, which is the property that keeps
+    * eval sets leak-free across crawl cycles (new near-dups of a test doc
+    * can still land in train — run dedup first; this op only pins
+    * assignment determinism). */
+  def hashSplit(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], splitCol: String = "split",
+      seed: String = ""): DataFrame = {
+    require(splits.size >= 2, s"need at least 2 splits, got ${splits.size}")
+    require(splits.map(_._2).forall(_ > 0), s"split fractions must be positive: $splits")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions exceed 1: ${splits.map(_._2).sum}")
+    val h = hashHex(col(keyCol), seed)
+    val cumulative = splits.init.scanLeft(0.0)(_ + _._2).tail // upper bound per non-final split
+    val assigned = splits.init.zip(cumulative).foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((name, _), upper)) =>
+        acc.when(h < lit(thresholdHex(upper)), lit(name))
+    }.otherwise(lit(splits.last._1))
+    df.withColumn(splitCol, assigned)
+  }
+
   /** Temperature-based mixture rates (the mT5 / multilingual-mix scheme):
     * a domain holding weight share p_d of the corpus is resampled toward
     * q_d ∝ p_d^alpha — alpha = 1 keeps natural proportions, alpha → 0

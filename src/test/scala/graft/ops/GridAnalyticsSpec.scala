@@ -185,6 +185,23 @@ class GridAnalyticsSpec extends SparkSpec {
     assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
   }
 
+  test("percentRankInCell: ties share ranks, single-obs cells rank 0") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (ts("2024-01-01T00:00"), 0.0, 10.0), (ts("2024-01-02T00:00"), 0.0, 30.0),
+      (ts("2024-01-03T00:00"), 0.0, 20.0), (ts("2024-01-04T00:00"), 0.0, 30.0),
+      (ts("2024-01-05T00:00"), 0.0, 40.0),
+      (ts("2024-01-01T00:00"), 1.0, 7.0)
+    ).toDF("time", "lat", "value")
+    val out = GridAnalytics.percentRankInCell(df, Seq("lat"), "value")
+      .orderBy("lat", "time").collect().map(_.getDouble(3))
+    // cell 0: ranks over values 10,20,30,30,40 → (r-1)/4
+    assert(out.toSeq == Seq(0.0, 0.5, 0.25, 0.5, 1.0, 0.0))
+    intercept[IllegalArgumentException] {
+      GridAnalytics.percentRankInCell(df, Seq.empty, "value")
+    }
+  }
+
   test("groupbyBins: left-closed uniform bins, out-of-range discarded") {
     val sp = spark; import sp.implicits._
     val df = Seq(0.0, 0.5, 1.0, 1.5, 2.0, 4.5, -0.1, 10.0)

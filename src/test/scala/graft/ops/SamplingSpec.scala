@@ -110,6 +110,31 @@ class SamplingSpec extends SparkSpec {
     assert(again == kept.select("id").as[Long].collect().sorted.toSeq)
   }
 
+  test("hashSplit: consecutive ranges, stable under growth, remainder is last") {
+    val df = ids(5000)
+    val out = Sampling.hashSplit(df, "id",
+      Seq("val" -> 0.1, "test" -> 0.1, "train" -> 0.8), seed = "s")
+    val byS = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byS("val") / 5000.0 - 0.1) < 0.02)
+    assert(math.abs(byS("test") / 5000.0 - 0.1) < 0.02)
+    assert(math.abs(byS("train") / 5000.0 - 0.8) < 0.02)
+    // growth stability: the first 5000 rows keep their split when 5000 more arrive
+    val grown = Sampling.hashSplit(ids(10000), "id",
+      Seq("val" -> 0.1, "test" -> 0.1, "train" -> 0.8), seed = "s")
+      .filter(col("id") < 5000)
+    val a = out.orderBy("id").as[(Long, String)].collect().toSeq
+    val b = grown.orderBy("id").as[(Long, String)].collect().toSeq
+    assert(a == b)
+    // splits are disjoint and exhaustive by construction
+    assert(byS.values.sum == 5000L)
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "id", Seq("only" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "id", Seq("a" -> 0.9, "b" -> 0.3))
+    }
+  }
+
   test("the hash predicate is partition-pruning friendly (no shuffle)") {
     val plan = Sampling.sampleByHash(ids(100), "id", 0.5)
       .queryExecution.executedPlan.toString
