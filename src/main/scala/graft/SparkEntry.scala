@@ -1280,6 +1280,36 @@ object SparkEntry {
       GridAnalytics.percentRankInCell(eventsGrid(s, dir), Seq("lat", "lon"), "value")
         .orderBy("lat", "lon", "time")),
 
+    // above-normal spells: exceedance runs over the anomaly field (ETCCDI
+    // warm-spell shape; composes anomalies → spellsInCell)
+    "q107_cell_spells" -> ((s, dir) =>
+      GridAnalytics.spellsInCell(
+        GridAnalytics.anomalies(eventsGrid(s, dir), "time",
+          Seq("lat", "lon"), "value", "month"),
+        "time", Seq("lat", "lon"), "anomaly", 0.0)
+        .select("lat", "lon", "spell_start", "spell_end", "n_steps", "peak")
+        .orderBy("lat", "lon", "spell_start")),
+
+    // when each cell's record value occurred (da.idxmax, earliest-tie)
+    "q108_cell_idxmax" -> ((s, dir) =>
+      GridAnalytics.idxmaxInCell(eventsGrid(s, dir), "time",
+        Seq("lat", "lon"), "value")
+        .orderBy("lat", "lon")),
+
+    // quality curation: the 5 longest docs per source, deterministic ties
+    "q109_topk_per_source" -> ((s, dir) =>
+      graft.ops.Sampling.topKPerStratum(table(s, dir, "documents"),
+        "source", 5, Seq(col("n_chars").desc, col("doc_id").asc))
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")),
+
+    // per-cell linear trend as exact integer numerators/denominator
+    // (da.polyfit(dim="time", deg=1) — the warming-trend map)
+    "q110_cell_trend" -> ((s, dir) =>
+      GridAnalytics.trendInCell(eventsGrid(s, dir), "time",
+        Seq("lat", "lon"), "value")
+        .orderBy("lat", "lon")),
+
     // value-distribution histogram (da.groupby_bins; doc-length histogram
     // flavor — integer weights keep the per-bin mean exact)
     "q103_value_bins" -> ((s, dir) =>
@@ -2270,6 +2300,57 @@ object SparkEntry {
          |       percent_rank() OVER (PARTITION BY lat, lon ORDER BY value)
          |         AS value_pct_rank
          |FROM grid ORDER BY lat, lon, time""".stripMargin,
+
+    // January-only grid: month climatology is the per-cell overall mean;
+    // integer-valued doubles keep avg and the >= 0 filter exact
+    "q107_cell_spells" ->
+      s"""$GridCte,
+         |clim AS (SELECT lat, lon, avg(value) AS climatology
+         |         FROM grid GROUP BY 1, 2),
+         |a AS (SELECT g.time, g.lat, g.lon,
+         |             g.value - c.climatology AS anomaly
+         |      FROM grid g JOIN clim c ON g.lat = c.lat AND g.lon = c.lon
+         |      WHERE g.value - c.climatology >= 0.0),
+         |m AS (SELECT *, CASE WHEN lag(time) OVER w IS NULL
+         |        OR date_diff('second', lag(time) OVER w, time) > 86400
+         |        THEN 1 ELSE 0 END AS st
+         |      FROM a WINDOW w AS (PARTITION BY lat, lon ORDER BY time)),
+         |r AS (SELECT *, SUM(st) OVER (PARTITION BY lat, lon ORDER BY time)
+         |        AS spell FROM m)
+         |SELECT lat, lon, min(time) AS spell_start, max(time) AS spell_end,
+         |       CAST(count(*) AS BIGINT) AS n_steps, max(anomaly) AS peak
+         |FROM r GROUP BY lat, lon, spell
+         |ORDER BY lat, lon, spell_start""".stripMargin,
+
+    // earliest time achieving the cell max — deterministic across engines
+    "q108_cell_idxmax" ->
+      s"""$GridCte,
+         |m AS (SELECT *, max(value) OVER (PARTITION BY lat, lon) AS vmax
+         |      FROM grid)
+         |SELECT lat, lon, max(vmax) AS value_max, min(time) AS time_at_max
+         |FROM m WHERE value = vmax GROUP BY lat, lon
+         |ORDER BY lat, lon""".stripMargin,
+
+    "q109_topk_per_source" ->
+      """SELECT source, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 5 ORDER BY source, doc_id""".stripMargin,
+
+    // closed-form least squares in integer arithmetic; the CAST belt keeps
+    // DuckDB's HUGEINT sum widening off the wire
+    "q110_cell_trend" ->
+      s"""$GridCte,
+         |t AS (SELECT lat, lon,
+         |        CAST(date_diff('day', DATE '1970-01-01', CAST(time AS DATE))
+         |          AS BIGINT) AS x,
+         |        CAST(value AS BIGINT) AS y FROM grid)
+         |SELECT lat, lon, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+         |  CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS BIGINT) AS den,
+         |  CAST(sum(y) * sum(x*x) - sum(x) * sum(x*y) AS BIGINT) AS icept_num
+         |FROM t GROUP BY lat, lon ORDER BY lat, lon""".stripMargin,
 
     // integer-valued doubles: the per-bin sum and mean are exact
     "q103_value_bins" ->

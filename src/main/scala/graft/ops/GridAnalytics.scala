@@ -302,6 +302,88 @@ object GridAnalytics {
     df.withColumn(s"${valueCol}_pct_rank", percent_rank().over(w))
   }
 
+  /** Threshold-exceedance spells per cell — the run-length statistic behind
+    * the ETCCDI climate indices (consecutive dry days, warm-spell duration):
+    * maximal runs of time steps with `value >= threshold` where consecutive
+    * steps are at most `maxGapSeconds` apart (so a missing day BREAKS a
+    * spell — per-cell time axes are allowed to have holes). Output:
+    * (dims..., spell_start, spell_end, n_steps, peak).
+    *
+    * Plan shape: filter → lag(time) window → running-sum window → groupBy,
+    * all partitioned by the cell key: the two windows share one exchange +
+    * one sort. The final groupBy adds a second exchange only formally —
+    * float cell keys get NaN-normalized in the window's output
+    * partitioning, so Catalyst can't prove reuse — but the map-side
+    * partial aggregate below it already collapses each spell (whose rows
+    * are co-located by the first shuffle) to ONE row, so it moves one row
+    * per spell, not per observation. */
+  def spellsInCell(df: DataFrame, timeCol: String, dims: Seq[String],
+      valueCol: String, threshold: Double,
+      maxGapSeconds: Long = 86400L): DataFrame = {
+    require(dims.nonEmpty,
+      "spellsInCell needs at least one cell dim: an undimensioned window is a single-partition sort")
+    require(maxGapSeconds > 0, s"maxGapSeconds must be positive, got $maxGapSeconds")
+    val w = Window.partitionBy(dims.map(col): _*).orderBy(col(timeCol))
+    val prev = lag(col(timeCol), 1).over(w)
+    val isStart = prev.isNull ||
+      (unix_timestamp(col(timeCol)) - unix_timestamp(prev) > lit(maxGapSeconds))
+    val run = Window.partitionBy(dims.map(col): _*).orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(valueCol) >= lit(threshold))
+      .withColumn("__spell", sum(isStart.cast("long")).over(run))
+      .groupBy(dims.map(col) :+ col("__spell"): _*)
+      .agg(min(col(timeCol)).as("spell_start"), max(col(timeCol)).as("spell_end"),
+        count(lit(1)).as("n_steps"), max(col(valueCol)).as("peak"))
+      .drop("__spell")
+  }
+
+  /** xarray `da.idxmax(dim="time")` + the max itself — WHEN each cell's
+    * record value occurred, with a deterministic tie-break (the EARLIEST
+    * achieving time; bare `arg_max`/`max_by` tie-breaks are
+    * engine-arbitrary). Output: (dims..., <valueCol>_max, <timeCol>_at_max).
+    * One exchange: the unordered window max and the groupBy share the cell
+    * hash partitioning. */
+  def idxmaxInCell(df: DataFrame, timeCol: String, dims: Seq[String],
+      valueCol: String): DataFrame = {
+    require(dims.nonEmpty, "idxmaxInCell needs at least one cell dim")
+    val w = Window.partitionBy(dims.map(col): _*)
+    df.withColumn("__vmax", max(col(valueCol)).over(w))
+      .filter(col(valueCol) === col("__vmax"))
+      .groupBy(dims.map(col): _*)
+      .agg(max(col("__vmax")).as(s"${valueCol}_max"),
+        min(col(timeCol)).as(s"${timeCol}_at_max"))
+  }
+
+  /** Per-cell linear trend — xarray `polyfit(dim="time", deg=1)`, the
+    * warming-trend map. Least squares over (x = whole days since epoch,
+    * y = value) carried ENTIRELY in integer arithmetic so the result is
+    * bit-exact and engine-portable: returns the closed-form numerators and
+    * shared denominator as BIGINTs —
+    * slope = slope_num/den, intercept = icept_num/den, with
+    * slope_num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)²,
+    * icept_num = Σy·Σx² − Σx·Σxy. Requires integer-valued `y` (casts to
+    * BIGINT); day-grain x keeps every term far inside Int64 for any
+    * century-scale daily record. Single-step cells return den = 0 (the
+    * undefined-slope marker) rather than a divide error. One map-side
+    * combined groupBy on the cell key. */
+  def trendInCell(df: DataFrame, timeCol: String, dims: Seq[String],
+      valueCol: String): DataFrame = {
+    require(dims.nonEmpty, "trendInCell needs at least one cell dim")
+    val x = datediff(col(timeCol).cast("date"), to_date(lit("1970-01-01")))
+      .cast("long")
+    val y = col(valueCol).cast("long")
+    df.select(dims.map(col) :+ x.as("__x") :+ y.as("__y"): _*)
+      .groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"), sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(dims.map(col) ++ Seq(
+        col("n"),
+        (col("n") * col("__sxy") - col("__sx") * col("__sy")).as("slope_num"),
+        (col("n") * col("__sxx") - col("__sx") * col("__sx")).as("den"),
+        (col("__sy") * col("__sxx") - col("__sx") * col("__sxy")).as("icept_num")): _*)
+  }
+
   /** xarray `da.groupby_bins(valueCol, bins).agg()` on uniform bins — the
     * value-distribution histogram (count + mean per bin). Bins are
     * left-closed `[lo + i·step, lo + (i+1)·step)` (numpy `digitize`

@@ -65,6 +65,24 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Score-based per-stratum cap: keep the `k` BEST rows of each stratum
+    * under an explicit ordering (quality-score curation — "the 10k
+    * highest-quality documents per source"), where [[capPerStratum]] keeps
+    * a uniform random subset. The caller's ordering should end in a unique
+    * key (e.g. the doc id) so ties — and therefore the kept set — are
+    * deterministic on every engine. One shuffle on the stratum key;
+    * per-partition sort bounded by the largest stratum. */
+  def topKPerStratum(df: DataFrame, strataCol: String, k: Int,
+      ordering: Seq[Column]): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(ordering.nonEmpty, "topKPerStratum needs at least one ordering column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(ordering: _*)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** Deterministic train/val/test assignment: the unit interval is carved
     * into consecutive hash ranges — [0, f₁) → split 1, [f₁, f₁+f₂) →
     * split 2, … — and each row lands where its draw falls; the remainder

@@ -202,6 +202,65 @@ class GridAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("spellsInCell: threshold + calendar gaps both break runs") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      // cell 0: 3-day run, a below-threshold day, then a 2-day run
+      (ts("2024-01-01T00:00"), 0.0, 5.0), (ts("2024-01-02T00:00"), 0.0, 6.0),
+      (ts("2024-01-03T00:00"), 0.0, 5.0), (ts("2024-01-04T00:00"), 0.0, 1.0),
+      (ts("2024-01-05T00:00"), 0.0, 7.0), (ts("2024-01-06T00:00"), 0.0, 5.0),
+      // cell 1: two exceedance days separated by a MISSING day → two spells
+      (ts("2024-01-01T00:00"), 1.0, 9.0), (ts("2024-01-03T00:00"), 1.0, 9.0)
+    ).toDF("time", "lat", "value")
+    val out = GridAnalytics.spellsInCell(df, "time", Seq("lat"), "value", 5.0)
+      .orderBy("lat", "spell_start")
+      .select("lat", "n_steps", "peak").as[(Double, Long, Double)].collect().toSeq
+    assert(out == Seq((0.0, 3L, 6.0), (0.0, 2L, 7.0), (1.0, 1L, 9.0), (1.0, 1L, 9.0)))
+  }
+
+  test("spellsInCell plan: both windows share one sort; the groupBy's " +
+      "exchange sits above a map-side partial agg (one row per spell)") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((ts("2024-01-01T00:00"), 0.0, 5.0)).toDF("time", "lat", "value")
+    val plan = GridAnalytics.spellsInCell(df, "time", Seq("lat"), "value", 1.0)
+      .queryExecution.executedPlan.toString
+    // one raw-row exchange (the windows') + one spell-row exchange
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 2, plan)
+    assert(plan.split("\\bSort \\[").length - 1 == 1, plan)
+    // the spell-row exchange must sit ABOVE the partial aggregate
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(plan.indexOf("partial_min", exIdx) > exIdx, plan)
+  }
+
+  test("idxmaxInCell: earliest time wins ties") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (ts("2024-01-02T00:00"), 0.0, 9.0), (ts("2024-01-01T00:00"), 0.0, 9.0),
+      (ts("2024-01-03T00:00"), 0.0, 1.0), (ts("2024-01-01T00:00"), 1.0, 4.0)
+    ).toDF("time", "lat", "value")
+    val out = GridAnalytics.idxmaxInCell(df, "time", Seq("lat"), "value")
+      .orderBy("lat").collect()
+    assert(out(0).getDouble(1) == 9.0 &&
+      out(0).getAs[java.time.LocalDateTime](2) == ts("2024-01-01T00:00"))
+    assert(out(1).getDouble(1) == 4.0)
+  }
+
+  test("trendInCell: exact integer slope on a known line") {
+    val sp = spark; import sp.implicits._
+    // y = 2x + 3 over three consecutive days → slope_num/den == 2 exactly
+    val df = Seq(
+      (ts("1970-01-01T00:00"), 0.0, 3.0), (ts("1970-01-02T00:00"), 0.0, 5.0),
+      (ts("1970-01-03T00:00"), 0.0, 7.0),
+      (ts("2024-01-01T00:00"), 1.0, 1.0) // single step: den = 0 marker
+    ).toDF("time", "lat", "value")
+    val out = GridAnalytics.trendInCell(df, "time", Seq("lat"), "value")
+      .orderBy("lat").select("n", "slope_num", "den", "icept_num")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // n=3, x=0,1,2: Σx=3 Σy=15 Σxy=19 Σxx=5 → num=3·19−3·15=12, den=3·5−9=6
+    assert(out(0) == ((3L, 12L, 6L, 18L))) // 12/6=2, 18/6=3
+    assert(out(1)._3 == 0L)
+  }
+
   test("groupbyBins: left-closed uniform bins, out-of-range discarded") {
     val sp = spark; import sp.implicits._
     val df = Seq(0.0, 0.5, 1.0, 1.5, 2.0, 4.5, -0.1, 10.0)

@@ -135,6 +135,25 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("topKPerStratum: best k by explicit ordering, deterministic ties") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 20L),
+      (5L, "b", 1L)
+    ).toDF("id", "src", "score")
+    val kept = Sampling.topKPerStratum(df, "src", 2,
+      Seq(col("score").desc, col("id").asc))
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    // a: ties at 30 break toward lower id (2 then 3); b: its single row
+    assert(kept == Seq((2L, "a", 30L), (3L, "a", 30L), (5L, "b", 1L)))
+    intercept[IllegalArgumentException] {
+      Sampling.topKPerStratum(df, "src", 0, Seq(col("score")))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.topKPerStratum(df, "src", 1, Seq.empty)
+    }
+  }
+
   test("the hash predicate is partition-pruning friendly (no shuffle)") {
     val plan = Sampling.sampleByHash(ids(100), "id", 0.5)
       .queryExecution.executedPlan.toString
