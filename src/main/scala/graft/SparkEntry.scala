@@ -1310,6 +1310,25 @@ object SparkEntry {
         Seq("lat", "lon"), "value")
         .orderBy("lat", "lon")),
 
+    // ffill(limit=2) + bfill over the holed grid (da.ffill/da.bfill);
+    // both fills share one (cell, time) sort
+    "q111_fill_na" -> ((s, dir) => {
+      val holed = eventsGrid(s, dir).withColumn("value",
+        when(col("value").cast("int") % 3 === 0, lit(null)).otherwise(col("value")))
+      val f = GridAnalytics.fillTime(holed, "time", Seq("lat", "lon"),
+        "value", "ffill", Some(2))
+        .withColumnRenamed("value_filled", "value_ffill")
+      GridAnalytics.fillTime(f, "time", Seq("lat", "lon"), "value", "bfill")
+        .withColumnRenamed("value_filled", "value_bfill")
+        .orderBy("time", "lat", "lon")
+    }),
+
+    // standardized anomaly against the cell's record — bit-exact across
+    // engines (integer sums; the only float ops are cast, sqrt, divide)
+    "q112_cell_zscore" -> ((s, dir) =>
+      GridAnalytics.zscoreInCell(eventsGrid(s, dir), Seq("lat", "lon"), "value")
+        .orderBy("time", "lat", "lon")),
+
     // value-distribution histogram (da.groupby_bins; doc-length histogram
     // flavor — integer weights keep the per-bin mean exact)
     "q103_value_bins" -> ((s, dir) =>
@@ -2351,6 +2370,48 @@ object SparkEntry {
          |  CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS BIGINT) AS den,
          |  CAST(sum(y) * sum(x*x) - sum(x) * sum(x*y) AS BIGINT) AS icept_num
          |FROM t GROUP BY lat, lon ORDER BY lat, lon""".stripMargin,
+
+    // rows-based fill limit = row_number distance to the source row
+    "q111_fill_na" ->
+      s"""$GridCte,
+         |holed AS (SELECT time, lat, lon,
+         |                 CASE WHEN CAST(value AS INT) % 3 = 0 THEN NULL
+         |                      ELSE value END AS value
+         |          FROM grid),
+         |r AS (SELECT *, row_number()
+         |        OVER (PARTITION BY lat, lon ORDER BY time) AS rn FROM holed),
+         |m AS (SELECT time, lat, lon, value, rn,
+         |        last_value(value IGNORE NULLS) OVER wb AS lv,
+         |        last_value(CASE WHEN value IS NOT NULL THEN rn END
+         |          IGNORE NULLS) OVER wb AS lrn,
+         |        first_value(value IGNORE NULLS) OVER wf AS nv
+         |      FROM r
+         |      WINDOW wb AS (PARTITION BY lat, lon ORDER BY time
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |             wf AS (PARTITION BY lat, lon ORDER BY time
+         |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT time, lat, lon, value,
+         |  CASE WHEN value IS NOT NULL THEN value
+         |       WHEN rn - lrn <= 2 THEN lv END AS value_ffill,
+         |  coalesce(value, nv) AS value_bfill
+         |FROM m ORDER BY time, lat, lon""".stripMargin,
+
+    // (n·y − Σy)/√(n·Σy² − (Σy)²): exact integers into exactly-rounded
+    // cast/sqrt/divide — bit-identical on both engines, no rounding belt
+    "q112_cell_zscore" ->
+      s"""$GridCte,
+         |m AS (SELECT time, lat, lon, value,
+         |        CAST(count(*) OVER w AS BIGINT) AS n,
+         |        CAST(sum(CAST(value AS BIGINT)) OVER w AS BIGINT) AS sy,
+         |        CAST(sum(CAST(value AS BIGINT) * CAST(value AS BIGINT)) OVER w
+         |          AS BIGINT) AS syy
+         |      FROM grid WINDOW w AS (PARTITION BY lat, lon))
+         |SELECT time, lat, lon, value,
+         |  CASE WHEN n*syy - sy*sy > 0
+         |    THEN CAST(n*CAST(value AS BIGINT) - sy AS DOUBLE)
+         |         / sqrt(CAST(n*syy - sy*sy AS DOUBLE))
+         |  END AS value_zscore
+         |FROM m ORDER BY time, lat, lon""".stripMargin,
 
     // integer-valued doubles: the per-bin sum and mean are exact
     "q103_value_bins" ->

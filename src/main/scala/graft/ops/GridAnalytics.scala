@@ -302,6 +302,72 @@ object GridAnalytics {
     df.withColumn(s"${valueCol}_pct_rank", percent_rank().over(w))
   }
 
+  /** xarray `da.ffill(dim="time", limit=…)` / `da.bfill(...)` — propagate
+    * the last (next) observed value into nulls along each cell's time axis,
+    * optionally at most `limit` steps away (rows-based, matching xarray).
+    * Adds `<valueCol>_filled`; nulls beyond the limit (or before the first
+    * / after the last observation) stay null. One cell-key shuffle + one
+    * sort; ffill's preceding frame and bfill's following frame share the
+    * same (cell, time ASC) ordering, so composing both stays one sort. */
+  def fillTime(df: DataFrame, timeCol: String, dims: Seq[String],
+      valueCol: String, method: String = "ffill",
+      limit: Option[Int] = None): DataFrame = {
+    require(dims.nonEmpty,
+      "fillTime needs at least one cell dim: an undimensioned window is a single-partition sort")
+    limit.foreach(k => require(k > 0, s"limit must be positive, got $k"))
+    val ord = Window.partitionBy(dims.map(col): _*).orderBy(col(timeCol))
+    val v = col(valueCol)
+    val (frame, pick, pickRn) = method match {
+      case "ffill" =>
+        val f = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        (f, last(v, ignoreNulls = true).over(f),
+          (c: Column) => last(c, ignoreNulls = true).over(f))
+      case "bfill" =>
+        val f = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        (f, first(v, ignoreNulls = true).over(f),
+          (c: Column) => first(c, ignoreNulls = true).over(f))
+      case other => throw new IllegalArgumentException(
+        s"method must be ffill or bfill, got $other")
+    }
+    limit match {
+      case None => df.withColumn(s"${valueCol}_filled", coalesce(v, pick))
+      case Some(k) =>
+        // rn must be a materialized column — window functions can't nest
+        val srcRn = pickRn(when(v.isNotNull, col("__rn")))
+        df.withColumn("__rn", row_number().over(ord))
+          .withColumn(s"${valueCol}_filled",
+            when(v.isNotNull, v).when(abs(col("__rn") - srcRn) <= k, pick))
+          .drop("__rn")
+    }
+  }
+
+  /** Standardized anomaly (z-score) against the cell's own record — the
+    * SPI-style normalization `(y − μ)/σ_pop`, algebraically rearranged to
+    * `(n·y − Σy)/√(n·Σy² − (Σy)²)` so every intermediate is an EXACT
+    * integer: the only float operations are one int→double conversion, one
+    * √, and one division — all IEEE-exactly-rounded, so the result is
+    * bit-identical on any engine (no rounding belt needed). Requires
+    * integer-valued `y` (casts to BIGINT, like [[trendInCell]]).
+    * Constant cells (zero variance) yield null. Adds `<valueCol>_zscore`.
+    * One unordered cell-key window — a single shuffle, no sort frames
+    * beyond the partition hash. */
+  def zscoreInCell(df: DataFrame, dims: Seq[String],
+      valueCol: String): DataFrame = {
+    require(dims.nonEmpty, "zscoreInCell needs at least one cell dim")
+    val w = Window.partitionBy(dims.map(col): _*)
+    val y = col(valueCol).cast("long")
+    df.withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sy", sum(y).over(w))
+      .withColumn("__syy", sum(y * y).over(w))
+      .withColumn(s"${valueCol}_zscore", {
+        val varNum = col("__n") * col("__syy") - col("__sy") * col("__sy")
+        when(varNum > 0,
+          (col("__n") * y - col("__sy")).cast("double") /
+            sqrt(varNum.cast("double")))
+      })
+      .drop("__n", "__sy", "__syy")
+  }
+
   /** Threshold-exceedance spells per cell — the run-length statistic behind
     * the ETCCDI climate indices (consecutive dry days, warm-spell duration):
     * maximal runs of time steps with `value >= threshold` where consecutive

@@ -261,6 +261,47 @@ class GridAnalyticsSpec extends SparkSpec {
     assert(out(1)._3 == 0L)
   }
 
+  test("fillTime: ffill honors the limit, bfill fills backward, edges stay null") {
+    val sp = spark; import sp.implicits._
+    val df = Seq[(java.time.LocalDateTime, Double, Option[Double])](
+      (ts("2024-01-01T00:00"), 0.0, None),       // before first obs
+      (ts("2024-01-02T00:00"), 0.0, Some(5.0)),
+      (ts("2024-01-03T00:00"), 0.0, None),       // 1 step away
+      (ts("2024-01-04T00:00"), 0.0, None),       // 2 steps away
+      (ts("2024-01-05T00:00"), 0.0, None),       // 3 steps — beyond limit 2
+      (ts("2024-01-06T00:00"), 0.0, Some(9.0))
+    ).toDF("time", "lat", "value")
+    val ff = GridAnalytics.fillTime(df, "time", Seq("lat"), "value", "ffill", Some(2))
+      .orderBy("time").select("value_filled")
+      .as[Option[Double]].collect().toSeq
+    assert(ff == Seq(None, Some(5.0), Some(5.0), Some(5.0), None, Some(9.0)))
+    val bf = GridAnalytics.fillTime(df, "time", Seq("lat"), "value", "bfill")
+      .orderBy("time").select("value_filled")
+      .as[Option[Double]].collect().toSeq
+    assert(bf == Seq(Some(5.0), Some(5.0), Some(9.0), Some(9.0), Some(9.0), Some(9.0)))
+    intercept[IllegalArgumentException] {
+      GridAnalytics.fillTime(df, "time", Seq("lat"), "value", "sideways")
+    }
+    intercept[IllegalArgumentException] {
+      GridAnalytics.fillTime(df, "time", Seq("lat"), "value", "ffill", Some(0))
+    }
+  }
+
+  test("zscoreInCell: exact integer rearrangement, constant cells null") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (ts("2024-01-01T00:00"), 0.0, 1.0), (ts("2024-01-02T00:00"), 0.0, 2.0),
+      (ts("2024-01-03T00:00"), 0.0, 3.0),
+      (ts("2024-01-01T00:00"), 1.0, 7.0), (ts("2024-01-02T00:00"), 1.0, 7.0)
+    ).toDF("time", "lat", "value")
+    val out = GridAnalytics.zscoreInCell(df, Seq("lat"), "value")
+      .orderBy("lat", "time").select("value_zscore")
+      .as[Option[Double]].collect().toSeq
+    // cell 0: y=1,2,3 → n=3 sy=6 syy=14 varNum=6; z = (3y−6)/√6
+    val s6 = math.sqrt(6.0)
+    assert(out == Seq(Some(-3.0 / s6), Some(0.0), Some(3.0 / s6), None, None))
+  }
+
   test("groupbyBins: left-closed uniform bins, out-of-range discarded") {
     val sp = spark; import sp.implicits._
     val df = Seq(0.0, 0.5, 1.0, 1.5, 2.0, 4.5, -0.1, 10.0)
