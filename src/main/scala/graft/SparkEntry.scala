@@ -1091,6 +1091,37 @@ object SparkEntry {
       store.dataset().select("time", "slot", "n").orderBy("time", "slot")
     }),
 
+    "q113_zarr_rechunk" -> ((s, dir) => {
+      // the rechunker job: q80's lifecycle store (v2, timeChunk 8, zlib)
+      // rechunked into a v3 sharding_indexed zstd store with a different
+      // layout — one dst-chunk-keyed publish job — then reopened through
+      // the scan. Values/axes/fill must be bit-identical, so the oracle is
+      // q80's relational recompute verbatim.
+      val grid = eventsWithDay(s, dir)
+        .groupBy(col("d").as("time"),
+          (col("event_id") % 10).cast("double").as("slot"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val desc = DatasetDescriptor("events_grid", "n",
+        spatialDims = Seq("slot"), timeResolution = TimeSpan.Daily)
+      val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val srcPath = s"${System.getProperty("java.io.tmpdir")}/graft_zarr_rck_$sf"
+      val dstPath = s"${srcPath}_dst"
+      val fs = GridStore.fileSystem(s, srcPath)
+      fs.delete(new org.apache.hadoop.fs.Path(srcPath), true)
+      fs.delete(new org.apache.hadoop.fs.Path(dstPath), true)
+      val src = new ZarrStore(s, srcPath, desc, timeChunk = 8,
+        spatialChunks = Some(Seq(4)))
+      src.publish(grid.filter(col("time") < ldt("2024-01-21T00:00:00")))
+      src.publish(grid
+        .filter(col("time").between(ldt("2024-01-15T00:00:00"), ldt("2024-01-25T00:00:00")))
+        .withColumn("n", col("n") + lit(1000.0)))
+      val dst = graft.store.StoreConvert.rechunkZarr(src, dstPath,
+        timeChunk = 6, spatialChunks = Some(Seq(10)),
+        codec = graft.sources.zarr.ZarrCodec.ZstdCodec(3),
+        zarrFormat = 3, shardChunks = Some(Seq(3, 5)))
+      dst.dataset().select("time", "slot", "n").orderBy("time", "slot")
+    }),
+
     // netCDF-4/HDF5 scan (S9's recommended-format form): two HDF5 files
     // with per-day shuffle+deflate chunks, auto-routed by file magic and
     // combined along time — q61's oracle, since the grid is identical.
@@ -1698,6 +1729,20 @@ object SparkEntry {
     // 21, the axis the initial publish created); never-written cells are
     // fill → NULL. Updated region (day ≥ 15) carries +1000.
     "q80_zarr_roundtrip" ->
+      s"""WITH g AS (SELECT $DaydSql, CAST(event_id % 10 AS DOUBLE) AS slot,
+         |             CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT d FROM g WHERE d <= TIMESTAMP '2024-01-25 00:00:00'),
+         |slots AS (SELECT DISTINCT slot FROM g WHERE d < TIMESTAMP '2024-01-21 00:00:00'),
+         |spine AS (SELECT d, slot FROM days CROSS JOIN slots)
+         |SELECT spine.d AS time, spine.slot AS slot,
+         |  CASE WHEN g.n IS NULL THEN NULL
+         |       WHEN spine.d >= TIMESTAMP '2024-01-15 00:00:00' THEN g.n + 1000
+         |       ELSE g.n END AS n
+         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+         |ORDER BY time, slot""".stripMargin,
+
+    // rechunk must preserve values/axes/fill exactly → q80's oracle verbatim
+    "q113_zarr_rechunk" ->
       s"""WITH g AS (SELECT $DaydSql, CAST(event_id % 10 AS DOUBLE) AS slot,
          |             CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2),
          |days AS (SELECT DISTINCT d FROM g WHERE d <= TIMESTAMP '2024-01-25 00:00:00'),
