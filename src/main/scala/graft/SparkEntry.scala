@@ -1360,6 +1360,22 @@ object SparkEntry {
       GridAnalytics.zscoreInCell(eventsGrid(s, dir), Seq("lat", "lon"), "value")
         .orderBy("time", "lat", "lon")),
 
+    // regionmask-style basin means over overlapping labeled boxes
+    // (broadcast range join; "conus" contains both sub-regions)
+    "q114_region_means" -> ((s, dir) => {
+      import s.implicits._
+      val regions = Seq(
+        ("west", 40.0, 44.5, -100.0, -98.0),
+        ("east", 40.0, 44.5, -98.0, -95.5), // overlaps west at lon=-98
+        ("north", 42.5, 44.5, -100.0, -95.5),
+        ("conus", 40.0, 44.5, -100.0, -95.5)
+      ).toDF("region", "lat_min", "lat_max", "lon_min", "lon_max")
+      GridAnalytics.regionWeightedMean(eventsGrid(s, dir), regions,
+        "time", "lat", "lon", "value")
+        .withColumn("mean", round(col("mean"), 6))
+        .orderBy("region", "time")
+    }),
+
     // value-distribution histogram (da.groupby_bins; doc-length histogram
     // flavor — integer weights keep the per-bin mean exact)
     "q103_value_bins" -> ((s, dir) =>
@@ -2457,6 +2473,23 @@ object SparkEntry {
          |         / sqrt(CAST(n*syy - sy*sy AS DOUBLE))
          |  END AS value_zscore
          |FROM m ORDER BY time, lat, lon""".stripMargin,
+
+    // same cos-lat weighting and 6-decimal belt as q97; inclusive bounds
+    "q114_region_means" ->
+      s"""$GridCte,
+         |r(region, lat_min, lat_max, lon_min, lon_max) AS (VALUES
+         |  ('west', 40.0, 44.5, -100.0, -98.0),
+         |  ('east', 40.0, 44.5, -98.0, -95.5),
+         |  ('north', 42.5, 44.5, -100.0, -95.5),
+         |  ('conus', 40.0, 44.5, -100.0, -95.5))
+         |SELECT r.region, g.time,
+         |  round(sum(cos(radians(g.lat)) * g.value)
+         |        / sum(cos(radians(g.lat))), 6) AS mean,
+         |  CAST(count(*) AS BIGINT) AS n_cells
+         |FROM grid g JOIN r
+         |  ON g.lat BETWEEN r.lat_min AND r.lat_max
+         | AND g.lon BETWEEN r.lon_min AND r.lon_max
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // integer-valued doubles: the per-bin sum and mean are exact
     "q103_value_bins" ->

@@ -234,6 +234,31 @@ object GridAnalytics {
       .agg((sum(w * col(valueCol)) / sum(w)).as("mean"))
   }
 
+  /** regionmask-style aggregation — the "mean over each named region"
+    * query (xarray + regionmask, the standard basin/country reduction):
+    * per (region, time) cos-lat-weighted mean over labeled lat/lon boxes.
+    * `regions` columns: (region, lat_min, lat_max, lon_min, lon_max),
+    * inclusive bounds; OVERLAPPING regions each receive the cell (a cell
+    * can belong to a basin and its parent continent). Null values are
+    * excluded, matching xarray's skipna.
+    *
+    * The region table is dimension-sized, so it BROADCASTS: the range
+    * join is a per-row predicate against an in-memory list emitting at
+    * most |regions| rows per cell — no shuffle on the raw grid — and the
+    * only exchange is the (region, time) aggregate, bounded by
+    * |regions|×|timesteps|. Output: (region, timeCol, mean, n_cells). */
+  def regionWeightedMean(df: DataFrame, regions: DataFrame, timeCol: String,
+      latCol: String, lonCol: String, valueCol: String): DataFrame = {
+    val joined = df.filter(col(valueCol).isNotNull)
+      .join(broadcast(regions),
+        col(latCol) >= col("lat_min") && col(latCol) <= col("lat_max") &&
+          col(lonCol) >= col("lon_min") && col(lonCol) <= col("lon_max"))
+    val w = cos(radians(col(latCol)))
+    joined.groupBy(col("region"), col(timeCol))
+      .agg((sum(w * col(valueCol)) / sum(w)).as("mean"),
+        count(lit(1)).as("n_cells"))
+  }
+
   /** xarray `da.quantile(q, dim="time")` — exact linear-interpolated
     * percentiles of the value per cell (Spark's sort-based `percentile`,
     * not the approximate sketch; the per-group sort is bounded by one

@@ -302,6 +302,29 @@ class GridAnalyticsSpec extends SparkSpec {
     assert(out == Seq(Some(-3.0 / s6), Some(0.0), Some(3.0 / s6), None, None))
   }
 
+  test("regionWeightedMean: overlapping boxes each get the cell, nulls skipped") {
+    val sp = spark; import sp.implicits._
+    val grid = Seq(
+      (ts("2024-01-01T00:00"), 0.0, 10.0, Some(2.0)),
+      (ts("2024-01-01T00:00"), 0.0, 20.0, Some(4.0)),
+      (ts("2024-01-01T00:00"), 60.0, 10.0, Some(8.0)),
+      (ts("2024-01-01T00:00"), 60.0, 20.0, None) // null: skipna
+    ).toDF("time", "lat", "lon", "value")
+    val regions = Seq(
+      ("low", -10.0, 30.0, 0.0, 30.0),
+      ("all", -10.0, 90.0, 0.0, 30.0),
+      ("empty", -90.0, -50.0, 0.0, 30.0)
+    ).toDF("region", "lat_min", "lat_max", "lon_min", "lon_max")
+    val out = GridAnalytics.regionWeightedMean(grid, regions,
+      "time", "lat", "lon", "value")
+      .orderBy("region").select("region", "mean", "n_cells")
+      .as[(String, Double, Long)].collect().toSeq
+    // lat 0 → w=1, lat 60 → w=0.5: all = (2+4+8·0.5)/2.5 = 4.0; low = 3.0
+    assert(out.map(_._1) == Seq("all", "low")) // empty region yields no row
+    assert(math.abs(out(0)._2 - 4.0) < 1e-12 && out(0)._3 == 3L)
+    assert(math.abs(out(1)._2 - 3.0) < 1e-12 && out(1)._3 == 2L)
+  }
+
   test("groupbyBins: left-closed uniform bins, out-of-range discarded") {
     val sp = spark; import sp.implicits._
     val df = Seq(0.0, 0.5, 1.0, 1.5, 2.0, 4.5, -0.1, 10.0)
