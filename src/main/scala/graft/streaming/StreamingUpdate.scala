@@ -99,6 +99,41 @@ object StreamingUpdate {
     streamingExactDedup(gated, timeCol, textCol, lateness)
   }
 
+  /** Streaming anomaly alerting against a PUBLISHED climatology — the
+    * operational "flag cells departing from normal as data arrives" loop.
+    * `climatology` is the batch-side product ([[graft.ops.GridAnalytics
+    * .climatology]] over the opened store, bounded by periods×cells), so
+    * it broadcasts; each micro-batch row joins its (calendar period, cell)
+    * normal per-row — no streaming state at all beyond the source offsets,
+    * which is what keeps the monitor trivially restartable. Emits rows
+    * whose |value − climatology| exceeds `threshold`, with the departure
+    * as `anomaly`. Cells with no climatology (a new grid point) pass
+    * through flagged `no_baseline = true` rather than being dropped
+    * silently. */
+  def anomalyAlert(
+      stream: DataFrame,
+      climatology: DataFrame,
+      timeCol: String,
+      dims: Seq[String],
+      valueCol: String,
+      period: String = "month",
+      threshold: Double = 0.0): DataFrame = {
+    val p = period match {
+      case "month"     => month(col(timeCol))
+      case "dayofweek" => dayofweek(col(timeCol))
+      case "dayofyear" => dayofyear(col(timeCol))
+      case "hour"      => hour(col(timeCol))
+      case other => throw new IllegalArgumentException(s"unsupported period: $other")
+    }
+    stream
+      .withColumn(period, p)
+      .join(broadcast(climatology), period +: dims, "left")
+      .withColumn("anomaly", col(valueCol) - col("climatology"))
+      .withColumn("no_baseline", col("climatology").isNull)
+      .filter(col("no_baseline") || abs(col("anomaly")) > lit(threshold))
+      .drop(period)
+  }
+
   /** Continuous corpus admission — the incremental crawl loop as a stream.
     * Each micro-batch:
     *   1. canonical-dedups INTERNALLY (LSH → exact verify → connected

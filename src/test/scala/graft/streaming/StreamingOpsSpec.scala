@@ -144,4 +144,35 @@ class StreamingOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(idx == Seq(1L, 2L, 6L))
   }
+
+  test("anomalyAlert: departures beyond threshold emit; unknown cells flag " +
+      "no_baseline; normal rows pass silently") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch-side climatology: January normal is 10.0 at lat=0, 20.0 at lat=1
+    val clim = Seq((1, 0.0, 10.0), (1, 1.0, 20.0))
+      .toDF("month", "lat", "climatology")
+    val in = MemoryStream[(java.sql.Timestamp, Double, Double)]
+    val q = StreamingUpdate.anomalyAlert(
+        in.toDF().toDF("time", "lat", "value"), clim,
+        "time", Seq("lat"), "value", period = "month", threshold = 5.0)
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("aa").toString)
+      .start()
+    in.addData(
+      (tsq("2024-01-03 00:00:00"), 0.0, 11.0),  // |1| ≤ 5 → silent
+      (tsq("2024-01-04 00:00:00"), 0.0, 17.0),  // |7| > 5 → alert
+      (tsq("2024-01-05 00:00:00"), 1.0, 2.0),   // |−18| > 5 → alert
+      (tsq("2024-01-06 00:00:00"), 9.0, 1.0))   // unknown cell → no_baseline
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("alerts")
+      .select("lat", "value", "anomaly", "no_baseline").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))).toSet
+    assert(rows == Set(
+      (0.0, 17.0, Some(7.0), false),
+      (1.0, 2.0, Some(-18.0), false),
+      (9.0, 1.0, None, true)))
+  }
 }
