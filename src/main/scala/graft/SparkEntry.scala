@@ -1376,6 +1376,25 @@ object SparkEntry {
         .orderBy("region", "time")
     }),
 
+    // temporal upsampling: daily → 12-hourly via spine fill + linear
+    // interpolation (da.resample(time="12h").interpolate("linear")) —
+    // composes C2's anti-join spine with interpolate_na; midpoints are
+    // dyadic so the lerp is exact
+    "q115_upsample" -> ((s, dir) => {
+      val spined = Normalize.fillMissingTimeSteps(eventsGrid(s, dir),
+        "time", Seq("lat", "lon"), TimeSpan(TimeUnitKind.Hours, 12))
+      GridAnalytics.interpolateNaTime(spined, "time", Seq("lat", "lon"), "value")
+        .select("time", "lat", "lon", "value_filled")
+        .orderBy("time", "lat", "lon")
+    }),
+
+    // 3×3 focal-mean smoothing (rolling over lat/lon, min_periods=1):
+    // edge cells renormalize over their present neighbors
+    "q116_focal_mean" -> ((s, dir) =>
+      GridAnalytics.focalMean(eventsGrid(s, dir), "time", "lat", "lon",
+        "value", lat0 = 40.0, latStep = 0.5, lon0 = -100.0, lonStep = 0.5)
+        .orderBy("time", "lat", "lon")),
+
     // value-distribution histogram (da.groupby_bins; doc-length histogram
     // flavor — integer weights keep the per-bin mean exact)
     "q103_value_bins" -> ((s, dir) =>
@@ -2490,6 +2509,54 @@ object SparkEntry {
          |  ON g.lat BETWEEN r.lat_min AND r.lat_max
          | AND g.lon BETWEEN r.lon_min AND r.lon_max
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // 12-hour spine between the grid's bounds, per cell; q96's lerp with
+    // the (t−pt)/(nt−pt) = 0.5 midpoint — dyadic, hence exact
+    "q115_upsample" ->
+      s"""$GridCte,
+         |b AS (SELECT min(time) AS lo, max(time) AS hi FROM grid),
+         |cells AS (SELECT DISTINCT lat, lon FROM grid),
+         |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 12 HOUR)) AS time
+         |          FROM b),
+         |h AS (SELECT s.time, c.lat, c.lon, g.value
+         |      FROM spine s CROSS JOIN cells c
+         |      LEFT JOIN grid g ON g.time = s.time AND g.lat = c.lat AND g.lon = c.lon)
+         |SELECT time, lat, lon,
+         |  CASE WHEN value IS NOT NULL THEN value
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+         |         THEN pv + (nv - pv) * ((t - pt) / (nt - pt)) END AS value_filled
+         |FROM (
+         |  SELECT time, lat, lon, value, epoch(time) AS t,
+         |    last_value(value IGNORE NULLS) OVER wb AS pv,
+         |    last_value(CASE WHEN value IS NOT NULL THEN epoch(time) END IGNORE NULLS)
+         |      OVER wb AS pt,
+         |    first_value(value IGNORE NULLS) OVER wf AS nv,
+         |    first_value(CASE WHEN value IS NOT NULL THEN epoch(time) END IGNORE NULLS)
+         |      OVER wf AS nt
+         |  FROM h
+         |  WINDOW wb AS (PARTITION BY lat, lon ORDER BY time
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wf AS (PARTITION BY lat, lon ORDER BY time
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |ORDER BY time, lat, lon""".stripMargin,
+
+    // 9-offset fan-out keyed by the TARGET index; HAVING keeps real cells
+    // (drops the edge halo); integer values keep avg deterministic
+    "q116_focal_mean" ->
+      s"""$GridCte,
+         |gi AS (SELECT time, lat, lon, value,
+         |         CAST(round((lat - 40.0) / 0.5) AS INT) AS li,
+         |         CAST(round((lon + 100.0) / 0.5) AS INT) AS lj FROM grid),
+         |d(di, dj) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+         |                     (1,-1),(1,0),(1,1))
+         |SELECT time,
+         |  max(CASE WHEN di = 0 AND dj = 0 THEN lat END) AS lat,
+         |  max(CASE WHEN di = 0 AND dj = 0 THEN lon END) AS lon,
+         |  avg(value) AS value_focal
+         |FROM gi CROSS JOIN d
+         |GROUP BY time, li + di, lj + dj
+         |HAVING max(CASE WHEN di = 0 AND dj = 0 THEN 1 ELSE 0 END) = 1
+         |ORDER BY time, lat, lon""".stripMargin,
 
     // integer-valued doubles: the per-bin sum and mean are exact
     "q103_value_bins" ->

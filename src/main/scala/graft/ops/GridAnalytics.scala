@@ -234,6 +234,48 @@ object GridAnalytics {
       .agg((sum(w * col(valueCol)) / sum(w)).as("mean"))
   }
 
+  /** Focal (neighborhood) mean on a regular grid — xarray
+    * `da.rolling(lat=k, lon=k, center=True, min_periods=1).mean()`, the
+    * standard spatial smoothing pass. Each cell's smoothed value averages
+    * the PRESENT cells of its (2·radius+1)² window; edge and hole cells
+    * renormalize over what exists (min_periods=1 semantics). Grid indices
+    * derive from the coordinate origin/step, so the neighbor relation is
+    * pure integer arithmetic — no geometry join.
+    *
+    * Scale shape: each row fans out to (2r+1)² contribution rows keyed by
+    * the TARGET cell index — a map-side-combinable aggregate on
+    * (time, cell), ONE shuffle whose volume is k²·rows before partial
+    * aggregation collapses co-partitioned contributions. No self-join, no
+    * window sort. Output: (timeCol, latCol, lonCol, <valueCol>_focal). */
+  def focalMean(df: DataFrame, timeCol: String, latCol: String,
+      lonCol: String, valueCol: String,
+      lat0: Double, latStep: Double, lon0: Double, lonStep: Double,
+      radius: Int = 1): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    require(latStep != 0 && lonStep != 0, "grid steps must be non-zero")
+    val li = round((col(latCol) - lit(lat0)) / lit(latStep)).cast("int")
+    val lj = round((col(lonCol) - lit(lon0)) / lit(lonStep)).cast("int")
+    val offsets = for { di <- -radius to radius; dj <- -radius to radius }
+      yield (di, dj)
+    val offs = explode(array(offsets.map { case (di, dj) =>
+      struct(lit(di).as("di"), lit(dj).as("dj")) }: _*)).as("o")
+    df.withColumn("__li", li).withColumn("__lj", lj)
+      .select(col(timeCol), col(latCol), col(lonCol), col(valueCol),
+        col("__li"), col("__lj"), offs)
+      .groupBy(col(timeCol), (col("__li") + col("o.di")).as("__ti"),
+        (col("__lj") + col("o.dj")).as("__tj"))
+      .agg(
+        avg(col(valueCol)).as(s"${valueCol}_focal"),
+        max(col("o.di") === 0 && col("o.dj") === 0).as("__keep"),
+        max(when(col("o.di") === 0 && col("o.dj") === 0, col(latCol)))
+          .as(latCol),
+        max(when(col("o.di") === 0 && col("o.dj") === 0, col(lonCol)))
+          .as(lonCol))
+      .filter(col("__keep"))
+      .select(col(timeCol), col(latCol), col(lonCol),
+        col(s"${valueCol}_focal"))
+  }
+
   /** regionmask-style aggregation — the "mean over each named region"
     * query (xarray + regionmask, the standard basin/country reduction):
     * per (region, time) cos-lat-weighted mean over labeled lat/lon boxes.

@@ -302,6 +302,44 @@ class GridAnalyticsSpec extends SparkSpec {
     assert(out == Seq(Some(-3.0 / s6), Some(0.0), Some(3.0 / s6), None, None))
   }
 
+  test("focalMean: interior averages the 3×3 block, edges renormalize, " +
+      "null neighbors skipped") {
+    val sp = spark; import sp.implicits._
+    // 2×2 grid at step 1: values 1 2 / 3 null
+    val df = Seq(
+      (ts("2024-01-01T00:00"), 0.0, 0.0, Some(1.0)),
+      (ts("2024-01-01T00:00"), 0.0, 1.0, Some(2.0)),
+      (ts("2024-01-01T00:00"), 1.0, 0.0, Some(3.0)),
+      (ts("2024-01-01T00:00"), 1.0, 1.0, Option.empty[Double])
+    ).toDF("time", "lat", "lon", "value")
+    val out = GridAnalytics.focalMean(df, "time", "lat", "lon", "value",
+      lat0 = 0.0, latStep = 1.0, lon0 = 0.0, lonStep = 1.0)
+      .orderBy("lat", "lon").select("lat", "lon", "value_focal")
+      .as[(Double, Double, Option[Double])].collect().toSeq
+    // every cell's window covers the whole 2×2 grid → mean of {1,2,3} = 2.0,
+    // including the null cell itself (min_periods=1 keeps it)
+    assert(out == Seq(
+      (0.0, 0.0, Some(2.0)), (0.0, 1.0, Some(2.0)),
+      (1.0, 0.0, Some(2.0)), (1.0, 1.0, Some(2.0))))
+    intercept[IllegalArgumentException] {
+      GridAnalytics.focalMean(df, "time", "lat", "lon", "value",
+        0.0, 1.0, 0.0, 1.0, radius = 0)
+    }
+  }
+
+  test("focalMean: radius-1 window really is 3×3 (a far cell is excluded)") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (ts("2024-01-01T00:00"), 0.0, 0.0, 10.0),
+      (ts("2024-01-01T00:00"), 0.0, 1.0, 20.0),
+      (ts("2024-01-01T00:00"), 0.0, 5.0, 900.0) // 4 steps away: outside
+    ).toDF("time", "lat", "lon", "value")
+    val out = GridAnalytics.focalMean(df, "time", "lat", "lon", "value",
+      0.0, 1.0, 0.0, 1.0)
+      .orderBy("lon").select("value_focal").as[Double].collect().toSeq
+    assert(out == Seq(15.0, 15.0, 900.0))
+  }
+
   test("regionWeightedMean: overlapping boxes each get the cell, nulls skipped") {
     val sp = spark; import sp.implicits._
     val grid = Seq(
