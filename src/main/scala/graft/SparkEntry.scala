@@ -533,6 +533,14 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text", 3, 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // the stop-shingle mitigation for q31's skew bound: shingles in > 15
+    // docs are barred from candidate generation, then candidates verify
+    // against the FULL sets — reported Jaccards stay exact
+    "q117_ngram_jaccard_capped" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text", 3, 0.5,
+        maxShingleDocFreq = Some(15L))
+        .orderBy("doc_a", "doc_b")),
+
     "q32_simhash" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
@@ -1640,6 +1648,27 @@ object SparkEntry {
 
     "q30_near_dedup" -> jaccardOracle("0.9"),
     "q31_ngram_jaccard" -> jaccardOracle("0.5"),
+
+    // candidates from sub-cap shingles only; Jaccard from the full sets
+    "q117_ngram_jaccard_capped" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+         |rare AS (SELECT shingle FROM dfq WHERE df <= 15),
+         |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |p AS (SELECT cand.doc_a, cand.doc_b, count(*) AS c
+         |      FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+         |                JOIN sh b ON b.doc_id = cand.doc_b AND b.shingle = a.shingle
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE), 6) AS jaccard
+         |FROM p JOIN cnt na ON p.doc_a = na.doc_id JOIN cnt nb ON p.doc_b = nb.doc_id
+         |WHERE round(CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q29_minhash_pairs" -> jaccardOracle("0.9",
       "(SELECT doc_id, text FROM documents " +

@@ -508,15 +508,6 @@ object Dedup {
         .select(col("node").as(idCol)), Seq(idCol), "left_anti")
   }
 
-  /** Exact n-gram Jaccard similar pairs above `threshold`.
-    *
-    * Explode distinct shingles → self-join on shingle → per-pair common
-    * count → Jaccard with per-doc shingle counts. The shingle join is the
-    * classic "inverted index" plan: shuffle keys are shingles, so skew is
-    * bounded by the most common shingle — acceptable for ≥3-gram shingles;
-    * for larger corpora use `minhashCandidatePairs` first and verify only
-    * candidates.
-    */
   /** Exact-substring deduplication (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"): every K-token span that
     * occurs MORE THAN ONCE anywhere in the corpus (across documents or
@@ -571,30 +562,75 @@ object Dedup {
         col("r.n_removed"), col("r.clean_text"))
   }
 
+  /** Exact n-gram Jaccard similar pairs above `threshold`.
+    *
+    * Explode distinct shingles → self-join on shingle → per-pair common
+    * count → Jaccard with per-doc shingle counts. The shingle join is the
+    * classic "inverted index" plan: shuffle keys are shingles, so skew is
+    * bounded by the most common shingle — acceptable for ≥3-gram shingles;
+    * for larger corpora use `minhashCandidatePairs` first and verify only
+    * candidates, OR set `maxShingleDocFreq`.
+    *
+    * `maxShingleDocFreq = Some(cap)` is the STOP-SHINGLE mitigation for
+    * that skew bound: shingles appearing in more than `cap` documents are
+    * excluded from CANDIDATE GENERATION (the self-join), capping the
+    * hottest key's pair fan-out at cap²/2 — candidates are then verified
+    * against the FULL shingle sets, so every reported Jaccard is still
+    * exact. The trade is recall on pairs whose every shared shingle is
+    * ubiquitous: boilerplate-only overlaps, which sit far below any
+    * near-dup threshold at realistic n. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxShingleDocFreq: Option[Long] = None): DataFrame = {
     // Shuffle 8-byte shingle hashes, not shingle strings: the join key and
     // every exchange shrink ~4×, and Jaccard counts are unchanged short of
     // an xxhash64 collision (~n²/2⁶⁵ — negligible at any realistic corpus).
     val sh = df.select(col(idCol).as("doc_id"),
         explode(shinglePairHashes(col(textCol), n).getField("a")).as("shingle"))
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val pairs = sh.toDF("doc_a", "shingle")
-      .join(sh.toDF("doc_b", "shingle"), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_common"))
-    pairs
-      .join(counts.toDF("doc_a", "n_a"), Seq("doc_a"))
-      .join(counts.toDF("doc_b", "n_b"), Seq("doc_b"))
-      .withColumn("jaccard",
-        round(col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    maxShingleDocFreq match {
+      case None =>
+        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        val pairs = sh.toDF("doc_a", "shingle")
+          .join(sh.toDF("doc_b", "shingle"), Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_common"))
+        pairs
+          .join(counts.toDF("doc_a", "n_a"), Seq("doc_a"))
+          .join(counts.toDF("doc_b", "n_b"), Seq("doc_b"))
+          .withColumn("jaccard",
+            round(col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6))
+          .filter(col("jaccard") >= threshold)
+          .select("doc_a", "doc_b", "jaccard")
+      case Some(cap) =>
+        require(cap >= 2, s"maxShingleDocFreq must be >= 2, got $cap")
+        val rare = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("shingle")
+        // the join key moves FIRST in the joined frame — re-select before
+        // positional renames
+        val shRare = sh.join(rare, Seq("shingle"))
+          .select("doc_id", "shingle")
+        val cands = shRare.toDF("doc_a", "shingle")
+          .join(shRare.toDF("doc_b", "shingle"), Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        // exact verify over the full sets — the nearDupPairs shape, with
+        // stop-shingle candidates instead of LSH candidates
+        val sets = df.select(col(idCol).as("__id"),
+          shinglePairHashes(col(textCol), n).getField("a").as("__sh"))
+        cands
+          .join(sets.select(col("__id").as("doc_a"), col("__sh").as("sh_a")), Seq("doc_a"))
+          .join(sets.select(col("__id").as("doc_b"), col("__sh").as("sh_b")), Seq("doc_b"))
+          .withColumn("jaccard", round(
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+          .filter(col("jaccard") >= threshold)
+          .select("doc_a", "doc_b", "jaccard")
+    }
   }
 }

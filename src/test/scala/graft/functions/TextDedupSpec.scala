@@ -112,6 +112,31 @@ class TextDedupSpec extends SparkSpec {
     assert(out.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("ngramJaccardPairs stop-shingle cap: hot-only overlaps drop from " +
+      "candidates, surviving pairs keep the EXACT full-set jaccard") {
+    // docs 1/2 identical; every doc shares the hot shingle "x y". With
+    // cap = 2, "x y" (df = 3) is barred from candidate generation: the
+    // 1-2 pair still surfaces via its rare shingles at jaccard 1.0 (full
+    // sets, hot shingle included), while 3 — overlapping ONLY via the hot
+    // shingle — pairs with nobody.
+    val df = Seq(
+      (1L, "x y a b c"), (2L, "x y a b c"), (3L, "x y q r s")).toDF("id", "t")
+    val capped = Dedup.ngramJaccardPairs(df, "id", "t", 2, 0.0,
+      maxShingleDocFreq = Some(2L)).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(capped.head.getAs[Double]("jaccard") == 1.0)
+    // a cap above every doc-frequency reproduces the uncapped pair set
+    val uncapped = Dedup.ngramJaccardPairs(df, "id", "t", 2, 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+    val wide = Dedup.ngramJaccardPairs(df, "id", "t", 2, 0.0,
+      maxShingleDocFreq = Some(100L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+    assert(wide == uncapped)
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(df, "id", "t", 2, 0.5, maxShingleDocFreq = Some(1L))
+    }
+  }
+
   test("contaminatedDocs flags corpus docs sharing an n-gram with the benchmark") {
     val sp2 = spark; import sp2.implicits._
     val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "t")
