@@ -136,4 +136,43 @@ class LargeGridSpec extends SparkSpec {
     assert(cell(3, 7.0, 9.0) == (2L * side * side + 7 * side + 9) % 1000)
     assert(cell(5, 0.0, 1.0) == 1.0)
   }
+
+  test("rechunk at the stress tier: v2 blosc 64×64 → v3 sharded zstd " +
+      "128×128, contents and point lookups identical") {
+    val days = 3
+    val side = 250 // 62.5k cells/day
+    val root = Files.createTempDirectory("large_rechunk").toString
+    val desc = DatasetDescriptor("largerck", "value",
+      spatialDims = Seq("latitude", "longitude"), timeResolution = TimeSpan.Daily)
+    val src = new ZarrStore(spark, s"$root/src", desc,
+      timeChunk = 2, spatialChunks = Some(Seq(64, 64)),
+      codec = graft.sources.zarr.ZarrCodec.BloscLz4Codec(typesize = 8))
+
+    def grid(startDay: Int, nDays: Int) = {
+      spark.range(nDays.toLong * side * side).select(
+        (expr(s"timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id / ${side * side} AS INT) + ${startDay - 1},0,0,0)"))
+          .cast("timestamp_ntz").as("time"),
+        ((col("id") % (side * side)) / side).cast("int").cast("double").as("latitude"),
+        (col("id") % side).cast("double").as("longitude"),
+        (col("id") % 1000).cast("double").as("value"))
+    }
+
+    src.publish(grid(1, days))
+    val dst = StoreConvert.rechunkZarr(src, s"$root/dst",
+      timeChunk = 3, spatialChunks = Some(Seq(128, 128)),
+      codec = graft.sources.zarr.ZarrCodec.ZstdCodec(3),
+      zarrFormat = 3, shardChunks = Some(Seq(1, 64, 64)))
+    val ds = dst.dataset()
+    assert(ds.count() == days.toLong * side * side)
+    // the pruned range read works against the NEW shard layout
+    val day2 = dst.readRange(ts("2024-01-02T00:00:00"), ts("2024-01-02T00:00:00"))
+    assert(day2.count() == side.toLong * side)
+    // spot cells survive the layout change bit-exactly
+    def cell(day: Int, lat: Double, lon: Double): Double =
+      ds.filter(col("time") === lit(java.time.LocalDateTime.parse(f"2024-01-0${day}T00:00:00")) &&
+          col("latitude") === lat && col("longitude") === lon)
+        .select("value").head().getDouble(0)
+    assert(cell(2, 123.0, 45.0) == (1L * side * side + 123 * side + 45) % 1000)
+    assert(cell(3, 7.0, 9.0) == (2L * side * side + 7 * side + 9) % 1000)
+  }
 }
