@@ -533,6 +533,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text", 3, 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // class-prototype embeddings: per-label mean vector via exact
+    // quantized long sums (partitioning- and engine-independent)
+    "q118_label_centroids" -> ((s, dir) =>
+      Clustering.labelCentroids(table(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "pos")),
+
     // the stop-shingle mitigation for q31's skew bound: shingles in > 15
     // docs are barred from candidate generation, then candidates verify
     // against the FULL sets — reported Jaccards stay exact
@@ -1648,6 +1654,18 @@ object SparkEntry {
 
     "q30_near_dedup" -> jaccardOracle("0.9"),
     "q31_ngram_jaccard" -> jaccardOracle("0.5"),
+
+    // same quantization (round(x·1e4) as exact longs); mean is two IEEE
+    // divisions of exact integers — no rounding belt needed
+    "q118_label_centroids" ->
+      """WITH e AS (SELECT label, embedding,
+        |             unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+        |SELECT label, CAST(i - 1 AS INT) AS pos, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 10000.0) AS BIGINT))
+        |    AS BIGINT) AS sum_q,
+        |  CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 10000.0) AS BIGINT))
+        |    AS DOUBLE) / count(*) / 10000.0 AS mean
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // candidates from sub-cap shingles only; Jaccard from the full sets
     "q117_ngram_jaccard_capped" ->

@@ -29,6 +29,23 @@ object Clustering {
   def quantized(vec: Column, scale: Double = 10000.0): Column =
     transform(vec, x => round(x * scale).cast("float"))
 
+  /** Per-label mean embedding — class prototypes (nearest-class-mean
+    * classification, dataset cartography, per-source embedding drift).
+    * Sums run over the QUANTIZED vectors as exact longs, so the result is
+    * deterministic under any partitioning and engine (float sums are
+    * order-sensitive; quantized long sums are not — the same trick that
+    * makes [[kmeansCentroids]] reproducible). Output is flat:
+    * (labelCol, pos, n, sum_q, mean) with mean = sum_q/n/scale — exact
+    * integer inputs into two IEEE divisions, bit-identical anywhere.
+    * One map-side-combined shuffle bounded by |labels|·d groups. */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
+      scale: Double = 10000.0): DataFrame =
+    df.select(col(labelCol),
+        posexplode(quantized(col(vecCol), scale)).as(Seq("pos", "__q")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("__q").cast("long")).as("sum_q"))
+      .withColumn("mean", col("sum_q").cast("double") / col("n") / lit(scale))
+
   /** Nearest-centroid index by squared L2 distance: argmin(|c|² − 2·q·c)
     * (the row-constant |q|² cancels). One fused expression per row; ties
     * break on the LOWER index via lexicographic struct min. */

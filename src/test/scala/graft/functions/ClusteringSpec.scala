@@ -66,4 +66,25 @@ class ClusteringSpec extends SparkSpec {
       .count()
     assert(kept == 60L)
   }
+
+  test("labelCentroids: exact quantized means per (label, dim), " +
+      "partitioning-independent") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f)), (1, Seq(-1.0f, 0.5f))
+    ).toDF("label", "vec")
+    val out = Clustering.labelCentroids(df, "label", "vec")
+      .orderBy("label", "pos")
+      .select("label", "pos", "n", "sum_q", "mean")
+      .as[(Int, Int, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0, 0, 2L, 40000L, 2.0), (0, 1, 2L, 60000L, 3.0),
+      (1, 0, 1L, -10000L, -1.0), (1, 1, 1L, 5000L, 0.5)))
+    // identical under a different partitioning (exact long sums commute)
+    val re = Clustering.labelCentroids(df.repartition(7), "label", "vec")
+      .orderBy("label", "pos")
+      .select("label", "pos", "n", "sum_q", "mean")
+      .as[(Int, Int, Long, Long, Double)].collect().toSeq
+    assert(re == out)
+  }
 }
