@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{ShinglePairHashes, SimHash64Expr, SrpBucketExpr, VectorDot}
+import graft.expressions.{MinHashSignature, ShinglePairHashes, SimHash64Expr, SrpBucketExpr, VectorDot}
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
   * as SQL functions so `spark.sql` users get the same codegen'd hot paths
@@ -53,6 +53,18 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "simhash64(text) takes exactly 1 argument")
         SimHash64Expr(children.head)
+      }),
+    (new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "minhash_signature(text, n, numHashes) takes exactly 3 arguments")
+        val Seq(n, numHashes) = children.drop(1).map {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature: n/numHashes must be integer literals, got $other")
+        }
+        MinHashSignature(children.head, n, numHashes)
       }),
     (new FunctionIdentifier("srp_bucket"),
       new ExpressionInfo(classOf[SrpBucketExpr].getName, "srp_bucket"),

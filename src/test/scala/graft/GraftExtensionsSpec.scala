@@ -52,4 +52,18 @@ class GraftExtensionsSpec extends SparkSpec {
       .head().getLong(0)
     assert(bSql == bApi)
   }
+
+  test("minhash_signature callable from SQL, matches the Scala API") {
+    GraftExtensions.register(spark)
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val viaSql = spark.sql(
+      "SELECT minhash_signature('one two three four five', 3, 16) AS s")
+      .head().getSeq[Long](0)
+    val viaApi = graft.functions.Dedup.minhashSignatures(
+        Seq((1L, "one two three four five")).toDF("id", "t"), "id", "t", 3, 16)
+      .select("sig").head().getSeq[Long](0)
+    assert(viaSql == viaApi && viaSql.length == 16)
+  }
 }
