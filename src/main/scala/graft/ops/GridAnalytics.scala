@@ -437,10 +437,12 @@ object GridAnalytics {
 
   /** Threshold-exceedance spells per cell — the run-length statistic behind
     * the ETCCDI climate indices (consecutive dry days, warm-spell duration):
-    * maximal runs of time steps with `value >= threshold` where consecutive
-    * steps are at most `maxGapSeconds` apart (so a missing day BREAKS a
-    * spell — per-cell time axes are allowed to have holes). Output:
-    * (dims..., spell_start, spell_end, n_steps, peak).
+    * maximal runs of time steps where `value <comparison> threshold` holds
+    * (default `>=`, the warm-spell family; `<` / `<=` give CDD-style dry
+    * spells) and consecutive steps are at most `maxGapSeconds` apart (so a
+    * missing day BREAKS a spell — per-cell time axes are allowed to have
+    * holes). Output: (dims..., spell_start, spell_end, n_steps, peak) with
+    * peak = the max value inside the spell.
     *
     * Plan shape: filter → lag(time) window → running-sum window → groupBy,
     * all partitioned by the cell key: the two windows share one exchange +
@@ -452,17 +454,28 @@ object GridAnalytics {
     * per spell, not per observation. */
   def spellsInCell(df: DataFrame, timeCol: String, dims: Seq[String],
       valueCol: String, threshold: Double,
-      maxGapSeconds: Long = 86400L): DataFrame = {
+      maxGapSeconds: Long = 86400L,
+      comparison: String = ">="): DataFrame = {
     require(dims.nonEmpty,
       "spellsInCell needs at least one cell dim: an undimensioned window is a single-partition sort")
     require(maxGapSeconds > 0, s"maxGapSeconds must be positive, got $maxGapSeconds")
+    // ">=" / ">" = warm-spell family (WSDI); "<=" / "<" = dry-spell family
+    // (CDD: consecutive days BELOW the wet-day threshold)
+    val exceeds = comparison match {
+      case ">=" => col(valueCol) >= lit(threshold)
+      case ">"  => col(valueCol) > lit(threshold)
+      case "<=" => col(valueCol) <= lit(threshold)
+      case "<"  => col(valueCol) < lit(threshold)
+      case other => throw new IllegalArgumentException(
+        s"comparison must be one of >=, >, <=, <; got $other")
+    }
     val w = Window.partitionBy(dims.map(col): _*).orderBy(col(timeCol))
     val prev = lag(col(timeCol), 1).over(w)
     val isStart = prev.isNull ||
       (unix_timestamp(col(timeCol)) - unix_timestamp(prev) > lit(maxGapSeconds))
     val run = Window.partitionBy(dims.map(col): _*).orderBy(col(timeCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.filter(col(valueCol) >= lit(threshold))
+    df.filter(exceeds)
       .withColumn("__spell", sum(isStart.cast("long")).over(run))
       .groupBy(dims.map(col) :+ col("__spell"): _*)
       .agg(min(col(timeCol)).as("spell_start"), max(col(timeCol)).as("spell_end"),

@@ -216,6 +216,15 @@ class GridAnalyticsSpec extends SparkSpec {
       .orderBy("lat", "spell_start")
       .select("lat", "n_steps", "peak").as[(Double, Long, Double)].collect().toSeq
     assert(out == Seq((0.0, 3L, 6.0), (0.0, 2L, 7.0), (1.0, 1L, 9.0), (1.0, 1L, 9.0)))
+    // dry-spell direction (CDD): runs BELOW the threshold
+    val dry = GridAnalytics.spellsInCell(df, "time", Seq("lat"), "value", 5.0,
+        comparison = "<")
+      .select("lat", "n_steps").as[(Double, Long)].collect().toSeq
+    assert(dry == Seq((0.0, 1L))) // only the day-4 value 1.0 sits below 5
+    intercept[IllegalArgumentException] {
+      GridAnalytics.spellsInCell(df, "time", Seq("lat"), "value", 5.0,
+        comparison = "==")
+    }
   }
 
   test("spellsInCell plan: both windows share one sort; the groupBy's " +
