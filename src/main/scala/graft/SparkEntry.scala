@@ -533,6 +533,21 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text", 3, 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // forward as-of: first signup AT OR AFTER each purchase (q52 mirrored)
+    "q119_asof_forward" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val left = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val right = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("rts"))
+        .agg(max(col("value")).as("signup_value"))
+      Filters.asofJoinForward(left, right, "ts", "rts", Seq("user_id"),
+          Seq("signup_value"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("signup_value"),
+          col("__matched_time").as("matched_time"))
+        .orderBy("event_id")
+    }),
+
     // class-prototype embeddings: per-label mean vector via exact
     // quantized long sums (partitioning- and engine-independent)
     "q118_label_centroids" -> ((s, dir) =>
@@ -1654,6 +1669,15 @@ object SparkEntry {
 
     "q30_near_dedup" -> jaccardOracle("0.9"),
     "q31_ngram_jaccard" -> jaccardOracle("0.5"),
+
+    // DuckDB ASOF with the inequality flipped = forward direction
+    "q119_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts AS rts, max(value) AS signup_value
+        |      FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts, r.signup_value, r.rts AS matched_time
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.rts
+        |ORDER BY event_id""".stripMargin,
 
     // same quantization (round(x·1e4) as exact longs); mean is two IEEE
     // divisions of exact integers — no rounding belt needed

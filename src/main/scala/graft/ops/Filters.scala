@@ -116,6 +116,55 @@ object Filters {
       .drop("__t", "__side", "__rt", "__m")
   }
 
+  /** F4 (bulk) — FORWARD as-of join (pandas `merge_asof(direction=
+    * "forward")`): for every left row, the EARLIEST right row with
+    * `rightTime >= leftTime` (within `toleranceSeconds`, if given),
+    * matched within `partitionKeys` — "the next observation after this
+    * event". Same union+window shape as [[asofJoinBackward]] (one shuffle,
+    * no range-join explosion); the frame looks FORWARD
+    * (`first(_, ignoreNulls)` over current→unbounded-following) and ties
+    * order the left row first so an exact match still wins. */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      partitionKeys: Seq[String],
+      valueCols: Seq[String],
+      toleranceSeconds: Option[Double] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      (partitionKeys.map(col) :+ col(rightTime).as("__t")) ++
+        valueCols.map(col): _*)
+      .withColumn("__side", lit(0))
+      .withColumn("__rt", col("__t"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // __side DESC puts the left row (side 1) BEFORE a same-time right row,
+    // so the following frame includes exact-time matches
+    val w = Window.partitionBy(partitionKeys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val payload = when(col("__side") === 0,
+      struct((col("__rt").as("__rt") +: valueCols.map(col)): _*))
+    val carried = unioned
+      .withColumn("__m", first(payload, ignoreNulls = true).over(w))
+    val matchedRt = col("__m").getField("__rt")
+    val withinTol = toleranceSeconds match {
+      case Some(tol) =>
+        col("__m").isNotNull &&
+          (unix_micros(matchedRt.cast("timestamp")) -
+            unix_micros(col("__t").cast("timestamp"))) <= lit((tol * 1e6).toLong)
+      case None => col("__m").isNotNull
+    }
+    val kept = carried.filter(col("__side") === 1)
+    val result = valueCols.foldLeft(kept) { (d, v) =>
+      d.withColumn(v, when(withinTol, col("__m").getField(v))) }
+    result.withColumn("__matched_time", when(withinTol, matchedRt))
+      .drop("__t", "__side", "__rt", "__m")
+  }
+
   /** F8 — drop non-key columns (e.g. stray coords on an insert slice).
     * Reference: `drop_vars` (utils/publish.py:441). Tolerates absent names,
     * like xarray's `errors="ignore"`. */
