@@ -533,6 +533,29 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text", 3, 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // the curation pipeline as ONE gated composition: Gopher quality gate
+    // → URL dedup (q71's synthesized URLs) → per-source cap — each stage
+    // is individually gated (q70/q71/q78); this pins that they COMPOSE
+    "q120_curation_pipeline" -> ((s, dir) => {
+      val quality = table(s, dir, "documents")
+        .filter(Text.gopherKeep(col("text"), minWords = 30, maxWords = 90,
+          minMeanLen = 4, maxMeanLen = 10, minDistinctStopwords = 2))
+      val aug = quality.select(col("doc_id"), col("source"),
+        concat(
+          lit("HTTPS://WWW.Example"), (col("doc_id") % 3).cast("string"), lit(".COM"),
+          when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+          lit("/Path/"), col("source"),
+          when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+          lit("?b=2&utm_source=x&a="), (col("doc_id") % 5).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
+      val keepers = Web.urlDedup(aug, "doc_id", "url")
+        .select(col("keeper_id").as("doc_id"), col("canonical_url"), col("n_dups"))
+      val surv = aug.select("doc_id", "source").join(keepers, Seq("doc_id"))
+      Sampling.capPerStratum(surv, "doc_id", "source", 3, "cap1")
+        .select("doc_id", "source", "canonical_url", "n_dups")
+        .orderBy("doc_id")
+    }),
+
     // forward as-of: first signup AT OR AFTER each purchase (q52 mirrored)
     "q119_asof_forward" -> ((s, dir) => {
       val ev = table(s, dir, "events")
@@ -1669,6 +1692,67 @@ object SparkEntry {
 
     "q30_near_dedup" -> jaccardOracle("0.9"),
     "q31_ngram_jaccard" -> jaccardOracle("0.5"),
+
+    // q70's keep conjunction → q71's canonicalization chain over the kept
+    // set → q78's md5-rank cap; every fragment proven by its own gate
+    "q120_curation_pipeline" ->
+      s"""WITH base AS (SELECT doc_id, text, $ToksSql AS t,
+         |  list_filter(string_split(text, chr(10)), l -> l <> '') AS lines FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n,
+         |  CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS sumlen,
+         |  CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS nalpha,
+         |  CAST(len(list_distinct(list_filter(t, x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x)))) AS BIGINT) AS nsw,
+         |  CAST(len(lines) AS BIGINT) AS nlines,
+         |  CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS ndup,
+         |  CAST(length(text) - length(replace(text, '#', ''))
+         |    + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS nsym,
+         |  CAST(len(list_filter(lines, l -> substr(l, 1, 1) IN ('-', '*'))) AS BIGINT) AS nbul,
+         |  CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS nell
+         |FROM base),
+         |keep AS (SELECT doc_id FROM m
+         |  WHERE n BETWEEN 30 AND 90 AND sumlen >= 4 * n AND sumlen <= 10 * n
+         |    AND nalpha * 5 >= n * 4 AND nsw >= 2 AND ndup * 10 <= nlines * 3
+         |    AND nsym * 10 <= n AND nbul * 10 <= nlines * 9
+         |    AND nell * 10 <= nlines * 3),
+         |u AS (SELECT d.doc_id, d.source,
+         |  'HTTPS://WWW.Example' || CAST(d.doc_id % 3 AS VARCHAR) || '.COM' ||
+         |  CASE WHEN d.doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+         |  '/Path/' || d.source ||
+         |  CASE WHEN d.doc_id % 4 = 0 THEN '/' ELSE '' END ||
+         |  '?b=2&utm_source=x&a=' || CAST(d.doc_id % 5 AS VARCHAR) ||
+         |  CASE WHEN d.doc_id % 3 = 0 THEN '#frag' ELSE '' END AS url
+         |  FROM documents d JOIN keep USING (doc_id)),
+         |c AS (SELECT doc_id,
+         |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2)) AS hostport,
+         |  regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://[^/?#]*([^?#]*)', 2) AS rawpath,
+         |  regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS q FROM u),
+         |c2 AS (SELECT doc_id, scheme,
+         |  CASE WHEN scheme = 'http' AND ends_with(hostport, ':80')
+         |         THEN substr(hostport, 1, length(hostport) - 3)
+         |       WHEN scheme = 'https' AND ends_with(hostport, ':443')
+         |         THEN substr(hostport, 1, length(hostport) - 4)
+         |       ELSE hostport END AS host,
+         |  CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS p0, q FROM c),
+         |c3 AS (SELECT doc_id, scheme, host,
+         |  CASE WHEN length(p0) > 1 AND ends_with(p0, '/')
+         |    THEN substr(p0, 1, length(p0) - 1) ELSE p0 END AS p,
+         |  array_to_string(list_sort(list_filter(string_split(q, '&'),
+         |    x -> x <> '' AND NOT starts_with(x, 'utm_')
+         |      AND NOT starts_with(x, 'fbclid')
+         |      AND NOT starts_with(x, 'gclid'))), '&') AS kept FROM c2),
+         |canon AS (SELECT doc_id, scheme || '://' || host || p ||
+         |  CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url FROM c3),
+         |keepers AS (SELECT min(doc_id) AS doc_id, canonical_url,
+         |  CAST(count(*) AS BIGINT) AS n_dups FROM canon GROUP BY canonical_url),
+         |surv AS (SELECT k.doc_id, u.source, k.canonical_url, k.n_dups
+         |  FROM keepers k JOIN u ON u.doc_id = k.doc_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY source
+         |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'cap1'), 1, 8), doc_id) AS rk
+         |  FROM surv)
+         |SELECT doc_id, source, canonical_url, n_dups
+         |FROM ranked WHERE rk <= 3 ORDER BY doc_id""".stripMargin,
 
     // DuckDB ASOF with the inequality flipped = forward direction
     "q119_asof_forward" ->
