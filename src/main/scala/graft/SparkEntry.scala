@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
-import graft.functions.{Clustering, Dedup, Encryption, Multimodal, Similarity, Text, Web}
+import graft.functions.{Clustering, Dedup, Encryption, Multimodal, Rank, Similarity, Text, Web}
 import graft.model.{DatasetCategory, DatasetDescriptor, TimeSpan, TimeUnitKind}
-import graft.ops.{Filters, GridAnalytics, Normalize, Projection, Qc, Sampling, Stats, UpdatePlan}
+import graft.ops.{Filters, GridAnalytics, Normalize, Projection, Qc, Sampling, Sessions, Stats, UpdatePlan}
 import graft.sources.Manifest
 import graft.sources.nc.NcFormat
 import graft.sources.zarr.Kerchunk
@@ -569,6 +569,51 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"), col("signup_value"),
           col("__matched_time").as("matched_time"))
         .orderBy("event_id")
+    }),
+
+    // gap-based sessionization (30-min idle threshold): one shuffle on the
+    // user key, both windows collapse onto one (user, ts, id) sort
+    "q121_sessionize" -> ((s, dir) =>
+      Sessions.sessionStats(table(s, dir, "events"), "user_id", "ts",
+          "event_id", gapMinutes = 30L)
+        .withColumn("session_start", col("session_start").cast(TimestampNTZType))
+        .withColumn("session_end", col("session_end").cast(TimestampNTZType))
+        .orderBy("user_id", "session_idx")),
+
+    // DSIR importance weights: target domain = English docs; exact-gram
+    // feature space (the hashed variant is spec-gated)
+    "q122_dsir_weights" -> ((s, dir) =>
+      Text.dsirWeights(table(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("lang") === "en")
+        .orderBy("doc_id")),
+
+    // scalar-quantized (SQ8) cosine top-k: integer-domain dot products
+    // over per-dimension [min,max]-affine 8-bit codes
+    "q123_sq8_topk" -> ((s, dir) =>
+      Similarity.sq8TopK(table(s, dir, "embeddings"), "vec_id", "embedding",
+        embQuery(s, dir), k = 25)),
+
+    // ETCCDI-style threshold indices per (cell, month): GDD base 10,
+    // frost analog < 5, heat analog > 15 — one hash aggregate, no window
+    "q124_climate_indices" -> ((s, dir) =>
+      GridAnalytics.thresholdIndices(eventsGrid(s, dir), "time",
+          Seq("lat", "lon"), "value", "month",
+          base = 10.0, lowThresh = 5.0, highThresh = 15.0)
+        .withColumn("period", col("period").cast(TimestampNTZType))
+        .orderBy("period", "lat", "lon")),
+
+    // reciprocal-rank fusion of two dense retrievers over the same id
+    // space: exact brute-force cosine + the SQ8 approximation (q39/q123,
+    // both individually gated) — hybrid-retrieval rank merging
+    "q125_rrf_fusion" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = embQuery(s, dir)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 50)
+        .select(col("vec_id"), col("cos_sim").as("score"))
+      val sq8 = Similarity.sq8TopK(emb, "vec_id", "embedding", q, 50)
+        .select(col("vec_id"), col("sq8_cosine").as("score"))
+      Rank.rrfFuse(Seq(exact, sq8), "vec_id", "score", k = 60)
+        .orderBy("vec_id")
     }),
 
     // class-prototype embeddings: per-label mean vector via exact
@@ -1432,8 +1477,10 @@ object SparkEntry {
     // interpolation (da.resample(time="12h").interpolate("linear")) —
     // composes C2's anti-join spine with interpolate_na; midpoints are
     // dyadic so the lerp is exact
+    // dense reindex (not fillMissingTimeSteps): the event grid is ragged —
+    // a quiet cell has no row even on days other cells observe
     "q115_upsample" -> ((s, dir) => {
-      val spined = Normalize.fillMissingTimeSteps(eventsGrid(s, dir),
+      val spined = Normalize.reindexDense(eventsGrid(s, dir),
         "time", Seq("lat", "lon"), TimeSpan(TimeUnitKind.Hours, 12))
       GridAnalytics.interpolateNaTime(spined, "time", Seq("lat", "lon"), "value")
         .select("time", "lat", "lon", "value_filled")
@@ -1762,6 +1809,120 @@ object SparkEntry {
         |SELECT l.event_id, l.user_id, l.ts, r.signup_value, r.rts AS matched_time
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.rts
         |ORDER BY event_id""".stripMargin,
+
+    // whole-microsecond integer gap arithmetic; the running-sum window
+    // replays Spark's (ts, event_id) sort exactly
+    "q121_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id, event_id, ts, us, lag(us) OVER
+        |        (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM o),
+        |b AS (SELECT user_id, event_id, ts, us,
+        |        CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS nb
+        |      FROM l),
+        |sid AS (SELECT user_id, ts, CAST(sum(nb) OVER
+        |          (PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM b)
+        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) AS TIMESTAMP) AS session_end,
+        |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
+        |FROM sid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // add-one-smoothed target/raw log-ratio per token; per-doc fold in
+    // position order (the q75 pattern)
+    "q122_dsir_weights" ->
+      s"""WITH tk AS (SELECT doc_id, lang = 'en' AS tgt, $ToksSql AS t FROM documents),
+         |ptok AS (SELECT doc_id, tgt, i, t[i] AS tok
+         |         FROM (SELECT doc_id, tgt, unnest(range(1, len(t) + 1)) AS i, t FROM tk)),
+         |cnt AS (SELECT tok,
+         |          CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |          CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS cr
+         |        FROM ptok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr,
+         |               count(*) AS v FROM cnt),
+         |sc AS (SELECT p.doc_id, p.i,
+         |         ln((CAST(ct AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + CAST(v AS DOUBLE)))
+         |       - ln((CAST(cr AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + CAST(v AS DOUBLE))) AS w
+         |       FROM ptok p JOIN cnt ON p.tok = cnt.tok CROSS JOIN tot),
+         |agg AS (SELECT doc_id, list(w ORDER BY i) AS vs, count(*) AS n_tokens
+         |        FROM sc GROUP BY 1)
+         |SELECT doc_id,
+         |  round(list_reduce(list_prepend(0.0, vs), (acc, x) -> acc + x), 4) AS dsir_weight,
+         |  n_tokens FROM agg ORDER BY doc_id""".stripMargin,
+
+    // per-dimension [min,max] affine uint8 codes; similarity in the exact
+    // integer domain — one final float division, rounded to 6
+    "q123_sq8_topk" ->
+      """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |            FROM (SELECT vec_id, embedding,
+        |                  unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+        |st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+        |q AS (SELECT i, x AS qx FROM ex WHERE vec_id = 0),
+        |cd AS (SELECT ex.vec_id,
+        |         CASE WHEN st.mx = st.mn THEN 0 ELSE greatest(0, least(255,
+        |           CAST(round((ex.x - st.mn) / (st.mx - st.mn) * 255.0) AS BIGINT))) END AS cx,
+        |         CASE WHEN st.mx = st.mn THEN 0 ELSE greatest(0, least(255,
+        |           CAST(round((q.qx - st.mn) / (st.mx - st.mn) * 255.0) AS BIGINT))) END AS cq
+        |       FROM ex JOIN st ON ex.i = st.i JOIN q ON ex.i = q.i),
+        |sm AS (SELECT vec_id, CAST(sum(cx * cq) AS BIGINT) AS dot,
+        |              CAST(sum(cx * cx) AS BIGINT) AS nx,
+        |              CAST(sum(cq * cq) AS BIGINT) AS nq
+        |       FROM cd GROUP BY 1)
+        |SELECT vec_id,
+        |  CASE WHEN nx = 0 OR nq = 0 THEN 0.0
+        |       ELSE round(CAST(dot AS DOUBLE) / sqrt(CAST(nx AS DOUBLE) * CAST(nq AS DOUBLE)), 6)
+        |  END AS sq8_cosine
+        |FROM sm ORDER BY sq8_cosine DESC, vec_id LIMIT 25""".stripMargin,
+
+    // grid values are exact small doubles (event counts), so the GDD sum
+    // is order-independent; day counts as BIGINT on both sides
+    "q124_climate_indices" ->
+      s"""$GridCte
+         |SELECT CAST(date_trunc('month', time) AS TIMESTAMP) AS period, lat, lon,
+         |  sum(greatest(value - 10.0, 0.0)) AS degree_days,
+         |  CAST(count(CASE WHEN value < 5.0 THEN 1 END) AS BIGINT) AS days_below,
+         |  CAST(count(CASE WHEN value > 15.0 THEN 1 END) AS BIGINT) AS days_above,
+         |  CAST(count(value) AS BIGINT) AS n_days
+         |FROM grid GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // both retriever lists replayed verbatim (q39's exact cosine, q123's
+    // SQ8 codes), ranked over (score DESC, id), fused 1/(60+r) in list
+    // order — the two-element fold is bit-stable
+    "q125_rrf_fusion" ->
+      s"""WITH qq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |dd AS (SELECT vec_id, $DotQSql AS dp, $SqSql AS na, $SqQSql AS nq
+         |       FROM embeddings, qq),
+         |l1 AS (SELECT vec_id, round(CASE WHEN sqrt(na) * sqrt(nq) > 0
+         |         THEN dp / (sqrt(na) * sqrt(nq)) ELSE 0.0 END, 6) AS score
+         |       FROM dd ORDER BY score DESC, vec_id LIMIT 50),
+         |ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         |       FROM (SELECT vec_id, embedding,
+         |             unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+         |st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+         |q AS (SELECT i, x AS qx FROM ex WHERE vec_id = 0),
+         |cd AS (SELECT ex.vec_id,
+         |         CASE WHEN st.mx = st.mn THEN 0 ELSE greatest(0, least(255,
+         |           CAST(round((ex.x - st.mn) / (st.mx - st.mn) * 255.0) AS BIGINT))) END AS cx,
+         |         CASE WHEN st.mx = st.mn THEN 0 ELSE greatest(0, least(255,
+         |           CAST(round((q.qx - st.mn) / (st.mx - st.mn) * 255.0) AS BIGINT))) END AS cq
+         |       FROM ex JOIN st ON ex.i = st.i JOIN q ON ex.i = q.i),
+         |sm AS (SELECT vec_id, CAST(sum(cx * cq) AS BIGINT) AS dot,
+         |              CAST(sum(cx * cx) AS BIGINT) AS nx,
+         |              CAST(sum(cq * cq) AS BIGINT) AS nq FROM cd GROUP BY 1),
+         |l2 AS (SELECT vec_id, CASE WHEN nx = 0 OR nq = 0 THEN 0.0
+         |         ELSE round(CAST(dot AS DOUBLE) / sqrt(CAST(nx AS DOUBLE) * CAST(nq AS DOUBLE)), 6)
+         |       END AS score
+         |       FROM sm ORDER BY score DESC, vec_id LIMIT 50),
+         |r1 AS (SELECT vec_id, 0 AS li, 1.0 / (60.0 + row_number()
+         |         OVER (ORDER BY score DESC, vec_id)) AS c FROM l1),
+         |r2 AS (SELECT vec_id, 1 AS li, 1.0 / (60.0 + row_number()
+         |         OVER (ORDER BY score DESC, vec_id)) AS c FROM l2),
+         |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+         |agg AS (SELECT vec_id, list(c ORDER BY li) AS vs,
+         |               CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY 1)
+         |SELECT vec_id,
+         |  round(list_reduce(list_prepend(0.0, vs), (acc, x) -> acc + x), 6) AS rrf_score,
+         |  n_lists FROM agg ORDER BY vec_id""".stripMargin,
 
     // same quantization (round(x·1e4) as exact longs); mean is two IEEE
     // divisions of exact integers — no rounding belt needed

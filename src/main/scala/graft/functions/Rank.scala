@@ -46,4 +46,40 @@ object Rank {
     df.select(col(idCol)).join(scores, Seq(idCol), "left")
       .select(col(idCol), round(coalesce(col("__s"), lit(0.0)), 4).as("bm25"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists —
+    * the standard way hybrid retrieval merges a lexical ranking (BM25)
+    * with a dense one (embedding cosine) without score calibration:
+    *
+    *   rrf(d) = Σ_lists 1 / (k + rank_list(d))
+    *
+    * Each input is (id, score); ranks are dense over (score DESC, id) so
+    * ties are deterministic and engine-portable. A document absent from a
+    * list simply contributes nothing for it (the pure RRF convention).
+    *
+    * Scale: each ranking is a window over its OWN list — these are the
+    * top-k outputs of upstream retrievers (bounded, usually ≤10⁴ rows),
+    * not the corpus; the fusion is a union + one aggregate on the id.
+    * The rounding to 6 decimals absorbs cross-engine division ulp. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, scoreCol: String,
+      k: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "empty fusion input")
+    val ranked = lists.zipWithIndex.map { case (l, i) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(scoreCol).desc, col(idCol))
+      l.select(col(idCol), col(scoreCol))
+        .withColumn("__r", row_number().over(w))
+        .select(col(idCol), lit(i).as("__li"),
+          (lit(1.0) / (lit(k.toDouble) + col("__r"))).as("__c"))
+    }
+    // fold contributions in list order — bit-stable across partitionings
+    ranked.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(
+        round(aggregate(
+          transform(array_sort(collect_list(struct(col("__li"), col("__c")))),
+            s => s.getField("__c")),
+          lit(0.0), (acc, x) => acc + x), 6).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+  }
 }

@@ -326,4 +326,59 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
+
+  /** Scalar-quantized (SQ8) cosine top-k — the FAISS `SQ8` recipe: each
+    * dimension is affinely mapped to an 8-bit code by its corpus-wide
+    * [min, max] range, and similarity is computed IN THE INTEGER CODE
+    * DOMAIN. At 100 TB this is the memory play that keeps a brute-force
+    * scan viable: codes are 4× smaller than float32 (the real deployment
+    * persists them once and scans codes, never raw floats), and the
+    * per-vector work is an int8 dot product — the exact arithmetic SIMD
+    * loves.
+    *
+    * Determinism: integer products sum exactly in ANY order and ANY
+    * partitioning (no float-accumulation drift — the reason this variant
+    * is engine-portable where a dequantize-then-float-sum variant is
+    * not); the single float op is the final `dot/√(nx·nq)`, rounded to 6
+    * decimals. Out-of-range query values clamp to [0, 255], the standard
+    * SQ behavior.
+    *
+    * Plan: per-dimension stats are one map-side-combined aggregate
+    * bounded by `d` rows, broadcast back over the exploded scan; the
+    * per-vector integer sums are map-side-combined; top-k is
+    * TakeOrderedAndProject (never a global sort). Ties break on the id. */
+  def sq8TopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int): DataFrame = {
+    val ex = df
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("__i", "__x0")))
+      .select(col(idCol), col("__i"), col("__x0").cast("double").as("__x"))
+    val stats = ex.groupBy("__i")
+      .agg(min(col("__x")).as("__mn"), max(col("__x")).as("__mx"))
+    val qlit = lit(query.map(_.toDouble).toArray)
+    def code(x: Column, mn: Column, mx: Column): Column =
+      when(mx === mn, lit(0L)).otherwise(
+        greatest(lit(0L), least(lit(255L),
+          round((x - mn) / (mx - mn) * 255.0).cast("long"))))
+    val withQ = stats.withColumn("__qx",
+      element_at(qlit, col("__i").cast("int") + 1))
+    val codes = ex.join(broadcast(withQ), Seq("__i"))
+      .select(col(idCol),
+        code(col("__x"), col("__mn"), col("__mx")).as("__cx"),
+        code(col("__qx"), col("__mn"), col("__mx")).as("__cq"))
+    codes.groupBy(idCol).agg(
+      sum(col("__cx") * col("__cq")).as("__dot"),
+      sum(col("__cx") * col("__cx")).as("__nx"),
+      sum(col("__cq") * col("__cq")).as("__nq"))
+      .select(col(idCol),
+        when(col("__nx") === 0L || col("__nq") === 0L, lit(0.0))
+          .otherwise(round(col("__dot").cast("double") /
+            sqrt(col("__nx").cast("double") * col("__nq").cast("double")), 6))
+          .as("sq8_cosine"))
+      .orderBy(col("sq8_cosine").desc, col(idCol))
+      .limit(k)
+  }
 }

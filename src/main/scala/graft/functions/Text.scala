@@ -238,6 +238,59 @@ object Text {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how target-like its unigram distribution is,
+    * `w(x) = Σ_t [ln p̂_target(t) − ln p̂_raw(t)]`, with add-one smoothing
+    * over the shared vocabulary. Resampling the corpus proportionally to
+    * `exp(w)` (or keeping the top fraction by `w`) then shifts the mix
+    * toward the target domain — the standard pre-training data-selection
+    * recipe. `isTarget` is the target-domain predicate (e.g. a source or
+    * language flag); both distributions are estimated from the input
+    * corpus itself, split by that predicate.
+    *
+    * DSIR's hashed-feature trick (bucketing grams into 10⁴ hash buckets)
+    * exists to BOUND the feature space; here the count aggregate is
+    * already map-side-combined and bounded by the vocabulary, so exact
+    * grams cost the same shuffle shape — pass `hashBuckets` only when the
+    * vocabulary itself is cluster-hostile (≫10⁸ distinct tokens).
+    *
+    * Scale: token counts are one map-side-combined shuffle bounded by
+    * |vocab| (conditional sums put target and raw counts in the SAME
+    * aggregate — one pass, not two); totals ride in-plan as a one-row
+    * broadcast; per-doc sums fold in position order (the q75 determinism
+    * trick), rounded to 4 decimals to absorb ln() ulp. Output:
+    * (idCol, dsir_weight, n_tokens). */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, hashBuckets: Option[Int] = None): DataFrame = {
+    val feat = hashBuckets match {
+      case Some(b) => (t: Column) => pmod(xxhash64(t), lit(b)).cast("string")
+      case None => (t: Column) => t
+    }
+    val toks = df.select(col(idCol).as("__id"), isTarget.as("__tgt"),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok0")))
+      .withColumn("__tok", feat(col("__tok0")))
+    val counts = toks.groupBy("__tok").agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(!col("__tgt"), 1L).otherwise(0L)).as("__cr"))
+    val tot = counts.agg(sum(col("__ct")).as("__nt"),
+      sum(col("__cr")).as("__nr"), count(lit(1)).as("__v"))
+    val terms = toks.join(counts, Seq("__tok"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__w",
+        log((col("__ct").cast("double") + 1.0) /
+          (col("__nt").cast("double") + col("__v").cast("double"))) -
+        log((col("__cr").cast("double") + 1.0) /
+          (col("__nr").cast("double") + col("__v").cast("double"))))
+    terms.groupBy("__id").agg(
+      round(aggregate(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__w")))),
+          s => s.getField("__w")),
+        lit(0.0), (acc, x) => acc + x), 4).as("dsir_weight"),
+      count(lit(1)).as("n_tokens"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Gopher-style rule-based quality filter (the pre-training corpus
     * hygiene pass of Rae et al. 2021, table A1): per-document boolean
     * verdicts for each rule plus the conjunctive `keep`.

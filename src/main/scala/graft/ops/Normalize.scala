@@ -77,6 +77,40 @@ object Normalize {
     df.unionByName(padded.select(df.columns.map(col): _*))
   }
 
+  /** Full dense reindex onto (time spine × spatial key set) — the ragged-
+    * input counterpart of [[fillMissingTimeSteps]]: EVERY absent
+    * (time, cell) combination gets a null row, including cells missing
+    * from a timestep that other cells observe. Use this when the long-form
+    * input does not satisfy the dense-cube precondition (e.g. a per-cell
+    * event aggregate where quiet cells simply have no row).
+    *
+    * Scale shape: the synthesized side is spine×cells KEYS ONLY, anti-
+    * joined against the input's key columns — the input's value columns
+    * never shuffle (original rows pass through the union verbatim), and
+    * the anti join's exchange carries just (time, dims) tuples. The output
+    * is inherently |spine|·|cells| rows; the extra key shuffle relative to
+    * [[fillMissingTimeSteps]] is the price of detecting per-cell holes. */
+  def reindexDense(
+      df: DataFrame,
+      timeCol: String,
+      otherDims: Seq[String],
+      resolution: TimeSpan): DataFrame = {
+    val bounds = df.agg(min(col(timeCol)).as("lo"), max(col(timeCol)).as("hi"))
+    val spine = bounds.select(
+      explode(expr(s"sequence(lo, hi, ${resolution.intervalExpr})")).as(timeCol))
+    val spineAll =
+      if (otherDims.isEmpty) spine
+      else spine.crossJoin(df.select(otherDims.map(col): _*).distinct())
+    val holeRows = spineAll.join(
+      df.select((timeCol +: otherDims).map(col): _*),
+      timeCol +: otherDims, "left_anti")
+    val valueCols = df.columns.filterNot((timeCol +: otherDims).contains)
+    val padded = valueCols.foldLeft(holeRows) { (acc, c) =>
+      acc.withColumn(c, lit(null).cast(df.schema(c).dataType))
+    }
+    df.unionByName(padded.select(df.columns.map(col): _*))
+  }
+
   /** Materialize a length-1 dimension dropped upstream (e.g. a squeezed time
     * axis, or a timestep synthesized from a filename date).
     *

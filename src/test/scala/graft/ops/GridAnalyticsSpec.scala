@@ -385,6 +385,31 @@ class GridAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("thresholdIndices accumulates GDD and counts threshold days") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (ts("2024-01-01T00:00"), 0.0, 12.0), // gdd 2, above(>15)? no
+      (ts("2024-01-02T00:00"), 0.0, 4.0),  // gdd 0, below(<5)
+      (ts("2024-01-03T00:00"), 0.0, 18.0), // gdd 8, above
+      (ts("2024-02-01T00:00"), 0.0, 5.0),  // next month: gdd 0, neither
+      (ts("2024-01-01T00:00"), 1.0, 10.0)  // other cell: gdd 0 (== base)
+    ).toDF("time", "lat", "value")
+    val out = GridAnalytics.thresholdIndices(df, "time", Seq("lat"), "value",
+      "month", base = 10.0, lowThresh = 5.0, highThresh = 15.0)
+      .orderBy("period", "lat").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("period").toLocalDateTime
+        .toLocalDate.toString, r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0.0, 10.0, 1L, 1L, 3L),
+      ("2024-01-01", 1.0, 0.0, 0L, 0L, 1L),
+      ("2024-02-01", 0.0, 0.0, 0L, 0L, 1L)))
+    intercept[IllegalArgumentException] {
+      GridAnalytics.thresholdIndices(df, "time", Seq("lat"), "value",
+        "week", 10.0, 5.0, 15.0)
+    }
+  }
+
   test("regridNearest snaps to the closest source cell") {
     val sp = spark; import sp.implicits._
     val t = ts("2024-01-01T00:00")

@@ -47,6 +47,23 @@ class NormalizeSpec extends SparkSpec {
     assert(out.filter(col("value").isNull).count() == 2)
   }
 
+  test("reindexDense also fills per-cell holes on present timesteps") {
+    val df = Seq(
+      (ts("2024-01-01T00:00:00"), 10.0, 1.0),
+      (ts("2024-01-01T00:00:00"), 20.0, 2.0),
+      (ts("2024-01-03T00:00:00"), 10.0, 3.0)) // cell 20 missing on the 3rd
+      .toDF("time", "latitude", "value")
+    // fillMissingTimeSteps keeps the ragged hole (documented precondition)…
+    assert(Normalize.fillMissingTimeSteps(df, "time", Seq("latitude"),
+      TimeSpan.Daily).count() == 5)
+    // …reindexDense pads it: 3 days × 2 cells
+    val out = Normalize.reindexDense(df, "time", Seq("latitude"), TimeSpan.Daily)
+    assert(out.count() == 6)
+    assert(out.filter(col("value").isNull).count() == 3)
+    assert(out.filter(col("time") === ts("2024-01-03T00:00:00") &&
+      col("latitude") === 20.0).count() == 1)
+  }
+
   test("renameDataVariable renames the non-dim column; tolerates canonical") {
     val desc = DatasetDescriptor("x", "precip", spatialDims = Seq("latitude", "longitude"))
     val df = Seq((ts("2024-01-01T00:00:00"), 1.0, 2.0, 9.0))
