@@ -198,6 +198,81 @@ object StreamingUpdate {
   final case class CadenceGap(key: String, from: java.sql.Timestamp,
     to: java.sql.Timestamp, deltaMinutes: Long)
 
+  /** A closed session: emitted once its idle gap has definitively elapsed
+    * (either the next event arrived past the gap, or the watermark did). */
+  final case class ClosedSession(user_id: Long,
+    session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+    n_events: Long)
+
+  /** Streaming gap-based sessionization — `ops/Sessions` as a continuous
+    * operator: `flatMapGroupsWithState` holds ONE open session per active
+    * user and closes it either when an event lands beyond the idle gap
+    * (emitted immediately) or when the event-time watermark passes the
+    * session's horizon (`GroupStateTimeout.EventTimeTimeout` — so state
+    * for idle users is reclaimed by the engine, never accumulated).
+    *
+    * State is three longs per ACTIVE user — bounded by concurrent users
+    * within one gap horizon, not by history; exactly the state bound a
+    * 100 TB/day event stream needs. `input` must carry `user_id` (long)
+    * and an event-time `ts` with a watermark already applied (the
+    * watermark is what drives both lateness semantics and timeouts).
+    * Late events older than the watermark are dropped by the engine
+    * before the state function runs (standard Append semantics). */
+  def streamingSessionize(input: DataFrame, gapMinutes: Long): Dataset[ClosedSession] = {
+    import input.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    // ts passes through UNCAST: re-aliasing the event-time column would
+    // strip its watermark tag and EventTimeTimeout would refuse the plan
+    input.select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (s0, e0, n) = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user,
+              new java.sql.Timestamp(s0), new java.sql.Timestamp(e0), n))
+          } else {
+            val sorted = rows.map(_._2.getTime).toArray.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur = cur match {
+                case Some((s0, e0, n)) if t - e0 <= gapMs =>
+                  Some((s0, math.max(e0, t), n + 1))
+                case Some((s0, e0, n)) =>
+                  closed ::= ClosedSession(user,
+                    new java.sql.Timestamp(s0), new java.sql.Timestamp(e0), n)
+                  Some((t, t, 1L))
+                case None => Some((t, t, 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c._2 + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Run [[streamingSessionize]] to a memory sink (testing/monitoring). */
+  def startStreamingSessionize(
+      input: DataFrame,
+      gapMinutes: Long,
+      queryName: String,
+      checkpointDir: String): StreamingQuery =
+    streamingSessionize(input, gapMinutes).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Custom streaming state via mapGroupsWithState: track the last-seen
     * timestamp per key and emit the gaps each micro-batch adds. State is
     * one timestamp per key — bounded by key cardinality, not stream length.

@@ -175,4 +175,44 @@ class StreamingOpsSpec extends SparkSpec {
       (1.0, 2.0, Some(-18.0), false),
       (9.0, 1.0, None, true)))
   }
+
+  test("streamingSessionize: gap closes in-batch, watermark timeout closes " +
+      "idle sessions, state is reclaimed") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingUpdate.streamingSessionize(
+        in.toDF().toDF("user_id", "ts").withWatermark("ts", "0 seconds"),
+        gapMinutes = 30L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("ss").toString)
+      .start()
+
+    // batch 1: user 1 has an open 2-event session; user 2 a 1-event one
+    in.addData((1L, tsq("2024-01-01 10:00:00")), (1L, tsq("2024-01-01 10:10:00")),
+      (2L, tsq("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    assert(spark.table("sessions").count() == 0) // nothing closed yet
+
+    // batch 2: user 1 returns past the gap → the old session closes NOW
+    in.addData((1L, tsq("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    // batch 3+4: unrelated traffic advances the watermark → user 2's and
+    // then user 1's idle sessions close via EventTimeTimeout
+    in.addData((3L, tsq("2024-01-01 23:00:00")))
+    q.processAllAvailable()
+    in.addData((3L, tsq("2024-01-01 23:05:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sessions")
+      .as[StreamingUpdate.ClosedSession].collect().toSet
+    assert(out == Set(
+      StreamingUpdate.ClosedSession(1L, tsq("2024-01-01 10:00:00"),
+        tsq("2024-01-01 10:10:00"), 2L),
+      StreamingUpdate.ClosedSession(2L, tsq("2024-01-01 10:00:00"),
+        tsq("2024-01-01 10:00:00"), 1L),
+      StreamingUpdate.ClosedSession(1L, tsq("2024-01-01 12:00:00"),
+        tsq("2024-01-01 12:00:00"), 1L)), s"got $out")
+  }
 }
