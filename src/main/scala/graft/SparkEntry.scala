@@ -87,6 +87,29 @@ object SparkEntry {
     table(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0)
 
+  /** Fixed PQ codebook for the q126 gate: 2 subspaces × 4 CONSTANT
+    * centroids whose values are powers of two (±0.25, ±0.5). Scaling by a
+    * power of two commutes with IEEE rounding, so the operator's
+    * per-element folds reduce EXACTLY to `v · Σxᵢ` — which is what lets
+    * the oracle replay learned-codebook machinery in closed form. The
+    * learned-codebook path (pqTrain) is spec-gated (PqSpec) instead. */
+  private val PqVals = Seq(-0.5, -0.25, 0.25, 0.5)
+  private def pqFixedCodebook: Seq[Seq[Seq[Float]]] =
+    Seq.fill(2)(PqVals.map(v => Seq.fill(32)(v.toFloat)))
+
+  /** Oracle argmin over the 4 constant-centroid scores for one subspace
+    * sum `sCol`, lowest index winning ties — mirrors array_min on
+    * struct(score, idx). */
+  private def pqArgminSql(sCol: String): String = {
+    val sc = PqVals.map(v => s"(${32 * v * v} - 2.0 * ($v) * $sCol)")
+    s"""CASE WHEN ${sc(0)} <= ${sc(1)} AND ${sc(0)} <= ${sc(2)} AND ${sc(0)} <= ${sc(3)} THEN 0
+       |     WHEN ${sc(1)} <= ${sc(2)} AND ${sc(1)} <= ${sc(3)} THEN 1
+       |     WHEN ${sc(2)} <= ${sc(3)} THEN 2 ELSE 3 END""".stripMargin
+  }
+
+  private def pqValOfSql(codeCol: String): String =
+    s"CASE $codeCol WHEN 0 THEN -0.5 WHEN 1 THEN -0.25 WHEN 2 THEN 0.25 ELSE 0.5 END"
+
   /** A store under java.io.tmpdir, wiped before use (queries must be
     * idempotent across runs and scale factors). */
   private def freshStore(s: SparkSession, dir: String, tag: String,
@@ -614,6 +637,16 @@ object SparkEntry {
         .select(col("vec_id"), col("sq8_cosine").as("score"))
       Rank.rrfFuse(Seq(exact, sq8), "vec_id", "score", k = 60)
         .orderBy("vec_id")
+    }),
+
+    // product-quantization ADC top-k through the REAL operator path
+    // (pqEncode → lookup-table scoring) against the fixed power-of-two
+    // codebook the oracle can replay in closed form; learned codebooks
+    // are spec-gated in PqSpec
+    "q126_pq_adc" -> ((s, dir) => {
+      val cb = pqFixedCodebook
+      val enc = Similarity.pqEncode(table(s, dir, "embeddings"), "embedding", cb)
+      Similarity.pqTopKAdc(enc, "vec_id", embQuery(s, dir), cb, k = 25)
     }),
 
     // class-prototype embeddings: per-label mean vector via exact
@@ -1809,6 +1842,30 @@ object SparkEntry {
         |SELECT l.event_id, l.user_id, l.ts, r.signup_value, r.rts AS matched_time
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.rts
         |ORDER BY event_id""".stripMargin,
+
+    // constant power-of-two centroids collapse every dot product to
+    // v·Σxᵢ EXACTLY (scaling commutes with IEEE rounding), so codes and
+    // ADC scores replay bit-identically from the subspace sums alone
+    "q126_pq_adc" -> {
+      val s1 = seqSum("list_transform(embedding[1:32], x -> CAST(x AS DOUBLE))")
+      val s2 = seqSum("list_transform(embedding[33:64], x -> CAST(x AS DOUBLE))")
+      val q1 = seqSum("list_transform(qe[1:32], x -> CAST(x AS DOUBLE))")
+      val q2 = seqSum("list_transform(qe[33:64], x -> CAST(x AS DOUBLE))")
+      s"""WITH qq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |qs AS (SELECT $q1 AS q1, $q2 AS q2, sqrt($SqQSql) AS qn FROM qq),
+         |sums AS (SELECT vec_id, $s1 AS s1, $s2 AS s2 FROM embeddings),
+         |codes AS (SELECT vec_id,
+         |    ${pqArgminSql("s1")} AS c1,
+         |    ${pqArgminSql("s2")} AS c2 FROM sums),
+         |vals AS (SELECT vec_id, ${pqValOfSql("c1")} AS v1,
+         |                 ${pqValOfSql("c2")} AS v2 FROM codes),
+         |sc AS (SELECT v.vec_id,
+         |    (v.v1 * qs.q1) + (v.v2 * qs.q2) AS dt,
+         |    (32.0 * v.v1 * v.v1) + (32.0 * v.v2 * v.v2) AS n2, qs.qn
+         |  FROM vals v CROSS JOIN qs)
+         |SELECT vec_id, round(dt / (sqrt(n2) * qn), 6) AS adc_cosine
+         |FROM sc ORDER BY adc_cosine DESC, vec_id LIMIT 25""".stripMargin
+    },
 
     // whole-microsecond integer gap arithmetic; the running-sum window
     // replays Spark's (ts, event_id) sort exactly

@@ -327,6 +327,91 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** Product-quantization codebook (Jégou et al. 2011): the vector space
+    * splits into `m` subspaces of `dim/m` dims; each gets its own
+    * k-centroid codebook from the deterministic quantized Lloyd's of
+    * [[graft.functions.Clustering]]. Returned in FLOAT units,
+    * `m × k × dim/m` values — KB-scale driver/broadcast state, like IVF's
+    * centroid list.
+    *
+    * PQ is the 100 TB ANN memory play beyond SQ8: a 64-dim float32 vector
+    * (256 B) compresses to `m` byte codes (8 B at m=8) — the compressed
+    * corpus fits where the raw one cannot, and scan cost drops with it. */
+  def pqTrain(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int = 3): Seq[Seq[Seq[Float]]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val dsub = dim / m
+    val scale = 10000.0
+    (0 until m).map { s =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), s * dsub + 1, dsub).as("__sub"))
+      Clustering.kmeansCentroids(sub, idCol, "__sub", k, iters, scale)
+        .map(_.map(v => (v / scale).toFloat))
+    }
+  }
+
+  /** Encode every vector to its `m` nearest-subspace-centroid codes —
+    * the compressed representation a deployment persists (partitioned /
+    * sorted however the probe side wants it). Per-row work is m·k small
+    * dot products against literal codebooks, all inside codegen; nothing
+    * shuffles. */
+  def pqEncode(
+      df: DataFrame,
+      vecCol: String,
+      codebook: Seq[Seq[Seq[Float]]]): DataFrame = {
+    val m = codebook.length
+    val dsub = codebook.head.head.length
+    val codes = (0 until m).map { s =>
+      Clustering.assignToCentroids(
+        slice(col(vecCol), s * dsub + 1, dsub), codebook(s))
+    }
+    df.withColumn("pq_code", array(codes: _*))
+  }
+
+  /** Asymmetric-distance (ADC) cosine top-k over PQ codes: the query stays
+    * exact; each row's similarity is the cosine of the query with the
+    * row's RECONSTRUCTION, computed purely from two m×k lookup tables
+    * (query·centroid and ‖centroid‖² per subspace) — per row, m array
+    * lookups and adds, no float vector ever read. Lookup sums fold
+    * left-to-right over subspaces, so scores are partitioning-independent.
+    * Input must carry `pq_code` (from [[pqEncode]]). */
+  def pqTopKAdc(
+      encoded: DataFrame,
+      idCol: String,
+      query: Seq[Float],
+      codebook: Seq[Seq[Seq[Float]]],
+      k: Int): DataFrame = {
+    val m = codebook.length
+    val dsub = codebook.head.head.length
+    def dotD(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    val qNorm = math.sqrt(dotD(query, query))
+    val lutDot = codebook.zipWithIndex.map { case (cents, s) =>
+      val qSub = query.slice(s * dsub, (s + 1) * dsub)
+      cents.map(c => dotD(qSub, c)).toArray
+    }
+    val lutN2 = codebook.map(cents => cents.map(c => dotD(c, c)).toArray)
+    def lookup(tables: Seq[Array[Double]]): Column =
+      tables.zipWithIndex.map { case (t, s) =>
+        element_at(lit(t), element_at(col("pq_code"), s + 1) + 1)
+      }.reduce(_ + _)
+    encoded
+      .withColumn("__dot", lookup(lutDot))
+      .withColumn("__n2", lookup(lutN2))
+      .select(col(idCol),
+        when(col("__n2") <= 0.0 || lit(qNorm) <= 0.0, lit(0.0))
+          .otherwise(round(col("__dot") / (sqrt(col("__n2")) * qNorm), 6))
+          .as("adc_cosine"))
+      .orderBy(col("adc_cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Scalar-quantized (SQ8) cosine top-k — the FAISS `SQ8` recipe: each
     * dimension is affinely mapped to an 8-bit code by its corpus-wide
     * [min, max] range, and similarity is computed IN THE INTEGER CODE

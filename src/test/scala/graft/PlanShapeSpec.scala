@@ -158,4 +158,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_count"),
       s"expected a partial (map-side) count before the exchange:\n$plan")
   }
+
+  test("SQ8 top-k: d-row stats broadcast, top-k is TakeOrderedAndProject") {
+    val emb = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val plan = planOf(Similarity.sq8TopK(emb, "vec_id", "embedding",
+      Seq(1.0f, 2.0f), 5))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not be a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-dimension stats side must broadcast:\n$plan")
+  }
+
+  test("DSIR weights: corpus totals ride as a one-row broadcast, no cartesian") {
+    val docs = Seq((1L, "a b", "en"), (2L, "c", "de")).toDF("doc_id", "text", "lang")
+    val plan = planOf(graft.functions.Text.dsirWeights(
+      docs, "doc_id", "text", col("lang") === "en"))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the one-row totals broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$plan")
+  }
+
+  test("threshold indices aggregate without any window or sort") {
+    val grid = dailyGrid(1, 10)
+    val plan = planOf(graft.ops.GridAnalytics.thresholdIndices(grid, "time",
+      Seq("latitude", "longitude"), "value", "month", 10.0, 5.0, 15.0))
+    assert(!plan.contains("Window") && !plan.contains("Sort"),
+      s"one hash aggregate, no window/sort:\n$plan")
+    assert(plan.contains("partial"),
+      s"expected a map-side partial aggregate:\n$plan")
+  }
 }
