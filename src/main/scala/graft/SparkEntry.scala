@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
-import graft.functions.{Clustering, Dedup, Encryption, Multimodal, Rank, Similarity, Text, Web}
+import graft.functions.{Clustering, Dedup, Encryption, Graph, Multimodal, Rank, Similarity, Text, Web}
 import graft.model.{DatasetCategory, DatasetDescriptor, TimeSpan, TimeUnitKind}
 import graft.ops.{Filters, GridAnalytics, Normalize, Projection, Qc, Sampling, Sessions, Stats, UpdatePlan}
 import graft.sources.Manifest
@@ -637,6 +637,30 @@ object SparkEntry {
         .select(col("vec_id"), col("sq8_cosine").as("score"))
       Rank.rrfFuse(Seq(exact, sq8), "vec_id", "score", k = 60)
         .orderBy("vec_id")
+    }),
+
+    // PageRank source-quality centrality (the RefinedWeb/Common-Crawl-style
+    // link-graph signal) over the per-type user-succession graph: transition
+    // edges (entity = event_type, node = user_id), then 3 rounds of exact
+    // integer micro-unit rank — bit-replayable, so the oracle unrolls the
+    // same three rounds in SQL
+    "q127_pagerank" -> ((s, dir) => {
+      val edges = Graph.transitionEdges(table(s, dir, "events"),
+        "event_type", Seq("ts", "event_id"), "user_id")
+      Graph.pageRank(edges, "src", "dst", iters = 3)
+        .select(col("node"), col("rank").as("rank_micro"))
+        .orderBy("node")
+    }),
+
+    // personalized (seeded) PageRank: teleport mass restricted to the seed
+    // set — the topic-conditioned source-selection variant
+    "q128_seed_pagerank" -> ((s, dir) => {
+      val edges = Graph.transitionEdges(table(s, dir, "events"),
+        "event_type", Seq("ts", "event_id"), "user_id")
+      Graph.personalizedPageRank(edges, "src", "dst",
+          seeds = Seq(1L, 2L, 3L), iters = 3)
+        .select(col("node"), col("rank").as("rank_micro"))
+        .orderBy("node")
     }),
 
     // product-quantization ADC top-k through the REAL operator path
@@ -1842,6 +1866,52 @@ object SparkEntry {
         |SELECT l.event_id, l.user_id, l.ts, r.signup_value, r.rts AS matched_time
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.rts
         |ORDER BY event_id""".stripMargin,
+
+    // exact integer micro-unit PageRank: every round is BIGINT floor
+    // arithmetic, so the oracle just unrolls the same three rounds
+    "q127_pagerank" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""i$k AS (SELECT e.dst AS node, sum(r.pr // r.deg) AS inflow
+           |  FROM r${k - 1} r JOIN e ON r.node = e.src WHERE r.deg > 0 GROUP BY 1),
+           |r$k AS (SELECT r.node, r.deg,
+           |    CAST(150000 + (850 * coalesce(i.inflow, 0)) // 1000 AS BIGINT) AS pr
+           |  FROM r${k - 1} r LEFT JOIN i$k i ON r.node = i.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH led AS (SELECT user_id AS src, lead(user_id) OVER
+         |    (PARTITION BY event_type ORDER BY ts, event_id) AS dst FROM events),
+         |e AS (SELECT DISTINCT src, dst FROM led WHERE dst IS NOT NULL AND dst <> src),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT n.node, coalesce(d.deg, 0) AS deg, CAST(1000000 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN deg d ON n.node = d.node),
+         |$rounds
+         |SELECT node, pr AS rank_micro FROM r3 ORDER BY node""".stripMargin
+    },
+
+    // seeded variant: teleport mass only on seeds {1,2,3}; seedBase floors
+    // the pooled teleport mass over the PRESENT seed count, like the engine
+    "q128_seed_pagerank" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""i$k AS (SELECT e.dst AS node, sum(r.pr // r.deg) AS inflow
+           |  FROM r${k - 1} r JOIN e ON r.node = e.src WHERE r.deg > 0 GROUP BY 1),
+           |r$k AS (SELECT r.node, r.deg,
+           |    CAST((CASE WHEN r.node IN (1, 2, 3) THEN (SELECT sbase FROM sb) ELSE 0 END)
+           |      + (850 * coalesce(i.inflow, 0)) // 1000 AS BIGINT) AS pr
+           |  FROM r${k - 1} r LEFT JOIN i$k i ON r.node = i.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH led AS (SELECT user_id AS src, lead(user_id) OVER
+         |    (PARTITION BY event_type ORDER BY ts, event_id) AS dst FROM events),
+         |e AS (SELECT DISTINCT src, dst FROM led WHERE dst IS NOT NULL AND dst <> src),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         |pres AS (SELECT count(*) AS p FROM nodes WHERE node IN (1, 2, 3)),
+         |sb AS (SELECT CAST(450000 // p AS BIGINT) AS sbase FROM pres),
+         |r0 AS (SELECT n.node, coalesce(d.deg, 0) AS deg,
+         |    CAST(CASE WHEN n.node IN (1, 2, 3) THEN 1000000 ELSE 0 END AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN deg d ON n.node = d.node),
+         |$rounds
+         |SELECT node, pr AS rank_micro FROM r3 ORDER BY node""".stripMargin
+    },
 
     // constant power-of-two centroids collapse every dot product to
     // v·Σxᵢ EXACTLY (scaling commutes with IEEE rounding), so codes and
