@@ -663,6 +663,16 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // degree-ordered triangle counting (Suri & Vassilvitskii WWW'11) on
+    // the same interaction graph — exact BIGINT counts, the clustering
+    // signal of link-graph quality scoring; the oracle replays the
+    // identical orientation so every wedge enumerates once on both sides
+    "q129_triangle_count" -> ((s, dir) => {
+      val edges = Graph.transitionEdges(table(s, dir, "events"),
+        "event_type", Seq("ts", "event_id"), "user_id")
+      Graph.triangleCounts(edges, "src", "dst").orderBy("node")
+    }),
+
     // product-quantization ADC top-k through the REAL operator path
     // (pqEncode → lookup-table scoring) against the fixed power-of-two
     // codebook the oracle can replay in closed form; learned codebooks
@@ -1912,6 +1922,31 @@ object SparkEntry {
          |$rounds
          |SELECT node, pr AS rank_micro FROM r3 ORDER BY node""".stripMargin
     },
+
+    // degree-ordered orientation replayed verbatim: edge points low
+    // (deg, id) → high (a < b breaks ties), wedges enumerate at the
+    // minimum-order vertex only, the closing edge is already canonical
+    "q129_triangle_count" ->
+      """WITH led AS (SELECT user_id AS src, lead(user_id) OVER
+        |    (PARTITION BY event_type ORDER BY ts, event_id) AS dst FROM events),
+        |ed AS (SELECT DISTINCT src, dst FROM led WHERE dst IS NOT NULL AND dst <> src),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ed),
+        |deg AS (SELECT node, count(*) AS deg FROM
+        |    (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+        |  GROUP BY 1),
+        |ori AS (SELECT
+        |    CASE WHEN da.deg <= db.deg THEN u.a ELSE u.b END AS s,
+        |    CASE WHEN da.deg <= db.deg THEN u.b ELSE u.a END AS t
+        |  FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
+        |tri AS (SELECT e1.s, e1.t AS t1, e2.t AS t2
+        |  FROM ori e1 JOIN ori e2 ON e1.s = e2.s AND e1.t < e2.t
+        |  JOIN und c ON c.a = e1.t AND c.b = e2.t),
+        |pern AS (SELECT node, count(*) AS triangles FROM
+        |    (SELECT s AS node FROM tri UNION ALL SELECT t1 FROM tri
+        |     UNION ALL SELECT t2 FROM tri)
+        |  GROUP BY 1)
+        |SELECT d.node, d.deg, CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles
+        |FROM deg d LEFT JOIN pern p ON d.node = p.node ORDER BY d.node""".stripMargin,
 
     // constant power-of-two centroids collapse every dot product to
     // v·Σxᵢ EXACTLY (scaling commutes with IEEE rounding), so codes and

@@ -169,4 +169,67 @@ object Graph {
     }
     ranks.select("node", "rank")
   }
+
+  /** Per-node triangle counts via degree-ordered edge orientation (Suri &
+    * Vassilvitskii, "Counting triangles and the curse of the last
+    * reducer", WWW'11): each undirected edge points from its lower
+    * (degree, id) endpoint to the higher, so every triangle is enumerated
+    * exactly once — from its minimum-order vertex — and the wedge count
+    * is bounded by O(m^1.5) REGARDLESS of degree skew: a hub's wedges are
+    * generated at its low-out-degree neighbors, never at the hub itself.
+    * This is the property that makes the plan survive a web-scale graph
+    * where the naive neighbor self-join dies on the hottest node.
+    *
+    * Input edges are treated as undirected (symmetrized + deduplicated).
+    * Returns (node, deg, triangles) — all exact BIGINTs, so the gate is
+    * hash-stable across engines.
+    *
+    * Shuffle audit: canonicalize+distinct (1 exchange on the pair key),
+    * degree agg (1, map-side combined), two degree joins (reuse the deg
+    * frame), wedge self-join on the oriented source (1), closing join on
+    * the (a,b) pair key (1), final per-node count (1, map-side combined).
+    * Everything is 8/16-byte keys; no row carries payload. */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast("long").as("s0"), col(dstCol).cast("long").as("d0"))
+      .filter(col("s0") =!= col("d0"))
+      .select(least(col("s0"), col("d0")).as("a"),
+        greatest(col("s0"), col("d0")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+
+    val da = deg.select(col("node").as("a"), col("deg").as("da"))
+    val db = deg.select(col("node").as("b"), col("deg").as("db"))
+    // orient low-(deg, id) → high; ties break toward the smaller id, and
+    // a < b by construction, so the tie case is always a → b
+    val fwd = col("da") < col("db") || (col("da") === col("db"))
+    val ori = und.join(da, "a").join(db, "b")
+      .select(when(fwd, col("a")).otherwise(col("b")).as("s"),
+        when(fwd, col("b")).otherwise(col("a")).as("t"))
+      .localCheckpoint(true)
+
+    // wedges at the minimum-order vertex: out-neighbor pairs (t1 < t2);
+    // the closing edge (t1, t2) is already canonical for the und join
+    val e1 = ori.select(col("s"), col("t").as("t1"))
+    val e2 = ori.select(col("s"), col("t").as("t2"))
+    val tri = e1.join(e2, Seq("s"))
+      .filter(col("t1") < col("t2"))
+      .join(und, col("t1") === col("a") && col("t2") === col("b"))
+      .select(col("s"), col("t1"), col("t2"))
+
+    val perNode = tri
+      .select(explode(array(col("s"), col("t1"), col("t2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

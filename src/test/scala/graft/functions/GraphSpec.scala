@@ -74,4 +74,46 @@ class GraphSpec extends SparkSpec {
     // node 4 has no in-edges and is not a seed → zero
     assert(pr(4L) == 0L)
   }
+
+  test("triangleCounts: K4, path, and duplicate/reversed edge input") {
+    // K4 has 4 triangles; every node is in 3 of them with degree 3.
+    // Feed duplicated + reversed edges to exercise symmetrize/dedup.
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)
+    val t = Graph.triangleCounts(edges(k4: _*), "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(t == Map(1L -> ((3L, 3L)), 2L -> ((3L, 3L)),
+      3L -> ((3L, 3L)), 4L -> ((3L, 3L))))
+
+    // a path has no triangles but real degrees
+    val p = Graph.triangleCounts(edges((1L, 2L), (2L, 3L), (3L, 4L)),
+      "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(p == Map(1L -> ((1L, 0L)), 2L -> ((2L, 0L)),
+      3L -> ((2L, 0L)), 4L -> ((1L, 0L))))
+  }
+
+  test("triangleCounts matches brute-force enumeration on a random graph " +
+      "and is partitioning-independent") {
+    val rnd = new scala.util.Random(11)
+    val es = (0 until 300).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val und = es.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val expected = nodes.map { n =>
+      val nbr = und.collect { case (a, b) if a == n => b
+                              case (a, b) if b == n => a }
+      val tris = nbr.toSeq.combinations(2).count { case Seq(x, y) =>
+        und.contains((math.min(x, y), math.max(x, y)))
+      }
+      n -> ((nbr.size.toLong, tris.toLong))
+    }.toMap
+    val got = Graph.triangleCounts(edges(es: _*).repartition(5), "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    val got1 = Graph.triangleCounts(edges(es: _*).repartition(1), "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got1 == expected)
+  }
 }
