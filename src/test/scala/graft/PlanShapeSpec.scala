@@ -189,4 +189,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial"),
       s"expected a map-side partial aggregate:\n$plan")
   }
+
+  test("triangle counting stays equi-join: no cartesian, no nested loop") {
+    val es = (0 until 60).map(i => (i.toLong % 12, (i * 7).toLong % 12))
+      .toDF("src", "dst")
+    val plan = planOf(graft.functions.Graph.triangleCounts(es, "src", "dst"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge + closing joins must be equi-joins:\n$plan")
+  }
+
+  test("pageRank round output reads the checkpointed frame, not a " +
+      "re-derived lineage (constant plan depth across iterations)") {
+    val es = (0 until 60).map(i => (i.toLong % 12, (i * 7).toLong % 12))
+      .toDF("src", "dst")
+    val pr = graft.functions.Graph.pageRank(es, "src", "dst", iters = 3)
+    val plan = planOf(pr)
+    // after per-round localCheckpoint the final plan is a projection over
+    // the materialized RDD — iteration count must not deepen it
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"expected checkpoint-backed scan in:\n$plan")
+    assert(!plan.contains("Join"),
+      s"no join lineage may survive the checkpoint:\n$plan")
+  }
 }
