@@ -18,13 +18,18 @@ object Bench {
         SparkEntry.queries(q)(spark, sfDir).count()
       }
     } catch { case _: Throwable => () }
+    Housekeeping.releaseAll(spark)
     // Deterministic (sorted) execution order: per-query timings stay
     // comparable across rounds even as the query map grows (Map iteration
     // order reshuffles whenever entries are added).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // queries are independent: sweep residual checkpoint/cache blocks so
+      // no query is timed under another query's storage-memory pressure
+      Housekeeping.releaseAll(spark)
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

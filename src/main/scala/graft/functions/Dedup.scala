@@ -307,6 +307,9 @@ object Dedup {
     // materialize the (large) benchmark shingle set ONCE: the size count,
     // the Bloom aggregation, and the exact verify join all read the
     // checkpoint instead of re-running tokenize+shingle+distinct three times
+    // this checkpoint is referenced by the RETURNED plan (the exact-verify
+    // join), so it must outlive the call — the caller releases it with
+    // Housekeeping once the result is consumed
     val benchShingles = shingleSet(benchmark, textCol, n)
       .localCheckpoint(true)
     val expected = math.max(benchShingles.count(), 1L)
@@ -432,6 +435,7 @@ object Dedup {
 
     val nodes = base.select(col("x").as("n"))
       .union(base.select(col("y").as("n"))).distinct()
+      .localCheckpoint(true)
 
     // canonical undirected edges (u < v), self-loops dropped
     var edges = base
@@ -439,6 +443,9 @@ object Dedup {
       .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
       .distinct()
       .localCheckpoint(true)
+    // nodes and round-0 edges are materialized — the pair pipeline's
+    // checkpoint is dead from here on
+    graft.Housekeeping.release(base)
 
     // order-independent edge-set digest: (count, xor of pair hashes). Equal
     // digests across a round ⇒ the set is (up to a 2⁻⁶⁴ collision) stable —
@@ -467,16 +474,22 @@ object Dedup {
         .select(col("m").as("u"), col("v"))
       // SMALL-STAR: center = the larger endpoint of each canonical edge;
       // link all of its ≤ neighbors (and itself) to their minimum.
+      // LAZY checkpoint: the digest below is the round's SINGLE driver
+      // action — it materializes the checkpoint blocks as it folds the
+      // convergence digest, so a round costs one job, not checkpoint+probe.
       val ssMin = large.groupBy(col("v")).agg(min(col("u")).as("m"))
       val small = large.join(ssMin, "v")
         .select(col("m").as("u"), col("u").as("v"))
         .filter(col("u") =!= col("v"))
         .union(large.join(ssMin, "v").select(col("m").as("u"), col("v")))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val cur = digest(small)
       converged = cur == prev
       prev = cur
+      // the new round is materialized (the digest ran): the previous
+      // round's edge blocks are dead — release them before they pile up
+      graft.Housekeeping.release(edges)
       edges = small
       rounds += 1
     }
@@ -484,9 +497,16 @@ object Dedup {
 
     // at the fixpoint, edges are (componentMin, member): map members
     // directly, centers (and nodes that lost all edges to self-loop
-    // dropping) to themselves
-    nodes.join(edges.select(col("v").as("n"), col("u").as("c")), Seq("n"), "left")
+    // dropping) to themselves. Materialize the labeling, then release the
+    // node and edge frames — the caller receives ONE persisted frame (and
+    // releases it via Housekeeping when done).
+    val out = nodes
+      .join(edges.select(col("v").as("n"), col("u").as("c")), Seq("n"), "left")
       .select(col("n").as("node"), coalesce(col("c"), col("n")).as("component"))
+      .localCheckpoint(true)
+    graft.Housekeeping.release(nodes)
+    graft.Housekeeping.release(edges)
+    out
   }
 
   /** Cluster-canonical near-dedup: the full pipeline a corpus-scale dedup

@@ -105,14 +105,23 @@ object Graph {
         .join(e, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("contrib")).as("inflow"))
-      ranks = ranks
+      val next = ranks
         .join(inflow, Seq("node"), "left")
         .select(col("node"), col("deg"),
           (lit(base) +
             expr(s"($dampingPermille * coalesce(inflow, 0L)) div 1000"))
             .as("rank"))
         .localCheckpoint(true)
+      // the new round is materialized: the superseded rank frame's blocks
+      // are dead — release them now, not at session end
+      graft.Housekeeping.release(ranks)
+      ranks = next
     }
+    // the result's lineage is truncated at the final checkpoint, so the
+    // edge table is no longer reachable: release it. The final rank frame
+    // is the ONE persisted frame handed to the caller (Housekeeping.release
+    // when done).
+    graft.Housekeeping.release(e)
     ranks.select("node", "rank")
   }
 
@@ -159,14 +168,17 @@ object Graph {
         .join(e, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("contrib")).as("inflow"))
-      ranks = ranks
+      val next = ranks
         .join(inflow, Seq("node"), "left")
         .select(col("node"), col("deg"),
           (when(isSeed, lit(seedBase)).otherwise(lit(0L)) +
             expr(s"($dampingPermille * coalesce(inflow, 0L)) div 1000"))
             .as("rank"))
         .localCheckpoint(true)
+      graft.Housekeeping.release(ranks)
+      ranks = next
     }
+    graft.Housekeeping.release(e)
     ranks.select("node", "rank")
   }
 
@@ -228,8 +240,14 @@ object Graph {
       .select(explode(array(col("s"), col("t1"), col("t2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
 
-    deg.join(perNode, Seq("node"), "left")
+    // materialize the (node-sized) result, then release every temp — the
+    // wedge/closing frames must NOT outlive the call. One persisted frame
+    // (the result) is handed to the caller.
+    val out = deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .localCheckpoint(true)
+    Seq(und, deg, ori).foreach(graft.Housekeeping.release)
+    out
   }
 }

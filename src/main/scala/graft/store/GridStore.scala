@@ -269,6 +269,8 @@ final class GridStore(
         materialize(UpdatePlan.combineFirst(df, original, keys, desc.dataVar))
       }
     writeJob(padded, "overwrite", dynamic = true)
+    // the padded frame's checkpoint blocks are dead once the write lands
+    if (overlap.nonEmpty) graft.Housekeeping.release(padded)
   }
 
   /** Maintenance — compact the given buckets (default: all): incremental
@@ -284,6 +286,7 @@ final class GridStore(
     withCommitMarker(Map.empty) {
       val data = materialize(readBuckets(target))
       writeJob(data, "overwrite", dynamic = true)
+      graft.Housekeeping.release(data)
     }
   }
 
@@ -333,10 +336,18 @@ final class GridStore(
     UpdatePlan.updateQualityCheck(spark, insertTimes, appendTimes, timeCol,
       java.sql.Timestamp.valueOf(existingEnd.asInstanceOf[java.time.LocalDateTime]),
       desc.timeResolution, desc.updateCadenceBounds)
-    if (dryRun) return
+    if (dryRun) {
+      graft.Housekeeping.release(classified)
+      graft.Housekeeping.release(updateDf)
+      return
+    }
     withCommitMarker(computedAttrs(updateDf, isUpdate = true)) {
       writeDelta(updateDf)
     }
+    // every consumer (classification, gates, both write paths) has run:
+    // the update delta's and classification's checkpoint blocks are dead
+    graft.Housekeeping.release(classified)
+    graft.Housekeeping.release(updateDf)
   }
 
   // ------------------------------------------------------------- helpers
