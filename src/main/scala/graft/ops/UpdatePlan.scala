@@ -60,6 +60,13 @@ object UpdatePlan {
       times: DataFrame,
       timeCol: String,
       resolution: TimeSpan): DataFrame = {
+    // Global (single-partition) window — BOUNDED input by construction: it
+    // runs over DISTINCT timesteps only (the .distinct() below), never over
+    // grid cells. The largest real axis the reference targets is ERA5
+    // hourly back to 1950 (docs/etl_developers_manual.md:158): ≤ ~0.7M
+    // rows of one timestamp each, a few MB in one task. If a time axis
+    // ever outgrew that, switch to the sessionization shape (partition by
+    // coarse time bucket, stitch bucket edges).
     val w = Window.orderBy(col(timeCol))
     val stepMs = resolution.toMillis
     val tMs = unix_millis(col(timeCol).cast("timestamp"))
@@ -120,6 +127,8 @@ object UpdatePlan {
       timeCol: String,
       resolution: TimeSpan,
       cadenceBounds: Option[(TimeSpan, TimeSpan)] = None): DataFrame = {
+    // Single-partition window over DISTINCT timesteps — same ≤ ~0.7M-row
+    // bound as contiguousRanges above (one timestamp per row, never cells).
     val w = Window.orderBy(col(timeCol))
     val tMin = unix_millis(col(timeCol).cast("timestamp")) / 60000L
     val deltaMin = tMin - lag(tMin, 1).over(w)

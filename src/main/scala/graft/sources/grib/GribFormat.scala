@@ -1012,6 +1012,19 @@ object GribFormat {
                       lengthBits = body(41) & 0xFF,
                       spatialOrder = order,
                       spatialDescBytes = descBytes))
+                  case 40 =>
+                    // Deliberate refusal, not an oversight: template 5.40
+                    // packs the field as a JPEG2000 codestream, and no J2K
+                    // codec ships with Spark or this library (decoding it
+                    // means an in-repo EBCOT/MQ-coder/DWT implementation).
+                    // Refuse precisely so an ECMWF-archive user knows the
+                    // remedy instead of seeing a generic parse failure.
+                    throw new IllegalArgumentException(
+                      "data representation template 5.40 (JPEG2000 packing) " +
+                        "is not supported: no JPEG2000 codec is available. " +
+                        "Re-encode the file to simple or complex packing " +
+                        "first (e.g. grib_set -r -s packingType=grid_simple) " +
+                        "— templates 5.0/5.2/5.3/5.41 decode natively")
                   case t => throw new IllegalArgumentException(
                     s"data representation template $t unsupported (5.0, 5.2, 5.3, 5.41)")
                 }
