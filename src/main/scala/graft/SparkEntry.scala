@@ -2181,6 +2181,13 @@ object SparkEntry {
         |  ELSE '80000000' END
         |ORDER BY doc_id""".stripMargin,
 
+    // Formerly no_oracle: the DuckDB side replays Spark's xxhash64 chains
+    // in generated pure SQL (OracleXxh64) — full rows+schema+hash gates.
+    "q32_simhash" -> OracleXxh64.simhashSql("documents"),
+    "q37_fingerprint" -> OracleXxh64.fingerprintSql("documents"),
+    "q38_subword_tokens" -> OracleXxh64.subwordCountSql("documents"),
+    "q51_media_fingerprint" -> OracleXxh64.mediaFingerprintSql("documents"),
+
     "q33_token_stats" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents)
          |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
