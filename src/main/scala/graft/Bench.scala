@@ -22,13 +22,19 @@ object Bench {
     // Deterministic (sorted) execution order: per-query timings stay
     // comparable across rounds even as the query map grows (Map iteration
     // order reshuffles whenever entries are added).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (comma-separated names); the driver sets no
+    // filter and always times the full board
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val t = (System.nanoTime() - t0) / 1e9
       // queries are independent: sweep residual checkpoint/cache blocks so
       // no query is timed under another query's storage-memory pressure
-      Housekeeping.releaseAll(spark)
+      if (!sys.env.contains("SPARK_GRAFT_NO_SWEEP")) Housekeeping.releaseAll(spark)
       name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
