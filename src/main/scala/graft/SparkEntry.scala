@@ -226,7 +226,8 @@ object SparkEntry {
       edition: Int = 1, holes: Boolean = false,
       complexPacking: Boolean = false,
       spatialDiffOrder: Int = 0,
-      pngPacking: Boolean = false): String = {
+      pngPacking: Boolean = false,
+      ccsdsPacking: Boolean = false): String = {
     val cells = eventsWithDay(s, dir)
       .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
       .count().collect()
@@ -237,7 +238,7 @@ object SparkEntry {
     val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
     val tag = (if (holes) "_bm" else "") + (if (complexPacking) "_cx" else "") +
       (if (spatialDiffOrder > 0) s"_sd$spatialDiffOrder" else "") +
-      (if (pngPacking) "_png" else "")
+      (if (pngPacking) "_png" else "") + (if (ccsdsPacking) "_cc" else "")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/" +
       (if (edition == 1) s"events$tag.grb" else s"events$tag.grb2")
     val messages = days.toSeq.map { d =>
@@ -248,7 +249,7 @@ object SparkEntry {
     }
     graft.sources.grib.GribFormat.writeFile(s, path, messages, edition = edition,
       complexPacking = complexPacking, spatialDiffOrder = spatialDiffOrder,
-      pngPacking = pngPacking)
+      pngPacking = pngPacking, ccsdsPacking = ccsdsPacking)
     path
   }
 
@@ -1177,6 +1178,17 @@ object SparkEntry {
 
     // template 5.3 (complex packing + order-2 spatial differencing — the
     // packing operational GFS/NDFD archives carry), same grid + bitmap
+    // CCSDS/AEC packing (template 5.42, the modern ECMWF operational
+    // profile) under a bitmap — same spine oracle as the other grib gates.
+    "q130_grib_ccsds_scan" -> ((s, dir) => {
+      val path = gribEventsFixture(s, dir, edition = 2, holes = true,
+        ccsdsPacking = true)
+      s.read.format("grib1").load(path)
+        .withColumn("slot", (col("latitude") * 5 + col("longitude")).cast("int"))
+        .select(col("time"), col("slot"), col("value").as("cnt"))
+        .orderBy("time", "slot")
+    }),
+
     "q85_grib_spatial_diff_scan" -> ((s, dir) => {
       val path = gribEventsFixture(s, dir, edition = 2, holes = true,
         complexPacking = true, spatialDiffOrder = 2)
@@ -2601,6 +2613,18 @@ object SparkEntry {
         |ORDER BY 1, 2, 3""".stripMargin,
 
     // 5.3 reconstruction must land on exactly the 5.2 grid
+    "q130_grib_ccsds_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s))
+        |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2""".stripMargin,
+
     "q85_grib_spatial_diff_scan" ->
       """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
         |                  CAST(event_id % 10 AS INTEGER) AS slot,

@@ -127,6 +127,13 @@ object GribFormat {
       spatialOrder: Int = 0, spatialDescBytes: Int = 0)
       extends Serializable
 
+  /** The writer's fixed 5.42 parameters — ecCodes' operational profile
+    * (MSB bit order + unit-delay preprocessor), sized small (block 16,
+    * RSI 8 blocks) so even test grids span several reference segments. */
+  private val CcsdsWriterParams =
+    Ccsds.Params(flags = Ccsds.FlagMsb | Ccsds.FlagPreprocess,
+      blockSize = 16, rsi = 8)
+
   /** One parsed message's planning state: grid + packing + the absolute
     * byte offset of the packed data (reading is a positioned slab read). */
   final case class GribMessage(
@@ -150,7 +157,10 @@ object GribFormat {
       member: Int = -1,
       /** Data representation template 5.41: the data section is a PNG
         * image of the scaled offsets (MRMS-style packing). */
-      png: Boolean = false) {
+      png: Boolean = false,
+      /** Data representation template 5.42: CCSDS/AEC (Rice) coded
+        * offsets — the modern ECMWF operational packing. */
+      ccsds: Option[Ccsds.Params] = None) {
     def lats: Array[Double] =
       Array.tabulate(nj)(j => la1 + (if (nj == 1) 0.0 else (la2 - la1) * j / (nj - 1)))
     def lons: Array[Double] =
@@ -216,6 +226,21 @@ object GribFormat {
             (k: Int) => prefix(k / 64) +
               java.lang.Long.bitCount(bm(k / 64) & ((1L << (k % 64)) - 1)))
         }
+      if (ccsds.isDefined) {
+        // template 7.42: the section body is the AEC bitstream of the
+        // scaled offsets (present cells only under a bitmap)
+        val nPresent = if (hasBitmap) rank(nValues - 1) +
+          (if (present(nValues - 1)) 1 else 0) else nValues
+        val vals = new Array[Double](nPresent)
+        if (bitsPerValue == 0) {
+          java.util.Arrays.fill(vals, unscale(0.0))
+        } else {
+          val raw = Ccsds.decode(slab, nPresent, bitsPerValue, ccsds.get)
+          var j = 0
+          while (j < nPresent) { vals(j) = unscale(raw(j).toDouble); j += 1 }
+        }
+        return (k: Int) => if (!present(k)) Double.NaN else vals(rank(k))
+      }
       if (png) {
         // template 7.41: the section body IS a PNG raster of the scaled
         // offsets — (ni, nj) without a bitmap, (nPresent, 1) with one
@@ -593,10 +618,11 @@ object GribFormat {
       leadHours: Int = 0,
       complexPacking: Boolean = false,
       spatialDiffOrder: Int = 0,
-      pngPacking: Boolean = false): Unit =
+      pngPacking: Boolean = false,
+      ccsdsPacking: Boolean = false): Unit =
     writeMessage2Fields(out, refTime, lats, lons,
       Seq((paramId, leadHours, values)), decimalScale, complexPacking,
-      spatialDiffOrder, pngPacking = pngPacking)
+      spatialDiffOrder, pngPacking = pngPacking, ccsdsPacking = ccsdsPacking)
 
   /** Write one GRIB2 MESSAGE carrying one or more FIELDS: sections 0-3 are
     * shared, each field contributes its own section 4-7 group (WMO FM 92
@@ -615,6 +641,9 @@ object GribFormat {
       /** Template 5.41: the scaled offsets travel as a PNG raster
         * ((ni, nj), or (nPresent, 1) under a bitmap) — g2clib pngpack.c. */
       pngPacking: Boolean = false,
+      /** Template 5.42: CCSDS/AEC (Rice) coded offsets — ecCodes
+        * `grid_ccsds`, flags MSB|preprocess, block 16, RSI 8. */
+      ccsdsPacking: Boolean = false,
       /** Ensemble perturbation numbers aligned with `fields` (empty =
         * deterministic products; -1 entries stay deterministic). Members
         * write product template 4.1 instead of 4.0. */
@@ -626,8 +655,8 @@ object GribFormat {
       s"spatial differencing order $spatialDiffOrder (0, 1, 2)")
     require(spatialDiffOrder == 0 || complexPacking,
       "spatial differencing (5.3) rides on complex packing")
-    require(!(complexPacking && pngPacking),
-      "pick one data representation: complex (5.2/5.3) or PNG (5.41)")
+    require(Seq(complexPacking, pngPacking, ccsdsPacking).count(identity) <= 1,
+      "pick one data representation: complex (5.2/5.3), PNG (5.41) or CCSDS (5.42)")
     val nj = lats.length; val ni = lons.length
 
     final case class FieldPlan(
@@ -636,6 +665,7 @@ object GribFormat {
         bitmap: Option[Array[Byte]],
         complexParts: Option[(ComplexParams, Array[Byte], Int)],
         pngBytes: Option[Array[Byte]],
+        ccsdsBytes: Option[Array[Byte]],
         refValue: Float,
         member: Int,
         sec4Len: Int, sec5Len: Int, sec6Len: Int, sec7Len: Int)
@@ -649,6 +679,8 @@ object GribFormat {
       val (scaled, minV, bits, bitmap) = packPlan(values, decimalScale)
       if (pngPacking) require(bits <= 32,
         s"range needs $bits bits (>32); PNG packing tops out at RGBA depth")
+      else if (ccsdsPacking) require(bits <= 32,
+        s"range needs $bits bits (>32); CCSDS samples top out at 32")
       else if (!complexPacking) require(bits <= 24,
         s"range needs $bits bits (>24); raise decimalScale or complex-pack")
       // the reference value travels as IEEE float32 — exact for ints < 2^24
@@ -682,17 +714,28 @@ object GribFormat {
           while (i < scaled.length) { offsets(i) = scaled(i) - minV; i += 1 }
           Some(Png.encode(w, h, math.max(bits, 1), offsets))
         }
-      val dataByteLen = (complexParts, pngBytes) match {
-        case (Some((_, bytes, _)), _) => bytes.length
-        case (_, Some(bytes)) => bytes.length
+      val ccsdsBytes =
+        if (!ccsdsPacking) None
+        else if (bits == 0) Some(Array.emptyByteArray) // constant field
+        else {
+          val offsets = new Array[Long](scaled.length)
+          var i = 0
+          while (i < scaled.length) { offsets(i) = scaled(i) - minV; i += 1 }
+          Some(Ccsds.encode(offsets, math.max(bits, 2), CcsdsWriterParams))
+        }
+      val dataByteLen = (complexParts, pngBytes, ccsdsBytes) match {
+        case (Some((_, bytes, _)), _, _) => bytes.length
+        case (_, Some(bytes), _) => bytes.length
+        case (_, _, Some(bytes)) => bytes.length
         case _ => ((scaled.length.toLong * bits + 7) / 8).toInt
       }
       FieldPlan(paramId, leadHours, scaled, minV, bits, bitmap, complexParts,
-        pngBytes,
+        pngBytes, ccsdsBytes,
         refValue = if (fieldOrder > 0) 0f else minV.toFloat,
         member = member,
         sec4Len = if (member >= 0) 37 else 34,
-        sec5Len = if (fieldOrder > 0) 49 else if (complexPacking) 47 else 21,
+        sec5Len = if (fieldOrder > 0) 49 else if (complexPacking) 47
+          else if (ccsdsPacking) 25 else 21,
         sec6Len = 6 + bitmap.map(_.length).getOrElse(0),
         sec7Len = 5 + dataByteLen)
     }
@@ -761,13 +804,24 @@ object GribFormat {
       out.writeInt(p.scaled.length)
       p.complexParts match {
         case None =>
-          // template 5.41 (PNG) shares 5.0's 21-octet body layout
-          out.writeShort(if (p.pngBytes.isDefined) 41 else 0)
+          // templates 5.41 (PNG) and 5.42 (CCSDS) share 5.0's 21-octet body
+          out.writeShort(
+            if (p.pngBytes.isDefined) 41
+            else if (p.ccsdsBytes.isDefined) 42
+            else 0)
           out.writeInt(java.lang.Float.floatToIntBits(refValue))
           writeSm(out, 0, 2) // binary scale E = 0
           writeSm(out, decimalScale, 2)
-          out.writeByte(if (p.pngBytes.isDefined) math.max(p.bits, 1) else p.bits)
+          out.writeByte(
+            if (p.pngBytes.isDefined) math.max(p.bits, 1)
+            else if (p.ccsdsBytes.isDefined && p.bits > 0) math.max(p.bits, 2)
+            else p.bits)
           out.writeByte(0) // field type: floating point
+          if (p.ccsdsBytes.isDefined) {
+            out.writeByte(CcsdsWriterParams.flags)
+            out.writeByte(CcsdsWriterParams.blockSize)
+            out.writeShort(CcsdsWriterParams.rsi)
+          }
         case Some((cp, _, refBits)) =>
           out.writeShort(if (cp.spatialOrder > 0) 3 else 2) // template 5.2/5.3
           out.writeInt(java.lang.Float.floatToIntBits(refValue))
@@ -798,9 +852,10 @@ object GribFormat {
       }
       // Section 7 — data
       out.writeInt(p.sec7Len); out.writeByte(7)
-      (p.complexParts, p.pngBytes) match {
-        case (Some((_, bytes, _)), _) => out.write(bytes)
-        case (_, Some(bytes)) => out.write(bytes)
+      (p.complexParts, p.pngBytes, p.ccsdsBytes) match {
+        case (Some((_, bytes, _)), _, _) => out.write(bytes)
+        case (_, Some(bytes), _) => out.write(bytes)
+        case (_, _, Some(bytes)) => out.write(bytes)
         case _ => writePacked(out, p.scaled, p.minV, p.bits)
       }
     }
@@ -857,6 +912,7 @@ object GribFormat {
       var bits = 0
       var bitmapOffset = -1L; var bitmapBytes = 0
       var complex: Option[ComplexParams] = None
+      var ccsds: Option[Ccsds.Params] = None
       var lcc: Option[LccGrid] = None
       var member = -1
       var png = false
@@ -889,7 +945,7 @@ object GribFormat {
             fields += GribMessage(paramId, validTime, ni, nj, la1, lo1, la2,
               lo2, decimalScale, binaryScale, refValue, bits, dataOffset,
               dataBytes, total.toInt, bitmapOffset, bitmapBytes, complex, lcc,
-              member, png)
+              member, png, ccsds)
           } else if (num == 6) {
             val indicator = readN(1)(0) & 0xFF
             indicator match {
@@ -980,13 +1036,25 @@ object GribFormat {
                       s"field type ${body(15)} unsupported (only 0: floating point)")
                     complex = None // a later field may revert to simple packing
                     png = false
+                    ccsds = None
                   case 41 => // PNG packing — 5.0's 21-octet layout + a raster body
                     require((body(15) & 0xFF) == 0,
                       s"field type ${body(15)} unsupported (only 0: floating point)")
                     complex = None
                     png = true
+                    ccsds = None
+                  case 42 => // CCSDS/AEC (Rice) — 5.0's layout + flags/block/RSI
+                    require((body(15) & 0xFF) == 0,
+                      s"field type ${body(15)} unsupported (only 0: floating point)")
+                    complex = None
+                    png = false
+                    ccsds = Some(Ccsds.Params(
+                      flags = body(16) & 0xFF,
+                      blockSize = body(17) & 0xFF,
+                      rsi = u16(body, 18)))
                   case t @ (2 | 3) => // complex packing (5.2) / + spatial differencing (5.3)
                     png = false
+                    ccsds = None
                     require((body(16) & 0xFF) == 1,
                       s"group splitting method ${body(16)} unsupported (1: general)")
                     require((body(17) & 0xFF) == 0,
@@ -1024,9 +1092,9 @@ object GribFormat {
                         "is not supported: no JPEG2000 codec is available. " +
                         "Re-encode the file to simple or complex packing " +
                         "first (e.g. grib_set -r -s packingType=grid_simple) " +
-                        "— templates 5.0/5.2/5.3/5.41 decode natively")
+                        "— templates 5.0/5.2/5.3/5.41/5.42 decode natively")
                   case t => throw new IllegalArgumentException(
-                    s"data representation template $t unsupported (5.0, 5.2, 5.3, 5.41)")
+                    s"data representation template $t unsupported (5.0, 5.2, 5.3, 5.41, 5.42)")
                 }
               case n => throw new IllegalArgumentException(s"Unexpected GRIB2 section $n")
             }
@@ -1151,10 +1219,12 @@ object GribFormat {
       edition: Int = 1,
       complexPacking: Boolean = false,
       spatialDiffOrder: Int = 0,
-      pngPacking: Boolean = false): Unit = {
+      pngPacking: Boolean = false,
+      ccsdsPacking: Boolean = false): Unit = {
     require(edition == 1 || edition == 2, s"edition $edition not in {1, 2}")
     require(!complexPacking || edition == 2, "complex packing is edition-2 only")
     require(!pngPacking || edition == 2, "PNG packing is edition-2 only")
+    require(!ccsdsPacking || edition == 2, "CCSDS packing is edition-2 only")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
@@ -1163,7 +1233,7 @@ object GribFormat {
       if (edition == 1) writeMessage(out, param, t, lats, lons, vals, decimalScale)
       else writeMessage2(out, param, t, lats, lons, vals, decimalScale,
         complexPacking = complexPacking, spatialDiffOrder = spatialDiffOrder,
-        pngPacking = pngPacking)
+        pngPacking = pngPacking, ccsdsPacking = ccsdsPacking)
     }
     finally out.close()
   }
