@@ -227,7 +227,8 @@ object SparkEntry {
       complexPacking: Boolean = false,
       spatialDiffOrder: Int = 0,
       pngPacking: Boolean = false,
-      ccsdsPacking: Boolean = false): String = {
+      ccsdsPacking: Boolean = false,
+      rotatedPole: Option[(Double, Double, Double)] = None): String = {
     val cells = eventsWithDay(s, dir)
       .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
       .count().collect()
@@ -238,7 +239,8 @@ object SparkEntry {
     val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
     val tag = (if (holes) "_bm" else "") + (if (complexPacking) "_cx" else "") +
       (if (spatialDiffOrder > 0) s"_sd$spatialDiffOrder" else "") +
-      (if (pngPacking) "_png" else "") + (if (ccsdsPacking) "_cc" else "")
+      (if (pngPacking) "_png" else "") + (if (ccsdsPacking) "_cc" else "") +
+      (if (rotatedPole.isDefined) "_rot" else "")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/" +
       (if (edition == 1) s"events$tag.grb" else s"events$tag.grb2")
     val messages = days.toSeq.map { d =>
@@ -249,7 +251,8 @@ object SparkEntry {
     }
     graft.sources.grib.GribFormat.writeFile(s, path, messages, edition = edition,
       complexPacking = complexPacking, spatialDiffOrder = spatialDiffOrder,
-      pngPacking = pngPacking, ccsdsPacking = ccsdsPacking)
+      pngPacking = pngPacking, ccsdsPacking = ccsdsPacking,
+      rotatedPole = rotatedPole)
     path
   }
 
@@ -1199,6 +1202,33 @@ object SparkEntry {
     }),
 
     // --- parameterized CF grid mappings (C6/W15 beyond 4326/3857) ---
+    // CF rotated_latitude_longitude (COSMO/ICON regional family):
+    // forward+inverse must round-trip everywhere, incl. a nonzero
+    // north_pole_grid_longitude angle (same n_bad gate as q63/q64)
+    "q131_rotpole_roundtrip" -> ((s, dir) => {
+      val m = Projection.RotatedPole(poleLat = 40.0, poleLon = -170.0, angle = 7.5)
+      val pts = table(s, dir, "events").select(
+        (abs(col("value")) % lit(160.0) - lit(80.0)).as("lat"),
+        ((col("user_id") * lit(7L)) % lit(340L)).cast("double").minus(lit(170.0)).as("lon"))
+      val proj = Projection.assignCrs(pts, "lat", "lon", m)
+      val (latB, lonB) = Projection.unproject(col("northing"), col("easting"), m)
+      proj.select(
+          (abs(latB - col("lat")) > lit(1e-8) ||
+            abs(lonB - col("lon")) > lit(1e-8)).as("bad"))
+        .agg(sum(when(col("bad"), 1L).otherwise(0L)).as("n_bad"))
+    }),
+
+    // Rotated-grid GRIB2 scan (template 3.1) + CCSDS packing: the decoded
+    // VALUES gate against the events oracle; cell coordinates are gated by
+    // GribRotatedSpec (transcendental -> not SQL-expressible)
+    "q132_grib_rotated_scan" -> ((s, dir) => {
+      val path = gribEventsFixture(s, dir, edition = 2, holes = true,
+        ccsdsPacking = true, rotatedPole = Some((40.0, -170.0, 0.0)))
+      s.read.format("grib1").load(path)
+        .select(col("time"), col("value").as("cnt"))
+        .orderBy(col("time"), col("cnt"))
+    }),
+
     "q63_lcc_roundtrip" -> ((s, dir) => {
       // HRRR-style Lambert conformal conic over CONUS-ish points
       val m = Projection.LambertConformalConic(38.5, -97.5, 38.5, 38.5)
@@ -2637,6 +2667,18 @@ object SparkEntry {
         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
         |ORDER BY 1, 2""".stripMargin,
 
+    "q131_rotpole_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_bad",
+    "q132_grib_rotated_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s))
+        |SELECT spine.d AS time, g.cnt AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2""".stripMargin,
     "q63_lcc_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_bad",
     "q64_polar_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_bad",
 

@@ -92,6 +92,54 @@ object Projection {
     }
   }
 
+  /** `rotated_latitude_longitude` (CF) — the regional-NWP family
+    * (COSMO/ICON/HARMONIE; GRIB2 grid template 3.1). Not a metre
+    * projection: "northing/easting" are the ROTATED latitude/longitude in
+    * degrees. `poleLat`/`poleLon` are the geographic coordinates of the
+    * rotated north pole (CF `grid_north_pole_latitude/longitude`);
+    * `angle` is CF `north_pole_grid_longitude` (usually 0). Pure rotation
+    * matrices (sphere-radius free): rotate the pole meridian to x-z, tilt
+    * the pole onto the z-axis, and point rotated-longitude 0 AWAY from the
+    * pole meridian — the COSMO convention, under which the true north pole
+    * maps to (rlat = poleLat, rlon = 0) and COSMO-EU's (40, −170) pole
+    * puts Europe's (50°N, 10°E) at the rotated origin. */
+  final case class RotatedPole(
+      poleLat: Double, poleLon: Double, angle: Double = 0.0,
+      radius: Double = 6371229.0) extends GridMapping {
+    private val sp = math.sin(math.toRadians(poleLat))
+    private val cp = math.cos(math.toRadians(poleLat))
+
+    /** (lat, lon) degrees → (rotated lat, rotated lon) degrees. */
+    def forwardXY(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val a = math.toRadians(lonDeg - poleLon)
+      val x = math.cos(phi) * math.cos(a)
+      val y = math.cos(phi) * math.sin(a)
+      val z = math.sin(phi)
+      val x2 = z * cp - x * sp // rotated-lon 0 away from the pole meridian
+      val y2 = -y
+      val z2 = x * cp + z * sp
+      (math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, z2)))),
+        normLon(math.toDegrees(math.atan2(y2, x2)) - angle))
+    }
+
+    /** (rotated lat, rotated lon) degrees → (lat, lon) degrees. */
+    def inverseXY(rlatDeg: Double, rlonDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(rlatDeg)
+      val a = math.toRadians(rlonDeg + angle)
+      val x2 = math.cos(phi) * math.cos(a)
+      val y2 = math.cos(phi) * math.sin(a)
+      val z2 = math.sin(phi)
+      val x = -x2 * sp + z2 * cp
+      val z = x2 * cp + z2 * sp
+      (math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, z)))),
+        normLon(math.toDegrees(math.atan2(-y2, x)) + poleLon))
+    }
+
+    private def normLon(l: Double): Double =
+      if (l <= -180.0) l + 360.0 else if (l > 180.0) l - 360.0 else l
+  }
+
   /** `polar_stereographic`: `northPole` aspect flag, straight vertical
     * longitude `lon0`, true-scale (standard) parallel `latTs`. */
   final case class PolarStereographic(
@@ -125,7 +173,24 @@ object Projection {
       val x = rho * sin(dl)
       val y = negate(rho * cos(dl)) * lit(s)
       (y, x)
+    case m: RotatedPole =>
+      val sp = lit(math.sin(math.toRadians(m.poleLat)))
+      val cp = lit(math.cos(math.toRadians(m.poleLat)))
+      val phi = lat * lit(D2R)
+      val a = (lon - lit(m.poleLon)) * lit(D2R)
+      val x = cos(phi) * cos(a)
+      val y = cos(phi) * sin(a)
+      val z = sin(phi)
+      val rlat = asin(x * cp + z * sp) * lit(1.0 / D2R)
+      val rlon = normLonCol(
+        atan2(negate(y), z * cp - x * sp) * lit(1.0 / D2R) - lit(m.angle))
+      (rlat, rlon)
   }
+
+  private def normLonCol(l: Column): Column =
+    when(l <= lit(-180.0), l + lit(360.0))
+      .when(l > lit(180.0), l - lit(360.0))
+      .otherwise(l)
 
   /** Inverse (northing, easting in metres) → (lat, lon in degrees). */
   def unproject(northing: Column, easting: Column, gm: GridMapping): (Column, Column) =
@@ -145,6 +210,19 @@ object Projection {
         val phi = lit(math.Pi / 2) - atan(rho / lit(2.0 * m.radius * m.k0)) * lit(2.0)
         val lat = phi * lit(s / D2R)
         val lon = lit(m.lon0) + atan2(easting, yn) * lit(1.0 / D2R)
+        (lat, lon)
+      case m: RotatedPole =>
+        val sp = lit(math.sin(math.toRadians(m.poleLat)))
+        val cp = lit(math.cos(math.toRadians(m.poleLat)))
+        val phi = northing * lit(D2R)
+        val a = (easting + lit(m.angle)) * lit(D2R)
+        val x2 = cos(phi) * cos(a)
+        val y2 = cos(phi) * sin(a)
+        val z2 = sin(phi)
+        val lat = asin(x2 * cp + z2 * sp) * lit(1.0 / D2R)
+        val lon = normLonCol(
+          atan2(negate(y2), negate(x2) * sp + z2 * cp) * lit(1.0 / D2R) +
+            lit(m.poleLon))
         (lat, lon)
     }
 
@@ -169,6 +247,12 @@ object Projection {
       "latitude_of_projection_origin" -> (if (m.northPole) "90.0" else "-90.0"),
       "straight_vertical_longitude_from_pole" -> s"${m.lon0}",
       "standard_parallel" -> s"${m.latTs}",
+      "earth_radius" -> s"${m.radius}")
+    case m: RotatedPole => Map(
+      "grid_mapping_name" -> "rotated_latitude_longitude",
+      "grid_north_pole_latitude" -> s"${m.poleLat}",
+      "grid_north_pole_longitude" -> s"${m.poleLon}",
+      "north_pole_grid_longitude" -> s"${m.angle}",
       "earth_radius" -> s"${m.radius}")
   }
 

@@ -134,6 +134,19 @@ object GribFormat {
     Ccsds.Params(flags = Ccsds.FlagMsb | Ccsds.FlagPreprocess,
       blockSize = 16, rsi = 8)
 
+  /** Rotated lat/lon grid (edition-2 template 3.1 — COSMO/ICON/HARMONIE
+    * regional grids): the stored coordinates are ROTATED lat/lon; the
+    * southern pole of projection (GRIB convention) maps to CF's rotated
+    * NORTH pole as (−spLat, spLon − 180°). */
+  final case class RotGrid(spLat: Double, spLon: Double, angle: Double)
+      extends Serializable {
+    @transient lazy val mapping: graft.ops.Projection.RotatedPole =
+      graft.ops.Projection.RotatedPole(
+        poleLat = -spLat,
+        poleLon = if (spLon - 180.0 <= -180.0) spLon + 180.0 else spLon - 180.0,
+        angle = angle)
+  }
+
   /** One parsed message's planning state: grid + packing + the absolute
     * byte offset of the packed data (reading is a positioned slab read). */
   final case class GribMessage(
@@ -160,7 +173,10 @@ object GribFormat {
       png: Boolean = false,
       /** Data representation template 5.42: CCSDS/AEC (Rice) coded
         * offsets — the modern ECMWF operational packing. */
-      ccsds: Option[Ccsds.Params] = None) {
+      ccsds: Option[Ccsds.Params] = None,
+      /** Grid template 3.1: stored coords are rotated; cells inverse-rotate
+        * to true lat/lon at read. */
+      rot: Option[RotGrid] = None) {
     def lats: Array[Double] =
       Array.tabulate(nj)(j => la1 + (if (nj == 1) 0.0 else (la2 - la1) * j / (nj - 1)))
     def lons: Array[Double] =
@@ -171,7 +187,12 @@ object GribFormat {
     /** Cell k's latitude/longitude. Regular grids read the axis arrays;
       * LCC grids invert the projection at (x0 + i·dx, y0 + j·dy). */
     def latLonAt(k: Int): (Double, Double) = lcc match {
-      case None => (lats(k / ni), lons(k % ni))
+      case None => rot match {
+        case None => (lats(k / ni), lons(k % ni))
+        case Some(rg) =>
+          val (lat, lon) = rg.mapping.inverseXY(lats(k / ni), lons(k % ni))
+          (lat, if (lon < 0) lon + 360 else lon) // GRIB convention 0..360
+      }
       case Some(g) =>
         val (y0, x0) = g.origin
         val (lat, lon) = g.mapping.inverseXY(y0 + (k / ni) * g.dyM,
@@ -619,10 +640,12 @@ object GribFormat {
       complexPacking: Boolean = false,
       spatialDiffOrder: Int = 0,
       pngPacking: Boolean = false,
-      ccsdsPacking: Boolean = false): Unit =
+      ccsdsPacking: Boolean = false,
+      rotatedPole: Option[(Double, Double, Double)] = None): Unit =
     writeMessage2Fields(out, refTime, lats, lons,
       Seq((paramId, leadHours, values)), decimalScale, complexPacking,
-      spatialDiffOrder, pngPacking = pngPacking, ccsdsPacking = ccsdsPacking)
+      spatialDiffOrder, pngPacking = pngPacking, ccsdsPacking = ccsdsPacking,
+      rotatedPole = rotatedPole)
 
   /** Write one GRIB2 MESSAGE carrying one or more FIELDS: sections 0-3 are
     * shared, each field contributes its own section 4-7 group (WMO FM 92
@@ -644,6 +667,10 @@ object GribFormat {
       /** Template 5.42: CCSDS/AEC (Rice) coded offsets — ecCodes
         * `grid_ccsds`, flags MSB|preprocess, block 16, RSI 8. */
       ccsdsPacking: Boolean = false,
+      /** Grid template 3.1 (rotated lat/lon): CF rotated-north-pole
+        * (poleLat, poleLon, angle); `lats`/`lons` are then ROTATED
+        * coordinates. None = plain 3.0. */
+      rotatedPole: Option[(Double, Double, Double)] = None,
       /** Ensemble perturbation numbers aligned with `fields` (empty =
         * deterministic products; -1 entries stay deterministic). Members
         * write product template 4.1 instead of 4.0. */
@@ -739,7 +766,8 @@ object GribFormat {
         sec6Len = 6 + bitmap.map(_.length).getOrElse(0),
         sec7Len = 5 + dataByteLen)
     }
-    val total = 16L + 21 + 72 +
+    val sec3Len = if (rotatedPole.isDefined) 84 else 72
+    val total = 16L + 21 + sec3Len +
       plans.map(p => p.sec4Len.toLong + p.sec5Len + p.sec6Len + p.sec7Len).sum + 4
 
     // Section 0 — indicator
@@ -759,11 +787,12 @@ object GribFormat {
     out.writeByte(refTime.getSecond)
     out.writeByte(0); out.writeByte(1) // production status, data type: forecast
     // Section 3 — grid definition, template 3.0 (lat/lon in 10^-6 degrees)
-    out.writeInt(72); out.writeByte(3)
+    // or 3.1 (rotated: 3.0's layout + southern pole + rotation angle)
+    out.writeInt(sec3Len); out.writeByte(3)
     out.writeByte(0) // source: templates
     out.writeInt(ni * nj)
     out.writeByte(0); out.writeByte(0) // no optional number list
-    out.writeShort(0) // template 3.0
+    out.writeShort(if (rotatedPole.isDefined) 1 else 0)
     out.writeByte(6) // shape of earth: spherical r=6371229
     out.writeByte(0); out.writeInt(0) // radius scale/value (n/a for shape 6)
     out.writeByte(0); out.writeInt(0) // major axis
@@ -778,6 +807,15 @@ object GribFormat {
     val dj = if (nj > 1) udeg(math.abs(lats.last - lats.head) / (nj - 1)) else 0
     out.writeInt(di); out.writeInt(dj)
     out.writeByte(if (lats.last >= lats.head) 0x40 else 0x00) // scanning mode
+    rotatedPole.foreach { case (poleLat, poleLon, angle) =>
+      // CF rotated north pole → GRIB southern pole of projection
+      val spLat = -poleLat
+      val spLon0 = poleLon + 180.0
+      val spLon = if (spLon0 > 180.0) spLon0 - 360.0 else spLon0
+      writeSm(out, udeg(spLat), 4)
+      writeSm(out, udeg(spLon), 4)
+      out.writeInt(java.lang.Float.floatToIntBits(angle.toFloat))
+    }
     plans.foreach { p =>
       val refValue = p.refValue
       // Section 4 — product definition, template 4.0 (deterministic) or
@@ -914,6 +952,7 @@ object GribFormat {
       var complex: Option[ComplexParams] = None
       var ccsds: Option[Ccsds.Params] = None
       var lcc: Option[LccGrid] = None
+      var rot: Option[RotGrid] = None
       var member = -1
       var png = false
       var seenRepr = false
@@ -945,7 +984,7 @@ object GribFormat {
             fields += GribMessage(paramId, validTime, ni, nj, la1, lo1, la2,
               lo2, decimalScale, binaryScale, refValue, bits, dataOffset,
               dataBytes, total.toInt, bitmapOffset, bitmapBytes, complex, lcc,
-              member, png, ccsds)
+              member, png, ccsds, rot)
           } else if (num == 6) {
             val indicator = readN(1)(0) & 0xFF
             indicator match {
@@ -970,7 +1009,7 @@ object GribFormat {
               case 2 => // local use — ignored
               case 3 =>
                 u16(body, 7) match {
-                  case 0 =>
+                  case t @ (0 | 1) =>
                     require(u32(body, 33) == 0L,
                       "non-default basic angle unsupported (10^-6 degree unit only)")
                     ni = u32(body, 25).toInt; nj = u32(body, 29).toInt
@@ -982,6 +1021,17 @@ object GribFormat {
                     require((body(66) & 0x30) == 0,
                       s"scanning mode 0x${(body(66) & 0xFF).toHexString} unsupported " +
                         "(i-consecutive, uniform row direction only)")
+                    // 3.1 = rotated lat/lon: 3.0's layout + the southern
+                    // pole of projection and rotation angle (octets 73-84);
+                    // la1..lo2 are then ROTATED coordinates
+                    rot =
+                      if (t == 1) Some(RotGrid(
+                        spLat = sm(body, 67, 4) / 1e6,
+                        spLon = sm(body, 71, 4) / 1e6,
+                        angle = java.lang.Float.intBitsToFloat(u32(body, 75).toInt)
+                          .toDouble))
+                      else None
+                    lcc = None
                   case 30 => // Lambert conformal (RTMA/HRRR/NDFD grids)
                     val radius = (body(9) & 0xFF) match { // octet 15: shape
                       case 0 => 6367470.0
@@ -1009,8 +1059,9 @@ object GribFormat {
                     la1 = gla1; lo1 = glo1
                     lcc = Some(LccGrid(gla1, glo1, lov, latin1, latin2, latD,
                       dx, dy, radius))
+                    rot = None
                   case t => throw new IllegalArgumentException(
-                    s"grid template $t unsupported (3.0 lat/lon, 3.30 Lambert)")
+                    s"grid template $t unsupported (3.0 lat/lon, 3.1 rotated, 3.30 Lambert)")
                 }
               case 4 =>
                 // 4.0 (analysis/forecast at a point), 4.8 (accumulation
@@ -1220,8 +1271,10 @@ object GribFormat {
       complexPacking: Boolean = false,
       spatialDiffOrder: Int = 0,
       pngPacking: Boolean = false,
-      ccsdsPacking: Boolean = false): Unit = {
+      ccsdsPacking: Boolean = false,
+      rotatedPole: Option[(Double, Double, Double)] = None): Unit = {
     require(edition == 1 || edition == 2, s"edition $edition not in {1, 2}")
+    require(rotatedPole.isEmpty || edition == 2, "rotated grids are edition-2 only")
     require(!complexPacking || edition == 2, "complex packing is edition-2 only")
     require(!pngPacking || edition == 2, "PNG packing is edition-2 only")
     require(!ccsdsPacking || edition == 2, "CCSDS packing is edition-2 only")
@@ -1233,7 +1286,8 @@ object GribFormat {
       if (edition == 1) writeMessage(out, param, t, lats, lons, vals, decimalScale)
       else writeMessage2(out, param, t, lats, lons, vals, decimalScale,
         complexPacking = complexPacking, spatialDiffOrder = spatialDiffOrder,
-        pngPacking = pngPacking, ccsdsPacking = ccsdsPacking)
+        pngPacking = pngPacking, ccsdsPacking = ccsdsPacking,
+        rotatedPole = rotatedPole)
     }
     finally out.close()
   }
