@@ -228,7 +228,8 @@ object SparkEntry {
       spatialDiffOrder: Int = 0,
       pngPacking: Boolean = false,
       ccsdsPacking: Boolean = false,
-      rotatedPole: Option[(Double, Double, Double)] = None): String = {
+      rotatedPole: Option[(Double, Double, Double)] = None,
+      gaussianN: Option[Int] = None): String = {
     val cells = eventsWithDay(s, dir)
       .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
       .count().collect()
@@ -240,19 +241,24 @@ object SparkEntry {
     val tag = (if (holes) "_bm" else "") + (if (complexPacking) "_cx" else "") +
       (if (spatialDiffOrder > 0) s"_sd$spatialDiffOrder" else "") +
       (if (pngPacking) "_png" else "") + (if (ccsdsPacking) "_cc" else "") +
-      (if (rotatedPole.isDefined) "_rot" else "")
+      (if (rotatedPole.isDefined) "_rot" else "") +
+      (if (gaussianN.isDefined) "_gau" else "")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/" +
       (if (edition == 1) s"events$tag.grb" else s"events$tag.grb2")
+    val latAxis: Seq[Double] = gaussianN match {
+      case Some(n) => graft.sources.grib.GribFormat.gaussianLatitudes(n).toSeq
+      case None => Seq(0.0, 1.0)
+    }
     val messages = days.toSeq.map { d =>
       // holes: no-event cells become bitmap-masked NaN instead of 0
       val vals = Array.fill(10)(if (holes) Double.NaN else 0.0)
       byDay(d).foreach(r => vals(r.getAs[Int]("slot")) = r.getAs[Long]("count").toDouble)
-      (61, d, Seq(0.0, 1.0), Seq(0.0, 1.0, 2.0, 3.0, 4.0), vals)
+      (61, d, latAxis, Seq(0.0, 1.0, 2.0, 3.0, 4.0), vals)
     }
     graft.sources.grib.GribFormat.writeFile(s, path, messages, edition = edition,
       complexPacking = complexPacking, spatialDiffOrder = spatialDiffOrder,
       pngPacking = pngPacking, ccsdsPacking = ccsdsPacking,
-      rotatedPole = rotatedPole)
+      rotatedPole = rotatedPole, gaussianN = gaussianN)
     path
   }
 
@@ -1202,6 +1208,17 @@ object SparkEntry {
     }),
 
     // --- parameterized CF grid mappings (C6/W15 beyond 4326/3857) ---
+    // Regular Gaussian grid (template 3.40, the ERA5-native family):
+    // decoded values gate against the events oracle; the Gaussian-parallel
+    // coordinates are pinned by GribGaussianSpec (Legendre roots)
+    "q133_grib_gaussian_scan" -> ((s, dir) => {
+      val path = gribEventsFixture(s, dir, edition = 2, holes = true,
+        gaussianN = Some(1))
+      s.read.format("grib1").load(path)
+        .select(col("time"), col("value").as("cnt"))
+        .orderBy(col("time"), col("cnt"))
+    }),
+
     // CF rotated_latitude_longitude (COSMO/ICON regional family):
     // forward+inverse must round-trip everywhere, incl. a nonzero
     // north_pole_grid_longitude angle (same n_bad gate as q63/q64)
@@ -2667,6 +2684,17 @@ object SparkEntry {
         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
         |ORDER BY 1, 2""".stripMargin,
 
+    "q133_grib_gaussian_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s))
+        |SELECT spine.d AS time, g.cnt AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2""".stripMargin,
     "q131_rotpole_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_bad",
     "q132_grib_rotated_scan" ->
       """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,

@@ -147,6 +147,42 @@ object GribFormat {
         angle = angle)
   }
 
+  /** Latitudes (degrees, north→south) of the 2N parallels of a regular
+    * Gaussian grid (GRIB2 template 3.40 — the ECMWF/ERA5 native family):
+    * arcsines of the roots of the Legendre polynomial P₂ₙ, Newton-iterated
+    * from the Chebyshev initial guess. Pure JDK math; the roots converge
+    * quadratically (≤ ~6 iterations at double precision). */
+  def gaussianLatitudes(n: Int): Array[Double] = {
+    require(n >= 1 && n <= 4096, s"Gaussian N $n outside 1..4096")
+    val m = 2 * n
+    val lats = new Array[Double](m)
+    var i = 0
+    while (i < n) { // northern half; southern mirrors
+      var x = math.cos(math.Pi * (4 * i + 3) / (4.0 * m + 2))
+      var it = 0
+      var done = false
+      while (!done && it < 100) {
+        // P_m(x) and P_{m-1}(x) by upward recurrence
+        var p0 = 1.0; var p1 = x
+        var k = 2
+        while (k <= m) {
+          val p2 = ((2 * k - 1) * x * p1 - (k - 1) * p0) / k
+          p0 = p1; p1 = p2
+          k += 1
+        }
+        val dp = m * (x * p1 - p0) / (x * x - 1.0)
+        val dx = p1 / dp
+        x -= dx
+        done = math.abs(dx) < 1e-15
+        it += 1
+      }
+      lats(i) = math.toDegrees(math.asin(x))
+      lats(m - 1 - i) = -lats(i)
+      i += 1
+    }
+    lats
+  }
+
   /** One parsed message's planning state: grid + packing + the absolute
     * byte offset of the packed data (reading is a positioned slab read). */
   final case class GribMessage(
@@ -176,9 +212,25 @@ object GribFormat {
       ccsds: Option[Ccsds.Params] = None,
       /** Grid template 3.1: stored coords are rotated; cells inverse-rotate
         * to true lat/lon at read. */
-      rot: Option[RotGrid] = None) {
-    def lats: Array[Double] =
-      Array.tabulate(nj)(j => la1 + (if (nj == 1) 0.0 else (la2 - la1) * j / (nj - 1)))
+      rot: Option[RotGrid] = None,
+      /** Grid template 3.40 (regular Gaussian): N parallels between pole
+        * and equator; row latitudes are the Gaussian parallels inside
+        * [la1, la2], not evenly spaced. */
+      gaussN: Option[Int] = None) {
+    def lats: Array[Double] = gaussN match {
+      case Some(n) =>
+        val all = GribFormat.gaussianLatitudes(n) // north→south
+        val lo = math.min(la1, la2) - 1e-6
+        val hi = math.max(la1, la2) + 1e-6
+        val inRange = all.filter(l => l >= lo && l <= hi)
+        require(inRange.length == nj,
+          s"Gaussian grid: ${inRange.length} parallels of N=$n fall in " +
+            s"[$la1, $la2], header says nj=$nj")
+        if (la1 >= la2) inRange else inRange.reverse
+      case None =>
+        Array.tabulate(nj)(j =>
+          la1 + (if (nj == 1) 0.0 else (la2 - la1) * j / (nj - 1)))
+    }
     def lons: Array[Double] =
       Array.tabulate(ni)(i => lo1 + (if (ni == 1) 0.0 else (lo2 - lo1) * i / (ni - 1)))
     def nValues: Int = ni * nj
@@ -641,11 +693,12 @@ object GribFormat {
       spatialDiffOrder: Int = 0,
       pngPacking: Boolean = false,
       ccsdsPacking: Boolean = false,
-      rotatedPole: Option[(Double, Double, Double)] = None): Unit =
+      rotatedPole: Option[(Double, Double, Double)] = None,
+      gaussianN: Option[Int] = None): Unit =
     writeMessage2Fields(out, refTime, lats, lons,
       Seq((paramId, leadHours, values)), decimalScale, complexPacking,
       spatialDiffOrder, pngPacking = pngPacking, ccsdsPacking = ccsdsPacking,
-      rotatedPole = rotatedPole)
+      rotatedPole = rotatedPole, gaussianN = gaussianN)
 
   /** Write one GRIB2 MESSAGE carrying one or more FIELDS: sections 0-3 are
     * shared, each field contributes its own section 4-7 group (WMO FM 92
@@ -671,6 +724,9 @@ object GribFormat {
         * (poleLat, poleLon, angle); `lats`/`lons` are then ROTATED
         * coordinates. None = plain 3.0. */
       rotatedPole: Option[(Double, Double, Double)] = None,
+      /** Grid template 3.40 (regular Gaussian): N parallels pole→equator;
+        * `lats` must be (a contiguous subset of) `gaussianLatitudes(N)`. */
+      gaussianN: Option[Int] = None,
       /** Ensemble perturbation numbers aligned with `fields` (empty =
         * deterministic products; -1 entries stay deterministic). Members
         * write product template 4.1 instead of 4.0. */
@@ -766,6 +822,13 @@ object GribFormat {
         sec6Len = 6 + bitmap.map(_.length).getOrElse(0),
         sec7Len = 5 + dataByteLen)
     }
+    require(rotatedPole.isEmpty || gaussianN.isEmpty,
+      "pick one grid template: rotated (3.1) or Gaussian (3.40)")
+    gaussianN.foreach { n =>
+      val all = gaussianLatitudes(n)
+      require(lats.forall(l => all.exists(g => math.abs(g - l) < 1e-9)),
+        s"every latitude must be a Gaussian parallel of N=$n")
+    }
     val sec3Len = if (rotatedPole.isDefined) 84 else 72
     val total = 16L + 21 + sec3Len +
       plans.map(p => p.sec4Len.toLong + p.sec5Len + p.sec6Len + p.sec7Len).sum + 4
@@ -792,7 +855,10 @@ object GribFormat {
     out.writeByte(0) // source: templates
     out.writeInt(ni * nj)
     out.writeByte(0); out.writeByte(0) // no optional number list
-    out.writeShort(if (rotatedPole.isDefined) 1 else 0)
+    out.writeShort(
+      if (rotatedPole.isDefined) 1
+      else if (gaussianN.isDefined) 40
+      else 0)
     out.writeByte(6) // shape of earth: spherical r=6371229
     out.writeByte(0); out.writeInt(0) // radius scale/value (n/a for shape 6)
     out.writeByte(0); out.writeInt(0) // major axis
@@ -805,7 +871,9 @@ object GribFormat {
     writeSm(out, udeg(lats.last), 4); writeSm(out, udeg(lons.last), 4)
     val di = if (ni > 1) udeg(math.abs(lons.last - lons.head) / (ni - 1)) else 0
     val dj = if (nj > 1) udeg(math.abs(lats.last - lats.head) / (nj - 1)) else 0
-    out.writeInt(di); out.writeInt(dj)
+    out.writeInt(di)
+    // 3.40 carries N (parallels pole→equator) in the Dj slot
+    out.writeInt(gaussianN.getOrElse(dj))
     out.writeByte(if (lats.last >= lats.head) 0x40 else 0x00) // scanning mode
     rotatedPole.foreach { case (poleLat, poleLon, angle) =>
       // CF rotated north pole → GRIB southern pole of projection
@@ -953,6 +1021,7 @@ object GribFormat {
       var ccsds: Option[Ccsds.Params] = None
       var lcc: Option[LccGrid] = None
       var rot: Option[RotGrid] = None
+      var gaussN: Option[Int] = None
       var member = -1
       var png = false
       var seenRepr = false
@@ -984,7 +1053,7 @@ object GribFormat {
             fields += GribMessage(paramId, validTime, ni, nj, la1, lo1, la2,
               lo2, decimalScale, binaryScale, refValue, bits, dataOffset,
               dataBytes, total.toInt, bitmapOffset, bitmapBytes, complex, lcc,
-              member, png, ccsds, rot)
+              member, png, ccsds, rot, gaussN)
           } else if (num == 6) {
             val indicator = readN(1)(0) & 0xFF
             indicator match {
@@ -1009,9 +1078,13 @@ object GribFormat {
               case 2 => // local use — ignored
               case 3 =>
                 u16(body, 7) match {
-                  case t @ (0 | 1) =>
+                  case t @ (0 | 1 | 40) =>
                     require(u32(body, 33) == 0L,
                       "non-default basic angle unsupported (10^-6 degree unit only)")
+                    require(t != 40 || u32(body, 25) != 0xFFFFFFFFL,
+                      "reduced (quasi-regular) Gaussian grid unsupported — " +
+                        "ni is MISSING and row lengths ride the optional list; " +
+                        "regular Gaussian (fixed ni) decodes natively")
                     ni = u32(body, 25).toInt; nj = u32(body, 29).toInt
                     la1 = sm(body, 41, 4) / 1e6; lo1 = sm(body, 45, 4) / 1e6
                     la2 = sm(body, 50, 4) / 1e6; lo2 = sm(body, 54, 4) / 1e6
@@ -1031,6 +1104,9 @@ object GribFormat {
                         angle = java.lang.Float.intBitsToFloat(u32(body, 75).toInt)
                           .toDouble))
                       else None
+                    // 3.40 = regular Gaussian: octets 68-71 carry N
+                    // (parallels pole→equator) where 3.0 carries Dj
+                    gaussN = if (t == 40) Some(u32(body, 62).toInt) else None
                     lcc = None
                   case 30 => // Lambert conformal (RTMA/HRRR/NDFD grids)
                     val radius = (body(9) & 0xFF) match { // octet 15: shape
@@ -1060,6 +1136,7 @@ object GribFormat {
                     lcc = Some(LccGrid(gla1, glo1, lov, latin1, latin2, latD,
                       dx, dy, radius))
                     rot = None
+                    gaussN = None
                   case t => throw new IllegalArgumentException(
                     s"grid template $t unsupported (3.0 lat/lon, 3.1 rotated, 3.30 Lambert)")
                 }
@@ -1272,9 +1349,11 @@ object GribFormat {
       spatialDiffOrder: Int = 0,
       pngPacking: Boolean = false,
       ccsdsPacking: Boolean = false,
-      rotatedPole: Option[(Double, Double, Double)] = None): Unit = {
+      rotatedPole: Option[(Double, Double, Double)] = None,
+      gaussianN: Option[Int] = None): Unit = {
     require(edition == 1 || edition == 2, s"edition $edition not in {1, 2}")
     require(rotatedPole.isEmpty || edition == 2, "rotated grids are edition-2 only")
+    require(gaussianN.isEmpty || edition == 2, "Gaussian grids are edition-2 only")
     require(!complexPacking || edition == 2, "complex packing is edition-2 only")
     require(!pngPacking || edition == 2, "PNG packing is edition-2 only")
     require(!ccsdsPacking || edition == 2, "CCSDS packing is edition-2 only")
@@ -1287,7 +1366,7 @@ object GribFormat {
       else writeMessage2(out, param, t, lats, lons, vals, decimalScale,
         complexPacking = complexPacking, spatialDiffOrder = spatialDiffOrder,
         pngPacking = pngPacking, ccsdsPacking = ccsdsPacking,
-        rotatedPole = rotatedPole)
+        rotatedPole = rotatedPole, gaussianN = gaussianN)
     }
     finally out.close()
   }
