@@ -18,7 +18,7 @@ object Bench {
         SparkEntry.queries(q)(spark, sfDir).count()
       }
     } catch { case _: Throwable => () }
-    Housekeeping.releaseAll(spark)
+    Housekeeping.releaseAll(spark, blocking = true)
     // Deterministic (sorted) execution order: per-query timings stay
     // comparable across rounds even as the query map grows (Map iteration
     // order reshuffles whenever entries are added).
@@ -34,7 +34,9 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       // queries are independent: sweep residual checkpoint/cache blocks so
       // no query is timed under another query's storage-memory pressure
-      if (!sys.env.contains("SPARK_GRAFT_NO_SWEEP")) Housekeeping.releaseAll(spark)
+      // blocking: removal must FINISH before the next query's timer starts
+      if (!sys.env.contains("SPARK_GRAFT_NO_SWEEP"))
+        Housekeeping.releaseAll(spark, blocking = true)
       name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -39,10 +39,12 @@ object Housekeeping {
     * local checkpoints alike. Correct only at a quiescent point: between
     * independent queries, after the previous query's output is fully
     * consumed (a released local checkpoint cannot be recomputed). Returns
-    * the number of RDDs released. */
-  def releaseAll(spark: SparkSession): Int = {
+    * the number of RDDs released. Pass `blocking = true` when the NEXT
+    * thing is timed (Bench/Verify do): a non-blocking sweep can still be
+    * dropping gigabytes of blocks while the next query runs. */
+  def releaseAll(spark: SparkSession, blocking: Boolean = false): Int = {
     val resident = spark.sparkContext.getPersistentRDDs
-    resident.valuesIterator.foreach(_.unpersist(blocking = false))
+    resident.valuesIterator.foreach(_.unpersist(blocking))
     resident.size
   }
 }

@@ -1187,6 +1187,15 @@ object SparkEntry {
 
     // template 5.3 (complex packing + order-2 spatial differencing — the
     // packing operational GFS/NDFD archives carry), same grid + bitmap
+    "q85_grib_spatial_diff_scan" -> ((s, dir) => {
+      val path = gribEventsFixture(s, dir, edition = 2, holes = true,
+        complexPacking = true, spatialDiffOrder = 2)
+      s.read.format("grib1").load(path)
+        .withColumn("slot", (col("latitude") * 5 + col("longitude")).cast("int"))
+        .select(col("time"), col("slot"), col("value").as("cnt"))
+        .orderBy("time", "slot")
+    }),
+
     // CCSDS/AEC packing (template 5.42, the modern ECMWF operational
     // profile) under a bitmap — same spine oracle as the other grib gates.
     "q130_grib_ccsds_scan" -> ((s, dir) => {
@@ -1198,14 +1207,6 @@ object SparkEntry {
         .orderBy("time", "slot")
     }),
 
-    "q85_grib_spatial_diff_scan" -> ((s, dir) => {
-      val path = gribEventsFixture(s, dir, edition = 2, holes = true,
-        complexPacking = true, spatialDiffOrder = 2)
-      s.read.format("grib1").load(path)
-        .withColumn("slot", (col("latitude") * 5 + col("longitude")).cast("int"))
-        .select(col("time"), col("slot"), col("value").as("cnt"))
-        .orderBy("time", "slot")
-    }),
 
     // --- parameterized CF grid mappings (C6/W15 beyond 4326/3857) ---
     // Regular Gaussian grid (template 3.40, the ERA5-native family):

@@ -28,7 +28,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // independent queries: release residual checkpoint/cache blocks
-      Housekeeping.releaseAll(spark)
+      Housekeeping.releaseAll(spark, blocking = true)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

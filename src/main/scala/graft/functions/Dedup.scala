@@ -429,16 +429,20 @@ object Dedup {
     // pipeline ONCE; both `nodes` and the edge iteration derive from the
     // checkpoint, never from the original lineage (exchange reuse does not
     // span the separate actions below)
-    val base = pairs
+    var base: DataFrame = null
+    var nodes: DataFrame = null
+    var edges: DataFrame = null
+    try {
+    base = pairs
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
       .localCheckpoint(true)
 
-    val nodes = base.select(col("x").as("n"))
+    nodes = base.select(col("x").as("n"))
       .union(base.select(col("y").as("n"))).distinct()
       .localCheckpoint(true)
 
     // canonical undirected edges (u < v), self-loops dropped
-    var edges = base
+    edges = base
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
       .distinct()
@@ -507,6 +511,15 @@ object Dedup {
     graft.Housekeeping.release(nodes)
     graft.Housekeeping.release(edges)
     out
+    } catch {
+      case t: Throwable =>
+        // a failed round (or non-convergence) must not strand the live
+        // checkpoints — the caller's retry would stack a fresh set on top.
+        // Double-release of already-freed frames is a no-op.
+        Seq(base, nodes, edges).filter(_ != null)
+          .foreach(graft.Housekeeping.release)
+        throw t
+    }
   }
 
   /** Cluster-canonical near-dedup: the full pipeline a corpus-scale dedup

@@ -93,36 +93,46 @@ object Graph {
 
     val base = (1000L - dampingPermille) * scale / 1000L
     // rank frame carries the static out-degree so rounds never re-join it
-    var ranks = nodes.join(outDeg, Seq("node"), "left")
-      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
-        lit(scale).as("rank"))
-      .localCheckpoint(true)
-
-    for (_ <- 0 until iters) {
-      val inflow = ranks
-        .filter(col("deg") > 0)
-        .select(col("node").as("src"), expr("rank div deg").as("contrib"))
-        .join(e, "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("contrib")).as("inflow"))
-      val next = ranks
-        .join(inflow, Seq("node"), "left")
-        .select(col("node"), col("deg"),
-          (lit(base) +
-            expr(s"($dampingPermille * coalesce(inflow, 0L)) div 1000"))
-            .as("rank"))
+    var ranks: DataFrame = null
+    try {
+      ranks = nodes.join(outDeg, Seq("node"), "left")
+        .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
+          lit(scale).as("rank"))
         .localCheckpoint(true)
-      // the new round is materialized: the superseded rank frame's blocks
-      // are dead — release them now, not at session end
-      graft.Housekeeping.release(ranks)
-      ranks = next
+      for (_ <- 0 until iters) {
+        val inflow = ranks
+          .filter(col("deg") > 0)
+          .select(col("node").as("src"), expr("rank div deg").as("contrib"))
+          .join(e, "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("contrib")).as("inflow"))
+        val next = ranks
+          .join(inflow, Seq("node"), "left")
+          .select(col("node"), col("deg"),
+            (lit(base) +
+              expr(s"($dampingPermille * coalesce(inflow, 0L)) div 1000"))
+              .as("rank"))
+          .localCheckpoint(true)
+        // the new round is materialized: the superseded rank frame's blocks
+        // are dead — release them now, not at session end
+        graft.Housekeeping.release(ranks)
+        ranks = next
+      }
+      // the result's lineage is truncated at the final checkpoint, so the
+      // edge table is no longer reachable: release it. The final rank frame
+      // is the ONE persisted frame handed to the caller (Housekeeping.release
+      // when done).
+      graft.Housekeeping.release(e)
+      ranks.select("node", "rank")
+    } catch {
+      case t: Throwable =>
+        // a mid-iteration failure must not strand live checkpoints (the
+        // retried call would stack a fresh set on top — the exact leak
+        // this lifecycle exists to prevent). Double-release is a no-op.
+        graft.Housekeeping.release(e)
+        if (ranks != null) graft.Housekeeping.release(ranks)
+        throw t
     }
-    // the result's lineage is truncated at the final checkpoint, so the
-    // edge table is no longer reachable: release it. The final rank frame
-    // is the ONE persisted frame handed to the caller (Housekeeping.release
-    // when done).
-    graft.Housekeeping.release(e)
-    ranks.select("node", "rank")
   }
 
   /** Personalized PageRank: identical arithmetic, but the teleport mass
@@ -157,29 +167,37 @@ object Graph {
     val seedBase = baseTotal / present
     val isSeed = col("node").isInCollection(seeds)
 
-    var ranks = nodes.join(outDeg, Seq("node"), "left")
-      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
-        when(isSeed, lit(scale)).otherwise(lit(0L)).as("rank"))
-      .localCheckpoint(true)
-    for (_ <- 0 until iters) {
-      val inflow = ranks
-        .filter(col("deg") > 0 && col("rank") > 0)
-        .select(col("node").as("src"), expr("rank div deg").as("contrib"))
-        .join(e, "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("contrib")).as("inflow"))
-      val next = ranks
-        .join(inflow, Seq("node"), "left")
-        .select(col("node"), col("deg"),
-          (when(isSeed, lit(seedBase)).otherwise(lit(0L)) +
-            expr(s"($dampingPermille * coalesce(inflow, 0L)) div 1000"))
-            .as("rank"))
+    var ranks: DataFrame = null
+    try {
+      ranks = nodes.join(outDeg, Seq("node"), "left")
+        .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
+          when(isSeed, lit(scale)).otherwise(lit(0L)).as("rank"))
         .localCheckpoint(true)
-      graft.Housekeeping.release(ranks)
-      ranks = next
+      for (_ <- 0 until iters) {
+        val inflow = ranks
+          .filter(col("deg") > 0 && col("rank") > 0)
+          .select(col("node").as("src"), expr("rank div deg").as("contrib"))
+          .join(e, "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("contrib")).as("inflow"))
+        val next = ranks
+          .join(inflow, Seq("node"), "left")
+          .select(col("node"), col("deg"),
+            (when(isSeed, lit(seedBase)).otherwise(lit(0L)) +
+              expr(s"($dampingPermille * coalesce(inflow, 0L)) div 1000"))
+              .as("rank"))
+          .localCheckpoint(true)
+        graft.Housekeeping.release(ranks)
+        ranks = next
+      }
+      graft.Housekeeping.release(e)
+      ranks.select("node", "rank")
+    } catch {
+      case t: Throwable =>
+        graft.Housekeeping.release(e)
+        if (ranks != null) graft.Housekeeping.release(ranks)
+        throw t
     }
-    graft.Housekeeping.release(e)
-    ranks.select("node", "rank")
   }
 
   /** Per-node triangle counts via degree-ordered edge orientation (Suri &
@@ -205,49 +223,60 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String): DataFrame = {
-    val und = edges
-      .select(col(srcCol).cast("long").as("s0"), col(dstCol).cast("long").as("d0"))
-      .filter(col("s0") =!= col("d0"))
-      .select(least(col("s0"), col("d0")).as("a"),
-        greatest(col("s0"), col("d0")).as("b"))
-      .distinct()
-      .localCheckpoint(true)
-    val deg = und.select(col("a").as("node"))
-      .unionAll(und.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+    var und: DataFrame = null
+    var deg: DataFrame = null
+    var ori: DataFrame = null
+    try {
+      und = edges
+        .select(col(srcCol).cast("long").as("s0"), col(dstCol).cast("long").as("d0"))
+        .filter(col("s0") =!= col("d0"))
+        .select(least(col("s0"), col("d0")).as("a"),
+          greatest(col("s0"), col("d0")).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      deg = und.select(col("a").as("node"))
+        .unionAll(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
 
-    val da = deg.select(col("node").as("a"), col("deg").as("da"))
-    val db = deg.select(col("node").as("b"), col("deg").as("db"))
-    // orient low-(deg, id) → high; ties break toward the smaller id, and
-    // a < b by construction, so the tie case is always a → b
-    val fwd = col("da") < col("db") || (col("da") === col("db"))
-    val ori = und.join(da, "a").join(db, "b")
-      .select(when(fwd, col("a")).otherwise(col("b")).as("s"),
-        when(fwd, col("b")).otherwise(col("a")).as("t"))
-      .localCheckpoint(true)
+      val da = deg.select(col("node").as("a"), col("deg").as("da"))
+      val db = deg.select(col("node").as("b"), col("deg").as("db"))
+      // orient low-(deg, id) → high; ties break toward the smaller id, and
+      // a < b by construction, so the tie case is always a → b
+      val fwd = col("da") < col("db") || (col("da") === col("db"))
+      ori = und.join(da, "a").join(db, "b")
+        .select(when(fwd, col("a")).otherwise(col("b")).as("s"),
+          when(fwd, col("b")).otherwise(col("a")).as("t"))
+        .localCheckpoint(true)
 
-    // wedges at the minimum-order vertex: out-neighbor pairs (t1 < t2);
-    // the closing edge (t1, t2) is already canonical for the und join
-    val e1 = ori.select(col("s"), col("t").as("t1"))
-    val e2 = ori.select(col("s"), col("t").as("t2"))
-    val tri = e1.join(e2, Seq("s"))
-      .filter(col("t1") < col("t2"))
-      .join(und, col("t1") === col("a") && col("t2") === col("b"))
-      .select(col("s"), col("t1"), col("t2"))
+      // wedges at the minimum-order vertex: out-neighbor pairs (t1 < t2);
+      // the closing edge (t1, t2) is already canonical for the und join
+      val e1 = ori.select(col("s"), col("t").as("t1"))
+      val e2 = ori.select(col("s"), col("t").as("t2"))
+      val tri = e1.join(e2, Seq("s"))
+        .filter(col("t1") < col("t2"))
+        .join(und, col("t1") === col("a") && col("t2") === col("b"))
+        .select(col("s"), col("t1"), col("t2"))
 
-    val perNode = tri
-      .select(explode(array(col("s"), col("t1"), col("t2"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("triangles"))
+      val perNode = tri
+        .select(explode(array(col("s"), col("t1"), col("t2"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("triangles"))
 
-    // materialize the (node-sized) result, then release every temp — the
-    // wedge/closing frames must NOT outlive the call. One persisted frame
-    // (the result) is handed to the caller.
-    val out = deg.join(perNode, Seq("node"), "left")
-      .select(col("node"), col("deg"),
-        coalesce(col("triangles"), lit(0L)).as("triangles"))
-      .localCheckpoint(true)
-    Seq(und, deg, ori).foreach(graft.Housekeeping.release)
-    out
+      // materialize the (node-sized) result, then release every temp — the
+      // wedge/closing frames must NOT outlive the call. One persisted frame
+      // (the result) is handed to the caller.
+      val out = deg.join(perNode, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"))
+        .localCheckpoint(true)
+      Seq(und, deg, ori).foreach(graft.Housekeeping.release)
+      out
+    } catch {
+      case t: Throwable =>
+        // mid-build failure must not strand the temps (double-release of
+        // the success path's frames is a no-op)
+        Seq(und, deg, ori).filter(_ != null).foreach(graft.Housekeeping.release)
+        throw t
+    }
   }
 }

@@ -152,7 +152,15 @@ object GribFormat {
     * arcsines of the roots of the Legendre polynomial P₂ₙ, Newton-iterated
     * from the Chebyshev initial guess. Pure JDK math; the roots converge
     * quadratically (≤ ~6 iterations at double precision). */
-  def gaussianLatitudes(n: Int): Array[Double] = {
+  def gaussianLatitudes(n: Int): Array[Double] =
+    gaussCache.computeIfAbsent(n, computeGaussianLatitudes(_)).clone()
+
+  // per-JVM memo: every partition reader of an N-parallel archive reuses
+  // the same 2N roots instead of redoing the O(N²) Newton recurrences
+  private val gaussCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+
+  private def computeGaussianLatitudes(n: Int): Array[Double] = {
     require(n >= 1 && n <= 4096, s"Gaussian N $n outside 1..4096")
     val m = 2 * n
     val lats = new Array[Double](m)
@@ -217,7 +225,10 @@ object GribFormat {
         * and equator; row latitudes are the Gaussian parallels inside
         * [la1, la2], not evenly spaced. */
       gaussN: Option[Int] = None) {
-    def lats: Array[Double] = gaussN match {
+    // lazy, not def: latLonAt runs per cell (twice per row for lat+lon
+    // columns) on rotated/Gaussian grids — rebuilding the axis arrays per
+    // call would dominate a large scan
+    @transient lazy val lats: Array[Double] = gaussN match {
       case Some(n) =>
         val all = GribFormat.gaussianLatitudes(n) // north→south
         val lo = math.min(la1, la2) - 1e-6
@@ -231,7 +242,7 @@ object GribFormat {
         Array.tabulate(nj)(j =>
           la1 + (if (nj == 1) 0.0 else (la2 - la1) * j / (nj - 1)))
     }
-    def lons: Array[Double] =
+    @transient lazy val lons: Array[Double] =
       Array.tabulate(ni)(i => lo1 + (if (ni == 1) 0.0 else (lo2 - lo1) * i / (ni - 1)))
     def nValues: Int = ni * nj
     def hasBitmap: Boolean = bitmapOffset >= 0
