@@ -229,7 +229,8 @@ object SparkEntry {
       pngPacking: Boolean = false,
       ccsdsPacking: Boolean = false,
       rotatedPole: Option[(Double, Double, Double)] = None,
-      gaussianN: Option[Int] = None): String = {
+      gaussianN: Option[Int] = None,
+      reducedRows: Option[Seq[Int]] = None): String = {
     val cells = eventsWithDay(s, dir)
       .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
       .count().collect()
@@ -242,7 +243,8 @@ object SparkEntry {
       (if (spatialDiffOrder > 0) s"_sd$spatialDiffOrder" else "") +
       (if (pngPacking) "_png" else "") + (if (ccsdsPacking) "_cc" else "") +
       (if (rotatedPole.isDefined) "_rot" else "") +
-      (if (gaussianN.isDefined) "_gau" else "")
+      (if (gaussianN.isDefined) "_gau" else "") +
+      (if (reducedRows.isDefined) "_red" else "")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/" +
       (if (edition == 1) s"events$tag.grb" else s"events$tag.grb2")
     val latAxis: Seq[Double] = gaussianN match {
@@ -253,12 +255,15 @@ object SparkEntry {
       // holes: no-event cells become bitmap-masked NaN instead of 0
       val vals = Array.fill(10)(if (holes) Double.NaN else 0.0)
       byDay(d).foreach(r => vals(r.getAs[Int]("slot")) = r.getAs[Long]("count").toDouble)
-      (61, d, latAxis, Seq(0.0, 1.0, 2.0, 3.0, 4.0), vals)
+      (61, d, latAxis,
+        if (reducedRows.isDefined) Seq(0.0) else Seq(0.0, 1.0, 2.0, 3.0, 4.0),
+        vals)
     }
     graft.sources.grib.GribFormat.writeFile(s, path, messages, edition = edition,
       complexPacking = complexPacking, spatialDiffOrder = spatialDiffOrder,
       pngPacking = pngPacking, ccsdsPacking = ccsdsPacking,
-      rotatedPole = rotatedPole, gaussianN = gaussianN)
+      rotatedPole = rotatedPole, gaussianN = gaussianN,
+      reducedRows = reducedRows)
     path
   }
 
@@ -1209,6 +1214,17 @@ object SparkEntry {
 
 
     // --- parameterized CF grid mappings (C6/W15 beyond 4326/3857) ---
+    // REDUCED Gaussian grid (the true ERA5-native layout: points per
+    // parallel vary; ni is MISSING and row lengths ride section 3's
+    // optional list). Rows [4, 6] hold the 10 slots row-major.
+    "q134_grib_reduced_gaussian_scan" -> ((s, dir) => {
+      val path = gribEventsFixture(s, dir, edition = 2, holes = true,
+        gaussianN = Some(1), reducedRows = Some(Seq(4, 6)))
+      s.read.format("grib1").load(path)
+        .select(col("time"), col("value").as("cnt"))
+        .orderBy(col("time"), col("cnt"))
+    }),
+
     // Regular Gaussian grid (template 3.40, the ERA5-native family):
     // decoded values gate against the events oracle; the Gaussian-parallel
     // coordinates are pinned by GribGaussianSpec (Legendre roots)
@@ -2682,6 +2698,18 @@ object SparkEntry {
         |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
         |          FROM days, (SELECT unnest(range(10)) AS s))
         |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q134_grib_reduced_gaussian_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s))
+        |SELECT spine.d AS time, g.cnt AS cnt
         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
         |ORDER BY 1, 2""".stripMargin,
 

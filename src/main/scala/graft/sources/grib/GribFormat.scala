@@ -224,7 +224,12 @@ object GribFormat {
       /** Grid template 3.40 (regular Gaussian): N parallels between pole
         * and equator; row latitudes are the Gaussian parallels inside
         * [la1, la2], not evenly spaced. */
-      gaussN: Option[Int] = None) {
+      gaussN: Option[Int] = None,
+      /** Quasi-regular (reduced) grid: points per row from section 3's
+        * optional list (ERA5's native reduced Gaussian shape — rows near
+        * the poles carry fewer points). Row r spans the full circle from
+        * lo1 with spacing 360/rowLengths(r). */
+      rowLengths: Option[Array[Int]] = None) {
     // lazy, not def: latLonAt runs per cell (twice per row for lat+lon
     // columns) on rotated/Gaussian grids — rebuilding the axis arrays per
     // call would dominate a large scan
@@ -244,12 +249,27 @@ object GribFormat {
     }
     @transient lazy val lons: Array[Double] =
       Array.tabulate(ni)(i => lo1 + (if (ni == 1) 0.0 else (lo2 - lo1) * i / (ni - 1)))
-    def nValues: Int = ni * nj
+    def nValues: Int = rowLengths.map(_.sum).getOrElse(ni * nj)
     def hasBitmap: Boolean = bitmapOffset >= 0
+
+    /** Reduced rows: exclusive prefix sums for O(log nj) cell→row lookup. */
+    @transient private lazy val rowPrefix: Array[Int] =
+      rowLengths.map(_.scanLeft(0)(_ + _)).orNull
 
     /** Cell k's latitude/longitude. Regular grids read the axis arrays;
       * LCC grids invert the projection at (x0 + i·dx, y0 + j·dy). */
     def latLonAt(k: Int): (Double, Double) = lcc match {
+      case None if rowLengths.isDefined =>
+        // reduced grid: binary-search the row, then the row's own spacing
+        val pre = rowPrefix
+        var lo = 0
+        var hi = pre.length - 1 // invariant: pre(lo) <= k < pre(hi)
+        while (hi - lo > 1) {
+          val mid = (lo + hi) >>> 1
+          if (pre(mid) <= k) lo = mid else hi = mid
+        }
+        val inRow = k - pre(lo)
+        (lats(lo), lo1 + inRow * 360.0 / rowLengths.get(lo))
       case None => rot match {
         case None => (lats(k / ni), lons(k % ni))
         case Some(rg) =>
@@ -705,11 +725,13 @@ object GribFormat {
       pngPacking: Boolean = false,
       ccsdsPacking: Boolean = false,
       rotatedPole: Option[(Double, Double, Double)] = None,
-      gaussianN: Option[Int] = None): Unit =
+      gaussianN: Option[Int] = None,
+      reducedRows: Option[Seq[Int]] = None): Unit =
     writeMessage2Fields(out, refTime, lats, lons,
       Seq((paramId, leadHours, values)), decimalScale, complexPacking,
       spatialDiffOrder, pngPacking = pngPacking, ccsdsPacking = ccsdsPacking,
-      rotatedPole = rotatedPole, gaussianN = gaussianN)
+      rotatedPole = rotatedPole, gaussianN = gaussianN,
+      reducedRows = reducedRows)
 
   /** Write one GRIB2 MESSAGE carrying one or more FIELDS: sections 0-3 are
     * shared, each field contributes its own section 4-7 group (WMO FM 92
@@ -738,6 +760,10 @@ object GribFormat {
       /** Grid template 3.40 (regular Gaussian): N parallels pole→equator;
         * `lats` must be (a contiguous subset of) `gaussianLatitudes(N)`. */
       gaussianN: Option[Int] = None,
+      /** Reduced (quasi-regular) Gaussian rows: points per parallel —
+        * rows span the full circle from `lons.head` with per-row spacing.
+        * Requires `gaussianN`; `values` are row-major with these lengths. */
+      reducedRows: Option[Seq[Int]] = None,
       /** Ensemble perturbation numbers aligned with `fields` (empty =
         * deterministic products; -1 entries stay deterministic). Members
         * write product template 4.1 instead of 4.0. */
@@ -769,7 +795,9 @@ object GribFormat {
       val member = if (members.isEmpty) -1 else members(fi)
       require(leadHours >= 0, s"negative lead $leadHours")
       require(paramId >= 0 && paramId <= 0xFFFF, s"paramId $paramId not (cat<<8)|num")
-      require(values.length == ni * nj, s"${values.length} values for $ni x $nj grid")
+      val nCells = reducedRows.map(_.sum).getOrElse(ni * nj)
+      require(values.length == nCells,
+        s"${values.length} values for $nCells-cell grid")
       val (scaled, minV, bits, bitmap) = packPlan(values, decimalScale)
       if (pngPacking) require(bits <= 32,
         s"range needs $bits bits (>32); PNG packing tops out at RGBA depth")
@@ -835,12 +863,20 @@ object GribFormat {
     }
     require(rotatedPole.isEmpty || gaussianN.isEmpty,
       "pick one grid template: rotated (3.1) or Gaussian (3.40)")
+    require(reducedRows.isEmpty || gaussianN.isDefined,
+      "reduced rows require a Gaussian grid (template 3.40)")
+    reducedRows.foreach { pl =>
+      require(pl.length == lats.length,
+        s"${pl.length} row lengths for ${lats.length} parallels")
+      require(pl.forall(_ > 0), "reduced grid has an empty row")
+    }
     gaussianN.foreach { n =>
       val all = gaussianLatitudes(n)
       require(lats.forall(l => all.exists(g => math.abs(g - l) < 1e-9)),
         s"every latitude must be a Gaussian parallel of N=$n")
     }
-    val sec3Len = if (rotatedPole.isDefined) 84 else 72
+    val sec3Len = (if (rotatedPole.isDefined) 84 else 72) +
+      reducedRows.map(_.length * 2).getOrElse(0)
     val total = 16L + 21 + sec3Len +
       plans.map(p => p.sec4Len.toLong + p.sec5Len + p.sec6Len + p.sec7Len).sum + 4
 
@@ -864,8 +900,10 @@ object GribFormat {
     // or 3.1 (rotated: 3.0's layout + southern pole + rotation angle)
     out.writeInt(sec3Len); out.writeByte(3)
     out.writeByte(0) // source: templates
-    out.writeInt(ni * nj)
-    out.writeByte(0); out.writeByte(0) // no optional number list
+    out.writeInt(reducedRows.map(_.sum).getOrElse(ni * nj))
+    // optional points-per-row list: u16 entries, interpretation 1
+    if (reducedRows.isDefined) { out.writeByte(2); out.writeByte(1) }
+    else { out.writeByte(0); out.writeByte(0) }
     out.writeShort(
       if (rotatedPole.isDefined) 1
       else if (gaussianN.isDefined) 40
@@ -874,7 +912,8 @@ object GribFormat {
     out.writeByte(0); out.writeInt(0) // radius scale/value (n/a for shape 6)
     out.writeByte(0); out.writeInt(0) // major axis
     out.writeByte(0); out.writeInt(0) // minor axis
-    out.writeInt(ni); out.writeInt(nj)
+    out.writeInt(if (reducedRows.isDefined) -1 else ni) // MISSING when reduced
+    out.writeInt(nj)
     out.writeInt(0); out.writeInt(0) // basic angle + subdivisions: 10^-6 unit
     def udeg(x: Double): Int = math.round(x * 1e6).toInt
     writeSm(out, udeg(lats.head), 4); writeSm(out, udeg(lons.head), 4)
@@ -886,6 +925,7 @@ object GribFormat {
     // 3.40 carries N (parallels pole→equator) in the Dj slot
     out.writeInt(gaussianN.getOrElse(dj))
     out.writeByte(if (lats.last >= lats.head) 0x40 else 0x00) // scanning mode
+    reducedRows.foreach(_.foreach(out.writeShort))
     rotatedPole.foreach { case (poleLat, poleLon, angle) =>
       // CF rotated north pole → GRIB southern pole of projection
       val spLat = -poleLat
@@ -1033,6 +1073,7 @@ object GribFormat {
       var lcc: Option[LccGrid] = None
       var rot: Option[RotGrid] = None
       var gaussN: Option[Int] = None
+      var rowLengths: Option[Array[Int]] = None
       var member = -1
       var png = false
       var seenRepr = false
@@ -1064,7 +1105,7 @@ object GribFormat {
             fields += GribMessage(paramId, validTime, ni, nj, la1, lo1, la2,
               lo2, decimalScale, binaryScale, refValue, bits, dataOffset,
               dataBytes, total.toInt, bitmapOffset, bitmapBytes, complex, lcc,
-              member, png, ccsds, rot, gaussN)
+              member, png, ccsds, rot, gaussN, rowLengths)
           } else if (num == 6) {
             val indicator = readN(1)(0) & 0xFF
             indicator match {
@@ -1092,11 +1133,38 @@ object GribFormat {
                   case t @ (0 | 1 | 40) =>
                     require(u32(body, 33) == 0L,
                       "non-default basic angle unsupported (10^-6 degree unit only)")
-                    require(t != 40 || u32(body, 25) != 0xFFFFFFFFL,
-                      "reduced (quasi-regular) Gaussian grid unsupported — " +
-                        "ni is MISSING and row lengths ride the optional list; " +
-                        "regular Gaussian (fixed ni) decodes natively")
-                    ni = u32(body, 25).toInt; nj = u32(body, 29).toInt
+                    nj = u32(body, 29).toInt
+                    val niRaw = u32(body, 25)
+                    if (t == 40 && niRaw == 0xFFFFFFFFL) {
+                      // reduced (quasi-regular) Gaussian — ERA5's native
+                      // layout: ni is MISSING and the points-per-row list
+                      // rides section 3's optional-numbers tail (octets 73+)
+                      val w = body(5) & 0xFF
+                      val interp = body(6) & 0xFF
+                      require(interp == 1,
+                        s"optional-list interpretation $interp unsupported " +
+                          "(1: numbers are points per row)")
+                      require(w == 1 || w == 2 || w == 4,
+                        s"optional-list entry width $w octets unsupported (1, 2, 4)")
+                      require(body.length >= 67 + nj * w,
+                        s"section 3 too short for $nj row lengths of $w octets")
+                      val pl = Array.tabulate(nj) { r =>
+                        val off = 67 + r * w
+                        w match {
+                          case 1 => body(off) & 0xFF
+                          case 2 => u16(body, off)
+                          case 4 => u32(body, off).toInt
+                        }
+                      }
+                      require(pl.forall(_ > 0), "reduced grid has an empty row")
+                      require(pl.sum.toLong == u32(body, 1),
+                        s"points-per-row sum ${pl.sum} != declared data points ${u32(body, 1)}")
+                      rowLengths = Some(pl)
+                      ni = pl.max // row-major upper bound; cells resolve via rowLengths
+                    } else {
+                      ni = niRaw.toInt
+                      rowLengths = None
+                    }
                     la1 = sm(body, 41, 4) / 1e6; lo1 = sm(body, 45, 4) / 1e6
                     la2 = sm(body, 50, 4) / 1e6; lo2 = sm(body, 54, 4) / 1e6
                     // 0x20 = j-consecutive (transposed cell order); 0x10 =
@@ -1148,6 +1216,7 @@ object GribFormat {
                       dx, dy, radius))
                     rot = None
                     gaussN = None
+                    rowLengths = None
                   case t => throw new IllegalArgumentException(
                     s"grid template $t unsupported (3.0 lat/lon, 3.1 rotated, 3.30 Lambert)")
                 }
@@ -1361,7 +1430,8 @@ object GribFormat {
       pngPacking: Boolean = false,
       ccsdsPacking: Boolean = false,
       rotatedPole: Option[(Double, Double, Double)] = None,
-      gaussianN: Option[Int] = None): Unit = {
+      gaussianN: Option[Int] = None,
+      reducedRows: Option[Seq[Int]] = None): Unit = {
     require(edition == 1 || edition == 2, s"edition $edition not in {1, 2}")
     require(rotatedPole.isEmpty || edition == 2, "rotated grids are edition-2 only")
     require(gaussianN.isEmpty || edition == 2, "Gaussian grids are edition-2 only")
@@ -1377,7 +1447,8 @@ object GribFormat {
       else writeMessage2(out, param, t, lats, lons, vals, decimalScale,
         complexPacking = complexPacking, spatialDiffOrder = spatialDiffOrder,
         pngPacking = pngPacking, ccsdsPacking = ccsdsPacking,
-        rotatedPole = rotatedPole, gaussianN = gaussianN)
+        rotatedPole = rotatedPole, gaussianN = gaussianN,
+        reducedRows = reducedRows)
     }
     finally out.close()
   }

@@ -77,9 +77,45 @@ class GribGaussianSpec extends SparkSpec {
     assert(r == Seq(101.0, 103.0, 105.0, 107.0))
   }
 
-  test("reduced Gaussian grids are refused with the named remedy") {
-    // patch a regular 3.40 file's ni to MISSING (0xFFFFFFFF)
+  test("reduced Gaussian grid (ERA5-native): per-row spacing, values, bitmap") {
     val dir = Files.createTempDirectory("gribgauss_red").toString
+    // N=2 → 4 parallels; polar rows carry fewer points, like a real
+    // reduced grid: pl = [4, 8, 8, 4], 24 cells row-major
+    val glats = GribFormat.gaussianLatitudes(2).toSeq
+    val pl = Seq(4, 8, 8, 4)
+    val vals = Array.tabulate(24)(i => if (i == 5) Double.NaN else i * 1.5)
+    GribFormat.writeFile(spark, s"$dir/red.grb2", Seq(
+      (61, LocalDateTime.of(2024, 8, 3, 0, 0), glats, Seq(0.0),
+        vals)), decimalScale = 1, edition = 2, gaussianN = Some(2),
+      reducedRows = Some(pl))
+    val df = spark.read.format("grib1").load(s"$dir/red.grb2")
+    assert(df.count() == 24)
+    // each parallel has ITS OWN longitude spacing spanning the full circle
+    val rows = df.select("latitude", "longitude", "value").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    val byLat = rows.groupBy(_._1)
+    assert(byLat.size == 4)
+    glats.zip(pl).foreach { case (lat, n) =>
+      val rowCells = byLat.collectFirst {
+        case (l, cells) if math.abs(l - lat) < 1e-5 => cells
+      }.get
+      assert(rowCells.length == n, s"row at $lat has ${rowCells.length}, want $n")
+      val lonsGot = rowCells.map(_._2).sorted.toSeq
+      val lonsWant = (0 until n).map(i => i * 360.0 / n)
+      lonsGot.zip(lonsWant).foreach { case (g, w) => assert(math.abs(g - w) < 1e-5) }
+    }
+    // values land row-major; the NaN cell is a bitmap hole (null)
+    assert(rows.count(_._3.isEmpty) == 1)
+    val rowTwoFirst = rows.find(r =>
+      math.abs(r._1 - glats(1)) < 1e-5 && math.abs(r._2) < 1e-5).get
+    assert(rowTwoFirst._3.contains(4 * 1.5)) // first cell of row 1 = vals(4)
+  }
+
+  test("ni=MISSING without the points-per-row list is refused by name") {
+    // patch a regular 3.40 file's ni to MISSING (0xFFFFFFFF) — the
+    // optional-list header still says "no list", which must fail cleanly
+    val dir = Files.createTempDirectory("gribgauss_bad").toString
     val glats = GribFormat.gaussianLatitudes(1).toSeq
     GribFormat.writeFile(spark, s"$dir/r.grb2", Seq(
       (61, LocalDateTime.of(2024, 8, 3, 0, 0), glats, Seq(0.0, 120.0, 240.0),
@@ -95,6 +131,6 @@ class GribGaussianSpec extends SparkSpec {
     }
     val msgs = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
       .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
-    assert(msgs.contains("reduced") && msgs.contains("Gaussian"), msgs)
+    assert(msgs.contains("optional-list"), msgs)
   }
 }
