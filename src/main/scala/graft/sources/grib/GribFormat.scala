@@ -236,8 +236,12 @@ object GribFormat {
     @transient lazy val lats: Array[Double] = gaussN match {
       case Some(n) =>
         val all = GribFormat.gaussianLatitudes(n) // north→south
-        val lo = math.min(la1, la2) - 1e-6
-        val hi = math.max(la1, la2) + 1e-6
+        // tolerance covers the file's coordinate quantisation: GRIB1
+        // stores millidegrees (±5e-4), edition 2 microdegrees — and the
+        // narrowest parallel spacing (N=4096) is ~0.022°, so no neighbor
+        // can fall inside the widened band
+        val lo = math.min(la1, la2) - 6e-4
+        val hi = math.max(la1, la2) + 6e-4
         val inRange = all.filter(l => l >= lo && l <= hi)
         require(inRange.length == nj,
           s"Gaussian grid: ${inRange.length} parallels of N=$n fall in " +
@@ -619,10 +623,22 @@ object GribFormat {
       lats: Seq[Double], lons: Seq[Double],
       values: Array[Double],
       decimalScale: Int = 0,
-      leadHours: Int = 0): Unit = {
+      leadHours: Int = 0,
+      /** GDS grid type 4 (Gaussian): N parallels pole→equator. */
+      gaussianN: Option[Int] = None,
+      /** Reduced Gaussian rows (ni → MISSING, PL list at octet 33). */
+      reducedRows: Option[Seq[Int]] = None): Unit = {
     require(leadHours >= 0 && leadHours <= 255, s"leadHours $leadHours not in PDS octet range")
+    require(reducedRows.isEmpty || gaussianN.isDefined,
+      "reduced rows require a Gaussian grid (type 4)")
     val nj = lats.length; val ni = lons.length
-    require(values.length == ni * nj, s"${values.length} values for $ni x $nj grid")
+    reducedRows.foreach { pl =>
+      require(pl.length == nj, s"${pl.length} row lengths for $nj parallels")
+      require(pl.forall(_ > 0), "reduced grid has an empty row")
+    }
+    val nCells1 = reducedRows.map(_.sum).getOrElse(ni * nj)
+    require(values.length == nCells1,
+      s"${values.length} values for $nCells1-cell grid")
     require(ni <= 65535 && nj <= 65535, s"grid $ni x $nj exceeds GDS u16 dims")
     val (scaled, minV, bits, bitmap) = packPlan(values, decimalScale)
     require(bits <= 24,
@@ -633,7 +649,7 @@ object GribFormat {
     val bdsLen0 = 11 + dataByteLen
     val bdsLen = bdsLen0 + (bdsLen0 % 2) // BDS length must be even
     val pdsLen = 28
-    val gdsLen = 32
+    val gdsLen = 32 + reducedRows.map(_.length * 2).getOrElse(0)
     val bmsLen0 = bitmap.map(6 + _.length).getOrElse(0)
     val bmsLen = bmsLen0 + (bmsLen0 % 2) // BMS length must be even too
     val total = 8 + pdsLen + gdsLen + bmsLen + bdsLen + 4
@@ -667,21 +683,25 @@ object GribFormat {
     out.writeByte(century)
     out.writeByte(0) // subcenter
     writeSm(out, decimalScale, 2)
-    // GDS (grid type 0: regular lat/lon; lat/lon in millidegrees)
-    out.writeByte(0); out.writeByte(0); out.writeByte(gdsLen)
+    // GDS (grid type 0 regular lat/lon, or 4 Gaussian; millidegrees)
+    out.writeByte((gdsLen >> 16) & 0xFF); out.writeByte((gdsLen >> 8) & 0xFF)
+    out.writeByte(gdsLen & 0xFF)
     out.writeByte(0) // NV
-    out.writeByte(255) // PV absent
-    out.writeByte(0) // data representation type 0
-    out.writeShort(ni); out.writeShort(nj)
+    out.writeByte(if (reducedRows.isDefined) 33 else 255) // PV: PL list or absent
+    out.writeByte(if (gaussianN.isDefined) 4 else 0) // data representation type
+    out.writeShort(if (reducedRows.isDefined) 0xFFFF else ni) // ni or MISSING
+    out.writeShort(nj)
     def mdeg(x: Double): Int = math.round(x * 1000).toInt
     writeSm(out, mdeg(lats.head), 3); writeSm(out, mdeg(lons.head), 3)
     out.writeByte(0x80) // resolution/component flags: directions given
     writeSm(out, mdeg(lats.last), 3); writeSm(out, mdeg(lons.last), 3)
     val di = if (ni > 1) mdeg(math.abs(lons.last - lons.head) / (ni - 1)) else 0
     val dj = if (nj > 1) mdeg(math.abs(lats.last - lats.head) / (nj - 1)) else 0
-    out.writeShort(di); out.writeShort(dj)
+    out.writeShort(di)
+    out.writeShort(gaussianN.getOrElse(dj)) // grid 4 carries N in the Dj slot
     out.writeByte(if (lats.last >= lats.head) 0x40 else 0x00) // scanning mode: +j if increasing
     out.writeByte(0); out.writeByte(0); out.writeByte(0); out.writeByte(0) // reserved
+    reducedRows.foreach(_.foreach(out.writeShort)) // PL list (octet 33+)
     // BMS (only when the field has holes)
     bitmap.foreach { bm =>
       out.writeByte((bmsLen >> 16) & 0xFF); out.writeByte((bmsLen >> 8) & 0xFF)
@@ -1370,10 +1390,32 @@ object GribFormat {
       val gdsLenB = readN(3)
       val gdsLen = u24(gdsLenB, 0)
       val gds = readN(gdsLen - 3)
-      require((gds(2) & 0xFF) == 0, s"Grid type ${gds(2)} unsupported (only 0)")
-      val ni = u16(gds, 3); val nj = u16(gds, 5)
+      val gridType = gds(2) & 0xFF
+      require(gridType == 0 || gridType == 4,
+        s"Grid type $gridType unsupported (0: lat/lon, 4: Gaussian)")
+      val niRaw = u16(gds, 3); val nj = u16(gds, 5)
       val la1 = sm(gds, 7, 3) / 1000.0; val lo1 = sm(gds, 10, 3) / 1000.0
       val la2 = sm(gds, 14, 3) / 1000.0; val lo2 = sm(gds, 17, 3) / 1000.0
+      // Gaussian grid (type 4): the Dj slot (octets 26-27) carries N —
+      // the ERA5 GRIB1-native family; reduced rows ride the PL list
+      val g1GaussN = if (gridType == 4) Some(u16(gds, 22)) else None
+      val g1Rows: Option[Array[Int]] =
+        if (niRaw != 0xFFFF) None
+        else {
+          val nv = gds(0) & 0xFF
+          val pv = gds(1) & 0xFF
+          require(pv != 255,
+            "ni is MISSING but the GDS carries no PL points-per-row list")
+          // PL starts at GDS octet PV + 4·NV (vertical coords precede it);
+          // gds(i) is GDS octet i+4
+          val start = pv + 4 * nv - 4
+          require(gds.length >= start + 2 * nj,
+            s"GDS too short for $nj PL entries at octet ${pv + 4 * nv}")
+          val pl = Array.tabulate(nj)(r => u16(gds, start + 2 * r))
+          require(pl.forall(_ > 0), "reduced grid has an empty row")
+          Some(pl)
+        }
+      val ni = g1Rows.map(_.max).getOrElse(niRaw)
       // scanning mode (octet 28): ±i/±j direction is captured by the
       // la1→la2 / lo1→lo2 interpolation, but the j-CONSECUTIVE bit (0x20)
       // transposes the cell order — decoding it as i-consecutive would
@@ -1411,7 +1453,7 @@ object GribFormat {
         s"Message length mismatch: read ${offset - msgStart}, declared $total")
       out += GribMessage(paramId, refTime, ni, nj, la1, lo1, la2, lo2,
         decimalScale, binaryScale, refValue, bits, dataOffset, dataBytes, total,
-        bitmapOffset, bitmapBytes)
+        bitmapOffset, bitmapBytes, gaussN = g1GaussN, rowLengths = g1Rows)
       } // end edition-1 branch
     }
     out.toSeq
@@ -1434,7 +1476,6 @@ object GribFormat {
       reducedRows: Option[Seq[Int]] = None): Unit = {
     require(edition == 1 || edition == 2, s"edition $edition not in {1, 2}")
     require(rotatedPole.isEmpty || edition == 2, "rotated grids are edition-2 only")
-    require(gaussianN.isEmpty || edition == 2, "Gaussian grids are edition-2 only")
     require(!complexPacking || edition == 2, "complex packing is edition-2 only")
     require(!pngPacking || edition == 2, "PNG packing is edition-2 only")
     require(!ccsdsPacking || edition == 2, "CCSDS packing is edition-2 only")
@@ -1443,7 +1484,8 @@ object GribFormat {
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       fs.create(new org.apache.hadoop.fs.Path(path), true)))
     try messages.foreach { case (param, t, lats, lons, vals) =>
-      if (edition == 1) writeMessage(out, param, t, lats, lons, vals, decimalScale)
+      if (edition == 1) writeMessage(out, param, t, lats, lons, vals, decimalScale,
+        gaussianN = gaussianN, reducedRows = reducedRows)
       else writeMessage2(out, param, t, lats, lons, vals, decimalScale,
         complexPacking = complexPacking, spatialDiffOrder = spatialDiffOrder,
         pngPacking = pngPacking, ccsdsPacking = ccsdsPacking,

@@ -112,6 +112,43 @@ class GribGaussianSpec extends SparkSpec {
     assert(rowTwoFirst._3.contains(4 * 1.5)) // first cell of row 1 = vals(4)
   }
 
+  test("edition-1 Gaussian (GDS type 4): regular and reduced — the ERA5 GRIB1-native shape") {
+    val dir = Files.createTempDirectory("grib1gauss").toString
+    // regular: N=2 (4 parallels) × 3 lons — millidegree coords must still
+    // resolve to the exact computed parallels
+    val glats = GribFormat.gaussianLatitudes(2).toSeq
+    val vals = Array.tabulate(12)(i => i * 0.5)
+    GribFormat.writeFile(spark, s"$dir/g1.grb", Seq(
+      (61, LocalDateTime.of(2024, 9, 1, 0, 0), glats, Seq(0.0, 120.0, 240.0), vals)),
+      decimalScale = 1, edition = 1, gaussianN = Some(2))
+    val df = spark.read.format("grib1").load(s"$dir/g1.grb")
+    assert(df.count() == 12)
+    val gotLats = df.select("latitude").distinct()
+      .orderBy(col("latitude").desc).as[Double].collect().toSeq
+    gotLats.zip(glats).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-9, s"$g vs exact parallel $e") }
+    assert(df.filter(col("longitude") === 120.0)
+      .orderBy(col("latitude").desc).select("value").as[Double]
+      .collect().toSeq == Seq(0.5, 2.0, 3.5, 5.0))
+
+    // reduced: pl = [3, 5] over N=1, PL list at GDS octet 33
+    val rlats = GribFormat.gaussianLatitudes(1).toSeq
+    val rvals = Array.tabulate(8)(i => 10.0 + i)
+    GribFormat.writeFile(spark, s"$dir/r1.grb", Seq(
+      (61, LocalDateTime.of(2024, 9, 2, 0, 0), rlats, Seq(0.0), rvals)),
+      edition = 1, gaussianN = Some(1), reducedRows = Some(Seq(3, 5)))
+    val rdf = spark.read.format("grib1").load(s"$dir/r1.grb")
+    assert(rdf.count() == 8)
+    val northRow = rdf.filter(col("latitude") > 0).orderBy("longitude")
+      .select("longitude", "value").collect()
+    assert(northRow.map(_.getDouble(0)).toSeq == Seq(0.0, 120.0, 240.0))
+    assert(northRow.map(_.getDouble(1)).toSeq == Seq(10.0, 11.0, 12.0))
+    val southRow = rdf.filter(col("latitude") < 0).orderBy("longitude")
+      .select("longitude", "value").collect()
+    assert(southRow.map(_.getDouble(0)).toSeq == Seq(0.0, 72.0, 144.0, 216.0, 288.0))
+    assert(southRow.map(_.getDouble(1)).toSeq == Seq(13.0, 14.0, 15.0, 16.0, 17.0))
+  }
+
   test("ni=MISSING without the points-per-row list is refused by name") {
     // patch a regular 3.40 file's ni to MISSING (0xFFFFFFFF) — the
     // optional-list header still says "no list", which must fail cleanly
