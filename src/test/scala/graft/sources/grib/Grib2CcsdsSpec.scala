@@ -55,6 +55,37 @@ class Grib2CcsdsSpec extends SparkSpec {
     }
   }
 
+  test("property: arbitrary sample arrays roundtrip under arbitrary parameters") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = for {
+      bps <- Gen.choose(2, 31)
+      block <- Gen.oneOf(2, 4, 8, 16, 32, 64)
+      rsi <- Gen.choose(1, 64)
+      pre <- Gen.oneOf(true, false)
+      pad <- Gen.oneOf(true, false)
+      n <- Gen.choose(0, 700)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield (bps, block, rsi, pre, pad, n, seed)
+    val prop = Prop.forAll(gen) { case (bps, block, rsi, pre, pad, n, seed) =>
+      val xmax = (1L << bps) - 1
+      val rnd = new scala.util.Random(seed)
+      // mixed texture: runs of zeros, smooth ramps, and white noise —
+      // exercises zero-block, low-k split, and uncompressed selection
+      val xs = Array.tabulate(n) { i =>
+        rnd.nextInt(3) match {
+          case 0 => 0L
+          case 1 => (i.toLong * (1 + (seed & 7))) % (xmax + 1)
+          case _ => (rnd.nextLong() & Long.MaxValue) % (xmax + 1)
+        }
+      }
+      val p = params(pre, block, rsi, pad)
+      Ccsds.decode(Ccsds.encode(xs, bps, p), n, bps, p).sameElements(xs)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   /** Bit-writer mirroring the codec's MSB-first conventions for
     * hand-assembling streams the encoder never produces. */
   private final class Bits {
