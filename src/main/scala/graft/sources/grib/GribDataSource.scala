@@ -83,20 +83,30 @@ object GribTable {
   private def isGrib(name: String): Boolean =
     graft.sources.Manifest.isGrib(name)
 
+  /** Natural-sorted GRIB files under the given paths (dirs expand; a
+    * missing dir — a streaming landing dir not yet created — is empty). */
+  private[grib] def listGribFiles(conf: Configuration,
+      paths: Seq[String]): Seq[org.apache.hadoop.fs.FileStatus] =
+    paths.flatMap { p0 =>
+      val p = new HPath(p0)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else {
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory)
+          fs.listStatus(p).toSeq.filter(_.isFile)
+            .filter(f => isGrib(f.getPath.getName))
+        else Seq(st)
+      }
+    }.sortBy(st => graft.sources.Manifest.naturalKey(st.getPath.toString))
+
   def resolve(options: CaseInsensitiveStringMap): GribTable = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val paths = Option(options.get("path")).toSeq
     require(paths.nonEmpty, "grib1 scan needs a path")
-    val files = paths.flatMap { p0 =>
-      val p = new HPath(p0)
-      val fs = p.getFileSystem(conf)
-      val st = fs.getFileStatus(p)
-      if (st.isDirectory)
-        fs.listStatus(p).toSeq.filter(_.isFile)
-          .filter(f => isGrib(f.getPath.getName))
-      else Seq(st)
-    }.sortBy(st => graft.sources.Manifest.naturalKey(st.getPath.toString))
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+    val files = listGribFiles(conf, paths)
     val byFile = files.map(st =>
       st.getPath.toString -> cachedMessages(conf, st))
     // size-bounded eviction like NcTable.layoutCache: a long-lived driver
@@ -104,18 +114,20 @@ object GribTable {
     // key) GRIB files must not grow the cache unboundedly; clear AFTER
     // serving this resolve so the current scan still hits
     if (messageCache.size > 4096) messageCache.clear()
-    new GribTable(byFile, conf)
+    new GribTable(byFile, conf, paths, maxFiles)
   }
 }
 
 final class GribTable(
     val byFile: Seq[(String, Seq[GribMessage])],
-    @transient val conf: Configuration) extends Table with SupportsRead {
+    @transient val conf: Configuration,
+    val paths: Seq[String],
+    val maxFilesPerTrigger: Option[Int]) extends Table with SupportsRead {
   override def name(): String =
     s"grib1(${byFile.map(_._2.length).sum} messages in ${byFile.length} files)"
   override def schema(): StructType = GribTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GribScanBuilder(this)
 }
@@ -152,18 +164,30 @@ final class GribScanBuilder(table: GribTable) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GribScan(table.byFile, required, pushed, table.conf)
+  override def build(): Scan = new GribScan(table.byFile, required, pushed,
+    table.conf, table.paths, table.maxFilesPerTrigger)
 }
 
 final class GribScan(
     byFile: Seq[(String, Seq[GribMessage])],
     required: StructType,
     pushed: Array[Filter],
-    @transient conf: Configuration)
+    @transient conf: Configuration,
+    paths: Seq[String],
+    maxFilesPerTrigger: Option[Int])
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GribMicroBatchStream(this, paths, conf, maxFilesPerTrigger)
+
+  /** Streaming batches reuse the batch pruning + partitioning verbatim. */
+  private[grib] def partitionsOf(path: String,
+      ms: Seq[GribMessage]): Seq[InputPartition] =
+    ms.filter(keep).map(m => GribInputPartition(path, m, required.fieldNames))
+  private[grib] def readerFactory: PartitionReaderFactory = createReaderFactory()
 
   /** SAME conversion as the filter-literal side (NcScan.toKey) so the
     * Double equality in keep() is exact by construction. */
@@ -281,4 +305,113 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
   }
 
   override def close(): Unit = ()
+}
+
+/** Streaming offset: the natural-order key watermark of the last admitted
+  * file (same convention as the NetCDF stream — part10 sorts after part9). */
+final case class GribOffset(watermark: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = graft.meta.JStr(watermark).render
+}
+
+/** MICRO_BATCH_READ over a GRIB landing directory — the live-feed shape of
+  * operational archives (MRMS/RTMA drop a new GRIB file per product cycle).
+  * Same contract as [[graft.sources.nc.NcMicroBatchStream]]: files are
+  * IMMUTABLE, the directory is append-only with naturally-increasing names,
+  * offsets are filename watermarks that only move forward, and
+  * `maxFilesPerTrigger` bounds each batch so attaching to a pre-populated
+  * archive drains it incrementally. Message pruning and the positioned-slab
+  * reader are the batch scan's, verbatim. */
+final class GribMicroBatchStream(
+    scan: GribScan,
+    paths: Seq[String],
+    @transient conf: Configuration,
+    maxFilesPerTrigger: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
+
+  require(paths.nonEmpty, "grib streaming needs the source paths")
+
+  private def key(p: String): String = graft.sources.Manifest.naturalKey(p)
+
+  private def listing(): Seq[org.apache.hadoop.fs.FileStatus] =
+    GribTable.listGribFiles(conf, paths)
+
+  /** One listing per trigger: latestOffset selects the batch and caches it
+    * for the planInputPartitions call that follows. */
+  @volatile private var lastBatch: Option[(String, String,
+    Seq[org.apache.hadoop.fs.FileStatus])] = None
+
+  @volatile private var availableNowTarget: Option[String] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val files = listing()
+    availableNowTarget = Some(
+      if (files.isEmpty) "" else files.last.getPath.toString)
+  }
+
+  override def reportLatestOffset(): Offset = {
+    val files = listing()
+    GribOffset(if (files.isEmpty) "" else files.last.getPath.toString)
+  }
+
+  override def initialOffset(): Offset = GribOffset("")
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n): ReadLimit)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[GribOffset].watermark
+    val candidates = listing()
+      .filter(st => key(st.getPath.toString) > key(lo))
+      .filter(st => availableNowTarget.forall(t =>
+        key(st.getPath.toString) <= key(t)))
+    val admitted = limit match {
+      case m: ReadMaxFiles => candidates.take(m.maxFiles())
+      case _ => candidates
+    }
+    if (admitted.isEmpty) { lastBatch = None; start }
+    else {
+      val hi = admitted.last.getPath.toString
+      lastBatch = Some((lo, hi, admitted))
+      GribOffset(hi)
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    graft.meta.JValue.parse(json) match {
+      case graft.meta.JStr(w) => GribOffset(w)
+      case other => throw new IllegalArgumentException(s"Bad GRIB offset $other")
+    }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[GribOffset].watermark
+    val hi = end.asInstanceOf[GribOffset].watermark
+    val batch = lastBatch match {
+      case Some((l, h, files)) if l == lo && h == hi => files // cached this trigger
+      case _ => // checkpoint replay: re-derive from the (immutable) dir
+        listing().filter { st =>
+          val k = key(st.getPath.toString)
+          k > key(lo) && k <= key(hi)
+        }
+    }
+    batch.flatMap { st =>
+      scan.partitionsOf(st.getPath.toString,
+        GribTable.cachedMessages(conf, st))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.readerFactory // identical reader path as batch
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
