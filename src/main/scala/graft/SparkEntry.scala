@@ -228,6 +228,7 @@ object SparkEntry {
       spatialDiffOrder: Int = 0,
       pngPacking: Boolean = false,
       ccsdsPacking: Boolean = false,
+      jpegPacking: Boolean = false,
       rotatedPole: Option[(Double, Double, Double)] = None,
       gaussianN: Option[Int] = None,
       reducedRows: Option[Seq[Int]] = None): String = {
@@ -242,6 +243,7 @@ object SparkEntry {
     val tag = (if (holes) "_bm" else "") + (if (complexPacking) "_cx" else "") +
       (if (spatialDiffOrder > 0) s"_sd$spatialDiffOrder" else "") +
       (if (pngPacking) "_png" else "") + (if (ccsdsPacking) "_cc" else "") +
+      (if (jpegPacking) "_jp" else "") +
       (if (rotatedPole.isDefined) "_rot" else "") +
       (if (gaussianN.isDefined) "_gau" else "") +
       (if (reducedRows.isDefined) "_red" else "")
@@ -262,6 +264,7 @@ object SparkEntry {
     graft.sources.grib.GribFormat.writeFile(s, path, messages, edition = edition,
       complexPacking = complexPacking, spatialDiffOrder = spatialDiffOrder,
       pngPacking = pngPacking, ccsdsPacking = ccsdsPacking,
+      jpegPacking = jpegPacking,
       rotatedPole = rotatedPole, gaussianN = gaussianN,
       reducedRows = reducedRows)
     path
@@ -1206,6 +1209,18 @@ object SparkEntry {
     "q130_grib_ccsds_scan" -> ((s, dir) => {
       val path = gribEventsFixture(s, dir, edition = 2, holes = true,
         ccsdsPacking = true)
+      s.read.format("grib1").load(path)
+        .withColumn("slot", (col("latitude") * 5 + col("longitude")).cast("int"))
+        .select(col("time"), col("slot"), col("value").as("cnt"))
+        .orderBy("time", "slot")
+    }),
+
+    // JPEG 2000 packing (template 5.40, the ECMWF/ERA5 archive profile)
+    // under a bitmap — the full in-repo Part-1 codec (MQ coder, EBCOT,
+    // tag trees, reversible 5/3 DWT) behind the same spine oracle.
+    "q135_grib_jpeg2000_scan" -> ((s, dir) => {
+      val path = gribEventsFixture(s, dir, edition = 2, holes = true,
+        jpegPacking = true)
       s.read.format("grib1").load(path)
         .withColumn("slot", (col("latitude") * 5 + col("longitude")).cast("int"))
         .select(col("time"), col("slot"), col("value").as("cnt"))
@@ -2675,6 +2690,18 @@ object SparkEntry {
         |       CAST(COALESCE(g.cnt, 0) + spine.member * 1000 AS DOUBLE) AS cnt
         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q135_grib_jpeg2000_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s))
+        |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2""".stripMargin,
 
     // 5.3 reconstruction must land on exactly the 5.2 grid
     "q130_grib_ccsds_scan" ->

@@ -19,8 +19,10 @@ import java.io.{DataOutputStream, EOFException, InputStream}
   * number → the scan's `member` column); data representation templates 5.0 (simple packing, IEEE
   * float reference), 5.2 (complex packing, byte-aligned group
   * streams), 5.3 (complex packing + order-1/2 spatial differencing —
-  * the packing operational NCEP archives like GFS carry) and 5.41 (PNG
-  * rasters — MRMS-style, via the in-repo [[Png]] codec); section-6
+  * the packing operational NCEP archives like GFS carry), 5.40 (lossless
+  * JPEG 2000 — the ECMWF/ERA5 archive packing, via the in-repo
+  * [[Jpeg2000]] codec), 5.41 (PNG rasters — MRMS-style, via the in-repo
+  * [[Png]] codec) and 5.42 (CCSDS/AEC Rice coding, [[Ccsds]]); section-6
   * bitmaps (present/previous/none); multi-FIELD messages (repeated
   * section 4-7 groups). Validated against NCEP's rtma_pcp.grib (the
   * reference's own test input).
@@ -229,7 +231,11 @@ object GribFormat {
         * optional list (ERA5's native reduced Gaussian shape — rows near
         * the poles carry fewer points). Row r spans the full circle from
         * lo1 with spacing 360/rowLengths(r). */
-      rowLengths: Option[Array[Int]] = None) {
+      rowLengths: Option[Array[Int]] = None,
+      /** Data representation template 5.40: the data section is a JPEG 2000
+        * codestream of the scaled offsets (the ECMWF/ERA5 archive
+        * packing), decoded by the in-repo [[Jpeg2000]] codec. */
+      jpeg: Boolean = false) {
     // lazy, not def: latLonAt runs per cell (twice per row for lat+lon
     // columns) on rotated/Gaussian grids — rebuilding the axis arrays per
     // call would dominate a large scan
@@ -346,6 +352,24 @@ object GribFormat {
           val raw = Ccsds.decode(slab, nPresent, bitsPerValue, ccsds.get)
           var j = 0
           while (j < nPresent) { vals(j) = unscale(raw(j).toDouble); j += 1 }
+        }
+        return (k: Int) => if (!present(k)) Double.NaN else vals(rank(k))
+      }
+      if (jpeg) {
+        // template 7.40: the section body IS a JPEG 2000 codestream of the
+        // scaled offsets — (ni, nj) without a bitmap, (nPresent, 1) with one
+        val nPresent = if (hasBitmap) rank(nValues - 1) +
+          (if (present(nValues - 1)) 1 else 0) else nValues
+        val vals = new Array[Double](nPresent)
+        if (bitsPerValue == 0) {
+          java.util.Arrays.fill(vals, unscale(0.0))
+        } else {
+          val (w, h, samples) = Jpeg2000.decode(slab)
+          require(w.toLong * h == nPresent,
+            s"JPEG 2000 raster $w x $h carries ${w.toLong * h} values, " +
+              s"field has $nPresent present")
+          var j = 0
+          while (j < nPresent) { vals(j) = unscale(samples(j).toDouble); j += 1 }
         }
         return (k: Int) => if (!present(k)) Double.NaN else vals(rank(k))
       }
@@ -744,12 +768,14 @@ object GribFormat {
       spatialDiffOrder: Int = 0,
       pngPacking: Boolean = false,
       ccsdsPacking: Boolean = false,
+      jpegPacking: Boolean = false,
       rotatedPole: Option[(Double, Double, Double)] = None,
       gaussianN: Option[Int] = None,
       reducedRows: Option[Seq[Int]] = None): Unit =
     writeMessage2Fields(out, refTime, lats, lons,
       Seq((paramId, leadHours, values)), decimalScale, complexPacking,
       spatialDiffOrder, pngPacking = pngPacking, ccsdsPacking = ccsdsPacking,
+      jpegPacking = jpegPacking,
       rotatedPole = rotatedPole, gaussianN = gaussianN,
       reducedRows = reducedRows)
 
@@ -773,6 +799,10 @@ object GribFormat {
       /** Template 5.42: CCSDS/AEC (Rice) coded offsets — ecCodes
         * `grid_ccsds`, flags MSB|preprocess, block 16, RSI 8. */
       ccsdsPacking: Boolean = false,
+      /** Template 5.40: the scaled offsets travel as a lossless JPEG 2000
+        * codestream ((ni, nj), or (nPresent, 1) under a bitmap) — the
+        * ECMWF/ERA5 archive packing, in-repo [[Jpeg2000]] codec. */
+      jpegPacking: Boolean = false,
       /** Grid template 3.1 (rotated lat/lon): CF rotated-north-pole
         * (poleLat, poleLon, angle); `lats`/`lons` are then ROTATED
         * coordinates. None = plain 3.0. */
@@ -795,8 +825,10 @@ object GribFormat {
       s"spatial differencing order $spatialDiffOrder (0, 1, 2)")
     require(spatialDiffOrder == 0 || complexPacking,
       "spatial differencing (5.3) rides on complex packing")
-    require(Seq(complexPacking, pngPacking, ccsdsPacking).count(identity) <= 1,
-      "pick one data representation: complex (5.2/5.3), PNG (5.41) or CCSDS (5.42)")
+    require(Seq(complexPacking, pngPacking, ccsdsPacking, jpegPacking)
+        .count(identity) <= 1,
+      "pick one data representation: complex (5.2/5.3), PNG (5.41), " +
+        "CCSDS (5.42) or JPEG 2000 (5.40)")
     val nj = lats.length; val ni = lons.length
 
     final case class FieldPlan(
@@ -806,6 +838,7 @@ object GribFormat {
         complexParts: Option[(ComplexParams, Array[Byte], Int)],
         pngBytes: Option[Array[Byte]],
         ccsdsBytes: Option[Array[Byte]],
+        jpegBytes: Option[Array[Byte]],
         refValue: Float,
         member: Int,
         sec4Len: Int, sec5Len: Int, sec6Len: Int, sec7Len: Int)
@@ -823,6 +856,8 @@ object GribFormat {
         s"range needs $bits bits (>32); PNG packing tops out at RGBA depth")
       else if (ccsdsPacking) require(bits <= 32,
         s"range needs $bits bits (>32); CCSDS samples top out at 32")
+      else if (jpegPacking) require(bits <= 26,
+        s"range needs $bits bits (>26); JPEG 2000 component precision cap")
       else if (!complexPacking) require(bits <= 24,
         s"range needs $bits bits (>24); raise decimalScale or complex-pack")
       // the reference value travels as IEEE float32 — exact for ints < 2^24
@@ -865,19 +900,32 @@ object GribFormat {
           while (i < scaled.length) { offsets(i) = scaled(i) - minV; i += 1 }
           Some(Ccsds.encode(offsets, math.max(bits, 2), CcsdsWriterParams))
         }
-      val dataByteLen = (complexParts, pngBytes, ccsdsBytes) match {
-        case (Some((_, bytes, _)), _, _) => bytes.length
-        case (_, Some(bytes), _) => bytes.length
-        case (_, _, Some(bytes)) => bytes.length
+      // 7.40: lossless JPEG 2000 codestream of the offsets, same geometry
+      // convention as PNG ((ni, nj), or flattened under a bitmap)
+      val jpegBytes =
+        if (!jpegPacking) None
+        else if (bits == 0) Some(Array.emptyByteArray) // constant field
+        else {
+          val (w, h) = if (bitmap.isDefined) (scaled.length, 1) else (ni, nj)
+          val offsets = new Array[Long](scaled.length)
+          var i = 0
+          while (i < scaled.length) { offsets(i) = scaled(i) - minV; i += 1 }
+          Some(Jpeg2000.encode(w, h, math.max(bits, 1), offsets))
+        }
+      val dataByteLen = (complexParts, pngBytes, ccsdsBytes, jpegBytes) match {
+        case (Some((_, bytes, _)), _, _, _) => bytes.length
+        case (_, Some(bytes), _, _) => bytes.length
+        case (_, _, Some(bytes), _) => bytes.length
+        case (_, _, _, Some(bytes)) => bytes.length
         case _ => ((scaled.length.toLong * bits + 7) / 8).toInt
       }
       FieldPlan(paramId, leadHours, scaled, minV, bits, bitmap, complexParts,
-        pngBytes, ccsdsBytes,
+        pngBytes, ccsdsBytes, jpegBytes,
         refValue = if (fieldOrder > 0) 0f else minV.toFloat,
         member = member,
         sec4Len = if (member >= 0) 37 else 34,
         sec5Len = if (fieldOrder > 0) 49 else if (complexPacking) 47
-          else if (ccsdsPacking) 25 else 21,
+          else if (ccsdsPacking) 25 else if (jpegPacking) 23 else 21,
         sec6Len = 6 + bitmap.map(_.length).getOrElse(0),
         sec7Len = 5 + dataByteLen)
     }
@@ -981,10 +1029,12 @@ object GribFormat {
       out.writeInt(p.scaled.length)
       p.complexParts match {
         case None =>
-          // templates 5.41 (PNG) and 5.42 (CCSDS) share 5.0's 21-octet body
+          // templates 5.40 (JPEG 2000), 5.41 (PNG) and 5.42 (CCSDS) all
+          // share 5.0's 21-octet body
           out.writeShort(
             if (p.pngBytes.isDefined) 41
             else if (p.ccsdsBytes.isDefined) 42
+            else if (p.jpegBytes.isDefined) 40
             else 0)
           out.writeInt(java.lang.Float.floatToIntBits(refValue))
           writeSm(out, 0, 2) // binary scale E = 0
@@ -992,12 +1042,17 @@ object GribFormat {
           out.writeByte(
             if (p.pngBytes.isDefined) math.max(p.bits, 1)
             else if (p.ccsdsBytes.isDefined && p.bits > 0) math.max(p.bits, 2)
+            else if (p.jpegBytes.isDefined && p.bits > 0) math.max(p.bits, 1)
             else p.bits)
           out.writeByte(0) // field type: floating point
           if (p.ccsdsBytes.isDefined) {
             out.writeByte(CcsdsWriterParams.flags)
             out.writeByte(CcsdsWriterParams.blockSize)
             out.writeShort(CcsdsWriterParams.rsi)
+          }
+          if (p.jpegBytes.isDefined) {
+            out.writeByte(0) // compression type: lossless
+            out.writeByte(255) // target compression ratio: missing
           }
         case Some((cp, _, refBits)) =>
           out.writeShort(if (cp.spatialOrder > 0) 3 else 2) // template 5.2/5.3
@@ -1029,10 +1084,11 @@ object GribFormat {
       }
       // Section 7 — data
       out.writeInt(p.sec7Len); out.writeByte(7)
-      (p.complexParts, p.pngBytes, p.ccsdsBytes) match {
-        case (Some((_, bytes, _)), _, _) => out.write(bytes)
-        case (_, Some(bytes), _) => out.write(bytes)
-        case (_, _, Some(bytes)) => out.write(bytes)
+      (p.complexParts, p.pngBytes, p.ccsdsBytes, p.jpegBytes) match {
+        case (Some((_, bytes, _)), _, _, _) => out.write(bytes)
+        case (_, Some(bytes), _, _) => out.write(bytes)
+        case (_, _, Some(bytes), _) => out.write(bytes)
+        case (_, _, _, Some(bytes)) => out.write(bytes)
         case _ => writePacked(out, p.scaled, p.minV, p.bits)
       }
     }
@@ -1096,6 +1152,7 @@ object GribFormat {
       var rowLengths: Option[Array[Int]] = None
       var member = -1
       var png = false
+      var jpeg = false
       var seenRepr = false
       var done = false
       while (!done) {
@@ -1125,7 +1182,7 @@ object GribFormat {
             fields += GribMessage(paramId, validTime, ni, nj, la1, lo1, la2,
               lo2, decimalScale, binaryScale, refValue, bits, dataOffset,
               dataBytes, total.toInt, bitmapOffset, bitmapBytes, complex, lcc,
-              member, png, ccsds, rot, gaussN, rowLengths)
+              member, png, ccsds, rot, gaussN, rowLengths, jpeg = jpeg)
           } else if (num == 6) {
             val indicator = readN(1)(0) & 0xFF
             indicator match {
@@ -1264,24 +1321,41 @@ object GribFormat {
                       s"field type ${body(15)} unsupported (only 0: floating point)")
                     complex = None // a later field may revert to simple packing
                     png = false
+                    jpeg = false
                     ccsds = None
                   case 41 => // PNG packing — 5.0's 21-octet layout + a raster body
                     require((body(15) & 0xFF) == 0,
                       s"field type ${body(15)} unsupported (only 0: floating point)")
                     complex = None
                     png = true
+                    jpeg = false
                     ccsds = None
                   case 42 => // CCSDS/AEC (Rice) — 5.0's layout + flags/block/RSI
                     require((body(15) & 0xFF) == 0,
                       s"field type ${body(15)} unsupported (only 0: floating point)")
                     complex = None
                     png = false
+                    jpeg = false
                     ccsds = Some(Ccsds.Params(
                       flags = body(16) & 0xFF,
                       blockSize = body(17) & 0xFF,
                       rsi = u16(body, 18)))
+                  case 40 => // JPEG 2000 — 5.0's layout + compression type/ratio
+                    require(body.length >= 18,
+                      s"template 5.40 section carries ${body.length + 5} " +
+                        "octets (23 needed)")
+                    require((body(15) & 0xFF) == 0,
+                      s"field type ${body(15)} unsupported (only 0: floating point)")
+                    require((body(16) & 0xFF) == 0,
+                      s"JPEG 2000 compression type ${body(16) & 0xFF} unsupported " +
+                        "(0: lossless 5/3 only — lossy 9/7 streams are out of scope)")
+                    complex = None
+                    png = false
+                    jpeg = true
+                    ccsds = None
                   case t @ (2 | 3) => // complex packing (5.2) / + spatial differencing (5.3)
                     png = false
+                    jpeg = false
                     ccsds = None
                     require((body(16) & 0xFF) == 1,
                       s"group splitting method ${body(16)} unsupported (1: general)")
@@ -1308,21 +1382,9 @@ object GribFormat {
                       lengthBits = body(41) & 0xFF,
                       spatialOrder = order,
                       spatialDescBytes = descBytes))
-                  case 40 =>
-                    // Deliberate refusal, not an oversight: template 5.40
-                    // packs the field as a JPEG2000 codestream, and no J2K
-                    // codec ships with Spark or this library (decoding it
-                    // means an in-repo EBCOT/MQ-coder/DWT implementation).
-                    // Refuse precisely so an ECMWF-archive user knows the
-                    // remedy instead of seeing a generic parse failure.
-                    throw new IllegalArgumentException(
-                      "data representation template 5.40 (JPEG2000 packing) " +
-                        "is not supported: no JPEG2000 codec is available. " +
-                        "Re-encode the file to simple or complex packing " +
-                        "first (e.g. grib_set -r -s packingType=grid_simple) " +
-                        "— templates 5.0/5.2/5.3/5.41/5.42 decode natively")
                   case t => throw new IllegalArgumentException(
-                    s"data representation template $t unsupported (5.0, 5.2, 5.3, 5.41, 5.42)")
+                    s"data representation template $t unsupported " +
+                      "(5.0, 5.2, 5.3, 5.40, 5.41, 5.42)")
                 }
               case n => throw new IllegalArgumentException(s"Unexpected GRIB2 section $n")
             }
@@ -1471,6 +1533,7 @@ object GribFormat {
       spatialDiffOrder: Int = 0,
       pngPacking: Boolean = false,
       ccsdsPacking: Boolean = false,
+      jpegPacking: Boolean = false,
       rotatedPole: Option[(Double, Double, Double)] = None,
       gaussianN: Option[Int] = None,
       reducedRows: Option[Seq[Int]] = None): Unit = {
@@ -1479,6 +1542,7 @@ object GribFormat {
     require(!complexPacking || edition == 2, "complex packing is edition-2 only")
     require(!pngPacking || edition == 2, "PNG packing is edition-2 only")
     require(!ccsdsPacking || edition == 2, "CCSDS packing is edition-2 only")
+    require(!jpegPacking || edition == 2, "JPEG 2000 packing is edition-2 only")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
@@ -1489,6 +1553,7 @@ object GribFormat {
       else writeMessage2(out, param, t, lats, lons, vals, decimalScale,
         complexPacking = complexPacking, spatialDiffOrder = spatialDiffOrder,
         pngPacking = pngPacking, ccsdsPacking = ccsdsPacking,
+        jpegPacking = jpegPacking,
         rotatedPole = rotatedPole, gaussianN = gaussianN,
         reducedRows = reducedRows)
     }

@@ -1,0 +1,157 @@
+package graft.sources.grib
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** GRIB2 template 5.40 — JPEG 2000 (lossless Part-1) packing. Codec-level
+  * roundtrips sweep geometry (1×N and N×1 strips, odd dims, multi-code-block
+  * grids), precision and data texture; ScalaCheck drives arbitrary images;
+  * out-of-profile codestreams (9/7 irreversible, code-block styles, POC,
+  * signed components) are refused by name; writer→scan roundtrips gate the
+  * GRIB integration incl. bitmaps, decimals and constant fields. */
+class Grib2JpegSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  private def texture(i: Int, w: Int, nbits: Int, shape: Int): Long = {
+    val xmax = (1L << nbits) - 1
+    shape match {
+      case 0 => 0L // all-zero → every code block excluded
+      case 1 => xmax // constant max → one bit-plane everywhere
+      case 2 => (i.toLong * 3) % (xmax + 1) // gentle ramp → small high bands
+      case 3 => // white noise → every pass carries data
+        val h = (i * 2654435761L) ^ (i << 9)
+        java.lang.Long.remainderUnsigned(h, xmax + 1)
+      case 4 => if (i % 53 == 0) xmax else 0L // sparse spikes → run-length mode
+      case 5 => // smooth 2-D field (the realistic GRIB texture)
+        val x = i % w; val y = i / w
+        val v = (math.sin(x * 0.21) + math.cos(y * 0.17) + 2.0) / 4.0
+        math.min(xmax, (v * xmax).toLong)
+    }
+  }
+
+  test("codec roundtrip across geometry, precision and texture") {
+    for {
+      (w, h) <- Seq((1, 1), (4, 1), (1, 9), (7, 5), (10, 1), (64, 64),
+        (65, 63), (130, 3), (3, 130), (200, 40))
+      nbits <- Seq(1, 2, 8, 12, 16, 25)
+      shape <- 0 to 5
+    } {
+      val xs = Array.tabulate(w * h)(i => texture(i, w, nbits, shape))
+      val enc = Jpeg2000.encode(w, h, nbits, xs)
+      val (gw, gh, dec) = Jpeg2000.decode(enc)
+      assert(gw == w && gh == h, s"geometry $gw x $gh for $w x $h")
+      assert(dec.sameElements(xs),
+        s"roundtrip w=$w h=$h nbits=$nbits shape=$shape: first diff at " +
+          s"${dec.indices.find(i => dec(i) != xs(i))}")
+    }
+  }
+
+  test("property: arbitrary images roundtrip bit-exact") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = for {
+      w <- Gen.choose(1, 90)
+      h <- Gen.choose(1, 90)
+      nbits <- Gen.choose(1, 24)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield (w, h, nbits, seed)
+    val prop = Prop.forAll(gen) { case (w, h, nbits, seed) =>
+      val xmax = (1L << nbits) - 1
+      val rnd = new scala.util.Random(seed)
+      // mixed texture: flat runs, ramps, noise — exercises run-length
+      // cleanup, refinement and significance-propagation paths
+      val xs = Array.tabulate(w * h) { i =>
+        rnd.nextInt(4) match {
+          case 0 => 0L
+          case 1 => xmax
+          case 2 => (i.toLong * (1 + (seed & 15))) % (xmax + 1)
+          case _ => (rnd.nextLong() & Long.MaxValue) % (xmax + 1)
+        }
+      }
+      val (gw, gh, dec) = Jpeg2000.decode(Jpeg2000.encode(w, h, nbits, xs))
+      gw == w && gh == h && dec.sameElements(xs)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(120), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def patchAfterMarker(cs: Array[Byte], marker: Int, offset: Int,
+      value: Int): Array[Byte] = {
+    val out = cs.clone()
+    val at = out.indices.dropRight(1).find(i =>
+      (out(i) & 0xFF) == 0xFF && (out(i + 1) & 0xFF) == (marker & 0xFF)).get
+    out(at + offset) = value.toByte
+    out
+  }
+
+  test("out-of-profile codestreams are refused by name") {
+    val xs = Array.tabulate(48)(i => (i % 17).toLong)
+    val cs = Jpeg2000.encode(8, 6, 6, xs)
+    // COD body: marker(2) len(2) Scod(1) prog(1) layers(2) mct(1) nl(1)
+    // xcb(1) ycb(1) style(1) transform(1) → transform at +13, style at +12
+    val irrev = intercept[IllegalArgumentException] {
+      Jpeg2000.decode(patchAfterMarker(cs, 0x52, 13, 0))
+    }
+    assert(irrev.getMessage.contains("9/7"), irrev.getMessage)
+    val style = intercept[IllegalArgumentException] {
+      Jpeg2000.decode(patchAfterMarker(cs, 0x52, 12, 0x01))
+    }
+    assert(style.getMessage.contains("bypass"), style.getMessage)
+    // SIZ Ssiz (component precision/sign) sits at +40 in the marker segment
+    val signed = intercept[IllegalArgumentException] {
+      Jpeg2000.decode(patchAfterMarker(cs, 0x51, 40, 0x85))
+    }
+    assert(signed.getMessage.contains("signed"), signed.getMessage)
+    val notJ2k = intercept[IllegalArgumentException] {
+      Jpeg2000.decode(Array[Byte](1, 2, 3, 4, 5))
+    }
+    assert(notJ2k.getMessage.contains("SOC"), notJ2k.getMessage)
+  }
+
+  test("writer → parser → scan roundtrip: negatives, decimals, bitmap holes") {
+    val dir = Files.createTempDirectory("grib2jpeg").toString
+    val vals = Array(1.25, -3.5, Double.NaN, 10.0, 0.0, 99.75, -0.25, 7.5,
+      Double.NaN, 2.0)
+    GribFormat.writeFile(spark, s"$dir/j.grb2", Seq(
+      (61, LocalDateTime.of(2024, 3, 1, 0, 0), Seq(-45.5, -45.0),
+        Seq(10.0, 10.5, 11.0, 11.5, 12.0), vals)),
+      decimalScale = 2, edition = 2, jpegPacking = true)
+    val df = spark.read.format("grib1").load(s"$dir/j.grb2")
+      .orderBy("latitude", "longitude")
+    val got = df.select("value").as[java.lang.Double].collect()
+    assert(got.length == 10)
+    vals.zip(got).foreach { case (e, g) =>
+      if (e.isNaN) assert(g == null) else assert(g == e, s"$e vs $g")
+    }
+  }
+
+  test("multi-code-block grid (wider than 64) survives the scan bit-exact") {
+    val dir = Files.createTempDirectory("grib2jpeg_big").toString
+    val lats = (0 until 70).map(j => -10.0 + j * 0.25)
+    val lons = (0 until 150).map(i => 40.0 + i * 0.1)
+    val vals = Array.tabulate(70 * 150)(i => ((i * 37) % 4001).toDouble / 4.0)
+    GribFormat.writeFile(spark, s"$dir/big.grb2", Seq(
+      (7, LocalDateTime.of(2024, 6, 1, 12, 0), lats, lons, vals)),
+      decimalScale = 2, edition = 2, jpegPacking = true)
+    val got = spark.read.format("grib1").load(s"$dir/big.grb2")
+      .orderBy(col("latitude"), col("longitude"))
+      .select("value").as[Double].collect()
+    assert(got.toSeq == vals.toSeq)
+  }
+
+  test("constant field (zero bits per value) scans without a codestream") {
+    val dir = Files.createTempDirectory("grib2jpeg_const").toString
+    GribFormat.writeFile(spark, s"$dir/c.grb2", Seq(
+      (61, LocalDateTime.of(2024, 3, 1, 0, 0), Seq(0.0, 1.0), Seq(0.0, 1.0),
+        Array(5.5, 5.5, 5.5, 5.5))),
+      decimalScale = 1, edition = 2, jpegPacking = true)
+    val got = spark.read.format("grib1").load(s"$dir/c.grb2")
+      .select("value").as[Double].collect()
+    assert(got.toSeq == Seq(5.5, 5.5, 5.5, 5.5))
+  }
+}

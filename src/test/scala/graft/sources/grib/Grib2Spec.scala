@@ -91,25 +91,26 @@ class Grib2Spec extends SparkSpec {
     assert(byParam.contains("messages=1/5"), s"expected param pruning in:\n$byParam")
   }
 
-  test("template 5.40 (JPEG2000) is refused with an actionable message") {
-    // write a valid simple-packing file, then patch section 5's template
-    // number to 40 — the refusal fires at section-5 parse, before any data
-    // bytes are touched, so the patched body needn't be a real codestream
+  test("lossy JPEG 2000 (compression type 1) is refused by name") {
+    // write a real 5.40 file, then patch section 5's compression-type
+    // octet (22) to 1 — the refusal fires at section-5 parse, before any
+    // codestream bytes are touched
     val dir = Files.createTempDirectory("grib2jp2").toString
     val path = s"$dir/jp2.grb2"
     GribFormat.writeFile(spark, path, Seq(
       (61, LocalDateTime.of(2024, 3, 1, 0, 0), Seq(0.0, 1.0),
-        Seq(0.0, 1.0), Array(1.0, 2.0, 3.0, 4.0))), edition = 2)
+        Seq(0.0, 1.0), Array(1.0, 2.0, 3.0, 4.0))), edition = 2,
+      jpegPacking = true)
     val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
     // walk sections (16-byte indicator, then [len:4][num:1] sections) to
-    // section 5; template number sits at section octets 10-11
+    // section 5; compression type sits at section octet 22
     var off = 16
     var patched = false
     while (!patched) {
       val len = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
         ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
       if ((bytes(off + 4) & 0xff) == 5) {
-        bytes(off + 9) = 0; bytes(off + 10) = 40
+        bytes(off + 21) = 1
         patched = true
       } else off += len
     }
@@ -122,8 +123,8 @@ class Grib2Spec extends SparkSpec {
     }
     val msgs = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
       .map(_.getMessage).mkString(" | ")
-    assert(msgs.contains("5.40") && msgs.contains("JPEG2000") &&
-      msgs.contains("grid_simple"), s"unexpected error chain: $msgs")
+    assert(msgs.contains("lossless") && msgs.contains("unsupported"),
+      s"unexpected error chain: $msgs")
   }
 
   test("param category lands in the high byte of paramId") {
