@@ -1240,6 +1240,18 @@ object SparkEntry {
         .orderBy(col("time"), col("cnt"))
     }),
 
+    // The FULL native ERA5 layout in one gate: reduced Gaussian grid
+    // (3.40 + per-row point counts) carrying JPEG 2000 packing (5.40)
+    // under a bitmap — grid decode and codec compose.
+    "q136_grib_era5_native_scan" -> ((s, dir) => {
+      val path = gribEventsFixture(s, dir, edition = 2, holes = true,
+        gaussianN = Some(1), reducedRows = Some(Seq(4, 6)),
+        jpegPacking = true)
+      s.read.format("grib1").load(path)
+        .select(col("time"), col("value").as("cnt"))
+        .orderBy(col("time"), col("cnt"))
+    }),
+
     // Regular Gaussian grid (template 3.40, the ERA5-native family):
     // decoded values gate against the events oracle; the Gaussian-parallel
     // coordinates are pinned by GribGaussianSpec (Legendre roots)
@@ -2725,6 +2737,18 @@ object SparkEntry {
         |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
         |          FROM days, (SELECT unnest(range(10)) AS s))
         |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q136_grib_era5_native_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s))
+        |SELECT spine.d AS time, g.cnt AS cnt
         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
         |ORDER BY 1, 2""".stripMargin,
 

@@ -885,7 +885,10 @@ object GribFormat {
       val pngBytes =
         if (!pngPacking) None
         else {
-          val (w, h) = if (bitmap.isDefined) (scaled.length, 1) else (ni, nj)
+          // reduced grids have no (ni, nj) raster shape — flatten like a
+          // bitmapped field
+          val (w, h) = if (bitmap.isDefined || reducedRows.isDefined)
+            (scaled.length, 1) else (ni, nj)
           val offsets = new Array[Long](scaled.length)
           var i = 0
           while (i < scaled.length) { offsets(i) = scaled(i) - minV; i += 1 }
@@ -906,7 +909,8 @@ object GribFormat {
         if (!jpegPacking) None
         else if (bits == 0) Some(Array.emptyByteArray) // constant field
         else {
-          val (w, h) = if (bitmap.isDefined) (scaled.length, 1) else (ni, nj)
+          val (w, h) = if (bitmap.isDefined || reducedRows.isDefined)
+            (scaled.length, 1) else (ni, nj)
           val offsets = new Array[Long](scaled.length)
           var i = 0
           while (i < scaled.length) { offsets(i) = scaled(i) - minV; i += 1 }

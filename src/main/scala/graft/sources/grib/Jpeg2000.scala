@@ -800,7 +800,17 @@ object Jpeg2000 {
 
   /** Encode `samples` (row-major unsigned ints < 2^nbits) as a lossless
     * single-tile single-component JPEG 2000 codestream. */
-  def encode(width: Int, height: Int, nbits: Int, samples: Array[Long]): Array[Byte] = {
+  def encode(width: Int, height: Int, nbits: Int, samples: Array[Long]): Array[Byte] =
+    encode(width, height, nbits, samples, layers = 1, prog = 0, sopEph = false)
+
+  /** Full-control variant for decoder-path coverage: `layers` > 1 spreads
+    * inclusion to the LAST layer (earlier packets carry only tag-tree
+    * "not yet included" walks — the incremental-threshold path a rate-
+    * controlled encoder produces), `prog` picks LRCP (0) or RLCP (1)
+    * packet ordering, `sopEph` brackets packets with SOP/EPH markers. */
+  private[grib] def encode(width: Int, height: Int, nbits: Int,
+      samples: Array[Long], layers: Int, prog: Int,
+      sopEph: Boolean): Array[Byte] = {
     require(samples.length == width.toLong * height,
       s"${samples.length} samples for $width x $height")
     require(width >= 1 && height >= 1, s"degenerate image $width x $height")
@@ -854,13 +864,75 @@ object Jpeg2000 {
       if (r == 0) cur
       else { val lev = nl - r + 1; bi match { case 0 => hlArr(lev); case 1 => lhArr(lev); case 2 => hhArr(lev) } }
 
+    require(layers >= 1 && layers <= 100, s"$layers layers")
+    require(prog == 0 || prog == 1, s"progression $prog (LRCP/RLCP only)")
     val cb = 1 << CbExp
-    val tile = new ByteArrayOutputStream()
+    // Tier-1 every band's blocks once; tag trees persist across layers
+    val codedAll = new Array[Array[(Int, Int, Array[Byte])]]((nl + 1) * 3)
+    val incAll = new Array[TagTree]((nl + 1) * 3)
+    val zeroAll = new Array[TagTree]((nl + 1) * 3)
+    def sIdx(r: Int, bi: Int): Int = r * 3 + bi
     var r = 0
     while (r <= nl) {
+      var bi = 0
+      while (bi < bands(r).length) {
+        val b = bands(r)(bi)
+        if (b.w > 0 && b.h > 0) {
+          val nbx = ceilDiv(b.w, cb); val nby = ceilDiv(b.h, cb)
+          val mb = nbits + b.gain + 1 // guard(2) + eps(nbits + gain) - 1
+          val inc = new TagTree(nbx, nby)
+          val zero = new TagTree(nbx, nby)
+          val data = bandData(r, bi)
+          val coded = new Array[(Int, Int, Array[Byte])](nbx * nby)
+          var bj = 0
+          while (bj < nby) {
+            var bx = 0
+            while (bx < nbx) {
+              val x0 = bx * cb; val y0 = bj * cb
+              val bw = math.min(cb, b.w - x0); val bh = math.min(cb, b.h - y0)
+              val blk = new Array[Int](bw * bh)
+              var yy = 0
+              while (yy < bh) {
+                var xx = 0
+                while (xx < bw) { blk(yy * bw + xx) = data((y0 + yy) * b.w + x0 + xx); xx += 1 }
+                yy += 1
+              }
+              val enc = encodeBlock(blk, bw, bh, b.orient)
+              coded(bj * nbx + bx) = enc
+              if (enc != null) require(enc._1 <= mb,
+                s"block needs ${enc._1} bit-planes, band budget is $mb")
+              // included blocks land in the LAST layer; excluded never
+              inc.setLeaf(bx, bj, if (enc == null) layers else layers - 1)
+              zero.setLeaf(bx, bj, if (enc == null) mb else mb - enc._1)
+              bx += 1
+            }
+            bj += 1
+          }
+          inc.finish(); zero.finish()
+          codedAll(sIdx(r, bi)) = coded
+          incAll(sIdx(r, bi)) = inc
+          zeroAll(sIdx(r, bi)) = zero
+        }
+        bi += 1
+      }
+      r += 1
+    }
+
+    val tile = new ByteArrayOutputStream()
+    var nsop = 0
+    val order: Seq[(Int, Int)] =
+      if (prog == 1) for (rr <- 0 to nl; l2 <- 0 until layers) yield (l2, rr)
+      else for (l2 <- 0 until layers; rr <- 0 to nl) yield (l2, rr)
+    for ((layer, rr) <- order) {
+      if (sopEph) {
+        tile.write(0xFF); tile.write(0x91) // SOP
+        tile.write(0); tile.write(4)
+        tile.write((nsop >> 8) & 0xFF); tile.write(nsop & 0xFF)
+        nsop = (nsop + 1) & 0xFFFF
+      }
       val hdr = new HdrWriter
       val body = new ByteArrayOutputStream()
-      val rBands = bands(r)
+      val rBands = bands(rr)
       var any = false
       rBands.foreach(b => if (b.w > 0 && b.h > 0) any = true)
       if (!any) { hdr.bit(0); hdr.flush() }
@@ -871,43 +943,15 @@ object Jpeg2000 {
           val b = rBands(bi)
           if (b.w > 0 && b.h > 0) {
             val nbx = ceilDiv(b.w, cb); val nby = ceilDiv(b.h, cb)
-            val mb = nbits + b.gain + 1 // guard(2) + eps(nbits + gain) - 1
-            val inc = new TagTree(nbx, nby)
-            val zero = new TagTree(nbx, nby)
-            val data = bandData(r, bi)
-            // Tier-1 every block first so tag-tree leaves are known
-            val coded = new Array[(Int, Int, Array[Byte])](nbx * nby)
+            val inc = incAll(sIdx(rr, bi)); val zero = zeroAll(sIdx(rr, bi))
+            val coded = codedAll(sIdx(rr, bi))
             var bj = 0
             while (bj < nby) {
               var bx = 0
               while (bx < nbx) {
-                val x0 = bx * cb; val y0 = bj * cb
-                val bw = math.min(cb, b.w - x0); val bh = math.min(cb, b.h - y0)
-                val blk = new Array[Int](bw * bh)
-                var yy = 0
-                while (yy < bh) {
-                  var xx = 0
-                  while (xx < bw) { blk(yy * bw + xx) = data((y0 + yy) * b.w + x0 + xx); xx += 1 }
-                  yy += 1
-                }
-                val enc = encodeBlock(blk, bw, bh, b.orient)
-                coded(bj * nbx + bx) = enc
-                if (enc != null) require(enc._1 <= mb,
-                  s"block needs ${enc._1} bit-planes, band budget is $mb")
-                inc.setLeaf(bx, bj, if (enc == null) 1 else 0)
-                zero.setLeaf(bx, bj, if (enc == null) mb else mb - enc._1)
-                bx += 1
-              }
-              bj += 1
-            }
-            inc.finish(); zero.finish()
-            bj = 0
-            while (bj < nby) {
-              var bx = 0
-              while (bx < nbx) {
                 val enc = coded(bj * nbx + bx)
-                inc.encodeUpTo(hdr, bx, bj, 1)
-                if (enc != null) {
+                inc.encodeUpTo(hdr, bx, bj, layer + 1)
+                if (enc != null && layer == layers - 1) {
                   zero.encodeValue(hdr, bx, bj)
                   val passes = enc._2
                   // number-of-passes code (T.800 Table B.4)
@@ -936,8 +980,8 @@ object Jpeg2000 {
         hdr.flush()
       }
       tile.write(hdr.out.toByteArray)
+      if (sopEph) { tile.write(0xFF); tile.write(0x92) } // EPH
       tile.write(body.toByteArray)
-      r += 1
     }
 
     // markers
@@ -952,9 +996,9 @@ object Jpeg2000 {
     u8(out, nbits - 1); u8(out, 1); u8(out, 1) // Ssiz (unsigned), XRsiz, YRsiz
     u16(out, 0xFF52) // COD
     u16(out, 12)
-    u8(out, 0) // Scod: no precincts listed, no SOP, no EPH
-    u8(out, 0) // progression: LRCP
-    u16(out, 1) // layers
+    u8(out, if (sopEph) 6 else 0) // Scod: no precincts listed; SOP+EPH bits
+    u8(out, prog) // progression: LRCP / RLCP
+    u16(out, layers)
     u8(out, 0) // no MCT
     u8(out, nl)
     u8(out, CbExp - 2); u8(out, CbExp - 2)

@@ -89,6 +89,24 @@ class Grib2JpegSpec extends SparkSpec {
     out
   }
 
+  test("multi-layer, RLCP and SOP/EPH codestreams decode (foreign-encoder shapes)") {
+    // rate-controlled encoders spread inclusion across layers and bracket
+    // packets with SOP/EPH — exercise the decoder's layer loop, the
+    // incremental tag-tree thresholds and both packet orderings
+    for {
+      (w, h) <- Seq((7, 5), (65, 63), (90, 1))
+      layers <- Seq(1, 2, 4)
+      prog <- Seq(0, 1)
+      sopEph <- Seq(false, true)
+    } {
+      val xs = Array.tabulate(w * h)(i => texture(i, w, 10, (i + layers) % 6))
+      val enc = Jpeg2000.encode(w, h, 10, xs, layers, prog, sopEph)
+      val (gw, gh, dec) = Jpeg2000.decode(enc)
+      assert(gw == w && gh == h && dec.sameElements(xs),
+        s"w=$w h=$h layers=$layers prog=$prog sopEph=$sopEph")
+    }
+  }
+
   test("out-of-profile codestreams are refused by name") {
     val xs = Array.tabulate(48)(i => (i % 17).toLong)
     val cs = Jpeg2000.encode(8, 6, 6, xs)
