@@ -1049,7 +1049,10 @@ object Jpeg2000 {
     require(u16r() == 0xFF51, "SIZ marker must follow SOC")
     val lsiz = u16r(); val sizStart = pos
     u16r() // Rsiz (capabilities; ignore)
-    val xsiz = u32r().toInt; val ysiz = u32r().toInt
+    val xsizL = u32r(); val ysizL = u32r()
+    require(xsizL >= 1 && ysizL >= 1 && xsizL * ysizL <= Int.MaxValue - 8,
+      s"image $xsizL x $ysizL out of range")
+    val xsiz = xsizL.toInt; val ysiz = ysizL.toInt
     val xosiz = u32r(); val yosiz = u32r()
     require(xosiz == 0 && yosiz == 0, s"image offset ($xosiz, $yosiz) unsupported (0, 0 only)")
     val xtsiz = u32r(); val ytsiz = u32r()

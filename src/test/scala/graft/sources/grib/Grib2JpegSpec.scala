@@ -131,6 +131,29 @@ class Grib2JpegSpec extends SparkSpec {
     assert(notJ2k.getMessage.contains("SOC"), notJ2k.getMessage)
   }
 
+  test("hostile codestreams fail fast — truncation and corruption never hang") {
+    val xs = Array.tabulate(40 * 30)(i => texture(i, 40, 12, i % 6))
+    val cs = Jpeg2000.encode(40, 30, 12, xs)
+    // every truncation point: clean exception or (for tail truncation
+    // inside padded MQ data) a successful decode — never a hang
+    (0 until cs.length by 7).foreach { cut =>
+      try Jpeg2000.decode(java.util.Arrays.copyOf(cs, cut))
+      catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+        _: NegativeArraySizeException | _: java.nio.BufferUnderflowException => () }
+    }
+    // single-byte corruption sweep past the SIZ segment (dimension bytes
+    // are require-guarded; corrupting them would just test the allocator)
+    val rnd = new scala.util.Random(7)
+    (0 until 400).foreach { _ =>
+      val bad = cs.clone()
+      bad(45 + rnd.nextInt(bad.length - 45)) = rnd.nextInt(256).toByte
+      try Jpeg2000.decode(bad)
+      catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+        _: NegativeArraySizeException | _: ArithmeticException |
+        _: java.nio.BufferUnderflowException => () }
+    }
+  }
+
   test("writer → parser → scan roundtrip: negatives, decimals, bitmap holes") {
     val dir = Files.createTempDirectory("grib2jpeg").toString
     val vals = Array(1.25, -3.5, Double.NaN, 10.0, 0.0, 99.75, -0.25, 7.5,
