@@ -748,6 +748,37 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // --- text analysis (documents) ---
+    // Misra-Gries heavy hitters with exact verify: bounded per-partition
+    // state generates candidates, only candidate tokens shuffle, output
+    // counts are exact — so the DuckDB oracle is the plain exact query.
+    "q137_heavy_hitters" -> ((s, dir) =>
+      graft.functions.Sketch.frequentTokens(
+        table(s, dir, "documents"), "text", 0.005).orderBy("token")),
+
+    // HLL distinct sketches as a dedup-rate monitoring gate: the exact
+    // per-source distinct counts travel to the oracle; sketch_ok folds in
+    // the one-shot AND incremental-union estimates' 5% error bound (a
+    // drifting sketch flips the flag and fails the hash compare).
+    "q138_distinct_sketch_gate" -> ((s, dir) => {
+      import graft.functions.Sketch
+      val docs = table(s, dir, "documents")
+      val exact = docs.groupBy("source")
+        .agg(countDistinct(col("text")).as("n_distinct"))
+      val one = Sketch.distinctEstimates(
+        Sketch.distinctSketches(docs, "source", col("text")), "source")
+      val halves = Seq(0, 1).map(m => Sketch.distinctSketches(
+        docs.filter(col("doc_id") % 2 === m), "source", col("text")))
+      val inc = Sketch.distinctEstimates(
+        Sketch.unionSketchTables(halves(0), halves(1), "source"), "source")
+        .withColumnRenamed("estimate", "est_inc")
+      def ok(c: Column) = abs(c - col("n_distinct")).cast("double") /
+        col("n_distinct").cast("double") < 0.05
+      exact.join(one, "source").join(inc, "source")
+        .select(col("source"), col("n_distinct"),
+          (ok(col("estimate")) && ok(col("est_inc"))).as("sketch_ok"))
+        .orderBy("source")
+    }),
+
     "q33_token_stats" -> ((s, dir) =>
       table(s, dir, "documents").select(
         col("doc_id"),
@@ -2290,6 +2321,20 @@ object SparkEntry {
     "q37_fingerprint" -> OracleXxh64.fingerprintSql("documents"),
     "q38_subword_tokens" -> OracleXxh64.subwordCountSql("documents"),
     "q51_media_fingerprint" -> OracleXxh64.mediaFingerprintSql("documents"),
+
+    "q137_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($ToksSql) AS token FROM documents)
+         |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         |FROM toks
+         |GROUP BY token
+         |HAVING CAST(count(*) AS DOUBLE) >=
+         |  CAST(0.005 AS DOUBLE) * (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+         |ORDER BY token""".stripMargin,
+
+    "q138_distinct_sketch_gate" ->
+      """SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+        |       true AS sketch_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q33_token_stats" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents)
