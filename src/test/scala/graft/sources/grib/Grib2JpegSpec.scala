@@ -131,6 +131,26 @@ class Grib2JpegSpec extends SparkSpec {
     assert(notJ2k.getMessage.contains("SOC"), notJ2k.getMessage)
   }
 
+  test("ERA5-sized grid (1440 x 721, 16-bit) roundtrips; decode stays sub-second") {
+    val w = 1440; val h = 721
+    val xs = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      // smooth synthetic geophysical field + quantization noise
+      val v = (math.sin(x * 0.013) * math.cos(y * 0.017) + 1.5) / 3.0
+      ((v * 60000).toLong + (i * 2654435761L & 15)) & 0xFFFF
+    }
+    val enc = Jpeg2000.encode(w, h, 16, xs)
+    val t0 = System.nanoTime()
+    val (gw, gh, dec) = Jpeg2000.decode(enc)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(gw == w && gh == h && dec.sameElements(xs))
+    info(f"1M-cell decode: $ms%.0f ms, ${enc.length / 1024} KiB codestream " +
+      f"(${w * h * 2.0 / enc.length}%.1f x vs raw 16-bit)")
+    // one message per task at scan time: a multi-second decode would
+    // dominate the scan's cost model, so pin an upper bound with margin
+    assert(ms < 10000, f"decode took $ms%.0f ms")
+  }
+
   test("hostile codestreams fail fast — truncation and corruption never hang") {
     val xs = Array.tabulate(40 * 30)(i => texture(i, 40, 12, i % 6))
     val cs = Jpeg2000.encode(40, 30, 12, xs)
