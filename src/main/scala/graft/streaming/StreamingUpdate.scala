@@ -313,4 +313,46 @@ object StreamingUpdate {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Continuous per-group distinct monitoring (dedup-rate dashboards over
+    * an unbounded ingest): each micro-batch is HLL-sketched ALONE and
+    * union-merged into the parquet sketch table at `sketchPath` — the
+    * corpus is never rescanned and executor state is zero; all monitoring
+    * state is the ~4 KB-per-group persisted table, so the query restarts
+    * from its checkpoint with nothing to rebuild (the
+    * [[startStreamingNearDedup]] durability shape, applied to
+    * [[graft.functions.Sketch]]). `sink` receives the refreshed estimates
+    * after each merge. */
+  def startStreamingDistinctMonitor(
+      stream: DataFrame,
+      sketchPath: String,
+      groupCol: String,
+      keyCol: String,
+      checkpointDir: String,
+      lgK: Int = 12)(sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val batchSk = graft.functions.Sketch.distinctSketches(
+            batch, groupCol, col(keyCol), lgK)
+          val p = new org.apache.hadoop.fs.Path(sketchPath)
+          val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(p)
+          val merged =
+            if (exists) graft.functions.Sketch.unionSketchTables(
+              spark.read.parquet(sketchPath), batchSk, groupCol)
+            else batchSk
+          // materialize before overwriting the path the plan reads from
+          val mat = merged.localCheckpoint(true)
+          try {
+            mat.write.mode("overwrite").parquet(sketchPath)
+            sink(graft.functions.Sketch.distinctEstimates(
+              spark.read.parquet(sketchPath), groupCol))
+          } finally graft.Housekeeping.release(mat)
+        }
+      }
+      .start()
 }

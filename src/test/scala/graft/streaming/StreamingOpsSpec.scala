@@ -145,6 +145,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(idx == Seq(1L, 2L, 6L))
   }
 
+  test("startStreamingDistinctMonitor: per-source distincts accumulate across " +
+      "batches and restarts via the persisted sketch table") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("sdm").toString
+    val in = MemoryStream[(Long, String, String)]
+    var latest = Map.empty[String, Long]
+    def capture(df: org.apache.spark.sql.DataFrame): Unit =
+      latest = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q = StreamingUpdate.startStreamingDistinctMonitor(
+      in.toDF().toDF("doc_id", "source", "text"), s"$root/sk",
+      "source", "text", s"$root/ckpt")(capture)
+    in.addData((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "x"))
+    q.processAllAvailable()
+    assert(latest == Map("a" -> 2L, "b" -> 1L), latest.toString)
+    // batch 2: repeats do not count, new values do — without rescanning
+    in.addData((4L, "a", "x"), (5L, "a", "z"), (6L, "b", "w"))
+    q.processAllAvailable()
+    assert(latest == Map("a" -> 3L, "b" -> 2L), latest.toString)
+    q.stop()
+    // a RESTARTED query continues from the persisted table, not from zero
+    val q2 = StreamingUpdate.startStreamingDistinctMonitor(
+      in.toDF().toDF("doc_id", "source", "text"), s"$root/sk",
+      "source", "text", s"$root/ckpt")(capture)
+    in.addData((7L, "a", "x"), (8L, "c", "q"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(latest == Map("a" -> 3L, "b" -> 2L, "c" -> 1L), latest.toString)
+  }
+
   test("anomalyAlert: departures beyond threshold emit; unknown cells flag " +
       "no_baseline; normal rows pass silently") {
     implicit val sqlCtx = spark.sqlContext
