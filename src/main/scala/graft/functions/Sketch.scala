@@ -30,12 +30,13 @@ object Sketch {
   /** Exact heavy-hitter tokens: every token whose corpus frequency is at
     * least `eps` of all token occurrences, with its EXACT count.
     *
-    * Plan shape: per-partition Misra-Gries summaries (bounded ⌈1/ε⌉+1
-    * entries each — the only state, regardless of corpus size) feed a
-    * driver-free candidate frame of ≤ partitions·k rows; the exact pass
-    * broadcasts the candidates, so the token exchange carries only
-    * candidate occurrences — the long tail (the overwhelming majority at
-    * any realistic ε) never shuffles. Guarantee: a token with count
+    * Plan shape: ONE corpus scan emits per-partition Misra-Gries summaries
+    * (bounded ⌈1/ε⌉+1 entries each, regardless of corpus size) together
+    * with partition token counts — collected driver-side (small by
+    * construction, ≤ partitions·(k+1) rows, the centroid-sidecar
+    * precedent); the exact pass then broadcasts the candidates, so the
+    * token exchange carries only candidate occurrences — the long tail
+    * (the overwhelming majority at any realistic ε) never shuffles. Guarantee: a token with count
     * ≥ ε·N exceeds ε·N_p on at least one partition (averaging), and with
     * k > 1/ε its Misra-Gries undercount bound N_p/k < ε·N_p keeps it in
     * that partition's summary — no false negatives; the verify join
@@ -47,10 +48,16 @@ object Sketch {
     val k = math.ceil(1.0 / eps).toInt + 1
     val toks = df.select(explode(Text.tokens(col(textCol))).as("token"))
       .as[String]
-    val candidates = toks.mapPartitions { it =>
+    // one corpus scan produces BOTH the per-partition summaries and the
+    // partition token counts ("" is an impossible token — Text.tokens
+    // drops empties — so it marks the count row). The collected summary is
+    // small by construction: ≤ partitions · (k + 1) rows.
+    val summary = toks.mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
       while (it.hasNext) {
         val t = it.next()
+        n += 1
         m.get(t) match {
           case Some(c) => m.update(t, c + 1)
           case None =>
@@ -63,15 +70,15 @@ object Sketch {
             }
         }
       }
-      m.keysIterator
-    }.toDF("token").distinct()
-    val total = df
-      .select(sum(size(Text.tokens(col(textCol)))).cast("long").as("__n"))
+      m.keysIterator.map((_, 0L)) ++ Iterator(("", n))
+    }.collect()
+    val total = summary.collect { case ("", n) => n }.sum
+    val candidates = summary.collect { case (t, _) if t.nonEmpty => t }
+      .distinct.toSeq.toDF("token")
     toks.toDF("token")
       .join(broadcast(candidates), Seq("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
-      .filter(col("cnt").cast("double") >= lit(eps) * col("__n").cast("double"))
+      .filter(col("cnt").cast("double") >= lit(eps * total.toDouble))
       .select("token", "cnt")
   }
 

@@ -880,42 +880,33 @@ object GribFormat {
         }
         else if (complexPacking) Some(complexPack(scaled, minV))
         else None
-      // 7.41: PNG of the offsets; a bitmapped field flattens to one row of
-      // present cells (g2clib pngpack.c), a full field keeps the grid shape
+      // shared by the raster/stream packings (5.40/5.41/5.42): the data
+      // section carries (scaled − min) offsets; image packings flatten to
+      // one row when a bitmap or a reduced grid leaves no (ni, nj) shape
+      lazy val offsets = {
+        val o = new Array[Long](scaled.length)
+        var i = 0
+        while (i < scaled.length) { o(i) = scaled(i) - minV; i += 1 }
+        o
+      }
+      lazy val rasterShape =
+        if (bitmap.isDefined || reducedRows.isDefined) (scaled.length, 1)
+        else (ni, nj)
+      // 7.41: PNG of the offsets (g2clib pngpack.c shape convention)
       val pngBytes =
         if (!pngPacking) None
-        else {
-          // reduced grids have no (ni, nj) raster shape — flatten like a
-          // bitmapped field
-          val (w, h) = if (bitmap.isDefined || reducedRows.isDefined)
-            (scaled.length, 1) else (ni, nj)
-          val offsets = new Array[Long](scaled.length)
-          var i = 0
-          while (i < scaled.length) { offsets(i) = scaled(i) - minV; i += 1 }
-          Some(Png.encode(w, h, math.max(bits, 1), offsets))
-        }
+        else Some(Png.encode(rasterShape._1, rasterShape._2,
+          math.max(bits, 1), offsets))
       val ccsdsBytes =
         if (!ccsdsPacking) None
         else if (bits == 0) Some(Array.emptyByteArray) // constant field
-        else {
-          val offsets = new Array[Long](scaled.length)
-          var i = 0
-          while (i < scaled.length) { offsets(i) = scaled(i) - minV; i += 1 }
-          Some(Ccsds.encode(offsets, math.max(bits, 2), CcsdsWriterParams))
-        }
-      // 7.40: lossless JPEG 2000 codestream of the offsets, same geometry
-      // convention as PNG ((ni, nj), or flattened under a bitmap)
+        else Some(Ccsds.encode(offsets, math.max(bits, 2), CcsdsWriterParams))
+      // 7.40: lossless JPEG 2000 codestream of the offsets
       val jpegBytes =
         if (!jpegPacking) None
         else if (bits == 0) Some(Array.emptyByteArray) // constant field
-        else {
-          val (w, h) = if (bitmap.isDefined || reducedRows.isDefined)
-            (scaled.length, 1) else (ni, nj)
-          val offsets = new Array[Long](scaled.length)
-          var i = 0
-          while (i < scaled.length) { offsets(i) = scaled(i) - minV; i += 1 }
-          Some(Jpeg2000.encode(w, h, math.max(bits, 1), offsets))
-        }
+        else Some(Jpeg2000.encode(rasterShape._1, rasterShape._2,
+          math.max(bits, 1), offsets))
       val dataByteLen = (complexParts, pngBytes, ccsdsBytes, jpegBytes) match {
         case (Some((_, bytes, _)), _, _, _) => bytes.length
         case (_, Some(bytes), _, _) => bytes.length

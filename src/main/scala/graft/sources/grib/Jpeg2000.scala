@@ -1080,10 +1080,12 @@ object Jpeg2000 {
       layers = u16r()
       require(u8r() == 0, "multiple-component transform unsupported")
       nl = u8r()
-      require(nl >= 0 && nl <= 32, s"$nl decomposition levels invalid")
+      require(nl >= 0 && nl <= 30,
+        s"$nl decomposition levels unsupported (30 max: deeper shifts overflow)")
       val xcb = u8r() + 2; val ycb = u8r() + 2
-      require(xcb == CbExp && ycb == CbExp ||
-        (xcb >= 2 && xcb <= 10 && ycb >= 2 && ycb <= 10), "code-block size invalid")
+      require(xcb >= 2 && xcb <= 10 && ycb >= 2 && ycb <= 10 &&
+        xcb + ycb <= 12,
+        s"code-block size 2^$xcb x 2^$ycb invalid (T.800: each in [2,10], sum <= 12)")
       cbExpX = xcb; cbExpY = ycb
       val style = u8r()
       require(style == 0, s"code-block style 0x${style.toHexString} unsupported " +
@@ -1287,6 +1289,9 @@ object Jpeg2000 {
               val bw = math.min(cbw, b.w - x0); val bh = math.min(cbh, b.h - y0)
               val planes = mb - s.zeroPlanes
               require(planes >= 0, s"zero bit-planes ${s.zeroPlanes} exceed Mb $mb")
+              require(planes <= 31,
+                s"$planes coded bit-planes unsupported (31 max: magnitude " +
+                  "bits are decoded into 32-bit integers)")
               val total = s.segments.map(_.length).sum
               val seg = new Array[Byte](total)
               var off = 0

@@ -319,10 +319,13 @@ object StreamingUpdate {
     * union-merged into the parquet sketch table at `sketchPath` — the
     * corpus is never rescanned and executor state is zero; all monitoring
     * state is the ~4 KB-per-group persisted table, so the query restarts
-    * from its checkpoint with nothing to rebuild (the
-    * [[startStreamingNearDedup]] durability shape, applied to
-    * [[graft.functions.Sketch]]). `sink` receives the refreshed estimates
-    * after each merge. */
+    * from its checkpoint with nothing to rebuild. The cumulative table is
+    * replaced via a committed `.next` swap (write → delete → rename, with
+    * recovery at batch start), so a crash at ANY point leaves either the
+    * old or the new committed table — never a half-written only copy.
+    * `sink` receives the refreshed estimates after each merge and must
+    * consume them eagerly (the backing blocks are released when the batch
+    * ends). */
   def startStreamingDistinctMonitor(
       stream: DataFrame,
       sketchPath: String,
@@ -336,21 +339,30 @@ object StreamingUpdate {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          val conf = spark.sparkContext.hadoopConfiguration
+          val main = new org.apache.hadoop.fs.Path(sketchPath)
+          val next = new org.apache.hadoop.fs.Path(sketchPath + ".next")
+          val fs = main.getFileSystem(conf)
+          // crash recovery: a committed .next (write finished, swap did
+          // not) supersedes main — finish the swap before reading. The
+          // cumulative table is therefore never the only copy mid-write.
+          if (fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))) {
+            if (fs.exists(main)) fs.delete(main, true)
+            fs.rename(next, main)
+          } else if (fs.exists(next)) fs.delete(next, true) // uncommitted
           val batchSk = graft.functions.Sketch.distinctSketches(
             batch, groupCol, col(keyCol), lgK)
-          val p = new org.apache.hadoop.fs.Path(sketchPath)
-          val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .exists(p)
           val merged =
-            if (exists) graft.functions.Sketch.unionSketchTables(
+            if (fs.exists(main)) graft.functions.Sketch.unionSketchTables(
               spark.read.parquet(sketchPath), batchSk, groupCol)
             else batchSk
-          // materialize before overwriting the path the plan reads from
           val mat = merged.localCheckpoint(true)
           try {
-            mat.write.mode("overwrite").parquet(sketchPath)
-            sink(graft.functions.Sketch.distinctEstimates(
-              spark.read.parquet(sketchPath), groupCol))
+            // versioned swap: main stays intact until .next is committed
+            mat.write.mode("overwrite").parquet(next.toString)
+            if (fs.exists(main)) fs.delete(main, true)
+            fs.rename(next, main)
+            sink(graft.functions.Sketch.distinctEstimates(mat, groupCol))
           } finally graft.Housekeeping.release(mat)
         }
       }
