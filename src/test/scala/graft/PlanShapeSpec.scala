@@ -91,6 +91,16 @@ class PlanShapeSpec extends SparkSpec {
       s"signature generation must not shuffle:\n$plan")
   }
 
+  test("heavy-hitter verify join broadcasts the candidate frame") {
+    val docs = (1 to 50).map(i => (i.toLong, "the quick fox " + s"w$i"))
+      .toDF("doc_id", "text")
+    val plan = planOf(graft.functions.Sketch.frequentTokens(docs, "text", 0.05))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidates must broadcast into the verify join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus-side tokens must never sort-merge:\n$plan")
+  }
+
   test("post-parse QC bounds the store side to each file's time range (O7)") {
     import graft.model.{DatasetDescriptor, TimeSpan, TimeUnitKind}
     import graft.ops.QcDrivers
