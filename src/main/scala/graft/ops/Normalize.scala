@@ -127,7 +127,11 @@ object Normalize {
     */
   def renameDataVariable(df: DataFrame, desc: DatasetDescriptor): DataFrame = {
     val dimSet = desc.standardDims.toSet
-    df.columns.find(c => !dimSet.contains(c)) match {
+    // a column already carrying the standard name wins — renaming some
+    // OTHER non-dim column over it (e.g. the grib scan's `param`) would
+    // duplicate the name; extra columns fall away in transposeToStandard
+    if (df.columns.contains(desc.dataVar)) df
+    else df.columns.find(c => !dimSet.contains(c)) match {
       case Some(v) if v != desc.dataVar => df.withColumnRenamed(v, desc.dataVar)
       case _ => df
     }

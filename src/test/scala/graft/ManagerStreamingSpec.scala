@@ -100,6 +100,44 @@ class ManagerStreamingSpec extends SparkSpec {
     assert(r.getAs[Float]("value") == (50.0 + 1 + 10.25 + 100.0).toFloat)
   }
 
+  test("manager lifecycle runs natively on JPEG 2000 GRIB landing files " +
+      "(S9 end-to-end on the ERA5 packing)") {
+    val root = Files.createTempDirectory("mgr_grib").toString
+    val mgr = new DatasetManager {
+      val spark: SparkSession = sp
+      val desc: DatasetDescriptor = testDesc
+      val storePath: String = s"$root/store"
+      val inputDir: String = s"$root/input"
+      override def bucketSpan: TimeUnitKind = TimeUnitKind.Days
+    }
+    new java.io.File(s"$root/input").mkdirs()
+    def writeGribDaily(path: String, startDay: Int, nDays: Int,
+        base: Double = 0.0): Unit = {
+      val lats = Seq(10.0, 10.25); val lons = Seq(100.0, 100.25)
+      val msgs = (0 until nDays).map { d =>
+        val vals = (for (la <- lats; lo <- lons) yield base + d + la + lo).toArray
+        (61, java.time.LocalDateTime.of(2024, 1, startDay + d, 0, 0),
+          lats, lons, vals)
+      }
+      graft.sources.grib.GribFormat.writeFile(spark, path, msgs,
+        decimalScale = 2, edition = 2, jpegPacking = true)
+    }
+    writeGribDaily(s"$root/input/a_batch1.grb2", 1, 6)
+    assert(mgr.checkIfNewData())
+    mgr.run(postParseQc = true)
+    assert(mgr.store.dataset().count() == 24)
+    writeGribDaily(s"$root/input/b_batch2.grb2", 7, 2, base = 50.0)
+    assert(mgr.checkIfNewData())
+    mgr.run()
+    assert(mgr.store.dataset().count() == 32)
+    // cells survive 5.40 decode → normalize → publish (float32 per the
+    // reference's dtype convention)
+    val r = mgr.store.dataset()
+      .filter(col("time") === lit(ts("2024-01-08T00:00:00")) &&
+        col("latitude") === 10.25 && col("longitude") === 100.0).head()
+    assert(r.getAs[Float]("value") == (50.0 + 1 + 10.25 + 100.0).toFloat)
+  }
+
   test("scheduled AvailableNow runs over an NC landing dir resume from the checkpoint") {
     // the reference's cron-batch update loop: each run drains what landed
     // since the last run's offset, publishes it, and exits
