@@ -14,6 +14,7 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
       .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR") // keep plan output copy-pastable
     try args(1).split(",").foreach { name =>
       val df = SparkEntry.queries(name)(spark, args(0))
       println(s"===== $name =====")

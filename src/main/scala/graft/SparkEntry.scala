@@ -771,8 +771,11 @@ object SparkEntry {
       val inc = Sketch.distinctEstimates(
         Sketch.unionSketchTables(halves(0), halves(1), "source"), "source")
         .withColumnRenamed("estimate", "est_inc")
-      def ok(c: Column) = abs(c - col("n_distinct")).cast("double") /
-        col("n_distinct").cast("double") < 0.05
+      // an all-NULL-text group has n_distinct = 0 on BOTH engines; the
+      // gate there is estimate == 0, not a 0/0 ratio
+      def ok(c: Column) = when(col("n_distinct") === 0, c === 0)
+        .otherwise(abs(c - col("n_distinct")).cast("double") /
+          col("n_distinct").cast("double") < 0.05)
       exact.join(one, "source").join(inc, "source")
         .select(col("source"), col("n_distinct"),
           (ok(col("estimate")) && ok(col("est_inc"))).as("sketch_ok"))

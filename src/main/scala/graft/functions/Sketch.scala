@@ -102,7 +102,7 @@ object Sketch {
     * the composite rather than the streaming HIP estimator — so gates
     * pin the error bound, not estimator bytes.) */
   def unionSketchTables(a: DataFrame, b: DataFrame, groupCol: String): DataFrame =
-    a.union(b).groupBy(col(groupCol))
+    a.unionByName(b).groupBy(col(groupCol))
       .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
 
   /** Estimated distinct counts (BIGINT) from a sketch table. */

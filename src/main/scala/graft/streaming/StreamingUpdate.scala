@@ -320,12 +320,15 @@ object StreamingUpdate {
     * corpus is never rescanned and executor state is zero; all monitoring
     * state is the ~4 KB-per-group persisted table, so the query restarts
     * from its checkpoint with nothing to rebuild. The cumulative table is
-    * replaced via a committed `.next` swap (write → delete → rename, with
-    * recovery at batch start), so a crash at ANY point leaves either the
-    * old or the new committed table — never a half-written only copy.
-    * `sink` receives the refreshed estimates after each merge and must
-    * consume them eagerly (the backing blocks are released when the batch
-    * ends). */
+    * replaced via a committed `.next` swap with recovery on every
+    * trigger: a crash at ANY point leaves the committed data under
+    * `sketchPath` or a committed `sketchPath.next` — never a half-written
+    * only copy (the main path is briefly absent mid-swap; an external
+    * reader that must never miss it coalesces the two, the recovery
+    * rule). Replaying a batch after a crash merges it twice — harmless,
+    * HLL register-max union is idempotent. `sink` receives the refreshed
+    * estimates after each merge and must consume them eagerly (the
+    * backing blocks are released when the batch ends). */
   def startStreamingDistinctMonitor(
       stream: DataFrame,
       sketchPath: String,
@@ -337,19 +340,23 @@ object StreamingUpdate {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val conf = spark.sparkContext.hadoopConfiguration
-          val main = new org.apache.hadoop.fs.Path(sketchPath)
-          val next = new org.apache.hadoop.fs.Path(sketchPath + ".next")
-          val fs = main.getFileSystem(conf)
-          // crash recovery: a committed .next (write finished, swap did
-          // not) supersedes main — finish the swap before reading. The
-          // cumulative table is therefore never the only copy mid-write.
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val main = new org.apache.hadoop.fs.Path(sketchPath)
+        val next = new org.apache.hadoop.fs.Path(sketchPath + ".next")
+        val fs = main.getFileSystem(conf)
+        // crash recovery runs on EVERY trigger (even dataless ones): a
+        // committed .next (write finished, swap did not) supersedes main —
+        // finish the swap before anything reads. The cumulative table is
+        // therefore always recoverable from main or a committed .next.
+        def recover(): Unit =
           if (fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))) {
-            if (fs.exists(main)) fs.delete(main, true)
-            fs.rename(next, main)
+            require(!fs.exists(main) || fs.delete(main, true),
+              s"could not clear $main to finish the sketch-table swap")
+            require(fs.rename(next, main), s"rename $next -> $main failed")
           } else if (fs.exists(next)) fs.delete(next, true) // uncommitted
+        recover()
+        if (!batch.isEmpty) {
           val batchSk = graft.functions.Sketch.distinctSketches(
             batch, groupCol, col(keyCol), lgK)
           val merged =
@@ -358,10 +365,14 @@ object StreamingUpdate {
             else batchSk
           val mat = merged.localCheckpoint(true)
           try {
-            // versioned swap: main stays intact until .next is committed
+            // versioned swap: main stays intact until .next is committed;
+            // recover() performs the same delete+rename, so a crash (or a
+            // false return, surfaced by the requires) between the steps
+            // heals on the next trigger. The main path is briefly absent
+            // mid-swap — a reader that must never miss it coalesces main
+            // with a committed .next, exactly recover()'s rule.
             mat.write.mode("overwrite").parquet(next.toString)
-            if (fs.exists(main)) fs.delete(main, true)
-            fs.rename(next, main)
+            recover()
             sink(graft.functions.Sketch.distinctEstimates(mat, groupCol))
           } finally graft.Housekeeping.release(mat)
         }
