@@ -644,19 +644,48 @@ object Dedup {
         require(cap >= 2, s"maxShingleDocFreq must be >= 2, got $cap")
         val rare = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= cap).select("shingle")
+        // per-doc totals: n = all shingles, r = rare shingles; h = n − r
+        // hot ones (each doc's shingles are already distinct)
+        val docStats = sh.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+          .join(sh.join(rare, Seq("shingle")).groupBy("doc_id")
+            .agg(count(lit(1)).as("__r")), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("__n"),
+            coalesce(col("__r"), lit(0L)).as("__r"))
         // the join key moves FIRST in the joined frame — re-select before
         // positional renames
         val shRare = sh.join(rare, Seq("shingle"))
           .select("doc_id", "shingle")
+        // candidate pairs WITH their rare-common count c_r in one pass
+        // (groupBy replaces the former distinct — same exchange)
         val cands = shRare.toDF("doc_a", "shingle")
           .join(shRare.toDF("doc_b", "shingle"), Seq("shingle"))
           .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__cr"))
+        // conservative prune before the expensive array verify: the true
+        // common count is c_r + c_h with c_h ≤ min(h_a, h_b), and jaccard
+        // is increasing in c_h, so
+        //   jaccard ≤ (c_r + min(h_a,h_b)) / (n_a + n_b − c_r − min(h_a,h_b))
+        // — an upper bound; pairs it already disqualifies (the bulk:
+        // random single-shingle overlaps) never reach the verify join,
+        // while every surviving pair is still verified EXACTLY below.
+        val pruned = cands
+          .join(docStats.select(col("doc_id").as("doc_a"),
+            col("__n").as("__na"), (col("__n") - col("__r")).as("__ha")), Seq("doc_a"))
+          .join(docStats.select(col("doc_id").as("doc_b"),
+            col("__n").as("__nb"), (col("__n") - col("__r")).as("__hb")), Seq("doc_b"))
+          .withColumn("__maxc", col("__cr") + least(col("__ha"), col("__hb")))
+          // the 1e-9 slack covers double rounding of the product: the
+          // prune must only ever be conservative (extra survivors are
+          // re-checked exactly; a dropped true pair would be a recall bug)
+          .filter(col("__maxc").cast("double") >=
+            lit(threshold) * (col("__na") + col("__nb") - col("__maxc")).cast("double")
+              - lit(1e-9))
+          .select("doc_a", "doc_b")
         // exact verify over the full sets — the nearDupPairs shape, with
         // stop-shingle candidates instead of LSH candidates
         val sets = df.select(col(idCol).as("__id"),
           shinglePairHashes(col(textCol), n).getField("a").as("__sh"))
-        cands
+        pruned
           .join(sets.select(col("__id").as("doc_a"), col("__sh").as("sh_a")), Seq("doc_a"))
           .join(sets.select(col("__id").as("doc_b"), col("__sh").as("sh_b")), Seq("doc_b"))
           .withColumn("jaccard", round(
