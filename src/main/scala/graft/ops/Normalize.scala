@@ -130,10 +130,20 @@ object Normalize {
     // a column already carrying the standard name wins — renaming some
     // OTHER non-dim column over it (e.g. the grib scan's `param`) would
     // duplicate the name; extra columns fall away in transposeToStandard
-    if (df.columns.contains(desc.dataVar)) df
-    else df.columns.find(c => !dimSet.contains(c)) match {
-      case Some(v) if v != desc.dataVar => df.withColumnRenamed(v, desc.dataVar)
-      case _ => df
+    if (df.columns.contains(desc.dataVar)) return df
+    val candidates = df.columns.filter(c => !dimSet.contains(c))
+    val pick =
+      if (candidates.length == 1) Some(candidates.head)
+      // the DSv2 scans' data-column convention: grib emits (param, value,
+      // member…) — `value` is the field, the rest are grid metadata
+      else if (candidates.contains("value")) Some("value")
+      else None
+    pick match {
+      case Some(v) => df.withColumnRenamed(v, desc.dataVar)
+      case None if candidates.isEmpty => df
+      case None => throw new IllegalArgumentException(
+        s"ambiguous data variable for ${desc.dataVar}: " +
+          s"${candidates.mkString(", ")} — select or rename it in preprocess")
     }
   }
 
