@@ -644,17 +644,18 @@ object Dedup {
         require(cap >= 2, s"maxShingleDocFreq must be >= 2, got $cap")
         val rare = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= cap).select("shingle")
-        // per-doc totals: n = all shingles, r = rare shingles; h = n − r
-        // hot ones (each doc's shingles are already distinct)
-        val docStats = sh.groupBy("doc_id").agg(count(lit(1)).as("__n"))
-          .join(sh.join(rare, Seq("shingle")).groupBy("doc_id")
-            .agg(count(lit(1)).as("__r")), Seq("doc_id"), "left")
-          .select(col("doc_id"), col("__n"),
-            coalesce(col("__r"), lit(0L)).as("__r"))
         // the join key moves FIRST in the joined frame — re-select before
         // positional renames
         val shRare = sh.join(rare, Seq("shingle"))
           .select("doc_id", "shingle")
+        // per-doc totals: n = all shingles, r = rare shingles; h = n − r
+        // hot ones (each doc's shingles are already distinct). __r derives
+        // from shRare so the rare join's subplan exists ONCE in the plan.
+        val docStats = sh.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+          .join(shRare.groupBy("doc_id").agg(count(lit(1)).as("__r")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("__n"),
+            coalesce(col("__r"), lit(0L)).as("__r"))
         // candidate pairs WITH their rare-common count c_r in one pass
         // (groupBy replaces the former distinct — same exchange)
         val cands = shRare.toDF("doc_a", "shingle")
@@ -674,11 +675,15 @@ object Dedup {
           .join(docStats.select(col("doc_id").as("doc_b"),
             col("__n").as("__nb"), (col("__n") - col("__r")).as("__hb")), Seq("doc_b"))
           .withColumn("__maxc", col("__cr") + least(col("__ha"), col("__hb")))
-          // the 1e-9 slack covers double rounding of the product: the
-          // prune must only ever be conservative (extra survivors are
-          // re-checked exactly; a dropped true pair would be a recall bug)
+          // the verify below filters on round(jaccard, 6) ≥ threshold,
+          // which admits exact jaccards as low as threshold − 5e-7 — the
+          // prune threshold backs off by that much (plus 1e-9 for double
+          // rounding of the product) so it can only ever be conservative:
+          // extra survivors are re-checked exactly; a dropped true pair
+          // would be a recall bug
           .filter(col("__maxc").cast("double") >=
-            lit(threshold) * (col("__na") + col("__nb") - col("__maxc")).cast("double")
+            lit(threshold - 5e-7) *
+              (col("__na") + col("__nb") - col("__maxc")).cast("double")
               - lit(1e-9))
           .select("doc_a", "doc_b")
         // exact verify over the full sets — the nearDupPairs shape, with

@@ -53,16 +53,23 @@ final class Era5LikeManager(
     * steps per bucket, ~75 buckets for the full archive. */
   override def bucketSpan: TimeUnitKind = TimeUnitKind.Years
 
+  /** ERA5 files commonly bundle several parameters per GRIB message
+    * group; this dataset is 2 m temperature (ECMWF paramId 167). Without
+    * the filter a multi-parameter file would publish every variable's
+    * cells under `t2m`. */
+  override def preprocess(df: DataFrame): DataFrame =
+    df.filter(col("param") === 167)
+
+  /** The manifest lister supplies the NATURAL sort `checkIfNewData`'s
+    * newest-file probe relies on (unpadded numerics would otherwise sort
+    * "part10" before "part2") plus dotfile/.idx-sidecar skipping, over
+    * every GRIB extension the scan accepts. */
   override def inputFiles(): Seq[String] = {
     val fs = graft.store.GridStore.fileSystem(spark, inputDir)
-    val p = new org.apache.hadoop.fs.Path(inputDir)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter { st =>
-        val n = st.getPath.getName
-        st.isFile && (n.endsWith(".grib") || n.endsWith(".grb2"))
-      }
-      .map(_.getPath.toString).sorted
+    if (!fs.exists(new org.apache.hadoop.fs.Path(inputDir))) Seq.empty
+    else graft.sources.Manifest
+      .listInputFiles(spark, inputDir, graft.sources.Manifest.GribExtensions)
+      .select("path").collect().map(_.getString(0)).toSeq
   }
 }
 

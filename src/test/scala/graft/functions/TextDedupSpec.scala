@@ -137,6 +137,34 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("stop-shingle cap at a NONZERO threshold: the upper-bound prune keeps " +
+      "every true pair and kills hot-bounded ones") {
+    // a corpus where pairs straddle the threshold: 1-2 near-identical
+    // (J = 4/6), 1-3 share exactly one rare shingle (J = 1/9 — the prune
+    // must reject it without the array verify), 4-5 share only the
+    // ubiquitous hot shingle (never candidates at all)
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e z"),
+      (3L, "a b q r s t"),
+      (4L, "x y m1 m2 m3"),
+      (5L, "x y k1 k2 k3"),
+      (6L, "x y p1 p2 p3")).toDF("id", "t")
+    for (thr <- Seq(0.5, 0.66, 0.9)) {
+      val uncapped = Dedup.ngramJaccardPairs(df, "id", "t", 2, thr).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+      val wide = Dedup.ngramJaccardPairs(df, "id", "t", 2, thr,
+        maxShingleDocFreq = Some(100L)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+      assert(wide == uncapped, s"thr=$thr: $wide vs $uncapped")
+    }
+    // at threshold 0.5 with cap 2 ("x y" barred, df = 3): only 1-2 survive
+    val capped = Dedup.ngramJaccardPairs(df, "id", "t", 2, 0.5,
+      maxShingleDocFreq = Some(2L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+  }
+
   test("contaminatedDocs flags corpus docs sharing an n-gram with the benchmark") {
     val sp2 = spark; import sp2.implicits._
     val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "t")
