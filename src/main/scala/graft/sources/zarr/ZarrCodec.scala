@@ -78,6 +78,37 @@ object ZarrCodec {
     def json: JValue = JObj(Seq("id" -> JStr("gzip"), "level" -> JNum(level)))
   }
 
+  /** zarr v3 core `crc32c` checksum codec wrapping an inner bytes→bytes
+    * codec: the stored object is inner-encoded payload + 4-byte
+    * little-endian CRC32C of that payload (zarr v3 spec §crc32c; same
+    * check the `sharding_indexed` index carries). Decode verifies and
+    * strips before the inner decode — corruption fails loudly, never as
+    * wrong cells. */
+  final case class Crc32cCodec(inner: Codec) extends Codec {
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val enc = inner.encode(raw)
+      val crc = new java.util.zip.CRC32C
+      crc.update(enc, 0, enc.length)
+      val out = java.util.Arrays.copyOf(enc, enc.length + 4)
+      val v = crc.getValue
+      var i = 0
+      while (i < 4) { out(enc.length + i) = ((v >>> (8 * i)) & 0xFF).toByte; i += 1 }
+      out
+    }
+    def decode(buf: Array[Byte], rawLen: Int): Array[Byte] = {
+      require(buf.length >= 4, s"crc32c chunk of ${buf.length} bytes has no checksum")
+      val crc = new java.util.zip.CRC32C
+      crc.update(buf, 0, buf.length - 4)
+      var stored = 0L
+      var i = 0
+      while (i < 4) { stored |= (buf(buf.length - 4 + i) & 0xFFL) << (8 * i); i += 1 }
+      require(crc.getValue == stored,
+        f"crc32c mismatch: stored 0x$stored%08x, computed 0x${crc.getValue}%08x")
+      inner.decode(java.util.Arrays.copyOf(buf, buf.length - 4), rawLen)
+    }
+    def json: JValue = inner.json
+  }
+
   /** c-blosc 1.x container, decode-only. `typesize` comes from the chunk
     * header itself, so one instance serves any array. */
   case object BloscCodec extends Codec {

@@ -256,8 +256,10 @@ object ZarrMeta {
         "name" -> JStr("bytes"),
         "configuration" -> JObj(Seq(
           "endian" -> JStr(if (littleEndianOrByte) "little" else "big")))))
-      val compressor: Seq[JValue] = codec match {
+      def codecJson(c: ZarrCodec.Codec): Seq[JValue] = c match {
         case ZarrCodec.NullCodec => Seq.empty
+        case ZarrCodec.Crc32cCodec(inner) => // checksum closes the chain
+          codecJson(inner) :+ JObj(Seq("name" -> JStr("crc32c")))
         case ZarrCodec.ZlibCodec(level) => Seq(JObj(Seq(
           "name" -> JStr("zlib"),
           "configuration" -> JObj(Seq("level" -> JNum(level))))))
@@ -276,6 +278,7 @@ object ZarrMeta {
             "shuffle" -> JStr("shuffle"), "typesize" -> JNum(typesize),
             "blocksize" -> JNum(0))))))
       }
+      val compressor: Seq[JValue] = codecJson(codec)
       val plainAttrs = JObj(attrs.fields.filterNot(_._1 == "_ARRAY_DIMENSIONS"))
       // sharded arrays nest the whole inner chain under one
       // sharding_indexed codec; the array-level chunk grid is the SHARD
@@ -572,8 +575,15 @@ object ZarrMeta {
               codec = ZarrCodec.ZstdCodec(cfg.flatMap(_.get("level"))
                 .collect { case JNum(n) => n.toInt }.getOrElse(3))
             case Some(JStr("blosc")) => codec = ZarrCodec.BloscCodec
+            case Some(JStr("crc32c")) =>
+              // v3 core checksum codec: must close the bytes→bytes chain
+              // (it checksums the stored object); wrap whatever precedes
+              require(items.lastOption.contains(o),
+                "crc32c must be the final codec in the chain")
+              codec = ZarrCodec.Crc32cCodec(codec)
             case other => throw new IllegalArgumentException(
-              s"zarr v3 codec $other unsupported (bytes, gzip, zlib, zstd, blosc)")
+              s"zarr v3 codec $other unsupported (bytes, gzip, zlib, zstd, " +
+                "blosc, crc32c)")
           }
         case other => throw new IllegalArgumentException(s"bad codec entry $other")
       }

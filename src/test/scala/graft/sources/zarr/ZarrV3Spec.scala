@@ -204,4 +204,52 @@ class ZarrV3Spec extends SparkSpec {
     assert(rows.last.getAs[LocalDateTime]("time") ==
       LocalDateTime.parse("2024-06-01T04:00"))
   }
+
+  test("crc32c checksum codec: [bytes, zstd, crc32c] chain scans; corruption " +
+      "fails loudly, never as wrong cells") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/zarr_v3_crc"
+    graft.store.GridStore.fileSystem(spark, base)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    def doc(name: String, shape: Seq[Int], chunks: Seq[Int], dtype: String,
+        dims: Seq[String]): JObj = {
+      val b = v3ArrayDoc(name, shape, chunks, dtype, graft.meta.JNull, dims)
+      JObj(b.fields.map {
+        case ("codecs", _) => "codecs" -> (JArr(Seq(
+          JObj(Seq("name" -> JStr("bytes"),
+            "configuration" -> JObj(Seq("endian" -> JStr("little"))))),
+          JObj(Seq("name" -> JStr("zstd"),
+            "configuration" -> JObj(Seq("level" -> graft.meta.JNum(3))))),
+          JObj(Seq("name" -> JStr("crc32c"))))): JValue)
+        case kv => kv
+      })
+    }
+    val xDoc = doc("x", Seq(4), Seq(2), "float64", Seq("x"))
+    val vDoc = doc("v", Seq(4), Seq(2), "float64", Seq("x"))
+    ZarrIO.writeUtf8(conf, s"$base/zarr.json", JObj(Seq(
+      "zarr_format" -> graft.meta.JNum(3), "node_type" -> JStr("group"),
+      "attributes" -> JObj(Seq.empty))).render)
+    ZarrIO.writeArray(conf, base, "x", ZarrMeta.parseV3Array(xDoc),
+      Array(0.0, 1.0, 2.0, 3.0))
+    ZarrIO.writeArray(conf, base, "v", ZarrMeta.parseV3Array(vDoc),
+      Array(10.0, 20.0, 30.0, 40.0))
+    val rows = spark.read.format("zarr").load(base).orderBy("x")
+      .select("v").collect().map(_.getDouble(0)).toSeq
+    assert(rows == Seq(10.0, 20.0, 30.0, 40.0))
+    // flip one byte inside a chunk object: the checksum must catch it
+    val fs = graft.store.GridStore.fileSystem(spark, base)
+    val chunk = new org.apache.hadoop.fs.Path(s"$base/v/c/0")
+    val bytes = {
+      val in = fs.open(chunk)
+      try in.readAllBytes() finally in.close()
+    }
+    bytes(0) = (bytes(0) ^ 0x41).toByte
+    val out = fs.create(chunk, true)
+    try out.write(bytes) finally out.close()
+    val err = intercept[Throwable] {
+      spark.read.format("zarr").load(base).orderBy("x").collect()
+    }
+    val msgs = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("crc32c mismatch"), s"unexpected chain: $msgs")
+  }
 }
