@@ -47,6 +47,33 @@ class SketchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("property: frequentTokens equals the exact heavy hitters on arbitrary corpora") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = for {
+      nDocs <- Gen.choose(1, 120)
+      vocab <- Gen.choose(3, 400)
+      eps <- Gen.oneOf(0.02, 0.05, 0.15)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield (nDocs, vocab, eps, seed)
+    val prop = Prop.forAll(gen) { case (nDocs, vocab, eps, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (1 to nDocs).map { i =>
+        val n = 1 + rnd.nextInt(30)
+        (i.toLong, (1 to n).map { _ =>
+          // zipf-ish: small ids exponentially more likely
+          val r = rnd.nextDouble()
+          s"v${(math.pow(r, 3) * vocab).toInt}"
+        }.mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = Sketch.frequentTokens(docs, "text", eps)
+        .orderBy("token").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      got == exactHeavy(docs, eps)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("Misra-Gries candidates survive an adversarial decrement-heavy tail") {
     // one token at exactly the threshold frequency inside a sea of
     // singletons — the worst case for the decrement-all step
