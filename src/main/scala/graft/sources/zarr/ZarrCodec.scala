@@ -90,23 +90,23 @@ object ZarrCodec {
       val crc = new java.util.zip.CRC32C
       crc.update(enc, 0, enc.length)
       val out = java.util.Arrays.copyOf(enc, enc.length + 4)
-      val v = crc.getValue
-      var i = 0
-      while (i < 4) { out(enc.length + i) = ((v >>> (8 * i)) & 0xFF).toByte; i += 1 }
+      putLe32(out, enc.length, crc.getValue.toInt)
       out
     }
     def decode(buf: Array[Byte], rawLen: Int): Array[Byte] = {
       require(buf.length >= 4, s"crc32c chunk of ${buf.length} bytes has no checksum")
       val crc = new java.util.zip.CRC32C
       crc.update(buf, 0, buf.length - 4)
-      var stored = 0L
-      var i = 0
-      while (i < 4) { stored |= (buf(buf.length - 4 + i) & 0xFFL) << (8 * i); i += 1 }
+      val stored = le32(buf, buf.length - 4) & 0xFFFFFFFFL
       require(crc.getValue == stored,
         f"crc32c mismatch: stored 0x$stored%08x, computed 0x${crc.getValue}%08x")
       inner.decode(java.util.Arrays.copyOf(buf, buf.length - 4), rawLen)
     }
-    def json: JValue = inner.json
+    // a v2 compressor JSON has no checksum-codec concept: emitting
+    // inner.json would write chunks with 4 CRC bytes the metadata never
+    // declares — refuse, don't lie
+    def json: JValue = throw new UnsupportedOperationException(
+      "crc32c is a zarr v3 codec; v2 stores cannot declare it")
   }
 
   /** c-blosc 1.x container, decode-only. `typesize` comes from the chunk

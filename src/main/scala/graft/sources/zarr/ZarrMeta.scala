@@ -559,8 +559,8 @@ object ZarrMeta {
     def parseCodecChain(items: Seq[JValue]): (Boolean, ZarrCodec.Codec) = {
       var littleEndian = true
       var codec: ZarrCodec.Codec = ZarrCodec.NullCodec
-      items.foreach {
-        case o: JObj =>
+      items.zipWithIndex.foreach {
+        case (o: JObj, idx) =>
           val cfg = o.get("configuration").collect { case c: JObj => c }
           o.get("name") match {
             case Some(JStr("bytes")) =>
@@ -577,8 +577,10 @@ object ZarrMeta {
             case Some(JStr("blosc")) => codec = ZarrCodec.BloscCodec
             case Some(JStr("crc32c")) =>
               // v3 core checksum codec: must close the bytes→bytes chain
-              // (it checksums the stored object); wrap whatever precedes
-              require(items.lastOption.contains(o),
+              // (it checksums the stored object); wrap whatever precedes.
+              // Positional check — a structurally identical duplicate
+              // earlier in the chain must NOT pass
+              require(idx == items.length - 1,
                 "crc32c must be the final codec in the chain")
               codec = ZarrCodec.Crc32cCodec(codec)
             case other => throw new IllegalArgumentException(

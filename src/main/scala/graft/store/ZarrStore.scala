@@ -334,9 +334,17 @@ final class ZarrStore(
     * container). */
   private def writeCodec: ZarrCodec.Codec =
     listArrays().toMap.get(desc.dataVar) match {
-      case Some(m) if m.codec == ZarrCodec.BloscCodec =>
-        ZarrCodec.BloscLz4Codec(typesize = m.dtype.size)
-      case Some(m) => m.codec
+      case Some(m) =>
+        // the decode-only blosc declaration needs the LZ4 encoder wherever
+        // it sits — bare or inside a crc32c wrapper
+        def encodable(c: ZarrCodec.Codec): ZarrCodec.Codec = c match {
+          case ZarrCodec.BloscCodec =>
+            ZarrCodec.BloscLz4Codec(typesize = m.dtype.size)
+          case ZarrCodec.Crc32cCodec(inner) =>
+            ZarrCodec.Crc32cCodec(encodable(inner))
+          case other => other
+        }
+        encodable(m.codec)
       case None => codec
     }
 
