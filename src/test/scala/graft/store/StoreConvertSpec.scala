@@ -45,6 +45,26 @@ class StoreConvertSpec extends SparkSpec {
       .exists(_.isDirectory)) // v3 c/-prefixed chunk tree
   }
 
+  test("rechunkZarr to a crc32c-checksummed v3 layout: scan, update, reopen") {
+    val src = srcStore("rck_crc_src")
+    val dst = StoreConvert.rechunkZarr(src, tmp("rck_crc_dst"),
+      timeChunk = 6, codec = ZarrCodec.Crc32cCodec(ZarrCodec.ZstdCodec(3)),
+      zarrFormat = 3)
+    assert(collectSet(cols(dst)) == collectSet(cols(src)))
+    // the persisted chain declares the checksum…
+    val fs = GridStore.fileSystem(spark, dst.path)
+    val doc = {
+      val in = fs.open(new HPath(s"${dst.path}/value/zarr.json"))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    assert(doc.contains("crc32c"), doc)
+    // …and an UPDATE through the store honours it (writeCodec must keep
+    // the wrapper): reopened values stay bit-identical
+    dst.publish(dailyGrid(13, 2, base = 7000.0)) // days 13-14: pure append
+    val reread = new ZarrStore(spark, dst.path, desc)
+    assert(reread.dataset().count() == src.dataset().count() + 2 * 4)
+  }
+
   test("rechunkZarr preserves explicit-null (fill) cells") {
     val src = new ZarrStore(spark, tmp("rcknull_src"), desc, timeChunk = 4)
     // day 2 carries nulls in two cells; days 1-6 present
