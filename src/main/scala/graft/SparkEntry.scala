@@ -177,7 +177,11 @@ object SparkEntry {
     * per-day chunks, shuffle+deflate, CF-packed i4 with _FillValue — the
     * reference's RECOMMENDED input format (transform.py:136-155), scanned
     * through the HDF5 → kerchunk-manifest → zarr route. */
-  private def nc4EventsFixture(s: SparkSession, dir: String): (String, LocalDateTime) = {
+  private def nc4EventsFixture(s: SparkSession, dir: String): (String, LocalDateTime) =
+    nc4EventsFixture(s, dir, "deflate")
+
+  private def nc4EventsFixture(s: SparkSession, dir: String,
+      codec: String): (String, LocalDateTime) = {
     val cells = eventsWithDay(s, dir)
       .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
       .count().collect()
@@ -193,7 +197,7 @@ object SparkEntry {
       data(i) = r.getAs[Long]("count") * 4.0
     }
     val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val ncDir = s"${System.getProperty("java.io.tmpdir")}/graft_nc4_$sf"
+    val ncDir = s"${System.getProperty("java.io.tmpdir")}/graft_nc4_${codec}_$sf"
     GridStore.fileSystem(s, ncDir)
       .delete(new org.apache.hadoop.fs.Path(ncDir), true)
     val nSplit = if (days.length >= 4) days.length / 2 else days.length
@@ -213,7 +217,7 @@ object SparkEntry {
             numAttrs = Seq(
               ("scale_factor", "f8", Array(0.25)),
               ("_FillValue", "i4", Array(fillRaw))))),
-        chunkLead = 1, compress = true)
+        chunkLead = 1, compress = true, codec = codec)
     }
     (ncDir, days.head)
   }
@@ -1423,11 +1427,83 @@ object SparkEntry {
       dst.dataset().select("time", "slot", "n").orderBy("time", "slot")
     }),
 
+    // W12 in its reference semantics: q80's publish→update→reopen lifecycle
+    // over a store whose DATA chunks are XChaCha20-Poly1305-encrypted via
+    // the reference's numcodecs filter format (id xchacha20poly1305,
+    // key_hash in the .zarray filter chain — metadata.py:862-868,
+    // encryption.py:81-139, system shape test_chirps_encryption.py). The
+    // update runs through a handle WITHOUT the key param — the persisted
+    // filter chain must carry encryption forward. Same oracle as q80:
+    // encryption is invisible to query results, only to attackers.
+    "q139_zarr_encrypted_roundtrip" -> ((s, dir) => {
+      val grid = eventsWithDay(s, dir)
+        .groupBy(col("d").as("time"),
+          (col("event_id") % 10).cast("double").as("slot"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val desc = DatasetDescriptor("events_grid_enc", "n",
+        spatialDims = Seq("slot"), timeResolution = TimeSpan.Daily)
+      val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zarr_enc_$sf"
+      GridStore.fileSystem(s, path).delete(new org.apache.hadoop.fs.Path(path), true)
+      val kh = Encryption.registerEncryptionKey(Encryption.generateEncryptionKey())
+      val store = new ZarrStore(s, path, desc, timeChunk = 8,
+        spatialChunks = Some(Seq(4)), encryptionKeyHash = Some(kh))
+      store.publish(grid.filter(col("time") < ldt("2024-01-21T00:00:00")))
+      new ZarrStore(s, path, desc).publish(grid
+        .filter(col("time").between(ldt("2024-01-15T00:00:00"), ldt("2024-01-25T00:00:00")))
+        .withColumn("n", col("n") + lit(1000.0)))
+      store.dataset().select("time", "slot", "n").orderBy("time", "slot")
+    }),
+
+    // Encrypted rechunk: the q139 store (v2, reference filter format)
+    // rotated to a NEW key and re-laid-out as a v3 sharding_indexed store
+    // whose chain composes compress→encrypt→crc32c — one dst-chunk-keyed
+    // publish job. Values/axes/fill bit-identical → q80's oracle verbatim.
+    "q140_zarr_encrypted_rechunk" -> ((s, dir) => {
+      val grid = eventsWithDay(s, dir)
+        .groupBy(col("d").as("time"),
+          (col("event_id") % 10).cast("double").as("slot"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val desc = DatasetDescriptor("events_grid_encr", "n",
+        spatialDims = Seq("slot"), timeResolution = TimeSpan.Daily)
+      val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val srcPath = s"${System.getProperty("java.io.tmpdir")}/graft_zarr_encr_$sf"
+      val dstPath = s"${srcPath}_dst"
+      val fs = GridStore.fileSystem(s, srcPath)
+      fs.delete(new org.apache.hadoop.fs.Path(srcPath), true)
+      fs.delete(new org.apache.hadoop.fs.Path(dstPath), true)
+      val kh = Encryption.registerEncryptionKey(Encryption.generateEncryptionKey())
+      val kh2 = Encryption.registerEncryptionKey(Encryption.generateEncryptionKey())
+      val src = new ZarrStore(s, srcPath, desc, timeChunk = 8,
+        spatialChunks = Some(Seq(4)), encryptionKeyHash = Some(kh))
+      src.publish(grid.filter(col("time") < ldt("2024-01-21T00:00:00")))
+      src.publish(grid
+        .filter(col("time").between(ldt("2024-01-15T00:00:00"), ldt("2024-01-25T00:00:00")))
+        .withColumn("n", col("n") + lit(1000.0)))
+      val dst = graft.store.StoreConvert.rechunkZarr(src, dstPath,
+        timeChunk = 6, spatialChunks = Some(Seq(10)),
+        codec = graft.sources.zarr.ZarrCodec.Crc32cCodec(
+          graft.sources.zarr.ZarrCodec.ZstdCodec(3)),
+        zarrFormat = 3, shardChunks = Some(Seq(3, 5)),
+        encryptionKeyHash = Some(kh2))
+      dst.dataset().select("time", "slot", "n").orderBy("time", "slot")
+    }),
+
     // netCDF-4/HDF5 scan (S9's recommended-format form): two HDF5 files
     // with per-day shuffle+deflate chunks, auto-routed by file magic and
     // combined along time — q61's oracle, since the grid is identical.
     "q82_nc4_scan" -> ((s, dir) => {
       val (path, _) = nc4EventsFixture(s, dir)
+      s.read.format("netcdf").load(path).orderBy("time", "slot")
+    }),
+
+    // q82's grid with HDF5 filter id 4 (szip) chunks — the CCSDS/AEC Rice
+    // packing NASA/NOAA netCDF-4 products ship, served by the in-repo
+    // Ccsds coder through ZarrCodec.SzipCodec (H5Zszip.c client-value
+    // layout, libaec sz_compat mapping). Same oracle as q82: the codec is
+    // invisible to cell values.
+    "q141_nc4_szip_scan" -> ((s, dir) => {
+      val (path, _) = nc4EventsFixture(s, dir, "szip")
       s.read.format("netcdf").load(path).orderBy("time", "slot")
     }),
 
@@ -2426,6 +2502,34 @@ object SparkEntry {
          |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
          |ORDER BY time, slot""".stripMargin,
 
+    // encryption is invisible to query results → q80's oracle verbatim
+    "q139_zarr_encrypted_roundtrip" ->
+      s"""WITH g AS (SELECT $DaydSql, CAST(event_id % 10 AS DOUBLE) AS slot,
+         |             CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT d FROM g WHERE d <= TIMESTAMP '2024-01-25 00:00:00'),
+         |slots AS (SELECT DISTINCT slot FROM g WHERE d < TIMESTAMP '2024-01-21 00:00:00'),
+         |spine AS (SELECT d, slot FROM days CROSS JOIN slots)
+         |SELECT spine.d AS time, spine.slot AS slot,
+         |  CASE WHEN g.n IS NULL THEN NULL
+         |       WHEN spine.d >= TIMESTAMP '2024-01-15 00:00:00' THEN g.n + 1000
+         |       ELSE g.n END AS n
+         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+         |ORDER BY time, slot""".stripMargin,
+
+    // key rotation + relayout must preserve every cell → same oracle again
+    "q140_zarr_encrypted_rechunk" ->
+      s"""WITH g AS (SELECT $DaydSql, CAST(event_id % 10 AS DOUBLE) AS slot,
+         |             CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT d FROM g WHERE d <= TIMESTAMP '2024-01-25 00:00:00'),
+         |slots AS (SELECT DISTINCT slot FROM g WHERE d < TIMESTAMP '2024-01-21 00:00:00'),
+         |spine AS (SELECT d, slot FROM days CROSS JOIN slots)
+         |SELECT spine.d AS time, spine.slot AS slot,
+         |  CASE WHEN g.n IS NULL THEN NULL
+         |       WHEN spine.d >= TIMESTAMP '2024-01-15 00:00:00' THEN g.n + 1000
+         |       ELSE g.n END AS n
+         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+         |ORDER BY time, slot""".stripMargin,
+
     // identical lifecycle, v3 metadata — the grid contents cannot differ
     "q84_zarr_v3_roundtrip" ->
       s"""WITH g AS (SELECT $DaydSql, CAST(event_id % 10 AS DOUBLE) AS slot,
@@ -2872,6 +2976,19 @@ object SparkEntry {
     // the netCDF-4 fixture encodes the SAME grid as q61's classic-NC one,
     // so the HDF5 route shares q61's spine oracle exactly
     "q82_nc4_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s))
+        |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2""".stripMargin,
+
+    // szip chunks must decode to the identical grid → q82's oracle verbatim
+    "q141_nc4_szip_scan" ->
       """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
         |                  CAST(event_id % 10 AS INTEGER) AS slot,
         |                  CAST(count(*) AS DOUBLE) AS cnt

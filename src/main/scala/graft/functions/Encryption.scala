@@ -30,8 +30,12 @@ object Encryption {
   final case class MissingKeyError(keyHash: String)
     extends RuntimeException(s"Cannot find encryption key with hash: $keyHash")
 
-  /** AAD header binding ciphertext to this codec (encryption.py:100). */
-  private val Header = "graft-grid-chunk".getBytes("US-ASCII")
+  /** AAD header binding ciphertext to this codec — the reference's exact
+    * header bytes (encryption.py:98 `header = b"dClimate-Zarr"`), so chunks
+    * this engine encrypts verify under the reference's filter and vice
+    * versa. The header is part of the on-disk wire format, like a magic
+    * number. */
+  private val Header = "dClimate-Zarr".getBytes("US-ASCII")
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
@@ -62,6 +66,12 @@ object Encryption {
     k
   }
 
+  /** Resolve a registered key or fail with the hash named — the zarr
+    * chunk codec resolves keys DRIVER-SIDE at planning time so the key
+    * bytes ride in the task closure and executors never need the registry
+    * (same closure model as [[encryptColumn]]). */
+  private[graft] def requireKey(keyHash: String): Array[Byte] = lookup(keyHash)
+
   // ------------------------------------------------------------- primitives
 
   /** Encrypt one chunk: 24-byte random nonce ‖ 16-byte tag ‖ ciphertext
@@ -69,7 +79,7 @@ object Encryption {
   def encryptChunk(plain: Array[Byte], keyHash: String): Array[Byte] =
     encryptWithKey(plain, lookup(keyHash))
 
-  private[functions] def encryptWithKey(plain: Array[Byte], key: Array[Byte]): Array[Byte] = {
+  private[graft] def encryptWithKey(plain: Array[Byte], key: Array[Byte]): Array[Byte] = {
     val nonce = new Array[Byte](24)
     new SecureRandom().nextBytes(nonce)
     val tagAndCt = xchacha(Cipher.ENCRYPT_MODE, key, nonce, plain)
@@ -85,7 +95,7 @@ object Encryption {
   def decryptChunk(buf: Array[Byte], keyHash: String): Array[Byte] =
     decryptWithKey(buf, lookup(keyHash))
 
-  private[functions] def decryptWithKey(buf: Array[Byte], key: Array[Byte]): Array[Byte] = {
+  private[graft] def decryptWithKey(buf: Array[Byte], key: Array[Byte]): Array[Byte] = {
     require(buf.length >= 40, s"Encrypted chunk too short: ${buf.length}")
     val nonce = java.util.Arrays.copyOfRange(buf, 0, 24)
     val tag = java.util.Arrays.copyOfRange(buf, 24, 40)

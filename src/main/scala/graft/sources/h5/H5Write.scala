@@ -154,7 +154,8 @@ object H5Write {
       /** "deflate" (filter id 1, the netCDF-4 classic default) or "zstd"
         * (registered plugin id 32015, newer archives). */
       codec: String = "deflate"): Unit = {
-    require(codec == "deflate" || codec == "zstd", s"codec $codec")
+    require(codec == "deflate" || codec == "zstd" || codec == "szip",
+      s"codec $codec")
     val dimLen = dims.toMap
     def isCoord(v: WriteVar) = v.dims == Seq(v.name) && dimLen.contains(v.name)
     val ordered = vars // fixture order = symbol table insert order (sorted below)
@@ -189,10 +190,17 @@ object H5Write {
           System.arraycopy(v.data, lo * inner, cells, 0, rows * inner)
           var raw = encodeVals(v.dtype, cells)
           if (compress) {
-            // pipeline order: shuffle, then the compressor
-            raw = shuffleBytes(raw, es)
-            raw = if (codec == "zstd") com.github.luben.zstd.Zstd.compress(raw, 3)
-                  else deflate(raw)
+            if (codec == "szip")
+              // szip runs alone (its NN stage plays shuffle's role); the
+              // client values mirror H5Z__set_local_szip: LSB samples (LE
+              // data) + NN + EC, scanline = fastest chunk dim
+              raw = szipCodec(es, chunkShape).encode(raw)
+            else {
+              // pipeline order: shuffle, then the compressor
+              raw = shuffleBytes(raw, es)
+              raw = if (codec == "zstd") com.github.luben.zstd.Zstd.compress(raw, 3)
+                    else deflate(raw)
+            }
           }
           (Seq(c) ++ Seq.fill(shape.length - 1)(0), raw)
         }
@@ -245,7 +253,16 @@ object H5Write {
           out.u32(es.toLong).bytes
       }
       val filters: Seq[(Int, Array[Byte])] =
-        if (p.chunks.isDefined && compress) {
+        if (p.chunks.isDefined && compress && codec == "szip") {
+          // one-entry pipeline: filter id 4 with H5Z__set_local_szip's
+          // 4 client values (mask, pixels/block, bits/pixel, pixels/scanline)
+          val sz = szipCodec(es, p.chunks.get)
+          val out = new Out().u8(1).u8(1).u16(0).u32(0L)
+          out.u16(4).u16(0).u16(0).u16(4)
+          out.u32(sz.optionsMask.toLong).u32(sz.pixelsPerBlock.toLong)
+          out.u32(sz.bitsPerPixel.toLong).u32(sz.pixelsPerScanline.toLong)
+          Seq((0x0B, out.bytes))
+        } else if (p.chunks.isDefined && compress) {
           val out = new Out().u8(1).u8(2).u16(0).u32(0L)
           out.u16(2).u16(0).u16(0).u16(1).u32(es.toLong).u32(0L) // shuffle (+pad)
           if (codec == "zstd") {
@@ -401,6 +418,15 @@ object H5Write {
     val out = fs.create(hp, true)
     try out.write(file) finally out.close()
   }
+
+  /** Fixture szip parameters for a chunk: LSB samples (this writer emits
+    * little-endian data) + NN preprocessing + entropy coding (mask
+    * 8|32|4 = 44), 16-pixel blocks, scanline = the chunk's fastest dim —
+    * the shape H5Z__set_local_szip derives. */
+  private def szipCodec(es: Int, chunkShape: Seq[Int]): graft.sources.zarr.ZarrCodec.SzipCodec =
+    graft.sources.zarr.ZarrCodec.SzipCodec(
+      optionsMask = 44, pixelsPerBlock = 16, bitsPerPixel = es * 8,
+      pixelsPerScanline = chunkShape.last)
 
   private def shuffleBytes(data: Array[Byte], es: Int): Array[Byte] = {
     if (es <= 1) return data

@@ -81,19 +81,33 @@ object Hdf5Kerchunk {
         (shape, Seq(s"${ds.name}/$key" -> (JStr("base64:" +
           java.util.Base64.getEncoder.encodeToString(data)): JValue)))
     }
-    // 1 = deflate, 2 = shuffle, 32015 = registered zstd plugin (newer
-    // netCDF-4/HDF5 archives); both compressors map onto zarr codec ids
+    // 1 = deflate, 2 = shuffle, 4 = szip (CCSDS/AEC Rice coding — served
+    // by the in-repo Ccsds coder via ZarrCodec.SzipCodec; the packing
+    // NASA/NOAA netCDF-4 products ship), 32015 = registered zstd plugin
+    // (newer archives); all compressors map onto zarr codec ids
     val unsupported = ds.filters.filterNot(f =>
-      f.id == 1 || f.id == 2 || f.id == 32015)
+      f.id == 1 || f.id == 2 || f.id == 4 || f.id == 32015)
     require(unsupported.isEmpty,
       s"${ds.name}: HDF5 filters ${unsupported.map(_.id)} unsupported " +
-        "(deflate/shuffle/zstd cover the netCDF-4 profiles)")
-    require(!(ds.filters.exists(_.id == 1) && ds.filters.exists(_.id == 32015)),
-      s"${ds.name}: deflate AND zstd on one pipeline is unsupported")
+        "(deflate/shuffle/szip/zstd cover the netCDF-4 profiles)")
+    require(ds.filters.count(f => f.id == 1 || f.id == 4 || f.id == 32015) <= 1,
+      s"${ds.name}: multiple compressors on one pipeline is unsupported " +
+        s"(ids ${ds.filters.map(_.id).mkString(",")})")
     val compressor: JValue =
       if (ds.filters.exists(_.id == 1)) JObj(Seq("id" -> JStr("zlib")))
       else if (ds.filters.exists(_.id == 32015)) JObj(Seq("id" -> JStr("zstd")))
-      else JNull
+      else ds.filters.find(_.id == 4) match {
+        case Some(sz) =>
+          // H5Z__set_local_szip's 4 client values (H5Zszip.c):
+          // [options_mask, pixels_per_block, bits_per_pixel, pixels_per_scanline]
+          require(sz.client.length >= 4,
+            s"${ds.name}: szip filter carries ${sz.client.length} client values (need 4)")
+          // constructing the codec validates the mask/width profile and
+          // refuses raw/odd modes by name at PLANNING time
+          graft.sources.zarr.ZarrCodec.SzipCodec(
+            sz.client(0), sz.client(1), sz.client(2), sz.client(3)).json
+        case None => JNull
+      }
     val filters: JValue = ds.filters.find(_.id == 2) match {
       case Some(sh) => JArr(Seq(JObj(Seq("id" -> JStr("shuffle"),
         "elementsize" -> JNum(sh.client.headOption.getOrElse(ds.dtype.size).toDouble)))))

@@ -109,6 +109,133 @@ object ZarrCodec {
       "crc32c is a zarr v3 codec; v2 stores cannot declare it")
   }
 
+  /** HDF5 szip filter (filter id 4) payloads, decoded through the in-repo
+    * CCSDS 121.0 Rice coder — szip IS CCSDS adaptive entropy coding, and
+    * every modern HDF5 build serves the filter through libaec's szip
+    * compatibility layer (libaec sz_compat.c, public). Mapping, from
+    * H5Zszip.c + sz_compat.c:
+    *
+    *  - stored chunk = 4-byte little-endian uncompressed byte count
+    *    (H5Z__filter_szip prepends it) ‖ the AEC bitstream;
+    *  - `block_size` = pixels_per_block, `rsi` = ⌈pixels_per_scanline /
+    *    pixels_per_block⌉ (each scanline is an independent segment with
+    *    its own reference sample), no RSI byte padding;
+    *  - SZ_NN_OPTION_MASK (32) → unit-delay preprocessor;
+    *    SZ_MSB(16)/SZ_LSB(8) pick SAMPLE byte order (H5Z__set_local_szip
+    *    sets them from the datatype's endianness — LSB for the common
+    *    little-endian case); the coded bitstream is MSB-first either way;
+    *  - bits_per_pixel ∈ {8, 16, 32}, HDF5's own szip profile (1/2/4-byte
+    *    atomic types). Raw mode, other widths, and ambiguous byte-order
+    *    masks are refused BY NAME, never mis-decoded.
+    *
+    * No third-party szip fixture can be produced in this offline image, so
+    * (as with the JPEG 2000 codec) the mapping is pinned by roundtrip +
+    * hand-built vectors against the documented public layout; validating
+    * one real NASA/NOAA szip file at deployment is the remaining step. */
+  final case class SzipCodec(optionsMask: Int, pixelsPerBlock: Int,
+      bitsPerPixel: Int, pixelsPerScanline: Int) extends Codec {
+    import graft.sources.grib.Ccsds
+    private val SzEc = 4; private val SzLsb = 8; private val SzMsb = 16
+    private val SzNn = 32; private val SzRaw = 128
+    require((optionsMask & SzRaw) == 0, "szip raw (uncoded) mode unsupported")
+    require(((optionsMask & SzLsb) != 0) ^ ((optionsMask & SzMsb) != 0),
+      s"szip options mask $optionsMask must set exactly one of LSB(8)/MSB(16)")
+    require(bitsPerPixel == 8 || bitsPerPixel == 16 || bitsPerPixel == 32,
+      s"szip bits_per_pixel $bitsPerPixel unsupported (HDF5 profile: 8, 16, 32)")
+    require(pixelsPerBlock >= 2 && pixelsPerBlock <= 64 && pixelsPerBlock % 2 == 0,
+      s"szip pixels_per_block $pixelsPerBlock outside the even 2..64 range")
+    require(pixelsPerScanline >= 1, s"szip pixels_per_scanline $pixelsPerScanline")
+
+    private def sampleBytes = bitsPerPixel / 8
+    private def msbSamples = (optionsMask & SzMsb) != 0
+    private def params = Ccsds.Params(
+      flags = Ccsds.FlagMsb |
+        (if ((optionsMask & SzNn) != 0) Ccsds.FlagPreprocess else 0),
+      blockSize = pixelsPerBlock,
+      rsi = (pixelsPerScanline + pixelsPerBlock - 1) / pixelsPerBlock)
+
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      require(raw.length % sampleBytes == 0,
+        s"szip chunk of ${raw.length} bytes is not whole $sampleBytes-byte samples")
+      val n = raw.length / sampleBytes
+      val samples = new Array[Long](n)
+      var i = 0
+      while (i < n) { samples(i) = sampleAt(raw, i); i += 1 }
+      val coded = Ccsds.encode(samples, bitsPerPixel, params)
+      val out = new Array[Byte](4 + coded.length)
+      putLe32(out, 0, raw.length)
+      System.arraycopy(coded, 0, out, 4, coded.length)
+      out
+    }
+
+    def decode(buf: Array[Byte], rawLen: Int): Array[Byte] = {
+      require(buf.length >= 4, s"szip chunk of ${buf.length} bytes has no size header")
+      val origLen = le32(buf, 0)
+      require(origLen >= 0 && origLen % sampleBytes == 0,
+        s"szip header claims $origLen bytes for $sampleBytes-byte samples")
+      val samples = Ccsds.decode(
+        java.util.Arrays.copyOfRange(buf, 4, buf.length),
+        origLen / sampleBytes, bitsPerPixel, params)
+      val out = new Array[Byte](origLen)
+      var i = 0
+      while (i < samples.length) { putSample(out, i, samples(i)); i += 1 }
+      out
+    }
+
+    private def sampleAt(b: Array[Byte], i: Int): Long = {
+      val off = i * sampleBytes
+      var v = 0L
+      var k = 0
+      while (k < sampleBytes) {
+        val byte = b(off + (if (msbSamples) k else sampleBytes - 1 - k)) & 0xFFL
+        v = (v << 8) | byte
+        k += 1
+      }
+      v
+    }
+
+    private def putSample(b: Array[Byte], i: Int, v: Long): Unit = {
+      val off = i * sampleBytes
+      var k = 0
+      while (k < sampleBytes) {
+        val byte = ((v >>> (8 * (sampleBytes - 1 - k))) & 0xFF).toByte
+        b(off + (if (msbSamples) k else sampleBytes - 1 - k)) = byte
+        k += 1
+      }
+    }
+
+    def json: JValue = JObj(Seq(
+      "id" -> JStr("szip"),
+      "options_mask" -> JNum(optionsMask),
+      "pixels_per_block" -> JNum(pixelsPerBlock),
+      "bits_per_pixel" -> JNum(bitsPerPixel),
+      "pixels_per_scanline" -> JNum(pixelsPerScanline)))
+  }
+
+  /** XChaCha20-Poly1305 chunk encryption as a zarr v3 bytes→bytes codec —
+    * the v3 expression of the reference's v2 `EncryptionFilter`
+    * (encryption.py:81-139; the reference's own v3 rewrite is pending,
+    * tests/system/test_chirps_encryption.py:1-3, so this chain position is
+    * engine-defined: compress → encrypt, with `crc32c` still closing the
+    * chain). Stored object = nonce(24) ‖ tag(16) ‖ ciphertext of the
+    * inner-encoded payload; configuration carries only the SHA3-256 key
+    * hash. The key bytes are resolved from the runtime registry at
+    * CONSTRUCTION (driver/planning) time — a missing key fails loudly with
+    * the hash named before any task launches, and executors never need the
+    * registry (the key rides in the serialized codec, same closure model
+    * as the reference's dask workers importing the registry module). */
+  final case class EncryptionCodec(inner: Codec, keyHash: String) extends Codec {
+    private val key: Array[Byte] = graft.functions.Encryption.requireKey(keyHash)
+    def encode(raw: Array[Byte]): Array[Byte] =
+      graft.functions.Encryption.encryptWithKey(inner.encode(raw), key)
+    def decode(buf: Array[Byte], rawLen: Int): Array[Byte] =
+      inner.decode(graft.functions.Encryption.decryptWithKey(buf, key), rawLen)
+    // v2 stores express encryption as the xchacha20poly1305 FILTER (the
+    // reference's format, metadata.py:862-868), never as a compressor
+    def json: JValue = throw new UnsupportedOperationException(
+      "v2 stores express encryption as the xchacha20poly1305 filter, not a compressor")
+  }
+
   /** c-blosc 1.x container, decode-only. `typesize` comes from the chunk
     * header itself, so one instance serves any array. */
   case object BloscCodec extends Codec {
@@ -148,13 +275,19 @@ object ZarrCodec {
         case Some(JNum(n)) => n.toInt
         case _ => default
       }
+      def num(key: String): Int = o.get(key) match {
+        case Some(JNum(n)) => n.toInt
+        case other => throw new IllegalArgumentException(s"szip $key: $other")
+      }
       id match {
         case "zlib" => ZlibCodec(level(1))
         case "gzip" => GzipCodec(level(1))
         case "zstd" => ZstdCodec(level(3))
         case "blosc" => BloscCodec
+        case "szip" => SzipCodec(num("options_mask"), num("pixels_per_block"),
+          num("bits_per_pixel"), num("pixels_per_scanline"))
         case other => throw new IllegalArgumentException(
-          s"Unsupported zarr compressor '$other' (supported: null, zlib, gzip, zstd, blosc[decode])")
+          s"Unsupported zarr compressor '$other' (supported: null, zlib, gzip, zstd, blosc[decode], szip)")
       }
     case other => throw new IllegalArgumentException(s"Bad compressor JSON: $other")
   }

@@ -40,7 +40,7 @@ object ZarrIO {
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
-    try out.write(meta.codec.encode(raw))
+    try out.write(meta.encodeChunk(raw))
     finally out.close()
   }
 
@@ -481,7 +481,7 @@ object ZarrIO {
       if (inside) {
         val innerBuf = new Array[Byte](innerCells * esize)
         copyInnerRows(m, ic, shardBuf, innerBuf, toShard = false)
-        val enc = m.codec.encode(innerBuf)
+        val enc = m.encodeChunk(innerBuf)
         pairs(2 * lin) = pos
         pairs(2 * lin + 1) = enc.length.toLong
         data.write(enc)

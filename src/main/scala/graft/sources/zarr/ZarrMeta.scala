@@ -142,13 +142,28 @@ object ZarrMeta {
   // --------------------------------------------------------------- .zarray
 
   /** Pre-compression filter (zarr v2 `filters` list): applied in order on
-    * encode BEFORE the compressor, undone in reverse on decode. The only
-    * one the scan needs is byte-shuffle — HDF5's shuffle filter (id 2) and
-    * numcodecs `Shuffle` both reorganize the whole chunk buffer into
-    * `elementsize` byte planes. */
-  final case class ShuffleFilter(elementSize: Int) extends Serializable {
+    * encode BEFORE the compressor, undone in reverse on decode — numcodecs
+    * semantics, which the reference relies on to inject its encryption
+    * filter into every data array (metadata.py:862-868). */
+  sealed trait V2Filter extends Serializable {
+    def json: JValue
+    def encode(buf: Array[Byte]): Array[Byte]
+    def decode(buf: Array[Byte]): Array[Byte]
+    /** Encoded size of an `n`-byte input — the compressor's decode target
+      * moves when a filter changes the buffer length (encryption adds its
+      * 40-byte nonce‖tag envelope). */
+    def encodedLen(n: Int): Int
+  }
+
+  /** Byte-shuffle — HDF5's shuffle filter (id 2) and numcodecs `Shuffle`
+    * both reorganize the whole chunk buffer into `elementsize` byte
+    * planes. */
+  final case class ShuffleFilter(elementSize: Int) extends V2Filter {
     def json: JValue = JObj(Seq(
       "id" -> JStr("shuffle"), "elementsize" -> JNum(elementSize)))
+    def encode(buf: Array[Byte]): Array[Byte] =
+      if (elementSize <= 1) buf
+      else ZarrCodec.shuffleBlock(buf, 0, buf.length, elementSize)
     def decode(buf: Array[Byte]): Array[Byte] = {
       if (elementSize <= 1) buf
       else {
@@ -157,6 +172,29 @@ object ZarrMeta {
         out
       }
     }
+    def encodedLen(n: Int): Int = n
+  }
+
+  /** The reference's chunk-encryption filter, bit-compatible on disk:
+    * numcodecs id `xchacha20poly1305`, configuration = the SHA3-256 hash of
+    * the key (never the key), payload = nonce(24) ‖ tag(16) ‖ ciphertext
+    * with the `dClimate-Zarr` AAD header (encryption.py:81-139). Applied
+    * BEFORE the compressor, exactly where the reference appends it to the
+    * data variable's filter chain (metadata.py:862-868) — so a store this
+    * engine publishes opens under the reference's numcodecs filter and
+    * vice versa. Key bytes resolve from the runtime registry at
+    * construction (planning) time: an unregistered hash fails loudly with
+    * the hash named before any task launches, and the resolved key rides
+    * in the serialized filter so executors never need the registry. */
+  final case class EncryptionFilter(keyHash: String) extends V2Filter {
+    private val key: Array[Byte] = graft.functions.Encryption.requireKey(keyHash)
+    def json: JValue = JObj(Seq(
+      "id" -> JStr("xchacha20poly1305"), "key_hash" -> JStr(keyHash)))
+    def encode(buf: Array[Byte]): Array[Byte] =
+      graft.functions.Encryption.encryptWithKey(buf, key)
+    def decode(buf: Array[Byte]): Array[Byte] =
+      graft.functions.Encryption.decryptWithKey(buf, key)
+    def encodedLen(n: Int): Int = n + 40
   }
 
   /** v3 `sharding_indexed` layout: each STORED object (addressed by the
@@ -186,7 +224,7 @@ object ZarrMeta {
       fill: Option[Double],
       dimSeparator: String,
       attrs: JObj,
-      filters: Seq[ShuffleFilter] = Seq.empty,
+      filters: Seq[V2Filter] = Seq.empty,
       /** "c" for zarr v3 stores (keys are `c/0/0`), "" for v2. */
       keyPrefix: String = "",
       /** Present when this v3 array uses the sharding_indexed codec. */
@@ -201,6 +239,21 @@ object ZarrMeta {
     def gridShape: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def cellsPerChunk: Long = chunks.map(_.toLong).product
     def bytesPerChunk: Long = cellsPerChunk * dtype.size
+    /** Encode one raw chunk buffer for storage: v2 order — filters in
+      * declaration order, then the compressor (numcodecs semantics; the
+      * write-path inverse of [[decodeChunk]]). */
+    def encodeChunk(raw: Array[Byte]): Array[Byte] =
+      codec.encode(filters.foldLeft(raw)((b, f) => f.encode(b)))
+
+    /** Decode one stored chunk to its raw fixed-size buffer: compressor
+      * first, then filters undone in reverse. The compressor's expected
+      * output length accounts for length-changing filters (encryption's
+      * 40-byte envelope). */
+    def decodeChunk(bytes: Array[Byte]): Array[Byte] = {
+      val codecLen = filters.foldLeft(bytesPerChunk.toInt)((n, f) => f.encodedLen(n))
+      filters.reverse.foldLeft(codec.decode(bytes, codecLen))((b, f) => f.decode(b))
+    }
+
     def chunkKey(coords: Seq[Int]): String =
       if (keyPrefix.isEmpty) coords.mkString(dimSeparator)
       else (keyPrefix +: coords.map(_.toString)).mkString(dimSeparator)
@@ -260,6 +313,10 @@ object ZarrMeta {
         case ZarrCodec.NullCodec => Seq.empty
         case ZarrCodec.Crc32cCodec(inner) => // checksum closes the chain
           codecJson(inner) :+ JObj(Seq("name" -> JStr("crc32c")))
+        case ZarrCodec.EncryptionCodec(inner, keyHash) =>
+          codecJson(inner) :+ JObj(Seq(
+            "name" -> JStr("xchacha20poly1305"),
+            "configuration" -> JObj(Seq("key_hash" -> JStr(keyHash)))))
         case ZarrCodec.ZlibCodec(level) => Seq(JObj(Seq(
           "name" -> JStr("zlib"),
           "configuration" -> JObj(Seq("level" -> JNum(level))))))
@@ -339,14 +396,20 @@ object ZarrMeta {
         case other => throw new IllegalArgumentException(
           s"Only C-order zarr arrays are supported, got $other")
       }
-      val filters: Seq[ShuffleFilter] = o.get("filters") match {
+      val filters: Seq[V2Filter] = o.get("filters") match {
         case None | Some(JNull) | Some(JArr(Seq())) => Seq.empty
         case Some(JArr(items)) => items.map {
           case f: JObj if f.get("id").contains(JStr("shuffle")) =>
             ShuffleFilter(f.get("elementsize").collect { case JNum(n) => n.toInt }
               .getOrElse(4))
+          case f: JObj if f.get("id").contains(JStr("xchacha20poly1305")) =>
+            EncryptionFilter(f.get("key_hash") match {
+              case Some(JStr(h)) => h
+              case other => throw new IllegalArgumentException(
+                s"xchacha20poly1305 filter missing key_hash: $other")
+            })
           case other => throw new IllegalArgumentException(
-            s"zarr filter not supported: $other (only shuffle)")
+            s"zarr filter not supported: $other (shuffle, xchacha20poly1305)")
         }
         case other => throw new IllegalArgumentException(s"zarr filters: $other")
       }
@@ -575,6 +638,11 @@ object ZarrMeta {
               codec = ZarrCodec.ZstdCodec(cfg.flatMap(_.get("level"))
                 .collect { case JNum(n) => n.toInt }.getOrElse(3))
             case Some(JStr("blosc")) => codec = ZarrCodec.BloscCodec
+            case Some(JStr("xchacha20poly1305")) =>
+              val kh = cfg.flatMap(_.get("key_hash")).collect { case JStr(h) => h }
+                .getOrElse(throw new IllegalArgumentException(
+                  "xchacha20poly1305 codec missing key_hash"))
+              codec = ZarrCodec.EncryptionCodec(codec, kh)
             case Some(JStr("crc32c")) =>
               // v3 core checksum codec: must close the bytes→bytes chain
               // (it checksums the stored object); wrap whatever precedes.
@@ -787,10 +855,7 @@ object ZarrMeta {
     * first, then filters undone in reverse — zarr v2 decode order). Missing
     * directory-store chunks return None (fill semantics). */
   def readChunk(conf: Configuration, meta: ZArrayMeta, ref: Option[ChunkRef]): Option[Array[Byte]] = {
-    val rawLen = meta.bytesPerChunk.toInt
-    def decode(bytes: Array[Byte]): Array[Byte] =
-      meta.filters.reverse.foldLeft(meta.codec.decode(bytes, rawLen))(
-        (b, f) => f.decode(b))
+    def decode(bytes: Array[Byte]): Array[Byte] = meta.decodeChunk(bytes)
     ref match {
       case None => None
       case Some(InlineChunk(bytes)) => Some(decode(bytes))

@@ -30,9 +30,14 @@ object StoreConvert {
       timeChunk: Int = 128, spatialChunks: Option[Seq[Int]] = None,
       codec: ZarrCodec.Codec = ZarrCodec.ZlibCodec(1),
       zarrFormat: Int = 2,
-      shardChunks: Option[Seq[Int]] = None): ZarrStore = {
+      shardChunks: Option[Seq[Int]] = None,
+      /** Encrypt the destination's data chunks (SHA3-256 key hash, see
+        * [[ZarrStore]]). Independent of the source: rechunking can add,
+        * keep (pass the same hash), rotate (pass a different registered
+        * hash), or drop encryption. */
+      encryptionKeyHash: Option[String] = None): ZarrStore = {
     val dst = new ZarrStore(src.spark, dstPath, src.desc, timeChunk,
-      spatialChunks, codec, zarrFormat, shardChunks)
+      spatialChunks, codec, zarrFormat, shardChunks, encryptionKeyHash)
     require(!dst.hasExisting,
       s"rechunk target already holds a store: $dstPath (delete it first — " +
         "rechunking in place would read and clobber the same chunks)")

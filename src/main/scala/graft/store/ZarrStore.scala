@@ -58,11 +58,26 @@ final class ZarrStore(
       * object — the zarr v3 cloud layout that keeps objects large while
       * reads stay inner-chunk-granular. Must divide the storage chunk
       * shape elementwise. */
-    val shardChunks: Option[Seq[Int]] = None) extends GridPublisher {
+    val shardChunks: Option[Seq[Int]] = None,
+    /** W12 — encrypt the DATA variable's chunks for NEW stores: the
+      * SHA3-256 hash of a key registered via
+      * [[graft.functions.Encryption.registerEncryptionKey]]. v2 stores get
+      * the reference's numcodecs `xchacha20poly1305` filter appended to the
+      * data array's filter chain (metadata.py:862-868) — bit-compatible
+      * with stores the reference encrypts; v3 stores get the engine's
+      * `xchacha20poly1305` bytes→bytes codec (compress → encrypt, crc32c
+      * still closing the chain). Coordinates stay plain, as in the
+      * reference. An EXISTING store's persisted encryption always wins —
+      * updates keep encrypting with the stored key hash, and reads of any
+      * encrypted store need the key registered or fail with the hash
+      * named. */
+    val encryptionKeyHash: Option[String] = None) extends GridPublisher {
 
   require(zarrFormat == 2 || zarrFormat == 3, s"zarr format $zarrFormat (2 or 3)")
   require(shardChunks.isEmpty || zarrFormat == 3,
     "sharding_indexed is a zarr v3 codec — shardChunks needs zarrFormat = 3")
+  // fail at construction, with the hash named, not mid-publish
+  encryptionKeyHash.foreach(graft.functions.Encryption.requireKey)
 
   /** [[GridPublisher]] — one streaming micro-batch lands through the same
     * publish dispatch (appends must stay time-monotonic, which ordered
@@ -342,11 +357,27 @@ final class ZarrStore(
             ZarrCodec.BloscLz4Codec(typesize = m.dtype.size)
           case ZarrCodec.Crc32cCodec(inner) =>
             ZarrCodec.Crc32cCodec(encodable(inner))
+          case ZarrCodec.EncryptionCodec(inner, kh) =>
+            ZarrCodec.EncryptionCodec(encodable(inner), kh)
           case other => other
         }
         encodable(m.codec)
       case None => codec
     }
+
+  /** Codec for COORDINATE arrays: the data variable's codec with any
+    * encryption stripped — only the data variable is encrypted, matching
+    * the reference (metadata.py:862-868 appends the filter to
+    * `dataset[self.data_var]`'s encoding alone, leaving coordinates
+    * plain). */
+  private def coordCodec: ZarrCodec.Codec = {
+    def strip(c: ZarrCodec.Codec): ZarrCodec.Codec = c match {
+      case ZarrCodec.EncryptionCodec(inner, _) => strip(inner)
+      case ZarrCodec.Crc32cCodec(inner) => ZarrCodec.Crc32cCodec(strip(inner))
+      case other => other
+    }
+    strip(writeCodec)
+  }
 
   /** Data-variable metadata. An UPDATE reuses the persisted document
     * wholesale (dtype, fill, chunk grid, key conventions) so chunks written
@@ -357,9 +388,9 @@ final class ZarrStore(
     val shape = nt +: spatial.map(_.length)
     listArrays().toMap.get(desc.dataVar) match {
       case Some(m) =>
-        require(m.filters.isEmpty,
-          s"${desc.dataVar} declares v2 filters — the chunk writer emits " +
-            "codec-only chunks; updates would disagree with the metadata")
+        // the persisted filter chain (shuffle, encryption) carries over
+        // verbatim — the chunk writer applies filters-then-codec, so
+        // updates stay bit-compatible with what the store declares
         m.copy(shape = shape, codec = writeCodec)
       case None =>
         val storage = chunkShape(spatial)
@@ -372,15 +403,30 @@ final class ZarrStore(
             (inner, Some(ZarrMeta.ShardingInfo(storage,
               indexAtEnd = true, indexCrc = true)))
         }
+        // v2 encrypts via the reference's filter; v3 via the codec chain
+        // (encrypt after compress, inside any crc32c)
+        val (dataCodec, dataFilters) = encryptionKeyHash match {
+          case None => (writeCodec, Seq.empty[ZarrMeta.V2Filter])
+          case Some(kh) if useV3 =>
+            def inject(c: ZarrCodec.Codec): ZarrCodec.Codec = c match {
+              case ZarrCodec.Crc32cCodec(inner) =>
+                ZarrCodec.Crc32cCodec(inject(inner))
+              case other => ZarrCodec.EncryptionCodec(other, kh)
+            }
+            (inject(writeCodec), Seq.empty[ZarrMeta.V2Filter])
+          case Some(kh) =>
+            (writeCodec, Seq[ZarrMeta.V2Filter](ZarrMeta.EncryptionFilter(kh)))
+        }
         ZArrayMeta(
           shape = shape,
           chunks = chunks,
           dtype = ZarrMeta.parseDtype("<f8"),
-          codec = writeCodec,
+          codec = dataCodec,
           fill = Some(Double.NaN),
           dimSeparator = keySep,
           attrs = JObj(Seq(
             "_ARRAY_DIMENSIONS" -> graft.meta.JArr(dims.map(JStr(_))))),
+          filters = dataFilters,
           keyPrefix = keyPfx,
           sharding = sharding)
     }
@@ -394,7 +440,7 @@ final class ZarrStore(
       shape = Seq(timeMicros.length),
       chunks = Seq(math.max(timeMicros.length, 1)),
       dtype = ZarrMeta.parseDtype("<i8"),
-      codec = writeCodec, fill = None, dimSeparator = keySep,
+      codec = coordCodec, fill = None, dimSeparator = keySep,
       attrs = JObj(Seq(
         "_ARRAY_DIMENSIONS" -> graft.meta.JArr(Seq(JStr(timeCol))),
         "units" -> JStr(TimeUnits),
@@ -405,7 +451,7 @@ final class ZarrStore(
       val m = ZArrayMeta(
         shape = Seq(vals.length), chunks = Seq(math.max(vals.length, 1)),
         dtype = ZarrMeta.parseDtype("<f8"),
-        codec = writeCodec, fill = None, dimSeparator = keySep,
+        codec = coordCodec, fill = None, dimSeparator = keySep,
         attrs = JObj(Seq(
           "_ARRAY_DIMENSIONS" -> graft.meta.JArr(Seq(JStr(dim))))),
         keyPrefix = keyPfx)

@@ -22,12 +22,13 @@ class EncryptionSpec extends SparkSpec {
 
   test("decrypts a blob produced by an independent XChaCha implementation") {
     // Generated with libsodium-equivalent HChaCha20 + IETF ChaCha20-Poly1305
-    // (python `cryptography`), AAD "graft-grid-chunk", layout nonce|tag|ct.
+    // (python `cryptography`), AAD "dClimate-Zarr" (the reference's header,
+    // encryption.py:98), layout nonce|tag|ct.
     val key = (0 until 32).map(_.toByte).toArray
     val kh = Encryption.registerEncryptionKey(key.map("%02x".format(_)).mkString)
     val blob = hex(
-      "6465666768696a6b6c6d6e6f707172737475767778797a7bf46605f0b0ebd3be" +
-        "610a248ee1565020081b9c908e5be0e1ec10ff4dc918d3e93dd42a518e59a7c0" +
+      "6465666768696a6b6c6d6e6f707172737475767778797a7b60b59362dcc1986c" +
+        "da5dcf9964819286081b9c908e5be0e1ec10ff4dc918d3e93dd42a518e59a7c0" +
         "ff750bd14e2c5864c36363124dcc8ee78e6902")
     val pt = Encryption.decryptChunk(blob, kh)
     assert(new String(pt, "US-ASCII") == "the quick brown fox jumps over the lazy dog")
