@@ -274,6 +274,35 @@ object SparkEntry {
     path
   }
 
+  /** Spectral GRIB2 fixture (template 3.50 + 5.50): one message per day,
+    * triangular truncation M=3 → 10 complex pairs; pair p (m-major order)
+    * carries re = count(slot p), im = p. Coefficient space is the row
+    * model, so the oracle recomputes the same (m, n, part, value) rows
+    * from events + a hardcoded pair→(m,n) map. */
+  private def gribSpectralFixture(s: SparkSession, dir: String): String = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/events_sp.grb2"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = new java.io.DataOutputStream(fs.create(p, true))
+    try days.foreach { d =>
+      val coeffs = new Array[Double](20) // (3+1)(3+2) values = 10 pairs
+      for (pair <- 0 until 10) coeffs(2 * pair + 1) = pair.toDouble
+      byDay(d).foreach(r =>
+        coeffs(2 * r.getAs[Int]("slot")) = r.getAs[Long]("count").toDouble)
+      graft.sources.grib.GribFormat.writeSpectralMessage2(out,
+        refTime = d, trunc = 3, fields = Seq((61, 0, coeffs)))
+    } finally out.close()
+    path
+  }
+
   private val EventsDesc = DatasetDescriptor(
     datasetName = "events", dataVar = "value",
     category = DatasetCategory.Observation, spatialDims = Seq("event_id"),
@@ -1495,6 +1524,19 @@ object SparkEntry {
     "q82_nc4_scan" -> ((s, dir) => {
       val (path, _) = nc4EventsFixture(s, dir)
       s.read.format("netcdf").load(path).orderBy("time", "slot")
+    }),
+
+    // GRIB2 SPECTRAL fields (grid template 3.50 + DRS 5.50) — ERA5
+    // model-level fields in the native MARS archive are spherical-harmonic
+    // coefficients. The scan emits coefficient space: one row per (m, n,
+    // part) under the m-major mode-1 ordering, real (0,0) coefficient
+    // riding unpacked in the DRS. The oracle recomputes the same rows from
+    // events + the hardcoded triangular pair→(m,n) map for M=3.
+    "q142_grib_spectral_scan" -> ((s, dir) => {
+      val path = gribSpectralFixture(s, dir)
+      s.read.format("grib-spectral").load(path)
+        .select("time", "m", "n", "part", "value")
+        .orderBy("time", "m", "n", "part")
     }),
 
     // q82's grid with HDF5 filter id 4 (szip) chunks — the CCSDS/AEC Rice
@@ -2986,6 +3028,25 @@ object SparkEntry {
         |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
         |ORDER BY 1, 2""".stripMargin,
+
+    // spectral coefficient rows: pair p (m-major, M=3) ↦ (m, n); re carries
+    // the slot count (0 when no events), im carries the pair index
+    "q142_grib_spectral_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |mn(slot, m, n) AS (VALUES (0,0,0),(1,0,1),(2,0,2),(3,0,3),(4,1,1),
+        |                          (5,1,2),(6,1,3),(7,2,2),(8,2,3),(9,3,3)),
+        |parts(part) AS (VALUES ('re'), ('im')),
+        |spine AS (SELECT d, slot, m, n, part FROM days CROSS JOIN mn CROSS JOIN parts)
+        |SELECT spine.d AS time, CAST(spine.m AS INTEGER) AS m,
+        |       CAST(spine.n AS INTEGER) AS n, spine.part AS part,
+        |       CASE WHEN spine.part = 're' THEN coalesce(g.cnt, 0.0)
+        |            ELSE CAST(spine.slot AS DOUBLE) END AS value
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY time, m, n, part""".stripMargin,
 
     // szip chunks must decode to the identical grid → q82's oracle verbatim
     "q141_nc4_szip_scan" ->

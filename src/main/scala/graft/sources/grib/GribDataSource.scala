@@ -109,6 +109,14 @@ object GribTable {
     val files = listGribFiles(conf, paths)
     val byFile = files.map(st =>
       st.getPath.toString -> cachedMessages(conf, st))
+    // spectral fields have no lat/lon rows — they scan through the
+    // coefficient-space source, never silently through this schema
+    byFile.find(_._2.exists(_.spectral.isDefined)).foreach { case (p, _) =>
+      throw new IllegalArgumentException(
+        s"$p holds spherical-harmonic (template 3.50) fields — read them " +
+          "with spark.read.format(\"grib-spectral\") (rows: time, param, " +
+          "member, m, n, part, value)")
+    }
     // size-bounded eviction like NcTable.layoutCache: a long-lived driver
     // scanning many (or rewritten — each rewrite is a fresh (path,mtime,len)
     // key) GRIB files must not grow the cache unboundedly; clear AFTER

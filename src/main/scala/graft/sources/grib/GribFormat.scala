@@ -136,6 +136,37 @@ object GribFormat {
     Ccsds.Params(flags = Ccsds.FlagMsb | Ccsds.FlagPreprocess,
       blockSize = 16, rsi = 8)
 
+  /** Spherical-harmonic coefficient field (edition-2 grid template 3.50 +
+    * data representation template 5.50 "spectral data — simple packing"):
+    * ERA5 model-level fields in the native MARS archive are spectral
+    * (reference target: docs/etl_developers_manual.md:158-168). Only
+    * TRIANGULAR truncation (J = K = M, what ECMWF emits) with
+    * representation type 1 (associated Legendre) and mode 1 (the m-major
+    * complex ordering: m = 0..M, n = m..M, each coefficient a (re, im)
+    * pair) is accepted; anything else is refused by name. The real part
+    * of the (0,0) coefficient travels UNPACKED as IEEE32 in the DRS
+    * (template 5.50 octets 22-25); every other value is simple-packed.
+    * Output is coefficient space — rows (m, n, part, value) through the
+    * `grib-spectral` scan; synthesis onto a grid is a regrid step. */
+  final case class SpectralGrid(trunc: Int, real00: Double) extends Serializable {
+    /** Complex coefficient pairs under triangular truncation. */
+    def nPairs: Int = (trunc + 1) * (trunc + 2) / 2
+    /** Stored VALUES (re + im per pair) — the message's nValues. */
+    def nCoeffValues: Int = 2 * nPairs
+    /** Pair index → (m, n) under the m-major mode-1 ordering. */
+    @transient lazy val pairMN: Array[(Int, Int)] = {
+      val out = new Array[(Int, Int)](nPairs)
+      var p = 0
+      var m = 0
+      while (m <= trunc) {
+        var n = m
+        while (n <= trunc) { out(p) = (m, n); p += 1; n += 1 }
+        m += 1
+      }
+      out
+    }
+  }
+
   /** Rotated lat/lon grid (edition-2 template 3.1 — COSMO/ICON/HARMONIE
     * regional grids): the stored coordinates are ROTATED lat/lon; the
     * southern pole of projection (GRIB convention) maps to CF's rotated
@@ -235,7 +266,11 @@ object GribFormat {
       /** Data representation template 5.40: the data section is a JPEG 2000
         * codestream of the scaled offsets (the ECMWF/ERA5 archive
         * packing), decoded by the in-repo [[Jpeg2000]] codec. */
-      jpeg: Boolean = false) {
+      jpeg: Boolean = false,
+      /** Grid template 3.50 + DRS 5.50: spherical-harmonic coefficients
+        * (see [[SpectralGrid]]); such messages scan through the
+        * `grib-spectral` source, never through lat/lon rows. */
+      spectral: Option[SpectralGrid] = None) {
     // lazy, not def: latLonAt runs per cell (twice per row for lat+lon
     // columns) on rotated/Gaussian grids — rebuilding the axis arrays per
     // call would dominate a large scan
@@ -259,7 +294,9 @@ object GribFormat {
     }
     @transient lazy val lons: Array[Double] =
       Array.tabulate(ni)(i => lo1 + (if (ni == 1) 0.0 else (lo2 - lo1) * i / (ni - 1)))
-    def nValues: Int = rowLengths.map(_.sum).getOrElse(ni * nj)
+    def nValues: Int =
+      spectral.map(_.nCoeffValues)
+        .orElse(rowLengths.map(_.sum)).getOrElse(ni * nj)
     def hasBitmap: Boolean = bitmapOffset >= 0
 
     /** Reduced rows: exclusive prefix sums for O(log nj) cell→row lookup. */
@@ -318,6 +355,15 @@ object GribFormat {
     /** Build a cell decoder over the data (and bitmap) slabs. Returns NaN
       * for bitmap-masked cells — the scan surfaces them as null. */
     def decoder(slab: Array[Byte], bitmapSlab: Array[Byte]): Int => Double = {
+      spectral.foreach { sp =>
+        // template 7.50: every value simple-packed EXCEPT value 0 — the
+        // real (0,0) coefficient, which rides unpacked in the DRS
+        require(!hasBitmap, "spectral fields carry no bitmap")
+        return (k: Int) =>
+          if (k == 0) sp.real00
+          else unscale(extract(slab, (k - 1).toLong * bitsPerValue,
+            bitsPerValue).toDouble)
+      }
       // bitmap rank: prefix popcounts per 64-bit word → rank(k) in O(1)
       val (present, rank): (Int => Boolean, Int => Int) =
         if (!hasBitmap) ((_: Int) => true, (k: Int) => k)
@@ -483,6 +529,99 @@ object GribFormat {
     * shared by both editions' writers so the simple-packing encoder can
     * never diverge between them. NaN cells become bitmap holes: returns
     * (present scaled values, min, bitsPerValue, bitmap bytes or None). */
+  /** Write one GRIB2 SPECTRAL message: grid template 3.50 (spherical
+    * harmonics, triangular truncation M) + product 4.0 + DRS 5.50 (simple
+    * spectral packing) + data 7.50. Each field's `coeffs` array holds the
+    * (M+1)(M+2) coefficient VALUES in m-major mode-1 order (m = 0..M,
+    * n = m..M, re then im per pair); coeffs(0) — the real (0,0)
+    * coefficient — travels unpacked as IEEE32 in the DRS, everything else
+    * simple-packed with the given decimal scale. */
+  def writeSpectralMessage2(
+      out: DataOutputStream,
+      refTime: java.time.LocalDateTime,
+      trunc: Int,
+      fields: Seq[(Int, Int, Array[Double])], // (paramId, leadHours, coeffs)
+      decimalScale: Int = 0): Unit = {
+    require(trunc >= 0, s"negative truncation $trunc")
+    require(fields.nonEmpty, "a GRIB2 message needs at least one field")
+    val nVals = (trunc + 1) * (trunc + 2)
+    final case class Plan(paramId: Int, leadHours: Int, real00: Float,
+        scaled: Array[Long], minV: Long, bits: Int)
+    val plans = fields.map { case (paramId, leadHours, coeffs) =>
+      require(coeffs.length == nVals,
+        s"${coeffs.length} coefficient values for triangular M=$trunc ($nVals)")
+      require(!coeffs.exists(_.isNaN), "spectral coefficients cannot be missing")
+      val real00 = coeffs(0).toFloat
+      require(real00.toDouble == coeffs(0),
+        s"real (0,0) coefficient ${coeffs(0)} not exact in float32")
+      val (scaled, minV, bits, bitmap) = packPlan(coeffs.drop(1), decimalScale)
+      require(bitmap.isEmpty, "spectral fields carry no bitmap")
+      require(bits <= 24, s"coefficient range needs $bits bits (>24); " +
+        "raise decimalScale")
+      require(minV.toFloat.toLong == minV, s"reference $minV not exact in float32")
+      Plan(paramId, leadHours, real00, scaled, minV, bits)
+    }
+    val sec3Len = 28
+    val total = 16L + 21 + sec3Len +
+      plans.map(p => 34L + 25 + 6 +
+        (5 + (p.scaled.length.toLong * p.bits + 7) / 8)).sum + 4
+    // Section 0 — indicator
+    out.writeBytes("GRIB")
+    out.writeByte(0); out.writeByte(0)
+    out.writeByte(0) // discipline: meteorological
+    out.writeByte(2) // edition
+    out.writeLong(total)
+    // Section 1 — identification (same profile as writeMessage2Fields)
+    out.writeInt(21); out.writeByte(1)
+    out.writeShort(255); out.writeShort(0)
+    out.writeByte(2); out.writeByte(0)
+    out.writeByte(1)
+    out.writeShort(refTime.getYear)
+    out.writeByte(refTime.getMonthValue); out.writeByte(refTime.getDayOfMonth)
+    out.writeByte(refTime.getHour); out.writeByte(refTime.getMinute)
+    out.writeByte(refTime.getSecond)
+    out.writeByte(0); out.writeByte(1)
+    // Section 3 — template 3.50
+    out.writeInt(sec3Len); out.writeByte(3)
+    out.writeByte(0) // source: templates
+    out.writeInt(nVals) // data points = coefficient values
+    out.writeByte(0); out.writeByte(0) // no optional list
+    out.writeShort(50)
+    out.writeInt(trunc); out.writeInt(trunc); out.writeInt(trunc) // J, K, M
+    out.writeByte(1) // representation type: associated Legendre
+    out.writeByte(1) // representation mode: m-major complex ordering
+    plans.foreach { p =>
+      // Section 4 — product template 4.0
+      out.writeInt(34); out.writeByte(4)
+      out.writeShort(0); out.writeShort(0)
+      out.writeByte((p.paramId >> 8) & 0xFF)
+      out.writeByte(p.paramId & 0xFF)
+      out.writeByte(2); out.writeByte(0); out.writeByte(0)
+      out.writeShort(0); out.writeByte(0)
+      out.writeByte(1) // time unit: hours
+      out.writeInt(p.leadHours)
+      out.writeByte(1); out.writeByte(0); out.writeInt(0)
+      out.writeByte(255); out.writeByte(255); out.writeInt(-1)
+      // Section 5 — template 5.50: 5.0's 21-octet prefix + real00 IEEE32
+      out.writeInt(25); out.writeByte(5)
+      out.writeInt(nVals)
+      out.writeShort(50)
+      out.writeInt(java.lang.Float.floatToIntBits(p.minV.toFloat))
+      writeSm(out, 0, 2) // binary scale E = 0
+      writeSm(out, decimalScale, 2)
+      out.writeByte(p.bits)
+      out.writeByte(0) // field type: floating point
+      out.writeInt(java.lang.Float.floatToIntBits(p.real00))
+      // Section 6 — no bitmap
+      out.writeInt(6); out.writeByte(6); out.writeByte(255)
+      // Section 7 — packed values (all but the real (0,0) coefficient)
+      out.writeInt(5 + ((p.scaled.length.toLong * p.bits + 7) / 8).toInt)
+      out.writeByte(7)
+      writePacked(out, p.scaled, p.minV, p.bits)
+    }
+    out.writeBytes("7777")
+  }
+
   private def packPlan(values: Array[Double],
       decimalScale: Int): (Array[Long], Long, Int, Option[Array[Byte]]) = {
     val hasNaN = values.exists(_.isNaN)
@@ -1148,6 +1287,8 @@ object GribFormat {
       var member = -1
       var png = false
       var jpeg = false
+      var spectralTrunc: Option[Int] = None
+      var spectralReal00: Option[Double] = None
       var seenRepr = false
       var done = false
       while (!done) {
@@ -1174,10 +1315,21 @@ object GribFormat {
               case u => throw new IllegalArgumentException(
                 s"GRIB2 time unit $u unsupported (0=min, 1=hour, 2=day)")
             }
+            val spectral = (spectralTrunc, spectralReal00) match {
+              case (Some(t), Some(r)) => Some(SpectralGrid(t, r))
+              case (Some(_), None) => throw new IllegalArgumentException(
+                "spectral grid (template 3.50) needs DRS template 5.50 " +
+                  "(spectral simple packing)")
+              case (None, Some(_)) => throw new IllegalArgumentException(
+                "DRS template 5.50 needs the spherical-harmonic grid " +
+                  "(template 3.50)")
+              case (None, None) => None
+            }
             fields += GribMessage(paramId, validTime, ni, nj, la1, lo1, la2,
               lo2, decimalScale, binaryScale, refValue, bits, dataOffset,
               dataBytes, total.toInt, bitmapOffset, bitmapBytes, complex, lcc,
-              member, png, ccsds, rot, gaussN, rowLengths, jpeg = jpeg)
+              member, png, ccsds, rot, gaussN, rowLengths, jpeg = jpeg,
+              spectral = spectral)
           } else if (num == 6) {
             val indicator = readN(1)(0) & 0xFF
             indicator match {
@@ -1289,8 +1441,32 @@ object GribFormat {
                     rot = None
                     gaussN = None
                     rowLengths = None
+                  case 50 => // spherical harmonic coefficients (ERA5 spectral)
+                    val j = u32(body, 9).toInt // octets 15-18
+                    val k = u32(body, 13).toInt
+                    val m = u32(body, 17).toInt
+                    require(j == k && k == m,
+                      s"pentagonal spectral truncation J=$j K=$k M=$m " +
+                        "unsupported (triangular J=K=M only — the ECMWF form)")
+                    val repType = body(21) & 0xFF // octet 27
+                    val repMode = body(22) & 0xFF // octet 28
+                    require(repType == 1,
+                      s"spectral representation type $repType unsupported " +
+                        "(1: associated Legendre functions)")
+                    require(repMode == 1,
+                      s"spectral representation mode $repMode unsupported " +
+                        "(1: m-major complex ordering)")
+                    val declared = u32(body, 1)
+                    val expect = (m + 1).toLong * (m + 2)
+                    require(declared == expect,
+                      s"spectral section 3 declares $declared data points; " +
+                        s"triangular M=$m holds $expect coefficient values")
+                    spectralTrunc = Some(m)
+                    ni = expect.toInt; nj = 1
+                    lcc = None; rot = None; gaussN = None; rowLengths = None
                   case t => throw new IllegalArgumentException(
-                    s"grid template $t unsupported (3.0 lat/lon, 3.1 rotated, 3.30 Lambert)")
+                    s"grid template $t unsupported (3.0 lat/lon, 3.1 rotated, " +
+                      "3.30 Lambert, 3.40 Gaussian, 3.50 spectral)")
                 }
               case 4 =>
                 // 4.0 (analysis/forecast at a point), 4.8 (accumulation
@@ -1310,7 +1486,18 @@ object GribFormat {
                 binaryScale = sm(body, 10, 2)
                 decimalScale = sm(body, 12, 2)
                 bits = body(14) & 0xFF
+                spectralReal00 = None // a later field may repack on a grid
                 u16(body, 4) match {
+                  case 50 => // spectral data — simple packing (ERA5 model levels)
+                    require(body.length >= 20,
+                      s"template 5.50 section carries ${body.length + 5} octets (25 needed)")
+                    complex = None; png = false; jpeg = false; ccsds = None
+                    spectralReal00 = Some(
+                      java.lang.Float.intBitsToFloat(u32(body, 16).toInt).toDouble)
+                  case 51 => throw new IllegalArgumentException(
+                    "DRS template 5.51 (spectral complex packing) unsupported — " +
+                      "convert with eccodes/MARS to 5.50 simple spectral packing " +
+                      "or regrid to a Gaussian grid (templates 3.40/5.x) first")
                   case 0 =>
                     require((body(15) & 0xFF) == 0,
                       s"field type ${body(15)} unsupported (only 0: floating point)")
@@ -1379,7 +1566,7 @@ object GribFormat {
                       spatialDescBytes = descBytes))
                   case t => throw new IllegalArgumentException(
                     s"data representation template $t unsupported " +
-                      "(5.0, 5.2, 5.3, 5.40, 5.41, 5.42)")
+                      "(5.0, 5.2, 5.3, 5.40, 5.41, 5.42, 5.50)")
                 }
               case n => throw new IllegalArgumentException(s"Unexpected GRIB2 section $n")
             }

@@ -1,0 +1,249 @@
+package graft.sources.grib
+
+import java.util.OptionalLong
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.nc.{NcScan, SerializableHadoopConf}
+import GribFormat.GribMessage
+
+/** DataSource V2 batch reader for SPECTRAL GRIB2 fields (grid template
+  * 3.50 + DRS template 5.50) — ERA5 model-level fields in the native MARS
+  * archive are spherical-harmonic coefficients, not grids (reference
+  * target: docs/etl_developers_manual.md:158-168).
+  * `spark.read.format("grib-spectral").load(pathOrDir)` yields one row per
+  * coefficient VALUE:
+  * (time TIMESTAMP_NTZ, param INT, member INT?, m INT, n INT,
+  *  part STRING 're'|'im', value DOUBLE)
+  * under the m-major mode-1 ordering (m = 0..M, n = m..M). Output is
+  * coefficient space by design — synthesis onto a Gaussian grid is a
+  * regrid step, not a scan concern.
+  *
+  * Scale design mirrors [[GribDataSource]]: a message is both the pruning
+  * unit (time/param/member predicates prune whole messages EXACTLY at
+  * planning) and the partition unit (one positioned slab read + bit-unpack
+  * per task); header parsing is memoized per (path, mtime, length) through
+  * the shared [[GribTable]] message cache.
+  */
+class GribSpectralDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "grib-spectral"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GribSpectralTable.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(schema == GribSpectralTable.Schema,
+      s"grib-spectral scans always present ${GribSpectralTable.Schema.simpleString}; " +
+        s"got ${schema.simpleString}")
+    GribSpectralTable.resolve(new CaseInsensitiveStringMap(properties))
+  }
+}
+
+object GribSpectralTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("time", TimestampNTZType, nullable = false),
+    StructField("param", IntegerType, nullable = false),
+    StructField("member", IntegerType, nullable = true),
+    /** Zonal wavenumber. */
+    StructField("m", IntegerType, nullable = false),
+    /** Total wavenumber (n ≥ m under triangular truncation). */
+    StructField("n", IntegerType, nullable = false),
+    /** "re" | "im" — the complex coefficient component. */
+    StructField("part", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  def resolve(options: CaseInsensitiveStringMap): GribSpectralTable = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val paths = Option(options.get("path")).toSeq
+    require(paths.nonEmpty, "grib-spectral scan needs a path")
+    val files = GribTable.listGribFiles(conf, paths)
+    val byFile = files.map(st =>
+      st.getPath.toString -> GribTable.cachedMessages(conf, st))
+    byFile.find(_._2.exists(_.spectral.isEmpty)).foreach { case (p, _) =>
+      throw new IllegalArgumentException(
+        s"$p holds gridded (lat/lon) fields — read them with " +
+          "spark.read.format(\"grib1\"); grib-spectral serves only " +
+          "template-3.50 spherical-harmonic messages")
+    }
+    new GribSpectralTable(byFile, conf)
+  }
+}
+
+final class GribSpectralTable(
+    val byFile: Seq[(String, Seq[GribMessage])],
+    @transient val conf: Configuration) extends Table with SupportsRead {
+  override def name(): String =
+    s"grib-spectral(${byFile.map(_._2.length).sum} messages in ${byFile.length} files)"
+  override def schema(): StructType = GribSpectralTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GribSpectralScanBuilder(this)
+}
+
+final class GribSpectralScanBuilder(table: GribSpectralTable) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = GribSpectralTable.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** time/param/member predicates prune whole messages EXACTLY (all rows
+    * of a message share them); m/n/part predicates stay residual. */
+  private def handled(f: Filter): Boolean = f match {
+    case sources.IsNotNull(a) => a != "member" &&
+      GribSpectralTable.Schema.fieldNames.contains(a)
+    case sources.EqualTo("param", _: Integer) => true
+    case sources.EqualTo("member", _: Integer) => true
+    case sources.EqualTo("time", v) => NcScan.toKey(v).isDefined
+    case sources.GreaterThan("time", v) => NcScan.toKey(v).isDefined
+    case sources.GreaterThanOrEqual("time", v) => NcScan.toKey(v).isDefined
+    case sources.LessThan("time", v) => NcScan.toKey(v).isDefined
+    case sources.LessThanOrEqual("time", v) => NcScan.toKey(v).isDefined
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (h, residual) = filters.partition(handled)
+    pushed = h
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GribSpectralScan(table.byFile, required,
+    pushed, table.conf)
+}
+
+final class GribSpectralScan(
+    byFile: Seq[(String, Seq[GribMessage])],
+    required: StructType,
+    pushed: Array[Filter],
+    @transient conf: Configuration)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private def timeMicros(m: GribMessage): Double = NcScan.toKey(m.refTime).get
+
+  private def keep(m: GribMessage): Boolean = pushed.forall {
+    case sources.IsNotNull(_) => true
+    case sources.EqualTo("param", v: Integer) => m.paramId == v.intValue()
+    case sources.EqualTo("member", v: Integer) => m.member == v.intValue()
+    case sources.EqualTo("time", v) => NcScan.toKey(v).contains(timeMicros(m))
+    case sources.GreaterThan("time", v) => NcScan.toKey(v).exists(timeMicros(m) > _)
+    case sources.GreaterThanOrEqual("time", v) => NcScan.toKey(v).exists(timeMicros(m) >= _)
+    case sources.LessThan("time", v) => NcScan.toKey(v).exists(timeMicros(m) < _)
+    case sources.LessThanOrEqual("time", v) => NcScan.toKey(v).exists(timeMicros(m) <= _)
+    case _ => true
+  }
+
+  private lazy val survivors: Seq[(String, GribMessage)] =
+    byFile.flatMap { case (p, ms) => ms.filter(keep).map(p -> _) }
+
+  override def description(): String =
+    s"graft-grib-spectral messages=${survivors.length}/${byFile.map(_._2.length).sum}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    survivors.map { case (p, m) =>
+      GribInputPartition(p, m, required.fieldNames)
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GribSpectralReaderFactory(new SerializableHadoopConf(conf))
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = survivors.map(_._2.nValues.toLong).sum
+    private val rowBytes = required.fields.map(_.dataType.defaultSize.toLong).sum
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(rows * math.max(1L, rowBytes))
+    override def numRows(): OptionalLong = OptionalLong.of(rows)
+  }
+}
+
+final class GribSpectralReaderFactory(conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GribSpectralPartitionReader(
+      partition.asInstanceOf[GribInputPartition], conf.value)
+}
+
+/** One positioned slab read per message; value k maps to pair k/2 and
+  * component k%2 under the m-major mode-1 ordering. */
+final class GribSpectralPartitionReader(part: GribInputPartition,
+    conf: Configuration) extends PartitionReader[InternalRow] {
+
+  private val msg = part.message
+  private val sp = msg.spectral.getOrElse(throw new IllegalStateException(
+    s"${part.path}: non-spectral message in a grib-spectral partition"))
+  private val slab: Array[Byte] = {
+    val p = new HPath(part.path)
+    val in = p.getFileSystem(conf).open(p)
+    try {
+      val b = new Array[Byte](msg.dataBytes)
+      in.readFully(msg.dataOffset, b)
+      b
+    } finally in.close()
+  }
+  private val cellValue: Int => Double = msg.decoder(slab, null)
+  private val pairMN = sp.pairMN
+  private val timeMicros: Long =
+    msg.refTime.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+      msg.refTime.getNano / 1000
+  private val Re = UTF8String.fromString("re")
+  private val Im = UTF8String.fromString("im")
+  private val TimeC = 0; private val ParamC = 1; private val MemberC = 2
+  private val MC = 3; private val NC = 4; private val PartC = 5
+  private val ValueC = 6
+  private val colCodes: Array[Int] = part.cols.map {
+    case "time" => TimeC
+    case "param" => ParamC
+    case "member" => MemberC
+    case "m" => MC
+    case "n" => NC
+    case "part" => PartC
+    case "value" => ValueC
+  }
+  private var k = -1
+
+  override def next(): Boolean = { k += 1; k < msg.nValues }
+
+  override def get(): InternalRow = {
+    val row = new Array[Any](colCodes.length)
+    val (mWave, nWave) = pairMN(k / 2)
+    var c = 0
+    while (c < colCodes.length) {
+      row(c) = colCodes(c) match {
+        case TimeC => timeMicros
+        case ParamC => msg.paramId
+        case MemberC => if (msg.member < 0) null else msg.member
+        case MC => mWave
+        case NC => nWave
+        case PartC => if (k % 2 == 0) Re else Im
+        case ValueC => cellValue(k)
+      }
+      c += 1
+    }
+    new GenericInternalRow(row)
+  }
+
+  override def close(): Unit = ()
+}
