@@ -897,6 +897,30 @@ object SparkEntry {
       store.dataset().select("time", "event_type", "n").orderBy("time", "event_type")
     }),
 
+    // q43's lifecycle under Parquet Modular Encryption: footer + every
+    // column keyed under the registry master key through GraftKmsClient,
+    // hash persisted in attrs, the update running through a handle
+    // WITHOUT the key param. Encryption is invisible to query results —
+    // q43's oracle verbatim.
+    "q143_store_encrypted_roundtrip" -> ((s, dir) => {
+      val grid = eventsWithDay(s, dir)
+        .groupBy(col("d").as("time"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val desc = DatasetDescriptor("events_grid_encpq", "n",
+        spatialDims = Seq("event_type"), timeResolution = TimeSpan.Daily)
+      val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_encpq_$sf"
+      GridStore.fileSystem(s, path).delete(new org.apache.hadoop.fs.Path(path), true)
+      val kh = Encryption.registerEncryptionKey(Encryption.generateEncryptionKey())
+      val store = new GridStore(s, path, desc,
+        bucketSpan = TimeUnitKind.Days, encryptionKeyHash = Some(kh))
+      store.publish(grid.filter(col("time") < ldt("2024-01-21T00:00:00")))
+      new GridStore(s, path, desc, bucketSpan = TimeUnitKind.Days).publish(grid
+        .filter(col("time").between(ldt("2024-01-15T00:00:00"), ldt("2024-01-25T00:00:00")))
+        .withColumn("n", col("n") + lit(1000L)))
+      store.dataset().select("time", "event_type", "n").orderBy("time", "event_type")
+    }),
+
     "q44_store_attrs" -> ((s, dir) => {
       // Attrs sidecar after an initial write (W8/W14): date range assembly +
       // cleared commit marker survive the write.
@@ -2508,6 +2532,14 @@ object SparkEntry {
          |FROM dd ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q43_store_roundtrip" ->
+      s"""WITH g AS (SELECT $DaydSql, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+         |SELECT d AS time, event_type,
+         |CASE WHEN d >= TIMESTAMP '2024-01-15 00:00:00' THEN n + 1000 ELSE n END AS n
+         |FROM g WHERE d <= TIMESTAMP '2024-01-25 00:00:00'
+         |ORDER BY time, event_type""".stripMargin,
+
+    // encryption is invisible to query results → q43's oracle verbatim
+    "q143_store_encrypted_roundtrip" ->
       s"""WITH g AS (SELECT $DaydSql, event_type, count(*) AS n FROM events GROUP BY 1, 2)
          |SELECT d AS time, event_type,
          |CASE WHEN d >= TIMESTAMP '2024-01-15 00:00:00' THEN n + 1000 ELSE n END AS n

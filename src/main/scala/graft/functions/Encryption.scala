@@ -60,6 +60,11 @@ object Encryption {
   def keyHash(key: Array[Byte]): String =
     toHex(MessageDigest.getInstance("SHA3-256").digest(key))
 
+  /** Drop a key from the runtime registry (rotation hygiene; the inverse
+    * of [[registerEncryptionKey]]). Subsequent lookups of the hash fail
+    * with the hash named. */
+  def removeEncryptionKey(keyHash: String): Unit = registry.remove(keyHash)
+
   private def lookup(keyHash: String): Array[Byte] = {
     val k = registry.get(keyHash)
     if (k == null) throw MissingKeyError(keyHash)

@@ -39,7 +39,21 @@ final class GridStore(
     /** W13 — compression codec (`use_compression` toggle + Blosc LZ4
       * default, metadata.py:939-959): any Spark parquet codec name, or
       * "none"/"uncompressed" to disable. */
-    val compression: String = "lz4") extends GridPublisher {
+    val compression: String = "lz4",
+    /** W12, parquet-native: encrypt NEW stores with Parquet Modular
+      * Encryption — footer + every data column keyed under the registered
+      * master key named by this SHA3-256 hash (see
+      * [[graft.functions.Encryption.registerEncryptionKey]]), wrapped
+      * through [[GraftKmsClient]]. The hash is persisted in the attrs
+      * sidecar, so reopening for reads or updates only needs the key
+      * REGISTERED — an unregistered hash fails with the hash named, and a
+      * wrong key fails the AEAD unwrap, never as wrong rows. An EXISTING
+      * store's persisted profile always wins: updates to a plaintext store
+      * stay plaintext, updates to an encrypted store keep its key. */
+    val encryptionKeyHash: Option[String] = None) extends GridPublisher {
+
+  // fail at construction, with the hash named, not mid-publish
+  encryptionKeyHash.foreach(graft.functions.Encryption.requireKey)
 
   /** [[GridPublisher]] — one streaming micro-batch lands through the same
     * publish dispatch. */
@@ -49,6 +63,39 @@ final class GridStore(
   import GridStore._
 
   private def timeCol = desc.timeDim
+
+  // -------------------------------------------- parquet modular encryption
+
+  /** The key hash this store's data files are (to be) encrypted under:
+    * the persisted attr for an EXISTING store (its profile always wins —
+    * a plaintext store never gains mixed encrypted files and an encrypted
+    * store never silently drops its key), the constructor's choice when
+    * creating one. */
+  private def effectiveEncryptionHash: Option[String] =
+    if (hasExisting) readAttrs().get(EncryptionKeyHashAttr)
+    else encryptionKeyHash
+
+  /** Reader with decryption wired when the store is encrypted: the crypto
+    * factory + the registry-backed KMS client; the master-key hash itself
+    * rides in each file's key material, so readers only need the key
+    * registered. */
+  private def encryptedRead: org.apache.spark.sql.DataFrameReader =
+    effectiveEncryptionHash match {
+      case None => spark.read
+      case Some(_) => spark.read.options(CryptoFactoryOptions)
+    }
+
+  /** Writer-side options for one job: footer + EVERY column of the frame
+    * keyed under the master key (the `__bucket` partition column never
+    * reaches the data pages). */
+  private def cryptoWriteOptions(dataCols: Seq[String]): Map[String, String] =
+    effectiveEncryptionHash match {
+      case None => Map.empty
+      case Some(kh) => CryptoFactoryOptions ++ Map(
+        "parquet.encryption.footer.key" -> kh,
+        "parquet.encryption.column.keys" ->
+          s"$kh:${dataCols.filterNot(_ == "__bucket").mkString(",")}")
+    }
 
   /** Directory-key expression for the time bucket. */
   private def bucketExpr = {
@@ -78,7 +125,7 @@ final class GridStore(
     * skip unlisted bucket directories entirely. */
   def dataset(): DataFrame = {
     require(hasExisting, s"No existing store at $path")
-    spark.read.parquet(dataPath)
+    encryptedRead.parquet(dataPath)
       .withColumn(timeCol, col(timeCol).cast(TimestampNTZType))
       .drop("__bucket")
   }
@@ -88,7 +135,7 @@ final class GridStore(
     * never listed or footer-read — the mechanism every update-path read of
     * the existing store uses. */
   def readBuckets(buckets: Set[String]): DataFrame =
-    spark.read.parquet(dataPath)
+    encryptedRead.parquet(dataPath)
       .filter(col("__bucket").isin(buckets.toSeq: _*))
       .withColumn(timeCol, col(timeCol).cast(TimestampNTZType))
       .drop("__bucket")
@@ -105,7 +152,7 @@ final class GridStore(
       case other => throw new IllegalArgumentException(s"Unsupported: $other")
     }
     val fmt = java.time.format.DateTimeFormatter.ofPattern(fmtStr)
-    spark.read.parquet(dataPath)
+    encryptedRead.parquet(dataPath)
       .filter(col("__bucket") >= start.format(fmt) &&
         col("__bucket") <= end.format(fmt))
       .withColumn(timeCol, col(timeCol).cast(TimestampNTZType))
@@ -224,6 +271,7 @@ final class GridStore(
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .option("compression",
         if (compression == "none") "uncompressed" else compression)
+      .options(cryptoWriteOptions(df.columns.toSeq))
       .partitionBy("__bucket")
       .parquet(dataPath)
     // Spark caches the file listing per path; after an in-place partition
@@ -240,6 +288,13 @@ final class GridStore(
   /** W3 — initial write (publish.py:301-318). */
   def writeInitial(df: DataFrame, dryRun: Boolean = false): Unit = {
     if (dryRun) return
+    // Persist the encryption profile BEFORE the commit marker creates the
+    // sidecar: effectiveEncryptionHash reads persisted state from the
+    // moment the store "exists", so the hash must be the first attr in.
+    // Only a genuinely new store adopts the constructor's key — a rebuild
+    // keeps (or keeps lacking) the persisted one.
+    if (!hasExisting)
+      encryptionKeyHash.foreach(kh => patchAttrs(Map(EncryptionKeyHashAttr -> kh)))
     withCommitMarker(computedAttrs(df, isUpdate = false)) {
       writeJob(df, "overwrite")
     }
@@ -358,8 +413,8 @@ final class GridStore(
   private def existingEndTime(): Any = {
     val bounded = existingBuckets.toSeq.sorted.lastOption match {
       case Some(last) =>
-        spark.read.parquet(dataPath).filter(col("__bucket") === last)
-      case None => spark.read.parquet(dataPath)
+        encryptedRead.parquet(dataPath).filter(col("__bucket") === last)
+      case None => encryptedRead.parquet(dataPath)
     }
     bounded.agg(max(col(timeCol).cast(TimestampNTZType))).head().get(0)
   }
@@ -429,6 +484,18 @@ final class GridStore(
 
 object GridStore {
   val UpdateInProgressKey = "update_in_progress"
+
+  /** Attrs key persisting the store's master-key hash (never the key) —
+    * the parquet analog of the zarr filter chain's key_hash config. */
+  val EncryptionKeyHashAttr = "encryption_key_hash"
+
+  /** Parquet Modular Encryption plumbing shared by every encrypted read
+    * and write: parquet-mr's properties-driven factory + the
+    * registry-backed KMS client. */
+  val CryptoFactoryOptions: Map[String, String] = Map(
+    "parquet.crypto.factory.class" ->
+      "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory",
+    "parquet.encryption.kms.client.class" -> "graft.store.GraftKmsClient")
 
   def fileSystem(spark: SparkSession, path: String): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

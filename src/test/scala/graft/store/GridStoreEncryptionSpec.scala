@@ -1,0 +1,113 @@
+package graft.store
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Encryption
+import graft.model.{DatasetDescriptor, TimeSpan}
+
+/** W12, parquet-native: GridStore data files under Parquet Modular
+  * Encryption with the registry-backed [[GraftKmsClient]] — footer +
+  * every column keyed under the registered master key, hash persisted in
+  * the attrs sidecar. Lifecycle roundtrip, on-disk evidence (encrypted
+  * footer magic, keyless readers refused), missing-key named failure,
+  * and plaintext-store immunity to a stray constructor key. */
+class GridStoreEncryptionSpec extends SparkSpec {
+
+  private val desc = DatasetDescriptor("enc_pq", "value",
+    spatialDims = Seq("latitude", "longitude"), timeResolution = TimeSpan.Daily)
+
+  private def fresh(tag: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_gsenc_$tag"
+    GridStore.fileSystem(spark, path).delete(new HPath(path), true)
+    path
+  }
+
+  private def registeredHash(): String =
+    Encryption.registerEncryptionKey(Encryption.generateEncryptionKey())
+
+  private def firstDataFile(path: String): HPath = {
+    val fs = GridStore.fileSystem(spark, path)
+    val it = fs.listFiles(new HPath(s"$path/data"), true)
+    var found: HPath = null
+    while (found == null && it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) found = f.getPath
+    }
+    assert(found != null, "no parquet data file written")
+    found
+  }
+
+  test("encrypted lifecycle: publish, keyless-handle update, reopen, roundtrip") {
+    val kh = registeredHash()
+    val path = fresh("life")
+    val store = new GridStore(spark, path, desc, encryptionKeyHash = Some(kh))
+    store.publish(dailyGrid(1, 10))
+    assert(store.readAttrs()(GridStore.EncryptionKeyHashAttr) == kh,
+      "the hash (never the key) must be persisted in attrs")
+    // update through a handle WITHOUT the key param — the persisted
+    // profile must keep encrypting
+    val reopened = new GridStore(spark, path, desc)
+    reopened.publish(dailyGrid(11, 5, base = 100.0))
+    val expect = dailyGrid(1, 10).unionByName(dailyGrid(11, 5, base = 100.0))
+    assert(collectSet(reopened.dataset()
+      .select("time", "latitude", "longitude", "value")) == collectSet(expect))
+  }
+
+  test("files carry the encrypted-footer magic and refuse keyless readers") {
+    val kh = registeredHash()
+    val path = fresh("magic")
+    new GridStore(spark, path, desc, encryptionKeyHash = Some(kh))
+      .publish(dailyGrid(1, 6))
+    val f = firstDataFile(path)
+    val fs = GridStore.fileSystem(spark, path)
+    val len = fs.getFileStatus(f).getLen
+    val head = new Array[Byte](4)
+    val in = fs.open(f)
+    try in.readFully(0, head) finally in.close()
+    assert(new String(head, "US-ASCII") == "PARE",
+      "encrypted-footer parquet files start with PARE, not PAR1")
+    // a reader without the crypto factory cannot open the store
+    val e = intercept[Exception] {
+      spark.read.parquet(s"$path/data").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ").toLowerCase
+    assert(msgs.contains("encrypt") || msgs.contains("pare"), msgs)
+    assert(len > 0)
+  }
+
+  test("an unregistered key fails with the hash named, never wrong rows") {
+    val keyHex = Encryption.generateEncryptionKey()
+    val kh = Encryption.registerEncryptionKey(keyHex)
+    val path = fresh("nokey")
+    new GridStore(spark, path, desc, encryptionKeyHash = Some(kh))
+      .publish(dailyGrid(1, 4))
+    Encryption.removeEncryptionKey(kh)
+    try {
+      val e = intercept[Exception] {
+        new GridStore(spark, path, desc).dataset().select(sum("value")).collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains(kh), s"failure must name the missing hash: $msgs")
+    } finally Encryption.registerEncryptionKey(keyHex) // restore for other suites
+  }
+
+  test("a plaintext store ignores a stray constructor key on update") {
+    val path = fresh("plain")
+    new GridStore(spark, path, desc).publish(dailyGrid(1, 4))
+    val kh = registeredHash()
+    // persisted (plaintext) profile wins — no mixed-encryption store
+    new GridStore(spark, path, desc, encryptionKeyHash = Some(kh))
+      .publish(dailyGrid(5, 2))
+    val f = firstDataFile(path)
+    val fs = GridStore.fileSystem(spark, path)
+    val head = new Array[Byte](4)
+    val in = fs.open(f)
+    try in.readFully(0, head) finally in.close()
+    assert(new String(head, "US-ASCII") == "PAR1")
+    assert(new GridStore(spark, path, desc).dataset().count() == 6 * 4)
+  }
+}
