@@ -410,7 +410,8 @@ object GribFormat {
         if (bitsPerValue == 0) {
           java.util.Arrays.fill(vals, unscale(0.0))
         } else {
-          val (w, h, samples) = Jpeg2000.decode(slab)
+          // the expectation bounds the SIZ header BEFORE decode allocates
+          val (w, h, samples) = Jpeg2000.decode(slab, expectedCells = nPresent)
           require(w.toLong * h == nPresent,
             s"JPEG 2000 raster $w x $h carries ${w.toLong * h} values, " +
               s"field has $nPresent present")

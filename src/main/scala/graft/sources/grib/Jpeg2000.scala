@@ -1038,8 +1038,30 @@ object Jpeg2000 {
 
   /** Decode a JPEG 2000 codestream to (width, height, row-major samples).
     * Accepts the GRIB profile (see object scaladoc); anything outside it
-    * is refused with the feature named. */
-  def decode(cs: Array[Byte]): (Int, Int, Array[Long]) = {
+    * is refused with the feature named.
+    *
+    * `expectedCells` ≥ 0 bounds the SIZ-declared raster BEFORE any
+    * allocation — the GRIB caller knows the field's value count, so a few
+    * hostile header bytes cannot OOM an executor with a multi-GB sample
+    * array. Without an expectation, the raster is still capped against
+    * the codestream length (lossless 5/3 cannot sustain > ~2¹⁵:1 on the
+    * EBCOT's own signalling overhead; the cap is deliberately generous).
+    * Truncated or corrupt streams surface as IllegalArgumentException
+    * naming the byte position, never a raw index error. */
+  def decode(cs: Array[Byte], expectedCells: Long = -1L): (Int, Int, Array[Long]) =
+    try decodeImpl(cs, expectedCells)
+    catch {
+      // corrupt bytes can surface as any low-level arithmetic/index
+      // failure deep in the tag-tree / MQ / DWT machinery; a scan failure
+      // on a damaged archive file must read as a parse diagnostic
+      case e @ (_: IndexOutOfBoundsException | _: NegativeArraySizeException |
+                _: ArithmeticException) =>
+        throw new IllegalArgumentException(
+          s"truncated or corrupt JPEG 2000 codestream (${cs.length} bytes): " +
+            s"${e.getClass.getSimpleName}${Option(e.getMessage).fold("")(m => s" ($m)")}", e)
+    }
+
+  private def decodeImpl(cs: Array[Byte], expectedCells: Long): (Int, Int, Array[Long]) = {
     var pos = 0
     def u16r(): Int = { val v = ((cs(pos) & 0xFF) << 8) | (cs(pos + 1) & 0xFF); pos += 2; v }
     def u32r(): Long = { var v = 0L; var k = 0; while (k < 4) { v = (v << 8) | (cs(pos) & 0xFF); pos += 1; k += 1 }; v }
@@ -1052,6 +1074,14 @@ object Jpeg2000 {
     val xsizL = u32r(); val ysizL = u32r()
     require(xsizL >= 1 && ysizL >= 1 && xsizL * ysizL <= Int.MaxValue - 8,
       s"image $xsizL x $ysizL out of range")
+    if (expectedCells >= 0)
+      require(xsizL * ysizL == expectedCells,
+        s"SIZ declares a $xsizL x $ysizL raster (${xsizL * ysizL} cells); " +
+          s"the field carries $expectedCells values")
+    else
+      require(xsizL * ysizL <= math.max(1L << 20, cs.length.toLong << 15),
+        s"SIZ declares ${xsizL * ysizL} cells from a ${cs.length}-byte " +
+          "codestream — implausible for lossless 5/3; refusing to allocate")
     val xsiz = xsizL.toInt; val ysiz = ysizL.toInt
     val xosiz = u32r(); val yosiz = u32r()
     require(xosiz == 0 && yosiz == 0, s"image offset ($xosiz, $yosiz) unsupported (0, 0 only)")

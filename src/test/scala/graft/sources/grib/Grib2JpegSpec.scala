@@ -151,15 +151,41 @@ class Grib2JpegSpec extends SparkSpec {
     assert(ms < 10000, f"decode took $ms%.0f ms")
   }
 
+  test("hostile SIZ dimensions are refused before allocation") {
+    val xs = Array.tabulate(48)(i => (i % 17).toLong)
+    val cs = Jpeg2000.encode(8, 6, 6, xs)
+    // SIZ Xsiz sits at +6 in the marker segment body (after Lsiz+Rsiz);
+    // claim a ~2-gigacell raster from this 100-byte stream
+    val huge = patchAfterMarker(cs, 0x51, 6, 0x7F)
+    val e1 = intercept[IllegalArgumentException] { Jpeg2000.decode(huge) }
+    assert(e1.getMessage.contains("implausible") || e1.getMessage.contains("out of range"),
+      e1.getMessage)
+    // with a caller expectation the refusal still lands pre-allocation
+    // (whichever guard fires first names the problem)
+    val e2 = intercept[IllegalArgumentException] {
+      Jpeg2000.decode(huge, expectedCells = 48L)
+    }
+    assert(e2.getMessage.contains("48") || e2.getMessage.contains("out of range"),
+      e2.getMessage)
+    // a mismatch below the absolute cap is caught by the expectation itself
+    val e3 = intercept[IllegalArgumentException] {
+      Jpeg2000.decode(cs, expectedCells = 47L)
+    }
+    assert(e3.getMessage.contains("47"), e3.getMessage)
+    // and the true expectation still decodes
+    val (w, h, dec) = Jpeg2000.decode(cs, expectedCells = 48L)
+    assert(w == 8 && h == 6 && dec.sameElements(xs))
+  }
+
   test("hostile codestreams fail fast — truncation and corruption never hang") {
     val xs = Array.tabulate(40 * 30)(i => texture(i, 40, 12, i % 6))
     val cs = Jpeg2000.encode(40, 30, 12, xs)
-    // every truncation point: clean exception or (for tail truncation
-    // inside padded MQ data) a successful decode — never a hang
+    // every truncation point: the NAMED parse diagnostic or (for tail
+    // truncation inside padded MQ data) a successful decode — never a
+    // hang, never a raw index error (the documented contract)
     (0 until cs.length by 7).foreach { cut =>
       try Jpeg2000.decode(java.util.Arrays.copyOf(cs, cut))
-      catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException |
-        _: NegativeArraySizeException | _: java.nio.BufferUnderflowException => () }
+      catch { case e: IllegalArgumentException => () }
     }
     // single-byte corruption sweep past the SIZ segment (dimension bytes
     // are require-guarded; corrupting them would just test the allocator)
@@ -168,9 +194,7 @@ class Grib2JpegSpec extends SparkSpec {
       val bad = cs.clone()
       bad(45 + rnd.nextInt(bad.length - 45)) = rnd.nextInt(256).toByte
       try Jpeg2000.decode(bad)
-      catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException |
-        _: NegativeArraySizeException | _: ArithmeticException |
-        _: java.nio.BufferUnderflowException => () }
+      catch { case e: IllegalArgumentException => () }
     }
   }
 
