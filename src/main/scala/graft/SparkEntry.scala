@@ -274,6 +274,44 @@ object SparkEntry {
     path
   }
 
+  /** CDF-5 fixture (PnetCDF 64-bit data format, the HPC-produced classic
+    * shape): the q61 events grid written with version byte 5, wide header
+    * integers, and an NC_INT64 data variable with an int64 fill. */
+  private def ncCdf5Fixture(s: SparkSession, dir: String): String = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val dayIdx = days.zipWithIndex.toMap
+    val epoch = LocalDateTime.parse("2020-01-01T00:00")
+    val fillRaw = -999999.0
+    val data = Array.fill(days.length * 10)(fillRaw)
+    cells.foreach { r =>
+      val i = dayIdx(r.getAs[LocalDateTime]("d")) * 10 + r.getAs[Int]("slot")
+      data(i) = r.getAs[Long]("count").toDouble
+    }
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ncDir = s"${System.getProperty("java.io.tmpdir")}/graft_nc5_$sf"
+    GridStore.fileSystem(s, ncDir)
+      .delete(new org.apache.hadoop.fs.Path(ncDir), true)
+    NcFormat.writeFile(s, s"$ncDir/events_grid.nc",
+      dims = Seq("time" -> days.length, "slot" -> 10),
+      vars = Seq(
+        NcFormat.WriteVar("time", Seq("time"), NcFormat.NcInt,
+          days.map(d =>
+            java.time.temporal.ChronoUnit.DAYS.between(epoch, d).toDouble).toArray,
+          attrs = Seq("units" -> "days since 2020-01-01", "calendar" -> "standard")),
+        NcFormat.WriteVar("slot", Seq("slot"), NcFormat.NcInt,
+          Array.tabulate(10)(_.toDouble)),
+        NcFormat.WriteVar("cnt", Seq("time", "slot"), NcFormat.NcInt64,
+          data,
+          nattrs = Seq(("_FillValue", NcFormat.NcInt64, Array(fillRaw))))),
+      recordDim = Some("time"), forceVersion = Some(5))
+    ncDir
+  }
+
   /** Spectral GRIB2 fixture (template 3.50 + 5.50): one message per day,
     * triangular truncation M=3 → 10 complex pairs; pair p (m-major order)
     * carries re = count(slot p), im = p. Coefficient space is the row
@@ -1547,6 +1585,14 @@ object SparkEntry {
     // combined along time — q61's oracle, since the grid is identical.
     "q82_nc4_scan" -> ((s, dir) => {
       val (path, _) = nc4EventsFixture(s, dir)
+      s.read.format("netcdf").load(path).orderBy("time", "slot")
+    }),
+
+    // CDF-5 (PnetCDF 64-bit data format): the q61 grid with version byte
+    // 5, wide header integers, and an NC_INT64 variable (LongType) with an
+    // int64 fill → the HPC-produced classic shape (`nccopy -k cdf5`).
+    "q144_nc_cdf5_scan" -> ((s, dir) => {
+      val path = ncCdf5Fixture(s, dir)
       s.read.format("netcdf").load(path).orderBy("time", "slot")
     }),
 
@@ -3053,6 +3099,19 @@ object SparkEntry {
       """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
         |                  CAST(event_id % 10 AS INTEGER) AS slot,
         |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s))
+        |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2""".stripMargin,
+
+    // CDF-5 int64 counts: q82's spine with BIGINT cnt, fills → NULL
+    "q144_nc_cdf5_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
         |           FROM events GROUP BY 1, 2),
         |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
         |spine AS (SELECT d, CAST(s AS INTEGER) AS slot

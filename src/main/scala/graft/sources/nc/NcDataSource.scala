@@ -89,8 +89,12 @@ final case class NumAxis(name: String, vals: Array[Double], ncType: Int) extends
   def sparkType: DataType = NcTable.sparkType(ncType)
   def emit(i: Int): Any = ncType match {
     case NcByte => vals(i).toByte
+    case NcUByte => vals(i).toShort
     case NcShort => vals(i).toShort
+    case NcUShort => vals(i).toInt
     case NcInt => vals(i).toInt
+    case NcUInt => vals(i).toLong
+    case NcInt64 => vals(i).toLong
     case NcFloat => vals(i).toFloat
     case _ => vals(i)
   }
@@ -119,6 +123,14 @@ object NcTable {
     case NcInt => IntegerType
     case NcFloat => FloatType
     case NcDouble => DoubleType
+    // CDF-5 types: unsigned widens to the next signed type (Spark has no
+    // unsigned); uint64 has no lossless Spark integral home → refused
+    case NcUByte => ShortType
+    case NcUShort => IntegerType
+    case NcUInt => LongType
+    case NcInt64 => LongType
+    case NcUInt64 => throw new IllegalArgumentException(
+      "NC_UINT64 (nc_type 11) unsupported: no lossless Spark integral type")
     case other => throw new IllegalArgumentException(
       s"nc_type $other has no scan column mapping (NC_CHAR vars unsupported)")
   }
@@ -831,10 +843,14 @@ final class NcPartitionReader(part: NcInputPartition, conf: Configuration)
     val bb = java.nio.ByteBuffer.wrap(buf)
     ncType match {
       case NcByte => buf(off)
+      case NcUByte => (buf(off) & 0xFF).toShort
       case NcShort => bb.getShort(off)
+      case NcUShort => bb.getShort(off) & 0xFFFF
       case NcInt => bb.getInt(off)
+      case NcUInt => bb.getInt(off).toLong & 0xFFFFFFFFL
       case NcFloat => bb.getFloat(off)
       case NcDouble => bb.getDouble(off)
+      case NcInt64 => bb.getLong(off)
       case other => throw new IllegalArgumentException(s"nc_type $other")
     }
   }

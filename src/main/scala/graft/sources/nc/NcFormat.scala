@@ -3,16 +3,20 @@ package graft.sources.nc
 import java.io.{DataInputStream, DataOutputStream, EOFException, InputStream}
 import java.nio.charset.StandardCharsets
 
-/** NetCDF classic ("CDF-1"/"CDF-2") binary format model: header parser and
-  * writer for the subset the DSv2 scan supports (S9's real form — the
-  * reference ingests NetCDF via kerchunk, transform.py:119-279; here the
-  * format itself is parsed from the public Unidata spec).
+/** NetCDF classic ("CDF-1"/"CDF-2"/"CDF-5") binary format model: header
+  * parser and writer for the subset the DSv2 scan supports (S9's real
+  * form — the reference ingests NetCDF via kerchunk, transform.py:119-279;
+  * here the format itself is parsed from the public Unidata spec).
   *
   * Subset: dimensions (one optional record dimension), global + variable
-  * text/numeric attributes, variables of NC_BYTE/SHORT/INT/FLOAT/DOUBLE.
-  * Big-endian throughout, per the spec. CDF-1 uses 4-byte variable offsets,
-  * CDF-2 8-byte; both are parsed, the writer emits CDF-1 unless the layout
-  * needs 64-bit offsets.
+  * text/numeric attributes, variables of NC_BYTE/SHORT/INT/FLOAT/DOUBLE
+  * plus the CDF-5 UBYTE/USHORT/UINT/INT64 types (NC_UINT64 refused by
+  * name — Spark has no lossless integral home for it). Big-endian
+  * throughout, per the spec. CDF-1 uses 4-byte variable offsets, CDF-2
+  * 8-byte; CDF-5 (PnetCDF / `nccopy -k cdf5`, the HPC-produced shape)
+  * additionally widens every NON_NEG header integer to 8 bytes. All three
+  * are parsed; the writer emits CDF-1 unless the layout needs 64-bit
+  * offsets or a forceVersion pins one.
   */
 object NcFormat {
 
@@ -23,12 +27,18 @@ object NcFormat {
   val NcInt = 4
   val NcFloat = 5
   val NcDouble = 6
+  // CDF-5 additions (PnetCDF 64-bit data format, classic spec appendix B)
+  val NcUByte = 7
+  val NcUShort = 8
+  val NcUInt = 9
+  val NcInt64 = 10
+  val NcUInt64 = 11
 
   def typeSize(t: Int): Int = t match {
-    case NcByte | NcChar => 1
-    case NcShort => 2
-    case NcInt | NcFloat => 4
-    case NcDouble => 8
+    case NcByte | NcChar | NcUByte => 1
+    case NcShort | NcUShort => 2
+    case NcInt | NcFloat | NcUInt => 4
+    case NcDouble | NcInt64 | NcUInt64 => 8
     case other => throw new IllegalArgumentException(s"Unknown nc_type $other")
   }
 
@@ -113,7 +123,14 @@ object NcFormat {
   // -------------------------------------------------------------- parsing
 
   /** Parse the header from the start of a classic NetCDF stream. The stream
-    * is consumed exactly through the end of the header. */
+    * is consumed exactly through the end of the header.
+    *
+    * Versions: CDF-1 (32-bit offsets), CDF-2 (64-bit offsets), and CDF-5
+    * (PnetCDF's 64-bit DATA format, classic spec appendix B: every
+    * NON_NEG header integer — numrecs, list/attr counts, name and dim
+    * lengths, ndims, dim ids, vsize — widens to 8 bytes, and the new
+    * unsigned/64-bit nc_types 7-11 appear; produced by HPC writers like
+    * PnetCDF and `nccopy -k cdf5`). */
   def parseHeader(in0: InputStream): NcHeader = {
     val in = new DataInputStream(in0)
     val magic = new Array[Byte](3)
@@ -121,10 +138,18 @@ object NcFormat {
     require(new String(magic, StandardCharsets.US_ASCII) == "CDF",
       "Not a classic NetCDF file (bad magic)")
     val version = in.readByte().toInt
-    require(version == 1 || version == 2, s"Unsupported CDF version $version")
-    val numRecsRaw = in.readInt()
-    val dims = readDimList(in)
-    val gattrs = readAttrList(in)
+    require(version == 1 || version == 2 || version == 5,
+      s"Unsupported CDF version $version (CDF-1, CDF-2, CDF-5)")
+    val wide = version == 5
+    val numRecsRaw =
+      if (wide) {
+        val n = in.readLong()
+        require(n != -1L, "STREAMING numrecs is not supported")
+        require(n >= 0 && n <= Int.MaxValue, s"CDF-5 numrecs $n exceeds Int")
+        n.toInt
+      } else in.readInt()
+    val dims = readDimList(in, wide)
+    val gattrs = readAttrList(in, wide)
     val vars = readVarList(in, version)
     // STREAMING numrecs (all 1s) is not produced by our writer; reject
     // rather than guess from the file length.
@@ -133,60 +158,81 @@ object NcFormat {
     NcHeader(version, numRecsRaw, withRec, gattrs, vars)
   }
 
-  private def readName(in: DataInputStream): String = {
-    val n = in.readInt()
+  /** A CDF-5 NON_NEG (8-byte) or classic 4-byte header integer, bounded
+    * to Int — this reader plans per-dimension index ranges as Ints; a
+    * header field beyond 2³¹ is refused, not truncated. */
+  private def nonNeg(in: DataInputStream, wide: Boolean, what: String): Int =
+    if (!wide) in.readInt()
+    else {
+      val n = in.readLong()
+      require(n >= 0 && n <= Int.MaxValue, s"CDF-5 $what $n exceeds Int range")
+      n.toInt
+    }
+
+  private def readName(in: DataInputStream, wide: Boolean): String = {
+    val n = nonNeg(in, wide, "name length")
     val bytes = new Array[Byte](pad4(n))
     in.readFully(bytes)
     new String(bytes, 0, n, StandardCharsets.UTF_8)
   }
 
-  private def readTagged(in: DataInputStream, expectedTag: Int): Int = {
+  private def readTagged(in: DataInputStream, expectedTag: Int, wide: Boolean): Int = {
     val tag = in.readInt()
-    val n = in.readInt()
+    val n = nonNeg(in, wide, "list count")
     require(tag == expectedTag || (tag == 0 && n == 0),
       s"Malformed header: tag $tag (expected $expectedTag or ABSENT)")
     n
   }
 
-  private def readDimList(in: DataInputStream): Seq[NcDim] = {
-    val n = readTagged(in, TagDimension)
+  private def readDimList(in: DataInputStream, wide: Boolean): Seq[NcDim] = {
+    val n = readTagged(in, TagDimension, wide)
     (0 until n).map { _ =>
-      val name = readName(in)
-      val len = in.readInt()
+      val name = readName(in, wide)
+      val len = nonNeg(in, wide, s"dim $name length")
       NcDim(name, len, isRecord = len == 0)
     }
   }
 
-  private def readAttrList(in: DataInputStream): Map[String, NcAttr] = {
-    val n = readTagged(in, TagAttribute)
+  private def readAttrList(in: DataInputStream, wide: Boolean): Map[String, NcAttr] = {
+    val n = readTagged(in, TagAttribute, wide)
     (0 until n).map { _ =>
-      val name = readName(in)
+      val name = readName(in, wide)
       val t = in.readInt()
-      val nelems = in.readInt()
+      val nelems = nonNeg(in, wide, s"attr $name count")
       val raw = new Array[Byte](pad4(nelems * typeSize(t)))
       in.readFully(raw)
       val bb = java.nio.ByteBuffer.wrap(raw)
       val attr = t match {
         case NcChar => NcAttr(name, Some(new String(raw, 0, nelems, StandardCharsets.UTF_8)), None)
         case NcByte => NcAttr(name, None, Some(Array.tabulate(nelems)(i => raw(i).toDouble)))
+        case NcUByte => NcAttr(name, None, Some(Array.tabulate(nelems)(i => (raw(i) & 0xFF).toDouble)))
         case NcShort => NcAttr(name, None, Some(Array.tabulate(nelems)(i => bb.getShort(i * 2).toDouble)))
+        case NcUShort => NcAttr(name, None, Some(Array.tabulate(nelems)(i => (bb.getShort(i * 2) & 0xFFFF).toDouble)))
         case NcInt => NcAttr(name, None, Some(Array.tabulate(nelems)(i => bb.getInt(i * 4).toDouble)))
+        case NcUInt => NcAttr(name, None, Some(Array.tabulate(nelems)(i => (bb.getInt(i * 4).toLong & 0xFFFFFFFFL).toDouble)))
         case NcFloat => NcAttr(name, None, Some(Array.tabulate(nelems)(i => bb.getFloat(i * 4).toDouble)))
         case NcDouble => NcAttr(name, None, Some(Array.tabulate(nelems)(i => bb.getDouble(i * 8))))
+        // attr values travel as doubles; |int64| > 2^53 would round, so
+        // int64 fill attrs are exact only inside the double-exact range
+        case NcInt64 => NcAttr(name, None, Some(Array.tabulate(nelems)(i => bb.getLong(i * 8).toDouble)))
+        case other => throw new IllegalArgumentException(
+          s"attr $name: nc_type $other unsupported as an attribute")
       }
       name -> attr
     }.toMap
   }
 
   private def readVarList(in: DataInputStream, version: Int): Seq[NcVar] = {
-    val n = readTagged(in, TagVariable)
+    val wide = version == 5
+    val n = readTagged(in, TagVariable, wide)
     (0 until n).map { _ =>
-      val name = readName(in)
-      val ndims = in.readInt()
-      val dimIds = (0 until ndims).map(_ => in.readInt())
-      val attrs = readAttrList(in)
+      val name = readName(in, wide)
+      val ndims = nonNeg(in, wide, s"var $name ndims")
+      val dimIds = (0 until ndims).map(_ => nonNeg(in, wide, "dim id"))
+      val attrs = readAttrList(in, wide)
       val t = in.readInt()
-      val _vsize = in.readInt() // stored vsize may overflow; recomputed on use
+      // stored vsize may overflow; recomputed on use
+      val _vsize = if (wide) in.readLong() else in.readInt().toLong
       val begin = if (version == 1) in.readInt().toLong & 0xFFFFFFFFL else in.readLong()
       NcVar(name, dimIds, t, attrs, begin)
     }
@@ -219,8 +265,8 @@ object NcFormat {
       recordDim: Option[String] = None,
       gattrs: Seq[(String, String)] = Nil,
       forceVersion: Option[Int] = None): Unit = {
-    forceVersion.foreach(v => require(v == 1 || v == 2,
-      s"forceVersion $v not in {1, 2}"))
+    forceVersion.foreach(v => require(v == 1 || v == 2 || v == 5,
+      s"forceVersion $v not in {1, 2, 5}"))
     val dimIdx = dims.map(_._1).zipWithIndex.toMap
     val dimLen = dims.toMap
     recordDim.foreach { rd =>
@@ -249,30 +295,34 @@ object NcFormat {
     def headerBytes(begins: Map[String, Long], version: Int): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val d = new DataOutputStream(bos)
+      val wide = version == 5
+      // CDF-5 widens every NON_NEG header integer to 8 bytes
+      def nn(v: Long): Unit = if (wide) d.writeLong(v) else d.writeInt(v.toInt)
       d.writeBytes("CDF"); d.writeByte(version)
-      d.writeInt(numRecs)
+      nn(numRecs.toLong)
       // dim list
-      d.writeInt(TagDimension); d.writeInt(dims.length)
+      d.writeInt(TagDimension); nn(dims.length.toLong)
       dims.foreach { case (name, len) =>
-        writeName(d, name)
-        d.writeInt(if (recordDim.contains(name)) 0 else len)
+        writeName(d, name, wide)
+        nn(if (recordDim.contains(name)) 0L else len.toLong)
       }
-      writeAttrList(d, gattrs)
-      d.writeInt(TagVariable); d.writeInt(vars.length)
+      writeAttrList(d, gattrs, Nil, wide)
+      d.writeInt(TagVariable); nn(vars.length.toLong)
       vars.foreach { v =>
-        writeName(d, v.name)
-        d.writeInt(v.dims.length)
-        v.dims.foreach(dn => d.writeInt(dimIdx(dn)))
-        writeAttrList(d, v.attrs, v.nattrs)
+        writeName(d, v.name, wide)
+        nn(v.dims.length.toLong)
+        v.dims.foreach(dn => nn(dimIdx(dn).toLong))
+        writeAttrList(d, v.attrs, v.nattrs, wide)
         d.writeInt(v.ncType)
         val vsize = pad4(if (isRec(v)) perRecBytes(v) else fixedBytes(v))
-        // vsize is an UNSIGNED 32-bit field; beyond its 2^32-4 maximum the
-        // spec stores the all-ones sentinel and readers recompute the true
-        // size (clamping to Int.MaxValue would feed external readers a
-        // wrong record stride)
-        d.writeInt(if (vsize > 0xFFFFFFFCL) -1 else vsize.toInt)
-        // CDF-1 carries 32-bit variable begins, CDF-2 64-bit
-        if (version == 2) d.writeLong(begins.getOrElse(v.name, 0L))
+        // vsize is an UNSIGNED 32-bit field in CDF-1/2; beyond its 2^32-4
+        // maximum the spec stores the all-ones sentinel and readers
+        // recompute the true size (clamping to Int.MaxValue would feed
+        // external readers a wrong record stride). CDF-5 vsize is 8 bytes.
+        if (wide) d.writeLong(vsize)
+        else d.writeInt(if (vsize > 0xFFFFFFFCL) -1 else vsize.toInt)
+        // CDF-1 carries 32-bit variable begins, CDF-2/5 64-bit
+        if (version == 2 || version == 5) d.writeLong(begins.getOrElse(v.name, 0L))
         else d.writeInt(begins.getOrElse(v.name, 0L).toInt)
       }
       d.flush(); bos.toByteArray
@@ -303,6 +353,7 @@ object NcFormat {
         require(fitsCdf1(b), "Layout exceeds CDF-1 32-bit offsets; use CDF-2")
         (1, b)
       case Some(2) => (2, layout(2))
+      case Some(5) => (5, layout(5))
       case _ =>
         val b1 = layout(1)
         if (fitsCdf1(b1)) (1, b1) else (2, layout(2))
@@ -318,10 +369,14 @@ object NcFormat {
       while (i < end) {
         v.ncType match {
           case NcByte | NcChar => out.writeByte(v.data(i.toInt).toInt)
+          case NcUByte => out.writeByte(v.data(i.toInt).toLong.toInt & 0xFF)
           case NcShort => out.writeShort(v.data(i.toInt).toInt)
+          case NcUShort => out.writeShort(v.data(i.toInt).toLong.toInt & 0xFFFF)
           case NcInt => out.writeInt(v.data(i.toInt).toInt)
+          case NcUInt => out.writeInt(v.data(i.toInt).toLong.toInt)
           case NcFloat => out.writeFloat(v.data(i.toInt).toFloat)
           case NcDouble => out.writeDouble(v.data(i.toInt))
+          case NcInt64 => out.writeLong(v.data(i.toInt).toLong)
         }
         i += 1
       }
@@ -341,9 +396,10 @@ object NcFormat {
     out.flush()
   }
 
-  private def writeName(d: DataOutputStream, name: String): Unit = {
+  private def writeName(d: DataOutputStream, name: String,
+      wide: Boolean = false): Unit = {
     val b = name.getBytes(StandardCharsets.UTF_8)
-    d.writeInt(b.length)
+    if (wide) d.writeLong(b.length.toLong) else d.writeInt(b.length)
     d.write(b)
     d.write(new Array[Byte](pad4(b.length) - b.length))
   }
@@ -351,30 +407,36 @@ object NcFormat {
   private def writeAttrList(
       d: DataOutputStream,
       attrs: Seq[(String, String)],
-      nattrs: Seq[(String, Int, Array[Double])] = Nil): Unit = {
-    if (attrs.isEmpty && nattrs.isEmpty) { d.writeInt(0); d.writeInt(0) }
+      nattrs: Seq[(String, Int, Array[Double])] = Nil,
+      wide: Boolean = false): Unit = {
+    def nn(v: Long): Unit = if (wide) d.writeLong(v) else d.writeInt(v.toInt)
+    if (attrs.isEmpty && nattrs.isEmpty) { d.writeInt(0); nn(0L) }
     else {
-      d.writeInt(TagAttribute); d.writeInt(attrs.length + nattrs.length)
+      d.writeInt(TagAttribute); nn((attrs.length + nattrs.length).toLong)
       attrs.foreach { case (name, value) =>
-        writeName(d, name)
+        writeName(d, name, wide)
         d.writeInt(NcChar)
         val b = value.getBytes(StandardCharsets.UTF_8)
-        d.writeInt(b.length)
+        nn(b.length.toLong)
         d.write(b)
         d.write(new Array[Byte](pad4(b.length) - b.length))
       }
       nattrs.foreach { case (name, t, vals) =>
-        writeName(d, name)
+        writeName(d, name, wide)
         d.writeInt(t)
-        d.writeInt(vals.length)
+        nn(vals.length.toLong)
         var written = 0L
         vals.foreach { v =>
           t match {
             case NcByte | NcChar => d.writeByte(v.toInt)
+            case NcUByte => d.writeByte(v.toLong.toInt & 0xFF)
             case NcShort => d.writeShort(v.toInt)
+            case NcUShort => d.writeShort(v.toLong.toInt & 0xFFFF)
             case NcInt => d.writeInt(v.toInt)
+            case NcUInt => d.writeInt(v.toLong.toInt)
             case NcFloat => d.writeFloat(v.toFloat)
             case NcDouble => d.writeDouble(v)
+            case NcInt64 => d.writeLong(v.toLong)
           }
           written += typeSize(t)
         }
@@ -472,10 +534,15 @@ object NcFormat {
     val bb = java.nio.ByteBuffer.wrap(buf)
     ncType match {
       case NcByte => buf(off).toDouble
+      case NcUByte => (buf(off) & 0xFF).toDouble
       case NcShort => bb.getShort(off).toDouble
+      case NcUShort => (bb.getShort(off) & 0xFFFF).toDouble
       case NcInt => bb.getInt(off).toDouble
+      case NcUInt => (bb.getInt(off).toLong & 0xFFFFFFFFL).toDouble
       case NcFloat => bb.getFloat(off).toDouble
       case NcDouble => bb.getDouble(off)
+      // fill/unpack comparisons run in double space — exact inside ±2^53
+      case NcInt64 => bb.getLong(off).toDouble
       case NcChar => (buf(off) & 0xFF).toDouble
     }
   }
