@@ -134,10 +134,11 @@ object Sampling {
       .map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1) // fixed reduction order for the one inexact float sum
     val total = perDomain.map(_._2).sum.toDouble
+    val weightOf = perDomain.toMap
     val qRaw = perDomain.map { case (d, w) => d -> math.pow(w / total, alpha) }
     val qSum = qRaw.map(_._2).sum
     qRaw.map { case (d, q) =>
-      val w = perDomain.find(_._1 == d).get._2.toDouble
+      val w = weightOf(d).toDouble
       val rate = math.min(1.0, budgetFraction * total * (q / qSum) / w)
       d -> BigDecimal(rate).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }.toMap

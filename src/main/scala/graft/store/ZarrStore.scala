@@ -312,15 +312,36 @@ final class ZarrStore(
   // ------------------------------------------------------------- internals
 
   /** Distinct sorted axis values from the update frame: time as epoch
-    * micros, spatial dims as doubles. Axes are small by the grid's nature —
-    * this is the same driver-side planning read the DSv2 scans make. */
+    * micros, spatial dims as doubles.
+    *
+    * BOUND (pinned): axes are DRIVER-HELD during planning — the same model
+    * as xarray itself, which keeps every coordinate in memory. Real grids
+    * are far inside the guard (hourly ERA5 since 1940 ≈ 0.74M timesteps,
+    * 0.25° longitude = 1440): an axis is distinct COORDINATES, never rows.
+    * The guard refuses at [[MaxAxisLength]] (16M values ≈ 128 MB of
+    * doubles) with the escape hatch named, instead of letting a
+    * mis-modeled frame (e.g. a high-cardinality ID column declared as a
+    * spatial dim) OOM the driver mid-publish. */
   private def collectAxes(df: DataFrame): (Array[Long], Seq[Array[Double]]) = {
-    val t = df.select(col(timeCol).cast(TimestampNTZType)).distinct()
-      .orderBy(timeCol).collect()
-      .map(r => ldt2micros(r.getAs[java.time.LocalDateTime](0)))
+    // the limit rides INSIDE the one planning job per axis (no extra
+    // count action), so the driver never materializes past the bound + 1
+    def bounded(dim: String, got: Int): Unit =
+      require(got <= MaxAxisLength,
+        s"$dim exceeds the $MaxAxisLength-distinct-value driver-held axis " +
+          "bound. A zarr grid axis is a coordinate, not a key; for " +
+          "high-cardinality dimensions use the parquet GridStore layout " +
+          "(bucketed, no dense axis) or coarsen the dimension")
+    val t = {
+      val rows = df.select(col(timeCol).cast(TimestampNTZType)).distinct()
+        .orderBy(timeCol).limit(MaxAxisLength + 1).collect()
+      bounded(timeCol, rows.length)
+      rows.map(r => ldt2micros(r.getAs[java.time.LocalDateTime](0)))
+    }
     val spatial = nonTimeDims.map { d =>
-      df.select(col(d).cast("double")).distinct().orderBy(d).collect()
-        .map(_.getDouble(0))
+      val rows = df.select(col(d).cast("double")).distinct()
+        .orderBy(d).limit(MaxAxisLength + 1).collect()
+      bounded(d, rows.length)
+      rows.map(_.getDouble(0))
     }
     (t, spatial)
   }
@@ -472,6 +493,9 @@ final class ZarrStore(
     val arrays = listArrays().toMap
     val meta = arrays.getOrElse(timeCol,
       throw new IllegalStateException(s"Store at $path has no $timeCol axis"))
+    require(meta.shape.head <= MaxAxisLength,
+      s"$timeCol axis of ${meta.shape.head} values exceeds the driver-held " +
+        s"planning bound $MaxAxisLength (see collectAxes)")
     // honor the persisted CF units — a store written by other tooling
     // typically encodes "hours/days since <epoch>", not raw epoch-micros
     val (mult, epoch) = meta.attr("units")
@@ -499,6 +523,9 @@ final class ZarrStore(
     nonTimeDims.map { dim =>
       val meta = arrays.getOrElse(dim,
         throw new IllegalStateException(s"Store at $path has no $dim axis"))
+      require(meta.shape.head <= MaxAxisLength,
+        s"$dim axis of ${meta.shape.head} values exceeds the driver-held " +
+          s"planning bound $MaxAxisLength (see collectAxes)")
       val n = meta.shape.head
       val out = new Array[Double](n)
       var c = 0
@@ -526,6 +553,11 @@ object ZarrStore {
     * append-monotonicity check. (Micros stay exact in an f8/i8 value until
     * year ~2255: 2^53 µs.) */
   val TimeUnits = "microseconds since 1970-01-01T00:00:00"
+
+  /** Driver-held axis guard for planning reads (see `collectAxes` and
+    * `readTimeAxisMicros`): 16M distinct values ≈ 128 MB of doubles —
+    * ~20× hourly-ERA5-since-1940 headroom, far below driver OOM. */
+  val MaxAxisLength: Int = 1 << 24
 
   def ldt2micros(t: java.time.LocalDateTime): Long =
     t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
