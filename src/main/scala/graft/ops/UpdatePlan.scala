@@ -149,6 +149,47 @@ object UpdatePlan {
     * dataset start; appends must be contiguous with the existing end;
     * an empty update is an error. Throws IllegalStateException on violation.
     */
+  /** O9 gate in its single-action form: one aggregate over a classified
+    * frame carrying kinds `insert` / `append` / `existing_end` (the last
+    * being the store's end time riding in the classification job — see
+    * GridStore.existingEndFrame) computes every scalar the gate needs.
+    * The publish protocol runs this once per update; folding the counts,
+    * the first-append probe, and the store end into one driver round-trip
+    * is what keeps per-publish job counts flat. */
+  def updateQualityCheckClassified(
+      classified: DataFrame,
+      timeCol: String,
+      resolution: TimeSpan,
+      cadenceBounds: Option[(TimeSpan, TimeSpan)]): Unit = {
+    def ms(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime
+      case l: java.time.LocalDateTime => java.sql.Timestamp.valueOf(l).getTime
+      case other => throw new IllegalArgumentException(s"Unexpected time value: $other")
+    }
+    val r = classified.agg(
+      sum(when(col("kind") === "insert", 1L).otherwise(0L)).as("n_ins"),
+      sum(when(col("kind") === "append", 1L).otherwise(0L)).as("n_app"),
+      min(when(col("kind") === "append", col(timeCol))).as("first_app"),
+      max(when(col("kind") === "existing_end", col(timeCol))).as("existing_end"))
+      .head()
+    val nIns = Option(r.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val nApp = Option(r.get(1)).fold(0L)(_.asInstanceOf[Long])
+    if (nIns == 0 && nApp == 0)
+      throw new IllegalStateException("Update contains no new or changed records")
+    if (nApp > 0) {
+      require(r.get(3) != null, "classified frame carries no existing_end row")
+      val deltaMin = (ms(r.get(2)) - ms(r.get(3))) / 60000L
+      val contiguous = cadenceBounds match {
+        case Some((lo, hi)) => deltaMin >= lo.toMinutes && deltaMin <= hi.toMinutes
+        case None => deltaMin == resolution.toMinutes
+      }
+      if (!contiguous)
+        throw new IllegalStateException(
+          s"Append is not contiguous with existing end ${r.get(3)} " +
+            s"(gap $deltaMin min, expected ${resolution.toMinutes})")
+    }
+  }
+
   def updateQualityCheck(
       spark: SparkSession,
       insertTimes: DataFrame,
@@ -157,13 +198,22 @@ object UpdatePlan {
       existingEnd: java.sql.Timestamp,
       resolution: TimeSpan,
       cadenceBounds: Option[(TimeSpan, TimeSpan)]): Unit = {
-    val nIns = insertTimes.count()
-    val nApp = appendTimes.count()
+    // ONE action folds both counts and the first-append probe — the update
+    // path runs this per publish, and three driver round-trips of scalar
+    // aggregates are pure protocol latency (the classified frame is tiny)
+    val u = insertTimes.select(col(timeCol), lit("insert").as("kind"))
+      .unionByName(appendTimes.select(col(timeCol), lit("append").as("kind")))
+    val r = u.agg(
+      sum(when(col("kind") === "insert", 1L).otherwise(0L)).as("n_ins"),
+      sum(when(col("kind") === "append", 1L).otherwise(0L)).as("n_app"),
+      min(when(col("kind") === "append", col(timeCol))).as("first_app")).head()
+    val nIns = Option(r.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val nApp = Option(r.get(1)).fold(0L)(_.asInstanceOf[Long])
     if (nIns == 0 && nApp == 0)
       throw new IllegalStateException("Update contains no new or changed records")
     if (nApp > 0) {
       // NTZ columns surface as LocalDateTime, LTZ as Timestamp — accept both.
-      val firstAppendMs = appendTimes.agg(min(col(timeCol))).head().get(0) match {
+      val firstAppendMs = r.get(2) match {
         case t: java.sql.Timestamp => t.getTime
         case l: java.time.LocalDateTime => java.sql.Timestamp.valueOf(l).getTime
         case other => throw new IllegalArgumentException(s"Unexpected time value: $other")

@@ -311,9 +311,12 @@ final class GridStore(
     * analog of publish.py:520-553) and preserves unreplaced cells on
     * insert. The original side is bounded to the touched buckets FIRST, so
     * the full-outer join never sees the rest of the store. */
-  private def writeDelta(df: DataFrame): Unit = {
-    val touched = df.select(bucketExpr.as("__bucket")).distinct()
-      .collect().map(_.getString(0)).toSet
+  private def writeDelta(df: DataFrame,
+      touchedPre: Option[Set[String]] = None): Unit = {
+    // the update path folds the touched set into its one stats action
+    val touched = touchedPre.getOrElse(
+      df.select(bucketExpr.as("__bucket")).distinct()
+        .collect().map(_.getString(0)).toSet)
     val overlap = existingBuckets.intersect(touched)
     val padded =
       if (overlap.isEmpty) df
@@ -374,30 +377,30 @@ final class GridStore(
     // Classification only needs the store's times INSIDE the update window
     // (a time can only be an insert if both sides contain it), so the
     // existing side is a bucket-pruned range read — never a full-store
-    // scan, even of just the time column.
-    val ub = updateDf.agg(min(col(timeCol)), max(col(timeCol))).head()
-    val (uLo, uHi) = (ub.get(0).asInstanceOf[java.time.LocalDateTime],
-      ub.get(1).asInstanceOf[java.time.LocalDateTime])
+    // scan, even of just the time column. The ONE updateStats action also
+    // serves attrs assembly and bucket planning below.
+    val stats = updateStats(updateDf)
+    val (uLo, uHi) = (stats.uLo, stats.uHi)
     val existing = readRange(uLo, uHi)
-    // One classified time frame (one row per distinct update timestep) —
-    // tiny, but its plan references the CURRENT store files, so materialize
-    // it once before any write replaces those files underneath the plan.
-    // All subsequent planning decisions read this frame, not the store.
+    // One classified time frame (one row per distinct update timestep,
+    // plus ONE `existing_end` row — the store's last-bucket max time rides
+    // in the same job instead of its own scan action) — tiny, but its plan
+    // references the CURRENT store files, so materialize it once before
+    // any write replaces those files underneath the plan. All subsequent
+    // planning decisions read this frame, not the store, and the quality
+    // gate consumes it in a single aggregate action.
     val classified = materialize(
-      UpdatePlan.classifyUpdateTimes(existing, updateDf, timeCol))
-    val insertTimes = classified.filter(col("kind") === "insert").select(timeCol)
-    val appendTimes = classified.filter(col("kind") === "append").select(timeCol)
-    val existingEnd = existingEndTime()
-    UpdatePlan.updateQualityCheck(spark, insertTimes, appendTimes, timeCol,
-      java.sql.Timestamp.valueOf(existingEnd.asInstanceOf[java.time.LocalDateTime]),
+      UpdatePlan.classifyUpdateTimes(existing, updateDf, timeCol)
+        .unionByName(existingEndFrame))
+    UpdatePlan.updateQualityCheckClassified(classified, timeCol,
       desc.timeResolution, desc.updateCadenceBounds)
     if (dryRun) {
       graft.Housekeeping.release(classified)
       graft.Housekeeping.release(updateDf)
       return
     }
-    withCommitMarker(computedAttrs(updateDf, isUpdate = true)) {
-      writeDelta(updateDf)
+    withCommitMarker(computedAttrs(updateDf, isUpdate = true, Some(stats))) {
+      writeDelta(updateDf, Some(stats.touched))
     }
     // every consumer (classification, gates, both write paths) has run:
     // the update delta's and classification's checkpoint blocks are dead
@@ -407,16 +410,20 @@ final class GridStore(
 
   // ------------------------------------------------------------- helpers
 
-  /** Max time of the existing store, read from the LAST bucket only —
-    * partition pruning makes this one directory's footers, not a full-store
-    * scan (the binary-search-the-manifest analog, publish.py:897-949). */
-  private def existingEndTime(): Any = {
+  /** Max time of the existing store as a ONE-ROW PLAN (no action), read
+    * from the LAST bucket only — partition pruning makes this one
+    * directory's footers, not a full-store scan (the
+    * binary-search-the-manifest analog, publish.py:897-949). Shaped as a
+    * `(timeCol, kind="existing_end")` row so it unions into the classified
+    * frame and rides the classification job. */
+  private def existingEndFrame: DataFrame = {
     val bounded = existingBuckets.toSeq.sorted.lastOption match {
       case Some(last) =>
         encryptedRead.parquet(dataPath).filter(col("__bucket") === last)
       case None => encryptedRead.parquet(dataPath)
     }
-    bounded.agg(max(col(timeCol).cast(TimestampNTZType))).head().get(0)
+    bounded.agg(max(col(timeCol).cast(TimestampNTZType)).as(timeCol))
+      .select(col(timeCol), lit("existing_end").as("kind"))
   }
 
   private def existingBuckets: Set[String] = {
@@ -434,14 +441,33 @@ final class GridStore(
   /** W14 — attrs assembly after a write (metadata.py:870-921): date range,
     * update range, previous end, append-only flag, bbox when the frame
     * carries lat/lon spatial dims. */
-  private def computedAttrs(df: DataFrame, isUpdate: Boolean): Map[String, String] = {
-    val fmt = "yyyyMMddHH"
+  /** One multi-aggregate over the update frame serving EVERY scalar the
+    * publish protocol needs — raw time bounds (classification window),
+    * formatted date range + bbox (attrs assembly), and the touched bucket
+    * set (dynamic-overwrite planning). Folding these into a single action
+    * is what keeps the per-publish driver job count flat: each extra
+    * scalar round-trip is protocol latency, not data volume. */
+  private[store] final case class UpdateStats(
+      uLo: java.time.LocalDateTime, uHi: java.time.LocalDateTime,
+      lo: String, hi: String,
+      bbox: Option[(Double, Double, Double, Double)],
+      touched: Set[String])
+
+  private def hasBboxCols(df: DataFrame): Boolean = {
     val spatial = desc.spatialDims.take(2)
-    val hasBbox = spatial.length == 2 && spatial.forall(df.columns.contains) &&
+    spatial.length == 2 && spatial.forall(df.columns.contains) &&
       spatial == Seq("latitude", "longitude")
+  }
+
+  private def updateStats(df: DataFrame): UpdateStats = {
+    val fmt = "yyyyMMddHH"
+    val hasBbox = hasBboxCols(df)
     val aggs = Seq(
+      min(col(timeCol).cast(TimestampNTZType)).as("raw_lo"),
+      max(col(timeCol).cast(TimestampNTZType)).as("raw_hi"),
       date_format(min(col(timeCol)), fmt).as("lo"),
-      date_format(max(col(timeCol)), fmt).as("hi")) ++
+      date_format(max(col(timeCol)), fmt).as("hi"),
+      collect_set(bucketExpr).as("touched")) ++
       (if (hasBbox) Seq(
         round(min(col("longitude")), desc.bboxRounding).as("bb0"),
         round(min(col("latitude")), desc.bboxRounding).as("bb1"),
@@ -449,22 +475,34 @@ final class GridStore(
         round(max(col("latitude")), desc.bboxRounding).as("bb3"))
       else Seq.empty)
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    val (lo, hi) = (r.getString(0), r.getString(1))
+    UpdateStats(
+      uLo = r.getAs[java.time.LocalDateTime]("raw_lo"),
+      uHi = r.getAs[java.time.LocalDateTime]("raw_hi"),
+      lo = r.getAs[String]("lo"), hi = r.getAs[String]("hi"),
+      bbox = if (!hasBbox) None
+        else Some((r.getAs[Double]("bb0"), r.getAs[Double]("bb1"),
+          r.getAs[Double]("bb2"), r.getAs[Double]("bb3"))),
+      touched = r.getAs[Seq[String]]("touched").toSet)
+  }
+
+  private def computedAttrs(df: DataFrame, isUpdate: Boolean,
+      pre: Option[UpdateStats] = None): Map[String, String] = {
+    val stats = pre.getOrElse(updateStats(df))
+    val (lo, hi) = (stats.lo, stats.hi)
     val prior = readAttrs() // one sidecar read serves bbox merge + ranges
-    val bboxAttrs =
-      if (!hasBbox) Map.empty[String, String]
-      else {
+    val bboxAttrs = stats.bbox match {
+      case None => Map.empty[String, String]
+      case Some((bb0, bb1, bb2, bb3)) =>
         // union-extend the prior bbox (metadata.py bbox merge semantics)
-        def d(i: Int) = r.getDouble(i)
         val merged = prior.get("bbox") match {
           case Some(old) if isUpdate =>
             val o = old.split(",").map(_.toDouble)
-            Seq(math.min(o(0), d(2)), math.min(o(1), d(3)),
-              math.max(o(2), d(4)), math.max(o(3), d(5)))
-          case _ => Seq(d(2), d(3), d(4), d(5))
+            Seq(math.min(o(0), bb0), math.min(o(1), bb1),
+              math.max(o(2), bb2), math.max(o(3), bb3))
+          case _ => Seq(bb0, bb1, bb2, bb3)
         }
         Map("bbox" -> merged.mkString(","))
-      }
+    }
     val start = if (isUpdate) prior.getOrElse("date_range_start", lo) else lo
     val priorEnd = prior.get("date_range_end")
     val end = priorEnd.filter(_ > hi).getOrElse(hi)
