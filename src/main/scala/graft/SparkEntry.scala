@@ -317,7 +317,11 @@ object SparkEntry {
     * carries re = count(slot p), im = p. Coefficient space is the row
     * model, so the oracle recomputes the same (m, n, part, value) rows
     * from events + a hardcoded pair→(m,n) map. */
-  private def gribSpectralFixture(s: SparkSession, dir: String): String = {
+  private def gribSpectralFixture(s: SparkSession, dir: String): String =
+    gribSpectralFixture(s, dir, complexSub = None)
+
+  private def gribSpectralFixture(s: SparkSession, dir: String,
+      complexSub: Option[(Double, Int)]): String = {
     val cells = eventsWithDay(s, dir)
       .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
       .count().collect()
@@ -326,7 +330,8 @@ object SparkEntry {
     val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
     val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
     val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/events_sp.grb2"
+    val tag = if (complexSub.isDefined) "cx" else "sp"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/events_$tag.grb2"
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val out = new java.io.DataOutputStream(fs.create(p, true))
@@ -336,7 +341,8 @@ object SparkEntry {
       byDay(d).foreach(r =>
         coeffs(2 * r.getAs[Int]("slot")) = r.getAs[Long]("count").toDouble)
       graft.sources.grib.GribFormat.writeSpectralMessage2(out,
-        refTime = d, trunc = 3, fields = Seq((61, 0, coeffs)))
+        refTime = d, trunc = 3, fields = Seq((61, 0, coeffs)),
+        complexSub = complexSub)
     } finally out.close()
     path
   }
@@ -1604,6 +1610,19 @@ object SparkEntry {
     // events + the hardcoded triangular pair→(m,n) map for M=3.
     "q142_grib_spectral_scan" -> ((s, dir) => {
       val path = gribSpectralFixture(s, dir)
+      s.read.format("grib-spectral").load(path)
+        .select("time", "m", "n", "part", "value")
+        .orderBy("time", "m", "n", "part")
+    }),
+
+    // Template 5.51 — COMPLEX spectral packing, ECMWF's native archive
+    // form: the sub-truncation-1 subset travels unpacked IEEE32, every
+    // other coefficient is premultiplied by the Laplacian (n(n+1))^p
+    // before simple packing and divided back on decode. p = 1.0 keeps the
+    // multiplier integral, so the roundtrip is bit-exact and q142's
+    // oracle applies verbatim.
+    "q145_grib_spectral_complex_scan" -> ((s, dir) => {
+      val path = gribSpectralFixture(s, dir, complexSub = Some((1.0, 1)))
       s.read.format("grib-spectral").load(path)
         .select("time", "m", "n", "part", "value")
         .orderBy("time", "m", "n", "part")
@@ -3119,6 +3138,24 @@ object SparkEntry {
         |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
         |ORDER BY 1, 2""".stripMargin,
+
+    // 5.51's p = 1.0 Laplacian keeps the roundtrip exact → q142's rows
+    "q145_grib_spectral_complex_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |mn(slot, m, n) AS (VALUES (0,0,0),(1,0,1),(2,0,2),(3,0,3),(4,1,1),
+        |                          (5,1,2),(6,1,3),(7,2,2),(8,2,3),(9,3,3)),
+        |parts(part) AS (VALUES ('re'), ('im')),
+        |spine AS (SELECT d, slot, m, n, part FROM days CROSS JOIN mn CROSS JOIN parts)
+        |SELECT spine.d AS time, CAST(spine.m AS INTEGER) AS m,
+        |       CAST(spine.n AS INTEGER) AS n, spine.part AS part,
+        |       CASE WHEN spine.part = 're' THEN coalesce(g.cnt, 0.0)
+        |            ELSE CAST(spine.slot AS DOUBLE) END AS value
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY time, m, n, part""".stripMargin,
 
     // spectral coefficient rows: pair p (m-major, M=3) ↦ (m, n); re carries
     // the slot count (0 when no events), im carries the pair index

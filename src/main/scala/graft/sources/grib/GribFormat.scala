@@ -148,7 +148,23 @@ object GribFormat {
     * (template 5.50 octets 22-25); every other value is simple-packed.
     * Output is coefficient space — rows (m, n, part, value) through the
     * `grib-spectral` scan; synthesis onto a grid is a regrid step. */
-  final case class SpectralGrid(trunc: Int, real00: Double) extends Serializable {
+  /** How the spectral coefficients travel (DRS template). */
+  sealed trait SpectralPacking extends Serializable
+  /** Template 5.50 — simple packing; the real (0,0) coefficient rides
+    * unpacked as IEEE32 in the DRS. */
+  final case class SpectralSimple(real00: Double) extends SpectralPacking
+  /** Template 5.51 — complex packing, ECMWF's native archive form for
+    * spectral fields: the sub-truncation-`subTrunc` subset (triangular:
+    * m ≤ Ts, n ≤ Ts — the large low-wavenumber terms) travels UNPACKED as
+    * IEEE floats of `precBytes` at the head of section 7; every remaining
+    * coefficient is premultiplied by the Laplacian operator power
+    * (n(n+1))^p before simple packing, so decode divides it back out
+    * (WMO template 5.51 notes; p is stored signed in 10⁻⁶ units). */
+  final case class SpectralComplex(laplacianP: Double, subTrunc: Int,
+      precBytes: Int) extends SpectralPacking
+
+  final case class SpectralGrid(trunc: Int,
+      packing: SpectralPacking) extends Serializable {
     /** Complex coefficient pairs under triangular truncation. */
     def nPairs: Int = (trunc + 1) * (trunc + 2) / 2
     /** Stored VALUES (re + im per pair) — the message's nValues. */
@@ -164,6 +180,55 @@ object GribFormat {
         m += 1
       }
       out
+    }
+
+    /** Is pair p in template 5.51's unpacked sub-truncation subset? */
+    def inSubset(p: Int, subTrunc: Int): Boolean = {
+      val (m, n) = pairMN(p)
+      m <= subTrunc && n <= subTrunc
+    }
+
+    /** 5.51 bookkeeping: for value index k, its position within the
+      * unpacked subset stream (≥ 0) or within the packed stream (encoded
+      * as -(idx+1)). Subset and packed values each keep m-major order. */
+    @transient lazy val complexPos: Array[Int] = {
+      val sub = packing match {
+        case SpectralComplex(_, t, _) => t
+        case _ => -1
+      }
+      val out = new Array[Int](nCoeffValues)
+      var subIdx = 0
+      var packIdx = 0
+      var p = 0
+      while (p < nPairs) {
+        val in = sub >= 0 && inSubset(p, sub)
+        var c = 0
+        while (c < 2) {
+          out(2 * p + c) =
+            if (in) { val v = subIdx; subIdx += 1; v }
+            else { val v = -(packIdx + 1); packIdx += 1; v }
+          c += 1
+        }
+        p += 1
+      }
+      out
+    }
+
+    /** 5.51: number of VALUES in the unpacked subset (Ts). */
+    def subsetValues: Int = packing match {
+      case SpectralComplex(_, t, _) =>
+        val s = math.min(t, trunc)
+        (s + 1) * (s + 2) // pairs (m ≤ s, n ≤ s, n ≥ m) = (s+1)(s+2)/2, ×2
+      case _ => 0
+    }
+
+    /** 5.51: Laplacian multiplier (n(n+1))^p for the pair holding value
+      * index k. */
+    def laplacian(k: Int): Double = packing match {
+      case SpectralComplex(p, _, _) =>
+        val n = pairMN(k / 2)._2
+        math.pow(n.toDouble * (n + 1).toDouble, p)
+      case _ => 1.0
     }
   }
 
@@ -356,13 +421,36 @@ object GribFormat {
       * for bitmap-masked cells — the scan surfaces them as null. */
     def decoder(slab: Array[Byte], bitmapSlab: Array[Byte]): Int => Double = {
       spectral.foreach { sp =>
-        // template 7.50: every value simple-packed EXCEPT value 0 — the
-        // real (0,0) coefficient, which rides unpacked in the DRS
         require(!hasBitmap, "spectral fields carry no bitmap")
-        return (k: Int) =>
-          if (k == 0) sp.real00
-          else unscale(extract(slab, (k - 1).toLong * bitsPerValue,
-            bitsPerValue).toDouble)
+        sp.packing match {
+          case SpectralSimple(real00) =>
+            // template 7.50: every value simple-packed EXCEPT value 0 —
+            // the real (0,0) coefficient, which rides unpacked in the DRS
+            return (k: Int) =>
+              if (k == 0) real00
+              else unscale(extract(slab, (k - 1).toLong * bitsPerValue,
+                bitsPerValue).toDouble)
+          case SpectralComplex(_, _, precBytes) =>
+            // template 7.51: the sub-truncation subset as IEEE floats at
+            // the head, then the simple-packed remainder — each packed
+            // value divided back by its Laplacian premultiplier
+            val subsetVals = sp.subsetValues
+            val packedBitBase = subsetVals.toLong * precBytes * 8
+            return (k: Int) => {
+              val pos = sp.complexPos(k)
+              if (pos >= 0) {
+                val off = pos * precBytes
+                if (precBytes == 4)
+                  java.lang.Float.intBitsToFloat(u32(slab, off).toInt).toDouble
+                else java.lang.Double.longBitsToDouble(u64(slab, off))
+              } else {
+                val idx = -pos - 1
+                unscale(extract(slab,
+                  packedBitBase + idx.toLong * bitsPerValue,
+                  bitsPerValue).toDouble) / sp.laplacian(k)
+              }
+            }
+        }
       }
       // bitmap rank: prefix popcounts per 64-bit word → rank(k) in O(1)
       val (present, rank): (Int => Boolean, Int => Int) =
@@ -542,30 +630,60 @@ object GribFormat {
       refTime: java.time.LocalDateTime,
       trunc: Int,
       fields: Seq[(Int, Int, Array[Double])], // (paramId, leadHours, coeffs)
-      decimalScale: Int = 0): Unit = {
+      decimalScale: Int = 0,
+      /** Template 5.51 (complex spectral packing) instead of 5.50: the
+        * Laplacian power p and the triangular sub-truncation whose
+        * coefficients travel unpacked as IEEE32. */
+      complexSub: Option[(Double, Int)] = None): Unit = {
     require(trunc >= 0, s"negative truncation $trunc")
     require(fields.nonEmpty, "a GRIB2 message needs at least one field")
+    complexSub.foreach { case (p, sub) =>
+      require(sub >= 0 && sub <= trunc, s"sub-truncation $sub outside 0..$trunc")
+      require(math.abs(math.round(p * 1e6)) <= Int.MaxValue, s"Laplacian p $p")
+    }
     val nVals = (trunc + 1) * (trunc + 2)
+    // m-major pair walk shared with the reader
+    val grid = SpectralGrid(trunc,
+      complexSub.map { case (p, sub) => SpectralComplex(p, sub, 4) }
+        .getOrElse(SpectralSimple(0.0)))
     final case class Plan(paramId: Int, leadHours: Int, real00: Float,
-        scaled: Array[Long], minV: Long, bits: Int)
+        subset: Array[Float], scaled: Array[Long], minV: Long, bits: Int)
     val plans = fields.map { case (paramId, leadHours, coeffs) =>
       require(coeffs.length == nVals,
         s"${coeffs.length} coefficient values for triangular M=$trunc ($nVals)")
       require(!coeffs.exists(_.isNaN), "spectral coefficients cannot be missing")
-      val real00 = coeffs(0).toFloat
-      require(real00.toDouble == coeffs(0),
-        s"real (0,0) coefficient ${coeffs(0)} not exact in float32")
-      val (scaled, minV, bits, bitmap) = packPlan(coeffs.drop(1), decimalScale)
-      require(bitmap.isEmpty, "spectral fields carry no bitmap")
-      require(bits <= 24, s"coefficient range needs $bits bits (>24); " +
-        "raise decimalScale")
-      require(minV.toFloat.toLong == minV, s"reference $minV not exact in float32")
-      Plan(paramId, leadHours, real00, scaled, minV, bits)
+      complexSub match {
+        case None =>
+          val real00 = coeffs(0).toFloat
+          require(real00.toDouble == coeffs(0),
+            s"real (0,0) coefficient ${coeffs(0)} not exact in float32")
+          val (scaled, minV, bits, bitmap) = packPlan(coeffs.drop(1), decimalScale)
+          require(bitmap.isEmpty, "spectral fields carry no bitmap")
+          require(bits <= 24, s"coefficient range needs $bits bits (>24); " +
+            "raise decimalScale")
+          require(minV.toFloat.toLong == minV, s"reference $minV not exact in float32")
+          Plan(paramId, leadHours, real00, Array.empty, scaled, minV, bits)
+        case Some((lapP, sub)) =>
+          val subset = (0 until nVals).filter(k => grid.complexPos(k) >= 0)
+            .map(k => coeffs(k).toFloat).toArray
+          // Laplacian-premultiplied remainder, simple-packed
+          val packed = (0 until nVals).filter(k => grid.complexPos(k) < 0)
+            .map(k => coeffs(k) * grid.laplacian(k)).toArray
+          val (scaled, minV, bits, bitmap) =
+            if (packed.isEmpty) (Array.emptyLongArray, 0L, 0, None)
+            else packPlan(packed, decimalScale)
+          require(bitmap.isEmpty, "spectral fields carry no bitmap")
+          require(bits <= 24, s"Laplacian-scaled range needs $bits bits (>24)")
+          require(minV.toFloat.toLong == minV, s"reference $minV not exact in float32")
+          Plan(paramId, leadHours, 0f, subset, scaled, minV, bits)
+      }
     }
     val sec3Len = 28
+    val sec5Len = if (complexSub.isDefined) 36 else 25
     val total = 16L + 21 + sec3Len +
-      plans.map(p => 34L + 25 + 6 +
-        (5 + (p.scaled.length.toLong * p.bits + 7) / 8)).sum + 4
+      plans.map(p => 34L + sec5Len + 6 +
+        (5 + p.subset.length.toLong * 4 +
+          (p.scaled.length.toLong * p.bits + 7) / 8)).sum + 4
     // Section 0 — indicator
     out.writeBytes("GRIB")
     out.writeByte(0); out.writeByte(0)
@@ -603,21 +721,33 @@ object GribFormat {
       out.writeInt(p.leadHours)
       out.writeByte(1); out.writeByte(0); out.writeInt(0)
       out.writeByte(255); out.writeByte(255); out.writeInt(-1)
-      // Section 5 — template 5.50: 5.0's 21-octet prefix + real00 IEEE32
-      out.writeInt(25); out.writeByte(5)
+      // Section 5 — template 5.50 (5.0's 21-octet prefix + real00 IEEE32)
+      // or 5.51 (prefix + Laplacian p, Js/Ks/Ms, Ts, precision)
+      out.writeInt(sec5Len); out.writeByte(5)
       out.writeInt(nVals)
-      out.writeShort(50)
+      out.writeShort(if (complexSub.isDefined) 51 else 50)
       out.writeInt(java.lang.Float.floatToIntBits(p.minV.toFloat))
       writeSm(out, 0, 2) // binary scale E = 0
       writeSm(out, decimalScale, 2)
       out.writeByte(p.bits)
       out.writeByte(0) // field type: floating point
-      out.writeInt(java.lang.Float.floatToIntBits(p.real00))
+      complexSub match {
+        case None =>
+          out.writeInt(java.lang.Float.floatToIntBits(p.real00))
+        case Some((lapP, sub)) =>
+          writeSm(out, math.round(lapP * 1e6).toInt, 4)
+          out.writeShort(sub); out.writeShort(sub); out.writeShort(sub)
+          out.writeInt((sub + 1) * (sub + 2)) // Ts (values)
+          out.writeByte(1) // precision: IEEE 32-bit
+      }
       // Section 6 — no bitmap
       out.writeInt(6); out.writeByte(6); out.writeByte(255)
-      // Section 7 — packed values (all but the real (0,0) coefficient)
-      out.writeInt(5 + ((p.scaled.length.toLong * p.bits + 7) / 8).toInt)
+      // Section 7 — 5.50: packed values (all but the real (0,0)
+      // coefficient); 5.51: IEEE32 subset then the packed remainder
+      out.writeInt(5 + p.subset.length * 4 +
+        ((p.scaled.length.toLong * p.bits + 7) / 8).toInt)
       out.writeByte(7)
+      p.subset.foreach(f => out.writeInt(java.lang.Float.floatToIntBits(f)))
       writePacked(out, p.scaled, p.minV, p.bits)
     }
     out.writeBytes("7777")
@@ -1289,7 +1419,7 @@ object GribFormat {
       var png = false
       var jpeg = false
       var spectralTrunc: Option[Int] = None
-      var spectralReal00: Option[Double] = None
+      var spectralPacking: Option[SpectralPacking] = None
       var seenRepr = false
       var done = false
       while (!done) {
@@ -1316,14 +1446,14 @@ object GribFormat {
               case u => throw new IllegalArgumentException(
                 s"GRIB2 time unit $u unsupported (0=min, 1=hour, 2=day)")
             }
-            val spectral = (spectralTrunc, spectralReal00) match {
-              case (Some(t), Some(r)) => Some(SpectralGrid(t, r))
+            val spectral = (spectralTrunc, spectralPacking) match {
+              case (Some(t), Some(pk)) => Some(SpectralGrid(t, pk))
               case (Some(_), None) => throw new IllegalArgumentException(
-                "spectral grid (template 3.50) needs DRS template 5.50 " +
-                  "(spectral simple packing)")
+                "spectral grid (template 3.50) needs DRS template 5.50 or " +
+                  "5.51 (spectral packing)")
               case (None, Some(_)) => throw new IllegalArgumentException(
-                "DRS template 5.50 needs the spherical-harmonic grid " +
-                  "(template 3.50)")
+                "spectral DRS templates 5.50/5.51 need the " +
+                  "spherical-harmonic grid (template 3.50)")
               case (None, None) => None
             }
             fields += GribMessage(paramId, validTime, ni, nj, la1, lo1, la2,
@@ -1487,18 +1617,43 @@ object GribFormat {
                 binaryScale = sm(body, 10, 2)
                 decimalScale = sm(body, 12, 2)
                 bits = body(14) & 0xFF
-                spectralReal00 = None // a later field may repack on a grid
+                spectralPacking = None // a later field may repack on a grid
                 u16(body, 4) match {
-                  case 50 => // spectral data — simple packing (ERA5 model levels)
+                  case 50 => // spectral data — simple packing
                     require(body.length >= 20,
                       s"template 5.50 section carries ${body.length + 5} octets (25 needed)")
                     complex = None; png = false; jpeg = false; ccsds = None
-                    spectralReal00 = Some(
-                      java.lang.Float.intBitsToFloat(u32(body, 16).toInt).toDouble)
-                  case 51 => throw new IllegalArgumentException(
-                    "DRS template 5.51 (spectral complex packing) unsupported — " +
-                      "convert with eccodes/MARS to 5.50 simple spectral packing " +
-                      "or regrid to a Gaussian grid (templates 3.40/5.x) first")
+                    spectralPacking = Some(SpectralSimple(
+                      java.lang.Float.intBitsToFloat(u32(body, 16).toInt).toDouble))
+                  case 51 =>
+                    // spectral data — COMPLEX packing, the native ECMWF
+                    // archive form: 5.0's 21-octet prefix, then the signed
+                    // Laplacian scaling factor in 10^-6 units (octets
+                    // 22-25), the sub-truncation Js/Ks/Ms (26-31), Ts
+                    // (32-35), and the unpacked-subset precision (36,
+                    // code table 5.7) — NCEP template tables
+                    require(body.length >= 31,
+                      s"template 5.51 section carries ${body.length + 5} octets (36 needed)")
+                    complex = None; png = false; jpeg = false; ccsds = None
+                    val lap = sm(body, 16, 4) / 1e6
+                    val js = u16(body, 20); val ks = u16(body, 22)
+                    val ms = u16(body, 24)
+                    require(js == ks && ks == ms,
+                      s"pentagonal spectral sub-truncation Js=$js Ks=$ks " +
+                        s"Ms=$ms unsupported (triangular Js=Ks=Ms only)")
+                    val ts = u32(body, 26)
+                    val expectTs = (js + 1).toLong * (js + 2)
+                    require(ts == expectTs,
+                      s"template 5.51 declares Ts=$ts unpacked values; " +
+                        s"triangular sub-truncation $js holds $expectTs")
+                    val precBytes = (body(30) & 0xFF) match {
+                      case 1 => 4
+                      case 2 => 8
+                      case other => throw new IllegalArgumentException(
+                        s"unpacked-subset precision $other unsupported " +
+                          "(code table 5.7: 1 = IEEE32, 2 = IEEE64)")
+                    }
+                    spectralPacking = Some(SpectralComplex(lap, js, precBytes))
                   case 0 =>
                     require((body(15) & 0xFF) == 0,
                       s"field type ${body(15)} unsupported (only 0: floating point)")

@@ -76,7 +76,7 @@ class GribSpectralSpec extends SparkSpec {
     assert(df.count() == 2 * 6)
   }
 
-  test("DRS 5.51 is refused by name with the regrid workaround") {
+  test("malformed spectral DRS fails named: short 5.51 body, unknown 5.52") {
     val tmp = Files.createTempDirectory("gribsp3")
     val path = tmp.resolve("sp.grb2").toString
     writeFixture(path, Seq(ts("2024-03-01T00:00:00")), trunc = 1,
@@ -85,15 +85,21 @@ class GribSpectralSpec extends SparkSpec {
     val s5 = sectionOffset(bytes, 5)
     // template number = section octets 10-11 → bytes s5+9, s5+10
     assert(bytes(s5 + 10) == 50)
-    bytes(s5 + 10) = 51
-    val bad = tmp.resolve("bad.grb2").toString
-    Files.write(Paths.get(bad), bytes)
-    val e = intercept[Throwable] {
-      spark.read.format("grib-spectral").load(bad).count()
+    def failMsg(tmpl: Byte): String = {
+      val b = bytes.clone(); b(s5 + 10) = tmpl
+      val bad = tmp.resolve(s"bad$tmpl.grb2").toString
+      Files.write(Paths.get(bad), b)
+      val e = intercept[Throwable] {
+        spark.read.format("grib-spectral").load(bad).count()
+      }
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
     }
-    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
-    assert(msgs.contains("5.51") && msgs.contains("regrid"), msgs)
+    // a 5.50-sized section relabeled 5.51 is TOO SHORT for 5.51's body —
+    // refused with the octet count named, never misparsed
+    assert(failMsg(51).contains("36 needed"), failMsg(51))
+    // unknown spectral template refused by name
+    assert(failMsg(52).contains("unsupported"), failMsg(52))
   }
 
   test("pentagonal truncation and non-Legendre representation are refused by name") {
@@ -126,6 +132,74 @@ class GribSpectralSpec extends SparkSpec {
     val m2 = Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
       .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
     assert(m2.contains("representation type"), m2)
+  }
+
+  test("5.51 complex packing: subset exact, Laplacian remainder within quantization") {
+    val tmp = Files.createTempDirectory("gribsp51")
+    val path = tmp.resolve("cx.grb2").toString
+    val t0 = ts("2024-03-01T00:00:00")
+    // M=3, sub-truncation 1: pairs (0,0),(0,1),(1,1) travel IEEE32; the
+    // other 7 pairs are premultiplied by (n(n+1))^0.5 (irrational — the
+    // general case) with decimal scale 3
+    val coeffs = Array(
+      250.5, 0.0, -3.25, 1.5, 7.0, -2.0, 0.125, 4.0, // (0,0) (0,1) (0,2) (0,3)
+      -40.0, 5.5, 6.25, -6.0, 1.0, 2.0, // (1,1) (1,2) (1,3)
+      3.5, -0.75, 0.5, 9.0, // (2,2) (2,3)
+      -1.125, 11.0) // (3,3)
+    val out = new DataOutputStream(Files.newOutputStream(Paths.get(path)))
+    try GribFormat.writeSpectralMessage2(out, t0, trunc = 3,
+      Seq((61, 0, coeffs)), decimalScale = 3, complexSub = Some((0.5, 1)))
+    finally out.close()
+    val rows = spark.read.format("grib-spectral").load(path)
+      .orderBy("m", "n", "part").collect()
+    assert(rows.length == 20)
+    val grid = GribFormat.SpectralGrid(3, GribFormat.SpectralComplex(0.5, 1, 4))
+    // reader emits ordered by (m, n, part) with part im < re; rebuild the
+    // m-major value order to compare
+    val got = rows.map(r => ((r.getAs[Int]("m"), r.getAs[Int]("n"),
+      r.getAs[String]("part")), r.getAs[Double]("value"))).toMap
+    grid.pairMN.zipWithIndex.foreach { case ((m, n), p) =>
+      val re = got((m, n, "re")); val im = got((m, n, "im"))
+      if (grid.inSubset(p, 1)) {
+        assert(re == coeffs(2 * p).toFloat.toDouble, s"subset re($m,$n)")
+        assert(im == coeffs(2 * p + 1).toFloat.toDouble, s"subset im($m,$n)")
+      } else {
+        // quantization bound: half a decimal step, divided by the
+        // Laplacian premultiplier
+        val tol = 0.5e-3 / math.sqrt(n.toDouble * (n + 1)) + 1e-9
+        assert(math.abs(re - coeffs(2 * p)) <= tol, s"re($m,$n): $re")
+        assert(math.abs(im - coeffs(2 * p + 1)) <= tol, s"im($m,$n): $im")
+      }
+    }
+  }
+
+  test("5.51 refuses pentagonal sub-truncation, bad Ts, and exotic precision by name") {
+    val tmp = Files.createTempDirectory("gribsp51r")
+    val path = tmp.resolve("cx.grb2").toString
+    val out = new DataOutputStream(Files.newOutputStream(Paths.get(path)))
+    try GribFormat.writeSpectralMessage2(out, ts("2024-03-01T00:00:00"),
+      trunc = 2, Seq((61, 0, Array.tabulate(12)(_.toDouble))),
+      complexSub = Some((1.0, 1)))
+    finally out.close()
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val s5 = sectionOffset(bytes, 5)
+    // 5.51 body: octets 22-25 P, 26-27 Js, 28-29 Ks, 30-31 Ms, 32-35 Ts,
+    // 36 precision → Ks low byte at s5+28, Ts low byte at s5+34, prec s5+35
+    def patched(off: Int, v: Byte): String = {
+      val b = bytes.clone(); b(off) = v
+      val p2 = tmp.resolve(s"p$off.grb2").toString
+      Files.write(Paths.get(p2), b); p2
+    }
+    def failMsg(p: String): String = {
+      val e = intercept[Throwable] {
+        spark.read.format("grib-spectral").load(p).count()
+      }
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    }
+    assert(failMsg(patched(s5 + 28, 2)).contains("pentagonal"))
+    assert(failMsg(patched(s5 + 34, 9)).contains("Ts"))
+    assert(failMsg(patched(s5 + 35, 3)).contains("precision"))
   }
 
   test("cross-source misuse is redirected by name in both directions") {
