@@ -274,6 +274,31 @@ object SparkEntry {
     path
   }
 
+  /** PNG media fixture: one REAL 8×8 grayscale PNG per day (RFC 2083 —
+    * zlib, cycling scanline filters), pixels derived from slot counts:
+    * p(i) = (cnt(slot = i mod 10)·7 + i) mod 256. The oracle recomputes
+    * the pixels from events, so the gate proves the actual PNG decode
+    * (inflate + filter reversal) recovers every byte. */
+  private def pngEventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    val rows = days.toSeq.map { d =>
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val px = Array.tabulate(64)(i => (cnt(i % 10) * 7 + i) % 256)
+      val png = graft.sources.grib.Png.encode(8, 8, 8, px)
+      (java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate), png)
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "png")
+  }
+
   /** CDF-5 fixture (PnetCDF 64-bit data format, the HPC-produced classic
     * shape): the q61 events grid written with version byte 5, wide header
     * integers, and an NC_INT64 data variable with an int64 fill. */
@@ -1592,6 +1617,36 @@ object SparkEntry {
     "q82_nc4_scan" -> ((s, dir) => {
       val (path, _) = nc4EventsFixture(s, dir)
       s.read.format("netcdf").load(path).orderBy("time", "slot")
+    }),
+
+    // REAL image decode for the multimodal pack: 8×8 grayscale PNGs
+    // (zlib + cycling scanline filters) decoded by the in-repo RFC 2083
+    // codec through the per-partition Decoder plumbing, then an
+    // integer-domain average-hash — dims, pixel sum, and the 64-bit
+    // threshold bitstring. Pixels derive from event counts, so the DuckDB
+    // oracle recomputes them WITHOUT a PNG codec: a single flipped bit
+    // anywhere in inflate/filter reversal fails the hash compare.
+    "q146_png_decode_ahash" -> ((s, dir) => {
+      val pngs = pngEventsFixture(s, dir)
+      val dec = Multimodal.decodeResize(pngs, "id", "png", 8, 8,
+        Multimodal.PngDecoder).toDF()
+      // float [0,1] luminance back to exact 8-bit ints (p/255f survives
+      // the float roundtrip exactly), then integer-exact hash arithmetic
+      // both engines replay bit-for-bit
+      val withPix = dec.select(col("id"), col("width"), col("height"),
+        transform(col("pixels"), v => round(v * 255).cast("long")).as("pi"))
+      // materialize the sum as a column FIRST — an aggregate inside the
+      // transform lambda would re-evaluate per element
+      withPix.withColumn("pix_sum",
+          aggregate(col("pi"), lit(0L), (a, v) => a + v))
+        .select(col("id"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"),
+          col("pix_sum"),
+          array_join(transform(col("pi"),
+            p => when(p * 64 > col("pix_sum"), "1").otherwise("0")), "")
+            .as("ahash_bits"))
+        .orderBy("id")
     }),
 
     // CDF-5 (PnetCDF 64-bit data format): the q61 grid with version byte
@@ -3125,6 +3180,29 @@ object SparkEntry {
         |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
         |ORDER BY 1, 2""".stripMargin,
+
+    // real PNG decode gate: pixels recomputed from events WITHOUT a PNG
+    // codec — p(i) = (cnt(slot = i%10)·7 + i) % 256, integer-exact hash
+    "q146_png_decode_ahash" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |px AS (SELECT days.d, i.i,
+        |         (coalesce(g.cnt, 0) * 7 + i.i) % 256 AS p
+        |       FROM days
+        |       CROSS JOIN (SELECT CAST(unnest(range(64)) AS INTEGER) AS i) i
+        |       LEFT JOIN g ON g.d = days.d AND g.slot = CAST(i.i % 10 AS INTEGER)),
+        |agg AS (SELECT d, sum(p) AS s FROM px GROUP BY d)
+        |SELECT CAST(date_diff('day', DATE '1970-01-01', px.d) AS BIGINT) AS id,
+        |       8 AS width, 8 AS height,
+        |       CAST(agg.s AS BIGINT) AS pix_sum,
+        |       string_agg(CASE WHEN px.p * 64 > agg.s THEN '1' ELSE '0' END, ''
+        |                  ORDER BY px.i) AS ahash_bits
+        |FROM px JOIN agg ON px.d = agg.d
+        |GROUP BY px.d, agg.s
+        |ORDER BY id""".stripMargin,
 
     // CDF-5 int64 counts: q82's spine with BIGINT cnt, fills → NULL
     "q144_nc_cdf5_scan" ->

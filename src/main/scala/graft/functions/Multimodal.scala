@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample run batched per
   * partition.
   *
-  * The actual codec step is STUBBED (this environment ships no image/audio
-  * libraries): `StubDecoder` produces deterministic fake pixels from the
-  * bytes. Everything around it — schema, partition batching, batch shape,
-  * metadata extraction — is real Spark plumbing a production decoder drops
-  * into unchanged (swap `decoder` for a JNI/javacpp-backed one).
+  * PNG decode is REAL — [[PngDecoder]] runs the in-repo RFC 2083 codec
+  * ([[graft.sources.grib.Png]]: zlib inflate, all five scanline filters,
+  * grayscale 8/16 + RGB/RGBA) with deterministic area-average resize and
+  * luminance conversion, so image metadata, perceptual hashing, and
+  * pooled embeddings operate on true pixels. Formats with no in-repo
+  * codec (JPEG, GIF, ...) are refused BY NAME by the real decoder;
+  * [[StubDecoder]] (deterministic fake pixels) remains for plumbing tests
+  * and as the slot where a JNI/javacpp codec drops in unchanged.
   */
 object Multimodal {
 
@@ -76,6 +79,98 @@ object Multimodal {
       ((z ^ (z >>> 31)) & 0xffffL).toFloat / 65535.0f
     }
     DecodedMedia(id, w, h, px)
+  }
+
+  /** REAL image decode for PNG payloads: the in-repo RFC 2083 codec
+    * (inflate + scanline filters), luminance-converted to [0,1] grayscale
+    * and area-average-resized to the requested grid. Non-PNG payloads are
+    * refused with the sniffed format NAMED — never fake pixels from a
+    * decoder that claims to be real. */
+  val PngDecoder: Decoder = (id, bytes, w, h) => {
+    require(bytes.length >= 26 &&
+      (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G', {
+      val fmt =
+        if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF &&
+          (bytes(1) & 0xFF) == 0xD8) "jpeg"
+        else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+          bytes(2) == 'F') "gif"
+        else "unknown"
+      s"media $id: no in-repo codec for format '$fmt' (PNG only); " +
+        "plug a production Decoder for other formats"
+    })
+    // IHDR: depth at byte 24, colour type at 25 (signature 8 + len 4 +
+    // "IHDR" 4 + width 4 + height 4)
+    val depth = bytes(24) & 0xFF
+    val colourType = bytes(25) & 0xFF
+    val (srcW, srcH, samples) = graft.sources.grib.Png.decode(bytes)
+    // normalize to [0,1] luminance
+    val lum = new Array[Float](samples.length)
+    colourType match {
+      case 0 => // grayscale, depth 8 or 16
+        val max = ((1L << depth) - 1).toFloat
+        var i = 0
+        while (i < samples.length) { lum(i) = samples(i) / max; i += 1 }
+      case 2 | 6 => // RGB / RGBA packed MSB-first into one value per pixel
+        val shift = if (colourType == 6) 8 else 0 // drop alpha
+        var i = 0
+        while (i < samples.length) {
+          val v = samples(i) >>> shift
+          val r = (v >>> 16) & 0xFF; val g = (v >>> 8) & 0xFF; val b = v & 0xFF
+          lum(i) = (r + g + b).toFloat / (3f * 255f)
+          i += 1
+        }
+      case other => throw new IllegalArgumentException(
+        s"media $id: PNG colour type $other unsupported (0, 2, 6)")
+    }
+    // deterministic area-average resize: output cell (x, y) averages the
+    // source box [x·srcW/w, (x+1)·srcW/w) × [y·srcH/h, (y+1)·srcH/h)
+    val px =
+      if (srcW == w && srcH == h) lum
+      else Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        val x0 = x.toLong * srcW / w; val x1 = math.max((x + 1).toLong * srcW / w, x0 + 1)
+        val y0 = y.toLong * srcH / h; val y1 = math.max((y + 1).toLong * srcH / h, y0 + 1)
+        var acc = 0.0
+        var yy = y0
+        while (yy < y1) {
+          var xx = x0
+          while (xx < x1) { acc += lum((yy * srcW + xx).toInt); xx += 1 }
+          yy += 1
+        }
+        (acc / ((x1 - x0) * (y1 - y0))).toFloat
+      }
+    DecodedMedia(id, w, h, px)
+  }
+
+  /** PNG IHDR dimensions as PURE EXPRESSIONS (no decode, no UDF): width
+    * and height are big-endian u32 at fixed offsets in the signature+IHDR
+    * prefix, so a metadata-only pass never touches the pixel data. NULL
+    * for non-PNG payloads. */
+  def pngDims(binCol: Column): (Column, Column) = {
+    def be32(off1: Int): Column = // 1-based substring offset
+      conv(hex(substring(binCol, off1, 4)), 16, 10).cast(LongType)
+    val isPng = hex(substring(binCol, 1, 4)) === lit("89504E47")
+    (when(isPng, be32(17)).otherwise(lit(null)).as("width"),
+      when(isPng, be32(21)).otherwise(lit(null)).as("height"))
+  }
+
+  /** Average perceptual hash over REAL pixels: decode+resize to g×g, then
+    * one bit per cell (pixel > mean). Emitted as a '0'/'1' bit STRING in
+    * row-major order — oracle-friendly and collision-debuggable; fold to
+    * 64-bit with xxhash64 downstream if a compact key is needed. Returns
+    * (id, width, height, mean_brightness, ahash_bits). */
+  def averageHash(df: DataFrame, idCol: String, binCol: String,
+      grid: Int = 8, decoder: Decoder = PngDecoder): DataFrame = {
+    val decoded = decodeResize(df, idCol, binCol, grid, grid, decoder)
+    decoded.toDF()
+      .withColumn("mean_brightness",
+        aggregate(col("pixels"), lit(0.0), (a, v) => a + v) /
+          size(col("pixels")).cast(DoubleType))
+      .select(col("id"), col("width"), col("height"),
+        round(col("mean_brightness"), 6).as("mean_brightness"),
+        array_join(transform(col("pixels"),
+          v => when(v > col("mean_brightness"), "1").otherwise("0")), "")
+          .as("ahash_bits"))
   }
 
   /** Decode + resize to (w × h) feature grids, batched per partition — the

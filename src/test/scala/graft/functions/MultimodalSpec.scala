@@ -64,4 +64,73 @@ class MultimodalSpec extends SparkSpec {
     assert(emb.length == 8)
     assert(emb.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  // ---------------------------------------------------- REAL PNG decode
+
+  test("PngDecoder recovers every pixel of real 8-bit and 16-bit grayscale PNGs") {
+    import graft.sources.grib.Png
+    val px8 = Array.tabulate[Long](8 * 8)(i => (i * 37) % 256)
+    val bytes8 = Png.encode(8, 8, 8, px8)
+    val d8 = Multimodal.PngDecoder(1L, bytes8, 8, 8)
+    assert(d8.width == 8 && d8.height == 8)
+    px8.zip(d8.pixels).foreach { case (p, f) =>
+      assert(math.round(f * 255.0) == p, s"$p vs $f")
+    }
+    val px16 = Array.tabulate[Long](5 * 7)(i => (i * 9173) % 65536)
+    val d16 = Multimodal.PngDecoder(2L, Png.encode(5, 7, 16, px16), 5, 7)
+    px16.zip(d16.pixels).foreach { case (p, f) =>
+      assert(math.round(f * 65535.0) == p, s"$p vs $f")
+    }
+  }
+
+  test("PngDecoder area-average resize is the exact box mean") {
+    import graft.sources.grib.Png
+    // 4x4 image, resize to 2x2: each output cell = mean of a 2x2 box
+    val px = Array.tabulate[Long](16)(i => i * 16)
+    val d = Multimodal.PngDecoder(1L, Png.encode(4, 4, 8, px), 2, 2)
+    def boxMean(xs: Seq[Int]): Float =
+      (xs.map(i => px(i) / 255.0).sum / xs.length).toFloat
+    val expect = Seq(
+      boxMean(Seq(0, 1, 4, 5)), boxMean(Seq(2, 3, 6, 7)),
+      boxMean(Seq(8, 9, 12, 13)), boxMean(Seq(10, 11, 14, 15)))
+    d.pixels.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6, s"$g vs $e")
+    }
+  }
+
+  test("PngDecoder converts RGB to luminance and refuses non-PNG by name") {
+    import graft.sources.grib.Png
+    // RGB (24-bit values): pixel 0 pure red, pixel 1 pure white
+    val rgb = Array[Long](0xFF0000L, 0xFFFFFFL)
+    val d = Multimodal.PngDecoder(1L, Png.encode(2, 1, 24, rgb), 2, 1)
+    assert(math.abs(d.pixels(0) - 1f / 3f) < 1e-6)
+    assert(math.abs(d.pixels(1) - 1f) < 1e-6)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.PngDecoder(7L, jpeg, 2, 2)
+    }
+    assert(e.getMessage.contains("jpeg"), e.getMessage)
+  }
+
+  test("pngDims reads IHDR dimensions as pure expressions, null for non-PNG") {
+    import graft.sources.grib.Png
+    val realPng = Png.encode(12, 5, 8, Array.tabulate[Long](60)(_ % 256))
+    val df = Seq((1L, realPng), (2L, jpeg)).toDF("id", "media")
+    val (w, h) = Multimodal.pngDims(col("media"))
+    val m = df.select(col("id"), w, h).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(m(1L) == (Some(12L), Some(5L)))
+    assert(m(2L) == (None, None))
+  }
+
+  test("averageHash over real pixels: identical images collide, different split") {
+    import graft.sources.grib.Png
+    def img(seed: Int): Array[Byte] =
+      Png.encode(8, 8, 8, Array.tabulate[Long](64)(i => ((i * seed) % 256).toLong))
+    val df = Seq((1L, img(37)), (2L, img(37)), (3L, img(91))).toDF("id", "png")
+    val out = Multimodal.averageHash(df, "id", "png").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("ahash_bits")).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+    assert(out(1L).length == 64 && out(1L).forall(c => c == '0' || c == '1'))
+  }
 }
