@@ -100,6 +100,27 @@ object GribTable {
       }
     }.sortBy(st => graft.sources.Manifest.naturalKey(st.getPath.toString))
 
+  /** Parse the cache MISSES on a bounded pool — header walks are one
+    * remote round-trip per file (payloads are skipped, not read), and
+    * `resolve` runs twice per read (inferSchema, then getTable), so
+    * planning a thousand-file archive must not be O(files) SERIAL I/O.
+    * Same discipline as the NC scan's layout planning. */
+  private[grib] def parseParallel(conf: Configuration,
+      files: Seq[org.apache.hadoop.fs.FileStatus]): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val misses = files.filter(st => !messageCache.containsKey(
+      (st.getPath.toString, st.getModificationTime, st.getLen)))
+    if (misses.nonEmpty) {
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.traverse(misses) { st =>
+          // blocking{}: Hadoop IO — let the pool grow past CPU count
+          Future(scala.concurrent.blocking { cachedMessages(conf, st) })
+        }, Duration.Inf)
+    }
+  }
+
   def resolve(options: CaseInsensitiveStringMap): GribTable = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
@@ -107,6 +128,7 @@ object GribTable {
     require(paths.nonEmpty, "grib1 scan needs a path")
     val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
     val files = listGribFiles(conf, paths)
+    parseParallel(conf, files)
     val byFile = files.map(st =>
       st.getPath.toString -> cachedMessages(conf, st))
     // spectral fields have no lat/lon rows — they scan through the

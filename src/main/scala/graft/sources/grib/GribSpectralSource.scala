@@ -73,6 +73,7 @@ object GribSpectralTable {
     val paths = Option(options.get("path")).toSeq
     require(paths.nonEmpty, "grib-spectral scan needs a path")
     val files = GribTable.listGribFiles(conf, paths)
+    GribTable.parseParallel(conf, files) // bounded-pool header fan-out
     val byFile = files.map(st =>
       st.getPath.toString -> GribTable.cachedMessages(conf, st))
     byFile.find(_._2.exists(_.spectral.isEmpty)).foreach { case (p, _) =>
