@@ -299,6 +299,36 @@ object SparkEntry {
     rows.toDF("id", "png")
   }
 
+  /** Spectral-synthesis fixture: one 5.50 message per day, T=3, with only
+    * the (0,0), (0,1) and (1,1) coefficients nonzero (counts of slots
+    * 0-3) — the oracle then replays the synthesis closed-form in SQL. */
+  private def gribSpectralSynthFixture(s: SparkSession, dir: String): String = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/events_sy.grb2"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = new java.io.DataOutputStream(fs.create(p, true))
+    try days.foreach { d =>
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val coeffs = new Array[Double](20) // T=3: 10 pairs, m-major
+      coeffs(0) = cnt(0).toDouble // (0,0) re
+      coeffs(2) = cnt(1).toDouble // (0,1) re
+      coeffs(8) = cnt(2).toDouble // (1,1) re
+      coeffs(9) = cnt(3).toDouble // (1,1) im
+      graft.sources.grib.GribFormat.writeSpectralMessage2(out,
+        refTime = d, trunc = 3, fields = Seq((61, 0, coeffs)))
+    } finally out.close()
+    path
+  }
+
   /** CDF-5 fixture (PnetCDF 64-bit data format, the HPC-produced classic
     * shape): the q61 events grid written with version byte 5, wide header
     * integers, and an NC_INT64 data variable with an int64 fill. */
@@ -1617,6 +1647,23 @@ object SparkEntry {
     "q82_nc4_scan" -> ((s, dir) => {
       val (path, _) = nc4EventsFixture(s, dir)
       s.read.format("netcdf").load(path).orderBy("time", "slot")
+    }),
+
+    // Spectral → grid SYNTHESIS: the inverse spherical-harmonic transform
+    // over the grib-spectral scan's coefficient rows (fully normalized
+    // Legendre recurrences, per-parallel m-spectra, grid rows emitted
+    // straight from mapPartitions). Fixture keeps only the (0,0), (0,1),
+    // (1,1) harmonics nonzero, so the oracle replays the closed form:
+    // f = c00 + √3·c01·sinφ + √1.5·cosφ·(c11re·cosλ + c11im·sinλ).
+    "q147_spectral_synthesis" -> ((s, dir) => {
+      val path = gribSpectralSynthFixture(s, dir)
+      val co = s.read.format("grib-spectral").load(path)
+      graft.ops.Spectral.synthesize(co, Seq("time"),
+        lats = Seq(-45.0, 0.0, 45.0),
+        lons = Seq(0.0, 90.0, 180.0, 270.0))
+        .select(col("time"), col("latitude"), col("longitude"),
+          round(col("value"), 6).as("value"))
+        .orderBy("time", "latitude", "longitude")
     }),
 
     // REAL image decode for the multimodal pack: 8×8 grayscale PNGs
@@ -3180,6 +3227,32 @@ object SparkEntry {
         |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
         |ORDER BY 1, 2""".stripMargin,
+
+    // synthesis closed form from slot counts (c00=slot0, c01=slot1,
+    // c11re=slot2, c11im=slot3), replayed without any spectral code
+    "q147_spectral_synthesis" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |c AS (SELECT days.d,
+        |        coalesce(max(CASE WHEN slot = 0 THEN cnt END), 0) AS c00,
+        |        coalesce(max(CASE WHEN slot = 1 THEN cnt END), 0) AS c01,
+        |        coalesce(max(CASE WHEN slot = 2 THEN cnt END), 0) AS c11r,
+        |        coalesce(max(CASE WHEN slot = 3 THEN cnt END), 0) AS c11i
+        |      FROM days LEFT JOIN g ON g.d = days.d GROUP BY days.d),
+        |grid AS (SELECT la, lo FROM (VALUES (-45.0), (0.0), (45.0)) AS ga(la)
+        |         CROSS JOIN (VALUES (0.0), (90.0), (180.0), (270.0)) AS go(lo))
+        |SELECT c.d AS time, CAST(grid.la AS DOUBLE) AS latitude,
+        |       CAST(grid.lo AS DOUBLE) AS longitude,
+        |  round(c.c00
+        |    + sqrt(3) * c.c01 * sin(radians(grid.la))
+        |    + sqrt(1.5) * cos(radians(grid.la)) *
+        |      (c.c11r * cos(radians(grid.lo)) + c.c11i * sin(radians(grid.lo))),
+        |    6) AS value
+        |FROM c CROSS JOIN grid
+        |ORDER BY time, latitude, longitude""".stripMargin,
 
     // real PNG decode gate: pixels recomputed from events WITHOUT a PNG
     // codec — p(i) = (cnt(slot = i%10)·7 + i) % 256, integer-exact hash
