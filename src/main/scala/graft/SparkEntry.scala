@@ -329,6 +329,32 @@ object SparkEntry {
     path
   }
 
+  /** WAV media fixture: one REAL 16-bit PCM clip per day (RIFF framing),
+    * 100 samples at 8 kHz, s(i) = ((cnt(slot = i mod 10)·31 + i·7) mod
+    * 2001) − 1000 — zeros occur, exercising the sign-skip in the
+    * zero-crossing count. The oracle recomputes the samples from events,
+    * so the gate proves the RIFF/PCM parse recovers every frame. */
+  private def wavEventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    val rows = days.toSeq.map { d =>
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val samples = Array.tabulate(100)(i =>
+        (((cnt(i % 10) * 31 + i * 7) % 2001) - 1000).toInt)
+      (java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate),
+        graft.functions.Audio.encodeWav(samples, 8000))
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "wav")
+  }
+
   /** CDF-5 fixture (PnetCDF 64-bit data format, the HPC-produced classic
     * shape): the q61 events grid written with version byte 5, wide header
     * integers, and an NC_INT64 data variable with an int64 fill. */
@@ -1664,6 +1690,17 @@ object SparkEntry {
         .select(col("time"), col("latitude"), col("longitude"),
           round(col("value"), 6).as("value"))
         .orderBy("time", "latitude", "longitude")
+    }),
+
+    // REAL audio decode for the multimodal pack: 16-bit PCM WAV clips
+    // parsed by the in-repo RIFF codec through the per-partition feature
+    // extractor. Integer-exact outputs (duration, zero crossings with the
+    // zero-skip rule) — the float features (rms/peak) are spec-gated.
+    "q148_wav_decode_features" -> ((s, dir) => {
+      val wavs = wavEventsFixture(s, dir)
+      graft.functions.Audio.audioFeatures(wavs, "id", "wav")
+        .select("id", "sample_rate", "n_samples", "duration_ms", "zero_crossings")
+        .orderBy("id")
     }),
 
     // REAL image decode for the multimodal pack: 8×8 grayscale PNGs
@@ -3253,6 +3290,32 @@ object SparkEntry {
         |    6) AS value
         |FROM c CROSS JOIN grid
         |ORDER BY time, latitude, longitude""".stripMargin,
+
+    // real WAV decode gate: samples recomputed from events WITHOUT any
+    // RIFF code; zero-crossings count sign changes over the NONZERO
+    // sample subsequence (zeros skipped), replayed with a lag window
+    "q148_wav_decode_features" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |sm AS (SELECT days.d, i.i,
+        |         ((coalesce(g.cnt, 0) * 31 + i.i * 7) % 2001) - 1000 AS s
+        |       FROM days
+        |       CROSS JOIN (SELECT CAST(unnest(range(100)) AS INTEGER) AS i) i
+        |       LEFT JOIN g ON g.d = days.d AND g.slot = CAST(i.i % 10 AS INTEGER)),
+        |nz AS (SELECT d, i, sign(s) AS sg,
+        |         lag(sign(s)) OVER (PARTITION BY d ORDER BY i) AS prev
+        |       FROM sm WHERE s <> 0),
+        |zc AS (SELECT d, sum(CASE WHEN prev IS NOT NULL AND sg <> prev
+        |                          THEN 1 ELSE 0 END) AS z
+        |       FROM nz GROUP BY d)
+        |SELECT CAST(date_diff('day', DATE '1970-01-01', zc.d) AS BIGINT) AS id,
+        |       8000 AS sample_rate, CAST(100 AS BIGINT) AS n_samples,
+        |       CAST(12 AS BIGINT) AS duration_ms,
+        |       CAST(zc.z AS BIGINT) AS zero_crossings
+        |FROM zc ORDER BY id""".stripMargin,
 
     // real PNG decode gate: pixels recomputed from events WITHOUT a PNG
     // codec — p(i) = (cnt(slot = i%10)·7 + i) % 256, integer-exact hash

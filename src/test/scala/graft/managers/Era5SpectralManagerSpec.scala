@@ -1,0 +1,69 @@
+package graft.managers
+
+import java.io.DataOutputStream
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.grib.GribFormat
+
+/** The hardest ERA5 input shape end-to-end, offline: SPECTRAL GRIB2
+  * landing files (templates 3.50 + 5.51, the native MARS archive form)
+  * → grib-spectral scan → in-engine spherical-harmonic synthesis onto a
+  * Gaussian grid → standardize → publish → append. No external regrid
+  * stage anywhere. */
+class Era5SpectralManagerSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  /** One file of hourly spectral messages, T=2 (12 coefficient values),
+    * 5.51 complex packing with an integral Laplacian (exact roundtrip):
+    * the (0,0) coefficient carries `base + h`, the (0,1) coefficient 10.
+    * Synthesized field: f(φ) = (base + h) + 10·√3·sin φ — latitude-only,
+    * so every expectation is closed-form. */
+  private def writeHourly(path: String, day: Int, hours: Range,
+      base: Double): Unit = {
+    val out = new DataOutputStream(Files.newOutputStream(Paths.get(path)))
+    try hours.foreach { h =>
+      val coeffs = new Array[Double](12)
+      coeffs(0) = base + h // (0,0) re
+      coeffs(2) = 10.0 // (0,1) re
+      GribFormat.writeSpectralMessage2(out,
+        java.time.LocalDateTime.of(2024, 3, day, h, 0), trunc = 2,
+        fields = Seq((130, 0, coeffs)), complexSub = Some((1.0, 0)))
+    } finally out.close()
+  }
+
+  test("spectral landing files: scan → synthesize → publish → append") {
+    val root = Files.createTempDirectory("era5_sp").toString
+    val mgr = new Era5SpectralManager(spark, root, gaussianN = 1)
+    new java.io.File(mgr.inputDir).mkdirs()
+    writeHourly(s"${mgr.inputDir}/era5_sp_a.grb2", 1, 0 until 4, base = 250.0)
+    assert(mgr.checkIfNewData())
+    mgr.run()
+    val ds = mgr.store.dataset()
+    // N=1 grid: 2 parallels x 4 longitudes x 4 hours
+    assert(ds.count() == 32)
+    // longitudes 0,90,180,270 standardized to -180..180
+    val lons = ds.select("longitude").distinct().as[Double].collect().sorted.toSeq
+    assert(lons == Seq(-180.0, -90.0, 0.0, 90.0), lons.toString)
+    // closed form: f = (250 + h) + 10*sqrt(3)*sin(phi); zonal — the same
+    // value on every longitude of a parallel
+    val lat = GribFormat.gaussianLatitudes(1)(0)
+    val expect3 = 250.0 + 3 + 10 * math.sqrt(3) * math.sin(math.toRadians(lat))
+    val got = ds.filter(col("time") === lit(ts("2024-03-01T03:00:00")) &&
+        col("latitude") > 0)
+      .select("t").as[Double].collect()
+    assert(got.length == 4)
+    got.foreach(v => assert(math.abs(v - expect3) < 1e-9, s"$v vs $expect3"))
+    // incremental append through the same lifecycle
+    writeHourly(s"${mgr.inputDir}/era5_sp_b.grb2", 1, 4 until 8, base = 250.0)
+    assert(mgr.checkIfNewData())
+    mgr.run()
+    assert(mgr.store.dataset().count() == 64)
+    assert(mgr.getMetadataDateRange().map(_._2.toString)
+      == Some("2024-03-01T07:00"))
+    assert(!mgr.checkIfNewData())
+  }
+}
