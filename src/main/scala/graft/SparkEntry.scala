@@ -355,6 +355,34 @@ object SparkEntry {
     rows.toDF("id", "wav")
   }
 
+  /** AVI media fixture: one REAL AVI container per day (RIFF framing,
+    * hdrl stub + movi LIST), three '00dc' frames whose payloads are
+    * PRINTABLE-ASCII bytes derived from slot counts — frame f has length
+    * 6 + (cnt(slot f) mod 5) and byte j = 32 + ((cnt(slot f)·7 + j·5)
+    * mod 64), so the oracle rebuilds the exact payload TEXT in SQL. */
+  private def aviEventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    val rows = days.toSeq.map { d =>
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val frames = (0 until 3).map { f =>
+        val len = 6 + (cnt(f) % 5).toInt
+        Array.tabulate[Byte](len)(j => (32 + ((cnt(f) * 7 + j * 5) % 64)).toByte)
+      }
+      (java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate),
+        Multimodal.encodeAvi(frames))
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "video")
+  }
+
   /** CDF-5 fixture (PnetCDF 64-bit data format, the HPC-produced classic
     * shape): the q61 events grid written with version byte 5, wide header
     * integers, and an NC_INT64 data variable with an int64 fill. */
@@ -1690,6 +1718,21 @@ object SparkEntry {
         .select(col("time"), col("latitude"), col("longitude"),
           round(col("value"), 6).as("value"))
         .orderBy("time", "latitude", "longitude")
+    }),
+
+    // REAL video demuxing for the multimodal pack: AVI containers walked
+    // by the in-repo RIFF demuxer (movi LIST, word-aligned '00dc'
+    // chunks), one row per frame with the TRUE payload bytes. Payloads
+    // are printable ASCII derived from event counts, so the oracle
+    // rebuilds the exact text — any boundary slip in the chunk walk
+    // (padding, lengths, nesting) fails the compare.
+    "q149_avi_demux" -> ((s, dir) => {
+      val avis = aviEventsFixture(s, dir)
+      Multimodal.demuxAvi(avis, "id", "video")
+        .select(col("id"), col("frame_idx"), col("stream"), col("kind"),
+          length(col("frame_bytes")).as("frame_len"),
+          col("frame_bytes").cast("string").as("frame_text"))
+        .orderBy("id", "frame_idx")
     }),
 
     // REAL audio decode for the multimodal pack: 16-bit PCM WAV clips
@@ -3290,6 +3333,28 @@ object SparkEntry {
         |    6) AS value
         |FROM c CROSS JOIN grid
         |ORDER BY time, latitude, longitude""".stripMargin,
+
+    // real AVI demux gate: frame payload text rebuilt from events in SQL
+    "q149_avi_demux" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |fr AS (SELECT days.d, f.f, coalesce(g.cnt, 0) AS c,
+        |         6 + (coalesce(g.cnt, 0) % 5) AS len
+        |       FROM days
+        |       CROSS JOIN (SELECT CAST(unnest(range(3)) AS INTEGER) AS f) f
+        |       LEFT JOIN g ON g.d = days.d AND g.slot = f.f)
+        |SELECT CAST(date_diff('day', DATE '1970-01-01', fr.d) AS BIGINT) AS id,
+        |       fr.f AS frame_idx, 0 AS stream, 'dc' AS kind,
+        |       CAST(fr.len AS INTEGER) AS frame_len,
+        |       (SELECT string_agg(chr(CAST(32 + (fr.c * 7 + j.j * 5) % 64 AS INTEGER)), ''
+        |                          ORDER BY j.j)
+        |        FROM (SELECT unnest(range(20)) AS j) j
+        |        WHERE j.j < fr.len) AS frame_text
+        |FROM fr
+        |ORDER BY id, frame_idx""".stripMargin,
 
     // real WAV decode gate: samples recomputed from events WITHOUT any
     // RIFF code; zero-crossings count sign changes over the NONZERO

@@ -210,6 +210,107 @@ object Multimodal {
         }).as("embedding"))
   }
 
+  /** REAL video demuxing for AVI payloads: AVI is RIFF (like WAV), so the
+    * container parse needs no codec — walk the 'movi' LIST and emit one
+    * row per video chunk ('##dc'/'##db': compressed/uncompressed frame
+    * data for stream ##), with the frame's true byte payload. Frame
+    * PIXEL decode stays pluggable (the payload is whatever codec the AVI
+    * carries); uncompressed-DIB payloads can feed [[PngDecoder]]-style
+    * raster logic downstream. Non-AVI payloads are refused by name.
+    * Returns (id, frame_idx, stream, kind 'dc'|'db', frame_bytes). */
+  def aviFrames(id: Long, bytes: Array[Byte]): Seq[(Long, Int, Int, String, Array[Byte])] = {
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    def u32(off: Int) = (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
+      ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
+    require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ", {
+      val fmt =
+        if (bytes.length >= 8 && tag(4) == "ftyp") "mp4/mov"
+        else if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0x1A &&
+          (bytes(1) & 0xFF) == 0x45) "matroska/webm"
+        else if (bytes.length >= 12 && tag(0) == "RIFF") s"riff/${tag(8).trim}"
+        else "unknown"
+      s"video $id: no in-repo demuxer for container '$fmt' (AVI only); " +
+        "plug a production demuxer for other containers"
+    })
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, String, Array[Byte])]
+    var idx = 0
+    // walk top-level chunks; recurse into LIST 'movi' (and nested 'rec ')
+    def walk(off0: Int, end: Int, inMovi: Boolean): Unit = {
+      var off = off0
+      while (off + 8 <= end) {
+        val t = tag(off); val len = u32(off + 4).toInt
+        require(len >= 0 && off + 8 + len <= end,
+          s"video $id: truncated AVI chunk '$t' ($len bytes at $off)")
+        if (t == "LIST") {
+          val listType = tag(off + 8)
+          if (listType == "movi" || (inMovi && listType == "rec "))
+            walk(off + 12, off + 8 + len, inMovi = true)
+        } else if (inMovi && t.length == 4 &&
+          t(0).isDigit && t(1).isDigit &&
+          (t.substring(2) == "dc" || t.substring(2) == "db")) {
+          val stream = (t(0) - '0') * 10 + (t(1) - '0')
+          out += ((id, idx, stream, t.substring(2),
+            java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)))
+          idx += 1
+        }
+        off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    out.toSeq
+  }
+
+  /** Encode frames as a minimal AVI container (fixture/writer side):
+    * RIFF 'AVI ' with a stub 'hdrl' LIST and the 'movi' LIST carrying one
+    * '00dc' chunk per frame — enough container structure for any RIFF
+    * walker, with the frame payloads verbatim. */
+  def encodeAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+    }
+    def chunkLen(payload: Int) = 8 + payload + (payload & 1)
+    val avihLen = chunkLen(56) // stub main header, zeros
+    val hdrlLen = 4 + avihLen
+    val moviPayload = 4 + frames.map(f => chunkLen(f.length)).sum
+    val total = 4 + (8 + hdrlLen) + (8 + moviPayload)
+    out.write("RIFF".getBytes("US-ASCII")); w32(total)
+    out.write("AVI ".getBytes("US-ASCII"))
+    out.write("LIST".getBytes("US-ASCII")); w32(hdrlLen)
+    out.write("hdrl".getBytes("US-ASCII"))
+    out.write("avih".getBytes("US-ASCII")); w32(56)
+    (0 until 56).foreach(_ => out.write(0))
+    out.write("LIST".getBytes("US-ASCII")); w32(moviPayload)
+    out.write("movi".getBytes("US-ASCII"))
+    frames.foreach { f =>
+      out.write("00dc".getBytes("US-ASCII")); w32(f.length)
+      out.write(f)
+      if ((f.length & 1) == 1) out.write(0)
+    }
+    out.toByteArray
+  }
+
+  /** [[aviFrames]] as a relational stage: one row per demuxed frame,
+    * batched per partition — payload bytes stay partition-local. */
+  def demuxAvi(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("stream", IntegerType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("frame_bytes", BinaryType, nullable = false)))
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          aviFrames(id, bytes).map { case (i, fi, st, k, fb) =>
+            org.apache.spark.sql.Row(i, fi, st, k, fb)
+          }
+        }
+      }(Encoders.row(schema))
+  }
+
   /** Frame sampling for video-like payloads: split the byte stream into
     * `frames` equal windows and emit (id, frame_idx, frame_bytes) — the
     * explode happens in the engine, not the driver. */

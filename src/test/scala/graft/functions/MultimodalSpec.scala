@@ -133,4 +133,49 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) != out(3L))
     assert(out(1L).length == 64 && out(1L).forall(c => c == '0' || c == '1'))
   }
+
+  // ----------------------------------------------------- REAL AVI demux
+
+  test("aviFrames walks the movi LIST and recovers every frame payload") {
+    val frames = Seq(
+      Array.tabulate[Byte](10)(i => (i * 3).toByte),
+      Array.tabulate[Byte](7)(i => (100 - i).toByte), // odd length: padded
+      Array.tabulate[Byte](4)(i => i.toByte))
+    val avi = Multimodal.encodeAvi(frames)
+    val got = Multimodal.aviFrames(5L, avi)
+    assert(got.length == 3)
+    got.zip(frames).zipWithIndex.foreach { case (((id, fi, st, kind, fb), expect), i) =>
+      assert(id == 5L && fi == i && st == 0 && kind == "dc")
+      assert(fb.sameElements(expect), s"frame $i")
+    }
+  }
+
+  test("non-AVI containers are refused by name; truncation fails named") {
+    val mp4 = Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes ++ Array.fill[Byte](20)(0)
+    val e1 = intercept[IllegalArgumentException] { Multimodal.aviFrames(1L, mp4) }
+    assert(e1.getMessage.contains("mp4"), e1.getMessage)
+    val wavNotAvi = Audio.encodeWav(Array(1, 2, 3), 8000)
+    val e2 = intercept[IllegalArgumentException] { Multimodal.aviFrames(2L, wavNotAvi) }
+    assert(e2.getMessage.contains("riff/WAVE"), e2.getMessage)
+    val avi = Multimodal.encodeAvi(Seq(Array.tabulate[Byte](50)(_.toByte)))
+    val cut = java.util.Arrays.copyOf(avi, avi.length - 20)
+    val e3 = intercept[IllegalArgumentException] { Multimodal.aviFrames(3L, cut) }
+    assert(e3.getMessage.contains("truncated"), e3.getMessage)
+  }
+
+  test("demuxAvi chains into the real PNG decoder: container -> frames -> pixels") {
+    import graft.sources.grib.Png
+    val pngA = Png.encode(4, 4, 8, Array.tabulate[Long](16)(i => i * 16))
+    val pngB = Png.encode(4, 4, 8, Array.tabulate[Long](16)(i => 255 - i * 16))
+    val df = Seq((9L, Multimodal.encodeAvi(Seq(pngA, pngB)))).toDF("id", "video")
+    val frames = Multimodal.demuxAvi(df, "id", "video")
+    assert(frames.count() == 2)
+    // decode each demuxed frame with the REAL PNG decoder
+    val decoded = Multimodal.decodeResize(
+      frames.select((col("id") * 10 + col("frame_idx")).as("fid"), col("frame_bytes")),
+      "fid", "frame_bytes", 4, 4, Multimodal.PngDecoder)
+    val px = decoded.collect().map(d => d.id -> d.pixels).toMap
+    assert(math.round(px(90L)(1) * 255) == 16)
+    assert(math.round(px(91L)(1) * 255) == 255 - 16)
+  }
 }
