@@ -383,6 +383,29 @@ object SparkEntry {
     rows.toDF("id", "video")
   }
 
+  /** GIF twin of [[pngEventsFixture]]: the same 8×8 pixel grid encoded
+    * as GIF89a (LZW, gray palette entries p·0x010101 so luminance
+    * recovers the exact byte). */
+  private def gifEventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    val rows = days.toSeq.map { d =>
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val px = Array.tabulate(64)(i => (((cnt(i % 10) * 7 + i) % 256) * 0x010101L).toInt)
+      (java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate),
+        graft.functions.Gif.encode(8, 8, px))
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "gif")
+  }
+
   /** CDF-5 fixture (PnetCDF 64-bit data format, the HPC-produced classic
     * shape): the q61 events grid written with version byte 5, wide header
     * integers, and an NC_INT64 data variable with an int64 fill. */
@@ -1733,6 +1756,28 @@ object SparkEntry {
           length(col("frame_bytes")).as("frame_len"),
           col("frame_bytes").cast("string").as("frame_text"))
         .orderBy("id", "frame_idx")
+    }),
+
+    // The SAME grid as q146 but carried as GIF (LZW) instead of PNG,
+    // decoded through the magic-dispatching ImageDecoder — gray palette
+    // entries make luminance recover the exact byte, so q146's oracle
+    // applies verbatim and any LZW/palette/interlace slip fails the hash.
+    "q150_gif_decode_ahash" -> ((s, dir) => {
+      val gifs = gifEventsFixture(s, dir)
+      val dec = Multimodal.decodeResize(gifs, "id", "gif", 8, 8,
+        Multimodal.ImageDecoder).toDF()
+      val withPix = dec.select(col("id"), col("width"), col("height"),
+        transform(col("pixels"), v => round(v * 255).cast("long")).as("pi"))
+      withPix.withColumn("pix_sum",
+          aggregate(col("pi"), lit(0L), (a, v) => a + v))
+        .select(col("id"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"),
+          col("pix_sum"),
+          array_join(transform(col("pi"),
+            p => when(p * 64 > col("pix_sum"), "1").otherwise("0")), "")
+            .as("ahash_bits"))
+        .orderBy("id")
     }),
 
     // REAL audio decode for the multimodal pack: 16-bit PCM WAV clips
@@ -3381,6 +3426,28 @@ object SparkEntry {
         |       CAST(12 AS BIGINT) AS duration_ms,
         |       CAST(zc.z AS BIGINT) AS zero_crossings
         |FROM zc ORDER BY id""".stripMargin,
+
+    // real GIF decode gate: same pixel grid as q146 through LZW
+    "q150_gif_decode_ahash" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |px AS (SELECT days.d, i.i,
+        |         (coalesce(g.cnt, 0) * 7 + i.i) % 256 AS p
+        |       FROM days
+        |       CROSS JOIN (SELECT CAST(unnest(range(64)) AS INTEGER) AS i) i
+        |       LEFT JOIN g ON g.d = days.d AND g.slot = CAST(i.i % 10 AS INTEGER)),
+        |agg AS (SELECT d, sum(p) AS s FROM px GROUP BY d)
+        |SELECT CAST(date_diff('day', DATE '1970-01-01', px.d) AS BIGINT) AS id,
+        |       8 AS width, 8 AS height,
+        |       CAST(agg.s AS BIGINT) AS pix_sum,
+        |       string_agg(CASE WHEN px.p * 64 > agg.s THEN '1' ELSE '0' END, ''
+        |                  ORDER BY px.i) AS ahash_bits
+        |FROM px JOIN agg ON px.d = agg.d
+        |GROUP BY px.d, agg.s
+        |ORDER BY id""".stripMargin,
 
     // real PNG decode gate: pixels recomputed from events WITHOUT a PNG
     // codec — p(i) = (cnt(slot = i%10)·7 + i) % 256, integer-exact hash

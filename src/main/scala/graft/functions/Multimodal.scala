@@ -122,25 +122,53 @@ object Multimodal {
       case other => throw new IllegalArgumentException(
         s"media $id: PNG colour type $other unsupported (0, 2, 6)")
     }
-    // deterministic area-average resize: output cell (x, y) averages the
-    // source box [x·srcW/w, (x+1)·srcW/w) × [y·srcH/h, (y+1)·srcH/h)
-    val px =
-      if (srcW == w && srcH == h) lum
-      else Array.tabulate(w * h) { i =>
-        val x = i % w; val y = i / w
-        val x0 = x.toLong * srcW / w; val x1 = math.max((x + 1).toLong * srcW / w, x0 + 1)
-        val y0 = y.toLong * srcH / h; val y1 = math.max((y + 1).toLong * srcH / h, y0 + 1)
-        var acc = 0.0
-        var yy = y0
-        while (yy < y1) {
-          var xx = x0
-          while (xx < x1) { acc += lum((yy * srcW + xx).toInt); xx += 1 }
-          yy += 1
-        }
-        (acc / ((x1 - x0) * (y1 - y0))).toFloat
-      }
-    DecodedMedia(id, w, h, px)
+    DecodedMedia(id, w, h, resizeArea(lum, srcW, srcH, w, h))
   }
+
+  /** Deterministic area-average resize: output cell (x, y) averages the
+    * source box [x·srcW/w, (x+1)·srcW/w) × [y·srcH/h, (y+1)·srcH/h). */
+  private def resizeArea(lum: Array[Float], srcW: Int, srcH: Int,
+      w: Int, h: Int): Array[Float] =
+    if (srcW == w && srcH == h) lum
+    else Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val x0 = x.toLong * srcW / w; val x1 = math.max((x + 1).toLong * srcW / w, x0 + 1)
+      val y0 = y.toLong * srcH / h; val y1 = math.max((y + 1).toLong * srcH / h, y0 + 1)
+      var acc = 0.0
+      var yy = y0
+      while (yy < y1) {
+        var xx = x0
+        while (xx < x1) { acc += lum((yy * srcW + xx).toInt); xx += 1 }
+        yy += 1
+      }
+      (acc / ((x1 - x0) * (y1 - y0))).toFloat
+    }
+
+  /** REAL image decode for GIF payloads (87a/89a): the in-repo LZW codec
+    * ([[Gif]]), first frame, palette-resolved luminance, area-average
+    * resize. */
+  val GifDecoder: Decoder = (id, bytes, w, h) => {
+    val img = Gif.decode(bytes)
+    val f = img.frames.head
+    val lum = new Array[Float](f.rgb.length)
+    var i = 0
+    while (i < f.rgb.length) {
+      val c = f.rgb(i)
+      lum(i) = (((c >> 16) & 0xFF) + ((c >> 8) & 0xFF) + (c & 0xFF)).toFloat / (3f * 255f)
+      i += 1
+    }
+    DecodedMedia(id, w, h, resizeArea(lum, f.width, f.height, w, h))
+  }
+
+  /** Magic-dispatched REAL decoder: PNG and GIF route to their in-repo
+    * codecs; everything else is refused with the sniffed format named —
+    * the production default for mixed-crawl image columns. */
+  val ImageDecoder: Decoder = (id, bytes, w, h) =>
+    if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P')
+      PngDecoder(id, bytes, w, h)
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+      GifDecoder(id, bytes, w, h)
+    else PngDecoder(id, bytes, w, h) // falls through to the NAMED refusal
 
   /** PNG IHDR dimensions as PURE EXPRESSIONS (no decode, no UDF): width
     * and height are big-endian u32 at fixed offsets in the signature+IHDR
