@@ -49,7 +49,10 @@ object Audio {
       val t = tag(off); val len = u32(off + 4).toInt
       require(len >= 0 && off + 8 + len <= bytes.length,
         s"audio $id: truncated RIFF chunk '$t' ($len bytes at $off)")
-      if (t == "fmt ") fmtOff = off + 8
+      if (t == "fmt ") {
+        require(len >= 16, s"audio $id: 'fmt ' chunk of $len bytes (16 needed)")
+        fmtOff = off + 8
+      }
       else if (t == "data") { dataOff = off + 8; dataLen = len }
       off += 8 + len + (len & 1) // chunks are word-aligned
     }

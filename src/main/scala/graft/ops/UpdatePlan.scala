@@ -190,6 +190,9 @@ object UpdatePlan {
     }
   }
 
+  /** Compatibility form over separate insert/append frames — delegates to
+    * [[updateQualityCheckClassified]] so there is exactly ONE copy of the
+    * gate logic. */
   def updateQualityCheck(
       spark: SparkSession,
       insertTimes: DataFrame,
@@ -198,35 +201,14 @@ object UpdatePlan {
       existingEnd: java.sql.Timestamp,
       resolution: TimeSpan,
       cadenceBounds: Option[(TimeSpan, TimeSpan)]): Unit = {
-    // ONE action folds both counts and the first-append probe — the update
-    // path runs this per publish, and three driver round-trips of scalar
-    // aggregates are pure protocol latency (the classified frame is tiny)
-    val u = insertTimes.select(col(timeCol), lit("insert").as("kind"))
-      .unionByName(appendTimes.select(col(timeCol), lit("append").as("kind")))
-    val r = u.agg(
-      sum(when(col("kind") === "insert", 1L).otherwise(0L)).as("n_ins"),
-      sum(when(col("kind") === "append", 1L).otherwise(0L)).as("n_app"),
-      min(when(col("kind") === "append", col(timeCol))).as("first_app")).head()
-    val nIns = Option(r.get(0)).fold(0L)(_.asInstanceOf[Long])
-    val nApp = Option(r.get(1)).fold(0L)(_.asInstanceOf[Long])
-    if (nIns == 0 && nApp == 0)
-      throw new IllegalStateException("Update contains no new or changed records")
-    if (nApp > 0) {
-      // NTZ columns surface as LocalDateTime, LTZ as Timestamp — accept both.
-      val firstAppendMs = r.get(2) match {
-        case t: java.sql.Timestamp => t.getTime
-        case l: java.time.LocalDateTime => java.sql.Timestamp.valueOf(l).getTime
-        case other => throw new IllegalArgumentException(s"Unexpected time value: $other")
-      }
-      val deltaMin = (firstAppendMs - existingEnd.getTime) / 60000L
-      val contiguous = cadenceBounds match {
-        case Some((lo, hi)) => deltaMin >= lo.toMinutes && deltaMin <= hi.toMinutes
-        case None => deltaMin == resolution.toMinutes
-      }
-      if (!contiguous)
-        throw new IllegalStateException(
-          s"Append is not contiguous with existing end $existingEnd " +
-            s"(gap $deltaMin min, expected ${resolution.toMinutes})")
-    }
+    val end = spark.range(1).select(
+      lit(existingEnd).cast("timestamp_ntz").as(timeCol),
+      lit("existing_end").as("kind"))
+    val classified = insertTimes.select(col(timeCol).cast("timestamp_ntz").as(timeCol),
+        lit("insert").as("kind"))
+      .unionByName(appendTimes.select(col(timeCol).cast("timestamp_ntz").as(timeCol),
+        lit("append").as("kind")))
+      .unionByName(end)
+    updateQualityCheckClassified(classified, timeCol, resolution, cadenceBounds)
   }
 }

@@ -80,6 +80,9 @@ object GribTable {
         try GribFormat.parseMessages(in) finally in.close()
       })
 
+  private[grib] def evictIfOversized(): Unit =
+    if (messageCache.size > 4096) messageCache.clear()
+
   private def isGrib(name: String): Boolean =
     graft.sources.Manifest.isGrib(name)
 
@@ -143,7 +146,7 @@ object GribTable {
     // scanning many (or rewritten — each rewrite is a fresh (path,mtime,len)
     // key) GRIB files must not grow the cache unboundedly; clear AFTER
     // serving this resolve so the current scan still hits
-    if (messageCache.size > 4096) messageCache.clear()
+    evictIfOversized()
     new GribTable(byFile, conf, paths, maxFiles)
   }
 }

@@ -1722,7 +1722,7 @@ object GribFormat {
                       spatialDescBytes = descBytes))
                   case t => throw new IllegalArgumentException(
                     s"data representation template $t unsupported " +
-                      "(5.0, 5.2, 5.3, 5.40, 5.41, 5.42, 5.50)")
+                      "(5.0, 5.2, 5.3, 5.40, 5.41, 5.42, 5.50, 5.51)")
                 }
               case n => throw new IllegalArgumentException(s"Unexpected GRIB2 section $n")
             }

@@ -173,6 +173,11 @@ object ZarrCodec {
       val origLen = le32(buf, 0)
       require(origLen >= 0 && origLen % sampleBytes == 0,
         s"szip header claims $origLen bytes for $sampleBytes-byte samples")
+      // the caller knows the chunk's true size (HDF5 chunks are full-size);
+      // a hostile header must neither drive a huge allocation nor return a
+      // wrong-sized buffer into the cell copy
+      require(origLen == rawLen,
+        s"szip header claims $origLen bytes; the chunk holds $rawLen")
       val samples = Ccsds.decode(
         java.util.Arrays.copyOfRange(buf, 4, buf.length),
         origLen / sampleBytes, bitsPerPixel, params)

@@ -71,7 +71,11 @@ final class GridStore(
     * a plaintext store never gains mixed encrypted files and an encrypted
     * store never silently drops its key), the constructor's choice when
     * creating one. */
-  private def effectiveEncryptionHash: Option[String] =
+  private lazy val effectiveEncryptionHash: Option[String] =
+    // cached per handle: the profile is immutable for a store's lifetime
+    // (a new store adopts the constructor key, which writeInitial persists
+    // before any data write), and every read/write path consults this —
+    // re-reading the sidecar each time would be 4+ extra GETs per publish
     if (hasExisting) readAttrs().get(EncryptionKeyHashAttr)
     else encryptionKeyHash
 
