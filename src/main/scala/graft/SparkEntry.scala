@@ -383,6 +383,30 @@ object SparkEntry {
     rows.toDF("id", "video")
   }
 
+  /** Baseline-JPEG fixture: per day a REAL 16×16 grayscale JPEG
+    * (all-ones quantization — near-lossless) of pixels p(i) =
+    * (cnt(slot i mod 10)·3 + i) mod 256, alongside the expected pixel
+    * array for the decode-error bound. */
+  private def jpegEventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    val rows = days.toSeq.map { d =>
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val px = Array.tabulate(256)(i => ((cnt(i % 10) * 3 + i) % 256).toInt)
+      (java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate),
+        graft.functions.Jpeg.encode(16, 16, px), px)
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "jpeg", "expected")
+  }
+
   /** GIF twin of [[pngEventsFixture]]: the same 8×8 pixel grid encoded
     * as GIF89a (LZW, gray palette entries p·0x010101 so luminance
     * recovers the exact byte). */
@@ -1756,6 +1780,29 @@ object SparkEntry {
           length(col("frame_bytes")).as("frame_len"),
           col("frame_bytes").cast("string").as("frame_text"))
         .orderBy("id", "frame_idx")
+    }),
+
+    // Baseline JPEG through the in-repo T.81 codec. JPEG is LOSSY, so
+    // the gate is the sketch_ok pattern (q138 precedent): the fixture
+    // encodes each day's 16x16 grayscale grid with all-ones quantization,
+    // the query decodes the REAL bytes and folds the max per-pixel error
+    // into a boolean bound (<= 2, the DCT-rounding envelope) — a Huffman/
+    // IDCT/marker bug blows the bound and fails the hash compare. Exact
+    // pixel replay is spec-gated (JpegSpec); dims stay integer-exact.
+    "q151_jpeg_decode_bound" -> ((s, dir) => {
+      val jpgs = jpegEventsFixture(s, dir) // (id, jpeg, expected ARRAY<INT>)
+      val dec = Multimodal.decodeResize(jpgs, "id", "jpeg", 16, 16,
+        Multimodal.ImageDecoder).toDF()
+      dec.join(jpgs.select("id", "expected"), Seq("id"))
+        .select(col("id"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"),
+          (aggregate(
+            zip_with(
+              transform(col("pixels"), v => round(v * 255).cast("int")),
+              col("expected"), (a, b) => abs(a - b)),
+            lit(0), (acc, d) => greatest(acc, d)) <= lit(2)).as("within_tol"))
+        .orderBy("id")
     }),
 
     // The SAME grid as q146 but carried as GIF (LZW) instead of PNG,
@@ -3426,6 +3473,13 @@ object SparkEntry {
         |       CAST(12 AS BIGINT) AS duration_ms,
         |       CAST(zc.z AS BIGINT) AS zero_crossings
         |FROM zc ORDER BY id""".stripMargin,
+
+    // JPEG decode bound: dims exact, decode error folded into a boolean
+    "q151_jpeg_decode_bound" ->
+      """WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events)
+        |SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id,
+        |       16 AS width, 16 AS height, true AS within_tol
+        |FROM days ORDER BY id""".stripMargin,
 
     // real GIF decode gate: same pixel grid as q146 through LZW
     "q150_gif_decode_ahash" ->

@@ -1,0 +1,574 @@
+package graft.functions
+
+/** Baseline sequential JPEG codec (ITU-T T.81 / ISO 10918-1, the public
+  * specification; tables from Annex K): SOI/APPn/COM/DQT/SOF0/DHT/DRI/
+  * SOS marker parse, entropy-coded segment with FF00 byte stuffing and
+  * restart markers, per-MCU Huffman decode (DC difference + AC
+  * run/size with ZRL and EOB), dequantization, zigzag, separable float
+  * IDCT, level shift, nearest-neighbor chroma upsampling for 4:2:0 /
+  * 4:2:2, and JFIF full-range YCbCr→RGB.
+  *
+  * Out of profile — refused BY NAME, never mis-decoded: progressive
+  * (SOF2) and every other non-baseline SOF, arithmetic coding, 12-bit
+  * precision, 16-bit quantization tables, component counts other than
+  * 1 or 3, sampling grids beyond 4:4:4 / 4:2:2 / 4:2:0.
+  *
+  * JPEG is LOSSY: the encoder (fixture/writer side: grayscale or 4:4:4
+  * color, Annex K Huffman tables) and decoder are exact inverses only
+  * up to DCT rounding — with all-ones quantization tables a roundtrip
+  * lands within ±2 of every sample, which the specs and the q-gate
+  * bound. The same self-consistency caveat as the JPEG 2000 codec
+  * applies (README "Deployment validation notes"): diff ONE real
+  * camera/web JPEG against libjpeg before trusting wild archives. */
+object Jpeg {
+
+  final case class JpegImage(width: Int, height: Int, components: Int,
+      /** Row-major; grayscale values for 1 component, 0xRRGGBB for 3. */
+      pixels: Array[Int])
+
+  // ------------------------------------------------------------- decode
+
+  def decode(bytes: Array[Byte]): JpegImage =
+    try decodeImpl(bytes)
+    catch {
+      case e @ (_: IndexOutOfBoundsException | _: NegativeArraySizeException) =>
+        throw new IllegalArgumentException(
+          s"truncated or corrupt JPEG (${bytes.length} bytes): " +
+            s"${e.getClass.getSimpleName}${Option(e.getMessage).fold("")(m => s" ($m)")}", e)
+    }
+
+  private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
+    var dcTable: Int = 0
+    var acTable: Int = 0
+  }
+
+  private def decodeImpl(bytes: Array[Byte]): JpegImage = {
+    var pos = 0
+    def u8(): Int = { val v = bytes(pos) & 0xFF; pos += 1; v }
+    def u16(): Int = { val v = ((bytes(pos) & 0xFF) << 8) | (bytes(pos + 1) & 0xFF); pos += 2; v }
+    require(bytes.length >= 4 && u16() == 0xFFD8, {
+      val fmt =
+        if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P') "png"
+        else if (bytes.length >= 3 && bytes(0) == 'G' && bytes(1) == 'I') "gif"
+        else "unknown"
+      s"not a JPEG (missing SOI; looks like '$fmt')"
+    })
+
+    val quant = Array.ofDim[Int](4, 64) // natural order
+    val huffman = new Array[HuffTable](8) // [dc0..dc3, ac0..ac3]
+    var comps: Array[Component] = null
+    var width = 0; var height = 0
+    var restartInterval = 0
+    var sosAt = -1
+
+    while (sosAt < 0) {
+      var marker = u8()
+      require(marker == 0xFF, f"expected a marker, found 0x$marker%02x")
+      var code = u8()
+      while (code == 0xFF) code = u8() // fill bytes
+      code match {
+        case 0xD9 => throw new IllegalArgumentException("EOI before SOS: no image data")
+        case 0xC0 => // SOF0 baseline
+          val len = u16(); val start = pos
+          val prec = u8()
+          require(prec == 8, s"$prec-bit precision unsupported (baseline is 8)")
+          height = u16(); width = u16()
+          require(width >= 1 && height >= 1 &&
+            width.toLong * height <= Int.MaxValue - 8, s"image $width x $height")
+          val nc = u8()
+          require(nc == 1 || nc == 3,
+            s"$nc components unsupported (grayscale or YCbCr)")
+          comps = Array.fill(nc)(null)
+          for (i <- 0 until nc) {
+            val id = u8(); val hv = u8(); val tq = u8()
+            comps(i) = Component(id, hv >> 4, hv & 15, tq)
+            require(comps(i).h >= 1 && comps(i).h <= 2 &&
+              comps(i).v >= 1 && comps(i).v <= 2,
+              s"sampling ${comps(i).h}x${comps(i).v} unsupported (1-2 each)")
+          }
+          if (nc == 3) {
+            require(comps(1).h == 1 && comps(1).v == 1 &&
+              comps(2).h == 1 && comps(2).v == 1,
+              "subsampled chroma must be 1x1 (luma carries the sampling factors)")
+          }
+          pos = start + len - 2
+        case 0xC4 => // DHT
+          val len = u16(); val end = pos + len - 2
+          while (pos < end) {
+            val tc = u8()
+            val cls = tc >> 4; val id = tc & 15
+            require(cls <= 1 && id <= 3, s"Huffman table class $cls id $id")
+            val counts = Array.fill(16)(u8())
+            val symbols = Array.fill(counts.sum)(u8())
+            huffman(cls * 4 + id) = HuffTable.build(counts, symbols)
+          }
+        case 0xDB => // DQT
+          val len = u16(); val end = pos + len - 2
+          while (pos < end) {
+            val pq = u8()
+            require((pq >> 4) == 0, "16-bit quantization tables unsupported (baseline)")
+            val id = pq & 15
+            for (k <- 0 until 64) quant(id)(Zigzag(k)) = u8()
+          }
+        case 0xDD => // DRI
+          val len = u16(); require(len == 4, s"DRI length $len")
+          restartInterval = u16()
+        case 0xC2 => throw new IllegalArgumentException(
+          "progressive JPEG (SOF2) unsupported (baseline sequential only)")
+        case c if c >= 0xC1 && c <= 0xCF && c != 0xC4 && c != 0xC8 && c != 0xCC =>
+          throw new IllegalArgumentException(
+            f"SOF marker 0x$c%02x unsupported (baseline SOF0 only — " +
+              "extended/progressive/lossless/arithmetic are out of profile)")
+        case 0xDA => // SOS
+          require(comps != null, "SOS before SOF0")
+          val len = u16(); val start = pos
+          val ns = u8()
+          require(ns == comps.length, s"scan has $ns of ${comps.length} components")
+          for (_ <- 0 until ns) {
+            val id = u8(); val tt = u8()
+            val c = comps.find(_.id == id).getOrElse(
+              throw new IllegalArgumentException(s"scan component $id not in frame"))
+            c.dcTable = tt >> 4; c.acTable = tt & 15
+          }
+          pos = start + len - 2
+          sosAt = pos
+        case _ => // APPn, COM, and anything skippable with a length
+          val len = u16()
+          require(len >= 2, s"marker segment length $len")
+          pos += len - 2
+      }
+    }
+
+    // ---- entropy-coded segment
+    val nc = comps.length
+    val hMax = comps.map(_.h).max; val vMax = comps.map(_.v).max
+    val mcuW = 8 * hMax; val mcuH = 8 * vMax
+    val mcusX = (width + mcuW - 1) / mcuW
+    val mcusY = (height + mcuH - 1) / mcuH
+    // per-component plane at its own resolution
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    val planeH = comps.map(c => mcusY * c.v * 8)
+    val planes = Array.tabulate(nc)(i => new Array[Int](planeW(i) * planeH(i)))
+
+    val br = new BitReader(bytes, sosAt)
+    val dcPred = new Array[Int](nc)
+    val block = new Array[Int](64)
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        br.restart()
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var ci = 0
+      while (ci < nc) {
+        val c = comps(ci)
+        val dcT = huffman(c.dcTable)
+        val acT = huffman(4 + c.acTable)
+        require(dcT != null && acT != null,
+          s"scan references an undefined Huffman table for component ${c.id}")
+        val q = quant(c.tq)
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            java.util.Arrays.fill(block, 0)
+            // DC
+            val s = dcT.decode(br)
+            val diff = if (s == 0) 0 else br.receiveExtend(s)
+            dcPred(ci) += diff
+            block(0) = dcPred(ci) * q(0)
+            // AC
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = acT.decode(br)
+              val r = rs >> 4; val size = rs & 15
+              if (size == 0) {
+                if (r == 15) k += 16 // ZRL
+                else eob = true
+              } else {
+                k += r
+                require(k < 64, s"AC run overflows the block (k=$k)")
+                block(Zigzag(k)) = br.receiveExtend(size) * q(Zigzag(k))
+                k += 1
+              }
+            }
+            idct8x8(block)
+            // place into the component plane
+            val ox = (mx * c.h + bx) * 8
+            val oy = (my * c.v + by) * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                planes(ci)((oy + yy) * planeW(ci) + ox + xx) = block(yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+
+    // ---- color reconstruction
+    val out = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        if (nc == 1) {
+          out(y * width + x) = clamp(planes(0)(y * planeW(0) + x) + 128)
+        } else {
+          val yv = planes(0)(
+            (y * comps(0).v / vMax) * planeW(0) + (x * comps(0).h / hMax)) + 128
+          def chroma(i: Int): Int = planes(i)(
+            (y * comps(i).v / vMax) * planeW(i) + (x * comps(i).h / hMax))
+          val cb = chroma(1); val cr = chroma(2)
+          val r = clamp(math.round(yv + 1.402 * cr).toInt)
+          val g = clamp(math.round(yv - 0.344136 * cb - 0.714136 * cr).toInt)
+          val b = clamp(math.round(yv + 1.772 * cb).toInt)
+          out(y * width + x) = (r << 16) | (g << 8) | b
+        }
+        x += 1
+      }
+      y += 1
+    }
+    JpegImage(width, height, nc, out)
+  }
+
+  private def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Canonical Huffman decode table (T.81 Annex C construction). */
+  private final class HuffTable(
+      val minCode: Array[Int], val maxCode: Array[Int],
+      val valPtr: Array[Int], val symbols: Array[Int]) {
+    def decode(br: BitReader): Int = {
+      var code = br.bit()
+      var l = 1
+      while (l <= 16) {
+        if (maxCode(l) >= 0 && code <= maxCode(l))
+          return symbols(valPtr(l) + code - minCode(l))
+        code = (code << 1) | br.bit()
+        l += 1
+      }
+      throw new IllegalArgumentException("invalid Huffman code (corrupt scan)")
+    }
+  }
+  private object HuffTable {
+    def build(counts: Array[Int], symbols: Array[Int]): HuffTable = {
+      val minCode = new Array[Int](17)
+      val maxCode = Array.fill(17)(-1)
+      val valPtr = new Array[Int](17)
+      var code = 0; var k = 0
+      for (l <- 1 to 16) {
+        if (counts(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += counts(l - 1); k += counts(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+      }
+      new HuffTable(minCode, maxCode, valPtr, symbols.map(_ & 0xFF))
+    }
+  }
+
+  /** Entropy-segment bit reader: FF00 unstuffing, restart-marker skip. */
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    def bit(): Int = {
+      if (nBits == 0) {
+        var b = bytes(pos) & 0xFF; pos += 1
+        if (b == 0xFF) {
+          val next = bytes(pos) & 0xFF
+          if (next == 0x00) pos += 1 // stuffed
+          else if (next == 0xD9) b = 0 // EOI: pad (trailing partial byte)
+          else throw new IllegalArgumentException(
+            f"marker 0x$next%02x inside the entropy-coded segment")
+        }
+        acc = b; nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def receiveExtend(s: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < s) { v = (v << 1) | bit(); i += 1 }
+      if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    }
+    /** Skip to just after the next RSTn marker. */
+    def restart(): Unit = {
+      nBits = 0
+      // byte-align, then expect FF Dn
+      while (!((bytes(pos) & 0xFF) == 0xFF &&
+        (bytes(pos + 1) & 0xFF) >= 0xD0 && (bytes(pos + 1) & 0xFF) <= 0xD7))
+        pos += 1
+      pos += 2
+    }
+  }
+
+  /** Zigzag index k → natural (row-major) index. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** In-place separable 8×8 float IDCT (the textbook O(8³) form — clarity
+    * over an AAN fast path; per-message work is bounded). */
+  private def idct8x8(block: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    val c = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
+    val cosT = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+    // rows
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) { acc += c(u) * block(y * 8 + u) * cosT(x)(u); u += 1 }
+        tmp(y * 8 + x) = acc / 2
+        x += 1
+      }
+      y += 1
+    }
+    // columns
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) { acc += c(v) * tmp(v * 8 + x) * cosT(yy)(v); v += 1 }
+        block(yy * 8 + x) = math.round(acc / 2).toInt
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  private def fdct8x8(block: Array[Int]): Array[Int] = {
+    val tmp = new Array[Double](64)
+    val c = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
+    val cosT = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var yy = 0
+        while (yy < 8) { acc += block(yy * 8 + x) * cosT(yy)(v); yy += 1 }
+        tmp(v * 8 + x) = acc
+        x += 1
+      }
+      v += 1
+    }
+    val out = new Array[Int](64)
+    var vv = 0
+    while (vv < 8) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0.0
+        var x = 0
+        while (x < 8) { acc += tmp(vv * 8 + x) * cosT(x)(u); x += 1 }
+        out(vv * 8 + u) = math.round(c(u) * c(vv) * acc / 4).toInt
+        u += 1
+      }
+      vv += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------- encode
+
+  /** Annex K.3 typical Huffman tables (the tables every baseline encoder
+    * ships): (counts, symbols) for luma DC/AC — used for every component
+    * here (legal; chroma-optimized tables are an optimization only). */
+  private val DcCounts = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcSymbols = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val AcCounts = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+  private val AcSymbols: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA)
+
+  private def encodeCodes(counts: Array[Int], symbols: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    for (l <- 1 to 16) {
+      for (_ <- 0 until counts(l - 1)) {
+        out(symbols(k) & 0xFF) = (code, l)
+        code += 1; k += 1
+      }
+      code <<= 1
+    }
+    out.toMap
+  }
+
+  /** Encode grayscale (values 0-255) or 0xRRGGBB color (4:4:4) as a
+    * baseline JPEG with all-ones quantization (near-lossless: DCT
+    * rounding only — roundtrips land within ±2 per sample). */
+  def encode(width: Int, height: Int, pixels: Array[Int],
+      color: Boolean = false,
+      /** 4:2:0 chroma subsampling (color only): luma 2×2 per MCU, chroma
+        * box-averaged — exercises the decoder's subsampled-MCU path. */
+      subsample420: Boolean = false,
+      /** Emit DRI + RSTn markers every `restartInterval` MCUs (0 = none). */
+      restartInterval: Int = 0): Array[Byte] = {
+    require(pixels.length == width * height, s"${pixels.length} for ${width}x$height")
+    require(!subsample420 || color, "4:2:0 needs color")
+    val nc = if (color) 3 else 1
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xFF)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    w16(0xFFD8) // SOI
+    w16(0xFFDB); w16(2 + 1 + 64); w8(0) // DQT table 0, all ones
+    (0 until 64).foreach(_ => w8(1))
+    w16(0xFFC0); w16(8 + 3 * nc); w8(8); w16(height); w16(width); w8(nc)
+    for (i <- 0 until nc)
+      { w8(i + 1); w8(if (subsample420 && i == 0) 0x22 else 0x11); w8(0) }
+    def dht(cls: Int, id: Int, counts: Array[Int], symbols: Array[Int]): Unit = {
+      w16(0xFFC4); w16(2 + 1 + 16 + symbols.length); w8((cls << 4) | id)
+      counts.foreach(w8); symbols.foreach(w8)
+    }
+    dht(0, 0, DcCounts, DcSymbols)
+    dht(1, 0, AcCounts, AcSymbols)
+    if (restartInterval > 0) { w16(0xFFDD); w16(4); w16(restartInterval) }
+    w16(0xFFDA); w16(6 + 2 * nc); w8(nc)
+    for (i <- 0 until nc) { w8(i + 1); w8(0x00) }
+    w8(0); w8(63); w8(0)
+
+    val dc = encodeCodes(DcCounts, DcSymbols)
+    val ac = encodeCodes(AcCounts, AcSymbols)
+    var acc = 0L; var nBits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1))
+      nBits += len
+      while (nBits >= 8) {
+        val b = ((acc >> (nBits - 8)) & 0xFF).toInt
+        w8(b); if (b == 0xFF) w8(0) // stuffing
+        nBits -= 8
+      }
+    }
+    def magnitude(v: Int): Int =
+      if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putExtend(v: Int, s: Int): Unit =
+      putBits(if (v < 0) v + (1 << s) - 1 else v, s)
+
+    // component planes, level-shifted
+    val planes: Array[Array[Int]] = if (!color) {
+      Array(pixels.map(_ - 128))
+    } else {
+      val yP = new Array[Int](pixels.length)
+      val cbP = new Array[Int](pixels.length)
+      val crP = new Array[Int](pixels.length)
+      var i = 0
+      while (i < pixels.length) {
+        val p = pixels(i)
+        val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+        val yv = 0.299 * r + 0.587 * g + 0.114 * b
+        yP(i) = math.round(yv).toInt - 128
+        cbP(i) = math.round(-0.168736 * r - 0.331264 * g + 0.5 * b).toInt
+        crP(i) = math.round(0.5 * r - 0.418688 * g - 0.081312 * b).toInt
+        i += 1
+      }
+      Array(yP, cbP, crP)
+    }
+    // per-block encode shared by all layouts; samples gathered by (x, y)
+    // with edge replication from a sampler function
+    val dcPred = new Array[Int](nc)
+    val block = new Array[Int](64)
+    def encodeBlock(ci: Int, sample: (Int, Int) => Int, ox: Int, oy: Int): Unit = {
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          block(yy * 8 + xx) = sample(ox + xx, oy + yy)
+          xx += 1
+        }
+        yy += 1
+      }
+      val coef = fdct8x8(block)
+      val diff = coef(0) - dcPred(ci)
+      dcPred(ci) = coef(0)
+      val s = magnitude(diff)
+      val (dcode, dlen) = dc(s)
+      putBits(dcode, dlen)
+      if (s > 0) putExtend(diff, s)
+      var k = 1
+      var run = 0
+      while (k < 64) {
+        val v = coef(Zigzag(k))
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) { val (zc, zl) = ac(0xF0); putBits(zc, zl); run -= 16 }
+          val sz = magnitude(v)
+          val (acode, alen) = ac((run << 4) | sz)
+          putBits(acode, alen)
+          putExtend(v, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (ec, el) = ac(0x00); putBits(ec, el) } // EOB
+    }
+    def planeSample(ci: Int)(x: Int, y: Int): Int =
+      planes(ci)(math.min(y, height - 1) * width + math.min(x, width - 1))
+    // 4:2:0 chroma: 2x2 box mean at half resolution
+    def chromaSample(ci: Int)(cx: Int, cy: Int): Int = {
+      var acc = 0
+      for (dy <- 0 until 2; dx <- 0 until 2)
+        acc += planeSample(ci)(cx * 2 + dx, cy * 2 + dy)
+      math.round(acc / 4.0).toInt
+    }
+    def byteAlignAndPad(): Unit =
+      if (nBits > 0) putBits((1 << (8 - nBits)) - 1, 8 - nBits)
+    var rstIdx = 0
+    def maybeRestart(mcu: Int): Unit =
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        byteAlignAndPad()
+        w16(0xFFD0 + (rstIdx % 8)); rstIdx += 1
+        java.util.Arrays.fill(dcPred, 0)
+      }
+    if (!subsample420) {
+      val mcusX = (width + 7) / 8; val mcusY = (height + 7) / 8
+      for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+        maybeRestart(my * mcusX + mx)
+        for (ci <- 0 until nc) encodeBlock(ci, planeSample(ci), mx * 8, my * 8)
+      }
+    } else {
+      val mcusX = (width + 15) / 16; val mcusY = (height + 15) / 16
+      for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+        maybeRestart(my * mcusX + mx)
+        for (by <- 0 until 2; bx <- 0 until 2)
+          encodeBlock(0, planeSample(0), mx * 16 + bx * 8, my * 16 + by * 8)
+        encodeBlock(1, chromaSample(1), mx * 8, my * 8)
+        encodeBlock(2, chromaSample(2), mx * 8, my * 8)
+      }
+    }
+    byteAlignAndPad() // T.81 F.1.2.3: pad with 1-bits
+    w16(0xFFD9) // EOI
+    out.toByteArray
+  }
+}

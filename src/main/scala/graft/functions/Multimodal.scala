@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample run batched per
   * partition.
   *
-  * PNG decode is REAL — [[PngDecoder]] runs the in-repo RFC 2083 codec
-  * ([[graft.sources.grib.Png]]: zlib inflate, all five scanline filters,
-  * grayscale 8/16 + RGB/RGBA) with deterministic area-average resize and
-  * luminance conversion, so image metadata, perceptual hashing, and
-  * pooled embeddings operate on true pixels. Formats with no in-repo
-  * codec (JPEG, GIF, ...) are refused BY NAME by the real decoder;
+  * Image decode is REAL for the three dominant web formats —
+  * [[PngDecoder]] (in-repo RFC 2083: zlib inflate, all five scanline
+  * filters, grayscale 8/16 + RGB/RGBA), [[GifDecoder]] (in-repo LZW),
+  * and [[JpegDecoder]] (in-repo baseline T.81: Huffman + IDCT + chroma
+  * upsampling) — dispatched by magic through [[ImageDecoder]], each with
+  * deterministic area-average resize and luminance conversion, so image
+  * metadata, perceptual hashing, and pooled embeddings operate on true
+  * pixels. Formats with no in-repo codec are refused BY NAME;
   * [[StubDecoder]] (deterministic fake pixels) remains for plumbing tests
   * and as the slot where a JNI/javacpp codec drops in unchanged.
   */
@@ -160,14 +162,34 @@ object Multimodal {
     DecodedMedia(id, w, h, resizeArea(lum, f.width, f.height, w, h))
   }
 
-  /** Magic-dispatched REAL decoder: PNG and GIF route to their in-repo
-    * codecs; everything else is refused with the sniffed format named —
-    * the production default for mixed-crawl image columns. */
+  /** REAL image decode for baseline JPEG payloads (the in-repo T.81
+    * codec: Huffman + IDCT + chroma upsampling): luminance of the decoded
+    * RGB (or the gray channel directly), area-average resize. */
+  val JpegDecoder: Decoder = (id, bytes, w, h) => {
+    val img = Jpeg.decode(bytes)
+    val lum = new Array[Float](img.pixels.length)
+    var i = 0
+    while (i < img.pixels.length) {
+      val p = img.pixels(i)
+      lum(i) =
+        if (img.components == 1) p / 255f
+        else (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)).toFloat / (3f * 255f)
+      i += 1
+    }
+    DecodedMedia(id, w, h, resizeArea(lum, img.width, img.height, w, h))
+  }
+
+  /** Magic-dispatched REAL decoder: PNG, GIF and baseline JPEG route to
+    * their in-repo codecs; everything else is refused with the sniffed
+    * format named — the production default for mixed-crawl image
+    * columns. */
   val ImageDecoder: Decoder = (id, bytes, w, h) =>
     if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P')
       PngDecoder(id, bytes, w, h)
     else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
       GifDecoder(id, bytes, w, h)
+    else if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
+      JpegDecoder(id, bytes, w, h)
     else PngDecoder(id, bytes, w, h) // falls through to the NAMED refusal
 
   /** PNG IHDR dimensions as PURE EXPRESSIONS (no decode, no UDF): width

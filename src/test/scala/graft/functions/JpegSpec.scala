@@ -1,0 +1,114 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** Baseline JPEG codec: near-lossless roundtrips under all-ones
+  * quantization (grayscale + 4:4:4 color), non-multiple-of-8 geometry,
+  * marker-segment skipping, restart intervals... and the named refusals
+  * (progressive, non-baseline SOFs, non-JPEG magic, truncation). */
+class JpegSpec extends SparkSpec {
+
+  private def gray(w: Int, h: Int)(f: Int => Int): Array[Int] =
+    Array.tabulate(w * h)(i => f(i) & 0xFF)
+
+  test("grayscale roundtrip within DCT rounding (±2) across geometries") {
+    for ((w, h) <- Seq((8, 8), (16, 8), (13, 7), (1, 1), (33, 9))) {
+      val px = gray(w, h)(i => (i * 37 + 11) % 256)
+      val dec = Jpeg.decode(Jpeg.encode(w, h, px))
+      assert(dec.width == w && dec.height == h && dec.components == 1)
+      px.zip(dec.pixels).zipWithIndex.foreach { case ((e, g), i) =>
+        assert(math.abs(e - g) <= 2, s"${w}x$h pixel $i: $e vs $g")
+      }
+    }
+  }
+
+  test("4:4:4 color roundtrip within combined DCT + YCbCr rounding") {
+    val w = 16; val h = 12
+    val px = Array.tabulate(w * h) { i =>
+      (((i * 23) % 256) << 16) | (((i * 57 + 10) % 256) << 8) | ((i * 91 + 3) % 256)
+    }
+    val dec = Jpeg.decode(Jpeg.encode(w, h, px, color = true))
+    assert(dec.components == 3)
+    px.zip(dec.pixels).zipWithIndex.foreach { case ((e, g), i) =>
+      for (shift <- Seq(16, 8, 0)) {
+        val a = (e >> shift) & 0xFF; val b = (g >> shift) & 0xFF
+        // YCbCr forward+inverse rounding adds ~±2 on top of DCT's ±2
+        assert(math.abs(a - b) <= 4, s"pixel $i shift $shift: $a vs $b")
+      }
+    }
+  }
+
+  test("APPn/COM segments are skipped; smooth images compress well") {
+    val w = 32; val h = 32
+    val px = gray(w, h)(i => 100 + (i % w) / 4)
+    val enc = Jpeg.encode(w, h, px)
+    // splice a JFIF APP0 and a COM segment after SOI
+    val app0 = Array[Byte](0xFF.toByte, 0xE0.toByte, 0, 16,
+      'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val com = Array[Byte](0xFF.toByte, 0xFE.toByte, 0, 7) ++ "hello".getBytes
+    val spliced = enc.take(2) ++ app0 ++ com ++ enc.drop(2)
+    val dec = Jpeg.decode(spliced)
+    px.zip(dec.pixels).foreach { case (e, g) => assert(math.abs(e - g) <= 2) }
+    assert(enc.length < w * h, s"smooth gradient should beat raw: ${enc.length}")
+  }
+
+  test("out-of-profile and corrupt inputs are refused by name") {
+    val px = gray(8, 8)(identity)
+    val enc = Jpeg.encode(8, 8, px)
+    // SOF0 (FFC0) -> SOF2 progressive
+    val prog = enc.clone()
+    val sof = prog.indices.find(i => (prog(i) & 0xFF) == 0xFF &&
+      (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sof + 1) = 0xC2.toByte
+    val e1 = intercept[IllegalArgumentException] { Jpeg.decode(prog) }
+    assert(e1.getMessage.contains("progressive"), e1.getMessage)
+    // lossless SOF3
+    val sl = enc.clone(); sl(sof + 1) = 0xC3.toByte
+    val e2 = intercept[IllegalArgumentException] { Jpeg.decode(sl) }
+    assert(e2.getMessage.contains("SOF"), e2.getMessage)
+    // not a JPEG
+    val e3 = intercept[IllegalArgumentException] {
+      Jpeg.decode("GIF89a....".getBytes)
+    }
+    assert(e3.getMessage.contains("gif"), e3.getMessage)
+    // truncation sweep: named diagnostic or clean refusal, never raw errors
+    (2 until enc.length by 5).foreach { cut =>
+      try Jpeg.decode(java.util.Arrays.copyOf(enc, cut))
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
+  test("4:2:0 subsampled MCUs decode: luma tight, chroma within box-mean loss") {
+    val w = 20; val h = 18 // forces partial MCUs on both axes
+    // chroma varies SLOWLY (so 2x2 box averaging loses little) while luma
+    // carries the detail — the shape real 4:2:0 assumes
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val r = (80 + x * 4 + y) & 0xFF
+      val g = (90 + x / 4 * 8) & 0xFF
+      val b = (70 + y / 4 * 8) & 0xFF
+      (r << 16) | (g << 8) | b
+    }
+    val dec = Jpeg.decode(Jpeg.encode(w, h, px, color = true, subsample420 = true))
+    assert(dec.width == w && dec.height == h)
+    // luma accuracy: compare Y of original vs decoded
+    def lum(p: Int) = 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
+      0.114 * (p & 0xFF)
+    px.zip(dec.pixels).zipWithIndex.foreach { case ((e, g), i) =>
+      assert(math.abs(lum(e) - lum(g)) <= 6, s"pixel $i: ${lum(e)} vs ${lum(g)}")
+      for (shift <- Seq(16, 8, 0)) {
+        val a = (e >> shift) & 0xFF; val b2 = (g >> shift) & 0xFF
+        assert(math.abs(a - b2) <= 24, s"pixel $i shift $shift: $a vs $b2")
+      }
+    }
+  }
+
+  test("restart intervals reset DC prediction and re-sync the decoder") {
+    val w = 40; val h = 8 // 5 MCUs in a row
+    val px = gray(w, h)(i => (i * 53 + 7) % 256)
+    val dec = Jpeg.decode(Jpeg.encode(w, h, px, restartInterval = 2))
+    px.zip(dec.pixels).zipWithIndex.foreach { case ((e, g), i) =>
+      assert(math.abs(e - g) <= 2, s"pixel $i: $e vs $g")
+    }
+  }
+}

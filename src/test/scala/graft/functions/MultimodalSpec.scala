@@ -257,10 +257,22 @@ class MultimodalSpec extends SparkSpec {
     img.frames.head.rgb.zip(colors).foreach { case (g, e) => assert(g == e) }
   }
 
-  test("ImageDecoder refuses non-PNG/GIF by name") {
-    val e = intercept[IllegalArgumentException] {
-      Multimodal.ImageDecoder(1L, jpeg, 4, 4)
+  test("ImageDecoder routes JPEG to its codec and refuses unknown formats by name") {
+    // real baseline JPEG decodes through the dispatch
+    val px = Array.tabulate(64)(i => (i * 4) & 0xFF)
+    val d = Multimodal.ImageDecoder(1L, Jpeg.encode(8, 8, px), 8, 8)
+    px.zip(d.pixels).foreach { case (e, f) =>
+      assert(math.abs(e - math.round(f * 255)) <= 2)
     }
-    assert(e.getMessage.contains("jpeg"), e.getMessage)
+    // a truncated JPEG surfaces the codec's named diagnostic
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.ImageDecoder(2L, jpeg, 4, 4) // 6 bytes of JPEG magic
+    }
+    assert(e1.getMessage.toLowerCase.contains("jpeg"), e1.getMessage)
+    // an unknown format (BMP) is refused by the dispatch fallthrough
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.ImageDecoder(3L, "BM0123456789012345678901234567".getBytes, 4, 4)
+    }
+    assert(e2.getMessage.contains("unknown"), e2.getMessage)
   }
 }
