@@ -19,15 +19,7 @@ object Gif {
   final case class GifImage(width: Int, height: Int, frames: Seq[GifFrame])
 
   def decode(bytes: Array[Byte]): GifImage =
-    try decodeImpl(bytes)
-    catch {
-      // hostile crawl media must surface as a parse diagnostic, never a
-      // raw index error (same contract as Jpeg2000.decode)
-      case e @ (_: IndexOutOfBoundsException | _: NegativeArraySizeException) =>
-        throw new IllegalArgumentException(
-          s"truncated or corrupt GIF (${bytes.length} bytes): " +
-            s"${e.getClass.getSimpleName}${Option(e.getMessage).fold("")(m => s" ($m)")}", e)
-    }
+    MediaParse.wrapCorrupt("GIF", bytes.length)(decodeImpl(bytes))
 
   private def decodeImpl(bytes: Array[Byte]): GifImage = {
     def u16(off: Int) = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)

@@ -29,13 +29,7 @@ object Jpeg {
   // ------------------------------------------------------------- decode
 
   def decode(bytes: Array[Byte]): JpegImage =
-    try decodeImpl(bytes)
-    catch {
-      case e @ (_: IndexOutOfBoundsException | _: NegativeArraySizeException) =>
-        throw new IllegalArgumentException(
-          s"truncated or corrupt JPEG (${bytes.length} bytes): " +
-            s"${e.getClass.getSimpleName}${Option(e.getMessage).fold("")(m => s" ($m)")}", e)
-    }
+    MediaParse.wrapCorrupt("JPEG", bytes.length)(decodeImpl(bytes))
 
   private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
     var dcTable: Int = 0
@@ -75,16 +69,34 @@ object Jpeg {
           height = u16(); width = u16()
           require(width >= 1 && height >= 1 &&
             width.toLong * height <= Int.MaxValue - 8, s"image $width x $height")
+          // bound the claimed raster against the stream length BEFORE any
+          // allocation: a baseline block costs >= ~4 entropy bits for 64
+          // pixels, so pixels beyond bytes*256 is a hostile header (the
+          // Jpeg2000 cap's reasoning; generous floor for tiny images)
+          require(width.toLong * height <=
+            math.max(1L << 20, bytes.length.toLong * 256),
+            s"SOF0 declares ${width.toLong * height} pixels from a " +
+              s"${bytes.length}-byte stream — implausible; refusing to allocate")
           val nc = u8()
           require(nc == 1 || nc == 3,
             s"$nc components unsupported (grayscale or YCbCr)")
           comps = Array.fill(nc)(null)
           for (i <- 0 until nc) {
             val id = u8(); val hv = u8(); val tq = u8()
+            require(tq <= 3, s"quantization table id $tq (0-3)")
             comps(i) = Component(id, hv >> 4, hv & 15, tq)
             require(comps(i).h >= 1 && comps(i).h <= 2 &&
               comps(i).v >= 1 && comps(i).v <= 2,
               s"sampling ${comps(i).h}x${comps(i).v} unsupported (1-2 each)")
+          }
+          if (nc == 1) {
+            // a single-component scan is NON-INTERLEAVED per T.81 (raster
+            // 8x8 units, no MCU grouping); this decoder implements the
+            // interleaved layout, so grayscale must be 1x1 or the blocks
+            // would land scrambled — refuse, never mis-place
+            require(comps(0).h == 1 && comps(0).v == 1,
+              s"grayscale sampling ${comps(0).h}x${comps(0).v} unsupported " +
+                "(non-interleaved single-component scans are 1x1 here)")
           }
           if (nc == 3) {
             require(comps(1).h == 1 && comps(1).v == 1 &&
@@ -108,6 +120,7 @@ object Jpeg {
             val pq = u8()
             require((pq >> 4) == 0, "16-bit quantization tables unsupported (baseline)")
             val id = pq & 15
+            require(id <= 3, s"quantization table id $id (0-3)")
             for (k <- 0 until 64) quant(id)(Zigzag(k)) = u8()
           }
         case 0xDD => // DRI
@@ -129,6 +142,8 @@ object Jpeg {
             val c = comps.find(_.id == id).getOrElse(
               throw new IllegalArgumentException(s"scan component $id not in frame"))
             c.dcTable = tt >> 4; c.acTable = tt & 15
+            require(c.dcTable <= 3 && c.acTable <= 3,
+              s"Huffman table selectors ${c.dcTable}/${c.acTable} (0-3)")
           }
           pos = start + len - 2
           sosAt = pos
@@ -284,17 +299,24 @@ object Jpeg {
   private final class BitReader(bytes: Array[Byte], var pos: Int) {
     private var acc = 0
     private var nBits = 0
+    private var atMarker = false
     def bit(): Int = {
       if (nBits == 0) {
-        var b = bytes(pos) & 0xFF; pos += 1
-        if (b == 0xFF) {
-          val next = bytes(pos) & 0xFF
-          if (next == 0x00) pos += 1 // stuffed
-          else if (next == 0xD9) b = 0 // EOI: pad (trailing partial byte)
-          else throw new IllegalArgumentException(
-            f"marker 0x$next%02x inside the entropy-coded segment")
+        // T.81: once a marker is reached the decoder supplies zero bits —
+        // LATCHED, so the marker byte itself (and anything after EOI) is
+        // never consumed as entropy data
+        if (atMarker) { acc = 0; nBits = 8 }
+        else {
+          var b = bytes(pos) & 0xFF; pos += 1
+          if (b == 0xFF) {
+            val next = bytes(pos) & 0xFF
+            if (next == 0x00) pos += 1 // stuffed
+            else if (next == 0xD9) { pos -= 1; atMarker = true; b = 0 }
+            else throw new IllegalArgumentException(
+              f"marker 0x$next%02x inside the entropy-coded segment")
+          }
+          acc = b; nBits = 8
         }
-        acc = b; nBits = 8
       }
       nBits -= 1
       (acc >> nBits) & 1
@@ -323,12 +345,19 @@ object Jpeg {
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
 
+  // DCT basis constants, hoisted: idct8x8 runs per 8x8 block — hundreds
+  // of thousands of times per large image — and the tables never change
+  private val DctC: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
+  private val DctCos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+
   /** In-place separable 8×8 float IDCT (the textbook O(8³) form — clarity
     * over an AAN fast path; per-message work is bounded). */
   private def idct8x8(block: Array[Int]): Unit = {
     val tmp = new Array[Double](64)
-    val c = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
-    val cosT = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+    val c = DctC
+    val cosT = DctCos
     // rows
     var y = 0
     while (y < 8) {
@@ -359,8 +388,8 @@ object Jpeg {
 
   private def fdct8x8(block: Array[Int]): Array[Int] = {
     val tmp = new Array[Double](64)
-    val c = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
-    val cosT = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+    val c = DctC
+    val cosT = DctCos
     var v = 0
     while (v < 8) {
       var x = 0

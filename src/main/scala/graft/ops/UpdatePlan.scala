@@ -201,8 +201,12 @@ object UpdatePlan {
       existingEnd: java.sql.Timestamp,
       resolution: TimeSpan,
       cadenceBounds: Option[(TimeSpan, TimeSpan)]): Unit = {
+    // lit(LocalDateTime) maps straight to an NTZ literal with NO zone
+    // conversion — a lit(Timestamp).cast("timestamp_ntz") would shift by
+    // the SESSION zone while ms() converts back via the JVM zone, skewing
+    // the gap by the zone offset and breaking the contiguity gate
     val end = spark.range(1).select(
-      lit(existingEnd).cast("timestamp_ntz").as(timeCol),
+      lit(existingEnd.toLocalDateTime).as(timeCol),
       lit("existing_end").as("kind"))
     val classified = insertTimes.select(col(timeCol).cast("timestamp_ntz").as(timeCol),
         lit("insert").as("kind"))

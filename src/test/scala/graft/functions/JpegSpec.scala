@@ -111,4 +111,36 @@ class JpegSpec extends SparkSpec {
       assert(math.abs(e - g) <= 2, s"pixel $i: $e vs $g")
     }
   }
+
+  test("hostile SOF dimensions and out-of-profile ids are refused before allocation") {
+    val enc = Jpeg.encode(8, 8, gray(8, 8)(identity))
+    val sof = enc.indices.find(i => (enc(i) & 0xFF) == 0xFF &&
+      (enc(i + 1) & 0xFF) == 0xC0).get
+    // height/width at sof+5..8: claim 46000 x 46000 from a 100-byte stream
+    val huge = enc.clone()
+    huge(sof + 5) = 0xB3.toByte; huge(sof + 6) = 0xB0.toByte // 45996
+    huge(sof + 7) = 0xB3.toByte; huge(sof + 8) = 0xB0.toByte
+    val e1 = intercept[IllegalArgumentException] { Jpeg.decode(huge) }
+    assert(e1.getMessage.contains("implausible"), e1.getMessage)
+    // grayscale with 2x2 sampling factors: refused, never scrambled
+    val gs = enc.clone()
+    gs(sof + 11) = 0x22.toByte // component 1 hv
+    val e2 = intercept[IllegalArgumentException] { Jpeg.decode(gs) }
+    assert(e2.getMessage.contains("non-interleaved"), e2.getMessage)
+    // DQT id 4: named, not 'truncated'
+    val dqt = enc.indices.find(i => (enc(i) & 0xFF) == 0xFF &&
+      (enc(i + 1) & 0xFF) == 0xDB).get
+    val badQ = enc.clone()
+    badQ(dqt + 4) = 4
+    val e3 = intercept[IllegalArgumentException] { Jpeg.decode(badQ) }
+    assert(e3.getMessage.contains("quantization table id"), e3.getMessage)
+  }
+
+  test("trailing bytes after EOI never decode as entropy data") {
+    val px = gray(16, 16)(i => (i * 31) % 256)
+    val enc = Jpeg.encode(16, 16, px)
+    val withTrailer = enc ++ Array.fill[Byte](64)(0x55)
+    val dec = Jpeg.decode(withTrailer)
+    px.zip(dec.pixels).foreach { case (e, g) => assert(math.abs(e - g) <= 2) }
+  }
 }
