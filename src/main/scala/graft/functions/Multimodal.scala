@@ -29,13 +29,20 @@ object Multimodal {
     StructField("format", StringType, nullable = true)))
 
   /** Magic-byte sniffing as a codegen'd expression — no UDF: the usual
-    * image containers are recognizable from the first bytes. */
+    * media containers are recognizable from the first bytes; RIFF
+    * families resolve to their concrete form via the type tag at bytes
+    * 9-12 (WAVE/AVI /WEBP). */
   def sniffFormat(binCol: Column): Column = {
     val head = hex(substring(binCol, 1, 4))
+    val riffForm = substring(binCol, 9, 4).cast(StringType)
     when(head.startsWith("89504E47"), "png")
       .when(head.startsWith("FFD8FF"), "jpeg")
       .when(head.startsWith("47494638"), "gif")
-      .when(head.startsWith("52494646"), "riff") // wav/webp family
+      .when(head.startsWith("424D"), "bmp")
+      .when(head.startsWith("52494646") && riffForm === "WAVE", "wav")
+      .when(head.startsWith("52494646") && riffForm === "AVI ", "avi")
+      .when(head.startsWith("52494646") && riffForm === "WEBP", "webp")
+      .when(head.startsWith("52494646"), "riff")
       .otherwise(lit(null).cast(StringType))
   }
 
@@ -179,6 +186,60 @@ object Multimodal {
     DecodedMedia(id, w, h, resizeArea(lum, img.width, img.height, w, h))
   }
 
+  /** REAL image decode for BMP payloads: uncompressed 24/32-bit and
+    * 8-bit-paletted Windows DIBs (BITMAPINFOHEADER, the public layout) —
+    * bottom-up or top-down rows, 4-byte row padding. RLE and exotic
+    * header versions are refused by name. */
+  val BmpDecoder: Decoder = (id, bytes, w, h) =>
+    MediaParse.wrapCorrupt("BMP", bytes.length) {
+      def u16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+      def u32(o: Int) = (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+        ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+        s"media $id: not a BMP (missing BM magic)")
+      val dataOff = u32(10).toInt
+      val hdrSize = u32(14).toInt
+      require(hdrSize >= 40, s"media $id: BMP header size $hdrSize unsupported " +
+        "(BITMAPINFOHEADER and later)")
+      val srcW = u32(18).toInt
+      val srcHRaw = u32(22).toInt
+      val topDown = srcHRaw < 0
+      val srcH = math.abs(srcHRaw)
+      require(srcW >= 1 && srcH >= 1 &&
+        srcW.toLong * srcH <= math.max(1L << 20, bytes.length.toLong * 2),
+        s"media $id: BMP raster $srcW x $srcH implausible for ${bytes.length} bytes")
+      require(u16(26) == 1, s"media $id: BMP planes ${u16(26)}")
+      val bpp = u16(28)
+      val compression = u32(30).toInt
+      require(compression == 0, s"media $id: BMP compression $compression " +
+        "unsupported (uncompressed BI_RGB only; RLE needs a plugged decoder)")
+      require(bpp == 8 || bpp == 24 || bpp == 32,
+        s"media $id: $bpp-bit BMP unsupported (8 paletted, 24, 32)")
+      val paletteOff = 14 + hdrSize
+      val rowBytes = (srcW * bpp / 8 + 3) / 4 * 4
+      val lum = new Array[Float](srcW * srcH)
+      var y = 0
+      while (y < srcH) {
+        val srcRow = if (topDown) y else srcH - 1 - y
+        val ro = dataOff + srcRow * rowBytes
+        var x = 0
+        while (x < srcW) {
+          val (r, g, b) =
+            if (bpp == 8) {
+              val pi = paletteOff + (bytes(ro + x) & 0xFF) * 4 // BGRA entries
+              ((bytes(pi + 2) & 0xFF), (bytes(pi + 1) & 0xFF), (bytes(pi) & 0xFF))
+            } else {
+              val po = ro + x * (bpp / 8) // BGR(A) order
+              ((bytes(po + 2) & 0xFF), (bytes(po + 1) & 0xFF), (bytes(po) & 0xFF))
+            }
+          lum(y * srcW + x) = (r + g + b).toFloat / (3f * 255f)
+          x += 1
+        }
+        y += 1
+      }
+      DecodedMedia(id, w, h, resizeArea(lum, srcW, srcH, w, h))
+    }
+
   /** Magic-dispatched REAL decoder: PNG, GIF and baseline JPEG route to
     * their in-repo codecs; everything else is refused with the sniffed
     * format named — the production default for mixed-crawl image
@@ -190,6 +251,8 @@ object Multimodal {
       GifDecoder(id, bytes, w, h)
     else if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
       JpegDecoder(id, bytes, w, h)
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+      BmpDecoder(id, bytes, w, h)
     else PngDecoder(id, bytes, w, h) // falls through to the NAMED refusal
 
   /** PNG IHDR dimensions as PURE EXPRESSIONS (no decode, no UDF): width

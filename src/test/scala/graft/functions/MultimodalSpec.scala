@@ -269,10 +269,68 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.ImageDecoder(2L, jpeg, 4, 4) // 6 bytes of JPEG magic
     }
     assert(e1.getMessage.toLowerCase.contains("jpeg"), e1.getMessage)
-    // an unknown format (BMP) is refused by the dispatch fallthrough
+    // a truly unknown format is refused by the dispatch fallthrough
     val e2 = intercept[IllegalArgumentException] {
-      Multimodal.ImageDecoder(3L, "BM0123456789012345678901234567".getBytes, 4, 4)
+      Multimodal.ImageDecoder(3L, "XX0123456789012345678901234567".getBytes, 4, 4)
     }
     assert(e2.getMessage.contains("unknown"), e2.getMessage)
+  }
+
+  // ----------------------------------------------------- REAL BMP decode
+
+  private def buildBmp(w: Int, h: Int, rgb: Array[Int],
+      topDown: Boolean = false): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataLen = rowBytes * h
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >>> 16) & 0xFFFF) }
+    out.write('B'); out.write('M'); w32(54 + dataLen); w32(0); w32(54)
+    w32(40); w32(w); w32(if (topDown) -h else h); w16(1); w16(24)
+    w32(0); w32(dataLen); w32(2835); w32(2835); w32(0); w32(0)
+    for (y <- 0 until h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      for (x <- 0 until w) {
+        val c = rgb(srcRow * w + x)
+        out.write(c & 0xFF); out.write((c >> 8) & 0xFF); out.write((c >> 16) & 0xFF)
+      }
+      (w * 3 until rowBytes).foreach(_ => out.write(0))
+    }
+    out.toByteArray
+  }
+
+  test("BMP 24-bit decode: bottom-up and top-down rows, padded, exact luminance") {
+    val w = 5; val h = 3 // rowBytes 16 with 1 pad byte
+    val rgb = Array.tabulate(w * h)(i => (i * 40 % 256) * 0x010101)
+    for (td <- Seq(false, true)) {
+      val d = Multimodal.ImageDecoder(1L, buildBmp(w, h, rgb, topDown = td), w, h)
+      rgb.zip(d.pixels).zipWithIndex.foreach { case ((c, f), i) =>
+        assert(math.round(f * 255) == (c & 0xFF), s"topDown=$td pixel $i")
+      }
+    }
+  }
+
+  test("BMP refusals are named: RLE compression, exotic depth") {
+    val ok = buildBmp(4, 4, Array.fill(16)(0x808080))
+    val rle = ok.clone(); rle(30) = 1 // BI_RLE8
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.BmpDecoder(1L, rle, 4, 4)
+    }
+    assert(e1.getMessage.contains("compression"), e1.getMessage)
+    val depth = ok.clone(); depth(28) = 16
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.BmpDecoder(2L, depth, 4, 4)
+    }
+    assert(e2.getMessage.contains("16-bit"), e2.getMessage)
+  }
+
+  test("sniffFormat resolves RIFF families and BMP") {
+    val wav = Audio.encodeWav(Array(1, 2, 3), 8000)
+    val avi = Multimodal.encodeAvi(Seq(Array[Byte](1, 2, 3, 4)))
+    val bmp = buildBmp(2, 2, Array.fill(4)(0x101010))
+    val df = Seq((1L, wav), (2L, avi), (3L, bmp)).toDF("id", "media")
+    val m = df.select(col("id"), Multimodal.sniffFormat(col("media")))
+      .as[(Long, String)].collect().toMap
+    assert(m(1L) == "wav" && m(2L) == "avi" && m(3L) == "bmp", m.toString)
   }
 }
