@@ -156,6 +156,13 @@ object Gif {
       else if (code == clear) { dictSize = end + 1; width = minCode + 1; prev = -1 }
       else {
         require(code <= dictSize, s"GIF LZW code $code beyond dictionary $dictSize")
+        // The KwKwK case (code == dictSize) is only decodable when a
+        // previous code exists; as the FIRST code after a clear it has no
+        // chain to walk and a lax decoder would emit stale-dictionary
+        // garbage — refuse by name instead.
+        require(prev >= 0 || code < dictSize,
+          s"GIF LZW code $code is not a literal but no previous code " +
+            "exists (first code after clear must be < dictionary size)")
         if (prev < 0) { emit(code); prev = code }
         else {
           val cur = if (code == dictSize) { // the KwKwK case

@@ -26,7 +26,15 @@ final class Era5SpectralManager(
     val spark: SparkSession,
     root: String,
     /** Target Gaussian resolution: N parallels pole→equator. */
-    val gaussianN: Int = 1) extends DatasetManager {
+    val gaussianN: Int = 1,
+    /** GRIB parameter id this manager's data var maps to (ERA5
+      * temperature = 130). The transform filters the spectral scan to
+      * exactly this param with no ensemble member — a MARS request
+      * routinely returns several params/members per file, and feeding
+      * more than one field per timestep into the synthesis would blend
+      * coefficients; [[graft.ops.Spectral.synthesize]] additionally
+      * refuses duplicate coefficients by name as the backstop. */
+    val paramId: Int = 130) extends DatasetManager {
 
   val desc: DatasetDescriptor = DatasetDescriptor(
     datasetName = "era5_spectral_t",
@@ -66,7 +74,11 @@ final class Era5SpectralManager(
   override def transform(): DataFrame = {
     val files = inputFiles()
     require(files.nonEmpty, s"No input files in $inputDir")
+    // Message-level pruning: param/member equality predicates prune whole
+    // messages exactly in the spectral scan, so off-param fields are never
+    // even unpacked.
     val coeffs = spark.read.format("grib-spectral").load(inputDir)
+      .filter(col("param") === paramId && col("member").isNull)
     val grid = Spectral.synthesize(coeffs, Seq("time"), gridLats, gridLons)
       .withColumnRenamed("value", desc.dataVar)
     Normalize.normalize(grid, desc, pre = preprocess, post = postprocess)

@@ -108,6 +108,7 @@ object Spectral {
         val nPairs = (trunc + 1) * (trunc + 2) / 2
         val re = new Array[Double](nPairs)
         val im = new Array[Double](nPairs)
+        val seen = new java.util.BitSet(2 * nPairs)
         // m-major pair index of (m, n): rows before m sum to
         // m·(2T+3−m)/2, then offset n−m
         def pairIdx(m: Int, n: Int): Int =
@@ -115,9 +116,22 @@ object Spectral {
         entries.foreach { e =>
           val m = e.getInt(0); val n = e.getInt(1)
           require(m >= 0 && m <= n && n <= trunc, s"coefficient ($m,$n)")
+          val isIm = e.getString(2) == "im"
           val p = pairIdx(m, n)
-          if (e.getString(2) == "im") im(p) += e.getDouble(3)
-          else re(p) += e.getDouble(3)
+          val slot = if (isIm) nPairs + p else p
+          // A repeated (m, n, part) under one key means the key columns
+          // don't separate the input (e.g. two params or ensemble members
+          // grouped together) — summing their coefficients would silently
+          // blend fields, so refuse by name instead.
+          if (seen.get(slot)) throw new IllegalArgumentException(
+            s"duplicate spectral coefficient (m=$m, n=$n, " +
+              s"part=${e.getString(2)}) under key ${(0 until nKeys)
+                .map(row.get).mkString("(", ", ", ")")}: the key columns " +
+              s"$keyCols do not uniquely identify one field — include the " +
+              "distinguishing columns (e.g. param, member) in keyCols or " +
+              "filter the scan to one field")
+          seen.set(slot)
+          if (isIm) im(p) = e.getDouble(3) else re(p) = e.getDouble(3)
         }
         val key = (0 until nKeys).map(row.get)
         latArr.iterator.flatMap { lat =>

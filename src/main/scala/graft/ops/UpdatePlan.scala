@@ -162,6 +162,7 @@ object UpdatePlan {
       resolution: TimeSpan,
       cadenceBounds: Option[(TimeSpan, TimeSpan)]): Unit = {
     def ms(v: Any): Long = v match {
+      case l: java.lang.Long => l // already epoch millis (the compat shim)
       case t: java.sql.Timestamp => t.getTime
       case l: java.time.LocalDateTime => java.sql.Timestamp.valueOf(l).getTime
       case other => throw new IllegalArgumentException(s"Unexpected time value: $other")
@@ -201,18 +202,22 @@ object UpdatePlan {
       existingEnd: java.sql.Timestamp,
       resolution: TimeSpan,
       cadenceBounds: Option[(TimeSpan, TimeSpan)]): Unit = {
-    // lit(LocalDateTime) maps straight to an NTZ literal with NO zone
-    // conversion — a lit(Timestamp).cast("timestamp_ntz") would shift by
-    // the SESSION zone while ms() converts back via the JVM zone, skewing
-    // the gap by the zone offset and breaking the contiguity gate
+    // Compare in EPOCH space so no zone can skew the contiguity gap: an
+    // LTZ column is an instant (unix_millis is zone-free) and so is the
+    // existing-end Timestamp (getTime); an NTZ column is interpreted in
+    // the SESSION zone (Spark's own cast convention). The earlier NTZ
+    // round-trip (cast via session zone, reconstruct via JVM zone) skewed
+    // LTZ inputs by the session−JVM offset difference.
+    val msCol = "__time_ms"
+    def toMs(df: DataFrame, kind: String): DataFrame =
+      df.select(unix_millis(col(timeCol).cast("timestamp")).as(msCol),
+        lit(kind).as("kind"))
     val end = spark.range(1).select(
-      lit(existingEnd.toLocalDateTime).as(timeCol),
+      lit(existingEnd.getTime).as(msCol),
       lit("existing_end").as("kind"))
-    val classified = insertTimes.select(col(timeCol).cast("timestamp_ntz").as(timeCol),
-        lit("insert").as("kind"))
-      .unionByName(appendTimes.select(col(timeCol).cast("timestamp_ntz").as(timeCol),
-        lit("append").as("kind")))
+    val classified = toMs(insertTimes, "insert")
+      .unionByName(toMs(appendTimes, "append"))
       .unionByName(end)
-    updateQualityCheckClassified(classified, timeCol, resolution, cadenceBounds)
+    updateQualityCheckClassified(classified, msCol, resolution, cadenceBounds)
   }
 }

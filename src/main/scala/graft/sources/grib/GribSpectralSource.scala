@@ -114,6 +114,7 @@ final class GribSpectralScanBuilder(table: GribSpectralTable) extends ScanBuilde
       GribSpectralTable.Schema.fieldNames.contains(a)
     case sources.EqualTo("param", _: Integer) => true
     case sources.EqualTo("member", _: Integer) => true
+    case sources.IsNull("member") => true
     case sources.EqualTo("time", v) => NcScan.toKey(v).isDefined
     case sources.GreaterThan("time", v) => NcScan.toKey(v).isDefined
     case sources.GreaterThanOrEqual("time", v) => NcScan.toKey(v).isDefined
@@ -151,6 +152,7 @@ final class GribSpectralScan(
     case sources.IsNotNull(_) => true
     case sources.EqualTo("param", v: Integer) => m.paramId == v.intValue()
     case sources.EqualTo("member", v: Integer) => m.member == v.intValue()
+    case sources.IsNull("member") => m.member < 0
     case sources.EqualTo("time", v) => NcScan.toKey(v).contains(timeMicros(m))
     case sources.GreaterThan("time", v) => NcScan.toKey(v).exists(timeMicros(m) > _)
     case sources.GreaterThanOrEqual("time", v) => NcScan.toKey(v).exists(timeMicros(m) >= _)

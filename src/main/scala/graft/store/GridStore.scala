@@ -48,8 +48,13 @@ final class GridStore(
       * sidecar, so reopening for reads or updates only needs the key
       * REGISTERED — an unregistered hash fails with the hash named, and a
       * wrong key fails the AEAD unwrap, never as wrong rows. An EXISTING
-      * store's persisted profile always wins: updates to a plaintext store
-      * stay plaintext, updates to an encrypted store keep its key. */
+      * store's persisted profile governs reads and updates: updates to a
+      * plaintext store stay plaintext, updates to an encrypted store keep
+      * its key, and a constructor hash that CONTRADICTS the profile fails
+      * with both named rather than being silently ignored. The one way to
+      * change the profile is a full rebuild ([[writeInitial]] /
+      * `publish(rebuild = true)`), which rewrites every data file and so
+      * adopts the constructor's key. */
     val encryptionKeyHash: Option[String] = None) extends GridPublisher {
 
   // fail at construction, with the hash named, not mid-publish
@@ -67,17 +72,40 @@ final class GridStore(
   // -------------------------------------------- parquet modular encryption
 
   /** The key hash this store's data files are (to be) encrypted under:
-    * the persisted attr for an EXISTING store (its profile always wins —
-    * a plaintext store never gains mixed encrypted files and an encrypted
+    * the persisted attr for an EXISTING store (its profile wins — a
+    * plaintext store never gains mixed encrypted files and an encrypted
     * store never silently drops its key), the constructor's choice when
-    * creating one. */
-  private lazy val effectiveEncryptionHash: Option[String] =
-    // cached per handle: the profile is immutable for a store's lifetime
-    // (a new store adopts the constructor key, which writeInitial persists
+    * creating one. A constructor hash that CONTRADICTS an existing
+    * store's profile fails with both named (ADVICE r8: silently ignoring
+    * it handed plaintext data to a user who asked for encryption, and
+    * kept the old key on an attempted rotation); the one path that may
+    * legitimately change the profile is a full rebuild, because it
+    * rewrites every data file — [[writeInitial]] adopts the constructor
+    * key before this resolution runs. */
+  private var resolvedEncryptionHash: Option[Option[String]] = None
+  private def effectiveEncryptionHash: Option[String] =
+    // cached per handle: the profile is immutable once resolved (a new
+    // store adopts the constructor key, which writeInitial persists
     // before any data write), and every read/write path consults this —
     // re-reading the sidecar each time would be 4+ extra GETs per publish
-    if (hasExisting) readAttrs().get(EncryptionKeyHashAttr)
-    else encryptionKeyHash
+    resolvedEncryptionHash.getOrElse {
+      val resolved =
+        if (hasExisting) {
+          val persisted = readAttrs().get(EncryptionKeyHashAttr)
+          if (encryptionKeyHash.isDefined && encryptionKeyHash != persisted)
+            throw new IllegalStateException(
+              s"Store at $path is ${persisted.fold("not encrypted")(h =>
+                s"encrypted under key hash $h")} but this handle was " +
+                s"constructed with key hash ${encryptionKeyHash.get}: an " +
+                "existing store's persisted profile governs reads and " +
+                "updates. To change the profile, rebuild the store " +
+                "(publish(rebuild = true) / writeInitial), which rewrites " +
+                "every data file and adopts the constructor's key")
+          persisted
+        } else encryptionKeyHash
+      resolvedEncryptionHash = Some(resolved)
+      resolved
+    }
 
   /** Reader with decryption wired when the store is encrypted: the crypto
     * factory + the registry-backed KMS client; the master-key hash itself
@@ -295,10 +323,17 @@ final class GridStore(
     // Persist the encryption profile BEFORE the commit marker creates the
     // sidecar: effectiveEncryptionHash reads persisted state from the
     // moment the store "exists", so the hash must be the first attr in.
-    // Only a genuinely new store adopts the constructor's key — a rebuild
-    // keeps (or keeps lacking) the persisted one.
-    if (!hasExisting)
-      encryptionKeyHash.foreach(kh => patchAttrs(Map(EncryptionKeyHashAttr -> kh)))
+    // A full (re)build rewrites EVERY data file, so it is the one path
+    // that may change the profile: an explicit constructor key is adopted
+    // (encrypting a plaintext store, or rotating an encrypted one);
+    // omitting the key keeps the persisted profile, so a rebuild never
+    // silently decrypts.
+    val persisted =
+      if (hasExisting) readAttrs().get(EncryptionKeyHashAttr) else None
+    val adopted = encryptionKeyHash.orElse(persisted)
+    if (adopted != persisted)
+      patchAttrs(Map(EncryptionKeyHashAttr -> adopted.get))
+    resolvedEncryptionHash = Some(adopted)
     withCommitMarker(computedAttrs(df, isUpdate = false)) {
       writeJob(df, "overwrite")
     }

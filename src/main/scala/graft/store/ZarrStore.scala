@@ -67,10 +67,13 @@ final class ZarrStore(
       * with stores the reference encrypts; v3 stores get the engine's
       * `xchacha20poly1305` bytes→bytes codec (compress → encrypt, crc32c
       * still closing the chain). Coordinates stay plain, as in the
-      * reference. An EXISTING store's persisted encryption always wins —
-      * updates keep encrypting with the stored key hash, and reads of any
+      * reference. An EXISTING store's persisted encryption governs —
+      * updates keep encrypting with the stored key hash, reads of any
       * encrypted store need the key registered or fail with the hash
-      * named. */
+      * named, and a constructor hash that CONTRADICTS the persisted
+      * profile fails with both named rather than being silently ignored
+      * (re-key via [[StoreConvert.rechunkZarr]], which rewrites every
+      * chunk). */
     val encryptionKeyHash: Option[String] = None) extends GridPublisher {
 
   require(zarrFormat == 2 || zarrFormat == 3, s"zarr format $zarrFormat (2 or 3)")
@@ -248,9 +251,46 @@ final class ZarrStore(
     if (!hasExisting || rebuild) writeInitial(update)
     else writeUpdate(update)
 
+  /** The key hash an existing store's data variable is encrypted under,
+    * wherever its chain carries it (v2 `EncryptionFilter` or the v3 codec
+    * chain, inside any crc32c wrapper). */
+  private def persistedEncryptionHash: Option[String] =
+    listArrays().toMap.get(desc.dataVar).flatMap { m =>
+      def fromCodec(c: ZarrCodec.Codec): Option[String] = c match {
+        case ZarrCodec.EncryptionCodec(_, kh) => Some(kh)
+        case ZarrCodec.Crc32cCodec(inner) => fromCodec(inner)
+        case _ => None
+      }
+      m.filters.collectFirst { case ZarrMeta.EncryptionFilter(kh) => kh }
+        .orElse(fromCodec(m.codec))
+    }
+
+  /** ADVICE r8: a constructor key hash that contradicts an existing
+    * store's persisted encryption profile must fail with both named —
+    * silently ignoring it hands plaintext to a user who asked for
+    * encryption and keeps the old key on an attempted rotation. Zarr
+    * updates and rebuilds reuse the persisted array document wholesale
+    * (bit-compat with stores the reference wrote), so the profile cannot
+    * change in place; [[StoreConvert.rechunkZarr]] is the re-key path. */
+  private def checkEncryptionProfile(): Unit =
+    encryptionKeyHash.foreach { kh =>
+      if (hasExisting) {
+        val persisted = persistedEncryptionHash
+        if (!persisted.contains(kh))
+          throw new IllegalStateException(
+            s"Store at $path is ${persisted.fold("not encrypted")(h =>
+              s"encrypted under key hash $h")} but this handle was " +
+              s"constructed with key hash $kh: an existing zarr store's " +
+              "persisted profile governs all writes. To change keys, " +
+              "rewrite the store through StoreConvert.rechunkZarr with " +
+              "the new encryptionKeyHash")
+      }
+    }
+
   /** W3 — initial write: axes from the frame, metadata + coords from the
     * driver, data chunks distributed. */
   def writeInitial(df: DataFrame): Unit = {
+    checkEncryptionProfile()
     val (timeMicros, spatialVals) = collectAxes(df)
     withCommitMarker(Map(
       "dataset_name" -> desc.datasetName,
@@ -274,6 +314,7 @@ final class ZarrStore(
     * same read-modify-write. */
   private def writeUpdate(df: DataFrame): Unit = {
     checkNotInProgress()
+    checkEncryptionProfile()
     val existingTime = readTimeAxisMicros()
     val existingSet = existingTime.toSet
     val (updateTime, spatialVals) = collectAxes(df)

@@ -226,6 +226,35 @@ class MultimodalSpec extends SparkSpec {
     assert(img.frames.head.rgb.forall(_ == 0x111111))
   }
 
+  test("GIF LZW refuses a non-literal first code after clear (ADVICE r8)") {
+    // minCode=2: literals 0-3, clear=4, end=5, dictSize starts at 6. The
+    // KwKwK form (code == dictSize) as the FIRST code after a clear has
+    // no previous chain — a lax decoder walks the stale dictionary and
+    // emits garbage; ours must refuse by name.
+    val bits = Seq(4, 6, 5) // clear, KwKwK-with-no-prev, end
+    var acc = 0L; var n = 0
+    val buf = new java.io.ByteArrayOutputStream()
+    bits.foreach { c =>
+      acc |= c.toLong << n; n += 3
+      while (n >= 8) { buf.write((acc & 0xFF).toInt); acc >>= 8; n -= 8 }
+    }
+    if (n > 0) buf.write((acc & 0xFF).toInt)
+    val lzw = buf.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes); w16(3); w16(2)
+    out.write(0x80 | 1); out.write(0); out.write(0)
+    Seq(0x111111, 0x222222, 0x333333, 0x444444).foreach { c =>
+      out.write((c >> 16) & 0xFF); out.write((c >> 8) & 0xFF); out.write(c & 0xFF)
+    }
+    out.write(0x2C); w16(0); w16(0); w16(3); w16(2); out.write(0)
+    out.write(2)
+    out.write(lzw.length); out.write(lzw, 0, lzw.length); out.write(0)
+    out.write(0x3B)
+    val e = intercept[IllegalArgumentException] { Gif.decode(out.toByteArray) }
+    assert(e.getMessage.contains("no previous code"), e.getMessage)
+  }
+
   test("interlaced GIF rows land in the right order") {
     // 1x8 column, distinct colors; interlaced flag set, rows stored in
     // pass order 0,4,2,6,1,3,5,7

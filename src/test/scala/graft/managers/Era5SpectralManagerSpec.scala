@@ -66,4 +66,32 @@ class Era5SpectralManagerSpec extends SparkSpec {
       == Some("2024-03-01T07:00"))
     assert(!mgr.checkIfNewData())
   }
+
+  test("multi-param landing files: only the manager's paramId is " +
+      "synthesized, never blended (ADVICE r8)") {
+    val root = Files.createTempDirectory("era5_spmp").toString
+    val mgr = new Era5SpectralManager(spark, root, gaussianN = 1)
+    new java.io.File(mgr.inputDir).mkdirs()
+    // one file, one message, TWO params: 130 (t, the manager's) and 138
+    // (vorticity-like) with a wildly different (0,0) — pre-fix, the
+    // synthesis summed both fields' coefficients
+    val out = new DataOutputStream(Files.newOutputStream(
+      Paths.get(s"${mgr.inputDir}/era5_sp_mp.grb2")))
+    try {
+      val t = new Array[Double](12); t(0) = 250.0; t(2) = 10.0
+      val vo = new Array[Double](12); vo(0) = 9999.0; vo(2) = -3.0
+      GribFormat.writeSpectralMessage2(out,
+        java.time.LocalDateTime.of(2024, 3, 1, 0, 0), trunc = 2,
+        fields = Seq((130, 0, t), (138, 0, vo)), complexSub = Some((1.0, 0)))
+    } finally out.close()
+    mgr.run()
+    val ds = mgr.store.dataset()
+    assert(ds.count() == 8) // 2 parallels x 4 longitudes x 1 hour
+    val lat = GribFormat.gaussianLatitudes(1)(0)
+    val expect = 250.0 + 10 * math.sqrt(3) * math.sin(math.toRadians(lat))
+    val got = ds.filter(col("latitude") > 0).select("t").as[Double].collect()
+    assert(got.length == 4)
+    got.foreach(v => assert(math.abs(v - expect) < 1e-9,
+      s"$v vs $expect — param 138 must not leak into the synthesis"))
+  }
 }

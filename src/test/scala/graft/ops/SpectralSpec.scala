@@ -103,4 +103,19 @@ class SpectralSpec extends SparkSpec {
       r.getAs[Long]("k") -> r.getAs[Double]("value")).toMap
     assert(vals(1L) == 1.0 && vals(2L) == 5.0)
   }
+
+  test("duplicate (m,n,part) rows under one key are refused by name, " +
+      "never summed (ADVICE r8)") {
+    // two fields (e.g. two params) mistakenly grouped under one key: the
+    // pre-fix accumulator summed 1.0 + 5.0 into one garbage coefficient
+    val df = Seq((1L, 0, 0, "re", 1.0), (1L, 0, 0, "re", 5.0))
+      .toDF("k", "m", "n", "part", "value")
+    val e = intercept[org.apache.spark.SparkException] {
+      Spectral.synthesize(df, Seq("k"), Seq(0.0), Seq(0.0)).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("duplicate spectral coefficient"), msgs)
+    assert(msgs.contains("param"), msgs) // the fix hint names the columns
+  }
 }

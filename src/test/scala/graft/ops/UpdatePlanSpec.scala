@@ -94,4 +94,27 @@ class UpdatePlanSpec extends SparkSpec {
     UpdatePlan.updateQualityCheck(spark, times(), times(11), "time",
       java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), TimeSpan.Daily, None)
   }
+
+  test("updateQualityCheck: zone-safe for instant (LTZ) inputs when " +
+      "session zone != JVM zone") {
+    // ADVICE r8: the pre-fix shim cast LTZ columns to NTZ via the SESSION
+    // zone and reconstructed epoch via the JVM zone — a +05:00 session
+    // skewed a truly-contiguous daily append by 5h and tripped the gate.
+    // The gate now compares in epoch space, so instants never shift.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "+05:00")
+    try {
+      def ltz(days: Int*) = days.map(d =>
+        Tuple1(java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")))
+        .toDF("time")
+      UpdatePlan.updateQualityCheck(spark, ltz(), ltz(11), "time",
+        java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), TimeSpan.Daily, None)
+      // And a genuinely non-contiguous append still raises under the
+      // skewed session zone.
+      assertThrows[IllegalStateException] {
+        UpdatePlan.updateQualityCheck(spark, ltz(), ltz(13), "time",
+          java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), TimeSpan.Daily, None)
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }

@@ -12,7 +12,9 @@ import graft.model.{DatasetDescriptor, TimeSpan}
   * every column keyed under the registered master key, hash persisted in
   * the attrs sidecar. Lifecycle roundtrip, on-disk evidence (encrypted
   * footer magic, keyless readers refused), missing-key named failure,
-  * and plaintext-store immunity to a stray constructor key. */
+  * named failure when a constructor key contradicts the persisted
+  * profile, and key adoption/rotation through a full rebuild (the one
+  * path that rewrites every data file). */
 class GridStoreEncryptionSpec extends SparkSpec {
 
   private val desc = DatasetDescriptor("enc_pq", "value",
@@ -95,19 +97,62 @@ class GridStoreEncryptionSpec extends SparkSpec {
     } finally Encryption.registerEncryptionKey(keyHex) // restore for other suites
   }
 
-  test("a plaintext store ignores a stray constructor key on update") {
-    val path = fresh("plain")
-    new GridStore(spark, path, desc).publish(dailyGrid(1, 4))
-    val kh = registeredHash()
-    // persisted (plaintext) profile wins — no mixed-encryption store
-    new GridStore(spark, path, desc, encryptionKeyHash = Some(kh))
-      .publish(dailyGrid(5, 2))
+  private def footerMagic(path: String): String = {
     val f = firstDataFile(path)
     val fs = GridStore.fileSystem(spark, path)
     val head = new Array[Byte](4)
     val in = fs.open(f)
     try in.readFully(0, head) finally in.close()
-    assert(new String(head, "US-ASCII") == "PAR1")
-    assert(new GridStore(spark, path, desc).dataset().count() == 6 * 4)
+    new String(head, "US-ASCII")
+  }
+
+  test("a stray constructor key on an existing plaintext store fails " +
+      "with both named (ADVICE r8), and a full rebuild adopts it") {
+    val path = fresh("plain")
+    new GridStore(spark, path, desc).publish(dailyGrid(1, 4))
+    val kh = registeredHash()
+    // an update through the mismatched handle must NOT silently write
+    // plaintext — the user asked for encryption
+    val e = intercept[IllegalStateException] {
+      new GridStore(spark, path, desc, encryptionKeyHash = Some(kh))
+        .publish(dailyGrid(5, 2))
+    }
+    assert(e.getMessage.contains(kh) && e.getMessage.contains("not encrypted"),
+      e.getMessage)
+    // store untouched and still plaintext
+    assert(footerMagic(path) == "PAR1")
+    assert(new GridStore(spark, path, desc).dataset().count() == 4 * 4)
+    // a full rebuild rewrites every data file, so it adopts the key
+    new GridStore(spark, path, desc, encryptionKeyHash = Some(kh))
+      .publish(dailyGrid(1, 6), rebuild = true)
+    assert(footerMagic(path) == "PARE")
+    val reopened = new GridStore(spark, path, desc)
+    assert(reopened.readAttrs()(GridStore.EncryptionKeyHashAttr) == kh)
+    assert(reopened.dataset().count() == 6 * 4)
+  }
+
+  test("key rotation by rebuild: the new key encrypts, the old is gone") {
+    val kh1 = registeredHash()
+    val path = fresh("rotate")
+    new GridStore(spark, path, desc, encryptionKeyHash = Some(kh1))
+      .publish(dailyGrid(1, 4))
+    val kh2 = registeredHash()
+    // an update under the wrong key fails with both hashes named
+    val e = intercept[IllegalStateException] {
+      new GridStore(spark, path, desc, encryptionKeyHash = Some(kh2))
+        .publish(dailyGrid(5, 2))
+    }
+    assert(e.getMessage.contains(kh1) && e.getMessage.contains(kh2), e.getMessage)
+    // rotation = rebuild under the new key
+    new GridStore(spark, path, desc, encryptionKeyHash = Some(kh2))
+      .publish(dailyGrid(1, 5), rebuild = true)
+    val reopened = new GridStore(spark, path, desc)
+    assert(reopened.readAttrs()(GridStore.EncryptionKeyHashAttr) == kh2)
+    assert(reopened.dataset().count() == 5 * 4)
+    // a keyless rebuild keeps the persisted profile — never a silent decrypt
+    new GridStore(spark, path, desc).publish(dailyGrid(1, 3), rebuild = true)
+    assert(new GridStore(spark, path, desc)
+      .readAttrs()(GridStore.EncryptionKeyHashAttr) == kh2)
+    assert(footerMagic(path) == "PARE")
   }
 }

@@ -209,6 +209,36 @@ class ZarrEncryptionSpec extends SparkSpec {
       .contains("xchacha20poly1305"))
   }
 
+  test("a constructor key that contradicts the persisted profile fails " +
+      "with both named (ADVICE r8) and points at rechunkZarr") {
+    def grid(days: Int) = dailyGrid(1, days)
+    // plaintext store + stray key on update
+    val plainPath = fresh("mismatchplain")
+    new ZarrStore(spark, plainPath, desc, timeChunk = 8).publish(grid(4))
+    val kh = registeredHash()
+    val e1 = intercept[IllegalStateException] {
+      new ZarrStore(spark, plainPath, desc, timeChunk = 8,
+        encryptionKeyHash = Some(kh)).publish(dailyGrid(5, 2))
+    }
+    assert(e1.getMessage.contains(kh) && e1.getMessage.contains("not encrypted")
+      && e1.getMessage.contains("rechunkZarr"), e1.getMessage)
+    // encrypted store + different key on rebuild (zarr reuses the
+    // persisted array doc, so even a rebuild refuses — rechunk re-keys)
+    val kh2 = registeredHash()
+    val encPath = fresh("mismatchenc")
+    new ZarrStore(spark, encPath, desc, timeChunk = 8,
+      encryptionKeyHash = Some(kh)).publish(grid(4))
+    val e2 = intercept[IllegalStateException] {
+      new ZarrStore(spark, encPath, desc, timeChunk = 8,
+        encryptionKeyHash = Some(kh2)).publish(grid(4), rebuild = true)
+    }
+    assert(e2.getMessage.contains(kh) && e2.getMessage.contains(kh2), e2.getMessage)
+    // the matching key is of course still fine
+    new ZarrStore(spark, encPath, desc, timeChunk = 8,
+      encryptionKeyHash = Some(kh)).publish(dailyGrid(5, 2))
+    assert(new ZarrStore(spark, encPath, desc).dataset().count() == 6 * 4)
+  }
+
   test("roundtrip through the raw codec primitives matches the reference layout") {
     val kh = registeredHash()
     val plain = Array.tabulate[Byte](1024)(i => (i * 31).toByte)
