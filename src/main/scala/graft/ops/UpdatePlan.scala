@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.TimestampNTZType
 import graft.model.TimeSpan
 
 /** Update planning — classify an incoming delta against the existing store
@@ -202,19 +203,28 @@ object UpdatePlan {
       existingEnd: java.sql.Timestamp,
       resolution: TimeSpan,
       cadenceBounds: Option[(TimeSpan, TimeSpan)]): Unit = {
-    // Compare in EPOCH space so no zone can skew the contiguity gap: an
-    // LTZ column is an instant (unix_millis is zone-free) and so is the
-    // existing-end Timestamp (getTime); an NTZ column is interpreted in
-    // the SESSION zone (Spark's own cast convention). The earlier NTZ
-    // round-trip (cast via session zone, reconstruct via JVM zone) skewed
-    // LTZ inputs by the session−JVM offset difference.
+    // Compare in EPOCH space so no zone can skew the contiguity gap — but
+    // BOTH sides must travel wall-time->epoch through the SAME convention.
+    // An LTZ column is an instant (unix_millis is zone-free) and so is the
+    // existing-end Timestamp (getTime). An NTZ column is wall time that
+    // Spark's cast interprets in the SESSION zone, while the caller's
+    // java.sql.Timestamp was built from wall time in the JVM zone
+    // (Timestamp.valueOf) — so for NTZ inputs the end literal must be
+    // re-derived from its WALL time through the same session-zone cast, or
+    // the gap skews by the session−JVM offset difference (ADVICE r9, the
+    // mirror of the LTZ bug ADVICE r8 fixed).
     val msCol = "__time_ms"
     def toMs(df: DataFrame, kind: String): DataFrame =
       df.select(unix_millis(col(timeCol).cast("timestamp")).as(msCol),
         lit(kind).as("kind"))
+    val ntz = Seq(insertTimes, appendTimes).exists(df =>
+      df.schema.fields.exists(f =>
+        f.name == timeCol && f.dataType == TimestampNTZType))
+    val endMs =
+      if (ntz) unix_millis(lit(existingEnd.toLocalDateTime).cast("timestamp"))
+      else lit(existingEnd.getTime)
     val end = spark.range(1).select(
-      lit(existingEnd.getTime).as(msCol),
-      lit("existing_end").as("kind"))
+      endMs.as(msCol), lit("existing_end").as("kind"))
     val classified = toMs(insertTimes, "insert")
       .unionByName(toMs(appendTimes, "append"))
       .unionByName(end)

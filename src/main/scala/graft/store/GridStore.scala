@@ -320,21 +320,35 @@ final class GridStore(
   /** W3 — initial write (publish.py:301-318). */
   def writeInitial(df: DataFrame, dryRun: Boolean = false): Unit = {
     if (dryRun) return
-    // Persist the encryption profile BEFORE the commit marker creates the
-    // sidecar: effectiveEncryptionHash reads persisted state from the
-    // moment the store "exists", so the hash must be the first attr in.
     // A full (re)build rewrites EVERY data file, so it is the one path
     // that may change the profile: an explicit constructor key is adopted
     // (encrypting a plaintext store, or rotating an encrypted one);
     // omitting the key keeps the persisted profile, so a rebuild never
     // silently decrypts.
+    //
+    // WHEN the adopted hash persists differs by case (ADVICE r9):
+    //  - NEW store: before the commit marker creates the sidecar, so the
+    //    store never "exists" without its profile (a failed first write
+    //    leaves attrs and partial files agreeing on the same key).
+    //  - EXISTING store whose profile CHANGES: only with the post-write
+    //    attrs, inside the marker. The rebuild job already encrypts under
+    //    the new key via the in-memory resolution below; persisting the
+    //    hash early meant a failed job left the sidecar advertising a key
+    //    the surviving files don't carry, and later updates from a fresh
+    //    handle would silently produce a mixed-key store. With the old
+    //    hash still persisted, a failed rotation reads as loud AEAD
+    //    errors until the rebuild is retried.
     val persisted =
       if (hasExisting) readAttrs().get(EncryptionKeyHashAttr) else None
     val adopted = encryptionKeyHash.orElse(persisted)
-    if (adopted != persisted)
-      patchAttrs(Map(EncryptionKeyHashAttr -> adopted.get))
+    if (!hasExisting) adopted.foreach(kh =>
+      patchAttrs(Map(EncryptionKeyHashAttr -> kh)))
     resolvedEncryptionHash = Some(adopted)
-    withCommitMarker(computedAttrs(df, isUpdate = false)) {
+    val rotation: Map[String, String] =
+      if (hasExisting && adopted != persisted)
+        Map(EncryptionKeyHashAttr -> adopted.get)
+      else Map.empty
+    withCommitMarker(computedAttrs(df, isUpdate = false) ++ rotation) {
       writeJob(df, "overwrite")
     }
   }

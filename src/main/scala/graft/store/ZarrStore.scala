@@ -119,9 +119,14 @@ final class ZarrStore(
   private def keySep: String = if (useV3) "/" else "."
   private def keyPfx: String = if (useV3) "c" else ""
 
-  /** Open through the chunk-pruned DSv2 scan. */
+  /** Open through the chunk-pruned DSv2 scan. Reads enforce the same
+    * encryption contract as writes (ADVICE r9): a handle whose constructor
+    * key contradicts the persisted profile must not silently read — the
+    * same symmetry GridStore's effectiveEncryptionHash gives the parquet
+    * store. */
   def dataset(): DataFrame = {
     require(hasExisting, s"No existing zarr store at $path")
+    checkEncryptionProfile()
     spark.read.format("zarr").load(path)
   }
 
@@ -251,19 +256,30 @@ final class ZarrStore(
     if (!hasExisting || rebuild) writeInitial(update)
     else writeUpdate(update)
 
-  /** The key hash an existing store's data variable is encrypted under,
-    * wherever its chain carries it (v2 `EncryptionFilter` or the v3 codec
-    * chain, inside any crc32c wrapper). */
-  private def persistedEncryptionHash: Option[String] =
-    listArrays().toMap.get(desc.dataVar).flatMap { m =>
-      def fromCodec(c: ZarrCodec.Codec): Option[String] = c match {
-        case ZarrCodec.EncryptionCodec(_, kh) => Some(kh)
-        case ZarrCodec.Crc32cCodec(inner) => fromCodec(inner)
-        case _ => None
-      }
-      m.filters.collectFirst { case ZarrMeta.EncryptionFilter(kh) => kh }
-        .orElse(fromCodec(m.codec))
+  /** The key hash a data-array document declares, wherever its chain
+    * carries it (v2 `EncryptionFilter` or the v3 codec chain, inside any
+    * crc32c wrapper). */
+  private def encryptionHashOf(m: ZArrayMeta): Option[String] = {
+    def fromCodec(c: ZarrCodec.Codec): Option[String] = c match {
+      case ZarrCodec.EncryptionCodec(_, kh) => Some(kh)
+      case ZarrCodec.Crc32cCodec(inner) => fromCodec(inner)
+      case _ => None
     }
+    m.filters.collectFirst { case ZarrMeta.EncryptionFilter(kh) => kh }
+      .orElse(fromCodec(m.codec))
+  }
+
+  /** The key hash an existing store's data variable is encrypted under. */
+  private def persistedEncryptionHash: Option[String] =
+    persistedDataMeta.flatMap(encryptionHashOf)
+
+  /** The persisted data-array document — dtype, fill, chunk grid, filter
+    * chain (including encryption). Updates AND rebuilds reuse it wholesale;
+    * rebuild callers must capture it BEFORE deleting the array directory
+    * (ADVICE r9: reading it after the delete silently rebuilt a plaintext
+    * profile from the absent document). */
+  private def persistedDataMeta: Option[ZArrayMeta] =
+    listArrays().toMap.get(desc.dataVar)
 
   /** ADVICE r8: a constructor key hash that contradicts an existing
     * store's persisted encryption profile must fail with both named —
@@ -281,7 +297,7 @@ final class ZarrStore(
             s"Store at $path is ${persisted.fold("not encrypted")(h =>
               s"encrypted under key hash $h")} but this handle was " +
               s"constructed with key hash $kh: an existing zarr store's " +
-              "persisted profile governs all writes. To change keys, " +
+              "persisted profile governs reads and writes. To change keys, " +
               "rewrite the store through StoreConvert.rechunkZarr with " +
               "the new encryptionKeyHash")
       }
@@ -291,6 +307,14 @@ final class ZarrStore(
     * driver, data chunks distributed. */
   def writeInitial(df: DataFrame): Unit = {
     checkEncryptionProfile()
+    // Capture the persisted array document BEFORE the rebuild delete
+    // removes it: a keyless rebuild of an encrypted store keeps the
+    // persisted profile (never silently decrypts), and the key it names
+    // must be registered — fail here with the hash named, not mid-job.
+    val persisted = persistedDataMeta
+    if (encryptionKeyHash.isEmpty)
+      persisted.flatMap(encryptionHashOf)
+        .foreach(graft.functions.Encryption.requireKey)
     val (timeMicros, spatialVals) = collectAxes(df)
     withCommitMarker(Map(
       "dataset_name" -> desc.datasetName,
@@ -300,10 +324,11 @@ final class ZarrStore(
       // resurface as data (publish.py's rebuild overwrites the whole store)
       GridStore.fileSystem(spark, path)
         .delete(new HPath(s"$path/${desc.dataVar}"), true)
-      writeAxesAndMeta(timeMicros, spatialVals)
+      writeAxesAndMeta(persisted, timeMicros, spatialVals)
       ZarrIO.writeDataChunks(spark, path,
         axes = axisKeys(timeMicros, spatialVals),
-        vars = Seq((desc.dataVar, desc.dataVar, dataMeta(timeMicros.length, spatialVals))),
+        vars = Seq((desc.dataVar, desc.dataVar,
+          dataMeta(persisted, timeMicros.length, spatialVals))),
         df = df, mergeExisting = false)
     }
   }
@@ -315,6 +340,7 @@ final class ZarrStore(
   private def writeUpdate(df: DataFrame): Unit = {
     checkNotInProgress()
     checkEncryptionProfile()
+    val persisted = persistedDataMeta
     val existingTime = readTimeAxisMicros()
     val existingSet = existingTime.toSet
     val (updateTime, spatialVals) = collectAxes(df)
@@ -341,11 +367,11 @@ final class ZarrStore(
       "update_date_range_start" -> micros2ldt(updateTime.head).toString,
       "update_date_range_end" -> micros2ldt(updateTime.last).toString)) {
       if (appended.nonEmpty)
-        writeAxesAndMeta(newTime, spatialAxes.map(_._2))
+        writeAxesAndMeta(persisted, newTime, spatialAxes.map(_._2))
       ZarrIO.writeDataChunks(spark, path,
         axes = axisKeys(newTime, spatialAxes.map(_._2)),
         vars = Seq((desc.dataVar, desc.dataVar,
-          dataMeta(newTime.length, spatialAxes.map(_._2)))),
+          dataMeta(persisted, newTime.length, spatialAxes.map(_._2)))),
         df = df, mergeExisting = true)
     }
   }
@@ -396,8 +422,9 @@ final class ZarrStore(
     * than the current shape, so the time chunk stays `timeChunk` even when
     * the initial write is shorter — appends then extend in place instead of
     * renumbering existing chunks). Updates reuse the persisted chunks. */
-  private def chunkShape(spatial: Seq[Array[Double]]): Seq[Int] =
-    listArrays().toMap.get(desc.dataVar).map(_.chunks).getOrElse(
+  private def chunkShape(persisted: Option[ZArrayMeta],
+      spatial: Seq[Array[Double]]): Seq[Int] =
+    persisted.map(_.chunks).getOrElse(
       timeChunk +:
         spatial.zip(spatialChunks.getOrElse(spatial.map(_.length))).map {
           case (vals, c) => math.min(math.max(c, 1), math.max(vals.length, 1))
@@ -409,8 +436,8 @@ final class ZarrStore(
     * an initial write / rebuild uses the constructor's codec. A persisted
     * decode-only blosc declaration maps to the LZ4 encoder (same id, same
     * container). */
-  private def writeCodec: ZarrCodec.Codec =
-    listArrays().toMap.get(desc.dataVar) match {
+  private def writeCodec(persisted: Option[ZArrayMeta]): ZarrCodec.Codec =
+    persisted match {
       case Some(m) =>
         // the decode-only blosc declaration needs the LZ4 encoder wherever
         // it sits — bare or inside a crc32c wrapper
@@ -432,13 +459,13 @@ final class ZarrStore(
     * the reference (metadata.py:862-868 appends the filter to
     * `dataset[self.data_var]`'s encoding alone, leaving coordinates
     * plain). */
-  private def coordCodec: ZarrCodec.Codec = {
+  private def coordCodec(persisted: Option[ZArrayMeta]): ZarrCodec.Codec = {
     def strip(c: ZarrCodec.Codec): ZarrCodec.Codec = c match {
       case ZarrCodec.EncryptionCodec(inner, _) => strip(inner)
       case ZarrCodec.Crc32cCodec(inner) => ZarrCodec.Crc32cCodec(strip(inner))
       case other => other
     }
-    strip(writeCodec)
+    strip(writeCodec(persisted))
   }
 
   /** Data-variable metadata. An UPDATE reuses the persisted document
@@ -446,16 +473,17 @@ final class ZarrStore(
     * into an existing store — including an f4 store the reference's own
     * tooling wrote — stay bit-compatible; only the shape advances. An
     * initial write starts the engine's native f8 profile. */
-  private def dataMeta(nt: Int, spatial: Seq[Array[Double]]): ZArrayMeta = {
+  private def dataMeta(persisted: Option[ZArrayMeta], nt: Int,
+      spatial: Seq[Array[Double]]): ZArrayMeta = {
     val shape = nt +: spatial.map(_.length)
-    listArrays().toMap.get(desc.dataVar) match {
+    persisted match {
       case Some(m) =>
         // the persisted filter chain (shuffle, encryption) carries over
         // verbatim — the chunk writer applies filters-then-codec, so
         // updates stay bit-compatible with what the store declares
-        m.copy(shape = shape, codec = writeCodec)
+        m.copy(shape = shape, codec = writeCodec(persisted))
       case None =>
-        val storage = chunkShape(spatial)
+        val storage = chunkShape(persisted, spatial)
         val (chunks, sharding) = shardChunks match {
           case None => (storage, None)
           case Some(inner) =>
@@ -468,16 +496,17 @@ final class ZarrStore(
         // v2 encrypts via the reference's filter; v3 via the codec chain
         // (encrypt after compress, inside any crc32c)
         val (dataCodec, dataFilters) = encryptionKeyHash match {
-          case None => (writeCodec, Seq.empty[ZarrMeta.V2Filter])
+          case None => (writeCodec(persisted), Seq.empty[ZarrMeta.V2Filter])
           case Some(kh) if useV3 =>
             def inject(c: ZarrCodec.Codec): ZarrCodec.Codec = c match {
               case ZarrCodec.Crc32cCodec(inner) =>
                 ZarrCodec.Crc32cCodec(inject(inner))
               case other => ZarrCodec.EncryptionCodec(other, kh)
             }
-            (inject(writeCodec), Seq.empty[ZarrMeta.V2Filter])
+            (inject(writeCodec(persisted)), Seq.empty[ZarrMeta.V2Filter])
           case Some(kh) =>
-            (writeCodec, Seq[ZarrMeta.V2Filter](ZarrMeta.EncryptionFilter(kh)))
+            (writeCodec(persisted),
+              Seq[ZarrMeta.V2Filter](ZarrMeta.EncryptionFilter(kh)))
         }
         ZArrayMeta(
           shape = shape,
@@ -496,13 +525,15 @@ final class ZarrStore(
 
   /** Rewrite coordinate arrays + all `.zarray` docs + consolidated
     * metadata for the given axes (driver-side; coords are KB-scale). */
-  private def writeAxesAndMeta(timeMicros: Array[Long],
+  private def writeAxesAndMeta(persisted: Option[ZArrayMeta],
+      timeMicros: Array[Long],
       spatial: Seq[Array[Double]]): Unit = {
+    val cCodec = coordCodec(persisted)
     val timeMeta = ZArrayMeta(
       shape = Seq(timeMicros.length),
       chunks = Seq(math.max(timeMicros.length, 1)),
       dtype = ZarrMeta.parseDtype("<i8"),
-      codec = coordCodec, fill = None, dimSeparator = keySep,
+      codec = cCodec, fill = None, dimSeparator = keySep,
       attrs = JObj(Seq(
         "_ARRAY_DIMENSIONS" -> graft.meta.JArr(Seq(JStr(timeCol))),
         "units" -> JStr(TimeUnits),
@@ -513,14 +544,14 @@ final class ZarrStore(
       val m = ZArrayMeta(
         shape = Seq(vals.length), chunks = Seq(math.max(vals.length, 1)),
         dtype = ZarrMeta.parseDtype("<f8"),
-        codec = coordCodec, fill = None, dimSeparator = keySep,
+        codec = cCodec, fill = None, dimSeparator = keySep,
         attrs = JObj(Seq(
           "_ARRAY_DIMENSIONS" -> graft.meta.JArr(Seq(JStr(dim))))),
         keyPrefix = keyPfx)
       ZarrIO.writeArray(conf, path, dim, m, vals)
     }
     // the data variable's document reflects the (possibly extended) shape
-    val dm = dataMeta(timeMicros.length, spatial)
+    val dm = dataMeta(persisted, timeMicros.length, spatial)
     if (useV3)
       ZarrIO.writeUtf8(conf, s"$path/${desc.dataVar}/zarr.json", dm.renderV3)
     else {

@@ -117,4 +117,29 @@ class UpdatePlanSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
+
+  test("updateQualityCheck: zone-safe for wall-time (NTZ) inputs when " +
+      "session zone != JVM zone") {
+    // ADVICE r9 — the mirror of the LTZ case: an NTZ column goes
+    // wall->epoch via the SESSION zone, but existingEnd.getTime reflects
+    // the JVM zone its Timestamp was built in (Timestamp.valueOf). Under a
+    // +05:00 session zone the pre-fix gap for a truly-contiguous daily
+    // append skewed by 5h and tripped the gate. Both sides now derive
+    // through the session-zone convention for NTZ inputs.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "+05:00")
+    try {
+      val sp = spark; import sp.implicits._
+      def ntz(days: Int*) = days.map(d =>
+        Tuple1(java.time.LocalDateTime.parse(f"2024-01-$d%02dT00:00:00")))
+        .toDF("time") // LocalDateTime encodes as TIMESTAMP_NTZ
+      UpdatePlan.updateQualityCheck(spark, ntz(), ntz(11), "time",
+        java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), TimeSpan.Daily, None)
+      // a genuinely non-contiguous NTZ append still raises
+      assertThrows[IllegalStateException] {
+        UpdatePlan.updateQualityCheck(spark, ntz(), ntz(13), "time",
+          java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), TimeSpan.Daily, None)
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }

@@ -155,4 +155,37 @@ class GridStoreEncryptionSpec extends SparkSpec {
       .readAttrs()(GridStore.EncryptionKeyHashAttr) == kh2)
     assert(footerMagic(path) == "PARE")
   }
+
+  test("a FAILED rotation rebuild leaves the old hash persisted (ADVICE " +
+      "r9: attrs never advertise a key the files don't carry)") {
+    val kh1 = registeredHash()
+    val path = fresh("rotatecrash")
+    new GridStore(spark, path, desc, encryptionKeyHash = Some(kh1))
+      .publish(dailyGrid(1, 4))
+    val kh2 = registeredHash()
+    // crash-inject: the rebuild frame throws mid-write, after the handle
+    // has already adopted kh2 in memory
+    val boom = org.apache.spark.sql.functions.udf { (v: Double) =>
+      if (v >= 0) throw new RuntimeException("injected write failure"); v
+    }
+    val failing = dailyGrid(1, 4).withColumn("value",
+      boom(org.apache.spark.sql.functions.col("value")))
+    intercept[Exception] {
+      new GridStore(spark, path, desc, encryptionKeyHash = Some(kh2))
+        .publish(failing, rebuild = true)
+    }
+    // pre-fix: the sidecar was patched to kh2 BEFORE the job ran, so a
+    // later keyless update would encrypt new buckets under kh2 over kh1
+    // files — a silent mixed-key store. Post-fix the old profile stands.
+    val attrs = new GridStore(spark, path, desc).readAttrs()
+    assert(attrs(GridStore.EncryptionKeyHashAttr) == kh1,
+      s"failed rotation must keep the OLD hash: $attrs")
+    assert(attrs(GridStore.UpdateInProgressKey) == "false")
+    // retrying the rotation converges: the new key lands with the data
+    new GridStore(spark, path, desc, encryptionKeyHash = Some(kh2))
+      .publish(dailyGrid(1, 5), rebuild = true)
+    val reopened = new GridStore(spark, path, desc)
+    assert(reopened.readAttrs()(GridStore.EncryptionKeyHashAttr) == kh2)
+    assert(reopened.dataset().count() == 5 * 4)
+  }
 }

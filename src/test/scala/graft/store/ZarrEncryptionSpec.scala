@@ -239,6 +239,51 @@ class ZarrEncryptionSpec extends SparkSpec {
     assert(new ZarrStore(spark, encPath, desc).dataset().count() == 6 * 4)
   }
 
+  test("keyless rebuild of an encrypted store keeps the persisted profile " +
+      "(ADVICE r9: never a silent decrypt)") {
+    val kh = registeredHash()
+    val path = fresh("keylessrebuild")
+    new ZarrStore(spark, path, desc, timeChunk = 8,
+      encryptionKeyHash = Some(kh)).publish(dailyGrid(1, 6))
+    // rebuild through a KEYLESS handle: the persisted array document must
+    // carry over — pre-fix, writeInitial deleted the array doc before
+    // reading it and rebuilt a PLAINTEXT profile from the absent document
+    new ZarrStore(spark, path, desc, timeChunk = 8)
+      .publish(dailyGrid(1, 8), rebuild = true)
+    val zarray = new String(readFile(s"$path/value/.zarray"), "UTF-8")
+    assert(zarray.contains("xchacha20poly1305") && zarray.contains(kh),
+      s"rebuild must keep the persisted encryption profile: $zarray")
+    // chunk bytes still carry the 40-byte AEAD envelope, not plaintext
+    val rawLen = 8 * 2 * 2 * 8
+    assert(inflateAll(readFile(s"$path/value/0.0.0")).length == rawLen + 40)
+    assert(new ZarrStore(spark, path, desc).dataset().count() == 8 * 4)
+  }
+
+  test("reads enforce the persisted profile: a contradicting handle " +
+      "refuses on dataset() too (ADVICE r9 GridStore symmetry)") {
+    val kh = registeredHash()
+    val other = registeredHash()
+    val path = fresh("readguard")
+    new ZarrStore(spark, path, desc, timeChunk = 8,
+      encryptionKeyHash = Some(kh)).publish(dailyGrid(1, 4))
+    val e = intercept[IllegalStateException] {
+      new ZarrStore(spark, path, desc, encryptionKeyHash = Some(other)).dataset()
+    }
+    assert(e.getMessage.contains(kh) && e.getMessage.contains(other), e.getMessage)
+    // plaintext store + stray key on read refuses the same way
+    val plain = fresh("readguardplain")
+    new ZarrStore(spark, plain, desc, timeChunk = 8).publish(dailyGrid(1, 4))
+    val e2 = intercept[IllegalStateException] {
+      new ZarrStore(spark, plain, desc, encryptionKeyHash = Some(other))
+        .readRange(ts("2024-01-01T00:00:00"), ts("2024-01-04T00:00:00"))
+    }
+    assert(e2.getMessage.contains(other) &&
+      e2.getMessage.contains("not encrypted"), e2.getMessage)
+    // the matching key still reads
+    assert(new ZarrStore(spark, path, desc, encryptionKeyHash = Some(kh))
+      .dataset().count() == 4 * 4)
+  }
+
   test("roundtrip through the raw codec primitives matches the reference layout") {
     val kh = registeredHash()
     val plain = Array.tabulate[Byte](1024)(i => (i * 31).toByte)
