@@ -1484,6 +1484,76 @@ object SparkEntry {
         .orderBy("time", "slot", "member")
     }),
 
+    // S9 vertical-level axis (ERA5 pressure-level shape): per-day messages
+    // carry ONE parameter at THREE isobaric surfaces (850/500/250 hPa);
+    // the scan keys each hypercube on (level_type, level) instead of
+    // silently colliding cells — the reference separates these via
+    // scan_grib(filter)[scan_indices] (transform.py:214-219, 234-240).
+    // Level li's field is the base grid + li*1000.
+    "q152_grib_level_scan" -> ((s, dir) => {
+      val cells = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count().collect()
+      implicit val ldtOrd: Ordering[LocalDateTime] =
+        Ordering.fromLessThan(_ isBefore _)
+      val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+      val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+      val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/events_pl.grb2"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        fs.create(new org.apache.hadoop.fs.Path(path), true)))
+      try days.foreach { d =>
+        val base = Array.fill(10)(0.0)
+        byDay(d).foreach(r => base(r.getAs[Int]("slot")) = r.getAs[Long]("count").toDouble)
+        graft.sources.grib.GribFormat.writeMessage2Fields(out, d,
+          Seq(0.0, 1.0), Seq(0.0, 1.0, 2.0, 3.0, 4.0),
+          fields = (0 until 3).map(li => (61, 0, base.map(_ + li * 1000.0))),
+          levels = Seq((100, 85000L), (100, 50000L), (100, 25000L)))
+      } finally out.close()
+      s.read.format("grib1").load(path)
+        .withColumn("slot", (col("latitude") * 5 + col("longitude")).cast("int"))
+        .select(col("time"), col("slot"), col("level"), col("value").as("cnt"))
+        .orderBy("time", "slot", "level")
+    }),
+
+    // Forecast-category ingest: per day, TWO reference times whose valid
+    // times overlap — (ref d, lead 6h) and (ref d+6h, analysis) both land
+    // on d+6h — and the scan keeps them distinct via (ref_time, step),
+    // the reference's forecast dim set (transform.py:724-759). The later
+    // reference's field is the base grid + 5000.
+    "q153_grib_forecast_scan" -> ((s, dir) => {
+      val cells = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count().collect()
+      implicit val ldtOrd: Ordering[LocalDateTime] =
+        Ordering.fromLessThan(_ isBefore _)
+      val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+      val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+      val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/events_fcst.grb2"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        fs.create(new org.apache.hadoop.fs.Path(path), true)))
+      try days.foreach { d =>
+        val base = Array.fill(10)(0.0)
+        byDay(d).foreach(r => base(r.getAs[Int]("slot")) = r.getAs[Long]("count").toDouble)
+        graft.sources.grib.GribFormat.writeMessage2Fields(out, d,
+          Seq(0.0, 1.0), Seq(0.0, 1.0, 2.0, 3.0, 4.0),
+          fields = Seq((61, 6, base)))
+        graft.sources.grib.GribFormat.writeMessage2Fields(out, d.plusHours(6),
+          Seq(0.0, 1.0), Seq(0.0, 1.0, 2.0, 3.0, 4.0),
+          fields = Seq((61, 0, base.map(_ + 5000.0))))
+      } finally out.close()
+      s.read.format("grib1").load(path)
+        .withColumn("slot", (col("latitude") * 5 + col("longitude")).cast("int"))
+        .select(col("time"), col("ref_time"), col("step"), col("slot"),
+          col("value").as("cnt"))
+        .orderBy("time", "ref_time", "slot")
+    }),
+
     // template 5.3 (complex packing + order-2 spatial differencing — the
     // packing operational GFS/NDFD archives carry), same grid + bitmap
     "q85_grib_spatial_diff_scan" -> ((s, dir) => {
@@ -3267,6 +3337,45 @@ object SparkEntry {
         |       CAST(COALESCE(g.cnt, 0) + spine.member * 1000 AS DOUBLE) AS cnt
         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // pressure-level fixture: the dense spine crossed with the three
+    // isobaric surfaces; level index li's field is the base grid + li*1000
+    "q152_grib_level_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |lv AS (SELECT CAST(UNNEST([85000, 50000, 25000]) AS DOUBLE) AS level,
+        |              CAST(UNNEST([0, 1000, 2000]) AS DOUBLE) AS off),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot, level, off
+        |          FROM days, (SELECT unnest(range(10)) AS s), lv)
+        |SELECT spine.d AS time, spine.slot AS slot, spine.level AS level,
+        |       CAST(COALESCE(g.cnt, 0) + spine.off AS DOUBLE) AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // forecast fixture: each day contributes two hypercubes valid at
+    // d+6h — (ref d, step 360min) and (ref d+6h, step 0, base + 5000)
+    "q153_grib_forecast_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s)),
+        |joined AS (SELECT spine.d AS d, spine.slot AS slot,
+        |                  CAST(COALESCE(g.cnt, 0) AS DOUBLE) AS cnt
+        |           FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot)
+        |SELECT d + INTERVAL 6 HOUR AS time, d AS ref_time,
+        |       CAST(360 AS BIGINT) AS step, slot, cnt
+        |FROM joined
+        |UNION ALL
+        |SELECT d + INTERVAL 6 HOUR AS time, d + INTERVAL 6 HOUR AS ref_time,
+        |       CAST(0 AS BIGINT) AS step, slot, CAST(cnt + 5000 AS DOUBLE) AS cnt
+        |FROM joined
+        |ORDER BY 1, 2, 4""".stripMargin,
 
     "q135_grib_jpeg2000_scan" ->
       """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,

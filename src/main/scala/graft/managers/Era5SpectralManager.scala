@@ -34,7 +34,15 @@ final class Era5SpectralManager(
       * more than one field per timestep into the synthesis would blend
       * coefficients; [[graft.ops.Spectral.synthesize]] additionally
       * refuses duplicate coefficients by name as the backstop. */
-    val paramId: Int = 130) extends DatasetManager {
+    val paramId: Int = 130,
+    /** Vertical hypercube selection: when set, the transform filters the
+      * scan to this first-fixed-surface value (pushed down as a
+      * message-level prune) — the engine's form of the reference's
+      * `grib_filter` + `scan_indices` level selection (transform.py:
+      * 214-219, 234-240). When None, a multi-level file is refused by
+      * name by [[graft.ops.Spectral.synthesize]]'s duplicate-coefficient
+      * backstop rather than blended. */
+    val level: Option[Double] = None) extends DatasetManager {
 
   val desc: DatasetDescriptor = DatasetDescriptor(
     datasetName = "era5_spectral_t",
@@ -77,8 +85,9 @@ final class Era5SpectralManager(
     // Message-level pruning: param/member equality predicates prune whole
     // messages exactly in the spectral scan, so off-param fields are never
     // even unpacked.
-    val coeffs = spark.read.format("grib-spectral").load(inputDir)
+    val base = spark.read.format("grib-spectral").load(inputDir)
       .filter(col("param") === paramId && col("member").isNull)
+    val coeffs = level.fold(base)(l => base.filter(col("level") === l))
     val grid = Spectral.synthesize(coeffs, Seq("time"), gridLats, gridLons)
       .withColumnRenamed("value", desc.dataVar)
     Normalize.normalize(grid, desc, pre = preprocess, post = postprocess)

@@ -59,6 +59,7 @@ object GribTable {
   /** The scan schema is FIXED — GRIB messages (either edition)
     * self-describe onto it. */
   val Schema: StructType = StructType(Seq(
+    // VALID time (= ref_time + step)
     StructField("time", TimestampNTZType, nullable = false),
     StructField("latitude", DoubleType, nullable = false),
     StructField("longitude", DoubleType, nullable = false),
@@ -66,8 +67,22 @@ object GribTable {
     // ensemble perturbation number (product templates 4.1/4.11);
     // null for deterministic products
     StructField("member", IntegerType, nullable = true),
+    // vertical axis: first-fixed-surface type (code table 4.5 / GRIB1
+    // table 3) + value; null when the product carries no surface (255) —
+    // a multi-level file (ERA5 pressure-level) keys its hypercubes here
+    StructField("level_type", IntegerType, nullable = true),
+    StructField("level", DoubleType, nullable = true),
+    // forecast reference time + lead minutes: two reference times with
+    // overlapping valid times stay distinct (forecast/ensemble ingest)
+    StructField("ref_time", TimestampNTZType, nullable = false),
+    StructField("step", LongType, nullable = false),
     // nullable: bitmap-masked cells surface as null
     StructField("value", DoubleType, nullable = true)))
+
+  /** Forecast reference time with the hand-constructed-message fallback
+    * (a message built without `baseTime` is an analysis: ref = valid). */
+  private[grib] def baseOf(m: GribMessage): java.time.LocalDateTime =
+    if (m.baseTime == null) m.validTime else m.baseTime
 
   private val messageCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Seq[GribMessage]]()
@@ -171,20 +186,29 @@ final class GribScanBuilder(table: GribTable) extends ScanBuilder
   private var required: StructType = GribTable.Schema
   private var pushed: Array[Filter] = Array.empty
 
-  /** time/param predicates prune whole messages EXACTLY (all cells of a
-    * message share them) → fully handled; lat/lon stay residual. */
+  /** time/ref_time/param/member/level/step predicates prune whole messages
+    * EXACTLY (all cells of a message share them) → fully handled; lat/lon
+    * stay residual. */
   private def handled(f: Filter): Boolean = f match {
-    // `value` CAN be null (bitmap holes) and `member` null for
-    // deterministic products — their IsNotNull must stay residual
+    // `value` CAN be null (bitmap holes), `member` null for deterministic
+    // products, level/level_type null for surface-less products — their
+    // IsNotNull must stay residual
     case sources.IsNotNull(a) => a != "value" && a != "member" &&
+      a != "level" && a != "level_type" &&
       GribTable.Schema.fieldNames.contains(a)
     case sources.EqualTo("param", _: Integer) => true
     case sources.EqualTo("member", _: Integer) => true
-    case sources.EqualTo("time", v) => NcScan.toKey(v).isDefined
-    case sources.GreaterThan("time", v) => NcScan.toKey(v).isDefined
-    case sources.GreaterThanOrEqual("time", v) => NcScan.toKey(v).isDefined
-    case sources.LessThan("time", v) => NcScan.toKey(v).isDefined
-    case sources.LessThanOrEqual("time", v) => NcScan.toKey(v).isDefined
+    case sources.IsNull("member") => true
+    case sources.EqualTo("level_type", _: Integer) => true
+    case sources.IsNull("level_type") => true
+    case sources.EqualTo("level", _: java.lang.Double) => true
+    case sources.IsNull("level") => true
+    case sources.EqualTo("step", _: java.lang.Long) => true
+    case sources.EqualTo("time" | "ref_time", v) => NcScan.toKey(v).isDefined
+    case sources.GreaterThan("time" | "ref_time", v) => NcScan.toKey(v).isDefined
+    case sources.GreaterThanOrEqual("time" | "ref_time", v) => NcScan.toKey(v).isDefined
+    case sources.LessThan("time" | "ref_time", v) => NcScan.toKey(v).isDefined
+    case sources.LessThanOrEqual("time" | "ref_time", v) => NcScan.toKey(v).isDefined
     case _ => false
   }
 
@@ -224,18 +248,34 @@ final class GribScan(
 
   /** SAME conversion as the filter-literal side (NcScan.toKey) so the
     * Double equality in keep() is exact by construction. */
-  private def timeMicros(m: GribMessage): Double = NcScan.toKey(m.refTime).get
+  private def timeMicros(m: GribMessage): Double = NcScan.toKey(m.validTime).get
+  private def refMicros(m: GribMessage): Double =
+    NcScan.toKey(GribTable.baseOf(m)).get
 
-  /** Message survives every pushed predicate? (time/param only). */
+  /** Message survives every pushed predicate? */
   private def keep(m: GribMessage): Boolean = pushed.forall {
     case sources.IsNotNull(_) => true
     case sources.EqualTo("param", v: Integer) => m.paramId == v.intValue()
     case sources.EqualTo("member", v: Integer) => m.member == v.intValue()
+    case sources.IsNull("member") => m.member < 0
+    case sources.EqualTo("level_type", v: Integer) =>
+      m.levelType != 255 && m.levelType == v.intValue()
+    case sources.IsNull("level_type") => m.levelType == 255
+    case sources.EqualTo("level", v: java.lang.Double) =>
+      m.level == v.doubleValue() // NaN (no surface) never equals
+    case sources.IsNull("level") => m.level.isNaN
+    case sources.EqualTo("step", v: java.lang.Long) =>
+      m.stepMinutes == v.longValue()
     case sources.EqualTo("time", v) => NcScan.toKey(v).contains(timeMicros(m))
     case sources.GreaterThan("time", v) => NcScan.toKey(v).exists(timeMicros(m) > _)
     case sources.GreaterThanOrEqual("time", v) => NcScan.toKey(v).exists(timeMicros(m) >= _)
     case sources.LessThan("time", v) => NcScan.toKey(v).exists(timeMicros(m) < _)
     case sources.LessThanOrEqual("time", v) => NcScan.toKey(v).exists(timeMicros(m) <= _)
+    case sources.EqualTo("ref_time", v) => NcScan.toKey(v).contains(refMicros(m))
+    case sources.GreaterThan("ref_time", v) => NcScan.toKey(v).exists(refMicros(m) > _)
+    case sources.GreaterThanOrEqual("ref_time", v) => NcScan.toKey(v).exists(refMicros(m) >= _)
+    case sources.LessThan("ref_time", v) => NcScan.toKey(v).exists(refMicros(m) < _)
+    case sources.LessThanOrEqual("ref_time", v) => NcScan.toKey(v).exists(refMicros(m) <= _)
     case _ => true
   }
 
@@ -299,13 +339,16 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
   private val regular = m.lcc.isEmpty && m.rot.isEmpty && m.rowLengths.isEmpty
   private val lats = if (regular) m.lats else null
   private val lons = if (regular) m.lons else null
-  private val timeMicros: Long =
-    m.refTime.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-      m.refTime.getNano / 1000
+  private def micros(t: java.time.LocalDateTime): Long =
+    t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+  private val timeMicros: Long = micros(m.validTime)
+  private val refTimeMicros: Long = micros(GribTable.baseOf(m))
   // hoist the per-column dispatch out of the per-cell loop: a message is
   // ~10⁶ cells; string-matching column names per cell is pure overhead
   private val TimeC = 0; private val LatC = 1; private val LonC = 2
   private val ParamC = 3; private val ValueC = 4; private val MemberC = 5
+  private val LevelTypeC = 6; private val LevelC = 7
+  private val RefTimeC = 8; private val StepC = 9
   private val colCodes: Array[Int] = part.cols.map {
     case "time" => TimeC
     case "latitude" => LatC
@@ -313,6 +356,10 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
     case "param" => ParamC
     case "value" => ValueC
     case "member" => MemberC
+    case "level_type" => LevelTypeC
+    case "level" => LevelC
+    case "ref_time" => RefTimeC
+    case "step" => StepC
   }
   private var k = -1
 
@@ -328,6 +375,10 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
         case LonC => if (regular) lons(k % m.ni) else m.latLonAt(k)._2
         case ParamC => m.paramId
         case MemberC => if (m.member < 0) null else m.member
+        case LevelTypeC => if (m.levelType == 255) null else m.levelType
+        case LevelC => if (m.level.isNaN) null else m.level
+        case RefTimeC => refTimeMicros
+        case StepC => m.stepMinutes
         case ValueC =>
           val v = cellValue(k)
           if (v.isNaN) null else v

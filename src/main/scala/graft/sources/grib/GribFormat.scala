@@ -293,7 +293,8 @@ object GribFormat {
     * byte offset of the packed data (reading is a positioned slab read). */
   final case class GribMessage(
       paramId: Int,
-      refTime: java.time.LocalDateTime,
+      /** VALID time: forecast reference time + lead. */
+      validTime: java.time.LocalDateTime,
       ni: Int, nj: Int,
       la1: Double, lo1: Double, la2: Double, lo2: Double,
       decimalScale: Int,
@@ -335,7 +336,23 @@ object GribFormat {
       /** Grid template 3.50 + DRS 5.50: spherical-harmonic coefficients
         * (see [[SpectralGrid]]); such messages scan through the
         * `grib-spectral` source, never through lat/lon rows. */
-      spectral: Option[SpectralGrid] = None) {
+      spectral: Option[SpectralGrid] = None,
+      /** Vertical axis: GRIB2 PDT octet 23 (type of first fixed surface,
+        * code table 4.5 — 100 isobaric Pa, 103 height m, 1 ground) /
+        * GRIB1 PDS octet 10 level indicator; 255 = missing. The reference
+        * separates these hypercubes via `scan_grib(filter)[scan_indices]`
+        * ("multiple depth / surface layers", transform.py:234-240). */
+      levelType: Int = 255,
+      /** First-fixed-surface value (GRIB2: scaledValue / 10^scaleFactor;
+        * GRIB1: PDS octets 11-12). NaN when the surface carries no value. */
+      level: Double = Double.NaN,
+      /** Forecast reference time (section 1 / PDS date): validTime − lead.
+        * Forecast archives key on (baseTime, step) — two reference times
+        * with overlapping valid times must stay distinct (the reference's
+        * forecast/ensemble dim sets, transform.py:724-759). */
+      baseTime: java.time.LocalDateTime = null,
+      /** Forecast lead in minutes (0 = analysis). */
+      stepMinutes: Long = 0L) {
     // lazy, not def: latLonAt runs per cell (twice per row for lat+lon
     // columns) on rotated/Gaussian grids — rebuilding the axis arrays per
     // call would dominate a large scan
@@ -1087,10 +1104,18 @@ object GribFormat {
       /** Ensemble perturbation numbers aligned with `fields` (empty =
         * deterministic products; -1 entries stay deterministic). Members
         * write product template 4.1 instead of 4.0. */
-      members: Seq[Int] = Seq.empty): Unit = {
+      members: Seq[Int] = Seq.empty,
+      /** First fixed surfaces aligned with `fields`: (type from code table
+        * 4.5, value at scale factor 0) — e.g. (100, 85000) = 850 hPa.
+        * Empty = every field at ground surface (1, 0), the pre-level
+        * profile. This is how a multi-LEVEL fixture (ERA5 pressure-level
+        * shape) is written. */
+      levels: Seq[(Int, Long)] = Seq.empty): Unit = {
     require(fields.nonEmpty, "a GRIB2 message needs at least one field")
     require(members.isEmpty || members.length == fields.length,
       s"${members.length} members for ${fields.length} fields")
+    require(levels.isEmpty || levels.length == fields.length,
+      s"${levels.length} levels for ${fields.length} fields")
     require(spatialDiffOrder >= 0 && spatialDiffOrder <= 2,
       s"spatial differencing order $spatialDiffOrder (0, 1, 2)")
     require(spatialDiffOrder == 0 || complexPacking,
@@ -1111,6 +1136,7 @@ object GribFormat {
         jpegBytes: Option[Array[Byte]],
         refValue: Float,
         member: Int,
+        surfType: Int, surfVal: Long,
         sec4Len: Int, sec5Len: Int, sec6Len: Int, sec7Len: Int)
 
     val nMembers = members.count(_ >= 0)
@@ -1184,10 +1210,13 @@ object GribFormat {
         case (_, _, _, Some(bytes)) => bytes.length
         case _ => ((scaled.length.toLong * bits + 7) / 8).toInt
       }
+      val (surfType, surfVal) =
+        if (levels.isEmpty) (1, 0L) else levels(fi)
       FieldPlan(paramId, leadHours, scaled, minV, bits, bitmap, complexParts,
         pngBytes, ccsdsBytes, jpegBytes,
         refValue = if (fieldOrder > 0) 0f else minV.toFloat,
         member = member,
+        surfType = surfType, surfVal = surfVal,
         sec4Len = if (member >= 0) 37 else 34,
         sec5Len = if (fieldOrder > 0) 49 else if (complexPacking) 47
           else if (ccsdsPacking) 25 else if (jpegPacking) 23 else 21,
@@ -1281,7 +1310,8 @@ object GribFormat {
       out.writeShort(0); out.writeByte(0) // cutoff
       out.writeByte(1) // time unit: hours
       out.writeInt(p.leadHours) // forecast time
-      out.writeByte(1); out.writeByte(0); out.writeInt(0) // surface 1: ground
+      // surface 1: (type, scale factor 0, scaled value); ground by default
+      out.writeByte(p.surfType); out.writeByte(0); out.writeInt(p.surfVal.toInt)
       out.writeByte(255); out.writeByte(255); out.writeInt(-1) // surface 2: none
       if (p.member >= 0) {
         out.writeByte(3) // ensemble type: perturbed forecast
@@ -1416,6 +1446,8 @@ object GribFormat {
       var gaussN: Option[Int] = None
       var rowLengths: Option[Array[Int]] = None
       var member = -1
+      var levelType1 = 255
+      var level1 = Double.NaN
       var png = false
       var jpeg = false
       var spectralTrunc: Option[Int] = None
@@ -1439,13 +1471,14 @@ object GribFormat {
             skipN((secLen - 5).toLong)
             require(refTime0 != null && paramId >= 0 && ni > 0 && seenRepr,
               "GRIB2 field reached section 7 without sections 1, 3, 4 and 5")
-            val validTime = timeUnit match {
-              case 0 => refTime0.plusMinutes(forecast)
-              case 1 => refTime0.plusHours(forecast)
-              case 2 => refTime0.plusDays(forecast)
+            val stepMin: Long = timeUnit match {
+              case 0 => forecast.toLong
+              case 1 => forecast.toLong * 60
+              case 2 => forecast.toLong * 1440
               case u => throw new IllegalArgumentException(
                 s"GRIB2 time unit $u unsupported (0=min, 1=hour, 2=day)")
             }
+            val validTime = refTime0.plusMinutes(stepMin)
             val spectral = (spectralTrunc, spectralPacking) match {
               case (Some(t), Some(pk)) => Some(SpectralGrid(t, pk))
               case (Some(_), None) => throw new IllegalArgumentException(
@@ -1460,7 +1493,8 @@ object GribFormat {
               lo2, decimalScale, binaryScale, refValue, bits, dataOffset,
               dataBytes, total.toInt, bitmapOffset, bitmapBytes, complex, lcc,
               member, png, ccsds, rot, gaussN, rowLengths, jpeg = jpeg,
-              spectral = spectral)
+              spectral = spectral, levelType = levelType1, level = level1,
+              baseTime = refTime0, stepMinutes = stepMin)
           } else if (num == 6) {
             val indicator = readN(1)(0) & 0xFF
             indicator match {
@@ -1610,6 +1644,20 @@ object GribFormat {
                 paramId = ((body(4) & 0xFF) << 8) | (body(5) & 0xFF)
                 timeUnit = body(12) & 0xFF
                 forecast = sm(body, 13, 4)
+                // octets 23-28: FIRST fixed surface (type, sign-magnitude
+                // scale factor, scaled value) — the vertical axis. An ERA5
+                // pressure-level file repeats (time, param) once per level;
+                // without this parse those fields collide silently.
+                levelType1 = body(17) & 0xFF
+                level1 = {
+                  val sf = body(18) & 0xFF
+                  if (levelType1 == 255 || sf == 255 ||
+                      u32(body, 19) == 0xFFFFFFFFL) Double.NaN
+                  else {
+                    val factor = (sf & 0x7F) * (if ((sf & 0x80) != 0) -1 else 1)
+                    sm(body, 19, 4).toDouble / math.pow(10.0, factor)
+                  }
+                }
                 member = if (tmpl == 1 || tmpl == 11) body(30) & 0xFF else -1
               case 5 =>
                 seenRepr = true
@@ -1746,7 +1794,7 @@ object GribFormat {
       }
       if (eof) {
         require(got == 0, s"Trailing ${got} bytes at offset $offset")
-        return out.toSeq
+        return dupGuard(out.toSeq)
       }
       val msgStart = offset
       offset += 8
@@ -1764,6 +1812,16 @@ object GribFormat {
       require((flags & 0x80) != 0, "GDS-less messages unsupported")
       val hasBms = (flags & 0x40) != 0
       val paramId = pds(5) & 0xFF
+      // PDS octets 10-12: level indicator (table 3) + height/pressure
+      // value — the edition-1 vertical axis (multi-level files repeat
+      // (time, param) once per level)
+      val g1LevelType = (pds(6) & 0xFF) match {
+        case 0 => 255 // table 3 reserves 0 — normalize to the missing code
+        case t => t
+      }
+      val g1Level =
+        if (g1LevelType == 255) Double.NaN
+        else u16(pds, 7).toDouble
       val century = pds(21) & 0xFF
       val year = (century - 1) * 100 + (pds(9) & 0xFF)
       val refTime0 = java.time.LocalDateTime.of(year, pds(10) & 0xFF,
@@ -1778,13 +1836,14 @@ object GribFormat {
       val rangeIndicator = pds(17) & 0xFF
       require(rangeIndicator == 0,
         s"time range indicator $rangeIndicator unsupported (only 0: forecast at ref+P1)")
-      val refTime = timeUnit match {
-        case 0 => refTime0.plusMinutes(p1)
-        case 1 => refTime0.plusHours(p1)
-        case 2 => refTime0.plusDays(p1)
+      val g1StepMin: Long = timeUnit match {
+        case 0 => p1.toLong
+        case 1 => p1.toLong * 60
+        case 2 => p1.toLong * 1440
         case u => throw new IllegalArgumentException(
           s"PDS time unit $u unsupported (0=min, 1=hour, 2=day)")
       }
+      val refTime = refTime0.plusMinutes(g1StepMin)
       val decimalScale = sm(pds, 23, 2)
       // GDS
       val gdsLenB = readN(3)
@@ -1853,10 +1912,41 @@ object GribFormat {
         s"Message length mismatch: read ${offset - msgStart}, declared $total")
       out += GribMessage(paramId, refTime, ni, nj, la1, lo1, la2, lo2,
         decimalScale, binaryScale, refValue, bits, dataOffset, dataBytes, total,
-        bitmapOffset, bitmapBytes, gaussN = g1GaussN, rowLengths = g1Rows)
+        bitmapOffset, bitmapBytes, gaussN = g1GaussN, rowLengths = g1Rows,
+        levelType = g1LevelType, level = g1Level,
+        baseTime = refTime0, stepMinutes = g1StepMin)
       } // end edition-1 branch
     }
-    out.toSeq
+    dupGuard(out.toSeq)
+  }
+
+  /** Refuse a file whose fields collide on the FULL hypercube key
+    * (refTime, step, param, member, levelType, level): such fields would
+    * scan into silently colliding duplicate cells — the one failure mode
+    * worse than a refusal. A multi-LEVEL file is fine (the level axis
+    * keeps the key distinct), and so are two reference times whose valid
+    * times overlap (forecast archives — the (refTime, step) pair keys
+    * them); a genuinely duplicated field is not. The reference sidesteps
+    * this by selecting one hypercube per scan
+    * (`scan_grib(filter)[scan_indices]`, transform.py:214-219). */
+  private def dupGuard(ms: Seq[GribMessage]): Seq[GribMessage] = {
+    val dups = ms.groupBy(m => (m.baseTime, m.stepMinutes, m.paramId,
+        m.member, m.levelType,
+        java.lang.Double.doubleToLongBits(m.level), m.spectral.isDefined))
+      .filter(_._2.lengthCompare(1) > 0)
+    if (dups.nonEmpty) {
+      val key = dups.keys.minBy(_.toString)
+      val (t, step, p, mem, lt, lv, _) = key
+      throw new IllegalArgumentException(
+        s"GRIB file carries ${dups.size} duplicated field key(s): e.g. " +
+          s"${dups(key).length} fields share (refTime=$t, " +
+          s"step=${step}min, param=$p, " +
+          s"member=${if (mem < 0) "none" else mem}, " +
+          s"levelType=${if (lt == 255) "none" else lt}, " +
+          s"level=${java.lang.Double.longBitsToDouble(lv)}) — cells would " +
+          "silently collide. Split the file or fix the producer")
+    }
+    ms
   }
 
   /** Convenience: write messages to a Hadoop-visible path in the given

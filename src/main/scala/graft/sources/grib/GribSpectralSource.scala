@@ -59,6 +59,14 @@ object GribSpectralTable {
     StructField("time", TimestampNTZType, nullable = false),
     StructField("param", IntegerType, nullable = false),
     StructField("member", IntegerType, nullable = true),
+    /** Vertical axis (ERA5 MODEL-LEVEL spectral fields repeat
+      * (time, param) once per level — same hypercube key as the gridded
+      * scan); null when the product carries no surface. */
+    StructField("level_type", IntegerType, nullable = true),
+    StructField("level", DoubleType, nullable = true),
+    /** Forecast reference time + lead minutes (= time − step). */
+    StructField("ref_time", TimestampNTZType, nullable = false),
+    StructField("step", LongType, nullable = false),
     /** Zonal wavenumber. */
     StructField("m", IntegerType, nullable = false),
     /** Total wavenumber (n ≥ m under triangular truncation). */
@@ -107,19 +115,26 @@ final class GribSpectralScanBuilder(table: GribSpectralTable) extends ScanBuilde
   private var required: StructType = GribSpectralTable.Schema
   private var pushed: Array[Filter] = Array.empty
 
-  /** time/param/member predicates prune whole messages EXACTLY (all rows
-    * of a message share them); m/n/part predicates stay residual. */
+  /** time/param/member/level/step predicates prune whole messages EXACTLY
+    * (all rows of a message share them); m/n/part predicates stay
+    * residual. */
   private def handled(f: Filter): Boolean = f match {
     case sources.IsNotNull(a) => a != "member" &&
+      a != "level" && a != "level_type" &&
       GribSpectralTable.Schema.fieldNames.contains(a)
     case sources.EqualTo("param", _: Integer) => true
     case sources.EqualTo("member", _: Integer) => true
     case sources.IsNull("member") => true
-    case sources.EqualTo("time", v) => NcScan.toKey(v).isDefined
-    case sources.GreaterThan("time", v) => NcScan.toKey(v).isDefined
-    case sources.GreaterThanOrEqual("time", v) => NcScan.toKey(v).isDefined
-    case sources.LessThan("time", v) => NcScan.toKey(v).isDefined
-    case sources.LessThanOrEqual("time", v) => NcScan.toKey(v).isDefined
+    case sources.EqualTo("level_type", _: Integer) => true
+    case sources.IsNull("level_type") => true
+    case sources.EqualTo("level", _: java.lang.Double) => true
+    case sources.IsNull("level") => true
+    case sources.EqualTo("step", _: java.lang.Long) => true
+    case sources.EqualTo("time" | "ref_time", v) => NcScan.toKey(v).isDefined
+    case sources.GreaterThan("time" | "ref_time", v) => NcScan.toKey(v).isDefined
+    case sources.GreaterThanOrEqual("time" | "ref_time", v) => NcScan.toKey(v).isDefined
+    case sources.LessThan("time" | "ref_time", v) => NcScan.toKey(v).isDefined
+    case sources.LessThanOrEqual("time" | "ref_time", v) => NcScan.toKey(v).isDefined
     case _ => false
   }
 
@@ -146,18 +161,33 @@ final class GribSpectralScan(
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  private def timeMicros(m: GribMessage): Double = NcScan.toKey(m.refTime).get
+  private def timeMicros(m: GribMessage): Double = NcScan.toKey(m.validTime).get
+  private def refMicros(m: GribMessage): Double =
+    NcScan.toKey(GribTable.baseOf(m)).get
 
   private def keep(m: GribMessage): Boolean = pushed.forall {
     case sources.IsNotNull(_) => true
     case sources.EqualTo("param", v: Integer) => m.paramId == v.intValue()
     case sources.EqualTo("member", v: Integer) => m.member == v.intValue()
     case sources.IsNull("member") => m.member < 0
+    case sources.EqualTo("level_type", v: Integer) =>
+      m.levelType != 255 && m.levelType == v.intValue()
+    case sources.IsNull("level_type") => m.levelType == 255
+    case sources.EqualTo("level", v: java.lang.Double) =>
+      m.level == v.doubleValue()
+    case sources.IsNull("level") => m.level.isNaN
+    case sources.EqualTo("step", v: java.lang.Long) =>
+      m.stepMinutes == v.longValue()
     case sources.EqualTo("time", v) => NcScan.toKey(v).contains(timeMicros(m))
     case sources.GreaterThan("time", v) => NcScan.toKey(v).exists(timeMicros(m) > _)
     case sources.GreaterThanOrEqual("time", v) => NcScan.toKey(v).exists(timeMicros(m) >= _)
     case sources.LessThan("time", v) => NcScan.toKey(v).exists(timeMicros(m) < _)
     case sources.LessThanOrEqual("time", v) => NcScan.toKey(v).exists(timeMicros(m) <= _)
+    case sources.EqualTo("ref_time", v) => NcScan.toKey(v).contains(refMicros(m))
+    case sources.GreaterThan("ref_time", v) => NcScan.toKey(v).exists(refMicros(m) > _)
+    case sources.GreaterThanOrEqual("ref_time", v) => NcScan.toKey(v).exists(refMicros(m) >= _)
+    case sources.LessThan("ref_time", v) => NcScan.toKey(v).exists(refMicros(m) < _)
+    case sources.LessThanOrEqual("ref_time", v) => NcScan.toKey(v).exists(refMicros(m) <= _)
     case _ => true
   }
 
@@ -211,18 +241,25 @@ final class GribSpectralPartitionReader(part: GribInputPartition,
   }
   private val cellValue: Int => Double = msg.decoder(slab, null)
   private val pairMN = sp.pairMN
-  private val timeMicros: Long =
-    msg.refTime.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-      msg.refTime.getNano / 1000
+  private def micros(t: java.time.LocalDateTime): Long =
+    t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+  private val timeMicros: Long = micros(msg.validTime)
+  private val refTimeMicros: Long = micros(GribTable.baseOf(msg))
   private val Re = UTF8String.fromString("re")
   private val Im = UTF8String.fromString("im")
   private val TimeC = 0; private val ParamC = 1; private val MemberC = 2
   private val MC = 3; private val NC = 4; private val PartC = 5
   private val ValueC = 6
+  private val LevelTypeC = 7; private val LevelC = 8
+  private val RefTimeC = 9; private val StepC = 10
   private val colCodes: Array[Int] = part.cols.map {
     case "time" => TimeC
     case "param" => ParamC
     case "member" => MemberC
+    case "level_type" => LevelTypeC
+    case "level" => LevelC
+    case "ref_time" => RefTimeC
+    case "step" => StepC
     case "m" => MC
     case "n" => NC
     case "part" => PartC
@@ -241,6 +278,10 @@ final class GribSpectralPartitionReader(part: GribInputPartition,
         case TimeC => timeMicros
         case ParamC => msg.paramId
         case MemberC => if (msg.member < 0) null else msg.member
+        case LevelTypeC => if (msg.levelType == 255) null else msg.levelType
+        case LevelC => if (msg.level.isNaN) null else msg.level
+        case RefTimeC => refTimeMicros
+        case StepC => msg.stepMinutes
         case MC => mWave
         case NC => nWave
         case PartC => if (k % 2 == 0) Re else Im

@@ -161,7 +161,8 @@ class GribBitmapSpec extends SparkSpec {
     }
     // member 2 keeps its bitmap holes
     val m2 = df.filter(col("member") === 2).orderBy("latitude", "longitude").collect()
-    assert(m2(3).isNullAt(5) && m2(7).isNullAt(5))
+    val vIdx = m2.head.fieldIndex("value")
+    assert(m2(3).isNullAt(vIdx) && m2(7).isNullAt(vIdx))
   }
 
   private val rtma = "/root/reference/tests/unit/inputs/rtma_pcp.grib"
@@ -224,7 +225,7 @@ class GribBitmapSpec extends SparkSpec {
     assert(msgs.length == 3)
     assert(msgs.map(_.paramId) == Seq(0x0101, 0x0102, 0x0103))
     assert(msgs(1).hasBitmap && !msgs(0).hasBitmap && !msgs(2).hasBitmap)
-    assert(msgs(1).refTime == LocalDateTime.parse("2024-04-02T06:00"))
+    assert(msgs(1).validTime == LocalDateTime.parse("2024-04-02T06:00"))
 
     val df = spark.read.format("grib1").load(path)
     assert(df.count() == 36)

@@ -1,0 +1,160 @@
+package graft.sources.grib
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** S9 vertical-level axis + forecast keys — the two hypercube dimensions
+  * the reference separates via `scan_grib(filter=…)[scan_indices]`
+  * ("multiple depth / surface layers", transform.py:214-219, 234-240) and
+  * its forecast/ensemble category dim sets (transform.py:724-759):
+  *  - a multi-LEVEL file (the ERA5 pressure-level shape) scans with a
+  *    distinct (level_type, level) per field, never colliding cells;
+  *  - two reference times with overlapping VALID times stay distinct via
+  *    (ref_time, step);
+  *  - a file with two fields on the SAME full key is refused by name;
+  *  - level / ref_time predicates prune whole messages at planning. */
+class GribLevelSpec extends SparkSpec {
+
+  private def freshDir(tag: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_griblevel_$tag"
+    val p = new org.apache.hadoop.fs.Path(d)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true); fs.mkdirs(p)
+    d
+  }
+
+  private def write(path: String)(body: java.io.DataOutputStream => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(p, true)))
+    try body(out) finally out.close()
+  }
+
+  private val lats = Seq(0.0, 1.0)
+  private val lons = Seq(10.0, 11.0)
+  private def grid(base: Double): Array[Double] =
+    Array.tabulate(4)(base + _)
+
+  // 850/500/250 hPa in Pa at scale factor 0 — isobaric surface type 100
+  private val PressureLevels = Seq(85000L, 50000L, 25000L)
+
+  test("multi-level file (ERA5 pressure-level shape): distinct levels, " +
+      "values exact, no colliding cells") {
+    val dir = freshDir("multi")
+    val days = Seq(LocalDateTime.parse("2024-03-01T00:00"),
+      LocalDateTime.parse("2024-03-02T00:00"))
+    write(s"$dir/pl.grb2") { out =>
+      days.zipWithIndex.foreach { case (d, di) =>
+        GribFormat.writeMessage2Fields(out, d, lats, lons,
+          fields = PressureLevels.indices.map(li =>
+            (130, 0, grid(di * 100.0 + li * 1000.0))),
+          levels = PressureLevels.map(v => (100, v)))
+      }
+    }
+    val df = spark.read.format("grib1").load(s"$dir/pl.grb2")
+    // 2 days x 3 levels x 4 cells — every cell distinct, none collided
+    assert(df.count() == 24)
+    assert(df.select("level").distinct().collect().map(_.getDouble(0)).sorted
+      .sameElements(Array(25000.0, 50000.0, 85000.0)))
+    assert(df.select("level_type").distinct().head().getInt(0) == 100)
+    // per-(time, level) values recover the per-field grids exactly
+    val r = df.filter(col("time") === lit(ts("2024-03-02T00:00:00")) &&
+        col("level") === 50000.0 &&
+        col("latitude") === 0.0 && col("longitude") === 10.0).head()
+    assert(r.getAs[Double]("value") == 100.0 + 1000.0)
+    // analysis product: ref_time = valid time, step 0
+    assert(df.filter(col("step") === 0L).count() == 24)
+    assert(df.filter(col("ref_time") === col("time")).count() == 24)
+  }
+
+  test("level equality prunes whole messages at planning") {
+    val dir = freshDir("prune")
+    write(s"$dir/pl.grb2") { out =>
+      GribFormat.writeMessage2Fields(out, LocalDateTime.parse("2024-03-01T00:00"),
+        lats, lons,
+        fields = PressureLevels.indices.map(li => (130, 0, grid(li * 1000.0))),
+        levels = PressureLevels.map(v => (100, v)))
+    }
+    val q = spark.read.format("grib1").load(s"$dir/pl.grb2")
+      .filter(col("level") === 50000.0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("messages=1/3"),
+      s"level equality must prune messages at planning:\n$plan")
+    assert(q.count() == 4)
+    // level_type + IsNull prune too
+    val q2 = spark.read.format("grib1").load(s"$dir/pl.grb2")
+      .filter(col("level").isNull)
+    assert(q2.queryExecution.executedPlan.toString.contains("messages=0/3"))
+    assert(q2.count() == 0)
+  }
+
+  test("two fields on the SAME full hypercube key are refused by name") {
+    val dir = freshDir("dup")
+    write(s"$dir/dup.grb2") { out =>
+      GribFormat.writeMessage2Fields(out, LocalDateTime.parse("2024-03-01T00:00"),
+        lats, lons,
+        fields = Seq((130, 0, grid(0.0)), (130, 0, grid(50.0))),
+        levels = Seq((100, 85000L), (100, 85000L)))
+    }
+    val e = intercept[Exception] {
+      spark.read.format("grib1").load(s"$dir/dup.grb2").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    val msgs = chain(e).flatMap(c => Option(c.getMessage))
+    assert(msgs.exists(m => m.contains("silently collide") &&
+      m.contains("param=130") && m.contains("level=85000.0")),
+      s"refusal must name the colliding key: $msgs")
+  }
+
+  test("forecast keys: two reference times with overlapping valid times " +
+      "stay distinct via (ref_time, step)") {
+    val dir = freshDir("fcst")
+    val d0 = LocalDateTime.parse("2024-03-01T00:00")
+    val d6 = LocalDateTime.parse("2024-03-01T06:00")
+    write(s"$dir/f.grb2") { out =>
+      // ref 00Z lead 6h and ref 06Z lead 0h — SAME valid time 06Z
+      GribFormat.writeMessage2Fields(out, d0, lats, lons,
+        fields = Seq((130, 6, grid(0.0))))
+      GribFormat.writeMessage2Fields(out, d6, lats, lons,
+        fields = Seq((130, 0, grid(5000.0))))
+    }
+    val df = spark.read.format("grib1").load(s"$dir/f.grb2")
+    assert(df.count() == 8, "both hypercubes must survive the scan")
+    assert(df.filter(col("time") === lit(ts("2024-03-01T06:00:00")))
+      .count() == 8, "both fields share the valid time")
+    // the 6h-lead field keys as (ref 00Z, step 360min)
+    val lead = df.filter(col("step") === 360L)
+    assert(lead.count() == 4)
+    assert(lead.select("ref_time").distinct().head()
+      .getAs[LocalDateTime](0) == d0)
+    assert(lead.filter(col("latitude") === 0.0 && col("longitude") === 10.0)
+      .head().getAs[Double]("value") == 0.0)
+    // the analysis field keys as (ref 06Z, step 0)
+    val ana = df.filter(col("step") === 0L)
+    assert(ana.select("ref_time").distinct().head()
+      .getAs[LocalDateTime](0) == d6)
+    assert(ana.filter(col("latitude") === 0.0 && col("longitude") === 10.0)
+      .head().getAs[Double]("value") == 5000.0)
+    // ref_time equality prunes whole messages at planning
+    val q = df.filter(col("ref_time") === lit(ts("2024-03-01T00:00:00")))
+    assert(q.queryExecution.executedPlan.toString.contains("messages=1/2"))
+    assert(q.count() == 4)
+  }
+
+  test("edition-1 fixtures surface the PDS level and forecast key") {
+    val dir = freshDir("g1")
+    GribFormat.writeFile(spark, s"$dir/a.grb", Seq(
+      (61, LocalDateTime.parse("2024-03-01T00:00"), lats, lons, grid(0.0))))
+    val df = spark.read.format("grib1").load(s"$dir/a.grb")
+    // the GRIB1 writer declares level type 1 (surface), value 0
+    assert(df.select("level_type").distinct().head().getInt(0) == 1)
+    assert(df.select("level").distinct().head().getDouble(0) == 0.0)
+    assert(df.filter(col("step") === 0L && col("ref_time") === col("time"))
+      .count() == 4)
+  }
+}
