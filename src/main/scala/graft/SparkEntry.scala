@@ -1837,6 +1837,49 @@ object SparkEntry {
         .orderBy("time", "latitude", "longitude")
     }),
 
+    // Multi-param spectral synthesis: ONE file carries TWO parameters'
+    // coefficient fields (the multi-param MARS-request shape);
+    // synthesizeVars keys the synthesis by param — fields can never
+    // blend — and pivots into one column per variable. Param 61 maps
+    // slots 0-3 onto the (0,0)/(0,1)/(1,1) harmonics, param 62 slots 4-7.
+    "q154_spectral_multiparam" -> ((s, dir) => {
+      val cells = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count().collect()
+      implicit val ldtOrd: Ordering[LocalDateTime] =
+        Ordering.fromLessThan(_ isBefore _)
+      val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+      val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+      val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/events_sy2.grb2"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = new java.io.DataOutputStream(fs.create(p, true))
+      try days.foreach { d =>
+        val cnt = Array.fill(10)(0L)
+        byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+        def coeffs(s0: Int): Array[Double] = {
+          val c = new Array[Double](20) // T=3: 10 pairs, m-major
+          c(0) = cnt(s0).toDouble // (0,0) re
+          c(2) = cnt(s0 + 1).toDouble // (0,1) re
+          c(8) = cnt(s0 + 2).toDouble // (1,1) re
+          c(9) = cnt(s0 + 3).toDouble // (1,1) im
+          c
+        }
+        graft.sources.grib.GribFormat.writeSpectralMessage2(out,
+          refTime = d, trunc = 3,
+          fields = Seq((61, 0, coeffs(0)), (62, 0, coeffs(4))))
+      } finally out.close()
+      val co = s.read.format("grib-spectral").load(path)
+      graft.ops.Spectral.synthesizeVars(co, Seq("time"),
+        Map(61 -> "t", 62 -> "u"),
+        lats = Seq(-45.0, 0.0, 45.0),
+        lons = Seq(0.0, 90.0, 180.0, 270.0))
+        .select(col("time"), col("latitude"), col("longitude"),
+          round(col("t"), 6).as("t"), round(col("u"), 6).as("u"))
+        .orderBy("time", "latitude", "longitude")
+    }),
+
     // REAL video demuxing for the multimodal pack: AVI containers walked
     // by the in-repo RIFF demuxer (movi LIST, word-aligned '00dc'
     // chunks), one row per frame with the TRUE payload bytes. Payloads
@@ -3532,6 +3575,41 @@ object SparkEntry {
         |    + sqrt(1.5) * cos(radians(grid.la)) *
         |      (c.c11r * cos(radians(grid.lo)) + c.c11i * sin(radians(grid.lo))),
         |    6) AS value
+        |FROM c CROSS JOIN grid
+        |ORDER BY time, latitude, longitude""".stripMargin,
+
+    // multi-param synthesis: the q147 closed form replayed per variable —
+    // t from slots 0-3, u from slots 4-7
+    "q154_spectral_multiparam" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |c AS (SELECT days.d,
+        |        coalesce(max(CASE WHEN slot = 0 THEN cnt END), 0) AS t00,
+        |        coalesce(max(CASE WHEN slot = 1 THEN cnt END), 0) AS t01,
+        |        coalesce(max(CASE WHEN slot = 2 THEN cnt END), 0) AS t11r,
+        |        coalesce(max(CASE WHEN slot = 3 THEN cnt END), 0) AS t11i,
+        |        coalesce(max(CASE WHEN slot = 4 THEN cnt END), 0) AS u00,
+        |        coalesce(max(CASE WHEN slot = 5 THEN cnt END), 0) AS u01,
+        |        coalesce(max(CASE WHEN slot = 6 THEN cnt END), 0) AS u11r,
+        |        coalesce(max(CASE WHEN slot = 7 THEN cnt END), 0) AS u11i
+        |      FROM days LEFT JOIN g ON g.d = days.d GROUP BY days.d),
+        |grid AS (SELECT la, lo FROM (VALUES (-45.0), (0.0), (45.0)) AS ga(la)
+        |         CROSS JOIN (VALUES (0.0), (90.0), (180.0), (270.0)) AS go(lo))
+        |SELECT c.d AS time, CAST(grid.la AS DOUBLE) AS latitude,
+        |       CAST(grid.lo AS DOUBLE) AS longitude,
+        |  round(c.t00
+        |    + sqrt(3) * c.t01 * sin(radians(grid.la))
+        |    + sqrt(1.5) * cos(radians(grid.la)) *
+        |      (c.t11r * cos(radians(grid.lo)) + c.t11i * sin(radians(grid.lo))),
+        |    6) AS t,
+        |  round(c.u00
+        |    + sqrt(3) * c.u01 * sin(radians(grid.la))
+        |    + sqrt(1.5) * cos(radians(grid.la)) *
+        |      (c.u11r * cos(radians(grid.lo)) + c.u11i * sin(radians(grid.lo))),
+        |    6) AS u
         |FROM c CROSS JOIN grid
         |ORDER BY time, latitude, longitude""".stripMargin,
 

@@ -167,4 +167,37 @@ object Spectral {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Synthesize SEVERAL parameters from one coefficient scan into one
+    * grid frame with a column per variable — the multi-param MARS-request
+    * shape (a single ERA5 request routinely returns several params in one
+    * file; reference manifest behavior: one data variable per requested
+    * param). `param` rides in the synthesis KEY, so fields can never
+    * blend (and [[synthesize]]'s duplicate-coefficient refusal remains
+    * the backstop); a bounded pivot (values known up front — no extra
+    * distinct pass) then folds the per-param rows into per-variable
+    * columns. One shuffle keyed on (key, cell), O(params) columns.
+    * Output: keyCols ++ (latitude, longitude) ++ paramVars.values. */
+  def synthesizeVars(
+      coeffs: DataFrame,
+      keyCols: Seq[String],
+      /** paramId → output variable name, e.g. Map(130 -> "t", 131 -> "u"). */
+      paramVars: Map[Int, String],
+      lats: Seq[Double],
+      lons: Seq[Double]): DataFrame = {
+    require(paramVars.nonEmpty, "synthesizeVars needs at least one param")
+    require(paramVars.values.toSet.size == paramVars.size,
+      s"duplicate variable names in $paramVars")
+    val params = paramVars.keys.toSeq.sorted
+    // the In predicate prunes whole messages at planning in the scan
+    val one = synthesize(
+      coeffs.filter(col("param").isin(params.map(p => p: Any): _*)),
+      keyCols :+ "param", lats, lons)
+    val grouped = one
+      .groupBy((keyCols ++ Seq("latitude", "longitude")).map(col): _*)
+      .pivot("param", params.map(p => p: Any))
+      .agg(first(col("value")))
+    params.foldLeft(grouped)((df, p) =>
+      df.withColumnRenamed(p.toString, paramVars(p)))
+  }
 }

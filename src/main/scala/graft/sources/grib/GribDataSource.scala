@@ -197,6 +197,7 @@ final class GribScanBuilder(table: GribTable) extends ScanBuilder
       a != "level" && a != "level_type" &&
       GribTable.Schema.fieldNames.contains(a)
     case sources.EqualTo("param", _: Integer) => true
+    case sources.In("param", vs) => vs.forall(_.isInstanceOf[Integer])
     case sources.EqualTo("member", _: Integer) => true
     case sources.IsNull("member") => true
     case sources.EqualTo("level_type", _: Integer) => true
@@ -256,6 +257,8 @@ final class GribScan(
   private def keep(m: GribMessage): Boolean = pushed.forall {
     case sources.IsNotNull(_) => true
     case sources.EqualTo("param", v: Integer) => m.paramId == v.intValue()
+    case sources.In("param", vs) =>
+      vs.exists(v => m.paramId == v.asInstanceOf[Integer].intValue())
     case sources.EqualTo("member", v: Integer) => m.member == v.intValue()
     case sources.IsNull("member") => m.member < 0
     case sources.EqualTo("level_type", v: Integer) =>

@@ -651,9 +651,15 @@ object GribFormat {
       /** Template 5.51 (complex spectral packing) instead of 5.50: the
         * Laplacian power p and the triangular sub-truncation whose
         * coefficients travel unpacked as IEEE32. */
-      complexSub: Option[(Double, Int)] = None): Unit = {
+      complexSub: Option[(Double, Int)] = None,
+      /** First fixed surfaces aligned with `fields` (type, value at scale
+        * factor 0); empty = ground surface (1, 0). ERA5 model-level
+        * spectral fields repeat (time, param) once per level. */
+      levels: Seq[(Int, Long)] = Seq.empty): Unit = {
     require(trunc >= 0, s"negative truncation $trunc")
     require(fields.nonEmpty, "a GRIB2 message needs at least one field")
+    require(levels.isEmpty || levels.length == fields.length,
+      s"${levels.length} levels for ${fields.length} fields")
     complexSub.foreach { case (p, sub) =>
       require(sub >= 0 && sub <= trunc, s"sub-truncation $sub outside 0..$trunc")
       require(math.abs(math.round(p * 1e6)) <= Int.MaxValue, s"Laplacian p $p")
@@ -726,7 +732,7 @@ object GribFormat {
     out.writeInt(trunc); out.writeInt(trunc); out.writeInt(trunc) // J, K, M
     out.writeByte(1) // representation type: associated Legendre
     out.writeByte(1) // representation mode: m-major complex ordering
-    plans.foreach { p =>
+    plans.zipWithIndex.foreach { case (p, fi) =>
       // Section 4 — product template 4.0
       out.writeInt(34); out.writeByte(4)
       out.writeShort(0); out.writeShort(0)
@@ -736,7 +742,9 @@ object GribFormat {
       out.writeShort(0); out.writeByte(0)
       out.writeByte(1) // time unit: hours
       out.writeInt(p.leadHours)
-      out.writeByte(1); out.writeByte(0); out.writeInt(0)
+      // surface 1: (type, scale factor 0, scaled value); ground by default
+      val (surfType, surfVal) = if (levels.isEmpty) (1, 0L) else levels(fi)
+      out.writeByte(surfType); out.writeByte(0); out.writeInt(surfVal.toInt)
       out.writeByte(255); out.writeByte(255); out.writeInt(-1)
       // Section 5 — template 5.50 (5.0's 21-octet prefix + real00 IEEE32)
       // or 5.51 (prefix + Laplacian p, Js/Ks/Ms, Ts, precision)

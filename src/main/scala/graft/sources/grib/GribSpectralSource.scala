@@ -123,6 +123,7 @@ final class GribSpectralScanBuilder(table: GribSpectralTable) extends ScanBuilde
       a != "level" && a != "level_type" &&
       GribSpectralTable.Schema.fieldNames.contains(a)
     case sources.EqualTo("param", _: Integer) => true
+    case sources.In("param", vs) => vs.forall(_.isInstanceOf[Integer])
     case sources.EqualTo("member", _: Integer) => true
     case sources.IsNull("member") => true
     case sources.EqualTo("level_type", _: Integer) => true
@@ -168,6 +169,8 @@ final class GribSpectralScan(
   private def keep(m: GribMessage): Boolean = pushed.forall {
     case sources.IsNotNull(_) => true
     case sources.EqualTo("param", v: Integer) => m.paramId == v.intValue()
+    case sources.In("param", vs) =>
+      vs.exists(v => m.paramId == v.asInstanceOf[Integer].intValue())
     case sources.EqualTo("member", v: Integer) => m.member == v.intValue()
     case sources.IsNull("member") => m.member < 0
     case sources.EqualTo("level_type", v: Integer) =>

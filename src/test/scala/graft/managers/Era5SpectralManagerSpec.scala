@@ -94,4 +94,46 @@ class Era5SpectralManagerSpec extends SparkSpec {
     got.foreach(v => assert(math.abs(v - expect) < 1e-9,
       s"$v vs $expect — param 138 must not leak into the synthesis"))
   }
+
+  test("multi-LEVEL landing files: the level filter selects one " +
+      "hypercube; a levelless manager refuses by name, never blends") {
+    // one message, ONE param at TWO model levels — the ERA5 model-level
+    // shape the reference selects with grib_filter + scan_indices
+    def writeTwoLevels(inputDir: String): Unit = {
+      val out = new DataOutputStream(Files.newOutputStream(
+        Paths.get(s"$inputDir/era5_sp_ml.grb2")))
+      try {
+        val l1 = new Array[Double](12); l1(0) = 250.0; l1(2) = 10.0
+        val l2 = new Array[Double](12); l2(0) = 300.0; l2(2) = -5.0
+        GribFormat.writeSpectralMessage2(out,
+          java.time.LocalDateTime.of(2024, 3, 1, 0, 0), trunc = 2,
+          fields = Seq((130, 0, l1), (130, 0, l2)),
+          complexSub = Some((1.0, 0)),
+          levels = Seq((105, 1L), (105, 137L))) // hybrid levels 1 and 137
+      } finally out.close()
+    }
+    val root = Files.createTempDirectory("era5_spml").toString
+    val mgr = new Era5SpectralManager(spark, root, gaussianN = 1,
+      level = Some(137.0))
+    new java.io.File(mgr.inputDir).mkdirs()
+    writeTwoLevels(mgr.inputDir)
+    mgr.run()
+    val ds = mgr.store.dataset()
+    assert(ds.count() == 8)
+    val lat = GribFormat.gaussianLatitudes(1)(0)
+    val expect = 300.0 - 5 * math.sqrt(3) * math.sin(math.toRadians(lat))
+    val got = ds.filter(col("latitude") > 0).select("t").as[Double].collect()
+    got.foreach(v => assert(math.abs(v - expect) < 1e-9,
+      s"$v vs $expect — only level 137 may synthesize"))
+    // WITHOUT the level filter the duplicate-coefficient backstop refuses
+    // by name instead of blending the two levels
+    val root2 = Files.createTempDirectory("era5_spml2").toString
+    val mgr2 = new Era5SpectralManager(spark, root2, gaussianN = 1)
+    new java.io.File(mgr2.inputDir).mkdirs()
+    writeTwoLevels(mgr2.inputDir)
+    val e = intercept[Exception] { mgr2.run() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("duplicate spectral coefficient"), msgs)
+  }
 }

@@ -118,4 +118,30 @@ class SpectralSpec extends SparkSpec {
     assert(msgs.contains("duplicate spectral coefficient"), msgs)
     assert(msgs.contains("param"), msgs) // the fix hint names the columns
   }
+
+  test("synthesizeVars: two params from one scan land as two variables, " +
+      "values matching the single-param synthesis") {
+    // param 61 is a pure (0,0) field of 2.0; param 62 a pure (0,1) field
+    // of 3.0 (closed form √3·3·sinφ); a third param 99 must be excluded
+    val df = Seq(
+      (1L, 61, 0, 0, "re", 2.0),
+      (1L, 62, 0, 1, "re", 3.0),
+      (1L, 99, 0, 0, "re", 777.0))
+      .toDF("k", "param", "m", "n", "part", "value")
+    val out = Spectral.synthesizeVars(df, Seq("k"), Map(61 -> "t", 62 -> "u"),
+      Seq(0.0, 90.0), Seq(0.0))
+    assert(out.columns.toSeq == Seq("k", "latitude", "longitude", "t", "u"))
+    val rows = out.collect().map(r =>
+      r.getAs[Double]("latitude") ->
+        (r.getAs[Double]("t"), r.getAs[Double]("u"))).toMap
+    assert(rows(0.0)._1 == 2.0 && math.abs(rows(0.0)._2) < 1e-12)
+    assert(rows(90.0)._1 == 2.0 &&
+      math.abs(rows(90.0)._2 - math.sqrt(3) * 3.0) < 1e-12)
+    // a param with no coefficients under a key surfaces as null, not 0
+    val partial = Seq((1L, 61, 0, 0, "re", 2.0))
+      .toDF("k", "param", "m", "n", "part", "value")
+    val p = Spectral.synthesizeVars(partial, Seq("k"),
+      Map(61 -> "t", 62 -> "u"), Seq(0.0), Seq(0.0)).head()
+    assert(p.getAs[Double]("t") == 2.0 && p.isNullAt(p.fieldIndex("u")))
+  }
 }
