@@ -1895,6 +1895,47 @@ object SparkEntry {
         .orderBy("id", "frame_idx")
     }),
 
+    // MJPEG AVI end-to-end: REAL AVI containers whose '00dc' frames are
+    // REAL baseline JPEGs — the dominant real-world AVI payload — demuxed
+    // and pixel-decoded in ONE partition-local stage (decodeAviFrames:
+    // RIFF walk → magic dispatch → in-repo T.81 codec). Same lossy-bound
+    // gate as q151: max per-pixel error folds into a boolean.
+    "q155_mjpeg_avi_decode" -> ((s, dir) => {
+      val cells = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count().collect()
+      implicit val ldtOrd: Ordering[LocalDateTime] =
+        Ordering.fromLessThan(_ isBefore _)
+      val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+      val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+      val epoch = java.time.LocalDate.of(1970, 1, 1)
+      val rows = days.toSeq.map { d =>
+        val cnt = Array.fill(10)(0L)
+        byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+        val frames = (0 until 3).map { f =>
+          val px = Array.tabulate(256)(i =>
+            ((cnt((i + f) % 10) * 3 + i + 2 * f) % 256).toInt)
+          (graft.functions.Jpeg.encode(16, 16, px), px.toSeq)
+        }
+        (java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate),
+          Multimodal.encodeAvi(frames.map(_._1)), frames.map(_._2))
+      }
+      val sp = s; import sp.implicits._
+      val avis = rows.map { case (id, avi, _) => (id, avi) }.toDF("id", "avi")
+      val expected = rows.flatMap { case (id, _, exp) =>
+        exp.zipWithIndex.map { case (px, f) => (id, f, px) }
+      }.toDF("id", "frame_idx", "expected")
+      Multimodal.decodeAviFrames(avis, "id", "avi", 16, 16)
+        .join(expected, Seq("id", "frame_idx"))
+        .select(col("id"), col("frame_idx"), col("width"), col("height"),
+          (aggregate(
+            zip_with(
+              transform(col("pixels"), v => round(v * 255).cast("int")),
+              col("expected"), (a, b) => abs(a - b)),
+            lit(0), (acc, dd) => greatest(acc, dd)) <= lit(2)).as("within_tol"))
+        .orderBy("id", "frame_idx")
+    }),
+
     // Baseline JPEG through the in-repo T.81 codec. JPEG is LOSSY, so
     // the gate is the sketch_ok pattern (q138 precedent): the fixture
     // encodes each day's 16x16 grayscale grid with all-ones quantization,
@@ -1904,6 +1945,43 @@ object SparkEntry {
     // pixel replay is spec-gated (JpegSpec); dims stay integer-exact.
     "q151_jpeg_decode_bound" -> ((s, dir) => {
       val jpgs = jpegEventsFixture(s, dir) // (id, jpeg, expected ARRAY<INT>)
+      val dec = Multimodal.decodeResize(jpgs, "id", "jpeg", 16, 16,
+        Multimodal.ImageDecoder).toDF()
+      dec.join(jpgs.select("id", "expected"), Seq("id"))
+        .select(col("id"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"),
+          (aggregate(
+            zip_with(
+              transform(col("pixels"), v => round(v * 255).cast("int")),
+              col("expected"), (a, b) => abs(a - b)),
+            lit(0), (acc, d) => greatest(acc, d)) <= lit(2)).as("within_tol"))
+        .orderBy("id")
+    }),
+
+    // PROGRESSIVE JPEG (SOF2 — most web JPEGs) through the full Annex G
+    // multi-scan path: DC first/refine, split-band AC first with EOB
+    // runs, AC refinement with correction bits. Same fixture pixels and
+    // lossy-bound gate as q151; routed through the magic-dispatching
+    // ImageDecoder so the production mixed-crawl path is what's tested.
+    "q156_progressive_jpeg_bound" -> ((s, dir) => {
+      val cells = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count().collect()
+      implicit val ldtOrd: Ordering[LocalDateTime] =
+        Ordering.fromLessThan(_ isBefore _)
+      val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+      val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+      val epoch = java.time.LocalDate.of(1970, 1, 1)
+      val rows = days.toSeq.map { d =>
+        val cnt = Array.fill(10)(0L)
+        byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+        val px = Array.tabulate(256)(i => ((cnt(i % 10) * 3 + i) % 256).toInt)
+        (java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate),
+          graft.functions.Jpeg.encodeProgressive(16, 16, px), px)
+      }
+      val sp = s; import sp.implicits._
+      val jpgs = rows.toDF("id", "jpeg", "expected")
       val dec = Multimodal.decodeResize(jpgs, "id", "jpeg", 16, 16,
         Multimodal.ImageDecoder).toDF()
       dec.join(jpgs.select("id", "expected"), Seq("id"))
@@ -3667,6 +3745,24 @@ object SparkEntry {
         |SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id,
         |       16 AS width, 16 AS height, true AS within_tol
         |FROM days ORDER BY id""".stripMargin,
+
+    // progressive JPEG gate: q151's spine, the multi-scan decode inside
+    // the same DCT-rounding bound
+    "q156_progressive_jpeg_bound" ->
+      """WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events)
+        |SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id,
+        |       16 AS width, 16 AS height, true AS within_tol
+        |FROM days ORDER BY id""".stripMargin,
+
+    // MJPEG AVI gate: 3 decoded frames per container, every frame inside
+    // the q151 DCT-rounding bound
+    "q155_mjpeg_avi_decode" ->
+      """WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events)
+        |SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id,
+        |       CAST(f.f AS INTEGER) AS frame_idx,
+        |       16 AS width, 16 AS height, true AS within_tol
+        |FROM days, (SELECT unnest(range(3)) AS f) f
+        |ORDER BY 1, 2""".stripMargin,
 
     // real GIF decode gate: same pixel grid as q146 through LZW
     "q150_gif_decode_ahash" ->

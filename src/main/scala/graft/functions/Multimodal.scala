@@ -169,9 +169,10 @@ object Multimodal {
     DecodedMedia(id, w, h, resizeArea(lum, f.width, f.height, w, h))
   }
 
-  /** REAL image decode for baseline JPEG payloads (the in-repo T.81
-    * codec: Huffman + IDCT + chroma upsampling): luminance of the decoded
-    * RGB (or the gray channel directly), area-average resize. */
+  /** REAL image decode for JPEG payloads — baseline AND progressive
+    * (the in-repo T.81 codec: Huffman + IDCT + chroma upsampling;
+    * Annex G multi-scan for SOF2): luminance of the decoded RGB (or the
+    * gray channel directly), area-average resize. */
   val JpegDecoder: Decoder = (id, bytes, w, h) => {
     val img = Jpeg.decode(bytes)
     val lum = new Array[Float](img.pixels.length)
@@ -419,6 +420,43 @@ object Multimodal {
         it.flatMap { case (id, bytes) =>
           aviFrames(id, bytes).map { case (i, fi, st, k, fb) =>
             org.apache.spark.sql.Row(i, fi, st, k, fb)
+          }
+        }
+      }(Encoders.row(schema))
+  }
+
+  /** Demux + per-frame pixel decode in ONE partition-local stage: AVI
+    * containers walked by [[aviFrames]], each frame payload routed through
+    * the magic-dispatching decoder (MJPEG AVI — overwhelmingly the
+    * real-world payload — chains into the in-repo [[Jpeg]] codec exactly
+    * like PNG payloads chain into [[Png]]'s). Container bytes AND frame
+    * bytes never leave the partition; only the (much smaller) fixed-size
+    * pixel grids flow on. Output: (id, frame_idx, stream, kind, width,
+    * height, pixels). Unsupported frame codecs are refused by name by the
+    * decoder, never silently skipped. */
+  def decodeAviFrames(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      width: Int,
+      height: Int,
+      decoder: Decoder = ImageDecoder): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("stream", IntegerType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("pixels", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          aviFrames(id, bytes).map { case (i, fi, st, k, fb) =>
+            val d = decoder(i, fb, width, height)
+            org.apache.spark.sql.Row(i, fi, st, k, width, height, d.pixels.toSeq)
           }
         }
       }(Encoders.row(schema))

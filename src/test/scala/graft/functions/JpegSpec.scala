@@ -55,7 +55,8 @@ class JpegSpec extends SparkSpec {
   test("out-of-profile and corrupt inputs are refused by name") {
     val px = gray(8, 8)(identity)
     val enc = Jpeg.encode(8, 8, px)
-    // SOF0 (FFC0) -> SOF2 progressive
+    // SOF0 byte flipped to SOF2: now routes to the progressive path,
+    // where a baseline-shaped full-band DC scan is malformed — named
     val prog = enc.clone()
     val sof = prog.indices.find(i => (prog(i) & 0xFF) == 0xFF &&
       (prog(i + 1) & 0xFF) == 0xC0).get
@@ -109,6 +110,80 @@ class JpegSpec extends SparkSpec {
     val dec = Jpeg.decode(Jpeg.encode(w, h, px, restartInterval = 2))
     px.zip(dec.pixels).zipWithIndex.foreach { case ((e, g), i) =>
       assert(math.abs(e - g) <= 2, s"pixel $i: $e vs $g")
+    }
+  }
+
+  // ------------------------------------------------- progressive (SOF2)
+
+  test("progressive grayscale roundtrip within DCT rounding across geometries") {
+    for ((w, h) <- Seq((8, 8), (16, 8), (13, 7), (1, 1), (33, 9), (64, 48))) {
+      val px = gray(w, h)(i => (i * 37 + 11) % 256)
+      val dec = Jpeg.decode(Jpeg.encodeProgressive(w, h, px))
+      assert(dec.width == w && dec.height == h && dec.components == 1)
+      px.zip(dec.pixels).zipWithIndex.foreach { case ((e, g), i) =>
+        assert(math.abs(e - g) <= 2, s"${w}x$h pixel $i: $e vs $g")
+      }
+    }
+  }
+
+  test("progressive decode is BIT-IDENTICAL to baseline: successive " +
+      "approximation reassembles every coefficient exactly") {
+    // both encoders produce the same all-ones-quant DCT coefficients;
+    // progressive splits them across DC/AC first + refinement scans —
+    // any slip in EOB runs, correction bits or bit-plane order breaks
+    // the exact equality
+    for ((w, h) <- Seq((16, 16), (24, 17), (48, 31))) {
+      val px = gray(w, h)(i => (i * 151 + 17) % 256) // rough texture
+      val base = Jpeg.decode(Jpeg.encode(w, h, px)).pixels
+      val prog = Jpeg.decode(Jpeg.encodeProgressive(w, h, px)).pixels
+      assert(prog.sameElements(base), s"${w}x$h: progressive != baseline")
+    }
+  }
+
+  test("progressive 4:4:4 color matches baseline exactly; roundtrip in bound") {
+    val w = 16; val h = 12
+    val px = Array.tabulate(w * h) { i =>
+      (((i * 23) % 256) << 16) | (((i * 57 + 10) % 256) << 8) | ((i * 91 + 3) % 256)
+    }
+    val base = Jpeg.decode(Jpeg.encode(w, h, px, color = true))
+    val prog = Jpeg.decode(Jpeg.encodeProgressive(w, h, px, color = true))
+    assert(prog.components == 3)
+    assert(prog.pixels.sameElements(base.pixels))
+  }
+
+  test("sparse image: cross-block EOB runs (EOBn, n > 0) decode exactly") {
+    // a nearly-flat 8x8-block grid leaves most AC bands empty, so the
+    // encoder accumulates multi-block EOB runs — the decoder paths the
+    // dense tests never reach
+    val w = 64; val h = 64
+    val px = Array.fill(w * h)(128)
+    px(5 * w + 7) = 255; px(40 * w + 50) = 0; px(63 * w + 63) = 200
+    val base = Jpeg.decode(Jpeg.encode(w, h, px)).pixels
+    val prog = Jpeg.decode(Jpeg.encodeProgressive(w, h, px)).pixels
+    assert(prog.sameElements(base))
+    // fully-constant image: ONE EOB run covers every block of each scan
+    val flat = Array.fill(w * h)(77)
+    val decFlat = Jpeg.decode(Jpeg.encodeProgressive(w, h, flat)).pixels
+    decFlat.foreach(v => assert(math.abs(v - 77) <= 2))
+  }
+
+  test("progressive refusals stay named: arithmetic, 12-bit, truncation") {
+    val px = gray(16, 16)(i => (i * 37) % 256)
+    val enc = Jpeg.encodeProgressive(16, 16, px)
+    val sof = enc.indices.find(i => (enc(i) & 0xFF) == 0xFF &&
+      (enc(i + 1) & 0xFF) == 0xC2).get
+    // SOF10 = progressive ARITHMETIC — refused by name
+    val ar = enc.clone(); ar(sof + 1) = 0xCA.toByte
+    val e1 = intercept[IllegalArgumentException] { Jpeg.decode(ar) }
+    assert(e1.getMessage.contains("SOF"), e1.getMessage)
+    // 12-bit precision (SOF2 precision octet)
+    val p12 = enc.clone(); p12(sof + 4) = 12
+    val e2 = intercept[IllegalArgumentException] { Jpeg.decode(p12) }
+    assert(e2.getMessage.contains("12-bit"), e2.getMessage)
+    // truncation sweep: named refusal or clean failure, never raw errors
+    (2 until enc.length by 7).foreach { cut =>
+      try Jpeg.decode(java.util.Arrays.copyOf(enc, cut))
+      catch { case _: IllegalArgumentException => () }
     }
   }
 

@@ -179,6 +179,39 @@ class MultimodalSpec extends SparkSpec {
     assert(math.round(px(91L)(1) * 255) == 255 - 16)
   }
 
+  test("decodeAviFrames: MJPEG AVI container -> frames -> pixels in one " +
+      "stage (the dominant real-world AVI payload)") {
+    // two REAL baseline JPEG frames (8x8 gradient ramps) in one container
+    val pxA = Array.tabulate(64)(i => i * 4 % 256)
+    val pxB = Array.tabulate(64)(i => 255 - i * 4 % 256)
+    val avi = Multimodal.encodeAvi(Seq(
+      Jpeg.encode(8, 8, pxA), Jpeg.encode(8, 8, pxB)))
+    val df = Seq((7L, avi)).toDF("id", "video")
+    val dec = Multimodal.decodeAviFrames(df, "id", "video", 8, 8)
+    assert(dec.columns.toSeq == Seq("id", "frame_idx", "stream", "kind",
+      "width", "height", "pixels"))
+    val rows = dec.orderBy("frame_idx").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.getAs[Int]("width") == 8 &&
+      r.getAs[String]("kind") == "dc"))
+    // decoded pixels match the encoder inputs within the DCT bound
+    def maxErr(r: org.apache.spark.sql.Row, exp: Array[Int]): Int =
+      r.getAs[Seq[Float]]("pixels").zip(exp).map { case (v, e) =>
+        math.abs(math.round(v * 255) - e) }.max
+    assert(maxErr(rows(0), pxA) <= 2, "frame 0 outside the DCT bound")
+    assert(maxErr(rows(1), pxB) <= 2, "frame 1 outside the DCT bound")
+    // a frame in a codec with no in-repo decoder is refused by name
+    val bogus = Multimodal.encodeAvi(Seq("notacodec".getBytes("US-ASCII")))
+    val e = intercept[Exception] {
+      Multimodal.decodeAviFrames(Seq((8L, bogus)).toDF("id", "video"),
+        "id", "video", 8, 8).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.toLowerCase.contains("png") || msgs.contains("refus") ||
+      msgs.contains("not a"), msgs)
+  }
+
   // ----------------------------------------------------- REAL GIF decode
 
   test("GIF roundtrip recovers every pixel through the LZW path") {
