@@ -803,9 +803,12 @@ object SparkEntry {
           shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.9)
         .orderBy("doc_a", "doc_b")),
 
-    "q31_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text", 3, 0.5)
-        .orderBy("doc_a", "doc_b")),
+    // (q31, the UNCAPPED all-pairs n-gram Jaccard, is retired from the
+    // board: q117 is the same operator in its production shape — capped
+    // candidate generation, exact verification — and provably equals the
+    // uncapped form at a wide cap (TextDedupSpec pins the equivalence).
+    // The uncapped form remains the spec-gated small-corpus verify
+    // primitive, Dedup.ngramJaccardPairs with maxShingleDocFreq = None.)
 
     // the curation pipeline as ONE gated composition: Gopher quality gate
     // → URL dedup (q71's synthesized URLs) → per-source cap — each stage
@@ -940,7 +943,7 @@ object SparkEntry {
       Clustering.labelCentroids(table(s, dir, "embeddings"), "label", "embedding")
         .orderBy("label", "pos")),
 
-    // the stop-shingle mitigation for q31's skew bound: shingles in > 15
+    // the stop-shingle mitigation for the all-pairs skew bound: shingles in > 15
     // docs are barred from candidate generation, then candidates verify
     // against the FULL sets — reported Jaccards stay exact
     "q117_ngram_jaccard_capped" -> ((s, dir) =>
@@ -2614,7 +2617,6 @@ object SparkEntry {
         |SELECT min(doc_id) AS doc_id FROM ad GROUP BY text ORDER BY 1""".stripMargin,
 
     "q30_near_dedup" -> jaccardOracle("0.9"),
-    "q31_ngram_jaccard" -> jaccardOracle("0.5"),
 
     // q70's keep conjunction → q71's canonicalization chain over the kept
     // set → q78's md5-rank cap; every fragment proven by its own gate
