@@ -963,16 +963,20 @@ object Jpeg {
   private val AcProgCounts: Array[Int] =
     Array.tabulate(16)(i => if (i == 8) AcProgSymbols.length else 0)
 
-  /** Encode grayscale (0-255) or 0xRRGGBB color (4:4:4) as a PROGRESSIVE
-    * JPEG (SOF2) with all-ones quantization, exercising every Annex G
-    * scan kind the decoder implements: interleaved DC first at Al=1,
-    * split-band AC first scans at Al=1 (with cross-block EOB runs), a DC
-    * refinement pass, and AC refinement passes with correction bits.
-    * Successive approximation is LOSSLESS across the pass pair, so a
-    * roundtrip lands within the same ±2 DCT envelope as [[encode]]. */
+  /** Encode grayscale (0-255) or 0xRRGGBB color (4:4:4, or 4:2:0 with
+    * `subsample420`) as a PROGRESSIVE JPEG (SOF2) with all-ones
+    * quantization, exercising every Annex G scan kind the decoder
+    * implements: interleaved DC first at Al=1 (with sampling factors
+    * under 4:2:0 — the padded-MCU block grid), split-band AC first scans
+    * at Al=1 (non-interleaved over each component's TRUE block dims, with
+    * cross-block EOB runs), a DC refinement pass, and AC refinement
+    * passes with correction bits. Successive approximation is LOSSLESS
+    * across the pass pair, so a roundtrip lands within the same ±2 DCT
+    * envelope as [[encode]]. */
   def encodeProgressive(width: Int, height: Int, pixels: Array[Int],
-      color: Boolean = false): Array[Byte] = {
+      color: Boolean = false, subsample420: Boolean = false): Array[Byte] = {
     require(pixels.length == width * height, s"${pixels.length} for ${width}x$height")
+    require(!subsample420 || color, "4:2:0 needs color")
     val nc = if (color) 3 else 1
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xFF)
@@ -981,7 +985,8 @@ object Jpeg {
     w16(0xFFDB); w16(2 + 1 + 64); w8(0)
     (0 until 64).foreach(_ => w8(1))
     w16(0xFFC2); w16(8 + 3 * nc); w8(8); w16(height); w16(width); w8(nc)
-    for (i <- 0 until nc) { w8(i + 1); w8(0x11); w8(0) }
+    for (i <- 0 until nc)
+      { w8(i + 1); w8(if (subsample420 && i == 0) 0x22 else 0x11); w8(0) }
     def dht(cls: Int, id: Int, counts: Array[Int], symbols: Array[Int]): Unit = {
       w16(0xFFC4); w16(2 + 1 + 16 + symbols.length); w8((cls << 4) | id)
       counts.foreach(w8); symbols.foreach(w8)
@@ -989,7 +994,7 @@ object Jpeg {
     dht(0, 0, DcCounts, DcSymbols)
     dht(1, 0, AcProgCounts, AcProgSymbols)
 
-    // level-shifted component planes (grayscale or 4:4:4 YCbCr)
+    // level-shifted component planes (grayscale or YCbCr)
     val planes: Array[Array[Int]] = if (!color) Array(pixels.map(_ - 128))
     else {
       val yP = new Array[Int](pixels.length)
@@ -1006,18 +1011,45 @@ object Jpeg {
       }
       Array(yP, cbP, crP)
     }
-    // DCT coefficient blocks per component (all 1x1: shared block grid)
-    val bw = (width + 7) / 8; val bh = (height + 7) / 8
+    // component geometry: sampling factors, padded (MCU) block grid for
+    // interleaved DC scans, TRUE block dims for non-interleaved AC scans
+    val hs = Array.tabulate(nc)(i => if (subsample420 && i == 0) 2 else 1)
+    val vs = hs.clone()
+    val hMax = hs.max; val vMax = vs.max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val gw = Array.tabulate(nc)(i => mcusX * hs(i))
+    val gh = Array.tabulate(nc)(i => mcusY * vs(i))
+    val tw = Array.tabulate(nc)(i => ((width * hs(i) + hMax - 1) / hMax + 7) / 8)
+    val th = Array.tabulate(nc)(i => ((height * vs(i) + vMax - 1) / vMax + 7) / 8)
+    // component-space samplers with edge replication (chroma under 4:2:0
+    // is the 2x2 box mean, matching [[encode]])
+    def sampleAt(ci: Int, x: Int, y: Int): Int =
+      if (hs(ci) == hMax && vs(ci) == vMax)
+        planes(ci)(math.min(y, height - 1) * width + math.min(x, width - 1))
+      else {
+        var acc = 0
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            acc += planes(ci)(math.min(y * 2 + dy, height - 1) * width +
+              math.min(x * 2 + dx, width - 1))
+            dx += 1
+          }
+          dy += 1
+        }
+        math.round(acc / 4.0).toInt
+      }
     val blk = new Array[Int](64)
     val coefBlocks: Array[Array[Array[Int]]] = Array.tabulate(nc) { ci =>
-      Array.tabulate(bw * bh) { b =>
-        val ox = (b % bw) * 8; val oy = (b / bw) * 8
+      Array.tabulate(gw(ci) * gh(ci)) { b =>
+        val ox = (b % gw(ci)) * 8; val oy = (b / gw(ci)) * 8
         var yy = 0
         while (yy < 8) {
           var xx = 0
           while (xx < 8) {
-            blk(yy * 8 + xx) = planes(ci)(
-              math.min(oy + yy, height - 1) * width + math.min(ox + xx, width - 1))
+            blk(yy * 8 + xx) = sampleAt(ci, ox + xx, oy + yy)
             xx += 1
           }
           yy += 1
@@ -1050,10 +1082,19 @@ object Jpeg {
       w8(ss); w8(se); w8((ah << 4) | al)
     }
 
+    // MCU-ordered (mcu, comp, block) walk shared by both DC scans: the
+    // interleaved layout with each component's h x v blocks per MCU
+    def mcuWalk(f: (Int, Int) => Unit): Unit = // (ci, paddedBlockIdx)
+      for {
+        my <- 0 until mcusY; mx <- 0 until mcusX
+        ci <- 0 until nc
+        by <- 0 until vs(ci); bx <- 0 until hs(ci)
+      } f(ci, (my * vs(ci) + by) * gw(ci) + mx * hs(ci) + bx)
+
     // ---- scan 1: DC first, interleaved, Al = 1 (arithmetic point shift)
     sos(0 until nc, 0, 0, 0, 1)
     val dcPred = new Array[Int](nc)
-    for (b <- 0 until bw * bh; ci <- 0 until nc) {
+    mcuWalk { (ci, b) =>
       val v = coefBlocks(ci)(b)(0) >> 1
       val diff = v - dcPred(ci); dcPred(ci) = v
       val s = magnitude(diff)
@@ -1075,10 +1116,16 @@ object Jpeg {
       }
     }
     val noBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // non-interleaved AC scans cover each component's TRUE block raster
+    // (the padded MCU margin belongs to DC scans only)
+    def trueBlocks(ci: Int): Seq[Int] =
+      for (by <- 0 until th(ci); bx <- 0 until tw(ci))
+        yield by * gw(ci) + bx
+
     def acFirstScan(ci: Int, ss: Int, se: Int): Unit = {
       sos(Seq(ci), ss, se, 0, 1)
       eobrun = 0
-      for (b <- 0 until bw * bh) {
+      for (b <- trueBlocks(ci)) {
         val coef = coefBlocks(ci)(b)
         def shifted(k: Int): Int = {
           val v = coef(Zigzag(k)); val av = math.abs(v) >> 1
@@ -1112,8 +1159,7 @@ object Jpeg {
 
     // ---- DC refinement: Ah = 1, Al = 0 — one raw bit per block
     sos(0 until nc, 0, 0, 1, 0)
-    for (b <- 0 until bw * bh; ci <- 0 until nc)
-      putBits(coefBlocks(ci)(b)(0) & 1, 1)
+    mcuWalk { (ci, b) => putBits(coefBlocks(ci)(b)(0) & 1, 1) }
     pad()
 
     // ---- AC refinement scans: Ah = 1, Al = 0 — correction bits buffered
@@ -1127,7 +1173,7 @@ object Jpeg {
       // (emitted after that symbol)
       val bePending = scala.collection.mutable.ArrayBuffer.empty[Int]
       val brCur = scala.collection.mutable.ArrayBuffer.empty[Int]
-      for (b <- 0 until bw * bh) {
+      for (b <- trueBlocks(ci)) {
         val coef = coefBlocks(ci)(b)
         def temp(k: Int): Int = math.abs(coef(Zigzag(k)))
         val eobPos = (se to ss by -1).find(k => temp(k) != 0).getOrElse(ss - 1)

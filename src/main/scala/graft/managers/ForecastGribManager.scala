@@ -1,0 +1,101 @@
+package graft.managers
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.DatasetManager
+import graft.model.{DatasetCategory, DatasetDescriptor, TimeSpan, TimeUnitKind}
+import graft.ops.Normalize
+
+/** Forecast / ensemble-category ingest from NATIVE forecast GRIB: the
+  * reference's `forecast` and `ensemble` dataset categories
+  * (transform.py:724-759 dim sets; attributes.py:223-233) wired end-to-end
+  * onto the scan's (ref_time, step, member) columns — two reference times
+  * with overlapping VALID times land as distinct hypercubes keyed by
+  * (forecast_reference_time, step), never aliased.
+  *
+  * transform: grib scan (param + member pruned at the message level)
+  *   → rename ref_time → forecast_reference_time, member → ensemble
+  *   → descriptor-driven normalize (the category supplies the leading
+  *     dims; valid time stays derivable as frt + step minutes).
+  *
+  * The store layout is the standard bucketed GridStore keyed on the
+  * category's standardDims — forecast grids are "just more key columns"
+  * in the long-form model (HindcastGridSpec pins the same property for
+  * the 6-D hindcast shape). */
+final class ForecastGribManager(
+    val spark: SparkSession,
+    root: String,
+    /** GRIB parameter the data var maps to (2 m temperature = 167). */
+    val paramId: Int = 167,
+    /** Ensemble category: keep perturbed members and surface the
+      * perturbation number as the `ensemble` dim; false = deterministic
+      * forecast (members refused — a perturbed field landing in a
+      * deterministic store would silently average nothing, so the
+      * filter keeps only member-less fields and QC counts catch a
+      * fully-ensemble input as an empty frame). */
+    val ensemble: Boolean = false) extends DatasetManager {
+
+  val desc: DatasetDescriptor = DatasetDescriptor(
+    datasetName = if (ensemble) "ens_t2m" else "forecast_t2m",
+    dataVar = "t2m",
+    category =
+      if (ensemble) DatasetCategory.Ensemble else DatasetCategory.Forecast,
+    spatialDims = Seq("latitude", "longitude"),
+    timeResolution = TimeSpan.Daily, // reference-time cycle cadence
+    hasNans = false,
+    unitOfMeasurement = Some("K"),
+    staticMetadata = Map(
+      "collection_name" -> (if (ensemble) "ENS" else "HRES"),
+      "provider_description" -> "forecast-category ingest (native GRIB)"))
+
+  val storePath: String = s"$root/${desc.datasetName}"
+  val inputDir: String = s"$root/input"
+
+  override def bucketSpan: TimeUnitKind = TimeUnitKind.Months
+
+  override def inputFiles(): Seq[String] = {
+    val fs = graft.store.GridStore.fileSystem(spark, inputDir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(inputDir))) Seq.empty
+    else graft.sources.Manifest
+      .listInputFiles(spark, inputDir, graft.sources.Manifest.GribExtensions)
+      .select("path").collect().map(_.getString(0)).toSeq
+  }
+
+  /** O1 on the forecast path: the scan's forecast keys become the
+    * category's leading dims. param/member predicates prune whole
+    * messages at planning. */
+  override def transform(): DataFrame = {
+    val files = inputFiles()
+    require(files.nonEmpty, s"No input files in $inputDir")
+    val scanned = spark.read.format("grib1").load(inputDir)
+      .filter(col("param") === paramId)
+    val keyed =
+      if (ensemble)
+        scanned.filter(col("member").isNotNull)
+          .withColumnRenamed("member", "ensemble")
+      else scanned.filter(col("member").isNull)
+    val shaped = keyed
+      .withColumnRenamed("ref_time", "forecast_reference_time")
+    Normalize.normalize(shaped, desc, pre = preprocess, post = postprocess)
+  }
+
+  /** O3 — the newest-file probe reads the scan's ref_time (the manager's
+    * time dim does not exist as a physical GRIB column). */
+  override def checkIfNewData(): Boolean = {
+    if (!store.hasExisting) return true
+    val files = inputFiles()
+    if (files.isEmpty) return false
+    val newestEnd = spark.read.format("grib1").load(files.last)
+      .agg(max(col("ref_time"))).head().get(0)
+    val endOpt: Option[java.time.LocalDateTime] = newestEnd match {
+      case t: java.time.LocalDateTime => Some(t)
+      case t: java.sql.Timestamp => Some(t.toLocalDateTime)
+      case _ => None
+    }
+    (endOpt, getMetadataDateRange()) match {
+      case (Some(end), Some((_, storeEnd))) => end.isAfter(storeEnd)
+      case _ => true
+    }
+  }
+}

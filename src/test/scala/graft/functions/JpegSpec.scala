@@ -167,6 +167,26 @@ class JpegSpec extends SparkSpec {
     decFlat.foreach(v => assert(math.abs(v - 77) <= 2))
   }
 
+  test("progressive 4:2:0: interleaved DC over sampled MCUs + " +
+      "non-interleaved AC over the TRUE block grid") {
+    // 24x20 at 4:2:0: luma padded grid (4x4 blocks of 2x2-per-MCU) is
+    // WIDER than its true grid (3x3) — the AC scans cover only the true
+    // raster while DC covers the padded MCU walk; a stride slip between
+    // the two grids scrambles blocks
+    val w = 24; val h = 20
+    val px = Array.tabulate(w * h) { i =>
+      (((i * 23) % 256) << 16) | (((i * 57 + 10) % 256) << 8) | ((i * 91 + 3) % 256)
+    }
+    val base = Jpeg.decode(Jpeg.encode(w, h, px, color = true, subsample420 = true))
+    val prog = Jpeg.decode(Jpeg.encodeProgressive(w, h, px, color = true,
+      subsample420 = true))
+    assert(prog.width == w && prog.height == h && prog.components == 3)
+    // identical coefficients through both encoders -> identical pixels;
+    // the baseline 4:2:0 test already bounds quality vs the source, so
+    // bit-equality here transfers that bound to the progressive path
+    assert(prog.pixels.sameElements(base.pixels))
+  }
+
   test("progressive refusals stay named: arithmetic, 12-bit, truncation") {
     val px = gray(16, 16)(i => (i * 37) % 256)
     val enc = Jpeg.encodeProgressive(16, 16, px)
