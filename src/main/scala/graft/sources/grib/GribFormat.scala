@@ -1118,12 +1118,20 @@ object GribFormat {
         * Empty = every field at ground surface (1, 0), the pre-level
         * profile. This is how a multi-LEVEL fixture (ERA5 pressure-level
         * shape) is written. */
-      levels: Seq[(Int, Long)] = Seq.empty): Unit = {
+      levels: Seq[(Int, Long)] = Seq.empty,
+      /** Accumulation interval hours aligned with `fields`: > 0 writes an
+        * INTERVAL product (template 4.8, or 4.11 with a member) whose
+        * overall interval runs [ref+lead, ref+lead+interval] — the NCEP
+        * precipitation shape; 0 = point-in-time (4.0/4.1). */
+      intervals: Seq[Int] = Seq.empty): Unit = {
     require(fields.nonEmpty, "a GRIB2 message needs at least one field")
     require(members.isEmpty || members.length == fields.length,
       s"${members.length} members for ${fields.length} fields")
     require(levels.isEmpty || levels.length == fields.length,
       s"${levels.length} levels for ${fields.length} fields")
+    require(intervals.isEmpty || intervals.length == fields.length,
+      s"${intervals.length} intervals for ${fields.length} fields")
+    require(intervals.forall(_ >= 0), s"negative interval in $intervals")
     require(spatialDiffOrder >= 0 && spatialDiffOrder <= 2,
       s"spatial differencing order $spatialDiffOrder (0, 1, 2)")
     require(spatialDiffOrder == 0 || complexPacking,
@@ -1145,6 +1153,7 @@ object GribFormat {
         refValue: Float,
         member: Int,
         surfType: Int, surfVal: Long,
+        accumHours: Int,
         sec4Len: Int, sec5Len: Int, sec6Len: Int, sec7Len: Int)
 
     val nMembers = members.count(_ >= 0)
@@ -1220,12 +1229,15 @@ object GribFormat {
       }
       val (surfType, surfVal) =
         if (levels.isEmpty) (1, 0L) else levels(fi)
+      val accumHours = if (intervals.isEmpty) 0 else intervals(fi)
       FieldPlan(paramId, leadHours, scaled, minV, bits, bitmap, complexParts,
         pngBytes, ccsdsBytes, jpegBytes,
         refValue = if (fieldOrder > 0) 0f else minV.toFloat,
         member = member,
         surfType = surfType, surfVal = surfVal,
-        sec4Len = if (member >= 0) 37 else 34,
+        accumHours = accumHours,
+        sec4Len = (if (member >= 0) 37 else 34) +
+          (if (accumHours > 0) 24 else 0),
         sec5Len = if (fieldOrder > 0) 49 else if (complexPacking) 47
           else if (ccsdsPacking) 25 else if (jpegPacking) 23 else 21,
         sec6Len = 6 + bitmap.map(_.length).getOrElse(0),
@@ -1307,17 +1319,19 @@ object GribFormat {
     }
     plans.foreach { p =>
       val refValue = p.refValue
-      // Section 4 — product definition, template 4.0 (deterministic) or
-      // 4.1 (individual ensemble member: + type/number/count octets)
+      // Section 4 — product definition: 4.0 (deterministic point) / 4.1
+      // (ensemble member) / 4.8 (interval) / 4.11 (ensemble interval)
       out.writeInt(p.sec4Len); out.writeByte(4)
       out.writeShort(0) // no coordinate values
-      out.writeShort(if (p.member >= 0) 1 else 0) // template 4.0 / 4.1
+      out.writeShort(
+        if (p.accumHours > 0) { if (p.member >= 0) 11 else 8 }
+        else { if (p.member >= 0) 1 else 0 }) // 4.0 / 4.1 / 4.8 / 4.11
       out.writeByte((p.paramId >> 8) & 0xFF) // parameter category
       out.writeByte(p.paramId & 0xFF) // parameter number
       out.writeByte(2); out.writeByte(0); out.writeByte(0) // process type/bg/id
       out.writeShort(0); out.writeByte(0) // cutoff
       out.writeByte(1) // time unit: hours
-      out.writeInt(p.leadHours) // forecast time
+      out.writeInt(p.leadHours) // forecast time (interval START for 4.8/4.11)
       // surface 1: (type, scale factor 0, scaled value); ground by default
       out.writeByte(p.surfType); out.writeByte(0); out.writeInt(p.surfVal.toInt)
       out.writeByte(255); out.writeByte(255); out.writeInt(-1) // surface 2: none
@@ -1325,6 +1339,23 @@ object GribFormat {
         out.writeByte(3) // ensemble type: perturbed forecast
         out.writeByte(p.member) // perturbation number
         out.writeByte(math.max(nMembers, p.member + 1)) // forecasts in ensemble
+      }
+      if (p.accumHours > 0) {
+        // statistical-processing trailer: END of the overall interval,
+        // one accumulation range of accumHours hours
+        val end = refTime.plusHours(p.leadHours.toLong + p.accumHours)
+        out.writeShort(end.getYear)
+        out.writeByte(end.getMonthValue); out.writeByte(end.getDayOfMonth)
+        out.writeByte(end.getHour); out.writeByte(end.getMinute)
+        out.writeByte(end.getSecond)
+        out.writeByte(1) // number of time ranges
+        out.writeInt(0) // missing values in the statistical process
+        out.writeByte(1) // statistical process: accumulation
+        out.writeByte(2) // time-increment type: successive start times
+        out.writeByte(1) // range unit: hours
+        out.writeInt(p.accumHours) // length of the range
+        out.writeByte(1) // increment unit: hours
+        out.writeInt(0) // increment: continuous
       }
       // Section 5 — data representation (template 5.0 simple / 5.2 complex);
       // ndata = number of points carried in section 7 (present cells only)
@@ -1456,6 +1487,7 @@ object GribFormat {
       var member = -1
       var levelType1 = 255
       var level1 = Double.NaN
+      var intervalEnd: java.time.LocalDateTime = null
       var png = false
       var jpeg = false
       var spectralTrunc: Option[Int] = None
@@ -1479,14 +1511,25 @@ object GribFormat {
             skipN((secLen - 5).toLong)
             require(refTime0 != null && paramId >= 0 && ni > 0 && seenRepr,
               "GRIB2 field reached section 7 without sections 1, 3, 4 and 5")
-            val stepMin: Long = timeUnit match {
+            val leadMin: Long = timeUnit match {
               case 0 => forecast.toLong
               case 1 => forecast.toLong * 60
               case 2 => forecast.toLong * 1440
               case u => throw new IllegalArgumentException(
                 s"GRIB2 time unit $u unsupported (0=min, 1=hour, 2=day)")
             }
-            val validTime = refTime0.plusMinutes(stepMin)
+            // interval products (4.8/4.11): the VALID time is the END of
+            // the overall interval from the PDT, not ref + lead — a 1-h
+            // precip accumulation with lead 0 is valid at ref + 1 h (the
+            // real NCEP rtma_pcp.grib shape); step keeps the ecCodes
+            // endStep convention (valid − ref)
+            val validTime =
+              if (intervalEnd != null) intervalEnd
+              else refTime0.plusMinutes(leadMin)
+            val stepMin: Long =
+              if (intervalEnd != null)
+                java.time.Duration.between(refTime0, intervalEnd).toMinutes
+              else leadMin
             val spectral = (spectralTrunc, spectralPacking) match {
               case (Some(t), Some(pk)) => Some(SpectralGrid(t, pk))
               case (Some(_), None) => throw new IllegalArgumentException(
@@ -1667,6 +1710,19 @@ object GribFormat {
                   }
                 }
                 member = if (tmpl == 1 || tmpl == 11) body(30) & 0xFF else -1
+                // 4.8/4.11: time of END of the overall interval — octets
+                // 35-41 (4.8) / 38-44 (4.11, after the ensemble octets)
+                intervalEnd =
+                  if (tmpl == 8 || tmpl == 11) {
+                    val o = if (tmpl == 11) 32 else 29
+                    require(body.length >= o + 7,
+                      s"product template 4.$tmpl section too short " +
+                        s"(${body.length + 5} octets) for the interval-end time")
+                    java.time.LocalDateTime.of(u16(body, o),
+                      body(o + 2) & 0xFF, body(o + 3) & 0xFF,
+                      body(o + 4) & 0xFF, body(o + 5) & 0xFF,
+                      body(o + 6) & 0xFF)
+                  } else null
               case 5 =>
                 seenRepr = true
                 refValue = java.lang.Float.intBitsToFloat(u32(body, 6).toInt).toDouble

@@ -181,6 +181,14 @@ class GribBitmapSpec extends SparkSpec {
     // CONUS 2.5 km RTMA extent (degrees; lon in GRIB 0..360 convention)
     assert(agg.getDouble(4) > 19.0 && agg.getDouble(5) < 58.0)
     assert(agg.getDouble(6) > 225.0 && agg.getDouble(7) < 310.0)
+    // template 4.8 interval product: ref 08Z, 1-h accumulation ending
+    // 09Z — the VALID time is the interval END, step the endStep
+    val t = df.select("time", "ref_time", "step").distinct().head()
+    assert(t.getAs[java.time.LocalDateTime]("time") ==
+      java.time.LocalDateTime.parse("2025-02-06T09:00"))
+    assert(t.getAs[java.time.LocalDateTime]("ref_time") ==
+      java.time.LocalDateTime.parse("2025-02-06T08:00"))
+    assert(t.getAs[Long]("step") == 60L)
   }
 
   test("rtma first grid point inverts to exactly La1/Lo1") {

@@ -146,6 +146,35 @@ class GribLevelSpec extends SparkSpec {
     assert(q.count() == 4)
   }
 
+  test("interval products (4.8/4.11): valid time is the interval END, " +
+      "step the endStep — never ref + lead") {
+    val dir = freshDir("accum")
+    val ref = LocalDateTime.parse("2024-03-01T00:00")
+    write(s"$dir/acc.grb2") { out =>
+      // 1-h accumulation starting at lead 6h: interval [06, 07] — valid 07Z
+      GribFormat.writeMessage2Fields(out, ref, lats, lons,
+        fields = Seq((61, 6, grid(0.0))), intervals = Seq(1))
+      // ensemble interval (4.11), lead 0, 3-h accumulation — valid 03Z
+      GribFormat.writeMessage2Fields(out, ref, lats, lons,
+        fields = Seq((61, 0, grid(100.0))), members = Seq(2),
+        intervals = Seq(3))
+    }
+    val df = spark.read.format("grib1").load(s"$dir/acc.grb2")
+    assert(df.count() == 8)
+    val det = df.filter(col("member").isNull)
+    assert(det.select("time").distinct().head()
+      .getAs[LocalDateTime](0) == ref.plusHours(7))
+    assert(det.select("step").distinct().head().getLong(0) == 7 * 60)
+    assert(det.select("ref_time").distinct().head()
+      .getAs[LocalDateTime](0) == ref)
+    val ens = df.filter(col("member") === 2)
+    assert(ens.select("time").distinct().head()
+      .getAs[LocalDateTime](0) == ref.plusHours(3))
+    assert(ens.select("step").distinct().head().getLong(0) == 3 * 60)
+    assert(ens.filter(col("latitude") === 0.0 && col("longitude") === 10.0)
+      .head().getAs[Double]("value") == 100.0)
+  }
+
   test("edition-1 fixtures surface the PDS level and forecast key") {
     val dir = freshDir("g1")
     GribFormat.writeFile(spark, s"$dir/a.grb", Seq(
