@@ -1589,6 +1589,37 @@ object SparkEntry {
         .orderBy("time", "slot")
     }),
 
+    // edition-1 accumulations (time range indicator 4, the GPCP shape)
+    // carry the same interval-end key model as q157's template 4.8: the
+    // PDS stamps P1=0, P2=1 h and the scan emits time = d+1h, step = 60.
+    "q158_grib1_accum_scan" -> ((s, dir) => {
+      val cells = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count().collect()
+      implicit val ldtOrd: Ordering[LocalDateTime] =
+        Ordering.fromLessThan(_ isBefore _)
+      val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+      val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+      val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/events_acc.grb"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        fs.create(new org.apache.hadoop.fs.Path(path), true)))
+      try days.foreach { d =>
+        val base = Array.fill(10)(0.0)
+        byDay(d).foreach(r => base(r.getAs[Int]("slot")) = r.getAs[Long]("count").toDouble)
+        graft.sources.grib.GribFormat.writeMessage(out, 61, d,
+          Seq(0.0, 1.0), Seq(0.0, 1.0, 2.0, 3.0, 4.0), base,
+          accumHours = 1)
+      } finally out.close()
+      s.read.format("grib1").load(path)
+        .withColumn("slot", (col("latitude") * 5 + col("longitude")).cast("int"))
+        .select(col("time"), col("ref_time"), col("step"), col("slot"),
+          col("value").as("cnt"))
+        .orderBy("time", "slot")
+    }),
+
     // template 5.3 (complex packing + order-2 spatial differencing — the
     // packing operational GFS/NDFD archives carry), same grid + bitmap
     "q85_grib_spatial_diff_scan" -> ((s, dir) => {
@@ -3535,6 +3566,21 @@ object SparkEntry {
     // accumulation fixture: the spine shifted to the interval END with
     // the endStep key
     "q157_grib_accum_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s))
+        |SELECT spine.d + INTERVAL 1 HOUR AS time, spine.d AS ref_time,
+        |       CAST(60 AS BIGINT) AS step, spine.slot AS slot,
+        |       CAST(COALESCE(g.cnt, 0) AS DOUBLE) AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 4""".stripMargin,
+
+    // edition-1 TRI-4 fixture: identical key model to q157
+    "q158_grib1_accum_scan" ->
       """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
         |                  CAST(event_id % 10 AS INTEGER) AS slot,
         |                  CAST(count(*) AS DOUBLE) AS cnt

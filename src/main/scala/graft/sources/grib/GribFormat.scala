@@ -946,8 +946,16 @@ object GribFormat {
       /** GDS grid type 4 (Gaussian): N parallels pole→equator. */
       gaussianN: Option[Int] = None,
       /** Reduced Gaussian rows (ni → MISSING, PL list at octet 33). */
-      reducedRows: Option[Seq[Int]] = None): Unit = {
-    require(leadHours >= 0 && leadHours <= 255, s"leadHours $leadHours not in PDS octet range")
+      reducedRows: Option[Seq[Int]] = None,
+      /** > 0 writes an ACCUMULATION (time range indicator 4) over
+        * [ref+lead, ref+lead+accumHours] — valid at the interval END,
+        * the GPCP/NCEP-precip edition-1 shape; 0 = point-in-time. */
+      accumHours: Int = 0): Unit = {
+    require(accumHours >= 0, s"accumHours $accumHours negative")
+    require(leadHours >= 0 &&
+        leadHours + accumHours <= (if (accumHours > 0) 255 else 65535),
+      s"lead $leadHours + accumulation $accumHours exceeds the PDS range " +
+        s"(P1/P2 are one octet each; a point lead may span both as TRI 10)")
     require(reducedRows.isEmpty || gaussianN.isDefined,
       "reduced rows require a Gaussian grid (type 4)")
     val nj = lats.length; val ni = lons.length
@@ -995,8 +1003,18 @@ object GribFormat {
     out.writeByte(refTime.getDayOfMonth); out.writeByte(refTime.getHour)
     out.writeByte(refTime.getMinute)
     out.writeByte(1) // time unit hours
-    out.writeByte(leadHours); out.writeByte(0) // P1 (forecast lead), P2
-    out.writeByte(0) // time range indicator: analysis
+    if (accumHours > 0) {
+      // accumulation [ref+P1, ref+P2], valid at the interval end
+      out.writeByte(leadHours); out.writeByte(leadHours + accumHours)
+      out.writeByte(4) // time range indicator: accumulation
+    } else if (leadHours > 255) {
+      // TRI 10: P1 spans octets 19-20 (the long-lead reanalysis shape)
+      out.writeShort(leadHours)
+      out.writeByte(10)
+    } else {
+      out.writeByte(leadHours); out.writeByte(0) // P1 (forecast lead), P2
+      out.writeByte(0) // time range indicator: forecast valid at ref+P1
+    }
     out.writeByte(0); out.writeByte(0) // number in average
     out.writeByte(0) // missing from average
     out.writeByte(century)
@@ -1515,8 +1533,17 @@ object GribFormat {
               case 0 => forecast.toLong
               case 1 => forecast.toLong * 60
               case 2 => forecast.toLong * 1440
+              case 10 => forecast.toLong * 180
+              case 11 => forecast.toLong * 360
+              case 12 => forecast.toLong * 720
+              case 13 => // seconds — the scan's step axis is minutes
+                require(forecast % 60 == 0,
+                  s"sub-minute forecast lead (${forecast} s) unsupported: " +
+                    "the time axis is minute-resolved")
+                forecast.toLong / 60
               case u => throw new IllegalArgumentException(
-                s"GRIB2 time unit $u unsupported (0=min, 1=hour, 2=day)")
+                s"GRIB2 time unit $u unsupported " +
+                  "(0=min, 1=hour, 2=day, 10/11/12=3/6/12h, 13=s)")
             }
             // interval products (4.8/4.11): the VALID time is the END of
             // the overall interval from the PDT, not ref + lead — a 1-h
@@ -1890,22 +1917,38 @@ object GribFormat {
       val year = (century - 1) * 100 + (pds(9) & 0xFF)
       val refTime0 = java.time.LocalDateTime.of(year, pds(10) & 0xFF,
         pds(11) & 0xFF, pds(12) & 0xFF, pds(13) & 0xFF)
-      // forecast messages carry their lead in P1 (octet 19) in the PDS
-      // time unit (octet 18): the VALID time is ref + P1·unit. Only the
-      // "forecast at reference + P1" indicator (0) is supported — anything
-      // else (averages, accumulations) fails loudly, like the other
+      // forecast messages carry their lead in P1/P2 (octets 19-20) in the
+      // PDS time unit (octet 18), keyed by the time range indicator
+      // (octet 21, table 5): 0 = valid at ref+P1; 1 = initialized
+      // analysis (valid at ref); 4 = accumulation over [ref+P1, ref+P2]
+      // valid at the interval END (matching the edition-2 template-4.8
+      // convention above); 10 = P1 spans both octets (long-lead
+      // reanalysis). Statistical indicators this scan can't key
+      // (averages 3/113+, climatology) fail loudly, like the other
       // unsupported-subset conditions.
       val timeUnit = pds(14) & 0xFF
       val p1 = pds(15) & 0xFF
+      val p2 = pds(16) & 0xFF
       val rangeIndicator = pds(17) & 0xFF
-      require(rangeIndicator == 0,
-        s"time range indicator $rangeIndicator unsupported (only 0: forecast at ref+P1)")
-      val g1StepMin: Long = timeUnit match {
+      val leadUnits: Long = rangeIndicator match {
         case 0 => p1.toLong
-        case 1 => p1.toLong * 60
-        case 2 => p1.toLong * 1440
+        case 1 => 0L
+        case 4 => p2.toLong // the valid time IS the accumulation end
+        case 10 => ((p1 << 8) | p2).toLong
+        case r => throw new IllegalArgumentException(
+          s"time range indicator $r unsupported (0: forecast at ref+P1, " +
+            "1: initialized analysis, 4: accumulation valid at ref+P2, " +
+            "10: 16-bit P1)")
+      }
+      val g1StepMin: Long = timeUnit match {
+        case 0 => leadUnits
+        case 1 => leadUnits * 60
+        case 2 => leadUnits * 1440
+        case 10 => leadUnits * 180
+        case 11 => leadUnits * 360
+        case 12 => leadUnits * 720
         case u => throw new IllegalArgumentException(
-          s"PDS time unit $u unsupported (0=min, 1=hour, 2=day)")
+          s"PDS time unit $u unsupported (0=min, 1=hour, 2=day, 10/11/12=3/6/12h)")
       }
       val refTime = refTime0.plusMinutes(g1StepMin)
       val decimalScale = sm(pds, 23, 2)

@@ -175,6 +175,54 @@ class GribLevelSpec extends SparkSpec {
       .head().getAs[Double]("value") == 100.0)
   }
 
+  test("edition-1 accumulations (TRI 4) and long leads (TRI 10) key like " +
+      "edition 2: valid = interval end / ref + 16-bit P1") {
+    val dir = freshDir("g1tri")
+    val ref = LocalDateTime.parse("2024-03-01T00:00")
+    write(s"$dir/tri.grb") { out =>
+      // 2-h accumulation starting at lead 6: interval [06, 08] — valid 08Z
+      GribFormat.writeMessage(out, 61, ref, lats, lons, grid(0.0),
+        leadHours = 6, accumHours = 2)
+      // 300-h lead: > 255 forces P1 across octets 19-20 under TRI 10
+      GribFormat.writeMessage(out, 61, ref, lats, lons, grid(50.0),
+        leadHours = 300)
+    }
+    val df = spark.read.format("grib1").load(s"$dir/tri.grb")
+    assert(df.count() == 8)
+    assert(df.select("ref_time").distinct().head()
+      .getAs[LocalDateTime](0) == ref)
+    val acc = df.filter(col("step") === 8 * 60L)
+    assert(acc.count() == 4)
+    assert(acc.select("time").distinct().head()
+      .getAs[LocalDateTime](0) == ref.plusHours(8))
+    val long = df.filter(col("step") === 300 * 60L)
+    assert(long.count() == 4)
+    assert(long.select("time").distinct().head()
+      .getAs[LocalDateTime](0) == ref.plusHours(300))
+    assert(long.filter(col("latitude") === 0.0 && col("longitude") === 10.0)
+      .head().getAs[Double]("value") == 50.0)
+  }
+
+  test("coarse PDS time units (10/11/12 = 3/6/12 h) scale the lead") {
+    val dir = freshDir("g1unit")
+    val ref = LocalDateTime.parse("2024-03-01T00:00")
+    // write a 2-unit lead at unit "hours", then byte-patch PDS octet 18
+    // (time unit, file offset 8 + 17) to 3-hourly: lead becomes 6 h
+    val raw = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(raw)
+    GribFormat.writeMessage(dos, 61, ref, lats, lons, grid(0.0),
+      leadHours = 2)
+    dos.close()
+    val bytes = raw.toByteArray
+    assert(bytes(25) == 1, "PDS time-unit octet moved; update the patch")
+    bytes(25) = 10
+    write(s"$dir/u.grb")(_.write(bytes))
+    val df = spark.read.format("grib1").load(s"$dir/u.grb")
+    assert(df.select("time").distinct().head()
+      .getAs[LocalDateTime](0) == ref.plusHours(6))
+    assert(df.select("step").distinct().head().getLong(0) == 360L)
+  }
+
   test("edition-1 fixtures surface the PDS level and forecast key") {
     val dir = freshDir("g1")
     GribFormat.writeFile(spark, s"$dir/a.grb", Seq(
