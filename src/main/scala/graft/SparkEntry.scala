@@ -1620,6 +1620,39 @@ object SparkEntry {
         .orderBy("time", "slot")
     }),
 
+    // derived-ensemble products (templates 4.2/4.12 — the GEFS
+    // geavg/gespr archive shape): mean and spread of one (time, param)
+    // coexist in one file, separated only by the derived axis (table 4.7
+    // statistic code), with member NULL for both.
+    "q159_grib_derived_scan" -> ((s, dir) => {
+      val cells = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count().collect()
+      implicit val ldtOrd: Ordering[LocalDateTime] =
+        Ordering.fromLessThan(_ isBefore _)
+      val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+      val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+      val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/events_drv.grb2"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        fs.create(new org.apache.hadoop.fs.Path(path), true)))
+      try days.foreach { d =>
+        val mean = Array.fill(10)(0.0)
+        byDay(d).foreach(r => mean(r.getAs[Int]("slot")) = r.getAs[Long]("count").toDouble)
+        graft.sources.grib.GribFormat.writeMessage2Fields(out, d,
+          Seq(0.0, 1.0), Seq(0.0, 1.0, 2.0, 3.0, 4.0),
+          fields = Seq((61, 0, mean), (61, 0, mean.map(_ * 2))),
+          derivedStats = Seq(0, 2))
+      } finally out.close()
+      s.read.format("grib1").load(path)
+        .withColumn("slot", (col("latitude") * 5 + col("longitude")).cast("int"))
+        .select(col("time"), col("derived"), col("slot"),
+          col("value").as("cnt"))
+        .orderBy("time", "derived", "slot")
+    }),
+
     // template 5.3 (complex packing + order-2 spatial differencing — the
     // packing operational GFS/NDFD archives carry), same grid + bitmap
     "q85_grib_spatial_diff_scan" -> ((s, dir) => {
@@ -3593,6 +3626,23 @@ object SparkEntry {
         |       CAST(COALESCE(g.cnt, 0) AS DOUBLE) AS cnt
         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
         |ORDER BY 1, 4""".stripMargin,
+
+    // derived-ensemble fixture: mean (0) carries the counts, spread (2)
+    // twice the counts — the derived axis keys both onto one spine
+    "q159_grib_derived_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot, CAST(v AS INTEGER) AS derived
+        |          FROM days, (SELECT unnest(range(10)) AS s),
+        |               (SELECT unnest([0, 2]) AS v))
+        |SELECT spine.d AS time, spine.derived AS derived, spine.slot AS slot,
+        |       CAST(COALESCE(g.cnt, 0) * (CASE spine.derived WHEN 0 THEN 1 ELSE 2 END)
+        |            AS DOUBLE) AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q135_grib_jpeg2000_scan" ->
       """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,

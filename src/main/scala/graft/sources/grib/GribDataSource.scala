@@ -67,6 +67,10 @@ object GribTable {
     // ensemble perturbation number (product templates 4.1/4.11);
     // null for deterministic products
     StructField("member", IntegerType, nullable = true),
+    // derived-ensemble statistic (templates 4.2/4.12, code table 4.7:
+    // 0 = mean, 2 = std dev — the GEFS geavg/gespr shape); null for
+    // non-derived products
+    StructField("derived", IntegerType, nullable = true),
     // vertical axis: first-fixed-surface type (code table 4.5 / GRIB1
     // table 3) + value; null when the product carries no surface (255) —
     // a multi-level file (ERA5 pressure-level) keys its hypercubes here
@@ -194,12 +198,14 @@ final class GribScanBuilder(table: GribTable) extends ScanBuilder
     // products, level/level_type null for surface-less products — their
     // IsNotNull must stay residual
     case sources.IsNotNull(a) => a != "value" && a != "member" &&
-      a != "level" && a != "level_type" &&
+      a != "derived" && a != "level" && a != "level_type" &&
       GribTable.Schema.fieldNames.contains(a)
     case sources.EqualTo("param", _: Integer) => true
     case sources.In("param", vs) => vs.forall(_.isInstanceOf[Integer])
     case sources.EqualTo("member", _: Integer) => true
     case sources.IsNull("member") => true
+    case sources.EqualTo("derived", _: Integer) => true
+    case sources.IsNull("derived") => true
     case sources.EqualTo("level_type", _: Integer) => true
     case sources.IsNull("level_type") => true
     case sources.EqualTo("level", _: java.lang.Double) => true
@@ -261,6 +267,8 @@ final class GribScan(
       vs.exists(v => m.paramId == v.asInstanceOf[Integer].intValue())
     case sources.EqualTo("member", v: Integer) => m.member == v.intValue()
     case sources.IsNull("member") => m.member < 0
+    case sources.EqualTo("derived", v: Integer) => m.derived == v.intValue()
+    case sources.IsNull("derived") => m.derived < 0
     case sources.EqualTo("level_type", v: Integer) =>
       m.levelType != 255 && m.levelType == v.intValue()
     case sources.IsNull("level_type") => m.levelType == 255
@@ -352,6 +360,7 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
   private val ParamC = 3; private val ValueC = 4; private val MemberC = 5
   private val LevelTypeC = 6; private val LevelC = 7
   private val RefTimeC = 8; private val StepC = 9
+  private val DerivedC = 10
   private val colCodes: Array[Int] = part.cols.map {
     case "time" => TimeC
     case "latitude" => LatC
@@ -363,6 +372,7 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
     case "level" => LevelC
     case "ref_time" => RefTimeC
     case "step" => StepC
+    case "derived" => DerivedC
   }
   private var k = -1
 
@@ -378,6 +388,7 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
         case LonC => if (regular) lons(k % m.ni) else m.latLonAt(k)._2
         case ParamC => m.paramId
         case MemberC => if (m.member < 0) null else m.member
+        case DerivedC => if (m.derived < 0) null else m.derived
         case LevelTypeC => if (m.levelType == 255) null else m.levelType
         case LevelC => if (m.level.isNaN) null else m.level
         case RefTimeC => refTimeMicros

@@ -352,7 +352,12 @@ object GribFormat {
         * forecast/ensemble dim sets, transform.py:724-759). */
       baseTime: java.time.LocalDateTime = null,
       /** Forecast lead in minutes (0 = analysis). */
-      stepMinutes: Long = 0L) {
+      stepMinutes: Long = 0L,
+      /** Derived-ensemble statistic (product templates 4.2/4.12, code
+        * table 4.7: 0 = mean, 2 = std dev — the GEFS geavg/gespr archive
+        * shape); -1 = not a derived product. Derived products carry no
+        * perturbation number: `member` stays -1. */
+      derived: Int = -1) {
     // lazy, not def: latLonAt runs per cell (twice per row for lat+lon
     // columns) on rotated/Gaussian grids — rebuilding the axis arrays per
     // call would dominate a large scan
@@ -1141,7 +1146,13 @@ object GribFormat {
         * INTERVAL product (template 4.8, or 4.11 with a member) whose
         * overall interval runs [ref+lead, ref+lead+interval] — the NCEP
         * precipitation shape; 0 = point-in-time (4.0/4.1). */
-      intervals: Seq[Int] = Seq.empty): Unit = {
+      intervals: Seq[Int] = Seq.empty,
+      /** Derived-ensemble statistics aligned with `fields` (code table
+        * 4.7: 0 = mean, 2 = std dev; -1 entries stay non-derived).
+        * Writes product template 4.2, or 4.12 with an interval — the
+        * GEFS geavg/gespr archive shape. Mutually exclusive per field
+        * with `members`. */
+      derivedStats: Seq[Int] = Seq.empty): Unit = {
     require(fields.nonEmpty, "a GRIB2 message needs at least one field")
     require(members.isEmpty || members.length == fields.length,
       s"${members.length} members for ${fields.length} fields")
@@ -1150,6 +1161,12 @@ object GribFormat {
     require(intervals.isEmpty || intervals.length == fields.length,
       s"${intervals.length} intervals for ${fields.length} fields")
     require(intervals.forall(_ >= 0), s"negative interval in $intervals")
+    require(derivedStats.isEmpty || derivedStats.length == fields.length,
+      s"${derivedStats.length} derived stats for ${fields.length} fields")
+    require(derivedStats.isEmpty || members.isEmpty ||
+        fields.indices.forall(i => derivedStats(i) < 0 || members(i) < 0),
+      "a field is either an individual member (4.1/4.11) or a derived " +
+        "statistic (4.2/4.12), not both")
     require(spatialDiffOrder >= 0 && spatialDiffOrder <= 2,
       s"spatial differencing order $spatialDiffOrder (0, 1, 2)")
     require(spatialDiffOrder == 0 || complexPacking,
@@ -1169,7 +1186,7 @@ object GribFormat {
         ccsdsBytes: Option[Array[Byte]],
         jpegBytes: Option[Array[Byte]],
         refValue: Float,
-        member: Int,
+        member: Int, derived: Int,
         surfType: Int, surfVal: Long,
         accumHours: Int,
         sec4Len: Int, sec5Len: Int, sec6Len: Int, sec7Len: Int)
@@ -1248,13 +1265,15 @@ object GribFormat {
       val (surfType, surfVal) =
         if (levels.isEmpty) (1, 0L) else levels(fi)
       val accumHours = if (intervals.isEmpty) 0 else intervals(fi)
+      val derivedStat = if (derivedStats.isEmpty) -1 else derivedStats(fi)
       FieldPlan(paramId, leadHours, scaled, minV, bits, bitmap, complexParts,
         pngBytes, ccsdsBytes, jpegBytes,
         refValue = if (fieldOrder > 0) 0f else minV.toFloat,
-        member = member,
+        member = member, derived = derivedStat,
         surfType = surfType, surfVal = surfVal,
         accumHours = accumHours,
-        sec4Len = (if (member >= 0) 37 else 34) +
+        sec4Len = (if (member >= 0) 37
+          else if (derivedStat >= 0) 36 else 34) +
           (if (accumHours > 0) 24 else 0),
         sec5Len = if (fieldOrder > 0) 49 else if (complexPacking) 47
           else if (ccsdsPacking) 25 else if (jpegPacking) 23 else 21,
@@ -1342,8 +1361,11 @@ object GribFormat {
       out.writeInt(p.sec4Len); out.writeByte(4)
       out.writeShort(0) // no coordinate values
       out.writeShort(
-        if (p.accumHours > 0) { if (p.member >= 0) 11 else 8 }
-        else { if (p.member >= 0) 1 else 0 }) // 4.0 / 4.1 / 4.8 / 4.11
+        if (p.accumHours > 0) {
+          if (p.member >= 0) 11 else if (p.derived >= 0) 12 else 8
+        } else {
+          if (p.member >= 0) 1 else if (p.derived >= 0) 2 else 0
+        }) // 4.0 / 4.1 / 4.2 / 4.8 / 4.11 / 4.12
       out.writeByte((p.paramId >> 8) & 0xFF) // parameter category
       out.writeByte(p.paramId & 0xFF) // parameter number
       out.writeByte(2); out.writeByte(0); out.writeByte(0) // process type/bg/id
@@ -1357,6 +1379,9 @@ object GribFormat {
         out.writeByte(3) // ensemble type: perturbed forecast
         out.writeByte(p.member) // perturbation number
         out.writeByte(math.max(nMembers, p.member + 1)) // forecasts in ensemble
+      } else if (p.derived >= 0) {
+        out.writeByte(p.derived) // derived forecast type (table 4.7)
+        out.writeByte(math.max(nMembers, 2)) // forecasts in ensemble
       }
       if (p.accumHours > 0) {
         // statistical-processing trailer: END of the overall interval,
@@ -1503,6 +1528,7 @@ object GribFormat {
       var gaussN: Option[Int] = None
       var rowLengths: Option[Array[Int]] = None
       var member = -1
+      var derived1 = -1
       var levelType1 = 255
       var level1 = Double.NaN
       var intervalEnd: java.time.LocalDateTime = null
@@ -1572,7 +1598,7 @@ object GribFormat {
               dataBytes, total.toInt, bitmapOffset, bitmapBytes, complex, lcc,
               member, png, ccsds, rot, gaussN, rowLengths, jpeg = jpeg,
               spectral = spectral, levelType = levelType1, level = level1,
-              baseTime = refTime0, stepMinutes = stepMin)
+              baseTime = refTime0, stepMinutes = stepMin, derived = derived1)
           } else if (num == 6) {
             val indicator = readN(1)(0) & 0xFF
             indicator match {
@@ -1717,8 +1743,10 @@ object GribFormat {
                 // (individual member) share the leading octets the scan
                 // needs; 4.1/4.11 add the perturbation number at octet 36
                 val tmpl = u16(body, 2)
-                require(tmpl == 0 || tmpl == 8 || tmpl == 1 || tmpl == 11,
-                  s"product template $tmpl unsupported (4.0, 4.1, 4.8, 4.11)")
+                require(tmpl == 0 || tmpl == 1 || tmpl == 2 || tmpl == 8 ||
+                    tmpl == 11 || tmpl == 12,
+                  s"product template $tmpl unsupported " +
+                    "(4.0, 4.1, 4.2, 4.8, 4.11, 4.12)")
                 paramId = ((body(4) & 0xFF) << 8) | (body(5) & 0xFF)
                 timeUnit = body(12) & 0xFF
                 forecast = sm(body, 13, 4)
@@ -1737,11 +1765,16 @@ object GribFormat {
                   }
                 }
                 member = if (tmpl == 1 || tmpl == 11) body(30) & 0xFF else -1
-                // 4.8/4.11: time of END of the overall interval — octets
-                // 35-41 (4.8) / 38-44 (4.11, after the ensemble octets)
+                // 4.2/4.12 (derived ensemble — GEFS mean/spread archives):
+                // octet 35 carries the table-4.7 statistic; no
+                // perturbation number
+                derived1 = if (tmpl == 2 || tmpl == 12) body(29) & 0xFF else -1
+                // 4.8/4.11/4.12: time of END of the overall interval —
+                // octets 35-41 (4.8) / 38-44 (4.11, after the ensemble
+                // octets) / 37-43 (4.12, after the derived octets)
                 intervalEnd =
-                  if (tmpl == 8 || tmpl == 11) {
-                    val o = if (tmpl == 11) 32 else 29
+                  if (tmpl == 8 || tmpl == 11 || tmpl == 12) {
+                    val o = if (tmpl == 11) 32 else if (tmpl == 12) 31 else 29
                     require(body.length >= o + 7,
                       s"product template 4.$tmpl section too short " +
                         s"(${body.length + 5} octets) for the interval-end time")
@@ -2038,17 +2071,18 @@ object GribFormat {
     * (`scan_grib(filter)[scan_indices]`, transform.py:214-219). */
   private def dupGuard(ms: Seq[GribMessage]): Seq[GribMessage] = {
     val dups = ms.groupBy(m => (m.baseTime, m.stepMinutes, m.paramId,
-        m.member, m.levelType,
+        m.member, m.derived, m.levelType,
         java.lang.Double.doubleToLongBits(m.level), m.spectral.isDefined))
       .filter(_._2.lengthCompare(1) > 0)
     if (dups.nonEmpty) {
       val key = dups.keys.minBy(_.toString)
-      val (t, step, p, mem, lt, lv, _) = key
+      val (t, step, p, mem, drv, lt, lv, _) = key
       throw new IllegalArgumentException(
         s"GRIB file carries ${dups.size} duplicated field key(s): e.g. " +
           s"${dups(key).length} fields share (refTime=$t, " +
           s"step=${step}min, param=$p, " +
           s"member=${if (mem < 0) "none" else mem}, " +
+          s"derived=${if (drv < 0) "none" else drv}, " +
           s"levelType=${if (lt == 255) "none" else lt}, " +
           s"level=${java.lang.Double.longBitsToDouble(lv)}) — cells would " +
           "silently collide. Split the file or fix the producer")

@@ -93,6 +93,16 @@ object GribSpectralTable {
           "spark.read.format(\"grib1\"); grib-spectral serves only " +
           "template-3.50 spherical-harmonic messages")
     }
+    // the spectral schema has no derived axis — a GEFS-style mean/spread
+    // spectral file would silently collide two statistics onto one
+    // (time, param, member) key, so refuse it by name
+    byFile.find(_._2.exists(_.derived >= 0)).foreach { case (p, _) =>
+      throw new IllegalArgumentException(
+        s"$p holds derived-ensemble spectral fields (product template " +
+          "4.2/4.12) — the spectral schema carries no derived-statistic " +
+          "axis; read the gridded form or split the statistics into " +
+          "separate files")
+    }
     new GribSpectralTable(byFile, conf)
   }
 }

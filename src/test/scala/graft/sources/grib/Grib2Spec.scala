@@ -20,8 +20,8 @@ class Grib2Spec extends SparkSpec {
         Seq(10.0, 10.5), Array(5.0, 6.0, 7.0, 8.0))), edition = 2)
     val df = spark.read.format("grib1").load(s"$dir/two.grb2")
     assert(df.columns.toSeq ==
-      Seq("time", "latitude", "longitude", "param", "member", "level_type",
-        "level", "ref_time", "step", "value"))
+      Seq("time", "latitude", "longitude", "param", "member", "derived",
+        "level_type", "level", "ref_time", "step", "value"))
     assert(df.count() == 8)
     val r = df.filter(col("time") === lit(ts("2024-03-02T00:00:00")) &&
       col("latitude") === -45.0 && col("longitude") === 10.5).head()

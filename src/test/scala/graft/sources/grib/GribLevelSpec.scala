@@ -175,6 +175,52 @@ class GribLevelSpec extends SparkSpec {
       .head().getAs[Double]("value") == 100.0)
   }
 
+  test("derived-ensemble products (4.2/4.12, the GEFS geavg/gespr shape): " +
+      "mean and spread stay distinct on the derived axis") {
+    val dir = freshDir("derived")
+    val ref = LocalDateTime.parse("2024-03-01T00:00")
+    write(s"$dir/ge.grb2") { out =>
+      // point-in-time mean (0) and spread (2) of the same (time, param):
+      // only the derived axis separates them
+      GribFormat.writeMessage2Fields(out, ref, lats, lons,
+        fields = Seq((130, 6, grid(10.0)), (130, 6, grid(500.0))),
+        derivedStats = Seq(0, 2))
+      // interval form (4.12): 3-h accumulated ensemble mean — valid 09Z
+      GribFormat.writeMessage2Fields(out, ref, lats, lons,
+        fields = Seq((61, 6, grid(77.0))), derivedStats = Seq(0),
+        intervals = Seq(3))
+    }
+    val df = spark.read.format("grib1").load(s"$dir/ge.grb2")
+    assert(df.count() == 12)
+    assert(df.filter(col("member").isNotNull).count() == 0)
+    val mean = df.filter(col("derived") === 0 && col("param") === 130)
+    val spread = df.filter(col("derived") === 2)
+    assert(mean.count() == 4 && spread.count() == 4)
+    assert(mean.filter(col("latitude") === 0.0 && col("longitude") === 10.0)
+      .head().getAs[Double]("value") == 10.0)
+    assert(spread.filter(col("latitude") === 0.0 && col("longitude") === 10.0)
+      .head().getAs[Double]("value") == 500.0)
+    // 4.12 keys like 4.8: valid = interval end (6 + 3 h), step = endStep
+    val acc = df.filter(col("param") === 61)
+    assert(acc.select("time").distinct().head()
+      .getAs[LocalDateTime](0) == ref.plusHours(9))
+    assert(acc.select("step").distinct().head().getLong(0) == 9 * 60)
+    // derived predicates prune whole messages at planning
+    val plan = df.filter(col("derived") === 2).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("messages=1/3"), s"no message pruning in:\n$plan")
+    // a file duplicating the SAME derived statistic is refused by name
+    write(s"$dir/dup.grb2") { out =>
+      GribFormat.writeMessage2Fields(out, ref, lats, lons,
+        fields = Seq((130, 6, grid(1.0)), (130, 6, grid(2.0))),
+        derivedStats = Seq(0, 0))
+    }
+    val e = intercept[Exception] {
+      spark.read.format("grib1").load(s"$dir/dup.grb2").count()
+    }
+    assert(e.getMessage.contains("derived=0"))
+  }
+
   test("edition-1 accumulations (TRI 4) and long leads (TRI 10) key like " +
       "edition 2: valid = interval end / ref + 16-bit P1") {
     val dir = freshDir("g1tri")
