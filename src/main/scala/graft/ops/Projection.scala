@@ -149,6 +149,26 @@ object Projection {
     val k0: Double =
       (1.0 + (if (northPole) math.sin(math.toRadians(latTs))
               else -math.sin(math.toRadians(latTs)))) / 2.0
+
+    /** Scalar forward (same Snyder 21-5..21-10 formulas as the Column
+      * path) — used by readers that walk projected grids cell-by-cell
+      * (GRIB template 3.20). */
+    def forwardXY(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val s = if (northPole) 1.0 else -1.0
+      val phi = math.toRadians(latDeg) * s
+      val rho = 2.0 * radius * k0 * math.tan(math.Pi / 4 - phi / 2)
+      val dl = math.toRadians(lonDeg - lon0)
+      (-rho * math.cos(dl) * s, rho * math.sin(dl)) // (y, x)
+    }
+
+    /** Scalar inverse → (lat, lon) degrees. */
+    def inverseXY(y: Double, x: Double): (Double, Double) = {
+      val s = if (northPole) 1.0 else -1.0
+      val yn = -y * s // = ρ·cos(λ−λ0) in either aspect
+      val rho = math.sqrt(x * x + yn * yn)
+      val phi = math.Pi / 2 - 2.0 * math.atan(rho / (2.0 * radius * k0))
+      (math.toDegrees(phi) * s, lon0 + math.toDegrees(math.atan2(x, yn)))
+    }
   }
 
   private val D2R = math.Pi / 180.0

@@ -116,6 +116,30 @@ object GribFormat {
     @transient lazy val origin: (Double, Double) = mapping.forwardXY(la1, lo1)
   }
 
+  /** Polar-stereographic grid (edition-2 template 3.20 — the NCEP
+    * Alaska/sea-ice regional shape): first point + true-scale latitude +
+    * orientation + metre spacing. Cell lat/lon come from the shared
+    * scalar polar inverse (ops/Projection.scala). */
+  final case class PsGrid(
+      la1: Double, lo1: Double, latTs: Double, lov: Double,
+      dxM: Double, dyM: Double, northPole: Boolean, radius: Double)
+      extends Serializable {
+    @transient lazy val mapping: graft.ops.Projection.PolarStereographic =
+      graft.ops.Projection.PolarStereographic(
+        northPole = northPole, lon0 = lov, latTs = latTs, radius = radius)
+    /** Projected (y, x) of the first grid point (lo1/lov share the GRIB
+      * 0..360 convention, so Δλ is consistent as-is). */
+    @transient lazy val origin: (Double, Double) = mapping.forwardXY(la1, lo1)
+  }
+
+  /** Writer geometry for grid template 3.20 (north-pole aspect): first
+    * grid point, true-scale latitude (LaD), orientation longitude (LoV),
+    * metre spacing. The `lats`/`lons` axes passed alongside supply only
+    * the grid DIMENSIONS (nj, ni) — cell coordinates come from the
+    * projection. */
+  final case class PsWriterGrid(la1: Double, lo1: Double, latTs: Double,
+      lov: Double, dxM: Double, dyM: Double)
+
   /** Edition-2 template 5.2/5.3 (complex packing) group parameters.
     * `spatialOrder` > 0 marks template 5.3: the packed integers are
     * first/second spatial DIFFERENCES, reconstructed per g2clib
@@ -308,6 +332,9 @@ object GribFormat {
       bitmapBytes: Int = 0,
       complex: Option[ComplexParams] = None,
       lcc: Option[LccGrid] = None,
+      /** Grid template 3.20 (polar stereographic): cells inverse-project
+        * at (x0 + i·dx, y0 + j·dy), like the Lambert grid. */
+      ps: Option[PsGrid] = None,
       /** Ensemble perturbation number (product templates 4.1/4.11);
         * -1 = deterministic product. */
       member: Int = -1,
@@ -391,8 +418,17 @@ object GribFormat {
       rowLengths.map(_.scanLeft(0)(_ + _)).orNull
 
     /** Cell k's latitude/longitude. Regular grids read the axis arrays;
-      * LCC grids invert the projection at (x0 + i·dx, y0 + j·dy). */
-    def latLonAt(k: Int): (Double, Double) = lcc match {
+      * LCC/polar grids invert the projection at (x0 + i·dx, y0 + j·dy). */
+    def latLonAt(k: Int): (Double, Double) = ps match {
+      case Some(g) =>
+        val (y0, x0) = g.origin
+        val (lat, lon) = g.mapping.inverseXY(y0 + (k / ni) * g.dyM,
+          x0 + (k % ni) * g.dxM)
+        (lat, if (lon < 0) lon + 360 else lon) // GRIB convention 0..360
+      case None => latLonAtUnprojected(k)
+    }
+
+    private def latLonAtUnprojected(k: Int): (Double, Double) = lcc match {
       case None if rowLengths.isDefined =>
         // reduced grid: binary-search the row, then the row's own spacing
         val pre = rowPrefix
@@ -1132,6 +1168,10 @@ object GribFormat {
         * rows span the full circle from `lons.head` with per-row spacing.
         * Requires `gaussianN`; `values` are row-major with these lengths. */
       reducedRows: Option[Seq[Int]] = None,
+      /** Grid template 3.20 (polar stereographic, north-pole aspect):
+        * see [[PsWriterGrid]]. Mutually exclusive with the other grid
+        * templates. */
+      polarStereo: Option[PsWriterGrid] = None,
       /** Ensemble perturbation numbers aligned with `fields` (empty =
         * deterministic products; -1 entries stay deterministic). Members
         * write product template 4.1 instead of 4.0. */
@@ -1280,8 +1320,10 @@ object GribFormat {
         sec6Len = 6 + bitmap.map(_.length).getOrElse(0),
         sec7Len = 5 + dataByteLen)
     }
-    require(rotatedPole.isEmpty || gaussianN.isEmpty,
-      "pick one grid template: rotated (3.1) or Gaussian (3.40)")
+    require(Seq(rotatedPole.isDefined, gaussianN.isDefined,
+        polarStereo.isDefined).count(identity) <= 1,
+      "pick one grid template: rotated (3.1), polar stereographic (3.20) " +
+        "or Gaussian (3.40)")
     require(reducedRows.isEmpty || gaussianN.isDefined,
       "reduced rows require a Gaussian grid (template 3.40)")
     reducedRows.foreach { pl =>
@@ -1294,8 +1336,10 @@ object GribFormat {
       require(lats.forall(l => all.exists(g => math.abs(g - l) < 1e-9)),
         s"every latitude must be a Gaussian parallel of N=$n")
     }
-    val sec3Len = (if (rotatedPole.isDefined) 84 else 72) +
-      reducedRows.map(_.length * 2).getOrElse(0)
+    val sec3Len =
+      (if (rotatedPole.isDefined) 84
+       else if (polarStereo.isDefined) 65 else 72) +
+        reducedRows.map(_.length * 2).getOrElse(0)
     val total = 16L + 21 + sec3Len +
       plans.map(p => p.sec4Len.toLong + p.sec5Len + p.sec6Len + p.sec7Len).sum + 4
 
@@ -1315,44 +1359,67 @@ object GribFormat {
     out.writeByte(refTime.getHour); out.writeByte(refTime.getMinute)
     out.writeByte(refTime.getSecond)
     out.writeByte(0); out.writeByte(1) // production status, data type: forecast
-    // Section 3 — grid definition, template 3.0 (lat/lon in 10^-6 degrees)
-    // or 3.1 (rotated: 3.0's layout + southern pole + rotation angle)
-    out.writeInt(sec3Len); out.writeByte(3)
-    out.writeByte(0) // source: templates
-    out.writeInt(reducedRows.map(_.sum).getOrElse(ni * nj))
-    // optional points-per-row list: u16 entries, interpretation 1
-    if (reducedRows.isDefined) { out.writeByte(2); out.writeByte(1) }
-    else { out.writeByte(0); out.writeByte(0) }
-    out.writeShort(
-      if (rotatedPole.isDefined) 1
-      else if (gaussianN.isDefined) 40
-      else 0)
-    out.writeByte(6) // shape of earth: spherical r=6371229
-    out.writeByte(0); out.writeInt(0) // radius scale/value (n/a for shape 6)
-    out.writeByte(0); out.writeInt(0) // major axis
-    out.writeByte(0); out.writeInt(0) // minor axis
-    out.writeInt(if (reducedRows.isDefined) -1 else ni) // MISSING when reduced
-    out.writeInt(nj)
-    out.writeInt(0); out.writeInt(0) // basic angle + subdivisions: 10^-6 unit
+    // Section 3 — grid definition: template 3.0 (lat/lon in 10^-6
+    // degrees), 3.1 (rotated: 3.0 + southern pole + angle), 3.20 (polar
+    // stereographic), or 3.40 (Gaussian)
     def udeg(x: Double): Int = math.round(x * 1e6).toInt
-    writeSm(out, udeg(lats.head), 4); writeSm(out, udeg(lons.head), 4)
-    out.writeByte(0x30) // resolution flags: i and j increments given
-    writeSm(out, udeg(lats.last), 4); writeSm(out, udeg(lons.last), 4)
-    val di = if (ni > 1) udeg(math.abs(lons.last - lons.head) / (ni - 1)) else 0
-    val dj = if (nj > 1) udeg(math.abs(lats.last - lats.head) / (nj - 1)) else 0
-    out.writeInt(di)
-    // 3.40 carries N (parallels pole→equator) in the Dj slot
-    out.writeInt(gaussianN.getOrElse(dj))
-    out.writeByte(if (lats.last >= lats.head) 0x40 else 0x00) // scanning mode
-    reducedRows.foreach(_.foreach(out.writeShort))
-    rotatedPole.foreach { case (poleLat, poleLon, angle) =>
-      // CF rotated north pole → GRIB southern pole of projection
-      val spLat = -poleLat
-      val spLon0 = poleLon + 180.0
-      val spLon = if (spLon0 > 180.0) spLon0 - 360.0 else spLon0
-      writeSm(out, udeg(spLat), 4)
-      writeSm(out, udeg(spLon), 4)
-      out.writeInt(java.lang.Float.floatToIntBits(angle.toFloat))
+    polarStereo match {
+      case Some(g) =>
+        out.writeInt(sec3Len); out.writeByte(3)
+        out.writeByte(0) // source: templates
+        out.writeInt(ni * nj)
+        out.writeByte(0); out.writeByte(0) // no optional list
+        out.writeShort(20)
+        out.writeByte(6) // shape of earth: spherical r=6371229
+        out.writeByte(0); out.writeInt(0) // radius scale/value (n/a)
+        out.writeByte(0); out.writeInt(0) // major axis
+        out.writeByte(0); out.writeInt(0) // minor axis
+        out.writeInt(ni); out.writeInt(nj)
+        writeSm(out, udeg(g.la1), 4); writeSm(out, udeg(g.lo1), 4)
+        out.writeByte(0x30) // resolution flags: increments given
+        writeSm(out, udeg(g.latTs), 4) // LaD: true-scale latitude
+        writeSm(out, udeg(g.lov), 4) // LoV: orientation
+        out.writeInt(math.round(g.dxM * 1000).toInt) // Dx in mm
+        out.writeInt(math.round(g.dyM * 1000).toInt) // Dy in mm
+        out.writeByte(0) // projection centre: north pole
+        out.writeByte(0x40) // scanning: +i, +j, i-consecutive
+      case None =>
+        out.writeInt(sec3Len); out.writeByte(3)
+        out.writeByte(0) // source: templates
+        out.writeInt(reducedRows.map(_.sum).getOrElse(ni * nj))
+        // optional points-per-row list: u16 entries, interpretation 1
+        if (reducedRows.isDefined) { out.writeByte(2); out.writeByte(1) }
+        else { out.writeByte(0); out.writeByte(0) }
+        out.writeShort(
+          if (rotatedPole.isDefined) 1
+          else if (gaussianN.isDefined) 40
+          else 0)
+        out.writeByte(6) // shape of earth: spherical r=6371229
+        out.writeByte(0); out.writeInt(0) // radius scale/value (n/a for shape 6)
+        out.writeByte(0); out.writeInt(0) // major axis
+        out.writeByte(0); out.writeInt(0) // minor axis
+        out.writeInt(if (reducedRows.isDefined) -1 else ni) // MISSING when reduced
+        out.writeInt(nj)
+        out.writeInt(0); out.writeInt(0) // basic angle + subdivisions: 10^-6 unit
+        writeSm(out, udeg(lats.head), 4); writeSm(out, udeg(lons.head), 4)
+        out.writeByte(0x30) // resolution flags: i and j increments given
+        writeSm(out, udeg(lats.last), 4); writeSm(out, udeg(lons.last), 4)
+        val di = if (ni > 1) udeg(math.abs(lons.last - lons.head) / (ni - 1)) else 0
+        val dj = if (nj > 1) udeg(math.abs(lats.last - lats.head) / (nj - 1)) else 0
+        out.writeInt(di)
+        // 3.40 carries N (parallels pole→equator) in the Dj slot
+        out.writeInt(gaussianN.getOrElse(dj))
+        out.writeByte(if (lats.last >= lats.head) 0x40 else 0x00) // scanning mode
+        reducedRows.foreach(_.foreach(out.writeShort))
+        rotatedPole.foreach { case (poleLat, poleLon, angle) =>
+          // CF rotated north pole -> GRIB southern pole of projection
+          val spLat = -poleLat
+          val spLon0 = poleLon + 180.0
+          val spLon = if (spLon0 > 180.0) spLon0 - 360.0 else spLon0
+          writeSm(out, udeg(spLat), 4)
+          writeSm(out, udeg(spLon), 4)
+          out.writeInt(java.lang.Float.floatToIntBits(angle.toFloat))
+        }
     }
     plans.foreach { p =>
       val refValue = p.refValue
@@ -1524,6 +1591,7 @@ object GribFormat {
       var complex: Option[ComplexParams] = None
       var ccsds: Option[Ccsds.Params] = None
       var lcc: Option[LccGrid] = None
+      var psg: Option[PsGrid] = None
       var rot: Option[RotGrid] = None
       var gaussN: Option[Int] = None
       var rowLengths: Option[Array[Int]] = None
@@ -1596,7 +1664,7 @@ object GribFormat {
             fields += GribMessage(paramId, validTime, ni, nj, la1, lo1, la2,
               lo2, decimalScale, binaryScale, refValue, bits, dataOffset,
               dataBytes, total.toInt, bitmapOffset, bitmapBytes, complex, lcc,
-              member, png, ccsds, rot, gaussN, rowLengths, jpeg = jpeg,
+              psg, member, png, ccsds, rot, gaussN, rowLengths, jpeg = jpeg,
               spectral = spectral, levelType = levelType1, level = level1,
               baseTime = refTime0, stepMinutes = stepMin, derived = derived1)
           } else if (num == 6) {
@@ -1680,6 +1748,7 @@ object GribFormat {
                     // (parallels pole→equator) where 3.0 carries Dj
                     gaussN = if (t == 40) Some(u32(body, 62).toInt) else None
                     lcc = None
+                    psg = None
                   case 30 => // Lambert conformal (RTMA/HRRR/NDFD grids)
                     val radius = (body(9) & 0xFF) match { // octet 15: shape
                       case 0 => 6367470.0
@@ -1707,6 +1776,38 @@ object GribFormat {
                     la1 = gla1; lo1 = glo1
                     lcc = Some(LccGrid(gla1, glo1, lov, latin1, latin2, latD,
                       dx, dy, radius))
+                    psg = None
+                    rot = None
+                    gaussN = None
+                    rowLengths = None
+                  case 20 => // polar stereographic (NCEP Alaska/sea-ice grids)
+                    // octets 15-55 share 3.30's layout exactly (shape,
+                    // dims, first point, LaD = true-scale latitude, LoV)
+                    val radius = (body(9) & 0xFF) match { // octet 15: shape
+                      case 0 => 6367470.0
+                      case 1 =>
+                        val scale = body(10) & 0xFF
+                        u32(body, 11).toDouble / math.pow(10.0, scale)
+                      case 6 => 6371229.0
+                      case sh => throw new IllegalArgumentException(
+                        s"earth shape $sh unsupported (0, 1, 6)")
+                    }
+                    ni = u32(body, 25).toInt; nj = u32(body, 29).toInt
+                    val gla1 = sm(body, 33, 4) / 1e6 // octets 39-42
+                    val glo1 = sm(body, 37, 4) / 1e6 // octets 43-46
+                    val latTs = sm(body, 42, 4) / 1e6 // octets 48-51: LaD
+                    val lov = sm(body, 46, 4) / 1e6 // octets 52-55
+                    val dx = u32(body, 50).toDouble / 1e3 // mm → m
+                    val dy = u32(body, 54).toDouble / 1e3
+                    // octet 64: projection centre flag (0x80 = south pole)
+                    val south = (body(58) & 0x80) != 0
+                    require((body(59) & 0x30) == 0 && (body(59) & 0x40) != 0,
+                      s"scanning mode 0x${(body(59) & 0xFF).toHexString} unsupported " +
+                        "(+i, +j, i-consecutive only)")
+                    la1 = gla1; lo1 = glo1
+                    psg = Some(PsGrid(gla1, glo1, latTs, lov, dx, dy,
+                      northPole = !south, radius = radius))
+                    lcc = None
                     rot = None
                     gaussN = None
                     rowLengths = None
@@ -1732,10 +1833,12 @@ object GribFormat {
                         s"triangular M=$m holds $expect coefficient values")
                     spectralTrunc = Some(m)
                     ni = expect.toInt; nj = 1
-                    lcc = None; rot = None; gaussN = None; rowLengths = None
+                    lcc = None; psg = None; rot = None; gaussN = None
+                    rowLengths = None
                   case t => throw new IllegalArgumentException(
                     s"grid template $t unsupported (3.0 lat/lon, 3.1 rotated, " +
-                      "3.30 Lambert, 3.40 Gaussian, 3.50 spectral)")
+                      "3.20 polar stereographic, 3.30 Lambert, 3.40 Gaussian, " +
+                      "3.50 spectral)")
                 }
               case 4 =>
                 // 4.0 (analysis/forecast at a point), 4.8 (accumulation
