@@ -1694,6 +1694,43 @@ object SparkEntry {
         .orderBy("time", "slot")
     }),
 
+    // Mercator grid (template 3.10 — tropical regional archives): same
+    // round-trip gate shape as q160, over the Mercator Column path.
+    "q161_grib_mercator_scan" -> ((s, dir) => {
+      val cells = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count().collect()
+      implicit val ldtOrd: Ordering[LocalDateTime] =
+        Ordering.fromLessThan(_ isBefore _)
+      val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+      val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+      val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/events_mc.grb2"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val g = graft.sources.grib.GribFormat.MercWriterGrid(
+        la1 = -10.0, lo1 = 100.0, latTs = 10.0,
+        dxM = 100000.0, dyM = 100000.0)
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        fs.create(new org.apache.hadoop.fs.Path(path), true)))
+      try days.foreach { d =>
+        val base = Array.fill(10)(0.0)
+        byDay(d).foreach(r => base(r.getAs[Int]("slot")) = r.getAs[Long]("count").toDouble)
+        graft.sources.grib.GribFormat.writeMessage2Fields(out, d,
+          Seq(0.0, 1.0), Seq(0.0, 1.0, 2.0, 3.0, 4.0),
+          fields = Seq((61, 0, base)), mercator = Some(g))
+      } finally out.close()
+      val m = Projection.Mercator(lon0 = g.lo1, latTs = g.latTs)
+      val (y0, x0) = m.forwardXY(g.la1, g.lo1)
+      val (yC, xC) = Projection.project(col("latitude"), col("longitude"), m)
+      s.read.format("grib1").load(path)
+        .withColumn("i", round((xC - lit(x0)) / lit(g.dxM)).cast("int"))
+        .withColumn("j", round((yC - lit(y0)) / lit(g.dyM)).cast("int"))
+        .select(col("time"), (col("j") * 5 + col("i")).as("slot"),
+          col("value").as("cnt"))
+        .orderBy("time", "slot")
+    }),
+
     // template 5.3 (complex packing + order-2 spatial differencing — the
     // packing operational GFS/NDFD archives carry), same grid + bitmap
     "q85_grib_spatial_diff_scan" -> ((s, dir) => {
@@ -3688,6 +3725,20 @@ object SparkEntry {
     // polar fixture: analysis products (lead 0) on the day spine; the
     // slot survives the projection round-trip exactly
     "q160_grib_polar_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s))
+        |SELECT spine.d AS time, spine.slot AS slot,
+        |       CAST(COALESCE(g.cnt, 0) AS DOUBLE) AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Mercator fixture: identical spine to q160
+    "q161_grib_mercator_scan" ->
       """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
         |                  CAST(event_id % 10 AS INTEGER) AS slot,
         |                  CAST(count(*) AS DOUBLE) AS cnt

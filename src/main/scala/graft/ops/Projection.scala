@@ -171,6 +171,32 @@ object Projection {
     }
   }
 
+  /** `mercator` (CF): spherical Mercator with true scale at the standard
+    * parallel `latTs` (Snyder 7-1/7-2 scaled by cos latTs) — GRIB2 grid
+    * template 3.10's mapping; latTs = 0 gives the classic form
+    * underlying EPSG:3857's spherical case. */
+  final case class Mercator(
+      lon0: Double, latTs: Double = 0.0,
+      radius: Double = 6371229.0) extends GridMapping {
+    /** Metres per radian at the standard parallel. */
+    val scale: Double = radius * math.cos(math.toRadians(latTs))
+
+    /** Scalar forward — used by readers that walk projected grids
+      * cell-by-cell (GRIB template 3.10). */
+    def forwardXY(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val y = scale *
+        math.log(math.tan(math.Pi / 4 + math.toRadians(latDeg) / 2))
+      (y, scale * math.toRadians(lonDeg - lon0)) // (y, x)
+    }
+
+    /** Scalar inverse → (lat, lon) degrees. */
+    def inverseXY(y: Double, x: Double): (Double, Double) = {
+      val lat = math.toDegrees(
+        2.0 * math.atan(math.exp(y / scale)) - math.Pi / 2)
+      (lat, lon0 + math.toDegrees(x / scale))
+    }
+  }
+
   private val D2R = math.Pi / 180.0
 
   /** Forward (lat, lon in degrees) → (northing, easting in metres). */
@@ -192,6 +218,10 @@ object Projection {
       val dl = (lon - lit(m.lon0)) * lit(D2R)
       val x = rho * sin(dl)
       val y = negate(rho * cos(dl)) * lit(s)
+      (y, x)
+    case m: Mercator =>
+      val y = lit(m.scale) * log(tan(lit(math.Pi / 4) + lat * lit(D2R / 2)))
+      val x = (lon - lit(m.lon0)) * lit(D2R * m.scale)
       (y, x)
     case m: RotatedPole =>
       val sp = lit(math.sin(math.toRadians(m.poleLat)))
@@ -231,6 +261,11 @@ object Projection {
         val lat = phi * lit(s / D2R)
         val lon = lit(m.lon0) + atan2(easting, yn) * lit(1.0 / D2R)
         (lat, lon)
+      case m: Mercator =>
+        val lat = (atan(exp(northing / lit(m.scale))) * lit(2.0)
+          - lit(math.Pi / 2)) * lit(1.0 / D2R)
+        val lon = lit(m.lon0) + easting * lit(1.0 / (D2R * m.scale))
+        (lat, lon)
       case m: RotatedPole =>
         val sp = lit(math.sin(math.toRadians(m.poleLat)))
         val cp = lit(math.cos(math.toRadians(m.poleLat)))
@@ -266,6 +301,11 @@ object Projection {
       "grid_mapping_name" -> "polar_stereographic",
       "latitude_of_projection_origin" -> (if (m.northPole) "90.0" else "-90.0"),
       "straight_vertical_longitude_from_pole" -> s"${m.lon0}",
+      "standard_parallel" -> s"${m.latTs}",
+      "earth_radius" -> s"${m.radius}")
+    case m: Mercator => Map(
+      "grid_mapping_name" -> "mercator",
+      "longitude_of_projection_origin" -> s"${m.lon0}",
       "standard_parallel" -> s"${m.latTs}",
       "earth_radius" -> s"${m.radius}")
     case m: RotatedPole => Map(

@@ -347,8 +347,8 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
     } finally in.close()
   }
   private val cellValue: Int => Double = m.decoder(slab, bitmapSlab)
-  private val regular = m.lcc.isEmpty && m.ps.isEmpty && m.rot.isEmpty &&
-    m.rowLengths.isEmpty
+  private val regular = m.lcc.isEmpty && m.ps.isEmpty && m.merc.isEmpty &&
+    m.rot.isEmpty && m.rowLengths.isEmpty
   private val lats = if (regular) m.lats else null
   private val lons = if (regular) m.lons else null
   private def micros(t: java.time.LocalDateTime): Long =

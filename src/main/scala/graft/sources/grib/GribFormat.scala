@@ -132,6 +132,26 @@ object GribFormat {
     @transient lazy val origin: (Double, Double) = mapping.forwardXY(la1, lo1)
   }
 
+  /** Mercator grid (edition-2 template 3.10 — tropical regional
+    * archives): first point + true-scale latitude (LaD) + metre spacing
+    * on the projection plane. Longitudes are therefore evenly spaced in
+    * degrees; latitudes follow the inverse Gudermannian. */
+  final case class MercGrid(
+      la1: Double, lo1: Double, latTs: Double,
+      dxM: Double, dyM: Double, radius: Double) extends Serializable {
+    @transient lazy val mapping: graft.ops.Projection.Mercator =
+      graft.ops.Projection.Mercator(
+        lon0 = lo1, latTs = latTs, radius = radius)
+    /** Projected (y, x) of the first grid point (x = 0 by lon0 = lo1). */
+    @transient lazy val origin: (Double, Double) = mapping.forwardXY(la1, lo1)
+  }
+
+  /** Writer geometry for grid template 3.10: first grid point,
+    * true-scale latitude, metre spacing; `lats`/`lons` supply only the
+    * grid dimensions, like [[PsWriterGrid]]. */
+  final case class MercWriterGrid(la1: Double, lo1: Double, latTs: Double,
+      dxM: Double, dyM: Double)
+
   /** Writer geometry for grid template 3.20 (north-pole aspect): first
     * grid point, true-scale latitude (LaD), orientation longitude (LoV),
     * metre spacing. The `lats`/`lons` axes passed alongside supply only
@@ -335,6 +355,8 @@ object GribFormat {
       /** Grid template 3.20 (polar stereographic): cells inverse-project
         * at (x0 + i·dx, y0 + j·dy), like the Lambert grid. */
       ps: Option[PsGrid] = None,
+      /** Grid template 3.10 (Mercator): same projected-cell walk. */
+      merc: Option[MercGrid] = None,
       /** Ensemble perturbation number (product templates 4.1/4.11);
         * -1 = deterministic product. */
       member: Int = -1,
@@ -425,7 +447,14 @@ object GribFormat {
         val (lat, lon) = g.mapping.inverseXY(y0 + (k / ni) * g.dyM,
           x0 + (k % ni) * g.dxM)
         (lat, if (lon < 0) lon + 360 else lon) // GRIB convention 0..360
-      case None => latLonAtUnprojected(k)
+      case None => merc match {
+        case Some(g) =>
+          val (y0, x0) = g.origin
+          val (lat, lon) = g.mapping.inverseXY(y0 + (k / ni) * g.dyM,
+            x0 + (k % ni) * g.dxM)
+          (lat, if (lon < 0) lon + 360 else lon)
+        case None => latLonAtUnprojected(k)
+      }
     }
 
     private def latLonAtUnprojected(k: Int): (Double, Double) = lcc match {
@@ -1172,6 +1201,9 @@ object GribFormat {
         * see [[PsWriterGrid]]. Mutually exclusive with the other grid
         * templates. */
       polarStereo: Option[PsWriterGrid] = None,
+      /** Grid template 3.10 (Mercator): see [[MercWriterGrid]]. Mutually
+        * exclusive with the other grid templates. */
+      mercator: Option[MercWriterGrid] = None,
       /** Ensemble perturbation numbers aligned with `fields` (empty =
         * deterministic products; -1 entries stay deterministic). Members
         * write product template 4.1 instead of 4.0. */
@@ -1321,9 +1353,9 @@ object GribFormat {
         sec7Len = 5 + dataByteLen)
     }
     require(Seq(rotatedPole.isDefined, gaussianN.isDefined,
-        polarStereo.isDefined).count(identity) <= 1,
-      "pick one grid template: rotated (3.1), polar stereographic (3.20) " +
-        "or Gaussian (3.40)")
+        polarStereo.isDefined, mercator.isDefined).count(identity) <= 1,
+      "pick one grid template: rotated (3.1), Mercator (3.10), polar " +
+        "stereographic (3.20) or Gaussian (3.40)")
     require(reducedRows.isEmpty || gaussianN.isDefined,
       "reduced rows require a Gaussian grid (template 3.40)")
     reducedRows.foreach { pl =>
@@ -1340,6 +1372,7 @@ object GribFormat {
       (if (rotatedPole.isDefined) 84
        else if (polarStereo.isDefined) 65 else 72) +
         reducedRows.map(_.length * 2).getOrElse(0)
+    // (3.10 and 3.0/3.40 are both 72-octet sections)
     val total = 16L + 21 + sec3Len +
       plans.map(p => p.sec4Len.toLong + p.sec5Len + p.sec6Len + p.sec7Len).sum + 4
 
@@ -1363,7 +1396,32 @@ object GribFormat {
     // degrees), 3.1 (rotated: 3.0 + southern pole + angle), 3.20 (polar
     // stereographic), or 3.40 (Gaussian)
     def udeg(x: Double): Int = math.round(x * 1e6).toInt
-    polarStereo match {
+    mercator.foreach { g =>
+      out.writeInt(sec3Len); out.writeByte(3)
+      out.writeByte(0) // source: templates
+      out.writeInt(ni * nj)
+      out.writeByte(0); out.writeByte(0) // no optional list
+      out.writeShort(10)
+      out.writeByte(6) // shape of earth: spherical r=6371229
+      out.writeByte(0); out.writeInt(0) // radius scale/value (n/a)
+      out.writeByte(0); out.writeInt(0) // major axis
+      out.writeByte(0); out.writeInt(0) // minor axis
+      out.writeInt(ni); out.writeInt(nj)
+      writeSm(out, udeg(g.la1), 4); writeSm(out, udeg(g.lo1), 4)
+      out.writeByte(0x30) // resolution flags: increments given
+      writeSm(out, udeg(g.latTs), 4) // LaD: true-scale latitude
+      // last grid point from the projection walk (diagnostic corners)
+      val m0 = graft.ops.Projection.Mercator(g.lo1, g.latTs)
+      val (y0, x0) = m0.forwardXY(g.la1, g.lo1)
+      val (la2w, lo2w) = m0.inverseXY(y0 + (nj - 1) * g.dyM,
+        x0 + (ni - 1) * g.dxM)
+      writeSm(out, udeg(la2w), 4); writeSm(out, udeg(lo2w), 4)
+      out.writeByte(0x40) // octet 60: scanning +i, +j, i-consecutive
+      out.writeInt(0) // octets 61-64: orientation
+      out.writeInt(math.round(g.dxM * 1000).toInt) // Di in mm
+      out.writeInt(math.round(g.dyM * 1000).toInt) // Dj in mm
+    }
+    if (mercator.isEmpty) polarStereo match {
       case Some(g) =>
         out.writeInt(sec3Len); out.writeByte(3)
         out.writeByte(0) // source: templates
@@ -1592,6 +1650,7 @@ object GribFormat {
       var ccsds: Option[Ccsds.Params] = None
       var lcc: Option[LccGrid] = None
       var psg: Option[PsGrid] = None
+      var mrc: Option[MercGrid] = None
       var rot: Option[RotGrid] = None
       var gaussN: Option[Int] = None
       var rowLengths: Option[Array[Int]] = None
@@ -1664,7 +1723,8 @@ object GribFormat {
             fields += GribMessage(paramId, validTime, ni, nj, la1, lo1, la2,
               lo2, decimalScale, binaryScale, refValue, bits, dataOffset,
               dataBytes, total.toInt, bitmapOffset, bitmapBytes, complex, lcc,
-              psg, member, png, ccsds, rot, gaussN, rowLengths, jpeg = jpeg,
+              psg, mrc, member, png, ccsds, rot, gaussN, rowLengths,
+              jpeg = jpeg,
               spectral = spectral, levelType = levelType1, level = level1,
               baseTime = refTime0, stepMinutes = stepMin, derived = derived1)
           } else if (num == 6) {
@@ -1749,6 +1809,7 @@ object GribFormat {
                     gaussN = if (t == 40) Some(u32(body, 62).toInt) else None
                     lcc = None
                     psg = None
+                    mrc = None
                   case 30 => // Lambert conformal (RTMA/HRRR/NDFD grids)
                     val radius = (body(9) & 0xFF) match { // octet 15: shape
                       case 0 => 6367470.0
@@ -1776,6 +1837,37 @@ object GribFormat {
                     la1 = gla1; lo1 = glo1
                     lcc = Some(LccGrid(gla1, glo1, lov, latin1, latin2, latD,
                       dx, dy, radius))
+                    psg = None
+                    mrc = None
+                    rot = None
+                    gaussN = None
+                    rowLengths = None
+                  case 10 => // Mercator (tropical regional archives)
+                    val radius = (body(9) & 0xFF) match { // octet 15: shape
+                      case 0 => 6367470.0
+                      case 1 =>
+                        val scale = body(10) & 0xFF
+                        u32(body, 11).toDouble / math.pow(10.0, scale)
+                      case 6 => 6371229.0
+                      case sh => throw new IllegalArgumentException(
+                        s"earth shape $sh unsupported (0, 1, 6)")
+                    }
+                    ni = u32(body, 25).toInt; nj = u32(body, 29).toInt
+                    val gla1 = sm(body, 33, 4) / 1e6 // octets 39-42
+                    val glo1 = sm(body, 37, 4) / 1e6 // octets 43-46
+                    val latTs = sm(body, 42, 4) / 1e6 // octets 48-51: LaD
+                    la2 = sm(body, 46, 4) / 1e6 // octets 52-55
+                    lo2 = sm(body, 50, 4) / 1e6 // octets 56-59
+                    // octet 60: scanning mode (earlier than 3.20/3.30!)
+                    require((body(54) & 0x30) == 0 && (body(54) & 0x40) != 0,
+                      s"scanning mode 0x${(body(54) & 0xFF).toHexString} unsupported " +
+                        "(+i, +j, i-consecutive only)")
+                    // octets 61-64: orientation (unused on the sphere)
+                    val dx = u32(body, 59).toDouble / 1e3 // octets 65-68, mm
+                    val dy = u32(body, 63).toDouble / 1e3 // octets 69-72
+                    la1 = gla1; lo1 = glo1
+                    mrc = Some(MercGrid(gla1, glo1, latTs, dx, dy, radius))
+                    lcc = None
                     psg = None
                     rot = None
                     gaussN = None
@@ -1808,6 +1900,7 @@ object GribFormat {
                     psg = Some(PsGrid(gla1, glo1, latTs, lov, dx, dy,
                       northPole = !south, radius = radius))
                     lcc = None
+                    mrc = None
                     rot = None
                     gaussN = None
                     rowLengths = None
@@ -1833,12 +1926,13 @@ object GribFormat {
                         s"triangular M=$m holds $expect coefficient values")
                     spectralTrunc = Some(m)
                     ni = expect.toInt; nj = 1
-                    lcc = None; psg = None; rot = None; gaussN = None
+                    lcc = None; psg = None; mrc = None; rot = None
+                    gaussN = None
                     rowLengths = None
                   case t => throw new IllegalArgumentException(
                     s"grid template $t unsupported (3.0 lat/lon, 3.1 rotated, " +
-                      "3.20 polar stereographic, 3.30 Lambert, 3.40 Gaussian, " +
-                      "3.50 spectral)")
+                      "3.10 Mercator, 3.20 polar stereographic, 3.30 Lambert, " +
+                      "3.40 Gaussian, 3.50 spectral)")
                 }
               case 4 =>
                 // 4.0 (analysis/forecast at a point), 4.8 (accumulation
