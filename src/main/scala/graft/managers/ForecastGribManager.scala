@@ -34,7 +34,19 @@ final class ForecastGribManager(
       * deterministic store would silently average nothing, so the
       * filter keeps only member-less fields and QC counts catch a
       * fully-ensemble input as an empty frame). */
-    val ensemble: Boolean = false) extends DatasetManager {
+    val ensemble: Boolean = false,
+    /** Hypercube selection for derived-ensemble products (templates
+      * 4.2/4.12, code table 4.7): None (default) ingests only
+      * non-derived fields — a GEFS mean+spread file must NOT blend two
+      * statistics onto one (frt, step) key; Some(code) selects exactly
+      * that statistic (0 = mean, 2 = spread), the reference's
+      * `scan_grib(filter)[scan_indices]` move. Derived products carry
+      * no perturbation number, so this applies to the deterministic
+      * branch only. */
+    val derivedStat: Option[Int] = None) extends DatasetManager {
+  require(derivedStat.isEmpty || !ensemble,
+    "derived-ensemble statistics (4.2/4.12) carry no perturbation " +
+      "number; derivedStat selection applies to the non-ensemble branch")
 
   val desc: DatasetDescriptor = DatasetDescriptor(
     datasetName = if (ensemble) "ens_t2m" else "forecast_t2m",
@@ -74,7 +86,15 @@ final class ForecastGribManager(
       if (ensemble)
         scanned.filter(col("member").isNotNull)
           .withColumnRenamed("member", "ensemble")
-      else scanned.filter(col("member").isNull)
+      else derivedStat match {
+        // select ONE hypercube: either the non-derived deterministic
+        // fields, or exactly one derived statistic — never both, and
+        // never two statistics blended onto one (frt, step) key
+        case None => scanned.filter(col("member").isNull &&
+          col("derived").isNull)
+        case Some(code) => scanned.filter(col("member").isNull &&
+          col("derived") === code)
+      }
     val shaped = keyed
       .withColumnRenamed("ref_time", "forecast_reference_time")
     Normalize.normalize(shaped, desc, pre = preprocess, post = postprocess)

@@ -103,4 +103,48 @@ class ForecastGribManagerSpec extends SparkSpec {
     val e = intercept[Exception] { det.run() }
     assert(e.getMessage != null)
   }
+
+  test("derived-ensemble products (4.2): the deterministic manager never " +
+      "blends mean and spread; derivedStat selects one hypercube") {
+    val root = Files.createTempDirectory("drv_mgr").toString
+    val mgr = new ForecastGribManager(spark, root)
+    new java.io.File(mgr.inputDir).mkdirs()
+    // one cycle whose file carries a deterministic field AND the GEFS
+    // mean/spread pair for the same (frt, lead, param): three member-less
+    // hypercubes that only the derived axis separates
+    val out = new DataOutputStream(Files.newOutputStream(
+      Paths.get(s"${mgr.inputDir}/mix_01.grb2")))
+    val refTime = java.time.LocalDateTime.of(2024, 3, 1, 0, 0)
+    try for (lead <- Seq(0, 6)) {
+      def vals(extra: Double) = (for (la <- lats; lo <- lons)
+        yield 250.0 + lead + (la - 10.0) * 20 + (lo - 100.0) * 20 + extra).toArray
+      GribFormat.writeMessage2Fields(out, refTime, lats, lons,
+        fields = Seq((167, lead, vals(0)), (167, lead, vals(3)),
+          (167, lead, vals(6))),
+        derivedStats = Seq(-1, 0, 2))
+    } finally out.close()
+    mgr.run()
+    val ds = mgr.store.dataset()
+    // only the NON-derived hypercube landed: 2 leads x 2x2 cells
+    assert(ds.count() == 2 * 4)
+    assert(ds.filter(col("step") === 360L && col("latitude") === 10.0 &&
+      col("longitude") === 100.0).select("t2m").as[Double].head() == 256.0)
+    // a mean-selecting manager over the same input lands the +3 cube
+    val mean = new ForecastGribManager(spark, root + "_mean",
+      derivedStat = Some(0))
+    new java.io.File(mean.inputDir).mkdirs()
+    java.nio.file.Files.copy(Paths.get(s"${mgr.inputDir}/mix_01.grb2"),
+      Paths.get(s"${mean.inputDir}/mix_01.grb2"))
+    mean.run()
+    val dsMean = mean.store.dataset()
+    assert(dsMean.count() == 2 * 4)
+    assert(dsMean.filter(col("step") === 360L && col("latitude") === 10.0 &&
+      col("longitude") === 100.0).select("t2m").as[Double].head() == 259.0)
+    // derivedStat on the ensemble branch is refused by name
+    val bad = intercept[IllegalArgumentException] {
+      new ForecastGribManager(spark, root + "_bad", ensemble = true,
+        derivedStat = Some(0))
+    }
+    assert(bad.getMessage.contains("derived"))
+  }
 }
