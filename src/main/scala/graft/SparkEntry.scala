@@ -181,7 +181,7 @@ object SparkEntry {
     nc4EventsFixture(s, dir, "deflate")
 
   private def nc4EventsFixture(s: SparkSession, dir: String,
-      codec: String): (String, LocalDateTime) = {
+      codec: String, fletcher: Boolean = false): (String, LocalDateTime) = {
     val cells = eventsWithDay(s, dir)
       .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
       .count().collect()
@@ -197,7 +197,8 @@ object SparkEntry {
       data(i) = r.getAs[Long]("count") * 4.0
     }
     val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val ncDir = s"${System.getProperty("java.io.tmpdir")}/graft_nc4_${codec}_$sf"
+    val tag = if (fletcher) s"${codec}_f32" else codec
+    val ncDir = s"${System.getProperty("java.io.tmpdir")}/graft_nc4_${tag}_$sf"
     GridStore.fileSystem(s, ncDir)
       .delete(new org.apache.hadoop.fs.Path(ncDir), true)
     val nSplit = if (days.length >= 4) days.length / 2 else days.length
@@ -217,7 +218,7 @@ object SparkEntry {
             numAttrs = Seq(
               ("scale_factor", "f8", Array(0.25)),
               ("_FillValue", "i4", Array(fillRaw))))),
-        chunkLead = 1, compress = true, codec = codec)
+        chunkLead = 1, compress = true, codec = codec, fletcher = fletcher)
     }
     (ncDir, days.head)
   }
@@ -1994,6 +1995,15 @@ object SparkEntry {
     // combined along time — q61's oracle, since the grid is identical.
     "q82_nc4_scan" -> ((s, dir) => {
       val (path, _) = nc4EventsFixture(s, dir)
+      s.read.format("netcdf").load(path).orderBy("time", "slot")
+    }),
+
+    // nc_def_var_fletcher32: the checksum filter rides FIRST in the HDF5
+    // pipeline (fletcher32 -> shuffle -> deflate); the scan verifies and
+    // strips each chunk's trailer — same values as q82, now integrity-
+    // checked per chunk
+    "q162_nc4_fletcher_scan" -> ((s, dir) => {
+      val (path, _) = nc4EventsFixture(s, dir, "deflate", fletcher = true)
       s.read.format("netcdf").load(path).orderBy("time", "slot")
     }),
 
@@ -3872,6 +3882,19 @@ object SparkEntry {
     // the netCDF-4 fixture encodes the SAME grid as q61's classic-NC one,
     // so the HDF5 route shares q61's spine oracle exactly
     "q82_nc4_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s))
+        |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2""".stripMargin,
+
+    // fletcher32 fixture carries the same values as q82
+    "q162_nc4_fletcher_scan" ->
       """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
         |                  CAST(event_id % 10 AS INTEGER) AS slot,
         |                  CAST(count(*) AS DOUBLE) AS cnt

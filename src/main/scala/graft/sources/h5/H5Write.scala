@@ -153,9 +153,14 @@ object H5Write {
       compress: Boolean = true,
       /** "deflate" (filter id 1, the netCDF-4 classic default) or "zstd"
         * (registered plugin id 32015, newer archives). */
-      codec: String = "deflate"): Unit = {
+      codec: String = "deflate",
+      /** `nc_def_var_fletcher32`: checksum the raw chunk (filter id 3,
+        * FIRST in the pipeline) before shuffle + compression. */
+      fletcher: Boolean = false): Unit = {
     require(codec == "deflate" || codec == "zstd" || codec == "szip",
       s"codec $codec")
+    require(!fletcher || (compress && codec != "szip"),
+      "fletcher32 fixtures ride the shuffle+compressor pipeline")
     val dimLen = dims.toMap
     def isCoord(v: WriteVar) = v.dims == Seq(v.name) && dimLen.contains(v.name)
     val ordered = vars // fixture order = symbol table insert order (sorted below)
@@ -196,7 +201,16 @@ object H5Write {
               // data) + NN + EC, scanline = fastest chunk dim
               raw = szipCodec(es, chunkShape).encode(raw)
             else {
-              // pipeline order: shuffle, then the compressor
+              // pipeline order: (fletcher32,) shuffle, then the compressor
+              if (fletcher) {
+                val c = graft.sources.zarr.ZarrCodec.fletcher32(raw, raw.length)
+                val withSum = java.util.Arrays.copyOf(raw, raw.length + 4)
+                withSum(raw.length) = (c & 0xFF).toByte
+                withSum(raw.length + 1) = ((c >> 8) & 0xFF).toByte
+                withSum(raw.length + 2) = ((c >> 16) & 0xFF).toByte
+                withSum(raw.length + 3) = ((c >> 24) & 0xFF).toByte
+                raw = withSum
+              }
               raw = shuffleBytes(raw, es)
               raw = if (codec == "zstd") com.github.luben.zstd.Zstd.compress(raw, 3)
                     else deflate(raw)
@@ -263,7 +277,9 @@ object H5Write {
           out.u32(sz.bitsPerPixel.toLong).u32(sz.pixelsPerScanline.toLong)
           Seq((0x0B, out.bytes))
         } else if (p.chunks.isDefined && compress) {
-          val out = new Out().u8(1).u8(2).u16(0).u32(0L)
+          val out = new Out().u8(1).u8(if (fletcher) 3 else 2).u16(0).u32(0L)
+          if (fletcher)
+            out.u16(3).u16(0).u16(0).u16(0) // fletcher32, no client values
           out.u16(2).u16(0).u16(0).u16(1).u32(es.toLong).u32(0L) // shuffle (+pad)
           if (codec == "zstd") {
             // registered plugin id 32015; ids ≥ 256 carry a name (8-byte

@@ -86,10 +86,21 @@ object Hdf5Kerchunk {
     // NASA/NOAA netCDF-4 products ship), 32015 = registered zstd plugin
     // (newer archives); all compressors map onto zarr codec ids
     val unsupported = ds.filters.filterNot(f =>
-      f.id == 1 || f.id == 2 || f.id == 4 || f.id == 32015)
+      f.id == 1 || f.id == 2 || f.id == 3 || f.id == 4 || f.id == 32015)
     require(unsupported.isEmpty,
       s"${ds.name}: HDF5 filters ${unsupported.map(_.id)} unsupported " +
-        "(deflate/shuffle/szip/zstd cover the netCDF-4 profiles)")
+        "(deflate/shuffle/fletcher32/szip/zstd cover the netCDF-4 profiles)")
+    // fletcher32 after the compressor would checksum COMPRESSED bytes —
+    // the zarr filter chain (filters before compressor) cannot express
+    // that order; netCDF-4 always defines it first, so refuse the exotic
+    // order by name rather than verify the wrong bytes
+    ds.filters.map(_.id).zipWithIndex.find(_._1 == 3).foreach { case (_, fi) =>
+      val compIdx = ds.filters.map(_.id).indexWhere(id =>
+        id == 1 || id == 4 || id == 32015)
+      require(compIdx < 0 || fi < compIdx,
+        s"${ds.name}: fletcher32 positioned AFTER the compressor in the " +
+          "HDF5 pipeline (checksum over compressed bytes) is unsupported")
+    }
     require(ds.filters.count(f => f.id == 1 || f.id == 4 || f.id == 32015) <= 1,
       s"${ds.name}: multiple compressors on one pipeline is unsupported " +
         s"(ids ${ds.filters.map(_.id).mkString(",")})")
@@ -108,11 +119,18 @@ object Hdf5Kerchunk {
             sz.client(0), sz.client(1), sz.client(2), sz.client(3)).json
         case None => JNull
       }
-    val filters: JValue = ds.filters.find(_.id == 2) match {
-      case Some(sh) => JArr(Seq(JObj(Seq("id" -> JStr("shuffle"),
-        "elementsize" -> JNum(sh.client.headOption.getOrElse(ds.dtype.size).toDouble)))))
-      case None => JNull
+    // pre-compressor filters in HDF5 PIPELINE ORDER (zarr encode order;
+    // decode undoes them in reverse): netCDF-4 emits fletcher32 first,
+    // then shuffle
+    val filterChain: Seq[JValue] = ds.filters.flatMap { f =>
+      if (f.id == 3) Some(JObj(Seq("id" -> JStr("fletcher32"))): JValue)
+      else if (f.id == 2) Some(JObj(Seq("id" -> JStr("shuffle"),
+        "elementsize" ->
+          JNum(f.client.headOption.getOrElse(ds.dtype.size).toDouble))): JValue)
+      else None
     }
+    val filters: JValue =
+      if (filterChain.isEmpty) JNull else JArr(filterChain)
     val zarray = JObj(Seq(
       "chunks" -> JArr(chunks.map(c => JNum(c))),
       "compressor" -> compressor,

@@ -459,6 +459,37 @@ object ZarrCodec {
   }
 
   /** Forward byte-shuffle of one block (inverse of [[unshuffleBlock]]). */
+  /** HDF5 H5_checksum_fletcher32 (H5checksum.c, public spec): Fletcher
+    * sum over big-endian 16-bit words with 16-bit folding every 360
+    * words; an odd trailing byte contributes as the high byte. Returns
+    * the 32-bit checksum as an unsigned Long. */
+  private[graft] def fletcher32(b: Array[Byte], len: Int): Long = {
+    var sum1 = 0L; var sum2 = 0L
+    var i = 0
+    var remaining = len / 2
+    while (remaining > 0) {
+      var t = math.min(remaining, 360)
+      remaining -= t
+      while (t > 0) {
+        sum1 += (((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)).toLong
+        i += 2
+        sum2 += sum1
+        t -= 1
+      }
+      sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+      sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    }
+    if ((len & 1) != 0) {
+      sum1 += ((b(len - 1) & 0xFF).toLong << 8)
+      sum2 += sum1
+      sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+      sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    }
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    ((sum2 << 16) | sum1) & 0xFFFFFFFFL
+  }
+
   private[zarr] def shuffleBlock(data: Array[Byte], off: Int, len: Int,
       typesize: Int): Array[Byte] = {
     val n = len / typesize

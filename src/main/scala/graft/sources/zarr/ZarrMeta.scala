@@ -175,6 +175,39 @@ object ZarrMeta {
     def encodedLen(n: Int): Int = n
   }
 
+  /** HDF5's fletcher32 checksum filter (id 3) / numcodecs `fletcher32`:
+    * the H5_checksum_fletcher32 sum (big-endian 16-bit words, 16-bit
+    * folded Fletcher) appended to the buffer as 4 little-endian bytes.
+    * netCDF-4 files written with `nc_def_var_fletcher32` carry it FIRST
+    * in the pipeline (checksum over the raw chunk), so on decode it is
+    * undone last — a corrupted chunk fails loudly by name instead of
+    * feeding silent garbage downstream. */
+  case object Fletcher32Filter extends V2Filter {
+    def json: JValue = JObj(Seq("id" -> JStr("fletcher32")))
+    def encode(buf: Array[Byte]): Array[Byte] = {
+      val out = java.util.Arrays.copyOf(buf, buf.length + 4)
+      val c = ZarrCodec.fletcher32(buf, buf.length)
+      out(buf.length) = (c & 0xFF).toByte
+      out(buf.length + 1) = ((c >> 8) & 0xFF).toByte
+      out(buf.length + 2) = ((c >> 16) & 0xFF).toByte
+      out(buf.length + 3) = ((c >> 24) & 0xFF).toByte
+      out
+    }
+    def decode(buf: Array[Byte]): Array[Byte] = {
+      require(buf.length >= 4,
+        s"fletcher32 chunk of ${buf.length} bytes cannot carry a checksum")
+      val n = buf.length - 4
+      val stored = (buf(n) & 0xFFL) | ((buf(n + 1) & 0xFFL) << 8) |
+        ((buf(n + 2) & 0xFFL) << 16) | ((buf(n + 3) & 0xFFL) << 24)
+      val computed = ZarrCodec.fletcher32(buf, n)
+      require(stored == computed,
+        f"fletcher32 checksum mismatch: stored 0x$stored%08x, " +
+          f"computed 0x$computed%08x — chunk is corrupt")
+      java.util.Arrays.copyOf(buf, n)
+    }
+    def encodedLen(n: Int): Int = n + 4
+  }
+
   /** The reference's chunk-encryption filter, bit-compatible on disk:
     * numcodecs id `xchacha20poly1305`, configuration = the SHA3-256 hash of
     * the key (never the key), payload = nonce(24) ‖ tag(16) ‖ ciphertext
@@ -402,6 +435,8 @@ object ZarrMeta {
           case f: JObj if f.get("id").contains(JStr("shuffle")) =>
             ShuffleFilter(f.get("elementsize").collect { case JNum(n) => n.toInt }
               .getOrElse(4))
+          case f: JObj if f.get("id").contains(JStr("fletcher32")) =>
+            Fletcher32Filter
           case f: JObj if f.get("id").contains(JStr("xchacha20poly1305")) =>
             EncryptionFilter(f.get("key_hash") match {
               case Some(JStr(h)) => h
@@ -409,7 +444,8 @@ object ZarrMeta {
                 s"xchacha20poly1305 filter missing key_hash: $other")
             })
           case other => throw new IllegalArgumentException(
-            s"zarr filter not supported: $other (shuffle, xchacha20poly1305)")
+            s"zarr filter not supported: $other (shuffle, fletcher32, " +
+              "xchacha20poly1305)")
         }
         case other => throw new IllegalArgumentException(s"zarr filters: $other")
       }

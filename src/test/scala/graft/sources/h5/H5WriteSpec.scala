@@ -72,6 +72,29 @@ class H5WriteSpec extends SparkSpec {
     checkScan(writeFixture("zstd", compress = true, codec = "zstd"))
   }
 
+  test("fletcher32+shuffle+deflate chunked roundtrip (nc_def_var_fletcher32)") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/h5write_fletcher.nc"
+    val data = Array.tabulate(10 * 3 * 4) { i =>
+      val (t, y, x) = (i / 12, (i / 4) % 3, i % 4)
+      if (t == 2 && y == 1 && x == 3) fillRaw else (t * 100 + y * 10 + x) * 4.0
+    }
+    H5Write.writeFile(spark, path,
+      dims = Seq("time" -> 10, "y" -> 3, "x" -> 4),
+      vars = Seq(
+        H5Write.WriteVar("time", Seq("time"), "i4",
+          Array.tabulate(10)(_.toDouble),
+          attrs = Seq("units" -> "hours since 2024-05-01", "calendar" -> "standard")),
+        H5Write.WriteVar("y", Seq("y"), "f8", Array(10.0, 10.5, 11.0)),
+        H5Write.WriteVar("x", Seq("x"), "f8", Array(0.25, 0.5, 0.75, 1.0)),
+        H5Write.WriteVar("v", Seq("time", "y", "x"), "f4", data,
+          attrs = Seq("units" -> "mm"),
+          numAttrs = Seq(
+            ("scale_factor", "f8", Array(0.25)),
+            ("_FillValue", "f4", Array(fillRaw))))),
+      chunkLead = 4, compress = true, fletcher = true)
+    checkScan(path)
+  }
+
   test("time predicate prunes written chunks") {
     val path = writeFixture("prune", compress = true)
     val df = spark.read.format("netcdf").load(path)

@@ -290,4 +290,54 @@ class ZarrCodecSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fletcher32 filter: roundtrip, corruption refusal, and checksum " +
+      "parity with an independent H5checksum.c transcription") {
+    import graft.sources.zarr.ZarrMeta.Fletcher32Filter
+    // independent test-side transcription of H5_checksum_fletcher32
+    def ref(b: Array[Byte]): Long = {
+      var s1 = 0L; var s2 = 0L
+      val whole = (b.length / 2) * 2
+      var i = 0
+      var sinceFold = 0
+      while (i < whole) {
+        s1 += (((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)).toLong
+        s2 += s1
+        i += 2
+        sinceFold += 1
+        if (sinceFold == 360 || i == whole) {
+          s1 = (s1 & 0xFFFF) + (s1 >> 16)
+          s2 = (s2 & 0xFFFF) + (s2 >> 16)
+          sinceFold = 0
+        }
+      }
+      if ((b.length & 1) != 0) {
+        s1 += ((b(b.length - 1) & 0xFF).toLong << 8)
+        s2 += s1
+        s1 = (s1 & 0xFFFF) + (s1 >> 16)
+        s2 = (s2 & 0xFFFF) + (s2 >> 16)
+      }
+      s1 = (s1 & 0xFFFF) + (s1 >> 16)
+      s2 = (s2 & 0xFFFF) + (s2 >> 16)
+      ((s2 << 16) | s1) & 0xFFFFFFFFL
+    }
+    val rnd = new scala.util.Random(77)
+    for (n <- Seq(0, 1, 2, 5, 719, 720, 721, 4096, 10001)) {
+      val raw = new Array[Byte](n)
+      rnd.nextBytes(raw)
+      assert(ZarrCodec.fletcher32(raw, n) == ref(raw), s"parity n=$n")
+      val enc = Fletcher32Filter.encode(raw)
+      assert(enc.length == n + 4)
+      assert(Fletcher32Filter.decode(enc).toSeq == raw.toSeq, s"roundtrip n=$n")
+      if (n > 0) {
+        val bad = enc.clone()
+        val at = rnd.nextInt(n)
+        bad(at) = (bad(at) + 1).toByte
+        val e = intercept[IllegalArgumentException] {
+          Fletcher32Filter.decode(bad)
+        }
+        assert(e.getMessage.contains("fletcher32"), s"corruption n=$n")
+      }
+    }
+  }
 }
