@@ -1811,6 +1811,9 @@ object GribFormat {
                     psg = None
                     mrc = None
                   case 30 => // Lambert conformal (RTMA/HRRR/NDFD grids)
+                    require(body.length >= 68,
+                      s"grid template 3.30 section too short " +
+                        s"(${body.length + 5} octets, need 73)")
                     val radius = (body(9) & 0xFF) match { // octet 15: shape
                       case 0 => 6367470.0
                       case 1 =>
@@ -1843,6 +1846,9 @@ object GribFormat {
                     gaussN = None
                     rowLengths = None
                   case 10 => // Mercator (tropical regional archives)
+                    require(body.length >= 67,
+                      s"grid template 3.10 section too short " +
+                        s"(${body.length + 5} octets, need 72)")
                     val radius = (body(9) & 0xFF) match { // octet 15: shape
                       case 0 => 6367470.0
                       case 1 =>
@@ -1875,6 +1881,9 @@ object GribFormat {
                   case 20 => // polar stereographic (NCEP Alaska/sea-ice grids)
                     // octets 15-55 share 3.30's layout exactly (shape,
                     // dims, first point, LaD = true-scale latitude, LoV)
+                    require(body.length >= 60,
+                      s"grid template 3.20 section too short " +
+                        s"(${body.length + 5} octets, need 65)")
                     val radius = (body(9) & 0xFF) match { // octet 15: shape
                       case 0 => 6367470.0
                       case 1 =>

@@ -91,6 +91,37 @@ class GribPolarSpec extends SparkSpec {
     assert(latCol0 > 70.0)
   }
 
+  test("a truncated projected-grid section refuses by name, never by " +
+      "index error") {
+    val dir = freshDir("trunc")
+    val raw = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(raw)
+    GribFormat.writeMessage2Fields(dos, ref, rowAxis, colAxis,
+      fields = Seq((61, 0, Array.tabulate(10)(_.toDouble))),
+      polarStereo = Some(grid))
+    dos.close()
+    val bytes = raw.toByteArray
+    // section 3 (offset 37): shrink its declared length below the 3.20
+    // minimum while keeping the byte stream section-aligned by moving
+    // the truncated tail into a fake local-use section is overkill —
+    // simply shrinking the declared length makes the parser slice a
+    // short body, which must refuse by name
+    val sec3 = 37
+    val declared = ((bytes(sec3) & 0xFF) << 24) | ((bytes(sec3 + 1) & 0xFF) << 16) |
+      ((bytes(sec3 + 2) & 0xFF) << 8) | (bytes(sec3 + 3) & 0xFF)
+    assert(declared == 65)
+    bytes(sec3 + 3) = 40 // declared 65 -> 40: body short of the template
+    write(s"$dir/t.grb2")(_.write(bytes))
+    val e = intercept[Exception] {
+      spark.read.format("grib1").load(s"$dir/t.grb2").count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("3.20 section too short")),
+      s"got: ${chain(e).map(_.getMessage).mkString(" | ")}")
+  }
+
   test("projection centre flag 0x80 flips to the south aspect") {
     val dir = freshDir("south")
     val values = Array.tabulate(10)(_.toDouble)
