@@ -1695,6 +1695,40 @@ object SparkEntry {
         .orderBy("time", "slot")
     }),
 
+    // LAYER products (second fixed surface — the NCEP soil-layer shape):
+    // two depth layers share (time, param, level_type, level=0 top) and
+    // stay distinct only on level_to; the shallow layer carries the
+    // counts, the deep layer twice the counts.
+    "q163_grib_layer_scan" -> ((s, dir) => {
+      val cells = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count().collect()
+      implicit val ldtOrd: Ordering[LocalDateTime] =
+        Ordering.fromLessThan(_ isBefore _)
+      val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+      val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+      val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/events_layer.grb2"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        fs.create(new org.apache.hadoop.fs.Path(path), true)))
+      try days.foreach { d =>
+        val base = Array.fill(10)(0.0)
+        byDay(d).foreach(r => base(r.getAs[Int]("slot")) = r.getAs[Long]("count").toDouble)
+        graft.sources.grib.GribFormat.writeMessage2Fields(out, d,
+          Seq(0.0, 1.0), Seq(0.0, 1.0, 2.0, 3.0, 4.0),
+          fields = Seq((192, 0, base), (192, 0, base.map(_ * 2))),
+          levels = Seq((106, 0L), (106, 0L)),
+          levelTops = Seq(10L, 100L), discipline = 2)
+      } finally out.close()
+      s.read.format("grib1").load(path)
+        .withColumn("slot", (col("latitude") * 5 + col("longitude")).cast("int"))
+        .select(col("time"), col("level_to"), col("slot"),
+          col("value").as("cnt"))
+        .orderBy("time", "level_to", "slot")
+    }),
+
     // Mercator grid (template 3.10 — tropical regional archives): same
     // round-trip gate shape as q160, over the Mercator Column path.
     "q161_grib_mercator_scan" -> ((s, dir) => {
@@ -3746,6 +3780,22 @@ object SparkEntry {
         |       CAST(COALESCE(g.cnt, 0) AS DOUBLE) AS cnt
         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
         |ORDER BY 1, 2""".stripMargin,
+
+    // layer fixture: shallow (10) carries the counts, deep (100) twice
+    "q163_grib_layer_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot, CAST(v AS DOUBLE) AS level_to
+        |          FROM days, (SELECT unnest(range(10)) AS s),
+        |               (SELECT unnest([10, 100]) AS v))
+        |SELECT spine.d AS time, spine.level_to AS level_to, spine.slot AS slot,
+        |       CAST(COALESCE(g.cnt, 0) * (CASE spine.level_to WHEN 10 THEN 1 ELSE 2 END)
+        |            AS DOUBLE) AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     // Mercator fixture: identical spine to q160
     "q161_grib_mercator_scan" ->

@@ -76,6 +76,9 @@ object GribTable {
     // a multi-level file (ERA5 pressure-level) keys its hypercubes here
     StructField("level_type", IntegerType, nullable = true),
     StructField("level", DoubleType, nullable = true),
+    // second fixed surface (LAYER products — soil/cloud layers); null
+    // for point levels. Shares level_type with the first surface.
+    StructField("level_to", DoubleType, nullable = true),
     // forecast reference time + lead minutes: two reference times with
     // overlapping valid times stay distinct (forecast/ensemble ingest)
     StructField("ref_time", TimestampNTZType, nullable = false),
@@ -199,6 +202,7 @@ final class GribScanBuilder(table: GribTable) extends ScanBuilder
     // IsNotNull must stay residual
     case sources.IsNotNull(a) => a != "value" && a != "member" &&
       a != "derived" && a != "level" && a != "level_type" &&
+      a != "level_to" &&
       GribTable.Schema.fieldNames.contains(a)
     case sources.EqualTo("param", _: Integer) => true
     case sources.In("param", vs) => vs.forall(_.isInstanceOf[Integer])
@@ -210,6 +214,8 @@ final class GribScanBuilder(table: GribTable) extends ScanBuilder
     case sources.IsNull("level_type") => true
     case sources.EqualTo("level", _: java.lang.Double) => true
     case sources.IsNull("level") => true
+    case sources.EqualTo("level_to", _: java.lang.Double) => true
+    case sources.IsNull("level_to") => true
     case sources.EqualTo("step", _: java.lang.Long) => true
     case sources.EqualTo("time" | "ref_time", v) => NcScan.toKey(v).isDefined
     case sources.GreaterThan("time" | "ref_time", v) => NcScan.toKey(v).isDefined
@@ -275,6 +281,9 @@ final class GribScan(
     case sources.EqualTo("level", v: java.lang.Double) =>
       m.level == v.doubleValue() // NaN (no surface) never equals
     case sources.IsNull("level") => m.level.isNaN
+    case sources.EqualTo("level_to", v: java.lang.Double) =>
+      m.levelTo == v.doubleValue()
+    case sources.IsNull("level_to") => m.levelTo.isNaN
     case sources.EqualTo("step", v: java.lang.Long) =>
       m.stepMinutes == v.longValue()
     case sources.EqualTo("time", v) => NcScan.toKey(v).contains(timeMicros(m))
@@ -361,7 +370,7 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
   private val ParamC = 3; private val ValueC = 4; private val MemberC = 5
   private val LevelTypeC = 6; private val LevelC = 7
   private val RefTimeC = 8; private val StepC = 9
-  private val DerivedC = 10
+  private val DerivedC = 10; private val LevelToC = 11
   private val colCodes: Array[Int] = part.cols.map {
     case "time" => TimeC
     case "latitude" => LatC
@@ -374,6 +383,7 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
     case "ref_time" => RefTimeC
     case "step" => StepC
     case "derived" => DerivedC
+    case "level_to" => LevelToC
   }
   private var k = -1
 
@@ -392,6 +402,7 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
         case DerivedC => if (m.derived < 0) null else m.derived
         case LevelTypeC => if (m.levelType == 255) null else m.levelType
         case LevelC => if (m.level.isNaN) null else m.level
+        case LevelToC => if (m.levelTo.isNaN) null else m.levelTo
         case RefTimeC => refTimeMicros
         case StepC => m.stepMinutes
         case ValueC =>

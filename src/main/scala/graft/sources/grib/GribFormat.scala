@@ -395,6 +395,11 @@ object GribFormat {
       /** First-fixed-surface value (GRIB2: scaledValue / 10^scaleFactor;
         * GRIB1: PDS octets 11-12). NaN when the surface carries no value. */
       level: Double = Double.NaN,
+      /** SECOND fixed-surface value (GRIB2 PDT octets 29-34; GRIB1 layer
+        * level types carry (top, bottom) as two one-octet values) — the
+        * LAYER products (soil layers, cloud layers). NaN = no second
+        * surface (a point level). Both surfaces share `levelType`. */
+      levelTo: Double = Double.NaN,
       /** Forecast reference time (section 1 / PDS date): validTime − lead.
         * Forecast archives key on (baseTime, step) — two reference times
         * with overlapping valid times must stay distinct (the reference's
@@ -1214,6 +1219,10 @@ object GribFormat {
         * profile. This is how a multi-LEVEL fixture (ERA5 pressure-level
         * shape) is written. */
       levels: Seq[(Int, Long)] = Seq.empty,
+      /** Second-fixed-surface values aligned with `fields` (LAYER
+        * products — the type repeats the first surface's): Long.MinValue
+        * entries mean "no second surface". Requires `levels`. */
+      levelTops: Seq[Long] = Seq.empty,
       /** Accumulation interval hours aligned with `fields`: > 0 writes an
         * INTERVAL product (template 4.8, or 4.11 with a member) whose
         * overall interval runs [ref+lead, ref+lead+interval] — the NCEP
@@ -1224,12 +1233,20 @@ object GribFormat {
         * Writes product template 4.2, or 4.12 with an interval — the
         * GEFS geavg/gespr archive shape. Mutually exclusive per field
         * with `members`. */
-      derivedStats: Seq[Int] = Seq.empty): Unit = {
+      derivedStats: Seq[Int] = Seq.empty,
+      /** Section 0 discipline (0 = meteorological, 1 = hydrological,
+        * 2 = land surface, 10 = oceanographic). Joins the scan's param
+        * key as the high 8 bits. */
+      discipline: Int = 0): Unit = {
+    require(discipline >= 0 && discipline <= 255, s"discipline $discipline")
     require(fields.nonEmpty, "a GRIB2 message needs at least one field")
     require(members.isEmpty || members.length == fields.length,
       s"${members.length} members for ${fields.length} fields")
     require(levels.isEmpty || levels.length == fields.length,
       s"${levels.length} levels for ${fields.length} fields")
+    require(levelTops.isEmpty ||
+        (levels.nonEmpty && levelTops.length == fields.length),
+      s"${levelTops.length} second-surface values need aligned levels")
     require(intervals.isEmpty || intervals.length == fields.length,
       s"${intervals.length} intervals for ${fields.length} fields")
     require(intervals.forall(_ >= 0), s"negative interval in $intervals")
@@ -1259,7 +1276,7 @@ object GribFormat {
         jpegBytes: Option[Array[Byte]],
         refValue: Float,
         member: Int, derived: Int,
-        surfType: Int, surfVal: Long,
+        surfType: Int, surfVal: Long, surfVal2: Long,
         accumHours: Int,
         sec4Len: Int, sec5Len: Int, sec6Len: Int, sec7Len: Int)
 
@@ -1336,13 +1353,14 @@ object GribFormat {
       }
       val (surfType, surfVal) =
         if (levels.isEmpty) (1, 0L) else levels(fi)
+      val surfVal2 = if (levelTops.isEmpty) Long.MinValue else levelTops(fi)
       val accumHours = if (intervals.isEmpty) 0 else intervals(fi)
       val derivedStat = if (derivedStats.isEmpty) -1 else derivedStats(fi)
       FieldPlan(paramId, leadHours, scaled, minV, bits, bitmap, complexParts,
         pngBytes, ccsdsBytes, jpegBytes,
         refValue = if (fieldOrder > 0) 0f else minV.toFloat,
         member = member, derived = derivedStat,
-        surfType = surfType, surfVal = surfVal,
+        surfType = surfType, surfVal = surfVal, surfVal2 = surfVal2,
         accumHours = accumHours,
         sec4Len = (if (member >= 0) 37
           else if (derivedStat >= 0) 36 else 34) +
@@ -1379,7 +1397,7 @@ object GribFormat {
     // Section 0 — indicator
     out.writeBytes("GRIB")
     out.writeByte(0); out.writeByte(0) // reserved
-    out.writeByte(0) // discipline: meteorological
+    out.writeByte(discipline)
     out.writeByte(2) // edition
     out.writeLong(total)
     // Section 1 — identification
@@ -1499,7 +1517,13 @@ object GribFormat {
       out.writeInt(p.leadHours) // forecast time (interval START for 4.8/4.11)
       // surface 1: (type, scale factor 0, scaled value); ground by default
       out.writeByte(p.surfType); out.writeByte(0); out.writeInt(p.surfVal.toInt)
-      out.writeByte(255); out.writeByte(255); out.writeInt(-1) // surface 2: none
+      if (p.surfVal2 == Long.MinValue) {
+        out.writeByte(255); out.writeByte(255); out.writeInt(-1) // surface 2: none
+      } else {
+        // layer product: surface 2 repeats the type at scale factor 0
+        out.writeByte(p.surfType); out.writeByte(0)
+        out.writeInt(p.surfVal2.toInt)
+      }
       if (p.member >= 0) {
         out.writeByte(3) // ensemble type: perturbed forecast
         out.writeByte(p.member) // perturbation number
@@ -1632,7 +1656,7 @@ object GribFormat {
       * FIELDS (repeated section 4-7 groups sharing the earlier sections,
       * WMO FM 92 §2) — every completed section 7 snapshots one
       * [[GribMessage]] from the current section state. */
-    def parseEdition2(msgStart: Long): Seq[GribMessage] = {
+    def parseEdition2(msgStart: Long, discipline: Int): Seq[GribMessage] = {
       val total = u64(readN(8), 0)
       require(total <= Int.MaxValue, s"GRIB2 message of $total bytes unsupported")
       val fields = scala.collection.mutable.ArrayBuffer.empty[GribMessage]
@@ -1658,6 +1682,7 @@ object GribFormat {
       var derived1 = -1
       var levelType1 = 255
       var level1 = Double.NaN
+      var levelTo1 = Double.NaN
       var intervalEnd: java.time.LocalDateTime = null
       var png = false
       var jpeg = false
@@ -1726,6 +1751,7 @@ object GribFormat {
               psg, mrc, member, png, ccsds, rot, gaussN, rowLengths,
               jpeg = jpeg,
               spectral = spectral, levelType = levelType1, level = level1,
+              levelTo = levelTo1,
               baseTime = refTime0, stepMinutes = stepMin, derived = derived1)
           } else if (num == 6) {
             val indicator = readN(1)(0) & 0xFF
@@ -1953,7 +1979,13 @@ object GribFormat {
                     tmpl == 11 || tmpl == 12,
                   s"product template $tmpl unsupported " +
                     "(4.0, 4.1, 4.2, 4.8, 4.11, 4.12)")
-                paramId = ((body(4) & 0xFF) << 8) | (body(5) & 0xFF)
+                // discipline (section 0 octet 7) joins the parameter key:
+                // (discipline, category, number) is the WMO identity —
+                // soil moisture (2,0,x) must never alias a meteorological
+                // (0,0,x) product. Discipline-0 params keep their
+                // pre-existing 16-bit ids.
+                paramId = (discipline << 16) |
+                  ((body(4) & 0xFF) << 8) | (body(5) & 0xFF)
                 timeUnit = body(12) & 0xFF
                 forecast = sm(body, 13, 4)
                 // octets 23-28: FIRST fixed surface (type, sign-magnitude
@@ -1968,6 +2000,25 @@ object GribFormat {
                   else {
                     val factor = (sf & 0x7F) * (if ((sf & 0x80) != 0) -1 else 1)
                     sm(body, 19, 4).toDouble / math.pow(10.0, factor)
+                  }
+                }
+                // octets 29-34: SECOND fixed surface — layer products
+                // (soil 0-10 cm, cloud layers). A second surface of a
+                // DIFFERENT type can't ride one levelType column; refuse
+                // it by name rather than half-key the layer.
+                levelTo1 = {
+                  val t2 = body(23) & 0xFF
+                  val sf2 = body(24) & 0xFF
+                  if (t2 == 255 || sf2 == 255 ||
+                      u32(body, 25) == 0xFFFFFFFFL) Double.NaN
+                  else {
+                    require(t2 == levelType1,
+                      s"second fixed surface type $t2 differs from the " +
+                        s"first ($levelType1) — mixed-type layers " +
+                        "unsupported")
+                    val factor =
+                      (sf2 & 0x7F) * (if ((sf2 & 0x80) != 0) -1 else 1)
+                    sm(body, 25, 4).toDouble / math.pow(10.0, factor)
                   }
                 }
                 member = if (tmpl == 1 || tmpl == 11) body(30) & 0xFF else -1
@@ -2130,7 +2181,7 @@ object GribFormat {
       offset += 8
       require(new String(head, 0, 4, "US-ASCII") == "GRIB", "Bad GRIB magic")
       if (head(7) == 2) {
-        out ++= parseEdition2(msgStart)
+        out ++= parseEdition2(msgStart, discipline = head(6) & 0xFF)
       } else {
       val total = u24(head, 4)
       require(head(7) == 1, s"Only GRIB editions 1 and 2 supported, got ${head(7)}")
@@ -2149,9 +2200,17 @@ object GribFormat {
         case 0 => 255 // table 3 reserves 0 — normalize to the missing code
         case t => t
       }
+      // table 3 LAYER types carry (top, bottom) as two one-octet values
+      // in octets 11-12; point types carry one u16 value
+      val G1LayerTypes = Set(101, 104, 106, 108, 110, 112, 114, 116, 120,
+        121, 128, 141)
+      val g1IsLayer = G1LayerTypes.contains(g1LevelType)
       val g1Level =
         if (g1LevelType == 255) Double.NaN
+        else if (g1IsLayer) (pds(7) & 0xFF).toDouble
         else u16(pds, 7).toDouble
+      val g1LevelTo =
+        if (g1IsLayer) (pds(8) & 0xFF).toDouble else Double.NaN
       val century = pds(21) & 0xFF
       val year = (century - 1) * 100 + (pds(9) & 0xFF)
       val refTime0 = java.time.LocalDateTime.of(year, pds(10) & 0xFF,
@@ -2259,7 +2318,7 @@ object GribFormat {
       out += GribMessage(paramId, refTime, ni, nj, la1, lo1, la2, lo2,
         decimalScale, binaryScale, refValue, bits, dataOffset, dataBytes, total,
         bitmapOffset, bitmapBytes, gaussN = g1GaussN, rowLengths = g1Rows,
-        levelType = g1LevelType, level = g1Level,
+        levelType = g1LevelType, level = g1Level, levelTo = g1LevelTo,
         baseTime = refTime0, stepMinutes = g1StepMin)
       } // end edition-1 branch
     }
@@ -2278,11 +2337,13 @@ object GribFormat {
   private def dupGuard(ms: Seq[GribMessage]): Seq[GribMessage] = {
     val dups = ms.groupBy(m => (m.baseTime, m.stepMinutes, m.paramId,
         m.member, m.derived, m.levelType,
-        java.lang.Double.doubleToLongBits(m.level), m.spectral.isDefined))
+        (java.lang.Double.doubleToLongBits(m.level),
+          java.lang.Double.doubleToLongBits(m.levelTo)),
+        m.spectral.isDefined))
       .filter(_._2.lengthCompare(1) > 0)
     if (dups.nonEmpty) {
       val key = dups.keys.minBy(_.toString)
-      val (t, step, p, mem, drv, lt, lv, _) = key
+      val (t, step, p, mem, drv, lt, (lv, _), _) = key
       throw new IllegalArgumentException(
         s"GRIB file carries ${dups.size} duplicated field key(s): e.g. " +
           s"${dups(key).length} fields share (refTime=$t, " +

@@ -103,6 +103,13 @@ object GribSpectralTable {
           "axis; read the gridded form or split the statistics into " +
           "separate files")
     }
+    // same reasoning for LAYER fields: no level_to axis in this schema
+    byFile.find(_._2.exists(m => !m.levelTo.isNaN)).foreach { case (p, _) =>
+      throw new IllegalArgumentException(
+        s"$p holds LAYER spectral fields (a second fixed surface) — the " +
+          "spectral schema carries no level_to axis; split the layers " +
+          "into separate files")
+    }
     new GribSpectralTable(byFile, conf)
   }
 }

@@ -175,6 +175,83 @@ class GribLevelSpec extends SparkSpec {
       .head().getAs[Double]("value") == 100.0)
   }
 
+  test("LAYER products (second fixed surface): soil layers sharing a top " +
+      "stay distinct on level_to; duplicated layers are refused by name") {
+    val dir = freshDir("layer")
+    val ref = LocalDateTime.parse("2024-03-01T00:00")
+    write(s"$dir/soil.grb2") { out =>
+      // soil moisture layers 0-10 cm and 0-100 cm (depth type 106, both
+      // tops at 0): only the SECOND surface separates them
+      GribFormat.writeMessage2Fields(out, ref, lats, lons,
+        fields = Seq((192, 0, grid(5.0)), (192, 0, grid(300.0))),
+        levels = Seq((106, 0L), (106, 0L)),
+        levelTops = Seq(10L, 100L))
+    }
+    val df = spark.read.format("grib1").load(s"$dir/soil.grb2")
+    assert(df.count() == 8)
+    assert(df.select("level_type").distinct().head().getInt(0) == 106)
+    assert(df.select("level").distinct().head().getDouble(0) == 0.0)
+    val shallow = df.filter(col("level_to") === 10.0)
+    val deep = df.filter(col("level_to") === 100.0)
+    assert(shallow.count() == 4 && deep.count() == 4)
+    assert(shallow.filter(col("latitude") === 0.0 && col("longitude") === 10.0)
+      .head().getAs[Double]("value") == 5.0)
+    assert(deep.filter(col("latitude") === 0.0 && col("longitude") === 10.0)
+      .head().getAs[Double]("value") == 300.0)
+    // level_to predicates prune whole messages at planning
+    val plan = deep.queryExecution.executedPlan.toString
+    assert(plan.contains("messages=1/2"), s"no message pruning in:\n$plan")
+    // the same layer twice collides on the FULL key incl. level_to
+    write(s"$dir/dup.grb2") { out =>
+      GribFormat.writeMessage2Fields(out, ref, lats, lons,
+        fields = Seq((192, 0, grid(1.0)), (192, 0, grid(2.0))),
+        levels = Seq((106, 0L), (106, 0L)),
+        levelTops = Seq(10L, 10L))
+    }
+    val e = intercept[Exception] {
+      spark.read.format("grib1").load(s"$dir/dup.grb2").count()
+    }
+    assert(e.getMessage.contains("duplicated field key"))
+  }
+
+  test("edition-1 layer level types split octets 11-12 into (top, bottom)") {
+    val dir = freshDir("g1layer")
+    val ref = LocalDateTime.parse("2024-03-01T00:00")
+    val raw = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(raw)
+    GribFormat.writeMessage(dos, 61, ref, lats, lons, grid(0.0))
+    dos.close()
+    val bytes = raw.toByteArray
+    // PDS octet 10 (level type, offset 8+9) -> 112 (layer between
+    // depths); octets 11-12 (offsets 18-19) -> top 10, bottom 200
+    assert(bytes(17) == 1, "PDS level-type octet moved; update the patch")
+    bytes(17) = 112.toByte
+    bytes(18) = 10; bytes(19) = 200.toByte
+    write(s"$dir/l.grb")(_.write(bytes))
+    val df = spark.read.format("grib1").load(s"$dir/l.grb")
+    assert(df.select("level_type").distinct().head().getInt(0) == 112)
+    assert(df.select("level").distinct().head().getDouble(0) == 10.0)
+    assert(df.select("level_to").distinct().head().getDouble(0) == 200.0)
+  }
+
+  test("GRIB2 discipline joins the parameter key: land-surface (2,0,0) " +
+      "never aliases meteorological (0,0,0)") {
+    val dir = freshDir("disc")
+    val ref = LocalDateTime.parse("2024-03-01T00:00")
+    write(s"$dir/d.grb2") { out =>
+      GribFormat.writeMessage2Fields(out, ref, lats, lons,
+        fields = Seq((0, 0, grid(1.0)))) // discipline 0, category 0, number 0
+      GribFormat.writeMessage2Fields(out, ref, lats, lons,
+        fields = Seq((0, 0, grid(100.0))), discipline = 2)
+    }
+    val df = spark.read.format("grib1").load(s"$dir/d.grb2")
+    assert(df.count() == 8)
+    val params = df.select("param").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq
+    assert(params == Seq(0, 2 << 16), s"params $params")
+    assert(df.filter(col("param") === (2 << 16)).count() == 4)
+  }
+
   test("derived-ensemble products (4.2/4.12, the GEFS geavg/gespr shape): " +
       "mean and spread stay distinct on the derived axis") {
     val dir = freshDir("derived")
