@@ -89,7 +89,9 @@ final class HindcastGribManager(
         .filter(col("param") === paramId && col("member").isNotNull &&
           col("derived").isNull)
         .withColumn("hindcast_reference_time",
-          to_timestamp(lit(hrt), "yyyy-MM-dd"))
+          // NTZ like every other time axis in the engine (the verify
+          // gate's DuckDB compare and the stores are zone-free)
+          to_timestamp_ntz(lit(hrt), lit("yyyy-MM-dd")))
     }
     val scanned = perFile.reduce(_ unionByName _)
     val keyed = scanned
