@@ -649,6 +649,23 @@ object H5Format {
 
   // ------------------------------------------------------------- public API
 
+  /** Datasets carry a layout message (0x08); a root child WITHOUT one is
+    * a sub-GROUP or committed datatype — outside the netCDF-4 CLASSIC
+    * model this scan implements. Refuse by name: silently scanning only
+    * the root group would drop the grouped variables, the one failure
+    * mode worse than a refusal. */
+  private[h5] def requireDataset(name: String, mtypes: Seq[Int]): Unit =
+    if (!mtypes.contains(0x08)) {
+      val kind =
+        if (mtypes.exists(t => t == 0x11 || t == 0x02 || t == 0x06))
+          "sub-group"
+        else "committed datatype (or other non-dataset object)"
+      throw new IllegalArgumentException(
+        s"root child '$name' is a $kind — grouped (non-classic) " +
+          "netCDF-4 files are unsupported; flatten the groups or " +
+          "extract the group into its own file")
+    }
+
   /** Parse the netCDF-4-classic structure: root attributes + every dataset
     * in the root group (netCDF classic model = flat root group). */
   def parse(read: PRead): H5File = {
@@ -658,7 +675,7 @@ object H5Format {
     val links = groupLinks(read, rootMsgs)
     val datasets = links.flatMap { case (name, addr) =>
       val msgs = readObjectHeader(read, addr)
-      // datasets carry a layout message; sub-GROUPS (non-classic) do not
+      requireDataset(name, msgs.map(_.mtype))
       msgs.find(_.mtype == 0x08).map { layoutMsg =>
         val dims = msgs.find(_.mtype == 0x01).map(m => parseDataspace(m.body))
           .getOrElse(Seq.empty)

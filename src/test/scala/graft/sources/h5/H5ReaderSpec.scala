@@ -116,4 +116,18 @@ class H5ReaderSpec extends SparkSpec {
     assert(zattrs.get("DIMENSION_LIST").isEmpty)
     assert(zattrs.get("_Netcdf4Coordinates").isEmpty)
   }
+
+  test("a non-dataset root child (sub-group / committed type) refuses by " +
+      "name instead of silently scanning a subset") {
+    val e = intercept[IllegalArgumentException] {
+      H5Format.requireDataset("obs", Seq(0x11)) // symbol-table message only
+    }
+    assert(e.getMessage.contains("sub-group") && e.getMessage.contains("obs"))
+    val e2 = intercept[IllegalArgumentException] {
+      H5Format.requireDataset("T", Seq(0x03, 0x0C)) // committed datatype
+    }
+    assert(e2.getMessage.contains("committed datatype"))
+    // a dataset (layout present) passes
+    H5Format.requireDataset("v", Seq(0x01, 0x03, 0x08, 0x0C))
+  }
 }
