@@ -83,6 +83,10 @@ object GribTable {
     // overlapping valid times stay distinct (forecast/ensemble ingest)
     StructField("ref_time", TimestampNTZType, nullable = false),
     StructField("step", LongType, nullable = false),
+    // interval products only (ecCodes startStep): minutes from ref to
+    // the interval START — two accumulation windows ending at the same
+    // valid time (GFS precip buckets) key apart here; null = point
+    StructField("step_start", LongType, nullable = true),
     // nullable: bitmap-masked cells surface as null
     StructField("value", DoubleType, nullable = true)))
 
@@ -202,7 +206,7 @@ final class GribScanBuilder(table: GribTable) extends ScanBuilder
     // IsNotNull must stay residual
     case sources.IsNotNull(a) => a != "value" && a != "member" &&
       a != "derived" && a != "level" && a != "level_type" &&
-      a != "level_to" &&
+      a != "level_to" && a != "step_start" &&
       GribTable.Schema.fieldNames.contains(a)
     case sources.EqualTo("param", _: Integer) => true
     case sources.In("param", vs) => vs.forall(_.isInstanceOf[Integer])
@@ -217,6 +221,8 @@ final class GribScanBuilder(table: GribTable) extends ScanBuilder
     case sources.EqualTo("level_to", _: java.lang.Double) => true
     case sources.IsNull("level_to") => true
     case sources.EqualTo("step", _: java.lang.Long) => true
+    case sources.EqualTo("step_start", _: java.lang.Long) => true
+    case sources.IsNull("step_start") => true
     case sources.EqualTo("time" | "ref_time", v) => NcScan.toKey(v).isDefined
     case sources.GreaterThan("time" | "ref_time", v) => NcScan.toKey(v).isDefined
     case sources.GreaterThanOrEqual("time" | "ref_time", v) => NcScan.toKey(v).isDefined
@@ -286,6 +292,10 @@ final class GribScan(
     case sources.IsNull("level_to") => m.levelTo.isNaN
     case sources.EqualTo("step", v: java.lang.Long) =>
       m.stepMinutes == v.longValue()
+    case sources.EqualTo("step_start", v: java.lang.Long) =>
+      m.stepStartMinutes == v.longValue()
+    case sources.IsNull("step_start") =>
+      m.stepStartMinutes == Long.MinValue
     case sources.EqualTo("time", v) => NcScan.toKey(v).contains(timeMicros(m))
     case sources.GreaterThan("time", v) => NcScan.toKey(v).exists(timeMicros(m) > _)
     case sources.GreaterThanOrEqual("time", v) => NcScan.toKey(v).exists(timeMicros(m) >= _)
@@ -371,6 +381,7 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
   private val LevelTypeC = 6; private val LevelC = 7
   private val RefTimeC = 8; private val StepC = 9
   private val DerivedC = 10; private val LevelToC = 11
+  private val StepStartC = 12
   private val colCodes: Array[Int] = part.cols.map {
     case "time" => TimeC
     case "latitude" => LatC
@@ -384,6 +395,7 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
     case "step" => StepC
     case "derived" => DerivedC
     case "level_to" => LevelToC
+    case "step_start" => StepStartC
   }
   private var k = -1
 
@@ -405,6 +417,8 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
         case LevelToC => if (m.levelTo.isNaN) null else m.levelTo
         case RefTimeC => refTimeMicros
         case StepC => m.stepMinutes
+        case StepStartC =>
+          if (m.stepStartMinutes == Long.MinValue) null else m.stepStartMinutes
         case ValueC =>
           val v = cellValue(k)
           if (v.isNaN) null else v

@@ -405,8 +405,15 @@ object GribFormat {
         * with overlapping valid times must stay distinct (the reference's
         * forecast/ensemble dim sets, transform.py:724-759). */
       baseTime: java.time.LocalDateTime = null,
-      /** Forecast lead in minutes (0 = analysis). */
+      /** Forecast lead in minutes (0 = analysis). For INTERVAL products
+        * this is the endStep (valid − ref, ecCodes convention). */
       stepMinutes: Long = 0L,
+      /** Interval products only: minutes from the reference time to the
+        * START of the overall interval (ecCodes startStep). Long.MinValue
+        * = point-in-time product. Keys apart two accumulation windows
+        * ending at the same valid time — the GFS/NAM precip-bucket file
+        * shape ([0,12] h and [6,12] h buckets in one file). */
+      stepStartMinutes: Long = Long.MinValue,
       /** Derived-ensemble statistic (product templates 4.2/4.12, code
         * table 4.7: 0 = mean, 2 = std dev — the GEFS geavg/gespr archive
         * shape); -1 = not a derived product. Derived products carry no
@@ -444,20 +451,31 @@ object GribFormat {
     @transient private lazy val rowPrefix: Array[Int] =
       rowLengths.map(_.scanLeft(0)(_ + _)).orNull
 
+    /** GRIB longitude convention 0 ≤ λ < 360: a projection inverse
+      * returns lon0 ± 180, which for lon0 near 0 goes negative and for
+      * lon0 > 180 exceeds 360 — wrap BOTH sides. */
+    private def wrapLon(lon: Double): Double = {
+      val w = lon % 360.0
+      if (w < 0) w + 360.0 else w
+    }
+
+    /** The projected-grid cell walk shared by the LCC / polar / Mercator
+      * templates: invert the projection at (x0 + i·dx, y0 + j·dy). */
+    private def projectedAt(k: Int, origin: (Double, Double), dyM: Double,
+        dxM: Double, inverse: (Double, Double) => (Double, Double)): (Double, Double) = {
+      val (y0, x0) = origin
+      val (lat, lon) = inverse(y0 + (k / ni) * dyM, x0 + (k % ni) * dxM)
+      (lat, wrapLon(lon))
+    }
+
     /** Cell k's latitude/longitude. Regular grids read the axis arrays;
-      * LCC/polar grids invert the projection at (x0 + i·dx, y0 + j·dy). */
+      * LCC/polar/Mercator grids invert the projection at
+      * (x0 + i·dx, y0 + j·dy). */
     def latLonAt(k: Int): (Double, Double) = ps match {
-      case Some(g) =>
-        val (y0, x0) = g.origin
-        val (lat, lon) = g.mapping.inverseXY(y0 + (k / ni) * g.dyM,
-          x0 + (k % ni) * g.dxM)
-        (lat, if (lon < 0) lon + 360 else lon) // GRIB convention 0..360
+      case Some(g) => projectedAt(k, g.origin, g.dyM, g.dxM, g.mapping.inverseXY)
       case None => merc match {
         case Some(g) =>
-          val (y0, x0) = g.origin
-          val (lat, lon) = g.mapping.inverseXY(y0 + (k / ni) * g.dyM,
-            x0 + (k % ni) * g.dxM)
-          (lat, if (lon < 0) lon + 360 else lon)
+          projectedAt(k, g.origin, g.dyM, g.dxM, g.mapping.inverseXY)
         case None => latLonAtUnprojected(k)
       }
     }
@@ -478,13 +496,9 @@ object GribFormat {
         case None => (lats(k / ni), lons(k % ni))
         case Some(rg) =>
           val (lat, lon) = rg.mapping.inverseXY(lats(k / ni), lons(k % ni))
-          (lat, if (lon < 0) lon + 360 else lon) // GRIB convention 0..360
+          (lat, wrapLon(lon))
       }
-      case Some(g) =>
-        val (y0, x0) = g.origin
-        val (lat, lon) = g.mapping.inverseXY(y0 + (k / ni) * g.dyM,
-          x0 + (k % ni) * g.dxM)
-        (lat, if (lon < 0) lon + 360 else lon) // GRIB convention 0..360
+      case Some(g) => projectedAt(k, g.origin, g.dyM, g.dxM, g.mapping.inverseXY)
     }
 
     private def unscale(x: Double): Double =
@@ -1735,6 +1749,8 @@ object GribFormat {
               if (intervalEnd != null)
                 java.time.Duration.between(refTime0, intervalEnd).toMinutes
               else leadMin
+            val stepStartMin: Long =
+              if (intervalEnd != null) leadMin else Long.MinValue
             val spectral = (spectralTrunc, spectralPacking) match {
               case (Some(t), Some(pk)) => Some(SpectralGrid(t, pk))
               case (Some(_), None) => throw new IllegalArgumentException(
@@ -1752,7 +1768,8 @@ object GribFormat {
               jpeg = jpeg,
               spectral = spectral, levelType = levelType1, level = level1,
               levelTo = levelTo1,
-              baseTime = refTime0, stepMinutes = stepMin, derived = derived1)
+              baseTime = refTime0, stepMinutes = stepMin,
+              stepStartMinutes = stepStartMin, derived = derived1)
           } else if (num == 6) {
             val indicator = readN(1)(0) & 0xFF
             indicator match {
@@ -1858,7 +1875,7 @@ object GribFormat {
                     val dy = u32(body, 54).toDouble / 1e3
                     require((body(58) & 0x80) == 0, // octet 64
                       "south-pole-centred Lambert projection unsupported")
-                    require((body(59) & 0x30) == 0 && (body(59) & 0x40) != 0,
+                    require((body(59) & 0xB0) == 0 && (body(59) & 0x40) != 0,
                       s"scanning mode 0x${(body(59) & 0xFF).toHexString} unsupported " +
                         "(+i, +j, i-consecutive only)")
                     val latin1 = sm(body, 60, 4) / 1e6 // octets 66-69
@@ -1890,8 +1907,10 @@ object GribFormat {
                     val latTs = sm(body, 42, 4) / 1e6 // octets 48-51: LaD
                     la2 = sm(body, 46, 4) / 1e6 // octets 52-55
                     lo2 = sm(body, 50, 4) / 1e6 // octets 56-59
-                    // octet 60: scanning mode (earlier than 3.20/3.30!)
-                    require((body(54) & 0x30) == 0 && (body(54) & 0x40) != 0,
+                    // octet 60: scanning mode (earlier than 3.20/3.30!).
+                    // The projected walk goes +x/+y, so -i (0x80) would
+                    // silently mirror longitudes — refuse it too.
+                    require((body(54) & 0xB0) == 0 && (body(54) & 0x40) != 0,
                       s"scanning mode 0x${(body(54) & 0xFF).toHexString} unsupported " +
                         "(+i, +j, i-consecutive only)")
                     // octets 61-64: orientation (unused on the sphere)
@@ -1928,7 +1947,7 @@ object GribFormat {
                     val dy = u32(body, 54).toDouble / 1e3
                     // octet 64: projection centre flag (0x80 = south pole)
                     val south = (body(58) & 0x80) != 0
-                    require((body(59) & 0x30) == 0 && (body(59) & 0x40) != 0,
+                    require((body(59) & 0xB0) == 0 && (body(59) & 0x40) != 0,
                       s"scanning mode 0x${(body(59) & 0xFF).toHexString} unsupported " +
                         "(+i, +j, i-consecutive only)")
                     la1 = gla1; lo1 = glo1
@@ -2245,10 +2264,29 @@ object GribFormat {
         case 10 => leadUnits * 180
         case 11 => leadUnits * 360
         case 12 => leadUnits * 720
+        case 254 => // seconds — the time axis is minute-resolved
+          require(leadUnits % 60 == 0,
+            s"sub-minute forecast lead (${leadUnits} s) unsupported: " +
+              "the time axis is minute-resolved")
+          leadUnits / 60
         case u => throw new IllegalArgumentException(
-          s"PDS time unit $u unsupported (0=min, 1=hour, 2=day, 10/11/12=3/6/12h)")
+          s"PDS time unit $u unsupported (0=min, 1=hour, 2=day, " +
+            "10/11/12=3/6/12h, 254=s)")
       }
       val refTime = refTime0.plusMinutes(g1StepMin)
+      // TRI 4: P1 is the interval START in the same unit
+      val g1StepStartMin: Long =
+        if (rangeIndicator != 4) Long.MinValue
+        else timeUnit match {
+          case 0 => p1.toLong
+          case 1 => p1.toLong * 60
+          case 2 => p1.toLong * 1440
+          case 10 => p1.toLong * 180
+          case 11 => p1.toLong * 360
+          case 12 => p1.toLong * 720
+          case 254 => p1.toLong / 60
+          case _ => Long.MinValue // unreachable: the unit already matched
+        }
       val decimalScale = sm(pds, 23, 2)
       // GDS
       val gdsLenB = readN(3)
@@ -2319,7 +2357,8 @@ object GribFormat {
         decimalScale, binaryScale, refValue, bits, dataOffset, dataBytes, total,
         bitmapOffset, bitmapBytes, gaussN = g1GaussN, rowLengths = g1Rows,
         levelType = g1LevelType, level = g1Level, levelTo = g1LevelTo,
-        baseTime = refTime0, stepMinutes = g1StepMin)
+        baseTime = refTime0, stepMinutes = g1StepMin,
+        stepStartMinutes = g1StepStartMin)
       } // end edition-1 branch
     }
     dupGuard(out.toSeq)
@@ -2335,7 +2374,7 @@ object GribFormat {
     * this by selecting one hypercube per scan
     * (`scan_grib(filter)[scan_indices]`, transform.py:214-219). */
   private def dupGuard(ms: Seq[GribMessage]): Seq[GribMessage] = {
-    val dups = ms.groupBy(m => (m.baseTime, m.stepMinutes, m.paramId,
+    val dups = ms.groupBy(m => (m.baseTime, (m.stepMinutes, m.stepStartMinutes), m.paramId,
         m.member, m.derived, m.levelType,
         (java.lang.Double.doubleToLongBits(m.level),
           java.lang.Double.doubleToLongBits(m.levelTo)),
@@ -2343,7 +2382,7 @@ object GribFormat {
       .filter(_._2.lengthCompare(1) > 0)
     if (dups.nonEmpty) {
       val key = dups.keys.minBy(_.toString)
-      val (t, step, p, mem, drv, lt, (lv, _), _) = key
+      val (t, (step, _), p, mem, drv, lt, (lv, _), _) = key
       throw new IllegalArgumentException(
         s"GRIB file carries ${dups.size} duplicated field key(s): e.g. " +
           s"${dups(key).length} fields share (refTime=$t, " +

@@ -458,7 +458,6 @@ object ZarrCodec {
     System.arraycopy(tmp, 0, data, off, n * typesize)
   }
 
-  /** Forward byte-shuffle of one block (inverse of [[unshuffleBlock]]). */
   /** HDF5 H5_checksum_fletcher32 (H5checksum.c, public spec): Fletcher
     * sum over big-endian 16-bit words with 16-bit folding every 360
     * words; an odd trailing byte contributes as the high byte. Returns
@@ -490,6 +489,7 @@ object ZarrCodec {
     ((sum2 << 16) | sum1) & 0xFFFFFFFFL
   }
 
+  /** Forward byte-shuffle of one block (inverse of [[unshuffleBlock]]). */
   private[zarr] def shuffleBlock(data: Array[Byte], off: Int, len: Int,
       typesize: Int): Array[Byte] = {
     val n = len / typesize

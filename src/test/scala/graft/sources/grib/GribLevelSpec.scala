@@ -298,6 +298,50 @@ class GribLevelSpec extends SparkSpec {
     assert(e.getMessage.contains("derived=0"))
   }
 
+  test("precip buckets (two accumulation windows ending at one valid " +
+      "time) stay distinct on step_start — the GFS bucket file shape") {
+    val dir = freshDir("bucket")
+    val ref = LocalDateTime.parse("2024-03-01T00:00")
+    write(s"$dir/b.grb2") { out =>
+      // APCP over [0, 12] h and over [6, 12] h: same valid time (12Z),
+      // same endStep — only the interval START separates them
+      GribFormat.writeMessage2Fields(out, ref, lats, lons,
+        fields = Seq((61, 0, grid(0.0)), (61, 6, grid(500.0))),
+        intervals = Seq(12, 6))
+    }
+    val df = spark.read.format("grib1").load(s"$dir/b.grb2")
+    assert(df.count() == 8)
+    assert(df.select("time").distinct().head()
+      .getAs[LocalDateTime](0) == ref.plusHours(12))
+    assert(df.select("step").distinct().head().getLong(0) == 12 * 60)
+    val starts = df.select("step_start").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(starts == Seq(0L, 6 * 60L))
+    assert(df.filter(col("step_start") === 6 * 60L &&
+        col("latitude") === 0.0 && col("longitude") === 10.0)
+      .head().getAs[Double]("value") == 500.0)
+    // step_start prunes whole messages; point products carry null
+    val plan = df.filter(col("step_start") === 0L).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("messages=1/2"), s"no pruning in:\n$plan")
+    write(s"$dir/p.grb2") { out =>
+      GribFormat.writeMessage2Fields(out, ref, lats, lons,
+        fields = Seq((61, 0, grid(0.0))))
+    }
+    val point = spark.read.format("grib1").load(s"$dir/p.grb2")
+    assert(point.filter(col("step_start").isNull).count() == 4)
+    // a genuinely duplicated window is still refused by name
+    write(s"$dir/dup.grb2") { out =>
+      GribFormat.writeMessage2Fields(out, ref, lats, lons,
+        fields = Seq((61, 0, grid(0.0)), (61, 0, grid(1.0))),
+        intervals = Seq(12, 12))
+    }
+    val e = intercept[Exception] {
+      spark.read.format("grib1").load(s"$dir/dup.grb2").count()
+    }
+    assert(e.getMessage.contains("duplicated field key"))
+  }
+
   test("edition-1 accumulations (TRI 4) and long leads (TRI 10) key like " +
       "edition 2: valid = interval end / ref + 16-bit P1") {
     val dir = freshDir("g1tri")
@@ -344,6 +388,19 @@ class GribLevelSpec extends SparkSpec {
     assert(df.select("time").distinct().head()
       .getAs[LocalDateTime](0) == ref.plusHours(6))
     assert(df.select("step").distinct().head().getLong(0) == 360L)
+    // unit 254 (seconds): a 2-unit lead patched to seconds is sub-minute
+    // and refused by name; 120 s (= 0x78 in P1) resolves to 2 min
+    val bytes2 = bytes.clone()
+    bytes2(25) = 254.toByte
+    write(s"$dir/s_bad.grb")(_.write(bytes2))
+    val e = intercept[Exception] {
+      spark.read.format("grib1").load(s"$dir/s_bad.grb").count()
+    }
+    assert(e.getMessage.contains("sub-minute"))
+    bytes2(26) = 120.toByte // P1 = 120 seconds
+    write(s"$dir/s_ok.grb")(_.write(bytes2))
+    val ds = spark.read.format("grib1").load(s"$dir/s_ok.grb")
+    assert(ds.select("step").distinct().head().getLong(0) == 2L)
   }
 
   test("edition-1 fixtures surface the PDS level and forecast key") {
