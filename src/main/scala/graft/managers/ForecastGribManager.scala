@@ -43,7 +43,13 @@ final class ForecastGribManager(
       * `scan_grib(filter)[scan_indices]` move. Derived products carry
       * no perturbation number, so this applies to the deterministic
       * branch only. */
-    val derivedStat: Option[Int] = None) extends DatasetManager {
+    val derivedStat: Option[Int] = None,
+    /** Accumulation-window selection: Some(startMinutes) keeps only the
+      * window whose step_start matches (the GFS bucket-file move); None
+      * accepts any input in which each step carries at most ONE window —
+      * a multi-bucket step is refused by name, because the store key
+      * (frt, step) cannot carry two windows ending at one valid time. */
+    val stepStart: Option[Long] = None) extends DatasetManager {
   require(derivedStat.isEmpty || !ensemble,
     "derived-ensemble statistics (4.2/4.12) carry no perturbation " +
       "number; derivedStat selection applies to the non-ensemble branch")
@@ -95,7 +101,8 @@ final class ForecastGribManager(
         case Some(code) => scanned.filter(col("member").isNull &&
           col("derived") === code)
       }
-    val shaped = keyed
+    val bucketed = GribIngest.selectWindow(keyed, stepStart)
+    val shaped = bucketed
       .withColumnRenamed("ref_time", "forecast_reference_time")
     Normalize.normalize(shaped, desc, pre = preprocess, post = postprocess)
   }

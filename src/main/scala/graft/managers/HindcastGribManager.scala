@@ -37,7 +37,10 @@ final class HindcastGribManager(
     val paramId: Int = 167,
     /** Regex with ONE capture group extracting the hindcast reference
       * date (ISO yyyy-MM-dd) from the file name. */
-    val hrtPattern: String = "hindcast-([0-9]{4}-[0-9]{2}-[0-9]{2})") extends DatasetManager {
+    val hrtPattern: String = "hindcast-([0-9]{4}-[0-9]{2}-[0-9]{2})",
+    /** Accumulation-window selection — see
+      * [[ForecastGribManager.stepStart]]. */
+    val stepStart: Option[Long] = None) extends DatasetManager {
 
   val desc: DatasetDescriptor = DatasetDescriptor(
     datasetName = "hindcast_t2m",
@@ -94,7 +97,7 @@ final class HindcastGribManager(
           to_timestamp_ntz(lit(hrt), lit("yyyy-MM-dd")))
     }
     val scanned = perFile.reduce(_ unionByName _)
-    val keyed = scanned
+    val keyed = GribIngest.selectWindow(scanned, stepStart)
       .withColumn("forecast_reference_offset",
         datediff(col("hindcast_reference_time"), col("ref_time"))
           .cast("long"))

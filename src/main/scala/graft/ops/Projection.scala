@@ -53,7 +53,14 @@ object Projection {
     * closed forms below are Snyder, "Map Projections — A Working Manual"
     * (USGS PP 1395), eqs. 15-1..15-11 and 21-1..21-15 — public formulas;
     * NWP grids (HRRR et al.) are defined on exactly this 6371229 m sphere. */
-  sealed trait GridMapping { def radius: Double }
+  sealed trait GridMapping {
+    def radius: Double
+    /** Scalar inverse (projected y, x) → (lat, lon) degrees — every
+      * mapping implements it; the trait-level signature lets projected
+      * GRID walks dispatch virtually instead of closing over the
+      * concrete method per cell. */
+    def inverseXY(y: Double, x: Double): (Double, Double)
+  }
 
   /** `lambert_conformal_conic`: two standard parallels `lat1`/`lat2`
     * (degrees), origin (`lat0`, `lon0`). */

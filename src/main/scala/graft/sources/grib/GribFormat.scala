@@ -460,11 +460,15 @@ object GribFormat {
     }
 
     /** The projected-grid cell walk shared by the LCC / polar / Mercator
-      * templates: invert the projection at (x0 + i·dx, y0 + j·dy). */
+      * templates: invert the projection at (x0 + i·dx, y0 + j·dy).
+      * Takes the mapping itself (virtual dispatch) — latLonAt runs per
+      * CELL, so a Function2 here would allocate a closure per call. */
     private def projectedAt(k: Int, origin: (Double, Double), dyM: Double,
-        dxM: Double, inverse: (Double, Double) => (Double, Double)): (Double, Double) = {
+        dxM: Double,
+        mapping: graft.ops.Projection.GridMapping): (Double, Double) = {
       val (y0, x0) = origin
-      val (lat, lon) = inverse(y0 + (k / ni) * dyM, x0 + (k % ni) * dxM)
+      val (lat, lon) =
+        mapping.inverseXY(y0 + (k / ni) * dyM, x0 + (k % ni) * dxM)
       (lat, wrapLon(lon))
     }
 
@@ -472,10 +476,9 @@ object GribFormat {
       * LCC/polar/Mercator grids invert the projection at
       * (x0 + i·dx, y0 + j·dy). */
     def latLonAt(k: Int): (Double, Double) = ps match {
-      case Some(g) => projectedAt(k, g.origin, g.dyM, g.dxM, g.mapping.inverseXY)
+      case Some(g) => projectedAt(k, g.origin, g.dyM, g.dxM, g.mapping)
       case None => merc match {
-        case Some(g) =>
-          projectedAt(k, g.origin, g.dyM, g.dxM, g.mapping.inverseXY)
+        case Some(g) => projectedAt(k, g.origin, g.dyM, g.dxM, g.mapping)
         case None => latLonAtUnprojected(k)
       }
     }
@@ -498,7 +501,7 @@ object GribFormat {
           val (lat, lon) = rg.mapping.inverseXY(lats(k / ni), lons(k % ni))
           (lat, wrapLon(lon))
       }
-      case Some(g) => projectedAt(k, g.origin, g.dyM, g.dxM, g.mapping.inverseXY)
+      case Some(g) => projectedAt(k, g.origin, g.dyM, g.dxM, g.mapping)
     }
 
     private def unscale(x: Double): Double =
@@ -2257,36 +2260,31 @@ object GribFormat {
             "1: initialized analysis, 4: accumulation valid at ref+P2, " +
             "10: 16-bit P1)")
       }
-      val g1StepMin: Long = timeUnit match {
-        case 0 => leadUnits
-        case 1 => leadUnits * 60
-        case 2 => leadUnits * 1440
-        case 10 => leadUnits * 180
-        case 11 => leadUnits * 360
-        case 12 => leadUnits * 720
+      // ONE unit table for every PDS lead (end AND interval start) — a
+      // divergent copy here is how a silent sub-minute truncation sneaks
+      // in
+      def g1UnitMinutes(n: Long): Long = timeUnit match {
+        case 0 => n
+        case 1 => n * 60
+        case 2 => n * 1440
+        case 10 => n * 180
+        case 11 => n * 360
+        case 12 => n * 720
         case 254 => // seconds — the time axis is minute-resolved
-          require(leadUnits % 60 == 0,
-            s"sub-minute forecast lead (${leadUnits} s) unsupported: " +
+          require(n % 60 == 0,
+            s"sub-minute forecast lead (${n} s) unsupported: " +
               "the time axis is minute-resolved")
-          leadUnits / 60
+          n / 60
         case u => throw new IllegalArgumentException(
           s"PDS time unit $u unsupported (0=min, 1=hour, 2=day, " +
             "10/11/12=3/6/12h, 254=s)")
       }
+      val g1StepMin: Long = g1UnitMinutes(leadUnits)
       val refTime = refTime0.plusMinutes(g1StepMin)
       // TRI 4: P1 is the interval START in the same unit
       val g1StepStartMin: Long =
         if (rangeIndicator != 4) Long.MinValue
-        else timeUnit match {
-          case 0 => p1.toLong
-          case 1 => p1.toLong * 60
-          case 2 => p1.toLong * 1440
-          case 10 => p1.toLong * 180
-          case 11 => p1.toLong * 360
-          case 12 => p1.toLong * 720
-          case 254 => p1.toLong / 60
-          case _ => Long.MinValue // unreachable: the unit already matched
-        }
+        else g1UnitMinutes(p1.toLong)
       val decimalScale = sm(pds, 23, 2)
       // GDS
       val gdsLenB = readN(3)

@@ -110,6 +110,16 @@ object GribSpectralTable {
           "spectral schema carries no level_to axis; split the layers " +
           "into separate files")
     }
+    // ... and for INTERVAL fields: no step_start axis, so two
+    // accumulation windows ending at one valid time would blend
+    byFile.find(_._2.exists(_.stepStartMinutes != Long.MinValue))
+      .foreach { case (p, _) =>
+        throw new IllegalArgumentException(
+          s"$p holds interval (accumulation/statistical) spectral " +
+            "fields — the spectral schema carries no step_start axis; " +
+            "read the gridded form or split the windows into separate " +
+            "files")
+      }
     new GribSpectralTable(byFile, conf)
   }
 }

@@ -104,6 +104,41 @@ class ForecastGribManagerSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("precip-bucket files: a multi-window step refuses by name; " +
+      "stepStart selects one bucket") {
+    val root = Files.createTempDirectory("bkt_mgr").toString
+    val mgr = new ForecastGribManager(spark, root)
+    new java.io.File(mgr.inputDir).mkdirs()
+    // one cycle carrying APCP-style accumulations over [0,12] and [6,12]:
+    // same endStep, two windows — the store's (frt, step) key can't hold
+    // both
+    val out = new DataOutputStream(Files.newOutputStream(
+      Paths.get(s"${mgr.inputDir}/bkt_01.grb2")))
+    val refTime = java.time.LocalDateTime.of(2024, 3, 1, 0, 0)
+    try {
+      def vals(extra: Double) = (for (la <- lats; lo <- lons)
+        yield 250.0 + (la - 10.0) * 20 + (lo - 100.0) * 20 + extra).toArray
+      GribFormat.writeMessage2Fields(out, refTime, lats, lons,
+        fields = Seq((167, 0, vals(0)), (167, 6, vals(7))),
+        intervals = Seq(12, 6))
+    } finally out.close()
+    val e = intercept[IllegalArgumentException] { mgr.run() }
+    assert(e.getMessage.contains("accumulation windows") &&
+      e.getMessage.contains("stepStart"))
+    // selecting the [6,12] bucket ingests exactly that window
+    val sel = new ForecastGribManager(spark, root + "_sel",
+      stepStart = Some(6 * 60L))
+    new java.io.File(sel.inputDir).mkdirs()
+    java.nio.file.Files.copy(Paths.get(s"${mgr.inputDir}/bkt_01.grb2"),
+      Paths.get(s"${sel.inputDir}/bkt_01.grb2"))
+    sel.run()
+    val ds = sel.store.dataset()
+    assert(ds.count() == 4)
+    assert(ds.select("step").distinct().head().getLong(0) == 12 * 60L)
+    assert(ds.filter(col("latitude") === 10.0 && col("longitude") === 100.0)
+      .select("t2m").as[Double].head() == 257.0)
+  }
+
   test("derived-ensemble products (4.2): the deterministic manager never " +
       "blends mean and spread; derivedStat selects one hypercube") {
     val root = Files.createTempDirectory("drv_mgr").toString
