@@ -101,8 +101,8 @@ final class ForecastGribManager(
         case Some(code) => scanned.filter(col("member").isNull &&
           col("derived") === code)
       }
-    val bucketed = GribIngest.selectWindow(keyed, stepStart)
-    val shaped = bucketed
+    GribIngest.checkWindows(spark, Seq("" -> Seq(inputDir)), stepStart)
+    val shaped = GribIngest.filterWindow(keyed, stepStart)
       .withColumnRenamed("ref_time", "forecast_reference_time")
     Normalize.normalize(shaped, desc, pre = preprocess, post = postprocess)
   }

@@ -97,7 +97,13 @@ final class HindcastGribManager(
           to_timestamp_ntz(lit(hrt), lit("yyyy-MM-dd")))
     }
     val scanned = perFile.reduce(_ unionByName _)
-    val keyed = GribIngest.selectWindow(scanned, stepStart)
+    // window guard per HINDCAST DATE: the 6-D key separates same-ref
+    // runs of different hindcast dates, so the clash cell is
+    // (hrt, ref_time, step)
+    GribIngest.checkWindows(spark,
+      files.groupBy(_._2).toSeq.map { case (hrt, fs) => hrt -> fs.map(_._1) },
+      stepStart)
+    val keyed = GribIngest.filterWindow(scanned, stepStart)
       .withColumn("forecast_reference_offset",
         datediff(col("hindcast_reference_time"), col("ref_time"))
           .cast("long"))

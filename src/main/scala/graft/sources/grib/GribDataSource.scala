@@ -129,6 +129,26 @@ object GribTable {
       }
     }.sortBy(st => graft.sources.Manifest.naturalKey(st.getPath.toString))
 
+  /** Per-file interval-window keys straight from the memoized message
+    * HEADERS — zero payload decode, for manager-level window checks.
+    * `key` is the full hypercube key MINUS the window start (param incl.
+    * discipline, member, derived, level axes, refTime, endStep);
+    * `start` is stepStart minutes or Long.MinValue for point products. */
+  final case class WindowKey(key: (Int, Int, Int, Int, Long, Long,
+      java.time.LocalDateTime, Long), start: Long)
+  private[graft] def windowKeys(conf: Configuration, paths: Seq[String])
+      : Seq[(String, Seq[WindowKey])] = {
+    val files = listGribFiles(conf, paths)
+    parseParallel(conf, files)
+    files.map(st => st.getPath.toString ->
+      cachedMessages(conf, st).map(m => WindowKey(
+        (m.paramId, m.member, m.derived, m.levelType,
+          java.lang.Double.doubleToLongBits(m.level),
+          java.lang.Double.doubleToLongBits(m.levelTo),
+          baseOf(m), m.stepMinutes),
+        m.stepStartMinutes)).distinct)
+  }
+
   /** Parse the cache MISSES on a bounded pool — header walks are one
     * remote round-trip per file (payloads are skipped, not read), and
     * `resolve` runs twice per read (inferSchema, then getTable), so

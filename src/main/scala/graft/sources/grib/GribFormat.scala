@@ -1724,22 +1724,8 @@ object GribFormat {
             skipN((secLen - 5).toLong)
             require(refTime0 != null && paramId >= 0 && ni > 0 && seenRepr,
               "GRIB2 field reached section 7 without sections 1, 3, 4 and 5")
-            val leadMin: Long = timeUnit match {
-              case 0 => forecast.toLong
-              case 1 => forecast.toLong * 60
-              case 2 => forecast.toLong * 1440
-              case 10 => forecast.toLong * 180
-              case 11 => forecast.toLong * 360
-              case 12 => forecast.toLong * 720
-              case 13 => // seconds — the scan's step axis is minutes
-                require(forecast % 60 == 0,
-                  s"sub-minute forecast lead (${forecast} s) unsupported: " +
-                    "the time axis is minute-resolved")
-                forecast.toLong / 60
-              case u => throw new IllegalArgumentException(
-                s"GRIB2 time unit $u unsupported " +
-                  "(0=min, 1=hour, 2=day, 10/11/12=3/6/12h, 13=s)")
-            }
+            val leadMin: Long = unitMinutes(timeUnit, forecast.toLong,
+              secondsCode = 13, edition = "GRIB2", label = "forecast lead")
             // interval products (4.8/4.11): the VALID time is the END of
             // the overall interval from the PDT, not ref + lead — a 1-h
             // precip accumulation with lead 0 is valid at ref + 1 h (the
@@ -2260,31 +2246,14 @@ object GribFormat {
             "1: initialized analysis, 4: accumulation valid at ref+P2, " +
             "10: 16-bit P1)")
       }
-      // ONE unit table for every PDS lead (end AND interval start) — a
-      // divergent copy here is how a silent sub-minute truncation sneaks
-      // in
-      def g1UnitMinutes(n: Long): Long = timeUnit match {
-        case 0 => n
-        case 1 => n * 60
-        case 2 => n * 1440
-        case 10 => n * 180
-        case 11 => n * 360
-        case 12 => n * 720
-        case 254 => // seconds — the time axis is minute-resolved
-          require(n % 60 == 0,
-            s"sub-minute forecast lead (${n} s) unsupported: " +
-              "the time axis is minute-resolved")
-          n / 60
-        case u => throw new IllegalArgumentException(
-          s"PDS time unit $u unsupported (0=min, 1=hour, 2=day, " +
-            "10/11/12=3/6/12h, 254=s)")
-      }
-      val g1StepMin: Long = g1UnitMinutes(leadUnits)
+      val g1StepMin: Long = unitMinutes(timeUnit, leadUnits,
+        secondsCode = 254, edition = "GRIB1 PDS", label = "forecast lead")
       val refTime = refTime0.plusMinutes(g1StepMin)
       // TRI 4: P1 is the interval START in the same unit
       val g1StepStartMin: Long =
         if (rangeIndicator != 4) Long.MinValue
-        else g1UnitMinutes(p1.toLong)
+        else unitMinutes(timeUnit, p1.toLong, secondsCode = 254,
+          edition = "GRIB1 PDS", label = "interval start (P1)")
       val decimalScale = sm(pds, 23, 2)
       // GDS
       val gdsLenB = readN(3)
@@ -2360,6 +2329,30 @@ object GribFormat {
       } // end edition-1 branch
     }
     dupGuard(out.toSeq)
+  }
+
+
+  /** ONE unit-to-minutes table for BOTH editions' PDS/PDT time units
+    * (identical multipliers; only the seconds code differs — GRIB2
+    * table 4.4 uses 13, GRIB1 table 4 uses 254). `label` names the value
+    * in diagnostics (lead vs interval start) so a refusal points at the
+    * right octet. Sub-minute values refuse rather than truncate. */
+  private[grib] def unitMinutes(unit: Int, n: Long, secondsCode: Int,
+      edition: String, label: String): Long = unit match {
+    case 0 => n
+    case 1 => n * 60
+    case 2 => n * 1440
+    case 10 => n * 180
+    case 11 => n * 360
+    case 12 => n * 720
+    case u if u == secondsCode => // the time axis is minute-resolved
+      require(n % 60 == 0,
+        s"sub-minute $label (${n} s) unsupported: the time axis is " +
+          "minute-resolved")
+      n / 60
+    case u => throw new IllegalArgumentException(
+      s"$edition time unit $u unsupported " +
+        s"(0=min, 1=hour, 2=day, 10/11/12=3/6/12h, $secondsCode=s)")
   }
 
   /** Refuse a file whose fields collide on the FULL hypercube key

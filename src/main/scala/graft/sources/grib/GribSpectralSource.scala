@@ -110,16 +110,24 @@ object GribSpectralTable {
           "spectral schema carries no level_to axis; split the layers " +
           "into separate files")
     }
-    // ... and for INTERVAL fields: no step_start axis, so two
-    // accumulation windows ending at one valid time would blend
-    byFile.find(_._2.exists(_.stepStartMinutes != Long.MinValue))
-      .foreach { case (p, _) =>
+    // a SINGLE accumulation window per key is unambiguous; but the
+    // spectral schema has no step_start axis, so two windows sharing the
+    // full spectral key (ending at one valid time) would silently blend
+    // — refuse exactly that, across the whole union
+    locally {
+      val multi = byFile.flatMap(_._2)
+        .groupBy(m => (m.baseTime, m.stepMinutes, m.paramId, m.member,
+          m.levelType, java.lang.Double.doubleToLongBits(m.level)))
+        .find(_._2.map(_.stepStartMinutes).distinct.lengthCompare(1) > 0)
+      multi.foreach { case ((t, step, pid, _, _, _), ms) =>
         throw new IllegalArgumentException(
-          s"$p holds interval (accumulation/statistical) spectral " +
-            "fields — the spectral schema carries no step_start axis; " +
-            "read the gridded form or split the windows into separate " +
-            "files")
+          s"spectral fields carry ${ms.map(_.stepStartMinutes).distinct.length} " +
+            s"accumulation windows on one key (refTime=$t, step=${step}min, " +
+            s"param=$pid) — the spectral schema has no step_start axis to " +
+            "separate them; read the gridded form (its step_start column " +
+            "keys the windows)")
       }
+    }
     new GribSpectralTable(byFile, conf)
   }
 }
