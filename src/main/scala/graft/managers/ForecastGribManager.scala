@@ -49,7 +49,12 @@ final class ForecastGribManager(
       * accepts any input in which each step carries at most ONE window —
       * a multi-bucket step is refused by name, because the store key
       * (frt, step) cannot carry two windows ending at one valid time. */
-    val stepStart: Option[Long] = None) extends DatasetManager {
+    val stepStart: Option[Long] = None,
+    /** Vertical-level selection (type from code table 4.5, value):
+      * required when the input carries one parameter at several levels —
+      * the category's store key has no level dim, so a multi-level input
+      * without a selection refuses by name. */
+    val level: Option[(Int, Double)] = None) extends DatasetManager {
   require(derivedStat.isEmpty || !ensemble,
     "derived-ensemble statistics (4.2/4.12) carry no perturbation " +
       "number; derivedStat selection applies to the non-ensemble branch")
@@ -101,8 +106,10 @@ final class ForecastGribManager(
         case Some(code) => scanned.filter(col("member").isNull &&
           col("derived") === code)
       }
-    GribIngest.checkWindows(spark, Seq("" -> Seq(inputDir)), stepStart)
-    val shaped = GribIngest.filterWindow(keyed, stepStart)
+    GribIngest.checkWindows(spark, Seq("" -> Seq(inputDir)),
+      GribIngest.CubeSelection(paramId, ensembleDim = ensemble,
+        derivedStat = derivedStat, stepStart = stepStart, level = level))
+    val shaped = GribIngest.filterCube(keyed, stepStart, level)
       .withColumnRenamed("ref_time", "forecast_reference_time")
     Normalize.normalize(shaped, desc, pre = preprocess, post = postprocess)
   }

@@ -3,69 +3,105 @@ package graft.managers
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Shared GRIB-ingest hypercube guards for the category managers. */
+import graft.sources.grib.GribTable.WindowKey
+
+/** Shared GRIB-ingest hypercube guard for the category managers.
+  *
+  * The store key projects away every axis the category does not model
+  * (step_start, the level axes, the derived statistic), so an input in
+  * which one store cell carries MORE THAN ONE surviving hypercube — two
+  * accumulation windows ending at one valid time (the GFS precip-bucket
+  * file shape), or one parameter at two vertical levels — would land
+  * silently colliding rows. This guard runs on the memoized message
+  * HEADERS (zero payload decode, no extra Spark job), AFTER the exact
+  * same hypercube selection the manager's scan filter applies, and
+  * refuses a multi-cube store cell by name, pointing at the selection
+  * knob for each varying axis. */
 private[managers] object GribIngest {
 
-  /** Accumulation-window (step_start) guard: the store key projects
-    * step_start away, so a (group, ref_time, step) cell carrying TWO
-    * windows ending at one valid time (the GFS precip-bucket file shape)
-    * would land silently colliding rows.
-    *
-    * Runs on the memoized message HEADERS (zero payload decode, no extra
-    * Spark job): `pathGroups` maps each store-key group — "" for the
-    * forecast/ensemble managers, the hindcast date for the hindcast
-    * manager, whose 6-D key separates same-ref runs of different
-    * hindcast dates — to the files feeding it.
-    *
-    *  - `stepStart = None`: every (group, refTime, endStep) cell must
-    *    carry at most ONE window; a multi-bucket cell refuses by name.
-    *  - `stepStart = Some(startMinutes)`: the caller will filter
-    *    `step_start === startMinutes` (pushed down, message-pruned);
-    *    this guard only verifies the selection matches at least one
-    *    message — a wrong-unit selection refuses by name instead of
-    *    writing an empty store. */
-  def checkWindows(spark: SparkSession,
-      pathGroups: Seq[(String, Seq[String])],
-      stepStart: Option[Long]): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val keys: Seq[(String, graft.sources.grib.GribTable.WindowKey)] =
-      pathGroups.flatMap { case (group, paths) =>
-        graft.sources.grib.GribTable.windowKeys(conf, paths)
-          .flatMap(_._2.map(group -> _))
-      }
-    stepStart match {
-      case Some(ss) =>
-        require(keys.exists(_._2.start == ss), {
-          val named = keys.map(_._2.start).distinct.sorted.map(v =>
-            if (v == Long.MinValue) "point" else s"${v}min")
-          s"no message carries an accumulation window starting at " +
-            s"${ss}min — available step_start values: " +
-            s"${named.mkString(", ")} (the column is MINUTES)"
-        })
-      case None =>
-        val clash = keys.distinct
-          .groupBy { case (g, wk) => (g, wk.key) }
-          .filter(_._2.lengthCompare(1) > 0)
-        require(clash.isEmpty, {
-          val k = clash.keys.minBy(_.toString)
-          val (g, key) = k
-          val rows = clash(k)
-          val starts = rows.map { case (_, wk) =>
-            if (wk.start == Long.MinValue) "point" else s"${wk.start}min"
-          }.sorted
-          val where = if (g.isEmpty) "" else s"group $g, "
-          s"(${where}param=${key._1}, ref_time=${key._7}, " +
-            s"step=${key._8}min) carries ${rows.length} accumulation " +
-            s"windows (step_start: ${starts.mkString(", ")}) — the store " +
-            "key cannot hold two windows ending at one valid time; pass " +
-            "stepStart = Some(startMinutes) to select one bucket"
-        })
+  /** One manager's header-level selection, mirroring its DataFrame
+    * filters. `ensembleDim` marks member as a STORE dimension (the
+    * ensemble/hindcast categories) rather than a filtered-out axis. */
+  final case class CubeSelection(
+      paramId: Int,
+      ensembleDim: Boolean,
+      derivedStat: Option[Int],
+      stepStart: Option[Long],
+      level: Option[(Int, Double)]) {
+    def keep(wk: WindowKey): Boolean = {
+      val (param, member, derived, levelType, levelBits, _, _, _) = wk.key
+      param == paramId &&
+        (if (ensembleDim) member >= 0
+         else member < 0 && derived == derivedStat.getOrElse(-1)) &&
+        stepStart.forall(_ == wk.start) &&
+        level.forall { case (t, v) => levelType == t &&
+          levelBits == java.lang.Double.doubleToLongBits(v) }
     }
   }
 
-  /** The DataFrame side of a `stepStart` selection: pushed down to the
-    * scan, so off-bucket messages prune at planning. */
-  def filterWindow(df: org.apache.spark.sql.DataFrame,
-      stepStart: Option[Long]): org.apache.spark.sql.DataFrame =
-    stepStart.fold(df)(ss => df.filter(col("step_start") === ss))
+  def checkWindows(spark: SparkSession,
+      pathGroups: Seq[(String, Seq[String])],
+      sel: CubeSelection): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val group: Map[String, String] = pathGroups
+      .flatMap { case (g, ps) => ps.map(_ -> g) }.toMap
+    // ONE listing/parse pass over every path; regroup afterwards
+    val all: Seq[(String, WindowKey)] =
+      graft.sources.grib.GribTable
+        .windowKeys(conf, pathGroups.flatMap(_._2).distinct)
+        .flatMap { case (p, wks) => wks.map(group.getOrElse(p, "") -> _) }
+    val kept = all.filter { case (_, wk) => sel.keep(wk) }.distinct
+    // an explicit selection that matches nothing writes an empty store —
+    // refuse by name instead, listing what IS there
+    if (sel.stepStart.isDefined || sel.level.isDefined) {
+      pathGroups.foreach { case (g, _) =>
+        require(kept.exists(_._1 == g), {
+          val starts = all.filter(k => k._1 == g && k._2.key._1 == sel.paramId)
+            .map(_._2.start).distinct.sorted.map(v =>
+              if (v == Long.MinValue) "point" else s"${v}min")
+          val levels = all.filter(k => k._1 == g && k._2.key._1 == sel.paramId)
+            .map(k => (k._2.key._4, java.lang.Double.longBitsToDouble(k._2.key._5)))
+            .distinct.sorted
+          val where = if (g.isEmpty) "the input" else s"group $g"
+          s"the stepStart/level selection matches no message in $where — " +
+            s"available step_start values: ${starts.mkString(", ")} (the " +
+            s"column is MINUTES); available (level_type, level): " +
+            s"${levels.mkString(", ")}"
+        })
+      }
+    }
+    // store cell = (group, ref, end [, member]); everything else must be
+    // single-valued or rows collide after the store projects it away
+    val clash = kept
+      .groupBy { case (g, wk) =>
+        val (_, member, _, _, _, _, ref, end) = wk.key
+        (g, ref, end, if (sel.ensembleDim) member else -1)
+      }
+      .find(_._2.lengthCompare(1) > 0)
+    clash.foreach { case ((g, ref, end, _), rows) =>
+      val starts = rows.map { case (_, wk) =>
+        if (wk.start == Long.MinValue) "point" else s"${wk.start}min"
+      }.distinct.sorted
+      val levels = rows.map { case (_, wk) =>
+        (wk.key._4, java.lang.Double.longBitsToDouble(wk.key._5))
+      }.distinct.sorted
+      val where = if (g.isEmpty) "" else s"group $g, "
+      throw new IllegalArgumentException(
+        s"(${where}ref_time=$ref, step=${end}min) carries ${rows.length} " +
+          s"hypercubes the store key cannot separate — windows " +
+          s"[${starts.mkString(", ")}] (point = instantaneous), levels " +
+          s"[${levels.mkString(", ")}]; select one with " +
+          "stepStart = Some(startMinutes) and/or level = Some((type, value))")
+    }
+  }
+
+  /** The DataFrame side of the selection (pushed down, message-pruned). */
+  def filterCube(df: org.apache.spark.sql.DataFrame,
+      stepStart: Option[Long],
+      level: Option[(Int, Double)]): org.apache.spark.sql.DataFrame = {
+    val a = stepStart.fold(df)(ss => df.filter(col("step_start") === ss))
+    level.fold(a) { case (t, v) =>
+      a.filter(col("level_type") === t && col("level") === v)
+    }
+  }
 }

@@ -40,7 +40,9 @@ final class HindcastGribManager(
     val hrtPattern: String = "hindcast-([0-9]{4}-[0-9]{2}-[0-9]{2})",
     /** Accumulation-window selection — see
       * [[ForecastGribManager.stepStart]]. */
-    val stepStart: Option[Long] = None) extends DatasetManager {
+    val stepStart: Option[Long] = None,
+    /** Vertical-level selection — see [[ForecastGribManager.level]]. */
+    val level: Option[(Int, Double)] = None) extends DatasetManager {
 
   val desc: DatasetDescriptor = DatasetDescriptor(
     datasetName = "hindcast_t2m",
@@ -97,13 +99,14 @@ final class HindcastGribManager(
           to_timestamp_ntz(lit(hrt), lit("yyyy-MM-dd")))
     }
     val scanned = perFile.reduce(_ unionByName _)
-    // window guard per HINDCAST DATE: the 6-D key separates same-ref
+    // hypercube guard per HINDCAST DATE: the 6-D key separates same-ref
     // runs of different hindcast dates, so the clash cell is
-    // (hrt, ref_time, step)
+    // (hrt, ref_time, step, ensemble)
     GribIngest.checkWindows(spark,
       files.groupBy(_._2).toSeq.map { case (hrt, fs) => hrt -> fs.map(_._1) },
-      stepStart)
-    val keyed = GribIngest.filterWindow(scanned, stepStart)
+      GribIngest.CubeSelection(paramId, ensembleDim = true,
+        derivedStat = None, stepStart = stepStart, level = level))
+    val keyed = GribIngest.filterCube(scanned, stepStart, level)
       .withColumn("forecast_reference_offset",
         datediff(col("hindcast_reference_time"), col("ref_time"))
           .cast("long"))

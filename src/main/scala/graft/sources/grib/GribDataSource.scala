@@ -113,21 +113,31 @@ object GribTable {
     graft.sources.Manifest.isGrib(name)
 
   /** Natural-sorted GRIB files under the given paths (dirs expand; a
-    * missing dir — a streaming landing dir not yet created — is empty). */
+    * missing dir — a streaming landing dir not yet created — is empty).
+    * Path statuses resolve on a bounded pool: a manager passing one
+    * explicit path per archive FILE must not pay O(files) SERIAL remote
+    * round trips at planning. */
   private[grib] def listGribFiles(conf: Configuration,
-      paths: Seq[String]): Seq[org.apache.hadoop.fs.FileStatus] =
-    paths.flatMap { p0 =>
-      val p = new HPath(p0)
-      val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) Seq.empty
-      else {
-        val st = fs.getFileStatus(p)
-        if (st.isDirectory)
-          fs.listStatus(p).toSeq.filter(_.isFile)
-            .filter(f => isGrib(f.getPath.getName))
-        else Seq(st)
-      }
-    }.sortBy(st => graft.sources.Manifest.naturalKey(st.getPath.toString))
+      paths: Seq[String]): Seq[org.apache.hadoop.fs.FileStatus] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.traverse(paths) { p0 =>
+      Future(scala.concurrent.blocking {
+        val p = new HPath(p0)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) Seq.empty[org.apache.hadoop.fs.FileStatus]
+        else {
+          val st = fs.getFileStatus(p)
+          if (st.isDirectory)
+            fs.listStatus(p).toSeq.filter(_.isFile)
+              .filter(f => isGrib(f.getPath.getName))
+          else Seq(st)
+        }
+      })
+    }, Duration.Inf).flatten
+      .sortBy(st => graft.sources.Manifest.naturalKey(st.getPath.toString))
+  }
 
   /** Per-file interval-window keys straight from the memoized message
     * HEADERS — zero payload decode, for manager-level window checks.

@@ -120,12 +120,14 @@ object GribSpectralTable {
           m.levelType, java.lang.Double.doubleToLongBits(m.level)))
         .find(_._2.map(_.stepStartMinutes).distinct.lengthCompare(1) > 0)
       multi.foreach { case ((t, step, pid, _, _, _), ms) =>
+        val named = ms.map(_.stepStartMinutes).distinct.sorted.map(v =>
+          if (v == Long.MinValue) "point" else s"start ${v}min")
         throw new IllegalArgumentException(
-          s"spectral fields carry ${ms.map(_.stepStartMinutes).distinct.length} " +
-            s"accumulation windows on one key (refTime=$t, step=${step}min, " +
-            s"param=$pid) — the spectral schema has no step_start axis to " +
-            "separate them; read the gridded form (its step_start column " +
-            "keys the windows)")
+          s"spectral fields carry ${named.length} time-processing " +
+            s"variants on one key (refTime=$t, step=${step}min, " +
+            s"param=$pid): ${named.mkString(", ")} — the spectral schema " +
+            "has no step_start axis to separate them; read the gridded " +
+            "form (its step_start column keys the windows)")
       }
     }
     new GribSpectralTable(byFile, conf)

@@ -123,7 +123,7 @@ class ForecastGribManagerSpec extends SparkSpec {
         intervals = Seq(12, 6))
     } finally out.close()
     val e = intercept[IllegalArgumentException] { mgr.run() }
-    assert(e.getMessage.contains("accumulation windows") &&
+    assert(e.getMessage.contains("windows [0min, 360min]") &&
       e.getMessage.contains("stepStart"))
     // selecting the [6,12] bucket ingests exactly that window
     val sel = new ForecastGribManager(spark, root + "_sel",
@@ -137,6 +137,52 @@ class ForecastGribManagerSpec extends SparkSpec {
     assert(ds.select("step").distinct().head().getLong(0) == 12 * 60L)
     assert(ds.filter(col("latitude") === 10.0 && col("longitude") === 100.0)
       .select("t2m").as[Double].head() == 257.0)
+  }
+
+  test("multi-level inputs: the level-less store key refuses the mix by " +
+      "name; level selects one; off-param buckets never block the ingest") {
+    val root = Files.createTempDirectory("lvl_mgr").toString
+    val mgr = new ForecastGribManager(spark, root)
+    new java.io.File(mgr.inputDir).mkdirs()
+    val out = new DataOutputStream(Files.newOutputStream(
+      Paths.get(s"${mgr.inputDir}/lvl_01.grb2")))
+    val refTime = java.time.LocalDateTime.of(2024, 3, 1, 0, 0)
+    try {
+      def vals(extra: Double) = (for (la <- lats; lo <- lons)
+        yield 250.0 + (la - 10.0) * 20 + (lo - 100.0) * 20 + extra).toArray
+      // t2m at 2 m (103) and at the surface (1): two levels, one param —
+      // plus an OFF-param precip-bucket pair that must not block t2m
+      GribFormat.writeMessage2Fields(out, refTime, lats, lons,
+        fields = Seq((167, 0, vals(0)), (167, 0, vals(9))),
+        levels = Seq((103, 2L), (1, 0L)))
+      GribFormat.writeMessage2Fields(out, refTime, lats, lons,
+        fields = Seq((61, 0, vals(0)), (61, 6, vals(0))),
+        intervals = Seq(12, 6))
+    } finally out.close()
+    val e = intercept[IllegalArgumentException] { mgr.run() }
+    assert(e.getMessage.contains("hypercubes") &&
+      e.getMessage.contains("level"), e.getMessage)
+    // selecting the 2 m level ingests exactly that hypercube — the
+    // off-param buckets stay invisible throughout
+    val sel = new ForecastGribManager(spark, root + "_sel",
+      level = Some((103, 2.0)))
+    new java.io.File(sel.inputDir).mkdirs()
+    java.nio.file.Files.copy(Paths.get(s"${mgr.inputDir}/lvl_01.grb2"),
+      Paths.get(s"${sel.inputDir}/lvl_01.grb2"))
+    sel.run()
+    val ds = sel.store.dataset()
+    assert(ds.count() == 4)
+    assert(ds.filter(col("latitude") === 10.0 && col("longitude") === 100.0)
+      .select("t2m").as[Double].head() == 250.0)
+    // a level selection matching nothing refuses by name, never an
+    // empty store
+    val bad = new ForecastGribManager(spark, root + "_bad",
+      level = Some((100, 85000.0)))
+    new java.io.File(bad.inputDir).mkdirs()
+    java.nio.file.Files.copy(Paths.get(s"${mgr.inputDir}/lvl_01.grb2"),
+      Paths.get(s"${bad.inputDir}/lvl_01.grb2"))
+    val e2 = intercept[IllegalArgumentException] { bad.run() }
+    assert(e2.getMessage.contains("matches no message"), e2.getMessage)
   }
 
   test("derived-ensemble products (4.2): the deterministic manager never " +
