@@ -126,13 +126,16 @@ object GribTable {
       Future(scala.concurrent.blocking {
         val p = new HPath(p0)
         val fs = p.getFileSystem(conf)
-        if (!fs.exists(p)) Seq.empty[org.apache.hadoop.fs.FileStatus]
-        else {
+        // one RPC, not exists + getFileStatus
+        try {
           val st = fs.getFileStatus(p)
           if (st.isDirectory)
             fs.listStatus(p).toSeq.filter(_.isFile)
               .filter(f => isGrib(f.getPath.getName))
           else Seq(st)
+        } catch {
+          case _: java.io.FileNotFoundException =>
+            Seq.empty[org.apache.hadoop.fs.FileStatus]
         }
       })
     }, Duration.Inf).flatten

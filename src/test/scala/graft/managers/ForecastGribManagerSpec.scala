@@ -139,6 +139,50 @@ class ForecastGribManagerSpec extends SparkSpec {
       .select("t2m").as[Double].head() == 257.0)
   }
 
+  test("point+interval mixes select via PointProducts; a cube delivered " +
+      "twice refuses as a duplicate") {
+    val root = Files.createTempDirectory("pt_mgr").toString
+    val mgr = new ForecastGribManager(spark, root)
+    new java.io.File(mgr.inputDir).mkdirs()
+    val refTime = java.time.LocalDateTime.of(2024, 3, 1, 0, 0)
+    def vals(extra: Double) = (for (la <- lats; lo <- lons)
+      yield 250.0 + (la - 10.0) * 20 + (lo - 100.0) * 20 + extra).toArray
+    // an instantaneous field and a 12-h accumulation both valid at 12Z
+    val out = new DataOutputStream(Files.newOutputStream(
+      Paths.get(s"${mgr.inputDir}/mix_01.grb2")))
+    try {
+      GribFormat.writeMessage2Fields(out, refTime, lats, lons,
+        fields = Seq((167, 12, vals(0))))
+      GribFormat.writeMessage2Fields(out, refTime, lats, lons,
+        fields = Seq((167, 0, vals(5))), intervals = Seq(12))
+    } finally out.close()
+    val e = intercept[IllegalArgumentException] { mgr.run() }
+    assert(e.getMessage.contains("point"), e.getMessage)
+    // PointProducts selects the instantaneous variant
+    val pt = new ForecastGribManager(spark, root + "_pt",
+      stepStart = Some(GribIngest.PointProducts))
+    new java.io.File(pt.inputDir).mkdirs()
+    java.nio.file.Files.copy(Paths.get(s"${mgr.inputDir}/mix_01.grb2"),
+      Paths.get(s"${pt.inputDir}/mix_01.grb2"))
+    pt.run()
+    assert(pt.store.dataset().count() == 4)
+    assert(pt.store.dataset()
+      .filter(col("latitude") === 10.0 && col("longitude") === 100.0)
+      .select("t2m").as[Double].head() == 250.0)
+    // the SAME cube in two files is a collision, refused by name
+    val dup = new ForecastGribManager(spark, root + "_dup")
+    new java.io.File(dup.inputDir).mkdirs()
+    val o2 = new DataOutputStream(Files.newOutputStream(
+      Paths.get(s"${dup.inputDir}/a.grb2")))
+    try GribFormat.writeMessage2Fields(o2, refTime, lats, lons,
+      fields = Seq((167, 0, vals(0))))
+    finally o2.close()
+    java.nio.file.Files.copy(Paths.get(s"${dup.inputDir}/a.grb2"),
+      Paths.get(s"${dup.inputDir}/b.grb2"))
+    val e2 = intercept[IllegalArgumentException] { dup.run() }
+    assert(e2.getMessage.contains("deduplicate the input"), e2.getMessage)
+  }
+
   test("multi-level inputs: the level-less store key refuses the mix by " +
       "name; level selects one; off-param buckets never block the ingest") {
     val root = Files.createTempDirectory("lvl_mgr").toString
