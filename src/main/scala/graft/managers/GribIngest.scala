@@ -28,13 +28,20 @@ private[managers] object GribIngest {
 
   /** One manager's header-level selection, mirroring its DataFrame
     * filters. `ensembleDim` marks member as a STORE dimension (the
-    * ensemble/hindcast categories) rather than a filtered-out axis. */
+    * ensemble/hindcast categories) rather than a filtered-out axis.
+    * `refDayGranular` marks stores whose reference axis is DAY-granular
+    * (the hindcast category's forecast_reference_offset is a datediff in
+    * whole days): the guard cell must collapse ref_time the same way, or
+    * two runs of one hindcast date initialized at different hours (00Z /
+    * 12Z) form distinct guard cells yet land on ONE store key —
+    * bypassing exactly the refusal this guard exists for. */
   final case class CubeSelection(
       paramId: Int,
       ensembleDim: Boolean,
       derivedStat: Option[Int],
       stepStart: Option[Long],
-      level: Option[(Int, Double)]) {
+      level: Option[(Int, Double)],
+      refDayGranular: Boolean = false) {
     /** The param/member/derived part — the manager's category identity. */
     def keepCategory(wk: WindowKey): Boolean = {
       val (param, member, derived, _, _, _, _, _) = wk.key
@@ -114,7 +121,9 @@ private[managers] object GribIngest {
     // single-valued or rows collide after the store projects it away
     val cells = kept.groupBy { case (g, wk) =>
       val (_, member, _, _, _, _, ref, end) = wk.key
-      (g, ref, end, if (sel.ensembleDim) member else -1)
+      val refCell = if (sel.refDayGranular) ref.toLocalDate.atStartOfDay
+                    else ref
+      (g, refCell, end, if (sel.ensembleDim) member else -1)
     }.filter(_._2.lengthCompare(1) > 0)
     if (cells.nonEmpty) {
       val cellKey = cells.keys.minBy(_.toString) // deterministic report
@@ -122,9 +131,15 @@ private[managers] object GribIngest {
       val rows = cells(cellKey).map(_._2)
       val starts = rows.map(_.start).distinct.sorted.map(fmtStart)
       val where = if (g.isEmpty) "" else s"group $g, "
+      val refs = rows.map(_.key._7).distinct.sortBy(_.toString)
       val dupNote =
         if (rows.distinct.lengthCompare(1) == 0)
           " (ONE cube delivered by several files — deduplicate the input)"
+        else if (refs.lengthCompare(1) > 0)
+          s" (reference times [${refs.mkString(", ")}] collapse to one " +
+            "day-granular store offset — this store keys runs by whole " +
+            "days; deliver one initialization per day or widen the " +
+            "offset axis)"
         else ""
       throw new IllegalArgumentException(
         s"(${where}ref_time=$ref, step=${end}min) carries ${rows.length} " +

@@ -101,11 +101,14 @@ final class HindcastGribManager(
     val scanned = perFile.reduce(_ unionByName _)
     // hypercube guard per HINDCAST DATE: the 6-D key separates same-ref
     // runs of different hindcast dates, so the clash cell is
-    // (hrt, ref_time, step, ensemble)
+    // (hrt, DAY(ref_time), step, ensemble) — day-granular on ref because
+    // the store's forecast_reference_offset is a whole-day datediff: two
+    // runs of one hindcast date initialized 00Z/12Z land on ONE store key
     GribIngest.checkWindows(spark,
       files.groupBy(_._2).toSeq.map { case (hrt, fs) => hrt -> fs.map(_._1) },
       GribIngest.CubeSelection(paramId, ensembleDim = true,
-        derivedStat = None, stepStart = stepStart, level = level))
+        derivedStat = None, stepStart = stepStart, level = level,
+        refDayGranular = true))
     val keyed = GribIngest.filterCube(scanned, stepStart, level)
       .withColumn("forecast_reference_offset",
         datediff(col("hindcast_reference_time"), col("ref_time"))

@@ -2213,12 +2213,14 @@ object GribFormat {
       val G1LayerTypes = Set(101, 104, 106, 108, 110, 112, 114, 116, 120,
         121, 128, 141)
       val g1IsLayer = G1LayerTypes.contains(g1LevelType)
-      val g1Level =
+      val g1LevelRaw =
         if (g1LevelType == 255) Double.NaN
         else if (g1IsLayer) (pds(7) & 0xFF).toDouble
         else u16(pds, 7).toDouble
-      val g1LevelTo =
+      val g1LevelToRaw =
         if (g1IsLayer) (pds(8) & 0xFF).toDouble else Double.NaN
+      val (g1NormType, g1Level, g1LevelTo) =
+        g1Grib2Level(g1LevelType, g1LevelRaw, g1LevelToRaw)
       val century = pds(21) & 0xFF
       val year = (century - 1) * 100 + (pds(9) & 0xFF)
       val refTime0 = java.time.LocalDateTime.of(year, pds(10) & 0xFF,
@@ -2323,7 +2325,7 @@ object GribFormat {
       out += GribMessage(paramId, refTime, ni, nj, la1, lo1, la2, lo2,
         decimalScale, binaryScale, refValue, bits, dataOffset, dataBytes, total,
         bitmapOffset, bitmapBytes, gaussN = g1GaussN, rowLengths = g1Rows,
-        levelType = g1LevelType, level = g1Level, levelTo = g1LevelTo,
+        levelType = g1NormType, level = g1Level, levelTo = g1LevelTo,
         baseTime = refTime0, stepMinutes = g1StepMin,
         stepStartMinutes = g1StepStartMin)
       } // end edition-1 branch
@@ -2331,6 +2333,50 @@ object GribFormat {
     dupGuard(out.toSeq)
   }
 
+
+  /** GRIB1 table-3 level → GRIB2 table-4.5 convention, ecCodes-style,
+    * so the (level_type, level, level_to) axis is CROSS-EDITION uniform:
+    * without this a level filter or a store mixing editions silently
+    * matches nothing (850 hPa vs 85000 Pa) or mis-keys on diverging
+    * numeric codes (GRIB1 105 "height above ground" vs GRIB2 103).
+    * Point types whose code AND unit already agree pass through (1-9,
+    * 160, the 200+ local-use block); the unit-divergent rows convert to
+    * the GRIB2 SI convention (isobaric hPa→Pa, depths cm→m, altitude
+    * layers hm→m, scaled sigma/eta fractions) and layer codes collapse
+    * onto their GRIB2 point-type code with the bounds in (level,
+    * level_to) — the same shape edition-2 layers (two fixed surfaces)
+    * scan to above. High-precision layer encodings (121/128/141) decode
+    * their offset-coded octets before converting. */
+  private[grib] def g1Grib2Level(t: Int, v: Double, vTo: Double)
+      : (Int, Double, Double) = t match {
+    case 255 => (255, Double.NaN, Double.NaN)
+    case 20  => (20, v / 100.0, Double.NaN)             // isothermal 1/100 K → K
+    case 100 => (100, v * 100.0, Double.NaN)            // isobaric hPa → Pa
+    case 101 => (100, v * 1000.0, vTo * 1000.0)         // layer, kPa → Pa
+    case 102 => (101, v, Double.NaN)                    // mean sea level
+    case 103 => (102, v, Double.NaN)                    // altitude above MSL, m
+    case 104 => (102, v * 100.0, vTo * 100.0)           // layer, hm → m
+    case 105 => (103, v, Double.NaN)                    // height above ground, m
+    case 106 => (103, v * 100.0, vTo * 100.0)           // layer, hm → m
+    case 107 => (104, v / 10000.0, Double.NaN)          // sigma /10000
+    case 108 => (104, v / 100.0, vTo / 100.0)           // layer sigma /100
+    case 109 => (105, v, Double.NaN)                    // hybrid level number
+    case 110 => (105, v, vTo)                           // layer hybrid
+    case 111 => (106, v / 100.0, Double.NaN)            // depth below land cm → m
+    case 112 => (106, v / 100.0, vTo / 100.0)           // layer depths cm → m
+    case 113 => (107, v, Double.NaN)                    // isentropic K
+    case 114 => (107, 475.0 - v, 475.0 - vTo)           // layer, 475 K − value
+    case 115 => (108, v * 100.0, Double.NaN)            // press diff hPa → Pa
+    case 116 => (108, v * 100.0, vTo * 100.0)           // layer press diff
+    case 117 => (109, v * 1e-9, Double.NaN)             // PV 10⁻⁹ K m²/(kg s)
+    case 119 => (111, v / 10000.0, Double.NaN)          // eta /10000
+    case 120 => (111, v / 100.0, vTo / 100.0)           // layer eta /100
+    case 121 => (100, (1100.0 - v) * 100.0, (1100.0 - vTo) * 100.0) // 1100−hPa
+    case 125 => (103, v / 100.0, Double.NaN)            // height cm → m
+    case 128 => (104, 1.1 - v / 1000.0, 1.1 - vTo / 1000.0) // 1.1 − v/1000
+    case 141 => (100, v * 1000.0, (1100.0 - vTo) * 100.0) // top kPa, bot 1100−hPa
+    case other => (other, v, vTo)                       // code+unit shared
+  }
 
   /** ONE unit-to-minutes table for BOTH editions' PDS/PDT time units
     * (identical multipliers; only the seconds code differs — GRIB2

@@ -23,9 +23,10 @@ class HindcastGribManagerSpec extends SparkSpec {
   /** One reforecast run file: ensemble members 1/2, leads 6/12 h of param
     * 167, initialized `initDay` March 2024. value = base + lead +
     * 20(lat−10) + 20(lon−100) + 10·member — integer Kelvin, exact. */
-  private def writeRun(path: String, initDay: Int, base: Double): Unit = {
+  private def writeRun(path: String, initDay: Int, base: Double,
+      initHour: Int = 0): Unit = {
     val out = new DataOutputStream(Files.newOutputStream(Paths.get(path)))
-    val refTime = java.time.LocalDateTime.of(2024, 3, initDay, 0, 0)
+    val refTime = java.time.LocalDateTime.of(2024, 3, initDay, initHour, 0)
     try for (lead <- Seq(6, 12)) {
       def vals(extra: Double) = (for (la <- lats; lo <- lons)
         yield base + lead + (la - 10.0) * 20 + (lo - 100.0) * 20 + extra).toArray
@@ -73,6 +74,30 @@ class HindcastGribManagerSpec extends SparkSpec {
     assert(ds2.count() == 48)
     assert(ds2.select("hindcast_reference_time").distinct().count() == 2)
     assert(!mgr.checkIfNewData())
+  }
+
+  test("two runs of one hindcast date initialized at different HOURS of " +
+      "one day refuse by name: the day-granular offset collapses them " +
+      "onto one store key") {
+    val root = Files.createTempDirectory("hind_hours").toString
+    val mgr = new HindcastGribManager(spark, root)
+    new java.io.File(mgr.inputDir).mkdirs()
+    // offset = datediff(hrt, ref) is 2 DAYS for both 00Z and 12Z of Mar 8
+    writeRun(s"${mgr.inputDir}/hindcast-2024-03-10_init-08-00z.grb2", 8,
+      250.0, initHour = 0)
+    writeRun(s"${mgr.inputDir}/hindcast-2024-03-10_init-08-12z.grb2", 8,
+      255.0, initHour = 12)
+    val e = intercept[IllegalArgumentException] { mgr.run() }
+    assert(e.getMessage.contains("day-granular"),
+      s"expected the day-collapse refusal, got: ${e.getMessage}")
+    assert(e.getMessage.contains("2024-03-08T00:00") &&
+      e.getMessage.contains("2024-03-08T12:00"))
+    // distinct init DAYS of one hindcast date still ingest (the original
+    // green path is untouched by the day-granular cell)
+    Files.delete(Paths.get(s"${mgr.inputDir}/hindcast-2024-03-10_init-08-12z.grb2"))
+    writeRun(s"${mgr.inputDir}/hindcast-2024-03-10_init-09.grb2", 9, 260.0)
+    mgr.run()
+    assert(mgr.store.dataset().count() == 32)
   }
 
   test("a file whose name carries no hindcast date is refused by name") {

@@ -214,7 +214,8 @@ class GribLevelSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicated field key"))
   }
 
-  test("edition-1 layer level types split octets 11-12 into (top, bottom)") {
+  test("edition-1 layer level types split octets 11-12 into (top, bottom) " +
+      "and normalize to the GRIB2 code + unit convention") {
     val dir = freshDir("g1layer")
     val ref = LocalDateTime.parse("2024-03-01T00:00")
     val raw = new java.io.ByteArrayOutputStream()
@@ -223,15 +224,43 @@ class GribLevelSpec extends SparkSpec {
     dos.close()
     val bytes = raw.toByteArray
     // PDS octet 10 (level type, offset 8+9) -> 112 (layer between
-    // depths); octets 11-12 (offsets 18-19) -> top 10, bottom 200
+    // depths); octets 11-12 (offsets 18-19) -> top 10 cm, bottom 200 cm
     assert(bytes(17) == 1, "PDS level-type octet moved; update the patch")
     bytes(17) = 112.toByte
     bytes(18) = 10; bytes(19) = 200.toByte
     write(s"$dir/l.grb")(_.write(bytes))
     val df = spark.read.format("grib1").load(s"$dir/l.grb")
-    assert(df.select("level_type").distinct().head().getInt(0) == 112)
-    assert(df.select("level").distinct().head().getDouble(0) == 10.0)
-    assert(df.select("level_to").distinct().head().getDouble(0) == 200.0)
+    // table-3 112 (cm) normalizes to GRIB2 4.5 code 106 (depth below
+    // land surface, m) — the cross-edition level axis is uniform
+    assert(df.select("level_type").distinct().head().getInt(0) == 106)
+    assert(df.select("level").distinct().head().getDouble(0) == 0.10)
+    assert(df.select("level_to").distinct().head().getDouble(0) == 2.00)
+  }
+
+  test("edition-1 isobaric levels normalize hPa to the GRIB2 Pa " +
+      "convention: one filter matches both editions") {
+    val dir = freshDir("g1iso")
+    val ref = LocalDateTime.parse("2024-03-01T00:00")
+    val raw = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(raw)
+    GribFormat.writeMessage(dos, 61, ref, lats, lons, grid(7.0))
+    dos.close()
+    val bytes = raw.toByteArray
+    assert(bytes(17) == 1, "PDS level-type octet moved; update the patch")
+    bytes(17) = 100.toByte // isobaric, value 850 hPa (u16 octets 11-12)
+    bytes(18) = ((850 >> 8) & 0xFF).toByte; bytes(19) = (850 & 0xFF).toByte
+    write(s"$dir/iso.grb")(_.write(bytes))
+    // the same surface as GRIB2 (next cycle, so the keys stay distinct):
+    // param 61 at 85000 Pa, level_type 100
+    write(s"$dir/iso.grb2") { out =>
+      GribFormat.writeMessage2Fields(out, ref.plusHours(6), lats, lons,
+        fields = Seq((61, 0, grid(7.0))), levels = Seq((100, 85000L)))
+    }
+    val both = spark.read.format("grib1").load(dir)
+    assert(both.count() == 8)
+    // ONE level filter in Pa matches the hPa-coded edition-1 message too
+    assert(both.filter(col("level_type") === 100 &&
+      col("level") === 85000.0).count() == 8)
   }
 
   test("GRIB2 discipline joins the parameter key: land-surface (2,0,0) " +
