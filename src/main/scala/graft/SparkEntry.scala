@@ -1151,8 +1151,12 @@ object SparkEntry {
     "q72_semantic_dedup" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val doubled = e.unionByName(e.withColumn("vec_id", col("vec_id") + lit(100000L)))
+      // k ∝ corpus (SemDeDup's own config): a fixed k would let cluster
+      // populations — and the Σ n_c²/2 pair work — grow linearly with
+      // the corpus. scaledK floors at 8, so the ≤sf0.1 gates are
+      // bit-identical to the fixed-k registration.
       Clustering.semanticDedup(doubled, "vec_id", "embedding",
-          k = 8, iters = 3, tau = 0.95)
+          k = Clustering.scaledK(doubled.count()), iters = 3, tau = 0.95)
         .select("vec_id").orderBy("vec_id")
     }),
 

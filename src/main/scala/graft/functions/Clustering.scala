@@ -47,17 +47,18 @@ object Clustering {
       .withColumn("mean", col("sum_q").cast("double") / col("n") / lit(scale))
 
   /** Nearest-centroid index by squared L2 distance: argmin(|c|² − 2·q·c)
-    * (the row-constant |q|² cancels). One fused expression per row; ties
-    * break on the LOWER index via lexicographic struct min. */
+    * (the row-constant |q|² cancels); ties break on the LOWER index. The
+    * native [[graft.expressions.NearestCentroid]] expression keeps the
+    * generated code CONSTANT-size in k (the centroid matrix rides one
+    * reference object, the argmin is a tight JVM loop) — the composed
+    * `array_min(array(struct…))` form grows a k-wide tree that falls out
+    * of codegen at SemDeDup's production k (k ∝ corpus). */
   def assignToCentroids(qv: Column, centroids: Seq[Seq[Float]]): Column = {
     require(centroids.nonEmpty, "assignToCentroids needs at least one centroid")
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val c2 = c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
-      val cLit = array(c.map(v => lit(v)): _*)
-      struct((lit(c2) - lit(2.0) * Similarity.dot(qv, cLit)).as("score"),
-        lit(i).as("idx"))
-    }
-    array_min(array(scored: _*)).getField("idx")
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.NearestCentroid(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(qv),
+        graft.expressions.NearestCentroid.model(centroids)))
   }
 
   /** Lloyd's iterations over the quantized vectors; returns the final
@@ -114,14 +115,28 @@ object Clustering {
     df.withColumn("cluster",
       assignToCentroids(quantized(col(vecCol), scale), centroids))
 
+  /** SemDeDup's own k policy — k ∝ corpus size (Abbas et al. 2023 scale
+    * k with n; a FIXED k makes per-cluster populations, and with them the
+    * Σ n_c²/2 pair work, grow linearly with the corpus — quadratic total
+    * work at 100×). `target` bounds the EXPECTED cluster population;
+    * `kMin` keeps tiny corpora from degenerating to one cluster. Callers
+    * pass `df.count()` (one cheap count job at planning). */
+  def scaledK(n: Long, target: Int = 500, kMin: Int = 8): Int = {
+    require(target > 0 && kMin > 0, s"need target/kMin > 0, got $target/$kMin")
+    math.max(kMin.toLong, (n + target - 1) / target).min(Int.MaxValue).toInt
+  }
+
   /** SemDeDup: k-means cluster, then inside each cluster drop every row
     * whose exact cosine to a LOWER-id member is ≥ `tau`. Returns the kept
     * rows of `df` unchanged.
     *
     * The pair join is keyed on the cluster id, so pair work is
-    * Σ n_c² / 2 — at corpus scale pick k ≈ n / (a few thousand) to bound
-    * cluster sizes (the SemDeDup recipe), never k « n. Verification uses
-    * the RAW float vectors (quantization only steers clustering). */
+    * Σ n_c² / 2 — at corpus scale pick k = [[scaledK]](n) ≈ n / (a few
+    * hundred) to bound cluster sizes (the SemDeDup recipe), never k « n.
+    * Verification uses the RAW float vectors (quantization only steers
+    * clustering). Assignment cost is O(n·k·d) with literal centroids —
+    * fine to k in the low thousands; beyond that shard the corpus and
+    * dedup per shard (SemDeDup's own recipe at web scale). */
   def semanticDedup(
       df: DataFrame,
       idCol: String,
@@ -134,9 +149,15 @@ object Clustering {
     // norms are computed ONCE per row before the pair join — cosine's two
     // norm factors would otherwise be recomputed per PAIR (quadratic in
     // cluster size, 3× the VectorDot work)
+    // quantize into a COLUMN first: assignToCentroids references its
+    // input k times (one VectorDot per centroid) and `transform` is a
+    // CodegenFallback higher-order function — inlining the quantization
+    // expression re-evaluates it per centroid, k× per row
     val assigned = df
-      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .withColumn("__c", assignToCentroids(quantized(col("__v"), scale), cents))
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        quantized(col(vecCol), scale).as("__qv"))
+      .withColumn("__c", assignToCentroids(col("__qv"), cents))
+      .drop("__qv")
       .withColumn("__n", Similarity.l2Norm(col("__v")))
     val a = assigned.select(col("__c"), col("__id").as("__ida"),
       col("__v").as("__va"), col("__n").as("__na"))

@@ -67,6 +67,35 @@ class ClusteringSpec extends SparkSpec {
     assert(kept == 60L)
   }
 
+  test("native NearestCentroid is bit-identical to the composed " +
+      "array_min(struct(score, idx)) form, ties to the lower index") {
+    // the composed reference form the native expression replaced — kept
+    // here as the parity oracle (k-wide tree; fine at spec k)
+    def composed(qv: org.apache.spark.sql.Column,
+        centroids: Seq[Seq[Float]]): org.apache.spark.sql.Column = {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        val c2 = c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
+        val cLit = array(c.map(v => lit(v)): _*)
+        struct((lit(c2) - lit(2.0) * Similarity.dot(qv, cLit)).as("score"),
+          lit(i).as("idx"))
+      }
+      array_min(array(scored: _*)).getField("idx")
+    }
+    // 23 deterministic pseudo-random centroids over the blob corpus —
+    // includes DUPLICATED centroids (ties must break low) and a far one
+    val cents: Seq[Seq[Float]] = (0 until 23).map { ci =>
+      if (ci == 7) Seq(0f, 10f, 0f, 0f) // duplicate of a near-blob center
+      else Seq.tabulate(4)(d => ((ci * 31 + d * 17) % 29 - 14) * 0.9f)
+    } :+ Seq(0f, 10f, 0f, 0f)
+    val q = blobs.select(col("id"), Clustering.quantized(col("vec")).as("qv"))
+    val both = q.select(col("id"),
+        Clustering.assignToCentroids(col("qv"), cents).as("native"),
+        composed(col("qv"), cents).as("ref"))
+      .as[(Long, Int, Int)].collect()
+    assert(both.nonEmpty && both.forall { case (_, n, r) => n == r },
+      s"divergent rows: ${both.filter(p => p._2 != p._3).take(5).toSeq}")
+  }
+
   test("labelCentroids: exact quantized means per (label, dim), " +
       "partitioning-independent") {
     val sp = spark; import sp.implicits._
