@@ -223,6 +223,50 @@ object SparkEntry {
     (ncDir, days.head)
   }
 
+  /** GROUPED netCDF-4 fixture: ONE file, two self-contained groups
+    * ("daily" = the q82 events grid, "doubled" = the same grid at 2×) —
+    * the CMIP/processing-chain shape xarray addresses with `group=`. */
+  private def nc4GroupedEventsFixture(s: SparkSession, dir: String): String = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val dayIdx = days.zipWithIndex.toMap
+    val epoch = LocalDateTime.parse("2020-01-01T00:00")
+    val fillRaw = -2000000000.0
+    def grid(mult: Double): Array[Double] = {
+      val data = Array.fill(days.length * 10)(fillRaw)
+      cells.foreach { r =>
+        val i = dayIdx(r.getAs[LocalDateTime]("d")) * 10 + r.getAs[Int]("slot")
+        data(i) = r.getAs[Long]("count") * 4.0 * mult
+      }
+      data
+    }
+    def group(name: String, mult: Double) = graft.sources.h5.H5Write.GroupSpec(
+      name, Seq("time" -> days.length, "slot" -> 10), Seq(
+        graft.sources.h5.H5Write.WriteVar("time", Seq("time"), "i4",
+          days.map(d =>
+            java.time.temporal.ChronoUnit.DAYS.between(epoch, d).toDouble).toArray,
+          attrs = Seq("units" -> "days since 2020-01-01", "calendar" -> "standard")),
+        graft.sources.h5.H5Write.WriteVar("slot", Seq("slot"), "i4",
+          Array.tabulate(10)(_.toDouble)),
+        graft.sources.h5.H5Write.WriteVar("cnt", Seq("time", "slot"), "i4",
+          grid(mult),
+          numAttrs = Seq(
+            ("scale_factor", "f8", Array(0.25)),
+            ("_FillValue", "i4", Array(fillRaw))))))
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ncDir = s"${System.getProperty("java.io.tmpdir")}/graft_nc4_grp_$sf"
+    GridStore.fileSystem(s, ncDir)
+      .delete(new org.apache.hadoop.fs.Path(ncDir), true)
+    val path = s"$ncDir/events_groups.nc"
+    graft.sources.h5.H5Write.writeTree(s, path,
+      Seq(group("daily", 1.0), group("doubled", 2.0)))
+    path
+  }
+
   /** GRIB fixture mirroring the NC one: one message per day holding the
     * dense (lat 0-1 × lon 0-4 = slot) grid of event counts, no-event cells
     * as 0 (GRIB without a bitmap has no missing cells). Written in the
@@ -2043,6 +2087,17 @@ object SparkEntry {
     "q162_nc4_fletcher_scan" -> ((s, dir) => {
       val (path, _) = nc4EventsFixture(s, dir, "deflate", fletcher = true)
       s.read.format("netcdf").load(path).orderBy("time", "slot")
+    }),
+
+    // GROUPED netCDF-4 (xarray group= addressing): one file, two
+    // self-contained groups; the scan reads ONE group's variables —
+    // "doubled" carries the q82 grid at 2×, so a group-selection bug
+    // (wrong group, or silently scanning the root) breaks the values,
+    // not just the shape
+    "q164_nc4_group_scan" -> ((s, dir) => {
+      val path = nc4GroupedEventsFixture(s, dir)
+      s.read.format("netcdf").option("group", "doubled").load(path)
+        .orderBy("time", "slot")
     }),
 
     // Spectral → grid SYNTHESIS: the inverse spherical-harmonic transform
@@ -3944,6 +3999,19 @@ object SparkEntry {
         |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
         |          FROM days, (SELECT unnest(range(10)) AS s))
         |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
+        |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
+        |ORDER BY 1, 2""".stripMargin,
+
+    // the "doubled" group carries the q82 grid at 2×
+    "q164_nc4_group_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot
+        |          FROM days, (SELECT unnest(range(10)) AS s))
+        |SELECT spine.d AS time, spine.slot AS slot, g.cnt * 2.0 AS cnt
         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
         |ORDER BY 1, 2""".stripMargin,
 

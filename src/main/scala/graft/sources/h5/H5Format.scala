@@ -649,46 +649,71 @@ object H5Format {
 
   // ------------------------------------------------------------- public API
 
-  /** Datasets carry a layout message (0x08); a root child WITHOUT one is
-    * a sub-GROUP or committed datatype — outside the netCDF-4 CLASSIC
-    * model this scan implements. Refuse by name: silently scanning only
-    * the root group would drop the grouped variables, the one failure
-    * mode worse than a refusal. */
-  private[h5] def requireDataset(name: String, mtypes: Seq[Int]): Unit =
-    if (!mtypes.contains(0x08)) {
-      val kind =
-        if (mtypes.exists(t => t == 0x11 || t == 0x02 || t == 0x06))
-          "sub-group"
-        else "committed datatype (or other non-dataset object)"
-      throw new IllegalArgumentException(
-        s"root child '$name' is a $kind — grouped (non-classic) " +
-          "netCDF-4 files are unsupported; flatten the groups or " +
-          "extract the group into its own file")
-    }
+  /** A child without a layout message (0x08) is a sub-GROUP (symbol
+    * table / link messages) or a committed datatype. */
+  private def isGroupHeader(mtypes: Seq[Int]): Boolean =
+    !mtypes.contains(0x08) &&
+      mtypes.exists(t => t == 0x11 || t == 0x02 || t == 0x06)
 
-  /** Parse the netCDF-4-classic structure: root attributes + every dataset
-    * in the root group (netCDF classic model = flat root group). */
-  def parse(read: PRead): H5File = {
-    val rootAddr = rootAddress(read)
-    val rootMsgs = readObjectHeader(read, rootAddr)
-    val rootAttrs = allAttrs(read, rootMsgs)
-    val links = groupLinks(read, rootMsgs)
-    val datasets = links.flatMap { case (name, addr) =>
-      val msgs = readObjectHeader(read, addr)
-      requireDataset(name, msgs.map(_.mtype))
-      msgs.find(_.mtype == 0x08).map { layoutMsg =>
-        val dims = msgs.find(_.mtype == 0x01).map(m => parseDataspace(m.body))
-          .getOrElse(Seq.empty)
-        val dtype = parseDatatype(msgs.find(_.mtype == 0x03).getOrElse(
-          throw new IllegalArgumentException(s"$name: no datatype message")).body)
-        val filters = msgs.find(_.mtype == 0x0B).map(m => parseFilters(m.body))
-          .getOrElse(Seq.empty)
-        val fill = msgs.find(_.mtype == 0x05).flatMap(m => parseFill(m.body))
-        H5Dataset(name, addr, dims, dtype, parseLayout(layoutMsg.body),
-          filters, fill, allAttrs(read, msgs).toMap)
-      }
+  /** Parse the netCDF-4-classic structure: attributes + every dataset of
+    * ONE group — the root by default, or the `group` selected by
+    * slash-separated path (xarray's `group=` addressing: each group is
+    * its own self-contained dataset).
+    *
+    * Sub-groups below the SELECTED group refuse by name: silently
+    * scanning only the selected level would drop the grouped variables,
+    * the one failure mode worse than a refusal. */
+  def parse(read: PRead, group: Option[String] = None): H5File = {
+    var addr = rootAddress(read)
+    var msgs = readObjectHeader(read, addr)
+    var prefix = ""
+    group.toSeq.flatMap(_.split('/')).filter(_.nonEmpty).foreach { comp =>
+      val links = groupLinks(read, msgs)
+      val next = links.collectFirst { case (n, a) if n == comp => a }
+        .getOrElse(throw new IllegalArgumentException(
+          s"group '$prefix$comp' not found — children of " +
+            s"'/${prefix.stripSuffix("/")}': " +
+            links.map(_._1).sorted.mkString(", ")))
+      val childMsgs = readObjectHeader(read, next)
+      require(isGroupHeader(childMsgs.map(_.mtype)),
+        s"'$prefix$comp' is a dataset, not a group — drop it from the " +
+          "group= path")
+      addr = next; msgs = childMsgs; prefix += comp + "/"
     }
-    H5File(rootAttrs.toMap, datasets)
+    val groupAttrs = allAttrs(read, msgs)
+    val links = groupLinks(read, msgs)
+    val children = links.map { case (name, a) =>
+      (name, a, readObjectHeader(read, a))
+    }
+    val subGroups = children.collect {
+      case (name, _, ms) if isGroupHeader(ms.map(_.mtype)) => name
+    }
+    if (subGroups.nonEmpty) {
+      val where = if (prefix.isEmpty) "the root group" else s"group '$prefix'"
+      throw new IllegalArgumentException(
+        s"$where holds sub-group(s) " +
+          subGroups.sorted.map(g => s"'$prefix$g'").mkString(", ") +
+          " — grouped netCDF-4 files scan ONE group at a time; select " +
+          "one with .option(\"group\", \"<path>\") (scanning only this " +
+          "level would silently drop the grouped variables)")
+    }
+    val datasets = children.map { case (name, dsAddr, dsMsgs) =>
+      val layoutMsg = dsMsgs.find(_.mtype == 0x08).getOrElse(
+        throw new IllegalArgumentException(
+          s"child '$prefix$name' is a committed datatype (or other " +
+            "non-dataset object) — outside the netCDF-4 model this " +
+            "scan implements"))
+      val dims = dsMsgs.find(_.mtype == 0x01).map(m => parseDataspace(m.body))
+        .getOrElse(Seq.empty)
+      val dtype = parseDatatype(dsMsgs.find(_.mtype == 0x03).getOrElse(
+        throw new IllegalArgumentException(s"$name: no datatype message")).body)
+      val filters = dsMsgs.find(_.mtype == 0x0B).map(m => parseFilters(m.body))
+        .getOrElse(Seq.empty)
+      val fill = dsMsgs.find(_.mtype == 0x05).flatMap(m => parseFill(m.body))
+      H5Dataset(name, dsAddr, dims, dtype, parseLayout(layoutMsg.body),
+        filters, fill, allAttrs(read, dsMsgs).toMap)
+    }
+    H5File(groupAttrs.toMap, datasets)
   }
 
   private def allAttrs(read: PRead, msgs: Seq[Msg]): Seq[(String, AttrValue)] =

@@ -138,7 +138,7 @@ object H5Write {
     out.bytes
   }
 
-  // -------------------------------------------------------------- writeFile
+  // ----------------------------------------------------- writeFile / writeTree
 
   /** Write one netCDF-4-classic file. Data variables are chunked along the
     * leading dimension (`chunkLead` steps per chunk, full inner extent) and
@@ -156,14 +156,52 @@ object H5Write {
       codec: String = "deflate",
       /** `nc_def_var_fletcher32`: checksum the raw chunk (filter id 3,
         * FIRST in the pipeline) before shuffle + compression. */
+      fletcher: Boolean = false): Unit =
+    writeTree(spark, path, Seq(GroupSpec("", dims, vars)), chunkLead,
+      compress, codec, fletcher)
+
+  /** One group's contents for [[writeTree]]: name "" is the root group,
+    * anything else a direct sub-group of the root (the netCDF-4 group
+    * model xarray addresses with `group=`). Dims are GROUP-LOCAL — each
+    * group's variables reference its own dimension scales, the
+    * self-contained shape h5netcdf/xarray round-trip. */
+  final case class GroupSpec(
+      name: String,
+      dims: Seq[(String, Int)],
+      vars: Seq[WriteVar])
+
+  /** Write a (possibly grouped) netCDF-4 file: one symbol table per
+    * group, sub-group headers linked from the root's symbol table — the
+    * same old-style HDF5 1.8 layout as the flat writer ([[writeFile]] is
+    * the one-root-group special case). */
+  def writeTree(
+      spark: SparkSession,
+      path: String,
+      groups: Seq[GroupSpec],
+      chunkLead: Int = 1,
+      compress: Boolean = true,
+      codec: String = "deflate",
       fletcher: Boolean = false): Unit = {
     require(codec == "deflate" || codec == "zstd" || codec == "szip",
       s"codec $codec")
     require(!fletcher || (compress && codec != "szip"),
       "fletcher32 fixtures ride the shuffle+compressor pipeline")
-    val dimLen = dims.toMap
-    def isCoord(v: WriteVar) = v.dims == Seq(v.name) && dimLen.contains(v.name)
-    val ordered = vars // fixture order = symbol table insert order (sorted below)
+    require(groups.nonEmpty, "writeTree needs at least one group")
+    require(groups.map(_.name).distinct.length == groups.length,
+      "duplicate group names")
+    require(groups.forall(!_.name.contains("/")),
+      "this fixture writer emits one level of sub-groups")
+    groups.foreach(g =>
+      require(g.vars.nonEmpty, s"group '${g.name}' has no variables"))
+    val rootSpec = groups.find(_.name.isEmpty)
+    val named = groups.filter(_.name.nonEmpty)
+    rootSpec.foreach(r => require(
+      r.vars.map(_.name).toSet.intersect(named.map(_.name).toSet).isEmpty,
+      "a root variable and a sub-group share a name"))
+
+    def dimLenOf(g: GroupSpec) = g.dims.toMap
+    def isCoord(g: GroupSpec, v: WriteVar) =
+      v.dims == Seq(v.name) && dimLenOf(g).contains(v.name)
 
     // ---- plan piece sizes first (addresses are all 8 bytes, so sizes are
     // address-independent), then lay out, then render with real addresses.
@@ -174,12 +212,13 @@ object H5Write {
         chunks: Option[Seq[Int]], // None = contiguous
         payloads: Seq[(Seq[Int], Array[Byte])]) // per chunk: grid coords + stored bytes
 
-    val plans = ordered.map { v =>
+    def planVar(g: GroupSpec)(v: WriteVar): VarPlan = {
+      val dimLen = dimLenOf(g)
       val shape = v.dims.map(d => dimLen.getOrElse(d,
         throw new IllegalArgumentException(s"${v.name}: unknown dim $d")))
       require(v.data.length == shape.product,
         s"${v.name}: ${v.data.length} values for shape $shape")
-      if (isCoord(v) || shape.length == 0)
+      if (isCoord(g, v) || shape.length == 0)
         VarPlan(v, shape, None, Seq((Seq.empty, encodeVals(v.dtype, v.data))))
       else {
         val lead = math.min(math.max(chunkLead, 1), shape.head)
@@ -221,6 +260,10 @@ object H5Write {
         VarPlan(v, shape, Some(chunkShape), payloads)
       }
     }
+    val plansOf: Map[String, Seq[VarPlan]] =
+      groups.map(g => g.name -> g.vars.map(planVar(g))).toMap
+    val dimScalesOf: Map[String, Seq[String]] = groups.map(g =>
+      g.name -> plansOf(g.name).filter(p => isCoord(g, p.v)).map(_.v.name)).toMap
 
     // ---- allocator
     var cursor = 0L
@@ -228,41 +271,54 @@ object H5Write {
 
     alloc(96) // superblock v0 + root symbol table entry
 
-    // local heap: names data (offset 0 = empty string), 8-aligned
-    val heapNames = mutable.LinkedHashMap.empty[String, Long]
-    val heapData = {
+    // ---- symbol-table pieces per group; the ROOT's entries are its own
+    // variables plus one link per named sub-group
+    val entriesOf: Seq[(String, Seq[String])] =
+      ("" -> (rootSpec.toSeq.flatMap(_.vars.map(_.name)) ++
+        named.map(_.name)).sorted) +:
+        named.map(g => g.name -> g.vars.map(_.name).sorted)
+
+    final case class SymTab(heapNames: Map[String, Long], heapData: Array[Byte],
+        heapHdrAddr: Long, heapDataAddr: Long, btreeAddr: Long, snodAddr: Long)
+    val symOf: Map[String, SymTab] = entriesOf.map { case (gname, entries) =>
+      // local heap: names data (offset 0 = empty string), 8-aligned
+      val heapNames = mutable.LinkedHashMap.empty[String, Long]
       val out = new Out().u8(0).pad(8)
-      plans.map(_.v.name).sorted.foreach { n =>
+      entries.foreach { n =>
         heapNames(n) = out.size.toLong
         out.raw((n + "\u0000").getBytes).pad(8)
       }
-      out.pad(8).bytes
-    }
-    val heapHdrAddr = alloc(32)
-    val heapDataAddr = alloc(heapData.length)
-    val btreeAddr = alloc(24 + 2 * 16 + 8) // 1-entry group B-tree (2 keys)
-    val snodAddr = alloc(8 + plans.length * 40)
+      val heapData = out.pad(8).bytes
+      val heapHdrAddr = alloc(32)
+      val heapDataAddr = alloc(heapData.length)
+      val btreeAddr = alloc(24 + 2 * 16 + 8) // 1-entry group B-tree (2 keys)
+      val snodAddr = alloc(8 + entries.length * 40)
+      gname -> SymTab(heapNames.toMap, heapData, heapHdrAddr, heapDataAddr,
+        btreeAddr, snodAddr)
+    }.toMap
 
-    // global heap for DIMENSION_LIST references (one object per dim scale)
-    val dimScales = plans.filter(p => isCoord(p.v)).map(_.v.name)
-    val gcolObjSize = dimScales.length * (16 + 8) + 16 // objects + terminator
-    val gcolSize = 16 + gcolObjSize
-    val gcolAddr = alloc((gcolSize + 7) / 8 * 8)
+    // global heap per group for DIMENSION_LIST references (one object per
+    // dim scale)
+    val gcolSizeOf: Map[String, Int] = groups.map(g =>
+      g.name -> (16 + dimScalesOf(g.name).length * (16 + 8) + 16)).toMap
+    val gcolAddrOf: Map[String, Long] = groups.map(g =>
+      g.name -> alloc((gcolSizeOf(g.name) + 7) / 8 * 8)).toMap
 
     // object headers: sizes via a dry render with placeholder addresses
-    def headerMsgs(p: VarPlan, addrs: Map[String, Long], gcol: Long,
-        gIdx: Map[String, Int], btAddrs: Map[String, Long],
-        dataAddrs: Map[String, Long]): Seq[(Int, Array[Byte])] = {
+    def headerMsgs(g: GroupSpec, p: VarPlan, btAddr: Long,
+        dataAddr: Long): Seq[(Int, Array[Byte])] = {
       val v = p.v
       val es = elemSize(v.dtype)
+      val gcol = gcolAddrOf(g.name)
+      val gIdx = dimScalesOf(g.name).zipWithIndex.toMap
       val layout: Array[Byte] = p.chunks match {
         case None =>
           new Out().u8(3).u8(1)
-            .u64(dataAddrs.getOrElse(v.name, Undef))
+            .u64(dataAddr)
             .u64(p.payloads.head._2.length.toLong).bytes
         case Some(cs) =>
           val out = new Out().u8(3).u8(2).u8(cs.length + 1)
-            .u64(btAddrs.getOrElse(v.name, Undef))
+            .u64(btAddr)
           cs.foreach(c => out.u32(c.toLong))
           out.u32(es.toLong).bytes
       }
@@ -293,11 +349,11 @@ object H5Write {
           Seq((0x0B, out.bytes))
         } else Seq.empty
       val dimAttrs: Seq[(Int, Array[Byte])] =
-        if (isCoord(v)) Seq(
+        if (isCoord(g, v)) Seq(
           (0x0C, strAttr("CLASS", "DIMENSION_SCALE")),
           (0x0C, strAttr("NAME", v.name)),
           (0x0C, numAttr("_Netcdf4Dimid", "i4",
-            Array(dims.indexWhere(_._1 == v.name).toDouble))))
+            Array(g.dims.indexWhere(_._1 == v.name).toDouble))))
         else Seq((0x0C, {
           // DIMENSION_LIST: one VL element per dimension, each one object ref
           val data = new Out()
@@ -316,30 +372,35 @@ object H5Write {
         (0x08, layout)) ++ filters ++ dimAttrs ++ userAttrs
     }
 
-    val emptyAddrs = Map.empty[String, Long]
-    val emptyIdx = dimScales.zipWithIndex.toMap
-    val headerSizes = plans.map { p =>
-      p.v.name -> objectHeader(
-        headerMsgs(p, emptyAddrs, gcolAddr, emptyIdx, emptyAddrs, emptyAddrs)).length
+    val headerAddrOf: Map[(String, String), Long] = groups.flatMap { g =>
+      plansOf(g.name).map { p =>
+        val size = objectHeader(headerMsgs(g, p, Undef, Undef)).length
+        (g.name, p.v.name) -> alloc(size)
+      }
     }.toMap
-    val headerAddrs = plans.map(p => p.v.name -> alloc(headerSizes(p.v.name))).toMap
 
     // chunk B-trees + data blobs
-    val btAddrs = plans.collect {
-      case p if p.chunks.isDefined =>
-        val nd = p.shape.length
-        val keySize = 8 + (nd + 1) * 8
-        p.v.name -> alloc(24 + p.payloads.length * (keySize + 8) + keySize)
+    val btAddrOf: Map[(String, String), Long] = groups.flatMap { g =>
+      plansOf(g.name).collect {
+        case p if p.chunks.isDefined =>
+          val nd = p.shape.length
+          val keySize = 8 + (nd + 1) * 8
+          (g.name, p.v.name) ->
+            alloc(24 + p.payloads.length * (keySize + 8) + keySize)
+      }
     }.toMap
-    val chunkAddrs: Map[String, Seq[Long]] = plans.map { p =>
-      p.v.name -> p.payloads.map { case (_, bytes) => alloc(bytes.length) }
-    }.toMap
-    val dataAddrs = plans.collect {
-      case p if p.chunks.isEmpty => p.v.name -> chunkAddrs(p.v.name).head
+    val chunkAddrOf: Map[(String, String), Seq[Long]] = groups.flatMap { g =>
+      plansOf(g.name).map(p => (g.name, p.v.name) ->
+        p.payloads.map { case (_, bytes) => alloc(bytes.length) })
     }.toMap
 
-    val rootHeaderMsgs = Seq((0x11, new Out().u64(btreeAddr).u64(heapHdrAddr).bytes))
-    val rootAddr = alloc(objectHeader(rootHeaderMsgs).length)
+    // group object headers: one symbol-table message each; root LAST (its
+    // address rides the superblock)
+    def symTabMsgs(st: SymTab): Seq[(Int, Array[Byte])] =
+      Seq((0x11, new Out().u64(st.btreeAddr).u64(st.heapHdrAddr).bytes))
+    val groupHeaderAddrOf: Map[String, Long] = named.map(g =>
+      g.name -> alloc(objectHeader(symTabMsgs(symOf(g.name))).length)).toMap
+    val rootAddr = alloc(objectHeader(symTabMsgs(symOf(""))).length)
     val eof = cursor
 
     // ---- render
@@ -358,75 +419,89 @@ object H5Write {
     sb.u64(0L).u64(0L) // scratch
     put(0, sb.bytes)
 
-    // local heap
-    val heap = new Out()
-    heap.raw("HEAP".getBytes).u8(0).u8(0).u8(0).u8(0)
-    heap.u64(heapData.length.toLong).u64(heapData.length.toLong).u64(heapDataAddr)
-    put(heapHdrAddr, heap.bytes)
-    put(heapDataAddr, heapData)
+    // symbol-table machinery per group
+    entriesOf.foreach { case (gname, entries) =>
+      val st = symOf(gname)
+      val heap = new Out()
+      heap.raw("HEAP".getBytes).u8(0).u8(0).u8(0).u8(0)
+      heap.u64(st.heapData.length.toLong).u64(st.heapData.length.toLong)
+        .u64(st.heapDataAddr)
+      put(st.heapHdrAddr, heap.bytes)
+      put(st.heapDataAddr, st.heapData)
 
-    // group B-tree (single leaf pointing at the SNOD)
-    val bt = new Out()
-    bt.raw("TREE".getBytes).u8(0).u8(0).u16(1)
-    bt.u64(Undef).u64(Undef)
-    bt.u64(0L) // key 0: empty-string heap offset
-    bt.u64(snodAddr)
-    bt.u64(heapNames(plans.map(_.v.name).max)) // key 1: greatest name
-    put(btreeAddr, bt.bytes)
+      // group B-tree (single leaf pointing at the SNOD)
+      val bt = new Out()
+      bt.raw("TREE".getBytes).u8(0).u8(0).u16(1)
+      bt.u64(Undef).u64(Undef)
+      bt.u64(0L) // key 0: empty-string heap offset
+      bt.u64(st.snodAddr)
+      bt.u64(st.heapNames(entries.max)) // key 1: greatest name
+      put(st.btreeAddr, bt.bytes)
 
-    // SNOD, sorted by name
-    val snod = new Out()
-    snod.raw("SNOD".getBytes).u8(1).u8(0).u16(plans.length)
-    plans.map(_.v.name).sorted.foreach { n =>
-      snod.u64(heapNames(n)).u64(headerAddrs(n))
-      snod.u32(0L).u32(0L)
-      (0 until 16).foreach(_ => snod.u8(0))
-    }
-    put(snodAddr, snod.bytes)
-
-    // global heap: object i+1 = 8-byte header address of dim scale i
-    val gcol = new Out()
-    gcol.raw("GCOL".getBytes).u8(1).u8(0).u8(0).u8(0)
-    gcol.u64(((gcolSize + 7) / 8 * 8).toLong)
-    dimScales.zipWithIndex.foreach { case (d, i) =>
-      gcol.u16(i + 1).u16(1).u32(0L).u64(8L).u64(headerAddrs(d))
-    }
-    gcol.u16(0).u16(0).u32(0L).u64(0L) // terminator
-    put(gcolAddr, gcol.bytes)
-
-    // variable object headers
-    plans.foreach { p =>
-      put(headerAddrs(p.v.name), objectHeader(
-        headerMsgs(p, headerAddrs, gcolAddr, emptyIdx, btAddrs, dataAddrs)))
+      // SNOD, sorted by name; in the root, a name may link a SUB-GROUP
+      val snod = new Out()
+      snod.raw("SNOD".getBytes).u8(1).u8(0).u16(entries.length)
+      entries.foreach { n =>
+        val addr =
+          if (gname.isEmpty) groupHeaderAddrOf.getOrElse(n, headerAddrOf(("", n)))
+          else headerAddrOf((gname, n))
+        snod.u64(st.heapNames(n)).u64(addr)
+        snod.u32(0L).u32(0L)
+        (0 until 16).foreach(_ => snod.u8(0))
+      }
+      put(st.snodAddr, snod.bytes)
     }
 
-    // chunk B-trees + payloads
-    plans.foreach { p =>
-      p.chunks.foreach { cs =>
-        val nd = p.shape.length
-        val node = new Out()
-        node.raw("TREE".getBytes).u8(1).u8(0).u16(p.payloads.length)
-        node.u64(Undef).u64(Undef)
-        p.payloads.zipWithIndex.foreach { case ((coords, bytes), i) =>
-          node.u32(bytes.length.toLong).u32(0L)
-          coords.zip(cs).foreach { case (c, cdim) => node.u64(c.toLong * cdim) }
-          node.u64(0L) // trailing element offset
-          node.u64(chunkAddrs(p.v.name)(i))
+    groups.foreach { g =>
+      // global heap: object i+1 = 8-byte header address of dim scale i
+      val gcol = new Out()
+      gcol.raw("GCOL".getBytes).u8(1).u8(0).u8(0).u8(0)
+      gcol.u64(((gcolSizeOf(g.name) + 7) / 8 * 8).toLong)
+      dimScalesOf(g.name).zipWithIndex.foreach { case (d, i) =>
+        gcol.u16(i + 1).u16(1).u32(0L).u64(8L).u64(headerAddrOf((g.name, d)))
+      }
+      gcol.u16(0).u16(0).u32(0L).u64(0L) // terminator
+      put(gcolAddrOf(g.name), gcol.bytes)
+
+      // variable object headers
+      plansOf(g.name).foreach { p =>
+        val key = (g.name, p.v.name)
+        put(headerAddrOf(key), objectHeader(headerMsgs(g, p,
+          btAddrOf.getOrElse(key, Undef),
+          if (p.chunks.isEmpty) chunkAddrOf(key).head else Undef)))
+      }
+
+      // chunk B-trees + payloads
+      plansOf(g.name).foreach { p =>
+        val key = (g.name, p.v.name)
+        p.chunks.foreach { cs =>
+          val nd = p.shape.length
+          val node = new Out()
+          node.raw("TREE".getBytes).u8(1).u8(0).u16(p.payloads.length)
+          node.u64(Undef).u64(Undef)
+          p.payloads.zipWithIndex.foreach { case ((coords, bytes), i) =>
+            node.u32(bytes.length.toLong).u32(0L)
+            coords.zip(cs).foreach { case (c, cdim) => node.u64(c.toLong * cdim) }
+            node.u64(0L) // trailing element offset
+            node.u64(chunkAddrOf(key)(i))
+          }
+          // final key: one past the end
+          node.u32(0L).u32(0L)
+          node.u64(p.shape.head.toLong)
+          (1 until nd).foreach(_ => node.u64(0L))
+          node.u64(0L)
+          put(btAddrOf(key), node.bytes)
         }
-        // final key: one past the end
-        node.u32(0L).u32(0L)
-        node.u64(p.shape.head.toLong)
-        (1 until nd).foreach(_ => node.u64(0L))
-        node.u64(0L)
-        put(btAddrs(p.v.name), node.bytes)
-      }
-      p.payloads.zipWithIndex.foreach { case ((_, bytes), i) =>
-        put(chunkAddrs(p.v.name)(i), bytes)
+        p.payloads.zipWithIndex.foreach { case ((_, bytes), i) =>
+          put(chunkAddrOf(key)(i), bytes)
+        }
       }
     }
 
-    // root group header
-    put(rootAddr, objectHeader(rootHeaderMsgs))
+    // sub-group + root group headers
+    named.foreach(g => put(groupHeaderAddrOf(g.name),
+      objectHeader(symTabMsgs(symOf(g.name)))))
+    put(rootAddr, objectHeader(symTabMsgs(symOf(""))))
 
     // ---- flush
     val hp = new org.apache.hadoop.fs.Path(path)
@@ -434,6 +509,7 @@ object H5Write {
     val out = fs.create(hp, true)
     try out.write(file) finally out.close()
   }
+
 
   /** Fixture szip parameters for a chunk: LSB samples (this writer emits
     * little-endian data) + NN preprocessing + entropy coding (mask

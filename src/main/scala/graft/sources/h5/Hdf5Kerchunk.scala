@@ -164,11 +164,13 @@ object Hdf5Kerchunk {
     }
   }
 
-  /** Kerchunk manifest for ONE netCDF-4/HDF5 file. */
-  def fromHdf5(conf: Configuration, path: String): JObj = {
+  /** Kerchunk manifest for ONE netCDF-4/HDF5 file — of its root group,
+    * or of the sub-group `group` selects (xarray `group=`). */
+  def fromHdf5(conf: Configuration, path: String,
+      group: Option[String] = None): JObj = {
     val (read, close) = pread(conf, path)
     try {
-      val f = H5Format.parse(read)
+      val f = H5Format.parse(read, group)
       val entries = f.datasets.flatMap(ds =>
         datasetEntries(read, path, ds, dimNamesOf(f, ds)))
       val rootAttrs = JObj(f.rootAttrs.toSeq.filterNot(a => Internal(a._1))
@@ -188,10 +190,11 @@ object Hdf5Kerchunk {
     * non-leading dims must be identical (S10). Requires every non-final
     * file's leading extent to be chunk-aligned (per-timestep chunking, the
     * netCDF-4 norm, always is). */
-  def combineHdf5(conf: Configuration, paths: Seq[String]): JObj = {
+  def combineHdf5(conf: Configuration, paths: Seq[String],
+      group: Option[String] = None): JObj = {
     require(paths.nonEmpty, "combine needs at least one file")
-    if (paths.length == 1) return fromHdf5(conf, paths.head)
-    val manifests = paths.map(p => p -> fromHdf5(conf, p))
+    if (paths.length == 1) return fromHdf5(conf, paths.head, group)
+    val manifests = paths.map(p => p -> fromHdf5(conf, p, group))
     def refsOf(m: JObj): JObj = m.get("refs").get.asInstanceOf[JObj]
     def zarrayOf(refs: JObj, name: String): JObj =
       JValue.parse(refs.get(s"$name/.zarray").get.asInstanceOf[JStr].s)

@@ -170,15 +170,19 @@ object NcTable {
     else {
       val splitBytes = Option(options.get("splitBytes")).map(_.toLong)
         .getOrElse(128L * 1024 * 1024)
+      // xarray's group= addressing for grouped netCDF-4 files: scan ONE
+      // group's variables; an unselected grouped file refuses by name
+      val group = Option(options.get("group")).filter(_.nonEmpty)
       val filePaths = files.map(_.getPath.toString)
       // resolve runs twice per read (inferSchema, then getTable) and the
       // manifest walks every file's metadata — memoize per (path, mtime,
       // length) set like the classic-NC layout cache
       val key = files.map(st =>
-        (st.getPath.toString, st.getModificationTime, st.getLen))
+        (st.getPath.toString + group.fold("")("#" + _),
+          st.getModificationTime, st.getLen))
       val store = h5StoreCache.computeIfAbsent(key, _ =>
         graft.sources.zarr.ZarrMeta.resolveRefsDoc(
-          graft.sources.h5.Hdf5Kerchunk.combineHdf5(conf, filePaths)))
+          graft.sources.h5.Hdf5Kerchunk.combineHdf5(conf, filePaths, group)))
       if (h5StoreCache.size > 1024) h5StoreCache.clear()
       val label = paths.mkString(",") +
         (if (filePaths.length > 1) s" (${filePaths.length} nc4 files)" else "")

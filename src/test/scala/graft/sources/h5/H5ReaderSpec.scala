@@ -117,17 +117,53 @@ class H5ReaderSpec extends SparkSpec {
     assert(zattrs.get("_Netcdf4Coordinates").isEmpty)
   }
 
-  test("a non-dataset root child (sub-group / committed type) refuses by " +
-      "name instead of silently scanning a subset") {
-    val e = intercept[IllegalArgumentException] {
-      H5Format.requireDataset("obs", Seq(0x11)) // symbol-table message only
+  private def groupedFixture(path: String): Unit = {
+    def vars(tag: String, scale: Double) = Seq(
+      H5Write.WriteVar(s"${tag}_t", Seq(s"${tag}_t"), "i4",
+        Array(0.0, 1.0, 2.0),
+        attrs = Seq("units" -> "days since 2020-01-01")),
+      H5Write.WriteVar(s"${tag}_v", Seq(s"${tag}_t"), "f8",
+        Array(1.0, 2.0, 3.0).map(_ * scale)))
+    H5Write.writeTree(spark, path, Seq(
+      H5Write.GroupSpec("obs", Seq(s"obs_t" -> 3), vars("obs", 10.0)),
+      H5Write.GroupSpec("fc", Seq(s"fc_t" -> 3), vars("fc", 100.0))))
+  }
+
+  test("grouped netCDF-4: each group scans as its own dataset via " +
+      "option(\"group\"), with distinct variables per group") {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_h5grp/g.nc"
+    new java.io.File(p).getParentFile.mkdirs()
+    groupedFixture(p)
+    val obs = spark.read.format("netcdf").option("group", "obs").load(p)
+    assert(obs.schema.fieldNames.toSeq == Seq("obs_t", "obs_v"))
+    assert(obs.select(sum("obs_v")).head().getDouble(0) == 60.0)
+    val fc = spark.read.format("netcdf").option("group", "fc").load(p)
+    assert(fc.schema.fieldNames.toSeq == Seq("fc_t", "fc_v"))
+    assert(fc.select(sum("fc_v")).head().getDouble(0) == 600.0)
+    // time decode works inside a group too
+    assert(obs.schema("obs_t").dataType == TimestampNTZType)
+  }
+
+  test("an unselected grouped file refuses by name, listing the groups; " +
+      "a wrong group path refuses listing the children") {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_h5grp/g2.nc"
+    new java.io.File(p).getParentFile.mkdirs()
+    groupedFixture(p)
+    val e = intercept[Exception] {
+      spark.read.format("netcdf").load(p).collect()
     }
-    assert(e.getMessage.contains("sub-group") && e.getMessage.contains("obs"))
-    val e2 = intercept[IllegalArgumentException] {
-      H5Format.requireDataset("T", Seq(0x03, 0x0C)) // committed datatype
+    assert(e.getMessage.contains("'obs'") && e.getMessage.contains("'fc'") &&
+      e.getMessage.contains("group"),
+      s"expected the group refusal, got: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.read.format("netcdf").option("group", "nope").load(p).collect()
     }
-    assert(e2.getMessage.contains("committed datatype"))
-    // a dataset (layout present) passes
-    H5Format.requireDataset("v", Seq(0x01, 0x03, 0x08, 0x0C))
+    assert(e2.getMessage.contains("'nope' not found") &&
+      e2.getMessage.contains("obs"), s"got: ${e2.getMessage}")
+    // selecting a DATASET as a group refuses too
+    val e3 = intercept[Exception] {
+      spark.read.format("netcdf").option("group", "obs/obs_v").load(p).collect()
+    }
+    assert(e3.getMessage.contains("is a dataset"), s"got: ${e3.getMessage}")
   }
 }
