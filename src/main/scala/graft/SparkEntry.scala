@@ -128,6 +128,35 @@ object SparkEntry {
     * reader, mask_and_scale decode, null surfacing, filter pushdown, and
     * CF time decode end-to-end against a parquet-derivable oracle.
     * Returns (file path, first day of the grid). */
+  /** noleap-calendar fixture: per-day event counts on a time axis of day
+    * OFFSETS since 2024-02-27 with `calendar = "noleap"` — the epoch sits
+    * two days before a real Gregorian leap day, so from offset 2 on the
+    * noleap decode (which has no Feb 29) lands one day LATER than a
+    * calendar-ignorant read. */
+  private def ncNoleapFixture(s: SparkSession, dir: String): String = {
+    val counts = eventsWithDay(s, dir).groupBy(col("d")).count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = counts.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = counts.map(r =>
+      r.getAs[LocalDateTime]("d") -> r.getAs[Long]("count")).toMap
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ncDir = s"${System.getProperty("java.io.tmpdir")}/graft_nc_noleap_$sf"
+    GridStore.fileSystem(s, ncDir)
+      .delete(new org.apache.hadoop.fs.Path(ncDir), true)
+    val path = s"$ncDir/noleap.nc"
+    NcFormat.writeFile(s, path,
+      dims = Seq("time" -> days.length),
+      vars = Seq(
+        NcFormat.WriteVar("time", Seq("time"), NcFormat.NcInt,
+          Array.tabulate(days.length)(_.toDouble),
+          attrs = Seq("units" -> "days since 2024-02-27",
+            "calendar" -> "noleap")),
+        NcFormat.WriteVar("cnt", Seq("time"), NcFormat.NcDouble,
+          days.map(d => byDay(d).toDouble).toArray)))
+    path
+  }
+
   private def ncEventsFixture(s: SparkSession, dir: String): (String, LocalDateTime) = {
     val cells = eventsWithDay(s, dir)
       .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
@@ -1942,6 +1971,15 @@ object SparkEntry {
     "q61_nc_scan" -> ((s, dir) => {
       val (path, _) = ncEventsFixture(s, dir)
       s.read.format("netcdf").load(path).orderBy("time", "slot")
+    }),
+
+    // Non-Gregorian CF calendar (CMIP's noleap): the axis is day OFFSETS
+    // since an epoch two days before a real leap day, so the noleap and
+    // Gregorian readings genuinely diverge from offset 2 on — a decode
+    // that ignores the calendar lands every post-Feb-29 row one day early
+    "q165_nc_noleap_scan" -> ((s, dir) => {
+      val path = ncNoleapFixture(s, dir)
+      s.read.format("netcdf").load(path).orderBy("time")
     }),
     "q62_nc_pushdown" -> ((s, dir) => {
       // time + slot predicates reach the scan as index-range pruning (only
@@ -4027,6 +4065,21 @@ object SparkEntry {
         |SELECT spine.d AS time, spine.slot AS slot, g.cnt AS cnt
         |FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot
         |ORDER BY 1, 2""".stripMargin,
+
+    // noleap decode replayed in plain SQL: offset i since 2024-02-27 in a
+    // calendar WITHOUT Feb 29 = Gregorian epoch + i days, plus one extra
+    // day once the offset crosses the (noleap) Feb 28 → Mar 1 boundary
+    "q165_nc_noleap_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1),
+        |o AS (SELECT cnt,
+        |        CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS off
+        |      FROM g)
+        |SELECT TIMESTAMP '2024-02-27' + off * INTERVAL 1 DAY +
+        |  (CASE WHEN off >= 2 THEN 1 ELSE 0 END) * INTERVAL 1 DAY AS time,
+        |  cnt
+        |FROM o ORDER BY 1""".stripMargin,
 
     // synthesis closed form from slot counts (c00=slot0, c01=slot1,
     // c11re=slot2, c11im=slot3), replayed without any spectral code

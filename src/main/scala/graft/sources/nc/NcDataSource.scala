@@ -322,16 +322,15 @@ object NcTable {
             }
             val vals =
               if (cv.unpack) raw.map(v => v * cv.scaleFactor + cv.addOffset) else raw
-            // CF `calendar`: only proleptic-Gregorian-compatible calendars
-            // decode to timestamps; noleap/360_day/julian fall back to the
-            // raw numeric axis rather than silently shifting dates.
-            val calendarOk = cv.attr("calendar").forall(c =>
-              Set("standard", "gregorian", "proleptic_gregorian", "default")(
-                c.trim.toLowerCase))
-            cv.attr("units").flatMap(parseTimeUnits) match {
-              case Some((mult, epoch)) if calendarOk =>
-                TimeAxis(dim.name, vals.map(v => epoch + math.round(v * mult)))
-              case _ =>
+            // CF `calendar`-aware decode: Gregorian-compatible AND
+            // fixed-year calendars (noleap/365_day, all_leap/366_day,
+            // 360_day — the CMIP shapes) decode to calendar-correct
+            // timestamps; julian falls back to the raw numeric axis
+            // rather than silently shifting dates.
+            NcFormat.decodeTimeAxis(cv.attr("units"), cv.attr("calendar"),
+                vals) match {
+              case Some(micros) => TimeAxis(dim.name, micros)
+              case None =>
                 NumAxis(dim.name, vals, if (cv.unpack) NcDouble else cv.ncType)
             }
           case _ => IndexAxis(dim.name, dim.length)

@@ -467,6 +467,106 @@ object NcFormat {
     finally out.close()
   }
 
+  /** CF `calendar` models this scan decodes to TIMESTAMP_NTZ. Fixed-year
+    * calendars map a value to (y, m, d, time-of-day) by THEIR OWN year
+    * arithmetic, then reinterpret that tuple as a proleptic-Gregorian
+    * timestamp — cftime/xarray's datetime64 conversion: the noleap date
+    * 2024-03-01 IS the real 2024-03-01 (what diverges across a leap day
+    * is the day COUNT, exactly what the per-calendar arithmetic fixes). */
+  private val CfMonthLengths: Map[String, Seq[Int]] = {
+    val noleap = Seq(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+    Map(
+      "noleap" -> noleap, "365_day" -> noleap,
+      "all_leap" -> noleap.updated(1, 29), "366_day" -> noleap.updated(1, 29),
+      "360_day" -> Seq.fill(12)(30))
+  }
+  private val GregorianCals =
+    Set("standard", "gregorian", "proleptic_gregorian", "default")
+
+  /** Decode one CF time axis to TIMESTAMP_NTZ micros, calendar-aware.
+    * None = not a time axis this scan can decode exactly (unparseable
+    * units, or a calendar like `julian` whose dates have no same-tuple
+    * Gregorian reading) — callers fall back to the numeric axis. A
+    * fixed-year-calendar date with no Gregorian equivalent (360_day
+    * Feb 30) refuses by name rather than shifting silently. */
+  def decodeTimeAxis(units: Option[String], calendar: Option[String],
+      vals: Array[Double]): Option[Array[Long]] = {
+    val cal = calendar.map(_.trim.toLowerCase)
+    units.flatMap(parseTimeUnitParts) match {
+      case Some((mult, y0, mo0, d0, intraMicros))
+          if cal.forall(GregorianCals) =>
+        val epoch = try java.time.LocalDateTime.of(y0, mo0, d0, 0, 0)
+          .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + intraMicros
+        catch { case _: java.time.DateTimeException => return None }
+        Some(vals.map(v => epoch + math.round(v * mult)))
+      case Some((mult, y0, mo0, d0, intraMicros))
+          if cal.exists(CfMonthLengths.contains) =>
+        val ml = CfMonthLengths(cal.get)
+        val cum = ml.scanLeft(0)(_ + _) // cum(i) = days before month i+1
+        val dpy = ml.sum.toLong
+        val DayMicros = 86400L * 1000000L
+        // epoch day number in the FILE's calendar, year-0 baseline
+        val epochDays = y0.toLong * dpy + cum(mo0 - 1) + (d0 - 1)
+        Some(vals.map { v =>
+          val total = math.round(v * mult) + intraMicros
+          val days = epochDays + java.lang.Math.floorDiv(total, DayMicros)
+          val micro = java.lang.Math.floorMod(total, DayMicros)
+          val y = java.lang.Math.floorDiv(days, dpy)
+          var rem = java.lang.Math.floorMod(days, dpy).toInt
+          var mo = 0
+          while (rem >= cum(mo + 1)) mo += 1
+          rem -= cum(mo)
+          val ldt = try java.time.LocalDateTime.of(y.toInt, mo + 1, rem + 1, 0, 0)
+          catch {
+            case _: java.time.DateTimeException =>
+              throw new IllegalArgumentException(
+                s"time value $v decodes to $y-${mo + 1}-${rem + 1} in the " +
+                  s"${cal.get} calendar — no proleptic-Gregorian " +
+                  "equivalent; re-grain the axis or drop the calendar " +
+                  "attribute to read it numerically")
+          }
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + micro
+        })
+      case _ => None
+    }
+  }
+
+  /** CF-style time units split into (micros multiplier, epoch year,
+    * month, day, intra-day micros) — the epoch as calendar FIELDS, since
+    * under a non-Gregorian calendar it is a date in the file's own
+    * calendar, not a real instant. */
+  def parseTimeUnitParts(units: String): Option[(Long, Int, Int, Int, Long)] = {
+    val m = "(?i)(microsecond|millisecond|second|minute|hour|day)s?\\s+since\\s+(.+)".r
+    units.trim match {
+      case m(unit, epochStr) =>
+        val mult = unit.toLowerCase match {
+          case "microsecond" => 1L
+          case "millisecond" => 1000L
+          case "second" => 1000000L
+          case "minute" => 60L * 1000000L
+          case "hour" => 3600L * 1000000L
+          case "day" => 86400L * 1000000L
+        }
+        // real-world CF epochs are often NOT zero-padded ("days since
+        // 1980-1-1 0:0:0", CHIRPS) — parse digit groups, not ISO strings
+        val dt = ("(\\d{1,4})-(\\d{1,2})-(\\d{1,2})" +
+          "(?:[T ](\\d{1,2}):(\\d{1,2})(?::(\\d{1,2})(?:\\.\\d+)?)?)?" +
+          "(?:\\s*(?:Z|UTC|\\+0+:?0*))?").r
+        epochStr.trim match {
+          case dt(y, mo, d, h, mi, sec) =>
+            val intra = (Option(h).map(_.toLong).getOrElse(0L) * 3600L +
+              Option(mi).map(_.toLong).getOrElse(0L) * 60L +
+              Option(sec).map(_.toLong).getOrElse(0L)) * 1000000L
+            val (yi, moi, di) = (y.toInt, mo.toInt, d.toInt)
+            if (moi >= 1 && moi <= 12 && di >= 1 && di <= 31)
+              Some((mult, yi, moi, di, intra))
+            else None
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** CF-style time units: "<unit> since <epoch>" → (micros multiplier,
     * epoch micros). Public CF convention, e.g. "hours since 2024-01-01". */
   def parseTimeUnits(units: String): Option[(Long, Long)] = {

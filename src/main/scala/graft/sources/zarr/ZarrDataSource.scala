@@ -129,12 +129,12 @@ object ZarrTable {
           val vals =
             if (c.meta.unpack) raw.map(v => v * c.meta.scaleFactor + c.meta.addOffset)
             else raw
-          val calendarOk = c.meta.attr("calendar").forall(cal =>
-            Set("standard", "gregorian", "proleptic_gregorian", "default")(
-              cal.trim.toLowerCase))
-          c.meta.attr("units").flatMap(parseTimeUnits) match {
-            case Some((mult, epoch)) if calendarOk =>
-              TimeAxis(dim, vals.map(v => epoch + math.round(v * mult)))
+          // CF calendar-aware decode (incl. noleap/all_leap/360_day);
+          // see NcFormat.decodeTimeAxis
+          graft.sources.nc.NcFormat.decodeTimeAxis(c.meta.attr("units"),
+              c.meta.attr("calendar"), vals) match {
+            case Some(micros) =>
+              TimeAxis(dim, micros)
             case _ =>
               val numType = c.meta.dtype.sparkType match {
                 case _ if c.meta.unpack => graft.sources.nc.NcFormat.NcDouble

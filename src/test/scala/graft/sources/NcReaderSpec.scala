@@ -70,6 +70,45 @@ class NcReaderSpec extends SparkSpec {
     assert(parseTimeUnits("degrees_north").isEmpty)
   }
 
+  test("CF calendar-aware decode: noleap skips Feb 29, 360_day maps its " +
+      "own month lengths, unmappable dates refuse by name") {
+    def micros(s: String): Long = java.time.LocalDateTime.parse(s)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    def decode(units: String, cal: String, vals: Double*): Seq[Long] =
+      NcFormat.decodeTimeAxis(Some(units), Some(cal), vals.toArray).get.toSeq
+    // noleap: day 1 after 2024-02-28 is Mar 1 (the Gregorian read says
+    // Feb 29 — the exact divergence the calendar models)
+    assert(decode("days since 2024-02-28", "noleap", 0, 1, 2) ==
+      Seq(micros("2024-02-28T00:00"), micros("2024-03-01T00:00"),
+        micros("2024-03-02T00:00")))
+    assert(decode("days since 2024-02-28", "standard", 1) ==
+      Seq(micros("2024-02-29T00:00")))
+    // negative offsets walk backwards through the noleap year boundary
+    assert(decode("days since 2024-01-01", "noleap", -1, -365) ==
+      Seq(micros("2023-12-31T00:00"), micros("2023-01-01T00:00")))
+    // sub-day units + epoch time-of-day survive
+    assert(decode("hours since 2024-02-28 12:00:00", "365_day", 36) ==
+      Seq(micros("2024-03-02T00:00")))
+    // 360_day: every month is 30 days; day 30 since Jan 1 is Feb 1
+    assert(decode("days since 2024-01-01", "360_day", 30) ==
+      Seq(micros("2024-02-01T00:00")))
+    // ...but 360_day Feb 30 has no Gregorian equivalent — refuse by name
+    val e = intercept[IllegalArgumentException] {
+      decode("days since 2024-01-01", "360_day", 59)
+    }
+    assert(e.getMessage.contains("360_day") &&
+      e.getMessage.contains("no proleptic-Gregorian"))
+    // all_leap maps Feb 29 in EVERY year — real in 2024, refused in 2023
+    assert(decode("days since 2024-02-28", "all_leap", 1) ==
+      Seq(micros("2024-02-29T00:00")))
+    intercept[IllegalArgumentException] {
+      decode("days since 2023-02-28", "366_day", 1)
+    }
+    // julian still falls back to the numeric axis (no same-tuple reading)
+    assert(NcFormat.decodeTimeAxis(Some("days since 2024-01-01"),
+      Some("julian"), Array(1.0)).isEmpty)
+  }
+
   test("full scan: schema, CF timestamps, cell values, both variables") {
     val dir = Files.createTempDirectory("nc1").toString
     writeGrid(s"$dir/a.nc", nt = 6)
@@ -255,16 +294,28 @@ class NcReaderSpec extends SparkSpec {
     assert(df.agg(sum("v")).head().getDouble(0) == 4.0)
   }
 
-  test("non-Gregorian calendar falls back to a numeric axis (no silent shift)") {
+  test("noleap decodes to calendar-correct timestamps in the scan; julian " +
+      "falls back to a numeric axis (no silent shift)") {
     val dir = Files.createTempDirectory("nc11").toString
     NcFormat.writeFile(spark, s"$dir/c.nc",
       dims = Seq("time" -> 3),
       vars = Seq(
         WriteVar("time", Seq("time"), NcInt, Array(0.0, 1.0, 2.0),
-          attrs = Seq("units" -> "days since 2000-01-01", "calendar" -> "noleap")),
+          attrs = Seq("units" -> "days since 2000-02-28", "calendar" -> "noleap")),
         WriteVar("v", Seq("time"), NcDouble, Array(10.0, 20.0, 30.0))))
     val df = spark.read.format("netcdf").load(s"$dir/c.nc")
-    assert(df.schema("time").dataType.typeName == "integer") // raw, not timestamp
+    assert(df.schema("time").dataType.typeName == "timestamp_ntz")
+    // 2000 is a real leap year; the noleap axis skips its Feb 29
+    assert(df.select(max("time")).head().getAs[java.time.LocalDateTime](0) ==
+      java.time.LocalDateTime.parse("2000-03-02T00:00"))
+    NcFormat.writeFile(spark, s"$dir/j.nc",
+      dims = Seq("time" -> 3),
+      vars = Seq(
+        WriteVar("time", Seq("time"), NcInt, Array(0.0, 1.0, 2.0),
+          attrs = Seq("units" -> "days since 2000-01-01", "calendar" -> "julian")),
+        WriteVar("v", Seq("time"), NcDouble, Array(10.0, 20.0, 30.0))))
+    val dj = spark.read.format("netcdf").load(s"$dir/j.nc")
+    assert(dj.schema("time").dataType.typeName == "integer") // raw, not timestamp
     // a standard calendar attr still decodes
     NcFormat.writeFile(spark, s"$dir/g.nc",
       dims = Seq("time" -> 3),
