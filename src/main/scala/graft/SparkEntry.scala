@@ -348,6 +348,38 @@ object SparkEntry {
     path
   }
 
+  /** Probability-product fixture (template 4.5, the NBM shape): per day
+    * TWO PoP fields of ONE param at one (ref_time, step) — thresholds
+    * 1 mm and 5 mm, with threshold-5 values = 2·cnt + 1 so a threshold
+    * mix-up breaks VALUES, not just the row count. */
+  private def gribProbFixture(s: SparkSession, dir: String): String = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_grib_$sf/events_prob.grb2"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(hp, true)))
+    try days.foreach { d =>
+      val v1 = Array.fill(10)(0.0)
+      byDay(d).foreach(r =>
+        v1(r.getAs[Int]("slot")) = r.getAs[Long]("count").toDouble)
+      val v2 = v1.map(_ * 2 + 1)
+      graft.sources.grib.GribFormat.writeMessage2Fields(out, d,
+        Seq(0.0, 1.0), Seq(0.0, 1.0, 2.0, 3.0, 4.0),
+        fields = Seq((61, 0, v1), (61, 0, v2)),
+        probs = Seq((3, 1L, Long.MinValue), (3, 5L, Long.MinValue)))
+    } finally out.close()
+    path
+  }
+
   /** PNG media fixture: one REAL 8×8 grayscale PNG per day (RFC 2083 —
     * zlib, cycling scanline filters), pixels derived from slot counts:
     * p(i) = (cnt(slot = i mod 10)·7 + i) mod 256. The oracle recomputes
@@ -1519,6 +1551,19 @@ object SparkEntry {
         .withColumn("slot", (col("latitude") * 5 + col("longitude")).cast("int"))
         .select(col("time"), col("slot"), col("value").as("cnt"))
         .orderBy("time", "slot")
+    }),
+
+    // Probability products (template 4.5, the NBM shape): two PoP
+    // thresholds of ONE param at one (ref_time, step) key apart on the
+    // threshold axis, with per-threshold values the oracle recomputes —
+    // a blend or mix-up breaks values, not just counts
+    "q166_grib_prob_scan" -> ((s, dir) => {
+      val path = gribProbFixture(s, dir)
+      s.read.format("grib1").load(path)
+        .withColumn("slot", (col("latitude") * 5 + col("longitude")).cast("int"))
+        .select(col("time"), col("prob_lo").cast("int").as("threshold"),
+          col("slot"), col("value").as("cnt"))
+        .orderBy("time", "threshold", "slot")
     }),
 
     // GRIB with a BITMAP (section 6) + complex packing (template 5.2):
@@ -3745,6 +3790,23 @@ object SparkEntry {
     "q66_grib_scan" -> GribScanOracle,
     // edition-2 fixture decodes to the identical grid
     "q79_grib2_scan" -> GribScanOracle,
+
+    // two PoP thresholds per (day, slot): th=1 carries cnt, th=5 2·cnt+1
+    "q166_grib_prob_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS DOUBLE) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |spine AS (SELECT d, CAST(s AS INTEGER) AS slot, CAST(th AS INTEGER) AS threshold
+        |          FROM days, (SELECT unnest(range(10)) AS s),
+        |               (SELECT unnest([1, 5]) AS th)),
+        |base AS (SELECT spine.d, spine.slot, spine.threshold,
+        |                CAST(COALESCE(g.cnt, 0) AS DOUBLE) AS cnt
+        |         FROM spine LEFT JOIN g ON spine.d = g.d AND spine.slot = g.slot)
+        |SELECT d AS time, threshold, slot,
+        |       CASE WHEN threshold = 1 THEN cnt ELSE cnt * 2 + 1 END AS cnt
+        |FROM base ORDER BY 1, 2, 3""".stripMargin,
 
     // bitmap fixture: no-event cells are NULL (holes), not 0 — q61's
     // spine-with-nulls shape

@@ -54,7 +54,15 @@ final class ForecastGribManager(
       * required when the input carries one parameter at several levels —
       * the category's store key has no level dim, so a multi-level input
       * without a selection refuses by name. */
-    val level: Option[(Int, Double)] = None) extends DatasetManager {
+    val level: Option[(Int, Double)] = None,
+    /** Probability-product selection (templates 4.5/4.9): (table-4.9
+      * type, lower, upper) with NaN = that limit absent — picks ONE
+      * threshold out of a multi-threshold NBM-style file. None ingests
+      * only non-probability fields. */
+    val probability: Option[(Int, Double, Double)] = None,
+    /** Percentile-product selection (templates 4.6/4.10). None ingests
+      * only non-percentile fields. */
+    val percentile: Option[Int] = None) extends DatasetManager {
   require(derivedStat.isEmpty || !ensemble,
     "derived-ensemble statistics (4.2/4.12) carry no perturbation " +
       "number; derivedStat selection applies to the non-ensemble branch")
@@ -106,10 +114,12 @@ final class ForecastGribManager(
         case Some(code) => scanned.filter(col("member").isNull &&
           col("derived") === code)
       }
-    GribIngest.checkWindows(spark, Seq("" -> Seq(inputDir)),
-      GribIngest.CubeSelection(paramId, ensembleDim = ensemble,
-        derivedStat = derivedStat, stepStart = stepStart, level = level))
-    val shaped = GribIngest.filterCube(keyed, stepStart, level)
+    val selection = GribIngest.CubeSelection(paramId,
+      ensembleDim = ensemble, derivedStat = derivedStat,
+      stepStart = stepStart, level = level,
+      probability = probability, percentile = percentile)
+    GribIngest.checkWindows(spark, Seq("" -> Seq(inputDir)), selection)
+    val shaped = GribIngest.filterCube(keyed, selection)
       .withColumnRenamed("ref_time", "forecast_reference_time")
     Normalize.normalize(shaped, desc, pre = preprocess, post = postprocess)
   }

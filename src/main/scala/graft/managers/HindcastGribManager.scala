@@ -104,12 +104,13 @@ final class HindcastGribManager(
     // (hrt, DAY(ref_time), step, ensemble) — day-granular on ref because
     // the store's forecast_reference_offset is a whole-day datediff: two
     // runs of one hindcast date initialized 00Z/12Z land on ONE store key
+    val selection = GribIngest.CubeSelection(paramId, ensembleDim = true,
+      derivedStat = None, stepStart = stepStart, level = level,
+      refDayGranular = true)
     GribIngest.checkWindows(spark,
       files.groupBy(_._2).toSeq.map { case (hrt, fs) => hrt -> fs.map(_._1) },
-      GribIngest.CubeSelection(paramId, ensembleDim = true,
-        derivedStat = None, stepStart = stepStart, level = level,
-        refDayGranular = true))
-    val keyed = GribIngest.filterCube(scanned, stepStart, level)
+      selection)
+    val keyed = GribIngest.filterCube(scanned, selection)
       .withColumn("forecast_reference_offset",
         datediff(col("hindcast_reference_time"), col("ref_time"))
           .cast("long"))

@@ -87,6 +87,15 @@ object GribTable {
     // the interval START — two accumulation windows ending at the same
     // valid time (GFS precip buckets) key apart here; null = point
     StructField("step_start", LongType, nullable = true),
+    // probability products (templates 4.5/4.9 — the NBM shape): code
+    // table 4.9 type + lower/upper limits in physical units; null for
+    // non-probability products. The THRESHOLDS are hypercube axes (one
+    // file carries PoP > 1 and > 5 mm at one (ref, step)).
+    StructField("prob_type", IntegerType, nullable = true),
+    StructField("prob_lo", DoubleType, nullable = true),
+    StructField("prob_hi", DoubleType, nullable = true),
+    // percentile products (templates 4.6/4.10): the percentile 0-100
+    StructField("percentile", IntegerType, nullable = true),
     // nullable: bitmap-masked cells surface as null
     StructField("value", DoubleType, nullable = true)))
 
@@ -143,22 +152,28 @@ object GribTable {
   }
 
   /** Per-file interval-window keys straight from the memoized message
-    * HEADERS — zero payload decode, for manager-level window checks.
-    * `key` is the full hypercube key MINUS the window start (param incl.
-    * discipline, member, derived, level axes, refTime, endStep);
-    * `start` is stepStart minutes or Long.MinValue for point products. */
-  final case class WindowKey(key: (Int, Int, Int, Int, Long, Long,
-      java.time.LocalDateTime, Long), start: Long)
+    * HEADERS — zero payload decode, for manager-level window checks: the
+    * full hypercube key (param incl. discipline, member, derived, level
+    * axes, probability/percentile axes, refTime, endStep) plus the
+    * window `start` (stepStart minutes, Long.MinValue = point product).
+    * Doubles ride as raw bits so NaN (= axis absent) compares equal. */
+  final case class WindowKey(
+      param: Int, member: Int, derived: Int,
+      levelType: Int, levelBits: Long, levelToBits: Long,
+      probType: Int, probLoBits: Long, probHiBits: Long, percentile: Int,
+      ref: java.time.LocalDateTime, end: Long, start: Long)
   private[graft] def windowKeys(conf: Configuration, paths: Seq[String])
       : Seq[(String, Seq[WindowKey])] = {
     val files = listGribFiles(conf, paths)
     parseParallel(conf, files)
     files.map(st => st.getPath.toString ->
       cachedMessages(conf, st).map(m => WindowKey(
-        (m.paramId, m.member, m.derived, m.levelType,
-          java.lang.Double.doubleToLongBits(m.level),
-          java.lang.Double.doubleToLongBits(m.levelTo),
-          baseOf(m), m.stepMinutes),
+        m.paramId, m.member, m.derived, m.levelType,
+        java.lang.Double.doubleToLongBits(m.level),
+        java.lang.Double.doubleToLongBits(m.levelTo),
+        m.probType, java.lang.Double.doubleToLongBits(m.probLo),
+        java.lang.Double.doubleToLongBits(m.probHi), m.percentile,
+        baseOf(m), m.stepMinutes,
         m.stepStartMinutes)).distinct)
   }
 
@@ -239,7 +254,8 @@ final class GribScanBuilder(table: GribTable) extends ScanBuilder
     // IsNotNull must stay residual
     case sources.IsNotNull(a) => a != "value" && a != "member" &&
       a != "derived" && a != "level" && a != "level_type" &&
-      a != "level_to" && a != "step_start" &&
+      a != "level_to" && a != "step_start" && a != "prob_type" &&
+      a != "prob_lo" && a != "prob_hi" && a != "percentile" &&
       GribTable.Schema.fieldNames.contains(a)
     case sources.EqualTo("param", _: Integer) => true
     case sources.In("param", vs) => vs.forall(_.isInstanceOf[Integer])
@@ -256,6 +272,14 @@ final class GribScanBuilder(table: GribTable) extends ScanBuilder
     case sources.EqualTo("step", _: java.lang.Long) => true
     case sources.EqualTo("step_start", _: java.lang.Long) => true
     case sources.IsNull("step_start") => true
+    case sources.EqualTo("prob_type", _: Integer) => true
+    case sources.IsNull("prob_type") => true
+    case sources.EqualTo("prob_lo", _: java.lang.Double) => true
+    case sources.IsNull("prob_lo") => true
+    case sources.EqualTo("prob_hi", _: java.lang.Double) => true
+    case sources.IsNull("prob_hi") => true
+    case sources.EqualTo("percentile", _: Integer) => true
+    case sources.IsNull("percentile") => true
     case sources.EqualTo("time" | "ref_time", v) => NcScan.toKey(v).isDefined
     case sources.GreaterThan("time" | "ref_time", v) => NcScan.toKey(v).isDefined
     case sources.GreaterThanOrEqual("time" | "ref_time", v) => NcScan.toKey(v).isDefined
@@ -329,6 +353,17 @@ final class GribScan(
       m.stepStartMinutes == v.longValue()
     case sources.IsNull("step_start") =>
       m.stepStartMinutes == Long.MinValue
+    case sources.EqualTo("prob_type", v: Integer) => m.probType == v.intValue()
+    case sources.IsNull("prob_type") => m.probType < 0
+    case sources.EqualTo("prob_lo", v: java.lang.Double) =>
+      m.probLo == v.doubleValue() // NaN (absent) never equals
+    case sources.IsNull("prob_lo") => m.probLo.isNaN
+    case sources.EqualTo("prob_hi", v: java.lang.Double) =>
+      m.probHi == v.doubleValue()
+    case sources.IsNull("prob_hi") => m.probHi.isNaN
+    case sources.EqualTo("percentile", v: Integer) =>
+      m.percentile == v.intValue()
+    case sources.IsNull("percentile") => m.percentile < 0
     case sources.EqualTo("time", v) => NcScan.toKey(v).contains(timeMicros(m))
     case sources.GreaterThan("time", v) => NcScan.toKey(v).exists(timeMicros(m) > _)
     case sources.GreaterThanOrEqual("time", v) => NcScan.toKey(v).exists(timeMicros(m) >= _)
@@ -415,6 +450,8 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
   private val RefTimeC = 8; private val StepC = 9
   private val DerivedC = 10; private val LevelToC = 11
   private val StepStartC = 12
+  private val ProbTypeC = 13; private val ProbLoC = 14
+  private val ProbHiC = 15; private val PercentileC = 16
   private val colCodes: Array[Int] = part.cols.map {
     case "time" => TimeC
     case "latitude" => LatC
@@ -429,6 +466,10 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
     case "derived" => DerivedC
     case "level_to" => LevelToC
     case "step_start" => StepStartC
+    case "prob_type" => ProbTypeC
+    case "prob_lo" => ProbLoC
+    case "prob_hi" => ProbHiC
+    case "percentile" => PercentileC
   }
   private var k = -1
 
@@ -452,6 +493,10 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
         case StepC => m.stepMinutes
         case StepStartC =>
           if (m.stepStartMinutes == Long.MinValue) null else m.stepStartMinutes
+        case ProbTypeC => if (m.probType < 0) null else m.probType
+        case ProbLoC => if (m.probLo.isNaN) null else m.probLo
+        case ProbHiC => if (m.probHi.isNaN) null else m.probHi
+        case PercentileC => if (m.percentile < 0) null else m.percentile
         case ValueC =>
           val v = cellValue(k)
           if (v.isNaN) null else v

@@ -418,7 +418,20 @@ object GribFormat {
         * table 4.7: 0 = mean, 2 = std dev — the GEFS geavg/gespr archive
         * shape); -1 = not a derived product. Derived products carry no
         * perturbation number: `member` stays -1. */
-      derived: Int = -1) {
+      derived: Int = -1,
+      /** Probability products (templates 4.5/4.9 — the NBM/probabilistic
+        * forecast shape): code-table-4.9 probability type (0 below lower,
+        * 1 above upper, 2 between, 3 above lower, 4 below upper);
+        * -1 = not a probability product. */
+      probType: Int = -1,
+      /** Probability LOWER limit (scaledValue / 10^scaleFactor, physical
+        * units); NaN when absent (e.g. type 1 carries only the upper). */
+      probLo: Double = Double.NaN,
+      /** Probability UPPER limit; NaN when absent. */
+      probHi: Double = Double.NaN,
+      /** Percentile products (templates 4.6/4.10): the percentile value
+        * 0-100; -1 = not a percentile product. */
+      percentile: Int = -1) {
     // lazy, not def: latLonAt runs per cell (twice per row for lat+lon
     // columns) on rotated/Gaussian grids — rebuilding the axis arrays per
     // call would dominate a large scan
@@ -1251,6 +1264,17 @@ object GribFormat {
         * GEFS geavg/gespr archive shape. Mutually exclusive per field
         * with `members`. */
       derivedStats: Seq[Int] = Seq.empty,
+      /** Probability products aligned with `fields`: (table-4.9 type,
+        * lower limit, upper limit) at scale factor 0, Long.MinValue = that
+        * limit absent; (-1, _, _) entries stay non-probability. Writes
+        * product template 4.5, or 4.9 with an interval — the NBM shape.
+        * Mutually exclusive per field with members/derivedStats. */
+      probs: Seq[(Int, Long, Long)] = Seq.empty,
+      /** Percentile products aligned with `fields`: the percentile 0-100;
+        * -1 entries stay non-percentile. Writes product template 4.6, or
+        * 4.10 with an interval. Mutually exclusive per field with the
+        * other product axes. */
+      percentiles: Seq[Int] = Seq.empty,
       /** Section 0 discipline (0 = meteorological, 1 = hydrological,
         * 2 = land surface, 10 = oceanographic). Joins the scan's param
         * key as the high 8 bits. */
@@ -1273,6 +1297,24 @@ object GribFormat {
         fields.indices.forall(i => derivedStats(i) < 0 || members(i) < 0),
       "a field is either an individual member (4.1/4.11) or a derived " +
         "statistic (4.2/4.12), not both")
+    require(probs.isEmpty || probs.length == fields.length,
+      s"${probs.length} probability specs for ${fields.length} fields")
+    require(percentiles.isEmpty || percentiles.length == fields.length,
+      s"${percentiles.length} percentiles for ${fields.length} fields")
+    fields.indices.foreach { i =>
+      val axes = Seq(
+        members.lift(i).exists(_ >= 0), derivedStats.lift(i).exists(_ >= 0),
+        probs.lift(i).exists(_._1 >= 0), percentiles.lift(i).exists(_ >= 0))
+      require(axes.count(identity) <= 1,
+        s"field $i mixes product axes (member/derived/probability/percentile)")
+    }
+    probs.foreach { case (t, lo, hi) =>
+      require(t < 0 || lo != Long.MinValue || hi != Long.MinValue,
+        "a probability field needs at least one limit")
+      require((lo == Long.MinValue || lo >= 0) &&
+        (hi == Long.MinValue || hi >= 0),
+        "this writer emits non-negative probability limits (scale factor 0)")
+    }
     require(spatialDiffOrder >= 0 && spatialDiffOrder <= 2,
       s"spatial differencing order $spatialDiffOrder (0, 1, 2)")
     require(spatialDiffOrder == 0 || complexPacking,
@@ -1293,6 +1335,7 @@ object GribFormat {
         jpegBytes: Option[Array[Byte]],
         refValue: Float,
         member: Int, derived: Int,
+        probType: Int, probLo: Long, probHi: Long, pct: Int,
         surfType: Int, surfVal: Long, surfVal2: Long,
         accumHours: Int,
         sec4Len: Int, sec5Len: Int, sec6Len: Int, sec7Len: Int)
@@ -1373,14 +1416,20 @@ object GribFormat {
       val surfVal2 = if (levelTops.isEmpty) Long.MinValue else levelTops(fi)
       val accumHours = if (intervals.isEmpty) 0 else intervals(fi)
       val derivedStat = if (derivedStats.isEmpty) -1 else derivedStats(fi)
+      val (probT, probLo, probHi) =
+        if (probs.isEmpty) (-1, Long.MinValue, Long.MinValue) else probs(fi)
+      val pct = if (percentiles.isEmpty) -1 else percentiles(fi)
       FieldPlan(paramId, leadHours, scaled, minV, bits, bitmap, complexParts,
         pngBytes, ccsdsBytes, jpegBytes,
         refValue = if (fieldOrder > 0) 0f else minV.toFloat,
         member = member, derived = derivedStat,
+        probType = probT, probLo = probLo, probHi = probHi, pct = pct,
         surfType = surfType, surfVal = surfVal, surfVal2 = surfVal2,
         accumHours = accumHours,
         sec4Len = (if (member >= 0) 37
-          else if (derivedStat >= 0) 36 else 34) +
+          else if (derivedStat >= 0) 36
+          else if (probT >= 0) 47
+          else if (pct >= 0) 35 else 34) +
           (if (accumHours > 0) 24 else 0),
         sec5Len = if (fieldOrder > 0) 49 else if (complexPacking) 47
           else if (ccsdsPacking) 25 else if (jpegPacking) 23 else 21,
@@ -1522,10 +1571,12 @@ object GribFormat {
       out.writeShort(0) // no coordinate values
       out.writeShort(
         if (p.accumHours > 0) {
-          if (p.member >= 0) 11 else if (p.derived >= 0) 12 else 8
+          if (p.member >= 0) 11 else if (p.derived >= 0) 12
+          else if (p.probType >= 0) 9 else if (p.pct >= 0) 10 else 8
         } else {
-          if (p.member >= 0) 1 else if (p.derived >= 0) 2 else 0
-        }) // 4.0 / 4.1 / 4.2 / 4.8 / 4.11 / 4.12
+          if (p.member >= 0) 1 else if (p.derived >= 0) 2
+          else if (p.probType >= 0) 5 else if (p.pct >= 0) 6 else 0
+        }) // 4.0 / 4.1 / 4.2 / 4.5 / 4.6 / 4.8 / 4.9 / 4.10 / 4.11 / 4.12
       out.writeByte((p.paramId >> 8) & 0xFF) // parameter category
       out.writeByte(p.paramId & 0xFF) // parameter number
       out.writeByte(2); out.writeByte(0); out.writeByte(0) // process type/bg/id
@@ -1548,6 +1599,16 @@ object GribFormat {
       } else if (p.derived >= 0) {
         out.writeByte(p.derived) // derived forecast type (table 4.7)
         out.writeByte(math.max(nMembers, 2)) // forecasts in ensemble
+      } else if (p.probType >= 0) {
+        out.writeByte(0) // forecast probability number
+        out.writeByte(1) // total number of probabilities
+        out.writeByte(p.probType) // table 4.9
+        if (p.probLo == Long.MinValue) { out.writeByte(255); out.writeInt(-1) }
+        else { out.writeByte(0); out.writeInt(p.probLo.toInt) }
+        if (p.probHi == Long.MinValue) { out.writeByte(255); out.writeInt(-1) }
+        else { out.writeByte(0); out.writeInt(p.probHi.toInt) }
+      } else if (p.pct >= 0) {
+        out.writeByte(p.pct) // percentile value (0-100)
       }
       if (p.accumHours > 0) {
         // statistical-processing trailer: END of the overall interval,
@@ -1697,6 +1758,10 @@ object GribFormat {
       var rowLengths: Option[Array[Int]] = None
       var member = -1
       var derived1 = -1
+      var probType1 = -1
+      var probLo1 = Double.NaN
+      var probHi1 = Double.NaN
+      var percentile1 = -1
       var levelType1 = 255
       var level1 = Double.NaN
       var levelTo1 = Double.NaN
@@ -1758,7 +1823,9 @@ object GribFormat {
               spectral = spectral, levelType = levelType1, level = level1,
               levelTo = levelTo1,
               baseTime = refTime0, stepMinutes = stepMin,
-              stepStartMinutes = stepStartMin, derived = derived1)
+              stepStartMinutes = stepStartMin, derived = derived1,
+              probType = probType1, probLo = probLo1, probHi = probHi1,
+              percentile = percentile1)
           } else if (num == 6) {
             val indicator = readN(1)(0) & 0xFF
             indicator match {
@@ -1983,10 +2050,11 @@ object GribFormat {
                 // (individual member) share the leading octets the scan
                 // needs; 4.1/4.11 add the perturbation number at octet 36
                 val tmpl = u16(body, 2)
-                require(tmpl == 0 || tmpl == 1 || tmpl == 2 || tmpl == 8 ||
+                require(tmpl == 0 || tmpl == 1 || tmpl == 2 || tmpl == 5 ||
+                    tmpl == 6 || tmpl == 8 || tmpl == 9 || tmpl == 10 ||
                     tmpl == 11 || tmpl == 12,
                   s"product template $tmpl unsupported " +
-                    "(4.0, 4.1, 4.2, 4.8, 4.11, 4.12)")
+                    "(4.0, 4.1, 4.2, 4.5, 4.6, 4.8, 4.9, 4.10, 4.11, 4.12)")
                 // discipline (section 0 octet 7) joins the parameter key:
                 // (discipline, category, number) is the WMO identity —
                 // soil moisture (2,0,x) must never alias a meteorological
@@ -2034,12 +2102,48 @@ object GribFormat {
                 // octet 35 carries the table-4.7 statistic; no
                 // perturbation number
                 derived1 = if (tmpl == 2 || tmpl == 12) body(29) & 0xFF else -1
-                // 4.8/4.11/4.12: time of END of the overall interval —
-                // octets 35-41 (4.8) / 38-44 (4.11, after the ensemble
-                // octets) / 37-43 (4.12, after the derived octets)
+                // 4.5/4.9 (probability — the NBM shape): octet 37 carries
+                // the table-4.9 probability type, octets 38-42/43-47 the
+                // (scale factor, scaled value) lower/upper limits — the
+                // thresholds ARE hypercube axes: one file carries PoP > 1
+                // AND > 5 mm at one (ref, step)
+                if (tmpl == 5 || tmpl == 9) {
+                  require(body.length >= 42,
+                    s"product template 4.$tmpl section too short " +
+                      s"(${body.length + 5} octets) for the probability limits")
+                  probType1 = body(31) & 0xFF
+                  def limit(sfOff: Int, valOff: Int): Double = {
+                    val sf = body(sfOff) & 0xFF
+                    if (sf == 255 || u32(body, valOff) == 0xFFFFFFFFL) Double.NaN
+                    else {
+                      val factor = (sf & 0x7F) * (if ((sf & 0x80) != 0) -1 else 1)
+                      sm(body, valOff, 4).toDouble / math.pow(10.0, factor)
+                    }
+                  }
+                  probLo1 = limit(32, 33)
+                  probHi1 = limit(37, 38)
+                  require(!probLo1.isNaN || !probHi1.isNaN,
+                    s"probability product 4.$tmpl carries neither a lower " +
+                      "nor an upper limit")
+                } else { probType1 = -1; probLo1 = Double.NaN; probHi1 = Double.NaN }
+                // 4.6/4.10 (percentile): octet 35 is the percentile 0-100
+                percentile1 =
+                  if (tmpl == 6 || tmpl == 10) body(29) & 0xFF else -1
+                // 4.8/4.11/4.12/4.9/4.10: time of END of the overall
+                // interval — octets 35-41 (4.8) / 38-44 (4.11, after the
+                // ensemble octets) / 37-43 (4.12, after the derived
+                // octets) / 48-54 (4.9, after the probability octets) /
+                // 36-42 (4.10, after the percentile octet)
                 intervalEnd =
-                  if (tmpl == 8 || tmpl == 11 || tmpl == 12) {
-                    val o = if (tmpl == 11) 32 else if (tmpl == 12) 31 else 29
+                  if (tmpl == 8 || tmpl == 9 || tmpl == 10 || tmpl == 11 ||
+                      tmpl == 12) {
+                    val o = tmpl match {
+                      case 9 => 42
+                      case 10 => 30
+                      case 11 => 32
+                      case 12 => 31
+                      case _ => 29
+                    }
                     require(body.length >= o + 7,
                       s"product template 4.$tmpl section too short " +
                         s"(${body.length + 5} octets) for the interval-end time")
@@ -2415,11 +2519,15 @@ object GribFormat {
         m.member, m.derived, m.levelType,
         (java.lang.Double.doubleToLongBits(m.level),
           java.lang.Double.doubleToLongBits(m.levelTo)),
+        // probability/percentile axes: two thresholds of one param at one
+        // (ref, step) are DISTINCT hypercubes (the NBM file shape)
+        (m.probType, java.lang.Double.doubleToLongBits(m.probLo),
+          java.lang.Double.doubleToLongBits(m.probHi), m.percentile),
         m.spectral.isDefined))
       .filter(_._2.lengthCompare(1) > 0)
     if (dups.nonEmpty) {
       val key = dups.keys.minBy(_.toString)
-      val (t, (step, _), p, mem, drv, lt, (lv, _), _) = key
+      val (t, (step, _), p, mem, drv, lt, (lv, _), _, _) = key
       throw new IllegalArgumentException(
         s"GRIB file carries ${dups.size} duplicated field key(s): e.g. " +
           s"${dups(key).length} fields share (refTime=$t, " +

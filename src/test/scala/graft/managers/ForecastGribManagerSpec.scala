@@ -272,4 +272,47 @@ class ForecastGribManagerSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("derived"))
   }
+
+  test("probability products (4.5, the NBM shape): a multi-threshold " +
+      "file refuses by name; the probability knob selects one " +
+      "threshold's hypercube") {
+    val root = Files.createTempDirectory("prob_mgr").toString
+    // plain deterministic manager over a PURE probability file: nothing
+    // matches its (non-probability) category — the store stays empty via
+    // the manager's own filters, and a probability-selecting manager is
+    // the route in
+    val out = new DataOutputStream(Files.newOutputStream(
+      Paths.get(s"$root/pop_01.grb2")))
+    val refTime = java.time.LocalDateTime.of(2024, 3, 1, 0, 0)
+    try for (lead <- Seq(0, 6)) {
+      def vals(extra: Double) = (for (la <- lats; lo <- lons)
+        yield 250.0 + lead + (la - 10.0) * 20 + (lo - 100.0) * 20 + extra).toArray
+      GribFormat.writeMessage2Fields(out, refTime, lats, lons,
+        fields = Seq((167, lead, vals(0)), (167, lead, vals(50))),
+        probs = Seq((3, 1L, Long.MinValue), (3, 5L, Long.MinValue)))
+    } finally out.close()
+    // selecting ONE threshold ingests exactly that hypercube
+    val mgr = new ForecastGribManager(spark, root,
+      probability = Some((3, 5.0, Double.NaN)))
+    new java.io.File(mgr.inputDir).mkdirs()
+    java.nio.file.Files.copy(Paths.get(s"$root/pop_01.grb2"),
+      Paths.get(s"${mgr.inputDir}/pop_01.grb2"))
+    mgr.run()
+    val ds = mgr.store.dataset()
+    assert(ds.count() == 2 * 4)
+    assert(ds.filter(col("step") === 360L && col("latitude") === 10.0 &&
+      col("longitude") === 100.0).select("t2m").as[Double].head() == 306.0)
+    // a probability selection over BOTH thresholds cannot exist — a
+    // wrong threshold refuses by name, listing what IS there
+    val miss = new ForecastGribManager(spark, root + "_miss",
+      probability = Some((3, 2.0, Double.NaN)))
+    new java.io.File(miss.inputDir).mkdirs()
+    java.nio.file.Files.copy(Paths.get(s"$root/pop_01.grb2"),
+      Paths.get(s"${miss.inputDir}/pop_01.grb2"))
+    val e = intercept[IllegalArgumentException] { miss.run() }
+    assert(e.getMessage.contains("matches no message") &&
+      e.getMessage.contains("prob(type 3, lo 1.0)") &&
+      e.getMessage.contains("prob(type 3, lo 5.0)"),
+      s"got: ${e.getMessage}")
+  }
 }

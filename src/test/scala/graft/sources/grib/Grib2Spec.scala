@@ -22,7 +22,7 @@ class Grib2Spec extends SparkSpec {
     assert(df.columns.toSeq ==
       Seq("time", "latitude", "longitude", "param", "member", "derived",
         "level_type", "level", "level_to", "ref_time", "step", "step_start",
-        "value"))
+        "prob_type", "prob_lo", "prob_hi", "percentile", "value"))
     assert(df.count() == 8)
     val r = df.filter(col("time") === lit(ts("2024-03-02T00:00:00")) &&
       col("latitude") === -45.0 && col("longitude") === 10.5).head()

@@ -92,6 +92,85 @@ class GribLevelSpec extends SparkSpec {
     assert(q2.count() == 0)
   }
 
+  test("probability products (4.5/4.9, the NBM shape): two thresholds at " +
+      "one (ref_time, step) stay distinct; thresholds prune at planning; " +
+      "4.9 keys the interval end") {
+    val dir = freshDir("prob")
+    val ref = LocalDateTime.parse("2024-03-01T00:00")
+    write(s"$dir/pop.grb2") { out =>
+      // P(precip > 1 mm) and P(precip > 5 mm), point-in-time, lead 6 h
+      GribFormat.writeMessage2Fields(out, ref, lats, lons,
+        fields = Seq((61, 6, grid(10.0)), (61, 6, grid(70.0))),
+        probs = Seq((3, 1L, Long.MinValue), (3, 5L, Long.MinValue)))
+      // interval form (4.9): probability over [6, 12] h — valid at END
+      GribFormat.writeMessage2Fields(out, ref, lats, lons,
+        fields = Seq((61, 6, grid(40.0))),
+        probs = Seq((3, 1L, Long.MinValue)),
+        intervals = Seq(6))
+    }
+    val df = spark.read.format("grib1").load(s"$dir/pop.grb2")
+    assert(df.count() == 12)
+    assert(df.select("prob_type").distinct().head().getInt(0) == 3)
+    assert(df.select("prob_lo").distinct().collect().map(_.getDouble(0))
+      .sorted.toSeq == Seq(1.0, 5.0))
+    assert(df.select("prob_hi").na.drop().count() == 0) // upper absent
+    // the two point thresholds share (ref_time, step) yet never collide
+    val pt = df.filter(col("step_start").isNull)
+    assert(pt.select("ref_time", "step").distinct().count() == 1)
+    assert(pt.filter(col("prob_lo") === 1.0 &&
+      col("latitude") === 0.0 && col("longitude") === 10.0)
+      .select("value").head().getDouble(0) == 10.0)
+    assert(pt.filter(col("prob_lo") === 5.0 &&
+      col("latitude") === 0.0 && col("longitude") === 10.0)
+      .select("value").head().getDouble(0) == 70.0)
+    // 4.9: valid = interval END (ref + 12 h), step = endStep, start kept
+    val iv = df.filter(col("step_start").isNotNull)
+    assert(iv.select("time").distinct().head()
+      .getAs[LocalDateTime](0) == ref.plusHours(12))
+    assert(iv.select("step").distinct().head().getLong(0) == 720L)
+    assert(iv.select("step_start").distinct().head().getLong(0) == 360L)
+    // threshold equality prunes whole messages at planning
+    val q = spark.read.format("grib1").load(s"$dir/pop.grb2")
+      .filter(col("prob_lo") === 5.0)
+    assert(q.queryExecution.executedPlan.toString.contains("messages=1/3"),
+      "prob_lo equality must prune messages at planning")
+    // the same threshold twice is a full-key collision, refused by name
+    val e = intercept[IllegalArgumentException] {
+      write(s"$dir/dup.grb2") { out =>
+        GribFormat.writeMessage2Fields(out, ref, lats, lons,
+          fields = Seq((61, 6, grid(1.0)), (61, 6, grid(2.0))),
+          probs = Seq((3, 1L, Long.MinValue), (3, 1L, Long.MinValue)))
+      }
+      spark.read.format("grib1").load(s"$dir/dup.grb2").count()
+    }
+    assert(e.getMessage.contains("duplicated field key"))
+  }
+
+  test("percentile products (4.6/4.10): the percentile keys the " +
+      "hypercube; interval form keys the interval end") {
+    val dir = freshDir("pct")
+    val ref = LocalDateTime.parse("2024-03-01T00:00")
+    write(s"$dir/pct.grb2") { out =>
+      GribFormat.writeMessage2Fields(out, ref, lats, lons,
+        fields = Seq((167, 6, grid(250.0)), (167, 6, grid(280.0))),
+        percentiles = Seq(10, 90))
+      GribFormat.writeMessage2Fields(out, ref, lats, lons,
+        fields = Seq((61, 6, grid(5.0))),
+        percentiles = Seq(50), intervals = Seq(6))
+    }
+    val df = spark.read.format("grib1").load(s"$dir/pct.grb2")
+    assert(df.count() == 12)
+    assert(df.select("percentile").distinct().collect().map(_.getInt(0))
+      .sorted.toSeq == Seq(10, 50, 90))
+    assert(df.filter(col("percentile") === 90 &&
+      col("latitude") === 0.0 && col("longitude") === 10.0)
+      .select("value").head().getDouble(0) == 280.0)
+    val iv = df.filter(col("percentile") === 50)
+    assert(iv.select("time").distinct().head()
+      .getAs[LocalDateTime](0) == ref.plusHours(12))
+    assert(iv.select("step_start").distinct().head().getLong(0) == 360L)
+  }
+
   test("two fields on the SAME full hypercube key are refused by name") {
     val dir = freshDir("dup")
     write(s"$dir/dup.grb2") { out =>
