@@ -4,6 +4,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // One-bench-per-JVM is guaranteed by `run / fork := true`, but a
+    // JUST-EXITED Spark JVM in the same shell pipeline (verify, compile,
+    // a prior bench) leaves GC/page-cache churn that reads ~10-40% high
+    // (SCALING.md §methodology). Wait — bounded — for the 1-minute load
+    // average to settle before the timed section; skip via
+    // SPARK_GRAFT_NO_QUIESCE=1 for quick local iteration.
+    if (!sys.env.contains("SPARK_GRAFT_NO_QUIESCE")) {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val target = math.max(2.0, cpus.toDouble / 2)
+      var waitedMs = 0L
+      while (os.getSystemLoadAverage > target && waitedMs < 90000L) {
+        Thread.sleep(3000); waitedMs += 3000
+      }
+      if (waitedMs > 0)
+        System.err.println(s"[bench] waited ${waitedMs / 1000}s for system " +
+          s"load (now ${os.getSystemLoadAverage}) to settle under $target")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

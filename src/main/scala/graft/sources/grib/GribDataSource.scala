@@ -104,19 +104,46 @@ object GribTable {
   private[grib] def baseOf(m: GribMessage): java.time.LocalDateTime =
     if (m.baseTime == null) m.validTime else m.baseTime
 
-  private val messageCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Seq[GribMessage]]()
+  /** Header-cache bound (files). `private[grib] var` so the eviction spec
+    * can shrink it; production never writes it. */
+  private[grib] var MaxCachedFiles = 4096
+  /** Cache-miss parses — observability for the eviction spec. */
+  private[grib] val headerParses = new java.util.concurrent.atomic.AtomicLong
 
-  private[grib] def cachedMessages(conf: Configuration,
-      st: org.apache.hadoop.fs.FileStatus): Seq[GribMessage] =
-    messageCache.computeIfAbsent(
-      (st.getPath.toString, st.getModificationTime, st.getLen), _ => {
-        val in = st.getPath.getFileSystem(conf).open(st.getPath)
-        try GribFormat.parseMessages(in) finally in.close()
+  /** ACCESS-ordered LRU bounded at [[MaxCachedFiles]]: crossing the
+    * bound evicts only the oldest-touched entries, so planning a
+    * >bound-file archive re-parses the spillover — not, as the old
+    * clear-all did, the entire working set on every subsequent plan. */
+  private val messageCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), Seq[GribMessage]](
+          256, 0.75f, /* accessOrder = */ true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), Seq[GribMessage]])
+            : Boolean = size() > MaxCachedFiles
       })
 
-  private[grib] def evictIfOversized(): Unit =
-    if (messageCache.size > 4096) messageCache.clear()
+  /** Spec hook: start the LRU from empty so eviction order is
+    * deterministic (production never calls this). */
+  private[grib] def clearHeaderCache(): Unit = messageCache.clear()
+
+  private[grib] def cachedMessages(conf: Configuration,
+      st: org.apache.hadoop.fs.FileStatus): Seq[GribMessage] = {
+    val key = (st.getPath.toString, st.getModificationTime, st.getLen)
+    val hit = messageCache.get(key)
+    if (hit != null) hit
+    else {
+      // parse OUTSIDE the map lock: the planner's bounded pool parses
+      // misses concurrently, and holding the LRU lock through remote I/O
+      // would serialize them; a rare duplicate parse of one file is
+      // cheaper than that convoy
+      headerParses.incrementAndGet()
+      val in = st.getPath.getFileSystem(conf).open(st.getPath)
+      val ms = try GribFormat.parseMessages(in) finally in.close()
+      messageCache.put(key, ms)
+      ms
+    }
+  }
 
   private def isGrib(name: String): Boolean =
     graft.sources.Manifest.isGrib(name)
@@ -216,11 +243,10 @@ object GribTable {
           "with spark.read.format(\"grib-spectral\") (rows: time, param, " +
           "member, m, n, part, value)")
     }
-    // size-bounded eviction like NcTable.layoutCache: a long-lived driver
-    // scanning many (or rewritten — each rewrite is a fresh (path,mtime,len)
-    // key) GRIB files must not grow the cache unboundedly; clear AFTER
-    // serving this resolve so the current scan still hits
-    evictIfOversized()
+    // size-bounded LRU eviction happens inline in cachedMessages — a
+    // long-lived driver scanning many (or rewritten — each rewrite is a
+    // fresh (path,mtime,len) key) GRIB files stays bounded without ever
+    // dropping its working set
     new GribTable(byFile, conf, paths, maxFiles)
   }
 }

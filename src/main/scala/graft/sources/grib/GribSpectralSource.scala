@@ -84,9 +84,8 @@ object GribSpectralTable {
     GribTable.parseParallel(conf, files) // bounded-pool header fan-out
     val byFile = files.map(st =>
       st.getPath.toString -> GribTable.cachedMessages(conf, st))
-    // same size-bounded eviction as the gridded resolve — a spectral-only
-    // driver polling a landing dir must not grow the shared cache forever
-    GribTable.evictIfOversized()
+    // the shared header cache is LRU-bounded inline (GribTable
+    // .cachedMessages) — no explicit eviction step needed here
     byFile.find(_._2.exists(_.spectral.isEmpty)).foreach { case (p, _) =>
       throw new IllegalArgumentException(
         s"$p holds gridded (lat/lon) fields — read them with " +
