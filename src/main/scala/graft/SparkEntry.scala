@@ -536,6 +536,45 @@ object SparkEntry {
     rows.toDF("id", "gif")
   }
 
+  /** WebP twin of [[pngEventsFixture]]: the same 8×8 gray pixel grid as
+    * VP8L lossless, with the encoder's transform knobs CYCLED by day —
+    * plain literals, subtract-green, each spatial predictor mode in
+    * turn, cross-color, palette (sub-byte bundling), color cache, LZ77
+    * runs, VP8X container — so the single oracle hash covers every
+    * decoder path (the q146 "cycling scanline filters" trick). */
+  private def webpEventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    import graft.functions.WebP.EncodeOpts
+    val rows = days.toSeq.zipWithIndex.map { case (d, k) =>
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val px = Array.tabulate(64)(i =>
+        0xFF000000 | (((cnt(i % 10) * 7 + i) % 256) * 0x010101L).toInt)
+      val opts = (k % 8) match {
+        case 0 => EncodeOpts()
+        case 1 => EncodeOpts(subtractGreen = true, cacheBits = 4)
+        case 2 => EncodeOpts(predictorMode = k % 14)
+        case 3 => EncodeOpts(colorTransform = Some((23, -45, 101)))
+        case 4 => EncodeOpts(palette = true)
+        case 5 => EncodeOpts(rleBackrefs = true, cacheBits = 6)
+        case 6 => EncodeOpts(subtractGreen = true,
+          predictorMode = k % 14, vp8x = true)
+        case _ => EncodeOpts(cacheBits = 2, vp8x = true)
+      }
+      (java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate),
+        graft.functions.WebP.encode(8, 8, px, opts))
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "webp")
+  }
+
   /** CDF-5 fixture (PnetCDF 64-bit data format, the HPC-produced classic
     * shape): the q61 events grid written with version byte 5, wide header
     * integers, and an NC_INT64 data variable with an int64 fill. */
@@ -2366,6 +2405,30 @@ object SparkEntry {
     "q150_gif_decode_ahash" -> ((s, dir) => {
       val gifs = gifEventsFixture(s, dir)
       val dec = Multimodal.decodeResize(gifs, "id", "gif", 8, 8,
+        Multimodal.ImageDecoder).toDF()
+      val withPix = dec.select(col("id"), col("width"), col("height"),
+        transform(col("pixels"), v => round(v * 255).cast("long")).as("pi"))
+      withPix.withColumn("pix_sum",
+          aggregate(col("pi"), lit(0L), (a, v) => a + v))
+        .select(col("id"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"),
+          col("pix_sum"),
+          array_join(transform(col("pi"),
+            p => when(p * 64 > col("pix_sum"), "1").otherwise("0")), "")
+            .as("ahash_bits"))
+        .orderBy("id")
+    }),
+
+    // The SAME grid as q146 but carried as lossless WebP (VP8L), with
+    // the transform knobs cycled by day (predictors, cross-color,
+    // palette bundling, color cache, LZ77, VP8X), decoded through the
+    // magic-dispatching ImageDecoder — gray pixels make luminance
+    // recover the exact byte, so q146's oracle applies verbatim and any
+    // prefix-code/transform/bundling slip fails the hash.
+    "q167_webp_decode_ahash" -> ((s, dir) => {
+      val webps = webpEventsFixture(s, dir)
+      val dec = Multimodal.decodeResize(webps, "id", "webp", 8, 8,
         Multimodal.ImageDecoder).toDF()
       val withPix = dec.select(col("id"), col("width"), col("height"),
         transform(col("pixels"), v => round(v * 255).cast("long")).as("pi"))
@@ -4279,6 +4342,29 @@ object SparkEntry {
 
     // real GIF decode gate: same pixel grid as q146 through LZW
     "q150_gif_decode_ahash" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |px AS (SELECT days.d, i.i,
+        |         (coalesce(g.cnt, 0) * 7 + i.i) % 256 AS p
+        |       FROM days
+        |       CROSS JOIN (SELECT CAST(unnest(range(64)) AS INTEGER) AS i) i
+        |       LEFT JOIN g ON g.d = days.d AND g.slot = CAST(i.i % 10 AS INTEGER)),
+        |agg AS (SELECT d, sum(p) AS s FROM px GROUP BY d)
+        |SELECT CAST(date_diff('day', DATE '1970-01-01', px.d) AS BIGINT) AS id,
+        |       8 AS width, 8 AS height,
+        |       CAST(agg.s AS BIGINT) AS pix_sum,
+        |       string_agg(CASE WHEN px.p * 64 > agg.s THEN '1' ELSE '0' END, ''
+        |                  ORDER BY px.i) AS ahash_bits
+        |FROM px JOIN agg ON px.d = agg.d
+        |GROUP BY px.d, agg.s
+        |ORDER BY id""".stripMargin,
+
+    // real WebP decode gate: q146's grid and oracle verbatim, carried
+    // as VP8L with transform knobs cycled per day
+    "q167_webp_decode_ahash" ->
       """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
         |                  CAST(event_id % 10 AS INTEGER) AS slot,
         |                  CAST(count(*) AS BIGINT) AS cnt

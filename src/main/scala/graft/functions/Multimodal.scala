@@ -187,6 +187,22 @@ object Multimodal {
     DecodedMedia(id, w, h, resizeArea(lum, img.width, img.height, w, h))
   }
 
+  /** REAL image decode for WebP payloads: the in-repo VP8L lossless
+    * codec ([[WebP]], RFC 9649) — luminance of the decoded ARGB,
+    * area-average resize. Lossy VP8 and animation refuse BY NAME inside
+    * the codec, never fake pixels. */
+  val WebPDecoder: Decoder = (id, bytes, w, h) => {
+    val img = WebP.decode(bytes)
+    val lum = new Array[Float](img.argb.length)
+    var i = 0
+    while (i < img.argb.length) {
+      val p = img.argb(i)
+      lum(i) = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)).toFloat / (3f * 255f)
+      i += 1
+    }
+    DecodedMedia(id, w, h, resizeArea(lum, img.width, img.height, w, h))
+  }
+
   /** REAL image decode for BMP payloads: uncompressed 24/32-bit and
     * 8-bit-paletted Windows DIBs (BITMAPINFOHEADER, the public layout) —
     * bottom-up or top-down rows, 4-byte row padding. RLE and exotic
@@ -241,8 +257,8 @@ object Multimodal {
       DecodedMedia(id, w, h, resizeArea(lum, srcW, srcH, w, h))
     }
 
-  /** Magic-dispatched REAL decoder: PNG, GIF and baseline JPEG route to
-    * their in-repo codecs; everything else is refused with the sniffed
+  /** Magic-dispatched REAL decoder: PNG, GIF, JPEG, BMP and lossless
+    * WebP route to their in-repo codecs; everything else is refused with the sniffed
     * format named — the production default for mixed-crawl image
     * columns. */
   val ImageDecoder: Decoder = (id, bytes, w, h) =>
@@ -254,6 +270,10 @@ object Multimodal {
       JpegDecoder(id, bytes, w, h)
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
       BmpDecoder(id, bytes, w, h)
+    else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+      bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P')
+      WebPDecoder(id, bytes, w, h)
     else PngDecoder(id, bytes, w, h) // falls through to the NAMED refusal
 
   /** PNG IHDR dimensions as PURE EXPRESSIONS (no decode, no UDF): width
