@@ -1,0 +1,867 @@
+package graft.sources.tiff
+
+import scala.collection.mutable.ArrayBuffer
+
+/** GeoTIFF parser + writer, from the public TIFF 6.0 spec, the BigTIFF
+  * extension, and the OGC GeoTIFF standard (ModelPixelScale /
+  * ModelTiepoint / GeoKeyDirectory; GDAL's ASCII NODATA tag) — the
+  * cloud-optimized-GeoTIFF (COG) shape CHIRPS-style rasters ship in.
+  *
+  * Planning reads ONLY the header and tag arrays (tile offsets /
+  * byte-counts); pixel payloads are fetched per-tile by positioned
+  * reads, so a scan prunes tiles without touching their bytes.
+  *
+  * In profile: classic AND BigTIFF, both byte orders, tiled and
+  * stripped layouts, chunky (pixel-interleaved) planar config,
+  * compressions none / PackBits / LZW (MSB-first, early-change) /
+  * Deflate (both the 8 and legacy 32946 codes), horizontal predictor,
+  * sample formats uint 8/16/32, int 8/16/32, float 32/64, multi-band,
+  * COG overview IFDs (skipped by NewSubfileType), GDAL_NODATA → null.
+  * Out of profile and refused BY NAME: separate planar config, JPEG/
+  * CCITT compressions, the floating-point predictor 3, palette color,
+  * multiple full-resolution pages.
+  *
+  * The writer emits the same profile (always little-endian classic or
+  * BigTIFF) and exists so fixtures and specs are built from
+  * independently-assembled bytes, the repo's writer-beside-reader
+  * pattern. */
+object TiffFormat {
+
+  /** One decoded raster plane descriptor — everything planning needs;
+    * NO pixel bytes. Strips are normalized to tiles (tileWidth = image
+    * width, tileHeight = RowsPerStrip). */
+  final case class TiffRaster(
+      width: Int, height: Int, bands: Int,
+      sampleFormat: Int, bitsPerSample: Int,
+      tileWidth: Int, tileHeight: Int,
+      tileOffsets: Array[Long], tileByteCounts: Array[Long],
+      compression: Int, predictor: Int,
+      bigEndian: Boolean,
+      // affine geo-transform: model = origin + pixel * scale (y down)
+      originX: Double, originY: Double, scaleX: Double, scaleY: Double,
+      pixelIsPoint: Boolean,
+      noData: Option[Double]) {
+    def tilesAcross: Int = (width + tileWidth - 1) / tileWidth
+    def tilesDown: Int = (height + tileHeight - 1) / tileHeight
+    /** Model-space X of the CENTER of pixel column x. */
+    def lonOf(x: Int): Double =
+      originX + (x + (if (pixelIsPoint) 0.0 else 0.5)) * scaleX
+    /** Model-space Y of the CENTER of pixel row y (scaleY positive =
+      * north-up raster, y decreasing down rows). */
+    def latOf(y: Int): Double =
+      originY - (y + (if (pixelIsPoint) 0.0 else 0.5)) * scaleY
+  }
+
+  // TIFF tag ids (6.0 §8 + GeoTIFF + GDAL)
+  private val TagNewSubfileType = 254
+  private val TagImageWidth = 256
+  private val TagImageLength = 257
+  private val TagBitsPerSample = 258
+  private val TagCompression = 259
+  private val TagPhotometric = 262
+  private val TagStripOffsets = 273
+  private val TagSamplesPerPixel = 277
+  private val TagRowsPerStrip = 278
+  private val TagStripByteCounts = 279
+  private val TagPlanarConfig = 284
+  private val TagPredictor = 317
+  private val TagTileWidth = 322
+  private val TagTileLength = 323
+  private val TagTileOffsets = 324
+  private val TagTileByteCounts = 325
+  private val TagSampleFormat = 339
+  private val TagModelPixelScale = 33550
+  private val TagModelTiepoint = 33922
+  private val TagGeoKeyDirectory = 34735
+  private val TagGdalNoData = 42113
+
+  // ------------------------------------------------------------- parse
+
+  /** Parse the header + IFD chain of a GeoTIFF into the FULL-RESOLUTION
+    * raster descriptor. `readAt(off, len)` is the only byte access —
+    * positioned, so remote planning reads stay header-sized. */
+  def parse(readAt: (Long, Int) => Array[Byte], fileLen: Long): TiffRaster = {
+    val head = readAt(0, 16)
+    require(head.length >= 8, s"TIFF of ${head.length} bytes has no header")
+    val be = (head(0), head(1)) match {
+      case ('M', 'M') => true
+      case ('I', 'I') => false
+      case _ => throw new IllegalArgumentException(
+        s"not a TIFF: byte-order mark ${head(0).toChar}${head(1).toChar}")
+    }
+    def u16(b: Array[Byte], o: Int): Int =
+      if (be) ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+      else ((b(o + 1) & 0xFF) << 8) | (b(o) & 0xFF)
+    def u32(b: Array[Byte], o: Int): Long = {
+      val (a0, a1, a2, a3) =
+        if (be) (b(o), b(o + 1), b(o + 2), b(o + 3))
+        else (b(o + 3), b(o + 2), b(o + 1), b(o))
+      ((a0 & 0xFFL) << 24) | ((a1 & 0xFFL) << 16) | ((a2 & 0xFFL) << 8) | (a3 & 0xFFL)
+    }
+    def u64(b: Array[Byte], o: Int): Long =
+      if (be) (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (b(o + i) & 0xFFL))
+      else (7 to 0 by -1).foldLeft(0L)((acc, i) => (acc << 8) | (b(o + i) & 0xFFL))
+
+    val magic = u16(head, 2)
+    val big = magic match {
+      case 42 => false
+      case 43 =>
+        require(u16(head, 4) == 8 && u16(head, 6) == 0,
+          s"BigTIFF offset size ${u16(head, 4)} unsupported (8 only)")
+        true
+      case m => throw new IllegalArgumentException(s"not a TIFF: magic $m (42/43)")
+    }
+    var ifdOff = if (big) u64(head, 8) else u32(head, 4)
+    val entrySize = if (big) 20 else 12
+    val inlineLen = if (big) 8 else 4
+
+    final case class Entry(tag: Int, typ: Int, count: Long, raw: Array[Byte])
+    def typeSize(t: Int): Int = t match {
+      case 1 | 2 | 6 | 7 => 1 // BYTE ASCII SBYTE UNDEFINED
+      case 3 | 8 => 2 // SHORT SSHORT
+      case 4 | 9 | 11 => 4 // LONG SLONG FLOAT
+      case 5 | 10 | 12 | 16 | 17 => 8 // RATIONAL SRATIONAL DOUBLE LONG8 SLONG8
+      case _ => throw new IllegalArgumentException(s"TIFF field type $t unsupported")
+    }
+    /** Entry payload bytes — inline if they fit, else fetched. */
+    def payload(e: Entry): Array[Byte] = {
+      val n = (typeSize(e.typ) * e.count).toInt
+      if (n <= inlineLen) e.raw.take(n)
+      else {
+        val off = if (big) u64(e.raw, 0) else u32(e.raw, 0)
+        require(off + n <= fileLen,
+          s"truncated TIFF: tag ${e.tag} payload $n bytes at $off past end $fileLen")
+        readAt(off, n)
+      }
+    }
+    def longs(e: Entry): Array[Long] = {
+      val p = payload(e)
+      val sz = typeSize(e.typ)
+      Array.tabulate[Long](e.count.toInt) { i =>
+        e.typ match {
+          case 1 => p(i) & 0xFFL
+          case 3 => u16(p, i * 2).toLong
+          case 4 => u32(p, i * 4)
+          case 16 => u64(p, i * 8)
+          case t => throw new IllegalArgumentException(
+            s"TIFF tag ${e.tag}: integer field expected, got type $t")
+        }
+      }
+    }
+    def doubles(e: Entry): Array[Double] = {
+      val p = payload(e)
+      require(e.typ == 12, s"TIFF tag ${e.tag}: DOUBLE field expected, got type ${e.typ}")
+      Array.tabulate(e.count.toInt)(i =>
+        java.lang.Double.longBitsToDouble(u64(p, i * 8)))
+    }
+    def ascii(e: Entry): String = {
+      val p = payload(e)
+      new String(p.takeWhile(_ != 0), "US-ASCII")
+    }
+
+    var fullRes: Option[Map[Int, Entry]] = None
+    var pages = 0
+    var guard = 0
+    while (ifdOff != 0) {
+      guard += 1
+      require(guard <= 65536, "TIFF IFD chain loops (or > 65536 IFDs)")
+      require(ifdOff + (if (big) 8 else 2) <= fileLen,
+        s"truncated TIFF: IFD at $ifdOff past end $fileLen")
+      val nHead = readAt(ifdOff, if (big) 8 else 2)
+      val n = (if (big) u64(nHead, 0) else u16(nHead, 0).toLong).toInt
+      val body = readAt(ifdOff + (if (big) 8 else 2), n * entrySize + (if (big) 8 else 4))
+      val entries = Map.newBuilder[Int, Entry]
+      var i = 0
+      while (i < n) {
+        val o = i * entrySize
+        val count = if (big) u64(body, o + 4) else u32(body, o + 4)
+        entries += u16(body, o) -> Entry(u16(body, o), u16(body, o + 2), count,
+          body.slice(o + (if (big) 12 else 8), o + entrySize))
+        i += 1
+      }
+      val m = entries.result()
+      val subType = m.get(TagNewSubfileType).map(longs(_)(0)).getOrElse(0L)
+      if ((subType & 0x1L) == 0) { // bit 0 = reduced-resolution (overview)
+        pages += 1
+        require(pages == 1,
+          "multi-page TIFF unsupported: second full-resolution IFD found " +
+            "(COG overviews carry NewSubfileType bit 1 and are skipped)")
+        fullRes = Some(m)
+      }
+      ifdOff = if (big) u64(body, n * entrySize) else u32(body, n * entrySize)
+    }
+    val ifd = fullRes.getOrElse(throw new IllegalArgumentException(
+      "TIFF has no full-resolution IFD (overviews only)"))
+
+    def tagLongs(tag: Int): Option[Array[Long]] = ifd.get(tag).map(longs)
+    def one(tag: Int, default: => Long): Long =
+      tagLongs(tag).map(_(0)).getOrElse(default)
+    def req(tag: Int, name: String): Array[Long] =
+      tagLongs(tag).getOrElse(throw new IllegalArgumentException(
+        s"TIFF missing required tag $name ($tag)"))
+
+    val width = req(TagImageWidth, "ImageWidth")(0).toInt
+    val height = req(TagImageLength, "ImageLength")(0).toInt
+    require(width > 0 && height > 0 && width.toLong * height <= Int.MaxValue,
+      s"TIFF raster ${width}x$height out of range")
+    val bands = one(TagSamplesPerPixel, 1).toInt
+    val bits = tagLongs(TagBitsPerSample).getOrElse(Array(1L))
+    require(bits.distinct.length == 1,
+      s"per-band BitsPerSample differ (${bits.mkString(",")}): unsupported")
+    val bitsPerSample = bits(0).toInt
+    require(Set(8, 16, 32, 64).contains(bitsPerSample),
+      s"BitsPerSample $bitsPerSample unsupported (8/16/32/64)")
+    val sfArr = tagLongs(TagSampleFormat).getOrElse(Array(1L))
+    require(sfArr.distinct.length == 1,
+      s"per-band SampleFormat differ (${sfArr.mkString(",")}): unsupported")
+    val sampleFormat = sfArr(0).toInt
+    require(sampleFormat >= 1 && sampleFormat <= 3,
+      s"SampleFormat $sampleFormat unsupported (1 uint / 2 int / 3 float)")
+    require(sampleFormat != 3 || bitsPerSample >= 32,
+      s"float samples need 32/64 bits, got $bitsPerSample")
+    require(bitsPerSample != 64 || sampleFormat == 3,
+      "64-bit integer samples unsupported (float64 only)")
+    val compression = one(TagCompression, 1).toInt
+    require(Set(1, 5, 8, 32773, 32946).contains(compression), {
+      val name = compression match {
+        case 2 | 3 | 4 => "CCITT fax"
+        case 6 | 7 => "JPEG"
+        case 34712 => "JPEG 2000"
+        case 50000 => "Zstd"
+        case 14 | 34925 => "LZMA"
+        case c => s"code $c"
+      }
+      s"TIFF compression $name unsupported (none/LZW/Deflate/PackBits)"
+    })
+    val planar = one(TagPlanarConfig, 1).toInt
+    require(planar == 1,
+      "separate (band-sequential) PlanarConfiguration unsupported (chunky only)")
+    val predictor = one(TagPredictor, 1).toInt
+    require(predictor == 1 || predictor == 2,
+      if (predictor == 3) "floating-point predictor (3) unsupported"
+      else s"TIFF predictor $predictor unsupported")
+    val photometric = one(TagPhotometric, 1).toInt
+    require(photometric <= 2,
+      s"photometric $photometric unsupported (palette/alpha-profile rasters)")
+
+    val (tw, th, offs, counts) =
+      if (ifd.contains(TagTileOffsets)) {
+        val tw = req(TagTileWidth, "TileWidth")(0).toInt
+        val th = req(TagTileLength, "TileLength")(0).toInt
+        require(tw % 16 == 0 && th % 16 == 0, s"tile ${tw}x$th not multiple of 16")
+        (tw, th, req(TagTileOffsets, "TileOffsets"),
+          req(TagTileByteCounts, "TileByteCounts"))
+      } else {
+        val rps = math.min(one(TagRowsPerStrip, height), height.toLong).toInt
+        (width, rps, req(TagStripOffsets, "StripOffsets"),
+          req(TagStripByteCounts, "StripByteCounts"))
+      }
+    val expectTiles = ((width + tw - 1) / tw) * ((height + th - 1) / th)
+    require(offs.length == expectTiles && counts.length == expectTiles,
+      s"TIFF tile index: ${offs.length} offsets/${counts.length} counts for $expectTiles tiles")
+    offs.zip(counts).zipWithIndex.foreach { case ((o, c), i) =>
+      require(o >= 0 && c >= 0 && o + c <= fileLen,
+        s"truncated TIFF: tile $i claims [$o, ${o + c}) past end $fileLen")
+    }
+
+    // GeoTIFF affine: ModelPixelScale + one ModelTiepoint (the GDAL/COG
+    // form). Tiepoint maps raster (i,j) -> model (x,y).
+    val scale = ifd.get(TagModelPixelScale).map(doubles)
+    val tie = ifd.get(TagModelTiepoint).map(doubles)
+    val (ox, oy, sx, sy) = (scale, tie) match {
+      case (Some(sc), Some(tp)) =>
+        require(sc.length >= 2 && tp.length >= 6,
+          s"GeoTIFF tags malformed: ${sc.length}-double scale, ${tp.length}-double tiepoint")
+        require(sc(0) > 0 && sc(1) > 0, s"pixel scale (${sc(0)}, ${sc(1)}) not positive")
+        // origin = model position of raster point (0,0)
+        (tp(3) - tp(0) * sc(0), tp(4) + tp(1) * sc(1), sc(0), sc(1))
+      case (None, None) => (0.0, 0.0, 1.0, -1.0) // bare TIFF: pixel space
+      case _ => throw new IllegalArgumentException(
+        "GeoTIFF needs BOTH ModelPixelScale and ModelTiepoint (or neither)")
+    }
+    // GeoKey 1025 GTRasterType: 2 = PixelIsPoint
+    val pixelIsPoint = ifd.get(TagGeoKeyDirectory).map(longs).exists { gk =>
+      // directory header is 4 shorts, then 4-short key entries; a key
+      // with tiffTagLocation 0 holds its value inline in the 4th short
+      gk.drop(4).grouped(4).exists(k =>
+        k.length == 4 && k(0) == 1025 && k(1) == 0 && k(3) == 2)
+    }
+    val noData = ifd.get(TagGdalNoData).map(ascii).flatMap { s =>
+      try Some(s.trim.toDouble) catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"GDAL_NODATA tag unparseable: '$s'")
+      }
+    }
+
+    TiffRaster(width, height, bands, sampleFormat, bitsPerSample, tw, th,
+      offs, counts, compression, predictor, be, ox, oy, sx, sy,
+      pixelIsPoint, noData)
+  }
+
+  // ------------------------------------------------------ tile decode
+
+  /** Decode one tile's compressed bytes to row-major band-interleaved
+    * Double samples (tileWidth*tileHeight*bands long — edge tiles are
+    * PADDED to full tile size per the spec; callers clip). NoData is NOT
+    * applied here (the scan does, so the null check stays in one
+    * place). */
+  def decodeTile(r: TiffRaster, compressed: Array[Byte]): Array[Double] = {
+    val bytesPerSample = r.bitsPerSample / 8
+    val rowBytes = r.tileWidth * r.bands * bytesPerSample
+    val raw0 = r.compression match {
+      case 1 => compressed
+      case 5 => lzwDecode(compressed, rowBytes * r.tileHeight)
+      case 8 | 32946 => inflate(compressed, rowBytes * r.tileHeight)
+      case 32773 => packBitsDecode(compressed, rowBytes * r.tileHeight)
+    }
+    require(raw0.length >= rowBytes * r.tileHeight,
+      s"TIFF tile decompressed to ${raw0.length} bytes, need ${rowBytes * r.tileHeight}")
+    val raw = raw0
+    if (r.predictor == 2) {
+      // horizontal differencing: per row, per band, cumulative sum over
+      // the sample integers at their native width
+      var y = 0
+      while (y < r.tileHeight) {
+        val base = y * rowBytes
+        var x = 1
+        while (x < r.tileWidth) {
+          var b = 0
+          while (b < r.bands) {
+            val cur = base + (x * r.bands + b) * bytesPerSample
+            val prev = cur - r.bands * bytesPerSample
+            addBytes(raw, prev, cur, bytesPerSample, r.bigEndian)
+            b += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+    }
+    val n = r.tileWidth * r.tileHeight * r.bands
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = sampleAt(raw, i * bytesPerSample, r)
+      i += 1
+    }
+    out
+  }
+
+  /** sample[cur] += sample[prev] at native integer width (mod 2^bits). */
+  private def addBytes(b: Array[Byte], prev: Int, cur: Int, size: Int,
+      be: Boolean): Unit = {
+    var carrySum = 0L
+    var pv = 0L; var cv = 0L
+    var i = 0
+    while (i < size) {
+      val sh = if (be) (size - 1 - i) * 8 else i * 8
+      pv |= (b(prev + i) & 0xFFL) << sh
+      cv |= (b(cur + i) & 0xFFL) << sh
+      i += 1
+    }
+    carrySum = pv + cv
+    i = 0
+    while (i < size) {
+      val sh = if (be) (size - 1 - i) * 8 else i * 8
+      b(cur + i) = ((carrySum >> sh) & 0xFF).toByte
+      i += 1
+    }
+  }
+
+  private def sampleAt(b: Array[Byte], o: Int, r: TiffRaster): Double = {
+    val size = r.bitsPerSample / 8
+    var v = 0L
+    var i = 0
+    while (i < size) {
+      val sh = if (r.bigEndian) (size - 1 - i) * 8 else i * 8
+      v |= (b(o + i) & 0xFFL) << sh
+      i += 1
+    }
+    r.sampleFormat match {
+      case 1 => v.toDouble // unsigned
+      case 2 => // signed at native width
+        val shift = 64 - r.bitsPerSample
+        ((v << shift) >> shift).toDouble
+      case 3 =>
+        if (r.bitsPerSample == 32) java.lang.Float.intBitsToFloat(v.toInt).toDouble
+        else java.lang.Double.longBitsToDouble(v)
+    }
+  }
+
+  /** Raw inflate with both zlib-wrapped and raw streams accepted
+    * (Deflate-in-TIFF is zlib-wrapped; be liberal like libtiff). */
+  private def inflate(in: Array[Byte], expect: Int): Array[Byte] = {
+    def run(nowrap: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      inf.setInput(in)
+      val out = new Array[Byte](expect)
+      var got = 0
+      while (got < expect && !inf.finished()) {
+        val n = inf.inflate(out, got, expect - got)
+        if (n == 0 && inf.needsInput())
+          throw new java.util.zip.DataFormatException("truncated deflate stream")
+        got += n
+      }
+      inf.end()
+      require(got == expect, s"deflate stream yielded $got of $expect bytes")
+      out
+    }
+    try run(nowrap = false)
+    catch { case _: java.util.zip.DataFormatException =>
+      try run(nowrap = true)
+      catch { case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(
+          s"corrupt TIFF deflate tile: ${e.getMessage}") }
+    }
+  }
+
+  private def packBitsDecode(in: Array[Byte], expect: Int): Array[Byte] = {
+    val out = new Array[Byte](expect)
+    var i = 0; var o = 0
+    while (o < expect) {
+      require(i < in.length, s"truncated PackBits tile at byte $i (have $o of $expect)")
+      val n = in(i); i += 1
+      if (n >= 0) {
+        require(i + n + 1 <= in.length && o + n + 1 <= expect,
+          s"PackBits literal run of ${n + 1} overruns")
+        System.arraycopy(in, i, out, o, n + 1); i += n + 1; o += n + 1
+      } else if (n != -128) {
+        require(i < in.length && o + (1 - n) <= expect,
+          s"PackBits replicate run of ${1 - n} overruns")
+        java.util.Arrays.fill(out, o, o + 1 - n, in(i)); i += 1; o += 1 - n
+      } // -128: no-op
+    }
+    out
+  }
+
+  /** TIFF LZW (6.0 §13): MSB-first variable-width codes 9→12 bits,
+    * ClearCode 256, EOI 257, with the "early change" (the code width
+    * bumps one code BEFORE the table fills — the libtiff/GDAL wire
+    * form). */
+  private def lzwDecode(in: Array[Byte], expect: Int): Array[Byte] = {
+    val out = new Array[Byte](expect)
+    var o = 0
+    var bitPos = 0L
+    val nBits = in.length.toLong * 8
+    def read(width: Int): Int = {
+      require(bitPos + width <= nBits, s"truncated LZW tile at bit $bitPos")
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val bp = bitPos + i
+        v = (v << 1) | ((in((bp >> 3).toInt) >> (7 - (bp & 7)).toInt) & 1)
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    val Clear = 256; val Eoi = 257
+    // dictionary: firstFree grows from 258; entries as (prefix, byte)
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    var next = 258
+    var width = 9
+    var old = -1
+    def emit(code: Int): Byte = {
+      var sp = 0
+      var c = code
+      while (c >= 258) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      val first = c.toByte
+      require(o + sp + 1 <= expect,
+        s"LZW output overruns tile: $o + ${sp + 1} > $expect")
+      out(o) = first; o += 1
+      while (sp > 0) { sp -= 1; out(o) = stack(sp); o += 1 }
+      first
+    }
+    var done = false
+    while (!done && o < expect) {
+      val code = read(width)
+      if (code == Eoi) done = true
+      else if (code == Clear) { next = 258; width = 9; old = -1 }
+      else {
+        require(code < next || (code == next && old >= 0),
+          s"corrupt LZW tile: code $code with table at $next")
+        if (old < 0) { // first code after clear: literal
+          require(code < 256, s"corrupt LZW tile: first code $code not a literal")
+          out(o) = code.toByte; o += 1
+          old = code
+        } else {
+          val first =
+            if (code == next) { // KwKwK
+              // emit old's expansion + its first byte
+              val f = firstByte(code = old, prefix, suffix)
+              val start = o
+              emit(old)
+              require(o < expect, "LZW output overruns tile (KwKwK)")
+              out(o) = f; o += 1
+              out(start) // unused, keep shape
+              f
+            } else emit(code)
+          if (next < 4096) {
+            prefix(next) = old; suffix(next) = first; next += 1
+            // early change, decoder side: the decoder's table lags the
+            // encoder's by ONE entry, so it must bump at 2^width - 2
+            // (the encoder bumps at 2^width - 1) — the libtiff wire form
+            if (next == (1 << width) - 2 && width < 12) width += 1
+          }
+          old = code
+        }
+      }
+    }
+    require(o == expect, s"LZW tile yielded $o of $expect bytes")
+    out
+  }
+
+  private def firstByte(code: Int, prefix: Array[Int], suffix: Array[Byte]): Byte = {
+    var c = code
+    while (c >= 258) c = prefix(c)
+    c.toByte
+  }
+
+  // ------------------------------------------------------------- write
+
+  /** Writer options; each knob exercises a distinct reader path. */
+  final case class WriteOpts(
+      tileSize: Int = 0, // 0 = strips (rowsPerStrip), else NxN tiles
+      rowsPerStrip: Int = 8,
+      compression: Int = 1, // 1 none, 5 LZW, 8 deflate, 32773 packbits
+      predictor: Int = 1,
+      bigTiff: Boolean = false,
+      overview: Boolean = false, // append a /2 overview IFD (COG shape)
+      pixelIsPoint: Boolean = false,
+      noData: Option[Double] = None)
+
+  /** Write a GeoTIFF: `values(band)(y*width + x)`, sampleFormat/bits as
+    * in the descriptor, geo-transform (originX, originY, scaleX, scaleY)
+    * with origin = model position of the raster's top-left CORNER. */
+  def write(width: Int, height: Int, values: Array[Array[Double]],
+      sampleFormat: Int, bitsPerSample: Int,
+      originX: Double, originY: Double, scaleX: Double, scaleY: Double,
+      opts: WriteOpts = WriteOpts()): Array[Byte] = {
+    val bands = values.length
+    require(bands >= 1 && values.forall(_.length == width * height),
+      s"need >=1 band of ${width * height} values")
+    require(opts.tileSize == 0 || opts.tileSize % 16 == 0,
+      "tile size must be a multiple of 16")
+
+    val out = new ArrayBuffer[Byte](1 << 16)
+    def pad(): Unit = while (out.length % 2 != 0) out += 0
+    def u16(v: Int): Unit = { out += (v & 0xFF).toByte; out += ((v >> 8) & 0xFF).toByte }
+    def u32(v: Long): Unit = { u16((v & 0xFFFF).toInt); u16(((v >> 16) & 0xFFFF).toInt) }
+    def u64(v: Long): Unit = { u32(v & 0xFFFFFFFFL); u32(v >>> 32) }
+
+    val big = opts.bigTiff
+    out += 'I'; out += 'I'
+    u16(if (big) 43 else 42)
+    if (big) { u16(8); u16(0); u64(0) } else u32(0)
+    val ifdPtrAt = if (big) 8 else 4
+
+    def encodePlane(w: Int, h: Int, vals: Array[Array[Double]])
+        : (Int, Int, Array[Array[Byte]]) = {
+      val bytesPerSample = bitsPerSample / 8
+      val (tw, th) =
+        if (opts.tileSize > 0) (opts.tileSize, opts.tileSize)
+        else (w, math.min(opts.rowsPerStrip, h))
+      val across = (w + tw - 1) / tw
+      val down = (h + th - 1) / th
+      val tiles = Array.tabulate(down * across) { t =>
+        val ty = t / across; val tx = t % across
+        val rowBytes = tw * bands * bytesPerSample
+        val raw = new Array[Byte](rowBytes * th)
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            val sy = ty * th + y; val sx = tx * tw + x
+            var b = 0
+            while (b < bands) {
+              // edge padding: replicate... spec says padded, content
+              // arbitrary; zeros keep predictor simple
+              val v = if (sy < h && sx < w) vals(b)(sy * w + sx) else 0.0
+              var bits = sampleFormat match {
+                case 3 =>
+                  if (bitsPerSample == 32)
+                    java.lang.Float.floatToIntBits(v.toFloat).toLong & 0xFFFFFFFFL
+                  else java.lang.Double.doubleToLongBits(v)
+                case _ => v.toLong & ((if (bitsPerSample == 64) -1L
+                  else (1L << bitsPerSample) - 1))
+              }
+              val o0 = y * rowBytes + (x * bands + b) * bytesPerSample
+              var i = 0
+              while (i < bytesPerSample) {
+                raw(o0 + i) = (bits & 0xFF).toByte; bits >>>= 8; i += 1
+              }
+              b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        if (opts.predictor == 2) {
+          val rowBytes2 = tw * bands * bytesPerSample
+          var y = 0
+          while (y < th) {
+            val base = y * rowBytes2
+            var x = tw - 1
+            while (x >= 1) {
+              var b = 0
+              while (b < bands) {
+                val cur = base + (x * bands + b) * bytesPerSample
+                val prev = cur - bands * bytesPerSample
+                subBytes(raw, prev, cur, bytesPerSample)
+                b += 1
+              }
+              x -= 1
+            }
+            y += 1
+          }
+        }
+        opts.compression match {
+          case 1 => raw
+          case 5 => lzwEncode(raw)
+          case 8 => deflate(raw)
+          case 32773 => packBitsEncode(raw)
+        }
+      }
+      (tw, th, tiles)
+    }
+
+    final case class Tag(id: Int, typ: Int, count: Long, values: Array[Long],
+        dbl: Array[Double] = null, asc: String = null)
+
+    def writeIfd(w: Int, h: Int, tw: Int, th: Int, tiles: Array[Array[Byte]],
+        isOverview: Boolean, geo: Boolean): Long = {
+      // lay tile payloads down first
+      val tileOffs = tiles.map { t => pad(); val o = out.length.toLong; out ++= t; o }
+      val tiled = opts.tileSize > 0
+      var tags = ArrayBuffer[Tag]()
+      if (isOverview)
+        tags += Tag(TagNewSubfileType, 4, 1, Array(1L))
+      tags += Tag(TagImageWidth, 4, 1, Array(w.toLong))
+      tags += Tag(TagImageLength, 4, 1, Array(h.toLong))
+      tags += Tag(TagBitsPerSample, 3, bands, Array.fill(bands)(bitsPerSample.toLong))
+      tags += Tag(TagCompression, 3, 1, Array(opts.compression.toLong))
+      tags += Tag(TagPhotometric, 3, 1, Array(1L))
+      if (!tiled) {
+        tags += Tag(TagStripOffsets, if (big) 16 else 4, tiles.length, tileOffs)
+        tags += Tag(TagRowsPerStrip, 4, 1, Array(th.toLong))
+        tags += Tag(TagStripByteCounts, 4, tiles.length, tiles.map(_.length.toLong))
+      }
+      tags += Tag(TagSamplesPerPixel, 3, 1, Array(bands.toLong))
+      tags += Tag(TagPlanarConfig, 3, 1, Array(1L))
+      if (opts.predictor != 1)
+        tags += Tag(TagPredictor, 3, 1, Array(opts.predictor.toLong))
+      if (tiled) {
+        tags += Tag(TagTileWidth, 3, 1, Array(tw.toLong))
+        tags += Tag(TagTileLength, 3, 1, Array(th.toLong))
+        tags += Tag(TagTileOffsets, if (big) 16 else 4, tiles.length, tileOffs)
+        tags += Tag(TagTileByteCounts, 4, tiles.length, tiles.map(_.length.toLong))
+      }
+      tags += Tag(TagSampleFormat, 3, bands, Array.fill(bands)(sampleFormat.toLong))
+      if (geo) {
+        tags += Tag(TagModelPixelScale, 12, 3, null,
+          dbl = Array(scaleX, scaleY, 0.0))
+        tags += Tag(TagModelTiepoint, 12, 6, null,
+          dbl = Array(0.0, 0.0, 0.0, originX, originY, 0.0))
+        // minimal GeoKey directory: v1.1.0, GTModelType=2 (geographic),
+        // GTRasterType per opts
+        tags += Tag(TagGeoKeyDirectory, 3, 12, Array(
+          1L, 1L, 0L, 2L,
+          1024L, 0L, 1L, 2L,
+          1025L, 0L, 1L, if (opts.pixelIsPoint) 2L else 1L))
+      }
+      opts.noData.foreach { nd =>
+        val s = (if (nd == nd.toLong.toDouble) nd.toLong.toString else nd.toString)
+        tags += Tag(TagGdalNoData, 2, s.length + 1L, null, asc = s)
+      }
+      tags = tags.sortBy(_.id)
+
+      val entrySize = if (big) 20 else 12
+      val inline = if (big) 8 else 4
+      def typeSize(t: Int) = t match {
+        case 1 | 2 => 1; case 3 => 2; case 4 => 4; case 12 | 16 => 8
+      }
+      // out-of-line payloads
+      val payloadOffs = tags.map { t =>
+        val n = (typeSize(t.typ) * t.count).toInt
+        if (n <= inline) -1L
+        else {
+          pad(); val o = out.length.toLong
+          emitTagPayload(t, out)
+          o
+        }
+      }
+      pad()
+      val ifdAt = out.length.toLong
+      if (big) u64(tags.length.toLong) else u16(tags.length)
+      tags.zip(payloadOffs).foreach { case (t, po) =>
+        u16(t.id); u16(t.typ)
+        if (big) u64(t.count) else u32(t.count)
+        val mark = out.length
+        if (po >= 0) { if (big) u64(po) else u32(po) }
+        else emitTagPayload(t, out)
+        while (out.length < mark + inline) out += 0
+        require(out.length == mark + inline, s"tag ${t.id} inline overflow")
+      }
+      // next-IFD pointer: caller patches
+      if (big) u64(0) else u32(0)
+      ifdAt
+    }
+
+    def emitTagPayload(t: Tag, sink: ArrayBuffer[Byte]): Unit = {
+      def p16(v: Int): Unit = { sink += (v & 0xFF).toByte; sink += ((v >> 8) & 0xFF).toByte }
+      def p32(v: Long): Unit = { p16((v & 0xFFFF).toInt); p16(((v >> 16) & 0xFFFF).toInt) }
+      def p64(v: Long): Unit = { p32(v & 0xFFFFFFFFL); p32(v >>> 32) }
+      if (t.asc != null) { t.asc.foreach(c => sink += c.toByte); sink += 0 }
+      else if (t.dbl != null) t.dbl.foreach(d => p64(java.lang.Double.doubleToLongBits(d)))
+      else t.values.foreach { v =>
+        t.typ match {
+          case 1 | 2 => sink += (v & 0xFF).toByte
+          case 3 => p16(v.toInt)
+          case 4 => p32(v)
+          case 16 => p64(v)
+        }
+      }
+    }
+
+    val (tw, th, tiles) = encodePlane(width, height, values)
+    val ifd0 = writeIfd(width, height, tw, th, tiles, isOverview = false, geo = true)
+    // patch header IFD pointer
+    patchPtr(out, ifdPtrAt, ifd0, big)
+    if (opts.overview) {
+      val ow = math.max(1, width / 2); val oh = math.max(1, height / 2)
+      val ovals = Array.tabulate(bands)(b => Array.tabulate(ow * oh) { i =>
+        values(b)((i / ow) * 2 * width + (i % ow) * 2)
+      })
+      val (otw, oth, otiles) = encodePlane(ow, oh, ovals)
+      val ifd1 = writeIfd(ow, oh, otw, oth, otiles, isOverview = true, geo = false)
+      // patch IFD0's next pointer (it sits right before ifd1's payloads
+      // ... locate it: last (inline) word of IFD0 block)
+      val n0 = tiles.length // not needed; compute position directly below
+      val _ = n0
+      patchNextPtr(out, ifd0, ifd1, big)
+    }
+    out.toArray
+  }
+
+  private def patchPtr(out: ArrayBuffer[Byte], at: Int, v: Long, big: Boolean): Unit = {
+    val n = if (big) 8 else 4
+    var x = v
+    var i = 0
+    while (i < n) { out(at + i) = (x & 0xFF).toByte; x >>>= 8; i += 1 }
+  }
+
+  /** Patch the next-IFD pointer at the end of the IFD that starts at
+    * `ifdAt`. */
+  private def patchNextPtr(out: ArrayBuffer[Byte], ifdAt: Long, target: Long,
+      big: Boolean): Unit = {
+    val a = ifdAt.toInt
+    val n =
+      if (big) java.nio.ByteBuffer.wrap(out.slice(a, a + 8).toArray)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong.toInt
+      else ((out(a) & 0xFF) | ((out(a + 1) & 0xFF) << 8))
+    val entrySize = if (big) 20 else 12
+    val ptrAt = a + (if (big) 8 else 2) + n * entrySize
+    patchPtr(out, ptrAt, target, big)
+  }
+
+  private def subBytes(b: Array[Byte], prev: Int, cur: Int, size: Int): Unit = {
+    // little-endian writer layout
+    var pv = 0L; var cv = 0L
+    var i = 0
+    while (i < size) {
+      pv |= (b(prev + i) & 0xFFL) << (i * 8)
+      cv |= (b(cur + i) & 0xFFL) << (i * 8)
+      i += 1
+    }
+    var d = cv - pv
+    i = 0
+    while (i < size) { b(cur + i) = (d & 0xFF).toByte; d >>>= 8; i += 1 }
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(6, false) // zlib-wrapped
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new ArrayBuffer[Byte](raw.length / 2)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      out ++= buf.take(n)
+    }
+    d.end()
+    out.toArray
+  }
+
+  private def packBitsEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](raw.length + raw.length / 128 + 2)
+    var i = 0
+    while (i < raw.length) {
+      // find a run
+      var run = 1
+      while (i + run < raw.length && run < 128 && raw(i + run) == raw(i)) run += 1
+      if (run >= 2) {
+        out += (1 - run).toByte; out += raw(i); i += run
+      } else {
+        var lit = 1
+        while (i + lit < raw.length && lit < 128 &&
+          !(i + lit + 1 < raw.length && raw(i + lit) == raw(i + lit + 1))) lit += 1
+        out += (lit - 1).toByte
+        var j = 0
+        while (j < lit) { out += raw(i + j); j += 1 }
+        i += lit
+      }
+    }
+    out.toArray
+  }
+
+  /** TIFF LZW encoder (MSB-first, early change) — string-table via a
+    * hash of (prefixCode, byte). */
+  private def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](raw.length)
+    var acc = 0L; var nAcc = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code
+      nAcc += width
+      while (nAcc >= 8) {
+        out += ((acc >> (nAcc - 8)) & 0xFF).toByte
+        nAcc -= 8
+      }
+    }
+    val Clear = 256; val Eoi = 257
+    val table = new java.util.HashMap[Long, Integer](8192)
+    def key(pfx: Int, b: Byte) = (pfx.toLong << 8) | (b & 0xFFL)
+    var next = 258
+    put(Clear)
+    var i = 0
+    if (raw.nonEmpty) {
+      var cur = raw(0) & 0xFF
+      i = 1
+      while (i < raw.length) {
+        val b = raw(i)
+        val k = key(cur, b)
+        val hit = table.get(k)
+        if (hit != null) cur = hit
+        else {
+          put(cur)
+          table.put(k, next)
+          next += 1
+          // early change on the ENCODER side too: width bumps when the
+          // next code to be EMITTED could be (2^width - 1)
+          if (next == (1 << width) - 1 && width < 12) width += 1
+          if (next == 4094) { // table nearly full: clear
+            put(Clear)
+            table.clear(); next = 258; width = 9
+          }
+          cur = b & 0xFF
+        }
+        i += 1
+      }
+      put(cur)
+    }
+    put(Eoi)
+    if (nAcc > 0) out += ((acc << (8 - nAcc)) & 0xFF).toByte
+    out.toArray
+  }
+}
