@@ -1,0 +1,419 @@
+package graft.sources.tiff
+
+import java.util.OptionalLong
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.nc.SerializableHadoopConf
+import TiffFormat.TiffRaster
+
+/** DataSource V2 batch reader for GeoTIFF / cloud-optimized GeoTIFF
+  * (COG) — the raster shape CHIRPS-style archives publish next to
+  * NetCDF. `spark.read.format("geotiff").load(pathOrDir)` yields one
+  * row per (pixel, band):
+  * (path STRING, latitude, longitude, band INT, value DOUBLE?);
+  * NODATA cells surface as null `value`, never as the sentinel. Time
+  * is NOT in the format — per-file dates live in the filename, so the
+  * `path` column feeds the C8 filename→coords kit downstream.
+  *
+  * Scale design (mirrors the GRIB scan):
+  *  - **A tile is the pruning AND partition unit.** The affine
+  *    geo-transform is monotone in both axes, so latitude/longitude
+  *    range predicates invert to pixel ranges and prune whole tiles at
+  *    PLANNING, header-only — the COG promise (HTTP range requests per
+  *    tile) expressed as Spark partition pruning. Claimed lat/lon and
+  *    band filters are EXACT: the reader re-applies them per cell with
+  *    the same arithmetic the planner used.
+  *  - **Planning is header-only**: the IFD walk (offsets, byte counts,
+  *    geo tags) is memoized per (path, mtime, length) in a bounded
+  *    LRU; tile payloads are fetched by one positioned read per tile
+  *    inside the partition reader.
+  *  - Value predicates stay residual (a tile's value range isn't in
+  *    the header — no TIFF statistics tag in the COG baseline). */
+class TiffDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "geotiff"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TiffTable.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(schema == TiffTable.Schema,
+      s"geotiff scans always present ${TiffTable.Schema.simpleString}; got ${schema.simpleString}")
+    TiffTable.resolve(new CaseInsensitiveStringMap(properties))
+  }
+}
+
+object TiffTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("latitude", DoubleType, nullable = false),
+    StructField("longitude", DoubleType, nullable = false),
+    // 1-based, GDAL band numbering
+    StructField("band", IntegerType, nullable = false),
+    // NODATA cells surface as null
+    StructField("value", DoubleType, nullable = true)))
+
+  /** Header-cache bound (files); `private[tiff] var` for the eviction
+    * spec, like the GRIB cache. */
+  private[tiff] var MaxCachedFiles = 4096
+  private[tiff] val headerParses = new java.util.concurrent.atomic.AtomicLong
+
+  private val rasterCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), TiffRaster](
+          256, 0.75f, /* accessOrder = */ true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), TiffRaster]): Boolean =
+          size() > MaxCachedFiles
+      })
+  private[tiff] def clearHeaderCache(): Unit = rasterCache.clear()
+
+  /** Positioned header reads against one open stream per parse. */
+  private[tiff] def parseFile(conf: Configuration,
+      st: org.apache.hadoop.fs.FileStatus): TiffRaster = {
+    val key = (st.getPath.toString, st.getModificationTime, st.getLen)
+    val hit = rasterCache.get(key)
+    if (hit != null) hit
+    else {
+      headerParses.incrementAndGet()
+      val in = st.getPath.getFileSystem(conf).open(st.getPath)
+      val r = try TiffFormat.parse((off, len) => {
+        val n = math.min(len.toLong, st.getLen - off).toInt
+        val b = new Array[Byte](math.max(0, n))
+        if (n > 0) in.readFully(off, b)
+        b
+      }, st.getLen) finally in.close()
+      rasterCache.put(key, r)
+      r
+    }
+  }
+
+  private def isTiff(name: String): Boolean = {
+    val n = name.toLowerCase
+    n.endsWith(".tif") || n.endsWith(".tiff")
+  }
+
+  private[tiff] def listTiffFiles(conf: Configuration,
+      paths: Seq[String]): Seq[org.apache.hadoop.fs.FileStatus] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.traverse(paths) { p0 =>
+      Future(scala.concurrent.blocking {
+        val p = new HPath(p0)
+        val fs = p.getFileSystem(conf)
+        try {
+          val st = fs.getFileStatus(p)
+          if (st.isDirectory)
+            fs.listStatus(p).toSeq.filter(_.isFile)
+              .filter(f => isTiff(f.getPath.getName))
+          else Seq(st)
+        } catch {
+          case _: java.io.FileNotFoundException =>
+            Seq.empty[org.apache.hadoop.fs.FileStatus]
+        }
+      })
+    }, Duration.Inf).flatten
+      .sortBy(st => graft.sources.Manifest.naturalKey(st.getPath.toString))
+  }
+
+  /** Per-file band counts straight from the memoized HEADERS — zero
+    * payload reads, for manager-level guards (the GRIB `windowKeys`
+    * pattern). */
+  private[graft] def bandCounts(conf: Configuration,
+      paths: Seq[String]): Seq[(String, Int)] = {
+    val files = listTiffFiles(conf, paths)
+    files.map(st => st.getPath.toString -> parseFile(conf, st).bands)
+  }
+
+  def resolve(options: CaseInsensitiveStringMap): TiffTable = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val paths = Option(options.get("path")).toSeq
+    require(paths.nonEmpty, "geotiff scan needs a path")
+    val files = listTiffFiles(conf, paths)
+    // parse cache misses on a bounded pool — header-only, one remote
+    // round trip per file, never serial O(files) on the driver
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.traverse(files)(st =>
+        Future(scala.concurrent.blocking(parseFile(conf, st)))), Duration.Inf)
+    }
+    new TiffTable(files.map(st => st.getPath.toString -> parseFile(conf, st)),
+      conf)
+  }
+}
+
+final class TiffTable(
+    val byFile: Seq[(String, TiffRaster)],
+    @transient val conf: Configuration) extends Table with SupportsRead {
+  override def name(): String =
+    s"geotiff(${byFile.length} files, ${byFile.map { case (_, r) =>
+      r.tileOffsets.length }.sum} tiles)"
+  override def schema(): StructType = TiffTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TiffScanBuilder(this)
+}
+
+final class TiffScanBuilder(table: TiffTable) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = TiffTable.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** lat/lon range predicates prune TILES at planning and are re-applied
+    * per cell with the planner's own arithmetic → fully handled; band
+    * equality is enforced in the reader; `path` supports equality (one
+    * file per date is the archive shape). Everything on `value` stays
+    * residual. */
+  private def handled(f: Filter): Boolean = f match {
+    case sources.IsNotNull(a) => a != "value" &&
+      TiffTable.Schema.fieldNames.contains(a)
+    case sources.EqualTo("band", _: Integer) => true
+    case sources.In("band", vs) => vs.forall(_.isInstanceOf[Integer])
+    case sources.EqualTo("path", _: String) => true
+    case sources.EqualTo("latitude" | "longitude", _: java.lang.Double) => true
+    case sources.GreaterThan("latitude" | "longitude", _: java.lang.Double) => true
+    case sources.GreaterThanOrEqual("latitude" | "longitude", _: java.lang.Double) => true
+    case sources.LessThan("latitude" | "longitude", _: java.lang.Double) => true
+    case sources.LessThanOrEqual("latitude" | "longitude", _: java.lang.Double) => true
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (h, residual) = filters.partition(handled)
+    pushed = h
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new TiffScan(table.byFile, required, pushed,
+    table.conf)
+}
+
+final class TiffScan(
+    byFile: Seq[(String, TiffRaster)],
+    required: StructType,
+    pushed: Array[Filter],
+    @transient conf: Configuration)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Pixel-space keep-bounds for one raster from the pushed lat/lon
+    * range predicates: [x0, x1] x [y0, y1] inclusive, or None = nothing
+    * survives. Pixel centers are monotone in x (lon increasing) and y
+    * (lat decreasing), so each bound maps to one end. */
+  private def pixelBounds(r: TiffRaster): Option[(Int, Int, Int, Int)] = {
+    var x0 = 0; var x1 = r.width - 1; var y0 = 0; var y1 = r.height - 1
+    def firstX(pred: Int => Boolean): Int = { // smallest x satisfying
+      var lo = 0; var hi = r.width
+      while (lo < hi) { val m = (lo + hi) >>> 1; if (pred(m)) hi = m else lo = m + 1 }
+      lo
+    }
+    def firstY(pred: Int => Boolean): Int = {
+      var lo = 0; var hi = r.height
+      while (lo < hi) { val m = (lo + hi) >>> 1; if (pred(m)) hi = m else lo = m + 1 }
+      lo
+    }
+    pushed.foreach {
+      // lon increases with x
+      case sources.GreaterThan("longitude", v: java.lang.Double) =>
+        x0 = math.max(x0, firstX(x => r.lonOf(x) > v.doubleValue()))
+      case sources.GreaterThanOrEqual("longitude", v: java.lang.Double) =>
+        x0 = math.max(x0, firstX(x => r.lonOf(x) >= v.doubleValue()))
+      case sources.LessThan("longitude", v: java.lang.Double) =>
+        x1 = math.min(x1, firstX(x => r.lonOf(x) >= v.doubleValue()) - 1)
+      case sources.LessThanOrEqual("longitude", v: java.lang.Double) =>
+        x1 = math.min(x1, firstX(x => r.lonOf(x) > v.doubleValue()) - 1)
+      case sources.EqualTo("longitude", v: java.lang.Double) =>
+        val x = firstX(x => r.lonOf(x) >= v.doubleValue())
+        if (x < r.width && r.lonOf(x) == v.doubleValue()) {
+          x0 = math.max(x0, x); x1 = math.min(x1, x)
+        } else { x0 = 1; x1 = 0 }
+      // lat DECREASES with y
+      case sources.LessThan("latitude", v: java.lang.Double) =>
+        y0 = math.max(y0, firstY(y => r.latOf(y) < v.doubleValue()))
+      case sources.LessThanOrEqual("latitude", v: java.lang.Double) =>
+        y0 = math.max(y0, firstY(y => r.latOf(y) <= v.doubleValue()))
+      case sources.GreaterThan("latitude", v: java.lang.Double) =>
+        y1 = math.min(y1, firstY(y => r.latOf(y) <= v.doubleValue()) - 1)
+      case sources.GreaterThanOrEqual("latitude", v: java.lang.Double) =>
+        y1 = math.min(y1, firstY(y => r.latOf(y) < v.doubleValue()) - 1)
+      case sources.EqualTo("latitude", v: java.lang.Double) =>
+        val y = firstY(y => r.latOf(y) <= v.doubleValue())
+        if (y < r.height && r.latOf(y) == v.doubleValue()) {
+          y0 = math.max(y0, y); y1 = math.min(y1, y)
+        } else { y0 = 1; y1 = 0 }
+      case _ =>
+    }
+    if (x0 > x1 || y0 > y1) None else Some((x0, x1, y0, y1))
+  }
+
+  private def pathKept(p: String): Boolean = pushed.forall {
+    case sources.EqualTo("path", v: String) => p == v
+    case _ => true
+  }
+
+  private def bandsOf(r: TiffRaster): Seq[Int] = {
+    val all = 1 to r.bands
+    pushed.foldLeft(all: Seq[Int]) { (acc, f) =>
+      f match {
+        case sources.EqualTo("band", v: Integer) => acc.filter(_ == v.intValue())
+        case sources.In("band", vs) =>
+          acc.filter(b => vs.exists(_.asInstanceOf[Integer].intValue() == b))
+        case _ => acc
+      }
+    }
+  }
+
+  // (path, raster, tile index, clip bounds, bands) per surviving tile
+  private lazy val survivors: Seq[TiffInputPartition] =
+    byFile.filter(f => pathKept(f._1)).flatMap { case (p, r) =>
+      val bands = bandsOf(r)
+      if (bands.isEmpty) Seq.empty
+      else pixelBounds(r) match {
+        case None => Seq.empty
+        case Some((x0, x1, y0, y1)) =>
+          val t0x = x0 / r.tileWidth; val t1x = x1 / r.tileWidth
+          val t0y = y0 / r.tileHeight; val t1y = y1 / r.tileHeight
+          // slim descriptor: a partition must NOT serialize the whole
+          // tile index (O(tiles) per partition = O(tiles^2) shipped)
+          val slim = r.copy(tileOffsets = Array.emptyLongArray,
+            tileByteCounts = Array.emptyLongArray)
+          for {
+            ty <- t0y to t1y
+            tx <- t0x to t1x
+            t = ty * r.tilesAcross + tx
+          } yield TiffInputPartition(p, slim, tx, ty,
+            r.tileOffsets(t), r.tileByteCounts(t),
+            x0, x1, y0, y1, bands.toArray, required.fieldNames)
+      }
+    }
+
+  override def description(): String =
+    s"graft-geotiff tiles=${survivors.length}/${byFile.map(_._2.tileOffsets.length).sum}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] = survivors.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TiffReaderFactory(new SerializableHadoopConf(conf))
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = survivors.map { p =>
+      val r = p.raster
+      val w = math.min((p.tx + 1) * r.tileWidth - 1, p.x1) - math.max(p.tx * r.tileWidth, p.x0) + 1
+      val h = math.min((p.ty + 1) * r.tileHeight - 1, p.y1) - math.max(p.ty * r.tileHeight, p.y0) + 1
+      math.max(0L, w.toLong) * math.max(0L, h.toLong) * p.bands.length
+    }.sum
+    private val rowBytes = required.fields.map(_.dataType.defaultSize.toLong).sum
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(rows * math.max(1L, rowBytes))
+    override def numRows(): OptionalLong = OptionalLong.of(rows)
+  }
+}
+
+final case class TiffInputPartition(
+    path: String,
+    raster: TiffRaster, // tile index arrays EMPTIED — see offset/count
+    tx: Int, ty: Int,
+    offset: Long, count: Long,
+    x0: Int, x1: Int, y0: Int, y1: Int,
+    bands: Array[Int],
+    cols: Array[String]) extends InputPartition
+
+final class TiffReaderFactory(conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TiffPartitionReader(partition.asInstanceOf[TiffInputPartition], conf.value)
+}
+
+/** One positioned tile read + decompress, then emit the clipped cells
+  * band-interleaved. */
+final class TiffPartitionReader(part: TiffInputPartition, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val r = part.raster
+  private val pix: Array[Double] = {
+    val p = new HPath(part.path)
+    val in = p.getFileSystem(conf).open(p)
+    try {
+      val b = new Array[Byte](part.count.toInt)
+      in.readFully(part.offset, b)
+      TiffFormat.decodeTile(r, b)
+    } finally in.close()
+  }
+  private val tx = part.tx
+  private val ty = part.ty
+  // clip: intersection of the tile with the scan's pixel bounds
+  private val cx0 = math.max(tx * r.tileWidth, part.x0)
+  private val cx1 = math.min((tx + 1) * r.tileWidth - 1, math.min(part.x1, r.width - 1))
+  private val cy0 = math.max(ty * r.tileHeight, part.y0)
+  private val cy1 = math.min((ty + 1) * r.tileHeight - 1, math.min(part.y1, r.height - 1))
+  private val nx = math.max(0, cx1 - cx0 + 1)
+  private val ny = math.max(0, cy1 - cy0 + 1)
+  private val nb = part.bands.length
+  private val total = nx.toLong * ny * nb
+
+  private val pathUtf = UTF8String.fromString(part.path)
+  private val PathC = 0; private val LatC = 1; private val LonC = 2
+  private val BandC = 3; private val ValueC = 4
+  private val colCodes: Array[Int] = part.cols.map {
+    case "path" => PathC
+    case "latitude" => LatC
+    case "longitude" => LonC
+    case "band" => BandC
+    case "value" => ValueC
+  }
+  private var k = -1L
+
+  override def next(): Boolean = { k += 1; k < total }
+
+  override def get(): InternalRow = {
+    val b = (k % nb).toInt
+    val cell = (k / nb).toInt
+    val x = cx0 + cell % nx
+    val y = cy0 + cell / nx
+    val band = part.bands(b)
+    val v = pix(((y - ty * r.tileHeight) * r.tileWidth +
+      (x - tx * r.tileWidth)) * r.bands + (band - 1))
+    val row = new Array[Any](colCodes.length)
+    var c = 0
+    while (c < colCodes.length) {
+      row(c) = colCodes(c) match {
+        case PathC => pathUtf
+        case LatC => r.latOf(y)
+        case LonC => r.lonOf(x)
+        case BandC => band
+        case ValueC => if (r.noData.exists(_ == v)) null else v
+      }
+      c += 1
+    }
+    new GenericInternalRow(row)
+  }
+
+  override def close(): Unit = ()
+}
