@@ -94,6 +94,33 @@ object Audio {
     DecodedAudio(id, sampleRate, channels, out)
   }
 
+  /** Decode FLAC through the in-repo [[Flac]] codec, then normalize to
+    * mono [-1, 1] with the SAME integer-space channel averaging as the
+    * WAV path — one downstream feature contract for both formats. */
+  def decodeFlac(id: Long, bytes: Array[Byte]): DecodedAudio = {
+    val f = Flac.decode(bytes)
+    val half = (1L << (f.bits - 1)).toFloat
+    val n = f.samples(0).length
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0L
+      var c = 0
+      while (c < f.channels) { acc += f.samples(c)(i); c += 1 }
+      out(i) = (acc.toDouble / f.channels / half).toFloat
+      i += 1
+    }
+    DecodedAudio(id, f.sampleRate, f.channels, out)
+  }
+
+  /** Magic-dispatched audio decode: FLAC and WAV/PCM route to their
+    * in-repo codecs; anything else falls through to the WAV path's
+    * NAMED refusal (mp3/ogg/unknown). */
+  def decodeAuto(id: Long, bytes: Array[Byte]): DecodedAudio =
+    if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
+      bytes(2) == 'a' && bytes(3) == 'C') decodeFlac(id, bytes)
+    else decodeWav(id, bytes)
+
   /** Encode mono PCM to WAV (fixture/writer side; integer samples in the
     * bit-depth's signed range, 8-bit unsigned per the spec). */
   def encodeWav(samples: Array[Int], sampleRate: Int, bits: Int = 16): Array[Byte] = {
@@ -134,7 +161,7 @@ object Audio {
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val d = decodeWav(id, bytes)
+          val d = decodeAuto(id, bytes)
           var sq = 0.0; var peak = 0.0; var zc = 0L
           var prevSign = 0
           var i = 0
