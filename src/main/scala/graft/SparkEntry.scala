@@ -575,6 +575,97 @@ object SparkEntry {
     rows.toDF("id", "webp")
   }
 
+  /** FLAC twin of [[wavEventsFixture]]: the SAME 100-sample clips
+    * carried as native FLAC, with the encoder strategy CYCLED by day —
+    * fixed predictors 0-2, verbatim, LPC, Rice partitions/methods,
+    * multi-frame blocks, and an equal-channel mid/side stereo pair
+    * (average = the mono formula) — so q148's oracle applies verbatim
+    * and any prefix/Rice/predictor/stereo slip fails the compare. */
+  private def flacEventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    import graft.functions.Flac
+    val rows = days.toSeq.map { d =>
+      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val samples = Array.tabulate(100)(i =>
+        (((cnt(i % 10) * 31 + i * 7) % 2001) - 1000).toInt)
+      val flac = (id % 6) match {
+        case 0 => Flac.encode(Array(samples), 8000, strategy = Flac.Fixed(2))
+        case 1 => Flac.encode(Array(samples), 8000, blockSize = 64,
+          strategy = Flac.Verbatim)
+        case 2 => Flac.encode(Array(samples), 8000,
+          strategy = Flac.Fixed(1, partitionOrder = 2, method = 1))
+        case 3 => Flac.encode(Array(samples), 8000,
+          strategy = Flac.Lpc(Array(2, -1), 0))
+        case 4 => Flac.encode(Array(samples, samples), 8000,
+          strategy = Flac.Fixed(2), stereo = Flac.MidSide)
+        case _ => Flac.encode(Array(samples), 8000, blockSize = 50,
+          strategy = Flac.Fixed(0))
+      }
+      (id, flac)
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "flac")
+  }
+
+  /** GeoTIFF fixture: one 8×8 raster per day (CHIRPS-style one-file-
+    * per-date archive, filename = epoch-day), pixel v(i) = (cnt(slot =
+    * i%10)·7 + i + (band−1)·1000) mod 1e6, NODATA −9999 where cnt%5=0,
+    * band count 1 + (id%2); geo-transform origin (−20, 50), scale 0.25.
+    * The writer CONFIG cycles by day — float64/float32/int32, strips
+    * and 16×16 tiles, none/Deflate/LZW/PackBits, horizontal predictor,
+    * BigTIFF, a COG overview IFD — so the one scan gate covers every
+    * reader path, the q167 trick. */
+  private def geotiffEventsFixture(s: SparkSession, dir: String): String = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_tif_$sf"
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(dirPath, true); fs.mkdirs(dirPath)
+    import graft.sources.tiff.TiffFormat
+    days.foreach { d =>
+      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val nBands = 1 + (id % 2).toInt
+      val bands = Array.tabulate(nBands)(b => Array.tabulate(64) { i =>
+        if (cnt(i % 10) % 5 == 0) -9999.0
+        else ((cnt(i % 10) * 7 + i + b * 1000L) % 1000000L).toDouble
+      })
+      val opts0 = TiffFormat.WriteOpts(noData = Some(-9999))
+      val (sfmt, bits, opts) = (id % 6) match {
+        case 0 => (3, 64, opts0.copy(rowsPerStrip = 3))
+        case 1 => (2, 32, opts0.copy(tileSize = 16, compression = 8, predictor = 2))
+        case 2 => (3, 32, opts0.copy(rowsPerStrip = 4, compression = 5))
+        case 3 => (2, 32, opts0.copy(rowsPerStrip = 2, compression = 32773, predictor = 2))
+        case 4 => (3, 64, opts0.copy(bigTiff = true, compression = 8))
+        case _ => (2, 32, opts0.copy(tileSize = 16, compression = 5,
+          predictor = 2, overview = true))
+      }
+      val bytes = TiffFormat.write(8, 8, bands, sfmt, bits,
+        -20.0, 50.0, 0.25, 0.25, opts)
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/$id.tif"), true)
+      try out.write(bytes) finally out.close()
+    }
+    outDir
+  }
+
   /** CDF-5 fixture (PnetCDF 64-bit data format, the HPC-produced classic
     * shape): the q61 events grid written with version byte 5, wide header
     * integers, and an NC_INT64 data variable with an int64 fill. */
@@ -2455,6 +2546,18 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // REAL compressed-audio decode: the q148 clips carried as native
+    // FLAC (strategies cycled per day: fixed/verbatim/LPC/Rice
+    // partitions/mid-side stereo), through the magic-dispatching audio
+    // feature extractor — q148's oracle verbatim, so any Rice/predictor
+    // slip fails the integer compare.
+    "q169_flac_decode_features" -> ((s, dir) => {
+      val flacs = flacEventsFixture(s, dir)
+      graft.functions.Audio.audioFeatures(flacs, "id", "flac")
+        .select("id", "sample_rate", "n_samples", "duration_ms", "zero_crossings")
+        .orderBy("id")
+    }),
+
     // REAL image decode for the multimodal pack: 8×8 grayscale PNGs
     // (zlib + cycling scanline filters) decoded by the in-repo RFC 2083
     // codec through the per-partition Decoder plumbing, then an
@@ -2483,6 +2586,21 @@ object SparkEntry {
             p => when(p * 64 > col("pix_sum"), "1").otherwise("0")), "")
             .as("ahash_bits"))
         .orderBy("id")
+    }),
+
+    // GeoTIFF/COG scan gate: a per-day raster archive (the CHIRPS
+    // publication shape) through the DSv2 tile reader — every writer
+    // config (formats, layouts, compressions, predictor, BigTIFF,
+    // overview) lands in the same (id, lat, lon, band, value) rows the
+    // oracle recomputes from events with ZERO TIFF code; NODATA → null.
+    "q168_geotiff_scan" -> ((s, dir) => {
+      val path = geotiffEventsFixture(s, dir)
+      s.read.format("geotiff").load(path)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.tif$", 1)
+            .cast("long").as("id"),
+          col("latitude"), col("longitude"), col("band"), col("value"))
+        .orderBy("id", "band", "latitude", "longitude")
     }),
 
     // CDF-5 (PnetCDF 64-bit data format): the q61 grid with version byte
@@ -4292,6 +4410,30 @@ object SparkEntry {
     // real WAV decode gate: samples recomputed from events WITHOUT any
     // RIFF code; zero-crossings count sign changes over the NONZERO
     // sample subsequence (zeros skipped), replayed with a lag window
+    // FLAC decode: q148's clips and oracle verbatim, carried as FLAC
+    "q169_flac_decode_features" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |sm AS (SELECT days.d, i.i,
+        |         ((coalesce(g.cnt, 0) * 31 + i.i * 7) % 2001) - 1000 AS s
+        |       FROM days
+        |       CROSS JOIN (SELECT CAST(unnest(range(100)) AS INTEGER) AS i) i
+        |       LEFT JOIN g ON g.d = days.d AND g.slot = CAST(i.i % 10 AS INTEGER)),
+        |nz AS (SELECT d, i, sign(s) AS sg,
+        |         lag(sign(s)) OVER (PARTITION BY d ORDER BY i) AS prev
+        |       FROM sm WHERE s <> 0),
+        |zc AS (SELECT d, sum(CASE WHEN prev IS NOT NULL AND sg <> prev
+        |                          THEN 1 ELSE 0 END) AS z
+        |       FROM nz GROUP BY d)
+        |SELECT CAST(date_diff('day', DATE '1970-01-01', zc.d) AS BIGINT) AS id,
+        |       8000 AS sample_rate, CAST(100 AS BIGINT) AS n_samples,
+        |       CAST(12 AS BIGINT) AS duration_ms,
+        |       CAST(zc.z AS BIGINT) AS zero_crossings
+        |FROM zc ORDER BY id""".stripMargin,
+
     "q148_wav_decode_features" ->
       """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
         |                  CAST(event_id % 10 AS INTEGER) AS slot,
@@ -4407,6 +4549,31 @@ object SparkEntry {
         |FROM px JOIN agg ON px.d = agg.d
         |GROUP BY px.d, agg.s
         |ORDER BY id""".stripMargin,
+
+    // GeoTIFF scan: replay pixels + affine geo-math from events
+    "q168_geotiff_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |px AS (SELECT ids.id, i.i,
+        |         CAST(i.i // 8 AS BIGINT) AS y, CAST(i.i % 8 AS BIGINT) AS x,
+        |         coalesce(g.cnt, 0) AS cnt
+        |       FROM ids
+        |       CROSS JOIN (SELECT CAST(unnest(range(64)) AS INTEGER) AS i) i
+        |       LEFT JOIN g ON g.d = ids.d AND g.slot = CAST(i.i % 10 AS INTEGER))
+        |SELECT px.id,
+        |       CAST(50 - (y + 0.5) * 0.25 AS DOUBLE) AS latitude,
+        |       CAST(-20 + (x + 0.5) * 0.25 AS DOUBLE) AS longitude,
+        |       CAST(b.b AS INTEGER) AS band,
+        |       CASE WHEN cnt % 5 = 0 THEN NULL
+        |            ELSE CAST((cnt * 7 + i + (b.b - 1) * 1000) % 1000000 AS DOUBLE)
+        |       END AS value
+        |FROM px CROSS JOIN (SELECT unnest(range(1, 3)) AS b) b
+        |WHERE b.b <= 1 + px.id % 2
+        |ORDER BY id, band, latitude, longitude""".stripMargin,
 
     // CDF-5 int64 counts: q82's spine with BIGINT cnt, fills → NULL
     "q144_nc_cdf5_scan" ->

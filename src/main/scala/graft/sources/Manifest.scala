@@ -74,12 +74,15 @@ object Manifest {
   val NetcdfExtensions: Seq[String] = Seq(".nc", ".cdf")
   val GribExtensions: Seq[String] =
     Seq(".grb", ".grib", ".grb1", ".grb2", ".grib2")
+  val TiffExtensions: Seq[String] = Seq(".tif", ".tiff")
   val KnownInputExtensions: Seq[String] =
-    ".parquet" +: (NetcdfExtensions ++ GribExtensions)
+    ".parquet" +: (NetcdfExtensions ++ GribExtensions ++ TiffExtensions)
 
   def isNetcdf(path: String): Boolean = NetcdfExtensions.exists(path.endsWith)
 
   def isGrib(path: String): Boolean = GribExtensions.exists(path.endsWith)
+
+  def isTiff(path: String): Boolean = TiffExtensions.exists(path.endsWith)
 
   /** Open one input by format, dispatched on extension: classic NetCDF and
     * GRIB (either edition) go through their DSv2 scans (S9's real forms),
@@ -89,6 +92,7 @@ object Manifest {
   def openInput(spark: SparkSession, path: String): DataFrame =
     if (isNetcdf(path)) spark.read.format("netcdf").load(path)
     else if (isGrib(path)) spark.read.format("grib1").load(path)
+    else if (isTiff(path)) spark.read.format("geotiff").load(path)
     else spark.read.parquet(path)
 
   /** S10 — multi-file union scan with identical-schema assertion
