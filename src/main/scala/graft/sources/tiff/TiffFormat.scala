@@ -14,12 +14,15 @@ import scala.collection.mutable.ArrayBuffer
   * In profile: classic AND BigTIFF, both byte orders, tiled and
   * stripped layouts, chunky (pixel-interleaved) planar config,
   * compressions none / PackBits / LZW (MSB-first, early-change) /
-  * Deflate (both the 8 and legacy 32946 codes), horizontal predictor,
+  * Deflate (both the 8 and legacy 32946 codes) / new-style JPEG
+  * (code 7, one T.81 stream per tile through the in-repo [[
+  * graft.functions.Jpeg]] codec), horizontal predictor 2 AND the
+  * floating-point predictor 3 (libtiff byte-plane shuffle + diff),
   * sample formats uint 8/16/32, int 8/16/32, float 32/64, multi-band,
   * COG overview IFDs (skipped by NewSubfileType), GDAL_NODATA → null.
-  * Out of profile and refused BY NAME: separate planar config, JPEG/
-  * CCITT compressions, the floating-point predictor 3, palette color,
-  * multiple full-resolution pages.
+  * Out of profile and refused BY NAME: separate planar config,
+  * old-style JPEG (code 6) / CCITT / Zstd / LZMA compressions, palette
+  * color, multiple full-resolution pages.
   *
   * The writer emits the same profile (always little-endian classic or
   * BigTIFF) and exists so fixtures and specs are built from
@@ -222,26 +225,30 @@ object TiffFormat {
     require(bitsPerSample != 64 || sampleFormat == 3,
       "64-bit integer samples unsupported (float64 only)")
     val compression = one(TagCompression, 1).toInt
-    require(Set(1, 5, 8, 32773, 32946).contains(compression), {
+    require(Set(1, 5, 7, 8, 32773, 32946).contains(compression), {
       val name = compression match {
         case 2 | 3 | 4 => "CCITT fax"
-        case 6 | 7 => "JPEG"
+        case 6 => "old-style JPEG (code 6)"
         case 34712 => "JPEG 2000"
         case 50000 => "Zstd"
         case 14 | 34925 => "LZMA"
         case c => s"code $c"
       }
-      s"TIFF compression $name unsupported (none/LZW/Deflate/PackBits)"
+      s"TIFF compression $name unsupported (none/LZW/Deflate/PackBits/JPEG-7)"
     })
     val planar = one(TagPlanarConfig, 1).toInt
     require(planar == 1,
       "separate (band-sequential) PlanarConfiguration unsupported (chunky only)")
     val predictor = one(TagPredictor, 1).toInt
-    require(predictor == 1 || predictor == 2,
-      if (predictor == 3) "floating-point predictor (3) unsupported"
-      else s"TIFF predictor $predictor unsupported")
+    require(predictor >= 1 && predictor <= 3,
+      s"TIFF predictor $predictor unsupported")
+    require(predictor != 3 || sampleFormat == 3,
+      "floating-point predictor (3) on integer samples unsupported")
+    require(compression != 7 || (sampleFormat == 1 && bitsPerSample == 8),
+      "JPEG-in-TIFF carries 8-bit unsigned samples only")
     val photometric = one(TagPhotometric, 1).toInt
-    require(photometric <= 2,
+    // 6 = YCbCr, the usual JPEG-in-TIFF labeling; the JPEG codec emits RGB
+    require(photometric <= 2 || (photometric == 6 && compression == 7),
       s"photometric $photometric unsupported (palette/alpha-profile rasters)")
 
     val (tw, th, offs, counts) =
@@ -306,6 +313,7 @@ object TiffFormat {
     * applied here (the scan does, so the null check stays in one
     * place). */
   def decodeTile(r: TiffRaster, compressed: Array[Byte]): Array[Double] = {
+    if (r.compression == 7) return decodeJpegTile(r, compressed)
     val bytesPerSample = r.bitsPerSample / 8
     val rowBytes = r.tileWidth * r.bands * bytesPerSample
     val raw0 = r.compression match {
@@ -337,6 +345,36 @@ object TiffFormat {
         y += 1
       }
     }
+    if (r.predictor == 3) {
+      // floating-point predictor (libtiff fpAcc): per row, byte-wise
+      // cumulative sum with stride = samples-per-pixel, then de-shuffle
+      // the byte PLANES (MSB plane first in the file) back to
+      // sample-major order in the file's declared endianness
+      val wc = r.tileWidth * r.bands
+      val stride = r.bands
+      val tmp = new Array[Byte](rowBytes)
+      var y = 0
+      while (y < r.tileHeight) {
+        val base = y * rowBytes
+        var i = stride
+        while (i < rowBytes) {
+          raw(base + i) = (raw(base + i) + raw(base + i - stride)).toByte
+          i += 1
+        }
+        System.arraycopy(raw, base, tmp, 0, rowBytes)
+        var s = 0
+        while (s < wc) {
+          var b = 0
+          while (b < bytesPerSample) {
+            val plane = if (r.bigEndian) b else bytesPerSample - 1 - b
+            raw(base + s * bytesPerSample + b) = tmp(plane * wc + s)
+            b += 1
+          }
+          s += 1
+        }
+        y += 1
+      }
+    }
     val n = r.tileWidth * r.tileHeight * r.bands
     val out = new Array[Double](n)
     var i = 0
@@ -344,6 +382,32 @@ object TiffFormat {
       out(i) = sampleAt(raw, i * bytesPerSample, r)
       i += 1
     }
+    out
+  }
+
+  /** JPEG-in-TIFF (new-style, compression 7): every tile/strip is one
+    * complete JPEG stream through the in-repo T.81 codec — grayscale to
+    * 1 band, YCbCr→RGB to 3. */
+  private def decodeJpegTile(r: TiffRaster, compressed: Array[Byte]): Array[Double] = {
+    val img = graft.functions.Jpeg.decode(compressed)
+    require(img.width == r.tileWidth && img.height == r.tileHeight,
+      s"JPEG tile is ${img.width}x${img.height}, TIFF says ${r.tileWidth}x${r.tileHeight}")
+    require((img.components == 1 && r.bands == 1) ||
+      (img.components == 3 && r.bands == 3),
+      s"JPEG tile has ${img.components} components, TIFF says ${r.bands} bands")
+    val n = r.tileWidth * r.tileHeight
+    val out = new Array[Double](n * r.bands)
+    var i = 0
+    if (r.bands == 1)
+      while (i < n) { out(i) = img.pixels(i).toDouble; i += 1 }
+    else
+      while (i < n) {
+        val p = img.pixels(i)
+        out(i * 3) = ((p >> 16) & 0xFF).toDouble
+        out(i * 3 + 1) = ((p >> 8) & 0xFF).toDouble
+        out(i * 3 + 2) = (p & 0xFF).toDouble
+        i += 1
+      }
     out
   }
 
@@ -544,6 +608,12 @@ object TiffFormat {
       s"need >=1 band of ${width * height} values")
     require(opts.tileSize == 0 || opts.tileSize % 16 == 0,
       "tile size must be a multiple of 16")
+    require(opts.predictor != 3 || sampleFormat == 3,
+      "floating-point predictor needs float samples")
+    require(opts.compression != 7 ||
+      (sampleFormat == 1 && bitsPerSample == 8 && (bands == 1 || bands == 3)
+        && opts.predictor == 1),
+      "JPEG-in-TIFF writes 8-bit unsigned 1/3-band tiles, no predictor")
 
     val out = new ArrayBuffer[Byte](1 << 16)
     def pad(): Unit = while (out.length % 2 != 0) out += 0
@@ -565,8 +635,7 @@ object TiffFormat {
         else (w, math.min(opts.rowsPerStrip, h))
       val across = (w + tw - 1) / tw
       val down = (h + th - 1) / th
-      val tiles = Array.tabulate(down * across) { t =>
-        val ty = t / across; val tx = t % across
+      def encodeRawTile(ty: Int, tx: Int): Array[Byte] = {
         val rowBytes = tw * bands * bytesPerSample
         val raw = new Array[Byte](rowBytes * th)
         var y = 0
@@ -617,12 +686,53 @@ object TiffFormat {
             y += 1
           }
         }
+        if (opts.predictor == 3) {
+          // fpDiff: shuffle each row to byte planes (MSB plane first;
+          // our raw layout is little-endian, so plane p = byte bps-1-p),
+          // then byte-wise difference with stride = samples per pixel
+          val wc = tw * bands
+          val tmp = new Array[Byte](rowBytes)
+          var y = 0
+          while (y < th) {
+            val base = y * rowBytes
+            System.arraycopy(raw, base, tmp, 0, rowBytes)
+            var s = 0
+            while (s < wc) {
+              var p = 0
+              while (p < bytesPerSample) {
+                raw(base + p * wc + s) =
+                  tmp(s * bytesPerSample + (bytesPerSample - 1 - p))
+                p += 1
+              }
+              s += 1
+            }
+            var i = rowBytes - 1
+            while (i >= bands) {
+              raw(base + i) = (raw(base + i) - raw(base + i - bands)).toByte
+              i -= 1
+            }
+            y += 1
+          }
+        }
         opts.compression match {
           case 1 => raw
           case 5 => lzwEncode(raw)
           case 8 => deflate(raw)
           case 32773 => packBitsEncode(raw)
         }
+      }
+      val tiles = Array.tabulate(down * across) { t =>
+        val ty = t / across; val tx = t % across
+        if (opts.compression == 7) {
+          // one complete JPEG stream per tile (padded to full tile size)
+          val px = Array.tabulate(tw * th) { i =>
+            val sy = ty * th + i / tw; val sx = tx * tw + i % tw
+            def at(b: Int) =
+              (if (sy < h && sx < w) vals(b)(sy * w + sx) else 0.0).toInt & 0xFF
+            if (bands == 1) at(0) else (at(0) << 16) | (at(1) << 8) | at(2)
+          }
+          graft.functions.Jpeg.encode(tw, th, px, color = bands == 3)
+        } else encodeRawTile(ty, tx)
       }
       (tw, th, tiles)
     }
@@ -642,7 +752,9 @@ object TiffFormat {
       tags += Tag(TagImageLength, 4, 1, Array(h.toLong))
       tags += Tag(TagBitsPerSample, 3, bands, Array.fill(bands)(bitsPerSample.toLong))
       tags += Tag(TagCompression, 3, 1, Array(opts.compression.toLong))
-      tags += Tag(TagPhotometric, 3, 1, Array(1L))
+      tags += Tag(TagPhotometric, 3, 1,
+        Array(if (opts.compression == 7 && bands == 3) 6L
+          else if (bands == 3) 2L else 1L))
       if (!tiled) {
         tags += Tag(TagStripOffsets, if (big) 16 else 4, tiles.length, tileOffs)
         tags += Tag(TagRowsPerStrip, 4, 1, Array(th.toLong))

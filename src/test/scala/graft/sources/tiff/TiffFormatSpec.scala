@@ -169,6 +169,48 @@ class TiffFormatSpec extends AnyFunSuite {
     assert(out(0).sameElements(Array(1.0, 2.0, 3.0, 4.0)))
   }
 
+  test("floating-point predictor 3 roundtrips float32/float64, multi-band") {
+    val w = 23; val h = 9
+    val f32 = grid(w, h)(i => (math.sin(i * 0.1) * 1000).toFloat.toDouble)
+    val b32 = TiffFormat.write(w, h, Array(f32), 3, 32, 0, 9, 1.0, 1.0,
+      WriteOpts(compression = 8, predictor = 3))
+    assert(decodeAll(b32)._2(0).sameElements(f32))
+    val f64a = grid(w, h)(i => i * 0.123456789)
+    val f64b = grid(w, h)(i => 7.5 - i * 0.001)
+    val b64 = TiffFormat.write(w, h, Array(f64a, f64b), 3, 64, 0, 9, 1.0, 1.0,
+      WriteOpts(tileSize = 16, compression = 5, predictor = 3))
+    val (_, out) = decodeAll(b64)
+    assert(out(0).sameElements(f64a) && out(1).sameElements(f64b))
+    // predictor 3 genuinely helps smooth float data under deflate
+    val plain = TiffFormat.write(w, h, Array(f64a), 3, 64, 0, 9, 1.0, 1.0,
+      WriteOpts(compression = 8))
+    val pred = TiffFormat.write(w, h, Array(f64a), 3, 64, 0, 9, 1.0, 1.0,
+      WriteOpts(compression = 8, predictor = 3))
+    assert(pred.length < plain.length,
+      s"fp predictor should shrink smooth data: ${pred.length} vs ${plain.length}")
+  }
+
+  test("JPEG-in-TIFF (compression 7) decodes gray and RGB tiles within codec tolerance") {
+    val w = 32; val h = 16
+    val gray = grid(w, h)(i => 100.0 + (i % w) / 4) // smooth: DCT-friendly
+    val bg = TiffFormat.write(w, h, Array(gray), 1, 8, 0, 16, 1.0, 1.0,
+      WriteOpts(tileSize = 16, compression = 7))
+    val (rg, outG) = decodeAll(bg)
+    assert(rg.compression == 7)
+    gray.zip(outG(0)).zipWithIndex.foreach { case ((e, g), i) =>
+      assert(math.abs(e - g) <= 2, s"gray pixel $i: $e vs $g") // all-ones quant ±2
+    }
+    val rgb = Array.tabulate(3)(b => grid(w, h)(i => (60.0 * b) + 40 + (i % w)))
+    val bc = TiffFormat.write(w, h, rgb, 1, 8, 0, 16, 1.0, 1.0,
+      WriteOpts(rowsPerStrip = 16, compression = 7))
+    val (_, outC) = decodeAll(bc)
+    for (b <- 0 to 2)
+      rgb(b).zip(outC(b)).zipWithIndex.foreach { case ((e, g), i) =>
+        // DCT ±2 plus YCbCr forward+inverse rounding
+        assert(math.abs(e - g) <= 5, s"band $b pixel $i: $e vs $g")
+      }
+  }
+
   test("out-of-profile and corrupt inputs are refused by name") {
     val w = 18; val h = 6
     val good = TiffFormat.write(w, h, Array(grid(w, h)(_.toDouble)), 1, 8,
@@ -185,10 +227,10 @@ class TiffFormatSpec extends AnyFunSuite {
         .find(o => ((bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)) == tag)
         .getOrElse(fail(s"tag $tag not found"))
     }
-    // JPEG compression named
+    // old-style JPEG (code 6) named; new-style 7 is in profile now
     val eJpeg = intercept[IllegalArgumentException](parse(patched { c =>
-      val o = findTag(c, 259); c(o + 8) = 7; c(o + 9) = 0 }))
-    assert(eJpeg.getMessage.contains("JPEG"), eJpeg.getMessage)
+      val o = findTag(c, 259); c(o + 8) = 6; c(o + 9) = 0 }))
+    assert(eJpeg.getMessage.contains("old-style JPEG"), eJpeg.getMessage)
     // float predictor named (tag only present when predictor != 1)
     val withPred = TiffFormat.write(w, h, Array(grid(w, h)(_.toDouble)), 1, 8,
       0, 0, 1, 1, WriteOpts(compression = 8, predictor = 2))
