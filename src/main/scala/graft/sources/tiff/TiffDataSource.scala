@@ -146,6 +146,7 @@ object TiffTable {
     val conf = spark.sparkContext.hadoopConfiguration
     val paths = Option(options.get("path")).toSeq
     require(paths.nonEmpty, "geotiff scan needs a path")
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
     val files = listTiffFiles(conf, paths)
     // parse cache misses on a bounded pool — header-only, one remote
     // round trip per file, never serial O(files) on the driver
@@ -157,19 +158,22 @@ object TiffTable {
         Future(scala.concurrent.blocking(parseFile(conf, st)))), Duration.Inf)
     }
     new TiffTable(files.map(st => st.getPath.toString -> parseFile(conf, st)),
-      conf)
+      conf, paths, maxFiles)
   }
 }
 
 final class TiffTable(
     val byFile: Seq[(String, TiffRaster)],
-    @transient val conf: Configuration) extends Table with SupportsRead {
+    @transient val conf: Configuration,
+    val paths: Seq[String] = Seq.empty,
+    val maxFilesPerTrigger: Option[Int] = None) extends Table with SupportsRead {
   override def name(): String =
     s"geotiff(${byFile.length} files, ${byFile.map { case (_, r) =>
       r.tileOffsets.length }.sum} tiles)"
   override def schema(): StructType = TiffTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TiffScanBuilder(this)
 }
@@ -209,18 +213,28 @@ final class TiffScanBuilder(table: TiffTable) extends ScanBuilder
     required = requiredSchema
 
   override def build(): Scan = new TiffScan(table.byFile, required, pushed,
-    table.conf)
+    table.conf, table.paths, table.maxFilesPerTrigger)
 }
 
 final class TiffScan(
     byFile: Seq[(String, TiffRaster)],
     required: StructType,
     pushed: Array[Filter],
-    @transient conf: Configuration)
+    @transient conf: Configuration,
+    paths: Seq[String] = Seq.empty,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TiffMicroBatchStream(this, paths, conf, maxFilesPerTrigger)
+
+  /** Streaming batches reuse the batch pruning + partitioning verbatim. */
+  private[tiff] def partitionsOf(path: String,
+      r: TiffRaster): Seq[InputPartition] = filePartitions(path, r)
+  private[tiff] def readerFactory: PartitionReaderFactory = createReaderFactory()
 
   /** Pixel-space keep-bounds for one raster from the pushed lat/lon
     * range predicates: [x0, x1] x [y0, y1] inclusive, or None = nothing
@@ -290,8 +304,9 @@ final class TiffScan(
   }
 
   // (path, raster, tile index, clip bounds, bands) per surviving tile
-  private lazy val survivors: Seq[TiffInputPartition] =
-    byFile.filter(f => pathKept(f._1)).flatMap { case (p, r) =>
+  private def filePartitions(p: String, r: TiffRaster): Seq[TiffInputPartition] =
+    if (!pathKept(p)) Seq.empty
+    else {
       val bands = bandsOf(r)
       if (bands.isEmpty) Seq.empty
       else pixelBounds(r) match {
@@ -312,6 +327,9 @@ final class TiffScan(
             x0, x1, y0, y1, bands.toArray, required.fieldNames)
       }
     }
+
+  private lazy val survivors: Seq[TiffInputPartition] =
+    byFile.flatMap { case (p, r) => filePartitions(p, r) }
 
   override def description(): String =
     s"graft-geotiff tiles=${survivors.length}/${byFile.map(_._2.tileOffsets.length).sum}, " +
@@ -416,4 +434,108 @@ final class TiffPartitionReader(part: TiffInputPartition, conf: Configuration)
   }
 
   override def close(): Unit = ()
+}
+
+final case class TiffOffset(watermark: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = graft.meta.JStr(watermark).render
+}
+
+/** MICRO_BATCH_READ over a COG landing directory — the live-feed shape
+  * (one raster lands per date): natural-order filename watermark, the
+  * same admission-control / AvailableNow / checkpoint-replay protocol
+  * as the GRIB and NC streams, batch pruning + partitioning reused
+  * verbatim. */
+final class TiffMicroBatchStream(
+    scan: TiffScan,
+    paths: Seq[String],
+    @transient conf: Configuration,
+    maxFilesPerTrigger: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
+
+  require(paths.nonEmpty, "geotiff streaming needs the source paths")
+
+  private def key(p: String): String = graft.sources.Manifest.naturalKey(p)
+
+  private def listing(): Seq[org.apache.hadoop.fs.FileStatus] =
+    TiffTable.listTiffFiles(conf, paths)
+
+  /** One listing per trigger: latestOffset selects the batch and caches
+    * it for the planInputPartitions call that follows. */
+  @volatile private var lastBatch: Option[(String, String,
+    Seq[org.apache.hadoop.fs.FileStatus])] = None
+
+  @volatile private var availableNowTarget: Option[String] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val files = listing()
+    availableNowTarget = Some(
+      if (files.isEmpty) "" else files.last.getPath.toString)
+  }
+
+  override def reportLatestOffset(): Offset = {
+    val files = listing()
+    TiffOffset(if (files.isEmpty) "" else files.last.getPath.toString)
+  }
+
+  override def initialOffset(): Offset = TiffOffset("")
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n): ReadLimit)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[TiffOffset].watermark
+    val candidates = listing()
+      .filter(st => key(st.getPath.toString) > key(lo))
+      .filter(st => availableNowTarget.forall(t =>
+        key(st.getPath.toString) <= key(t)))
+    val admitted = limit match {
+      case m: ReadMaxFiles => candidates.take(m.maxFiles())
+      case _ => candidates
+    }
+    if (admitted.isEmpty) { lastBatch = None; start }
+    else {
+      val hi = admitted.last.getPath.toString
+      lastBatch = Some((lo, hi, admitted))
+      TiffOffset(hi)
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    graft.meta.JValue.parse(json) match {
+      case graft.meta.JStr(w) => TiffOffset(w)
+      case other => throw new IllegalArgumentException(s"Bad COG offset $other")
+    }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[TiffOffset].watermark
+    val hi = end.asInstanceOf[TiffOffset].watermark
+    val batch = lastBatch match {
+      case Some((l, h, files)) if l == lo && h == hi => files // cached this trigger
+      case _ => // checkpoint replay: re-derive from the (immutable) dir
+        listing().filter { st =>
+          val k = key(st.getPath.toString)
+          k > key(lo) && k <= key(hi)
+        }
+    }
+    batch.flatMap { st =>
+      scan.partitionsOf(st.getPath.toString,
+        TiffTable.parseFile(conf, st))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.readerFactory // identical reader path as batch
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
