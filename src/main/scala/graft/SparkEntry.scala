@@ -616,6 +616,43 @@ object SparkEntry {
     rows.toDF("id", "flac")
   }
 
+  /** G.711 twin of [[wavEventsFixture]] (the telephony/call-center
+    * crawl shape): 100 samples per day built from a closed (exp, mant,
+    * sign) form that is EXACTLY μ-law/A-law representable, so the 8-bit
+    * companded roundtrip is bit-exact and the DuckDB oracle replays the
+    * segment formula with zero codec code. Even days carry μ-law
+    * (format 7), odd days A-law (format 6). */
+  private def g711EventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    val rows = days.toSeq.map { d =>
+      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val aLaw = id % 2 != 0
+      val samples = Array.tabulate(100) { i =>
+        val c = cnt(i % 10)
+        val e = (c % 8).toInt
+        val m = ((c * 3 + i) % 16).toInt
+        val sg = if ((c + i) % 2 == 0) 1 else -1
+        val mag =
+          if (!aLaw) (m * 8 + 132) * (1 << e) - 132
+          else if (e == 0) m * 16 + 8
+          else (m * 16 + 264) * (1 << (e - 1))
+        sg * mag
+      }
+      (id, graft.functions.Audio.encodeG711(samples, 8000, aLaw))
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "wav")
+  }
+
   /** GeoTIFF fixture: one 8×8 raster per day (CHIRPS-style one-file-
     * per-date archive, filename = epoch-day), pixel v(i) = (cnt(slot =
     * i%10)·7 + i + (band−1)·1000) mod 1e6, NODATA −9999 where cnt%5=0,
@@ -2558,6 +2595,17 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // G.711 companded telephony audio: μ-law (even days) and A-law (odd)
+    // WAV payloads whose samples are exactly companding-representable —
+    // any slip in the segment expansion flips a sign or a zero and fails
+    // the zero-crossing compare.
+    "q170_g711_decode_features" -> ((s, dir) => {
+      val wavs = g711EventsFixture(s, dir)
+      graft.functions.Audio.audioFeatures(wavs, "id", "wav")
+        .select("id", "sample_rate", "n_samples", "duration_ms", "zero_crossings")
+        .orderBy("id")
+    }),
+
     // REAL image decode for the multimodal pack: 8×8 grayscale PNGs
     // (zlib + cycling scanline filters) decoded by the in-repo RFC 2083
     // codec through the per-partition Decoder plumbing, then an
@@ -4410,6 +4458,40 @@ object SparkEntry {
     // real WAV decode gate: samples recomputed from events WITHOUT any
     // RIFF code; zero-crossings count sign changes over the NONZERO
     // sample subsequence (zeros skipped), replayed with a lag window
+    // G.711 decode: replay the exact segment-expansion values from
+    // events (μ-law even days, A-law odd), then q148's zero-skip
+    // crossing count
+    "q170_g711_decode_features" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |sm AS (SELECT ids.d, ids.id, i.i,
+        |         (CASE WHEN (coalesce(g.cnt, 0) + i.i) % 2 = 0 THEN 1 ELSE -1 END) *
+        |         CAST(CASE WHEN ids.id % 2 = 0
+        |           THEN ((coalesce(g.cnt, 0) * 3 + i.i) % 16 * 8 + 132)
+        |                * POW(2, coalesce(g.cnt, 0) % 8) - 132
+        |           ELSE CASE WHEN coalesce(g.cnt, 0) % 8 = 0
+        |             THEN (coalesce(g.cnt, 0) * 3 + i.i) % 16 * 16 + 8
+        |             ELSE ((coalesce(g.cnt, 0) * 3 + i.i) % 16 * 16 + 264)
+        |                  * POW(2, coalesce(g.cnt, 0) % 8 - 1) END
+        |         END AS BIGINT) AS s
+        |       FROM ids
+        |       CROSS JOIN (SELECT CAST(unnest(range(100)) AS INTEGER) AS i) i
+        |       LEFT JOIN g ON g.d = ids.d AND g.slot = CAST(i.i % 10 AS INTEGER)),
+        |nz AS (SELECT d, id, i, sign(s) AS sg,
+        |         lag(sign(s)) OVER (PARTITION BY d ORDER BY i) AS prev
+        |       FROM sm WHERE s <> 0),
+        |zc AS (SELECT d, id, sum(CASE WHEN prev IS NOT NULL AND sg <> prev
+        |                          THEN 1 ELSE 0 END) AS z
+        |       FROM nz GROUP BY d, id)
+        |SELECT id, 8000 AS sample_rate, CAST(100 AS BIGINT) AS n_samples,
+        |       CAST(12 AS BIGINT) AS duration_ms,
+        |       CAST(zc.z AS BIGINT) AS zero_crossings
+        |FROM zc ORDER BY id""".stripMargin,
+
     // FLAC decode: q148's clips and oracle verbatim, carried as FLAC
     "q169_flac_decode_features" ->
       """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,

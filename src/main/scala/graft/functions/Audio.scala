@@ -58,12 +58,15 @@ object Audio {
     }
     require(fmtOff >= 0 && dataOff >= 0, s"audio $id: missing fmt/data chunk")
     val audioFormat = u16(fmtOff)
-    require(audioFormat == 1, s"audio $id: WAV audio format $audioFormat " +
-      "unsupported (1 = integer PCM; float/μ-law/ADPCM need a plugged decoder)")
+    require(audioFormat == 1 || audioFormat == 6 || audioFormat == 7,
+      s"audio $id: WAV audio format $audioFormat unsupported " +
+        "(1 = integer PCM, 6 = A-law, 7 = μ-law; float/ADPCM need a plugged decoder)")
     val channels = u16(fmtOff + 2)
     val sampleRate = u32(fmtOff + 4).toInt
     val bits = u16(fmtOff + 14)
     require(channels >= 1 && channels <= 8, s"audio $id: $channels channels")
+    require(audioFormat == 1 || bits == 8,
+      s"audio $id: G.711 frames are 8-bit, got $bits")
     require(bits == 8 || bits == 16 || bits == 24 || bits == 32,
       s"audio $id: $bits-bit PCM unsupported (8/16/24/32)")
     val bytesPer = bits / 8
@@ -77,21 +80,87 @@ object Audio {
       var c = 0
       while (c < channels) {
         val o = dataOff + f * frameBytes + c * bytesPer
-        val v = bits match {
-          case 8 => (bytes(o) & 0xFF) - 128 // unsigned with midpoint 128
-          case 16 => ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort.toInt
-          case 24 => (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
-            (bytes(o + 2) << 16)
-          case 32 => (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
-            ((bytes(o + 2) & 0xFF) << 16) | (bytes(o + 3) << 24)
-        }
+        val v =
+          if (audioFormat == 7) muLawDecode(bytes(o))
+          else if (audioFormat == 6) aLawDecode(bytes(o))
+          else bits match {
+            case 8 => (bytes(o) & 0xFF) - 128 // unsigned with midpoint 128
+            case 16 => ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort.toInt
+            case 24 => (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+              (bytes(o + 2) << 16)
+            case 32 => (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+              ((bytes(o + 2) & 0xFF) << 16) | (bytes(o + 3) << 24)
+          }
         acc += v
         c += 1
       }
-      out(f) = (acc.toDouble / channels / half).toFloat
+      // G.711 expands to 13/14-bit linear: normalize on the 16-bit scale
+      val denom = if (audioFormat == 1) half else 32768f
+      out(f) = (acc.toDouble / channels / denom).toFloat
       f += 1
     }
     DecodedAudio(id, sampleRate, channels, out)
+  }
+
+  /** G.711 μ-law expansion (the telephony/call-center crawl shape):
+    * 8-bit code → 14-bit linear, the standard bias-0x84 segment form. */
+  def muLawDecode(code: Byte): Int = {
+    val u = ~code & 0xFF
+    val exp = (u >> 4) & 0x7
+    val mant = u & 0xF
+    val mag = (((mant << 3) + 0x84) << exp) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** G.711 μ-law compression — fixture/writer side, the exact inverse
+    * search over the segment table. */
+  def muLawEncode(linear: Int): Byte = {
+    val sign = if (linear < 0) 0x80 else 0
+    var mag = math.min(math.abs(linear), 32635) + 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (mag & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (mag >> (exp + 3)) & 0xF
+    (~(sign | (exp << 4) | mant) & 0xFF).toByte
+  }
+
+  /** G.711 A-law expansion: 8-bit code → 13-bit linear. */
+  def aLawDecode(code: Byte): Int = {
+    val a = (code ^ 0x55) & 0xFF
+    val exp = (a >> 4) & 0x7
+    val mant = a & 0xF
+    val mag =
+      if (exp == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (exp - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** G.711 A-law compression (fixture/writer side). */
+  def aLawEncode(linear: Int): Byte = {
+    val sign = if (linear >= 0) 0x80 else 0
+    var mag = math.min(math.abs(linear), 32767)
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (mag & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = if (exp == 0) (mag >> 4) & 0xF else (mag >> (exp + 3)) & 0xF
+    (((sign | (exp << 4) | mant) ^ 0x55) & 0xFF).toByte
+  }
+
+  /** Encode mono 16-bit-linear samples as a G.711 WAV (format 6 A-law /
+    * 7 μ-law, 8-bit frames) — writer-beside-reader for the decode path. */
+  def encodeG711(samples: Array[Int], sampleRate: Int, aLaw: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(44 + samples.length)
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >>> 16) & 0xFFFF) }
+    out.write("RIFF".getBytes, 0, 4); w32(36 + samples.length)
+    out.write("WAVE".getBytes, 0, 4)
+    out.write("fmt ".getBytes, 0, 4); w32(16)
+    w16(if (aLaw) 6 else 7); w16(1); w32(sampleRate)
+    w32(sampleRate); w16(1); w16(8)
+    out.write("data".getBytes, 0, 4); w32(samples.length)
+    samples.foreach(s => out.write(
+      (if (aLaw) aLawEncode(s) else muLawEncode(s)) & 0xFF))
+    out.toByteArray
   }
 
   /** Decode FLAC through the in-repo [[Flac]] codec, then normalize to

@@ -45,6 +45,38 @@ class AudioSpec extends SparkSpec {
     }
   }
 
+  test("G.711 mu-law and A-law expand exactly (known vectors + quantized roundtrip)") {
+    // canonical anchors: mu-law 0xFF is +0, 0x7F is -0; A-law 0x55 is -8
+    assert(Audio.muLawDecode(0xFF.toByte) == 0)
+    assert(Audio.muLawDecode(0x7F.toByte) == 0)
+    assert(Audio.muLawEncode(0) == 0xFF.toByte)
+    assert(Audio.aLawDecode(0x55.toByte) == -8)
+    assert(Audio.aLawDecode(0xD5.toByte) == 8)
+    // max magnitude: MSB-set codes are POSITIVE (0xFF = +0), so 0x80 is
+    // +max and 0x00 is -max of segment 7
+    assert(Audio.muLawDecode(0x80.toByte) == ((0xF * 8 + 0x84) << 7) - 0x84)
+    assert(Audio.muLawDecode(0x00.toByte) == -(((0xF * 8 + 0x84) << 7) - 0x84))
+    // every 8-bit code roundtrips through encode(decode(code)) == code
+    // (A-law excepted on the two zero-adjacent codes by sign convention)
+    for (c <- 0 to 255) {
+      val mu = Audio.muLawDecode(c.toByte)
+      assert(Audio.muLawEncode(mu) == c.toByte || mu == 0, f"mu $c%02x")
+      val al = Audio.aLawDecode(c.toByte)
+      assert(Audio.aLawEncode(al) == c.toByte, f"alaw $c%02x -> $al")
+    }
+    // companded WAVs decode through the one audioFeatures contract
+    val samples = Array.tabulate(50)(i => (i - 25) * 700)
+    for (aLaw <- Seq(false, true)) {
+      val d = Audio.decodeWav(9L, Audio.encodeG711(samples, 8000, aLaw))
+      assert(d.sampleRate == 8000 && d.samples.length == 50)
+      samples.zip(d.samples).foreach { case (e, g) =>
+        // one companding quantization step of relative error
+        assert(math.abs(g * 32768.0 - e) <= math.max(16, math.abs(e) / 16.0),
+          s"aLaw=$aLaw: $e vs ${g * 32768.0}")
+      }
+    }
+  }
+
   test("compressed and non-PCM audio is refused by name") {
     val mp3 = "ID3".getBytes ++ Array.fill[Byte](50)(0)
     val e1 = intercept[IllegalArgumentException] { Audio.decodeWav(1L, mp3) }
