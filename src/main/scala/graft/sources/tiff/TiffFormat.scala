@@ -247,9 +247,13 @@ object TiffFormat {
     require(compression != 7 || (sampleFormat == 1 && bitsPerSample == 8),
       "JPEG-in-TIFF carries 8-bit unsigned samples only")
     val photometric = one(TagPhotometric, 1).toInt
+    // 3 = palette: for data rasters (GDAL land-cover) the INDEX is the
+    // value — the ColorMap is display metadata and is ignored here.
     // 6 = YCbCr, the usual JPEG-in-TIFF labeling; the JPEG codec emits RGB
-    require(photometric <= 2 || (photometric == 6 && compression == 7),
-      s"photometric $photometric unsupported (palette/alpha-profile rasters)")
+    require(photometric <= 3 || (photometric == 6 && compression == 7),
+      s"photometric $photometric unsupported (alpha-profile rasters)")
+    require(photometric != 3 || (bands == 1 && sampleFormat == 1),
+      "palette rasters carry one unsigned index band")
 
     val (tw, th, offs, counts) =
       if (ifd.contains(TagTileOffsets)) {

@@ -249,6 +249,10 @@ class TiffFormatSpec extends AnyFunSuite {
     val ePlanar = intercept[IllegalArgumentException](parse(patched { c =>
       val o = findTag(c, 284); c(o + 8) = 2 }))
     assert(ePlanar.getMessage.contains("chunky only"), ePlanar.getMessage)
+    // paletted (photometric 3) SCANS — the index is the data value
+    // (GDAL land-cover shape; the ColorMap is display metadata)
+    val pal = patched { c => val o = findTag(c, 262); c(o + 8) = 3 }
+    assert(decodeAll(pal)._2(0).sameElements(grid(w, h)(_.toDouble)))
     // wrong magic
     val eMagic = intercept[IllegalArgumentException](
       parse("PKxxxxxxxx".getBytes))
