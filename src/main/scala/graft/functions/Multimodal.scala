@@ -482,6 +482,45 @@ object Multimodal {
       }(Encoders.row(schema))
   }
 
+  /** Animated-GIF temporal frames — the video-like sampling path for
+    * the web's dominant animation container: each payload composites
+    * onto the logical screen per the GIF89a model (disposal methods,
+    * transparency, per-frame delays) and emits one FULL-CANVAS
+    * luminance grid per frame. Container bytes stay partition-local;
+    * only the decoded grids flow on. Output: (id, frame_idx, n_frames,
+    * delay_cs, width, height, pixels). */
+  def decodeGifFrames(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("delay_cs", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("pixels", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val img = Gif.decode(bytes)
+          val canvases = Gif.composite(img)
+          canvases.zip(img.frames).zipWithIndex.map { case ((canvas, f), fi) =>
+            val lum = new Array[Float](canvas.length)
+            var i = 0
+            while (i < canvas.length) {
+              val c = canvas(i)
+              lum(i) = (((c >> 16) & 0xFF) + ((c >> 8) & 0xFF) + (c & 0xFF))
+                .toFloat / (3f * 255f)
+              i += 1
+            }
+            org.apache.spark.sql.Row(id, fi, canvases.length, f.delayCs,
+              img.width, img.height, lum.toSeq)
+          }
+        }
+      }(Encoders.row(schema))
+  }
+
   /** Frame sampling for video-like payloads: split the byte stream into
     * `frames` equal windows and emit (id, frame_idx, frame_bytes) — the
     * explode happens in the engine, not the driver. */

@@ -395,4 +395,41 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(m(1L) == "wav" && m(2L) == "avi" && m(3L) == "bmp", m.toString)
   }
+  test("animated GIF compositing: disposal 2 restores background, 3 restores previous, transparency masks") {
+    import Gif.AnimFrame
+    // 4x4 screen, bg color 0x050505: frame 0 full paint (keep), frame 1
+    // a 2x2 overdraw at (1,1) with disposal 2 (region -> background),
+    // frame 2 a 2x2 at (2,2) whose first pixel is transparent
+    val base = Array.fill(16)(0x202020)
+    val bytes = Gif.encodeAnimated(4, 4, 0x050505, Seq(
+      AnimFrame(0, 0, 4, 4, base, delayCs = 5, disposal = 1),
+      AnimFrame(1, 1, 2, 2, Array.fill(4)(0x404040), delayCs = 7, disposal = 2),
+      AnimFrame(2, 2, 2, 2, Array(-1, 0x606060, 0x606060, 0x606060),
+        delayCs = 9, disposal = 0)))
+    val img = Gif.decode(bytes)
+    assert(img.frames.map(_.delayCs) == Seq(5, 7, 9))
+    assert(img.frames.map(_.disposal) == Seq(1, 2, 0))
+    assert(img.background == 0x050505)
+    val canvases = Gif.composite(img)
+    assert(canvases(0).forall(_ == 0x202020))
+    // frame 1 shown: rect at (1,1) overdrawn
+    assert(canvases(1)(1 * 4 + 1) == 0x404040 && canvases(1)(0) == 0x202020)
+    // frame 2: disposal 2 restored frame 1's REGION to background...
+    assert(canvases(2)(1 * 4 + 1) == 0x050505)
+    assert(canvases(2)(2 * 4 + 1) == 0x050505)
+    // ...the transparent first pixel of frame 2 shows what is UNDER it
+    // (cell (2,2) was in frame 1's disposed region -> background)
+    assert(canvases(2)(2 * 4 + 2) == 0x050505)
+    assert(canvases(2)(2 * 4 + 3) == 0x606060)
+    // untouched cells still carry frame 0
+    assert(canvases(2)(0) == 0x202020)
+    // the frames op emits one full-canvas row per frame
+    val sp2 = spark; import sp2.implicits._
+    val df = Seq((1L, bytes)).toDF("id", "gif")
+    val rows = Multimodal.decodeGifFrames(df, "id", "gif")
+      .orderBy("frame_idx").collect()
+    assert(rows.length == 3 && rows.forall(_.getAs[Int]("n_frames") == 3))
+    assert(rows.map(_.getAs[Int]("delay_cs")).toSeq == Seq(5, 7, 9))
+    assert(rows.forall(r => r.getAs[Seq[Float]]("pixels").length == 16))
+  }
 }
