@@ -616,6 +616,79 @@ object SparkEntry {
     rows.toDF("id", "flac")
   }
 
+  /** ANIMATED-GIF fixture: one three-frame GIF89a per day on an 8×8
+    * logical screen — frame 0 paints the full q146 grid (disposal
+    * keep), frame 1 overdraws a 4×4 rect at (2,1) with disposal 3
+    * (restore previous — its pixels must NOT leak into frame 2), and
+    * frame 2 a 4×4 rect at (4,4) with TRANSPARENT holes where
+    * (cnt+j)%3=0. Gray palettes make luminance recover the exact
+    * bytes, so the oracle replays the full compositing model (sub-rect
+    * overdraw, disposal restore, transparency) in SQL. */
+  private def gifAnimEventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    import graft.functions.Gif
+    val rows = days.toSeq.map { d =>
+      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      def gray(v: Long): Int = (((v % 256) * 0x010101L).toInt)
+      val f0 = Array.tabulate(64)(i => gray(cnt(i % 10) * 7 + i))
+      val f1 = Array.tabulate(16)(j => gray(cnt(j % 10) * 11 + j))
+      val f2 = Array.tabulate(16)(j =>
+        if ((cnt(j % 10) + j) % 3 == 0) -1 else gray(cnt(j % 10) * 13 + j))
+      (id, Gif.encodeAnimated(8, 8, 0, Seq(
+        Gif.AnimFrame(0, 0, 8, 8, f0, delayCs = 10, disposal = 1),
+        Gif.AnimFrame(2, 1, 4, 4, f1, delayCs = 20, disposal = 3),
+        Gif.AnimFrame(4, 4, 4, 4, f2, delayCs = 30, disposal = 0))))
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "gif")
+  }
+
+  /** COG-pyramid fixture: every day an 8×8 float64 raster WITH a /2
+    * overview IFD (the writer samples every 2nd pixel), same values and
+    * NODATA rule as [[geotiffEventsFixture]] — so the overview-level
+    * scan's expected rows are the closed-form decimation. */
+  private def geotiffOverviewFixture(s: SparkSession, dir: String): String = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_cogov_$sf"
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(dirPath, true); fs.mkdirs(dirPath)
+    import graft.sources.tiff.TiffFormat
+    days.foreach { d =>
+      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val vals = Array.tabulate(64) { i =>
+        if (cnt(i % 10) % 5 == 0) -9999.0
+        else ((cnt(i % 10) * 7 + i) % 1000000L).toDouble
+      }
+      val bytes = TiffFormat.write(8, 8, Array(vals), 3, 64,
+        -20.0, 50.0, 0.25, 0.25,
+        TiffFormat.WriteOpts(tileSize = 16, compression = 8,
+          overview = true, noData = Some(-9999)))
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/$id.tif"), true)
+      try out.write(bytes) finally out.close()
+    }
+    outDir
+  }
+
   /** G.711 twin of [[wavEventsFixture]] (the telephony/call-center
     * crawl shape): 100 samples per day built from a closed (exp, mant,
     * sign) form that is EXACTLY μ-law/A-law representable, so the 8-bit
@@ -2595,6 +2668,37 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // COG pyramid read: option("overview", 1) scans the /2 overview
+    // IFD — 4^-1 of the tile bytes with the pixel scale widened by the
+    // size ratio (the preview-scale query a 100 TB mosaic serves from
+    // overviews instead of full-res tiles). The oracle decimates the
+    // full-res grid closed-form.
+    "q172_geotiff_overview_scan" -> ((s, dir) => {
+      val path = geotiffOverviewFixture(s, dir)
+      s.read.format("geotiff").option("overview", 1).load(path)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.tif$", 1)
+            .cast("long").as("id"),
+          col("latitude"), col("longitude"), col("band"), col("value"))
+        .orderBy("id", "latitude", "longitude")
+    }),
+
+    // Animated-GIF temporal frames (the web's dominant animation
+    // container) through the full GIF89a compositing model: sub-rect
+    // overdraw, disposal 3 restore-previous, and transparency holes —
+    // the oracle rebuilds every composited canvas sum from events, so
+    // a leaked disposal or a mis-masked transparent pixel fails the
+    // integer compare.
+    "q171_gif_anim_frames" -> ((s, dir) => {
+      val gifs = gifAnimEventsFixture(s, dir)
+      val dec = Multimodal.decodeGifFrames(gifs, "id", "gif")
+      dec.select(col("id"), col("frame_idx"), col("n_frames"),
+          col("delay_cs"), col("width"), col("height"),
+          aggregate(transform(col("pixels"), v => round(v * 255).cast("long")),
+            lit(0L), (a, v) => a + v).as("pix_sum"))
+        .orderBy("id", "frame_idx")
+    }),
+
     // G.711 companded telephony audio: μ-law (even days) and A-law (odd)
     // WAV payloads whose samples are exactly companding-representable —
     // any slip in the segment expansion flips a sign or a zero and fails
@@ -4458,6 +4562,78 @@ object SparkEntry {
     // real WAV decode gate: samples recomputed from events WITHOUT any
     // RIFF code; zero-crossings count sign changes over the NONZERO
     // sample subsequence (zeros skipped), replayed with a lag window
+    // COG overview: the closed-form /2 decimation of q168's grid with
+    // the widened scale
+    "q172_geotiff_overview_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |px AS (SELECT ids.id,
+        |         CAST(i.i // 4 AS BIGINT) AS y, CAST(i.i % 4 AS BIGINT) AS x,
+        |         CAST((i.i // 4) * 16 + (i.i % 4) * 2 AS INTEGER) AS fi,
+        |         coalesce(g.cnt, 0) AS cnt
+        |       FROM ids
+        |       CROSS JOIN (SELECT CAST(unnest(range(16)) AS INTEGER) AS i) i
+        |       LEFT JOIN g ON g.d = ids.d
+        |         AND g.slot = CAST(((i.i // 4) * 16 + (i.i % 4) * 2) % 10 AS INTEGER))
+        |SELECT px.id,
+        |       CAST(50 - (y + 0.5) * 0.5 AS DOUBLE) AS latitude,
+        |       CAST(-20 + (x + 0.5) * 0.5 AS DOUBLE) AS longitude,
+        |       1 AS band,
+        |       CASE WHEN cnt % 5 = 0 THEN NULL
+        |            ELSE CAST((cnt * 7 + fi) % 1000000 AS DOUBLE)
+        |       END AS value
+        |FROM px
+        |ORDER BY id, latitude, longitude""".stripMargin,
+
+    // Animated-GIF compositing: replay canvas sums per frame from
+    // events — full-canvas base, rect overdraw delta, transparent-hole
+    // masked delta (disposal 3 means frame 1 never leaks into frame 2)
+    "q171_gif_anim_frames" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |v0 AS (SELECT ids.id, i.i,
+        |         (coalesce(g.cnt, 0) * 7 + i.i) % 256 AS v
+        |       FROM ids
+        |       CROSS JOIN (SELECT CAST(unnest(range(64)) AS INTEGER) AS i) i
+        |       LEFT JOIN g ON g.d = ids.d AND g.slot = CAST(i.i % 10 AS INTEGER)),
+        |s0 AS (SELECT id, SUM(v) AS s FROM v0 GROUP BY id),
+        |r1 AS (SELECT ids.id, j.j,
+        |         (coalesce(g.cnt, 0) * 11 + j.j) % 256 AS p,
+        |         CAST((1 + j.j // 4) * 8 + 2 + j.j % 4 AS INTEGER) AS cell
+        |       FROM ids
+        |       CROSS JOIN (SELECT CAST(unnest(range(16)) AS INTEGER) AS j) j
+        |       LEFT JOIN g ON g.d = ids.d AND g.slot = CAST(j.j % 10 AS INTEGER)),
+        |d1 AS (SELECT r1.id, SUM(r1.p - v0.v) AS delta
+        |       FROM r1 JOIN v0 ON v0.id = r1.id AND v0.i = r1.cell GROUP BY r1.id),
+        |r2 AS (SELECT ids.id, j.j,
+        |         (coalesce(g.cnt, 0) * 13 + j.j) % 256 AS p,
+        |         ((coalesce(g.cnt, 0) + j.j) % 3 = 0) AS trans,
+        |         CAST((4 + j.j // 4) * 8 + 4 + j.j % 4 AS INTEGER) AS cell
+        |       FROM ids
+        |       CROSS JOIN (SELECT CAST(unnest(range(16)) AS INTEGER) AS j) j
+        |       LEFT JOIN g ON g.d = ids.d AND g.slot = CAST(j.j % 10 AS INTEGER)),
+        |d2 AS (SELECT r2.id, SUM(CASE WHEN r2.trans THEN 0 ELSE r2.p - v0.v END) AS delta
+        |       FROM r2 JOIN v0 ON v0.id = r2.id AND v0.i = r2.cell GROUP BY r2.id)
+        |SELECT s0.id, CAST(f.f AS INTEGER) AS frame_idx,
+        |       3 AS n_frames,
+        |       CAST(CASE f.f WHEN 0 THEN 10 WHEN 1 THEN 20 ELSE 30 END AS INTEGER) AS delay_cs,
+        |       8 AS width, 8 AS height,
+        |       CAST(CASE f.f WHEN 0 THEN s0.s WHEN 1 THEN s0.s + d1.delta
+        |            ELSE s0.s + d2.delta END AS BIGINT) AS pix_sum
+        |FROM s0
+        |JOIN d1 ON d1.id = s0.id
+        |JOIN d2 ON d2.id = s0.id
+        |CROSS JOIN (SELECT unnest(range(3)) AS f) f
+        |ORDER BY s0.id, frame_idx""".stripMargin,
+
     // G.711 decode: replay the exact segment-expansion values from
     // events (μ-law even days, A-law odd), then q148's zero-skip
     // crossing count

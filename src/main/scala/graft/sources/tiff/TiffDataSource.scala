@@ -75,18 +75,18 @@ object TiffTable {
 
   private val rasterCache =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Long, Long), TiffRaster](
+      new java.util.LinkedHashMap[(String, Long, Long, Int), TiffRaster](
           256, 0.75f, /* accessOrder = */ true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Long, Long), TiffRaster]): Boolean =
+            e: java.util.Map.Entry[(String, Long, Long, Int), TiffRaster]): Boolean =
           size() > MaxCachedFiles
       })
   private[tiff] def clearHeaderCache(): Unit = rasterCache.clear()
 
   /** Positioned header reads against one open stream per parse. */
   private[tiff] def parseFile(conf: Configuration,
-      st: org.apache.hadoop.fs.FileStatus): TiffRaster = {
-    val key = (st.getPath.toString, st.getModificationTime, st.getLen)
+      st: org.apache.hadoop.fs.FileStatus, overview: Int = 0): TiffRaster = {
+    val key = (st.getPath.toString, st.getModificationTime, st.getLen, overview)
     val hit = rasterCache.get(key)
     if (hit != null) hit
     else {
@@ -97,7 +97,7 @@ object TiffTable {
         val b = new Array[Byte](math.max(0, n))
         if (n > 0) in.readFully(off, b)
         b
-      }, st.getLen) finally in.close()
+      }, st.getLen, overview) finally in.close()
       rasterCache.put(key, r)
       r
     }
@@ -147,6 +147,9 @@ object TiffTable {
     val paths = Option(options.get("path")).toSeq
     require(paths.nonEmpty, "geotiff scan needs a path")
     val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+    // COG pyramid level: 0 = full resolution (default); k = k-th
+    // overview — a preview-scale scan plans 4^-k of the tile bytes
+    val overview = Option(options.get("overview")).map(_.toInt).getOrElse(0)
     val files = listTiffFiles(conf, paths)
     // parse cache misses on a bounded pool — header-only, one remote
     // round trip per file, never serial O(files) on the driver
@@ -155,9 +158,10 @@ object TiffTable {
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
       Await.result(Future.traverse(files)(st =>
-        Future(scala.concurrent.blocking(parseFile(conf, st)))), Duration.Inf)
+        Future(scala.concurrent.blocking(parseFile(conf, st, overview)))), Duration.Inf)
     }
-    new TiffTable(files.map(st => st.getPath.toString -> parseFile(conf, st)),
+    new TiffTable(files.map(st =>
+        st.getPath.toString -> parseFile(conf, st, overview)),
       conf, paths, maxFiles)
   }
 }

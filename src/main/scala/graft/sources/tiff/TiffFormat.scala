@@ -83,7 +83,17 @@ object TiffFormat {
   /** Parse the header + IFD chain of a GeoTIFF into the FULL-RESOLUTION
     * raster descriptor. `readAt(off, len)` is the only byte access —
     * positioned, so remote planning reads stay header-sized. */
-  def parse(readAt: (Long, Int) => Array[Byte], fileLen: Long): TiffRaster = {
+  def parse(readAt: (Long, Int) => Array[Byte], fileLen: Long): TiffRaster =
+    parse(readAt, fileLen, overview = 0)
+
+  /** `overview` selects the reduced-resolution level: 0 = full
+    * resolution, k = the k-th overview IFD in file order (the COG
+    * pyramid — a preview-scale scan reads 4^-k of the bytes). The
+    * geo-transform comes from the full-resolution IFD with the pixel
+    * scale widened by the actual size ratio, GDAL's convention for
+    * overview georeferencing. */
+  def parse(readAt: (Long, Int) => Array[Byte], fileLen: Long,
+      overview: Int): TiffRaster = {
     val head = readAt(0, 16)
     require(head.length >= 8, s"TIFF of ${head.length} bytes has no header")
     val be = (head(0), head(1)) match {
@@ -163,6 +173,7 @@ object TiffFormat {
     }
 
     var fullRes: Option[Map[Int, Entry]] = None
+    val overviews = scala.collection.mutable.ArrayBuffer.empty[Map[Int, Entry]]
     var pages = 0
     var guard = 0
     while (ifdOff != 0) {
@@ -190,11 +201,14 @@ object TiffFormat {
           "multi-page TIFF unsupported: second full-resolution IFD found " +
             "(COG overviews carry NewSubfileType bit 1 and are skipped)")
         fullRes = Some(m)
-      }
+      } else overviews += m
       ifdOff = if (big) u64(body, n * entrySize) else u32(body, n * entrySize)
     }
-    val ifd = fullRes.getOrElse(throw new IllegalArgumentException(
+    val ifd0 = fullRes.getOrElse(throw new IllegalArgumentException(
       "TIFF has no full-resolution IFD (overviews only)"))
+    require(overview >= 0 && overview <= overviews.length,
+      s"overview level $overview requested but the file carries ${overviews.length}")
+    val ifd = if (overview == 0) ifd0 else overviews(overview - 1)
 
     def tagLongs(tag: Int): Option[Array[Long]] = ifd.get(tag).map(longs)
     def one(tag: Int, default: => Long): Long =
@@ -276,9 +290,11 @@ object TiffFormat {
     }
 
     // GeoTIFF affine: ModelPixelScale + one ModelTiepoint (the GDAL/COG
-    // form). Tiepoint maps raster (i,j) -> model (x,y).
-    val scale = ifd.get(TagModelPixelScale).map(doubles)
-    val tie = ifd.get(TagModelTiepoint).map(doubles)
+    // form) — always from the FULL-RES IFD; an overview widens the
+    // pixel scale by the actual size ratio below. Tiepoint maps raster
+    // (i,j) -> model (x,y).
+    val scale = ifd0.get(TagModelPixelScale).map(doubles)
+    val tie = ifd0.get(TagModelTiepoint).map(doubles)
     val (ox, oy, sx, sy) = (scale, tie) match {
       case (Some(sc), Some(tp)) =>
         require(sc.length >= 2 && tp.length >= 6,
@@ -291,12 +307,18 @@ object TiffFormat {
         "GeoTIFF needs BOTH ModelPixelScale and ModelTiepoint (or neither)")
     }
     // GeoKey 1025 GTRasterType: 2 = PixelIsPoint
-    val pixelIsPoint = ifd.get(TagGeoKeyDirectory).map(longs).exists { gk =>
+    val pixelIsPoint = ifd0.get(TagGeoKeyDirectory).map(longs).exists { gk =>
       // directory header is 4 shorts, then 4-short key entries; a key
       // with tiffTagLocation 0 holds its value inline in the 4th short
       gk.drop(4).grouped(4).exists(k =>
         k.length == 4 && k(0) == 1025 && k(1) == 0 && k(3) == 2)
     }
+    val fullW = if (overview == 0) width
+      else longs(ifd0(TagImageWidth))(0).toInt
+    val fullH = if (overview == 0) height
+      else longs(ifd0(TagImageLength))(0).toInt
+    val (sxEff, syEff) =
+      (sx * (fullW.toDouble / width), sy * (fullH.toDouble / height))
     val noData = ifd.get(TagGdalNoData).map(ascii).flatMap { s =>
       try Some(s.trim.toDouble) catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
@@ -305,7 +327,7 @@ object TiffFormat {
     }
 
     TiffRaster(width, height, bands, sampleFormat, bitsPerSample, tw, th,
-      offs, counts, compression, predictor, be, ox, oy, sx, sy,
+      offs, counts, compression, predictor, be, ox, oy, sxEff, syEff,
       pixelIsPoint, noData)
   }
 

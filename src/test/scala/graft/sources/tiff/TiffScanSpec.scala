@@ -130,6 +130,32 @@ class TiffScanSpec extends SparkSpec {
     assert(df.agg(sum("value")).head().getDouble(0) == vals.sum)
   }
 
+  test("overview option scans the pyramid level with the widened geo-transform") {
+    val dir = Files.createTempDirectory("tifov").toString
+    val w = 64; val h = 64 // overview = 32x32 -> 2x2 tiles of 16
+    val vals = Array.tabulate(w * h)(i => (i % 251).toDouble)
+    writeTiff(s"$dir/p.tif", w, h, Array(vals), 3, 64, 0, 64, 1.0,
+      WriteOpts(tileSize = 16, compression = 8, overview = true))
+    val full = spark.read.format("geotiff").load(s"$dir/p.tif")
+    val ov = spark.read.format("geotiff").option("overview", 1).load(s"$dir/p.tif")
+    assert(full.count() == w * h && ov.count() == (w / 2) * (h / 2))
+    // overview pixel (x, y) samples full-res (2x, 2y); its center rides
+    // the doubled scale
+    val r = ov.filter(col("latitude") === (64 - 1.5 * 2.0) &&
+      col("longitude") === (1.5 * 2.0)).head()
+    assert(r.getAs[Double]("value") == vals(2 * w + 2))
+    // level past the pyramid refuses by name
+    val e = intercept[Exception] {
+      spark.read.format("geotiff").option("overview", 2).load(s"$dir/p.tif").count()
+    }
+    assert(e.getMessage.contains("overview level 2"), e.getMessage)
+    // lat/lon pruning still works at the overview level (2x2 tiles of 16)
+    val q = ov.filter(col("longitude") < 32.0 && col("latitude") > 32.0)
+    assert(q.queryExecution.executedPlan.toString.contains("tiles=1/4"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.count() == 16 * 16)
+  }
+
   test("header cache: second plan over the working set re-parses nothing") {
     val dir = Files.createTempDirectory("tiflru").toString
     for (d <- 1 to 6)
