@@ -128,7 +128,8 @@ object Flac {
     while (off < bytes.length) {
       off = decodeFrame(bytes, off, sampleRate, channels, bits, out)
     }
-    require(total < 0 || out(0).length.toLong == total,
+    // STREAMINFO total_samples 0 = UNKNOWN (streaming encoders)
+    require(total == 0 || out(0).length.toLong == total,
       s"FLAC decoded ${out(0).length} samples, STREAMINFO claims $total")
     FlacAudio(sampleRate, channels, bits, out.map(_.toArray))
   }

@@ -751,10 +751,7 @@ object WebP {
   private def lz77Code(value: Int): (Int, Int, Int) =
     if (value <= 4) (value - 1, 0, 0)
     else {
-      val v = value - 1
-      val extra = 31 - Integer.numberOfLeadingZeros(v) - 1
-      val sym = 2 * (31 - Integer.numberOfLeadingZeros(v)) + ((v >> extra) & 1) - 2 + 2
-      // recompute cleanly: find (sym, extra) s.t. ((2+(sym&1))<<extra)+rest+1 == value
+      // find (sym, extra) s.t. ((2+(sym&1))<<extra)+rest+1 == value
       var s = 4
       while (s < 40) {
         val e = (s - 2) >> 1
@@ -927,8 +924,6 @@ object WebP {
       ascii(fc); u32le(data.length); out ++= data
       if ((data.length & 1) == 1) out += 0
     }
-    val chunks = ArrayBuffer.empty[Byte]
-    val tmp = out.clone() // reuse helpers via a second pass instead
     out.clear()
     if (opts.vp8x) {
       val x = new Array[Byte](10)
@@ -944,7 +939,6 @@ object WebP {
     val body = out.toArray
     out.clear()
     ascii("RIFF"); u32le(4 + body.length); ascii("WEBP"); out ++= body
-    val _ = tmp
     out.toArray
   }
 

@@ -162,7 +162,7 @@ object TiffTable {
     }
     new TiffTable(files.map(st =>
         st.getPath.toString -> parseFile(conf, st, overview)),
-      conf, paths, maxFiles)
+      conf, paths, maxFiles, overview)
   }
 }
 
@@ -170,7 +170,8 @@ final class TiffTable(
     val byFile: Seq[(String, TiffRaster)],
     @transient val conf: Configuration,
     val paths: Seq[String] = Seq.empty,
-    val maxFilesPerTrigger: Option[Int] = None) extends Table with SupportsRead {
+    val maxFilesPerTrigger: Option[Int] = None,
+    val overview: Int = 0) extends Table with SupportsRead {
   override def name(): String =
     s"geotiff(${byFile.length} files, ${byFile.map { case (_, r) =>
       r.tileOffsets.length }.sum} tiles)"
@@ -217,7 +218,7 @@ final class TiffScanBuilder(table: TiffTable) extends ScanBuilder
     required = requiredSchema
 
   override def build(): Scan = new TiffScan(table.byFile, required, pushed,
-    table.conf, table.paths, table.maxFilesPerTrigger)
+    table.conf, table.paths, table.maxFilesPerTrigger, table.overview)
 }
 
 final class TiffScan(
@@ -226,14 +227,15 @@ final class TiffScan(
     pushed: Array[Filter],
     @transient conf: Configuration,
     paths: Seq[String] = Seq.empty,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    overview: Int = 0)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new TiffMicroBatchStream(this, paths, conf, maxFilesPerTrigger)
+    new TiffMicroBatchStream(this, paths, conf, maxFilesPerTrigger, overview)
 
   /** Streaming batches reuse the batch pruning + partitioning verbatim. */
   private[tiff] def partitionsOf(path: String,
@@ -271,17 +273,25 @@ final class TiffScan(
         if (x < r.width && r.lonOf(x) == v.doubleValue()) {
           x0 = math.max(x0, x); x1 = math.min(x1, x)
         } else { x0 = 1; x1 = 0 }
-      // lat DECREASES with y
+      // lat DECREASES with y for north-up rasters (scaleY > 0); a bare
+      // TIFF's pixel-space transform (scaleY = -1) INCREASES — branch so
+      // the claimed-exact pushdown is right either way
       case sources.LessThan("latitude", v: java.lang.Double) =>
-        y0 = math.max(y0, firstY(y => r.latOf(y) < v.doubleValue()))
+        if (r.scaleY > 0) y0 = math.max(y0, firstY(y => r.latOf(y) < v.doubleValue()))
+        else y1 = math.min(y1, firstY(y => r.latOf(y) >= v.doubleValue()) - 1)
       case sources.LessThanOrEqual("latitude", v: java.lang.Double) =>
-        y0 = math.max(y0, firstY(y => r.latOf(y) <= v.doubleValue()))
+        if (r.scaleY > 0) y0 = math.max(y0, firstY(y => r.latOf(y) <= v.doubleValue()))
+        else y1 = math.min(y1, firstY(y => r.latOf(y) > v.doubleValue()) - 1)
       case sources.GreaterThan("latitude", v: java.lang.Double) =>
-        y1 = math.min(y1, firstY(y => r.latOf(y) <= v.doubleValue()) - 1)
+        if (r.scaleY > 0) y1 = math.min(y1, firstY(y => r.latOf(y) <= v.doubleValue()) - 1)
+        else y0 = math.max(y0, firstY(y => r.latOf(y) > v.doubleValue()))
       case sources.GreaterThanOrEqual("latitude", v: java.lang.Double) =>
-        y1 = math.min(y1, firstY(y => r.latOf(y) < v.doubleValue()) - 1)
+        if (r.scaleY > 0) y1 = math.min(y1, firstY(y => r.latOf(y) < v.doubleValue()) - 1)
+        else y0 = math.max(y0, firstY(y => r.latOf(y) >= v.doubleValue()))
       case sources.EqualTo("latitude", v: java.lang.Double) =>
-        val y = firstY(y => r.latOf(y) <= v.doubleValue())
+        val y =
+          if (r.scaleY > 0) firstY(y => r.latOf(y) <= v.doubleValue())
+          else firstY(y => r.latOf(y) >= v.doubleValue())
         if (y < r.height && r.latOf(y) == v.doubleValue()) {
           y0 = math.max(y0, y); y1 = math.min(y1, y)
         } else { y0 = 1; y1 = 0 }
@@ -385,7 +395,7 @@ final class TiffPartitionReader(part: TiffInputPartition, conf: Configuration)
     try {
       val b = new Array[Byte](part.count.toInt)
       in.readFully(part.offset, b)
-      TiffFormat.decodeTile(r, b)
+      TiffFormat.decodeTile(r, b, part.ty)
     } finally in.close()
   }
   private val tx = part.tx
@@ -430,7 +440,9 @@ final class TiffPartitionReader(part: TiffInputPartition, conf: Configuration)
         case LatC => r.latOf(y)
         case LonC => r.lonOf(x)
         case BandC => band
-        case ValueC => if (r.noData.exists(_ == v)) null else v
+        case ValueC =>
+          if (r.noData.exists(nd => nd == v || (nd.isNaN && v.isNaN))) null
+          else v
       }
       c += 1
     }
@@ -454,7 +466,8 @@ final class TiffMicroBatchStream(
     scan: TiffScan,
     paths: Seq[String],
     @transient conf: Configuration,
-    maxFilesPerTrigger: Option[Int])
+    maxFilesPerTrigger: Option[Int],
+    overview: Int = 0)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -533,7 +546,7 @@ final class TiffMicroBatchStream(
     }
     batch.flatMap { st =>
       scan.partitionsOf(st.getPath.toString,
-        TiffTable.parseFile(conf, st))
+        TiffTable.parseFile(conf, st, overview))
     }.toArray
   }
 

@@ -40,12 +40,23 @@ object TiffFormat {
       tileOffsets: Array[Long], tileByteCounts: Array[Long],
       compression: Int, predictor: Int,
       bigEndian: Boolean,
+      // stripped layout: the LAST strip is NOT padded to full height
+      // (TIFF 6.0), unlike tiles which always are
+      stripped: Boolean,
       // affine geo-transform: model = origin + pixel * scale (y down)
       originX: Double, originY: Double, scaleX: Double, scaleY: Double,
       pixelIsPoint: Boolean,
-      noData: Option[Double]) {
+      noData: Option[Double],
+      // shared JPEG tables stream (tag 347) for abbreviated per-tile
+      // JPEG streams — the GDAL JPEG-in-TIFF default; null = none
+      jpegTables: Array[Byte] = null) {
     def tilesAcross: Int = (width + tileWidth - 1) / tileWidth
     def tilesDown: Int = (height + tileHeight - 1) / tileHeight
+    /** Rows actually PRESENT in tile row `ty`: full tile height except
+      * a stripped layout's final strip. */
+    def rowsInTile(ty: Int): Int =
+      if (!stripped) tileHeight
+      else math.min(tileHeight, height - ty * tileHeight)
     /** Model-space X of the CENTER of pixel column x. */
     def lonOf(x: Int): Double =
       originX + (x + (if (pixelIsPoint) 0.0 else 0.5)) * scaleX
@@ -76,6 +87,7 @@ object TiffFormat {
   private val TagModelPixelScale = 33550
   private val TagModelTiepoint = 33922
   private val TagGeoKeyDirectory = 34735
+  private val TagJpegTables = 347
   private val TagGdalNoData = 42113
 
   // ------------------------------------------------------------- parse
@@ -269,17 +281,17 @@ object TiffFormat {
     require(photometric != 3 || (bands == 1 && sampleFormat == 1),
       "palette rasters carry one unsigned index band")
 
-    val (tw, th, offs, counts) =
+    val (tw, th, offs, counts, stripped) =
       if (ifd.contains(TagTileOffsets)) {
         val tw = req(TagTileWidth, "TileWidth")(0).toInt
         val th = req(TagTileLength, "TileLength")(0).toInt
         require(tw % 16 == 0 && th % 16 == 0, s"tile ${tw}x$th not multiple of 16")
         (tw, th, req(TagTileOffsets, "TileOffsets"),
-          req(TagTileByteCounts, "TileByteCounts"))
+          req(TagTileByteCounts, "TileByteCounts"), false)
       } else {
         val rps = math.min(one(TagRowsPerStrip, height), height.toLong).toInt
         (width, rps, req(TagStripOffsets, "StripOffsets"),
-          req(TagStripByteCounts, "StripByteCounts"))
+          req(TagStripByteCounts, "StripByteCounts"), true)
       }
     val expectTiles = ((width + tw - 1) / tw) * ((height + th - 1) / th)
     require(offs.length == expectTiles && counts.length == expectTiles,
@@ -319,16 +331,30 @@ object TiffFormat {
       else longs(ifd0(TagImageLength))(0).toInt
     val (sxEff, syEff) =
       (sx * (fullW.toDouble / width), sy * (fullH.toDouble / height))
-    val noData = ifd.get(TagGdalNoData).map(ascii).flatMap { s =>
-      try Some(s.trim.toDouble) catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"GDAL_NODATA tag unparseable: '$s'")
+    // GDAL writes NODATA on the full-res IFD only — read it there for
+    // every level (fall back to the selected IFD for writers that stamp
+    // all levels); GDAL spells float NaN as lowercase "nan"
+    val noData = ifd0.get(TagGdalNoData).orElse(ifd.get(TagGdalNoData))
+      .map(ascii).flatMap { s =>
+        val t = s.trim
+        if (t.equalsIgnoreCase("nan")) Some(Double.NaN)
+        else try Some(t.toDouble) catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"GDAL_NODATA tag unparseable: '$t'")
+        }
       }
-    }
 
+    val jpegTables = ifd.get(TagJpegTables).map(payload).orNull
+    if (jpegTables != null) {
+      require(jpegTables.length >= 4 &&
+        (jpegTables(0) & 0xFF) == 0xFF && (jpegTables(1) & 0xFF) == 0xD8 &&
+        (jpegTables(jpegTables.length - 2) & 0xFF) == 0xFF &&
+        (jpegTables(jpegTables.length - 1) & 0xFF) == 0xD9,
+        "JPEGTables stream is not SOI...EOI framed")
+    }
     TiffRaster(width, height, bands, sampleFormat, bitsPerSample, tw, th,
-      offs, counts, compression, predictor, be, ox, oy, sxEff, syEff,
-      pixelIsPoint, noData)
+      offs, counts, compression, predictor, be, stripped,
+      ox, oy, sxEff, syEff, pixelIsPoint, noData, jpegTables)
   }
 
   // ------------------------------------------------------ tile decode
@@ -338,24 +364,26 @@ object TiffFormat {
     * PADDED to full tile size per the spec; callers clip). NoData is NOT
     * applied here (the scan does, so the null check stays in one
     * place). */
-  def decodeTile(r: TiffRaster, compressed: Array[Byte]): Array[Double] = {
+  def decodeTile(r: TiffRaster, compressed: Array[Byte], ty: Int): Array[Double] = {
     if (r.compression == 7) return decodeJpegTile(r, compressed)
     val bytesPerSample = r.bitsPerSample / 8
     val rowBytes = r.tileWidth * r.bands * bytesPerSample
+    // a stripped file's LAST strip carries only the remaining rows
+    val rows = r.rowsInTile(ty)
     val raw0 = r.compression match {
       case 1 => compressed
-      case 5 => lzwDecode(compressed, rowBytes * r.tileHeight)
-      case 8 | 32946 => inflate(compressed, rowBytes * r.tileHeight)
-      case 32773 => packBitsDecode(compressed, rowBytes * r.tileHeight)
+      case 5 => lzwDecode(compressed, rowBytes * rows)
+      case 8 | 32946 => inflate(compressed, rowBytes * rows)
+      case 32773 => packBitsDecode(compressed, rowBytes * rows)
     }
-    require(raw0.length >= rowBytes * r.tileHeight,
-      s"TIFF tile decompressed to ${raw0.length} bytes, need ${rowBytes * r.tileHeight}")
+    require(raw0.length >= rowBytes * rows,
+      s"TIFF tile decompressed to ${raw0.length} bytes, need ${rowBytes * rows}")
     val raw = raw0
     if (r.predictor == 2) {
       // horizontal differencing: per row, per band, cumulative sum over
       // the sample integers at their native width
       var y = 0
-      while (y < r.tileHeight) {
+      while (y < rows) {
         val base = y * rowBytes
         var x = 1
         while (x < r.tileWidth) {
@@ -380,7 +408,7 @@ object TiffFormat {
       val stride = r.bands
       val tmp = new Array[Byte](rowBytes)
       var y = 0
-      while (y < r.tileHeight) {
+      while (y < rows) {
         val base = y * rowBytes
         var i = stride
         while (i < rowBytes) {
@@ -401,10 +429,12 @@ object TiffFormat {
         y += 1
       }
     }
-    val n = r.tileWidth * r.tileHeight * r.bands
-    val out = new Array[Double](n)
+    // output stays FULL tile size (absent rows zero-padded) so callers
+    // index uniformly; the scan clips to the raster bounds anyway
+    val present = r.tileWidth * rows * r.bands
+    val out = new Array[Double](r.tileWidth * r.tileHeight * r.bands)
     var i = 0
-    while (i < n) {
+    while (i < present) {
       out(i) = sampleAt(raw, i * bytesPerSample, r)
       i += 1
     }
@@ -415,7 +445,21 @@ object TiffFormat {
     * complete JPEG stream through the in-repo T.81 codec — grayscale to
     * 1 band, YCbCr→RGB to 3. */
   private def decodeJpegTile(r: TiffRaster, compressed: Array[Byte]): Array[Double] = {
-    val img = graft.functions.Jpeg.decode(compressed)
+    // abbreviated tile streams (the GDAL default) carry no DQT/DHT of
+    // their own: splice the shared JPEGTables stream (minus its EOI)
+    // ahead of the tile's content (minus its SOI)
+    val stream =
+      if (r.jpegTables == null) compressed
+      else {
+        require(compressed.length >= 2 && (compressed(0) & 0xFF) == 0xFF &&
+          (compressed(1) & 0xFF) == 0xD8, "JPEG tile missing SOI")
+        val merged = new Array[Byte](r.jpegTables.length - 2 + compressed.length - 2)
+        System.arraycopy(r.jpegTables, 0, merged, 0, r.jpegTables.length - 2)
+        System.arraycopy(compressed, 2, merged, r.jpegTables.length - 2,
+          compressed.length - 2)
+        merged
+      }
+    val img = graft.functions.Jpeg.decode(stream)
     require(img.width == r.tileWidth && img.height == r.tileHeight,
       s"JPEG tile is ${img.width}x${img.height}, TIFF says ${r.tileWidth}x${r.tileHeight}")
     require((img.components == 1 && r.bands == 1) ||
@@ -581,19 +625,17 @@ object TiffFormat {
             if (code == next) { // KwKwK
               // emit old's expansion + its first byte
               val f = firstByte(code = old, prefix, suffix)
-              val start = o
               emit(old)
               require(o < expect, "LZW output overruns tile (KwKwK)")
               out(o) = f; o += 1
-              out(start) // unused, keep shape
               f
             } else emit(code)
           if (next < 4096) {
             prefix(next) = old; suffix(next) = first; next += 1
-            // early change, decoder side: the decoder's table lags the
-            // encoder's by ONE entry, so it must bump at 2^width - 2
-            // (the encoder bumps at 2^width - 1) — the libtiff wire form
-            if (next == (1 << width) - 2 && width < 12) width += 1
+            // early change, decoder side: bump when the table reaches
+            // 2^width - 1 (511/1023/2047) — the libtiff / JDK-ImageIO
+            // wire form, pinned by the ImageIO interop spec
+            if (next == (1 << width) - 1 && width < 12) width += 1
           }
           old = code
         }
@@ -620,7 +662,10 @@ object TiffFormat {
       bigTiff: Boolean = false,
       overview: Boolean = false, // append a /2 overview IFD (COG shape)
       pixelIsPoint: Boolean = false,
-      noData: Option[Double] = None)
+      noData: Option[Double] = None,
+      // emit shared tables via tag 347 + ABBREVIATED per-tile streams
+      // (the GDAL JPEG-in-TIFF default); compression 7 only
+      jpegTablesSplit: Boolean = false)
 
   /** Write a GeoTIFF: `values(band)(y*width + x)`, sampleFormat/bits as
     * in the descriptor, geo-transform (originX, originY, scaleX, scaleY)
@@ -640,6 +685,38 @@ object TiffFormat {
       (sampleFormat == 1 && bitsPerSample == 8 && (bands == 1 || bands == 3)
         && opts.predictor == 1),
       "JPEG-in-TIFF writes 8-bit unsigned 1/3-band tiles, no predictor")
+
+    require(!opts.jpegTablesSplit || opts.compression == 7,
+      "jpegTablesSplit applies to JPEG-in-TIFF (compression 7) only")
+    require(!(opts.jpegTablesSplit && opts.overview),
+      "shared JPEG tables + overview IFD unsupported in the writer")
+    /** Split a standalone JPEG into (SOI+DQT/DHT+EOI tables stream,
+      * abbreviated stream without those segments). */
+    def splitJpegTables(stream: Array[Byte]): (Array[Byte], Array[Byte]) = {
+      val tables = new ArrayBuffer[Byte](); val rest = new ArrayBuffer[Byte]()
+      tables += 0xFF.toByte; tables += 0xD8.toByte
+      rest += 0xFF.toByte; rest += 0xD8.toByte
+      var o = 2
+      var inScan = false
+      while (o < stream.length) {
+        if (inScan) { rest += stream(o); o += 1 }
+        else {
+          require((stream(o) & 0xFF) == 0xFF, s"bad JPEG marker at $o")
+          val m = stream(o + 1) & 0xFF
+          val segLen =
+            if (m == 0xD9) 2
+            else 2 + (((stream(o + 2) & 0xFF) << 8) | (stream(o + 3) & 0xFF))
+          val sink = if (m == 0xDB || m == 0xC4) tables else rest
+          var i = 0
+          while (i < segLen) { sink += stream(o + i); i += 1 }
+          if (m == 0xDA) inScan = true // entropy data follows to EOI
+          o += segLen
+        }
+      }
+      tables += 0xFF.toByte; tables += 0xD9.toByte
+      (tables.toArray, rest.toArray)
+    }
+    var sharedJpegTables: Array[Byte] = null
 
     val out = new ArrayBuffer[Byte](1 << 16)
     def pad(): Unit = while (out.length % 2 != 0) out += 0
@@ -663,9 +740,13 @@ object TiffFormat {
       val down = (h + th - 1) / th
       def encodeRawTile(ty: Int, tx: Int): Array[Byte] = {
         val rowBytes = tw * bands * bytesPerSample
-        val raw = new Array[Byte](rowBytes * th)
+        // TIFF 6.0: tiles pad to full size; a stripped file's final
+        // strip carries ONLY the remaining rows
+        val rows =
+          if (opts.tileSize > 0) th else math.min(th, h - ty * th)
+        val raw = new Array[Byte](rowBytes * rows)
         var y = 0
-        while (y < th) {
+        while (y < rows) {
           var x = 0
           while (x < tw) {
             val sy = ty * th + y; val sx = tx * tw + x
@@ -696,7 +777,7 @@ object TiffFormat {
         if (opts.predictor == 2) {
           val rowBytes2 = tw * bands * bytesPerSample
           var y = 0
-          while (y < th) {
+          while (y < rows) {
             val base = y * rowBytes2
             var x = tw - 1
             while (x >= 1) {
@@ -719,7 +800,7 @@ object TiffFormat {
           val wc = tw * bands
           val tmp = new Array[Byte](rowBytes)
           var y = 0
-          while (y < th) {
+          while (y < rows) {
             val base = y * rowBytes
             System.arraycopy(raw, base, tmp, 0, rowBytes)
             var s = 0
@@ -757,14 +838,21 @@ object TiffFormat {
               (if (sy < h && sx < w) vals(b)(sy * w + sx) else 0.0).toInt & 0xFF
             if (bands == 1) at(0) else (at(0) << 16) | (at(1) << 8) | at(2)
           }
-          graft.functions.Jpeg.encode(tw, th, px, color = bands == 3)
+          val full = graft.functions.Jpeg.encode(tw, th, px, color = bands == 3)
+          if (!opts.jpegTablesSplit) full
+          else {
+            val (tables, abbreviated) = splitJpegTables(full)
+            if (sharedJpegTables == null) sharedJpegTables = tables
+            abbreviated
+          }
         } else encodeRawTile(ty, tx)
       }
       (tw, th, tiles)
     }
 
     final case class Tag(id: Int, typ: Int, count: Long, values: Array[Long],
-        dbl: Array[Double] = null, asc: String = null)
+        dbl: Array[Double] = null, asc: String = null,
+        raw: Array[Byte] = null)
 
     def writeIfd(w: Int, h: Int, tw: Int, th: Int, tiles: Array[Array[Byte]],
         isOverview: Boolean, geo: Boolean): Long = {
@@ -809,6 +897,9 @@ object TiffFormat {
           1024L, 0L, 1L, 2L,
           1025L, 0L, 1L, if (opts.pixelIsPoint) 2L else 1L))
       }
+      if (sharedJpegTables != null && !isOverview)
+        tags += Tag(TagJpegTables, 7, sharedJpegTables.length.toLong, null,
+          raw = sharedJpegTables)
       opts.noData.foreach { nd =>
         val s = (if (nd == nd.toLong.toDouble) nd.toLong.toString else nd.toString)
         tags += Tag(TagGdalNoData, 2, s.length + 1L, null, asc = s)
@@ -818,7 +909,7 @@ object TiffFormat {
       val entrySize = if (big) 20 else 12
       val inline = if (big) 8 else 4
       def typeSize(t: Int) = t match {
-        case 1 | 2 => 1; case 3 => 2; case 4 => 4; case 12 | 16 => 8
+        case 1 | 2 | 7 => 1; case 3 => 2; case 4 => 4; case 12 | 16 => 8
       }
       // out-of-line payloads
       val payloadOffs = tags.map { t =>
@@ -851,7 +942,8 @@ object TiffFormat {
       def p16(v: Int): Unit = { sink += (v & 0xFF).toByte; sink += ((v >> 8) & 0xFF).toByte }
       def p32(v: Long): Unit = { p16((v & 0xFFFF).toInt); p16(((v >> 16) & 0xFFFF).toInt) }
       def p64(v: Long): Unit = { p32(v & 0xFFFFFFFFL); p32(v >>> 32) }
-      if (t.asc != null) { t.asc.foreach(c => sink += c.toByte); sink += 0 }
+      if (t.raw != null) sink ++= t.raw
+      else if (t.asc != null) { t.asc.foreach(c => sink += c.toByte); sink += 0 }
       else if (t.dbl != null) t.dbl.foreach(d => p64(java.lang.Double.doubleToLongBits(d)))
       else t.values.foreach { v =>
         t.typ match {
@@ -874,10 +966,6 @@ object TiffFormat {
       })
       val (otw, oth, otiles) = encodePlane(ow, oh, ovals)
       val ifd1 = writeIfd(ow, oh, otw, oth, otiles, isOverview = true, geo = false)
-      // patch IFD0's next pointer (it sits right before ifd1's payloads
-      // ... locate it: last (inline) word of IFD0 block)
-      val n0 = tiles.length // not needed; compute position directly below
-      val _ = n0
       patchNextPtr(out, ifd0, ifd1, big)
     }
     out.toArray
@@ -985,9 +1073,10 @@ object TiffFormat {
           put(cur)
           table.put(k, next)
           next += 1
-          // early change on the ENCODER side too: width bumps when the
-          // next code to be EMITTED could be (2^width - 1)
-          if (next == (1 << width) - 1 && width < 12) width += 1
+          // encoder side: the encoder's table runs ONE entry ahead of
+          // the decoder's, so it bumps at 2^width (libtiff's
+          // free_ent > maxcode with maxcode = 2^nbits - 1)
+          if (next == (1 << width) && width < 12) width += 1
           if (next == 4094) { // table nearly full: clear
             put(Clear)
             table.clear(); next = 258; width = 9

@@ -104,6 +104,18 @@ class FlacSpec extends AnyFunSuite {
     roundtrip(src, blockSize = 777, label = "single frame")
   }
 
+  test("STREAMINFO total_samples 0 = unknown length is accepted") {
+    val enc = Flac.encode(mono(300)(i => (i * 7) % 100), 8000)
+    // total_samples lives in STREAMINFO bits 144..179 (bytes 8+4+18..):
+    // header 4 + blockhdr 4 + 18 bytes in, spanning the low 4 bits of
+    // byte 21 and bytes 22-25 of the block payload
+    val off = 4 + 4 + 13 // byte holding (bits-1 low bits | total high 4)
+    enc(off) = (enc(off) & 0xF0.toByte).toByte
+    for (k <- 1 to 4) enc(off + k) = 0
+    val dec = Flac.decode(enc)
+    assert(dec.samples(0).length == 300, "unknown-length stream decodes fully")
+  }
+
   test("corrupt streams and out-of-profile inputs are refused by name") {
     val good = Flac.encode(mono(300)(i => i % 100), 8000)
     // CRC-16 flip

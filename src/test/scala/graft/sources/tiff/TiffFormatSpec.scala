@@ -25,7 +25,7 @@ class TiffFormatSpec extends AnyFunSuite {
     for (t <- r.tileOffsets.indices) {
       val tx = t % r.tilesAcross; val ty = t / r.tilesAcross
       val pix = TiffFormat.decodeTile(r,
-        readAt(bytes)(r.tileOffsets(t), r.tileByteCounts(t).toInt))
+        readAt(bytes)(r.tileOffsets(t), r.tileByteCounts(t).toInt), ty)
       for (y <- 0 until r.tileHeight; x <- 0 until r.tileWidth) {
         val gy = ty * r.tileHeight + y; val gx = tx * r.tileWidth + x
         if (gy < r.height && gx < r.width)
@@ -211,6 +211,49 @@ class TiffFormatSpec extends AnyFunSuite {
       }
   }
 
+  test("short LAST strip (TIFF 6.0 unpadded) roundtrips; height % rps != 0") {
+    val w = 8; val h = 8
+    val vals = grid(w, h)(i => (i * 9 + 1) % 256.0)
+    for (comp <- Seq(1, 5, 8, 32773)) {
+      // rps 3 -> strips of 3, 3, 2 rows: the last is SHORT
+      val bytes = TiffFormat.write(w, h, Array(vals), 1, 8, 0, 8, 1.0, 1.0,
+        WriteOpts(rowsPerStrip = 3, compression = comp))
+      val r = parse(bytes)
+      assert(r.stripped && r.rowsInTile(2) == 2)
+      assert(decodeAll(bytes)._2(0).sameElements(vals), s"comp $comp")
+    }
+  }
+
+  test("GDAL_NODATA 'nan' (GDAL's float spelling) parses to NaN") {
+    val w = 4; val h = 2
+    val bytes = TiffFormat.write(w, h,
+      Array(grid(w, h)(i => if (i == 3) Double.NaN else i.toDouble)), 3, 64,
+      0, 2, 1.0, 1.0, WriteOpts(noData = Some(Double.NaN)))
+    // the writer stamps "NaN"; GDAL writes lowercase — patch to 'nan'
+    val idx = bytes.indexOfSlice("NaN".getBytes)
+    assert(idx > 0)
+    bytes(idx) = 'n'
+    val r = parse(bytes)
+    assert(r.noData.exists(_.isNaN))
+  }
+
+  test("JPEGTables (tag 347) shared-tables split: abbreviated tiles decode") {
+    val w = 32; val h = 16
+    val vals = grid(w, h)(i => 90.0 + (i % w) / 4)
+    val split = TiffFormat.write(w, h, Array(vals), 1, 8, 0, 16, 1.0, 1.0,
+      WriteOpts(tileSize = 16, compression = 7, jpegTablesSplit = true))
+    val plain = TiffFormat.write(w, h, Array(vals), 1, 8, 0, 16, 1.0, 1.0,
+      WriteOpts(tileSize = 16, compression = 7))
+    val r = parse(split)
+    assert(r.jpegTables != null, "tag 347 must surface on the descriptor")
+    // shared tables are stored once: the split file is smaller
+    assert(split.length < plain.length,
+      s"split ${split.length} vs plain ${plain.length}")
+    val (_, out) = decodeAll(split)
+    val (_, ref) = decodeAll(plain)
+    assert(out(0).sameElements(ref(0)), "abbreviated == standalone decode")
+  }
+
   test("out-of-profile and corrupt inputs are refused by name") {
     val w = 18; val h = 6
     val good = TiffFormat.write(w, h, Array(grid(w, h)(_.toDouble)), 1, 8,
@@ -268,7 +311,7 @@ class TiffFormatSpec extends AnyFunSuite {
       val rr = parse(good)
       val t = readAt(good)(rr.tileOffsets(0), rr.tileByteCounts(0).toInt)
       t(t.length / 2) = (t(t.length / 2) ^ 0x7F).toByte
-      TiffFormat.decodeTile(rr, t)
+      TiffFormat.decodeTile(rr, t, 0)
     }
     assert(eBad.getMessage.toLowerCase.matches(".*(deflate|corrupt|truncated).*"),
       eBad.getMessage)

@@ -156,6 +156,49 @@ class TiffScanSpec extends SparkSpec {
     assert(q.count() == 16 * 16)
   }
 
+  test("NaN NODATA cells surface as null; bare-TIFF latitude filters stay exact") {
+    val dir = Files.createTempDirectory("tifnan").toString
+    val w = 4; val h = 4
+    val vals = Array.tabulate(w * h)(i =>
+      if (i % 5 == 0) Double.NaN else i.toDouble)
+    writeTiff(s"$dir/nan.tif", w, h, Array(vals), 3, 64, 0, 4, 1.0,
+      WriteOpts(noData = Some(Double.NaN)))
+    val df = spark.read.format("geotiff").load(s"$dir/nan.tif")
+    assert(df.filter(col("value").isNull).count() == vals.count(_.isNaN),
+      "NaN nodata must surface as null, not as NaN values")
+    // bare TIFF (NO geo tags — hand-built, the repo writer always
+    // stamps them): pixel space, lat INCREASES with y (scaleY = -1) —
+    // a pushed latitude filter must still be exact
+    val bare = Files.createTempDirectory("tifbare").toString
+    val b = collection.mutable.ArrayBuffer[Byte]()
+    def u16(v: Int): Unit = { b += (v & 0xFF).toByte; b += ((v >> 8) & 0xFF).toByte }
+    def u32(v: Long): Unit = { u16((v & 0xFFFF).toInt); u16(((v >> 16) & 0xFFFF).toInt) }
+    b += 'I'; b += 'I'; u16(42); u32(12)
+    b += 1; b += 2; b += 3; b += 4 // 2x2 uint8 strip at offset 8
+    u16(7)
+    def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
+      u16(tag); u16(typ); u32(count)
+      if (typ == 3) { u16(value.toInt); u16(0) } else u32(value)
+    }
+    entry(256, 4, 1, 2); entry(257, 4, 1, 2)
+    entry(258, 3, 1, 8)
+    entry(273, 4, 1, 8)
+    entry(277, 3, 1, 1)
+    entry(278, 4, 1, 2)
+    entry(279, 4, 1, 4)
+    u32(0)
+    Files.write(Paths.get(s"$bare/b.tif"), b.toArray)
+    val bdf = spark.read.format("geotiff").load(s"$bare/b.tif")
+    // lat(y) = y + 0.5: filter <= 1.0 keeps only row y = 0
+    val below = bdf.filter(col("latitude") <= 1.0)
+    assert(below.count() == 2, s"got ${below.count()}")
+    assert(below.agg(max("latitude")).head().getDouble(0) == 0.5)
+    assert(below.agg(sum("value")).head().getDouble(0) == 1.0 + 2.0)
+    val above = bdf.filter(col("latitude") > 1.0)
+    assert(above.count() == 2)
+    assert(above.agg(sum("value")).head().getDouble(0) == 3.0 + 4.0)
+  }
+
   test("header cache: second plan over the working set re-parses nothing") {
     val dir = Files.createTempDirectory("tiflru").toString
     for (d <- 1 to 6)

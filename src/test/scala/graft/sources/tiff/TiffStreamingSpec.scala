@@ -42,6 +42,28 @@ class TiffStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming honors option(overview, k) like the batch scan") {
+    val dir = Files.createTempDirectory("tifstream_ov").toString
+    Files.write(Paths.get(s"$dir/a.tif"),
+      TiffFormat.write(8, 8, Array(Array.tabulate(64)(_.toDouble)),
+        3, 64, 0, 8, 1.0, 1.0,
+        TiffFormat.WriteOpts(tileSize = 16, compression = 8, overview = true)))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("geotiff").option("overview", 1).load(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.count() }; ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("tifstream_ov_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // overview rows (16), NOT full-res rows (64)
+      assert(batches.synchronized(batches.sum) == 16)
+    } finally q.stop()
+  }
+
   test("maxFilesPerTrigger bounds each micro-batch; empty dir starts cleanly") {
     val dir = Files.createTempDirectory("tifstream_rate").toString
     val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
