@@ -365,16 +365,19 @@ object TiffFormat {
     * applied here (the scan does, so the null check stays in one
     * place). */
   def decodeTile(r: TiffRaster, compressed: Array[Byte], ty: Int): Array[Double] = {
-    if (r.compression == 7) return decodeJpegTile(r, compressed)
+    if (r.compression == 7) return decodeJpegTile(r, compressed, ty)
     val bytesPerSample = r.bitsPerSample / 8
     val rowBytes = r.tileWidth * r.bands * bytesPerSample
-    // a stripped file's LAST strip carries only the remaining rows
+    // a stripped file's LAST strip carries only the remaining rows per
+    // TIFF 6.0 — but some writers pad it to full RowsPerStrip, so the
+    // decoders accept anything in [needed, full] and we use `rows`
     val rows = r.rowsInTile(ty)
+    val maxBytes = rowBytes * r.tileHeight
     val raw0 = r.compression match {
       case 1 => compressed
-      case 5 => lzwDecode(compressed, rowBytes * rows)
-      case 8 | 32946 => inflate(compressed, rowBytes * rows)
-      case 32773 => packBitsDecode(compressed, rowBytes * rows)
+      case 5 => lzwDecode(compressed, rowBytes * rows, maxBytes)
+      case 8 | 32946 => inflate(compressed, rowBytes * rows, maxBytes)
+      case 32773 => packBitsDecode(compressed, rowBytes * rows, maxBytes)
     }
     require(raw0.length >= rowBytes * rows,
       s"TIFF tile decompressed to ${raw0.length} bytes, need ${rowBytes * rows}")
@@ -444,7 +447,8 @@ object TiffFormat {
   /** JPEG-in-TIFF (new-style, compression 7): every tile/strip is one
     * complete JPEG stream through the in-repo T.81 codec — grayscale to
     * 1 band, YCbCr→RGB to 3. */
-  private def decodeJpegTile(r: TiffRaster, compressed: Array[Byte]): Array[Double] = {
+  private def decodeJpegTile(r: TiffRaster, compressed: Array[Byte],
+      ty: Int): Array[Double] = {
     // abbreviated tile streams (the GDAL default) carry no DQT/DHT of
     // their own: splice the shared JPEGTables stream (minus its EOI)
     // ahead of the tile's content (minus its SOI)
@@ -460,13 +464,18 @@ object TiffFormat {
         merged
       }
     val img = graft.functions.Jpeg.decode(stream)
-    require(img.width == r.tileWidth && img.height == r.tileHeight,
-      s"JPEG tile is ${img.width}x${img.height}, TIFF says ${r.tileWidth}x${r.tileHeight}")
+    // libtiff/GDAL encode a stripped file's FINAL strip as a JPEG of
+    // only the remaining rows; padded full-height strips are accepted too
+    val rows = r.rowsInTile(ty)
+    require(img.width == r.tileWidth &&
+      (img.height == r.tileHeight || img.height == rows),
+      s"JPEG tile is ${img.width}x${img.height}, TIFF says " +
+        s"${r.tileWidth}x${r.tileHeight} (or $rows final-strip rows)")
     require((img.components == 1 && r.bands == 1) ||
       (img.components == 3 && r.bands == 3),
       s"JPEG tile has ${img.components} components, TIFF says ${r.bands} bands")
-    val n = r.tileWidth * r.tileHeight
-    val out = new Array[Double](n * r.bands)
+    val n = r.tileWidth * img.height
+    val out = new Array[Double](r.tileWidth * r.tileHeight * r.bands)
     var i = 0
     if (r.bands == 1)
       while (i < n) { out(i) = img.pixels(i).toDouble; i += 1 }
@@ -524,20 +533,22 @@ object TiffFormat {
 
   /** Raw inflate with both zlib-wrapped and raw streams accepted
     * (Deflate-in-TIFF is zlib-wrapped; be liberal like libtiff). */
-  private def inflate(in: Array[Byte], expect: Int): Array[Byte] = {
+  private def inflate(in: Array[Byte], expect: Int,
+      capacity: Int = -1): Array[Byte] = {
+    val cap = if (capacity < 0) expect else capacity
     def run(nowrap: Boolean): Array[Byte] = {
       val inf = new java.util.zip.Inflater(nowrap)
       inf.setInput(in)
-      val out = new Array[Byte](expect)
+      val out = new Array[Byte](cap)
       var got = 0
-      while (got < expect && !inf.finished()) {
-        val n = inf.inflate(out, got, expect - got)
+      while (got < cap && !inf.finished()) {
+        val n = inf.inflate(out, got, cap - got)
         if (n == 0 && inf.needsInput())
           throw new java.util.zip.DataFormatException("truncated deflate stream")
         got += n
       }
       inf.end()
-      require(got == expect, s"deflate stream yielded $got of $expect bytes")
+      require(got >= expect, s"deflate stream yielded $got of $expect bytes")
       out
     }
     try run(nowrap = false)
@@ -549,22 +560,24 @@ object TiffFormat {
     }
   }
 
-  private def packBitsDecode(in: Array[Byte], expect: Int): Array[Byte] = {
-    val out = new Array[Byte](expect)
+  private def packBitsDecode(in: Array[Byte], expect: Int,
+      capacity: Int = -1): Array[Byte] = {
+    val cap = if (capacity < 0) expect else capacity
+    val out = new Array[Byte](cap)
     var i = 0; var o = 0
-    while (o < expect) {
-      require(i < in.length, s"truncated PackBits tile at byte $i (have $o of $expect)")
+    while (o < expect && i < in.length) {
       val n = in(i); i += 1
       if (n >= 0) {
-        require(i + n + 1 <= in.length && o + n + 1 <= expect,
+        require(i + n + 1 <= in.length && o + n + 1 <= cap,
           s"PackBits literal run of ${n + 1} overruns")
         System.arraycopy(in, i, out, o, n + 1); i += n + 1; o += n + 1
       } else if (n != -128) {
-        require(i < in.length && o + (1 - n) <= expect,
+        require(i < in.length && o + (1 - n) <= cap,
           s"PackBits replicate run of ${1 - n} overruns")
         java.util.Arrays.fill(out, o, o + 1 - n, in(i)); i += 1; o += 1 - n
       } // -128: no-op
     }
+    require(o >= expect, s"truncated PackBits tile: yielded $o of $expect")
     out
   }
 
@@ -572,8 +585,10 @@ object TiffFormat {
     * ClearCode 256, EOI 257, with the "early change" (the code width
     * bumps one code BEFORE the table fills — the libtiff/GDAL wire
     * form). */
-  private def lzwDecode(in: Array[Byte], expect: Int): Array[Byte] = {
-    val out = new Array[Byte](expect)
+  private def lzwDecode(in: Array[Byte], expect: Int,
+      capacity: Int = -1): Array[Byte] = {
+    val cap = if (capacity < 0) expect else capacity
+    val out = new Array[Byte](cap)
     var o = 0
     var bitPos = 0L
     val nBits = in.length.toLong * 8
@@ -602,8 +617,8 @@ object TiffFormat {
       var c = code
       while (c >= 258) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
       val first = c.toByte
-      require(o + sp + 1 <= expect,
-        s"LZW output overruns tile: $o + ${sp + 1} > $expect")
+      require(o + sp + 1 <= cap,
+        s"LZW output overruns tile: $o + ${sp + 1} > $cap")
       out(o) = first; o += 1
       while (sp > 0) { sp -= 1; out(o) = stack(sp); o += 1 }
       first
@@ -626,7 +641,7 @@ object TiffFormat {
               // emit old's expansion + its first byte
               val f = firstByte(code = old, prefix, suffix)
               emit(old)
-              require(o < expect, "LZW output overruns tile (KwKwK)")
+              require(o < cap, "LZW output overruns tile (KwKwK)")
               out(o) = f; o += 1
               f
             } else emit(code)
@@ -641,7 +656,7 @@ object TiffFormat {
         }
       }
     }
-    require(o == expect, s"LZW tile yielded $o of $expect bytes")
+    require(o >= expect, s"LZW tile yielded $o of $expect bytes")
     out
   }
 

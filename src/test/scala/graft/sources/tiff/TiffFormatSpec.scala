@@ -224,6 +224,45 @@ class TiffFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("PADDED final strips (legacy writers) still decode for every codec") {
+    // write h=9 with rps=3 (strips of 3/3/3), then patch ImageLength to
+    // 8: the last strip now carries one PADDING row — some writers pad
+    // instead of truncating, and decode must tolerate both shapes
+    val w = 8
+    val vals9 = grid(w, 9)(i => (i * 9 + 1) % 256.0)
+    for (comp <- Seq(1, 5, 8, 32773)) {
+      val bytes = TiffFormat.write(w, 9, Array(vals9), 1, 8, 0, 9, 1.0, 1.0,
+        WriteOpts(rowsPerStrip = 3, compression = comp))
+      // ImageLength (tag 257, LONG) — find and patch 9 -> 8
+      val ifd = (bytes(4) & 0xFF) | ((bytes(5) & 0xFF) << 8) |
+        ((bytes(6) & 0xFF) << 16) | ((bytes(7) & 0xFF) << 24)
+      val n = (bytes(ifd) & 0xFF) | ((bytes(ifd + 1) & 0xFF) << 8)
+      val o = (0 until n).map(i => ifd + 2 + i * 12)
+        .find(o => ((bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)) == 257).get
+      assert(bytes(o + 8) == 9); bytes(o + 8) = 8
+      val (r, out) = decodeAll(bytes)
+      assert(r.height == 8 && r.rowsInTile(2) == 2, s"comp $comp")
+      assert(out(0).sameElements(vals9.take(w * 8)), s"comp $comp padded strip")
+    }
+  }
+
+  test("short-final-strip JPEG (the libtiff/GDAL shape) decodes") {
+    // libtiff encodes the last strip as a JPEG of ONLY the remaining
+    // rows; emulate with a hand-assembled descriptor + 8x2 JPEG
+    val w = 8
+    val full = TiffFormat.write(w, 8, Array(grid(w, 8)(i => 100.0 + i % 50)),
+      1, 8, 0, 8, 1.0, 1.0, WriteOpts(rowsPerStrip = 3, compression = 7))
+    val r = parse(full) // strips of 3/3/2; our writer pads the last to 3
+    // decode the REAL libtiff shape: replace the last strip's bytes
+    // with a 2-row JPEG and decode directly
+    val shortJpeg = graft.functions.Jpeg.encode(w, 2,
+      Array.tabulate(w * 2)(i => 100 + i % 50))
+    val pix = TiffFormat.decodeTile(r, shortJpeg, 2)
+    assert(pix.length == w * 3) // padded to full strip size
+    for (i <- 0 until w * 2)
+      assert(math.abs(pix(i) - (100 + i % 50)) <= 2, s"jpeg strip pixel $i")
+  }
+
   test("GDAL_NODATA 'nan' (GDAL's float spelling) parses to NaN") {
     val w = 4; val h = 2
     val bytes = TiffFormat.write(w, h,
