@@ -1496,12 +1496,15 @@ object SparkEntry {
     "q72_semantic_dedup" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val doubled = e.unionByName(e.withColumn("vec_id", col("vec_id") + lit(100000L)))
-      // k ∝ corpus (SemDeDup's own config): a fixed k would let cluster
-      // populations — and the Σ n_c²/2 pair work — grow linearly with
-      // the corpus. scaledK floors at 8, so the ≤sf0.1 gates are
-      // bit-identical to the fixed-k registration.
-      Clustering.semanticDedup(doubled, "vec_id", "embedding",
-          k = Clustering.scaledK(doubled.count()), iters = 3, tau = 0.95)
+      // Sharded registration (SemDeDup's web-scale recipe): content-hash
+      // shards bound per-shard k at scaledK(shardTarget) — a CONSTANT —
+      // so assignment work is O(n·d) at any corpus size (the unsharded
+      // k = scaledK(n) form is O(n·k·d) with k ∝ n, quadratic at 100×).
+      // Exact twins always co-shard (shard key = hash of the quantized
+      // vector), so the doubled-corpus gate stays exact at every shard
+      // count; corpora ≤ shardTarget delegate to the unsharded form.
+      Clustering.semanticDedupSharded(doubled, "vec_id", "embedding",
+          shardTarget = 2048, iters = 3, tau = 0.95)
         .select("vec_id").orderBy("vec_id")
     }),
 

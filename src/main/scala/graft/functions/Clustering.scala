@@ -135,8 +135,9 @@ object Clustering {
     * hundred) to bound cluster sizes (the SemDeDup recipe), never k « n.
     * Verification uses the RAW float vectors (quantization only steers
     * clustering). Assignment cost is O(n·k·d) with literal centroids —
-    * fine to k in the low thousands; beyond that shard the corpus and
-    * dedup per shard (SemDeDup's own recipe at web scale). */
+    * fine to k in the low thousands; beyond that use
+    * [[semanticDedupSharded]], which bounds k per shard (SemDeDup's own
+    * recipe at web scale). */
   def semanticDedup(
       df: DataFrame,
       idCol: String,
@@ -170,5 +171,178 @@ object Clustering {
       .filter(col("__ida") < col("__idb") && cos >= tau)
       .select(col("__idb").as("__drop")).distinct()
     df.join(dropped, col(idCol) === col("__drop"), "left_anti")
+  }
+
+  /** Shard count so the EXPECTED shard population is ≤ `shardTarget`. */
+  private[functions] def shardsFor(n: Long, shardTarget: Int): Int = {
+    require(shardTarget > 0, s"need shardTarget > 0, got $shardTarget")
+    ((n + shardTarget - 1) / shardTarget).min(Int.MaxValue).toInt
+  }
+
+  /** Sharded SemDeDup — the web-scale form [[semanticDedup]]'s own doc
+    * names. The unsharded registration's assignment stage is O(n·k·d)
+    * with k = [[scaledK]](n) ∝ n, i.e. quadratic in the corpus; here the
+    * corpus is CONTENT-hash-sharded into `n / shardTarget` shards and
+    * each shard runs the full cluster+dedup locally with
+    * k = scaledK(shard n) — a CONSTANT (scaledK(shardTarget), = 8 at the
+    * defaults) independent of corpus size, so total work is O(n·d), flat
+    * at any scale.
+    *
+    * Approximation contract: the shard key is `xxhash64` of the QUANTIZED
+    * vector, so exact (quantization-identical) duplicates ALWAYS co-shard
+    * and are always caught at any shard count; near-duplicates are caught
+    * within their shard only — the same boundary-miss class SemDeDup
+    * already accepts between k-means clusters (Abbas et al. 2023 run
+    * independent per-cluster dedups for exactly this cost reason).
+    *
+    * Execution shape: ONE shuffle (hash partition by shard), then
+    * `flatMapGroups` runs the deterministic local Lloyd's + pair scan
+    * per shard — no driver-side loop, no per-shard `collect()`, so shard
+    * COUNT is unbounded (at 100 TB it's millions of shards; a
+    * driver-seeded per-shard [[kmeansCentroids]] would be a driver loop).
+    * Per-group state is O(shardTarget·d) floats — bounded by construction.
+    * `flatMapGroups` (not a join/expression) is justified here: Lloyd's
+    * iterations over a bounded group are genuine per-group imperative
+    * logic with no declarative equivalent that avoids the driver.
+    *
+    * Corpora of ≤ `shardTarget` rows delegate to [[semanticDedup]]
+    * unchanged (single shard ≡ the unsharded algorithm, and the small-SF
+    * oracle gates stay on the codegen'd distributed path).
+    *
+    * `idCol` must be castable to long (the typed group-by needs an
+    * encoder); rows with a null vector are never dropped. */
+  def semanticDedupSharded(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      shardTarget: Int = 2048,
+      target: Int = 500,
+      iters: Int = 3,
+      tau: Double = 0.95,
+      scale: Double = 10000.0): DataFrame = {
+    val n = df.count()
+    if (n <= shardTarget)
+      return semanticDedup(df, idCol, vecCol, scaledK(n, target), iters, tau, scale)
+    val nShards = shardsFor(n, shardTarget)
+    val sp = df.sparkSession
+    import sp.implicits._
+    val proj = df
+      .filter(col(vecCol).isNotNull)
+      .select(
+        pmod(xxhash64(quantized(col(vecCol), scale)), lit(nShards.toLong)).cast("int")
+          .as("__shard"),
+        col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<float>").as("__v"))
+      .as[(Int, Long, Array[Float])]
+    val dropped = proj
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.map { case (_, id, v) => (id, v) }.toArray.sortBy(_._1)
+        localDedupDropped(rows, target, iters, tau, scale).iterator
+      }
+      .toDF("__drop")
+    df.join(dropped, col(idCol).cast("long") === col("__drop"), "left_anti")
+  }
+
+  /** In-memory mirror of [[semanticDedup]] for one id-sorted shard:
+    * quantize → seed k = [[scaledK]](n) lowest-id vectors → `iters`
+    * Lloyd's rounds (argmin |c|²−2·q·c, double accumulation left-to-right,
+    * strict `<` so ties break LOW — [[graft.expressions.NearestCentroid]]'s
+    * exact convention; centroid update = exact long sums / count) →
+    * within-cluster pair scan on the RAW vectors dropping every member
+    * whose cosine to a lower-id member is ≥ tau. Returns dropped ids. */
+  private[functions] def localDedupDropped(
+      rows: Array[(Long, Array[Float])],
+      target: Int,
+      iters: Int,
+      tau: Double,
+      scale: Double): Seq[Long] = {
+    val nRows = rows.length
+    if (nRows < 2) return Nil
+    val d = rows(0)._2.length
+    val k = scaledK(nRows.toLong, target).min(nRows)
+    // Spark's round() is BigDecimal HALF_UP (away from zero at .5), not
+    // JVM math.round (floor(x+0.5)) — mirror it exactly so a shard of
+    // the whole corpus reproduces the distributed assignment
+    val q = rows.map(_._2.map(x =>
+      java.math.BigDecimal.valueOf(x * scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toFloat))
+    // seeds: k lowest ids (rows arrive id-sorted); a length-mismatched
+    // vector can't seed (the distributed model requires a rectangular
+    // centroid matrix) — fall back to a zero centroid for that slot
+    var cents = Array.tabulate(k)(i =>
+      if (q(i).length == d) q(i).clone() else new Array[Float](d))
+    val assign = new Array[Int](nRows)
+    def assignAll(): Unit = {
+      val c2 = cents.map { c =>
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += c(j).toDouble * c(j).toDouble; j += 1 }
+        acc
+      }
+      var i = 0
+      while (i < nRows) {
+        if (q(i).length != d) assign(i) = 0 // NearestCentroid's mismatch rule
+        else {
+          var best = Double.PositiveInfinity; var bi = 0; var ci = 0
+          while (ci < k) {
+            var dp = 0.0; var j = 0
+            while (j < d) { dp += q(i)(j).toDouble * cents(ci)(j).toDouble; j += 1 }
+            val s = c2(ci) - 2.0 * dp
+            if (s < best) { best = s; bi = ci }
+            ci += 1
+          }
+          assign(i) = bi
+        }
+        i += 1
+      }
+    }
+    for (_ <- 0 until iters) {
+      assignAll()
+      val sums = Array.ofDim[Long](k, d)
+      val cnt = new Array[Long](k)
+      var i = 0
+      while (i < nRows) {
+        if (q(i).length == d) {
+          val c = assign(i); cnt(c) += 1
+          var j = 0
+          while (j < d) { sums(c)(j) += q(i)(j).toLong; j += 1 }
+        }
+        i += 1
+      }
+      cents = Array.tabulate(k) { ci =>
+        if (cnt(ci) == 0) cents(ci)
+        else Array.tabulate(d)(j => (sums(ci)(j).toDouble / cnt(ci)).toFloat)
+      }
+    }
+    assignAll()
+    val norms = rows.map { case (_, v) =>
+      var acc = 0.0; var j = 0
+      while (j < v.length) { acc += v(j).toDouble * v(j).toDouble; j += 1 }
+      math.sqrt(acc)
+    }
+    val dropped = Array.newBuilder[Long]
+    (0 until nRows).groupBy(assign).valuesIterator.foreach { members =>
+      val m = members.toArray // ascending row index = ascending id
+      var bi = 1
+      while (bi < m.length) {
+        val b = m(bi)
+        var ai = 0
+        var hit = false
+        while (ai < bi && !hit) {
+          val a = m(ai)
+          val denom = norms(a) * norms(b)
+          if (denom > 0 && rows(a)._2.length == rows(b)._2.length) {
+            val len = rows(a)._2.length
+            var dp = 0.0; var j = 0
+            while (j < len) { dp += rows(a)._2(j).toDouble * rows(b)._2(j).toDouble; j += 1 }
+            if (dp / denom >= tau) hit = true
+          }
+          ai += 1
+        }
+        if (hit) dropped += rows(b)._1
+        bi += 1
+      }
+    }
+    dropped.result().toSeq
   }
 }

@@ -67,6 +67,53 @@ class ClusteringSpec extends SparkSpec {
     assert(kept == 60L)
   }
 
+  test("semanticDedupSharded drops planted twins, keeps distinct docs, " +
+      "under forced multi-shard execution") {
+    val doubled = blobs.unionByName(blobs.withColumn("id", col("id") + 1000L))
+    // shardTarget = 16 « n = 120 forces ~8 shards — the web-scale path,
+    // not the single-shard delegation
+    val kept = Clustering.semanticDedupSharded(doubled, "id", "vec",
+        shardTarget = 16, iters = 3, tau = 0.9995)
+      .select("id").as[Long].collect().toSet
+    assert(kept == (0L until 60L).toSet)
+  }
+
+  test("semanticDedupSharded at or below shardTarget equals the unsharded form") {
+    val doubled = blobs.unionByName(blobs.withColumn("id", col("id") + 1000L))
+    val sharded = Clustering.semanticDedupSharded(doubled, "id", "vec",
+        shardTarget = 4096, iters = 3, tau = 0.9995)
+      .select("id").as[Long].collect().sorted.toSeq
+    val plain = Clustering.semanticDedup(doubled, "id", "vec",
+        k = Clustering.scaledK(120), iters = 3, tau = 0.9995)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(sharded == plain)
+  }
+
+  test("sharded per-row assignment cost is bounded by shard-k, not corpus-k") {
+    // the scaling pin the registration relies on: expected shard
+    // population — and with it k per shard — is CONSTANT as n grows,
+    // while the unsharded k = scaledK(n) grows linearly
+    val shardTarget = 2048
+    for (n <- Seq(10000L, 1000000L, 1000000000L, 1000000000000L)) {
+      val shards = Clustering.shardsFor(n, shardTarget)
+      val expectedShard = (n + shards - 1) / shards
+      assert(expectedShard <= shardTarget, s"n=$n shard=$expectedShard")
+      assert(Clustering.scaledK(expectedShard) <= Clustering.scaledK(shardTarget.toLong))
+    }
+    assert(Clustering.scaledK(2048L) == 8)           // constant shard-k at defaults
+    assert(Clustering.scaledK(1000000000000L) == 2000000000) // corpus-k explodes
+  }
+
+  test("localDedupDropped mirrors the distributed algorithm on one shard") {
+    val doubled = blobs.unionByName(blobs.withColumn("id", col("id") + 1000L))
+    val rows = doubled.select(col("id"), col("vec"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, v.toArray) }.sortBy(_._1)
+    val dropped = Clustering.localDedupDropped(rows, target = 20, iters = 3,
+      tau = 0.9995, scale = 10000.0).toSet
+    assert(dropped == (1000L until 1060L).toSet)
+  }
+
   test("native NearestCentroid is bit-identical to the composed " +
       "array_min(struct(score, idx)) form, ties to the lower index") {
     // the composed reference form the native expression replaced — kept
