@@ -776,6 +776,53 @@ object SparkEntry {
     outDir
   }
 
+  /** Projected-CRS COG fixture (the Sentinel-2/commercial-imagery
+    * shape): q168's per-day grid stamped GTModelType=1 +
+    * ProjectedCSType EPSG:3857, Web-Mercator affine with origin
+    * (easting −1 000 000, northing 6 000 000) and 1 km pixels —
+    * integer-plus-half model coordinates, exactly double-representable,
+    * so the DuckDB oracle replays the affine closed-form. Writer
+    * configs cycle (strips/tiles, none/Deflate/LZW, float64/float32/
+    * int32, BigTIFF) so every reader path also runs projected. */
+  private def geotiffProjectedFixture(s: SparkSession, dir: String): String = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_tifproj_$sf"
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(dirPath, true); fs.mkdirs(dirPath)
+    import graft.sources.tiff.TiffFormat
+    days.foreach { d =>
+      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val vals = Array.tabulate(64) { i =>
+        if (cnt(i % 10) % 5 == 0) -9999.0
+        else ((cnt(i % 10) * 7 + i) % 1000000L).toDouble
+      }
+      val opts0 = TiffFormat.WriteOpts(noData = Some(-9999),
+        modelType = 1, epsg = 3857)
+      val (sfmt, bits, opts) = (id % 4) match {
+        case 0 => (3, 64, opts0.copy(rowsPerStrip = 3))
+        case 1 => (2, 32, opts0.copy(tileSize = 16, compression = 8, predictor = 2))
+        case 2 => (3, 32, opts0.copy(rowsPerStrip = 4, compression = 5))
+        case _ => (3, 64, opts0.copy(bigTiff = true, compression = 8))
+      }
+      val bytes = TiffFormat.write(8, 8, Array(vals), sfmt, bits,
+        -1000000.0, 6000000.0, 1000.0, 1000.0, opts)
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/$id.tif"), true)
+      try out.write(bytes) finally out.close()
+    }
+    outDir
+  }
+
   /** CDF-5 fixture (PnetCDF 64-bit data format, the HPC-produced classic
     * shape): the q61 events grid written with version byte 5, wide header
     * integers, and an NC_INT64 data variable with an int64 fill. */
@@ -2756,6 +2803,27 @@ object SparkEntry {
             .cast("long").as("id"),
           col("latitude"), col("longitude"), col("band"), col("value"))
         .orderBy("id", "band", "latitude", "longitude")
+    }),
+
+    // Projected-CRS COG scan (GTModelType=1, EPSG:3857 — the
+    // Sentinel-2/commercial-imagery shape): the scan presents
+    // northing/easting, NEVER degrees, and the Projection kit closes
+    // the loop — unproject3857 → project(3857) must land back on the
+    // scanned model coordinates (roundtrip_ok pins inverse∘forward on
+    // every cell). The oracle replays the integer-exact affine from
+    // events with zero TIFF code.
+    "q173_geotiff_projected_scan" -> ((s, dir) => {
+      val path = geotiffProjectedFixture(s, dir)
+      val scan = s.read.format("geotiff").load(path)
+      val (lat, lon) = Projection.unproject3857(col("northing"), col("easting"))
+      val (nBack, eBack) = Projection.project(lat, lon, 3857)
+      scan.select(
+          regexp_extract(col("path"), "([0-9]+)\\.tif$", 1)
+            .cast("long").as("id"),
+          col("northing"), col("easting"), col("band"), col("value"),
+          (abs(nBack - col("northing")) < lit(1e-6) &&
+            abs(eBack - col("easting")) < lit(1e-6)).as("roundtrip_ok"))
+        .orderBy("id", "northing", "easting")
     }),
 
     // CDF-5 (PnetCDF 64-bit data format): the q61 grid with version byte
@@ -4835,6 +4903,33 @@ object SparkEntry {
         |FROM px CROSS JOIN (SELECT unnest(range(1, 3)) AS b) b
         |WHERE b.b <= 1 + px.id % 2
         |ORDER BY id, band, latitude, longitude""".stripMargin,
+
+    // Projected COG: replay the Web-Mercator affine (integer-plus-half
+    // metres, exactly double-representable); the Spark-side
+    // unproject→project roundtrip must hold on every cell
+    "q173_geotiff_projected_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |px AS (SELECT ids.id, i.i,
+        |         CAST(i.i // 8 AS BIGINT) AS y, CAST(i.i % 8 AS BIGINT) AS x,
+        |         coalesce(g.cnt, 0) AS cnt
+        |       FROM ids
+        |       CROSS JOIN (SELECT CAST(unnest(range(64)) AS INTEGER) AS i) i
+        |       LEFT JOIN g ON g.d = ids.d AND g.slot = CAST(i.i % 10 AS INTEGER))
+        |SELECT px.id,
+        |       CAST(6000000 - (y + 0.5) * 1000 AS DOUBLE) AS northing,
+        |       CAST(-1000000 + (x + 0.5) * 1000 AS DOUBLE) AS easting,
+        |       1 AS band,
+        |       CASE WHEN cnt % 5 = 0 THEN NULL
+        |            ELSE CAST((cnt * 7 + i) % 1000000 AS DOUBLE)
+        |       END AS value,
+        |       TRUE AS roundtrip_ok
+        |FROM px
+        |ORDER BY id, northing, easting""".stripMargin,
 
     // CDF-5 int64 counts: q82's spine with BIGINT cnt, fills → NULL
     "q144_nc_cdf5_scan" ->

@@ -24,7 +24,11 @@ import TiffFormat.TiffRaster
   * (COG) — the raster shape CHIRPS-style archives publish next to
   * NetCDF. `spark.read.format("geotiff").load(pathOrDir)` yields one
   * row per (pixel, band):
-  * (path STRING, latitude, longitude, band INT, value DOUBLE?);
+  * (path STRING, latitude, longitude, band INT, value DOUBLE?) for
+  * geographic rasters (GTModelType 2, and bare TIFFs), or
+  * (path, northing, easting, band, value) for projected ones
+  * (GTModelType 1 — UTM/Web-Mercator), so a projected grid is never
+  * mislabeled as degrees and [[graft.ops.Projection]] unprojects it;
   * NODATA cells surface as null `value`, never as the sentinel. Time
   * is NOT in the format — per-file dates live in the filename, so the
   * `path` column feeds the C8 filename→coords kit downstream.
@@ -47,18 +51,38 @@ class TiffDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "geotiff"
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    TiffTable.Schema
+  /** Schema depends on the files' CRS class (header-only, memoized):
+    * geographic rasters present latitude/longitude, projected ones
+    * northing/easting — never a projected grid mislabeled as degrees.
+    * The provider API calls inferSchema then getTable back-to-back for
+    * one read; the resolved table is handed from the first call to the
+    * second (consume-once) so planning stays at ONE listing + header
+    * pass per read — the header-cache spec pins that bound. */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val t = TiffTable.resolve(options)
+    pending.set((TiffTable.optionsKey(options), t))
+    t.schema()
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    require(schema == TiffTable.Schema,
-      s"geotiff scans always present ${TiffTable.Schema.simpleString}; got ${schema.simpleString}")
-    TiffTable.resolve(new CaseInsensitiveStringMap(properties))
+    val options = new CaseInsensitiveStringMap(properties)
+    val handoff = pending.getAndSet(null)
+    val t = handoff match {
+      case (k, cached) if k == TiffTable.optionsKey(options) => cached
+      case _ => TiffTable.resolve(options)
+    }
+    require(schema == t.schema(),
+      s"geotiff scan presents ${t.schema().simpleString}; got ${schema.simpleString}")
+    t
   }
+
+  private val pending =
+    new java.util.concurrent.atomic.AtomicReference[(String, TiffTable)]()
 }
 
 object TiffTable {
+  /** Geographic (GTModelType 2, and bare pixel-space TIFFs). */
   val Schema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
     StructField("latitude", DoubleType, nullable = false),
@@ -66,6 +90,16 @@ object TiffTable {
     // 1-based, GDAL band numbering
     StructField("band", IntegerType, nullable = false),
     // NODATA cells surface as null
+    StructField("value", DoubleType, nullable = true)))
+
+  /** Projected CRS (GTModelType 1 — UTM/Web-Mercator): model-space
+    * metres under their own names; [[graft.ops.Projection]] unprojects
+    * downstream (e.g. `unproject3857`). */
+  val ProjectedSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("northing", DoubleType, nullable = false),
+    StructField("easting", DoubleType, nullable = false),
+    StructField("band", IntegerType, nullable = false),
     StructField("value", DoubleType, nullable = true)))
 
   /** Header-cache bound (files); `private[tiff] var` for the eviction
@@ -141,6 +175,11 @@ object TiffTable {
     files.map(st => st.getPath.toString -> parseFile(conf, st).bands)
   }
 
+  /** Identity of a read for the inferSchema→getTable handoff. */
+  private[tiff] def optionsKey(options: CaseInsensitiveStringMap): String =
+    Seq("path", "overview", "maxFilesPerTrigger")
+      .map(k => s"$k=${options.get(k)}").mkString("|")
+
   def resolve(options: CaseInsensitiveStringMap): TiffTable = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
@@ -160,9 +199,17 @@ object TiffTable {
       Await.result(Future.traverse(files)(st =>
         Future(scala.concurrent.blocking(parseFile(conf, st, overview)))), Duration.Inf)
     }
-    new TiffTable(files.map(st =>
-        st.getPath.toString -> parseFile(conf, st, overview)),
-      conf, paths, maxFiles, overview)
+    val byFile = files.map(st =>
+      st.getPath.toString -> parseFile(conf, st, overview))
+    // one CRS class per scan: a directory mixing projected and
+    // geographic rasters has no single honest schema — refuse by name
+    val (proj, geo) = byFile.partition(_._2.projected)
+    require(proj.isEmpty || geo.isEmpty,
+      s"geotiff scan mixes projected and geographic rasters (e.g. " +
+        s"${proj.headOption.map(_._1).getOrElse("")} is projected, " +
+        s"${geo.headOption.map(_._1).getOrElse("")} is geographic) — " +
+        "scan them separately")
+    new TiffTable(byFile, conf, paths, maxFiles, overview)
   }
 }
 
@@ -172,10 +219,14 @@ final class TiffTable(
     val paths: Seq[String] = Seq.empty,
     val maxFilesPerTrigger: Option[Int] = None,
     val overview: Int = 0) extends Table with SupportsRead {
+  /** All files share one CRS class ([[TiffTable.resolve]] refuses a
+    * mix); an empty listing scans as geographic. */
+  val projected: Boolean = byFile.headOption.exists(_._2.projected)
   override def name(): String =
     s"geotiff(${byFile.length} files, ${byFile.map { case (_, r) =>
       r.tileOffsets.length }.sum} tiles)"
-  override def schema(): StructType = TiffTable.Schema
+  override def schema(): StructType =
+    if (projected) TiffTable.ProjectedSchema else TiffTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
@@ -186,25 +237,30 @@ final class TiffTable(
 final class TiffScanBuilder(table: TiffTable) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private var required: StructType = TiffTable.Schema
+  private var required: StructType = table.schema()
   private var pushed: Array[Filter] = Array.empty
+  // model-space axis names: (y, x) — latitude/longitude for geographic
+  // scans, northing/easting for projected ones; the pruning math is the
+  // same monotone affine either way
+  private val yName = if (table.projected) "northing" else "latitude"
+  private val xName = if (table.projected) "easting" else "longitude"
 
-  /** lat/lon range predicates prune TILES at planning and are re-applied
-    * per cell with the planner's own arithmetic → fully handled; band
-    * equality is enforced in the reader; `path` supports equality (one
-    * file per date is the archive shape). Everything on `value` stays
-    * residual. */
+  /** Coordinate range predicates (lat/lon, or northing/easting on a
+    * projected scan) prune TILES at planning and are re-applied per cell
+    * with the planner's own arithmetic → fully handled; band equality is
+    * enforced in the reader; `path` supports equality (one file per date
+    * is the archive shape). Everything on `value` stays residual. */
   private def handled(f: Filter): Boolean = f match {
     case sources.IsNotNull(a) => a != "value" &&
-      TiffTable.Schema.fieldNames.contains(a)
+      table.schema().fieldNames.contains(a)
     case sources.EqualTo("band", _: Integer) => true
     case sources.In("band", vs) => vs.forall(_.isInstanceOf[Integer])
     case sources.EqualTo("path", _: String) => true
-    case sources.EqualTo("latitude" | "longitude", _: java.lang.Double) => true
-    case sources.GreaterThan("latitude" | "longitude", _: java.lang.Double) => true
-    case sources.GreaterThanOrEqual("latitude" | "longitude", _: java.lang.Double) => true
-    case sources.LessThan("latitude" | "longitude", _: java.lang.Double) => true
-    case sources.LessThanOrEqual("latitude" | "longitude", _: java.lang.Double) => true
+    case sources.EqualTo(a, _: java.lang.Double) => a == yName || a == xName
+    case sources.GreaterThan(a, _: java.lang.Double) => a == yName || a == xName
+    case sources.GreaterThanOrEqual(a, _: java.lang.Double) => a == yName || a == xName
+    case sources.LessThan(a, _: java.lang.Double) => a == yName || a == xName
+    case sources.LessThanOrEqual(a, _: java.lang.Double) => a == yName || a == xName
     case _ => false
   }
 
@@ -242,10 +298,16 @@ final class TiffScan(
       r: TiffRaster): Seq[InputPartition] = filePartitions(path, r)
   private[tiff] def readerFactory: PartitionReaderFactory = createReaderFactory()
 
-  /** Pixel-space keep-bounds for one raster from the pushed lat/lon
-    * range predicates: [x0, x1] x [y0, y1] inclusive, or None = nothing
-    * survives. Pixel centers are monotone in x (lon increasing) and y
-    * (lat decreasing), so each bound maps to one end. */
+  // all rasters in one scan share a CRS class (resolve() refused a mix)
+  private val projectedCrs = byFile.headOption.exists(_._2.projected)
+  private val yName = if (projectedCrs) "northing" else "latitude"
+  private val xName = if (projectedCrs) "easting" else "longitude"
+
+  /** Pixel-space keep-bounds for one raster from the pushed coordinate
+    * range predicates (lat/lon or northing/easting): [x0, x1] x [y0, y1]
+    * inclusive, or None = nothing survives. Pixel centers are monotone
+    * in x (lon/easting increasing) and y (lat/northing decreasing for
+    * north-up rasters), so each bound maps to one end. */
   private def pixelBounds(r: TiffRaster): Option[(Int, Int, Int, Int)] = {
     var x0 = 0; var x1 = r.width - 1; var y0 = 0; var y1 = r.height - 1
     def firstX(pred: Int => Boolean): Int = { // smallest x satisfying
@@ -259,36 +321,36 @@ final class TiffScan(
       lo
     }
     pushed.foreach {
-      // lon increases with x
-      case sources.GreaterThan("longitude", v: java.lang.Double) =>
+      // lon/easting increases with x
+      case sources.GreaterThan(`xName`, v: java.lang.Double) =>
         x0 = math.max(x0, firstX(x => r.lonOf(x) > v.doubleValue()))
-      case sources.GreaterThanOrEqual("longitude", v: java.lang.Double) =>
+      case sources.GreaterThanOrEqual(`xName`, v: java.lang.Double) =>
         x0 = math.max(x0, firstX(x => r.lonOf(x) >= v.doubleValue()))
-      case sources.LessThan("longitude", v: java.lang.Double) =>
+      case sources.LessThan(`xName`, v: java.lang.Double) =>
         x1 = math.min(x1, firstX(x => r.lonOf(x) >= v.doubleValue()) - 1)
-      case sources.LessThanOrEqual("longitude", v: java.lang.Double) =>
+      case sources.LessThanOrEqual(`xName`, v: java.lang.Double) =>
         x1 = math.min(x1, firstX(x => r.lonOf(x) > v.doubleValue()) - 1)
-      case sources.EqualTo("longitude", v: java.lang.Double) =>
+      case sources.EqualTo(`xName`, v: java.lang.Double) =>
         val x = firstX(x => r.lonOf(x) >= v.doubleValue())
         if (x < r.width && r.lonOf(x) == v.doubleValue()) {
           x0 = math.max(x0, x); x1 = math.min(x1, x)
         } else { x0 = 1; x1 = 0 }
-      // lat DECREASES with y for north-up rasters (scaleY > 0); a bare
+      // lat/northing DECREASES with y for north-up rasters (scaleY > 0); a bare
       // TIFF's pixel-space transform (scaleY = -1) INCREASES — branch so
       // the claimed-exact pushdown is right either way
-      case sources.LessThan("latitude", v: java.lang.Double) =>
+      case sources.LessThan(`yName`, v: java.lang.Double) =>
         if (r.scaleY > 0) y0 = math.max(y0, firstY(y => r.latOf(y) < v.doubleValue()))
         else y1 = math.min(y1, firstY(y => r.latOf(y) >= v.doubleValue()) - 1)
-      case sources.LessThanOrEqual("latitude", v: java.lang.Double) =>
+      case sources.LessThanOrEqual(`yName`, v: java.lang.Double) =>
         if (r.scaleY > 0) y0 = math.max(y0, firstY(y => r.latOf(y) <= v.doubleValue()))
         else y1 = math.min(y1, firstY(y => r.latOf(y) > v.doubleValue()) - 1)
-      case sources.GreaterThan("latitude", v: java.lang.Double) =>
+      case sources.GreaterThan(`yName`, v: java.lang.Double) =>
         if (r.scaleY > 0) y1 = math.min(y1, firstY(y => r.latOf(y) <= v.doubleValue()) - 1)
         else y0 = math.max(y0, firstY(y => r.latOf(y) > v.doubleValue()))
-      case sources.GreaterThanOrEqual("latitude", v: java.lang.Double) =>
+      case sources.GreaterThanOrEqual(`yName`, v: java.lang.Double) =>
         if (r.scaleY > 0) y1 = math.min(y1, firstY(y => r.latOf(y) < v.doubleValue()) - 1)
         else y0 = math.max(y0, firstY(y => r.latOf(y) >= v.doubleValue()))
-      case sources.EqualTo("latitude", v: java.lang.Double) =>
+      case sources.EqualTo(`yName`, v: java.lang.Double) =>
         val y =
           if (r.scaleY > 0) firstY(y => r.latOf(y) <= v.doubleValue())
           else firstY(y => r.latOf(y) >= v.doubleValue())
@@ -415,8 +477,8 @@ final class TiffPartitionReader(part: TiffInputPartition, conf: Configuration)
   private val BandC = 3; private val ValueC = 4
   private val colCodes: Array[Int] = part.cols.map {
     case "path" => PathC
-    case "latitude" => LatC
-    case "longitude" => LonC
+    case "latitude" | "northing" => LatC // model-space y either way
+    case "longitude" | "easting" => LonC // model-space x either way
     case "band" => BandC
     case "value" => ValueC
   }

@@ -19,10 +19,17 @@ import scala.collection.mutable.ArrayBuffer
   * graft.functions.Jpeg]] codec), horizontal predictor 2 AND the
   * floating-point predictor 3 (libtiff byte-plane shuffle + diff),
   * sample formats uint 8/16/32, int 8/16/32, float 32/64, multi-band,
-  * COG overview IFDs (skipped by NewSubfileType), GDAL_NODATA → null.
+  * COG overview IFDs (skipped by NewSubfileType), GDAL_NODATA → null,
+  * palette rasters scanned as INDEX data (GDAL land-cover semantics).
+  * CRS handling: GTModelType (GeoKey 1024) = 2 (geographic) scans as
+  * latitude/longitude; = 1 (projected — UTM, Web-Mercator: the
+  * Sentinel-2/commercial-imagery shape) scans as northing/easting with
+  * the EPSG code (GeoKey 3072) surfaced, NEVER silently mislabeled as
+  * degrees — [[graft.ops.Projection]] unprojects downstream.
   * Out of profile and refused BY NAME: separate planar config,
-  * old-style JPEG (code 6) / CCITT / Zstd / LZMA compressions, palette
-  * color, multiple full-resolution pages.
+  * old-style JPEG (code 6) / CCITT / Zstd / LZMA compressions,
+  * multiple full-resolution pages, geocentric or user-defined
+  * GTModelType.
   *
   * The writer emits the same profile (always little-endian classic or
   * BigTIFF) and exists so fixtures and specs are built from
@@ -49,7 +56,15 @@ object TiffFormat {
       noData: Option[Double],
       // shared JPEG tables stream (tag 347) for abbreviated per-tile
       // JPEG streams — the GDAL JPEG-in-TIFF default; null = none
-      jpegTables: Array[Byte] = null) {
+      jpegTables: Array[Byte] = null,
+      // GTModelType (GeoKey 1024): 2 = geographic (lat/lon degrees),
+      // 1 = projected (northing/easting metres); bare TIFFs default 2
+      // (pixel space presented under the geographic names, the
+      // pre-existing contract)
+      modelType: Int = 2,
+      // ProjectedCSType (GeoKey 3072) EPSG code; 0 = absent
+      epsg: Int = 0) {
+    def projected: Boolean = modelType == 1
     def tilesAcross: Int = (width + tileWidth - 1) / tileWidth
     def tilesDown: Int = (height + tileHeight - 1) / tileHeight
     /** Rows actually PRESENT in tile row `ty`: full tile height except
@@ -318,13 +333,30 @@ object TiffFormat {
       case _ => throw new IllegalArgumentException(
         "GeoTIFF needs BOTH ModelPixelScale and ModelTiepoint (or neither)")
     }
+    // GeoKey directory: header is 4 shorts, then 4-short key entries; a
+    // key with tiffTagLocation 0 holds its SHORT value inline in the 4th
+    // short — the form every key this profile reads uses (1024
+    // GTModelType, 1025 GTRasterType, 3072 ProjectedCSType)
+    val geoKeys: Map[Int, Int] =
+      ifd0.get(TagGeoKeyDirectory).map(longs).map { gk =>
+        gk.drop(4).grouped(4).collect {
+          case k if k.length == 4 && k(1) == 0 && k(2) == 1 =>
+            k(0).toInt -> k(3).toInt
+        }.toMap
+      }.getOrElse(Map.empty)
     // GeoKey 1025 GTRasterType: 2 = PixelIsPoint
-    val pixelIsPoint = ifd0.get(TagGeoKeyDirectory).map(longs).exists { gk =>
-      // directory header is 4 shorts, then 4-short key entries; a key
-      // with tiffTagLocation 0 holds its value inline in the 4th short
-      gk.drop(4).grouped(4).exists(k =>
-        k.length == 4 && k(0) == 1025 && k(1) == 0 && k(3) == 2)
-    }
+    val pixelIsPoint = geoKeys.get(1025).contains(2)
+    // GeoKey 1024 GTModelType: absent = geographic (the pre-GeoKey
+    // GeoTIFF default and the bare-TIFF pixel-space contract); 1 =
+    // projected — the coordinate columns MUST NOT claim to be degrees
+    // (a UTM/Web-Mercator COG pruned in lat/lon space prunes WRONG
+    // tiles), so the scan presents northing/easting instead; anything
+    // else (3 geocentric, 32767 user-defined) is out of profile.
+    val modelType = geoKeys.getOrElse(1024, 2)
+    require(modelType == 1 || modelType == 2,
+      s"GeoTIFF GTModelType $modelType out of profile (only 1 projected " +
+        "and 2 geographic are supported; 3 = geocentric, 32767 = user-defined)")
+    val epsg = geoKeys.getOrElse(3072, 0)
     val fullW = if (overview == 0) width
       else longs(ifd0(TagImageWidth))(0).toInt
     val fullH = if (overview == 0) height
@@ -354,7 +386,8 @@ object TiffFormat {
     }
     TiffRaster(width, height, bands, sampleFormat, bitsPerSample, tw, th,
       offs, counts, compression, predictor, be, stripped,
-      ox, oy, sxEff, syEff, pixelIsPoint, noData, jpegTables)
+      ox, oy, sxEff, syEff, pixelIsPoint, noData, jpegTables,
+      modelType, epsg)
   }
 
   // ------------------------------------------------------ tile decode
@@ -680,7 +713,11 @@ object TiffFormat {
       noData: Option[Double] = None,
       // emit shared tables via tag 347 + ABBREVIATED per-tile streams
       // (the GDAL JPEG-in-TIFF default); compression 7 only
-      jpegTablesSplit: Boolean = false)
+      jpegTablesSplit: Boolean = false,
+      // GTModelType to stamp: 2 geographic (default), 1 projected
+      modelType: Int = 2,
+      // ProjectedCSType (GeoKey 3072) when projected; 0 = omit
+      epsg: Int = 0)
 
   /** Write a GeoTIFF: `values(band)(y*width + x)`, sampleFormat/bits as
     * in the descriptor, geo-transform (originX, originY, scaleX, scaleY)
@@ -905,12 +942,16 @@ object TiffFormat {
           dbl = Array(scaleX, scaleY, 0.0))
         tags += Tag(TagModelTiepoint, 12, 6, null,
           dbl = Array(0.0, 0.0, 0.0, originX, originY, 0.0))
-        // minimal GeoKey directory: v1.1.0, GTModelType=2 (geographic),
-        // GTRasterType per opts
-        tags += Tag(TagGeoKeyDirectory, 3, 12, Array(
-          1L, 1L, 0L, 2L,
-          1024L, 0L, 1L, 2L,
-          1025L, 0L, 1L, if (opts.pixelIsPoint) 2L else 1L))
+        // minimal GeoKey directory: v1.1.0, GTModelType + GTRasterType
+        // per opts, plus ProjectedCSType when a projected EPSG is given
+        val keys = ArrayBuffer(
+          (1024L, opts.modelType.toLong),
+          (1025L, if (opts.pixelIsPoint) 2L else 1L))
+        if (opts.modelType == 1 && opts.epsg > 0)
+          keys += ((3072L, opts.epsg.toLong))
+        tags += Tag(TagGeoKeyDirectory, 3, 4 + 4 * keys.length,
+          Array(1L, 1L, 0L, keys.length.toLong) ++
+            keys.flatMap { case (k, v) => Seq(k, 0L, 1L, v) })
       }
       if (sharedJpegTables != null && !isOverview)
         tags += Tag(TagJpegTables, 7, sharedJpegTables.length.toLong, null,

@@ -237,4 +237,68 @@ class TiffScanSpec extends SparkSpec {
       TiffTable.clearHeaderCache()
     }
   }
+
+  test("projected CRS (GTModelType=1) scans as northing/easting, never degrees") {
+    val dir = Files.createTempDirectory("tifproj").toString
+    val w = 6; val h = 4
+    val vals = Array.tabulate(w * h)(i => i * 3.0)
+    // UTM-ish: origin (easting 500000, northing 4000000), 10 m pixels
+    writeTiff(s"$dir/utm.tif", w, h, Array(vals), 3, 64, 500000, 4000000, 10.0,
+      WriteOpts(modelType = 1, epsg = 32633))
+    val df = spark.read.format("geotiff").load(s"$dir/utm.tif")
+    assert(df.columns.toSeq == Seq("path", "northing", "easting", "band", "value"))
+    // pixel (0,0) center = origin + half a pixel
+    val r0 = df.filter(col("northing") === 4000000.0 - 5.0 &&
+      col("easting") === 500000.0 + 5.0).head()
+    assert(r0.getAs[Double]("value") == 0.0)
+    // the EPSG code survives the header parse for downstream unprojection
+    val st = new org.apache.hadoop.fs.Path(s"$dir/utm.tif")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/utm.tif"))
+    val raster = TiffTable.parseFile(spark.sparkContext.hadoopConfiguration, st)
+    assert(raster.projected && raster.epsg == 32633)
+  }
+
+  test("northing/easting range predicates prune whole tiles at planning") {
+    val dir = Files.createTempDirectory("tifprojprune").toString
+    val w = 64; val h = 48 // 4x3 tiles of 16
+    val vals = Array.tabulate(w * h)(i => (i % 1000).toDouble)
+    writeTiff(s"$dir/big.tif", w, h, Array(vals), 3, 32, 0, 4800, 100.0,
+      WriteOpts(tileSize = 16, compression = 8, modelType = 1, epsg = 3857))
+    val df = spark.read.format("geotiff").load(s"$dir/big.tif")
+    // one tile: x in [0,16), y in [0,16) -> easting < 1600, northing > 3200
+    val q = df.filter(col("easting") < 1600.0 && col("northing") > 3200.0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("tiles=1/12"), s"expected tile pruning in:\n$plan")
+    assert(q.count() == 16 * 16)
+    // a LATITUDE predicate against a projected scan is an analysis error
+    // (the column does not exist), not a silent wrong-space prune
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.filter(col("latitude") > 0.0).count()
+    }
+    assert(err.getMessage.contains("latitude"))
+  }
+
+  test("geocentric and user-defined GTModelType are refused by name") {
+    val dir = Files.createTempDirectory("tifgeoc").toString
+    val vals = Array.tabulate(16)(_.toDouble)
+    writeTiff(s"$dir/geoc.tif", 4, 4, Array(vals), 3, 64, 0, 4, 1.0,
+      WriteOpts(modelType = 3))
+    val e = intercept[Exception] {
+      spark.read.format("geotiff").load(s"$dir/geoc.tif").count()
+    }
+    assert(e.getMessage.contains("GTModelType 3"), e.getMessage)
+  }
+
+  test("a directory mixing projected and geographic rasters is refused by name") {
+    val dir = Files.createTempDirectory("tifmixcrs").toString
+    val vals = Array.tabulate(16)(_.toDouble)
+    writeTiff(s"$dir/a_geo.tif", 4, 4, Array(vals), 3, 64, -20, 50, 0.25)
+    writeTiff(s"$dir/b_utm.tif", 4, 4, Array(vals), 3, 64, 500000, 4000000, 10.0,
+      WriteOpts(modelType = 1, epsg = 32633))
+    val e = intercept[Exception] {
+      spark.read.format("geotiff").load(dir).count()
+    }
+    assert(e.getMessage.contains("mixes projected and geographic"), e.getMessage)
+  }
 }
