@@ -823,6 +823,46 @@ object SparkEntry {
     outDir
   }
 
+  /** MP4/ISO-BMFF fixture (the web's dominant video container): one
+    * file per day with a video track (avc1, per-sample sizes from event
+    * counts, two-run stts, keyframes every 3rd sample) and an audio
+    * track (mp4a, fixed-size samples, no stss = all sync; co64 on even
+    * days). The writer lays mdat BEFORE moov, so every sample's
+    * absolute byte offset is the closed-form 32 + cumulative sizes and
+    * the DuckDB oracle replays the ENTIRE sample table — sizes,
+    * offsets, dts, keyframe flags — with zero MP4 code. */
+  private def mp4EventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    import graft.functions.Mp4
+    val rows = days.toSeq.map { d =>
+      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val nVideo = 5 + (id % 3).toInt
+      val sizes = Seq.tabulate(nVideo)(i => (cnt(i % 10) * 3 + i) % 200 + 1)
+      val video = Mp4.TrackSpec(1, "vide", "avc1", timescale = 12800,
+        width = 320, height = 240, sizes = sizes,
+        sttsRuns = Seq((4, 100L), (nVideo - 4, 250L)),
+        syncSamples = Some((0 until nVideo).filter(_ % 3 == 0).map(_ + 1)),
+        samplesPerChunk = Seq(3))
+      val audio = Mp4.TrackSpec(2, "soun", "mp4a", timescale = 48000,
+        fixedSize = 64, nFixed = 10,
+        sttsRuns = Seq((10, 1024L)),
+        syncSamples = None,
+        samplesPerChunk = Seq(10), co64 = id % 2 == 0)
+      (id, Mp4.encode(Seq(video, audio)))
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "mp4")
+  }
+
   /** CDF-5 fixture (PnetCDF 64-bit data format, the HPC-produced classic
     * shape): the q61 events grid written with version byte 5, wide header
     * integers, and an NC_INT64 data variable with an int64 fill. */
@@ -2803,6 +2843,20 @@ object SparkEntry {
             .cast("long").as("id"),
           col("latitude"), col("longitude"), col("band"), col("value"))
         .orderBy("id", "band", "latitude", "longitude")
+    }),
+
+    // MP4/ISO-BMFF demux — the web's dominant video container, walked
+    // codec-agnostically: the stbl sample tables land as one row per
+    // sample with absolute byte offsets, decode timestamps, and
+    // keyframe flags. The oracle recomputes the ENTIRE table (stsz,
+    // stts runs, stss cadence, chunk-walk offsets) from events with
+    // zero MP4 code — any box-parse slip anywhere fails the compare.
+    "q174_mp4_demux" -> ((s, dir) => {
+      val mp4s = mp4EventsFixture(s, dir)
+      Multimodal.demuxMp4(mp4s, "id", "mp4")
+        .select("id", "track_id", "sample_idx", "byte_size", "byte_offset",
+          "dts", "keyframe", "codec")
+        .orderBy("id", "track_id", "sample_idx")
     }),
 
     // Projected-CRS COG scan (GTModelType=1, EPSG:3857 — the
@@ -4903,6 +4957,44 @@ object SparkEntry {
         |FROM px CROSS JOIN (SELECT unnest(range(1, 3)) AS b) b
         |WHERE b.b <= 1 + px.id % 2
         |ORDER BY id, band, latitude, longitude""".stripMargin,
+
+    // MP4 sample tables replayed from events: video sizes/dts/keyframes
+    // closed-form, audio fixed-size run, offsets = 32 + running sums
+    // (the writer's mdat-first layout)
+    "q174_mp4_demux" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |v AS (SELECT ids.id, i.i,
+        |        CAST((coalesce(g.cnt, 0) * 3 + i.i) % 200 + 1 AS BIGINT) AS sz
+        |      FROM ids
+        |      CROSS JOIN (SELECT CAST(unnest(range(8)) AS INTEGER) AS i) i
+        |      LEFT JOIN g ON g.d = ids.d AND g.slot = CAST(i.i % 10 AS INTEGER)
+        |      WHERE i.i < 5 + ids.id % 3),
+        |voff AS (SELECT id, i, sz,
+        |           32 + coalesce(SUM(sz) OVER (PARTITION BY id ORDER BY i
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |         FROM v),
+        |vtot AS (SELECT id, SUM(sz) AS tot FROM v GROUP BY id),
+        |vrows AS (SELECT id, CAST(1 AS BIGINT) AS track_id,
+        |            i AS sample_idx, sz AS byte_size, CAST(off AS BIGINT) AS byte_offset,
+        |            CAST(CASE WHEN i < 4 THEN i * 100
+        |                 ELSE 400 + (i - 4) * 250 END AS BIGINT) AS dts,
+        |            i % 3 = 0 AS keyframe, 'avc1' AS codec
+        |          FROM voff),
+        |arows AS (SELECT vtot.id, CAST(2 AS BIGINT) AS track_id,
+        |            CAST(j.j AS INTEGER) AS sample_idx,
+        |            CAST(64 AS BIGINT) AS byte_size,
+        |            CAST(32 + vtot.tot + j.j * 64 AS BIGINT) AS byte_offset,
+        |            CAST(j.j * 1024 AS BIGINT) AS dts,
+        |            TRUE AS keyframe, 'mp4a' AS codec
+        |          FROM vtot
+        |          CROSS JOIN (SELECT CAST(unnest(range(10)) AS INTEGER) AS j) j)
+        |SELECT * FROM vrows UNION ALL SELECT * FROM arows
+        |ORDER BY id, track_id, sample_idx""".stripMargin,
 
     // Projected COG: replay the Web-Mercator affine (integer-plus-half
     // metres, exactly double-representable); the Spark-side

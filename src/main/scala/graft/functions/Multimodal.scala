@@ -445,6 +445,64 @@ object Multimodal {
       }(Encoders.row(schema))
   }
 
+  /** [[Mp4.demux]] as a relational stage: one row per SAMPLE across all
+    * tracks — (id, track_id, sample_idx, byte_size, byte_offset, dts,
+    * keyframe, codec) — the codec-agnostic sample-table walk that gives a crawl
+    * curation pass duration/fps/keyframe-cadence/bitrate stats without
+    * decoding a single H.264 byte. Container bytes stay
+    * partition-local; only the (tiny) table rows flow on. */
+  def demuxMp4(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("track_id", LongType, nullable = false),
+      StructField("sample_idx", IntegerType, nullable = false),
+      StructField("byte_size", LongType, nullable = false),
+      StructField("byte_offset", LongType, nullable = false),
+      StructField("dts", LongType, nullable = false),
+      StructField("keyframe", BooleanType, nullable = false),
+      StructField("codec", StringType, nullable = false)))
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          Mp4.demux(id, bytes).iterator.flatMap { t =>
+            (0 until t.sizes.length).iterator.map { i =>
+              org.apache.spark.sql.Row(id, t.trackId, i, t.sizes(i),
+                t.offsets(i), t.dts(i), t.sync(i), t.codec)
+            }
+          }
+        }
+      }(Encoders.row(schema))
+  }
+
+  /** Track-level MP4 metadata (one row per track): the curation-stat
+    * shape — duration seconds, fps for video, resolution, total bytes. */
+  def mp4Tracks(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("track_id", LongType, nullable = false),
+      StructField("handler", StringType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("timescale", LongType, nullable = false),
+      StructField("duration", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("n_keyframes", IntegerType, nullable = false),
+      StructField("total_bytes", LongType, nullable = false)))
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          Mp4.demux(id, bytes).iterator.map { t =>
+            org.apache.spark.sql.Row(id, t.trackId, t.handler, t.codec,
+              t.timescale, t.duration, t.width, t.height, t.sizes.length,
+              t.sync.count(identity), t.sizes.sum)
+          }
+        }
+      }(Encoders.row(schema))
+  }
+
   /** Demux + per-frame pixel decode in ONE partition-local stage: AVI
     * containers walked by [[aviFrames]], each frame payload routed through
     * the magic-dispatching decoder (MJPEG AVI — overwhelmingly the
