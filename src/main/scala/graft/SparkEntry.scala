@@ -823,6 +823,50 @@ object SparkEntry {
     outDir
   }
 
+  /** Target wave for the ADPCM bound gate: a per-day triangle whose
+    * amplitude derives from event counts — slope ≤ ~850/sample, which a
+    * correctly-stepping ADPCM coder tracks within one adapted step,
+    * while a structural bug (nibble order, wrong table entry, header
+    * layout) produces full-amplitude garbage and fails the bound. */
+  private def adpcmTargetWave(id: Long, cntSum: Long, n: Int): Array[Int] = {
+    val amp = 4000 + ((cntSum + id) % 8).toInt * 1000
+    Array.tabulate(n) { t =>
+      val ph = t % 50
+      amp * (math.abs(ph - 25) - 12) / 13
+    }
+  }
+
+  /** ADPCM WAV fixture (telephony/games archives): even days IMA
+    * (format 17, 2 full 256-byte blocks = 1010 samples), odd days
+    * MS-ADPCM (format 2, 2 blocks = 1000 samples), both carrying
+    * [[adpcmTargetWave]]. Lossy, so the gate is the q156/q138 bound
+    * pattern: integer facts (rate, counts, duration) exact + a
+    * reconstruction-error bound; EXACT state-machine decode is pinned
+    * in AdpcmSpec's hand vectors. */
+  private def adpcmEventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    val rows = days.toSeq.map { d =>
+      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
+      val cntSum = byDay(d).map(_.getAs[Long]("count")).sum
+      val ima = id % 2 == 0
+      val n = if (ima) 1010 else 1000 // exactly 2 blocks either way
+      val x = adpcmTargetWave(id, cntSum, n)
+      val wav =
+        if (ima) graft.functions.Audio.encodeImaAdpcm(x, 8000)
+        else graft.functions.Audio.encodeMsAdpcm(x, 8000)
+      (id, cntSum, wav)
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "cnt_sum", "wav")
+  }
+
   /** MP4/ISO-BMFF fixture (the web's dominant video container): one
     * file per day with a video track (avc1, per-sample sizes from event
     * counts, two-run stts, keyframes every 3rd sample) and an audio
@@ -2843,6 +2887,41 @@ object SparkEntry {
             .cast("long").as("id"),
           col("latitude"), col("longitude"), col("band"), col("value"))
         .orderBy("id", "band", "latitude", "longitude")
+    }),
+
+    // ADPCM WAV decode (IMA even days, MS odd) — lossy, so the gate is
+    // the q156 bound pattern: sample_rate / n_samples / duration_ms are
+    // integer-exact against the block arithmetic, and wave_ok bounds
+    // the reconstruction error against the independent target formula
+    // (< 1500/32768). Exact state-machine decode is pinned in AdpcmSpec.
+    "q175_adpcm_decode_bound" -> ((s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val wavs = adpcmEventsFixture(s, dir)
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("sample_rate", IntegerType, nullable = false),
+        StructField("n_samples", LongType, nullable = false),
+        StructField("duration_ms", LongType, nullable = false),
+        StructField("wave_ok", BooleanType, nullable = false)))
+      wavs.select(col("id"), col("cnt_sum"), col("wav"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.BINARY))
+        .mapPartitions { it =>
+          it.map { case (id, cntSum, bytes) =>
+            val d = graft.functions.Audio.decodeAuto(id, bytes)
+            val target = adpcmTargetWave(id, cntSum, d.samples.length)
+            var maxErr = 0.0
+            var i = 0
+            while (i < d.samples.length) {
+              maxErr = math.max(maxErr,
+                math.abs(d.samples(i).toDouble * 32768.0 - target(i)))
+              i += 1
+            }
+            val n = d.samples.length.toLong
+            Row(id, d.sampleRate, n, n * 1000L / d.sampleRate, maxErr < 1500.0)
+          }
+        }(Encoders.row(schema))
+        .orderBy("id")
     }),
 
     // MP4/ISO-BMFF demux — the web's dominant video container, walked
@@ -4957,6 +5036,19 @@ object SparkEntry {
         |FROM px CROSS JOIN (SELECT unnest(range(1, 3)) AS b) b
         |WHERE b.b <= 1 + px.id % 2
         |ORDER BY id, band, latitude, longitude""".stripMargin,
+
+    // ADPCM bound gate: block arithmetic closed-form (IMA 2x505 even
+    // days, MS 2x500 odd), reconstruction bound asserted Spark-side
+    "q175_adpcm_decode_bound" ->
+      """WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days)
+        |SELECT id,
+        |       8000 AS sample_rate,
+        |       CAST(CASE WHEN id % 2 = 0 THEN 1010 ELSE 1000 END AS BIGINT) AS n_samples,
+        |       CAST(CASE WHEN id % 2 = 0 THEN 126 ELSE 125 END AS BIGINT) AS duration_ms,
+        |       TRUE AS wave_ok
+        |FROM ids
+        |ORDER BY id""".stripMargin,
 
     // MP4 sample tables replayed from events: video sizes/dts/keyframes
     // closed-form, audio fixed-size run, offsets = 32 + running sums
