@@ -731,9 +731,9 @@ object SparkEntry {
     * i%10)·7 + i + (band−1)·1000) mod 1e6, NODATA −9999 where cnt%5=0,
     * band count 1 + (id%2); geo-transform origin (−20, 50), scale 0.25.
     * The writer CONFIG cycles by day — float64/float32/int32, strips
-    * and 16×16 tiles, none/Deflate/LZW/PackBits, horizontal predictor,
-    * BigTIFF, a COG overview IFD — so the one scan gate covers every
-    * reader path, the q167 trick. */
+    * and 16×16 tiles, none/Deflate/LZW/PackBits/Zstd, horizontal
+    * predictor, BigTIFF, a COG overview IFD — so the one scan gate
+    * covers every reader path, the q167 trick. */
   private def geotiffEventsFixture(s: SparkSession, dir: String): String = {
     val cells = eventsWithDay(s, dir)
       .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
@@ -759,12 +759,14 @@ object SparkEntry {
         else ((cnt(i % 10) * 7 + i + b * 1000L) % 1000000L).toDouble
       })
       val opts0 = TiffFormat.WriteOpts(noData = Some(-9999))
-      val (sfmt, bits, opts) = (id % 6) match {
+      val (sfmt, bits, opts) = (id % 7) match {
         case 0 => (3, 64, opts0.copy(rowsPerStrip = 3))
         case 1 => (2, 32, opts0.copy(tileSize = 16, compression = 8, predictor = 2))
         case 2 => (3, 32, opts0.copy(rowsPerStrip = 4, compression = 5))
         case 3 => (2, 32, opts0.copy(rowsPerStrip = 2, compression = 32773, predictor = 2))
         case 4 => (3, 64, opts0.copy(bigTiff = true, compression = 8))
+        case 5 => (2, 32, opts0.copy(tileSize = 16, compression = 50000,
+          predictor = 2)) // zstd — GDAL's modern COG default
         case _ => (2, 32, opts0.copy(tileSize = 16, compression = 5,
           predictor = 2, overview = true))
       }

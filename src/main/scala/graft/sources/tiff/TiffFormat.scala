@@ -14,9 +14,10 @@ import scala.collection.mutable.ArrayBuffer
   * In profile: classic AND BigTIFF, both byte orders, tiled and
   * stripped layouts, chunky (pixel-interleaved) planar config,
   * compressions none / PackBits / LZW (MSB-first, early-change) /
-  * Deflate (both the 8 and legacy 32946 codes) / new-style JPEG
-  * (code 7, one T.81 stream per tile through the in-repo [[
-  * graft.functions.Jpeg]] codec), horizontal predictor 2 AND the
+  * Deflate (both the 8 and legacy 32946 codes) / Zstd (code 50000,
+  * GDAL's modern COG default, via the zstd-jni Spark ships) /
+  * new-style JPEG (code 7, one T.81 stream per tile through the
+  * in-repo [[graft.functions.Jpeg]] codec), horizontal predictor 2 AND the
   * floating-point predictor 3 (libtiff byte-plane shuffle + diff),
   * sample formats uint 8/16/32, int 8/16/32, float 32/64, multi-band,
   * COG overview IFDs (skipped by NewSubfileType), GDAL_NODATA → null,
@@ -27,9 +28,8 @@ import scala.collection.mutable.ArrayBuffer
   * the EPSG code (GeoKey 3072) surfaced, NEVER silently mislabeled as
   * degrees — [[graft.ops.Projection]] unprojects downstream.
   * Out of profile and refused BY NAME: separate planar config,
-  * old-style JPEG (code 6) / CCITT / Zstd / LZMA compressions,
-  * multiple full-resolution pages, geocentric or user-defined
-  * GTModelType.
+  * old-style JPEG (code 6) / CCITT / LZMA compressions, multiple
+  * full-resolution pages, geocentric or user-defined GTModelType.
   *
   * The writer emits the same profile (always little-endian classic or
   * BigTIFF) and exists so fixtures and specs are built from
@@ -266,16 +266,15 @@ object TiffFormat {
     require(bitsPerSample != 64 || sampleFormat == 3,
       "64-bit integer samples unsupported (float64 only)")
     val compression = one(TagCompression, 1).toInt
-    require(Set(1, 5, 7, 8, 32773, 32946).contains(compression), {
+    require(Set(1, 5, 7, 8, 32773, 32946, 50000).contains(compression), {
       val name = compression match {
         case 2 | 3 | 4 => "CCITT fax"
         case 6 => "old-style JPEG (code 6)"
         case 34712 => "JPEG 2000"
-        case 50000 => "Zstd"
         case 14 | 34925 => "LZMA"
         case c => s"code $c"
       }
-      s"TIFF compression $name unsupported (none/LZW/Deflate/PackBits/JPEG-7)"
+      s"TIFF compression $name unsupported (none/LZW/Deflate/PackBits/JPEG-7/Zstd)"
     })
     val planar = one(TagPlanarConfig, 1).toInt
     require(planar == 1,
@@ -411,6 +410,7 @@ object TiffFormat {
       case 5 => lzwDecode(compressed, rowBytes * rows, maxBytes)
       case 8 | 32946 => inflate(compressed, rowBytes * rows, maxBytes)
       case 32773 => packBitsDecode(compressed, rowBytes * rows, maxBytes)
+      case 50000 => zstdDecode(compressed, rowBytes * rows, maxBytes)
     }
     require(raw0.length >= rowBytes * rows,
       s"TIFF tile decompressed to ${raw0.length} bytes, need ${rowBytes * rows}")
@@ -593,6 +593,25 @@ object TiffFormat {
     }
   }
 
+  /** Zstd (compression 50000 — GDAL's modern COG default): the same
+    * zstd-jni backend the Zarr/HDF5 codec paths use. Accepts anything
+    * in [expect, capacity] like the other decoders (padded final
+    * strips). No JDK TIFF counterpart exists to interop-pin — the
+    * writer-beside-reader roundtrip + the shared zstd-jni library (also
+    * exercised against real zarr fixtures) carry the validation. */
+  private def zstdDecode(in: Array[Byte], expect: Int,
+      capacity: Int = -1): Array[Byte] = {
+    val cap = if (capacity < 0) expect else capacity
+    val out = new Array[Byte](cap)
+    val got = try
+      com.github.luben.zstd.Zstd.decompressByteArray(out, 0, cap, in, 0, in.length)
+    catch { case e: com.github.luben.zstd.ZstdException =>
+      throw new IllegalArgumentException(s"corrupt TIFF zstd tile: ${e.getMessage}")
+    }
+    require(got >= expect, s"zstd tile yielded $got of $expect bytes")
+    out
+  }
+
   private def packBitsDecode(in: Array[Byte], expect: Int,
       capacity: Int = -1): Array[Byte] = {
     val cap = if (capacity < 0) expect else capacity
@@ -705,7 +724,7 @@ object TiffFormat {
   final case class WriteOpts(
       tileSize: Int = 0, // 0 = strips (rowsPerStrip), else NxN tiles
       rowsPerStrip: Int = 8,
-      compression: Int = 1, // 1 none, 5 LZW, 8 deflate, 32773 packbits
+      compression: Int = 1, // 1 none, 5 LZW, 8 deflate, 32773 packbits, 50000 zstd
       predictor: Int = 1,
       bigTiff: Boolean = false,
       overview: Boolean = false, // append a /2 overview IFD (COG shape)
@@ -878,6 +897,7 @@ object TiffFormat {
           case 5 => lzwEncode(raw)
           case 8 => deflate(raw)
           case 32773 => packBitsEncode(raw)
+          case 50000 => com.github.luben.zstd.Zstd.compress(raw, 3)
         }
       }
       val tiles = Array.tabulate(down * across) { t =>

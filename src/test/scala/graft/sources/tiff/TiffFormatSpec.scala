@@ -66,7 +66,7 @@ class TiffFormatSpec extends AnyFunSuite {
     val vals = grid(w, h)(i => ((i / w) * 11 + (i % w) / 3) % 256.0) // runs
     for {
       tile <- Seq(0, 16, 32)
-      comp <- Seq(1, 32773, 5, 8)
+      comp <- Seq(1, 32773, 5, 8, 50000)
       pred <- Seq(1, 2)
     } {
       val bytes = TiffFormat.write(w, h, Array(vals), 1, 8, 0, 0, 1, 1,
@@ -291,6 +291,22 @@ class TiffFormatSpec extends AnyFunSuite {
     val (_, out) = decodeAll(split)
     val (_, ref) = decodeAll(plain)
     assert(out(0).sameElements(ref(0)), "abbreviated == standalone decode")
+  }
+
+  test("Zstd (compression 50000, the modern GDAL COG default) roundtrips " +
+      "float + predictor 3 and refuses corrupt streams by name") {
+    val w = 24; val h = 10
+    val vals = grid(w, h)(i => i * 0.25 - 14.5)
+    val bytes = TiffFormat.write(w, h, Array(vals), 3, 32, 0, 0, 1, 1,
+      WriteOpts(tileSize = 16, compression = 50000, predictor = 3))
+    val (r, out) = decodeAll(bytes)
+    assert(r.compression == 50000)
+    assert(out(0).sameElements(vals))
+    // corrupt stream named (not a zstd frame at all)
+    val e = intercept[IllegalArgumentException] {
+      TiffFormat.decodeTile(r, Array.fill[Byte](20)(0x55), 0)
+    }
+    assert(e.getMessage.contains("zstd"), e.getMessage)
   }
 
   test("out-of-profile and corrupt inputs are refused by name") {
