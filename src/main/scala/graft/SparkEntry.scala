@@ -110,6 +110,20 @@ object SparkEntry {
   private def pqValOfSql(codeCol: String): String =
     s"CASE $codeCol WHEN 0 THEN -0.5 WHEN 1 THEN -0.25 WHEN 2 THEN 0.25 ELSE 0.5 END"
 
+  /** Fixed IVF coarse centroids for the q176 gate: 4 block-constant
+    * vectors (±1 over one 32-dim half, 0 over the other), so coarse
+    * scores reduce EXACTLY to ±(subspace sums) — dot's left-to-right
+    * double fold with a power-of-two constant commutes with the
+    * per-element rounding, the q126 trick — and the float32 residual
+    * subtraction replays verbatim in DuckDB (FLOAT - FLOAT is IEEE
+    * float32 in both engines). Hash-sampled [[Similarity.ivfCentroids]]
+    * production centroids are spec-gated in SimilaritySpec instead. */
+  private def ivfFixedCoarse: Seq[Seq[Float]] = Seq(
+    Seq.fill(32)(1f) ++ Seq.fill(32)(0f),
+    Seq.fill(32)(0f) ++ Seq.fill(32)(1f),
+    Seq.fill(32)(-1f) ++ Seq.fill(32)(0f),
+    Seq.fill(32)(0f) ++ Seq.fill(32)(-1f))
+
   /** A store under java.io.tmpdir, wiped before use (queries must be
     * idempotent across runs and scale factors). */
   private def freshStore(s: SparkSession, dir: String, tag: String,
@@ -1415,6 +1429,17 @@ object SparkEntry {
       val enc = Similarity.pqEncode(table(s, dir, "embeddings"), "embedding", cb)
       Similarity.pqTopKAdc(enc, "vec_id", embQuery(s, dir), cb, k = 25)
     }),
+
+    // IVF-PQ composed ANN (the production billion-vector shape):
+    // coarse-quantize to lists, PQ the RESIDUALS, ADC-scan only the 2
+    // probed lists. Block-constant coarse centroids + the fixed
+    // power-of-two codebook let the oracle replay EVERYTHING closed-form
+    // — assignment argmax, probe ranking, float32 residual subtraction,
+    // residual code argmin, and the decomposed ADC score.
+    "q176_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfpqTopKAdc(table(s, dir, "embeddings"), "vec_id",
+        "embedding", embQuery(s, dir), k = 25,
+        coarse = ivfFixedCoarse, codebook = pqFixedCodebook, nProbe = 2)),
 
     // class-prototype embeddings: per-label mean vector via exact
     // quantized long sums (partitioning- and engine-independent)
@@ -3661,6 +3686,54 @@ object SparkEntry {
     // constant power-of-two centroids collapse every dot product to
     // v·Σxᵢ EXACTLY (scaling commutes with IEEE rounding), so codes and
     // ADC scores replay bit-identically from the subspace sums alone
+    // IVF-PQ: replay coarse argmax (block-constant centroids → ±subspace
+    // sums, ties HIGH like array_max on struct), the nProbe=2 ranking,
+    // the float32 residual subtraction (FLOAT-FLOAT is IEEE f32 in both
+    // engines), residual code argmin, and the decomposed ADC score in
+    // the operator's own association order
+    "q176_ivfpq_topk" -> {
+      val s1 = seqSum("list_transform(embedding[1:32], x -> CAST(x AS DOUBLE))")
+      val s2 = seqSum("list_transform(embedding[33:64], x -> CAST(x AS DOUBLE))")
+      val q1 = seqSum("list_transform(qe[1:32], x -> CAST(x AS DOUBLE))")
+      val q2 = seqSum("list_transform(qe[33:64], x -> CAST(x AS DOUBLE))")
+      val af = "CAST(CASE b WHEN 0 THEN 1.0 WHEN 2 THEN -1.0 ELSE 0.0 END AS FLOAT)"
+      val bf = "CAST(CASE b WHEN 1 THEN 1.0 WHEN 3 THEN -1.0 ELSE 0.0 END AS FLOAT)"
+      val rs1 = seqSum(s"list_transform(embedding[1:32], x -> CAST(x - $af AS DOUBLE))")
+      val rs2 = seqSum(s"list_transform(embedding[33:64], x -> CAST(x - $bf AS DOUBLE))")
+      s"""WITH qq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |qs AS (SELECT $q1 AS q1, $q2 AS q2, sqrt($SqQSql) AS qn FROM qq),
+         |sums AS (SELECT vec_id, embedding, $s1 AS s1, $s2 AS s2 FROM embeddings),
+         |bk AS (SELECT vec_id, embedding,
+         |    CASE WHEN -s2 >= -s1 AND -s2 >= s2 AND -s2 >= s1 THEN 3
+         |         WHEN -s1 >= s2 AND -s1 >= s1 THEN 2
+         |         WHEN s2 >= s1 THEN 1 ELSE 0 END AS b
+         |  FROM sums),
+         |pj AS (SELECT j.j AS pb,
+         |    CASE j.j WHEN 0 THEN q1 WHEN 1 THEN q2 WHEN 2 THEN -q1 ELSE -q2 END AS psc
+         |  FROM (SELECT CAST(unnest(range(4)) AS INTEGER) AS j) j CROSS JOIN qs),
+         |pk AS (SELECT pb FROM (SELECT pb,
+         |    row_number() OVER (ORDER BY psc DESC, pb) AS rn FROM pj) WHERE rn <= 2),
+         |kept AS (SELECT bk.vec_id, bk.embedding, bk.b FROM bk JOIN pk ON bk.b = pk.pb),
+         |res AS (SELECT vec_id, b, $rs1 AS rs1, $rs2 AS rs2 FROM kept),
+         |codes AS (SELECT vec_id, b,
+         |    ${pqArgminSql("rs1")} AS c1,
+         |    ${pqArgminSql("rs2")} AS c2 FROM res),
+         |vals AS (SELECT vec_id, b, ${pqValOfSql("c1")} AS v1,
+         |                 ${pqValOfSql("c2")} AS v2 FROM codes),
+         |sc AS (SELECT v.vec_id,
+         |    (CASE v.b WHEN 0 THEN qs.q1 WHEN 1 THEN qs.q2
+         |          WHEN 2 THEN -qs.q1 ELSE -qs.q2 END
+         |     + v.v1 * qs.q1) + v.v2 * qs.q2 AS dt,
+         |    (32.0 + (CASE v.b WHEN 0 THEN 64.0 * v.v1 WHEN 2 THEN -64.0 * v.v1
+         |             ELSE 0.0 END + 32.0 * v.v1 * v.v1))
+         |     + (CASE v.b WHEN 1 THEN 64.0 * v.v2 WHEN 3 THEN -64.0 * v.v2
+         |        ELSE 0.0 END + 32.0 * v.v2 * v.v2) AS n2,
+         |    qs.qn
+         |  FROM vals v CROSS JOIN qs)
+         |SELECT vec_id, round(dt / (sqrt(n2) * qn), 6) AS adc_cosine
+         |FROM sc ORDER BY adc_cosine DESC, vec_id LIMIT 25""".stripMargin
+    },
+
     "q126_pq_adc" -> {
       val s1 = seqSum("list_transform(embedding[1:32], x -> CAST(x AS DOUBLE))")
       val s2 = seqSum("list_transform(embedding[33:64], x -> CAST(x AS DOUBLE))")

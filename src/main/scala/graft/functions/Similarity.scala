@@ -412,6 +412,91 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ composed ANN — the production billion-vector shape (FAISS
+    * `IVFx,PQy`): coarse-quantize to inverted lists, PQ-encode the
+    * RESIDUAL (vector − list centroid), and ADC-scan only the probed
+    * lists. Each stage exists separately ([[ivfAssign]]/[[pqEncode]]/
+    * [[pqTopKAdc]]); composing them is what changes the asymptotics —
+    * the scan touches `nProbe/nCentroids` of the rows AND reads only
+    * m one-byte codes per row instead of d floats, which is how a
+    * billion-vector index fits hot storage. Residual encoding (not
+    * raw-vector PQ) is the part that composition adds: residuals are
+    * centered near zero, so one small codebook serves every list.
+    *
+    * Scoring is cosine of the query against the reconstruction
+    * x̂ = c_list + r̂: dot(q, x̂) and ‖x̂‖² decompose into per-list
+    * constants (q·c, ‖c‖²) plus per-subspace lookup tables (q·r̂,
+    * 2·c·r̂, ‖r̂‖²), all riding as literals — per row the score is m
+    * array lookups, no float vector read. Lookups fold left-to-right,
+    * so scores are partitioning-independent; ties break on the id.
+    *
+    * `coarse` comes from [[ivfCentroids]] in production (hash-sampled,
+    * deterministic); the oracle gate passes block-constant centroids
+    * both engines replay closed-form. With `nProbe == coarse.length`
+    * the probe filter keeps everything (exhaustive differential form). */
+  def ivfpqTopKAdc(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      coarse: Seq[Seq[Float]],
+      codebook: Seq[Seq[Seq[Float]]],
+      nProbe: Int): DataFrame = {
+    val m = codebook.length
+    val dsub = codebook.head.head.length
+    require(coarse.nonEmpty && coarse.forall(_.length == m * dsub),
+      s"coarse centroids must be d=${m * dsub} wide")
+    def dotD(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    val qNorm = math.sqrt(dotD(query, query))
+    // per-list constants and per-(list, subspace, code) cross terms
+    val qDotC: Array[Double] = coarse.map(c => dotD(query, c)).toArray
+    val cNorm2: Array[Double] = coarse.map(c => dotD(c, c)).toArray
+    val lutQDotR: Seq[Array[Double]] = codebook.zipWithIndex.map { case (cents, s) =>
+      val qSub = query.slice(s * dsub, (s + 1) * dsub)
+      cents.map(r => dotD(qSub, r)).toArray
+    }
+    val lutRNorm2: Seq[Array[Double]] = codebook.map(_.map(r => dotD(r, r)).toArray)
+    val lutCross: Seq[Seq[Array[Double]]] = coarse.map { c =>
+      codebook.zipWithIndex.map { case (cents, s) =>
+        val cSub = c.slice(s * dsub, (s + 1) * dsub)
+        cents.map(r => 2.0 * dotD(cSub, r)).toArray
+      }
+    }
+
+    val probes = ivfProbes(query, coarse, nProbe)
+    val assigned = ivfAssign(df, vecCol, coarse)
+      .filter(col("__ivf_bucket").isin(probes: _*))
+    // residual against the row's own list centroid (the literal 2-D
+    // matrix rides once; zip_with is per-row, nothing shuffles)
+    val centsLit = typedLit(coarse.map(_.toSeq).toSeq)
+    val resid = assigned.withColumn("__resid",
+      zip_with(col(vecCol), element_at(centsLit, col("__ivf_bucket") + 1),
+        (a, b) => a - b))
+    val enc = pqEncode(resid, "__resid", codebook)
+
+    def lut1(t: Array[Double], s: Int): Column =
+      element_at(lit(t), element_at(col("pq_code"), s + 1) + 1)
+    def lutB(tables: Seq[Seq[Array[Double]]], s: Int): Column =
+      element_at(
+        element_at(typedLit(tables.map(_(s).toSeq)), col("__ivf_bucket") + 1),
+        element_at(col("pq_code"), s + 1) + 1)
+    val dotCol = element_at(lit(qDotC), col("__ivf_bucket") + 1) +
+      (0 until m).map(s => lut1(lutQDotR(s), s)).reduce(_ + _)
+    val n2Col = element_at(lit(cNorm2), col("__ivf_bucket") + 1) +
+      (0 until m).map(s => lutB(lutCross, s) + lut1(lutRNorm2(s), s)).reduce(_ + _)
+    enc
+      .withColumn("__dot", dotCol)
+      .withColumn("__n2", n2Col)
+      .select(col(idCol),
+        when(col("__n2") <= 0.0 || lit(qNorm) <= 0.0, lit(0.0))
+          .otherwise(round(col("__dot") / (sqrt(col("__n2")) * qNorm), 6))
+          .as("adc_cosine"))
+      .orderBy(col("adc_cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Scalar-quantized (SQ8) cosine top-k — the FAISS `SQ8` recipe: each
     * dimension is affinely mapped to an 8-bit code by its corpus-wide
     * [min, max] range, and similarity is computed IN THE INTEGER CODE

@@ -102,6 +102,60 @@ class SimilaritySpec extends SparkSpec {
     assert(rAll.collect().map(_.toSeq).toSeq == exact.collect().map(_.toSeq).toSeq)
   }
 
+  test("ivfpqTopKAdc with one zero coarse centroid equals plain PQ-ADC") {
+    val sp2 = spark; import sp2.implicits._
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 0.37 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val query = (0 until 8).map(d => math.cos(d * 0.5).toFloat)
+    val codebook: Seq[Seq[Seq[Float]]] =
+      Seq.fill(2)(Seq(-0.5f, -0.25f, 0.25f, 0.5f).map(v => Seq.fill(4)(v)))
+    // one all-zero coarse centroid: residual = vector, one list, probe all
+    val zero = Seq(Seq.fill(8)(0f))
+    val composed = Similarity.ivfpqTopKAdc(vecs, "vec_id", "embedding",
+      query, 10, zero, codebook, nProbe = 1).collect().map(_.toSeq).toSeq
+    val plain = Similarity.pqTopKAdc(
+      Similarity.pqEncode(vecs, "embedding", codebook), "vec_id", query,
+      codebook, 10).collect().map(_.toSeq).toSeq
+    assert(composed == plain)
+  }
+
+  test("ivfpqTopKAdc prunes to the probed lists and centers residuals") {
+    val sp2 = spark; import sp2.implicits._
+    // two well-separated clusters around +10 and -10 in dim 0
+    val vecs = ((0 until 50).map(i =>
+        (i.toLong, Seq(10f + (i % 7) * 0.1f, (i % 5) * 0.1f, 0f, 0f))) ++
+      (50 until 100).map(i =>
+        (i.toLong, Seq(-10f - (i % 7) * 0.1f, (i % 5) * 0.1f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val coarse = Seq(Seq(10f, 0f, 0f, 0f), Seq(-10f, 0f, 0f, 0f))
+    val codebook: Seq[Seq[Seq[Float]]] =
+      Seq.fill(2)(Seq(-0.5f, -0.25f, 0.25f, 0.5f).map(v => Seq.fill(2)(v)))
+    val out = Similarity.ivfpqTopKAdc(vecs, "vec_id", "embedding",
+      Seq(10f, 0f, 0f, 0f), 100, coarse, codebook, nProbe = 1).collect()
+    // only the +10 cluster's list was scanned
+    assert(out.nonEmpty && out.forall(_.getLong(0) < 50))
+    // residual-PQ reconstructions score near 1 against the list centroid
+    assert(out.forall(_.getDouble(1) > 0.9))
+  }
+
+  test("ivfpqTopKAdc scores are partitioning-independent") {
+    val sp2 = spark; import sp2.implicits._
+    val vecs = (0 until 150).map { i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 0.53 + d * 0.7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val query = (0 until 8).map(d => math.sin(d * 1.1).toFloat)
+    val coarse = Seq(
+      Seq.fill(4)(1f) ++ Seq.fill(4)(0f), Seq.fill(4)(0f) ++ Seq.fill(4)(1f),
+      Seq.fill(4)(-1f) ++ Seq.fill(4)(0f), Seq.fill(4)(0f) ++ Seq.fill(4)(-1f))
+    val codebook: Seq[Seq[Seq[Float]]] =
+      Seq.fill(2)(Seq(-0.5f, -0.25f, 0.25f, 0.5f).map(v => Seq.fill(4)(v)))
+    def run(parts: Int) = Similarity.ivfpqTopKAdc(vecs.repartition(parts),
+      "vec_id", "embedding", query, 20, coarse, codebook, nProbe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(13))
+  }
+
   test("ivfWriteAssigned → ivfTopKAssigned: partition-pruned probes, exhaustive == brute force") {
     val sp2 = spark; import sp2.implicits._
     val vecs = (0 until 300).map { i =>
