@@ -125,8 +125,11 @@ object Flac {
 
     val out = Array.fill(channels)(new ArrayBuffer[Int](
       math.min(math.max(total, 0L), 1 << 24).toInt))
+    var expectedFrame = 0L
     while (off < bytes.length) {
-      off = decodeFrame(bytes, off, sampleRate, channels, bits, out)
+      off = decodeFrame(bytes, off, sampleRate, channels, bits, out,
+        expectedFrame)
+      expectedFrame += 1
     }
     // STREAMINFO total_samples 0 = UNKNOWN (streaming encoders)
     require(total == 0 || out(0).length.toLong == total,
@@ -134,9 +137,15 @@ object Flac {
     FlacAudio(sampleRate, channels, bits, out.map(_.toArray))
   }
 
-  /** One frame; returns the offset just past its CRC-16. */
+  /** One frame; returns the offset just past its CRC-16. `expectedFrame`
+    * is the sequential index this frame MUST carry (fixed-blocking
+    * streams number frames, spec §9.1.5): frames delivered out of order
+    * or duplicated — each individually CRC-valid — would otherwise
+    * concatenate silently in file order, and the STREAMINFO total check
+    * only catches COUNT mismatches, not reordering. */
   private def decodeFrame(bytes: Array[Byte], start: Int, rate: Int,
-      channels: Int, bits: Int, out: Array[ArrayBuffer[Int]]): Int = {
+      channels: Int, bits: Int, out: Array[ArrayBuffer[Int]],
+      expectedFrame: Long): Int = {
     val br = new BitReader(bytes, start)
     val sync = br.read(14)
     require(sync == 0x3FFE, f"bad FLAC frame sync $sync%04x at byte $start")
@@ -149,8 +158,10 @@ object Flac {
     val chanAsn = br.read(4).toInt
     val ssCode = br.read(3).toInt
     require(br.read(1) == 0, "reserved bit set in frame header")
-    // coded frame number: UTF-8-style
-    readUtf8Number(br)
+    // coded frame number (UTF-8-style); sequence-checked AFTER the
+    // header CRC-8 below, so a flipped bit reports as corruption, not
+    // misordering
+    val frameNo = readUtf8Number(br)
     val blockSize = bsCode match {
       case 0 => throw new IllegalArgumentException("reserved block size code 0")
       case 1 => 192
@@ -184,6 +195,13 @@ object Flac {
     val wantCrc8 = crc8(bytes, start, br.pos - 1)
     require(gotCrc8 == wantCrc8,
       f"FLAC frame header CRC-8 mismatch: stored $gotCrc8%02x computed $wantCrc8%02x")
+    // fixed-blocking streams number frames sequentially (spec §9.1.5):
+    // an out-of-order or duplicated frame — individually CRC-valid —
+    // would otherwise concatenate silently in file order, and the
+    // STREAMINFO total check only catches COUNT mismatches
+    require(frameNo == expectedFrame,
+      s"FLAC frame number $frameNo at byte $start, expected $expectedFrame " +
+        "(out-of-order or duplicated frame)")
 
     val nCh = chanAsn match {
       case a if a <= 7 => a + 1

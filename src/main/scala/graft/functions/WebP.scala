@@ -112,8 +112,14 @@ object WebP {
         }
       }
     }
-    val cacheBits = if (br.readBits(1) == 1) br.readBits(4) else 0
-    require(cacheBits <= 11, s"VP8L color-cache bits $cacheBits out of range (1-11)")
+    val cacheBits = if (br.readBits(1) == 1) {
+      val b = br.readBits(4)
+      // spec range when the flag bit is SET is 1-11: a declared 0 would
+      // silently decode with a 1-entry cache instead of refusing by name
+      require(b >= 1 && b <= 11,
+        s"VP8L color-cache bits $b out of range (1-11)")
+      b
+    } else 0
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
 
     var metaBits = 0

@@ -114,13 +114,16 @@ final class CogArchiveManager(
     Normalize.normalize(withTime, desc, pre = preprocess, post = postprocess)
   }
 
-  /** O3 — the newest input's date comes from its FILENAME (natural
-    * sort), zero scans on the no-new-data path. */
+  /** O3 — the newest input's date comes from FILENAMES only, zero scans
+    * on the no-new-data path. Max over every file's parsed date, NOT
+    * `dateOf(files.last)`: under mixed filename prefixes the
+    * natural-sort-last file need not carry the maximum date, and a
+    * newly landed file would be missed on the fast path. */
   override def checkIfNewData(): Boolean = {
     if (!store.hasExisting) return true
     val files = inputFiles()
     if (files.isEmpty) return false
-    val newest = dateOf(files.last)
+    val newest = files.map(dateOf).max
     getMetadataDateRange() match {
       case Some((_, storeEnd)) => newest.isAfter(storeEnd)
       case None => true

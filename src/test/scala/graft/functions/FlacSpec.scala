@@ -142,4 +142,20 @@ class FlacSpec extends AnyFunSuite {
     assert(eTrunc.getMessage.toLowerCase.matches(".*(truncated|corrupt|crc).*"),
       eTrunc.getMessage)
   }
+
+  test("duplicated / out-of-order frames are refused by frame number") {
+    // two-block stream; locate the second frame's start (sync 0xFFF8)
+    val good = Flac.encode(
+      Array(Array.tabulate(512)(i => (i % 200) - 100)), 8000, 16,
+      blockSize = 256)
+    def isSync(b: Array[Byte], o: Int) =
+      (b(o) & 0xFF) == 0xFF && (b(o + 1) & 0xF8) == 0xF8
+    val first = (0 until good.length - 1).find(isSync(good, _)).get
+    val second = (first + 2 until good.length - 1).find(isSync(good, _)).get
+    // duplicate frame 0 in place of frame 1: both CRC-valid, numbers 0,0
+    val forged = good.take(second) ++
+      java.util.Arrays.copyOfRange(good, first, second)
+    val e = intercept[IllegalArgumentException](Flac.decode(forged))
+    assert(e.getMessage.contains("frame number"), e.getMessage)
+  }
 }
