@@ -923,6 +923,92 @@ object SparkEntry {
     rows.toDF("id", "mp4")
   }
 
+  /** Fragmented-MP4 twin of [[mp4EventsFixture]] (the DASH/CMAF
+    * streaming shape): the SAME logical sample table delivered as
+    * moof/tfhd/trun runs — video split into two fragments (4 samples
+    * @100 then the rest @250, the second re-based by a version-1 tfdt),
+    * audio as one trex-defaulted fragment — in the writer's leading-mdat
+    * layout, so byte offsets stay 32 + running sums and q174's oracle
+    * applies VERBATIM: fragmentation is invisible to the sample table
+    * (the q139/q143 "invisible to results" framing). */
+  private def mp4FragmentedEventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    import graft.functions.Mp4
+    val rows = days.toSeq.map { d =>
+      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val nVideo = 5 + (id % 3).toInt
+      val sizes = Seq.tabulate(nVideo)(i => (cnt(i % 10) * 3 + i) % 200 + 1)
+      val sync = (0 until nVideo).map(_ % 3 == 0)
+      val video = Mp4.FragTrackSpec(1, "vide", "avc1", timescale = 12800,
+        width = 320, height = 240,
+        fragments = Seq(
+          Mp4.Fragment(sizes = sizes.take(4), durations = Seq.fill(4)(100L),
+            syncFlags = sync.take(4), tfdt = Some(0L)),
+          Mp4.Fragment(sizes = sizes.drop(4),
+            durations = Seq.fill(nVideo - 4)(250L),
+            syncFlags = sync.drop(4), tfdt = Some(400L), tfdtV1 = true)))
+      val audio = Mp4.FragTrackSpec(2, "soun", "mp4a", timescale = 48000,
+        fragments = Seq(Mp4.Fragment(nDefault = 10, defaultSize = 64,
+          tfdt = Some(0L))),
+        trexDur = 1024)
+      (id, Mp4.encodeFragmented(Seq(video, audio)))
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "mp4")
+  }
+
+  /** Matroska/WebM fixture (the web's other video container): one file
+    * per day — a VP9-tagged video track delivered as unlaced
+    * SimpleBlocks split over TWO clusters (the second re-based to
+    * timestamp 1000, exercising cluster timestamp accumulation) and an
+    * Opus-tagged audio track as ONE fixed-laced block whose frames step
+    * by the track's 20 ms DefaultDuration. Frame sizes derive from
+    * event counts with q174's formula, so the DuckDB oracle replays the
+    * whole frame table with zero EBML code. */
+  private def mkvEventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    import graft.functions.Mkv
+    val rows = days.toSeq.map { d =>
+      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val nVideo = 5 + (id % 3).toInt
+      val frames = Seq.tabulate(nVideo) { i =>
+        val n = ((cnt(i % 10) * 3 + i) % 200 + 1).toInt
+        Array.tabulate(n)(j => ((i * 31 + j) % 251).toByte)
+      }
+      val keys = (0 until nVideo).map(_ % 3 == 0)
+      val video = Mkv.WTrack(1, 1, "V_VP9", width = 640, height = 360)
+      val audio = Mkv.WTrack(2, 2, "A_OPUS", defaultDurationNs = 20000000)
+      val audioFrames = Seq.fill(10)(Array.fill[Byte](64)(0x5A))
+      val bytes = Mkv.encode("webm", Seq(video, audio), Seq(
+        Mkv.WCluster(0, Seq(
+          Mkv.WBlock(1, 0, frames.take(4), keys.take(4)),
+          Mkv.WBlock(2, 0, audioFrames, Seq.fill(10)(true), lacing = 2))),
+        Mkv.WCluster(1000, Seq(
+          Mkv.WBlock(1, 0, frames.drop(4), keys.drop(4))))))
+      (id, bytes)
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "mkv")
+  }
+
   /** CDF-5 fixture (PnetCDF 64-bit data format, the HPC-produced classic
     * shape): the q61 events grid written with version byte 5, wide header
     * integers, and an NC_INT64 data variable with an int64 fill. */
@@ -1009,6 +1095,46 @@ object SparkEntry {
   // DuckDB sequential-double reducer (bit-exact vs Spark aggregate over doubles)
   private def seqSum(listExpr: String): String =
     s"list_reduce(list_prepend(0.0, $listExpr), (acc, x) -> acc + x)"
+  /** The MP4 sample-table oracle: replay video sizes/dts/keyframes
+    * closed-form, audio fixed-size run, offsets = 32 + running sums
+    * (the writer's leading-mdat layout) — shared VERBATIM by q174
+    * (unfragmented) and q177 (fragmented): fragmentation is invisible
+    * to the sample table. */
+  private val Mp4SampleTableSql: String =
+    """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |v AS (SELECT ids.id, i.i,
+        |        CAST((coalesce(g.cnt, 0) * 3 + i.i) % 200 + 1 AS BIGINT) AS sz
+        |      FROM ids
+        |      CROSS JOIN (SELECT CAST(unnest(range(8)) AS INTEGER) AS i) i
+        |      LEFT JOIN g ON g.d = ids.d AND g.slot = CAST(i.i % 10 AS INTEGER)
+        |      WHERE i.i < 5 + ids.id % 3),
+        |voff AS (SELECT id, i, sz,
+        |           32 + coalesce(SUM(sz) OVER (PARTITION BY id ORDER BY i
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |         FROM v),
+        |vtot AS (SELECT id, SUM(sz) AS tot FROM v GROUP BY id),
+        |vrows AS (SELECT id, CAST(1 AS BIGINT) AS track_id,
+        |            i AS sample_idx, sz AS byte_size, CAST(off AS BIGINT) AS byte_offset,
+        |            CAST(CASE WHEN i < 4 THEN i * 100
+        |                 ELSE 400 + (i - 4) * 250 END AS BIGINT) AS dts,
+        |            i % 3 = 0 AS keyframe, 'avc1' AS codec
+        |          FROM voff),
+        |arows AS (SELECT vtot.id, CAST(2 AS BIGINT) AS track_id,
+        |            CAST(j.j AS INTEGER) AS sample_idx,
+        |            CAST(64 AS BIGINT) AS byte_size,
+        |            CAST(32 + vtot.tot + j.j * 64 AS BIGINT) AS byte_offset,
+        |            CAST(j.j * 1024 AS BIGINT) AS dts,
+        |            TRUE AS keyframe, 'mp4a' AS codec
+        |          FROM vtot
+        |          CROSS JOIN (SELECT CAST(unnest(range(10)) AS INTEGER) AS j) j)
+        |SELECT * FROM vrows UNION ALL SELECT * FROM arows
+        |ORDER BY id, track_id, sample_idx""".stripMargin
+
   private val SqSql = seqSum("list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
   private val SqQSql = seqSum("list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
   private val DotQSql =
@@ -2959,6 +3085,34 @@ object SparkEntry {
     // zero MP4 code — any box-parse slip anywhere fails the compare.
     "q174_mp4_demux" -> ((s, dir) => {
       val mp4s = mp4EventsFixture(s, dir)
+      Multimodal.demuxMp4(mp4s, "id", "mp4")
+        .select("id", "track_id", "sample_idx", "byte_size", "byte_offset",
+          "dts", "keyframe", "codec")
+        .orderBy("id", "track_id", "sample_idx")
+    }),
+
+    // Matroska/WebM demux — the web's OTHER video container (VP9/AV1 +
+    // Opus crawls): EBML cluster/block walk with timestamp re-basing,
+    // fixed lacing, DefaultDuration stepping, and SimpleBlock keyframe
+    // flags, all replayed closed-form by the oracle (byte offsets are
+    // EBML-header-dependent, so they are pinned byte-exactly in MkvSpec
+    // instead of the SQL gate).
+    "q178_mkv_demux" -> ((s, dir) => {
+      val mkvs = mkvEventsFixture(s, dir)
+      Multimodal.demuxMkv(mkvs, "id", "mkv")
+        .select("id", "track_id", "sample_idx", "byte_size", "ts",
+          "keyframe", "codec")
+        .orderBy("id", "track_id", "sample_idx")
+    }),
+
+    // Fragmented MP4 (DASH/CMAF): the SAME logical table as q174
+    // delivered as moof/tfhd/trun runs with tfdt re-basing and trex
+    // defaults — fragmentation must be invisible to the sample table,
+    // so q174's oracle applies verbatim; any slip in fragment
+    // addressing, default resolution, or decode-time accumulation
+    // breaks the compare.
+    "q177_mp4_fragmented_demux" -> ((s, dir) => {
+      val mp4s = mp4FragmentedEventsFixture(s, dir)
       Multimodal.demuxMp4(mp4s, "id", "mp4")
         .select("id", "track_id", "sample_idx", "byte_size", "byte_offset",
           "dts", "keyframe", "codec")
@@ -5129,36 +5283,36 @@ object SparkEntry {
     // closed-form, audio fixed-size run, offsets = 32 + running sums
     // (the writer's mdat-first layout)
     "q174_mp4_demux" ->
+      Mp4SampleTableSql,
+
+    // fragmentation is invisible to the sample table -> q174 verbatim
+    "q177_mp4_fragmented_demux" -> Mp4SampleTableSql,
+
+    // WebM frame table from events: video sizes by q174's formula with
+    // two-cluster timestamps, audio a 10-frame fixed lace stepping 20 ms
+    "q178_mkv_demux" ->
       """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
         |                  CAST(event_id % 10 AS INTEGER) AS slot,
         |                  CAST(count(*) AS BIGINT) AS cnt
         |           FROM events GROUP BY 1, 2),
         |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
         |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
-        |v AS (SELECT ids.id, i.i,
-        |        CAST((coalesce(g.cnt, 0) * 3 + i.i) % 200 + 1 AS BIGINT) AS sz
-        |      FROM ids
-        |      CROSS JOIN (SELECT CAST(unnest(range(8)) AS INTEGER) AS i) i
-        |      LEFT JOIN g ON g.d = ids.d AND g.slot = CAST(i.i % 10 AS INTEGER)
-        |      WHERE i.i < 5 + ids.id % 3),
-        |voff AS (SELECT id, i, sz,
-        |           32 + coalesce(SUM(sz) OVER (PARTITION BY id ORDER BY i
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-        |         FROM v),
-        |vtot AS (SELECT id, SUM(sz) AS tot FROM v GROUP BY id),
-        |vrows AS (SELECT id, CAST(1 AS BIGINT) AS track_id,
-        |            i AS sample_idx, sz AS byte_size, CAST(off AS BIGINT) AS byte_offset,
-        |            CAST(CASE WHEN i < 4 THEN i * 100
-        |                 ELSE 400 + (i - 4) * 250 END AS BIGINT) AS dts,
-        |            i % 3 = 0 AS keyframe, 'avc1' AS codec
-        |          FROM voff),
-        |arows AS (SELECT vtot.id, CAST(2 AS BIGINT) AS track_id,
+        |vrows AS (SELECT ids.id, CAST(1 AS BIGINT) AS track_id,
+        |            i.i AS sample_idx,
+        |            CAST((coalesce(g.cnt, 0) * 3 + i.i) % 200 + 1 AS BIGINT) AS byte_size,
+        |            CAST(CASE WHEN i.i < 4 THEN i.i
+        |                 ELSE 1000 + (i.i - 4) END AS BIGINT) AS ts,
+        |            i.i % 3 = 0 AS keyframe, 'V_VP9' AS codec
+        |          FROM ids
+        |          CROSS JOIN (SELECT CAST(unnest(range(8)) AS INTEGER) AS i) i
+        |          LEFT JOIN g ON g.d = ids.d AND g.slot = CAST(i.i % 10 AS INTEGER)
+        |          WHERE i.i < 5 + ids.id % 3),
+        |arows AS (SELECT ids.id, CAST(2 AS BIGINT) AS track_id,
         |            CAST(j.j AS INTEGER) AS sample_idx,
         |            CAST(64 AS BIGINT) AS byte_size,
-        |            CAST(32 + vtot.tot + j.j * 64 AS BIGINT) AS byte_offset,
-        |            CAST(j.j * 1024 AS BIGINT) AS dts,
-        |            TRUE AS keyframe, 'mp4a' AS codec
-        |          FROM vtot
+        |            CAST(j.j * 20 AS BIGINT) AS ts,
+        |            TRUE AS keyframe, 'A_OPUS' AS codec
+        |          FROM ids
         |          CROSS JOIN (SELECT CAST(unnest(range(10)) AS INTEGER) AS j) j)
         |SELECT * FROM vrows UNION ALL SELECT * FROM arows
         |ORDER BY id, track_id, sample_idx""".stripMargin,

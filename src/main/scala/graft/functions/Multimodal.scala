@@ -358,13 +358,12 @@ object Multimodal {
       ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
     require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ", {
       val fmt =
-        if (bytes.length >= 8 && tag(4) == "ftyp") "mp4/mov"
+        if (bytes.length >= 8 && tag(4) == "ftyp") "mp4/mov — use Mp4.demux"
         else if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0x1A &&
-          (bytes(1) & 0xFF) == 0x45) "matroska/webm"
+          (bytes(1) & 0xFF) == 0x45) "matroska/webm — use Mkv.demux"
         else if (bytes.length >= 12 && tag(0) == "RIFF") s"riff/${tag(8).trim}"
         else "unknown"
-      s"video $id: no in-repo demuxer for container '$fmt' (AVI only); " +
-        "plug a production demuxer for other containers"
+      s"video $id: aviFrames demuxes AVI only (payload is '$fmt')"
     })
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, String, Array[Byte])]
     var idx = 0
@@ -469,6 +468,34 @@ object Multimodal {
             (0 until t.sizes.length).iterator.map { i =>
               org.apache.spark.sql.Row(id, t.trackId, i, t.sizes(i),
                 t.offsets(i), t.dts(i), t.sync(i), t.codec)
+            }
+          }
+        }
+      }(Encoders.row(schema))
+  }
+
+  /** [[Mkv.demux]] as a relational stage: one row per frame across all
+    * tracks of a Matroska/WebM payload — (id, track_id, sample_idx,
+    * byte_size, byte_offset, ts, keyframe, codec), the [[demuxMp4]]
+    * shape for the web's other video container. */
+  def demuxMkv(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("track_id", LongType, nullable = false),
+      StructField("sample_idx", IntegerType, nullable = false),
+      StructField("byte_size", LongType, nullable = false),
+      StructField("byte_offset", LongType, nullable = false),
+      StructField("ts", LongType, nullable = false),
+      StructField("keyframe", BooleanType, nullable = false),
+      StructField("codec", StringType, nullable = false)))
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          Mkv.demux(id, bytes).iterator.flatMap { t =>
+            (0 until t.sizes.length).iterator.map { i =>
+              org.apache.spark.sql.Row(id, t.number, i, t.sizes(i),
+                t.offsets(i), t.ts(i), t.keyframe(i), t.codec)
             }
           }
         }
