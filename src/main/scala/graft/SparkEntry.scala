@@ -1009,6 +1009,44 @@ object SparkEntry {
     rows.toDF("id", "mkv")
   }
 
+  /** WARC fixture (the Common Crawl shape): one .warc.gz per day —
+    * a warcinfo record plus one HTTP response record per slot, each its
+    * own gzip member, bodies built from event counts with printable
+    * ASCII so the DuckDB oracle rebuilds every field (uri, envelope
+    * length, status, body text) with zero WARC code. Status cycles 200
+    * / 404 on the count so the envelope split is exercised on both. */
+  private def warcEventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    import graft.functions.Warc
+    val rows = days.toSeq.map { d =>
+      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val recs = Warc.WRecord("warcinfo", body = "crawler=graft\n") +:
+        (0 until 10).map { slot =>
+          val c = cnt(slot)
+          // real-page shape: style + script blocks to drop, entities to
+          // decode, nested tags — q180's extraction gate needs them
+          Warc.WRecord("response",
+            targetUri = s"https://example.com/$id/$slot",
+            httpStatus = Some(if (c % 7 == 0) 404 else 200),
+            body = s"<html><head><style>p{x:$c}</style></head><body>" +
+              s"<h1>Day $id</h1><p>events=$c &amp; more</p>" +
+              s"<script>var a=$c;</script></body></html>")
+        }
+      (id, Warc.encode(recs, gzipPerRecord = true))
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "warc")
+  }
+
   /** CDF-5 fixture (PnetCDF 64-bit data format, the HPC-produced classic
     * shape): the q61 events grid written with version byte 5, wide header
     * integers, and an NC_INT64 data variable with an int64 fill. */
@@ -3089,6 +3127,37 @@ object SparkEntry {
         .select("id", "track_id", "sample_idx", "byte_size", "byte_offset",
           "dts", "keyframe", "codec")
         .orderBy("id", "track_id", "sample_idx")
+    }),
+
+    // WARC records (ISO 28500 — the Common Crawl container, THE input
+    // of web-scale training-data pipelines): per-record gzip members
+    // inflate, headers parse, and HTTP envelopes split into status +
+    // body text. The oracle rebuilds every field from events — a slip
+    // anywhere in member concatenation, header framing, or the
+    // envelope split fails the compare.
+    "q179_warc_records" -> ((s, dir) => {
+      val warcs = warcEventsFixture(s, dir)
+      graft.functions.Warc.records(warcs, "id", "warc")
+        .select("id", "rec_idx", "warc_type", "target_uri",
+          "content_length", "http_status", "payload_text")
+        .orderBy("id", "rec_idx")
+    }),
+
+    // WARC → text extraction pipeline (the WET conversion step): scan
+    // the crawl container, keep 200-status responses, strip
+    // script/style/tags, decode entities, collapse whitespace, count
+    // tokens. The oracle recomputes the EXPECTED visible text
+    // closed-form from events (not by replaying the regexes), so an
+    // extraction bug — a leaked script body, an undecoded entity —
+    // fails the string compare.
+    "q180_warc_text_pipeline" -> ((s, dir) => {
+      val recs = graft.functions.Warc.records(
+        warcEventsFixture(s, dir), "id", "warc")
+      recs.filter(col("warc_type") === "response" && col("http_status") === 200)
+        .select(col("id"), col("rec_idx"), col("target_uri"),
+          Text.htmlToText(col("payload_text")).as("text"))
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .orderBy("id", "rec_idx")
     }),
 
     // Matroska/WebM demux — the web's OTHER video container (VP9/AV1 +
@@ -5287,6 +5356,68 @@ object SparkEntry {
 
     // fragmentation is invisible to the sample table -> q174 verbatim
     "q177_mp4_fragmented_demux" -> Mp4SampleTableSql,
+
+    // WARC record table from events: envelope lengths are closed-form
+    // (status line 17/21 + Content-Type 25 + blank 2), bodies rebuilt
+    // as the same ASCII strings
+    "q179_warc_records" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |resp AS (SELECT ids.id, s.s AS slot, coalesce(g.cnt, 0) AS cnt
+        |         FROM ids
+        |         CROSS JOIN (SELECT CAST(unnest(range(10)) AS INTEGER) AS s) s
+        |         LEFT JOIN g ON g.d = ids.d AND g.slot = s.s),
+        |bodies AS (SELECT id, slot, cnt,
+        |            '<html><head><style>p{x:' || CAST(cnt AS VARCHAR) ||
+        |            '}</style></head><body><h1>Day ' || CAST(id AS VARCHAR) ||
+        |            '</h1><p>events=' || CAST(cnt AS VARCHAR) ||
+        |            ' &amp; more</p><script>var a=' || CAST(cnt AS VARCHAR) ||
+        |            ';</script></body></html>' AS body
+        |          FROM resp),
+        |rrows AS (SELECT id, CAST(slot + 1 AS INTEGER) AS rec_idx,
+        |            'response' AS warc_type,
+        |            'https://example.com/' || CAST(id AS VARCHAR) || '/' ||
+        |              CAST(slot AS VARCHAR) AS target_uri,
+        |            CAST(CASE WHEN cnt % 7 = 0 THEN 48 ELSE 44 END
+        |              + length(body) AS BIGINT) AS content_length,
+        |            CAST(CASE WHEN cnt % 7 = 0 THEN 404 ELSE 200 END AS INTEGER)
+        |              AS http_status,
+        |            body AS payload_text
+        |          FROM bodies),
+        |irows AS (SELECT id, CAST(0 AS INTEGER) AS rec_idx,
+        |            'warcinfo' AS warc_type, '' AS target_uri,
+        |            CAST(14 AS BIGINT) AS content_length,
+        |            CAST(-1 AS INTEGER) AS http_status,
+        |            'crawler=graft' || chr(10) AS payload_text FROM ids)
+        |SELECT * FROM irows UNION ALL SELECT * FROM rrows
+        |ORDER BY id, rec_idx""".stripMargin,
+
+    // WARC text extraction: the expected visible text is rebuilt
+    // closed-form — 'Day <id> events=<cnt> & more' — independent of the
+    // operator's regex chain
+    "q180_warc_text_pipeline" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |resp AS (SELECT ids.id, s.s AS slot, coalesce(g.cnt, 0) AS cnt
+        |         FROM ids
+        |         CROSS JOIN (SELECT CAST(unnest(range(10)) AS INTEGER) AS s) s
+        |         LEFT JOIN g ON g.d = ids.d AND g.slot = s.s)
+        |SELECT id, CAST(slot + 1 AS INTEGER) AS rec_idx,
+        |       'https://example.com/' || CAST(id AS VARCHAR) || '/' ||
+        |         CAST(slot AS VARCHAR) AS target_uri,
+        |       'Day ' || CAST(id AS VARCHAR) || ' events=' ||
+        |         CAST(cnt AS VARCHAR) || ' & more' AS text,
+        |       5 AS n_tokens
+        |FROM resp WHERE cnt % 7 <> 0
+        |ORDER BY id, rec_idx""".stripMargin,
 
     // WebM frame table from events: video sizes by q174's formula with
     // two-cluster timestamps, audio a 10-frame fixed lace stepping 20 ms

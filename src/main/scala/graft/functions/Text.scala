@@ -506,4 +506,27 @@ object Text {
     * engines). Pure codegen'd regexp_replace — one pass per pattern. */
   def scrubPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
+
+  /** HTML → visible text, the extraction step between a WARC scan
+    * ([[Warc.records]]) and the text-quality operators — the WET
+    * conversion Common Crawl pipelines start from: drop script/style
+    * blocks wholesale, strip remaining tags, decode the five XML
+    * entities plus nbsp (`&amp;` LAST so `&amp;lt;` never
+    * double-decodes), collapse whitespace. Pure codegen'd
+    * regexp_replace chain — RE2-compatible patterns (non-greedy + (?s),
+    * no lookarounds), so the same strings replay in an oracle. A real
+    * DOM-aware extractor (readability scoring, boilerplate removal)
+    * plugs in at the same column position. */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    // entity names contain no regex metacharacters — literal patterns
+    val decoded = entities.foldLeft(noTags) { case (c, (k, v)) =>
+      regexp_replace(c, k, v)
+    }
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+  }
 }

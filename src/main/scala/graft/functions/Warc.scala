@@ -1,0 +1,211 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+/** WARC (ISO 28500) reader + writer — the container Common Crawl ships
+  * (WARC/WET/WAT), i.e. THE input format of web-scale LLM training-data
+  * pipelines. A WARC file is concatenated records, each: a `WARC/1.0`
+  * version line, CRLF-terminated named headers (Content-Length
+  * mandatory), an empty line, `Content-Length` payload bytes, and a
+  * blank-line record separator. Common Crawl gzips each record as its
+  * OWN gzip member and concatenates the members; the reader sniffs the
+  * 1F 8B magic and inflates across members (`GZIPInputStream` handles
+  * member concatenation), so both the .warc and .warc.gz shapes parse.
+  * Record `offset` refers to the (decompressed) stream — the value a
+  * re-fetch of the decompressed record needs.
+  *
+  * For `response` records carrying `application/http` payloads the HTTP
+  * envelope is split off: status code, and the body AFTER the header
+  * block — the text a curation pipeline actually wants. Payload text is
+  * decoded as UTF-8 with replacement (crawl bytes are dirty by
+  * definition; decoding never throws).
+  *
+  * Out of profile and refused BY NAME: records without Content-Length,
+  * version lines that are not WARC/0.x-1.x, truncated payloads. */
+object Warc {
+
+  final case class WarcRecord(
+      offset: Long, // byte offset in the (decompressed) stream
+      warcType: String, // warcinfo, response, request, conversion, ...
+      targetUri: String, // "" when absent (warcinfo)
+      warcDate: String,
+      contentType: String,
+      contentLength: Long,
+      httpStatus: Int, // -1 when the payload is not an HTTP message
+      payload: Array[Byte]) { // HTTP body for http payloads, else raw
+    def payloadText: String =
+      new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B
+
+  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    val buf = new Array[Byte](1 << 16)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** Parse every record of a .warc / .warc.gz payload. */
+  def parse(id: Long, bytes0: Array[Byte]): Seq[WarcRecord] = {
+    val bytes = if (isGzip(bytes0)) gunzipAll(bytes0) else bytes0
+    val out = ArrayBuffer.empty[WarcRecord]
+    var off = 0
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < bytes.length && bytes(i) != '\n') i += 1
+      i
+    }
+    def lineAt(from: Int): (String, Int) = {
+      val e = lineEnd(from)
+      val raw = new String(bytes, from, e - from, "US-ASCII")
+      (raw.stripSuffix("\r"), math.min(e + 1, bytes.length))
+    }
+    while (off < bytes.length) {
+      // tolerate blank separator lines between records
+      if (bytes(off) == '\r' || bytes(off) == '\n') {
+        off = lineAt(off)._2
+      } else {
+        val recOff = off
+        val (version, afterVersion) = lineAt(off)
+        require(version.startsWith("WARC/0.") || version.startsWith("WARC/1."),
+          s"warc $id: record at $recOff has version line '$version', " +
+            "not WARC/0.x or WARC/1.x")
+        var p = afterVersion
+        val headers = scala.collection.mutable.Map.empty[String, String]
+        var done = false
+        while (!done) {
+          val (line, next) = lineAt(p)
+          p = next
+          if (line.isEmpty) done = true
+          else {
+            val colon = line.indexOf(':')
+            require(colon > 0, s"warc $id: malformed header '$line' at $recOff")
+            headers(line.substring(0, colon).trim.toLowerCase) =
+              line.substring(colon + 1).trim
+          }
+        }
+        val len = headers.getOrElse("content-length",
+          throw new IllegalArgumentException(
+            s"warc $id: record at $recOff has no Content-Length")).toLong
+        require(p + len <= bytes.length,
+          s"warc $id: record at $recOff claims $len payload bytes past end")
+        val block = java.util.Arrays.copyOfRange(bytes, p, (p + len).toInt)
+        off = (p + len).toInt
+        val contentType = headers.getOrElse("content-type", "")
+        // application/http payloads: split the HTTP envelope
+        val (status, payload) =
+          if (contentType.startsWith("application/http")) {
+            var q = 0
+            def bLineEnd(from: Int): Int = {
+              var i = from
+              while (i < block.length && block(i) != '\n') i += 1
+              i
+            }
+            val se = bLineEnd(0)
+            val statusLine = new String(block, 0, se, "US-ASCII").stripSuffix("\r")
+            val code = statusLine.split(' ') match {
+              case parts if parts.length >= 2 && parts(0).startsWith("HTTP/") =>
+                try parts(1).toInt catch { case _: NumberFormatException => -1 }
+              case _ => -1
+            }
+            q = se + 1
+            var blank = false
+            while (!blank && q < block.length) {
+              val e = bLineEnd(q)
+              blank = e == q || (e == q + 1 && block(q) == '\r')
+              q = e + 1
+            }
+            (code, java.util.Arrays.copyOfRange(block, math.min(q, block.length),
+              block.length))
+          } else (-1, block)
+        out += WarcRecord(recOff, headers.getOrElse("warc-type", ""),
+          headers.getOrElse("warc-target-uri", ""),
+          headers.getOrElse("warc-date", ""),
+          contentType, len, status, payload)
+      }
+    }
+    out.toSeq
+  }
+
+  /** [[parse]] as a relational stage: one row per record, container
+    * bytes partition-local (the demuxMp4/demuxMkv shape) — the first
+    * stage of a Common-Crawl-style curation pipeline, feeding the text
+    * operators (quality gates, dedup, language id) downstream. */
+  def records(df: org.apache.spark.sql.DataFrame, idCol: String,
+      binCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("rec_idx", IntegerType, nullable = false),
+      StructField("rec_offset", LongType, nullable = false),
+      StructField("warc_type", StringType, nullable = false),
+      StructField("target_uri", StringType, nullable = false),
+      StructField("warc_date", StringType, nullable = false),
+      StructField("content_type", StringType, nullable = false),
+      StructField("content_length", LongType, nullable = false),
+      StructField("http_status", IntegerType, nullable = false),
+      StructField("payload_text", StringType, nullable = false)))
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          parse(id, bytes).zipWithIndex.map { case (r, i) =>
+            Row(id, i, r.offset, r.warcType, r.targetUri, r.warcDate,
+              r.contentType, r.contentLength, r.httpStatus, r.payloadText)
+          }
+        }
+      }(Encoders.row(schema))
+  }
+
+  // ------------------------------------------------------------- write
+
+  /** Writer-side record: headers assembled in canonical order; a
+    * `Some(status)` wraps the payload in an HTTP/1.1 envelope with the
+    * given status code (the `response` record shape). */
+  final case class WRecord(
+      warcType: String,
+      targetUri: String = "",
+      warcDate: String = "2024-01-01T00:00:00Z",
+      httpStatus: Option[Int] = None,
+      body: String = "")
+
+  /** Emit records; `gzipPerRecord = true` compresses each record as its
+    * own gzip member and concatenates — the Common Crawl layout. */
+  def encode(records: Seq[WRecord], gzipPerRecord: Boolean = false): Array[Byte] = {
+    def one(r: WRecord): Array[Byte] = {
+      val block = r.httpStatus match {
+        case Some(code) =>
+          val reason = if (code == 200) "OK" else "Status"
+          s"HTTP/1.1 $code $reason\r\nContent-Type: text/html\r\n\r\n${r.body}"
+        case None => r.body
+      }
+      val blockBytes = block.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val sb = new StringBuilder
+      sb.append("WARC/1.0\r\n")
+      sb.append(s"WARC-Type: ${r.warcType}\r\n")
+      if (r.targetUri.nonEmpty) sb.append(s"WARC-Target-URI: ${r.targetUri}\r\n")
+      sb.append(s"WARC-Date: ${r.warcDate}\r\n")
+      if (r.httpStatus.isDefined)
+        sb.append("Content-Type: application/http; msgtype=response\r\n")
+      else if (r.body.nonEmpty) sb.append("Content-Type: text/plain\r\n")
+      sb.append(s"Content-Length: ${blockBytes.length}\r\n")
+      sb.append("\r\n")
+      sb.toString.getBytes("US-ASCII") ++ blockBytes ++ "\r\n\r\n".getBytes("US-ASCII")
+    }
+    val parts = records.map(one)
+    if (!gzipPerRecord) parts.flatten.toArray
+    else parts.flatMap { p =>
+      val bo = new java.io.ByteArrayOutputStream(p.length)
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      gz.write(p); gz.close()
+      bo.toByteArray
+    }.toArray
+  }
+}

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** HTML → visible text extraction (the WARC→WET conversion step):
+  * script/style dropping incl. multiline bodies, tag stripping, entity
+  * decode ordering, whitespace collapse. */
+class HtmlTextSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h").select(Text.htmlToText(col("h"))).as[String].head()
+
+  test("tags strip, blocks drop, entities decode, whitespace collapses") {
+    val html = """<html><head><title>T</title>
+      |<style type="text/css">body { color: red; }
+      |p { margin: 0; }</style></head>
+      |<body><h1>Hello</h1>
+      |<p>a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>
+      |<script>
+      |  var x = "<p>not text</p>";
+      |</script>
+      |<div>tail</div></body></html>""".stripMargin
+    assert(extract(html) == "T Hello a & b <tag> \"q\" 's' end tail")
+  }
+
+  test("&amp; decodes LAST: &amp;lt; yields the literal string '&lt;'") {
+    assert(extract("<p>&amp;lt;</p>") == "&lt;")
+  }
+
+  test("script with attributes and multiline body drops wholesale") {
+    val html = "<script src=\"x.js\" async>\nif (a < b) { run(); }\n</script>ok"
+    assert(extract(html) == "ok")
+  }
+
+  test("plain text passes through trimmed") {
+    assert(extract("  just   text \n here ") == "just text here")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.functions
+
+import graft.SparkSpec
+import Warc.WRecord
+
+/** WARC reader: writer-beside-reader roundtrips (plain and per-record
+  * gzip members — the Common Crawl layout), HTTP envelope splitting,
+  * offset semantics, dirty-byte tolerance, refusals by name, and the
+  * relational stage. The q179 gate replays record tables from events. */
+class WarcSpec extends SparkSpec {
+
+  private val recs = Seq(
+    WRecord("warcinfo", body = "crawler=graft\n"),
+    WRecord("response", targetUri = "https://example.com/a",
+      httpStatus = Some(200), body = "<html><body>hello</body></html>"),
+    WRecord("response", targetUri = "https://example.com/b",
+      httpStatus = Some(404), body = "gone"),
+    WRecord("conversion", targetUri = "https://example.com/a",
+      body = "hello"))
+
+  test("plain WARC roundtrips: types, uris, envelope split, lengths") {
+    val out = Warc.parse(1L, Warc.encode(recs))
+    assert(out.map(_.warcType) == Seq("warcinfo", "response", "response",
+      "conversion"))
+    assert(out(1).targetUri == "https://example.com/a")
+    assert(out(1).httpStatus == 200)
+    assert(out(1).payloadText == "<html><body>hello</body></html>")
+    assert(out(2).httpStatus == 404 && out(2).payloadText == "gone")
+    // non-http records carry the raw block and no status
+    assert(out(0).httpStatus == -1 && out(0).payloadText == "crawler=graft\n")
+    assert(out(3).httpStatus == -1 && out(3).payloadText == "hello")
+    // WARC Content-Length covers the HTTP envelope + body
+    assert(out(1).contentLength ==
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n".length +
+        out(1).payloadText.length)
+  }
+
+  test("per-record gzip members (the Common Crawl layout) parse identically") {
+    val plain = Warc.parse(2L, Warc.encode(recs))
+    val gz = Warc.parse(2L, Warc.encode(recs, gzipPerRecord = true))
+    assert(gz.map(r => (r.warcType, r.targetUri, r.httpStatus, r.payloadText)) ==
+      plain.map(r => (r.warcType, r.targetUri, r.httpStatus, r.payloadText)))
+  }
+
+  test("rec_offset re-parses: the record at its offset is itself") {
+    val bytes = Warc.encode(recs)
+    val out = Warc.parse(3L, bytes)
+    out.foreach { r =>
+      val re = Warc.parse(3L, bytes.drop(r.offset.toInt)).head
+      assert(re.warcType == r.warcType && re.payloadText == r.payloadText)
+    }
+  }
+
+  test("dirty payload bytes decode with replacement, never throw") {
+    // hand-build a record whose body is invalid UTF-8
+    val body = Array[Byte](0x68, 0xFF.toByte, 0xFE.toByte, 0x69)
+    val header = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+    val rec = header ++ body ++ "\r\n\r\n".getBytes("US-ASCII")
+    val out = Warc.parse(4L, rec)
+    assert(out.head.payloadText.startsWith("h") &&
+      out.head.payloadText.endsWith("i"))
+  }
+
+  test("refusals are by name: no Content-Length, truncation, bad version") {
+    val noLen = ("WARC/1.0\r\nWARC-Type: resource\r\n\r\n" +
+      "xx\r\n\r\n").getBytes("US-ASCII")
+    val e1 = intercept[IllegalArgumentException](Warc.parse(5L, noLen))
+    assert(e1.getMessage.contains("no Content-Length"), e1.getMessage)
+    val good = Warc.encode(recs)
+    val e2 = intercept[IllegalArgumentException](
+      Warc.parse(6L, good.dropRight(12)))
+    assert(e2.getMessage.toLowerCase.matches(".*(past end|content-length).*"),
+      e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      Warc.parse(7L, "HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII")))
+    assert(e3.getMessage.contains("version line"), e3.getMessage)
+  }
+
+  test("records() relational stage: one row per record, both layouts") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, Warc.encode(recs)),
+      (2L, Warc.encode(recs, gzipPerRecord = true))).toDF("id", "warc")
+    val rows = Warc.records(df, "id", "warc")
+      .orderBy("id", "rec_idx").collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[String]("warc_type")).distinct.sorted.toSeq ==
+      Seq("conversion", "response", "warcinfo"))
+    assert(rows.count(_.getAs[Int]("http_status") == 200) == 2)
+  }
+}
