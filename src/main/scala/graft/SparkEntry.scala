@@ -1047,6 +1047,41 @@ object SparkEntry {
     rows.toDF("id", "warc")
   }
 
+  /** Ogg/Opus fixture (podcast/Wikimedia crawl audio): one single-stream
+    * Ogg per day — an OpusHead header packet plus one packet per slot
+    * whose size derives from event counts and RANGES ACROSS the 255-lace
+    * boundary (multi-lace reassembly in every file), granules stepping
+    * 960 samples per packet. One packet per page, so the page-level
+    * granule is exactly the packet's — what makes the oracle closed-form
+    * (granules are page-level in Ogg; multi-packet pages and page
+    * SPANNING are byte-pinned in OggSpec instead). */
+  private def oggEventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    import graft.functions.Ogg
+    val rows = days.toSeq.map { d =>
+      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val header = "OpusHead-graft".getBytes("US-ASCII")
+      val data = (0 until 10).map { slot =>
+        val n = ((cnt(slot) * 3 + slot) % 600 + 1).toInt
+        Array.tabulate(n)(j => ((slot * 17 + j) % 251).toByte)
+      }
+      val bytes = Ogg.encode(Seq(Ogg.WStream(1, header +: data,
+        granuleOf = i => i * 960L, maxPacketsPerPage = 1)))
+      (id, bytes)
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "ogg")
+  }
+
   /** CDF-5 fixture (PnetCDF 64-bit data format, the HPC-produced classic
     * shape): the q61 events grid written with version byte 5, wide header
     * integers, and an NC_INT64 data variable with an int64 fill. */
@@ -3127,6 +3162,18 @@ object SparkEntry {
         .select("id", "track_id", "sample_idx", "byte_size", "byte_offset",
           "dts", "keyframe", "codec")
         .orderBy("id", "track_id", "sample_idx")
+    }),
+
+    // Ogg packet tables (RFC 3533 — Opus/Vorbis crawl audio): lacing
+    // reassembly across page spans, granule stamping, codec sniffing,
+    // CRC-verified pages. The oracle replays sizes/granules closed-form
+    // — a lacing or continuation slip changes a packet count or size
+    // and fails the compare.
+    "q181_ogg_packets" -> ((s, dir) => {
+      val oggs = oggEventsFixture(s, dir)
+      graft.functions.Ogg.packets(oggs, "id", "ogg")
+        .select("id", "packet_idx", "byte_size", "granule", "codec")
+        .orderBy("id", "packet_idx")
     }),
 
     // WARC records (ISO 28500 — the Common Crawl container, THE input
@@ -5356,6 +5403,28 @@ object SparkEntry {
 
     // fragmentation is invisible to the sample table -> q174 verbatim
     "q177_mp4_fragmented_demux" -> Mp4SampleTableSql,
+
+    // Ogg packet table from events: header packet + 10 sized packets,
+    // granules step 960 per packet
+    "q181_ogg_packets" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |prows AS (SELECT ids.id, CAST(s.s + 1 AS INTEGER) AS packet_idx,
+        |            CAST((coalesce(g.cnt, 0) * 3 + s.s) % 600 + 1 AS BIGINT) AS byte_size,
+        |            CAST((s.s + 1) * 960 AS BIGINT) AS granule,
+        |            'opus' AS codec
+        |          FROM ids
+        |          CROSS JOIN (SELECT CAST(unnest(range(10)) AS INTEGER) AS s) s
+        |          LEFT JOIN g ON g.d = ids.d AND g.slot = s.s),
+        |hrows AS (SELECT id, CAST(0 AS INTEGER) AS packet_idx,
+        |            CAST(14 AS BIGINT) AS byte_size, CAST(0 AS BIGINT) AS granule,
+        |            'opus' AS codec FROM ids)
+        |SELECT * FROM hrows UNION ALL SELECT * FROM prows
+        |ORDER BY id, packet_idx""".stripMargin,
 
     // WARC record table from events: envelope lengths are closed-form
     // (status line 17/21 + Content-Type 25 + blank 2), bodies rebuilt
