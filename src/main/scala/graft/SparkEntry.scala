@@ -1082,6 +1082,38 @@ object SparkEntry {
     rows.toDF("id", "ogg")
   }
 
+  /** MP3 fixture (crawl audio's dominant format, scanned header-only):
+    * one VBR MPEG1 Layer III stream per day — 12 frames whose bitrate
+    * index and padding bit derive from event counts, behind an ID3v2
+    * prefix sized by the day (ID3v1 trailer on odd days). Byte offsets
+    * are the ID3v2 size + running frame lengths, so the oracle replays
+    * the whole frame table — bitrate table lookups, slot arithmetic,
+    * tag skipping — in closed form. */
+  private def mp3EventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    import graft.functions.Mp3
+    val rows = days.toSeq.map { d =>
+      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val frames = (0 until 12).map { i =>
+        Mp3.WFrame(bitrateIdx = ((cnt(i % 10) + i) % 14).toInt + 1,
+          padding = (cnt(i % 10) % 2).toInt)
+      }
+      (id, Mp3.encode(frames, id3v2Bytes = (id % 50).toInt + 5,
+        id3v1 = id % 2 == 1))
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "mp3")
+  }
+
   /** CDF-5 fixture (PnetCDF 64-bit data format, the HPC-produced classic
     * shape): the q61 events grid written with version byte 5, wide header
     * integers, and an NC_INT64 data variable with an int64 fill. */
@@ -3162,6 +3194,20 @@ object SparkEntry {
         .select("id", "track_id", "sample_idx", "byte_size", "byte_offset",
           "dts", "keyframe", "codec")
         .orderBy("id", "track_id", "sample_idx")
+    }),
+
+    // MP3 frame-header scan (crawl audio's dominant format): per-frame
+    // bitrate/size/offset facts with ZERO Huffman decode — decode stays
+    // refused by name (the Annex-B-table transcription risk). The
+    // oracle replays the bitrate table, slot arithmetic, and ID3
+    // skipping closed-form; a wrong table entry shifts every
+    // subsequent offset and fails the compare.
+    "q182_mp3_frame_scan" -> ((s, dir) => {
+      val mp3s = mp3EventsFixture(s, dir)
+      graft.functions.Mp3.frameTable(mp3s, "id", "mp3")
+        .select("id", "frame_idx", "byte_offset", "byte_size",
+          "bitrate_kbps", "sample_rate", "channels", "samples_per_frame")
+        .orderBy("id", "frame_idx")
     }),
 
     // Ogg packet tables (RFC 3533 — Opus/Vorbis crawl audio): lacing
@@ -5403,6 +5449,44 @@ object SparkEntry {
 
     // fragmentation is invisible to the sample table -> q174 verbatim
     "q177_mp4_fragmented_demux" -> Mp4SampleTableSql,
+
+    // MP3 frame table from events: MPEG1 L3 bitrate table as a CASE,
+    // size = 144000*kbps // 44100 + pad, offsets = ID3v2 skip + running
+    // sums
+    "q182_mp3_frame_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |fr AS (SELECT ids.id, i.i,
+        |         CAST((coalesce(g.cnt, 0) + i.i) % 14 + 1 AS INTEGER) AS bidx,
+        |         CAST(coalesce(g.cnt, 0) % 2 AS INTEGER) AS pad
+        |       FROM ids
+        |       CROSS JOIN (SELECT CAST(unnest(range(12)) AS INTEGER) AS i) i
+        |       LEFT JOIN g ON g.d = ids.d AND g.slot = CAST(i.i % 10 AS INTEGER)),
+        |kb AS (SELECT id, i, pad,
+        |         CASE bidx WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+        |              WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+        |              WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+        |              WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+        |              WHEN 13 THEN 256 ELSE 320 END AS kbps
+        |       FROM fr),
+        |sz AS (SELECT id, i, kbps,
+        |         CAST(144 * kbps * 1000 // 44100 + pad AS INTEGER) AS byte_size
+        |       FROM kb)
+        |SELECT id, CAST(i AS INTEGER) AS frame_idx,
+        |       CAST(10 + id % 50 + 5
+        |         + coalesce(SUM(byte_size) OVER (PARTITION BY id ORDER BY i
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS BIGINT) AS byte_offset,
+        |       byte_size,
+        |       CAST(kbps AS INTEGER) AS bitrate_kbps,
+        |       44100 AS sample_rate, 2 AS channels,
+        |       1152 AS samples_per_frame
+        |FROM sz
+        |ORDER BY id, frame_idx""".stripMargin,
 
     // Ogg packet table from events: header packet + 10 sized packets,
     // granules step 960 per packet
