@@ -1114,6 +1114,69 @@ object SparkEntry {
     rows.toDF("id", "mp3")
   }
 
+  /** WebDataset shard fixture (tar-of-samples, the standard multimodal
+    * training layout): one .tar per day (.tar.gz on even days), one
+    * sample per slot with a .txt member (text from event counts) and a
+    * .cls member (count mod 5 as the label) — member payloads are
+    * printable ASCII so the DuckDB oracle rebuilds every row with zero
+    * tar code. */
+  private def webdatasetEventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    import graft.functions.Tar
+    val rows = days.toSeq.map { d =>
+      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val files = (0 until 10).flatMap { slot =>
+        Seq(
+          f"shard$id%d/$slot%04d.txt" ->
+            s"sample text events=${cnt(slot)}".getBytes("US-ASCII"),
+          f"shard$id%d/$slot%04d.cls" ->
+            (cnt(slot) % 5).toString.getBytes("US-ASCII"))
+      }
+      (id, Tar.encode(files, gzip = id % 2 == 0))
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "tar")
+  }
+
+  /** ZIP fixture (EPUB/DOCX/site-archive crawls): one zip per day, one
+    * text document per slot, compression method alternating store /
+    * deflate by slot — deflate output is writer-dependent, so the gate
+    * exposes only the CENTRAL-directory facts plus the extracted text
+    * (CRC-verified inside the reader), all closed-form from events. */
+  private def zipEventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    import graft.functions.Zip
+    val rows = days.toSeq.map { d =>
+      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val files = (0 until 10).map { slot =>
+        (s"book$id/ch$slot.txt",
+          s"chapter $slot has events=${cnt(slot)}".getBytes("US-ASCII"),
+          slot % 2 == 1)
+      }
+      (id, Zip.encode(files))
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "zip")
+  }
+
   /** CDF-5 fixture (PnetCDF 64-bit data format, the HPC-produced classic
     * shape): the q61 events grid written with version byte 5, wide header
     * integers, and an NC_INT64 data variable with an int64 fill. */
@@ -3194,6 +3257,32 @@ object SparkEntry {
         .select("id", "track_id", "sample_idx", "byte_size", "byte_offset",
           "dts", "keyframe", "codec")
         .orderBy("id", "track_id", "sample_idx")
+    }),
+
+    // ZIP member extraction (EPUB/DOCX/site archives): central-directory
+    // walk, store + raw-deflate members, CRC-verified extraction — the
+    // reader is also interop-pinned BOTH directions against
+    // java.util.zip (ZipSpec). The oracle rebuilds names, sizes, and
+    // text from events.
+    "q184_zip_members" -> ((s, dir) => {
+      val zips = zipEventsFixture(s, dir)
+      graft.functions.Zip.members(zips, "id", "zip")
+        .select(col("id"), col("entry_idx"), col("name"), col("method"),
+          col("byte_size"), col("payload").cast("string").as("payload_text"))
+        .orderBy("id", "entry_idx")
+    }),
+
+    // WebDataset shard scan (tar-of-samples — the standard multimodal
+    // training layout): ustar entries with verified checksums group
+    // into (sample_key, ext) members; .tar.gz and plain .tar cycle by
+    // day. The oracle rebuilds keys, extensions, sizes, and payload
+    // text from events with zero tar code.
+    "q183_webdataset_scan" -> ((s, dir) => {
+      val tars = webdatasetEventsFixture(s, dir)
+      graft.functions.Tar.webdatasetSamples(tars, "id", "tar")
+        .select(col("id"), col("sample_key"), col("ext"), col("byte_size"),
+          col("payload").cast("string").as("payload_text"))
+        .orderBy("id", "sample_key", "ext")
     }),
 
     // MP3 frame-header scan (crawl audio's dominant format): per-frame
@@ -5449,6 +5538,56 @@ object SparkEntry {
 
     // fragmentation is invisible to the sample table -> q174 verbatim
     "q177_mp4_fragmented_demux" -> Mp4SampleTableSql,
+
+    // ZIP member table from events: store on even slots, deflate odd
+    "q184_zip_members" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |sl AS (SELECT ids.id, s.s AS slot, coalesce(g.cnt, 0) AS cnt
+        |       FROM ids
+        |       CROSS JOIN (SELECT CAST(unnest(range(10)) AS INTEGER) AS s) s
+        |       LEFT JOIN g ON g.d = ids.d AND g.slot = s.s)
+        |SELECT id, CAST(slot AS INTEGER) AS entry_idx,
+        |       'book' || CAST(id AS VARCHAR) || '/ch' || CAST(slot AS VARCHAR)
+        |         || '.txt' AS name,
+        |       CAST(CASE WHEN slot % 2 = 1 THEN 8 ELSE 0 END AS INTEGER) AS method,
+        |       CAST(length('chapter ' || CAST(slot AS VARCHAR) ||
+        |         ' has events=' || CAST(cnt AS VARCHAR)) AS BIGINT) AS byte_size,
+        |       'chapter ' || CAST(slot AS VARCHAR) || ' has events=' ||
+        |         CAST(cnt AS VARCHAR) AS payload_text
+        |FROM sl
+        |ORDER BY id, entry_idx""".stripMargin,
+
+    // WebDataset member table from events: two members per slot with
+    // printf-style zero-padded names
+    "q183_webdataset_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |sl AS (SELECT ids.id, s.s AS slot, coalesce(g.cnt, 0) AS cnt,
+        |         'shard' || CAST(ids.id AS VARCHAR) || '/' ||
+        |           lpad(CAST(s.s AS VARCHAR), 4, '0') AS sample_key
+        |       FROM ids
+        |       CROSS JOIN (SELECT CAST(unnest(range(10)) AS INTEGER) AS s) s
+        |       LEFT JOIN g ON g.d = ids.d AND g.slot = s.s),
+        |txt AS (SELECT id, sample_key, 'txt' AS ext,
+        |          CAST(length('sample text events=' || CAST(cnt AS VARCHAR))
+        |            AS BIGINT) AS byte_size,
+        |          'sample text events=' || CAST(cnt AS VARCHAR) AS payload_text
+        |        FROM sl),
+        |cls AS (SELECT id, sample_key, 'cls' AS ext,
+        |          CAST(length(CAST(cnt % 5 AS VARCHAR)) AS BIGINT) AS byte_size,
+        |          CAST(cnt % 5 AS VARCHAR) AS payload_text
+        |        FROM sl)
+        |SELECT * FROM txt UNION ALL SELECT * FROM cls
+        |ORDER BY id, sample_key, ext""".stripMargin,
 
     // MP3 frame table from events: MPEG1 L3 bitrate table as a CASE,
     // size = 144000*kbps // 44100 + pad, offsets = ID3v2 skip + running

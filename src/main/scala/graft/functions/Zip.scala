@@ -1,0 +1,210 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+/** ZIP archive reader + writer (the PKWARE APPNOTE layout) — the
+  * container of EPUB books, DOCX/ODT documents, JAR/APK artifacts, and
+  * site-export archives in web crawls. Reading goes the correct way
+  * round: find the end-of-central-directory record (backward scan over
+  * the bounded comment region), walk the CENTRAL directory (the
+  * authoritative index), then read each member through its local
+  * header with the data descriptor irrelevant — the streaming-writer
+  * local sizes may be zero, the central ones never are. Member CRC-32s
+  * are verified on extraction (java.util.zip.CRC32 — ZIP uses the
+  * standard reflected polynomial, so the JDK implementation IS the
+  * interop pin here).
+  *
+  * In profile: methods 0 (store) and 8 (deflate, raw/nowrap streams),
+  * data-descriptor members (flag bit 3), directory entries. Out of
+  * profile and refused BY NAME: ZIP64 markers, encrypted members
+  * (flag bit 0), compression methods other than store/deflate,
+  * CRC mismatches, missing/garbled EOCD. */
+object Zip {
+
+  final case class ZipEntry(
+      name: String,
+      method: Int, // 0 store, 8 deflate
+      compressedSize: Long,
+      size: Long, // uncompressed
+      crc32: Long,
+      data: Array[Byte]) {
+    def isDirectory: Boolean = name.endsWith("/")
+  }
+
+  /** Parse every member via the central directory; CRCs verified. */
+  def entries(id: Long, bytes: Array[Byte]): Seq[ZipEntry] = {
+    def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long = (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+      ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    require(bytes.length >= 22, s"zip $id: ${bytes.length} bytes is no zip")
+    // EOCD: backward scan (comment is at most 65535 bytes)
+    val eocd = {
+      var o = bytes.length - 22
+      val floor = math.max(0, bytes.length - 22 - 65535)
+      while (o >= floor && !(bytes(o) == 'P' && bytes(o + 1) == 'K' &&
+        bytes(o + 2) == 5 && bytes(o + 3) == 6)) o -= 1
+      require(o >= floor, {
+        val fmt =
+          if (bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K')
+            "zip with no end-of-central-directory (truncated?)"
+          else "not a zip at all"
+        s"zip $id: $fmt"
+      })
+      o
+    }
+    val nEntries = u16(eocd + 10)
+    require(u16(eocd + 8) == nEntries, // this-disk vs total
+      s"zip $id: multi-disk archives out of profile")
+    val cdOff = u32(eocd + 16)
+    require(cdOff != 0xFFFFFFFFL && nEntries != 0xFFFF,
+      s"zip $id: ZIP64 out of profile")
+    val out = ArrayBuffer.empty[ZipEntry]
+    var p = cdOff.toInt
+    for (_ <- 0 until nEntries) {
+      require(p + 46 <= bytes.length &&
+        bytes(p) == 'P' && bytes(p + 1) == 'K' &&
+        bytes(p + 2) == 1 && bytes(p + 3) == 2,
+        s"zip $id: central directory lost sync at $p")
+      val flags = u16(p + 8)
+      require((flags & 0x1) == 0,
+        s"zip $id: encrypted member out of profile")
+      val method = u16(p + 10)
+      require(method == 0 || method == 8, {
+        val name = method match {
+          case 1 => "shrink"; case 6 => "implode"; case 9 => "deflate64"
+          case 12 => "bzip2"; case 14 => "lzma"; case 93 => "zstd"
+          case 95 => "xz"; case 99 => "AES-encrypted"; case m => s"method $m"
+        }
+        s"zip $id: compression '$name' out of profile (store/deflate only)"
+      })
+      val crc = u32(p + 16)
+      val csize = u32(p + 20)
+      val usize = u32(p + 24)
+      require(csize != 0xFFFFFFFFL && usize != 0xFFFFFFFFL,
+        s"zip $id: ZIP64 member sizes out of profile")
+      val nameLen = u16(p + 28); val extraLen = u16(p + 30)
+      val commentLen = u16(p + 32)
+      val localOff = u32(p + 42)
+      val name = new String(bytes, p + 46, nameLen,
+        java.nio.charset.StandardCharsets.UTF_8)
+      // local header: PK\3\4 ... its OWN name/extra lengths (may differ)
+      val lo = localOff.toInt
+      require(lo + 30 <= bytes.length && bytes(lo) == 'P' && bytes(lo + 1) == 'K' &&
+        bytes(lo + 2) == 3 && bytes(lo + 3) == 4,
+        s"zip $id: member '$name' local header missing at $lo")
+      val dataOff = lo + 30 + u16(lo + 26) + u16(lo + 28)
+      require(dataOff + csize <= bytes.length,
+        s"zip $id: member '$name' claims $csize bytes past end")
+      val raw = java.util.Arrays.copyOfRange(bytes, dataOff, (dataOff + csize).toInt)
+      val data = method match {
+        case 0 =>
+          require(csize == usize,
+            s"zip $id: stored member '$name' sizes disagree ($csize vs $usize)")
+          raw
+        case 8 =>
+          val inf = new java.util.zip.Inflater(true) // raw deflate
+          inf.setInput(raw)
+          val buf = new Array[Byte](usize.toInt)
+          var got = 0
+          try {
+            while (got < usize && !inf.finished()) {
+              val n = inf.inflate(buf, got, usize.toInt - got)
+              if (n == 0 && inf.needsInput())
+                throw new IllegalArgumentException(
+                  s"zip $id: member '$name' deflate stream truncated")
+              got += n
+            }
+          } catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"zip $id: member '$name' corrupt deflate: ${e.getMessage}")
+          } finally inf.end()
+          require(got == usize,
+            s"zip $id: member '$name' inflated to $got of $usize bytes")
+          buf
+      }
+      val check = new java.util.zip.CRC32
+      check.update(data)
+      require(check.getValue == crc,
+        f"zip $id: member '$name' CRC mismatch (stored $crc%08x, " +
+          f"computed ${check.getValue}%08x)")
+      out += ZipEntry(name, method, csize, usize, crc, data)
+      p += 46 + nameLen + extraLen + commentLen
+    }
+    out.toSeq
+  }
+
+  /** [[entries]] as a relational stage: one row per member. */
+  def members(df: org.apache.spark.sql.DataFrame, idCol: String,
+      binCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("entry_idx", IntegerType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("method", IntegerType, nullable = false),
+      StructField("byte_size", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          entries(id, bytes).zipWithIndex.map { case (e, i) =>
+            Row(id, i, e.name, e.method, e.size, e.data)
+          }
+        }
+      }(Encoders.row(schema))
+  }
+
+  // ------------------------------------------------------------- write
+
+  /** Emit a zip of (name, data, deflate?) members — local headers, the
+    * central directory, EOCD. Writer-beside-reader for fixtures. */
+  def encode(files: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    val out = ArrayBuffer.empty[Byte]
+    def w16(v: Int): Unit = { out += (v & 0xFF).toByte; out += ((v >> 8) & 0xFF).toByte }
+    def w32(v: Long): Unit = { w16((v & 0xFFFF).toInt); w16(((v >> 16) & 0xFFFF).toInt) }
+    final case class Central(name: Array[Byte], method: Int, crc: Long,
+      csize: Int, usize: Int, localOff: Int)
+    val centrals = ArrayBuffer.empty[Central]
+    files.foreach { case (name, data, deflate) =>
+      val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val crc = { val c = new java.util.zip.CRC32; c.update(data); c.getValue }
+      val packed = if (!deflate) data else {
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        d.setInput(data); d.finish()
+        val buf = new java.io.ByteArrayOutputStream(data.length + 32)
+        val tmp = new Array[Byte](1 << 14)
+        while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+        d.end()
+        buf.toByteArray
+      }
+      val localOff = out.length
+      w32(0x04034B50L); w16(20); w16(0); w16(if (deflate) 8 else 0)
+      w16(0); w16(0) // time, date
+      w32(crc); w32(packed.length.toLong); w32(data.length.toLong)
+      w16(nameBytes.length); w16(0)
+      out ++= nameBytes
+      out ++= packed
+      centrals += Central(nameBytes, if (deflate) 8 else 0, crc,
+        packed.length, data.length, localOff)
+    }
+    val cdStart = out.length
+    centrals.foreach { c =>
+      w32(0x02014B50L); w16(20); w16(20); w16(0); w16(c.method)
+      w16(0); w16(0)
+      w32(c.crc); w32(c.csize.toLong); w32(c.usize.toLong)
+      w16(c.name.length); w16(0); w16(0)
+      w16(0); w16(0); w32(0)
+      w32(c.localOff.toLong)
+      out ++= c.name
+    }
+    val cdSize = out.length - cdStart
+    w32(0x06054B50L); w16(0); w16(0)
+    w16(centrals.length); w16(centrals.length)
+    w32(cdSize.toLong); w32(cdStart.toLong); w16(0)
+    out.toArray
+  }
+}

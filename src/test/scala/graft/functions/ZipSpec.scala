@@ -1,0 +1,95 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** ZIP reader/writer with JDK interop pins BOTH directions (the
+  * TiffInteropSpec discipline — java.util.zip is an independent
+  * implementation): our reader consumes ZipOutputStream archives
+  * (which use data-descriptor members, exercising the
+  * central-directory-is-authoritative path), and ZipInputStream
+  * consumes our writer's output. Plus CRC verification and refusals
+  * by name. */
+class ZipSpec extends SparkSpec {
+
+  private val files = Seq(
+    ("docs/a.txt", "hello zip world".getBytes("US-ASCII"), false),
+    ("docs/b.txt", Array.tabulate(5000)(i => (i % 61 + 32).toByte), true),
+    ("c.bin", Array.tabulate(256)(_.toByte), true))
+
+  test("own writer roundtrips store + deflate with verified CRCs") {
+    val out = Zip.entries(1L, Zip.encode(files))
+    assert(out.map(_.name) == files.map(_._1))
+    assert(out.map(_.method) == Seq(0, 8, 8))
+    out.zip(files).foreach { case (e, (_, data, _)) =>
+      assert(e.data.sameElements(data), e.name)
+      assert(e.size == data.length)
+    }
+    // deflate genuinely compressed the low-entropy member
+    assert(out(1).compressedSize < out(1).size)
+  }
+
+  test("INTEROP: JDK ZipOutputStream archives (data-descriptor members) parse") {
+    val bo = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bo)
+    files.foreach { case (name, data, _) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(data)
+      z.closeEntry()
+    }
+    z.close()
+    val out = Zip.entries(2L, bo.toByteArray)
+    assert(out.map(_.name) == files.map(_._1))
+    out.zip(files).foreach { case (e, (_, data, _)) =>
+      assert(e.data.sameElements(data), e.name)
+    }
+  }
+
+  test("INTEROP: the JDK ZipInputStream reads our writer's output") {
+    val zi = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(Zip.encode(files)))
+    files.foreach { case (name, data, _) =>
+      val entry = zi.getNextEntry
+      assert(entry.getName == name)
+      val got = zi.readAllBytes()
+      assert(got.sameElements(data), name)
+    }
+    assert(zi.getNextEntry == null)
+  }
+
+  test("refusals are by name: encrypted, foreign methods, CRC, ZIP64, junk") {
+    val good = Zip.encode(files)
+    // central directory starts after the members; find first PK\1\2
+    val cd = (0 until good.length - 3).find(o =>
+      good(o) == 'P' && good(o + 1) == 'K' && good(o + 2) == 1 &&
+        good(o + 3) == 2).get
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = good.clone(); f(c); c
+    }
+    val eEnc = intercept[IllegalArgumentException](
+      Zip.entries(3L, patched(c => c(cd + 8) = 1)))
+    assert(eEnc.getMessage.contains("encrypted"), eEnc.getMessage)
+    val eMeth = intercept[IllegalArgumentException](
+      Zip.entries(4L, patched(c => c(cd + 10) = 93)))
+    assert(eMeth.getMessage.contains("zstd"), eMeth.getMessage)
+    val eCrc = intercept[IllegalArgumentException](
+      Zip.entries(5L, patched(c => c(cd + 16) = (c(cd + 16) ^ 0x3C).toByte)))
+    assert(eCrc.getMessage.contains("CRC mismatch"), eCrc.getMessage)
+    val eZip64 = intercept[IllegalArgumentException](
+      Zip.entries(6L, patched { c =>
+        (0 until 4).foreach(i => c(cd + 20 + i) = 0xFF.toByte)
+      }))
+    assert(eZip64.getMessage.contains("ZIP64"), eZip64.getMessage)
+    val eJunk = intercept[IllegalArgumentException](
+      Zip.entries(7L, Array.fill[Byte](100)(0x41)))
+    assert(eJunk.getMessage.contains("not a zip"), eJunk.getMessage)
+  }
+
+  test("members() relational stage: one row per member") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((8L, Zip.encode(files))).toDF("id", "zip")
+    val rows = Zip.members(df, "id", "zip").orderBy("entry_idx").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("byte_size")).toSeq ==
+      files.map(_._2.length.toLong))
+  }
+}
