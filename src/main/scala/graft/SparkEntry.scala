@@ -1177,6 +1177,32 @@ object SparkEntry {
     rows.toDF("id", "zip")
   }
 
+  /** TFRecord shard fixture (the TensorFlow training layout): one
+    * .tfrecord per day (.tfrecord.gz on odd days), one text record per
+    * slot — byte offsets are the closed-form 16-byte-framing walk, so
+    * the oracle replays offsets AND text with zero TFRecord code. */
+  private def tfrecordEventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    import graft.functions.TfRecord
+    val rows = days.toSeq.map { d =>
+      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val payloads = (0 until 10).map(slot =>
+        s"example $slot events=${cnt(slot)}".getBytes("US-ASCII"))
+      (id, TfRecord.encode(payloads, gzip = id % 2 == 1))
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "tfr")
+  }
+
   /** CDF-5 fixture (PnetCDF 64-bit data format, the HPC-produced classic
     * shape): the q61 events grid written with version byte 5, wide header
     * integers, and an NC_INT64 data variable with an int64 fill. */
@@ -3257,6 +3283,18 @@ object SparkEntry {
         .select("id", "track_id", "sample_idx", "byte_size", "byte_offset",
           "dts", "keyframe", "codec")
         .orderBy("id", "track_id", "sample_idx")
+    }),
+
+    // TFRecord shard scan (the TensorFlow training layout): 16-byte
+    // framing with BOTH masked CRC32Cs verified per record (the JDK
+    // CRC32C is the Castagnoli interop pin, check-value spec-pinned).
+    // Offsets replay as a closed-form walk: 12 + len + 4 per record.
+    "q185_tfrecord_scan" -> ((s, dir) => {
+      val tfrs = tfrecordEventsFixture(s, dir)
+      graft.functions.TfRecord.recordTable(tfrs, "id", "tfr")
+        .select(col("id"), col("rec_idx"), col("byte_offset"), col("byte_size"),
+          col("payload").cast("string").as("payload_text"))
+        .orderBy("id", "rec_idx")
     }),
 
     // ZIP member extraction (EPUB/DOCX/site archives): central-directory
@@ -5538,6 +5576,30 @@ object SparkEntry {
 
     // fragmentation is invisible to the sample table -> q174 verbatim
     "q177_mp4_fragmented_demux" -> Mp4SampleTableSql,
+
+    // TFRecord table from events: offsets = running (12 + len + 4) sums
+    "q185_tfrecord_scan" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |sl AS (SELECT ids.id, s.s AS slot,
+        |         'example ' || CAST(s.s AS VARCHAR) || ' events=' ||
+        |           CAST(coalesce(g.cnt, 0) AS VARCHAR) AS payload_text
+        |       FROM ids
+        |       CROSS JOIN (SELECT CAST(unnest(range(10)) AS INTEGER) AS s) s
+        |       LEFT JOIN g ON g.d = ids.d AND g.slot = s.s)
+        |SELECT id, CAST(slot AS INTEGER) AS rec_idx,
+        |       CAST(coalesce(SUM(length(payload_text) + 16)
+        |           OVER (PARTITION BY id ORDER BY slot
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS BIGINT) AS byte_offset,
+        |       CAST(length(payload_text) AS BIGINT) AS byte_size,
+        |       payload_text
+        |FROM sl
+        |ORDER BY id, rec_idx""".stripMargin,
 
     // ZIP member table from events: store on even slots, deflate odd
     "q184_zip_members" ->
