@@ -1203,6 +1203,40 @@ object SparkEntry {
     rows.toDF("id", "tfr")
   }
 
+  /** tf.Example TFRecord fixture (the full TensorFlow training shard):
+    * each record a serialized Example with a bytes `text` feature, an
+    * int64 `label`, and a float `score` (integer-valued, so the
+    * float32→double path is exact) — everything closed-form from event
+    * counts for the oracle. */
+  private def tfexampleEventsFixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    import graft.functions.{TfExample, TfRecord}
+    val rows = days.toSeq.map { d =>
+      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      val examples = (0 until 10).map { slot =>
+        TfExample.encode(Seq(
+          "text" -> TfExample.Feature("bytes", bytesVals = Seq(
+            s"example $slot events=${cnt(slot)}".getBytes("UTF-8"))),
+          "label" -> TfExample.Feature("int64",
+            int64Vals = Seq(cnt(slot) % 5, slot.toLong)),
+          "score" -> TfExample.Feature("float",
+            floatVals = Seq(cnt(slot).toFloat))))
+      }
+      (id, TfRecord.encode(examples, gzip = id % 2 == 0))
+    }
+    val sp = s; import sp.implicits._
+    rows.toDF("id", "tfr")
+  }
+
   /** CDF-5 fixture (PnetCDF 64-bit data format, the HPC-produced classic
     * shape): the q61 events grid written with version byte 5, wide header
     * integers, and an NC_INT64 data variable with an int64 fill. */
@@ -3283,6 +3317,22 @@ object SparkEntry {
         .select("id", "track_id", "sample_idx", "byte_size", "byte_offset",
           "dts", "keyframe", "codec")
         .orderBy("id", "track_id", "sample_idx")
+    }),
+
+    // tf.Example decode (the payload inside TFRecord shards): protobuf
+    // wire walk — nested length-delimited messages, packed repeated
+    // scalars, varints — into typed (key, kind, values) rows. The
+    // oracle rebuilds every feature from events; a varint or framing
+    // slip corrupts a value or a key and fails the compare.
+    "q186_tfexample_features" -> ((s, dir) => {
+      val tfrs = tfexampleEventsFixture(s, dir)
+      graft.functions.TfExample.featureTable(tfrs, "id", "tfr")
+        .select(col("id"), col("rec_idx"), col("key"), col("kind"),
+          try_element_at(col("text_vals"), lit(1)).as("text0"),
+          try_element_at(col("int64_vals"), lit(1)).as("i0"),
+          try_element_at(col("int64_vals"), lit(2)).as("i1"),
+          try_element_at(col("float_vals"), lit(1)).cast("double").as("f0"))
+        .orderBy("id", "rec_idx", "key")
     }),
 
     // TFRecord shard scan (the TensorFlow training layout): 16-byte
@@ -5576,6 +5626,35 @@ object SparkEntry {
 
     // fragmentation is invisible to the sample table -> q174 verbatim
     "q177_mp4_fragmented_demux" -> Mp4SampleTableSql,
+
+    // tf.Example features from events: three keys per record in sorted
+    // order, element_at nulls where a kind has no values
+    "q186_tfexample_features" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |sl AS (SELECT ids.id, s.s AS slot, coalesce(g.cnt, 0) AS cnt
+        |       FROM ids
+        |       CROSS JOIN (SELECT CAST(unnest(range(10)) AS INTEGER) AS s) s
+        |       LEFT JOIN g ON g.d = ids.d AND g.slot = s.s),
+        |lab AS (SELECT id, slot AS rec_idx, 'label' AS key, 'int64' AS kind,
+        |          CAST(NULL AS VARCHAR) AS text0,
+        |          cnt % 5 AS i0, CAST(slot AS BIGINT) AS i1,
+        |          CAST(NULL AS DOUBLE) AS f0 FROM sl),
+        |sco AS (SELECT id, slot AS rec_idx, 'score' AS key, 'float' AS kind,
+        |          CAST(NULL AS VARCHAR) AS text0,
+        |          CAST(NULL AS BIGINT) AS i0, CAST(NULL AS BIGINT) AS i1,
+        |          CAST(cnt AS DOUBLE) AS f0 FROM sl),
+        |txt AS (SELECT id, slot AS rec_idx, 'text' AS key, 'bytes' AS kind,
+        |          'example ' || CAST(slot AS VARCHAR) || ' events=' ||
+        |            CAST(cnt AS VARCHAR) AS text0,
+        |          CAST(NULL AS BIGINT) AS i0, CAST(NULL AS BIGINT) AS i1,
+        |          CAST(NULL AS DOUBLE) AS f0 FROM sl)
+        |SELECT * FROM lab UNION ALL SELECT * FROM sco UNION ALL SELECT * FROM txt
+        |ORDER BY id, rec_idx, key""".stripMargin,
 
     // TFRecord table from events: offsets = running (12 + len + 4) sums
     "q185_tfrecord_scan" ->
