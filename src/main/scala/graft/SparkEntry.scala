@@ -596,19 +596,8 @@ object SparkEntry {
     * (average = the mono formula) — so q148's oracle applies verbatim
     * and any prefix/Rice/predictor/stereo slip fails the compare. */
   private def flacEventsFixture(s: SparkSession, dir: String): DataFrame = {
-    val cells = eventsWithDay(s, dir)
-      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
-      .count().collect()
-    implicit val ldtOrd: Ordering[LocalDateTime] =
-      Ordering.fromLessThan(_ isBefore _)
-    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
-    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
-    val epoch = java.time.LocalDate.of(1970, 1, 1)
     import graft.functions.Flac
-    val rows = days.toSeq.map { d =>
-      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
-      val cnt = Array.fill(10)(0L)
-      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+    val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
       val samples = Array.tabulate(100)(i =>
         (((cnt(i % 10) * 31 + i * 7) % 2001) - 1000).toInt)
       val flac = (id % 6) match {
@@ -639,19 +628,8 @@ object SparkEntry {
     * bytes, so the oracle replays the full compositing model (sub-rect
     * overdraw, disposal restore, transparency) in SQL. */
   private def gifAnimEventsFixture(s: SparkSession, dir: String): DataFrame = {
-    val cells = eventsWithDay(s, dir)
-      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
-      .count().collect()
-    implicit val ldtOrd: Ordering[LocalDateTime] =
-      Ordering.fromLessThan(_ isBefore _)
-    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
-    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
-    val epoch = java.time.LocalDate.of(1970, 1, 1)
     import graft.functions.Gif
-    val rows = days.toSeq.map { d =>
-      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
-      val cnt = Array.fill(10)(0L)
-      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+    val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
       def gray(v: Long): Int = (((v % 256) * 0x010101L).toInt)
       val f0 = Array.tabulate(64)(i => gray(cnt(i % 10) * 7 + i))
       val f1 = Array.tabulate(16)(j => gray(cnt(j % 10) * 11 + j))
@@ -710,18 +688,7 @@ object SparkEntry {
     * segment formula with zero codec code. Even days carry μ-law
     * (format 7), odd days A-law (format 6). */
   private def g711EventsFixture(s: SparkSession, dir: String): DataFrame = {
-    val cells = eventsWithDay(s, dir)
-      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
-      .count().collect()
-    implicit val ldtOrd: Ordering[LocalDateTime] =
-      Ordering.fromLessThan(_ isBefore _)
-    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
-    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
-    val epoch = java.time.LocalDate.of(1970, 1, 1)
-    val rows = days.toSeq.map { d =>
-      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
-      val cnt = Array.fill(10)(0L)
-      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+    val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
       val aLaw = id % 2 != 0
       val samples = Array.tabulate(100) { i =>
         val c = cnt(i % 10)
@@ -839,6 +806,27 @@ object SparkEntry {
     outDir
   }
 
+  /** The shared spine of every media/archive fixture: per day, the
+    * epoch-day id and the event count per slot 0-9 (missing slots 0) —
+    * one aggregate + collect, day-ordered, so each fixture is only its
+    * format-specific body. */
+  private def dailySlotCounts(s: SparkSession, dir: String): Seq[(Long, Array[Long])] = {
+    val cells = eventsWithDay(s, dir)
+      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+      .count().collect()
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
+    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    days.toSeq.map { d =>
+      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
+      val cnt = Array.fill(10)(0L)
+      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+      (id, cnt)
+    }
+  }
+
   /** Target wave for the ADPCM bound gate: a per-day triangle whose
     * amplitude derives from event counts — slope ≤ ~850/sample, which a
     * correctly-stepping ADPCM coder tracks within one adapted step,
@@ -892,19 +880,8 @@ object SparkEntry {
     * the DuckDB oracle replays the ENTIRE sample table — sizes,
     * offsets, dts, keyframe flags — with zero MP4 code. */
   private def mp4EventsFixture(s: SparkSession, dir: String): DataFrame = {
-    val cells = eventsWithDay(s, dir)
-      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
-      .count().collect()
-    implicit val ldtOrd: Ordering[LocalDateTime] =
-      Ordering.fromLessThan(_ isBefore _)
-    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
-    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
-    val epoch = java.time.LocalDate.of(1970, 1, 1)
     import graft.functions.Mp4
-    val rows = days.toSeq.map { d =>
-      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
-      val cnt = Array.fill(10)(0L)
-      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+    val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
       val nVideo = 5 + (id % 3).toInt
       val sizes = Seq.tabulate(nVideo)(i => (cnt(i % 10) * 3 + i) % 200 + 1)
       val video = Mp4.TrackSpec(1, "vide", "avc1", timescale = 12800,
@@ -932,19 +909,8 @@ object SparkEntry {
     * applies VERBATIM: fragmentation is invisible to the sample table
     * (the q139/q143 "invisible to results" framing). */
   private def mp4FragmentedEventsFixture(s: SparkSession, dir: String): DataFrame = {
-    val cells = eventsWithDay(s, dir)
-      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
-      .count().collect()
-    implicit val ldtOrd: Ordering[LocalDateTime] =
-      Ordering.fromLessThan(_ isBefore _)
-    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
-    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
-    val epoch = java.time.LocalDate.of(1970, 1, 1)
     import graft.functions.Mp4
-    val rows = days.toSeq.map { d =>
-      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
-      val cnt = Array.fill(10)(0L)
-      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+    val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
       val nVideo = 5 + (id % 3).toInt
       val sizes = Seq.tabulate(nVideo)(i => (cnt(i % 10) * 3 + i) % 200 + 1)
       val sync = (0 until nVideo).map(_ % 3 == 0)
@@ -975,19 +941,8 @@ object SparkEntry {
     * event counts with q174's formula, so the DuckDB oracle replays the
     * whole frame table with zero EBML code. */
   private def mkvEventsFixture(s: SparkSession, dir: String): DataFrame = {
-    val cells = eventsWithDay(s, dir)
-      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
-      .count().collect()
-    implicit val ldtOrd: Ordering[LocalDateTime] =
-      Ordering.fromLessThan(_ isBefore _)
-    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
-    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
-    val epoch = java.time.LocalDate.of(1970, 1, 1)
     import graft.functions.Mkv
-    val rows = days.toSeq.map { d =>
-      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
-      val cnt = Array.fill(10)(0L)
-      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+    val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
       val nVideo = 5 + (id % 3).toInt
       val frames = Seq.tabulate(nVideo) { i =>
         val n = ((cnt(i % 10) * 3 + i) % 200 + 1).toInt
@@ -1016,19 +971,8 @@ object SparkEntry {
     * length, status, body text) with zero WARC code. Status cycles 200
     * / 404 on the count so the envelope split is exercised on both. */
   private def warcEventsFixture(s: SparkSession, dir: String): DataFrame = {
-    val cells = eventsWithDay(s, dir)
-      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
-      .count().collect()
-    implicit val ldtOrd: Ordering[LocalDateTime] =
-      Ordering.fromLessThan(_ isBefore _)
-    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
-    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
-    val epoch = java.time.LocalDate.of(1970, 1, 1)
     import graft.functions.Warc
-    val rows = days.toSeq.map { d =>
-      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
-      val cnt = Array.fill(10)(0L)
-      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+    val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
       val recs = Warc.WRecord("warcinfo", body = "crawler=graft\n") +:
         (0 until 10).map { slot =>
           val c = cnt(slot)
@@ -1056,19 +1000,8 @@ object SparkEntry {
     * (granules are page-level in Ogg; multi-packet pages and page
     * SPANNING are byte-pinned in OggSpec instead). */
   private def oggEventsFixture(s: SparkSession, dir: String): DataFrame = {
-    val cells = eventsWithDay(s, dir)
-      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
-      .count().collect()
-    implicit val ldtOrd: Ordering[LocalDateTime] =
-      Ordering.fromLessThan(_ isBefore _)
-    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
-    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
-    val epoch = java.time.LocalDate.of(1970, 1, 1)
     import graft.functions.Ogg
-    val rows = days.toSeq.map { d =>
-      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
-      val cnt = Array.fill(10)(0L)
-      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+    val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
       val header = "OpusHead-graft".getBytes("US-ASCII")
       val data = (0 until 10).map { slot =>
         val n = ((cnt(slot) * 3 + slot) % 600 + 1).toInt
@@ -1090,19 +1023,8 @@ object SparkEntry {
     * the whole frame table — bitrate table lookups, slot arithmetic,
     * tag skipping — in closed form. */
   private def mp3EventsFixture(s: SparkSession, dir: String): DataFrame = {
-    val cells = eventsWithDay(s, dir)
-      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
-      .count().collect()
-    implicit val ldtOrd: Ordering[LocalDateTime] =
-      Ordering.fromLessThan(_ isBefore _)
-    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
-    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
-    val epoch = java.time.LocalDate.of(1970, 1, 1)
     import graft.functions.Mp3
-    val rows = days.toSeq.map { d =>
-      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
-      val cnt = Array.fill(10)(0L)
-      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+    val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
       val frames = (0 until 12).map { i =>
         Mp3.WFrame(bitrateIdx = ((cnt(i % 10) + i) % 14).toInt + 1,
           padding = (cnt(i % 10) % 2).toInt)
@@ -1121,19 +1043,8 @@ object SparkEntry {
     * printable ASCII so the DuckDB oracle rebuilds every row with zero
     * tar code. */
   private def webdatasetEventsFixture(s: SparkSession, dir: String): DataFrame = {
-    val cells = eventsWithDay(s, dir)
-      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
-      .count().collect()
-    implicit val ldtOrd: Ordering[LocalDateTime] =
-      Ordering.fromLessThan(_ isBefore _)
-    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
-    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
-    val epoch = java.time.LocalDate.of(1970, 1, 1)
     import graft.functions.Tar
-    val rows = days.toSeq.map { d =>
-      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
-      val cnt = Array.fill(10)(0L)
-      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+    val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
       val files = (0 until 10).flatMap { slot =>
         Seq(
           f"shard$id%d/$slot%04d.txt" ->
@@ -1153,19 +1064,8 @@ object SparkEntry {
     * exposes only the CENTRAL-directory facts plus the extracted text
     * (CRC-verified inside the reader), all closed-form from events. */
   private def zipEventsFixture(s: SparkSession, dir: String): DataFrame = {
-    val cells = eventsWithDay(s, dir)
-      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
-      .count().collect()
-    implicit val ldtOrd: Ordering[LocalDateTime] =
-      Ordering.fromLessThan(_ isBefore _)
-    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
-    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
-    val epoch = java.time.LocalDate.of(1970, 1, 1)
     import graft.functions.Zip
-    val rows = days.toSeq.map { d =>
-      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
-      val cnt = Array.fill(10)(0L)
-      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+    val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
       val files = (0 until 10).map { slot =>
         (s"book$id/ch$slot.txt",
           s"chapter $slot has events=${cnt(slot)}".getBytes("US-ASCII"),
@@ -1182,19 +1082,8 @@ object SparkEntry {
     * slot — byte offsets are the closed-form 16-byte-framing walk, so
     * the oracle replays offsets AND text with zero TFRecord code. */
   private def tfrecordEventsFixture(s: SparkSession, dir: String): DataFrame = {
-    val cells = eventsWithDay(s, dir)
-      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
-      .count().collect()
-    implicit val ldtOrd: Ordering[LocalDateTime] =
-      Ordering.fromLessThan(_ isBefore _)
-    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
-    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
-    val epoch = java.time.LocalDate.of(1970, 1, 1)
     import graft.functions.TfRecord
-    val rows = days.toSeq.map { d =>
-      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
-      val cnt = Array.fill(10)(0L)
-      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+    val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
       val payloads = (0 until 10).map(slot =>
         s"example $slot events=${cnt(slot)}".getBytes("US-ASCII"))
       (id, TfRecord.encode(payloads, gzip = id % 2 == 1))
@@ -1209,19 +1098,8 @@ object SparkEntry {
     * float32→double path is exact) — everything closed-form from event
     * counts for the oracle. */
   private def tfexampleEventsFixture(s: SparkSession, dir: String): DataFrame = {
-    val cells = eventsWithDay(s, dir)
-      .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
-      .count().collect()
-    implicit val ldtOrd: Ordering[LocalDateTime] =
-      Ordering.fromLessThan(_ isBefore _)
-    val days = cells.map(_.getAs[LocalDateTime]("d")).distinct.sorted
-    val byDay = cells.groupBy(_.getAs[LocalDateTime]("d"))
-    val epoch = java.time.LocalDate.of(1970, 1, 1)
     import graft.functions.{TfExample, TfRecord}
-    val rows = days.toSeq.map { d =>
-      val id = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
-      val cnt = Array.fill(10)(0L)
-      byDay(d).foreach(r => cnt(r.getAs[Int]("slot")) = r.getAs[Long]("count"))
+    val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
       val examples = (0 until 10).map { slot =>
         TfExample.encode(Seq(
           "text" -> TfExample.Feature("bytes", bytesVals = Seq(

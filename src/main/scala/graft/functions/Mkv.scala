@@ -228,13 +228,18 @@ object Mkv {
           require(total % n == 0,
             s"mkv $id: fixed lacing of $total bytes over $n frames does not divide")
           Seq.fill(n)((total / n).toLong)
-        case 3 => // EBML: first size a vint, then signed deltas
+        case 3 => // EBML: first size a vint, then signed deltas; with a
+          // SINGLE laced frame (count byte 0) NO size fields exist at
+          // all — the frame is the block remainder
           val nMinus1 = r.u8()
-          var cur = r.vintSize()
-          require(cur >= 0, s"mkv $id: unknown-size EBML lace")
-          val out = ArrayBuffer(cur)
-          for (_ <- 1 until nMinus1) { cur += r.vintSigned(); out += cur }
-          out.toSeq :+ ((end - r.pos) - out.sum)
+          if (nMinus1 == 0) Seq((end - r.pos).toLong)
+          else {
+            var cur = r.vintSize()
+            require(cur >= 0, s"mkv $id: unknown-size EBML lace")
+            val out = ArrayBuffer(cur)
+            for (_ <- 1 until nMinus1) { cur += r.vintSigned(); out += cur }
+            out.toSeq :+ ((end - r.pos) - out.sum)
+          }
       }
       frameSizes.zipWithIndex.foreach { case (sz, i) =>
         require(sz >= 0 && r.pos + sz <= end,
@@ -404,8 +409,10 @@ object Mkv {
               "fixed lacing needs equal frame sizes")
           case 3 => // EBML: first size vint, then signed deltas; the LAST
             // frame's size is implicit (block remainder), so deltas run
-            // only between the first n-1 frames
-            out ++= vintBytes(b.frames.head.length.toLong)
+            // only between the first n-1 frames — and a SINGLE laced
+            // frame carries no size fields at all
+            if (b.frames.length > 1)
+              out ++= vintBytes(b.frames.head.length.toLong)
             b.frames.dropRight(1).sliding(2).foreach {
               case Seq(a, c) =>
                 val delta = c.length.toLong - a.length

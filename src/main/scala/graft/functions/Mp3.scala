@@ -124,6 +124,10 @@ object Mp3 {
         samplesPerFrame(layer, mpeg1))
       off += len
     }
+    // 1-3 residual bytes are a cut-off next header, not silence-able
+    require(off == end,
+      s"mp3 $id: ${end - off} trailing bytes after the last frame " +
+        s"(truncated next header at $off)")
     out.toSeq
   }
 

@@ -29,19 +29,6 @@ object Tar {
       offset: Long, // absolute offset of the entry's data
       data: Array[Byte])
 
-  private def isGzip(bytes: Array[Byte]): Boolean =
-    bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B
-
-  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-    val buf = new Array[Byte](1 << 16)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
-  }
-
   private def str(b: Array[Byte], off: Int, len: Int): String = {
     var end = off
     while (end < off + len && b(end) != 0) end += 1
@@ -66,7 +53,7 @@ object Tar {
 
   /** Parse every entry of a .tar / .tar.gz payload, checksums verified. */
   def entries(id: Long, bytes0: Array[Byte]): Seq[TarEntry] = {
-    val bytes = if (isGzip(bytes0)) gunzip(bytes0) else bytes0
+    val bytes = Gunzip.maybeInflate(bytes0)
     require(bytes.length >= 512, s"tar $id: ${bytes.length} bytes is no tar")
     val out = ArrayBuffer.empty[TarEntry]
     var off = 0
@@ -112,10 +99,13 @@ object Tar {
         off = dataOff + (((size + 511) / 512) * 512).toInt
       }
     }
-    // a tar without end blocks is tolerated only when it ends EXACTLY on
-    // a block boundary — anything else is a truncated archive
-    require(done || off <= bytes.length,
-      s"tar $id: archive truncated mid-entry (block padding past end at $off)")
+    // a tar without end blocks is tolerated only when it ends EXACTLY at
+    // the last entry's padded boundary — residual bytes mean a header or
+    // padding was cut mid-block (a truncated shard silently losing
+    // trailing samples is the failure mode this refuses)
+    require(done || off == bytes.length,
+      s"tar $id: archive truncated mid-entry " +
+        s"(next block at $off, file ends at ${bytes.length})")
     out.toSeq
   }
 

@@ -27,22 +27,9 @@ object TfRecord {
     (((crc >>> 15) | (crc << 17)) + 0xa282ead8L) & 0xFFFFFFFFL
   }
 
-  private def isGzip(b: Array[Byte]): Boolean =
-    b.length >= 2 && (b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B
-
-  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-    val buf = new Array[Byte](1 << 16)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
-  }
-
   /** Parse every record of a .tfrecord / .tfrecord.gz payload. */
   def records(id: Long, bytes0: Array[Byte]): Seq[Record] = {
-    val bytes = if (isGzip(bytes0)) gunzip(bytes0) else bytes0
+    val bytes = Gunzip.maybeInflate(bytes0)
     def u32le(o: Int): Long = (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
       ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
     def u64le(o: Int): Long = u32le(o) | (u32le(o + 4) << 32)

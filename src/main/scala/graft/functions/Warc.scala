@@ -37,22 +37,9 @@ object Warc {
       new String(payload, java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  private def isGzip(bytes: Array[Byte]): Boolean =
-    bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B
-
-  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-    val buf = new Array[Byte](1 << 16)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
-  }
-
   /** Parse every record of a .warc / .warc.gz payload. */
   def parse(id: Long, bytes0: Array[Byte]): Seq[WarcRecord] = {
-    val bytes = if (isGzip(bytes0)) gunzipAll(bytes0) else bytes0
+    val bytes = Gunzip.maybeInflate(bytes0)
     val out = ArrayBuffer.empty[WarcRecord]
     var off = 0
     def lineEnd(from: Int): Int = {

@@ -76,6 +76,21 @@ class MkvSpec extends SparkSpec {
     }
   }
 
+  test("EBML lacing with a SINGLE frame carries no size fields (count 0)") {
+    // regression: the decoder used to read a phantom first-size vint and
+    // emit a spurious remainder frame
+    val one = WBlock(2, 0, Seq(frame(37, 0)), Seq(true), lacing = 3)
+    val t = Mkv.demux(10L, Mkv.encode("webm", Seq(audioTrack),
+      Seq(WCluster(0, Seq(one))))).head
+    assert(t.sizes.toSeq == Seq(37L))
+    val expect = frame(37, 0)
+    val bytes = Mkv.encode("webm", Seq(audioTrack), Seq(WCluster(0, Seq(one))))
+    val t2 = Mkv.demux(11L, bytes).head
+    (0 until 37).foreach { j =>
+      assert(bytes((t2.offsets(0) + j).toInt) == expect(j), s"byte $j")
+    }
+  }
+
   test("unknown-size Segment (streaming muxer) extends to end of file") {
     val bytes = Mkv.encode("webm", Seq(videoTrack), Seq(
       WCluster(0, Seq(WBlock(1, 0, Seq(frame(5, 0)), Seq(true))))))

@@ -71,6 +71,10 @@ class Mp3Spec extends SparkSpec {
     val eFmt = intercept[IllegalArgumentException](
       Mp3.frames(12L, "OggSxxxxxxxxxxxx".getBytes("US-ASCII")))
     assert(eFmt.getMessage.contains("no frame sync"), eFmt.getMessage)
+    // 1-3 residual bytes after the last frame = a cut-off next header
+    val eTail = intercept[IllegalArgumentException](
+      Mp3.frames(13L, good ++ Array[Byte](0xFF.toByte, 0xFB.toByte)))
+    assert(eTail.getMessage.contains("trailing bytes"), eTail.getMessage)
   }
 
   test("frameTable relational stage: one row per frame") {

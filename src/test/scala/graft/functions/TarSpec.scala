@@ -28,8 +28,7 @@ class TarSpec extends SparkSpec {
     val bytes = Tar.encode(files)
     val out = Tar.entries(2L, bytes)
     out.foreach { e =>
-      assert(e.offset % 512 == 0 || e.offset % 512 == 0,
-        s"${e.name} at ${e.offset}")
+      assert(e.offset % 512 == 0, s"${e.name} at ${e.offset}")
       // bytes at the offset ARE the member data
       assert(java.util.Arrays.equals(
         java.util.Arrays.copyOfRange(bytes, e.offset.toInt,
@@ -79,6 +78,13 @@ class TarSpec extends SparkSpec {
       Tar.entries(8L, good.take(700)))
     assert(e5.getMessage.toLowerCase.matches(".*(truncated|past end).*"),
       e5.getMessage)
+    // regression: a shard cut 100 bytes INTO the second member's header
+    // must refuse, not silently return only the first member
+    val out = Tar.entries(9L, good)
+    val secondHdr = (out(1).offset - 512).toInt
+    val eMid = intercept[IllegalArgumentException](
+      Tar.entries(10L, good.take(secondHdr + 100)))
+    assert(eMid.getMessage.contains("truncated mid-entry"), eMid.getMessage)
   }
 
   test("webdatasetSamples groups by basename-to-first-dot") {
