@@ -3238,6 +3238,43 @@ object SparkEntry {
         .orderBy("id", "entry_idx")
     }),
 
+    // WebDataset EXPORT → re-ingest roundtrip (the pipeline's OUTPUT
+    // side): member rows built RELATIONALLY from events, sharded by
+    // key hash (members co-shard, byte-deterministic), written as
+    // shard-k.tar files by per-task Hadoop-FS writes, then read back
+    // through binaryFile + webdatasetSamples. The oracle rebuilds the
+    // member table from events — a lost or duplicated sample anywhere
+    // in the export/ingest loop fails the compare.
+    "q187_webdataset_export_roundtrip" -> ((s, dir) => {
+      val g = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count()
+        .select(
+          concat(lit("day"),
+            datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01"))),
+            lit("/"), col("slot")).as("sample_key"),
+          col("count"))
+      val members = g.select(col("sample_key"), explode(array(
+          struct(lit("txt").as("ext"),
+            concat(lit("sample text events="), col("count")).as("payload")),
+          struct(lit("cls").as("ext"),
+            (col("count") % 5).cast("string").as("payload")))).as("m"))
+        .select(col("sample_key"), col("m.ext"), col("m.payload"))
+      val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_wdsx_$sf"
+      val dirPath = new org.apache.hadoop.fs.Path(outDir)
+      val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(dirPath, true); fs.mkdirs(dirPath)
+      graft.functions.Tar.writeWebdatasetShards(members,
+        "sample_key", "ext", "payload", outDir, nShards = 8)
+      val bin = s.read.format("binaryFile").load(outDir)
+        .select(xxhash64(col("path")).as("id"), col("content"))
+      graft.functions.Tar.webdatasetSamples(bin, "id", "content")
+        .select(col("sample_key"), col("ext"), col("byte_size"),
+          col("payload").cast("string").as("payload_text"))
+        .orderBy("sample_key", "ext")
+    }),
+
     // WebDataset shard scan (tar-of-samples — the standard multimodal
     // training layout): ustar entries with verified checksums group
     // into (sample_key, ext) members; .tar.gz and plain .tar cycle by
@@ -5580,6 +5617,28 @@ object SparkEntry {
         |         CAST(cnt AS VARCHAR) AS payload_text
         |FROM sl
         |ORDER BY id, entry_idx""".stripMargin,
+
+    // WebDataset export roundtrip: member table from PRESENT (day, slot)
+    // cells only (the relational groupBy, no spine)
+    "q187_webdataset_export_roundtrip" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |keys AS (SELECT 'day' ||
+        |           CAST(date_diff('day', DATE '1970-01-01', d) AS VARCHAR) ||
+        |           '/' || CAST(slot AS VARCHAR) AS sample_key, cnt FROM g),
+        |txt AS (SELECT sample_key, 'txt' AS ext,
+        |          CAST(length('sample text events=' || CAST(cnt AS VARCHAR))
+        |            AS BIGINT) AS byte_size,
+        |          'sample text events=' || CAST(cnt AS VARCHAR) AS payload_text
+        |        FROM keys),
+        |cls AS (SELECT sample_key, 'cls' AS ext,
+        |          CAST(length(CAST(cnt % 5 AS VARCHAR)) AS BIGINT) AS byte_size,
+        |          CAST(cnt % 5 AS VARCHAR) AS payload_text
+        |        FROM keys)
+        |SELECT * FROM txt UNION ALL SELECT * FROM cls
+        |ORDER BY sample_key, ext""".stripMargin,
 
     // WebDataset member table from events: two members per slot with
     // printf-style zero-padded names

@@ -143,6 +143,60 @@ object Tar {
 
   // ------------------------------------------------------------- write
 
+  /** EXPORT a curated dataset as WebDataset shards — the output side of
+    * the training pipeline (ingest is [[webdatasetSamples]]): rows of
+    * (sample key, extension, payload bytes) land as `shard-<k>.tar`
+    * files under `dir`, shard k = xxhash64(sample_key) mod `nShards`,
+    * so a sample's members ALWAYS co-shard and a re-run over the same
+    * rows is byte-deterministic (members sort by (key, ext) within the
+    * shard). Each shard is assembled and written by its OWN task
+    * through the Hadoop FS (the GridStore side-file discipline — no
+    * driver collect, no shuffle beyond the one hash repartition); a
+    * task buffers one shard, so `nShards` is the memory knob: size
+    * shards to the usual 100 MB - 1 GB WebDataset convention. */
+  def writeWebdatasetShards(
+      df: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      extCol: String,
+      payloadCol: String,
+      dir: String,
+      nShards: Int,
+      gzip: Boolean = false): Unit = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.functions._
+    require(nShards >= 1, s"nShards $nShards")
+    val conf = new graft.sources.nc.SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val suffix = if (gzip) ".tar.gz" else ".tar"
+    df.select(
+        pmod(xxhash64(col(keyCol)), lit(nShards.toLong)).as("__shard"),
+        col(keyCol).cast("string").as("__key"),
+        col(extCol).cast("string").as("__ext"),
+        col(payloadCol).cast("binary").as("__payload"))
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions("__shard", "__key", "__ext")
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+        Encoders.STRING, Encoders.BINARY))
+      .foreachPartition { it: Iterator[(Long, String, String, Array[Byte])] =>
+        // a partition may carry several shard ids (hash collisions in
+        // the repartition) — rows arrive shard-sorted, so cut on change
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
+        var current = -1L
+        val files = ArrayBuffer.empty[(String, Array[Byte])]
+        def flush(): Unit = if (current >= 0 && files.nonEmpty) {
+          val p = new org.apache.hadoop.fs.Path(s"$dir/shard-$current$suffix")
+          val out = fs.create(p, true)
+          try out.write(Tar.encode(files.toSeq, gzip)) finally out.close()
+          files.clear()
+        }
+        it.foreach { case (shard, key, ext, payload) =>
+          if (shard != current) { flush(); current = shard }
+          files += (s"$key.$ext" -> payload)
+        }
+        flush()
+      }
+  }
+
   /** Emit a ustar archive of (name, data) files; `gzip = true` wraps it
     * (.tar.gz). Writer-beside-reader for the scan fixtures. */
   def encode(files: Seq[(String, Array[Byte])], gzip: Boolean = false): Array[Byte] = {

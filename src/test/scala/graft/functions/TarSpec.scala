@@ -38,6 +38,19 @@ class TarSpec extends SparkSpec {
     assert(out(3).offset == out(2).offset + 1024 + 512)
   }
 
+  test(".tar.zst archives inflate by magic (zstd, incl. multi-frame)") {
+    val tar = Tar.encode(files)
+    val half = tar.length / 2
+    // two concatenated zstd frames — the seekable/chunked archive shape
+    val zst = com.github.luben.zstd.Zstd.compress(tar.take(half), 3) ++
+      com.github.luben.zstd.Zstd.compress(tar.drop(half), 3)
+    val out = Tar.entries(11L, zst)
+    assert(out.map(_.name) == files.map(_._1))
+    out.zip(files).foreach { case (e, (_, data)) =>
+      assert(e.data.sameElements(data), e.name)
+    }
+  }
+
   test("GNU base-256 size fields parse") {
     val bytes = Tar.encode(Seq("big.bin" -> Array.fill[Byte](600)(7)))
     // rewrite the size field as base-256 and fix the checksum
@@ -85,6 +98,47 @@ class TarSpec extends SparkSpec {
     val eMid = intercept[IllegalArgumentException](
       Tar.entries(10L, good.take(secondHdr + 100)))
     assert(eMid.getMessage.contains("truncated mid-entry"), eMid.getMessage)
+  }
+
+  test("writeWebdatasetShards: members co-shard by key, output is " +
+      "byte-deterministic, gzip shards re-ingest") {
+    val sp = spark; import sp.implicits._
+    val members = (0 until 40).flatMap { k =>
+      Seq((f"s$k%03d", "txt", s"text $k".getBytes("UTF-8")),
+        (f"s$k%03d", "cls", s"${k % 3}".getBytes("UTF-8")))
+    }.toDF("key", "ext", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("wdsout").toString
+    Tar.writeWebdatasetShards(members, "key", "ext", "payload", dir,
+      nShards = 4, gzip = true)
+    // (Hadoop's local FS also writes hidden .crc side files — skip them,
+    // exactly as binaryFile does on re-ingest)
+    val shardFiles = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(shardFiles.nonEmpty &&
+      shardFiles.forall(_.matches("shard-\\d+\\.tar\\.gz")), shardFiles.toSeq)
+    // re-ingest: every member comes back, and each sample's two members
+    // sit in the SAME shard file
+    val bin = spark.read.format("binaryFile").load(dir)
+      .select(org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("content"))
+      .collect()
+    val byShard = bin.flatMap { r =>
+      Tar.entries(1L, r.getAs[Array[Byte]]("content"))
+        .map(e => (r.getAs[String]("path"), e.name))
+    }
+    assert(byShard.length == 80)
+    byShard.groupBy(_._2.split("\\.")(0)).foreach { case (key, ms) =>
+      assert(ms.map(_._1).distinct.length == 1, s"$key split across shards")
+    }
+    // byte-determinism: a second run produces identical shard bytes
+    val dir2 = java.nio.file.Files.createTempDirectory("wdsout2").toString
+    Tar.writeWebdatasetShards(members.repartition(7), "key", "ext", "payload",
+      dir2, nShards = 4, gzip = true)
+    shardFiles.foreach { f =>
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/$f"))
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir2/$f"))
+      assert(java.util.Arrays.equals(a, b), s"$f differs across runs")
+    }
   }
 
   test("webdatasetSamples groups by basename-to-first-dot") {
