@@ -181,12 +181,22 @@ object Tar {
         // a partition may carry several shard ids (hash collisions in
         // the repartition) — rows arrive shard-sorted, so cut on change
         val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
+        // write-to-temp + rename keyed by the task ATTEMPT, so a retried
+        // or speculative attempt never interleaves bytes into the final
+        // file — last rename wins with identical (deterministic) content
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         var current = -1L
         val files = ArrayBuffer.empty[(String, Array[Byte])]
         def flush(): Unit = if (current >= 0 && files.nonEmpty) {
-          val p = new org.apache.hadoop.fs.Path(s"$dir/shard-$current$suffix")
-          val out = fs.create(p, true)
+          val finalP = new org.apache.hadoop.fs.Path(s"$dir/shard-$current$suffix")
+          val tmpP = new org.apache.hadoop.fs.Path(
+            s"$dir/.shard-$current$suffix.attempt$attempt.tmp")
+          val out = fs.create(tmpP, true)
           try out.write(Tar.encode(files.toSeq, gzip)) finally out.close()
+          if (fs.exists(finalP)) fs.delete(finalP, false)
+          require(fs.rename(tmpP, finalP),
+            s"webdataset export: rename $tmpP -> $finalP failed")
           files.clear()
         }
         it.foreach { case (shard, key, ext, payload) =>
