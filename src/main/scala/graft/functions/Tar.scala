@@ -32,7 +32,9 @@ object Tar {
   private def str(b: Array[Byte], off: Int, len: Int): String = {
     var end = off
     while (end < off + len && b(end) != 0) end += 1
-    new String(b, off, end - off, "US-ASCII")
+    // names are byte strings; UTF-8 is the modern convention (ASCII
+    // numeric fields decode identically)
+    new String(b, off, end - off, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** Octal field, or GNU base-256 when the top bit of the first byte is
@@ -143,17 +145,69 @@ object Tar {
 
   // ------------------------------------------------------------- write
 
+  /** Write ONE ustar entry (header + data + block padding) to `out` —
+    * the streaming unit both [[encode]] and [[writeWebdatasetShards]]
+    * are built from, so a shard is never buffered whole. Names are
+    * UTF-8 bytes (non-ASCII keys survive the roundtrip); names longer
+    * than the 100-byte ustar field refuse by name. */
+  private def writeEntry(out: java.io.OutputStream, name: String,
+      data: Array[Byte]): Unit = {
+    val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(nameBytes.length <= 100,
+      s"tar member name '$name' is ${nameBytes.length} bytes " +
+        "(the ustar name field holds 100; longer names need the prefix field)")
+    val hdr = new Array[Byte](512)
+    nameBytes.copyToArray(hdr, 0)
+    def put(off: Int, v: String): Unit =
+      v.getBytes("US-ASCII").copyToArray(hdr, off)
+    put(100, "0000644"); put(108, "0000000"); put(116, "0000000")
+    put(124, f"${data.length}%011o")
+    put(136, "00000000000")
+    hdr(156) = '0'
+    put(257, "ustar"); put(263, "00"); put(265, "graft"); put(297, "graft")
+    (148 until 156).foreach(i => hdr(i) = ' ')
+    val sum = hdr.map(_ & 0xFF).sum
+    put(148, f"$sum%06o"); hdr(154) = 0; hdr(155) = ' '
+    out.write(hdr)
+    out.write(data)
+    val pad = (512 - data.length % 512) % 512
+    if (pad > 0) out.write(new Array[Byte](pad))
+  }
+
+  private def writeEndBlocks(out: java.io.OutputStream): Unit =
+    out.write(new Array[Byte](1024))
+
+  /** Emit a ustar archive of (name, data) files; `gzip = true` wraps it
+    * (.tar.gz). Writer-beside-reader for the scan fixtures. */
+  def encode(files: Seq[(String, Array[Byte])], gzip: Boolean = false): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val sink: java.io.OutputStream =
+      if (gzip) new java.util.zip.GZIPOutputStream(bo) else bo
+    files.foreach { case (name, data) => writeEntry(sink, name, data) }
+    writeEndBlocks(sink)
+    sink.close()
+    bo.toByteArray
+  }
+
   /** EXPORT a curated dataset as WebDataset shards — the output side of
     * the training pipeline (ingest is [[webdatasetSamples]]): rows of
-    * (sample key, extension, payload bytes) land as `shard-<k>.tar`
+    * (sample key, extension, payload bytes) land as `shard-<k>.tar[.gz]`
     * files under `dir`, shard k = xxhash64(sample_key) mod `nShards`,
     * so a sample's members ALWAYS co-shard and a re-run over the same
-    * rows is byte-deterministic (members sort by (key, ext) within the
-    * shard). Each shard is assembled and written by its OWN task
-    * through the Hadoop FS (the GridStore side-file discipline — no
-    * driver collect, no shuffle beyond the one hash repartition); a
-    * task buffers one shard, so `nShards` is the memory knob: size
-    * shards to the usual 100 MB - 1 GB WebDataset convention. */
+    * rows is byte-deterministic regardless of input partitioning
+    * (members sort by (key, ext) within the shard).
+    *
+    * Scale shape: ONE shuffle — `repartitionAndSortWithinPartitions`
+    * with an IDENTITY partitioner on the shard id (shard i goes to
+    * task i: no balls-in-bins collisions leaving tasks idle) — then
+    * each task STREAMS its shard's entries straight to the Hadoop FS
+    * (no whole-shard buffer; a shard can exceed executor memory).
+    * Writes go to an attempt-keyed hidden temp file and rename into
+    * place; if the final file already exists, a prior attempt committed
+    * the identical deterministic bytes and the temp is discarded — a
+    * zombie speculative attempt can never delete a committed shard.
+    * Orphaned `.tmp` files from killed attempts are hidden (binaryFile
+    * ignores them) and safe to sweep. */
   def writeWebdatasetShards(
       df: org.apache.spark.sql.DataFrame,
       keyCol: String,
@@ -162,83 +216,60 @@ object Tar {
       dir: String,
       nShards: Int,
       gzip: Boolean = false): Unit = {
-    import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.functions._
     require(nShards >= 1, s"nShards $nShards")
     val conf = new graft.sources.nc.SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val suffix = if (gzip) ".tar.gz" else ".tar"
-    df.select(
+    val keyed = df.select(
         pmod(xxhash64(col(keyCol)), lit(nShards.toLong)).as("__shard"),
         col(keyCol).cast("string").as("__key"),
         col(extCol).cast("string").as("__ext"),
         col(payloadCol).cast("binary").as("__payload"))
-      .repartition(nShards, col("__shard"))
-      .sortWithinPartitions("__shard", "__key", "__ext")
-      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
-        Encoders.STRING, Encoders.BINARY))
-      .foreachPartition { it: Iterator[(Long, String, String, Array[Byte])] =>
-        // a partition may carry several shard ids (hash collisions in
-        // the repartition) — rows arrive shard-sorted, so cut on change
+      .rdd.map { r =>
+        ((r.getLong(0), r.getString(1), r.getString(2)),
+          r.getAs[Array[Byte]](3))
+      }
+    val parted = keyed.repartitionAndSortWithinPartitions(
+      new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nShards
+        override def getPartition(key: Any): Int =
+          key.asInstanceOf[(Long, String, String)]._1.toInt
+      })
+    parted.foreachPartition {
+      it: Iterator[((Long, String, String), Array[Byte])] =>
         val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
-        // write-to-temp + rename keyed by the task ATTEMPT, so a retried
-        // or speculative attempt never interleaves bytes into the final
-        // file — last rename wins with identical (deterministic) content
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(_.taskAttemptId()).getOrElse(0L)
         var current = -1L
-        val files = ArrayBuffer.empty[(String, Array[Byte])]
-        def flush(): Unit = if (current >= 0 && files.nonEmpty) {
+        var sink: java.io.OutputStream = null
+        var tmpP: org.apache.hadoop.fs.Path = null
+        def commit(): Unit = if (sink != null) {
+          writeEndBlocks(sink)
+          sink.close()
+          sink = null
           val finalP = new org.apache.hadoop.fs.Path(s"$dir/shard-$current$suffix")
-          val tmpP = new org.apache.hadoop.fs.Path(
-            s"$dir/.shard-$current$suffix.attempt$attempt.tmp")
-          val out = fs.create(tmpP, true)
-          try out.write(Tar.encode(files.toSeq, gzip)) finally out.close()
-          if (fs.exists(finalP)) fs.delete(finalP, false)
-          require(fs.rename(tmpP, finalP),
-            s"webdataset export: rename $tmpP -> $finalP failed")
-          files.clear()
+          // a prior successful attempt committed IDENTICAL bytes: never
+          // touch the final file, just discard ours
+          if (fs.exists(finalP)) fs.delete(tmpP, false)
+          else if (!fs.rename(tmpP, finalP)) {
+            fs.delete(tmpP, false) // lost the rename race to a twin attempt
+            require(fs.exists(finalP),
+              s"webdataset export: rename to $finalP failed and nothing committed it")
+          }
         }
-        it.foreach { case (shard, key, ext, payload) =>
-          if (shard != current) { flush(); current = shard }
-          files += (s"$key.$ext" -> payload)
+        it.foreach { case ((shard, key, ext), payload) =>
+          if (shard != current) {
+            commit()
+            current = shard
+            tmpP = new org.apache.hadoop.fs.Path(
+              s"$dir/.shard-$current$suffix.attempt$attempt.tmp")
+            val raw = fs.create(tmpP, true)
+            sink = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
+          }
+          writeEntry(sink, s"$key.$ext", payload)
         }
-        flush()
-      }
-  }
-
-  /** Emit a ustar archive of (name, data) files; `gzip = true` wraps it
-    * (.tar.gz). Writer-beside-reader for the scan fixtures. */
-  def encode(files: Seq[(String, Array[Byte])], gzip: Boolean = false): Array[Byte] = {
-    val out = ArrayBuffer.empty[Byte]
-    files.foreach { case (name, data) =>
-      require(name.length <= 100, s"name '$name' needs the prefix field")
-      val hdr = new Array[Byte](512)
-      def put(off: Int, s: String): Unit =
-        s.getBytes("US-ASCII").copyToArray(hdr, off)
-      put(0, name)
-      put(100, "0000644"); put(108, "0000000"); put(116, "0000000")
-      put(124, f"${data.length}%011o")
-      put(136, "00000000000")
-      hdr(156) = '0'
-      put(257, "ustar"); put(263, "00"); put(265, "graft"); put(297, "graft")
-      // checksum with the field as spaces, then write it
-      (148 until 156).foreach(i => hdr(i) = ' ')
-      val sum = hdr.map(_ & 0xFF).sum
-      put(148, f"$sum%06o"); hdr(154) = 0; hdr(155) = ' '
-      out ++= hdr
-      out ++= data
-      val pad = (512 - data.length % 512) % 512
-      (0 until pad).foreach(_ => out += 0)
-    }
-    (0 until 1024).foreach(_ => out += 0) // two end blocks
-    val tar = out.toArray
-    if (!gzip) tar
-    else {
-      val bo = new java.io.ByteArrayOutputStream(tar.length)
-      val gz = new java.util.zip.GZIPOutputStream(bo)
-      gz.write(tar); gz.close()
-      bo.toByteArray
+        commit()
     }
   }
 }

@@ -141,6 +141,21 @@ class TarSpec extends SparkSpec {
     }
   }
 
+  test("non-ASCII member names roundtrip as UTF-8 bytes") {
+    val files2 = Seq("caf\u00e9.txt" -> "x".getBytes("UTF-8"),
+      "caf\u00e4.txt" -> "y".getBytes("UTF-8"))
+    val out = Tar.entries(12L, Tar.encode(files2))
+    assert(out.map(_.name) == files2.map(_._1)) // distinct, not 'caf?'
+  }
+
+  test("truncated zstd archives refuse by name (no silent partial prefix)") {
+    val tar = Tar.encode(files)
+    val zst = com.github.luben.zstd.Zstd.compress(tar, 3)
+    val e = intercept[IllegalArgumentException](
+      Tar.entries(13L, zst.dropRight(7)))
+    assert(e.getMessage.toLowerCase.contains("zstd"), e.getMessage)
+  }
+
   test("webdatasetSamples groups by basename-to-first-dot") {
     val sp = spark; import sp.implicits._
     val wds = Tar.encode(Seq(
