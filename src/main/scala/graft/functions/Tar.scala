@@ -258,15 +258,27 @@ object Tar {
               s"webdataset export: rename to $finalP failed and nothing committed it")
           }
         }
+        var lastKey: String = null
+        var lastExt: String = null
         it.foreach { case ((shard, key, ext), payload) =>
           if (shard != current) {
             commit()
             current = shard
+            lastKey = null; lastExt = null
             tmpP = new org.apache.hadoop.fs.Path(
               s"$dir/.shard-$current$suffix.attempt$attempt.tmp")
             val raw = fs.create(tmpP, true)
             sink = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
           }
+          // byte-determinism (and the rename protocol's "a prior attempt
+          // committed IDENTICAL bytes" rationale) rests on (key, ext)
+          // being unique: duplicate rows with different payloads would
+          // sort arbitrarily between attempts. The sort makes duplicates
+          // ADJACENT, so the check is free.
+          require(!(key == lastKey && ext == lastExt),
+            s"webdataset export: duplicate sample member ($key, $ext) — " +
+              "member identity must be unique (dedup or re-key upstream)")
+          lastKey = key; lastExt = ext
           writeEntry(sink, s"$key.$ext", payload)
         }
         commit()

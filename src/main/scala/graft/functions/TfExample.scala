@@ -103,7 +103,11 @@ object TfExample {
               }
               bt = r.tag(u)
             }
-            bytesVals = acc.toSeq; kinds += "bytes"; r.pos = save
+            // repeated occurrences of the same list field MERGE
+            // (protobuf embedded-message semantics) — an encoder that
+            // splits one BytesList across two field occurrences must
+            // not lose the earlier values
+            bytesVals = bytesVals ++ acc.toSeq; kinds += "bytes"; r.pos = save
           case (2, 2) => // FloatList
             val (f, u) = r.lenDelimited(until)
             val save = r.pos; r.pos = f
@@ -123,7 +127,7 @@ object TfExample {
               }
               ft = r.tag(u)
             }
-            floatVals = acc.toSeq; kinds += "float"; r.pos = save
+            floatVals = floatVals ++ acc.toSeq; kinds += "float"; r.pos = save
           case (3, 2) => // Int64List
             val (f, u) = r.lenDelimited(until)
             val save = r.pos; r.pos = f
@@ -141,7 +145,7 @@ object TfExample {
               }
               it = r.tag(u)
             }
-            int64Vals = acc.toSeq; kinds += "int64"; r.pos = save
+            int64Vals = int64Vals ++ acc.toSeq; kinds += "int64"; r.pos = save
           case (_, w) => r.skip(w, until)
         }
         t = r.tag(until)
@@ -172,7 +176,21 @@ object TfExample {
                 case (2, 2) =>
                   val (vf, vu) = r.lenDelimited(u)
                   val save2 = r.pos
-                  feat = parseFeature(vf, vu)
+                  // repeated value-field occurrences MERGE (embedded
+                  // message semantics), same as the list fields inside
+                  val parsed = parseFeature(vf, vu)
+                  feat =
+                    if (feat.kind == "empty") parsed
+                    else if (parsed.kind == "empty") feat
+                    else {
+                      require(feat.kind == parsed.kind,
+                        s"tfexample $id: merged Feature occurrences carry " +
+                          s"${feat.kind}+${parsed.kind} — oneof violated")
+                      Feature(feat.kind,
+                        feat.bytesVals ++ parsed.bytesVals,
+                        feat.floatVals ++ parsed.floatVals,
+                        feat.int64Vals ++ parsed.int64Vals)
+                    }
                   r.pos = save2
                 case (_, w) => r.skip(w, u)
               }

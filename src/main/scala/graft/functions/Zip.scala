@@ -58,6 +58,11 @@ object Zip {
     val cdOff = u32(eocd + 16)
     require(cdOff != 0xFFFFFFFFL && nEntries != 0xFFFF,
       s"zip $id: ZIP64 out of profile")
+    // u32 offsets are validated as LONGS before any toInt: a garbled
+    // EOCD with an offset past 2 GiB must refuse by name, not wrap
+    // negative into an ArrayIndexOutOfBoundsException
+    require(cdOff + 46 <= bytes.length,
+      s"zip $id: central directory offset $cdOff past end ${bytes.length}")
     val out = ArrayBuffer.empty[ZipEntry]
     var p = cdOff.toInt
     for (_ <- 0 until nEntries) {
@@ -85,9 +90,21 @@ object Zip {
       val nameLen = u16(p + 28); val extraLen = u16(p + 30)
       val commentLen = u16(p + 32)
       val localOff = u32(p + 42)
+      require(p + 46 + nameLen <= bytes.length,
+        s"zip $id: central entry name at $p runs past end")
       val name = new String(bytes, p + 46, nameLen,
         java.nio.charset.StandardCharsets.UTF_8)
+      // deflate's theoretical ceiling is 1032:1 — an uncompressed size
+      // claiming more is a garbled directory (or a crafted bomb), and
+      // must refuse by name BEFORE the allocation (a u32 near 2^32
+      // would otherwise wrap toInt negative in `new Array`)
+      require(usize <= Int.MaxValue - 8 &&
+        (method == 0 || usize <= csize * 1100L + 64),
+        s"zip $id: member '$name' claims $usize uncompressed from $csize " +
+          "compressed bytes — garbled directory or decompression bomb")
       // local header: PK\3\4 ... its OWN name/extra lengths (may differ)
+      require(localOff + 30 <= bytes.length,
+        s"zip $id: local header offset $localOff past end ${bytes.length}")
       val lo = localOff.toInt
       require(lo + 30 <= bytes.length && bytes(lo) == 'P' && bytes(lo + 1) == 'K' &&
         bytes(lo + 2) == 3 && bytes(lo + 3) == 4,

@@ -141,6 +141,21 @@ class TarSpec extends SparkSpec {
     }
   }
 
+  test("writeWebdatasetShards refuses duplicate (key, ext) rows by name " +
+      "(duplicate identity would break byte-determinism across attempts)") {
+    val sp = spark; import sp.implicits._
+    val members = Seq(
+      ("s001", "txt", "one".getBytes("UTF-8")),
+      ("s001", "txt", "two".getBytes("UTF-8")), // same identity, different bytes
+      ("s002", "txt", "ok".getBytes("UTF-8"))).toDF("key", "ext", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("wdsdup").toString
+    val e = intercept[org.apache.spark.SparkException](
+      Tar.writeWebdatasetShards(members, "key", "ext", "payload", dir, nShards = 2))
+    assert(e.getMessage.contains("duplicate sample member") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate sample member")),
+      e.getMessage)
+  }
+
   test("non-ASCII member names roundtrip as UTF-8 bytes") {
     val files2 = Seq("caf\u00e9.txt" -> "x".getBytes("UTF-8"),
       "caf\u00e4.txt" -> "y".getBytes("UTF-8"))

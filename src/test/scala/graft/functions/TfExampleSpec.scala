@@ -75,6 +75,40 @@ class TfExampleSpec extends SparkSpec {
     assert(e2.getMessage.contains("oneof"), e2.getMessage)
   }
 
+  test("repeated occurrences of the same list field (and of the Feature " +
+      "value field) MERGE per protobuf embedded-message semantics") {
+    def vint(v: Long): Array[Byte] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var x = v; var more = true
+      while (more) {
+        val b = (x & 0x7F).toInt; x = x >>> 7; more = x != 0
+        out += (if (more) b | 0x80 else b).toByte
+      }
+      out.toArray
+    }
+    def len(num: Int, p: Array[Byte]): Array[Byte] =
+      vint((num << 3) | 2) ++ vint(p.length.toLong) ++ p
+    // one Feature whose Int64List field (3) occurs TWICE — a hand-written
+    // encoder emitting split lists; earlier values must survive
+    val splitLists = len(3, len(1, vint(1) ++ vint(2))) ++
+      len(3, len(1, vint(3)))
+    val entry = len(1, len(1, "a".getBytes) ++ len(2, splitLists))
+    val out = TfExample.parse(6L, len(1, entry))
+    assert(out == Seq("a" -> Feature("int64", int64Vals = Seq(1L, 2L, 3L))))
+    // the map-entry VALUE field (2) occurring twice also merges
+    val entry2 = len(1, len(1, "b".getBytes) ++
+      len(2, len(3, len(1, vint(7)))) ++ len(2, len(3, len(1, vint(8)))))
+    val out2 = TfExample.parse(7L, len(1, entry2))
+    assert(out2 == Seq("b" -> Feature("int64", int64Vals = Seq(7L, 8L))))
+    // merged occurrences with DIFFERENT kinds still violate the oneof
+    val entry3 = len(1, len(1, "c".getBytes) ++
+      len(2, len(3, len(1, vint(7)))) ++
+      len(2, len(1, len(1, Array.emptyByteArray))))
+    val e = intercept[IllegalArgumentException](
+      TfExample.parse(8L, len(1, entry3)))
+    assert(e.getMessage.contains("oneof"), e.getMessage)
+  }
+
   test("featureTable: TFRecord shard → one row per (record, key)") {
     val sp = spark; import sp.implicits._
     val shard = TfRecord.encode(Seq(

@@ -84,6 +84,37 @@ class ZipSpec extends SparkSpec {
     assert(eJunk.getMessage.contains("not a zip"), eJunk.getMessage)
   }
 
+  test("garbled u32 offsets/sizes refuse by name, never wrap toInt " +
+      "(cdOff past 2 GiB, localOff past end, bomb-sized usize)") {
+    val good = Zip.encode(files)
+    val eocd = good.length - 22 // writer emits no comment
+    val cd = (0 until good.length - 3).find(o =>
+      good(o) == 'P' && good(o + 1) == 'K' && good(o + 2) == 1 &&
+        good(o + 3) == 2).get
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = good.clone(); f(c); c
+    }
+    def putU32(c: Array[Byte], o: Int, v: Long): Unit =
+      (0 until 4).foreach(i => c(o + i) = ((v >> (8 * i)) & 0xFF).toByte)
+    // EOCD central-directory offset > 2 GiB: would wrap negative toInt
+    val eCd = intercept[IllegalArgumentException](
+      Zip.entries(20L, patched(c => putU32(c, eocd + 16, 0x80000010L))))
+    assert(eCd.getMessage.contains("central directory offset"), eCd.getMessage)
+    // central entry's local-header offset past end
+    val eLo = intercept[IllegalArgumentException](
+      Zip.entries(21L, patched(c => putU32(c, cd + 42, 0x80000010L))))
+    assert(eLo.getMessage.contains("local header offset"), eLo.getMessage)
+    // uncompressed size near 2^32 on a deflate member: must refuse before
+    // allocating (NegativeArraySizeException is exactly the unnamed crash)
+    val deflCd = { // files(1) is the deflate member; walk one entry forward
+      val nameLen = (good(cd + 28) & 0xFF) | ((good(cd + 29) & 0xFF) << 8)
+      cd + 46 + nameLen
+    }
+    val eBomb = intercept[IllegalArgumentException](
+      Zip.entries(22L, patched(c => putU32(c, deflCd + 24, 0xFFFFFFF0L))))
+    assert(eBomb.getMessage.contains("bomb"), eBomb.getMessage)
+  }
+
   test("members() relational stage: one row per member") {
     val sp = spark; import sp.implicits._
     val df = Seq((8L, Zip.encode(files))).toDF("id", "zip")
