@@ -969,7 +969,13 @@ object SparkEntry {
     * own gzip member, bodies built from event counts with printable
     * ASCII so the DuckDB oracle rebuilds every field (uri, envelope
     * length, status, body text) with zero WARC code. Status cycles 200
-    * / 404 on the count so the envelope split is exercised on both. */
+    * / 404 on the count so the envelope split is exercised on both.
+    * HTTP BODY CODINGS cycle by slot — identity / chunked /
+    * gzip-level-0 — so real-crawl transfer- and content-coded payloads
+    * run through the decode path on every day, with closed-form encoded
+    * lengths (chunk framing arithmetic; stored-block gzip = len + 23)
+    * the oracle replays. Bodies carry numeric character references
+    * (&#8212; and &#x21;) for q180's extraction gate. */
   private def warcEventsFixture(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Warc
     val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
@@ -981,8 +987,10 @@ object SparkEntry {
           Warc.WRecord("response",
             targetUri = s"https://example.com/$id/$slot",
             httpStatus = Some(if (c % 7 == 0) 404 else 200),
+            chunked = slot % 3 == 1,
+            gzipBody = slot % 3 == 2,
             body = s"<html><head><style>p{x:$c}</style></head><body>" +
-              s"<h1>Day $id</h1><p>events=$c &amp; more</p>" +
+              s"<h1>Day $id</h1><p>events=$c &amp; more &#8212; ok&#x21;</p>" +
               s"<script>var a=$c;</script></body></html>")
         }
       (id, Warc.encode(recs, gzipPerRecord = true))
@@ -5745,19 +5753,35 @@ object SparkEntry {
         |            '<html><head><style>p{x:' || CAST(cnt AS VARCHAR) ||
         |            '}</style></head><body><h1>Day ' || CAST(id AS VARCHAR) ||
         |            '</h1><p>events=' || CAST(cnt AS VARCHAR) ||
-        |            ' &amp; more</p><script>var a=' || CAST(cnt AS VARCHAR) ||
+        |            ' &amp; more &#8212; ok&#x21;</p><script>var a=' ||
+        |            CAST(cnt AS VARCHAR) ||
         |            ';</script></body></html>' AS body
         |          FROM resp),
+        |-- encoded body length, closed-form: chunked = 38 bytes per full
+        |-- 32-byte chunk + hexdigits(rem)+rem+4 + 5-byte terminator;
+        |-- stored-block gzip = len + 23; identity = len
+        |enc AS (SELECT *,
+        |          CASE WHEN slot % 3 = 1 THEN
+        |                 (length(body) // 32) * 38
+        |                 + CASE WHEN length(body) % 32 > 0
+        |                        THEN length(to_hex(length(body) % 32))
+        |                             + (length(body) % 32) + 4 ELSE 0 END
+        |                 + 5
+        |               WHEN slot % 3 = 2 THEN length(body) + 23
+        |               ELSE length(body) END AS enc_len,
+        |          CASE WHEN slot % 3 = 1 THEN 28
+        |               WHEN slot % 3 = 2 THEN 24 ELSE 0 END AS extra_hdr
+        |        FROM bodies),
         |rrows AS (SELECT id, CAST(slot + 1 AS INTEGER) AS rec_idx,
         |            'response' AS warc_type,
         |            'https://example.com/' || CAST(id AS VARCHAR) || '/' ||
         |              CAST(slot AS VARCHAR) AS target_uri,
         |            CAST(CASE WHEN cnt % 7 = 0 THEN 48 ELSE 44 END
-        |              + length(body) AS BIGINT) AS content_length,
+        |              + extra_hdr + enc_len AS BIGINT) AS content_length,
         |            CAST(CASE WHEN cnt % 7 = 0 THEN 404 ELSE 200 END AS INTEGER)
         |              AS http_status,
         |            body AS payload_text
-        |          FROM bodies),
+        |          FROM enc),
         |irows AS (SELECT id, CAST(0 AS INTEGER) AS rec_idx,
         |            'warcinfo' AS warc_type, '' AS target_uri,
         |            CAST(14 AS BIGINT) AS content_length,
@@ -5784,8 +5808,9 @@ object SparkEntry {
         |       'https://example.com/' || CAST(id AS VARCHAR) || '/' ||
         |         CAST(slot AS VARCHAR) AS target_uri,
         |       'Day ' || CAST(id AS VARCHAR) || ' events=' ||
-        |         CAST(cnt AS VARCHAR) || ' & more' AS text,
-        |       5 AS n_tokens
+        |         CAST(cnt AS VARCHAR) || ' & more ' || chr(8212) ||
+        |         ' ok!' AS text,
+        |       7 AS n_tokens
         |FROM resp WHERE cnt % 7 <> 0
         |ORDER BY id, rec_idx""".stripMargin,
 

@@ -521,10 +521,19 @@ object Text {
     val noBlocks = regexp_replace(html,
       "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    // NUMERIC references (&#8212; / &#x21;) first — a native one-scan
+    // expression, since regexp_replace cannot compute chr(captured).
+    // Before the &amp; step by the same &amp;-last logic: an escaped
+    // literal "&amp;#65;" still spells its & as &amp; here, so neither
+    // the numeric scan nor the later fold double-decodes it.
+    val noNumeric = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.HtmlNumericEntityDecode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(noTags)))
+    // (&#39; needs no fold entry any more — the numeric scan covers it)
     val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      "&nbsp;" -> " ", "&amp;" -> "&")
     // entity names contain no regex metacharacters — literal patterns
-    val decoded = entities.foldLeft(noTags) { case (c, (k, v)) =>
+    val decoded = entities.foldLeft(noNumeric) { case (c, (k, v)) =>
       regexp_replace(c, k, v)
     }
     trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))

@@ -16,12 +16,17 @@ import scala.collection.mutable.ArrayBuffer
   *
   * For `response` records carrying `application/http` payloads the HTTP
   * envelope is split off: status code, and the body AFTER the header
-  * block — the text a curation pipeline actually wants. Payload text is
-  * decoded as UTF-8 with replacement (crawl bytes are dirty by
-  * definition; decoding never throws).
+  * block — DECODED: `Transfer-Encoding: chunked` framing is removed and
+  * `Content-Encoding: gzip` bodies inflate (Common Crawl stores payloads
+  * as captured, so both are routine on legal inputs — the warcio
+  * `content_stream()` contract). Payload text is decoded as UTF-8 with
+  * replacement (crawl bytes are dirty by definition; decoding never
+  * throws).
   *
   * Out of profile and refused BY NAME: records without Content-Length,
-  * version lines that are not WARC/0.x-1.x, truncated payloads. */
+  * version lines that are not WARC/0.x-1.x, truncated payloads,
+  * transfer-codings other than identity/chunked, content-codings other
+  * than identity/gzip (brotli/deflate/compress). */
 object Warc {
 
   final case class WarcRecord(
@@ -86,30 +91,9 @@ object Warc {
         val contentType = headers.getOrElse("content-type", "")
         // application/http payloads: split the HTTP envelope
         val (status, payload) =
-          if (contentType.startsWith("application/http")) {
-            var q = 0
-            def bLineEnd(from: Int): Int = {
-              var i = from
-              while (i < block.length && block(i) != '\n') i += 1
-              i
-            }
-            val se = bLineEnd(0)
-            val statusLine = new String(block, 0, se, "US-ASCII").stripSuffix("\r")
-            val code = statusLine.split(' ') match {
-              case parts if parts.length >= 2 && parts(0).startsWith("HTTP/") =>
-                try parts(1).toInt catch { case _: NumberFormatException => -1 }
-              case _ => -1
-            }
-            q = se + 1
-            var blank = false
-            while (!blank && q < block.length) {
-              val e = bLineEnd(q)
-              blank = e == q || (e == q + 1 && block(q) == '\r')
-              q = e + 1
-            }
-            (code, java.util.Arrays.copyOfRange(block, math.min(q, block.length),
-              block.length))
-          } else (-1, block)
+          if (contentType.startsWith("application/http"))
+            splitHttpEnvelope(id, recOff, block)
+          else (-1, block)
         out += WarcRecord(recOff, headers.getOrElse("warc-type", ""),
           headers.getOrElse("warc-target-uri", ""),
           headers.getOrElse("warc-date", ""),
@@ -117,6 +101,124 @@ object Warc {
       }
     }
     out.toSeq
+  }
+
+  /** Split an `application/http` payload block into (status code,
+    * DECODED body): the HTTP header block is PARSED (not skipped), and
+    * the body is un-transfer-coded and un-content-coded the way warcio's
+    * `content_stream()` does — Common Crawl stores payloads AS CAPTURED,
+    * so `Transfer-Encoding: chunked` bodies and `Content-Encoding: gzip`
+    * bodies are both routine on legal inputs. Handling them raw would
+    * interleave chunk-size hex lines (or gzip binary) into the curated
+    * text — silent garbage, the one failure mode this repo's
+    * refuse-by-name contract forbids. `br`, `deflate`, `compress`, and
+    * any transfer-coding other than `chunked`/`identity` refuse BY NAME
+    * (no public decoder table for brotli worth hand-transcribing; see
+    * README validation notes). */
+  private[functions] def splitHttpEnvelope(id: Long, recOff: Long,
+      block: Array[Byte]): (Int, Array[Byte]) = {
+    def bLineEnd(from: Int): Int = {
+      var i = from
+      while (i < block.length && block(i) != '\n') i += 1
+      i
+    }
+    val se = bLineEnd(0)
+    val statusLine = new String(block, 0, se, "US-ASCII").stripSuffix("\r")
+    val code = statusLine.split(' ') match {
+      case parts if parts.length >= 2 && parts(0).startsWith("HTTP/") =>
+        try parts(1).toInt catch { case _: NumberFormatException => -1 }
+      case _ => -1
+    }
+    var q = se + 1
+    var transferEnc = "identity"
+    var contentEnc = "identity"
+    var blank = false
+    while (!blank && q < block.length) {
+      val e = bLineEnd(q)
+      blank = e == q || (e == q + 1 && block(q) == '\r')
+      if (!blank) {
+        val line = new String(block, q, e - q, "US-ASCII").stripSuffix("\r")
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val k = line.substring(0, colon).trim.toLowerCase
+          if (k == "transfer-encoding")
+            transferEnc = line.substring(colon + 1).trim.toLowerCase
+          else if (k == "content-encoding")
+            contentEnc = line.substring(colon + 1).trim.toLowerCase
+        }
+      }
+      q = e + 1
+    }
+    val raw = java.util.Arrays.copyOfRange(block, math.min(q, block.length),
+      block.length)
+    // transfer-coding first (applied last on the wire), then content-coding
+    val unchunked = transferEnc match {
+      case "identity" | "" => raw
+      case "chunked" => dechunk(id, recOff, raw)
+      case other => throw new IllegalArgumentException(
+        s"warc $id: record at $recOff has Transfer-Encoding '$other' " +
+          "— only identity/chunked are in profile")
+    }
+    val body = contentEnc match {
+      case "identity" | "" => unchunked
+      case "gzip" | "x-gzip" =>
+        require(Gunzip.isGzip(unchunked),
+          s"warc $id: record at $recOff claims Content-Encoding gzip " +
+            "but the body has no gzip magic")
+        try Gunzip.maybeInflate(unchunked) catch {
+          case e: java.io.IOException => throw new IllegalArgumentException(
+            s"warc $id: record at $recOff gzip body corrupt: ${e.getMessage}")
+        }
+      case other => throw new IllegalArgumentException(
+        s"warc $id: record at $recOff has Content-Encoding '$other' " +
+          "— only identity/gzip are in profile (brotli's static " +
+          "dictionary is not transcribable from a trustworthy source)")
+    }
+    (code, body)
+  }
+
+  /** Decode `Transfer-Encoding: chunked` framing (RFC 9112 §7.1):
+    * `hex-size [;ext] CRLF data CRLF` repeated, a `0` chunk, then
+    * optional trailer lines until a blank line. Malformed sizes and
+    * truncated chunks refuse by name. */
+  private[functions] def dechunk(id: Long, recOff: Long,
+      raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length)
+    var p = 0
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < raw.length && raw(i) != '\n') i += 1
+      i
+    }
+    var done = false
+    while (!done) {
+      val e = lineEnd(p)
+      require(e < raw.length,
+        s"warc $id: record at $recOff chunked body truncated mid-size-line")
+      val sizeLine = new String(raw, p, e - p, "US-ASCII").stripSuffix("\r")
+      // chunk extensions (";ext=val") are legal; size is before the ';'
+      val sizeHex = sizeLine.split(';')(0).trim
+      val size =
+        try java.lang.Long.parseLong(sizeHex, 16) catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"warc $id: record at $recOff has unparseable chunk size " +
+              s"'$sizeHex'")
+        }
+      p = e + 1
+      if (size == 0) done = true
+      else {
+        require(p + size + 2 <= raw.length,
+          s"warc $id: record at $recOff chunk of $size bytes runs past end")
+        out.write(raw, p, size.toInt)
+        p += size.toInt
+        require(raw(p) == '\r' && raw(p + 1) == '\n',
+          s"warc $id: record at $recOff chunk of $size bytes not " +
+            "CRLF-terminated")
+        p += 2
+      }
+    }
+    // trailers (if any) run until a blank line; nothing to keep
+    out.toByteArray
   }
 
   /** [[parse]] as a relational stage: one row per record, container
@@ -155,25 +257,44 @@ object Warc {
 
   /** Writer-side record: headers assembled in canonical order; a
     * `Some(status)` wraps the payload in an HTTP/1.1 envelope with the
-    * given status code (the `response` record shape). */
+    * given status code (the `response` record shape). `chunked` frames
+    * the body as `Transfer-Encoding: chunked` (32-byte chunks, lowercase
+    * hex sizes); `gzipBody` compresses it as `Content-Encoding: gzip`
+    * with LEVEL-0 (stored-block) deflate, whose encoded length is the
+    * closed form `len + 23` for bodies under 64 KiB — what lets the
+    * DuckDB oracle replay record Content-Lengths with zero gzip code. */
   final case class WRecord(
       warcType: String,
       targetUri: String = "",
       warcDate: String = "2024-01-01T00:00:00Z",
       httpStatus: Option[Int] = None,
-      body: String = "")
+      body: String = "",
+      chunked: Boolean = false,
+      gzipBody: Boolean = false)
 
   /** Emit records; `gzipPerRecord = true` compresses each record as its
     * own gzip member and concatenates — the Common Crawl layout. */
   def encode(records: Seq[WRecord], gzipPerRecord: Boolean = false): Array[Byte] = {
     def one(r: WRecord): Array[Byte] = {
-      val block = r.httpStatus match {
+      val blockBytes = r.httpStatus match {
         case Some(code) =>
           val reason = if (code == 200) "OK" else "Status"
-          s"HTTP/1.1 $code $reason\r\nContent-Type: text/html\r\n\r\n${r.body}"
-        case None => r.body
+          var body = r.body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val hdrs = new StringBuilder
+          hdrs.append(s"HTTP/1.1 $code $reason\r\n")
+          hdrs.append("Content-Type: text/html\r\n")
+          if (r.gzipBody) { // content-coding first, transfer-coding on top
+            body = gzipStored(body)
+            hdrs.append("Content-Encoding: gzip\r\n")
+          }
+          if (r.chunked) {
+            body = chunkFrame(body)
+            hdrs.append("Transfer-Encoding: chunked\r\n")
+          }
+          hdrs.append("\r\n")
+          hdrs.toString.getBytes("US-ASCII") ++ body
+        case None => r.body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       }
-      val blockBytes = block.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val sb = new StringBuilder
       sb.append("WARC/1.0\r\n")
       sb.append(s"WARC-Type: ${r.warcType}\r\n")
@@ -194,5 +315,38 @@ object Warc {
       gz.write(p); gz.close()
       bo.toByteArray
     }.toArray
+  }
+
+  /** Level-0 (stored-block) gzip: legal gzip any decoder inflates, with
+    * the CLOSED-FORM encoded length `len + 23` for `len` < 64 KiB
+    * (10-byte header + one 5-byte stored-block frame + data + 8-byte
+    * trailer) — deterministic bytes (the JDK writes MTIME=0), so oracle
+    * replay of record Content-Lengths needs zero gzip code. */
+  private[functions] def gzipStored(data: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream(data.length + 32)
+    val gz = new java.util.zip.GZIPOutputStream(bo) {
+      `def`.setLevel(java.util.zip.Deflater.NO_COMPRESSION)
+    }
+    gz.write(data); gz.close()
+    bo.toByteArray
+  }
+
+  /** `Transfer-Encoding: chunked` framing with fixed 32-byte chunks and
+    * lowercase hex sizes — encoded length is closed-form from the body
+    * length (38 bytes per full chunk, `hexdigits(rem) + rem + 4` for the
+    * partial, 5 for the terminator). */
+  private[functions] def chunkFrame(data: Array[Byte]): Array[Byte] = {
+    val Chunk = 32
+    val bo = new java.io.ByteArrayOutputStream(data.length + data.length / Chunk * 8 + 16)
+    var p = 0
+    while (p < data.length) {
+      val n = math.min(Chunk, data.length - p)
+      bo.write(f"$n%x\r\n".getBytes("US-ASCII"))
+      bo.write(data, p, n)
+      bo.write('\r'); bo.write('\n')
+      p += n
+    }
+    bo.write("0\r\n\r\n".getBytes("US-ASCII"))
+    bo.toByteArray
   }
 }

@@ -31,6 +31,17 @@ class HtmlTextSpec extends SparkSpec {
     assert(extract("<p>&amp;lt;</p>") == "&lt;")
   }
 
+  test("NUMERIC character references decode: decimal, hex, supplementary " +
+      "plane; malformed and escaped ones stay literal") {
+    assert(extract("<p>a&#8212;b ok&#x21; A=&#65; &#x1F600;</p>") ==
+      "a—b ok! A=A 😀")
+    // &amp;#65; is an ESCAPED literal &#65; — single decode only
+    assert(extract("<p>&amp;#65;</p>") == "&#65;")
+    // malformed: no digits, unterminated, out of range, surrogate
+    assert(extract("&#; &#xg1; &#1114112; &#xD800; &#65") ==
+      "&#; &#xg1; &#1114112; &#xD800; &#65")
+  }
+
   test("script with attributes and multiline body drops wholesale") {
     val html = "<script src=\"x.js\" async>\nif (a < b) { run(); }\n</script>ok"
     assert(extract(html) == "ok")

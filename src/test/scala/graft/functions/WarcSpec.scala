@@ -77,6 +77,66 @@ class WarcSpec extends SparkSpec {
     assert(e3.getMessage.contains("version line"), e3.getMessage)
   }
 
+  test("chunked and gzip HTTP bodies DECODE (the warcio content_stream " +
+      "contract); encoded lengths match the closed forms") {
+    val body = "<p>" + ("x" * 100) + " events=7</p>" // 3 full chunks + rem
+    val encoded = Seq(
+      WRecord("response", targetUri = "https://example.com/c",
+        httpStatus = Some(200), chunked = true, body = body),
+      WRecord("response", targetUri = "https://example.com/g",
+        httpStatus = Some(200), gzipBody = true, body = body),
+      WRecord("response", targetUri = "https://example.com/cg",
+        httpStatus = Some(200), chunked = true, gzipBody = true, body = body))
+    for (gz <- Seq(false, true)) {
+      val out = Warc.parse(10L, Warc.encode(encoded, gzipPerRecord = gz))
+      assert(out.forall(_.payloadText == body), out.map(_.payloadText))
+    }
+    val out = Warc.parse(11L, Warc.encode(encoded))
+    val len = body.length
+    // chunked: 38/full 32-byte chunk, hexdigits(rem)+rem+4, 5 terminator
+    val rem = len % 32
+    val chunkedLen = (len / 32) * 38 +
+      (if (rem > 0) Integer.toHexString(rem).length + rem + 4 else 0) + 5
+    val env = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n".length
+    assert(out(0).contentLength == env + 28 + chunkedLen)
+    // stored-block gzip: len + 23
+    assert(out(1).contentLength == env + 24 + (len + 23))
+  }
+
+  test("foreign transfer/content codings refuse BY NAME (br, deflate, " +
+      "non-chunked TE); truncated chunk framing refuses") {
+    def httpRec(hdrs: String, body: Array[Byte]): Array[Byte] = {
+      val block = s"HTTP/1.1 200 OK\r\n$hdrs\r\n".getBytes("US-ASCII") ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${block.length}\r\n\r\n").getBytes("US-ASCII") ++
+        block ++ "\r\n\r\n".getBytes("US-ASCII")
+    }
+    val eBr = intercept[IllegalArgumentException](Warc.parse(12L,
+      httpRec("Content-Encoding: br\r\n", "xx".getBytes)))
+    assert(eBr.getMessage.contains("'br'"), eBr.getMessage)
+    val eDf = intercept[IllegalArgumentException](Warc.parse(13L,
+      httpRec("Content-Encoding: deflate\r\n", "xx".getBytes)))
+    assert(eDf.getMessage.contains("'deflate'"), eDf.getMessage)
+    val eTe = intercept[IllegalArgumentException](Warc.parse(14L,
+      httpRec("Transfer-Encoding: gzip, chunked\r\n", "xx".getBytes)))
+    assert(eTe.getMessage.contains("Transfer-Encoding"), eTe.getMessage)
+    // gzip content-coding whose body is not gzip
+    val eMagic = intercept[IllegalArgumentException](Warc.parse(15L,
+      httpRec("Content-Encoding: gzip\r\n", "xx".getBytes)))
+    assert(eMagic.getMessage.contains("gzip magic"), eMagic.getMessage)
+    // truncated chunk framing
+    val eTrunc = intercept[IllegalArgumentException](Warc.parse(16L,
+      httpRec("Transfer-Encoding: chunked\r\n",
+        "20\r\nonly-a-few-bytes".getBytes("US-ASCII"))))
+    assert(eTrunc.getMessage.contains("chunk"), eTrunc.getMessage)
+    // garbage chunk size line
+    val eSize = intercept[IllegalArgumentException](Warc.parse(17L,
+      httpRec("Transfer-Encoding: chunked\r\n",
+        "zz\r\nxx\r\n0\r\n\r\n".getBytes("US-ASCII"))))
+    assert(eSize.getMessage.contains("chunk size"), eSize.getMessage)
+  }
+
   test("records() relational stage: one row per record, both layouts") {
     val sp = spark; import sp.implicits._
     val df = Seq(
