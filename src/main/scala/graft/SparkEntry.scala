@@ -1053,11 +1053,16 @@ object SparkEntry {
   private def webdatasetEventsFixture(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Tar
     val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
+      // every third day uses URL-length keys (>100 bytes with the
+      // extension), so the PAX 'x' long-name path runs writer AND
+      // reader on real fixture days — closed-form for the oracle
+      // (repeat('x', 110))
+      val long = if (id % 3 == 0) "x" * 110 + "_" else ""
       val files = (0 until 10).flatMap { slot =>
         Seq(
-          f"shard$id%d/$slot%04d.txt" ->
+          f"shard$id%d/$long$slot%04d.txt" ->
             s"sample text events=${cnt(slot)}".getBytes("US-ASCII"),
-          f"shard$id%d/$slot%04d.cls" ->
+          f"shard$id%d/$long$slot%04d.cls" ->
             (cnt(slot) % 5).toString.getBytes("US-ASCII"))
       }
       (id, Tar.encode(files, gzip = id % 2 == 0))
@@ -3258,9 +3263,14 @@ object SparkEntry {
         .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
         .count()
         .select(
+          // slots 5-9 carry URL-length keys (>100 bytes with member
+          // extension) so every export exercises the PAX long-name
+          // writer AND its re-ingest — mirrored closed-form in the oracle
           concat(lit("day"),
             datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01"))),
-            lit("/"), col("slot")).as("sample_key"),
+            lit("/"),
+            when(col("slot") >= 5, lit("k" * 100)).otherwise(lit("")),
+            col("slot")).as("sample_key"),
           col("count"))
       val members = g.select(col("sample_key"), explode(array(
           struct(lit("txt").as("ext"),
@@ -5635,7 +5645,9 @@ object SparkEntry {
         |           FROM events GROUP BY 1, 2),
         |keys AS (SELECT 'day' ||
         |           CAST(date_diff('day', DATE '1970-01-01', d) AS VARCHAR) ||
-        |           '/' || CAST(slot AS VARCHAR) AS sample_key, cnt FROM g),
+        |           '/' || CASE WHEN slot >= 5 THEN repeat('k', 100)
+        |                       ELSE '' END ||
+        |           CAST(slot AS VARCHAR) AS sample_key, cnt FROM g),
         |txt AS (SELECT sample_key, 'txt' AS ext,
         |          CAST(length('sample text events=' || CAST(cnt AS VARCHAR))
         |            AS BIGINT) AS byte_size,
@@ -5659,6 +5671,8 @@ object SparkEntry {
         |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
         |sl AS (SELECT ids.id, s.s AS slot, coalesce(g.cnt, 0) AS cnt,
         |         'shard' || CAST(ids.id AS VARCHAR) || '/' ||
+        |           CASE WHEN ids.id % 3 = 0 THEN repeat('x', 110) || '_'
+        |                ELSE '' END ||
         |           lpad(CAST(s.s AS VARCHAR), 4, '0') AS sample_key
         |       FROM ids
         |       CROSS JOIN (SELECT CAST(unnest(range(10)) AS INTEGER) AS s) s

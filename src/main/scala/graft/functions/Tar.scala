@@ -12,10 +12,17 @@ import scala.collection.mutable.ArrayBuffer
   * In profile: ustar headers (both the POSIX "ustar\0" and GNU
   * "ustar  " magics), octal and GNU base-256 sizes, checksum
   * verification, prefix-field name joining, regular files and
-  * directories, gzip-wrapped archives (.tar.gz sniffed by magic), and
-  * end-of-archive zero blocks. Out of profile and refused BY NAME:
-  * GNU long-name/long-link entries ('L'/'K'), PAX extended headers
-  * ('x'/'g'), sparse files, checksum mismatches, truncated data.
+  * directories, gzip-wrapped archives (.tar.gz sniffed by magic),
+  * end-of-archive zero blocks, GNU long-name/long-link entries
+  * ('L'/'K'), and PAX extended headers ('x' per-file, 'g' global) with
+  * `path`/`size` record overrides — what modern tar emits for names
+  * past the 100-byte ustar field, i.e. the URL-derived sample keys
+  * real WebDataset shards carry. Precedence per GNU tar: PAX `path` >
+  * GNU longname > header name+prefix. The WRITER emits PAX 'x'
+  * headers for long names too, so export/ingest round-trips foreign
+  * shards, not just its own. Out of profile and refused BY NAME:
+  * GNU sparse files ('S'), checksum mismatches, truncated data,
+  * malformed PAX records.
   *
   * [[webdatasetSamples]] applies the WebDataset convention on top: a
   * sample is every member sharing the basename up to the FIRST dot
@@ -53,6 +60,37 @@ object Tar {
       }
     }
 
+  /** PAX extended-header payload: `"%d %s=%s\n"` records where the
+    * leading decimal is the TOTAL record length (digits, space, '=',
+    * newline included). Values are UTF-8. Malformed records refuse by
+    * name. */
+  private[functions] def parsePaxRecords(id: Long,
+      data: Array[Byte]): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var p = 0
+    while (p < data.length) {
+      var sp = p
+      while (sp < data.length && data(sp) != ' ') sp += 1
+      require(sp > p && sp < data.length,
+        s"tar $id: PAX record at $p has no length field")
+      val len =
+        try new String(data, p, sp - p, "US-ASCII").toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"tar $id: PAX record at $p has non-decimal length")
+        }
+      require(len > sp - p + 2 && p + len <= data.length &&
+        data(p + len - 1) == '\n',
+        s"tar $id: PAX record at $p claims $len bytes (malformed framing)")
+      val kv = new String(data, sp + 1, p + len - 1 - (sp + 1),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val eq = kv.indexOf('=')
+      require(eq > 0, s"tar $id: PAX record at $p has no '=' separator")
+      out(kv.substring(0, eq)) = kv.substring(eq + 1)
+      p += len
+    }
+    out.toMap
+  }
+
   /** Parse every entry of a .tar / .tar.gz payload, checksums verified. */
   def entries(id: Long, bytes0: Array[Byte]): Seq[TarEntry] = {
     val bytes = Gunzip.maybeInflate(bytes0)
@@ -60,6 +98,11 @@ object Tar {
     val out = ArrayBuffer.empty[TarEntry]
     var off = 0
     var done = false
+    // metadata entries apply to the NEXT regular entry ('x'/'L'/'K'),
+    // or to all subsequent ones ('g') — 'x' beats 'g' beats the header
+    var pendingLongName: String = null
+    var pendingPax: Map[String, String] = Map.empty
+    var globalPax: Map[String, String] = Map.empty
     while (!done && off + 512 <= bytes.length) {
       if ((0 until 512).forall(i => bytes(off + i) == 0)) done = true // end block
       else {
@@ -79,26 +122,58 @@ object Tar {
           val t = bytes(off + 156).toChar
           if (t == 0) '0' else t
         }
-        typeflag match {
-          case 'L' | 'K' => throw new IllegalArgumentException(
-            s"tar $id: GNU long-name entry ('$typeflag') out of profile")
-          case 'x' | 'g' => throw new IllegalArgumentException(
-            s"tar $id: PAX extended header ('$typeflag') out of profile")
-          case _ =>
-        }
-        val prefix = if (magic == "ustar") str(bytes, off + 345, 155) else ""
-        val name0 = str(bytes, off, 100)
-        val name = if (prefix.nonEmpty) s"$prefix/$name0" else name0
-        val size = numeric(id, bytes, off + 124, 12)
+        require(typeflag != 'S',
+          s"tar $id: GNU sparse entry ('S') out of profile")
+        val headerSize = numeric(id, bytes, off + 124, 12)
         val dataOff = off + 512
-        require(dataOff + size <= bytes.length,
-          s"tar $id: entry '$name' claims $size bytes past end")
-        val data =
-          if (typeflag == '0')
-            java.util.Arrays.copyOfRange(bytes, dataOff, (dataOff + size).toInt)
-          else Array.emptyByteArray
-        out += TarEntry(name, typeflag, size, dataOff.toLong, data)
-        off = dataOff + (((size + 511) / 512) * 512).toInt
+        require(dataOff + headerSize <= bytes.length,
+          s"tar $id: entry at $off claims $headerSize bytes past end")
+        def dataCopy(): Array[Byte] = java.util.Arrays.copyOfRange(
+          bytes, dataOff, (dataOff + headerSize).toInt)
+        typeflag match {
+          case 'L' => // GNU longname: data is the next entry's name (NUL-term)
+            val d = dataCopy()
+            pendingLongName = str(d, 0, d.length)
+          case 'K' => // GNU longlink: next entry's linkname — not surfaced
+            ()
+          case 'x' =>
+            pendingPax = pendingPax ++ parsePaxRecords(id, dataCopy())
+          case 'g' =>
+            globalPax = globalPax ++ parsePaxRecords(id, dataCopy())
+          case _ =>
+            val prefix = if (magic == "ustar") str(bytes, off + 345, 155) else ""
+            val name0 = str(bytes, off, 100)
+            val headerName = if (prefix.nonEmpty) s"$prefix/$name0" else name0
+            val merged = globalPax ++ pendingPax
+            val name = merged.get("path")
+              .orElse(Option(pendingLongName)).getOrElse(headerName)
+            val size = merged.get("size") match {
+              case Some(s) =>
+                try s.toLong catch {
+                  case _: NumberFormatException =>
+                    throw new IllegalArgumentException(
+                      s"tar $id: PAX size '$s' for '$name' is not a number")
+                }
+              case None => headerSize
+            }
+            // a PAX size override re-bounds the data block
+            require(dataOff + size <= bytes.length,
+              s"tar $id: entry '$name' claims $size bytes past end")
+            val data =
+              if (typeflag == '0')
+                java.util.Arrays.copyOfRange(bytes, dataOff, (dataOff + size).toInt)
+              else Array.emptyByteArray
+            out += TarEntry(name, typeflag, size, dataOff.toLong, data)
+            pendingLongName = null
+            pendingPax = Map.empty
+        }
+        // advance by the EFFECTIVE data size: a PAX size override
+        // re-bounds the regular entry's block (the header field may be 0)
+        val advance = typeflag match {
+          case 'L' | 'K' | 'x' | 'g' => headerSize
+          case _ => out.last.size
+        }
+        off = dataOff + (((advance + 511) / 512) * 512).toInt
       }
     }
     // a tar without end blocks is tolerated only when it ends EXACTLY at
@@ -145,25 +220,18 @@ object Tar {
 
   // ------------------------------------------------------------- write
 
-  /** Write ONE ustar entry (header + data + block padding) to `out` —
-    * the streaming unit both [[encode]] and [[writeWebdatasetShards]]
-    * are built from, so a shard is never buffered whole. Names are
-    * UTF-8 bytes (non-ASCII keys survive the roundtrip); names longer
-    * than the 100-byte ustar field refuse by name. */
-  private def writeEntry(out: java.io.OutputStream, name: String,
-      data: Array[Byte]): Unit = {
-    val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    require(nameBytes.length <= 100,
-      s"tar member name '$name' is ${nameBytes.length} bytes " +
-        "(the ustar name field holds 100; longer names need the prefix field)")
+  /** One raw 512-byte ustar header + data + block padding. `nameField`
+    * must already fit the 100-byte field. */
+  private def writeRawEntry(out: java.io.OutputStream, nameField: Array[Byte],
+      typeflag: Char, data: Array[Byte]): Unit = {
     val hdr = new Array[Byte](512)
-    nameBytes.copyToArray(hdr, 0)
+    nameField.copyToArray(hdr, 0)
     def put(off: Int, v: String): Unit =
       v.getBytes("US-ASCII").copyToArray(hdr, off)
     put(100, "0000644"); put(108, "0000000"); put(116, "0000000")
     put(124, f"${data.length}%011o")
     put(136, "00000000000")
-    hdr(156) = '0'
+    hdr(156) = typeflag.toByte
     put(257, "ustar"); put(263, "00"); put(265, "graft"); put(297, "graft")
     (148 until 156).foreach(i => hdr(i) = ' ')
     val sum = hdr.map(_ & 0xFF).sum
@@ -172,6 +240,51 @@ object Tar {
     out.write(data)
     val pad = (512 - data.length % 512) % 512
     if (pad > 0) out.write(new Array[Byte](pad))
+  }
+
+  /** UTF-8 bytes of `s` cut to at most `max` bytes at a CHARACTER
+    * boundary (never mid-sequence — a split multibyte char would decode
+    * as replacement garbage). */
+  private def utf8Truncate(s: String, max: Int): Array[Byte] = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (b.length <= max) b
+    else {
+      var end = max
+      // back off continuation bytes (10xxxxxx)
+      while (end > 0 && (b(end) & 0xC0) == 0x80) end -= 1
+      java.util.Arrays.copyOfRange(b, 0, end)
+    }
+  }
+
+  /** One PAX record `"%d %s=%s\n"` — the leading decimal counts ITSELF
+    * (digits + space + key + '=' + value + newline), so the length is a
+    * fixpoint over its own digit count. */
+  private[functions] def paxRecord(key: String, value: String): Array[Byte] = {
+    val kv = key.getBytes("US-ASCII").length +
+      value.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 3
+    var len = kv + 1 // assume 1 digit
+    while (len.toString.length + kv != len) len = len.toString.length + kv
+    s"$len $key=$value\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Write ONE tar entry (header + data + block padding) to `out` —
+    * the streaming unit both [[encode]] and [[writeWebdatasetShards]]
+    * are built from, so a shard is never buffered whole. Names are
+    * UTF-8 bytes (non-ASCII keys survive the roundtrip); names longer
+    * than the 100-byte ustar field get a preceding PAX 'x' header with
+    * a `path` record (what modern tar emits — GNU/bsdtar/python all
+    * read it), with the ustar field holding a truncated best-effort
+    * name for pre-PAX readers. Deterministic bytes either way. */
+  private def writeEntry(out: java.io.OutputStream, name: String,
+      data: Array[Byte]): Unit = {
+    val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (nameBytes.length > 100) {
+      val rec = paxRecord("path", name)
+      // the PAX header entry's own name is advisory; keep it recognizable
+      val paxName = utf8Truncate(s"./PaxHeaders/$name", 100)
+      writeRawEntry(out, paxName, 'x', rec)
+      writeRawEntry(out, utf8Truncate(name, 100), '0', data)
+    } else writeRawEntry(out, nameBytes, '0', data)
   }
 
   private def writeEndBlocks(out: java.io.OutputStream): Unit =
