@@ -1075,7 +1075,10 @@ object SparkEntry {
     * text document per slot, compression method alternating store /
     * deflate by slot — deflate output is writer-dependent, so the gate
     * exposes only the CENTRAL-directory facts plus the extracted text
-    * (CRC-verified inside the reader), all closed-form from events. */
+    * (CRC-verified inside the reader), all closed-form from events.
+    * Every fourth day writes the ZIP64 layout (saturated fields +
+    * EOCD64), so the large-archive read path runs on real fixture
+    * days — the member facts are identical either way. */
   private def zipEventsFixture(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Zip
     val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
@@ -1084,7 +1087,7 @@ object SparkEntry {
           s"chapter $slot has events=${cnt(slot)}".getBytes("US-ASCII"),
           slot % 2 == 1)
       }
-      (id, Zip.encode(files))
+      (id, Zip.encode(files, zip64 = id % 4 == 0))
     }
     val sp = s; import sp.implicits._
     rows.toDF("id", "zip")

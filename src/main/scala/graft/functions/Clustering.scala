@@ -219,7 +219,8 @@ object Clustering {
       target: Int = 500,
       iters: Int = 3,
       tau: Double = 0.95,
-      scale: Double = 10000.0): DataFrame = {
+      scale: Double = 10000.0,
+      maxShardFactor: Int = 32): DataFrame = {
     val n = df.count()
     if (n <= shardTarget)
       return semanticDedup(df, idCol, vecCol, scaledK(n, target), iters, tau, scale)
@@ -234,10 +235,30 @@ object Clustering {
         col(idCol).cast("long").as("__id"),
         col(vecCol).cast("array<float>").as("__v"))
       .as[(Int, Long, Array[Float])]
+    // skew guard: content-hash sharding co-shards exact (quantization-
+    // identical) twins BY DESIGN, so a pathologically duplicated corpus
+    // (10^6 copies of one page) piles one shard far past the EXPECTED
+    // population of shardTarget. That pileup would materialize as one
+    // task's in-memory array — an OOM, not a wrong answer — so it
+    // refuses BY NAME at `maxShardFactor` times the expected size,
+    // checked INCREMENTALLY while draining the group (before the heap
+    // is committed, and with zero extra Spark jobs).
+    val bound = shardTarget.toLong * maxShardFactor
     val dropped = proj
       .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val rows = it.map { case (_, id, v) => (id, v) }.toArray.sortBy(_._1)
+      .flatMapGroups { (shard, it) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        it.foreach { case (_, id, v) =>
+          if (buf.length >= bound) throw new IllegalArgumentException(
+            s"semantic dedup shard $shard exceeds $bound rows " +
+              s"(shardTarget=$shardTarget x maxShardFactor=$maxShardFactor; " +
+              "expected population is shardTarget): content-hash sharding " +
+              "co-shards exact duplicates by design, so a pileup this size " +
+              "means the corpus needs exactDedup FIRST — SemDeDup's own " +
+              "precondition (Abbas et al. 2023) — or a larger maxShardFactor")
+          buf += ((id, v))
+        }
+        val rows = buf.toArray.sortBy(_._1)
         localDedupDropped(rows, target, iters, tau, scale).iterator
       }
       .toDF("__drop")

@@ -15,10 +15,14 @@ import scala.collection.mutable.ArrayBuffer
   * interop pin here).
   *
   * In profile: methods 0 (store) and 8 (deflate, raw/nowrap streams),
-  * data-descriptor members (flag bit 3), directory entries. Out of
-  * profile and refused BY NAME: ZIP64 markers, encrypted members
-  * (flag bit 0), compression methods other than store/deflate,
-  * CRC mismatches, missing/garbled EOCD. */
+  * data-descriptor members (flag bit 3), directory entries, and ZIP64
+  * archives (EOCD64 locator + record, 0x0001 extra-field overrides for
+  * sizes/offsets) — large EPUB/site exports and >65535-member archives
+  * are routine in crawls, and the JDK itself writes ZIP64 past that
+  * count (the interop pin). Out of profile and refused BY NAME:
+  * encrypted members (flag bit 0), compression methods other than
+  * store/deflate, multi-disk archives, CRC mismatches, missing/garbled
+  * EOCD. */
 object Zip {
 
   final case class ZipEntry(
@@ -52,16 +56,38 @@ object Zip {
       })
       o
     }
-    val nEntries = u16(eocd + 10)
-    require(u16(eocd + 8) == nEntries, // this-disk vs total
+    def u64(o: Int): Long = u32(o) | (u32(o + 4) << 32)
+    val nEntries16 = u16(eocd + 10)
+    require(u16(eocd + 8) == nEntries16, // this-disk vs total
       s"zip $id: multi-disk archives out of profile")
-    val cdOff = u32(eocd + 16)
-    require(cdOff != 0xFFFFFFFFL && nEntries != 0xFFFF,
-      s"zip $id: ZIP64 out of profile")
-    // u32 offsets are validated as LONGS before any toInt: a garbled
+    val cdOff32 = u32(eocd + 16)
+    // ZIP64: saturated EOCD fields defer to the EOCD64 record, found
+    // via the 20-byte locator that sits immediately before the EOCD
+    val (nEntries, cdOff) =
+      if (cdOff32 == 0xFFFFFFFFL || nEntries16 == 0xFFFF) {
+        val loc = eocd - 20
+        require(loc >= 0 && bytes(loc) == 'P' && bytes(loc + 1) == 'K' &&
+          bytes(loc + 2) == 6 && bytes(loc + 3) == 7,
+          s"zip $id: saturated EOCD but no ZIP64 locator before it")
+        require(u32(loc + 16) == 1,
+          s"zip $id: multi-disk archives out of profile")
+        val e64 = u64(loc + 8)
+        require(e64 >= 0 && e64 + 56 <= bytes.length,
+          s"zip $id: ZIP64 EOCD offset $e64 past end ${bytes.length}")
+        val r = e64.toInt
+        require(bytes(r) == 'P' && bytes(r + 1) == 'K' &&
+          bytes(r + 2) == 6 && bytes(r + 3) == 6,
+          s"zip $id: ZIP64 EOCD record missing at $e64")
+        val n64 = u64(r + 32)
+        require(n64 == u64(r + 24),
+          s"zip $id: multi-disk archives out of profile")
+        require(n64 <= Int.MaxValue, s"zip $id: $n64 entries")
+        (n64.toInt, u64(r + 48))
+      } else (nEntries16, cdOff32)
+    // u32/u64 offsets are validated as LONGS before any toInt: a garbled
     // EOCD with an offset past 2 GiB must refuse by name, not wrap
     // negative into an ArrayIndexOutOfBoundsException
-    require(cdOff + 46 <= bytes.length,
+    require(cdOff >= 0 && cdOff + 46 <= bytes.length,
       s"zip $id: central directory offset $cdOff past end ${bytes.length}")
     val out = ArrayBuffer.empty[ZipEntry]
     var p = cdOff.toInt
@@ -83,13 +109,50 @@ object Zip {
         s"zip $id: compression '$name' out of profile (store/deflate only)"
       })
       val crc = u32(p + 16)
-      val csize = u32(p + 20)
-      val usize = u32(p + 24)
-      require(csize != 0xFFFFFFFFL && usize != 0xFFFFFFFFL,
-        s"zip $id: ZIP64 member sizes out of profile")
+      val csize32 = u32(p + 20)
+      val usize32 = u32(p + 24)
       val nameLen = u16(p + 28); val extraLen = u16(p + 30)
       val commentLen = u16(p + 32)
-      val localOff = u32(p + 42)
+      val localOff32 = u32(p + 42)
+      // ZIP64 extra field (id 0x0001): 8-byte overrides appear in the
+      // fixed order usize, csize, localOff, disk — but ONLY for the
+      // fields whose 32-bit form is saturated to 0xFFFFFFFF
+      var usize = usize32
+      var csize = csize32
+      var localOff = localOff32
+      if (usize32 == 0xFFFFFFFFL || csize32 == 0xFFFFFFFFL ||
+          localOff32 == 0xFFFFFFFFL) {
+        val extraStart = p + 46 + nameLen
+        require(extraStart + extraLen <= bytes.length,
+          s"zip $id: central entry extras at $p run past end")
+        var q = extraStart
+        var found = false
+        while (!found && q + 4 <= extraStart + extraLen) {
+          val fid = u16(q); val flen = u16(q + 2)
+          require(q + 4 + flen <= extraStart + extraLen,
+            s"zip $id: extra field 0x${fid.toHexString} overruns at $q")
+          if (fid == 0x0001) {
+            found = true
+            var r = q + 4
+            def take(saturated: Boolean, name: String): Long =
+              if (!saturated) -1L
+              else {
+                require(r + 8 <= q + 4 + flen,
+                  s"zip $id: ZIP64 extra too short for $name at $q")
+                val v = u64(r); r += 8; v
+              }
+            val u = take(usize32 == 0xFFFFFFFFL, "usize")
+            val c = take(csize32 == 0xFFFFFFFFL, "csize")
+            val l = take(localOff32 == 0xFFFFFFFFL, "localOff")
+            if (u >= 0) usize = u
+            if (c >= 0) csize = c
+            if (l >= 0) localOff = l
+          }
+          q += 4 + flen
+        }
+        require(found,
+          s"zip $id: saturated member fields but no ZIP64 extra at $p")
+      }
       require(p + 46 + nameLen <= bytes.length,
         s"zip $id: central entry name at $p runs past end")
       val name = new String(bytes, p + 46, nameLen,
@@ -178,11 +241,18 @@ object Zip {
   // ------------------------------------------------------------- write
 
   /** Emit a zip of (name, data, deflate?) members — local headers, the
-    * central directory, EOCD. Writer-beside-reader for fixtures. */
-  def encode(files: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    * central directory, EOCD. Writer-beside-reader for fixtures.
+    * `zip64 = true` writes the ZIP64 layout unconditionally (saturated
+    * 32-bit fields + 0x0001 extras + EOCD64 record and locator) — legal
+    * per APPNOTE regardless of size, which is what lets small fixtures
+    * exercise the large-archive code path byte-for-byte. */
+  def encode(files: Seq[(String, Array[Byte], Boolean)],
+      zip64: Boolean = false): Array[Byte] = {
     val out = ArrayBuffer.empty[Byte]
     def w16(v: Int): Unit = { out += (v & 0xFF).toByte; out += ((v >> 8) & 0xFF).toByte }
     def w32(v: Long): Unit = { w16((v & 0xFFFF).toInt); w16(((v >> 16) & 0xFFFF).toInt) }
+    def w64(v: Long): Unit = { w32(v & 0xFFFFFFFFL); w32((v >>> 32) & 0xFFFFFFFFL) }
+    val version = if (zip64) 45 else 20
     final case class Central(name: Array[Byte], method: Int, crc: Long,
       csize: Int, usize: Int, localOff: Int)
     val centrals = ArrayBuffer.empty[Central]
@@ -199,29 +269,63 @@ object Zip {
         buf.toByteArray
       }
       val localOff = out.length
-      w32(0x04034B50L); w16(20); w16(0); w16(if (deflate) 8 else 0)
+      w32(0x04034B50L); w16(version); w16(0); w16(if (deflate) 8 else 0)
       w16(0); w16(0) // time, date
-      w32(crc); w32(packed.length.toLong); w32(data.length.toLong)
-      w16(nameBytes.length); w16(0)
-      out ++= nameBytes
+      w32(crc)
+      if (zip64) {
+        w32(0xFFFFFFFFL); w32(0xFFFFFFFFL)
+        w16(nameBytes.length); w16(20) // ZIP64 extra: usize + csize
+        out ++= nameBytes
+        w16(0x0001); w16(16); w64(data.length.toLong); w64(packed.length.toLong)
+      } else {
+        w32(packed.length.toLong); w32(data.length.toLong)
+        w16(nameBytes.length); w16(0)
+        out ++= nameBytes
+      }
       out ++= packed
       centrals += Central(nameBytes, if (deflate) 8 else 0, crc,
         packed.length, data.length, localOff)
     }
     val cdStart = out.length
     centrals.foreach { c =>
-      w32(0x02014B50L); w16(20); w16(20); w16(0); w16(c.method)
+      w32(0x02014B50L); w16(version); w16(version); w16(0); w16(c.method)
       w16(0); w16(0)
-      w32(c.crc); w32(c.csize.toLong); w32(c.usize.toLong)
-      w16(c.name.length); w16(0); w16(0)
-      w16(0); w16(0); w32(0)
-      w32(c.localOff.toLong)
-      out ++= c.name
+      w32(c.crc)
+      if (zip64) {
+        w32(0xFFFFFFFFL); w32(0xFFFFFFFFL)
+        w16(c.name.length); w16(28); w16(0) // ZIP64 extra: u, c, off
+        w16(0); w16(0); w32(0)
+        w32(0xFFFFFFFFL)
+        out ++= c.name
+        w16(0x0001); w16(24)
+        w64(c.usize.toLong); w64(c.csize.toLong); w64(c.localOff.toLong)
+      } else {
+        w32(c.csize.toLong); w32(c.usize.toLong)
+        w16(c.name.length); w16(0); w16(0)
+        w16(0); w16(0); w32(0)
+        w32(c.localOff.toLong)
+        out ++= c.name
+      }
     }
     val cdSize = out.length - cdStart
-    w32(0x06054B50L); w16(0); w16(0)
-    w16(centrals.length); w16(centrals.length)
-    w32(cdSize.toLong); w32(cdStart.toLong); w16(0)
+    if (zip64) {
+      val e64Off = out.length
+      // ZIP64 EOCD record (56 bytes, no extensible data)
+      w32(0x06064B50L); w64(44L); w16(45); w16(45)
+      w32(0); w32(0)
+      w64(centrals.length.toLong); w64(centrals.length.toLong)
+      w64(cdSize.toLong); w64(cdStart.toLong)
+      // locator
+      w32(0x07064B50L); w32(0); w64(e64Off.toLong); w32(1)
+      // saturated EOCD
+      w32(0x06054B50L); w16(0); w16(0)
+      w16(0xFFFF); w16(0xFFFF)
+      w32(0xFFFFFFFFL); w32(0xFFFFFFFFL); w16(0)
+    } else {
+      w32(0x06054B50L); w16(0); w16(0)
+      w16(centrals.length); w16(centrals.length)
+      w32(cdSize.toLong); w32(cdStart.toLong); w16(0)
+    }
     out.toArray
   }
 }

@@ -78,6 +78,26 @@ class ClusteringSpec extends SparkSpec {
     assert(kept == (0L until 60L).toSet)
   }
 
+  test("shard-skew guard: a twin pileup past shardTarget x maxShardFactor " +
+      "refuses by name (exactDedup-first precondition), normal corpora pass") {
+    // 600 copies of ONE vector: content-hash sharding co-shards them all
+    val twins = (0 until 600).map(i =>
+      (i.toLong, Seq(1f, 2f, 3f, 4f))).toDF("id", "vec")
+    val e = intercept[org.apache.spark.SparkException](
+      Clustering.semanticDedupSharded(twins, "id", "vec",
+        shardTarget = 16, maxShardFactor = 4).count())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("exactDedup FIRST")),
+      e.getMessage)
+    // the guard does not fire on an ordinary skew-free corpus
+    val doubled = blobs.unionByName(blobs.withColumn("id", col("id") + 1000L))
+    val kept = Clustering.semanticDedupSharded(doubled, "id", "vec",
+        shardTarget = 16, iters = 3, tau = 0.9995, maxShardFactor = 32)
+      .select("id").as[Long].collect().toSet
+    assert(kept == (0L until 60L).toSet)
+  }
+
   test("semanticDedupSharded at or below shardTarget equals the unsharded form") {
     val doubled = blobs.unionByName(blobs.withColumn("id", col("id") + 1000L))
     val sharded = Clustering.semanticDedupSharded(doubled, "id", "vec",

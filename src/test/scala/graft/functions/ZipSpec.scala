@@ -84,6 +84,49 @@ class ZipSpec extends SparkSpec {
     assert(eJunk.getMessage.contains("not a zip"), eJunk.getMessage)
   }
 
+  test("ZIP64 layout roundtrips: saturated fields + 0x0001 extras + " +
+      "EOCD64 record/locator; JDK ZipFile reads our zip64 output") {
+    val bytes = Zip.encode(files, zip64 = true)
+    val out = Zip.entries(30L, bytes)
+    assert(out.map(_.name) == files.map(_._1))
+    out.zip(files).foreach { case (e, (_, data, _)) =>
+      assert(e.data.sameElements(data), e.name)
+      assert(e.size == data.length)
+    }
+    // INTEROP: the JDK's ZipFile (independent ZIP64 implementation)
+    val f = java.io.File.createTempFile("z64", ".zip")
+    java.nio.file.Files.write(f.toPath, bytes)
+    val zf = new java.util.zip.ZipFile(f)
+    try {
+      val names = scala.jdk.CollectionConverters.EnumerationHasAsScala(
+        zf.entries()).asScala.map(_.getName).toSeq
+      assert(names == files.map(_._1))
+      val e = zf.getEntry(files(1)._1)
+      val got = zf.getInputStream(e).readAllBytes()
+      assert(got.sameElements(files(1)._2))
+    } finally { zf.close(); f.delete() }
+  }
+
+  test("INTEROP: a JDK archive with >65535 entries (ZIP64 EOCD) parses " +
+      "with every member accounted for") {
+    val bo = new java.io.ByteArrayOutputStream(1 << 23)
+    val zo = new java.util.zip.ZipOutputStream(bo)
+    zo.setLevel(java.util.zip.Deflater.NO_COMPRESSION)
+    val n = 65600 // past the 16-bit count: JDK switches to ZIP64
+    var i = 0
+    while (i < n) {
+      zo.putNextEntry(new java.util.zip.ZipEntry(f"m$i%06d"))
+      if (i % 5000 == 0) zo.write(i.toString.getBytes("US-ASCII"))
+      zo.closeEntry()
+      i += 1
+    }
+    zo.close()
+    val out = Zip.entries(31L, bo.toByteArray)
+    assert(out.length == n)
+    assert(out.head.name == "m000000" && out.last.name == f"m${n - 1}%06d")
+    assert(new String(out(5000).data, "US-ASCII") == "5000")
+  }
+
   test("garbled u32 offsets/sizes refuse by name, never wrap toInt " +
       "(cdOff past 2 GiB, localOff past end, bomb-sized usize)") {
     val good = Zip.encode(files)
