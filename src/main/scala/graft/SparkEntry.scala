@@ -976,27 +976,85 @@ object SparkEntry {
     * lengths (chunk framing arithmetic; stored-block gzip = len + 23)
     * the oracle replays. Bodies carry numeric character references
     * (&#8212; and &#x21;) for q180's extraction gate. */
+  /** One day's WARC records — shared by the in-memory fixture (e2e
+    * specs) and the FILE fixture the `format("warc")` gates scan. */
+  private def warcDayRecords(id: Long, cnt: Array[Long])
+      : Seq[graft.functions.Warc.WRecord] = {
+    import graft.functions.Warc
+    Warc.WRecord("warcinfo", body = "crawler=graft\n") +:
+      (0 until 10).map { slot =>
+        val c = cnt(slot)
+        // real-page shape: style + script blocks to drop, entities to
+        // decode, nested tags — q180's extraction gate needs them
+        Warc.WRecord("response",
+          targetUri = s"https://example.com/$id/$slot",
+          httpStatus = Some(if (c % 7 == 0) 404 else 200),
+          chunked = slot % 3 == 1,
+          gzipBody = slot % 3 == 2,
+          body = s"<html><head><style>p{x:$c}</style></head><body>" +
+            s"<h1>Day $id</h1><p>events=$c &amp; more &#8212; ok&#x21;</p>" +
+            s"<script>var a=$c;</script></body></html>")
+      }
+  }
+
   private def warcEventsFixture(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Warc
     val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
-      val recs = Warc.WRecord("warcinfo", body = "crawler=graft\n") +:
-        (0 until 10).map { slot =>
-          val c = cnt(slot)
-          // real-page shape: style + script blocks to drop, entities to
-          // decode, nested tags — q180's extraction gate needs them
-          Warc.WRecord("response",
-            targetUri = s"https://example.com/$id/$slot",
-            httpStatus = Some(if (c % 7 == 0) 404 else 200),
-            chunked = slot % 3 == 1,
-            gzipBody = slot % 3 == 2,
-            body = s"<html><head><style>p{x:$c}</style></head><body>" +
-              s"<h1>Day $id</h1><p>events=$c &amp; more &#8212; ok&#x21;</p>" +
-              s"<script>var a=$c;</script></body></html>")
-        }
-      (id, Warc.encode(recs, gzipPerRecord = true))
+      (id, Warc.encode(warcDayRecords(id, cnt), gzipPerRecord = true))
     }
     val sp = s; import sp.implicits._
     rows.toDF("id", "warc")
+  }
+
+  /** WARC files on disk for the SPLITTABLE `format("warc")` scan (the
+    * 100 TB ingest path): plain `.warc` on even days (line-start
+    * resync), per-record-member `.warc.gz` on odd days (gzip-member
+    * resync) — same records as [[warcEventsFixture]], so the oracle is
+    * shared. */
+  private def warcFilesFixture(s: SparkSession, dir: String): String = {
+    import graft.functions.Warc
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_warcf_$sf"
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(dirPath, true); fs.mkdirs(dirPath)
+    dailySlotCounts(s, dir).foreach { case (id, cnt) =>
+      val gz = id % 2 == 1
+      val bytes = Warc.encode(warcDayRecords(id, cnt), gzipPerRecord = gz)
+      val name = if (gz) s"$id.warc.gz" else s"$id.warc"
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/$name"), true)
+      try out.write(bytes) finally out.close()
+    }
+    outDir
+  }
+
+  /** WebDataset shard files on disk for `format("webdataset")`: plain
+    * `.tar` on odd days (512-aligned split resync, PAX chains on long-
+    * key days), `.tar.gz` on even days (single streaming partition) —
+    * same members as [[webdatasetEventsFixture]]. */
+  private def webdatasetFilesFixture(s: SparkSession, dir: String): String = {
+    import graft.functions.Tar
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_wdsf_$sf"
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(dirPath, true); fs.mkdirs(dirPath)
+    dailySlotCounts(s, dir).foreach { case (id, cnt) =>
+      val long = if (id % 3 == 0) "x" * 110 + "_" else ""
+      val files = (0 until 10).flatMap { slot =>
+        Seq(
+          f"shard$id%d/$long$slot%04d.txt" ->
+            s"sample text events=${cnt(slot)}".getBytes("US-ASCII"),
+          f"shard$id%d/$long$slot%04d.cls" ->
+            (cnt(slot) % 5).toString.getBytes("US-ASCII"))
+      }
+      val gz = id % 2 == 0
+      val bytes = Tar.encode(files, gzip = gz)
+      val name = if (gz) s"$id.tar.gz" else s"$id.tar"
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/$name"), true)
+      try out.write(bytes) finally out.close()
+    }
+    outDir
   }
 
   /** Ogg/Opus fixture (podcast/Wikimedia crawl audio): one single-stream
@@ -3288,23 +3346,31 @@ object SparkEntry {
       fs.delete(dirPath, true); fs.mkdirs(dirPath)
       graft.functions.Tar.writeWebdatasetShards(members,
         "sample_key", "ext", "payload", outDir, nShards = 8)
-      val bin = s.read.format("binaryFile").load(outDir)
-        .select(xxhash64(col("path")).as("id"), col("content"))
-      graft.functions.Tar.webdatasetSamples(bin, "id", "content")
+      // re-ingest through the SPLITTABLE scan: the exported shards (PAX
+      // long keys included) come back through split resync, closing the
+      // export → 100 TB-ingest loop
+      s.read.format("webdataset")
+        .option("maxSplitBytes", "4096").load(outDir)
         .select(col("sample_key"), col("ext"), col("byte_size"),
           col("payload").cast("string").as("payload_text"))
         .orderBy("sample_key", "ext")
     }),
 
     // WebDataset shard scan (tar-of-samples — the standard multimodal
-    // training layout): ustar entries with verified checksums group
-    // into (sample_key, ext) members; .tar.gz and plain .tar cycle by
-    // day. The oracle rebuilds keys, extensions, sizes, and payload
-    // text from events with zero tar code.
+    // training layout) through the SPLITTABLE format("webdataset")
+    // DSv2: plain .tar days run 512-aligned resync across forced
+    // multi-partition splits (PAX long-name chains included on every
+    // third day), .tar.gz days run the single streaming partition. The
+    // oracle rebuilds keys, extensions, sizes, and payload text from
+    // events with zero tar code.
     "q183_webdataset_scan" -> ((s, dir) => {
-      val tars = webdatasetEventsFixture(s, dir)
-      graft.functions.Tar.webdatasetSamples(tars, "id", "tar")
-        .select(col("id"), col("sample_key"), col("ext"), col("byte_size"),
+      val path = webdatasetFilesFixture(s, dir)
+      s.read.format("webdataset")
+        .option("maxSplitBytes", "4096").load(path)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.tar", 1)
+            .cast("long").as("id"),
+          col("sample_key"), col("ext"), col("byte_size"),
           col("payload").cast("string").as("payload_text"))
         .orderBy("id", "sample_key", "ext")
     }),
@@ -3336,30 +3402,52 @@ object SparkEntry {
     }),
 
     // WARC records (ISO 28500 — the Common Crawl container, THE input
-    // of web-scale training-data pipelines): per-record gzip members
-    // inflate, headers parse, and HTTP envelopes split into status +
-    // body text. The oracle rebuilds every field from events — a slip
-    // anywhere in member concatenation, header framing, or the
-    // envelope split fails the compare.
+    // of web-scale training-data pipelines), scanned through the
+    // SPLITTABLE format("warc") DSv2: a tiny maxSplitBytes forces
+    // multiple byte-range partitions per archive in the GATE itself, so
+    // member resync (gzip members on odd days, line-start records on
+    // even days), split ownership, and the HTTP envelope decode
+    // (identity/chunked/gzip body codings by slot) all run under the
+    // oracle. rec_idx is derived from the split-invariant
+    // (rec_offset, rec_seq) order; the oracle rebuilds every field from
+    // events.
     "q179_warc_records" -> ((s, dir) => {
-      val warcs = warcEventsFixture(s, dir)
-      graft.functions.Warc.records(warcs, "id", "warc")
-        .select("id", "rec_idx", "warc_type", "target_uri",
-          "content_length", "http_status", "payload_text")
+      val path = warcFilesFixture(s, dir)
+      val scan = s.read.format("warc")
+        .option("maxSplitBytes", "4096").load(path)
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("rec_offset"), col("rec_seq"))
+      scan.select(
+          regexp_extract(col("path"), "([0-9]+)\\.warc", 1)
+            .cast("long").as("id"),
+          col("rec_offset"), col("rec_seq"), col("warc_type"),
+          col("target_uri"), col("content_length"), col("http_status"),
+          col("payload_text"))
+        .withColumn("rec_idx", (row_number().over(w) - 1).cast("int"))
+        .drop("rec_offset", "rec_seq")
         .orderBy("id", "rec_idx")
     }),
 
-    // WARC → text extraction pipeline (the WET conversion step): scan
-    // the crawl container, keep 200-status responses, strip
-    // script/style/tags, decode entities, collapse whitespace, count
-    // tokens. The oracle recomputes the EXPECTED visible text
-    // closed-form from events (not by replaying the regexes), so an
-    // extraction bug — a leaked script body, an undecoded entity —
-    // fails the string compare.
+    // WARC → text extraction pipeline (the WET conversion step) over
+    // the splittable scan: keep 200-status responses, strip
+    // script/style/tags, decode entities (numeric refs included),
+    // collapse whitespace, count tokens. The oracle recomputes the
+    // EXPECTED visible text closed-form from events (not by replaying
+    // the regexes), so an extraction bug — a leaked script body, an
+    // undecoded entity, a leaked chunk-size line — fails the compare.
     "q180_warc_text_pipeline" -> ((s, dir) => {
-      val recs = graft.functions.Warc.records(
-        warcEventsFixture(s, dir), "id", "warc")
-      recs.filter(col("warc_type") === "response" && col("http_status") === 200)
+      val path = warcFilesFixture(s, dir)
+      val scan = s.read.format("warc")
+        .option("maxSplitBytes", "4096").load(path)
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("rec_offset"), col("rec_seq"))
+      scan.select(
+          regexp_extract(col("path"), "([0-9]+)\\.warc", 1)
+            .cast("long").as("id"),
+          col("rec_offset"), col("rec_seq"), col("warc_type"),
+          col("http_status"), col("target_uri"), col("payload_text"))
+        .withColumn("rec_idx", (row_number().over(w) - 1).cast("int"))
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
         .select(col("id"), col("rec_idx"), col("target_uri"),
           Text.htmlToText(col("payload_text")).as("text"))
         .withColumn("n_tokens", size(split(col("text"), " ")))

@@ -7,7 +7,7 @@ package graft.functions
   * (`ZstdInputStream` via the zstd-jni Spark ships, incl. multi-frame
   * streams — the .warc.zst / .tar.zst archive shapes). One copy, so a
   * future hardening (e.g. a decompression-bomb bound) lands once. */
-private[functions] object Gunzip {
+private[graft] object Gunzip {
 
   def isGzip(bytes: Array[Byte]): Boolean =
     bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B

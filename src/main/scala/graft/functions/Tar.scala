@@ -64,7 +64,7 @@ object Tar {
     * leading decimal is the TOTAL record length (digits, space, '=',
     * newline included). Values are UTF-8. Malformed records refuse by
     * name. */
-  private[functions] def parsePaxRecords(id: Long,
+  private[graft] def parsePaxRecords(id: Long,
       data: Array[Byte]): Map[String, String] = {
     val out = scala.collection.mutable.Map.empty[String, String]
     var p = 0
@@ -91,6 +91,57 @@ object Tar {
     out.toMap
   }
 
+  /** One parsed 512-byte header block: magic/checksum verified, sparse
+    * refused, name joined with the ustar prefix field. The shared core
+    * of [[entries]] and the splittable scan
+    * ([[graft.sources.archive.WebdatasetTable]]). */
+  private[graft] final case class TarHeader(
+      name: String, typeflag: Char, size: Long)
+
+  /** Parse + verify the header block at `off`; refusals by name. */
+  private[graft] def headerAt(id: Long, bytes: Array[Byte], off: Int,
+      offInFile: Long): TarHeader = {
+    val magic = str(bytes, off + 257, 6)
+    require(magic == "ustar" || magic == "ustar ",
+      s"tar $id: entry at $offInFile has magic '$magic', not ustar " +
+        "(pre-POSIX v7 tar out of profile)")
+    // checksum: header bytes with the chksum field read as spaces
+    val stored = numeric(id, bytes, off + 148, 8)
+    var sum = 0L
+    for (i <- 0 until 512) {
+      sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(off + i) & 0xFF)
+    }
+    require(sum == stored,
+      s"tar $id: checksum mismatch at $offInFile (stored $stored, computed $sum)")
+    val typeflag = {
+      val t = bytes(off + 156).toChar
+      if (t == 0) '0' else t
+    }
+    require(typeflag != 'S',
+      s"tar $id: GNU sparse entry ('S') out of profile")
+    val prefix = if (magic == "ustar") str(bytes, off + 345, 155) else ""
+    val name0 = str(bytes, off, 100)
+    TarHeader(if (prefix.nonEmpty) s"$prefix/$name0" else name0,
+      typeflag, numeric(id, bytes, off + 124, 12))
+  }
+
+  /** Is the 512-byte block at `off` a plausible ustar header? (magic +
+    * checksum — the splittable scan's RESYNC test; checksum makes false
+    * positives in member data statistically negligible.) */
+  private[graft] def isHeaderAt(bytes: Array[Byte], off: Int): Boolean = {
+    if (off + 512 > bytes.length) return false
+    val m = str(bytes, off + 257, 6)
+    if (m != "ustar" && m != "ustar ") return false
+    try {
+      val stored = numeric(0L, bytes, off + 148, 8)
+      var sum = 0L
+      for (i <- 0 until 512) {
+        sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(off + i) & 0xFF)
+      }
+      sum == stored
+    } catch { case _: IllegalArgumentException => false }
+  }
+
   /** Parse every entry of a .tar / .tar.gz payload, checksums verified. */
   def entries(id: Long, bytes0: Array[Byte]): Seq[TarEntry] = {
     val bytes = Gunzip.maybeInflate(bytes0)
@@ -106,25 +157,9 @@ object Tar {
     while (!done && off + 512 <= bytes.length) {
       if ((0 until 512).forall(i => bytes(off + i) == 0)) done = true // end block
       else {
-        val magic = str(bytes, off + 257, 6)
-        require(magic == "ustar" || magic == "ustar ",
-          s"tar $id: entry at $off has magic '$magic', not ustar " +
-            "(pre-POSIX v7 tar out of profile)")
-        // checksum: header bytes with the chksum field read as spaces
-        val stored = numeric(id, bytes, off + 148, 8)
-        var sum = 0L
-        for (i <- 0 until 512) {
-          sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(off + i) & 0xFF)
-        }
-        require(sum == stored,
-          s"tar $id: checksum mismatch at $off (stored $stored, computed $sum)")
-        val typeflag = {
-          val t = bytes(off + 156).toChar
-          if (t == 0) '0' else t
-        }
-        require(typeflag != 'S',
-          s"tar $id: GNU sparse entry ('S') out of profile")
-        val headerSize = numeric(id, bytes, off + 124, 12)
+        val hdr = headerAt(id, bytes, off, off.toLong)
+        val typeflag = hdr.typeflag
+        val headerSize = hdr.size
         val dataOff = off + 512
         require(dataOff + headerSize <= bytes.length,
           s"tar $id: entry at $off claims $headerSize bytes past end")
@@ -141,9 +176,7 @@ object Tar {
           case 'g' =>
             globalPax = globalPax ++ parsePaxRecords(id, dataCopy())
           case _ =>
-            val prefix = if (magic == "ustar") str(bytes, off + 345, 155) else ""
-            val name0 = str(bytes, off, 100)
-            val headerName = if (prefix.nonEmpty) s"$prefix/$name0" else name0
+            val headerName = hdr.name
             val merged = globalPax ++ pendingPax
             val name = merged.get("path")
               .orElse(Option(pendingLongName)).getOrElse(headerName)
@@ -259,7 +292,7 @@ object Tar {
   /** One PAX record `"%d %s=%s\n"` — the leading decimal counts ITSELF
     * (digits + space + key + '=' + value + newline), so the length is a
     * fixpoint over its own digit count. */
-  private[functions] def paxRecord(key: String, value: String): Array[Byte] = {
+  private[graft] def paxRecord(key: String, value: String): Array[Byte] = {
     val kv = key.getBytes("US-ASCII").length +
       value.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 3
     var len = kv + 1 // assume 1 digit

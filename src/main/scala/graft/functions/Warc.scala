@@ -115,7 +115,7 @@ object Warc {
     * any transfer-coding other than `chunked`/`identity` refuse BY NAME
     * (no public decoder table for brotli worth hand-transcribing; see
     * README validation notes). */
-  private[functions] def splitHttpEnvelope(id: Long, recOff: Long,
+  private[graft] def splitHttpEnvelope(id: Long, recOff: Long,
       block: Array[Byte]): (Int, Array[Byte]) = {
     def bLineEnd(from: Int): Int = {
       var i = from

@@ -1,0 +1,225 @@
+package graft.sources.archive
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, Path => HPath}
+
+/** Shared machinery of the SPLITTABLE archive scans (`format("warc")`,
+  * `format("webdataset")`): byte-range planning and a lazily-grown
+  * compressed-byte window.
+  *
+  * Why these sources exist at all: the composable relational stages
+  * ([[graft.functions.Warc.records]], [[graft.functions.Tar.webdatasetSamples]])
+  * ride Spark's `binaryFile` source — one ROW per archive, the whole
+  * (inflated) file on one executor's heap, intra-file parallelism of 1.
+  * Fine for in-memory byte columns; the wrong shape for a bucket of
+  * ~1 GB Common Crawl segments. These DSv2 sources plan MEMBER-granular
+  * byte-range partitions instead — WARC's per-record gzip members and
+  * tar's 512-byte framing are both seekable resync points — so one
+  * archive fans out across executors and per-task memory is bounded by
+  * `maxSplitBytes` (+ one member overrun), not file size: the same
+  * one-slab-per-partition discipline as the GRIB/NetCDF/COG scans. */
+private[archive] object ArchiveSplit {
+
+  /** Byte-range partitions of a file: [k·split, (k+1)·split) with the
+    * last range ending at `len`. A reader owns the members whose START
+    * lies in its range and reads past `end` to finish the last one. */
+  def ranges(len: Long, split: Long): Seq[(Long, Long)] = {
+    require(split > 0, s"maxSplitBytes $split")
+    if (len == 0) Seq.empty
+    else (0L until len by split).map(s => (s, math.min(s + split, len)))
+  }
+
+  /** Natural-sorted archive files under the given paths (dirs expand; a
+    * missing dir is empty) — the GRIB listing discipline, bounded-pool
+    * parallel stats. */
+  def listFiles(conf: Configuration, paths: Seq[String],
+      accept: String => Boolean): Seq[org.apache.hadoop.fs.FileStatus] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.traverse(paths) { p0 =>
+      Future(scala.concurrent.blocking {
+        val p = new HPath(p0)
+        val fs = p.getFileSystem(conf)
+        try {
+          val st = fs.getFileStatus(p)
+          if (st.isDirectory)
+            fs.listStatus(p).toSeq.filter(_.isFile)
+              .filter(f => accept(f.getPath.getName))
+          else Seq(st)
+        } catch {
+          case _: java.io.FileNotFoundException =>
+            Seq.empty[org.apache.hadoop.fs.FileStatus]
+        }
+      })
+    }, Duration.Inf).flatten
+      .sortBy(st => graft.sources.Manifest.naturalKey(st.getPath.toString))
+  }
+}
+
+/** A window of file bytes `[base, loadedEnd)` grown lazily by positioned
+  * reads — the partition reader's working set. Growth is on demand in
+  * `growStep` increments, so a task touches only the bytes its members
+  * actually span: resident memory ≤ its split range + the last member's
+  * overrun past the range end, never the file. */
+private[archive] final class GrowableSlab(
+    in: FSDataInputStream,
+    val base: Long,
+    val fileLen: Long,
+    growStep: Int = 4 << 20) {
+
+  private var buf: Array[Byte] = Array.emptyByteArray
+  private var loadedEnd: Long = base
+
+  def loaded: Long = loadedEnd
+
+  /** Grow to cover absolute offsets `< absEnd`; false when `absEnd`
+    * exceeds the file (nothing read). */
+  def ensure(absEnd: Long): Boolean = {
+    if (absEnd > fileLen) return false
+    if (absEnd <= loadedEnd) return true
+    val target = math.min(fileLen,
+      math.max(absEnd, loadedEnd + growStep))
+    val need = target - base
+    require(need <= Int.MaxValue - 8,
+      s"archive split window of $need bytes exceeds the 2 GiB array bound " +
+        "— lower maxSplitBytes")
+    if (buf.length < need)
+      buf = java.util.Arrays.copyOf(buf,
+        math.min(Int.MaxValue.toLong - 8,
+          math.max(need, buf.length.toLong * 2)).toInt)
+    in.readFully(loadedEnd, buf, (loadedEnd - base).toInt,
+      (target - loadedEnd).toInt)
+    loadedEnd = target
+    true
+  }
+
+  /** Byte at absolute file offset (must be ensured). */
+  def apply(abs: Long): Byte = buf((abs - base).toInt)
+
+  def copy(absFrom: Long, len: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    System.arraycopy(buf, (absFrom - base).toInt, out, 0, len)
+    out
+  }
+
+  /** Direct access for bulk scans over ensured ranges. */
+  def raw: Array[Byte] = buf
+  def rel(abs: Long): Int = (abs - base).toInt
+}
+
+/** Gzip MEMBER walking over a [[GrowableSlab]] — the Common Crawl
+  * layout stores each WARC record as its own gzip member, which is
+  * exactly what makes `.warc.gz` splittable: a member boundary is a
+  * resync point, found by validating the 1F 8B 08 magic with a real
+  * header parse + prefix inflate. Member length comes from the
+  * `Inflater`'s own accounting (fed − remaining), so boundaries are
+  * exact, and the trailer CRC32/ISIZE are VERIFIED — a false resync
+  * cannot survive the checksum. */
+private[archive] object GzipMember {
+
+  /** End of the gzip header starting at `p` (RFC 1952: magic, CM=8,
+    * FLG, MTIME, XFL, OS, optional FEXTRA/FNAME/FCOMMENT/FHCRC).
+    * Throws when not a valid header. */
+  def headerEnd(slab: GrowableSlab, p: Long): Long = {
+    require(slab.ensure(p + 10), "gzip header past end")
+    require((slab(p) & 0xFF) == 0x1F && (slab(p + 1) & 0xFF) == 0x8B &&
+      (slab(p + 2) & 0xFF) == 8, "no gzip member magic")
+    val flg = slab(p + 3) & 0xFF
+    require((flg & 0xE0) == 0, "reserved gzip FLG bits set")
+    var q = p + 10
+    if ((flg & 4) != 0) { // FEXTRA
+      require(slab.ensure(q + 2), "gzip FEXTRA past end")
+      val xlen = (slab(q) & 0xFF) | ((slab(q + 1) & 0xFF) << 8)
+      q += 2 + xlen
+    }
+    def skipZString(): Unit = {
+      var ok = slab.ensure(q + 1)
+      while (ok && slab(q) != 0) { q += 1; ok = slab.ensure(q + 1) }
+      require(ok, "gzip header string past end")
+      q += 1
+    }
+    if ((flg & 8) != 0) skipZString() // FNAME
+    if ((flg & 16) != 0) skipZString() // FCOMMENT
+    if ((flg & 2) != 0) q += 2 // FHCRC
+    require(slab.ensure(q), "gzip header past end")
+    q
+  }
+
+  /** Inflate the member at `p` fully. Returns (decompressed bytes,
+    * absolute offset just past the member's 8-byte trailer). `maxOut`
+    * bounds the decompressed size BY NAME — a mono-stream multi-GB
+    * member would otherwise silently rebuild the whole-file heap spike
+    * this source exists to avoid. */
+  def inflate(slab: GrowableSlab, p: Long, maxOut: Long,
+      what: String): (Array[Byte], Long) = {
+    val dataStart = headerEnd(slab, p)
+    val inf = new java.util.zip.Inflater(true)
+    val out = new java.io.ByteArrayOutputStream(64 << 10)
+    val outBuf = new Array[Byte](64 << 10)
+    var fedEnd = dataStart
+    try {
+      while (!inf.finished()) {
+        if (inf.needsInput()) {
+          val chunk = math.min(64L << 10, slab.fileLen - fedEnd)
+          require(chunk > 0, s"$what: gzip member at $p truncated")
+          require(slab.ensure(fedEnd + chunk), s"$what: gzip member at $p truncated")
+          inf.setInput(slab.raw, slab.rel(fedEnd), chunk.toInt)
+          fedEnd += chunk
+        }
+        val n =
+          try inf.inflate(outBuf) catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"$what: corrupt deflate in gzip member at $p: ${e.getMessage}")
+          }
+        out.write(outBuf, 0, n)
+        require(out.size() <= maxOut,
+          s"$what: gzip member at $p inflates past $maxOut bytes " +
+            "(maxMemberBytes) — expected per-record members (the Common " +
+            "Crawl layout); re-compress record-granular or raise the option")
+      }
+      val memberEnd = fedEnd - inf.getRemaining + 8 // + CRC32 + ISIZE
+      require(slab.ensure(memberEnd),
+        s"$what: gzip member at $p missing its 8-byte trailer")
+      val data = out.toByteArray
+      // trailer verification kills false resyncs that survived inflate
+      val crcOff = memberEnd - 8
+      def u32(o: Long): Long = (slab(o) & 0xFFL) | ((slab(o + 1) & 0xFFL) << 8) |
+        ((slab(o + 2) & 0xFFL) << 16) | ((slab(o + 3) & 0xFFL) << 24)
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      require(crc.getValue == u32(crcOff) &&
+        (data.length & 0xFFFFFFFFL) == u32(crcOff + 4),
+        s"$what: gzip member at $p trailer CRC/ISIZE mismatch")
+      (data, memberEnd)
+    } finally inf.end()
+  }
+
+  /** Is `p` a REAL member start? Validates the header and inflates a
+    * small prefix, checking it begins with `expectPrefix` — deflate
+    * data that happens to contain 1F 8B 08 fails one of the two. */
+  def probe(slab: GrowableSlab, p: Long, expectPrefix: Array[Byte]): Boolean =
+    try {
+      val dataStart = headerEnd(slab, p)
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        val out = new Array[Byte](expectPrefix.length)
+        var got = 0
+        var fedEnd = dataStart
+        while (got < out.length && !inf.finished()) {
+          if (inf.needsInput()) {
+            val chunk = math.min(4096L, slab.fileLen - fedEnd)
+            if (chunk <= 0 || !slab.ensure(fedEnd + chunk)) return false
+            inf.setInput(slab.raw, slab.rel(fedEnd), chunk.toInt)
+            fedEnd += chunk
+          }
+          got += inf.inflate(out, got, out.length - got)
+        }
+        got == out.length && java.util.Arrays.equals(out, expectPrefix)
+      } finally inf.end()
+    } catch {
+      case _: IllegalArgumentException => false
+      case _: java.util.zip.DataFormatException => false
+    }
+}

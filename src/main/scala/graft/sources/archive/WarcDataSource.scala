@@ -1,0 +1,391 @@
+package graft.sources.archive
+
+import java.util.OptionalLong
+
+import org.apache.hadoop.conf.Configuration
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.Warc
+import graft.sources.nc.SerializableHadoopConf
+
+/** DataSource V2 batch reader for WARC archives —
+  * `spark.read.format("warc").load(dirOrFile)` over `.warc` /
+  * `.warc.gz` / `.wet(.gz)` / `.wat(.gz)`: one row per record, with
+  * MEMBER-granular intra-file parallelism.
+  *
+  * Scale design (the whole point — see [[ArchiveSplit]]):
+  *  - files split into `maxSplitBytes` byte ranges (default 128 MiB);
+  *    a task owns the records whose member START falls in its range and
+  *    reads past the range end to finish the last one;
+  *  - resync inside `.warc.gz`: scan for 1F 8B 08, validate with a real
+  *    gzip-header parse + prefix-inflate ("WARC/") probe, and verify
+  *    the member trailer CRC after full inflate — the Common Crawl
+  *    per-record-member layout makes every record a split point. A
+  *    mono-stream `.warc.gz` still parses (first range reads it all,
+  *    later ranges find no member start) but a member inflating past
+  *    `maxMemberBytes` (default 256 MiB) refuses BY NAME rather than
+  *    silently rebuilding the whole-file heap spike;
+  *  - resync inside plain `.warc`: a "WARC/" at line start that parses
+  *    as a full record header block. (A payload embedding a verbatim
+  *    WARC record at a line start can false-sync — the same documented
+  *    residual every splittable text format accepts; record-level gzip
+  *    members don't have it, which is one more reason Common Crawl
+  *    ships them.)
+  *  - per-task memory ≤ split range + one member overrun
+  *    ([[GrowableSlab]] grows on demand), per-record decode bounded by
+  *    `maxMemberBytes`;
+  *  - column pruning reaches the reader: without `payload_text` in the
+  *    required schema the HTTP envelope split/UTF-8 decode is skipped
+  *    (headers must still be walked for framing).
+  *
+  * `rec_offset` is the FILE offset of the record's member start
+  * (compressed offset for `.warc.gz`) — stable under any split size —
+  * and `rec_seq` the record's ordinal within its member, so
+  * (path, rec_offset, rec_seq) is a total, split-invariant order. */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcTable.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(schema == WarcTable.Schema,
+      s"warc scans always present ${WarcTable.Schema.simpleString}; " +
+        s"got ${schema.simpleString}")
+    WarcTable.resolve(new CaseInsensitiveStringMap(properties))
+  }
+}
+
+object WarcTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("rec_offset", LongType, nullable = false),
+    StructField("rec_seq", IntegerType, nullable = false),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = false),
+    StructField("warc_date", StringType, nullable = false),
+    StructField("content_type", StringType, nullable = false),
+    StructField("content_length", LongType, nullable = false),
+    StructField("http_status", IntegerType, nullable = false),
+    StructField("payload_text", StringType, nullable = false)))
+
+  private[archive] def isWarcName(n: String): Boolean = {
+    val l = n.toLowerCase
+    l.endsWith(".warc") || l.endsWith(".warc.gz") ||
+      l.endsWith(".wet") || l.endsWith(".wet.gz") ||
+      l.endsWith(".wat") || l.endsWith(".wat.gz")
+  }
+
+  def resolve(options: CaseInsensitiveStringMap): WarcTable = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val paths = Option(options.get("path")).toSeq
+    require(paths.nonEmpty, "warc scan needs a path")
+    val maxSplit = Option(options.get("maxSplitBytes"))
+      .map(_.toLong).getOrElse(128L << 20)
+    val maxMember = Option(options.get("maxMemberBytes"))
+      .map(_.toLong).getOrElse(256L << 20)
+    val files = ArchiveSplit.listFiles(conf, paths, isWarcName)
+      .map(st => (st.getPath.toString, st.getLen))
+    new WarcTable(files, conf, maxSplit, maxMember)
+  }
+}
+
+final class WarcTable(
+    val files: Seq[(String, Long)],
+    @transient val conf: Configuration,
+    val maxSplitBytes: Long,
+    val maxMemberBytes: Long) extends Table with SupportsRead {
+  override def name(): String = s"warc(${files.length} files)"
+  override def schema(): StructType = WarcTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(this)
+}
+
+final class WarcScanBuilder(table: WarcTable) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = WarcTable.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new WarcScan(table, required)
+}
+
+final class WarcScan(table: WarcTable, required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft-warc files=${table.files.length}, " +
+      s"maxSplitBytes=${table.maxSplitBytes}, " +
+      s"ReadSchema: ${required.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    table.files.flatMap { case (path, len) =>
+      ArchiveSplit.ranges(len, table.maxSplitBytes).map { case (s, e) =>
+        WarcInputPartition(path, s, e, len,
+          path.toLowerCase.endsWith(".gz"), table.maxMemberBytes,
+          required.fieldNames)
+      }
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(new SerializableHadoopConf(table.conf))
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = table.files.map(_._2).sum
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+}
+
+final case class WarcInputPartition(
+    path: String, start: Long, end: Long, fileLen: Long,
+    gz: Boolean, maxMemberBytes: Long, cols: Array[String]) extends InputPartition
+
+final class WarcReaderFactory(conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition], conf.value)
+}
+
+/** One byte-range worth of records. */
+final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val hpath = new org.apache.hadoop.fs.Path(part.path)
+  private val in = hpath.getFileSystem(conf).open(hpath)
+  // base one byte early: the plain-file resync checks the byte BEFORE a
+  // candidate record start for '\n' (line-start requirement)
+  private val slab = new GrowableSlab(in, math.max(0L, part.start - 1), part.fileLen)
+  private val WarcMagic = "WARC/".getBytes("US-ASCII")
+
+  private val needText = part.cols.contains("payload_text")
+  // column dispatch hoisted out of the per-row loop (the GRIB pattern)
+  private val PathC = 0; private val OffC = 1; private val SeqC = 2
+  private val TypeC = 3; private val UriC = 4; private val DateC = 5
+  private val CtypeC = 6; private val ClenC = 7; private val StatusC = 8
+  private val TextC = 9
+  private val colCodes: Array[Int] = part.cols.map {
+    case "path" => PathC
+    case "rec_offset" => OffC
+    case "rec_seq" => SeqC
+    case "warc_type" => TypeC
+    case "target_uri" => UriC
+    case "warc_date" => DateC
+    case "content_type" => CtypeC
+    case "content_length" => ClenC
+    case "http_status" => StatusC
+    case "payload_text" => TextC
+  }
+  private val pathUtf8 = UTF8String.fromString(part.path)
+
+  // ------------------------------------------------------- gz members
+  /** Next validated member start at or after `p`, or -1. */
+  private def nextMemberStart(p0: Long): Long = {
+    var p = p0
+    while (p < part.end) {
+      if (!slab.ensure(math.min(part.end, p + 3))) return -1
+      if (p + 3 <= part.fileLen && slab.ensure(p + 3) &&
+        (slab(p) & 0xFF) == 0x1F && (slab(p + 1) & 0xFF) == 0x8B &&
+        (slab(p + 2) & 0xFF) == 8 &&
+        GzipMember.probe(slab, p, WarcMagic)) return p
+      p += 1
+    }
+    -1
+  }
+
+  // ----------------------------------------------------- plain records
+  /** Next validated record start at or after `p` (plain files): "WARC/"
+    * at a line start whose header block parses. */
+  private def nextRecordStart(p0: Long): Long = {
+    var p = p0
+    while (p < part.end) {
+      if (!slab.ensure(p + WarcMagic.length)) return -1
+      val atLineStart = p == 0 || (slab.ensure(p) && slab(p - 1) == '\n')
+      if (atLineStart && (0 until WarcMagic.length).forall(i =>
+          slab(p + i) == WarcMagic(i)) && probeRecord(p)) return p
+      p += 1
+    }
+    -1
+  }
+
+  private def probeRecord(p: Long): Boolean =
+    try { headerBlockOf(p); true }
+    catch { case _: IllegalArgumentException => false }
+
+  /** Parse the record FRAMING at absolute offset `p` in the slab:
+    * (headers, payload start, payload length). Same semantics as
+    * [[Warc.parse]] (the equivalence spec pins parity). */
+  private def headerBlockOf(p: Long): (Map[String, String], Long, Long) = {
+    var q = p
+    def line(): String = {
+      val start = q
+      var ok = slab.ensure(q + 1)
+      while (ok && slab(q) != '\n') { q += 1; ok = slab.ensure(q + 1) }
+      require(ok, s"warc ${part.path}: header line at $start runs past end")
+      val s = new String(slab.raw, slab.rel(start), (q - start).toInt,
+        "US-ASCII").stripSuffix("\r")
+      q += 1
+      s
+    }
+    val version = line()
+    require(version.startsWith("WARC/0.") || version.startsWith("WARC/1."),
+      s"warc ${part.path}: record at $p has version line '$version', " +
+        "not WARC/0.x or WARC/1.x")
+    val headers = scala.collection.mutable.Map.empty[String, String]
+    var done = false
+    while (!done) {
+      val l = line()
+      if (l.isEmpty) done = true
+      else {
+        val colon = l.indexOf(':')
+        require(colon > 0, s"warc ${part.path}: malformed header '$l' at $p")
+        headers(l.substring(0, colon).trim.toLowerCase) =
+          l.substring(colon + 1).trim
+      }
+    }
+    val len = headers.getOrElse("content-length",
+      throw new IllegalArgumentException(
+        s"warc ${part.path}: record at $p has no Content-Length")).toLong
+    require(len >= 0 && len <= part.maxMemberBytes,
+      s"warc ${part.path}: record at $p claims $len payload bytes " +
+        "(maxMemberBytes bound) — raise the option for jumbo records")
+    require(slab.ensure(q + len),
+      s"warc ${part.path}: record at $p claims $len payload bytes past end")
+    (headers.toMap, q, len)
+  }
+
+  // ------------------------------------------------------- iteration
+  private var pendingRows: Iterator[InternalRow] = Iterator.empty
+  private var cursor: Long = part.start
+  private var synced = false
+  private var current: InternalRow = _
+
+  private def rowOf(recOffset: Long, seq: Int, headers: Map[String, String],
+      payload: () => Array[Byte]): InternalRow = {
+    val contentType = headers.getOrElse("content-type", "")
+    lazy val statusBody: (Int, Array[Byte]) =
+      if (contentType.startsWith("application/http"))
+        Warc.splitHttpEnvelope(0L, recOffset, payload())
+      else (-1, payload())
+    def status: Int = statusBody._1
+    def body: Array[Byte] = statusBody._2
+    val row = new Array[Any](colCodes.length)
+    var c = 0
+    while (c < colCodes.length) {
+      row(c) = colCodes(c) match {
+        case PathC => pathUtf8
+        case OffC => recOffset
+        case SeqC => seq
+        case TypeC => UTF8String.fromString(headers.getOrElse("warc-type", ""))
+        case UriC => UTF8String.fromString(headers.getOrElse("warc-target-uri", ""))
+        case DateC => UTF8String.fromString(headers.getOrElse("warc-date", ""))
+        case CtypeC => UTF8String.fromString(contentType)
+        case ClenC => headers.getOrElse("content-length", "0").toLong
+        case StatusC =>
+          if (!contentType.startsWith("application/http")) -1 else status
+        case TextC => UTF8String.fromString(
+          new String(body, java.nio.charset.StandardCharsets.UTF_8))
+      }
+      c += 1
+    }
+    new GenericInternalRow(row)
+  }
+
+  /** All records of one decompressed member's bytes (gz path): parsed
+    * with the in-memory reference parser for exact semantic parity. */
+  private def memberRows(memberStart: Long, bytes: Array[Byte]): Iterator[InternalRow] =
+    Warc.parse(memberStart, bytes).iterator.zipWithIndex.map { case (r, i) =>
+      val row = new Array[Any](colCodes.length)
+      var c = 0
+      while (c < colCodes.length) {
+        row(c) = colCodes(c) match {
+          case PathC => pathUtf8
+          case OffC => memberStart
+          case SeqC => i
+          case TypeC => UTF8String.fromString(r.warcType)
+          case UriC => UTF8String.fromString(r.targetUri)
+          case DateC => UTF8String.fromString(r.warcDate)
+          case CtypeC => UTF8String.fromString(r.contentType)
+          case ClenC => r.contentLength
+          case StatusC => r.httpStatus
+          case TextC => UTF8String.fromString(r.payloadText)
+        }
+        c += 1
+      }
+      new GenericInternalRow(row)
+    }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (pendingRows.hasNext) { current = pendingRows.next(); return true }
+      if (cursor >= part.end) return false
+      if (part.gz) {
+        val m =
+          if (!synced && part.start == 0) cursor // format contract: member
+          // at offset 0 — parse directly so malformed files REFUSE by
+          // name instead of probe-skipping silently
+          else if (synced) {
+            // sequential walk: the next member must start exactly here
+            if (cursor + 3 <= part.fileLen && slab.ensure(cursor + 3) &&
+              (slab(cursor) & 0xFF) == 0x1F && (slab(cursor + 1) & 0xFF) == 0x8B)
+              cursor
+            else nextMemberStart(cursor)
+          } else nextMemberStart(cursor)
+        if (m < 0 || m >= part.end) return false
+        synced = true
+        val (data, memberEnd) =
+          GzipMember.inflate(slab, m, part.maxMemberBytes, s"warc ${part.path}")
+        cursor = memberEnd
+        pendingRows = memberRows(m, data)
+      } else {
+        val r =
+          if (synced || part.start == 0) {
+            // blank separator lines between records; at offset 0 the
+            // first record starts at 0 by format contract — parse (named
+            // refusals), don't probe-skip
+            var p = cursor
+            var ok = slab.ensure(p + 1)
+            while (ok && p < part.fileLen && (slab(p) == '\r' || slab(p) == '\n')) {
+              p += 1; ok = slab.ensure(p + 1)
+            }
+            if (p >= part.fileLen || !ok) -1L
+            else if (!synced || probeAt(p)) p
+            else nextRecordStart(p)
+          } else nextRecordStart(cursor)
+        if (r < 0 || r >= part.end) return false
+        synced = true
+        val (headers, payloadStart, len) = headerBlockOf(r)
+        cursor = payloadStart + len
+        val rows = Iterator.single(rowOf(r, 0, headers,
+          () => slab.copy(payloadStart, len.toInt)))
+        pendingRows = rows
+      }
+    }
+    false // unreachable
+  }
+
+  private def probeAt(p: Long): Boolean =
+    slab.ensure(p + WarcMagic.length) &&
+      (0 until WarcMagic.length).forall(i => slab(p + i) == WarcMagic(i)) &&
+      probeRecord(p)
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
