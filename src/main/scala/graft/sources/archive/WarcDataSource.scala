@@ -97,9 +97,10 @@ object WarcTable {
       .map(_.toLong).getOrElse(128L << 20)
     val maxMember = Option(options.get("maxMemberBytes"))
       .map(_.toLong).getOrElse(256L << 20)
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
     val files = ArchiveSplit.listFiles(conf, paths, isWarcName)
       .map(st => (st.getPath.toString, st.getLen))
-    new WarcTable(files, conf, maxSplit, maxMember)
+    new WarcTable(files, conf, maxSplit, maxMember, paths, maxFiles)
   }
 }
 
@@ -107,11 +108,13 @@ final class WarcTable(
     val files: Seq[(String, Long)],
     @transient val conf: Configuration,
     val maxSplitBytes: Long,
-    val maxMemberBytes: Long) extends Table with SupportsRead {
+    val maxMemberBytes: Long,
+    val paths: Seq[String],
+    val maxFilesPerTrigger: Option[Int]) extends Table with SupportsRead {
   override def name(): String = s"warc(${files.length} files)"
   override def schema(): StructType = WarcTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(this)
 }
@@ -129,6 +132,18 @@ final class WarcScan(table: WarcTable, required: StructType)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming over a landing dir: per-file admission, then the SAME
+    * split partitions as the batch scan. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ArchiveMicroBatchStream(table.paths, table.conf,
+      WarcTable.isWarcName, table.maxFilesPerTrigger,
+      (path, len) => ArchiveSplit.ranges(len, table.maxSplitBytes)
+        .map { case (s, e) => WarcInputPartition(path, s, e, len,
+          path.toLowerCase.endsWith(".gz"), table.maxMemberBytes,
+          required.fieldNames) },
+      createReaderFactory())
 
   override def description(): String =
     s"graft-warc files=${table.files.length}, " +

@@ -95,9 +95,10 @@ object WebdatasetTable {
       .map(_.toLong).getOrElse(128L << 20)
     val maxMember = Option(options.get("maxMemberBytes"))
       .map(_.toLong).getOrElse(256L << 20)
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
     val files = ArchiveSplit.listFiles(conf, paths, isTarName)
       .map(st => (st.getPath.toString, st.getLen))
-    new WebdatasetTable(files, conf, maxSplit, maxMember)
+    new WebdatasetTable(files, conf, maxSplit, maxMember, paths, maxFiles)
   }
 
   /** The WebDataset (key, ext) split — shared with the relational
@@ -115,11 +116,13 @@ final class WebdatasetTable(
     val files: Seq[(String, Long)],
     @transient val conf: Configuration,
     val maxSplitBytes: Long,
-    val maxMemberBytes: Long) extends Table with SupportsRead {
+    val maxMemberBytes: Long,
+    val paths: Seq[String],
+    val maxFilesPerTrigger: Option[Int]) extends Table with SupportsRead {
   override def name(): String = s"webdataset(${files.length} shards)"
   override def schema(): StructType = WebdatasetTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WebdatasetScanBuilder(this)
 }
@@ -138,6 +141,26 @@ final class WebdatasetScan(table: WebdatasetTable, required: StructType)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  private def partitionsOfFile(path: String, len: Long): Seq[InputPartition] =
+    if (path.toLowerCase.endsWith(".gz"))
+      Seq(WebdatasetInputPartition(path, 0L, len, len, gz = true,
+        nRanges = 1, table.maxMemberBytes, required.fieldNames))
+    else {
+      val rs = ArchiveSplit.ranges(len, table.maxSplitBytes)
+      rs.map { case (s, e) =>
+        WebdatasetInputPartition(path, s, e, len, gz = false,
+          nRanges = rs.length, table.maxMemberBytes, required.fieldNames)
+      }
+    }
+
+  /** Streaming over a landing dir of shards: per-file admission, then
+    * the SAME split partitions as the batch scan. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ArchiveMicroBatchStream(table.paths, table.conf,
+      WebdatasetTable.isTarName, table.maxFilesPerTrigger,
+      partitionsOfFile, createReaderFactory())
+
   override def description(): String =
     s"graft-webdataset shards=${table.files.length}, " +
       s"maxSplitBytes=${table.maxSplitBytes}, " +
@@ -145,17 +168,9 @@ final class WebdatasetScan(table: WebdatasetTable, required: StructType)
 
   override def planInputPartitions(): Array[InputPartition] =
     table.files.flatMap { case (path, len) =>
-      if (path.toLowerCase.endsWith(".gz"))
-        // one deflate stream: not seekable — one STREAMING partition
-        Seq(WebdatasetInputPartition(path, 0L, len, len, gz = true,
-          nRanges = 1, table.maxMemberBytes, required.fieldNames))
-      else {
-        val rs = ArchiveSplit.ranges(len, table.maxSplitBytes)
-        rs.map { case (s, e) =>
-          WebdatasetInputPartition(path, s, e, len, gz = false,
-            nRanges = rs.length, table.maxMemberBytes, required.fieldNames)
-        }
-      }
+      // .tar.gz = one deflate stream: not seekable, one STREAMING
+      // partition; plain .tar fans out into byte ranges
+      partitionsOfFile(path, len)
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
