@@ -1151,6 +1151,29 @@ object SparkEntry {
     rows.toDF("id", "zip")
   }
 
+  /** ZIP files on disk for the INDEX-planned `format("zip")` scan —
+    * same members as [[zipEventsFixture]] (ZIP64 every fourth day), so
+    * the oracle is shared. */
+  private def zipFilesFixture(s: SparkSession, dir: String): String = {
+    import graft.functions.Zip
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_zipf_$sf"
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(dirPath, true); fs.mkdirs(dirPath)
+    dailySlotCounts(s, dir).foreach { case (id, cnt) =>
+      val files = (0 until 10).map { slot =>
+        (s"book$id/ch$slot.txt",
+          s"chapter $slot has events=${cnt(slot)}".getBytes("US-ASCII"),
+          slot % 2 == 1)
+      }
+      val bytes = Zip.encode(files, zip64 = id % 4 == 0)
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/$id.zip"), true)
+      try out.write(bytes) finally out.close()
+    }
+    outDir
+  }
+
   /** TFRecord shard fixture (the TensorFlow training layout): one
     * .tfrecord per day (.tfrecord.gz on odd days), one text record per
     * slot — byte offsets are the closed-form 16-byte-framing walk, so
@@ -3304,10 +3327,16 @@ object SparkEntry {
     // reader is also interop-pinned BOTH directions against
     // java.util.zip (ZipSpec). The oracle rebuilds names, sizes, and
     // text from events.
+    // through the INDEX-planned format("zip") DSv2: partitions come
+    // from the central directory (tiny maxSplitBytes forces several
+    // member-groups per archive in the gate), ZIP64 every fourth day
     "q184_zip_members" -> ((s, dir) => {
-      val zips = zipEventsFixture(s, dir)
-      graft.functions.Zip.members(zips, "id", "zip")
-        .select(col("id"), col("entry_idx"), col("name"), col("method"),
+      val path = zipFilesFixture(s, dir)
+      s.read.format("zip").option("maxSplitBytes", "256").load(path)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.zip", 1)
+            .cast("long").as("id"),
+          col("entry_idx"), col("name"), col("method"),
           col("byte_size"), col("payload").cast("string").as("payload_text"))
         .orderBy("id", "entry_idx")
     }),

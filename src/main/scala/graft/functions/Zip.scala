@@ -35,71 +35,98 @@ object Zip {
     def isDirectory: Boolean = name.endsWith("/")
   }
 
-  /** Parse every member via the central directory; CRCs verified. */
-  def entries(id: Long, bytes: Array[Byte]): Seq[ZipEntry] = {
-    def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
-    def u32(o: Int): Long = (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
-      ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
-    require(bytes.length >= 22, s"zip $id: ${bytes.length} bytes is no zip")
-    // EOCD: backward scan (comment is at most 65535 bytes)
+  /** One central-directory entry — the archive's own INDEX of a member
+    * (`localOff` is the member's local header's absolute file offset),
+    * which is what makes ZIP the cheaply-splittable archive format: no
+    * resync needed, planning reads the directory and partitions
+    * members by exact offsets ([[graft.sources.archive.ZipTable]]). */
+  private[graft] final case class Central(
+      idx: Int, name: String, method: Int, crc: Long,
+      csize: Long, usize: Long, localOff: Long)
+
+  private def u16At(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def u32At(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+      ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+  private def u64At(b: Array[Byte], o: Int): Long =
+    u32At(b, o) | (u32At(b, o + 4) << 32)
+
+  /** Locate the central directory from the file TAIL: EOCD backward
+    * scan (bounded by the 65535-byte comment), ZIP64 locator + EOCD64
+    * record when saturated. `readAt(off, len)` supplies extra bytes for
+    * an EOCD64 record outside the tail window (absolute offsets) — the
+    * whole-buffer path passes a slicer, the DSv2 planner a positioned
+    * read. Returns (entry count, cd absolute offset). */
+  private[graft] def locateDirectory(id: Long, tail: Array[Byte],
+      tailBase: Long, fileLen: Long,
+      readAt: (Long, Int) => Array[Byte]): (Int, Long) = {
+    require(fileLen >= 22 && tail.length >= math.min(fileLen, 22L).toInt,
+      s"zip $id: $fileLen bytes is no zip")
     val eocd = {
-      var o = bytes.length - 22
-      val floor = math.max(0, bytes.length - 22 - 65535)
-      while (o >= floor && !(bytes(o) == 'P' && bytes(o + 1) == 'K' &&
-        bytes(o + 2) == 5 && bytes(o + 3) == 6)) o -= 1
+      var o = tail.length - 22
+      val floor = math.max(0, tail.length - 22 - 65535)
+      while (o >= floor && !(tail(o) == 'P' && tail(o + 1) == 'K' &&
+        tail(o + 2) == 5 && tail(o + 3) == 6)) o -= 1
       require(o >= floor, {
         val fmt =
-          if (bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K')
+          if (tail.length >= 4 && tailBase > 0)
+            "zip with no end-of-central-directory in the tail window"
+          else if (tail.length >= 4 && tail(0) == 'P' && tail(1) == 'K')
             "zip with no end-of-central-directory (truncated?)"
           else "not a zip at all"
         s"zip $id: $fmt"
       })
       o
     }
-    def u64(o: Int): Long = u32(o) | (u32(o + 4) << 32)
-    val nEntries16 = u16(eocd + 10)
-    require(u16(eocd + 8) == nEntries16, // this-disk vs total
+    val nEntries16 = u16At(tail, eocd + 10)
+    require(u16At(tail, eocd + 8) == nEntries16, // this-disk vs total
       s"zip $id: multi-disk archives out of profile")
-    val cdOff32 = u32(eocd + 16)
+    val cdOff32 = u32At(tail, eocd + 16)
     // ZIP64: saturated EOCD fields defer to the EOCD64 record, found
     // via the 20-byte locator that sits immediately before the EOCD
-    val (nEntries, cdOff) =
-      if (cdOff32 == 0xFFFFFFFFL || nEntries16 == 0xFFFF) {
-        val loc = eocd - 20
-        require(loc >= 0 && bytes(loc) == 'P' && bytes(loc + 1) == 'K' &&
-          bytes(loc + 2) == 6 && bytes(loc + 3) == 7,
-          s"zip $id: saturated EOCD but no ZIP64 locator before it")
-        require(u32(loc + 16) == 1,
-          s"zip $id: multi-disk archives out of profile")
-        val e64 = u64(loc + 8)
-        require(e64 >= 0 && e64 + 56 <= bytes.length,
-          s"zip $id: ZIP64 EOCD offset $e64 past end ${bytes.length}")
-        val r = e64.toInt
-        require(bytes(r) == 'P' && bytes(r + 1) == 'K' &&
-          bytes(r + 2) == 6 && bytes(r + 3) == 6,
-          s"zip $id: ZIP64 EOCD record missing at $e64")
-        val n64 = u64(r + 32)
-        require(n64 == u64(r + 24),
-          s"zip $id: multi-disk archives out of profile")
-        require(n64 <= Int.MaxValue, s"zip $id: $n64 entries")
-        (n64.toInt, u64(r + 48))
-      } else (nEntries16, cdOff32)
-    // u32/u64 offsets are validated as LONGS before any toInt: a garbled
-    // EOCD with an offset past 2 GiB must refuse by name, not wrap
-    // negative into an ArrayIndexOutOfBoundsException
-    require(cdOff >= 0 && cdOff + 46 <= bytes.length,
-      s"zip $id: central directory offset $cdOff past end ${bytes.length}")
-    val out = ArrayBuffer.empty[ZipEntry]
-    var p = cdOff.toInt
-    for (_ <- 0 until nEntries) {
+    if (cdOff32 == 0xFFFFFFFFL || nEntries16 == 0xFFFF) {
+      val loc = eocd - 20
+      require(loc >= 0 && tail(loc) == 'P' && tail(loc + 1) == 'K' &&
+        tail(loc + 2) == 6 && tail(loc + 3) == 7,
+        s"zip $id: saturated EOCD but no ZIP64 locator before it")
+      require(u32At(tail, loc + 16) == 1,
+        s"zip $id: multi-disk archives out of profile")
+      val e64 = u64At(tail, loc + 8)
+      require(e64 >= 0 && e64 + 56 <= fileLen,
+        s"zip $id: ZIP64 EOCD offset $e64 past end $fileLen")
+      val rec =
+        if (e64 >= tailBase)
+          java.util.Arrays.copyOfRange(tail, (e64 - tailBase).toInt,
+            math.min(tail.length.toLong, e64 - tailBase + 56).toInt)
+        else readAt(e64, 56)
+      require(rec.length >= 56 && rec(0) == 'P' && rec(1) == 'K' &&
+        rec(2) == 6 && rec(3) == 6,
+        s"zip $id: ZIP64 EOCD record missing at $e64")
+      val n64 = u64At(rec, 32)
+      require(n64 == u64At(rec, 24),
+        s"zip $id: multi-disk archives out of profile")
+      require(n64 <= Int.MaxValue, s"zip $id: $n64 entries")
+      (n64.toInt, u64At(rec, 48))
+    } else (nEntries16, cdOff32)
+  }
+
+  /** Walk `nEntries` central-directory entries in `bytes` starting at
+    * index `cdStart` — ZIP64 0x0001 extras applied, encrypted/foreign-
+    * method/bomb entries refused by name at this (planning) stage. */
+  private[graft] def parseCentral(id: Long, bytes: Array[Byte],
+      cdStart: Int, nEntries: Int): Seq[Central] = {
+    val out = ArrayBuffer.empty[Central]
+    var p = cdStart
+    for (idx <- 0 until nEntries) {
       require(p + 46 <= bytes.length &&
         bytes(p) == 'P' && bytes(p + 1) == 'K' &&
         bytes(p + 2) == 1 && bytes(p + 3) == 2,
         s"zip $id: central directory lost sync at $p")
-      val flags = u16(p + 8)
+      val flags = u16At(bytes, p + 8)
       require((flags & 0x1) == 0,
         s"zip $id: encrypted member out of profile")
-      val method = u16(p + 10)
+      val method = u16At(bytes, p + 10)
       require(method == 0 || method == 8, {
         val name = method match {
           case 1 => "shrink"; case 6 => "implode"; case 9 => "deflate64"
@@ -108,12 +135,12 @@ object Zip {
         }
         s"zip $id: compression '$name' out of profile (store/deflate only)"
       })
-      val crc = u32(p + 16)
-      val csize32 = u32(p + 20)
-      val usize32 = u32(p + 24)
-      val nameLen = u16(p + 28); val extraLen = u16(p + 30)
-      val commentLen = u16(p + 32)
-      val localOff32 = u32(p + 42)
+      val crc = u32At(bytes, p + 16)
+      val csize32 = u32At(bytes, p + 20)
+      val usize32 = u32At(bytes, p + 24)
+      val nameLen = u16At(bytes, p + 28); val extraLen = u16At(bytes, p + 30)
+      val commentLen = u16At(bytes, p + 32)
+      val localOff32 = u32At(bytes, p + 42)
       // ZIP64 extra field (id 0x0001): 8-byte overrides appear in the
       // fixed order usize, csize, localOff, disk — but ONLY for the
       // fields whose 32-bit form is saturated to 0xFFFFFFFF
@@ -128,7 +155,7 @@ object Zip {
         var q = extraStart
         var found = false
         while (!found && q + 4 <= extraStart + extraLen) {
-          val fid = u16(q); val flen = u16(q + 2)
+          val fid = u16At(bytes, q); val flen = u16At(bytes, q + 2)
           require(q + 4 + flen <= extraStart + extraLen,
             s"zip $id: extra field 0x${fid.toHexString} overruns at $q")
           if (fid == 0x0001) {
@@ -139,7 +166,7 @@ object Zip {
               else {
                 require(r + 8 <= q + 4 + flen,
                   s"zip $id: ZIP64 extra too short for $name at $q")
-                val v = u64(r); r += 8; v
+                val v = u64At(bytes, r); r += 8; v
               }
             val u = take(usize32 == 0xFFFFFFFFL, "usize")
             val c = take(csize32 == 0xFFFFFFFFL, "csize")
@@ -165,53 +192,83 @@ object Zip {
         (method == 0 || usize <= csize * 1100L + 64),
         s"zip $id: member '$name' claims $usize uncompressed from $csize " +
           "compressed bytes — garbled directory or decompression bomb")
-      // local header: PK\3\4 ... its OWN name/extra lengths (may differ)
-      require(localOff + 30 <= bytes.length,
-        s"zip $id: local header offset $localOff past end ${bytes.length}")
-      val lo = localOff.toInt
-      require(lo + 30 <= bytes.length && bytes(lo) == 'P' && bytes(lo + 1) == 'K' &&
-        bytes(lo + 2) == 3 && bytes(lo + 3) == 4,
-        s"zip $id: member '$name' local header missing at $lo")
-      val dataOff = lo + 30 + u16(lo + 26) + u16(lo + 28)
-      require(dataOff + csize <= bytes.length,
-        s"zip $id: member '$name' claims $csize bytes past end")
-      val raw = java.util.Arrays.copyOfRange(bytes, dataOff, (dataOff + csize).toInt)
-      val data = method match {
-        case 0 =>
-          require(csize == usize,
-            s"zip $id: stored member '$name' sizes disagree ($csize vs $usize)")
-          raw
-        case 8 =>
-          val inf = new java.util.zip.Inflater(true) // raw deflate
-          inf.setInput(raw)
-          val buf = new Array[Byte](usize.toInt)
-          var got = 0
-          try {
-            while (got < usize && !inf.finished()) {
-              val n = inf.inflate(buf, got, usize.toInt - got)
-              if (n == 0 && inf.needsInput())
-                throw new IllegalArgumentException(
-                  s"zip $id: member '$name' deflate stream truncated")
-              got += n
-            }
-          } catch {
-            case e: java.util.zip.DataFormatException =>
-              throw new IllegalArgumentException(
-                s"zip $id: member '$name' corrupt deflate: ${e.getMessage}")
-          } finally inf.end()
-          require(got == usize,
-            s"zip $id: member '$name' inflated to $got of $usize bytes")
-          buf
-      }
-      val check = new java.util.zip.CRC32
-      check.update(data)
-      require(check.getValue == crc,
-        f"zip $id: member '$name' CRC mismatch (stored $crc%08x, " +
-          f"computed ${check.getValue}%08x)")
-      out += ZipEntry(name, method, csize, usize, crc, data)
+      require(localOff >= 0,
+        s"zip $id: member '$name' has negative local offset $localOff")
+      out += Central(idx, name, method, crc, csize, usize, localOff)
       p += 46 + nameLen + extraLen + commentLen
     }
     out.toSeq
+  }
+
+  /** The data offset inside a member slice starting at its local
+    * header: PK\3\4 verified, then 30 + the LOCAL name/extra lengths
+    * (they may differ from the central ones). */
+  private[graft] def localDataOffset(id: Long, c: Central,
+      local: Array[Byte], at: Int): Int = {
+    require(at + 30 <= local.length && local(at) == 'P' && local(at + 1) == 'K' &&
+      local(at + 2) == 3 && local(at + 3) == 4,
+      s"zip $id: member '${c.name}' local header missing at ${c.localOff}")
+    at + 30 + u16At(local, at + 26) + u16At(local, at + 28)
+  }
+
+  /** Inflate (or pass through) + CRC-verify one member's raw bytes. */
+  private[graft] def inflateVerify(id: Long, c: Central,
+      raw: Array[Byte]): Array[Byte] = {
+    val data = c.method match {
+      case 0 =>
+        require(c.csize == c.usize,
+          s"zip $id: stored member '${c.name}' sizes disagree " +
+            s"(${c.csize} vs ${c.usize})")
+        raw
+      case 8 =>
+        val inf = new java.util.zip.Inflater(true) // raw deflate
+        inf.setInput(raw)
+        val buf = new Array[Byte](c.usize.toInt)
+        var got = 0
+        try {
+          while (got < c.usize && !inf.finished()) {
+            val n = inf.inflate(buf, got, c.usize.toInt - got)
+            if (n == 0 && inf.needsInput())
+              throw new IllegalArgumentException(
+                s"zip $id: member '${c.name}' deflate stream truncated")
+            got += n
+          }
+        } catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"zip $id: member '${c.name}' corrupt deflate: ${e.getMessage}")
+        } finally inf.end()
+        require(got == c.usize,
+          s"zip $id: member '${c.name}' inflated to $got of ${c.usize} bytes")
+        buf
+    }
+    val check = new java.util.zip.CRC32
+    check.update(data)
+    require(check.getValue == c.crc,
+      f"zip $id: member '${c.name}' CRC mismatch (stored ${c.crc}%08x, " +
+        f"computed ${check.getValue}%08x)")
+    data
+  }
+
+  /** Parse every member via the central directory; CRCs verified. */
+  def entries(id: Long, bytes: Array[Byte]): Seq[ZipEntry] = {
+    val (nEntries, cdOff) = locateDirectory(id, bytes, 0L, bytes.length,
+      (off, len) => java.util.Arrays.copyOfRange(bytes, off.toInt,
+        math.min(bytes.length.toLong, off + len).toInt))
+    // validated as LONGS before any toInt (garbled-EOCD hardening)
+    require(cdOff >= 0 && cdOff + 46 <= bytes.length,
+      s"zip $id: central directory offset $cdOff past end ${bytes.length}")
+    parseCentral(id, bytes, cdOff.toInt, nEntries).map { c =>
+      require(c.localOff + 30 <= bytes.length,
+        s"zip $id: local header offset ${c.localOff} past end ${bytes.length}")
+      val dataOff = localDataOffset(id, c, bytes, c.localOff.toInt)
+      require(dataOff + c.csize <= bytes.length,
+        s"zip $id: member '${c.name}' claims ${c.csize} bytes past end")
+      val raw = java.util.Arrays.copyOfRange(bytes, dataOff,
+        (dataOff + c.csize).toInt)
+      ZipEntry(c.name, c.method, c.csize, c.usize, c.crc,
+        inflateVerify(id, c, raw))
+    }
   }
 
   /** [[entries]] as a relational stage: one row per member. */

@@ -190,7 +190,6 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
   private val slab = new GrowableSlab(in, math.max(0L, part.start - 1), part.fileLen)
   private val WarcMagic = "WARC/".getBytes("US-ASCII")
 
-  private val needText = part.cols.contains("payload_text")
   // column dispatch hoisted out of the per-row loop (the GRIB pattern)
   private val PathC = 0; private val OffC = 1; private val SeqC = 2
   private val TypeC = 3; private val UriC = 4; private val DateC = 5
@@ -352,17 +351,14 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
       if (pendingRows.hasNext) { current = pendingRows.next(); return true }
       if (cursor >= part.end) return false
       if (part.gz) {
+        // offset 0 is a member start by format contract, and once synced
+        // the next member must start EXACTLY at the cursor (members are
+        // back-to-back) — both parse directly, so malformed bytes REFUSE
+        // by name instead of probe-skipping silently; only a mid-file
+        // range start genuinely resyncs
         val m =
-          if (!synced && part.start == 0) cursor // format contract: member
-          // at offset 0 — parse directly so malformed files REFUSE by
-          // name instead of probe-skipping silently
-          else if (synced) {
-            // sequential walk: the next member must start exactly here
-            if (cursor + 3 <= part.fileLen && slab.ensure(cursor + 3) &&
-              (slab(cursor) & 0xFF) == 0x1F && (slab(cursor + 1) & 0xFF) == 0x8B)
-              cursor
-            else nextMemberStart(cursor)
-          } else nextMemberStart(cursor)
+          if (synced || part.start == 0) cursor
+          else nextMemberStart(cursor)
         if (m < 0 || m >= part.end) return false
         synced = true
         val (data, memberEnd) =
@@ -372,17 +368,16 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
       } else {
         val r =
           if (synced || part.start == 0) {
-            // blank separator lines between records; at offset 0 the
-            // first record starts at 0 by format contract — parse (named
-            // refusals), don't probe-skip
+            // skip blank separator lines, then the next record starts
+            // HERE (offset 0 by format contract; afterwards records are
+            // back-to-back) — parse directly so malformed bytes refuse
+            // by name instead of resync-skipping silently
             var p = cursor
             var ok = slab.ensure(p + 1)
             while (ok && p < part.fileLen && (slab(p) == '\r' || slab(p) == '\n')) {
               p += 1; ok = slab.ensure(p + 1)
             }
-            if (p >= part.fileLen || !ok) -1L
-            else if (!synced || probeAt(p)) p
-            else nextRecordStart(p)
+            if (p >= part.fileLen || !ok) -1L else p
           } else nextRecordStart(cursor)
         if (r < 0 || r >= part.end) return false
         synced = true
@@ -395,11 +390,6 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
     }
     false // unreachable
   }
-
-  private def probeAt(p: Long): Boolean =
-    slab.ensure(p + WarcMagic.length) &&
-      (0 until WarcMagic.length).forall(i => slab(p + i) == WarcMagic(i)) &&
-      probeRecord(p)
 
   override def get(): InternalRow = current
   override def close(): Unit = in.close()

@@ -45,7 +45,15 @@ import graft.sources.nc.SerializableHadoopConf
   *  - global PAX ('g') entries are inherently sequential state: they
   *    refuse BY NAME in a split that does not start at offset 0 with
   *    more than one range planned; single-range and streaming reads
-  *    apply them normally.
+  *    apply them normally;
+  *  - documented residual (every splittable tar reader shares it): a
+  *    shard whose MEMBER PAYLOAD is itself a tar (`inner.tar` as a
+  *    sample member) embeds valid 512-aligned ustar headers inside
+  *    data, and a split resyncing INSIDE that member would emit the
+  *    inner entries as outer rows. Whole-file and streaming reads are
+  *    immune (they never resync); don't nest tar payloads in shards
+  *    you intend to split, or read such shards with maxSplitBytes >=
+  *    the file size.
   *
   * `entry_offset` (the regular header's file offset in the plain
   * layout, the entry ordinal in the streaming layout) makes

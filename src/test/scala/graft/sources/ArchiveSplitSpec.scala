@@ -179,6 +179,35 @@ class ArchiveSplitSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("global PAX")), e.getMessage)
   }
 
+  test("warc: corruption in a SYNCED sequential walk refuses by name " +
+      "(never silently resync-skips records)") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // gz: flip a byte inside the second member's deflate data
+    val gzDir = Files.createTempDirectory("warccorr").toString
+    val gz = Warc.encode(warcRecs(5), gzipPerRecord = true)
+    val m2 = { // second member start = first 1F 8B after offset 3
+      var p = 3
+      while (!((gz(p) & 0xFF) == 0x1F && (gz(p + 1) & 0xFF) == 0x8B)) p += 1
+      p
+    }
+    gz(m2 + 20) = (gz(m2 + 20) ^ 0x55).toByte
+    Files.write(Paths.get(s"$gzDir/seg.warc.gz"), gz)
+    val e1 = intercept[org.apache.spark.SparkException](
+      spark.read.format("warc").load(gzDir).count())
+    assert(msgs(e1).exists(m => m.contains("corrupt deflate") ||
+      m.contains("CRC/ISIZE") || m.contains("truncated")), e1.getMessage)
+    // plain: overwrite the second record's version line with junk
+    val plDir = Files.createTempDirectory("warccorr2").toString
+    val pl = Warc.encode(warcRecs(5))
+    val second = Warc.parse(1L, pl)(1).offset.toInt
+    "JUNK!".getBytes("US-ASCII").copyToArray(pl, second)
+    Files.write(Paths.get(s"$plDir/seg.warc"), pl)
+    val e2 = intercept[org.apache.spark.SparkException](
+      spark.read.format("warc").load(plDir).count())
+    assert(msgs(e2).exists(_.contains("version line")), e2.getMessage)
+  }
+
   test("warc: a member inflating past maxMemberBytes refuses by name") {
     val dir = Files.createTempDirectory("warcbig").toString
     val big = Warc.encode(Seq(Warc.WRecord("resource",
