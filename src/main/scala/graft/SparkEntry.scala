@@ -3385,6 +3385,39 @@ object SparkEntry {
         .orderBy("sample_key", "ext")
     }),
 
+    // WET segment EXPORT → splittable re-ingest (the TEXT pipeline's
+    // output side, q187's twin): curated (uri, text) rows — the q180
+    // extraction output rebuilt relationally — land as per-record-gzip
+    // .warc.gz segments via the sharded deterministic writer, then come
+    // back through format("warc") with forced tiny splits. The oracle
+    // rebuilds uri/type/text and the BYTE length (strlen: the em dash
+    // is 3 UTF-8 bytes) from events — a record lost or corrupted
+    // anywhere in the export/ingest loop fails the compare.
+    "q188_wet_export_roundtrip" -> ((s, dir) => {
+      val g = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count()
+        .withColumn("id",
+          datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01"))))
+        .filter(col("count") % 7 =!= 0)
+        .select(
+          concat(lit("https://example.com/"), col("id"), lit("/"),
+            col("slot")).as("uri"),
+          concat(lit("Day "), col("id"), lit(" events="), col("count"),
+            lit(" & more \u2014 ok!")).as("text"))
+      val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_wetx_$sf"
+      val dirPath = new org.apache.hadoop.fs.Path(outDir)
+      val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(dirPath, true); fs.mkdirs(dirPath)
+      graft.functions.Warc.writeWetSegments(g, "uri", "text", outDir,
+        nShards = 8)
+      s.read.format("warc").option("maxSplitBytes", "2048").load(outDir)
+        .select(col("target_uri"), col("warc_type"), col("content_length"),
+          col("payload_text"))
+        .orderBy("target_uri")
+    }),
+
     // WebDataset shard scan (tar-of-samples — the standard multimodal
     // training layout) through the SPLITTABLE format("webdataset")
     // DSv2: plain .tar days run 512-aligned resync across forced
@@ -5779,6 +5812,29 @@ object SparkEntry {
         |        FROM keys)
         |SELECT * FROM txt UNION ALL SELECT * FROM cls
         |ORDER BY sample_key, ext""".stripMargin,
+
+    // WET export roundtrip: conversion records from PRESENT 200-status
+    // (day, slot) cells; content_length is the BYTE length (strlen)
+    "q188_wet_export_roundtrip" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |resp AS (SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT)
+        |           AS id, slot, cnt FROM g WHERE cnt % 7 <> 0),
+        |rows_ AS (SELECT
+        |    'https://example.com/' || CAST(id AS VARCHAR) || '/' ||
+        |      CAST(slot AS VARCHAR) AS target_uri,
+        |    'conversion' AS warc_type,
+        |    'Day ' || CAST(id AS VARCHAR) || ' events=' ||
+        |      CAST(cnt AS VARCHAR) || ' & more ' || chr(8212) || ' ok!'
+        |      AS payload_text
+        |  FROM resp)
+        |SELECT target_uri, warc_type,
+        |       CAST(strlen(payload_text) AS BIGINT) AS content_length,
+        |       payload_text
+        |FROM rows_
+        |ORDER BY target_uri""".stripMargin,
 
     // WebDataset member table from events: two members per slot with
     // printf-style zero-padded names

@@ -363,10 +363,8 @@ object Tar {
       nShards: Int,
       gzip: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
-    require(nShards >= 1, s"nShards $nShards")
     val conf = new graft.sources.nc.SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    val suffix = if (gzip) ".tar.gz" else ".tar"
     val keyed = df.select(
         pmod(xxhash64(col(keyCol)), lit(nShards.toLong)).as("__shard"),
         col(keyCol).cast("string").as("__key"),
@@ -376,58 +374,11 @@ object Tar {
         ((r.getLong(0), r.getString(1), r.getString(2)),
           r.getAs[Array[Byte]](3))
       }
-    val parted = keyed.repartitionAndSortWithinPartitions(
-      new org.apache.spark.Partitioner {
-        override def numPartitions: Int = nShards
-        override def getPartition(key: Any): Int =
-          key.asInstanceOf[(Long, String, String)]._1.toInt
-      })
-    parted.foreachPartition {
-      it: Iterator[((Long, String, String), Array[Byte])] =>
-        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
-        val attempt = Option(org.apache.spark.TaskContext.get())
-          .map(_.taskAttemptId()).getOrElse(0L)
-        var current = -1L
-        var sink: java.io.OutputStream = null
-        var tmpP: org.apache.hadoop.fs.Path = null
-        def commit(): Unit = if (sink != null) {
-          writeEndBlocks(sink)
-          sink.close()
-          sink = null
-          val finalP = new org.apache.hadoop.fs.Path(s"$dir/shard-$current$suffix")
-          // a prior successful attempt committed IDENTICAL bytes: never
-          // touch the final file, just discard ours
-          if (fs.exists(finalP)) fs.delete(tmpP, false)
-          else if (!fs.rename(tmpP, finalP)) {
-            fs.delete(tmpP, false) // lost the rename race to a twin attempt
-            require(fs.exists(finalP),
-              s"webdataset export: rename to $finalP failed and nothing committed it")
-          }
-        }
-        var lastKey: String = null
-        var lastExt: String = null
-        it.foreach { case ((shard, key, ext), payload) =>
-          if (shard != current) {
-            commit()
-            current = shard
-            lastKey = null; lastExt = null
-            tmpP = new org.apache.hadoop.fs.Path(
-              s"$dir/.shard-$current$suffix.attempt$attempt.tmp")
-            val raw = fs.create(tmpP, true)
-            sink = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
-          }
-          // byte-determinism (and the rename protocol's "a prior attempt
-          // committed IDENTICAL bytes" rationale) rests on (key, ext)
-          // being unique: duplicate rows with different payloads would
-          // sort arbitrarily between attempts. The sort makes duplicates
-          // ADJACENT, so the check is free.
-          require(!(key == lastKey && ext == lastExt),
-            s"webdataset export: duplicate sample member ($key, $ext) — " +
-              "member identity must be unique (dedup or re-key upstream)")
-          lastKey = key; lastExt = ext
-          writeEntry(sink, s"$key.$ext", payload)
-        }
-        commit()
-    }
+    ShardedArchiveWrite.run[java.io.OutputStream](
+      keyed, conf, dir, "shard", if (gzip) ".tar.gz" else ".tar", nShards,
+      "webdataset",
+      raw => if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw,
+      (sink, key, ext, payload) => writeEntry(sink, s"$key.$ext", payload),
+      sink => { writeEndBlocks(sink); sink.close() })
   }
 }

@@ -317,6 +317,54 @@ object Warc {
     }.toArray
   }
 
+  /** EXPORT a curated text corpus as WET-style WARC segments — the
+    * text pipeline's OUTPUT side (ingest is `format("warc")` /
+    * [[records]]), closing the crawl→curate→re-publish loop the way
+    * [[Tar.writeWebdatasetShards]] closes the multimodal one: rows of
+    * (target URI, extracted text) land as `segment-<k>.warc[.gz]`
+    * files under `dir` as `conversion` records (the Common Crawl WET
+    * shape), one gzip member per record when `gzipPerRecord` — i.e.
+    * output that `format("warc")` (and warcio) re-ingests SPLITTABLY.
+    *
+    * Shard k = xxhash64(uri) mod `nShards`; bytes are deterministic
+    * across runs and input partitionings (records sort by URI within
+    * the shard), duplicate URIs refuse by name, and writes go through
+    * the attempt-keyed temp+rename protocol — all via
+    * [[ShardedArchiveWrite]]. Records stream straight to the Hadoop FS:
+    * a segment is never buffered whole. */
+  def writeWetSegments(
+      df: org.apache.spark.sql.DataFrame,
+      uriCol: String,
+      textCol: String,
+      dir: String,
+      nShards: Int,
+      gzipPerRecord: Boolean = true,
+      warcDate: String = "2024-01-01T00:00:00Z"): Unit = {
+    import org.apache.spark.sql.functions._
+    val conf = new graft.sources.nc.SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val keyed = df.select(
+        pmod(xxhash64(col(uriCol)), lit(nShards.toLong)).as("__shard"),
+        col(uriCol).cast("string").as("__uri"),
+        col(textCol).cast("string").as("__text"))
+      .rdd.map { r =>
+        ((r.getLong(0), r.getString(1), ""),
+          r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    ShardedArchiveWrite.run[java.io.OutputStream](
+      keyed, conf, dir, "segment", if (gzipPerRecord) ".warc.gz" else ".warc",
+      nShards, "wet",
+      raw => raw, // members are self-contained; no stream-level wrapper
+      (sink, uri, _, payload) => {
+        val rec = Warc.encode(Seq(WRecord("conversion", targetUri = uri,
+          warcDate = warcDate, body = new String(payload,
+            java.nio.charset.StandardCharsets.UTF_8))),
+          gzipPerRecord = gzipPerRecord)
+        sink.write(rec)
+      },
+      _ => ())
+  }
+
   /** Level-0 (stored-block) gzip: legal gzip any decoder inflates, with
     * the CLOSED-FORM encoded length `len + 23` for `len` < 64 KiB
     * (10-byte header + one 5-byte stored-block frame + data + 8-byte

@@ -137,6 +137,38 @@ class WarcSpec extends SparkSpec {
     assert(eSize.getMessage.contains("chunk size"), eSize.getMessage)
   }
 
+  test("writeWetSegments: byte-deterministic across input partitionings, " +
+      "re-ingests through format(\"warc\"), duplicate URIs refuse") {
+    val sp = spark; import sp.implicits._
+    val rows = (0 until 40).map(i => (s"https://x.test/$i", s"text $i"))
+    def export(df: org.apache.spark.sql.DataFrame): String = {
+      val dir = java.nio.file.Files.createTempDirectory("wetout").toString
+      Warc.writeWetSegments(df, "uri", "text", dir, nShards = 4)
+      dir
+    }
+    val d1 = export(rows.toDF("uri", "text"))
+    val d2 = export(rows.toDF("uri", "text").repartition(7))
+    val files = new java.io.File(d1).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.nonEmpty && files.forall(_.matches("segment-\\d+\\.warc\\.gz")))
+    files.foreach { f =>
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$d1/$f"))
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$d2/$f"))
+      assert(java.util.Arrays.equals(a, b), s"$f differs across partitionings")
+    }
+    val back = spark.read.format("warc").load(d1)
+      .select("target_uri", "warc_type", "payload_text").collect()
+    assert(back.length == 40)
+    assert(back.forall(_.getAs[String]("warc_type") == "conversion"))
+    assert(back.map(_.getAs[String]("target_uri")).toSet ==
+      rows.map(_._1).toSet)
+    val e = intercept[org.apache.spark.SparkException](export(
+      (rows :+ (("https://x.test/0", "twin"))).toDF("uri", "text")))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("duplicate identity")), e.getMessage)
+  }
+
   test("records() relational stage: one row per record, both layouts") {
     val sp = spark; import sp.implicits._
     val df = Seq(
