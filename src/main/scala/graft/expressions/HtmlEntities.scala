@@ -6,27 +6,30 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native Catalyst expression: decode NUMERIC HTML character references
-  * — `&#NNNN;` (decimal) and `&#xHH;` / `&#XHH;` (hex) — into their code
-  * points, leaving everything else (named entities included) untouched.
-  * Numeric references are ubiquitous in crawl HTML (`&#8217;` right
-  * single quote, `&#x2014;` em dash), and a pipeline that passes them
-  * through as literal text corrupts token counts, dedup shingles, and
-  * the curated corpus itself.
+/** Native Catalyst expression: decode HTML character references in ONE
+  * left-to-right scan — NUMERIC (`&#NNNN;` decimal, `&#xHH;` hex) and
+  * the six core NAMED entities (`&amp; &lt; &gt; &quot; &nbsp;` — plus
+  * `&apos;`). Both kinds are ubiquitous in crawl HTML, and a pipeline
+  * that passes them through as literal text corrupts token counts,
+  * dedup shingles, and the curated corpus itself.
   *
-  * A regex can find the references but `regexp_replace` cannot COMPUTE
-  * the replacement (chr of a captured number), so this is genuine
-  * native-expression territory: one scan per row, inside whole-stage
-  * codegen via the static [[HtmlNumericEntityDecode.compute]].
+  * A regex chain can find references but `regexp_replace` cannot
+  * COMPUTE a numeric replacement (chr of a captured number) — and,
+  * worse, SEQUENTIAL replacement passes double-decode whichever
+  * spelling runs second (`&amp;#65;` under numeric-after-amp;
+  * `&#38;amp;` under amp-after-numeric). A single scan that consumes
+  * each source reference exactly once and never re-reads its own
+  * output is immune in BOTH directions: `&amp;#65;` → `&#65;` and
+  * `&#38;amp;` → `&amp;`, each decoded exactly one level, matching
+  * browser semantics. That makes this genuine native-expression
+  * territory: one pass per row, inside whole-stage codegen via the
+  * static [[HtmlNumericEntityDecode.compute]].
   *
   * Out-of-range (> U+10FFFF), surrogate-range, and malformed references
-  * (no digits, no terminating `;` within bounds) stay literal — crawl
-  * bytes are dirty by definition and decode must never throw.
-  * Supplementary-plane references emit surrogate pairs
-  * (`Character.toChars`). Runs BEFORE the `&amp;` → `&` step in
-  * [[graft.functions.Text.htmlToText]]: `&amp;#65;` is an ESCAPED
-  * literal `&#65;` and must not double-decode — at this stage its `&`
-  * is still spelled `&amp;`, so the scan never sees a `&#` there. */
+  * (no digits, no terminating `;` within bounds, unknown names) stay
+  * literal — crawl bytes are dirty by definition and decode must never
+  * throw. Supplementary-plane references emit surrogate pairs
+  * (`Character.toChars`). */
 case class HtmlNumericEntityDecode(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -54,6 +57,13 @@ object HtmlNumericEntityDecode {
   /** Longest reference accepted: `&#` + 7 digits + `;` (10FFFF is 7
     * decimal digits: 1114111). Longer runs are left literal. */
   private val MaxDigits = 7
+
+  /** The core named entities (XML five + the two every crawl page
+    * carries). Sorted check is unnecessary at this size — a linear
+    * probe over 7 entries is branch-predictable. */
+  private val Named: Array[(String, Char)] = Array(
+    "amp" -> '&', "lt" -> '<', "gt" -> '>', "quot" -> '"',
+    "apos" -> '\'', "nbsp" -> ' ')
 
   def compute(input: UTF8String): UTF8String = {
     val s = input.toString
@@ -86,6 +96,22 @@ object HtmlNumericEntityDecode {
         if (ok) {
           sb.append(Character.toChars(cp.toInt))
           i = j + 1
+        } else { sb.append(c); i += 1 }
+      } else if (c == '&') {
+        // named entity: &name; — consumed exactly once, unknown names
+        // stay literal
+        var hit = -1
+        var k = 0
+        while (hit < 0 && k < Named.length) {
+          val name = Named(k)._1
+          val end = i + 1 + name.length
+          if (end < n && s.charAt(end) == ';' &&
+              s.regionMatches(i + 1, name, 0, name.length)) hit = k
+          k += 1
+        }
+        if (hit >= 0) {
+          sb.append(Named(hit)._2)
+          i = i + 2 + Named(hit)._1.length
         } else { sb.append(c); i += 1 }
       } else { sb.append(c); i += 1 }
     }

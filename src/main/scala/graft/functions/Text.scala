@@ -510,32 +510,27 @@ object Text {
   /** HTML → visible text, the extraction step between a WARC scan
     * ([[Warc.records]]) and the text-quality operators — the WET
     * conversion Common Crawl pipelines start from: drop script/style
-    * blocks wholesale, strip remaining tags, decode the five XML
-    * entities plus nbsp (`&amp;` LAST so `&amp;lt;` never
-    * double-decodes), collapse whitespace. Pure codegen'd
-    * regexp_replace chain — RE2-compatible patterns (non-greedy + (?s),
-    * no lookarounds), so the same strings replay in an oracle. A real
-    * DOM-aware extractor (readability scoring, boilerplate removal)
-    * plugs in at the same column position. */
+    * blocks wholesale, strip remaining tags, decode character
+    * references (numeric + core named, ONE native scan so `&amp;#65;`
+    * and `&#38;amp;` both decode exactly one level — see
+    * [[graft.expressions.HtmlNumericEntityDecode]]), collapse
+    * whitespace. The regex stages are codegen'd regexp_replace with
+    * RE2-compatible patterns (non-greedy + (?s), no lookarounds), so
+    * the same strings replay in an oracle. A real DOM-aware extractor
+    * (readability scoring, boilerplate removal) plugs in at the same
+    * column position. */
   def htmlToText(html: Column): Column = {
     val noBlocks = regexp_replace(html,
       "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
-    // NUMERIC references (&#8212; / &#x21;) first — a native one-scan
-    // expression, since regexp_replace cannot compute chr(captured).
-    // Before the &amp; step by the same &amp;-last logic: an escaped
-    // literal "&amp;#65;" still spells its & as &amp; here, so neither
-    // the numeric scan nor the later fold double-decodes it.
-    val noNumeric = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+    // entity decode is ONE native scan (numeric + named together):
+    // sequential regexp passes double-decode whichever spelling runs
+    // second (&amp;#65; vs &#38;amp;) — the single pass consumes each
+    // source reference exactly once and never re-reads its own output,
+    // so both decode exactly one level (browser semantics)
+    val decoded = org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.expressions.HtmlNumericEntityDecode(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(noTags)))
-    // (&#39; needs no fold entry any more — the numeric scan covers it)
-    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&nbsp;" -> " ", "&amp;" -> "&")
-    // entity names contain no regex metacharacters — literal patterns
-    val decoded = entities.foldLeft(noNumeric) { case (c, (k, v)) =>
-      regexp_replace(c, k, v)
-    }
     trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
   }
 }

@@ -42,10 +42,18 @@ object Warc {
       new String(payload, java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  /** Parse every record of a .warc / .warc.gz payload. */
-  def parse(id: Long, bytes0: Array[Byte]): Seq[WarcRecord] = {
-    val bytes = Gunzip.maybeInflate(bytes0)
-    val out = ArrayBuffer.empty[WarcRecord]
+  /** Record FRAMING only: headers + payload position, no envelope
+    * decode — what [[parse]] builds on and what the splittable scan's
+    * column pruning needs (a names/status inventory over `.warc.gz`
+    * must not pay per-record dechunk/gunzip for text nobody asked
+    * for). */
+  private[graft] final case class Framed(
+      offset: Long, headers: Map[String, String],
+      payloadStart: Int, contentLength: Long)
+
+  /** Frame every record of an (already decompressed) WARC byte run. */
+  private[graft] def parseFraming(id: Long, bytes: Array[Byte]): Seq[Framed] = {
+    val out = ArrayBuffer.empty[Framed]
     var off = 0
     def lineEnd(from: Int): Int = {
       var i = from
@@ -86,21 +94,35 @@ object Warc {
             s"warc $id: record at $recOff has no Content-Length")).toLong
         require(p + len <= bytes.length,
           s"warc $id: record at $recOff claims $len payload bytes past end")
-        val block = java.util.Arrays.copyOfRange(bytes, p, (p + len).toInt)
+        out += Framed(recOff, headers.toMap, p, len)
         off = (p + len).toInt
-        val contentType = headers.getOrElse("content-type", "")
-        // application/http payloads: split the HTTP envelope
-        val (status, payload) =
-          if (contentType.startsWith("application/http"))
-            splitHttpEnvelope(id, recOff, block)
-          else (-1, block)
-        out += WarcRecord(recOff, headers.getOrElse("warc-type", ""),
-          headers.getOrElse("warc-target-uri", ""),
-          headers.getOrElse("warc-date", ""),
-          contentType, len, status, payload)
       }
     }
     out.toSeq
+  }
+
+  /** Decode one framed record's payload: HTTP envelope split for
+    * `application/http` (status + decoded body), raw otherwise. */
+  private[graft] def decodePayload(id: Long, f: Framed,
+      bytes: Array[Byte]): (Int, Array[Byte]) = {
+    val block = java.util.Arrays.copyOfRange(bytes, f.payloadStart,
+      (f.payloadStart + f.contentLength).toInt)
+    if (f.headers.getOrElse("content-type", "").startsWith("application/http"))
+      splitHttpEnvelope(id, f.offset, block)
+    else (-1, block)
+  }
+
+  /** Parse every record of a .warc / .warc.gz payload. */
+  def parse(id: Long, bytes0: Array[Byte]): Seq[WarcRecord] = {
+    val bytes = Gunzip.maybeInflate(bytes0)
+    parseFraming(id, bytes).map { f =>
+      val (status, payload) = decodePayload(id, f, bytes)
+      WarcRecord(f.offset, f.headers.getOrElse("warc-type", ""),
+        f.headers.getOrElse("warc-target-uri", ""),
+        f.headers.getOrElse("warc-date", ""),
+        f.headers.getOrElse("content-type", ""), f.contentLength,
+        status, payload)
+    }
   }
 
   /** Split an `application/http` payload block into (status code,

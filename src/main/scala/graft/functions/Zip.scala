@@ -84,12 +84,15 @@ object Zip {
       s"zip $id: multi-disk archives out of profile")
     val cdOff32 = u32At(tail, eocd + 16)
     // ZIP64: saturated EOCD fields defer to the EOCD64 record, found
-    // via the 20-byte locator that sits immediately before the EOCD
-    if (cdOff32 == 0xFFFFFFFFL || nEntries16 == 0xFFFF) {
-      val loc = eocd - 20
-      require(loc >= 0 && tail(loc) == 'P' && tail(loc + 1) == 'K' &&
-        tail(loc + 2) == 6 && tail(loc + 3) == 7,
-        s"zip $id: saturated EOCD but no ZIP64 locator before it")
+    // via the 20-byte locator that sits immediately before the EOCD.
+    // The branch is taken only when the locator is ACTUALLY present
+    // (the java.util.zip behavior): 0xFFFF is a legal literal entry
+    // count, and an archive with exactly 65535 members and no ZIP64
+    // structures must parse with the literal values
+    val loc = eocd - 20
+    val locatorPresent = loc >= 0 && tail(loc) == 'P' &&
+      tail(loc + 1) == 'K' && tail(loc + 2) == 6 && tail(loc + 3) == 7
+    if ((cdOff32 == 0xFFFFFFFFL || nEntries16 == 0xFFFF) && locatorPresent) {
       require(u32At(tail, loc + 16) == 1,
         s"zip $id: multi-disk archives out of profile")
       val e64 = u64At(tail, loc + 8)
@@ -192,6 +195,9 @@ object Zip {
         (method == 0 || usize <= csize * 1100L + 64),
         s"zip $id: member '$name' claims $usize uncompressed from $csize " +
           "compressed bytes — garbled directory or decompression bomb")
+      require(csize >= 0 && csize <= Int.MaxValue - 8,
+        s"zip $id: member '$name' claims $csize compressed bytes — " +
+          "garbled directory")
       require(localOff >= 0,
         s"zip $id: member '$name' has negative local offset $localOff")
       out += Central(idx, name, method, crc, csize, usize, localOff)
@@ -255,8 +261,10 @@ object Zip {
     val (nEntries, cdOff) = locateDirectory(id, bytes, 0L, bytes.length,
       (off, len) => java.util.Arrays.copyOfRange(bytes, off.toInt,
         math.min(bytes.length.toLong, off + len).toInt))
-    // validated as LONGS before any toInt (garbled-EOCD hardening)
-    require(cdOff >= 0 && cdOff + 46 <= bytes.length,
+    // validated as LONGS before any toInt (garbled-EOCD hardening);
+    // an EMPTY archive (0 members, EOCD only) is legal and yields no
+    // entries — the 46-byte bound applies only when entries exist
+    require(cdOff >= 0 && (nEntries == 0 || cdOff + 46 <= bytes.length),
       s"zip $id: central directory offset $cdOff past end ${bytes.length}")
     parseCentral(id, bytes, cdOff.toInt, nEntries).map { c =>
       require(c.localOff + 30 <= bytes.length,

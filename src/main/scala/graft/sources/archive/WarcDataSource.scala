@@ -239,28 +239,46 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
     -1
   }
 
+  /** Marker for "this is just not a record start" during resync
+    * probing — SHAPE failures only. Failures of a block that already
+    * matched the record shape (truncation mid headers, length bound,
+    * payload past end) are REAL records going missing and always
+    * propagate as named refusals: a resync that swallowed them would
+    * silently drop rows with loss that depends on the split size. */
+  private final class NotARecordStart extends RuntimeException
+
   private def probeRecord(p: Long): Boolean =
-    try { headerBlockOf(p); true }
-    catch { case _: IllegalArgumentException => false }
+    try { headerBlockOf(p, probing = true); true }
+    catch { case _: NotARecordStart => false }
 
   /** Parse the record FRAMING at absolute offset `p` in the slab:
     * (headers, payload start, payload length). Same semantics as
-    * [[Warc.parse]] (the equivalence spec pins parity). */
-  private def headerBlockOf(p: Long): (Map[String, String], Long, Long) = {
+    * [[Warc.parseFraming]] (the equivalence spec pins parity). */
+  private def headerBlockOf(p: Long,
+      probing: Boolean = false): (Map[String, String], Long, Long) = {
+    def shape(msg: => String): Nothing =
+      if (probing) throw new NotARecordStart
+      else throw new IllegalArgumentException(msg)
     var q = p
     def line(): String = {
       val start = q
       var ok = slab.ensure(q + 1)
       while (ok && slab(q) != '\n') { q += 1; ok = slab.ensure(q + 1) }
+      // version line already matched when this can fire mid-headers →
+      // real truncated record: ALWAYS a named refusal
       require(ok, s"warc ${part.path}: header line at $start runs past end")
       val s = new String(slab.raw, slab.rel(start), (q - start).toInt,
         "US-ASCII").stripSuffix("\r")
       q += 1
       s
     }
-    val version = line()
-    require(version.startsWith("WARC/0.") || version.startsWith("WARC/1."),
-      s"warc ${part.path}: record at $p has version line '$version', " +
+    val version =
+      try line() catch {
+        // truncation before the version line validated: shape failure
+        case e: IllegalArgumentException => shape(e.getMessage)
+      }
+    if (!(version.startsWith("WARC/0.") || version.startsWith("WARC/1.")))
+      shape(s"warc ${part.path}: record at $p has version line '$version', " +
         "not WARC/0.x or WARC/1.x")
     val headers = scala.collection.mutable.Map.empty[String, String]
     var done = false
@@ -269,14 +287,17 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
       if (l.isEmpty) done = true
       else {
         val colon = l.indexOf(':')
-        require(colon > 0, s"warc ${part.path}: malformed header '$l' at $p")
+        if (colon <= 0)
+          shape(s"warc ${part.path}: malformed header '$l' at $p")
         headers(l.substring(0, colon).trim.toLowerCase) =
           l.substring(colon + 1).trim
       }
     }
-    val len = headers.getOrElse("content-length",
-      throw new IllegalArgumentException(
-        s"warc ${part.path}: record at $p has no Content-Length")).toLong
+    val len = headers.get("content-length") match {
+      case Some(v) => v.toLong
+      case None =>
+        shape(s"warc ${part.path}: record at $p has no Content-Length")
+    }
     require(len >= 0 && len <= part.maxMemberBytes,
       s"warc ${part.path}: record at $p claims $len payload bytes " +
         "(maxMemberBytes bound) — raise the option for jumbo records")
@@ -291,15 +312,13 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
   private var synced = false
   private var current: InternalRow = _
 
+  /** `decoded` produces (http status, decoded payload) and runs ONLY
+    * when a required column needs it — that is what makes column
+    * pruning skip the per-record envelope decode on both layouts. */
   private def rowOf(recOffset: Long, seq: Int, headers: Map[String, String],
-      payload: () => Array[Byte]): InternalRow = {
+      decoded: () => (Int, Array[Byte])): InternalRow = {
     val contentType = headers.getOrElse("content-type", "")
-    lazy val statusBody: (Int, Array[Byte]) =
-      if (contentType.startsWith("application/http"))
-        Warc.splitHttpEnvelope(0L, recOffset, payload())
-      else (-1, payload())
-    def status: Int = statusBody._1
-    def body: Array[Byte] = statusBody._2
+    lazy val statusBody: (Int, Array[Byte]) = decoded()
     val row = new Array[Any](colCodes.length)
     var c = 0
     while (c < colCodes.length) {
@@ -313,37 +332,24 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
         case CtypeC => UTF8String.fromString(contentType)
         case ClenC => headers.getOrElse("content-length", "0").toLong
         case StatusC =>
-          if (!contentType.startsWith("application/http")) -1 else status
+          if (!contentType.startsWith("application/http")) -1
+          else statusBody._1
         case TextC => UTF8String.fromString(
-          new String(body, java.nio.charset.StandardCharsets.UTF_8))
+          new String(statusBody._2, java.nio.charset.StandardCharsets.UTF_8))
       }
       c += 1
     }
     new GenericInternalRow(row)
   }
 
-  /** All records of one decompressed member's bytes (gz path): parsed
-    * with the in-memory reference parser for exact semantic parity. */
+  /** All records of one decompressed member's bytes (gz path): FRAMED
+    * with the in-memory reference parser for exact semantic parity,
+    * payload decode deferred through [[rowOf]] so column pruning skips
+    * the per-record dechunk/gunzip when nobody asked for the text. */
   private def memberRows(memberStart: Long, bytes: Array[Byte]): Iterator[InternalRow] =
-    Warc.parse(memberStart, bytes).iterator.zipWithIndex.map { case (r, i) =>
-      val row = new Array[Any](colCodes.length)
-      var c = 0
-      while (c < colCodes.length) {
-        row(c) = colCodes(c) match {
-          case PathC => pathUtf8
-          case OffC => memberStart
-          case SeqC => i
-          case TypeC => UTF8String.fromString(r.warcType)
-          case UriC => UTF8String.fromString(r.targetUri)
-          case DateC => UTF8String.fromString(r.warcDate)
-          case CtypeC => UTF8String.fromString(r.contentType)
-          case ClenC => r.contentLength
-          case StatusC => r.httpStatus
-          case TextC => UTF8String.fromString(r.payloadText)
-        }
-        c += 1
-      }
-      new GenericInternalRow(row)
+    Warc.parseFraming(memberStart, bytes).iterator.zipWithIndex.map {
+      case (f, i) => rowOf(memberStart, i, f.headers,
+        decoded = () => Warc.decodePayload(memberStart, f, bytes))
     }
 
   override def next(): Boolean = {
@@ -383,8 +389,13 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
         synced = true
         val (headers, payloadStart, len) = headerBlockOf(r)
         cursor = payloadStart + len
-        val rows = Iterator.single(rowOf(r, 0, headers,
-          () => slab.copy(payloadStart, len.toInt)))
+        val contentType = headers.getOrElse("content-type", "")
+        val rows = Iterator.single(rowOf(r, 0, headers, { () =>
+          val block = slab.copy(payloadStart, len.toInt)
+          if (contentType.startsWith("application/http"))
+            Warc.splitHttpEnvelope(0L, r, block)
+          else (-1, block)
+        }))
         pendingRows = rows
       }
     }

@@ -221,7 +221,6 @@ private[archive] abstract class WebdatasetReaderBase(
     case "payload" => PayloadC
   }
   private val pathUtf8 = UTF8String.fromString(part.path)
-  protected val needPayload: Boolean = part.cols.contains("payload")
 
   protected def rowOf(offset: Long, name: String, size: Long,
       payload: () => Array[Byte]): InternalRow = {

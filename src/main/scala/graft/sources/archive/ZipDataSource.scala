@@ -112,8 +112,8 @@ object ZipTable {
       // the directory runs from cdOff to the EOCD structures at the
       // tail; read that whole region (small: ~46+name bytes per member)
       val cdBytes = readAt(cdOff, (len - cdOff).toInt)
-      Zip.parseCentral(0L, cdBytes, 0, nEntries).map(c =>
-        c.copy(name = c.name)) // localOff stays absolute
+      // localOff values in the directory are already absolute
+      Zip.parseCentral(0L, cdBytes, 0, nEntries)
     } finally in.close()
     dirCache.put(key, ms)
     ms
@@ -205,7 +205,7 @@ final class ZipScan(table: ZipTable, required: StructType, pushed: Array[Filter]
       cur += c; size += c.csize
     }
     if (cur.nonEmpty) groups += cur.toSeq
-    groups.map(g => ZipInputPartition(path, g, required.fieldNames)).toSeq
+    groups.map(g => ZipInputPartition(path, len, g, required.fieldNames)).toSeq
   }
 
   // streaming reuses this per admitted file (mtime from a fresh stat)
@@ -248,7 +248,7 @@ final class ZipScan(table: ZipTable, required: StructType, pushed: Array[Filter]
 }
 
 final case class ZipInputPartition(
-    path: String, members: Seq[Zip.Central],
+    path: String, fileLen: Long, members: Seq[Zip.Central],
     cols: Array[String]) extends InputPartition
 
 final class ZipReaderFactory(conf: SerializableHadoopConf)
@@ -279,11 +279,18 @@ final class ZipPartitionReader(part: ZipInputPartition, conf: Configuration)
 
   private def payloadOf(c: Zip.Central): Array[Byte] = {
     opened = true
+    // same named bounds as the in-memory path: a garbled directory must
+    // refuse, not die in readFully/new Array
+    require(c.localOff + 30 <= part.fileLen,
+      s"zip ${part.path}: member '${c.name}' local header offset " +
+        s"${c.localOff} past end ${part.fileLen}")
     // local header first (its OWN name/extra lengths size the data
     // offset), then exactly csize bytes
     val hdr = new Array[Byte](30)
     in.readFully(c.localOff, hdr, 0, 30)
     val dataOff = c.localOff + Zip.localDataOffset(0L, c, hdr, 0)
+    require(dataOff + c.csize <= part.fileLen,
+      s"zip ${part.path}: member '${c.name}' claims ${c.csize} bytes past end")
     val raw = new Array[Byte](c.csize.toInt)
     in.readFully(dataOff, raw, 0, raw.length)
     Zip.inflateVerify(0L, c, raw)

@@ -27,8 +27,14 @@ class HtmlTextSpec extends SparkSpec {
     assert(extract(html) == "T Hello a & b <tag> \"q\" 's' end tail")
   }
 
-  test("&amp; decodes LAST: &amp;lt; yields the literal string '&lt;'") {
+  test("single-level decode in BOTH escape directions: &amp;lt; yields " +
+      "'&lt;', &#38;amp; yields '&amp;' (no double decode either way)") {
     assert(extract("<p>&amp;lt;</p>") == "&lt;")
+    assert(extract("<p>&amp;#65;</p>") == "&#65;")
+    // the inverse spelling: &#38; is '&', and the following 'amp;' must
+    // stay literal — sequential replacement passes get this wrong
+    assert(extract("<p>&#38;amp;</p>") == "&amp;")
+    assert(extract("<p>&#38;lt;tag&#38;gt;</p>") == "&lt;tag&gt;")
   }
 
   test("NUMERIC character references decode: decimal, hex, supplementary " +

@@ -158,6 +158,19 @@ class ZipSpec extends SparkSpec {
     assert(eBomb.getMessage.contains("bomb"), eBomb.getMessage)
   }
 
+  test("EMPTY archives (EOCD only) parse to zero entries — legal, not " +
+      "a refusal") {
+    assert(Zip.entries(40L, Zip.encode(Seq.empty)).isEmpty)
+  }
+
+  test("an archive with exactly 65535 members and NO ZIP64 structures " +
+      "parses with the literal EOCD values (0xFFFF is a legal count)") {
+    val many = (0 until 65535).map(i => (f"$i%05d", Array.empty[Byte], false))
+    val out = Zip.entries(41L, Zip.encode(many))
+    assert(out.length == 65535)
+    assert(out.head.name == "00000" && out.last.name == "65534")
+  }
+
   test("members() relational stage: one row per member") {
     val sp = spark; import sp.implicits._
     val df = Seq((8L, Zip.encode(files))).toDF("id", "zip")

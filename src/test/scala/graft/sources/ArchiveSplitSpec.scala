@@ -208,6 +208,36 @@ class ArchiveSplitSpec extends SparkSpec {
     assert(msgs(e2).exists(_.contains("version line")), e2.getMessage)
   }
 
+  test("warc plain: a truncated or over-bound record refuses by name at " +
+      "EVERY split size — resync must never silently drop real records") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // cut the file mid-final-record payload: the split owning that
+    // record's start (even one with no earlier record — the probe path)
+    // must refuse, not skip
+    val dir = Files.createTempDirectory("warctrunc").toString
+    val pl = Warc.encode(warcRecs(10))
+    val last = Warc.parse(1L, pl).last
+    Files.write(Paths.get(s"$dir/seg.warc"),
+      pl.take(last.offset.toInt + 60)) // inside the last record's headers/payload
+    for (split <- Seq(100000L, 4096L, 1024L)) {
+      val e = intercept[org.apache.spark.SparkException](
+        spark.read.format("warc").option("maxSplitBytes", split.toString)
+          .load(dir).count())
+      assert(msgs(e).exists(m => m.contains("past end") ||
+        m.contains("runs past end")), s"split=$split: ${e.getMessage}")
+    }
+    // a record over maxMemberBytes refuses even when the probe path
+    // (mid-file split start) is the one that finds it
+    val dir2 = Files.createTempDirectory("warcbound").toString
+    Files.write(Paths.get(s"$dir2/seg.warc"), Warc.encode(
+      Warc.WRecord("resource", body = "x" * 9000) +: warcRecs(3)))
+    val e2 = intercept[org.apache.spark.SparkException](
+      spark.read.format("warc").option("maxSplitBytes", "2048")
+        .option("maxMemberBytes", "4096").load(dir2).count())
+    assert(msgs(e2).exists(_.contains("maxMemberBytes")), e2.getMessage)
+  }
+
   test("warc: a member inflating past maxMemberBytes refuses by name") {
     val dir = Files.createTempDirectory("warcbig").toString
     val big = Warc.encode(Seq(Warc.WRecord("resource",
