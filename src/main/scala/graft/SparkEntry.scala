@@ -1007,10 +1007,11 @@ object SparkEntry {
   }
 
   /** WARC files on disk for the SPLITTABLE `format("warc")` scan (the
-    * 100 TB ingest path): plain `.warc` on even days (line-start
-    * resync), per-record-member `.warc.gz` on odd days (gzip-member
-    * resync) — same records as [[warcEventsFixture]], so the oracle is
-    * shared. */
+    * 100 TB ingest path): the member codec cycles by day — plain
+    * `.warc` (line-start resync), per-record-member `.warc.gz`
+    * (gzip-member resync), and per-record-frame `.warc.zst`
+    * (zstd-frame resync, the Internet Archive shape) — same records as
+    * [[warcEventsFixture]], so the oracle is shared. */
   private def warcFilesFixture(s: SparkSession, dir: String): String = {
     import graft.functions.Warc
     val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -1019,9 +1020,11 @@ object SparkEntry {
     val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(dirPath, true); fs.mkdirs(dirPath)
     dailySlotCounts(s, dir).foreach { case (id, cnt) =>
-      val gz = id % 2 == 1
-      val bytes = Warc.encode(warcDayRecords(id, cnt), gzipPerRecord = gz)
-      val name = if (gz) s"$id.warc.gz" else s"$id.warc"
+      val codec = id % 3
+      val bytes = Warc.encode(warcDayRecords(id, cnt),
+        gzipPerRecord = codec == 1, zstdPerRecord = codec == 2)
+      val name = s"$id.warc" + (codec match {
+        case 1 => ".gz"; case 2 => ".zst"; case _ => "" })
       val out = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/$name"), true)
       try out.write(bytes) finally out.close()
     }

@@ -295,8 +295,14 @@ object Warc {
       gzipBody: Boolean = false)
 
   /** Emit records; `gzipPerRecord = true` compresses each record as its
-    * own gzip member and concatenates — the Common Crawl layout. */
-  def encode(records: Seq[WRecord], gzipPerRecord: Boolean = false): Array[Byte] = {
+    * own gzip member and concatenates — the Common Crawl layout;
+    * `zstdPerRecord = true` uses one standalone zstd frame per record
+    * instead (the `.warc.zst` shape, sans dictionary — what the
+    * splittable scan supports). */
+  def encode(records: Seq[WRecord], gzipPerRecord: Boolean = false,
+      zstdPerRecord: Boolean = false): Array[Byte] = {
+    require(!(gzipPerRecord && zstdPerRecord),
+      "pick ONE per-record compression")
     def one(r: WRecord): Array[Byte] = {
       val blockBytes = r.httpStatus match {
         case Some(code) =>
@@ -330,7 +336,9 @@ object Warc {
       sb.toString.getBytes("US-ASCII") ++ blockBytes ++ "\r\n\r\n".getBytes("US-ASCII")
     }
     val parts = records.map(one)
-    if (!gzipPerRecord) parts.flatten.toArray
+    if (zstdPerRecord)
+      parts.flatMap(p => com.github.luben.zstd.Zstd.compress(p, 3)).toArray
+    else if (!gzipPerRecord) parts.flatten.toArray
     else parts.flatMap { p =>
       val bo = new java.io.ByteArrayOutputStream(p.length)
       val gz = new java.util.zip.GZIPOutputStream(bo)

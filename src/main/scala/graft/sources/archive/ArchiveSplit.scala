@@ -57,6 +57,86 @@ private[archive] object ArchiveSplit {
   }
 }
 
+/** Zstd MEMBER walking over a [[GrowableSlab]] — the `.warc.zst` shape
+  * (Internet Archive tooling): each record its own zstd frame, which
+  * splits exactly like the gzip-member layout. A member boundary
+  * validates as the 28 B5 2F FD frame magic + a parseable frame header
+  * (`Zstd.findFrameCompressedSize`) + a decompressed prefix check.
+  *
+  * Out of profile and refused BY NAME: SKIPPABLE frames (0x184D2A5x) —
+  * the IIPC `.warc.zst` convention stores a shared compression
+  * DICTIONARY in a leading skippable frame, and frames compressed
+  * against it do not decode standalone; a reader that skipped the
+  * frame would surface dictionary-compressed members as corrupt-frame
+  * noise instead of the real cause. Re-compress without a dictionary
+  * (every frame standalone) for the splittable path. */
+private[archive] object ZstdMember {
+
+  def isFrameMagic(slab: GrowableSlab, p: Long): Boolean =
+    p + 4 <= slab.fileLen && slab.ensure(p + 4) &&
+      (slab(p) & 0xFF) == 0x28 && (slab(p + 1) & 0xFF) == 0xB5 &&
+      (slab(p + 2) & 0xFF) == 0x2F && (slab(p + 3) & 0xFF) == 0xFD
+
+  def isSkippableMagic(slab: GrowableSlab, p: Long): Boolean =
+    p + 4 <= slab.fileLen && slab.ensure(p + 4) &&
+      (slab(p) & 0xF0) == 0x50 && (slab(p + 1) & 0xFF) == 0x2A &&
+      (slab(p + 2) & 0xFF) == 0x4D && (slab(p + 3) & 0xFF) == 0x18
+
+  /** Compressed size of the frame at `p`, or -1 when the header does
+    * not parse (resync probing). Ensures the header window first. */
+  def frameCompressedSize(slab: GrowableSlab, p: Long): Long = {
+    // frame header is at most 4 (magic) + 14 bytes
+    slab.ensure(math.min(slab.fileLen, p + 32))
+    try {
+      val n = com.github.luben.zstd.Zstd.findFrameCompressedSize(
+        slab.raw, slab.rel(p))
+      if (n > 0 && p + n <= slab.fileLen) n else -1
+    } catch { case _: com.github.luben.zstd.ZstdException => -1 }
+  }
+
+  /** Decompress the member at `p` fully; (data, offset past frame).
+    * `maxOut` bounds the decompressed size by name. */
+  def inflate(slab: GrowableSlab, p: Long, maxOut: Long,
+      what: String): (Array[Byte], Long) = {
+    require(!isSkippableMagic(slab, p),
+      s"$what: skippable zstd frame at $p — likely an IIPC compression " +
+        "dictionary; dictionary-framed .warc.zst is out of profile " +
+        "(re-compress with standalone frames)")
+    val csize = frameCompressedSize(slab, p)
+    require(csize > 0, s"$what: zstd frame at $p truncated or corrupt")
+    require(slab.ensure(p + csize), s"$what: zstd frame at $p truncated")
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(slab.raw, slab.rel(p), csize.toInt))
+    try {
+      val out = new java.io.ByteArrayOutputStream(64 << 10)
+      val buf = new Array[Byte](64 << 10)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        require(out.size() <= maxOut,
+          s"$what: zstd frame at $p inflates past $maxOut bytes " +
+            "(maxMemberBytes) — expected per-record frames")
+        n = in.read(buf)
+      }
+      (out.toByteArray, p + csize)
+    } catch {
+      case e: java.io.IOException => throw new IllegalArgumentException(
+        s"$what: corrupt zstd frame at $p: ${e.getMessage}")
+    } finally in.close()
+  }
+
+  /** Is `p` a REAL member start? Magic + header + prefix check. */
+  def probe(slab: GrowableSlab, p: Long, expectPrefix: Array[Byte],
+      maxOut: Long): Boolean =
+    isFrameMagic(slab, p) && frameCompressedSize(slab, p) > 0 &&
+      (try {
+        val (data, _) = inflate(slab, p, maxOut, "probe")
+        data.length >= expectPrefix.length &&
+          java.util.Arrays.equals(
+            java.util.Arrays.copyOf(data, expectPrefix.length), expectPrefix)
+      } catch { case _: IllegalArgumentException => false })
+}
+
 /** Streaming offset for the archive landing-dir sources: the natural-
   * order filename watermark of the last admitted file — the same
   * contract as the GRIB/NetCDF streams (files are IMMUTABLE, the

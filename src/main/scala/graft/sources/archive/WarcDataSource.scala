@@ -20,8 +20,8 @@ import graft.sources.nc.SerializableHadoopConf
 
 /** DataSource V2 batch reader for WARC archives —
   * `spark.read.format("warc").load(dirOrFile)` over `.warc` /
-  * `.warc.gz` / `.wet(.gz)` / `.wat(.gz)`: one row per record, with
-  * MEMBER-granular intra-file parallelism.
+  * `.warc.gz` / `.warc.zst` (and the `.wet`/`.wat` variants): one row
+  * per record, with MEMBER-granular intra-file parallelism.
   *
   * Scale design (the whole point — see [[ArchiveSplit]]):
   *  - files split into `maxSplitBytes` byte ranges (default 128 MiB);
@@ -35,6 +35,11 @@ import graft.sources.nc.SerializableHadoopConf
   *    later ranges find no member start) but a member inflating past
   *    `maxMemberBytes` (default 256 MiB) refuses BY NAME rather than
   *    silently rebuilding the whole-file heap spike;
+  *  - resync inside `.warc.zst` (the Internet Archive layout): one
+  *    standalone zstd FRAME per record, validated by frame magic +
+  *    header parse + prefix inflate ([[ZstdMember]]); skippable frames
+  *    — the IIPC shared-dictionary convention — refuse by name
+  *    (dictionary-compressed frames don't decode standalone);
   *  - resync inside plain `.warc`: a "WARC/" at line start that parses
   *    as a full record header block. (A payload embedding a verbatim
   *    WARC record at a line start can false-sync — the same documented
@@ -83,9 +88,14 @@ object WarcTable {
 
   private[archive] def isWarcName(n: String): Boolean = {
     val l = n.toLowerCase
-    l.endsWith(".warc") || l.endsWith(".warc.gz") ||
-      l.endsWith(".wet") || l.endsWith(".wet.gz") ||
-      l.endsWith(".wat") || l.endsWith(".wat.gz")
+    Seq(".warc", ".wet", ".wat").exists(b =>
+      l.endsWith(b) || l.endsWith(b + ".gz") || l.endsWith(b + ".zst"))
+  }
+
+  /** Member codec from the file name: "gz" / "zst" / "none". */
+  private[archive] def codecOf(path: String): String = {
+    val l = path.toLowerCase
+    if (l.endsWith(".gz")) "gz" else if (l.endsWith(".zst")) "zst" else "none"
   }
 
   def resolve(options: CaseInsensitiveStringMap): WarcTable = {
@@ -141,7 +151,7 @@ final class WarcScan(table: WarcTable, required: StructType)
       WarcTable.isWarcName, table.maxFilesPerTrigger,
       (path, len) => ArchiveSplit.ranges(len, table.maxSplitBytes)
         .map { case (s, e) => WarcInputPartition(path, s, e, len,
-          path.toLowerCase.endsWith(".gz"), table.maxMemberBytes,
+          WarcTable.codecOf(path), table.maxMemberBytes,
           required.fieldNames) },
       createReaderFactory())
 
@@ -154,7 +164,7 @@ final class WarcScan(table: WarcTable, required: StructType)
     table.files.flatMap { case (path, len) =>
       ArchiveSplit.ranges(len, table.maxSplitBytes).map { case (s, e) =>
         WarcInputPartition(path, s, e, len,
-          path.toLowerCase.endsWith(".gz"), table.maxMemberBytes,
+          WarcTable.codecOf(path), table.maxMemberBytes,
           required.fieldNames)
       }
     }.toArray
@@ -171,7 +181,8 @@ final class WarcScan(table: WarcTable, required: StructType)
 
 final case class WarcInputPartition(
     path: String, start: Long, end: Long, fileLen: Long,
-    gz: Boolean, maxMemberBytes: Long, cols: Array[String]) extends InputPartition
+    codec: String, // "none" | "gz" | "zst" — per-record member layouts
+    maxMemberBytes: Long, cols: Array[String]) extends InputPartition
 
 final class WarcReaderFactory(conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
@@ -209,20 +220,35 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
   }
   private val pathUtf8 = UTF8String.fromString(part.path)
 
-  // ------------------------------------------------------- gz members
-  /** Next validated member start at or after `p`, or -1. */
+  // ------------------------------------------ gz / zst member layouts
+  /** Magic of the configured member codec at `p`? */
+  private def memberMagicAt(p: Long): Boolean =
+    if (part.codec == "gz")
+      p + 3 <= part.fileLen && slab.ensure(p + 3) &&
+        (slab(p) & 0xFF) == 0x1F && (slab(p + 1) & 0xFF) == 0x8B &&
+        (slab(p + 2) & 0xFF) == 8
+    else ZstdMember.isFrameMagic(slab, p) || ZstdMember.isSkippableMagic(slab, p)
+
+  /** Next VALIDATED member start at or after `p`, or -1. */
   private def nextMemberStart(p0: Long): Long = {
     var p = p0
     while (p < part.end) {
-      if (!slab.ensure(math.min(part.end, p + 3))) return -1
-      if (p + 3 <= part.fileLen && slab.ensure(p + 3) &&
-        (slab(p) & 0xFF) == 0x1F && (slab(p + 1) & 0xFF) == 0x8B &&
-        (slab(p + 2) & 0xFF) == 8 &&
-        GzipMember.probe(slab, p, WarcMagic)) return p
+      if (!slab.ensure(math.min(part.end, p + 4))) return -1
+      if (memberMagicAt(p) && (
+          if (part.codec == "gz") GzipMember.probe(slab, p, WarcMagic)
+          else ZstdMember.isSkippableMagic(slab, p) || // refuse AT the member
+            ZstdMember.probe(slab, p, WarcMagic, part.maxMemberBytes)))
+        return p
       p += 1
     }
     -1
   }
+
+  private def inflateMember(m: Long): (Array[Byte], Long) =
+    if (part.codec == "gz")
+      GzipMember.inflate(slab, m, part.maxMemberBytes, s"warc ${part.path}")
+    else
+      ZstdMember.inflate(slab, m, part.maxMemberBytes, s"warc ${part.path}")
 
   // ----------------------------------------------------- plain records
   /** Next validated record start at or after `p` (plain files): "WARC/"
@@ -356,7 +382,7 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
     while (true) {
       if (pendingRows.hasNext) { current = pendingRows.next(); return true }
       if (cursor >= part.end) return false
-      if (part.gz) {
+      if (part.codec != "none") {
         // offset 0 is a member start by format contract, and once synced
         // the next member must start EXACTLY at the cursor (members are
         // back-to-back) — both parse directly, so malformed bytes REFUSE
@@ -367,8 +393,7 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
           else nextMemberStart(cursor)
         if (m < 0 || m >= part.end) return false
         synced = true
-        val (data, memberEnd) =
-          GzipMember.inflate(slab, m, part.maxMemberBytes, s"warc ${part.path}")
+        val (data, memberEnd) = inflateMember(m)
         cursor = memberEnd
         pendingRows = memberRows(m, data)
       } else {

@@ -61,6 +61,32 @@ class ArchiveSplitSpec extends SparkSpec {
       .forall(_.getAs[String]("payload_text").startsWith("<html>")))
   }
 
+  test("warc zst: per-record zstd frames split like gzip members; " +
+      "dictionary (skippable) frames refuse by name") {
+    val dir = Files.createTempDirectory("warczst").toString
+    val bytes = Warc.encode(warcRecs(60), zstdPerRecord = true)
+    Files.write(Paths.get(s"$dir/seg-1.warc.zst"), bytes)
+    val (nWhole, whole) = collectWarc(dir, 10L << 20)
+    val (nSplit, split) = collectWarc(dir, 2048)
+    assert(nWhole == 1 && nSplit > 3, s"$nWhole/$nSplit")
+    assert(whole == split)
+    val ref = Warc.parse(1L, bytes) // Gunzip sniffs zstd multi-frame
+    assert(split.map(r => (r.getAs[String]("target_uri"),
+      r.getAs[String]("payload_text"))) ==
+      ref.map(r => (r.targetUri, r.payloadText)))
+    // a leading SKIPPABLE frame (the IIPC dictionary convention)
+    // refuses by name — frames compressed against a dictionary don't
+    // decode standalone, and pretending otherwise surfaces as noise
+    val dict = Array[Byte](0x52, 0x2A, 0x4D, 0x18, 4, 0, 0, 0, 1, 2, 3, 4)
+    val dir2 = Files.createTempDirectory("warczstd").toString
+    Files.write(Paths.get(s"$dir2/seg.warc.zst"), dict ++ bytes)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[org.apache.spark.SparkException](
+      spark.read.format("warc").load(dir2).count())
+    assert(msgs(e).exists(_.contains("dictionary")), e.getMessage)
+  }
+
   test("warc plain: line-start resync; split-size invariance and " +
       "reference parity") {
     val dir = warcDir(gz = false)
