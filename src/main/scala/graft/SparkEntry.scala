@@ -964,28 +964,22 @@ object SparkEntry {
     rows.toDF("id", "mkv")
   }
 
-  /** WARC fixture (the Common Crawl shape): one .warc.gz per day —
-    * a warcinfo record plus one HTTP response record per slot, each its
-    * own gzip member, bodies built from event counts with printable
-    * ASCII so the DuckDB oracle rebuilds every field (uri, envelope
-    * length, status, body text) with zero WARC code. Status cycles 200
-    * / 404 on the count so the envelope split is exercised on both.
-    * HTTP BODY CODINGS cycle by slot — identity / chunked /
-    * gzip-level-0 — so real-crawl transfer- and content-coded payloads
-    * run through the decode path on every day, with closed-form encoded
-    * lengths (chunk framing arithmetic; stored-block gzip = len + 23)
-    * the oracle replays. Bodies carry numeric character references
-    * (&#8212; and &#x21;) for q180's extraction gate. */
-  /** One day's WARC records — shared by the in-memory fixture (e2e
-    * specs) and the FILE fixture the `format("warc")` gates scan. */
+  /** One day's WARC records (the Common Crawl shape): a warcinfo record
+    * plus one HTTP response per slot, bodies built from event counts
+    * with printable ASCII so the DuckDB oracle rebuilds every field
+    * (uri, envelope length, status, body text) with zero WARC code.
+    * Status cycles 200/404 on the count so the envelope split is
+    * exercised on both; HTTP BODY CODINGS cycle by slot — identity /
+    * chunked / gzip-level-0 — with closed-form encoded lengths (chunk
+    * framing arithmetic; stored-block gzip = len + 23) the oracle
+    * replays; bodies carry numeric character references (&#8212; and
+    * &#x21;) for q180's extraction gate. */
   private def warcDayRecords(id: Long, cnt: Array[Long])
       : Seq[graft.functions.Warc.WRecord] = {
     import graft.functions.Warc
     Warc.WRecord("warcinfo", body = "crawler=graft\n") +:
       (0 until 10).map { slot =>
         val c = cnt(slot)
-        // real-page shape: style + script blocks to drop, entities to
-        // decode, nested tags — q180's extraction gate needs them
         Warc.WRecord("response",
           targetUri = s"https://example.com/$id/$slot",
           httpStatus = Some(if (c % 7 == 0) 404 else 200),
@@ -997,21 +991,12 @@ object SparkEntry {
       }
   }
 
-  private def warcEventsFixture(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Warc
-    val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
-      (id, Warc.encode(warcDayRecords(id, cnt), gzipPerRecord = true))
-    }
-    val sp = s; import sp.implicits._
-    rows.toDF("id", "warc")
-  }
-
   /** WARC files on disk for the SPLITTABLE `format("warc")` scan (the
     * 100 TB ingest path): the member codec cycles by day — plain
     * `.warc` (line-start resync), per-record-member `.warc.gz`
     * (gzip-member resync), and per-record-frame `.warc.zst`
-    * (zstd-frame resync, the Internet Archive shape) — same records as
-    * [[warcEventsFixture]], so the oracle is shared. */
+    * (zstd-frame resync, the Internet Archive shape) — record content
+    * from [[warcDayRecords]], shared with the q179/q180 oracles. */
   private def warcFilesFixture(s: SparkSession, dir: String): String = {
     import graft.functions.Warc
     val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -1034,7 +1019,8 @@ object SparkEntry {
   /** WebDataset shard files on disk for `format("webdataset")`: plain
     * `.tar` on odd days (512-aligned split resync, PAX chains on long-
     * key days), `.tar.gz` on even days (single streaming partition) —
-    * same members as [[webdatasetEventsFixture]]. */
+    * member payloads closed-form from event counts (printable ASCII)
+    * so the oracle rebuilds every row with zero tar code. */
   private def webdatasetFilesFixture(s: SparkSession, dir: String): String = {
     import graft.functions.Tar
     val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -1105,58 +1091,11 @@ object SparkEntry {
     rows.toDF("id", "mp3")
   }
 
-  /** WebDataset shard fixture (tar-of-samples, the standard multimodal
-    * training layout): one .tar per day (.tar.gz on even days), one
-    * sample per slot with a .txt member (text from event counts) and a
-    * .cls member (count mod 5 as the label) — member payloads are
-    * printable ASCII so the DuckDB oracle rebuilds every row with zero
-    * tar code. */
-  private def webdatasetEventsFixture(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Tar
-    val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
-      // every third day uses URL-length keys (>100 bytes with the
-      // extension), so the PAX 'x' long-name path runs writer AND
-      // reader on real fixture days — closed-form for the oracle
-      // (repeat('x', 110))
-      val long = if (id % 3 == 0) "x" * 110 + "_" else ""
-      val files = (0 until 10).flatMap { slot =>
-        Seq(
-          f"shard$id%d/$long$slot%04d.txt" ->
-            s"sample text events=${cnt(slot)}".getBytes("US-ASCII"),
-          f"shard$id%d/$long$slot%04d.cls" ->
-            (cnt(slot) % 5).toString.getBytes("US-ASCII"))
-      }
-      (id, Tar.encode(files, gzip = id % 2 == 0))
-    }
-    val sp = s; import sp.implicits._
-    rows.toDF("id", "tar")
-  }
 
-  /** ZIP fixture (EPUB/DOCX/site-archive crawls): one zip per day, one
-    * text document per slot, compression method alternating store /
-    * deflate by slot — deflate output is writer-dependent, so the gate
-    * exposes only the CENTRAL-directory facts plus the extracted text
-    * (CRC-verified inside the reader), all closed-form from events.
-    * Every fourth day writes the ZIP64 layout (saturated fields +
-    * EOCD64), so the large-archive read path runs on real fixture
-    * days — the member facts are identical either way. */
-  private def zipEventsFixture(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Zip
-    val rows = dailySlotCounts(s, dir).map { case (id, cnt) =>
-      val files = (0 until 10).map { slot =>
-        (s"book$id/ch$slot.txt",
-          s"chapter $slot has events=${cnt(slot)}".getBytes("US-ASCII"),
-          slot % 2 == 1)
-      }
-      (id, Zip.encode(files, zip64 = id % 4 == 0))
-    }
-    val sp = s; import sp.implicits._
-    rows.toDF("id", "zip")
-  }
 
   /** ZIP files on disk for the INDEX-planned `format("zip")` scan —
-    * same members as [[zipEventsFixture]] (ZIP64 every fourth day), so
-    * the oracle is shared. */
+    * one text document per slot, store/deflate alternating, ZIP64
+    * every fourth day — all closed-form from events for the oracle. */
   private def zipFilesFixture(s: SparkSession, dir: String): String = {
     import graft.functions.Zip
     val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
