@@ -229,7 +229,11 @@ object Warc {
       p = e + 1
       if (size == 0) done = true
       else {
-        require(p + size + 2 <= raw.length,
+        // subtraction, not addition: `p + size + 2` overflows Long for
+        // adversarial hex sizes (e.g. 'ffffffffffffffff') and parseLong
+        // accepts negatives via '-' — both must hit the named refusal,
+        // not an IndexOutOfBounds
+        require(size > 0 && size <= raw.length.toLong - p - 2,
           s"warc $id: record at $recOff chunk of $size bytes runs past end")
         out.write(raw, p, size.toInt)
         p += size.toInt
@@ -296,13 +300,21 @@ object Warc {
 
   /** Emit records; `gzipPerRecord = true` compresses each record as its
     * own gzip member and concatenates — the Common Crawl layout;
-    * `zstdPerRecord = true` uses one standalone zstd frame per record
-    * instead (the `.warc.zst` shape, sans dictionary — what the
-    * splittable scan supports). */
+    * `zstdPerRecord = true` uses one zstd frame per record instead (the
+    * `.warc.zst` shape). `zstdDictionary` additionally emits the IIPC
+    * convention (warc-specifications zstd proposal): a LEADING skippable
+    * frame with magic 0x184D2A5D whose payload is the shared dictionary
+    * — raw, or itself a standalone zstd frame when
+    * `zstdDictCompressed` — and every record frame compressed AGAINST
+    * it (raw-content dictionary; zstd auto-detects the load method). */
   def encode(records: Seq[WRecord], gzipPerRecord: Boolean = false,
-      zstdPerRecord: Boolean = false): Array[Byte] = {
+      zstdPerRecord: Boolean = false,
+      zstdDictionary: Option[Array[Byte]] = None,
+      zstdDictCompressed: Boolean = false): Array[Byte] = {
     require(!(gzipPerRecord && zstdPerRecord),
       "pick ONE per-record compression")
+    require(zstdDictionary.isEmpty || zstdPerRecord,
+      "a zstd dictionary needs zstdPerRecord frames")
     def one(r: WRecord): Array[Byte] = {
       val blockBytes = r.httpStatus match {
         case Some(code) =>
@@ -336,8 +348,24 @@ object Warc {
       sb.toString.getBytes("US-ASCII") ++ blockBytes ++ "\r\n\r\n".getBytes("US-ASCII")
     }
     val parts = records.map(one)
-    if (zstdPerRecord)
-      parts.flatMap(p => com.github.luben.zstd.Zstd.compress(p, 3)).toArray
+    if (zstdPerRecord) zstdDictionary match {
+      case None =>
+        parts.flatMap(p => com.github.luben.zstd.Zstd.compress(p, 3)).toArray
+      case Some(dict) =>
+        val payload =
+          if (!zstdDictCompressed) dict
+          else com.github.luben.zstd.Zstd.compress(dict, 3)
+        val skippable = Array[Byte](0x5D, 0x2A, 0x4D, 0x18,
+          (payload.length & 0xFF).toByte, ((payload.length >> 8) & 0xFF).toByte,
+          ((payload.length >> 16) & 0xFF).toByte,
+          ((payload.length >> 24) & 0xFF).toByte) ++ payload
+        val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+        try {
+          ctx.setLevel(3)
+          ctx.loadDict(dict)
+          skippable ++ parts.flatMap(ctx.compress(_)).toArray[Byte]
+        } finally ctx.close()
+    }
     else if (!gzipPerRecord) parts.flatten.toArray
     else parts.flatMap { p =>
       val bo = new java.io.ByteArrayOutputStream(p.length)

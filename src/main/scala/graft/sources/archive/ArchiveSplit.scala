@@ -63,13 +63,15 @@ private[archive] object ArchiveSplit {
   * validates as the 28 B5 2F FD frame magic + a parseable frame header
   * (`Zstd.findFrameCompressedSize`) + a decompressed prefix check.
   *
-  * Out of profile and refused BY NAME: SKIPPABLE frames (0x184D2A5x) —
-  * the IIPC `.warc.zst` convention stores a shared compression
-  * DICTIONARY in a leading skippable frame, and frames compressed
-  * against it do not decode standalone; a reader that skipped the
-  * frame would surface dictionary-compressed members as corrupt-frame
-  * noise instead of the real cause. Re-compress without a dictionary
-  * (every frame standalone) for the splittable path. */
+  * SKIPPABLE frames (0x184D2A5x) carry no records: at a VALIDATED
+  * chain position (offset 0 or the synced cursor) the walk skips them
+  * by their declared size, and the 0x184D2A5D variant at offset 0 is
+  * the IIPC shared-DICTIONARY convention — its payload (raw, or
+  * itself a standalone zstd frame) is loaded and every member decodes
+  * against it ([[ZstdDicts]]). During resync over arbitrary interior
+  * bytes a bare skippable-magic match is NOT trusted (random data hits
+  * it ~2^-28 per offset): it is simply not a member, and scanning
+  * continues. */
 private[archive] object ZstdMember {
 
   def isFrameMagic(slab: GrowableSlab, p: Long): Boolean =
@@ -82,31 +84,65 @@ private[archive] object ZstdMember {
       (slab(p) & 0xF0) == 0x50 && (slab(p + 1) & 0xFF) == 0x2A &&
       (slab(p + 2) & 0xFF) == 0x4D && (slab(p + 3) & 0xFF) == 0x18
 
-  /** Compressed size of the frame at `p`, or -1 when the header does
-    * not parse (resync probing). Ensures the header window first. */
-  def frameCompressedSize(slab: GrowableSlab, p: Long): Long = {
-    // frame header is at most 4 (magic) + 14 bytes
-    slab.ensure(math.min(slab.fileLen, p + 32))
-    try {
-      val n = com.github.luben.zstd.Zstd.findFrameCompressedSize(
-        slab.raw, slab.rel(p))
-      if (n > 0 && p + n <= slab.fileLen) n else -1
-    } catch { case _: com.github.luben.zstd.ZstdException => -1 }
+  /** Total size (magic + 4-byte LE length + payload) of the skippable
+    * frame at `p` — only meaningful at a VALIDATED chain position. */
+  def skippableSize(slab: GrowableSlab, p: Long, what: String): Long = {
+    require(slab.ensure(p + 8), s"$what: skippable zstd frame at $p truncated")
+    val len = (slab(p + 4) & 0xFFL) | ((slab(p + 5) & 0xFFL) << 8) |
+      ((slab(p + 6) & 0xFFL) << 16) | ((slab(p + 7) & 0xFFL) << 24)
+    require(p + 8 + len <= slab.fileLen,
+      s"$what: skippable zstd frame at $p declares $len payload bytes past end")
+    8 + len
+  }
+
+  /** Compressed size of the frame at `p`, or -1 when the frame does not
+    * parse within `maxFrameBytes` (resync probing).
+    *
+    * `findFrameCompressedSize` must walk EVERY block header of the
+    * frame, so the loaded window is grown until the reported size fits
+    * entirely inside `slab.loaded`: a size derived from bytes past the
+    * window would have read the capacity array's zero-fill — the r13
+    * boundary-crossing defect (spurious refusals, or silently skipped
+    * members in the resync probe, on any frame straddling a 4 MiB
+    * growth step). The walk is bounded with an EXPLICIT length so it
+    * can never read past the loaded bytes. */
+  def frameCompressedSize(slab: GrowableSlab, p: Long,
+      maxFrameBytes: Long): Long = {
+    val cap = math.min(slab.fileLen, p + maxFrameBytes)
+    if (!slab.ensure(math.min(slab.fileLen, p + 18))) return -1
+    while (true) {
+      val n =
+        try com.github.luben.zstd.Zstd.findFrameCompressedSize(
+          slab.raw, slab.rel(p), (slab.loaded - p).toInt)
+        catch { case _: com.github.luben.zstd.ZstdException => -1L }
+      if (n > 0 && p + n <= slab.loaded) return n
+      // not sizeable from the loaded bytes: grow (ensure advances by at
+      // least one growStep) and re-walk; give up once the window covers
+      // everything the frame could legally span
+      if (slab.loaded >= cap) return -1
+      slab.ensure(math.min(cap, slab.loaded + 1))
+    }
+    -1 // unreachable
   }
 
   /** Decompress the member at `p` fully; (data, offset past frame).
-    * `maxOut` bounds the decompressed size by name. */
-  def inflate(slab: GrowableSlab, p: Long, maxOut: Long,
-      what: String): (Array[Byte], Long) = {
+    * `maxOut` bounds the decompressed size by name; `dict` is the IIPC
+    * shared dictionary when the archive carries one (harmless for
+    * standalone frames — they never back-reference into it). */
+  def inflate(slab: GrowableSlab, p: Long, maxOut: Long, what: String,
+      dict: Option[com.github.luben.zstd.ZstdDictDecompress] = None)
+      : (Array[Byte], Long) = {
     require(!isSkippableMagic(slab, p),
-      s"$what: skippable zstd frame at $p — likely an IIPC compression " +
-        "dictionary; dictionary-framed .warc.zst is out of profile " +
-        "(re-compress with standalone frames)")
-    val csize = frameCompressedSize(slab, p)
-    require(csize > 0, s"$what: zstd frame at $p truncated or corrupt")
-    require(slab.ensure(p + csize), s"$what: zstd frame at $p truncated")
+      s"$what: inflate called at a skippable zstd frame ($p) — walk bug")
+    // compressed size can exceed maxOut only by raw-block overhead
+    // (~3 bytes / 128 KiB block) plus header/checksum: 1 MiB of slack
+    val csize = frameCompressedSize(slab, p, maxOut + (1L << 20))
+    require(csize > 0,
+      s"$what: zstd frame at $p truncated, corrupt, or larger than " +
+        "maxMemberBytes — expected per-record frames")
     val in = new com.github.luben.zstd.ZstdInputStream(
       new java.io.ByteArrayInputStream(slab.raw, slab.rel(p), csize.toInt))
+    dict.foreach(in.setDict)
     try {
       val out = new java.io.ByteArrayOutputStream(64 << 10)
       val buf = new Array[Byte](64 << 10)
@@ -125,16 +161,101 @@ private[archive] object ZstdMember {
     } finally in.close()
   }
 
-  /** Is `p` a REAL member start? Magic + header + prefix check. */
+  /** Is `p` a REAL member start? Magic + a full block-header walk +
+    * a PREFIX-ONLY decode (resync cost is bounded by the prefix, not
+    * the member size) checked against `expectPrefix`. */
   def probe(slab: GrowableSlab, p: Long, expectPrefix: Array[Byte],
-      maxOut: Long): Boolean =
-    isFrameMagic(slab, p) && frameCompressedSize(slab, p) > 0 &&
-      (try {
-        val (data, _) = inflate(slab, p, maxOut, "probe")
-        data.length >= expectPrefix.length &&
-          java.util.Arrays.equals(
-            java.util.Arrays.copyOf(data, expectPrefix.length), expectPrefix)
-      } catch { case _: IllegalArgumentException => false })
+      maxOut: Long,
+      dict: Option[com.github.luben.zstd.ZstdDictDecompress] = None): Boolean =
+    isFrameMagic(slab, p) && {
+      val csize = frameCompressedSize(slab, p, maxOut + (1L << 20))
+      csize > 0 && (try {
+        val in = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(slab.raw, slab.rel(p), csize.toInt))
+        dict.foreach(in.setDict)
+        try {
+          val out = new Array[Byte](expectPrefix.length)
+          var got = 0
+          var n = 0
+          while (got < out.length && n >= 0) {
+            n = in.read(out, got, out.length - got)
+            if (n > 0) got += n
+          }
+          got == out.length && java.util.Arrays.equals(out, expectPrefix)
+        } finally in.close()
+      } catch { case _: java.io.IOException => false })
+    }
+}
+
+/** Per-JVM cache of IIPC `.warc.zst` shared dictionaries, keyed by
+  * file path: the dictionary lives in a LEADING skippable frame with
+  * the 0x184D2A5D magic (warc-specifications zstd proposal), its
+  * payload either the raw dictionary or a standalone zstd frame
+  * wrapping it. Every split partition of the same archive needs it, so
+  * the (small) BYTES are cached JVM-wide and each reader builds — and
+  * closes — its own native `ZstdDictDecompress`, keeping native
+  * lifetime task-local while the head of the file is read once per
+  * executor, not once per task. */
+private[archive] object ZstdDicts {
+  private val MaxDictBytes = 128L << 20
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Option[Array[Byte]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[Array[Byte]]]): Boolean =
+        size > 64
+    })
+
+  /** Dictionary bytes of the archive, or None when the file does not
+    * start with a dictionary frame. Positioned reads; stream state
+    * untouched. */
+  def bytesFor(in: FSDataInputStream, path: String, fileLen: Long)
+      : Option[Array[Byte]] = {
+    val hit = cache.get(path)
+    if (hit != null) return hit
+    val computed = read(in, path, fileLen)
+    cache.put(path, computed)
+    computed
+  }
+
+  private def read(in: FSDataInputStream, path: String,
+      fileLen: Long): Option[Array[Byte]] = {
+    if (fileLen < 8) return None
+    val head = new Array[Byte](8)
+    in.readFully(0L, head)
+    // 0x184D2A5D little-endian: 5D 2A 4D 18 — the dictionary variant
+    // specifically; other skippable frames carry no dictionary (the
+    // walk just skips them)
+    if (!((head(0) & 0xFF) == 0x5D && (head(1) & 0xFF) == 0x2A &&
+        (head(2) & 0xFF) == 0x4D && (head(3) & 0xFF) == 0x18)) return None
+    val len = (head(4) & 0xFFL) | ((head(5) & 0xFFL) << 8) |
+      ((head(6) & 0xFFL) << 16) | ((head(7) & 0xFFL) << 24)
+    require(8 + len <= fileLen,
+      s"warc $path: dictionary frame declares $len payload bytes past end")
+    require(len <= MaxDictBytes,
+      s"warc $path: dictionary frame of $len bytes exceeds the " +
+        s"$MaxDictBytes dictionary bound")
+    val payload = new Array[Byte](len.toInt)
+    in.readFully(8L, payload)
+    val isFrame = payload.length >= 4 &&
+      (payload(0) & 0xFF) == 0x28 && (payload(1) & 0xFF) == 0xB5 &&
+      (payload(2) & 0xFF) == 0x2F && (payload(3) & 0xFF) == 0xFD
+    val dict =
+      if (!isFrame) payload // raw-content dictionary
+      else { // dictionary itself zstd-compressed as a standalone frame
+        val n = com.github.luben.zstd.Zstd.getFrameContentSize(payload)
+        require(n > 0 && n <= MaxDictBytes,
+          s"warc $path: compressed dictionary frame has no usable " +
+            s"content size ($n)")
+        try com.github.luben.zstd.Zstd.decompress(payload, n.toInt)
+        catch {
+          case e: com.github.luben.zstd.ZstdException =>
+            throw new IllegalArgumentException(
+              s"warc $path: corrupt compressed dictionary frame: " +
+                e.getMessage)
+        }
+      }
+    Some(dict)
+  }
 }
 
 /** Streaming offset for the archive landing-dir sources: the natural-

@@ -36,10 +36,12 @@ import graft.sources.nc.SerializableHadoopConf
   *    `maxMemberBytes` (default 256 MiB) refuses BY NAME rather than
   *    silently rebuilding the whole-file heap spike;
   *  - resync inside `.warc.zst` (the Internet Archive layout): one
-  *    standalone zstd FRAME per record, validated by frame magic +
-  *    header parse + prefix inflate ([[ZstdMember]]); skippable frames
-  *    — the IIPC shared-dictionary convention — refuse by name
-  *    (dictionary-compressed frames don't decode standalone);
+  *    zstd FRAME per record, validated by frame magic + a bounded
+  *    block-header walk + prefix inflate ([[ZstdMember]]); the IIPC
+  *    shared-DICTIONARY convention (leading 0x184D2A5D skippable frame,
+  *    raw or zstd-wrapped payload) is read once per executor and every
+  *    member decodes against it; other skippable frames skip at
+  *    validated chain positions and are never trusted during resync;
   *  - resync inside plain `.warc`: a "WARC/" at line start that parses
   *    as a full record header block. (A payload embedding a verbatim
   *    WARC record at a line start can false-sync — the same documented
@@ -217,27 +219,50 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
     case "content_length" => ClenC
     case "http_status" => StatusC
     case "payload_text" => TextC
+    case other => throw new IllegalArgumentException(
+      s"warc scan: unknown required column '$other' " +
+        s"(schema is ${WarcTable.Schema.simpleString})")
   }
   private val pathUtf8 = UTF8String.fromString(part.path)
 
   // ------------------------------------------ gz / zst member layouts
+  /** IIPC shared dictionary (leading 0x184D2A5D skippable frame), when
+    * the archive carries one: bytes cached JVM-wide ([[ZstdDicts]]),
+    * native handle task-local (closed with the reader). Loaded on first
+    * use — a var, not a lazy val, so close() never triggers the load. */
+  private var zstdDictLoaded = false
+  private var zstdDictHandle: Option[com.github.luben.zstd.ZstdDictDecompress] = None
+  private def zstdDict: Option[com.github.luben.zstd.ZstdDictDecompress] = {
+    if (!zstdDictLoaded) {
+      zstdDictHandle =
+        if (part.codec != "zst") None
+        else ZstdDicts.bytesFor(in, part.path, part.fileLen)
+          .map(new com.github.luben.zstd.ZstdDictDecompress(_))
+      zstdDictLoaded = true
+    }
+    zstdDictHandle
+  }
+
   /** Magic of the configured member codec at `p`? */
   private def memberMagicAt(p: Long): Boolean =
     if (part.codec == "gz")
       p + 3 <= part.fileLen && slab.ensure(p + 3) &&
         (slab(p) & 0xFF) == 0x1F && (slab(p + 1) & 0xFF) == 0x8B &&
         (slab(p + 2) & 0xFF) == 8
-    else ZstdMember.isFrameMagic(slab, p) || ZstdMember.isSkippableMagic(slab, p)
+    else ZstdMember.isFrameMagic(slab, p)
 
-  /** Next VALIDATED member start at or after `p`, or -1. */
+  /** Next VALIDATED member start at or after `p`, or -1. A bare
+    * skippable-frame magic during resync is NOT trusted (random
+    * compressed bytes match it ~2^-28 per offset) — it is simply not a
+    * member and the scan continues; real skippable frames are handled
+    * at validated chain positions by the synced walk. */
   private def nextMemberStart(p0: Long): Long = {
     var p = p0
     while (p < part.end) {
       if (!slab.ensure(math.min(part.end, p + 4))) return -1
       if (memberMagicAt(p) && (
           if (part.codec == "gz") GzipMember.probe(slab, p, WarcMagic)
-          else ZstdMember.isSkippableMagic(slab, p) || // refuse AT the member
-            ZstdMember.probe(slab, p, WarcMagic, part.maxMemberBytes)))
+          else ZstdMember.probe(slab, p, WarcMagic, part.maxMemberBytes, zstdDict)))
         return p
       p += 1
     }
@@ -248,7 +273,8 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
     if (part.codec == "gz")
       GzipMember.inflate(slab, m, part.maxMemberBytes, s"warc ${part.path}")
     else
-      ZstdMember.inflate(slab, m, part.maxMemberBytes, s"warc ${part.path}")
+      ZstdMember.inflate(slab, m, part.maxMemberBytes, s"warc ${part.path}",
+        zstdDict)
 
   // ----------------------------------------------------- plain records
   /** Next validated record start at or after `p` (plain files): "WARC/"
@@ -320,7 +346,15 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
       }
     }
     val len = headers.get("content-length") match {
-      case Some(v) => v.toLong
+      case Some(v) =>
+        // a false "WARC/" match during resync can parse header-shaped
+        // lines with a non-numeric Content-Length: that is a SHAPE
+        // failure (not-a-record), never a task crash
+        try v.toLong catch {
+          case _: NumberFormatException => shape(
+            s"warc ${part.path}: record at $p has non-numeric " +
+              s"Content-Length '$v'")
+        }
       case None =>
         shape(s"warc ${part.path}: record at $p has no Content-Length")
     }
@@ -393,9 +427,16 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
           else nextMemberStart(cursor)
         if (m < 0 || m >= part.end) return false
         synced = true
-        val (data, memberEnd) = inflateMember(m)
-        cursor = memberEnd
-        pendingRows = memberRows(m, data)
+        if (part.codec == "zst" && ZstdMember.isSkippableMagic(slab, m)) {
+          // validated chain position: a skippable frame carries no
+          // records (at offset 0 it is the IIPC dictionary, already
+          // consumed via zstdDict) — skip it by its declared size
+          cursor = m + ZstdMember.skippableSize(slab, m, s"warc ${part.path}")
+        } else {
+          val (data, memberEnd) = inflateMember(m)
+          cursor = memberEnd
+          pendingRows = memberRows(m, data)
+        }
       } else {
         val r =
           if (synced || part.start == 0) {
@@ -428,5 +469,8 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = in.close()
+  override def close(): Unit = {
+    zstdDictHandle.foreach(_.close())
+    in.close()
+  }
 }

@@ -135,6 +135,17 @@ class WarcSpec extends SparkSpec {
       httpRec("Transfer-Encoding: chunked\r\n",
         "zz\r\nxx\r\n0\r\n\r\n".getBytes("US-ASCII"))))
     assert(eSize.getMessage.contains("chunk size"), eSize.getMessage)
+    // adversarial hex sizes: max-Long overflows `p + size + 2`, and a
+    // negative size would reach out.write — both take the NAMED refusal,
+    // never an IndexOutOfBounds
+    val eHuge = intercept[IllegalArgumentException](Warc.parse(18L,
+      httpRec("Transfer-Encoding: chunked\r\n",
+        "7fffffffffffffff\r\nxx\r\n0\r\n\r\n".getBytes("US-ASCII"))))
+    assert(eHuge.getMessage.contains("runs past end"), eHuge.getMessage)
+    val eNeg = intercept[IllegalArgumentException](Warc.parse(19L,
+      httpRec("Transfer-Encoding: chunked\r\n",
+        "-5\r\nxx\r\n0\r\n\r\n".getBytes("US-ASCII"))))
+    assert(eNeg.getMessage.contains("runs past end"), eNeg.getMessage)
   }
 
   test("writeWetSegments: byte-deterministic across input partitionings, " +

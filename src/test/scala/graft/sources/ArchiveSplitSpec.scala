@@ -61,8 +61,7 @@ class ArchiveSplitSpec extends SparkSpec {
       .forall(_.getAs[String]("payload_text").startsWith("<html>")))
   }
 
-  test("warc zst: per-record zstd frames split like gzip members; " +
-      "dictionary (skippable) frames refuse by name") {
+  test("warc zst: per-record zstd frames split like gzip members") {
     val dir = Files.createTempDirectory("warczst").toString
     val bytes = Warc.encode(warcRecs(60), zstdPerRecord = true)
     Files.write(Paths.get(s"$dir/seg-1.warc.zst"), bytes)
@@ -74,17 +73,81 @@ class ArchiveSplitSpec extends SparkSpec {
     assert(split.map(r => (r.getAs[String]("target_uri"),
       r.getAs[String]("payload_text"))) ==
       ref.map(r => (r.targetUri, r.payloadText)))
-    // a leading SKIPPABLE frame (the IIPC dictionary convention)
-    // refuses by name — frames compressed against a dictionary don't
-    // decode standalone, and pretending otherwise surfaces as noise
-    val dict = Array[Byte](0x52, 0x2A, 0x4D, 0x18, 4, 0, 0, 0, 1, 2, 3, 4)
-    val dir2 = Files.createTempDirectory("warczstd").toString
-    Files.write(Paths.get(s"$dir2/seg.warc.zst"), dict ++ bytes)
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    val e = intercept[org.apache.spark.SparkException](
-      spark.read.format("warc").load(dir2).count())
-    assert(msgs(e).exists(_.contains("dictionary")), e.getMessage)
+    // a NON-dictionary skippable frame mid-chain (legal zstd) skips at
+    // the validated walk position and never produces rows
+    val skip = Array[Byte](0x52, 0x2A, 0x4D, 0x18, 4, 0, 0, 0, 1, 2, 3, 4)
+    val firstFrameEnd = com.github.luben.zstd.Zstd
+      .findFrameCompressedSize(bytes).toInt
+    val dir2 = Files.createTempDirectory("warczsk").toString
+    Files.write(Paths.get(s"$dir2/seg.warc.zst"),
+      bytes.take(firstFrameEnd) ++ skip ++ bytes.drop(firstFrameEnd))
+    val (_, withSkip) = collectWarc(dir2, 10L << 20)
+    assert(withSkip.map(r => (r.getAs[String]("target_uri"),
+      r.getAs[String]("payload_text"))) ==
+      ref.map(r => (r.targetUri, r.payloadText)))
+  }
+
+  test("warc zst: IIPC shared-dictionary archives (leading 0x184D2A5D " +
+      "skippable frame, raw AND zstd-wrapped payload) decode with " +
+      "split-size invariance") {
+    val recs = warcRecs(60)
+    // a raw-content dictionary: the common boilerplate of the fixture
+    // bodies, so dictionary-compressed frames really DO back-reference it
+    val dict = ("<html><body><p>doc NNN " + ("pad " * 50) +
+      "&amp; text</p></body></html>HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html\r\n").getBytes("UTF-8")
+    val expect = Warc.parse(1L,
+      Warc.encode(recs, zstdPerRecord = true)) // sans dictionary
+    for (wrapped <- Seq(false, true)) {
+      val dir = Files.createTempDirectory(s"warcdict$wrapped").toString
+      val bytes = Warc.encode(recs, zstdPerRecord = true,
+        zstdDictionary = Some(dict), zstdDictCompressed = wrapped)
+      Files.write(Paths.get(s"$dir/seg.warc.zst"), bytes)
+      val (nWhole, whole) = collectWarc(dir, 10L << 20)
+      val (nSplit, split) = collectWarc(dir, 2048)
+      assert(nWhole == 1 && nSplit > 3, s"wrapped=$wrapped: $nWhole/$nSplit")
+      assert(whole == split, s"wrapped=$wrapped")
+      assert(whole.map(r => (r.getAs[String]("target_uri"),
+        r.getAs[String]("payload_text"))) ==
+        expect.map(r => (r.targetUri, r.payloadText)), s"wrapped=$wrapped")
+    }
+  }
+
+  test("warc zst: frames crossing the slab growth boundary (~4 MiB) size " +
+      "correctly — synced walk AND resync probe (the r13 defect)") {
+    // ~6 MiB of ~200 KiB low-redundancy bodies: several frames straddle
+    // the 4 MiB GrowableSlab growth step in the whole-file partition
+    val rnd = new scala.util.Random(42)
+    val recs = (0 until 36).map { i =>
+      Warc.WRecord("resource", targetUri = s"https://big.test/$i",
+        body = new String(Array.fill(200 * 1024)(
+          (33 + rnd.nextInt(94)).toChar)))
+    }
+    val dir = Files.createTempDirectory("warcbound4m").toString
+    val bytes = Warc.encode(recs, zstdPerRecord = true)
+    assert(bytes.length > (5 << 20), s"fixture too small: ${bytes.length}")
+    Files.write(Paths.get(s"$dir/seg.warc.zst"), bytes)
+    // whole-file: the synced walk must size every frame, including the
+    // boundary-crossing ones (r13 refused these as 'truncated or corrupt')
+    val (n1, whole) = collectWarc(dir, 32L << 20)
+    assert(n1 == 1)
+    assert(whole.length == 36)
+    // split mid-file: resync probes must also survive boundary crossings
+    // (r13 silently skipped members there)
+    val (n2, split) = collectWarc(dir, 1L << 20)
+    assert(n2 > 3, s"$n2")
+    assert(split == whole)
+    // one member BIGGER than a whole growth step: sizing must keep
+    // growing the window until the full frame is loaded
+    val big = Seq(Warc.WRecord("resource", targetUri = "https://huge.test/0",
+      body = new String(Array.fill(5 * 1024 * 1024)(
+        (33 + rnd.nextInt(94)).toChar)))) ++ warcRecs(3)
+    val dir2 = Files.createTempDirectory("warcjumbo").toString
+    Files.write(Paths.get(s"$dir2/seg.warc.zst"),
+      Warc.encode(big, zstdPerRecord = true))
+    val (_, rows) = collectWarc(dir2, 2L << 20)
+    assert(rows.length == 5) // jumbo + warcinfo + 3 responses
+    assert(rows.count(_.getAs[String]("target_uri") == "https://huge.test/0") == 1)
   }
 
   test("warc plain: line-start resync; split-size invariance and " +
@@ -262,6 +325,24 @@ class ArchiveSplitSpec extends SparkSpec {
       spark.read.format("warc").option("maxSplitBytes", "2048")
         .option("maxMemberBytes", "4096").load(dir2).count())
     assert(msgs(e2).exists(_.contains("maxMemberBytes")), e2.getMessage)
+  }
+
+  test("warc plain: a payload-embedded fake record header with NON-NUMERIC " +
+      "Content-Length is a shape failure during resync, not a task crash") {
+    // the fake "WARC/" sits at a line start inside a payload; a split
+    // starting before it probes it and must treat it as not-a-record
+    val fake = "WARC/1.0\r\nWARC-Type: junk\r\nContent-Length: NaN\r\n\r\n"
+    val recs = Warc.WRecord("resource",
+      body = ("filler line\n" * 40) + "\n" + fake + ("more\n" * 40)) +:
+      warcRecs(6)
+    val dir = Files.createTempDirectory("warcfake").toString
+    Files.write(Paths.get(s"$dir/seg.warc"), Warc.encode(recs))
+    val (_, whole) = collectWarc(dir, 10L << 20)
+    for (split <- Seq(256L, 512L, 1024L)) {
+      val (_, rows) = collectWarc(dir, split)
+      assert(rows == whole, s"split=$split")
+    }
+    assert(whole.length == recs.length)
   }
 
   test("warc: a member inflating past maxMemberBytes refuses by name") {
