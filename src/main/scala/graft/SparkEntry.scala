@@ -972,8 +972,9 @@ object SparkEntry {
     * exercised on both; HTTP BODY CODINGS cycle by slot — identity /
     * chunked / gzip-level-0 — with closed-form encoded lengths (chunk
     * framing arithmetic; stored-block gzip = len + 23) the oracle
-    * replays; bodies carry numeric character references (&#8212; and
-    * &#x21;) for q180's extraction gate. */
+    * replays; bodies carry character references — numeric (&#8212;,
+    * &#x21;) AND common named (&ldquo; &rdquo; &hellip; &deg; &copy;)
+    * — for q180's extraction gate. */
   private def warcDayRecords(id: Long, cnt: Array[Long])
       : Seq[graft.functions.Warc.WRecord] = {
     import graft.functions.Warc
@@ -986,7 +987,8 @@ object SparkEntry {
           chunked = slot % 3 == 1,
           gzipBody = slot % 3 == 2,
           body = s"<html><head><style>p{x:$c}</style></head><body>" +
-            s"<h1>Day $id</h1><p>events=$c &amp; more &#8212; ok&#x21;</p>" +
+            s"<h1>Day $id</h1><p>events=$c &amp; more &#8212; ok&#x21; " +
+            "&ldquo;q&rdquo;&hellip; 5&deg; &copy;</p>" +
             s"<script>var a=$c;</script></body></html>")
       }
   }
@@ -996,7 +998,11 @@ object SparkEntry {
     * `.warc` (line-start resync), per-record-member `.warc.gz`
     * (gzip-member resync), and per-record-frame `.warc.zst`
     * (zstd-frame resync, the Internet Archive shape) — record content
-    * from [[warcDayRecords]], shared with the q179/q180 oracles. */
+    * from [[warcDayRecords]], shared with the q179/q180 oracles. Odd
+    * zst days carry the IIPC shared-dictionary layout (leading
+    * 0x184D2A5D skippable frame; payload raw or zstd-wrapped by day) —
+    * the petabox shape — with IDENTICAL record content, so the oracle
+    * is container-blind. */
   private def warcFilesFixture(s: SparkSession, dir: String): String = {
     import graft.functions.Warc
     val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -1004,10 +1010,15 @@ object SparkEntry {
     val dirPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(dirPath, true); fs.mkdirs(dirPath)
+    val dict = ("<html><head><style>p{x:0}</style></head><body>" +
+      "<h1>Day </h1><p>events= &amp; more &#8212; ok&#x21;</p>" +
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n").getBytes("US-ASCII")
     dailySlotCounts(s, dir).foreach { case (id, cnt) =>
       val codec = id % 3
       val bytes = Warc.encode(warcDayRecords(id, cnt),
-        gzipPerRecord = codec == 1, zstdPerRecord = codec == 2)
+        gzipPerRecord = codec == 1, zstdPerRecord = codec == 2,
+        zstdDictionary = if (codec == 2 && id % 2 == 1) Some(dict) else None,
+        zstdDictCompressed = id % 4 == 1)
       val name = s"$id.warc" + (codec match {
         case 1 => ".gz"; case 2 => ".zst"; case _ => "" })
       val out = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/$name"), true)
@@ -5885,7 +5896,8 @@ object SparkEntry {
         |            '<html><head><style>p{x:' || CAST(cnt AS VARCHAR) ||
         |            '}</style></head><body><h1>Day ' || CAST(id AS VARCHAR) ||
         |            '</h1><p>events=' || CAST(cnt AS VARCHAR) ||
-        |            ' &amp; more &#8212; ok&#x21;</p><script>var a=' ||
+        |            ' &amp; more &#8212; ok&#x21; ' ||
+        |            '&ldquo;q&rdquo;&hellip; 5&deg; &copy;</p><script>var a=' ||
         |            CAST(cnt AS VARCHAR) ||
         |            ';</script></body></html>' AS body
         |          FROM resp),
@@ -5941,8 +5953,9 @@ object SparkEntry {
         |         CAST(slot AS VARCHAR) AS target_uri,
         |       'Day ' || CAST(id AS VARCHAR) || ' events=' ||
         |         CAST(cnt AS VARCHAR) || ' & more ' || chr(8212) ||
-        |         ' ok!' AS text,
-        |       7 AS n_tokens
+        |         ' ok! ' || chr(8220) || 'q' || chr(8221) || chr(8230) ||
+        |         ' 5' || chr(176) || ' ' || chr(169) AS text,
+        |       10 AS n_tokens
         |FROM resp WHERE cnt % 7 <> 0
         |ORDER BY id, rec_idx""".stripMargin,
 

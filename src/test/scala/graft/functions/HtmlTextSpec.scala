@@ -48,6 +48,28 @@ class HtmlTextSpec extends SparkSpec {
       "&#; &#xg1; &#1114112; &#xD800; &#65")
   }
 
+  test("common NAMED entities decode (typography, marks, currency, " +
+      "symbols, fractions); unknown names stay literal") {
+    assert(extract("<p>&ldquo;hi&rdquo; &mdash; it&rsquo;s fine&hellip;</p>") ==
+      "“hi” — it’s fine…")
+    assert(extract("<p>&copy; 2024 X&trade; &reg; 5&deg; &middot; &bull;</p>") ==
+      "© 2024 X™ ® 5° · •")
+    assert(extract("<p>&euro;9 &pound;8 &yen;7 &cent;6 &plusmn;1 " +
+      "&frac12;&times;2&divide;4 m&sup2; m&sup3;</p>") ==
+      "€9 £8 ¥7 ¢6 ±1 ½×2÷4 m² m³")
+    assert(extract("<p>&laquo;x&raquo; &sect;2 &para;3 &dagger; &Dagger; " +
+      "&ndash; &lsquo;y&rsquo; &bdquo;z&ldquo; 5&prime;10&Prime;</p>") ==
+      "«x» §2 ¶3 † ‡ – ‘y’ „z“ 5′10″")
+    // one-level semantics hold for named refs too
+    assert(extract("<p>&amp;mdash;</p>") == "&mdash;")
+    assert(extract("<p>&#38;hellip;</p>") == "&hellip;")
+    // the HTML5 long tail stays literal (dirty-input semantics)
+    assert(extract("<p>&eacute; &notin; &alpha;</p>") ==
+      "&eacute; &notin; &alpha;")
+    // case matters: &Prime; is U+2033, &PRIME; is not a name
+    assert(extract("<p>&PRIME;</p>") == "&PRIME;")
+  }
+
   test("script with attributes and multiline body drops wholesale") {
     val html = "<script src=\"x.js\" async>\nif (a < b) { run(); }\n</script>ok"
     assert(extract(html) == "ok")
