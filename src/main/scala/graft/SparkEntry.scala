@@ -1027,6 +1027,50 @@ object SparkEntry {
     outDir
   }
 
+  /** WARC files whose pages carry BOILERPLATE — nav bar, cookie
+    * banner, pagination-style footer, script — around two content
+    * paragraphs built from event counts (slot 7 is a teaser-only page
+    * with no real content), for the q189 main-content-extraction gate:
+    * the oracle states the expected MAIN text closed-form, so any
+    * boilerplate leaking past the extractor, or content sunk by it,
+    * fails the compare. One `.warc.gz` per day (per-record members,
+    * scanned with forced splits). */
+  private def warcBoilerplateFixture(s: SparkSession, dir: String): String = {
+    import graft.functions.Warc
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_warcb_$sf"
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(dirPath, true); fs.mkdirs(dirPath)
+    dailySlotCounts(s, dir).foreach { case (id, cnt) =>
+      val recs = Warc.WRecord("warcinfo", body = "crawler=graft\n") +:
+        (0 until 10).map { slot =>
+          val c = cnt(slot)
+          val content =
+            if (slot == 7) "<p>short teaser only</p>"
+            else s"<p>Main story for day $id slot $slot reports exactly " +
+              s"$c events with details</p><p>Second passage confirms the " +
+              s"count $c again and adds supporting words for depth</p>"
+          Warc.WRecord("response",
+            targetUri = s"https://example.com/$id/$slot",
+            httpStatus = Some(if (c % 7 == 0) 404 else 200),
+            body = "<html><head><title>Site</title></head><body>" +
+              "<div><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+              "<a href=\"/c\">Contact</a> <a href=\"/l\">Login</a></div>" +
+              "<div>We use cookies see <a href=\"/p\">policy</a> and " +
+              "<a href=\"/s\">settings</a> now</div>" + content +
+              "<div><a href=\"/t\">Terms</a> <a href=\"/pr\">Privacy</a> " +
+              "<a href=\"/si\">Sitemap</a></div>" +
+              "<script>nav(\"x\");</script></body></html>")
+        }
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$outDir/$id.warc.gz"), true)
+      try out.write(Warc.encode(recs, gzipPerRecord = true))
+      finally out.close()
+    }
+    outDir
+  }
+
   /** WebDataset shard files on disk for `format("webdataset")`: plain
     * `.tar` on odd days (512-aligned split resync, PAX chains on long-
     * key days), `.tar.gz` on even days (single streaming partition) —
@@ -3443,6 +3487,34 @@ object SparkEntry {
         .orderBy("id", "rec_idx")
     }),
 
+    // WARC → MAIN-content extraction → quality filter (the trafilatura/
+    // readability step production crawl pipelines run INSTEAD of raw
+    // WET text): block-scoring boilerplate removal (word count +
+    // link density per block) drops nav/cookie/footer/script, the
+    // token-count quality gate then drops the teaser-only pages the
+    // extractor correctly empties. The oracle states the expected MAIN
+    // text closed-form from events — a leaked nav word, a sunk content
+    // paragraph, or a mis-filtered teaser all fail the compare.
+    "q189_warc_main_content" -> ((s, dir) => {
+      val path = warcBoilerplateFixture(s, dir)
+      val scan = s.read.format("warc")
+        .option("maxSplitBytes", "4096").load(path)
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("rec_offset"), col("rec_seq"))
+      scan.select(
+          regexp_extract(col("path"), "([0-9]+)\\.warc", 1)
+            .cast("long").as("id"),
+          col("rec_offset"), col("rec_seq"), col("warc_type"),
+          col("http_status"), col("payload_text"))
+        .withColumn("rec_idx", (row_number().over(w) - 1).cast("int"))
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+        .select(col("id"), col("rec_idx"),
+          Text.mainContent(col("payload_text")).as("text"))
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .filter(col("n_tokens") >= 15)
+        .orderBy("id", "rec_idx")
+    }),
+
     // WARC → text extraction pipeline (the WET conversion step) over
     // the splittable scan: keep 200-status responses, strip
     // script/style/tags, decode entities (numeric refs included),
@@ -5788,6 +5860,31 @@ object SparkEntry {
         |       payload_text
         |FROM rows_
         |ORDER BY target_uri""".stripMargin,
+
+    // Main-content extraction: expected MAIN text closed-form — two
+    // content paragraphs (13 words each, joined) per 200-status page,
+    // teaser-only slot 7 dropped by the token quality gate
+    "q189_warc_main_content" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |resp AS (SELECT ids.id, s.s AS slot, coalesce(g.cnt, 0) AS cnt
+        |         FROM ids
+        |         CROSS JOIN (SELECT CAST(unnest(range(10)) AS INTEGER) AS s) s
+        |         LEFT JOIN g ON g.d = ids.d AND g.slot = s.s)
+        |SELECT id, CAST(slot + 1 AS INTEGER) AS rec_idx,
+        |       'Main story for day ' || CAST(id AS VARCHAR) || ' slot ' ||
+        |         CAST(slot AS VARCHAR) || ' reports exactly ' ||
+        |         CAST(cnt AS VARCHAR) ||
+        |         ' events with details Second passage confirms the count ' ||
+        |         CAST(cnt AS VARCHAR) ||
+        |         ' again and adds supporting words for depth' AS text,
+        |       26 AS n_tokens
+        |FROM resp WHERE cnt % 7 <> 0 AND slot <> 7
+        |ORDER BY id, rec_idx""".stripMargin,
 
     // WebDataset member table from events: two members per slot with
     // printf-style zero-padded names

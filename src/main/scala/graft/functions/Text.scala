@@ -533,4 +533,23 @@ object Text {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(noTags)))
     trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
   }
+
+  /** HTML → MAIN content only — the boilerplate-removal extractor
+    * ([[graft.expressions.HtmlMainContent]]: block segmentation at
+    * block-tag boundaries, per-block word count + link density gate)
+    * that [[htmlToText]]'s scaladoc reserves a column position for:
+    * nav bars, cookie banners, pagination, and footers drop BEFORE
+    * quality filtering, so they never reach token counts, dedup
+    * shingles, or the corpus. Same post-processing contract as
+    * htmlToText: one native entity-decode scan, then whitespace
+    * collapse — the output feeds the same downstream operators. */
+  def mainContent(html: Column): Column = {
+    val blocks = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.HtmlMainContent(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(html)))
+    val decoded = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.HtmlNumericEntityDecode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(blocks)))
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+  }
 }
