@@ -3515,6 +3515,29 @@ object SparkEntry {
         .orderBy("id", "rec_idx")
     }),
 
+    // Byte-level BPE APPLY (exact tokenizer token counts — q73 counts
+    // pairs for TRAINING a table; this REPLAYS a learned one): the
+    // oracle restates the full token stream and counts closed-form
+    // from events over a small vocabulary, exercising rank order
+    // (x·y before Ġ·x), cascaded merges (xy·z), pre-token boundaries
+    // (digits, contractions), and the space→Ġ byte mapping (chr(288)).
+    "q190_bpe_encode" -> ((s, dir) => {
+      val merges = Seq("x" -> "y", "xy" -> "z", "Ġ" -> "x")
+      val g = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count()
+        .withColumn("id",
+          datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01")))
+            .cast("long"))
+      val text = concat(lit("xyz"),
+        expr("repeat(' xy', CAST(count % 5 + 1 AS INT))"),
+        lit(" x9y don't"))
+      g.select(col("id"), col("slot"),
+          Text.bpeTokenCount(text, merges).as("n_tokens"),
+          array_join(Text.bpeEncode(text, merges), "|").as("toks"))
+        .orderBy("id", "slot")
+    }),
+
     // WARC → text extraction pipeline (the WET conversion step) over
     // the splittable scan: keep 200-status responses, strip
     // script/style/tags, decode entities (numeric refs included),
@@ -5885,6 +5908,25 @@ object SparkEntry {
         |       26 AS n_tokens
         |FROM resp WHERE cnt % 7 <> 0 AND slot <> 7
         |ORDER BY id, rec_idx""".stripMargin,
+
+    // BPE apply: the token stream restated closed-form — 'xyz' is one
+    // cascaded token; each ' xy' is [Ġ, xy] (x·y outranks Ġ·x); ' x9y'
+    // is [Ġx, 9, y] (digit pre-token boundary); " don't" is
+    // [Ġ,d,o,n] + [',t] (contraction pre-token, no merges)
+    "q190_bpe_encode" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2)
+        |SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id,
+        |       slot,
+        |       CAST(10 + 2 * (cnt % 5 + 1) AS INTEGER) AS n_tokens,
+        |       'xyz' ||
+        |         repeat('|' || chr(288) || '|xy', CAST(cnt % 5 + 1 AS INTEGER)) ||
+        |         '|' || chr(288) || 'x|9|y|' || chr(288) ||
+        |         '|d|o|n|''|t' AS toks
+        |FROM g
+        |ORDER BY id, slot""".stripMargin,
 
     // WebDataset member table from events: two members per slot with
     // printf-style zero-padded names

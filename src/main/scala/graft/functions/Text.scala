@@ -36,6 +36,25 @@ object Text {
     filter(split(text, "[\\s\\p{Punct}]+|(?<=\\p{L})(?=\\d)|(?<=\\d)(?=\\p{L})"),
       t => t =!= lit(""))
 
+  /** Byte-level BPE ENCODE with a learned merges table — exact
+    * tokenizer-equivalent tokens (GPT-2 recipe: pre-tokenize, map
+    * bytes through the printable bijection, replay merges by rank; see
+    * [[graft.expressions.BpeEncode]]). Use [[bpeTokenCount]] wherever
+    * a token BUDGET matters (chunking, packing, length bounds):
+    * whitespace counts drift 1.2-1.5× from real tokenizers on prose
+    * and far more on code. The table ships once per task via the plan,
+    * not per row. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.BpeEncode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
+        new graft.expressions.BpeTable(merges)))
+
+  /** Exact token count under the merges table — the drop-in for
+    * [[tokenCount]] when budgets must match the real tokenizer. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(bpeEncode(text, merges))
+
   /** Sliding word n-gram shingles, the unit of MinHash/Jaccard dedup.
     * `transform` over index positions keeps this inside codegen. */
   def shingles(text: Column, n: Int): Column =

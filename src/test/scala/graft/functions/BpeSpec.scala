@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Byte-level BPE apply: pre-tokenization, byte→unicode mapping, rank-
+  * order merge replay, exact token counts. */
+class BpeSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  // a tiny learned table: rank order matters (xy before xyz; the 'Ġx'
+  // merge proves space-prefixed symbols participate)
+  private val merges = Seq(
+    "x" -> "y", // rank 0: xy
+    "xy" -> "z", // rank 1: xyz (cascades onto rank 0's output)
+    "Ġ" -> "x", // rank 2: Ġx (space-prefixed)
+    "l" -> "l", // rank 3: ll (repeated-symbol pair)
+    "Ġx" -> "yz", // rank 4: NEVER fires — rank 1 consumes 'z' first
+    "n" -> "'", // rank 5: n' — must NOT fire across a pre-token boundary
+    "'" -> "t") // rank 6: 't (inside the contraction pre-token)
+
+  private def enc(text: String): Seq[String] =
+    Seq(text).toDF("t")
+      .select(Text.bpeEncode(col("t"), merges)).as[Seq[String]].head()
+
+  test("merges replay in RANK order and cascade; space prefixes ride the " +
+      "byte mapping (0x20 → U+0120)") {
+    // "xyz" → [x y z] → rank0 → [xy z] → rank1 → [xyz]
+    assert(enc("xyz") == Seq("xyz"))
+    // " xyz": pretoken keeps the leading space → [Ġ x y z] → rank0
+    // → [Ġ xy z] → rank1 → [Ġ xyz]; rank2 (Ġx) never sees its pair
+    // because rank0 fired first — ORDER, not availability
+    assert(enc(" xyz") == Seq("Ġ", "xyz"))
+    // " xw": no xy to make — rank2 merges Ġx
+    assert(enc(" xw") == Seq("Ġx", "w"))
+    // repeated-symbol pair merges non-overlapping left-to-right:
+    // llll → [ll ll], lll → [ll l]
+    assert(enc("llll") == Seq("ll", "ll"))
+    assert(enc("lll") == Seq("ll", "l"))
+  }
+
+  test("pre-tokenization is the GPT-2 pattern: contractions split, " +
+      "letters/digits/punct separate, merges never cross pre-tokens") {
+    // digits split from letters: "x9y" → pretokens [x, 9, y] — the
+    // x·y merge must NOT fire across those boundaries
+    assert(enc("x9y") == Seq("x", "9", "y"))
+    // "don't" pre-tokenizes as [don, 't]: rank 6 merges 't INSIDE its
+    // pre-token; rank 5 (n·') straddles the boundary and must NOT fire
+    assert(enc("don't") == Seq("d", "o", "n", "'t"))
+    // punctuation separates with its space prefix
+    assert(enc("xy.") == Seq("xy", "."))
+  }
+
+  test("token COUNT is exact and non-ASCII is byte-level (no unknowns): " +
+      "multi-byte UTF-8 chars count per mapped byte symbol") {
+    val cnt = Seq("xyz xyz é").toDF("t")
+      .select(Text.bpeTokenCount(col("t"), merges)).as[Int].head()
+    // "xyz"=1, " xyz"=2 (Ġ + xyz), " é"=3 (Ġ + 2 bytes of é, no merges)
+    assert(cnt == 6)
+    assert(enc("") == Seq.empty)
+  }
+}
