@@ -1071,6 +1071,48 @@ object SparkEntry {
     outDir
   }
 
+  /** WARC files with fetch-time-dedup `revisit` records (the Internet
+    * Archive shape) for the q191 resolution gate: each day's first five
+    * pages are re-fetched as payload-free revisits pointing back via
+    * WARC-Refers-To + the shared payload digest, plus one DANGLING
+    * revisit whose referent does not exist (must survive resolution
+    * with nulls, not vanish). */
+  private def warcRevisitFixture(s: SparkSession, dir: String): String = {
+    import graft.functions.Warc
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_warcr_$sf"
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(dirPath, true); fs.mkdirs(dirPath)
+    dailySlotCounts(s, dir).foreach { case (id, cnt) =>
+      val responses = (0 until 10).map { slot =>
+        val c = cnt(slot)
+        Warc.WRecord("response",
+          targetUri = s"https://example.com/$id/$slot",
+          httpStatus = Some(200),
+          body = s"revisit target body $id $slot with $c events",
+          recordId = s"<urn:graft:$id/$slot>",
+          payloadDigest = s"sha1:D$id-$slot")
+      }
+      val revisits = (0 until 5).map { slot =>
+        Warc.WRecord("revisit",
+          targetUri = s"https://example.com/$id/$slot",
+          refersTo = s"<urn:graft:$id/$slot>",
+          payloadDigest = s"sha1:D$id-$slot")
+      } :+ Warc.WRecord("revisit",
+        targetUri = s"https://example.com/$id/dangling",
+        refersTo = "<urn:graft:missing>",
+        payloadDigest = "sha1:MISSING")
+      val recs = Warc.WRecord("warcinfo", body = "crawler=graft\n") +:
+        (responses ++ revisits)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$outDir/$id.warc.gz"), true)
+      try out.write(Warc.encode(recs, gzipPerRecord = true))
+      finally out.close()
+    }
+    outDir
+  }
+
   /** WebDataset shard files on disk for `format("webdataset")`: plain
     * `.tar` on odd days (512-aligned split resync, PAX chains on long-
     * key days), `.tar.gz` on even days (single streaming partition) —
@@ -3538,6 +3580,25 @@ object SparkEntry {
         .orderBy("id", "slot")
     }),
 
+    // WARC revisit RESOLUTION (fetch-time-deduplicating crawls): join
+    // payload-free revisit records back to their original's decoded
+    // payload on WARC-Refers-To → WARC-Record-ID, LEFT so a dangling
+    // reference survives with nulls. The oracle rebuilds the resolved
+    // text from events — a lost revisit, a mis-keyed join, or a
+    // swallowed dangling row all fail the compare.
+    "q191_warc_revisit_resolve" -> ((s, dir) => {
+      val path = warcRevisitFixture(s, dir)
+      val scan = s.read.format("warc")
+        .option("maxSplitBytes", "4096").load(path)
+      graft.functions.Warc.resolveRevisits(scan)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.warc", 1)
+            .cast("long").as("id"),
+          col("target_uri"), col("warc_refers_to"),
+          col("orig_uri"), col("resolved_text"))
+        .orderBy("id", "target_uri")
+    }),
+
     // WARC → text extraction pipeline (the WET conversion step) over
     // the splittable scan: keep 200-status responses, strip
     // script/style/tags, decode entities (numeric refs included),
@@ -5927,6 +5988,40 @@ object SparkEntry {
         |         '|d|o|n|''|t' AS toks
         |FROM g
         |ORDER BY id, slot""".stripMargin,
+
+    // Revisit resolution: five resolved revisits + one dangling (nulls)
+    // per day, resolved text restated from events
+    "q191_warc_revisit_resolve" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |resp AS (SELECT ids.id, s.s AS slot, coalesce(g.cnt, 0) AS cnt
+        |         FROM ids
+        |         CROSS JOIN (SELECT CAST(unnest(range(10)) AS INTEGER) AS s) s
+        |         LEFT JOIN g ON g.d = ids.d AND g.slot = s.s),
+        |resolved AS (SELECT id,
+        |    'https://example.com/' || CAST(id AS VARCHAR) || '/' ||
+        |      CAST(slot AS VARCHAR) AS target_uri,
+        |    '<urn:graft:' || CAST(id AS VARCHAR) || '/' ||
+        |      CAST(slot AS VARCHAR) || '>' AS warc_refers_to,
+        |    'https://example.com/' || CAST(id AS VARCHAR) || '/' ||
+        |      CAST(slot AS VARCHAR) AS orig_uri,
+        |    'revisit target body ' || CAST(id AS VARCHAR) || ' ' ||
+        |      CAST(slot AS VARCHAR) || ' with ' || CAST(cnt AS VARCHAR) ||
+        |      ' events' AS resolved_text
+        |  FROM resp WHERE slot < 5),
+        |dangling AS (SELECT id,
+        |    'https://example.com/' || CAST(id AS VARCHAR) || '/dangling'
+        |      AS target_uri,
+        |    '<urn:graft:missing>' AS warc_refers_to,
+        |    CAST(NULL AS VARCHAR) AS orig_uri,
+        |    CAST(NULL AS VARCHAR) AS resolved_text
+        |  FROM ids)
+        |SELECT * FROM resolved UNION ALL SELECT * FROM dangling
+        |ORDER BY id, target_uri""".stripMargin,
 
     // WebDataset member table from events: two members per slot with
     // printf-style zero-padded names

@@ -279,6 +279,50 @@ object Warc {
       }(Encoders.row(schema))
   }
 
+  /** Resolve WARC `revisit` records to their ORIGINAL's decoded
+    * payload. Fetch-time-deduplicating crawlers (the Internet Archive
+    * shape) emit a payload-free `revisit` record when a URL's content
+    * matches something already stored, pointing back via
+    * `WARC-Refers-To` (the original's `WARC-Record-ID`) or the shared
+    * `WARC-Payload-Digest` — without resolution those crawls surface
+    * as empty-ish rows and the corpus silently loses every re-fetched
+    * page.
+    *
+    * Input is a `format("warc")` scan (or any frame with its columns);
+    * output is the revisit rows joined to (`orig_uri`,
+    * `resolved_text`), LEFT so a dangling reference survives with
+    * nulls instead of vanishing. `by = "refers_to"` joins
+    * `warc_refers_to` → `warc_record_id`; `by = "digest"` joins on the
+    * shared payload digest (the WARC-profile for identical-digest
+    * revisits). Originals are deduplicated per key with a
+    * DETERMINISTIC min over (path, rec_offset, rec_seq) — dirty crawls
+    * repeat IDs, and a nondeterministic pick would make the operator
+    * unreplayable. Scale shape: one hash-keyed shuffle per side on the
+    * join key; payload text rides the (deduplicated) originals only. */
+  def resolveRevisits(scan: org.apache.spark.sql.DataFrame,
+      by: String = "refers_to"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val origKey = by match {
+      case "refers_to" => "warc_record_id"
+      case "digest" => "payload_digest"
+      case other => throw new IllegalArgumentException(
+        s"resolveRevisits by '$other' — pick refers_to or digest")
+    }
+    val revKey = if (by == "refers_to") "warc_refers_to" else "payload_digest"
+    val originals = scan
+      .filter(col("warc_type") =!= "revisit" && col(origKey) =!= "")
+      .groupBy(col(origKey).as("__key"))
+      .agg(min_by(
+        struct(col("target_uri"), col("payload_text")),
+        struct(col("path"), col("rec_offset"), col("rec_seq"))).as("__o"))
+      .select(col("__key"), col("__o.target_uri").as("orig_uri"),
+        col("__o.payload_text").as("resolved_text"))
+    scan.filter(col("warc_type") === "revisit")
+      .join(originals,
+        scan(revKey) === originals("__key") && scan(revKey) =!= "", "left")
+      .drop("__key")
+  }
+
   // ------------------------------------------------------------- write
 
   /** Writer-side record: headers assembled in canonical order; a
@@ -296,7 +340,10 @@ object Warc {
       httpStatus: Option[Int] = None,
       body: String = "",
       chunked: Boolean = false,
-      gzipBody: Boolean = false)
+      gzipBody: Boolean = false,
+      recordId: String = "", // WARC-Record-ID when nonempty
+      refersTo: String = "", // WARC-Refers-To (revisit records)
+      payloadDigest: String = "") // WARC-Payload-Digest
 
   /** Emit records; `gzipPerRecord = true` compresses each record as its
     * own gzip member and concatenates — the Common Crawl layout;
@@ -340,6 +387,10 @@ object Warc {
       sb.append(s"WARC-Type: ${r.warcType}\r\n")
       if (r.targetUri.nonEmpty) sb.append(s"WARC-Target-URI: ${r.targetUri}\r\n")
       sb.append(s"WARC-Date: ${r.warcDate}\r\n")
+      if (r.recordId.nonEmpty) sb.append(s"WARC-Record-ID: ${r.recordId}\r\n")
+      if (r.refersTo.nonEmpty) sb.append(s"WARC-Refers-To: ${r.refersTo}\r\n")
+      if (r.payloadDigest.nonEmpty)
+        sb.append(s"WARC-Payload-Digest: ${r.payloadDigest}\r\n")
       if (r.httpStatus.isDefined)
         sb.append("Content-Type: application/http; msgtype=response\r\n")
       else if (r.body.nonEmpty) sb.append("Content-Type: text/plain\r\n")

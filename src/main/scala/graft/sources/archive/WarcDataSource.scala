@@ -86,6 +86,12 @@ object WarcTable {
     StructField("content_type", StringType, nullable = false),
     StructField("content_length", LongType, nullable = false),
     StructField("http_status", IntegerType, nullable = false),
+    // revisit-resolution identity: WARC-Record-ID names a record,
+    // revisit records point at their original via WARC-Refers-To and
+    // carry the original payload's WARC-Payload-Digest ("" when absent)
+    StructField("warc_record_id", StringType, nullable = false),
+    StructField("warc_refers_to", StringType, nullable = false),
+    StructField("payload_digest", StringType, nullable = false),
     StructField("payload_text", StringType, nullable = false)))
 
   private[archive] def isWarcName(n: String): Boolean = {
@@ -207,7 +213,8 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
   private val PathC = 0; private val OffC = 1; private val SeqC = 2
   private val TypeC = 3; private val UriC = 4; private val DateC = 5
   private val CtypeC = 6; private val ClenC = 7; private val StatusC = 8
-  private val TextC = 9
+  private val TextC = 9; private val RecIdC = 10; private val RefersC = 11
+  private val DigestC = 12
   private val colCodes: Array[Int] = part.cols.map {
     case "path" => PathC
     case "rec_offset" => OffC
@@ -219,6 +226,9 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
     case "content_length" => ClenC
     case "http_status" => StatusC
     case "payload_text" => TextC
+    case "warc_record_id" => RecIdC
+    case "warc_refers_to" => RefersC
+    case "payload_digest" => DigestC
     case other => throw new IllegalArgumentException(
       s"warc scan: unknown required column '$other' " +
         s"(schema is ${WarcTable.Schema.simpleString})")
@@ -396,6 +406,12 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
           else statusBody._1
         case TextC => UTF8String.fromString(
           new String(statusBody._2, java.nio.charset.StandardCharsets.UTF_8))
+        case RecIdC =>
+          UTF8String.fromString(headers.getOrElse("warc-record-id", ""))
+        case RefersC =>
+          UTF8String.fromString(headers.getOrElse("warc-refers-to", ""))
+        case DigestC =>
+          UTF8String.fromString(headers.getOrElse("warc-payload-digest", ""))
       }
       c += 1
     }

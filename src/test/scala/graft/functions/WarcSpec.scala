@@ -180,6 +180,50 @@ class WarcSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("duplicate identity")), e.getMessage)
   }
 
+  test("resolveRevisits: refers_to and digest modes resolve to the " +
+      "original payload; dangling refs keep nulls; duplicate-key " +
+      "originals pick deterministically (min file order)") {
+    import java.nio.file.{Files, Paths}
+    val recs = Seq(
+      Warc.WRecord("response", targetUri = "https://x/0", httpStatus = Some(200),
+        body = "original zero", recordId = "<urn:0>", payloadDigest = "sha1:Z"),
+      // a DUPLICATE record id with different content: the earlier
+      // (path, rec_offset) must win, deterministically
+      Warc.WRecord("response", targetUri = "https://x/0b", httpStatus = Some(200),
+        body = "duplicate id impostor", recordId = "<urn:0>",
+        payloadDigest = "sha1:ZZ"),
+      Warc.WRecord("response", targetUri = "https://x/1", httpStatus = Some(200),
+        body = "original one", recordId = "<urn:1>", payloadDigest = "sha1:Y"),
+      Warc.WRecord("revisit", targetUri = "https://x/0?again",
+        refersTo = "<urn:0>", payloadDigest = "sha1:Z"),
+      Warc.WRecord("revisit", targetUri = "https://x/1?again",
+        refersTo = "<urn:1>", payloadDigest = "sha1:Y"),
+      Warc.WRecord("revisit", targetUri = "https://x/ghost",
+        refersTo = "<urn:404>", payloadDigest = "sha1:NOPE"))
+    val dir = Files.createTempDirectory("warcrev").toString
+    Files.write(Paths.get(s"$dir/seg.warc.gz"),
+      Warc.encode(recs, gzipPerRecord = true))
+    val scan = spark.read.format("warc").load(dir)
+    val byRef = Warc.resolveRevisits(scan)
+      .select("target_uri", "orig_uri", "resolved_text")
+      .orderBy("target_uri").collect()
+    assert(byRef.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq(
+        ("https://x/0?again", "https://x/0", "original zero"),
+        ("https://x/1?again", "https://x/1", "original one"),
+        ("https://x/ghost", null, null)))
+    val byDigest = Warc.resolveRevisits(scan, by = "digest")
+      .select("target_uri", "resolved_text")
+      .orderBy("target_uri").collect()
+    assert(byDigest.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(
+      ("https://x/0?again", "original zero"),
+      ("https://x/1?again", "original one"),
+      ("https://x/ghost", null)))
+    val e = intercept[IllegalArgumentException](
+      Warc.resolveRevisits(scan, by = "uri"))
+    assert(e.getMessage.contains("refers_to or digest"))
+  }
+
   test("records() relational stage: one row per record, both layouts") {
     val sp = spark; import sp.implicits._
     val df = Seq(
