@@ -48,7 +48,11 @@ object Bench {
     // baseline (GC/JIT bands smear single runs ±30%; the min is the
     // stable plan-cost estimator). Default 1: the driver's number stays
     // a single cold run, comparable across rounds.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.trim) match {
+      case None | Some("") => 1
+      case Some(v) => v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_BENCH_RUNS '$v' is not an integer"))
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -101,6 +101,13 @@ object HtmlMainContent {
     }
     def flush(): Unit = {
       endWord()
+      // anchors don't survive block boundaries: crawl HTML is full of
+      // unclosed <a> tags (nav markup especially), and a dangling
+      // linkDepth would mark EVERY later word a link word and sink all
+      // remaining content on the density gate. Block-scoped anchor
+      // state loses only the rare legal anchor-wrapping-blocks case
+      // (card links), whose blocks are short and drop on MinWords.
+      linkDepth = 0
       if (blockWords >= MinWords &&
           blockLinkWords * LinkDensityDiv <= blockWords) {
         // trim the block's own edges; internal whitespace is the
@@ -155,6 +162,10 @@ object HtmlMainContent {
           val k = indexOfIgnoreCase(s, close, i)
           i = if (k < 0) n else tagEnd(k)
         } else if (name == "a") {
+          // a word boundary like any other inline tag — 'more<a>here'
+          // must not glue into one (link-tainted) word
+          endWord()
+          block.append(' ')
           if (closing) linkDepth = math.max(0, linkDepth - 1)
           else linkDepth += 1
         } else if (BlockTags.contains(name)) {

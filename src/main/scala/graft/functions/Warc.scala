@@ -89,9 +89,17 @@ object Warc {
               line.substring(colon + 1).trim
           }
         }
-        val len = headers.getOrElse("content-length",
+        val raw = headers.getOrElse("content-length",
           throw new IllegalArgumentException(
-            s"warc $id: record at $recOff has no Content-Length")).toLong
+            s"warc $id: record at $recOff has no Content-Length"))
+        // named refusal, never a bare NumberFormatException — parity
+        // with the DSv2 reader's headerBlockOf
+        val len =
+          try raw.toLong catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"warc $id: record at $recOff has non-numeric " +
+                s"Content-Length '$raw'")
+          }
         require(p + len <= bytes.length,
           s"warc $id: record at $recOff claims $len payload bytes past end")
         out += Framed(recOff, headers.toMap, p, len)
@@ -230,7 +238,8 @@ object Warc {
       if (size == 0) done = true
       else {
         // subtraction, not addition: `p + size + 2` overflows Long for
-        // adversarial hex sizes (e.g. 'ffffffffffffffff') and parseLong
+        // adversarial hex sizes (e.g. '7fffffffffffffff' — sizes past
+        // Long take the unparseable-size refusal above) and parseLong
         // accepts negatives via '-' — both must hit the named refusal,
         // not an IndexOutOfBounds
         require(size > 0 && size <= raw.length.toLong - p - 2,

@@ -198,24 +198,46 @@ private[archive] object ZstdMember {
   * executor, not once per task. */
 private[archive] object ZstdDicts {
   private val MaxDictBytes = 128L << 20
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, Option[Array[Byte]]](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Option[Array[Byte]]]): Boolean =
-        size > 64
-    })
+  /** Cache budget is BYTES, not entries: dictionaries run KBs to tens
+    * of MBs, so a count-based LRU could pin entries × MaxDictBytes of
+    * executor heap. Keyed by (path, fileLen) — the archive sources'
+    * immutable-files contract, same as the zip directory memoization;
+    * an overwritten file changes length in practice (and a stale dict
+    * on a same-length rewrite fails the member prefix probes loudly). */
+  private val MaxCacheBytes = 256L << 20
+  private val cache =
+    new java.util.LinkedHashMap[String, Option[Array[Byte]]](16, 0.75f, true)
+  private var cachedBytes = 0L
 
   /** Dictionary bytes of the archive, or None when the file does not
     * start with a dictionary frame. Positioned reads; stream state
     * untouched. */
   def bytesFor(in: FSDataInputStream, path: String, fileLen: Long)
       : Option[Array[Byte]] = {
-    val hit = cache.get(path)
-    if (hit != null) return hit
+    val key = s"$path@$fileLen"
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) return hit
+    }
     val computed = read(in, path, fileLen)
-    cache.put(path, computed)
+    cache.synchronized {
+      val prev = cache.put(key, computed)
+      cachedBytes += computed.map(_.length.toLong).getOrElse(0L) -
+        prevBytes(prev)
+      val it = cache.entrySet().iterator()
+      while (cachedBytes > MaxCacheBytes && it.hasNext) {
+        val e = it.next()
+        if (!(e.getKey == key)) { // never evict what we just computed
+          cachedBytes -= e.getValue.map(_.length.toLong).getOrElse(0L)
+          it.remove()
+        }
+      }
+    }
     computed
   }
+
+  private def prevBytes(prev: Option[Array[Byte]]): Long =
+    if (prev == null) 0L else prev.map(_.length.toLong).getOrElse(0L)
 
   private def read(in: FSDataInputStream, path: String,
       fileLen: Long): Option[Array[Byte]] = {

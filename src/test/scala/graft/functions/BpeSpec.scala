@@ -51,6 +51,15 @@ class BpeSpec extends SparkSpec {
     assert(enc("don't") == Seq("d", "o", "n", "'t"))
     // punctuation separates with its space prefix
     assert(enc("xy.") == Seq("xy", "."))
+    // UNICODE whitespace (Python-regex parity): U+00A0 is \\s, so
+    // "!\u00A0!" is THREE pre-tokens and a merge chain spanning the
+    // NBSP bytes must not fire; Java's default ASCII \\s would glue
+    // the three into one punctuation run and merge straight through.
+    // NBSP's UTF-8 bytes C2 A0 map to '\u00C2' (direct) and '\u0142' (shifted)
+    val nbspMerges = Seq("!" -> "\u00C2", "!\u00C2" -> "\u0142")
+    val got = Seq("!\u00A0!").toDF("t")
+      .select(Text.bpeEncode(col("t"), nbspMerges)).as[Seq[String]].head()
+    assert(got == Seq("!", "\u00C2", "\u0142", "!"), got)
   }
 
   test("token COUNT is exact and non-ASCII is byte-level (no unknowns): " +

@@ -69,6 +69,21 @@ class MainContentSpec extends SparkSpec {
     assert(got == "one two three four five six seven eight nine & ten — eleven")
   }
 
+  test("an UNCLOSED <a> (ubiquitous in crawl nav markup) cannot sink " +
+      "later content blocks: anchor depth is block-scoped") {
+    val got = extract("<div><a href=\"/\">menu</div>" +
+      "<p>the real story follows with plenty of ordinary words to " +
+      "clear the threshold easily today</p>")
+    assert(got.startsWith("the real story"), got)
+    assert(!got.contains("menu"), got)
+  }
+
+  test("<a> boundaries split words like any inline tag: no gluing") {
+    val got = extract("<p>read more<a href='/x'>here</a>now plus other " +
+      "padding words to pass the length gate</p>")
+    assert(got.contains("more here now"), got)
+  }
+
   test("dirty input degrades to text, never throws: unclosed tags, quoted " +
       "'>', stray '<', truncation, markup-free input") {
     // attribute with a quoted '>' must not end the tag early

@@ -146,6 +146,14 @@ class WarcSpec extends SparkSpec {
       httpRec("Transfer-Encoding: chunked\r\n",
         "-5\r\nxx\r\n0\r\n\r\n".getBytes("US-ASCII"))))
     assert(eNeg.getMessage.contains("runs past end"), eNeg.getMessage)
+    // non-numeric Content-Length: a NAMED refusal with file/offset
+    // context, never a bare NumberFormatException (parity with the
+    // DSv2 reader's headerBlockOf)
+    val eClen = intercept[IllegalArgumentException](Warc.parse(20L,
+      ("WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: NaN\r\n\r\n")
+        .getBytes("US-ASCII")))
+    assert(eClen.getMessage.contains("non-numeric Content-Length"),
+      eClen.getMessage)
   }
 
   test("writeWetSegments: byte-deterministic across input partitionings, " +
