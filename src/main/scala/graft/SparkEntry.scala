@@ -1113,6 +1113,44 @@ object SparkEntry {
     outDir
   }
 
+  /** WARC files whose HTTP bodies arrive in the charsets real crawls
+    * carry (a third of the web is windows-1252/latin-1): slots cycle
+    * header-declared windows-1252, META-declared iso-8859-1 (no header
+    * param), and UTF-8 with a BOM — for the q192 charset-sniffing
+    * gate. Bodies use 1-byte-per-char charsets (or ASCII after the
+    * BOM), so the oracle replays byte lengths as char counts. */
+  private def warcCharsetFixture(s: SparkSession, dir: String): String = {
+    import graft.functions.Warc
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_warcc_$sf"
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(dirPath, true); fs.mkdirs(dirPath)
+    dailySlotCounts(s, dir).foreach { case (id, cnt) =>
+      val recs = Warc.WRecord("warcinfo", body = "crawler=graft\n") +:
+        (0 until 10).map { slot =>
+          val c = cnt(slot)
+          val (body, cs, hdr) = (slot % 3) match {
+            case 0 => (s"cp1252 “quote” café events=$c",
+              "windows-1252", true)
+            case 1 => ("<meta charset=\"iso-8859-1\">" +
+              s"café °C events=$c", "ISO-8859-1", false)
+            // the invisible leading char is U+FEFF: the UTF-8 BOM day
+            case _ => (s"﻿bom text events=$c ok", "UTF-8", true)
+          }
+          Warc.WRecord("response",
+            targetUri = s"https://example.com/$id/$slot",
+            httpStatus = Some(200), body = body,
+            bodyCharset = cs, charsetHeader = hdr)
+        }
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$outDir/$id.warc.gz"), true)
+      try out.write(Warc.encode(recs, gzipPerRecord = true))
+      finally out.close()
+    }
+    outDir
+  }
+
   /** WebDataset shard files on disk for `format("webdataset")`: plain
     * `.tar` on odd days (512-aligned split resync, PAX chains on long-
     * key days), `.tar.gz` on even days (single streaming partition) —
@@ -3599,6 +3637,31 @@ object SparkEntry {
         .orderBy("id", "target_uri")
     }),
 
+    // WARC charset sniffing (BOM > HTTP header charset= > HTML5-style
+    // meta prescan > UTF-8): payloads in windows-1252 / iso-8859-1 /
+    // BOM'd UTF-8 — a third of real crawls — decode to the SAME text,
+    // and content_length stays the on-the-wire BYTE length. The oracle
+    // restates the decoded text via chr() codepoints and the byte
+    // arithmetic closed-form; a UTF-8-only decode garbles every
+    // non-ASCII character and fails the compare.
+    "q192_warc_charset" -> ((s, dir) => {
+      val path = warcCharsetFixture(s, dir)
+      val scan = s.read.format("warc")
+        .option("maxSplitBytes", "4096").load(path)
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("rec_offset"), col("rec_seq"))
+      scan.select(
+          regexp_extract(col("path"), "([0-9]+)\\.warc", 1)
+            .cast("long").as("id"),
+          col("rec_offset"), col("rec_seq"), col("warc_type"),
+          col("content_length"), col("payload_text"))
+        .withColumn("rec_idx", (row_number().over(w) - 1).cast("int"))
+        .filter(col("warc_type") === "response")
+        .select(col("id"), col("rec_idx"), col("content_length"),
+          col("payload_text"))
+        .orderBy("id", "rec_idx")
+    }),
+
     // WARC → text extraction pipeline (the WET conversion step) over
     // the splittable scan: keep 200-status responses, strip
     // script/style/tags, decode entities (numeric refs included),
@@ -5988,6 +6051,37 @@ object SparkEntry {
         |         '|d|o|n|''|t' AS toks
         |FROM g
         |ORDER BY id, slot""".stripMargin,
+
+    // Charset sniffing: decoded text restated via chr() codepoints;
+    // content_length is the on-the-wire BYTE length (1-byte charsets →
+    // char count; BOM day adds 3). Envelope: status line 17 + blank 2 +
+    // Content-Type 25 (plain) / 47 (with '; charset=windows-1252')
+    "q192_warc_charset" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |resp AS (SELECT ids.id, s.s AS slot, coalesce(g.cnt, 0) AS cnt
+        |         FROM ids
+        |         CROSS JOIN (SELECT CAST(unnest(range(10)) AS INTEGER) AS s) s
+        |         LEFT JOIN g ON g.d = ids.d AND g.slot = s.s),
+        |rows_ AS (SELECT id, CAST(slot + 1 AS INTEGER) AS rec_idx,
+        |    CASE slot % 3
+        |      WHEN 0 THEN 'cp1252 ' || chr(8220) || 'quote' || chr(8221) ||
+        |        ' caf' || chr(233) || ' events=' || CAST(cnt AS VARCHAR)
+        |      WHEN 1 THEN '<meta charset="iso-8859-1">caf' || chr(233) ||
+        |        ' ' || chr(176) || 'C events=' || CAST(cnt AS VARCHAR)
+        |      ELSE 'bom text events=' || CAST(cnt AS VARCHAR) || ' ok'
+        |    END AS payload_text,
+        |    CASE slot % 3 WHEN 0 THEN 66 WHEN 1 THEN 44 ELSE 47 END AS env
+        |  FROM resp)
+        |SELECT id, rec_idx,
+        |       CAST(env + length(payload_text) AS BIGINT) AS content_length,
+        |       payload_text
+        |FROM rows_
+        |ORDER BY id, rec_idx""".stripMargin,
 
     // Revisit resolution: five resolved revisits + one dangling (nulls)
     // per day, resolved text restated from events

@@ -37,9 +37,11 @@ object Warc {
       contentType: String,
       contentLength: Long,
       httpStatus: Int, // -1 when the payload is not an HTTP message
-      payload: Array[Byte]) { // HTTP body for http payloads, else raw
-    def payloadText: String =
-      new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      payload: Array[Byte], // HTTP body for http payloads, else raw
+      httpContentType: String = "") { // envelope Content-Type ("" if none)
+    /** Charset-aware ([[Warc.sniffCharset]]: BOM > header charset= >
+      * meta prescan > UTF-8), malformed bytes replaced. */
+    def payloadText: String = Warc.decodeText(httpContentType, payload)
   }
 
   /** Record FRAMING only: headers + payload position, no envelope
@@ -110,26 +112,27 @@ object Warc {
   }
 
   /** Decode one framed record's payload: HTTP envelope split for
-    * `application/http` (status + decoded body), raw otherwise. */
+    * `application/http` (status + decoded body + the envelope's
+    * Content-Type, which carries the charset), raw otherwise. */
   private[graft] def decodePayload(id: Long, f: Framed,
-      bytes: Array[Byte]): (Int, Array[Byte]) = {
+      bytes: Array[Byte]): (Int, Array[Byte], String) = {
     val block = java.util.Arrays.copyOfRange(bytes, f.payloadStart,
       (f.payloadStart + f.contentLength).toInt)
     if (f.headers.getOrElse("content-type", "").startsWith("application/http"))
       splitHttpEnvelope(id, f.offset, block)
-    else (-1, block)
+    else (-1, block, "")
   }
 
   /** Parse every record of a .warc / .warc.gz payload. */
   def parse(id: Long, bytes0: Array[Byte]): Seq[WarcRecord] = {
     val bytes = Gunzip.maybeInflate(bytes0)
     parseFraming(id, bytes).map { f =>
-      val (status, payload) = decodePayload(id, f, bytes)
+      val (status, payload, httpCt) = decodePayload(id, f, bytes)
       WarcRecord(f.offset, f.headers.getOrElse("warc-type", ""),
         f.headers.getOrElse("warc-target-uri", ""),
         f.headers.getOrElse("warc-date", ""),
         f.headers.getOrElse("content-type", ""), f.contentLength,
-        status, payload)
+        status, payload, httpCt)
     }
   }
 
@@ -146,7 +149,7 @@ object Warc {
     * (no public decoder table for brotli worth hand-transcribing; see
     * README validation notes). */
   private[graft] def splitHttpEnvelope(id: Long, recOff: Long,
-      block: Array[Byte]): (Int, Array[Byte]) = {
+      block: Array[Byte]): (Int, Array[Byte], String) = {
     def bLineEnd(from: Int): Int = {
       var i = from
       while (i < block.length && block(i) != '\n') i += 1
@@ -162,6 +165,7 @@ object Warc {
     var q = se + 1
     var transferEnc = "identity"
     var contentEnc = "identity"
+    var httpContentType = ""
     var blank = false
     while (!blank && q < block.length) {
       val e = bLineEnd(q)
@@ -175,6 +179,8 @@ object Warc {
             transferEnc = line.substring(colon + 1).trim.toLowerCase
           else if (k == "content-encoding")
             contentEnc = line.substring(colon + 1).trim.toLowerCase
+          else if (k == "content-type")
+            httpContentType = line.substring(colon + 1).trim
         }
       }
       q = e + 1
@@ -204,7 +210,72 @@ object Warc {
           "— only identity/gzip are in profile (brotli's static " +
           "dictionary is not transcribable from a trustworthy source)")
     }
-    (code, body)
+    (code, body, httpContentType)
+  }
+
+  /** CHARSET of an HTTP body, by the standard sniffing precedence:
+    * BOM (UTF-8 / UTF-16BE / UTF-16LE) > `charset=` parameter of the
+    * HTTP `Content-Type` header > an HTML5-prescan-style `charset=`
+    * inside the first 1024 bytes (covers `<meta charset="...">` and
+    * `<meta http-equiv ... content="...; charset=...">`) > UTF-8.
+    * Real crawls are a third windows-1252/latin-1; decoding
+    * everything as UTF-8 turns their punctuation and accents into
+    * replacement-char noise that poisons token counts and dedup
+    * shingles. Unknown or illegal charset names fall back to UTF-8 —
+    * crawl bytes are dirty by definition and sniffing never throws.
+    * Returns (charset, BOM length to strip). */
+  private[graft] def sniffCharset(httpContentType: String,
+      body: Array[Byte]): (java.nio.charset.Charset, Int) = {
+    import java.nio.charset.{Charset, StandardCharsets}
+    def named(name: String): Option[Charset] = {
+      val n = name.trim.stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("'").stripSuffix("'").trim
+      if (n.isEmpty) None
+      else try {
+        if (Charset.isSupported(n)) Some(Charset.forName(n)) else None
+      } catch { case _: IllegalArgumentException => None }
+    }
+    def param(s: String): Option[Charset] = {
+      val i = s.toLowerCase.indexOf("charset")
+      if (i < 0) return None
+      var j = i + 7
+      while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\t')) j += 1
+      if (j >= s.length || s.charAt(j) != '=') return None
+      j += 1
+      while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\t' ||
+        s.charAt(j) == '"' || s.charAt(j) == '\'')) j += 1
+      val start = j
+      while (j < s.length && (s.charAt(j).isLetterOrDigit ||
+        "._:-".indexOf(s.charAt(j)) >= 0)) j += 1
+      named(s.substring(start, j))
+    }
+    if (body.length >= 3 && (body(0) & 0xFF) == 0xEF &&
+        (body(1) & 0xFF) == 0xBB && (body(2) & 0xFF) == 0xBF)
+      (StandardCharsets.UTF_8, 3)
+    else if (body.length >= 2 && (body(0) & 0xFF) == 0xFE &&
+        (body(1) & 0xFF) == 0xFF)
+      (StandardCharsets.UTF_16BE, 2)
+    else if (body.length >= 2 && (body(0) & 0xFF) == 0xFF &&
+        (body(1) & 0xFF) == 0xFE)
+      (StandardCharsets.UTF_16LE, 2)
+    else param(httpContentType) match {
+      case Some(cs) => (cs, 0)
+      case None =>
+        // HTML5-prescan simplification: 'charset=' anywhere in the
+        // first 1024 bytes, read as ASCII (both meta spellings land
+        // here; a lying body can only misdirect its own decode)
+        val prefix = new String(body, 0,
+          math.min(1024, body.length), StandardCharsets.US_ASCII)
+        (param(prefix).getOrElse(StandardCharsets.UTF_8), 0)
+    }
+  }
+
+  /** Decoded text of an HTTP body under [[sniffCharset]]: BOM
+    * stripped, malformed sequences replaced (never a throw). */
+  private[graft] def decodeText(httpContentType: String,
+      body: Array[Byte]): String = {
+    val (cs, bom) = sniffCharset(httpContentType, body)
+    new String(body, bom, body.length - bom, cs)
   }
 
   /** Decode `Transfer-Encoding: chunked` framing (RFC 9112 §7.1):
@@ -352,7 +423,9 @@ object Warc {
       gzipBody: Boolean = false,
       recordId: String = "", // WARC-Record-ID when nonempty
       refersTo: String = "", // WARC-Refers-To (revisit records)
-      payloadDigest: String = "") // WARC-Payload-Digest
+      payloadDigest: String = "", // WARC-Payload-Digest
+      bodyCharset: String = "UTF-8", // HTTP body encoding on the wire
+      charsetHeader: Boolean = true) // emit '; charset=' when non-UTF-8
 
   /** Emit records; `gzipPerRecord = true` compresses each record as its
     * own gzip member and concatenates — the Common Crawl layout;
@@ -375,10 +448,13 @@ object Warc {
       val blockBytes = r.httpStatus match {
         case Some(code) =>
           val reason = if (code == 200) "OK" else "Status"
-          var body = r.body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var body = r.body.getBytes(r.bodyCharset)
           val hdrs = new StringBuilder
           hdrs.append(s"HTTP/1.1 $code $reason\r\n")
-          hdrs.append("Content-Type: text/html\r\n")
+          if (r.bodyCharset.equalsIgnoreCase("UTF-8") || !r.charsetHeader)
+            hdrs.append("Content-Type: text/html\r\n")
+          else
+            hdrs.append(s"Content-Type: text/html; charset=${r.bodyCharset}\r\n")
           if (r.gzipBody) { // content-coding first, transfer-coding on top
             body = gzipStored(body)
             hdrs.append("Content-Encoding: gzip\r\n")

@@ -386,9 +386,9 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
     * when a required column needs it — that is what makes column
     * pruning skip the per-record envelope decode on both layouts. */
   private def rowOf(recOffset: Long, seq: Int, headers: Map[String, String],
-      decoded: () => (Int, Array[Byte])): InternalRow = {
+      decoded: () => (Int, Array[Byte], String)): InternalRow = {
     val contentType = headers.getOrElse("content-type", "")
-    lazy val statusBody: (Int, Array[Byte]) = decoded()
+    lazy val statusBody: (Int, Array[Byte], String) = decoded()
     val row = new Array[Any](colCodes.length)
     var c = 0
     while (c < colCodes.length) {
@@ -405,7 +405,7 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
           if (!contentType.startsWith("application/http")) -1
           else statusBody._1
         case TextC => UTF8String.fromString(
-          new String(statusBody._2, java.nio.charset.StandardCharsets.UTF_8))
+          Warc.decodeText(statusBody._3, statusBody._2))
         case RecIdC =>
           UTF8String.fromString(headers.getOrElse("warc-record-id", ""))
         case RefersC =>
@@ -476,7 +476,7 @@ final class WarcPartitionReader(part: WarcInputPartition, conf: Configuration)
           val block = slab.copy(payloadStart, len.toInt)
           if (contentType.startsWith("application/http"))
             Warc.splitHttpEnvelope(0L, r, block)
-          else (-1, block)
+          else (-1, block, "")
         }))
         pendingRows = rows
       }

@@ -188,6 +188,45 @@ class WarcSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("duplicate identity")), e.getMessage)
   }
 
+  test("charset sniffing: BOM > header charset= > meta prescan > UTF-8; " +
+      "unknown charsets and malformed bytes never throw") {
+    def rec(hdrCt: String, body: Array[Byte]): Array[Byte] = {
+      val block = s"HTTP/1.1 200 OK\r\n$hdrCt\r\n".getBytes("US-ASCII") ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${block.length}\r\n\r\n").getBytes("US-ASCII") ++
+        block ++ "\r\n\r\n".getBytes("US-ASCII")
+    }
+    def text(hdrCt: String, body: Array[Byte]): String =
+      Warc.parse(30L, rec(hdrCt, body)).head.payloadText
+    // header charset: windows-1252 smart quotes + e-acute
+    assert(text("Content-Type: text/html; charset=windows-1252\r\n",
+      Array(0x93, 0x94, 0xE9).map(_.toByte)) == "“”é")
+    // meta prescan (no header param), iso-8859-1 degree sign
+    assert(text("Content-Type: text/html\r\n",
+      "<meta charset='iso-8859-1'>x°".getBytes("ISO-8859-1")) ==
+      "<meta charset='iso-8859-1'>x°")
+    // BOM wins over a LYING header
+    assert(text("Content-Type: text/html; charset=windows-1252\r\n",
+      Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        "é".getBytes("UTF-8")) == "é")
+    // UTF-16 BOMs (both endiannesses), BOM stripped
+    assert(text("Content-Type: text/html\r\n",
+      "﻿hi".getBytes("UTF-16BE")) == "hi")
+    assert(text("Content-Type: text/html\r\n",
+      "﻿hi".getBytes("UTF-16LE")) == "hi")
+    // header wins over meta
+    assert(text("Content-Type: text/html; charset=iso-8859-1\r\n",
+      "<meta charset=\"utf-8\">é".getBytes("ISO-8859-1")) ==
+      "<meta charset=\"utf-8\">é")
+    // unknown charset name → UTF-8 fallback; malformed bytes replace
+    assert(text("Content-Type: text/html; charset=klingon-9\r\n",
+      Array(0x41, 0xFF, 0x42).map(_.toByte)) == "A�B")
+    // quoted charset value parses
+    assert(text("Content-Type: text/html; charset=\"windows-1252\"\r\n",
+      Array(0x85.toByte)) == "…")
+  }
+
   test("resolveRevisits: refers_to and digest modes resolve to the " +
       "original payload; dangling refs keep nulls; duplicate-key " +
       "originals pick deterministically (min file order)") {
