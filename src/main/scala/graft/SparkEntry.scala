@@ -3662,6 +3662,29 @@ object SparkEntry {
         .orderBy("id", "rec_idx")
     }),
 
+    // BPE tokenizer TRAINING (q190's other half — the engine now covers
+    // the full train → apply loop): one distributed pre-token frequency
+    // pass, then deterministic weighted merge learning over the
+    // vocabulary-bounded dict. The corpus is built so the expected
+    // 3-merge sequence is invariant for ANY event counts — but ONLY
+    // under correct frequency WEIGHTING and the documented tie-break
+    // (an unweighted distinct-word count, or a nondeterministic
+    // tie-break, learns a different table and fails the compare).
+    "q193_bpe_train" -> ((s, dir) => {
+      val g = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count()
+      val corpus = g.select(concat(lit("xy "),
+        expr("repeat('ab ', CAST(3 * count + 9 AS INT))"),
+        expr("repeat('xy ', CAST(count AS INT))"),
+        lit("qr")).as("text"))
+      val merges = Text.bpeTrain(corpus, "text", 3)
+      val sp = s; import sp.implicits._
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "mleft", "mright").orderBy("rank")
+    }),
+
     // WARC → text extraction pipeline (the WET conversion step) over
     // the splittable scan: keep 200-status responses, strip
     // script/style/tags, decode entities (numeric refs included),
@@ -6051,6 +6074,16 @@ object SparkEntry {
         |         '|d|o|n|''|t' AS toks
         |FROM g
         |ORDER BY id, slot""".stripMargin,
+
+    // BPE training: the merge sequence is invariant by construction —
+    // (a,b) ties (Ġ,a) at Σ(3c+9) and the ascending tie-break picks it;
+    // (Ġ,ab) follows; (x,y) at Σc+n beats (Ġ,x) at Σc
+    "q193_bpe_train" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS INTEGER), 'a', 'b'),
+        |  (CAST(1 AS INTEGER), chr(288), 'ab'),
+        |  (CAST(2 AS INTEGER), 'x', 'y')) AS t(rank, mleft, mright)
+        |ORDER BY rank""".stripMargin,
 
     // Charset sniffing: decoded text restated via chr() codepoints;
     // content_length is the on-the-wire BYTE length (1-byte charsets →

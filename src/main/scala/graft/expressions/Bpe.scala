@@ -62,7 +62,61 @@ case class BpeEncode(child: Expression, table: BpeTable)
     copy(child = newChild)
 }
 
+/** Native Catalyst expression: GPT-2 PRE-TOKENIZATION + byte→unicode
+  * mapping only (no merges) — the corpus-scale half of BPE TRAINING.
+  * Training needs the pre-token frequency dictionary, not the raw
+  * corpus: this explodes per row into mapped pre-token strings whose
+  * groupBy/count is the one distributed pass, after which merge
+  * learning runs over the vocabulary-bounded dict
+  * ([[graft.functions.Text.bpeTrain]]). Output strings are in the
+  * SAME mapped alphabet [[BpeEncode]] consumes, so a learned table
+  * feeds the encoder verbatim. */
+case class BpePretokenize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "bpe_pretokenize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeTable.pretokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.BpeTable.pretokenize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpePretokenize =
+    copy(child = newChild)
+}
+
 object BpeTable {
+
+  /** Mapped pre-tokens of one row — the static entry the codegen'd
+    * [[BpePretokenize]] calls. */
+  def pretokenize(input: UTF8String): GenericArrayData = {
+    val s = input.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    val m = SharedPretoken.matcher(s)
+    while (m.find()) {
+      val bytes = s.substring(m.start(), m.end())
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val sb = new java.lang.StringBuilder(bytes.length)
+      var i = 0
+      while (i < bytes.length) { sb.append(ByteChar(bytes(i) & 0xFF)); i += 1 }
+      out += UTF8String.fromString(sb.toString)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private[expressions] lazy val SharedPretoken: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(PretokenPattern,
+      java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
 
   /** bytes_to_unicode: bytes in the printable latin ranges (33-126,
     * 161-172, 174-255) are their own symbol; the other 68 bytes map to
@@ -106,13 +160,13 @@ final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
     m
   }
 
-  // UNICODE_CHARACTER_CLASS: the reference pattern is a Python-regex
-  // (Unicode) pattern — Java's default ASCII \s would class U+00A0/
-  // U+2009/U+3000 as "punctuation", grouping across what the real
-  // tokenizer treats as whitespace and breaking exact-count parity
+  // UNICODE_CHARACTER_CLASS (via SharedPretoken): the reference
+  // pattern is a Python-regex (Unicode) pattern — Java's default
+  // ASCII \s would class U+00A0/U+2009/U+3000 as "punctuation",
+  // grouping across what the real tokenizer treats as whitespace and
+  // breaking exact-count parity
   @transient private lazy val pretoken: java.util.regex.Pattern =
-    java.util.regex.Pattern.compile(BpeTable.PretokenPattern,
-      java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+    BpeTable.SharedPretoken
 
   def encode(input: UTF8String): GenericArrayData = {
     val s = input.toString

@@ -55,6 +55,86 @@ object Text {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(bpeEncode(text, merges))
 
+  /** Mapped GPT-2 pre-tokens of a text column
+    * ([[graft.expressions.BpePretokenize]]) — the corpus-scale stage of
+    * [[bpeTrain]]. */
+  def bpePretokens(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.BpePretokenize(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
+  /** TRAIN a byte-level BPE merges table (Sennrich's algorithm over the
+    * GPT-2 byte alphabet) — the learning side of [[bpeEncode]], so the
+    * engine covers the full tokenizer loop: train here, apply with the
+    * returned table.
+    *
+    * Scale shape: the only corpus-proportional work is ONE distributed
+    * pass — explode pre-tokens, groupBy, count — producing the word
+    * FREQUENCY dictionary, which is bounded by vocabulary, not corpus
+    * (the classic BPE trainer's working set). Merge learning then runs
+    * on the driver over that dict: `numMerges` rounds of weighted
+    * adjacent-pair counting, each picking the max-count pair with a
+    * DETERMINISTIC tie-break (count desc, then pair ascending) and
+    * rewriting the dict — same left-to-right non-overlapping apply as
+    * the encoder. `maxDictWords` keeps the driver set bounded by
+    * frequency rank (the mass lives in the head; the cap is logged via
+    * the returned dict truncation being deterministic, never silent
+    * reordering). Output pairs are in the mapped alphabet
+    * [[bpeEncode]] consumes verbatim. */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+      maxDictWords: Int = 1 << 20): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges $numMerges")
+    val dict0 = df.select(explode(bpePretokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(maxDictWords)
+      .collect()
+      .map(r => (r.getString(0).toCharArray.map(String.valueOf), r.getLong(1)))
+    var dict: Array[(Array[String], Long)] = dict0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var dry = false
+    while (round < numMerges && !dry) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      dict.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) dry = true
+      else {
+        var best: (String, String) = null
+        var bestC = -1L
+        counts.foreach { case (p, c) =>
+          if (c > bestC || (c == bestC &&
+              (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+            best = p; bestC = c
+          }
+        }
+        merges += best
+        dict = dict.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == best._1 &&
+                  syms(i + 1) == best._2) {
+                out += syms(i) + syms(i + 1); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, c)
+          }
+        }
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Sliding word n-gram shingles, the unit of MinHash/Jaccard dedup.
     * `transform` over index positions keeps this inside codegen. */
   def shingles(text: Column, n: Int): Column =

@@ -62,6 +62,23 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq("!", "\u00C2", "\u0142", "!"), got)
   }
 
+  test("bpeTrain: weighted merge learning with deterministic tie-breaks; " +
+      "the learned table feeds bpeEncode verbatim; dry-out stops early") {
+    // the classic low/lower corpus: (l,o) and (o,w) tie at 5 — the
+    // ascending tie-break picks (l,o); then (lo,w) at 5; then (Ġ,low)
+    // at 3 beats (w,e)/(e,r) at 2
+    val df = Seq("low low low", "lower lower").toDF("t")
+    val learned = Text.bpeTrain(df, "t", 3)
+    assert(learned == Seq("l" -> "o", "lo" -> "w", "Ġ" -> "low"), learned)
+    // apply the learned table: " lower" → [Ġlow, e, r]
+    val enc = Seq("low lower").toDF("t")
+      .select(Text.bpeEncode(col("t"), learned)).as[Seq[String]].head()
+    assert(enc == Seq("low", "Ġlow", "e", "r"), enc)
+    // dry-out: a single 2-symbol word yields ONE merge then stops
+    assert(Text.bpeTrain(Seq("ab").toDF("t"), "t", 100) == Seq("a" -> "b"))
+    assert(Text.bpeTrain(df, "t", 0) == Seq.empty)
+  }
+
   test("token COUNT is exact and non-ASCII is byte-level (no unknowns): " +
       "multi-byte UTF-8 chars count per mapped byte symbol") {
     val cnt = Seq("xyz xyz é").toDF("t")
