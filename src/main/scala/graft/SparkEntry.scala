@@ -3685,6 +3685,48 @@ object SparkEntry {
         .toDF("rank", "mleft", "mright").orderBy("rank")
     }),
 
+    // TFRecord/tf.Example EXPORT → re-ingest roundtrip (the tf.data
+    // training-shard shape; q187/q188's third sibling on the shared
+    // sharded-write protocol): curated (uri, text, n) rows land as
+    // shard-k.tfrecord files of canonical Example protos with both
+    // masked CRC32Cs, then come back through the framing + proto
+    // readers. The oracle rebuilds the rows from events — a record
+    // lost, duplicated, or corrupted anywhere in the loop fails.
+    "q194_tfrecord_export_roundtrip" -> ((s, dir) => {
+      val g = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count()
+        .withColumn("id",
+          datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01"))))
+        .select(
+          concat(lit("https://example.com/"), col("id"), lit("/"),
+            col("slot")).as("uri"),
+          concat(lit("Doc "), col("id"), lit(" events="),
+            col("count")).as("text"),
+          col("count").as("n"))
+      val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_tfx_$sf"
+      val dirPath = new org.apache.hadoop.fs.Path(outDir)
+      val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(dirPath, true); fs.mkdirs(dirPath)
+      graft.functions.TfExample.writeExampleShards(g, "uri",
+        Seq("uri", "text"), Seq("n"), outDir, nShards = 8)
+      val files = s.read.format("binaryFile").load(outDir)
+        .select(regexp_extract(col("path"), "shard-([0-9]+)", 1)
+          .cast("long").as("id"), col("content").as("tfr"))
+      graft.functions.TfExample.featureTable(files, "id", "tfr")
+        .groupBy(col("id"), col("rec_idx"))
+        .agg(
+          max(when(col("key") === "uri",
+            try_element_at(col("text_vals"), lit(1)))).as("uri"),
+          max(when(col("key") === "text",
+            try_element_at(col("text_vals"), lit(1)))).as("text"),
+          max(when(col("key") === "n",
+            try_element_at(col("int64_vals"), lit(1)))).as("n"))
+        .select("uri", "text", "n")
+        .orderBy("uri")
+    }),
+
     // WARC → text extraction pipeline (the WET conversion step) over
     // the splittable scan: keep 200-status responses, strip
     // script/style/tags, decode entities (numeric refs included),
@@ -6074,6 +6116,23 @@ object SparkEntry {
         |         '|d|o|n|''|t' AS toks
         |FROM g
         |ORDER BY id, slot""".stripMargin,
+
+    // TFRecord export roundtrip: rows from PRESENT (day, slot) cells
+    "q194_tfrecord_export_roundtrip" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |rows_ AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id,
+        |    slot, cnt FROM g)
+        |SELECT 'https://example.com/' || CAST(id AS VARCHAR) || '/' ||
+        |         CAST(slot AS VARCHAR) AS uri,
+        |       'Doc ' || CAST(id AS VARCHAR) || ' events=' ||
+        |         CAST(cnt AS VARCHAR) AS text,
+        |       cnt AS n
+        |FROM rows_
+        |ORDER BY uri""".stripMargin,
 
     // BPE training: the merge sequence is invariant by construction —
     // (a,b) ties (Ġ,a) at Σ(3c+9) and the ascending tie-break picks it;

@@ -295,4 +295,54 @@ object TfExample {
     }
     lenField(1, entries.flatten.toArray)
   }
+
+  /** EXPORT curated rows as sharded TFRecord files of `tf.Example`
+    * protos — the tf.data training-shard shape, the third exporter on
+    * the shared [[ShardedArchiveWrite]] protocol (WET segments for
+    * text, WebDataset for multimodal, TFRecord for TF consumers): one
+    * identity-partitioned shuffle, rows sorted by key within the
+    * shard, byte-deterministic output, duplicate keys refused by name,
+    * attempt-keyed temp+rename commit, records streamed (a shard is
+    * never buffered whole).
+    *
+    * Each row becomes one Example whose features are the given columns
+    * in the given order (`bytesCols` as UTF-8 BytesList, `int64Cols`
+    * as Int64List), encoded with [[encode]]'s canonical layout —
+    * deterministic bytes, so the oracle-grade roundtrip holds. Output
+    * is `shard-<k>.tfrecord` with both masked CRC32Cs per record, what
+    * [[TfRecord.recordTable]] (and TF's own reader) re-ingests. */
+  def writeExampleShards(
+      df: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      bytesCols: Seq[String],
+      int64Cols: Seq[String],
+      dir: String,
+      nShards: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    require(bytesCols.nonEmpty || int64Cols.nonEmpty, "no feature columns")
+    val conf = new graft.sources.nc.SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val nBytes = bytesCols.length
+    val keyed = df.select(
+        pmod(xxhash64(col(keyCol)), lit(nShards.toLong)).as("__shard"),
+        col(keyCol).cast("string").as("__key"),
+        struct(bytesCols.map(c => col(c).cast("string")) ++
+          int64Cols.map(c => col(c).cast("long")): _*).as("__v"))
+      .rdd.map { r =>
+        val v = r.getStruct(2)
+        val feats =
+          bytesCols.zipWithIndex.map { case (c, i) =>
+            c -> Feature("bytes", bytesVals = Seq(v.getString(i).getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)))
+          } ++ int64Cols.zipWithIndex.map { case (c, i) =>
+            c -> Feature("int64", int64Vals = Seq(v.getLong(nBytes + i)))
+          }
+        ((r.getLong(0), r.getString(1), ""), TfExample.encode(feats))
+      }
+    ShardedArchiveWrite.run[java.io.OutputStream](
+      keyed, conf, dir, "shard", ".tfrecord", nShards, "tfrecord",
+      raw => raw,
+      (sink, _, _, payload) => sink.write(TfRecord.encode(Seq(payload))),
+      _ => ())
+  }
 }

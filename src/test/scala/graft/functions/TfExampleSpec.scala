@@ -128,4 +128,44 @@ class TfExampleSpec extends SparkSpec {
     assert(rows(0).getAs[scala.collection.Seq[Long]]("int64_vals").toSeq ==
       Seq(2L))
   }
+
+  test("writeExampleShards: byte-deterministic across input " +
+      "partitionings; duplicate keys refuse by name; TF-framing " +
+      "re-ingest roundtrips") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    val rows = (0 until 40).map(i => (s"k$i", s"text $i", i.toLong))
+    def write(parts: Int): (String, Map[String, Array[Byte]]) = {
+      val dir = Files.createTempDirectory("tfxw").toString
+      TfExample.writeExampleShards(
+        rows.toDF("uri", "text", "n").repartition(parts),
+        "uri", Seq("uri", "text"), Seq("n"), dir, nShards = 4)
+      val bytes = new java.io.File(dir).listFiles().filter(_.isFile)
+        .map(f => f.getName -> Files.readAllBytes(Paths.get(f.toString)))
+        .toMap
+      (dir, bytes)
+    }
+    val (d1, b1) = write(1)
+    val (_, b7) = write(7)
+    assert(b1.keySet == b7.keySet && b1.keySet.forall(k =>
+      java.util.Arrays.equals(b1(k), b7(k))))
+    // re-ingest through the framing + proto readers
+    val back = TfExample.featureTable(
+      spark.read.format("binaryFile").load(d1)
+        .select(lit(0L).as("id"), col("content").as("tfr")), "id", "tfr")
+      .filter(col("key") === "n")
+      .select(explode(col("int64_vals")).as("n")).as[Long].collect().sorted
+    assert(back.toSeq == (0L until 40L))
+    // duplicate keys refuse by name
+    val dup = (rows :+ ("k0", "again", 99L)).toDF("uri", "text", "n")
+    val dir2 = Files.createTempDirectory("tfxdup").toString
+    val e = intercept[org.apache.spark.SparkException](
+      TfExample.writeExampleShards(dup, "uri", Seq("uri", "text"),
+        Seq("n"), dir2, nShards = 4))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("duplicate")), e.getMessage)
+  }
 }
