@@ -125,6 +125,26 @@ object OracleXxh64 {
   val tokensSql: String =
     "list_filter(string_split_regex(text, '\\s+'), _t0 -> _t0 != '')"
 
+  /** q195: the hashed-bag quality classifier — per token
+    * `xxhash64 mod dim` buckets into the micro-unit weight list.
+    * `dim` MUST be a power of two: unsigned mod equals Spark's signed
+    * pmod exactly when dim divides 2⁶⁴. All-integer, so score and the
+    * mean-form keep decision replay with zero float tolerance. */
+  def classifierSql(table: String, weights: Seq[Long]): String = {
+    require(java.lang.Long.bitCount(weights.length.toLong) == 1,
+      s"dim ${weights.length} must be a power of two for signed/unsigned mod parity")
+    val wlist = weights.mkString("[", ", ", "]")
+    val bucket = s"(((${hashBytes(strBytes("_tk"), "42::UHUGEINT")}) % " +
+      s"${weights.length}::UHUGEINT)::INT + 1)"
+    val score =
+      s"coalesce(list_sum(list_transform(_T, _tk -> ($wlist)[$bucket])), 0)"
+    val pair = let(tokensSql, "_T",
+      s"[len(_T)::BIGINT, ($score)::BIGINT]")
+    s"SELECT doc_id, CAST(_S[1] AS INTEGER) AS n_tokens, " +
+      "_S[2] AS score_micro, (_S[1] > 0 AND _S[2] >= 0) AS keep " +
+      s"FROM (SELECT doc_id, $pair AS _S FROM $table) ORDER BY doc_id"
+  }
+
   /** q32: 64-bit SimHash — per token xxhash64(seed 42), ±1 votes per bit. */
   def simhashSql(table: String): String = {
     val hashes = s"list_transform($tokensSql, _tk -> " +

@@ -1964,6 +1964,22 @@ object SparkEntry {
           .as("n_subwords"))
         .orderBy("doc_id")),
 
+    // fastText-style hashed-bag quality classifier, INFERENCE with a
+    // fixed micro-unit table (the CCNet/LLaMA "quality model" gate):
+    // per-token xxhash64 bucketing, exact integer score, mean-form
+    // keep decision — all replayed closed-form by the oracle (dim 64,
+    // a power of two, so unsigned/signed mod agree). Training is
+    // spec-gated on separation (TextClassifierSpec); trained weights
+    // enter this exact path via quantizeMicro.
+    "q195_quality_classifier" -> ((s, dir) => {
+      val w = Seq.tabulate(64)(k => ((k * 37) % 21 - 10).toLong)
+      table(s, dir, "documents").select(col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          Text.classifierScoreMicro(col("text"), w).as("score_micro"),
+          Text.classifierKeep(col("text"), w, 0L, 0L).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // --- similarity (embeddings) ---
     "q39_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
@@ -4783,6 +4799,8 @@ object SparkEntry {
     // Formerly no_oracle: the DuckDB side replays Spark's xxhash64 chains
     // in generated pure SQL (OracleXxh64) — full rows+schema+hash gates.
     "q32_simhash" -> OracleXxh64.simhashSql("documents"),
+    "q195_quality_classifier" -> OracleXxh64.classifierSql("documents",
+      Seq.tabulate(64)(k => ((k * 37) % 21 - 10).toLong)),
     "q37_fingerprint" -> OracleXxh64.fingerprintSql("documents"),
     "q38_subword_tokens" -> OracleXxh64.subwordCountSql("documents"),
     "q51_media_fingerprint" -> OracleXxh64.mediaFingerprintSql("documents"),

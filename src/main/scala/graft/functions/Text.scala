@@ -135,6 +135,92 @@ object Text {
     merges.toSeq
   }
 
+  /** fastText-style hashed-bag linear score in INTEGER micro-units
+    * ([[graft.expressions.HashedBagScore]]): per whitespace token,
+    * `xxhash64(token) mod weights.length` buckets into the table, the
+    * row's score is the exact BIGINT sum plus `bias`. Weights come
+    * from [[trainQualityClassifier]] via [[quantizeMicro]], or any
+    * hand-set table. */
+  def classifierScoreMicro(text: Column, weights: Seq[Long],
+      bias: Long = 0L): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.HashedBagScore(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
+        new graft.expressions.HashedBagScore.Model(weights.toArray))) +
+      lit(bias)
+
+  /** The keep decision in the MEAN form fastText uses (averaged
+    * features): keep iff `score >= thresholdMicroPerToken × n_tokens`
+    * — all-integer, so the whole classifier replays in an oracle with
+    * zero float tolerance. Empty documents never keep. */
+  def classifierKeep(text: Column, weights: Seq[Long], bias: Long,
+      thresholdMicroPerToken: Long): Column =
+    bind(text) { t =>
+      val n = tokenCount(t).cast("long")
+      (n > 0) && (classifierScoreMicro(t, weights, bias) >=
+        lit(thresholdMicroPerToken) * n)
+    }
+
+  /** TRAIN the quality classifier: full-batch logistic regression over
+    * hashed MEAN bag-of-words features (the fastText recipe minus
+    * subword embeddings — a linear model over `dim` hashed buckets).
+    * Labels are 0.0/1.0 (1 = the curated/positive seed set, 0 = random
+    * corpus — the CCNet setup). One distributed gradient pass per
+    * iteration (`treeAggregate` of a dim+1 dense gradient; the model
+    * broadcasts with the task closure), so cost is `iters` scans —
+    * iters is small (tens) and each pass is corpus-parallel.
+    * Summation order makes low-order float bits partition-dependent;
+    * the DECISIONS the model drives are spec-gated on separation, and
+    * exact-replay inference goes through [[quantizeMicro]] +
+    * [[classifierScoreMicro]]. Returns (weights[dim], bias). */
+  def trainQualityClassifier(df: DataFrame, textCol: String,
+      labelCol: String, dim: Int, iters: Int = 30,
+      lr: Double = 1.0): (Array[Double], Double) = {
+    require(dim > 0 && iters >= 0, s"dim $dim iters $iters")
+    val data = df.select(
+        col(labelCol).cast("double"),
+        transform(tokens(col(textCol)), t =>
+          pmod(xxhash64(t), lit(dim.toLong)).cast("int")).as("b"))
+      .filter(size(col("b")) > 0)
+      .rdd.map(r => (r.getDouble(0), r.getSeq[Int](1).toArray))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var w = new Array[Double](dim)
+      var b = 0.0
+      var it = 0
+      while (it < iters) {
+        val (gw, gb, m) = data.treeAggregate(
+          (new Array[Double](dim), 0.0, 0L))(
+          seqOp = { case ((aw, ab, n), (y, buckets)) =>
+            var dot = 0.0
+            buckets.foreach(k => dot += w(k))
+            val p = 1.0 / (1.0 + math.exp(-(dot / buckets.length + b)))
+            val g = p - y
+            val inv = g / buckets.length
+            buckets.foreach(k => aw(k) += inv)
+            (aw, ab + g, n + 1)
+          },
+          combOp = { case ((a1, b1, n1), (a2, b2, n2)) =>
+            var i = 0
+            while (i < dim) { a1(i) += a2(i); i += 1 }
+            (a1, b1 + b2, n1 + n2)
+          })
+        if (m > 0) {
+          var i = 0
+          while (i < dim) { w(i) -= lr * gw(i) / m; i += 1 }
+          b -= lr * gb / m
+        }
+        it += 1
+      }
+      (w, b)
+    } finally { data.unpersist(blocking = false); () }
+  }
+
+  /** Quantize trained weights to micro-units for the exact-replay
+    * inference path: `round(w × 1e6)`. */
+  def quantizeMicro(weights: Array[Double]): Seq[Long] =
+    weights.toSeq.map(w => math.round(w * 1e6))
+
   /** Sliding word n-gram shingles, the unit of MinHash/Jaccard dedup.
     * `transform` over index positions keeps this inside codegen. */
   def shingles(text: Column, n: Int): Column =
