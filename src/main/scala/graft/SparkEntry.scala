@@ -2200,6 +2200,43 @@ object SparkEntry {
         round(Text.topBigramCoverage(col("text")), 6).as("top_bigram_cov"))
         .orderBy("doc_id")),
 
+    // Unicode normalization (UAX #15 — the before-hashing step that
+    // makes composed and decomposed spellings dedup together): NFC is
+    // cross-checked against DuckDB's INDEPENDENT nfc_normalize
+    // implementation; NFKC (ligature/compat folding, no DuckDB
+    // counterpart) against the closed-form expected string.
+    "q196_unicode_normalize" -> ((s, dir) => {
+      val g = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count()
+        .withColumn("id",
+          datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01")))
+            .cast("long"))
+      // decomposed e+acute, ANGSTROM SIGN (NFC singleton), fi ligature
+      val raw = concat(lit("café Å xﬁ n="), col("count"))
+      g.select(col("id"), col("slot"),
+          Text.normalizeNfc(raw).as("nfc"),
+          Text.normalizeNfkc(raw).as("nfkc"),
+          (Text.normalizeNfc(raw) =!= raw).as("changed"))
+        .orderBy("id", "slot")
+    }),
+
+    // Gopher repetition suite completion (q60 has lines + top-2):
+    // duplicate paragraphs, top-3/4-gram coverage, duplicate 5-gram
+    // MASS fraction — a duplicated paragraph is appended so the
+    // paragraph signal is non-vacuous on every row
+    "q197_repetition_suite" -> ((s, dir) =>
+      table(s, dir, "documents").select(col("doc_id"), col("text"),
+          concat(col("text"), lit("\n\npara one\n\npara one")).as("t2"))
+        .select(col("doc_id"),
+          round(Text.duplicateParagraphFraction(col("t2")), 6)
+            .as("dup_para_frac"),
+          round(Text.topNgramCoverage(col("text"), 3), 6).as("top3_cov"),
+          round(Text.topNgramCoverage(col("text"), 4), 6).as("top4_cov"),
+          round(Text.dupNgramMassFraction(col("text"), 5), 6)
+            .as("dup5_mass"))
+        .orderBy("doc_id")),
+
     // --- BPE pair-merge counting (tokenizer training support): top-50
     // adjacent character pairs under a deterministic total order ---
     "q73_bpe_pairs" -> ((s, dir) =>
@@ -5006,6 +5043,61 @@ object SparkEntry {
          |  THEN CAST(list_max(list_transform(list_distinct(bg),
          |    x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
          |  ELSE 0.0 END, 6) AS top_bigram_cov
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // NFC via DuckDB's own (independent) nfc_normalize; NFKC closed-form
+    "q196_unicode_normalize" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |rows_ AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id,
+        |    slot,
+        |    'cafe' || chr(769) || ' ' || chr(8491) || ' x' || chr(64257) ||
+        |      ' n=' || CAST(cnt AS VARCHAR) AS raw,
+        |    CAST(cnt AS VARCHAR) AS c FROM g)
+        |SELECT id, slot, nfc_normalize(raw) AS nfc,
+        |       'caf' || chr(233) || ' ' || chr(197) || ' xfi n=' || c AS nfkc,
+        |       (nfc_normalize(raw) <> raw) AS changed
+        |FROM rows_
+        |ORDER BY id, slot""".stripMargin,
+
+    "q197_repetition_suite" ->
+      s"""WITH base AS (SELECT doc_id,
+         |  list_filter(string_split(text || chr(10) || chr(10) || 'para one' ||
+         |    chr(10) || chr(10) || 'para one', chr(10) || chr(10)),
+         |    p -> p <> '') AS paras,
+         |  $ToksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, paras,
+         |  CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END AS g3,
+         |  CASE WHEN len(t) >= 4 THEN list_transform(range(1, len(t) - 2),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+         |    ELSE [] END AS g4,
+         |  CASE WHEN len(t) >= 5 THEN list_transform(range(1, len(t) - 3),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] ||
+         |      ' ' || t[i+4]) ELSE [] END AS g5
+         |  FROM base)
+         |SELECT doc_id,
+         |round(CASE WHEN len(paras) > 0
+         |  THEN CAST(len(paras) - len(list_distinct(paras)) AS DOUBLE) / len(paras)
+         |  ELSE 0.0 END, 6) AS dup_para_frac,
+         |round(CASE WHEN len(g3) > 0
+         |  THEN CAST(list_max(list_transform(list_distinct(g3),
+         |    x -> len(list_filter(g3, y -> y = x)))) AS DOUBLE) / len(g3)
+         |  ELSE 0.0 END, 6) AS top3_cov,
+         |round(CASE WHEN len(g4) > 0
+         |  THEN CAST(list_max(list_transform(list_distinct(g4),
+         |    x -> len(list_filter(g4, y -> y = x)))) AS DOUBLE) / len(g4)
+         |  ELSE 0.0 END, 6) AS top4_cov,
+         |round(CASE WHEN len(g5) > 0
+         |  THEN CAST(list_sum(list_transform(list_distinct(g5), x ->
+         |    CASE WHEN len(list_filter(g5, y -> y = x)) >= 2
+         |      THEN len(list_filter(g5, y -> y = x)) * length(x)
+         |      ELSE 0 END)) AS DOUBLE) /
+         |    CAST(list_sum(list_transform(g5, x -> length(x))) AS DOUBLE)
+         |  ELSE 0.0 END, 6) AS dup5_mass
          |FROM sh ORDER BY doc_id""".stripMargin,
 
     "q59_chunking" ->

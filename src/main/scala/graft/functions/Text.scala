@@ -669,6 +669,69 @@ object Text {
         .otherwise(lit(0.0))
     }
 
+  /** Unicode NFC normalization ([[graft.expressions.UnicodeNormalize]])
+    * — run it before [[fingerprint]]/[[shingles]]/exact-dup hashing so
+    * composed and decomposed spellings of the same text dedup
+    * together. */
+  def normalizeNfc(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.UnicodeNormalize(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), "NFC"))
+
+  /** NFKC — NFC plus compatibility folding (ligatures, width variants,
+    * superscripts), the aggressive dedup-key variant. */
+  def normalizeNfkc(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.UnicodeNormalize(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), "NFKC"))
+
+  /** Generalized top-n-gram coverage (the Gopher repetition table runs
+    * n = 2, 3, 4): fraction of all word n-grams taken by the single
+    * most frequent one. O(distinct × total) per row, bounded by
+    * document length. */
+  def topNgramCoverage(text: Column, n: Int): Column =
+    bind(shingles(text, n)) { sh =>
+      when(size(sh) > 0,
+        bind(array_distinct(sh)) { d =>
+          array_max(transform(d, x => size(filter(sh, y => y === x))))
+            .cast("double") / size(sh).cast("double")
+        })
+        .otherwise(lit(0.0))
+    }
+
+  /** Duplicate-PARAGRAPH fraction (blank-line-separated blocks), the
+    * Gopher companion to [[duplicateLineFraction]]. */
+  def duplicateParagraphFraction(text: Column): Column =
+    bind(filter(split(text, "\n\n"), p => p =!= lit(""))) { paras =>
+      when(size(paras) > 0,
+        (size(paras) - size(array_distinct(paras))).cast("double") /
+          size(paras).cast("double"))
+        .otherwise(lit(0.0))
+    }
+
+  /** Duplicate n-gram MASS fraction — the Gopher "fraction of
+    * characters in duplicate n-grams" family (n = 5..10), under this
+    * engine's DETERMINISTIC definition: Σ over n-grams occurring ≥ 2
+    * times of occurrences × n-gram char length, over the same sum for
+    * ALL occurrences. (Published reproductions disagree on overlap
+    * accounting; this weighted-mass form is exactly replayable in an
+    * oracle and monotone in the same repetition signal.) */
+  def dupNgramMassFraction(text: Column, n: Int): Column =
+    bind(shingles(text, n)) { sh =>
+      when(size(sh) > 0,
+        bind(array_distinct(sh)) { d =>
+          val total = aggregate(sh, lit(0L),
+            (a, x) => a + length(x).cast("long"))
+          val dupMass = aggregate(d, lit(0L), (a, x) =>
+            a + bind(size(filter(sh, y => y === x))) { c =>
+              when(c >= 2, c.cast("long") * length(x).cast("long"))
+                .otherwise(lit(0L))
+            })
+          dupMass.cast("double") / total.cast("double")
+        })
+        .otherwise(lit(0.0))
+    }
+
   /** Rolling-hash fingerprint over tokens (document fingerprinting à la
     * winnowing, collapsed to one 64-bit value). The mix step is
     * xxhash64(acc, token): overflow-free under ANSI mode (a multiplicative
