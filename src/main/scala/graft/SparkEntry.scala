@@ -3780,6 +3780,43 @@ object SparkEntry {
         .orderBy("uri")
     }),
 
+    // robots.txt compliance filtering (RFC 9309 — the politeness gate
+    // between a URL frontier and fetching): group selection by product
+    // token (a named group SHADOWS '*'), longest-path-match with
+    // allow-on-tie, '*' wildcards and '$' anchors. URL paths cycle
+    // public / disallowed / allow-override / agent-specific / anchored-
+    // wildcard cases plus a robots-less domain; the oracle states every
+    // decision closed-form per slot and agent.
+    "q198_robots_filter" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      val robots = Seq(("a.test",
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+          "Disallow: /*.php$\n\nUser-agent: graftbot\nDisallow: /tmp\n"))
+        .toDF("domain", "txt")
+      val g = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count()
+        .withColumn("id",
+          datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01")))
+            .cast("long"))
+      val domain = when(col("slot") === 9, lit("b.test"))
+        .otherwise(lit("a.test"))
+      val path = when(col("slot") % 5 === 0, concat(lit("/public/x"), col("count")))
+        .when(col("slot") % 5 === 1, concat(lit("/private/x"), col("count")))
+        .when(col("slot") % 5 === 2, concat(lit("/private/ok/x"), col("count")))
+        .when(col("slot") % 5 === 3, concat(lit("/tmp/x"), col("count")))
+        .otherwise(concat(lit("/x"), col("count"), lit(".php")))
+      val urls = g.select(col("id"), col("slot"),
+        concat(lit("https://"), domain, path).as("url"))
+      val byAgent = Seq("graftbot", "otherbot").map { a =>
+        graft.functions.Web.robotsAllowed(urls, "url", robots,
+          "domain", "txt", a).withColumn("agent", lit(a))
+      }
+      byAgent.reduce(_ unionByName _)
+        .select(col("id"), col("slot"), col("agent"), col("robots_allowed"))
+        .orderBy("id", "slot", "agent")
+    }),
+
     // WARC → text extraction pipeline (the WET conversion step) over
     // the splittable scan: keep 200-status responses, strip
     // script/style/tags, decode entities (numeric refs included),
@@ -5044,6 +5081,26 @@ object SparkEntry {
          |    x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
          |  ELSE 0.0 END, 6) AS top_bigram_cov
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // robots decisions closed-form: slot 9 is the robots-less domain;
+    // graftbot's specific group only disallows /tmp (slot%5=3); the '*'
+    // group disallows /private (1) and the anchored /*.php$ (4), the
+    // /private/ok allow-override (2) outranks by length
+    "q198_robots_filter" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |rows_ AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id,
+        |    slot FROM g)
+        |SELECT id, slot, agent,
+        |  CASE WHEN slot = 9 THEN true
+        |       WHEN agent = 'graftbot' THEN slot % 5 <> 3
+        |       ELSE slot % 5 NOT IN (1, 4) END AS robots_allowed
+        |FROM rows_
+        |CROSS JOIN (SELECT unnest(['graftbot', 'otherbot']) AS agent) a
+        |ORDER BY id, slot, agent""".stripMargin,
 
     // NFC via DuckDB's own (independent) nfc_normalize; NFKC closed-form
     "q196_unicode_normalize" ->

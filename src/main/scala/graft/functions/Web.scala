@@ -59,4 +59,116 @@ object Web {
     df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canonical_url"))
       .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper_id"))
+
+  /** Parse robots.txt bodies (RFC 9309) into RULE rows:
+    * (domain, agent, rule ∈ allow|disallow, path). Consecutive
+    * `User-agent` lines form one group's agent set; each Allow/Disallow
+    * under the group emits one row per agent; a `User-agent` after rule
+    * lines starts a NEW group. Comments strip at `#`, field names are
+    * case-insensitive, unknown fields (Sitemap, Crawl-delay) skip per
+    * the RFC, and an empty-valued Disallow means "allow all" and emits
+    * nothing. Stateful line walk → `mapPartitions` (the [[Warc.records]]
+    * precedent); everything downstream is relational. */
+  def robotsRules(df: DataFrame, domainCol: String,
+      txtCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("domain", StringType, nullable = false),
+      StructField("agent", StringType, nullable = false),
+      StructField("rule", StringType, nullable = false),
+      StructField("path", StringType, nullable = false)))
+    df.select(col(domainCol).cast("string"), col(txtCol).cast("string"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .mapPartitions { it =>
+        it.flatMap { case (domain, txt) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var agents = List.empty[String]
+          var inRules = false
+          txt.split("\n", -1).foreach { raw =>
+            val noComment = raw.indexOf('#') match {
+              case -1 => raw
+              case h => raw.substring(0, h)
+            }
+            val line = noComment.trim
+            val colon = line.indexOf(':')
+            if (colon > 0) {
+              val field = line.substring(0, colon).trim.toLowerCase
+              val value = line.substring(colon + 1).trim
+              field match {
+                case "user-agent" =>
+                  if (inRules) { agents = Nil; inRules = false }
+                  agents ::= value.toLowerCase
+                  // marker row: the GROUP exists even if it ends up
+                  // with no rules (an empty specific group means
+                  // "this agent may crawl everything" — it must still
+                  // shadow the '*' group during selection)
+                  out += Row(domain, value.toLowerCase, "agent", "")
+                case "allow" | "disallow" =>
+                  inRules = true
+                  if (value.nonEmpty)
+                    agents.foreach(a => out += Row(domain, a, field, value))
+                case _ => () // Sitemap, Crawl-delay, unknown: skip
+              }
+            }
+          }
+          out
+        }
+      }(Encoders.row(schema))
+  }
+
+  /** Per-URL robots decision for a crawler `agent` — the politeness
+    * gate between a URL frontier and fetching (and the compliance
+    * filter over an already-fetched corpus). RFC 9309 semantics:
+    *
+    *  - GROUP selection: if any group names this agent's product token
+    *    (case-insensitive equality), ONLY that group applies; else the
+    *    `*` group; no robots / no group → allowed;
+    *  - RULE selection: among the group's rules whose pattern matches
+    *    the URL path ([[graft.expressions.RobotsMatch]]: prefix match,
+    *    `*` wildcard, `$` end anchor), the LONGEST pattern wins; an
+    *    allow/disallow tie at equal length → allow; no match → allowed.
+    *
+    * Scale shape: rules join URLs keyed by domain (rules per domain are
+    * tiny — effectively a broadcast side), decisions fold in ONE
+    * aggregate (max over (length, is-allow) structs — the longest-match
+    * + tie rule as plain struct ordering), and the verdict joins back
+    * on a row id. Returns the input plus `robots_allowed`. */
+  def robotsAllowed(urls: DataFrame, urlCol: String, robots: DataFrame,
+      domainCol: String, txtCol: String, agent: String): DataFrame = {
+    val rules = robotsRules(robots, domainCol, txtCol)
+      .select(col("domain").as("__rdom"), col("agent").as("__ragent"),
+        (col("rule") === "allow").as("__rallow"),
+        (col("rule") =!= "agent").as("__isrule"), col("path").as("__rpath"))
+    val withId = urls.withColumn("__rid", monotonically_increasing_id())
+    val host = lower(regexp_extract(col(urlCol), SchemeRe + "([^/?#]*)", 2))
+    val rawPath = regexp_extract(col(urlCol), SchemeRe + "[^/?#]*([^#]*)", 2)
+    val urlPath = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val matchExpr = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.RobotsMatch(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("__upath")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("__rpath"))))
+    val agentLc = agent.toLowerCase
+    val decisions = withId
+      .select(col("__rid"), host.as("__udom"), urlPath.as("__upath"))
+      .join(rules, col("__udom") === col("__rdom"), "left")
+      .select(col("__rid"),
+        (col("__ragent") === agentLc).as("__spec"),
+        (col("__ragent") === "*").as("__star"),
+        (col("__isrule") && matchExpr).as("__hit"),
+        length(col("__rpath")).as("__plen"), col("__rallow"))
+      .groupBy("__rid")
+      .agg(
+        coalesce(max(col("__spec")), lit(false)).as("__hasSpec"),
+        max(when(col("__spec") && col("__hit"),
+          struct(col("__plen"), col("__rallow")))).as("__bestSpec"),
+        max(when(col("__star") && col("__hit"),
+          struct(col("__plen"), col("__rallow")))).as("__bestStar"))
+      .select(col("__rid"),
+        when(col("__hasSpec"),
+          coalesce(col("__bestSpec.__rallow"), lit(true)))
+          .otherwise(coalesce(col("__bestStar.__rallow"), lit(true)))
+          .as("robots_allowed"))
+    withId.join(decisions, Seq("__rid")).drop("__rid")
+  }
 }

@@ -75,4 +75,83 @@ class WebSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().sortBy(_._1)
     assert(out.toSeq == Seq(("https://example.com/x", 3L, 1L), ("https://example.org/y", 1L, 4L)))
   }
+
+  test("robots.txt: RFC 9309 group selection, longest-match, allow tie, " +
+      "wildcards, anchors, empty groups, missing robots") {
+    val sp = spark
+    import sp.implicits._
+    val robots = Seq(
+      ("a.test",
+        """# politeness
+          |User-agent: *
+          |Disallow: /private
+          |Allow: /private/ok
+          |Disallow: /*.php$
+          |Crawl-delay: 10
+          |
+          |User-agent: graftbot
+          |Disallow: /tmp
+          |
+          |User-agent: emptybot
+          |Disallow:
+          |""".stripMargin),
+      ("c.test",
+        """User-agent: A
+          |User-agent: B
+          |Disallow: /both
+          |""".stripMargin)).toDF("domain", "txt")
+    val urls = Seq(
+      "https://a.test/public/x", "https://a.test/private/x",
+      "https://a.test/private/ok/x", "https://a.test/tmp/x",
+      "https://a.test/y.php", "https://a.test/y.php?q=1",
+      "https://b.test/anything", "https://c.test/both/x",
+      "https://a.test").toDF("url")
+    def allowed(agent: String): Map[String, Boolean] =
+      Web.robotsAllowed(urls, "url", robots, "domain", "txt", agent)
+        .select("url", "robots_allowed").as[(String, Boolean)]
+        .collect().toMap
+    val star = allowed("otherbot")
+    assert(star("https://a.test/public/x"))
+    assert(!star("https://a.test/private/x"))
+    assert(star("https://a.test/private/ok/x")) // longest match: allow 11 > 8
+    assert(star("https://a.test/tmp/x")) // graftbot group not selected
+    assert(!star("https://a.test/y.php")) // $-anchored wildcard
+    assert(star("https://a.test/y.php?q=1")) // query defeats the $ anchor
+    assert(star("https://b.test/anything")) // no robots at all
+    assert(star("https://a.test")) // bare root
+    val bot = allowed("GraftBot") // case-insensitive product token
+    assert(!bot("https://a.test/tmp/x"))
+    assert(bot("https://a.test/private/x")) // ONLY the specific group applies
+    assert(bot("https://a.test/y.php"))
+    // an EMPTY specific group still shadows '*': everything allowed
+    val empty = allowed("emptybot")
+    assert(empty("https://a.test/private/x") && empty("https://a.test/y.php"))
+    // multi-agent group: the rule binds to BOTH agents
+    assert(!allowed("a")("https://c.test/both/x"))
+    assert(!allowed("b")("https://c.test/both/x"))
+    // tie at equal length: allow wins
+    val tie = Seq(("t.test",
+      "User-agent: *\nDisallow: /x/a\nAllow: /x/b\n")).toDF("domain", "txt")
+    val tieUrls = Seq("https://t.test/x/a", "https://t.test/x/b").toDF("url")
+    val td = Web.robotsAllowed(tieUrls, "url", tie, "domain", "txt", "any")
+      .select("url", "robots_allowed").as[(String, Boolean)].collect().toMap
+    assert(!td("https://t.test/x/a") && td("https://t.test/x/b"))
+  }
+
+  test("RobotsMatch glob walk: prefix, star, end anchor, literal mid-$") {
+    import graft.expressions.RobotsMatch
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(RobotsMatch.matches(u("/a/b/c"), u("/a")))
+    assert(!RobotsMatch.matches(u("/b"), u("/a")))
+    assert(RobotsMatch.matches(u("/fish/salmon.html"), u("/fish*.html")))
+    assert(RobotsMatch.matches(u("/x.php"), u("/*.php$")))
+    assert(!RobotsMatch.matches(u("/x.phpy"), u("/*.php$")))
+    assert(RobotsMatch.matches(u("/x.phpy"), u("/*.php")))
+    assert(RobotsMatch.matches(u("/a$b"), u("/a$b"))) // mid-$ literal
+    assert(RobotsMatch.matches(u("/anything"), u("")))
+    assert(RobotsMatch.matches(u("/a"), u("/a$")))
+    assert(!RobotsMatch.matches(u("/ab"), u("/a$")))
+    assert(RobotsMatch.matches(u("/abc"), u("/*c$")))
+    assert(RobotsMatch.matches(u("/abc"), u("/a*")))
+  }
 }
