@@ -3817,6 +3817,38 @@ object SparkEntry {
         .orderBy("id", "slot", "agent")
     }),
 
+    // Sitemap XML URL discovery (sitemaps.org — robots' companion
+    // crawl input): <urlset> entries with loc/lastmod/priority and
+    // entity-escaped query strings, plus <sitemapindex> children
+    // surfaced for recursion. Oracle restates every row closed-form —
+    // an entity left undecoded or an entry dropped fails the compare.
+    "q199_sitemap_urls" -> ((s, dir) => {
+      val g = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count()
+        .withColumn("id",
+          datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01")))
+            .cast("long"))
+      val urlset = concat(
+        lit("<urlset><url><loc>https://e.com/"), col("id"), lit("/"),
+        col("slot"), lit("?a="), col("count"),
+        lit("&amp;b=2</loc><lastmod> 2024-01-0"), (col("slot") % 9) + 1,
+        lit(" </lastmod><priority>0."), col("slot"),
+        lit("</priority></url><url><loc>https://e.com/"), col("id"),
+        lit("/"), col("slot"), lit("/alt</loc></url></urlset>"))
+      val index = concat(
+        lit("<sitemapindex><sitemap><loc>https://e.com/sm/"), col("id"),
+        lit("/1.xml</loc></sitemap><sitemap><loc>https://e.com/sm/"),
+        col("id"), lit("/2.xml</loc></sitemap></sitemapindex>"))
+      val docs = g.select(
+        (col("id") * 10 + col("slot")).as("doc"), col("slot"),
+        when(col("slot") === 9, index).otherwise(urlset).as("xml"))
+      graft.functions.Web.sitemapUrls(docs, "doc", "xml")
+        .select(col("doc"), col("entry_idx"), col("is_index"),
+          col("loc"), col("lastmod"), col("changefreq"), col("priority"))
+        .orderBy("doc", "entry_idx")
+    }),
+
     // WARC → text extraction pipeline (the WET conversion step) over
     // the splittable scan: keep 200-status responses, strip
     // script/style/tags, decode entities (numeric refs included),
@@ -5081,6 +5113,42 @@ object SparkEntry {
          |    x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
          |  ELSE 0.0 END, 6) AS top_bigram_cov
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // Sitemap rows closed-form: two urlset entries per slot<9 doc
+    // (second loc-only), two index children on slot 9; &amp; decodes,
+    // lastmod whitespace trims
+    "q199_sitemap_urls" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |rows_ AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) * 10
+        |      + slot AS doc,
+        |    CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id,
+        |    slot, cnt FROM g),
+        |e0 AS (SELECT doc, 0 AS entry_idx, false AS is_index,
+        |    'https://e.com/' || CAST(id AS VARCHAR) || '/' ||
+        |      CAST(slot AS VARCHAR) || '?a=' || CAST(cnt AS VARCHAR) ||
+        |      '&b=2' AS loc,
+        |    '2024-01-0' || CAST(slot % 9 + 1 AS VARCHAR) AS lastmod,
+        |    '' AS changefreq,
+        |    '0.' || CAST(slot AS VARCHAR) AS priority
+        |  FROM rows_ WHERE slot < 9),
+        |e1 AS (SELECT doc, 1 AS entry_idx, false AS is_index,
+        |    'https://e.com/' || CAST(id AS VARCHAR) || '/' ||
+        |      CAST(slot AS VARCHAR) || '/alt' AS loc,
+        |    '' AS lastmod, '' AS changefreq, '' AS priority
+        |  FROM rows_ WHERE slot < 9),
+        |ix AS (SELECT doc, CAST(k AS INTEGER) AS entry_idx, true AS is_index,
+        |    'https://e.com/sm/' || CAST(id AS VARCHAR) || '/' ||
+        |      CAST(k + 1 AS VARCHAR) || '.xml' AS loc,
+        |    '' AS lastmod, '' AS changefreq, '' AS priority
+        |  FROM rows_ CROSS JOIN (SELECT unnest([0, 1]) AS k) kk
+        |  WHERE slot = 9)
+        |SELECT * FROM e0 UNION ALL SELECT * FROM e1 UNION ALL
+        |SELECT * FROM ix
+        |ORDER BY doc, entry_idx""".stripMargin,
 
     // robots decisions closed-form: slot 9 is the robots-less domain;
     // graftbot's specific group only disallows /tmp (slot%5=3); the '*'

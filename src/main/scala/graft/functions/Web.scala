@@ -117,6 +117,36 @@ object Web {
       }(Encoders.row(schema))
   }
 
+  /** Sitemap XML (sitemaps.org protocol) → one row per `<url>` entry:
+    * (loc, lastmod, changefreq, priority — "" when absent) plus the
+    * child sitemap locs of a `<sitemapindex>` (surfaced with
+    * `is_index = true` so a frontier can recurse). URL discovery is
+    * robots' companion crawl-side input. Pure codegen'd column ops —
+    * `regexp_extract_all` over non-greedy `(?s)` patterns, RE2-safe so
+    * an oracle replays them — because sitemap XML is machine-written
+    * and flat; a full XML parser would buy nothing here (entities in
+    * loc values decode with the same single-scan expression the HTML
+    * path uses: sitemaps escape `&` as `&amp;`). */
+  def sitemapUrls(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
+    val blocks = regexp_extract_all(col(xmlCol),
+      lit("(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"), lit(1))
+    val isIndex = col(xmlCol).contains("<sitemapindex")
+    def field(b: Column, name: String): Column = {
+      val raw = regexp_extract(b, s"(?s)<$name>\\s*(.*?)\\s*</$name>", 1)
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.HtmlNumericEntityDecode(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(raw)))
+    }
+    df.select(col(idCol), posexplode(blocks).as(Seq("entry_idx", "__b")),
+        isIndex.as("is_index"))
+      .select(col(idCol), col("entry_idx"), col("is_index"),
+        field(col("__b"), "loc").as("loc"),
+        field(col("__b"), "lastmod").as("lastmod"),
+        field(col("__b"), "changefreq").as("changefreq"),
+        field(col("__b"), "priority").as("priority"))
+      .filter(col("loc") =!= "")
+  }
+
   /** Per-URL robots decision for a crawler `agent` — the politeness
     * gate between a URL frontier and fetching (and the compliance
     * filter over an already-fetched corpus). RFC 9309 semantics:
