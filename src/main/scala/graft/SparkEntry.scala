@@ -1372,6 +1372,12 @@ object SparkEntry {
   private val DaydSql = "CAST(date_trunc('day', ts) AS TIMESTAMP) AS d"
   // DuckDB token list, mirroring Text.tokens (split on \s+, drop empties)
   private val ToksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+  /** q195's fixed classifier weight table — ONE definition shared by
+    * the query and its oracle registration (dim 64: a power of two, so
+    * signed and unsigned mod-bucketing agree). */
+  private val ClassifierWeights: Seq[Long] =
+    Seq.tabulate(64)(k => ((k * 37) % 21 - 10).toLong)
   // DuckDB sequential-double reducer (bit-exact vs Spark aggregate over doubles)
   private def seqSum(listExpr: String): String =
     s"list_reduce(list_prepend(0.0, $listExpr), (acc, x) -> acc + x)"
@@ -1972,7 +1978,7 @@ object SparkEntry {
     // spec-gated on separation (TextClassifierSpec); trained weights
     // enter this exact path via quantizeMicro.
     "q195_quality_classifier" -> ((s, dir) => {
-      val w = Seq.tabulate(64)(k => ((k * 37) % 21 - 10).toLong)
+      val w = ClassifierWeights
       table(s, dir, "documents").select(col("doc_id"),
           Text.tokenCount(col("text")).as("n_tokens"),
           Text.classifierScoreMicro(col("text"), w).as("score_micro"),
@@ -4906,7 +4912,7 @@ object SparkEntry {
     // in generated pure SQL (OracleXxh64) — full rows+schema+hash gates.
     "q32_simhash" -> OracleXxh64.simhashSql("documents"),
     "q195_quality_classifier" -> OracleXxh64.classifierSql("documents",
-      Seq.tabulate(64)(k => ((k * 37) % 21 - 10).toLong)),
+      ClassifierWeights),
     "q37_fingerprint" -> OracleXxh64.fingerprintSql("documents"),
     "q38_subword_tokens" -> OracleXxh64.subwordCountSql("documents"),
     "q51_media_fingerprint" -> OracleXxh64.mediaFingerprintSql("documents"),

@@ -172,7 +172,14 @@ object Text {
     * Summation order makes low-order float bits partition-dependent;
     * the DECISIONS the model drives are spec-gated on separation, and
     * exact-replay inference goes through [[quantizeMicro]] +
-    * [[classifierScoreMicro]]. Returns (weights[dim], bias). */
+    * [[classifierScoreMicro]]. Returns (weights[dim], bias).
+    *
+    * REPLAY RECIPE: the trained boundary is `sum(w)/n + bias >= 0`,
+    * i.e. `sum(w) >= (-bias) × n` — encode it as
+    * `classifierKeep(text, quantizeMicro(w), bias = 0,
+    * thresholdMicroPerToken = -round(bias × 1e6))`. Passing the
+    * logistic bias as classifierKeep's once-added `bias` applies it
+    * per DOCUMENT instead of per token and shifts the boundary. */
   def trainQualityClassifier(df: DataFrame, textCol: String,
       labelCol: String, dim: Int, iters: Int = 30,
       lr: Double = 1.0): (Array[Double], Double) = {

@@ -236,18 +236,27 @@ object Warc {
       } catch { case _: IllegalArgumentException => None }
     }
     def param(s: String): Option[Charset] = {
-      val i = s.toLowerCase.indexOf("charset")
-      if (i < 0) return None
-      var j = i + 7
-      while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\t')) j += 1
-      if (j >= s.length || s.charAt(j) != '=') return None
-      j += 1
-      while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\t' ||
-        s.charAt(j) == '"' || s.charAt(j) == '\'')) j += 1
-      val start = j
-      while (j < s.length && (s.charAt(j).isLetterOrDigit ||
-        "._:-".indexOf(s.charAt(j)) >= 0)) j += 1
-      named(s.substring(start, j))
+      // scan EVERY 'charset' occurrence: prose like "set the charset
+      // in HTML" before a real <meta charset=...> must not end the
+      // search (the first-hit bailout was a reviewed defect)
+      val ls = s.toLowerCase
+      var i = ls.indexOf("charset")
+      while (i >= 0) {
+        var j = i + 7
+        while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\t')) j += 1
+        if (j < s.length && s.charAt(j) == '=') {
+          j += 1
+          while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\t' ||
+            s.charAt(j) == '"' || s.charAt(j) == '\'')) j += 1
+          val start = j
+          while (j < s.length && (s.charAt(j).isLetterOrDigit ||
+            "._:-".indexOf(s.charAt(j)) >= 0)) j += 1
+          val cs = named(s.substring(start, j))
+          if (cs.isDefined) return cs
+        }
+        i = ls.indexOf("charset", i + 1)
+      }
+      None
     }
     if (body.length >= 3 && (body(0) & 0xFF) == 0xEF &&
         (body(1) & 0xFF) == 0xBB && (body(2) & 0xFF) == 0xBF)

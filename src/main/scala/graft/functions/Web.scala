@@ -81,7 +81,10 @@ object Web {
     df.select(col(domainCol).cast("string"), col(txtCol).cast("string"))
       .as(Encoders.tuple(Encoders.STRING, Encoders.STRING))
       .mapPartitions { it =>
-        it.flatMap { case (domain, txt) =>
+        it.flatMap { case (domain, txt0) =>
+          // a fetch table naturally carries null bodies (404s,
+          // timeouts): no robots means no rules — never an NPE
+          val txt = if (domain == null || txt0 == null) "" else txt0
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           var agents = List.empty[String]
           var inRules = false
@@ -179,26 +182,32 @@ object Web {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("__upath")),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("__rpath"))))
     val agentLc = agent.toLowerCase
-    val decisions = withId
-      .select(col("__rid"), host.as("__udom"), urlPath.as("__upath"))
+    // the row id is evaluated ONCE (the original row rides the
+    // aggregate as a struct — no join-back against a second evaluation
+    // of a nondeterministic id, the reviewed cluster-correctness
+    // hazard); within one evaluation the id only needs uniqueness
+    val inCols = urls.columns.toSeq
+    withId
+      .select(col("__rid"), struct(inCols.map(col): _*).as("__row"),
+        host.as("__udom"), urlPath.as("__upath"))
       .join(rules, col("__udom") === col("__rdom"), "left")
-      .select(col("__rid"),
+      .select(col("__rid"), col("__row"),
         (col("__ragent") === agentLc).as("__spec"),
         (col("__ragent") === "*").as("__star"),
         (col("__isrule") && matchExpr).as("__hit"),
         length(col("__rpath")).as("__plen"), col("__rallow"))
       .groupBy("__rid")
       .agg(
+        first(col("__row")).as("__frow"),
         coalesce(max(col("__spec")), lit(false)).as("__hasSpec"),
         max(when(col("__spec") && col("__hit"),
           struct(col("__plen"), col("__rallow")))).as("__bestSpec"),
         max(when(col("__star") && col("__hit"),
           struct(col("__plen"), col("__rallow")))).as("__bestStar"))
-      .select(col("__rid"),
+      .select(col("__frow.*") +:
         when(col("__hasSpec"),
           coalesce(col("__bestSpec.__rallow"), lit(true)))
           .otherwise(coalesce(col("__bestStar.__rallow"), lit(true)))
-          .as("robots_allowed"))
-    withId.join(decisions, Seq("__rid")).drop("__rid")
+          .as("robots_allowed") +: Nil: _*)
   }
 }

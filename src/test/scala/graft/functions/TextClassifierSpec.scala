@@ -41,10 +41,13 @@ class TextClassifierSpec extends SparkSpec {
       dim = 256, iters = 60, lr = 2.0)
     assert(wd.length == 256)
     val w = Text.quantizeMicro(wd)
-    val bMicro = math.round(bias * 1e6)
-    // the mean-form integer decision at threshold 0 (sigmoid 0.5)
+    // the trained boundary sum(w)/n + bias >= 0 replays in the
+    // mean form as sum(w) >= (-bias) * n — bias is PER TOKEN there
+    // (the scaladoc's replay recipe; passing it as the once-added
+    // bias shifts the boundary)
+    val thr = -math.round(bias * 1e6)
     val kept = df.select(col("label"),
-        Text.classifierKeep(col("text"), w, bMicro, 0L).as("keep"))
+        Text.classifierKeep(col("text"), w, 0L, thr).as("keep"))
       .collect()
     kept.foreach { r =>
       assert(r.getBoolean(1) == (r.getDouble(0) == 1.0),
@@ -56,7 +59,7 @@ class TextClassifierSpec extends SparkSpec {
     val (wd2, bias2) = Text.trainQualityClassifier(df.repartition(7),
       "text", "label", dim = 256, iters = 60, lr = 2.0)
     val kept2 = df.select(col("label"), Text.classifierKeep(col("text"),
-        Text.quantizeMicro(wd2), math.round(bias2 * 1e6), 0L).as("keep"))
+        Text.quantizeMicro(wd2), 0L, -math.round(bias2 * 1e6)).as("keep"))
       .collect()
     kept2.foreach(r => assert(r.getBoolean(1) == (r.getDouble(0) == 1.0)))
   }

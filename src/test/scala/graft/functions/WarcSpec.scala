@@ -225,6 +225,14 @@ class WarcSpec extends SparkSpec {
     // quoted charset value parses
     assert(text("Content-Type: text/html; charset=\"windows-1252\"\r\n",
       Array(0x85.toByte)) == "…")
+    // prose mentioning 'charset' BEFORE the real meta must not end the
+    // scan (the reviewed first-occurrence bailout)
+    assert(text("Content-Type: text/html\r\n",
+      ("<p>how to set the charset in HTML</p>" +
+        "<meta charset=\"windows-1252\">x").getBytes("US-ASCII") ++
+        Array(0x93.toByte)) ==
+      "<p>how to set the charset in HTML</p>" +
+        "<meta charset=\"windows-1252\">x“")
   }
 
   test("resolveRevisits: refers_to and digest modes resolve to the " +

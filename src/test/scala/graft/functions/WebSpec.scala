@@ -154,4 +154,16 @@ class WebSpec extends SparkSpec {
     assert(RobotsMatch.matches(u("/abc"), u("/*c$")))
     assert(RobotsMatch.matches(u("/abc"), u("/a*")))
   }
+
+  test("robotsAllowed: null robots bodies (404/timeout fetches) are " +
+      "rule-less, never an executor NPE") {
+    val sp = spark
+    import sp.implicits._
+    val robots = Seq(("a.test", "User-agent: *\nDisallow: /x\n"),
+      ("dead.test", null.asInstanceOf[String])).toDF("domain", "txt")
+    val urls = Seq("https://a.test/x/1", "https://dead.test/x/1").toDF("url")
+    val got = Web.robotsAllowed(urls, "url", robots, "domain", "txt", "b")
+      .select("url", "robots_allowed").as[(String, Boolean)].collect().toMap
+    assert(!got("https://a.test/x/1") && got("https://dead.test/x/1"))
+  }
 }
