@@ -3762,14 +3762,20 @@ object SparkEntry {
             col("slot")).as("uri"),
           concat(lit("Doc "), col("id"), lit(" events="),
             col("count")).as("text"),
-          col("count").as("n"))
+          col("count").as("n"),
+          // a FloatList feature (the embedding shape) with exactly-
+          // representable dyadic values, so the oracle compares floats
+          // with zero tolerance
+          array((col("count") / lit(4.0)).cast("float"),
+            (col("count") / lit(8.0)).cast("float")).as("emb"))
       val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
       val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_tfx_$sf"
       val dirPath = new org.apache.hadoop.fs.Path(outDir)
       val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(dirPath, true); fs.mkdirs(dirPath)
       graft.functions.TfExample.writeExampleShards(g, "uri",
-        Seq("uri", "text"), Seq("n"), outDir, nShards = 8)
+        Seq("uri", "text"), Seq("n"), outDir, nShards = 8,
+        floatListCols = Seq("emb"))
       val files = s.read.format("binaryFile").load(outDir)
         .select(regexp_extract(col("path"), "shard-([0-9]+)", 1)
           .cast("long").as("id"), col("content").as("tfr"))
@@ -3781,8 +3787,14 @@ object SparkEntry {
           max(when(col("key") === "text",
             try_element_at(col("text_vals"), lit(1)))).as("text"),
           max(when(col("key") === "n",
-            try_element_at(col("int64_vals"), lit(1)))).as("n"))
-        .select("uri", "text", "n")
+            try_element_at(col("int64_vals"), lit(1)))).as("n"),
+          max(when(col("key") === "emb",
+            try_element_at(col("float_vals"), lit(1)))).cast("double")
+            .as("emb0"),
+          max(when(col("key") === "emb",
+            try_element_at(col("float_vals"), lit(2)))).cast("double")
+            .as("emb1"))
+        .select("uri", "text", "n", "emb0", "emb1")
         .orderBy("uri")
     }),
 
@@ -3853,6 +3865,29 @@ object SparkEntry {
         .select(col("doc"), col("entry_idx"), col("is_index"),
           col("loc"), col("lastmod"), col("changefreq"), col("priority"))
         .orderBy("doc", "entry_idx")
+    }),
+
+    // Crawl → LINK GRAPH edges (the WAT shape): out-links extracted
+    // and absolutized from the scanned pages feed the PageRank family
+    // directly. The boilerplate fixture's nine nav/cookie/footer
+    // hrefs (all root-relative) are known per page, so the oracle
+    // states every (page, dst) edge literally; a missed href, a botched
+    // absolutization, or a fragment leak changes the edge set.
+    "q200_link_graph_edges" -> ((s, dir) => {
+      val path = warcBoilerplateFixture(s, dir)
+      val scan = s.read.format("warc")
+        .option("maxSplitBytes", "4096").load(path)
+      scan.filter(col("warc_type") === "response" && col("http_status") === 200)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.warc", 1)
+            .cast("long").as("id"),
+          regexp_extract(col("target_uri"), "/([0-9]+)$", 1)
+            .cast("int").as("slot"),
+          explode(graft.functions.Web.extractLinks(
+            col("payload_text"), col("target_uri"))).as("dst"))
+        .groupBy("id", "slot", "dst")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("id", "slot", "dst")
     }),
 
     // WARC → text extraction pipeline (the WET conversion step) over
@@ -5156,6 +5191,28 @@ object SparkEntry {
         |SELECT * FROM ix
         |ORDER BY doc, entry_idx""".stripMargin,
 
+    // Link-graph edges closed-form: nine root-relative boilerplate
+    // hrefs per 200-status page, absolutized against the page origin
+    "q200_link_graph_edges" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |resp AS (SELECT ids.id, s.s AS slot, coalesce(g.cnt, 0) AS cnt
+        |         FROM ids
+        |         CROSS JOIN (SELECT CAST(unnest(range(10)) AS INTEGER) AS s) s
+        |         LEFT JOIN g ON g.d = ids.d AND g.slot = s.s)
+        |SELECT id, slot,
+        |       'https://example.com' || p AS dst,
+        |       CAST(1 AS BIGINT) AS n
+        |FROM resp
+        |CROSS JOIN (SELECT unnest(['/', '/a', '/c', '/l', '/p', '/s',
+        |  '/t', '/pr', '/si']) AS p) links
+        |WHERE cnt % 7 <> 0
+        |ORDER BY id, slot, dst""".stripMargin,
+
     // robots decisions closed-form: slot 9 is the robots-less domain;
     // graftbot's specific group only disallows /tmp (slot%5=3); the '*'
     // group disallows /private (1) and the anchored /*.php$ (4), the
@@ -6371,7 +6428,9 @@ object SparkEntry {
         |         CAST(slot AS VARCHAR) AS uri,
         |       'Doc ' || CAST(id AS VARCHAR) || ' events=' ||
         |         CAST(cnt AS VARCHAR) AS text,
-        |       cnt AS n
+        |       cnt AS n,
+        |       CAST(cnt AS DOUBLE) / 4 AS emb0,
+        |       CAST(cnt AS DOUBLE) / 8 AS emb1
         |FROM rows_
         |ORDER BY uri""".stripMargin,
 

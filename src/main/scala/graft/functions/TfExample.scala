@@ -317,17 +317,22 @@ object TfExample {
       bytesCols: Seq[String],
       int64Cols: Seq[String],
       dir: String,
-      nShards: Int): Unit = {
+      nShards: Int,
+      floatListCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions._
-    require(bytesCols.nonEmpty || int64Cols.nonEmpty, "no feature columns")
+    require(bytesCols.nonEmpty || int64Cols.nonEmpty || floatListCols.nonEmpty,
+      "no feature columns")
     val conf = new graft.sources.nc.SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val nBytes = bytesCols.length
+    val nInts = int64Cols.length
     val keyed = df.select(
         pmod(xxhash64(col(keyCol)), lit(nShards.toLong)).as("__shard"),
         col(keyCol).cast("string").as("__key"),
         struct(bytesCols.map(c => col(c).cast("string")) ++
-          int64Cols.map(c => col(c).cast("long")): _*).as("__v"))
+          int64Cols.map(c => col(c).cast("long")) ++
+          // embeddings and scores ride as FloatList (the tf.data shape)
+          floatListCols.map(c => col(c).cast("array<float>")): _*).as("__v"))
       .rdd.map { r =>
         val v = r.getStruct(2)
         val feats =
@@ -336,6 +341,9 @@ object TfExample {
               java.nio.charset.StandardCharsets.UTF_8)))
           } ++ int64Cols.zipWithIndex.map { case (c, i) =>
             c -> Feature("int64", int64Vals = Seq(v.getLong(nBytes + i)))
+          } ++ floatListCols.zipWithIndex.map { case (c, i) =>
+            c -> Feature("float",
+              floatVals = v.getSeq[Float](nBytes + nInts + i))
           }
         ((r.getLong(0), r.getString(1), ""), TfExample.encode(feats))
       }

@@ -120,6 +120,43 @@ object Web {
       }(Encoders.row(schema))
   }
 
+  /** Out-links of an HTML page, ABSOLUTIZED against the page URL — the
+    * corpus-scale edge extractor that feeds the link-graph family
+    * (PageRank/PPR/triangles) straight from a crawl scan, the WAT
+    * shape. `<a href>` values come from one RE2-safe
+    * `regexp_extract_all` (the capture stops at `#`, so fragments TRIM
+    * rather than dropping the link — same page to a frontier), each
+    * href entity-decodes (query strings escape `&` as `&amp;`), and
+    * resolution handles the four crawl-dominant forms: absolute,
+    * scheme-relative (`//host/…`), root-relative (`/…`), and
+    * path-relative (resolved against the base directory; dot-segment
+    * normalization is documented out of scope — frontier dedup
+    * canonicalizes downstream via [[canonicalizeUrl]]). Per-row
+    * codegen'd column ops, no shuffle. */
+  def extractLinks(html: Column, baseUrl: Column): Column = {
+    val hrefs = regexp_extract_all(html,
+      lit("(?i)<a\\s[^>]*href=[\"']([^\"'#]+)"), lit(1))
+    val scheme = regexp_extract(baseUrl, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    val origin = regexp_extract(baseUrl,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val afterOrigin = regexp_extract(baseUrl,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    // base DIRECTORY: origin + path up to (and including) the last '/',
+    // or origin + "/" when the path has none
+    val dir = concat(origin,
+      when(afterOrigin.contains("/"),
+        regexp_extract(afterOrigin, "^(.*/)", 1)).otherwise(lit("/")))
+    transform(hrefs, h0 => {
+      val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.HtmlNumericEntityDecode(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(h0)))
+      when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), h)
+        .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+        .when(h.startsWith("/"), concat(origin, h))
+        .otherwise(concat(dir, h))
+    })
+  }
+
   /** Sitemap XML (sitemaps.org protocol) → one row per `<url>` entry:
     * (loc, lastmod, changefreq, priority — "" when absent) plus the
     * child sitemap locs of a `<sitemapindex>` (surfaced with

@@ -166,4 +166,31 @@ class WebSpec extends SparkSpec {
       .select("url", "robots_allowed").as[(String, Boolean)].collect().toMap
     assert(!got("https://a.test/x/1") && got("https://dead.test/x/1"))
   }
+
+  test("extractLinks: absolute, scheme-relative, root-relative, " +
+      "path-relative resolution; entity decode; fragments drop") {
+    val sp = spark
+    import sp.implicits._
+    val html = """<a href="https://x.test/abs">A</a>
+      |<a href="//cdn.test/j.js">B</a>
+      |<a href='/root'>C</a>
+      |<a href="sib.html">D</a>
+      |<a class="z" href="/q?a=1&amp;b=2">E</a>
+      |<a href="/frag#sec">F</a>
+      |<a name="anchor-only">no href</a>""".stripMargin
+    val got = Seq(("https://e.test/dir/page.html", html)).toDF("base", "h")
+      .select(Web.extractLinks(col("h"), col("base"))).as[Seq[String]].head()
+    assert(got == Seq(
+      "https://x.test/abs",
+      "https://cdn.test/j.js",
+      "https://e.test/root",
+      "https://e.test/dir/sib.html",
+      "https://e.test/q?a=1&b=2",
+      "https://e.test/frag"), got)
+    // base with no path: directory defaults to origin + "/"
+    val got2 = Seq(("https://e.test", "<a href=\"rel\">r</a>"))
+      .toDF("base", "h")
+      .select(Web.extractLinks(col("h"), col("base"))).as[Seq[String]].head()
+    assert(got2 == Seq("https://e.test/rel"), got2)
+  }
 }
