@@ -307,7 +307,9 @@ object TfExample {
     *
     * Each row becomes one Example whose features are the given columns
     * in the given order (`bytesCols` as UTF-8 BytesList, `int64Cols`
-    * as Int64List), encoded with [[encode]]'s canonical layout —
+    * as Int64List, then `floatListCols` — each castable to
+    * `array<float>`, the embedding/score shape — as FloatList),
+    * encoded with [[encode]]'s canonical layout —
     * deterministic bytes, so the oracle-grade roundtrip holds. Output
     * is `shard-<k>.tfrecord` with both masked CRC32Cs per record, what
     * [[TfRecord.recordTable]] (and TF's own reader) re-ingests. */

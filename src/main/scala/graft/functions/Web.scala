@@ -124,37 +124,53 @@ object Web {
     * corpus-scale edge extractor that feeds the link-graph family
     * (PageRank/PPR/triangles) straight from a crawl scan, the WAT
     * shape. `<a href>` values come from one RE2-safe
-    * `regexp_extract_all` (the capture stops at `#`, so fragments TRIM
-    * rather than dropping the link — same page to a frontier), each
-    * href entity-decodes (query strings escape `&` as `&amp;`), and
-    * resolution handles the four crawl-dominant forms: absolute,
-    * scheme-relative (`//host/…`), root-relative (`/…`), and
-    * path-relative (resolved against the base directory; dot-segment
-    * normalization is documented out of scope — frontier dedup
-    * canonicalizes downstream via [[canonicalizeUrl]]). Per-row
-    * codegen'd column ops, no shuffle. */
+    * `regexp_extract_all` capturing the full QUOTED value (each quote
+    * style closes with its own delimiter, so apostrophes in
+    * double-quoted paths survive; unquoted attribute values — legal
+    * but rare in machine-written HTML — are documented out of scope).
+    * Fragments TRIM (same page to a frontier); pure-fragment and empty
+    * hrefs DROP (self-edges). Each href entity-decodes (query strings
+    * escape `&` as `&amp;`). Resolution per RFC 3986's crawl-dominant
+    * forms: http(s) absolute kept, OTHER schemes (mailto:, javascript:,
+    * tel:, data: — any first-segment colon) dropped rather than
+    * corrupted into fake relative edges, scheme-relative (`//host/…`),
+    * root-relative (`/…`), query-only (`?…` onto the full base path),
+    * path-relative (onto the base directory; dot-segment normalization
+    * is documented out of scope — frontier dedup canonicalizes
+    * downstream via [[canonicalizeUrl]]). Per-row codegen'd column
+    * ops, no shuffle. */
   def extractLinks(html: Column, baseUrl: Column): Column = {
-    val hrefs = regexp_extract_all(html,
-      lit("(?i)<a\\s[^>]*href=[\"']([^\"'#]+)"), lit(1))
+    val tokens = regexp_extract_all(html,
+      lit("(?i)<a\\s[^>]*href=(\"[^\"]*\"|'[^']*')"), lit(1))
     val scheme = regexp_extract(baseUrl, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
     val origin = regexp_extract(baseUrl,
       "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
     val afterOrigin = regexp_extract(baseUrl,
       "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     // base DIRECTORY: origin + path up to (and including) the last '/',
-    // or origin + "/" when the path has none
+    // or origin + "/" when the path has none; base PATH keeps the file
+    // (query-only hrefs replace the query, not the document)
     val dir = concat(origin,
       when(afterOrigin.contains("/"),
         regexp_extract(afterOrigin, "^(.*/)", 1)).otherwise(lit("/")))
-    transform(hrefs, h0 => {
+    val basePath = concat(origin,
+      when(afterOrigin === "", lit("/")).otherwise(afterOrigin))
+    val resolved = transform(tokens, t => {
+      val unq = t.substr(lit(2), length(t) - 2) // strip the quotes
+      val noFrag = when(unq.contains("#"),
+        substring_index(unq, "#", 1)).otherwise(unq)
       val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
         graft.expressions.HtmlNumericEntityDecode(
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression(h0)))
-      when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), h)
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(noFrag)))
+      when(h === "", lit(null).cast("string"))
+        .when(h.rlike("(?i)^https?://"), h)
         .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+        .when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), lit(null).cast("string"))
         .when(h.startsWith("/"), concat(origin, h))
+        .when(h.startsWith("?"), concat(basePath, h))
         .otherwise(concat(dir, h))
     })
+    filter(resolved, x => x.isNotNull)
   }
 
   /** Sitemap XML (sitemaps.org protocol) → one row per `<url>` entry:

@@ -187,6 +187,20 @@ class WebSpec extends SparkSpec {
       "https://e.test/dir/sib.html",
       "https://e.test/q?a=1&b=2",
       "https://e.test/frag"), got)
+    // non-http schemes DROP (never corrupt into fake relative edges);
+    // apostrophes inside double-quoted paths survive; query-only hrefs
+    // keep the base document; pure-fragment hrefs drop
+    val html2 = """<a href="mailto:a@b.c">m</a>
+      |<a href="javascript:void(0)">j</a>
+      |<a href="/wiki/O'Brien">w</a>
+      |<a href="?page=2">p</a>
+      |<a href="#top">t</a>
+      |<a href="">e</a>""".stripMargin
+    val got3 = Seq(("https://e.test/dir/page.html", html2)).toDF("base", "h")
+      .select(Web.extractLinks(col("h"), col("base"))).as[Seq[String]].head()
+    assert(got3 == Seq(
+      "https://e.test/wiki/O'Brien",
+      "https://e.test/dir/page.html?page=2"), got3)
     // base with no path: directory defaults to origin + "/"
     val got2 = Seq(("https://e.test", "<a href=\"rel\">r</a>"))
       .toDF("base", "h")
