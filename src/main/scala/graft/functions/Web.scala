@@ -2,16 +2,21 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** URL canonicalization + dedup — the first dedup pass of every web-scale
   * corpus pipeline (crawl frontiers emit the same page under scheme/host
-  * case variants, default ports, tracking params, fragments, and trailing
-  * slashes).
+  * case variants, default ports, tracking params, fragments, trailing
+  * slashes, dot segments, and percent-encoding variants).
   *
-  * Built from `regexp_extract` + array functions only — no regex
-  * REPLACEMENT with backreferences (whose `$1` vs `\1` syntax differs
-  * across engines), so the DuckDB oracle replays the transformation
-  * byte-for-byte. All patterns are RE2-compatible. Per-row, shuffle-free.
+  * Built from `regexp_extract` + array functions plus three tiny native
+  * scalar expressions ([[graft.expressions.RemoveDotSegments]],
+  * [[graft.expressions.PercentNormalize]],
+  * [[graft.expressions.RobotsMatch]]) — no regex REPLACEMENT with
+  * backreferences (whose `$1` vs `\1` syntax differs across engines), so
+  * the DuckDB oracle replays or restates every transformation
+  * byte-for-byte. All patterns are RE2-compatible. Per-row, shuffle-free
+  * except where documented.
   */
 object Web {
 
@@ -21,10 +26,47 @@ object Web {
 
   private val SchemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 
+  /** `href` attribute VALUE alternation: each quote style closes with its
+    * own delimiter (apostrophes inside double-quoted paths survive), and
+    * the third arm covers legal UNQUOTED values (`href=foo.html` —
+    * hand-written/legacy pages, a real slice of any crawl), terminated by
+    * whitespace or `>`. */
+  private val HrefValue = "href=(\"[^\"]*\"|'[^']*'|[^\\s>\"']+)"
+
+  private def pctNorm(c: Column): Column =
+    ColumnBridge.column(graft.expressions.PercentNormalize(
+      ColumnBridge.expression(c)))
+
+  private def dotSegments(c: Column): Column =
+    ColumnBridge.column(graft.expressions.RemoveDotSegments(
+      ColumnBridge.expression(c)))
+
+  private def entityDecode(c: Column): Column =
+    ColumnBridge.column(graft.expressions.HtmlNumericEntityDecode(
+      ColumnBridge.expression(c)))
+
+  private def stripQuotes(t: Column): Column =
+    when(t.startsWith("\"") || t.startsWith("'"),
+      t.substr(lit(2), length(t) - 2)).otherwise(t)
+
+  /** RFC 3986 §5.2.4 dot-segment removal applied to the PATH portion of
+    * an absolute URL (scheme://authority and ?query/#fragment tails ride
+    * through untouched); non-absolute strings pass unchanged. */
+  private def normalizeUrlPath(u: Column): Column = {
+    val pre = regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val p = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val tail = regexp_extract(u, "^[^?#]*([?#].*)?$", 1)
+    when(pre === "", u).otherwise(concat(pre, dotSegments(p), tail))
+  }
+
   /** Canonical form of an absolute URL: lowercase scheme and host, default
-    * ports (`:80` http, `:443` https) stripped, path defaulted to `/` and
-    * trailing slash removed, query params sorted with tracking params
-    * dropped, fragment dropped. Non-absolute strings (no `scheme://`) pass
+    * ports (`:80` http, `:443` https) stripped, path percent-normalized
+    * (RFC 3986 §6.2.2.2: unreserved escapes decode, other escapes
+    * uppercase — `%7Euser` and `~user` dedup together) then dot-segment
+    * normalized (§5.2.4: `/a/../b` and `/b` dedup together) then
+    * defaulted to `/` with the trailing slash removed, query
+    * percent-normalized and params sorted with tracking params dropped,
+    * fragment dropped. Non-absolute strings (no `scheme://`) pass
     * through unchanged. */
   def canonicalizeUrl(url: Column,
       trackingPrefixes: Seq[String] = TrackingParamPrefixes): Column = {
@@ -38,11 +80,14 @@ object Web {
         .otherwise(hostport)
     val rawPath = regexp_extract(url, SchemeRe + "[^/?#]*([^?#]*)", 2)
     val path0 = when(rawPath === "", lit("/")).otherwise(rawPath)
-    val path = when(length(path0) > 1 && path0.endsWith("/"),
-      path0.substr(lit(1), length(path0) - 1)).otherwise(path0)
+    // percent-normalize FIRST (a %2E becomes a real dot), then fold dot
+    // segments — RFC 3986 §6.2.2's prescribed order
+    val pathN = dotSegments(pctNorm(path0))
+    val path = when(length(pathN) > 1 && pathN.endsWith("/"),
+      pathN.substr(lit(1), length(pathN) - 1)).otherwise(pathN)
     // the query starts at the FIRST '?' only if it precedes any '#' — a '?'
     // inside the fragment is fragment content and must vanish with it
-    val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
+    val query = pctNorm(regexp_extract(url, "^[^#?]*\\?([^#]*)", 1))
     val kept = array_join(array_sort(filter(split(query, "&"),
       p => p =!= lit("") &&
         !trackingPrefixes.map(t => p.startsWith(t))
@@ -61,14 +106,18 @@ object Web {
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper_id"))
 
   /** Parse robots.txt bodies (RFC 9309) into RULE rows:
-    * (domain, agent, rule ∈ allow|disallow, path). Consecutive
-    * `User-agent` lines form one group's agent set; each Allow/Disallow
-    * under the group emits one row per agent; a `User-agent` after rule
-    * lines starts a NEW group. Comments strip at `#`, field names are
-    * case-insensitive, unknown fields (Sitemap, Crawl-delay) skip per
-    * the RFC, and an empty-valued Disallow means "allow all" and emits
-    * nothing. Stateful line walk → `mapPartitions` (the [[Warc.records]]
-    * precedent); everything downstream is relational. */
+    * (domain, agent, rule ∈ allow|disallow|agent|sitemap, path).
+    * Consecutive `User-agent` lines form one group's agent set; each
+    * Allow/Disallow under the group emits one row per agent; a
+    * `User-agent` after rule lines starts a NEW group. `Sitemap:` lines
+    * are GROUP-INDEPENDENT per the RFC and surface as
+    * `(domain, "", "sitemap", url)` rows — they are how real frontiers
+    * FIND the sitemaps [[sitemapUrls]] parses. Comments strip at `#`,
+    * field names are case-insensitive, other non-rule fields
+    * (Crawl-delay, unknown) skip per the RFC, and an empty-valued
+    * Disallow means "allow all" and emits nothing. Stateful line walk →
+    * `mapPartitions` (the [[Warc.records]] precedent); everything
+    * downstream is relational. */
   def robotsRules(df: DataFrame, domainCol: String,
       txtCol: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
@@ -111,7 +160,12 @@ object Web {
                   inRules = true
                   if (value.nonEmpty)
                     agents.foreach(a => out += Row(domain, a, field, value))
-                case _ => () // Sitemap, Crawl-delay, unknown: skip
+                case "sitemap" =>
+                  // group-independent (RFC 9309 §2.3-adjacent, per
+                  // sitemaps.org): no agent scope, does NOT open or
+                  // close a rule group
+                  if (value.nonEmpty) out += Row(domain, "", "sitemap", value)
+                case _ => () // Crawl-delay, unknown fields: skip
               }
             }
           }
@@ -120,48 +174,46 @@ object Web {
       }(Encoders.row(schema))
   }
 
-  /** Out-links of an HTML page, ABSOLUTIZED against the page URL — the
+  /** Out-links of an HTML page, RESOLVED per RFC 3986 §5 — the
     * corpus-scale edge extractor that feeds the link-graph family
     * (PageRank/PPR/triangles) straight from a crawl scan, the WAT
     * shape. `<a href>` values come from one RE2-safe
-    * `regexp_extract_all` capturing the full QUOTED value (each quote
-    * style closes with its own delimiter, so apostrophes in
-    * double-quoted paths survive; unquoted attribute values — legal
-    * but rare in machine-written HTML — are documented out of scope).
-    * Fragments TRIM (same page to a frontier); pure-fragment and empty
-    * hrefs DROP (self-edges). Each href entity-decodes (query strings
-    * escape `&` as `&amp;`). Resolution per RFC 3986's crawl-dominant
-    * forms: http(s) absolute kept, OTHER schemes (mailto:, javascript:,
-    * tel:, data: — any first-segment colon) dropped rather than
-    * corrupted into fake relative edges, scheme-relative (`//host/…`),
-    * root-relative (`/…`), query-only (`?…` onto the full base path),
-    * path-relative (onto the base directory; dot-segment normalization
-    * is documented out of scope — frontier dedup canonicalizes
-    * downstream via [[canonicalizeUrl]]). Per-row codegen'd column
-    * ops, no shuffle. */
+    * `regexp_extract_all` over [[HrefValue]] (double-quoted,
+    * single-quoted, and unquoted attribute values). When the page
+    * carries a `<base href>` element (templated/CDN-hosted sites), the
+    * FIRST one is itself resolved against the page URL and becomes the
+    * base every link resolves against (HTML spec; WAT extractors honor
+    * it). Fragments TRIM (same page to a frontier); pure-fragment and
+    * empty hrefs DROP (self-edges). Each href entity-decodes (query
+    * strings escape `&` as `&amp;`). Resolution per the RFC's
+    * crawl-dominant forms: http(s) absolute kept, OTHER schemes
+    * (mailto:, javascript:, tel:, data: — any first-segment colon)
+    * dropped rather than corrupted into fake relative edges,
+    * scheme-relative (`//host/…`), root-relative (`/…`), query-only
+    * (`?…` onto the full base path), path-relative (onto the base
+    * directory). Every resolved URL's path is dot-segment normalized
+    * (§5.2.4) — `../a.html` yields the one real URL, not a
+    * `/dir/../a.html` ghost node. Per-row codegen'd column ops, no
+    * shuffle. */
   def extractLinks(html: Column, baseUrl: Column): Column = {
-    val tokens = regexp_extract_all(html,
-      lit("(?i)<a\\s[^>]*href=(\"[^\"]*\"|'[^']*')"), lit(1))
-    val scheme = regexp_extract(baseUrl, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
-    val origin = regexp_extract(baseUrl,
-      "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
-    val afterOrigin = regexp_extract(baseUrl,
-      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    // base DIRECTORY: origin + path up to (and including) the last '/',
-    // or origin + "/" when the path has none; base PATH keeps the file
-    // (query-only hrefs replace the query, not the document)
-    val dir = concat(origin,
-      when(afterOrigin.contains("/"),
-        regexp_extract(afterOrigin, "^(.*/)", 1)).otherwise(lit("/")))
-    val basePath = concat(origin,
-      when(afterOrigin === "", lit("/")).otherwise(afterOrigin))
-    val resolved = transform(tokens, t => {
-      val unq = t.substr(lit(2), length(t) - 2) // strip the quotes
-      val noFrag = when(unq.contains("#"),
-        substring_index(unq, "#", 1)).otherwise(unq)
-      val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
-        graft.expressions.HtmlNumericEntityDecode(
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression(noFrag)))
+    def parts(u: Column): (Column, Column, Column, Column) = {
+      val scheme = regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+      val origin = regexp_extract(u,
+        "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+      val afterOrigin = regexp_extract(u,
+        "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+      // base DIRECTORY: origin + path up to (and including) the last '/',
+      // or origin + "/" when the path has none; base PATH keeps the file
+      // (query-only hrefs replace the query, not the document)
+      val dir = concat(origin,
+        when(afterOrigin.contains("/"),
+          regexp_extract(afterOrigin, "^(.*/)", 1)).otherwise(lit("/")))
+      val basePath = concat(origin,
+        when(afterOrigin === "", lit("/")).otherwise(afterOrigin))
+      (scheme, origin, dir, basePath)
+    }
+    def resolve(h: Column, scheme: Column, origin: Column, dir: Column,
+        basePath: Column): Column =
       when(h === "", lit(null).cast("string"))
         .when(h.rlike("(?i)^https?://"), h)
         .when(h.startsWith("//"), concat(scheme, lit(":"), h))
@@ -169,9 +221,39 @@ object Web {
         .when(h.startsWith("/"), concat(origin, h))
         .when(h.startsWith("?"), concat(basePath, h))
         .otherwise(concat(dir, h))
+    val (pScheme, pOrigin, pDir, pBasePath) = parts(baseUrl)
+    // <base href>: the first occurrence wins (HTML spec); it resolves
+    // against the PAGE url like any href, and a non-resolvable value
+    // (javascript:, empty, no base element) falls back to the page url
+    val baseTok = stripQuotes(
+      regexp_extract(html, "(?i)<base\\s[^>]*" + HrefValue, 1))
+    val baseNoFrag = when(baseTok.contains("#"),
+      substring_index(baseTok, "#", 1)).otherwise(baseTok)
+    val effBase = normalizeUrlPath(coalesce(
+      resolve(entityDecode(baseNoFrag), pScheme, pOrigin, pDir, pBasePath),
+      baseUrl))
+    val (scheme, origin, dir, basePath) = parts(effBase)
+    val tokens = regexp_extract_all(html,
+      lit("(?i)<a\\s[^>]*" + HrefValue), lit(1))
+    val resolved = transform(tokens, t => {
+      val unq = stripQuotes(t)
+      val noFrag = when(unq.contains("#"),
+        substring_index(unq, "#", 1)).otherwise(unq)
+      val h = entityDecode(noFrag)
+      normalizeUrlPath(resolve(h, scheme, origin, dir, basePath))
     })
     filter(resolved, x => x.isNotNull)
   }
+
+  /** Transparent gzip inflate of a binary column
+    * ([[graft.expressions.InflateBytes]]) — for SMALL compressed
+    * payloads riding columns (the wild's dominant `sitemap.xml.gz`
+    * bodies out of a fetch table); non-gzip bytes pass through, so
+    * mixed columns are safe. Whole compressed FILES belong to the
+    * splittable archive readers, not this. */
+  def inflate(bytes: Column): Column =
+    ColumnBridge.column(graft.expressions.InflateBytes(
+      ColumnBridge.expression(bytes)))
 
   /** Sitemap XML (sitemaps.org protocol) → one row per `<url>` entry:
     * (loc, lastmod, changefreq, priority — "" when absent) plus the
@@ -182,17 +264,20 @@ object Web {
     * an oracle replays them — because sitemap XML is machine-written
     * and flat; a full XML parser would buy nothing here (entities in
     * loc values decode with the same single-scan expression the HTML
-    * path uses: sitemaps escape `&` as `&amp;`). */
+    * path uses: sitemaps escape `&` as `&amp;`). `<url>` and
+    * `<sitemap>` blocks extract in SEPARATE tag-matched passes (open
+    * and close tags must agree — a mismatched `<url>…</sitemap>` pair
+    * in a malformed document segments nothing instead of something
+    * wrong); in a pathological mixed document url entries index before
+    * sitemap entries. */
   def sitemapUrls(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
-    val blocks = regexp_extract_all(col(xmlCol),
-      lit("(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"), lit(1))
+    val blocks = concat(
+      regexp_extract_all(col(xmlCol), lit("(?s)<url>(.*?)</url>"), lit(1)),
+      regexp_extract_all(col(xmlCol),
+        lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1)))
     val isIndex = col(xmlCol).contains("<sitemapindex")
-    def field(b: Column, name: String): Column = {
-      val raw = regexp_extract(b, s"(?s)<$name>\\s*(.*?)\\s*</$name>", 1)
-      org.apache.spark.sql.graftbridge.ColumnBridge.column(
-        graft.expressions.HtmlNumericEntityDecode(
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression(raw)))
-    }
+    def field(b: Column, name: String): Column =
+      entityDecode(regexp_extract(b, s"(?s)<$name>\\s*(.*?)\\s*</$name>", 1))
     df.select(col(idCol), posexplode(blocks).as(Seq("entry_idx", "__b")),
         isIndex.as("is_index"))
       .select(col(idCol), col("entry_idx"), col("is_index"),
@@ -213,54 +298,57 @@ object Web {
     *  - RULE selection: among the group's rules whose pattern matches
     *    the URL path ([[graft.expressions.RobotsMatch]]: prefix match,
     *    `*` wildcard, `$` end anchor), the LONGEST pattern wins; an
-    *    allow/disallow tie at equal length → allow; no match → allowed.
+    *    allow/disallow tie at equal length → allow; no match → allowed;
+    *  - both the URL path and rule paths percent-normalize first
+    *    (§2.2.2 of the RFC defers to RFC 3986 octet equivalence), so
+    *    `/%7Euser` rules match `/~user` fetches.
     *
-    * Scale shape: rules join URLs keyed by domain (rules per domain are
-    * tiny — effectively a broadcast side), decisions fold in ONE
-    * aggregate (max over (length, is-allow) structs — the longest-match
-    * + tie rule as plain struct ordering), and the verdict joins back
-    * on a row id. Returns the input plus `robots_allowed`. */
+    * Scale + determinism shape: decisions compute per DISTINCT url —
+    * repeated frontier URLs evaluate once — keyed by the URL VALUE
+    * itself (deterministic under partial stage recompute, unlike a
+    * generated row id), then join back to the input rows by that
+    * value (null-safe). Rules join URLs keyed by domain (rules per
+    * domain are tiny — effectively a broadcast side) and the verdict
+    * folds in ONE aggregate (max over (length, is-allow) structs — the
+    * longest-match + tie rule as plain struct ordering). Returns the
+    * input plus `robots_allowed`. */
   def robotsAllowed(urls: DataFrame, urlCol: String, robots: DataFrame,
       domainCol: String, txtCol: String, agent: String): DataFrame = {
     val rules = robotsRules(robots, domainCol, txtCol)
+      .filter(col("rule") =!= "sitemap") // discovery rows, not rules
       .select(col("domain").as("__rdom"), col("agent").as("__ragent"),
         (col("rule") === "allow").as("__rallow"),
-        (col("rule") =!= "agent").as("__isrule"), col("path").as("__rpath"))
-    val withId = urls.withColumn("__rid", monotonically_increasing_id())
-    val host = lower(regexp_extract(col(urlCol), SchemeRe + "([^/?#]*)", 2))
-    val rawPath = regexp_extract(col(urlCol), SchemeRe + "[^/?#]*([^#]*)", 2)
-    val urlPath = when(rawPath === "", lit("/")).otherwise(rawPath)
-    val matchExpr = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        (col("rule") =!= "agent").as("__isrule"),
+        pctNorm(col("path")).as("__rpath"))
+    val host = lower(regexp_extract(col("__uurl"), SchemeRe + "([^/?#]*)", 2))
+    val rawPath = regexp_extract(col("__uurl"), SchemeRe + "[^/?#]*([^#]*)", 2)
+    val urlPath = pctNorm(when(rawPath === "", lit("/")).otherwise(rawPath))
+    val matchExpr = ColumnBridge.column(
       graft.expressions.RobotsMatch(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("__upath")),
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("__rpath"))))
+        ColumnBridge.expression(col("__upath")),
+        ColumnBridge.expression(col("__rpath"))))
     val agentLc = agent.toLowerCase
-    // the row id is evaluated ONCE (the original row rides the
-    // aggregate as a struct — no join-back against a second evaluation
-    // of a nondeterministic id, the reviewed cluster-correctness
-    // hazard); within one evaluation the id only needs uniqueness
-    val inCols = urls.columns.toSeq
-    withId
-      .select(col("__rid"), struct(inCols.map(col): _*).as("__row"),
-        host.as("__udom"), urlPath.as("__upath"))
+    val verdicts = urls.select(col(urlCol).as("__uurl")).distinct()
+      .select(col("__uurl"), host.as("__udom"), urlPath.as("__upath"))
       .join(rules, col("__udom") === col("__rdom"), "left")
-      .select(col("__rid"), col("__row"),
+      .select(col("__uurl"),
         (col("__ragent") === agentLc).as("__spec"),
         (col("__ragent") === "*").as("__star"),
         (col("__isrule") && matchExpr).as("__hit"),
         length(col("__rpath")).as("__plen"), col("__rallow"))
-      .groupBy("__rid")
+      .groupBy("__uurl")
       .agg(
-        first(col("__row")).as("__frow"),
         coalesce(max(col("__spec")), lit(false)).as("__hasSpec"),
         max(when(col("__spec") && col("__hit"),
           struct(col("__plen"), col("__rallow")))).as("__bestSpec"),
         max(when(col("__star") && col("__hit"),
           struct(col("__plen"), col("__rallow")))).as("__bestStar"))
-      .select(col("__frow.*") +:
+      .select(col("__uurl"),
         when(col("__hasSpec"),
           coalesce(col("__bestSpec.__rallow"), lit(true)))
           .otherwise(coalesce(col("__bestStar.__rallow"), lit(true)))
-          .as("robots_allowed") +: Nil: _*)
+          .as("robots_allowed"))
+    urls.join(verdicts, urls(urlCol) <=> verdicts("__uurl"), "left")
+      .drop("__uurl")
   }
 }

@@ -207,4 +207,146 @@ class WebSpec extends SparkSpec {
       .select(Web.extractLinks(col("h"), col("base"))).as[Seq[String]].head()
     assert(got2 == Seq("https://e.test/rel"), got2)
   }
+
+  test("canonicalizeUrl: dot segments fold (RFC 3986 §5.2.4)") {
+    assert(canon("https://e.test/a/../b") == "https://e.test/b")
+    assert(canon("https://e.test/a/./b/") == "https://e.test/a/b")
+    assert(canon("https://e.test/../../x") == "https://e.test/x")
+    assert(canon("https://e.test/a/b/../../") == "https://e.test/")
+    assert(canon("https://e.test/a/..") == "https://e.test/")
+    // a dotted FILENAME is not a dot segment
+    assert(canon("https://e.test/a.b/..c/d.") == "https://e.test/a.b/..c/d.")
+    // %2E decodes first (unreserved), THEN folds as a dot segment
+    assert(canon("https://e.test/a/%2E%2E/b") == "https://e.test/b")
+  }
+
+  test("canonicalizeUrl: percent-encoding normalization (§6.2.2.2)") {
+    // unreserved escapes decode
+    assert(canon("https://e.test/%7Euser") == "https://e.test/~user")
+    assert(canon("https://e.test/%7euser") == "https://e.test/~user")
+    // reserved escapes stay encoded, hex uppercased
+    assert(canon("https://e.test/a%2fb") == "https://e.test/a%2Fb")
+    assert(canon("https://e.test/p?x=%3a1") == "https://e.test/p?x=%3A1")
+    // dangling / non-hex '%' passes through literally (dirty crawl URLs)
+    assert(canon("https://e.test/100%") == "https://e.test/100%")
+    assert(canon("https://e.test/a%zz") == "https://e.test/a%zz")
+  }
+
+  test("extractLinks: dot segments in relative hrefs normalize to the " +
+      "real URL; excess .. stop at the root") {
+    val sp = spark
+    import sp.implicits._
+    val html = """<a href="../up.html">u</a>
+      |<a href="x/../sib.html">s</a>
+      |<a href="../../../far.html">f</a>
+      |<a href="https://x.test/a/../keep/../b">abs</a>""".stripMargin
+    val got = Seq(("https://e.test/d1/d2/page.html", html)).toDF("base", "h")
+      .select(Web.extractLinks(col("h"), col("base"))).as[Seq[String]].head()
+    assert(got == Seq(
+      "https://e.test/d1/up.html",
+      "https://e.test/d1/d2/sib.html",
+      "https://e.test/far.html",
+      "https://x.test/b"), got)
+  }
+
+  test("extractLinks: <base href> wins over the page URL; unquoted " +
+      "href values extract") {
+    val sp = spark
+    import sp.implicits._
+    val html = """<head><base href="https://cdn.test/b/"></head>
+      |<a href="/root">r</a>
+      |<a href="rel.html">p</a>
+      |<a href=unquoted.html class=x>u</a>
+      |<a href=/uq>q</a>""".stripMargin
+    val got = Seq(("https://e.test/dir/page.html", html)).toDF("base", "h")
+      .select(Web.extractLinks(col("h"), col("base"))).as[Seq[String]].head()
+    assert(got == Seq(
+      "https://cdn.test/root",
+      "https://cdn.test/b/rel.html",
+      "https://cdn.test/b/unquoted.html",
+      "https://cdn.test/uq"), got)
+    // a RELATIVE base href resolves against the page first; only the
+    // FIRST base element counts
+    val html2 = """<base href="sub/"><base href="https://other.test/">
+      |<a href="x.html">x</a>""".stripMargin
+    val got2 = Seq(("https://e.test/dir/page.html", html2)).toDF("base", "h")
+      .select(Web.extractLinks(col("h"), col("base"))).as[Seq[String]].head()
+    assert(got2 == Seq("https://e.test/dir/sub/x.html"), got2)
+    // a non-resolvable base (javascript:) falls back to the page URL
+    val html3 = """<base href="javascript:void(0)"><a href="y.html">y</a>"""
+    val got3 = Seq(("https://e.test/dir/page.html", html3)).toDF("base", "h")
+      .select(Web.extractLinks(col("h"), col("base"))).as[Seq[String]].head()
+    assert(got3 == Seq("https://e.test/dir/y.html"), got3)
+  }
+
+  test("robotsRules: Sitemap lines surface as group-independent " +
+      "discovery rows; robotsAllowed ignores them") {
+    val sp = spark
+    import sp.implicits._
+    val robots = Seq(("a.test",
+      """Sitemap: https://a.test/sm1.xml.gz
+        |User-agent: *
+        |Disallow: /x
+        |Sitemap: https://a.test/sm2.xml
+        |Allow: /x/ok
+        |""".stripMargin)).toDF("domain", "txt")
+    val rules = Web.robotsRules(robots, "domain", "txt")
+      .as[(String, String, String, String)].collect().toSeq
+    val sitemaps = rules.filter(_._3 == "sitemap")
+    assert(sitemaps == Seq(
+      ("a.test", "", "sitemap", "https://a.test/sm1.xml.gz"),
+      ("a.test", "", "sitemap", "https://a.test/sm2.xml")))
+    // the Sitemap line between Disallow and Allow does NOT split the
+    // group: /x/ok still binds to '*'
+    val urls = Seq("https://a.test/x/ok/1", "https://a.test/x/other").toDF("url")
+    val got = Web.robotsAllowed(urls, "url", robots, "domain", "txt", "b")
+      .select("url", "robots_allowed").as[(String, Boolean)].collect().toMap
+    assert(got("https://a.test/x/ok/1") && !got("https://a.test/x/other"))
+  }
+
+  test("robotsAllowed: percent-normalized path matching; duplicate " +
+      "frontier URLs keep their multiplicity") {
+    val sp = spark
+    import sp.implicits._
+    val robots = Seq(("a.test", "User-agent: *\nDisallow: /%7Epriv\n"))
+      .toDF("domain", "txt")
+    val urls = Seq("https://a.test/~priv/x", "https://a.test/~priv/x",
+      "https://a.test/%7epriv/y", "https://a.test/pub").toDF("url")
+    val got = Web.robotsAllowed(urls, "url", robots, "domain", "txt", "b")
+      .select("url", "robots_allowed").as[(String, Boolean)].collect()
+    assert(got.length == 4) // dup row survives the distinct-verdict join
+    val byUrl = got.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byUrl("https://a.test/~priv/x") == Seq(false, false))
+    assert(byUrl("https://a.test/%7epriv/y") == Seq(false))
+    assert(byUrl("https://a.test/pub") == Seq(true))
+  }
+
+  test("sitemapUrls: mismatched open/close tags segment nothing; " +
+      "mixed documents index url entries before sitemap entries") {
+    val sp = spark
+    import sp.implicits._
+    val bad = "<urlset><url><loc>https://e.test/a</loc></sitemap></urlset>"
+    val mixed = "<sitemapindex><sitemap><loc>https://e.test/s.xml</loc>" +
+      "</sitemap><url><loc>https://e.test/u</loc></url></sitemapindex>"
+    val docs = Seq((1L, bad), (2L, mixed)).toDF("doc", "xml")
+    val got = Web.sitemapUrls(docs, "doc", "xml")
+      .select("doc", "entry_idx", "loc")
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    assert(got == Seq((2L, 0, "https://e.test/u"),
+      (2L, 1, "https://e.test/s.xml")), got)
+  }
+
+  test("inflate: gzip bodies inflate, plain bytes pass through") {
+    val sp = spark
+    import sp.implicits._
+    val xml = "<urlset><url><loc>https://e.test/z</loc></url></urlset>"
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(xml.getBytes("UTF-8")); gz.close()
+    val df = Seq((1L, bos.toByteArray), (2L, "plain".getBytes("UTF-8")))
+      .toDF("id", "body")
+    val got = df.select(col("id"), decode(Web.inflate(col("body")), "UTF-8"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == xml && got(2L) == "plain")
+  }
 }
