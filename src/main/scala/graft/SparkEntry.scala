@@ -1146,10 +1146,14 @@ object SparkEntry {
             // the invisible leading char is U+FEFF: the UTF-8 BOM day
             case _ => (s"﻿bom text events=$c ok", "UTF-8", true)
           }
+          // slot 9 is the legacy-page tail: the header SAYS
+          // x-user-defined (a label the JDK lacks) but the bytes are
+          // windows-1252 — the WHATWG document-decode alias
           Warc.WRecord("response",
             targetUri = s"https://example.com/$id/$slot",
             httpStatus = Some(200), body = body,
-            bodyCharset = cs, charsetHeader = hdr)
+            bodyCharset = cs, charsetHeader = hdr,
+            charsetLabel = if (slot == 9) "x-user-defined" else "")
         }
       val out = fs.create(
         new org.apache.hadoop.fs.Path(s"$outDir/$id.warc.gz"), true)
@@ -6560,7 +6564,9 @@ object SparkEntry {
     // Charset sniffing: decoded text restated via chr() codepoints;
     // content_length is the on-the-wire BYTE length (1-byte charsets →
     // char count; BOM day adds 3). Envelope: status line 17 + blank 2 +
-    // Content-Type 25 (plain) / 47 (with '; charset=windows-1252')
+    // Content-Type 25 (plain) / 47 (with '; charset=windows-1252') /
+    // 49 for slot 9's '; charset=x-user-defined' (the WHATWG alias:
+    // the label decodes as windows-1252)
     "q192_warc_charset" ->
       """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
         |                  CAST(event_id % 10 AS INTEGER) AS slot,
@@ -6580,7 +6586,9 @@ object SparkEntry {
         |        ' ' || chr(176) || 'C events=' || CAST(cnt AS VARCHAR)
         |      ELSE 'bom text events=' || CAST(cnt AS VARCHAR) || ' ok'
         |    END AS payload_text,
-        |    CASE slot % 3 WHEN 0 THEN 66 WHEN 1 THEN 44 ELSE 47 END AS env
+        |    CASE WHEN slot = 9 THEN 68
+        |         WHEN slot % 3 = 0 THEN 66
+        |         WHEN slot % 3 = 1 THEN 44 ELSE 47 END AS env
         |  FROM resp)
         |SELECT id, rec_idx,
         |       CAST(env + length(payload_text) AS BIGINT) AS content_length,

@@ -72,24 +72,128 @@ object Text {
     * pass — explode pre-tokens, groupBy, count — producing the word
     * FREQUENCY dictionary, which is bounded by vocabulary, not corpus
     * (the classic BPE trainer's working set). Merge learning then runs
-    * on the driver over that dict: `numMerges` rounds of weighted
-    * adjacent-pair counting, each picking the max-count pair with a
-    * DETERMINISTIC tie-break (count desc, then pair ascending) and
-    * rewriting the dict — same left-to-right non-overlapping apply as
-    * the encoder. `maxDictWords` keeps the driver set bounded by
-    * frequency rank (the mass lives in the head; the cap is logged via
-    * the returned dict truncation being deterministic, never silent
-    * reordering). Output pairs are in the mapped alphabet
-    * [[bpeEncode]] consumes verbatim. */
+    * on the driver over that dict INCREMENTALLY: a pair→postings index
+    * (which words contain which pair) means each merge round touches
+    * ONLY the words containing the merged pair — the textbook BPE
+    * trainer shape, O(affected words) per round instead of the naive
+    * O(dict symbols) full recount, so a real 32k–50k-merge vocabulary
+    * trains in seconds, not hours. Best-pair selection is an ordered
+    * set (count desc, then pair ascending — the DETERMINISTIC
+    * tie-break), maintained alongside the counts. Parity with the
+    * naive full-recount loop is pinned by spec ([[learnMergesNaive]]
+    * stays as the reference implementation).
+    *
+    * `maxDictWords` keeps the driver set bounded by frequency rank
+    * (the mass lives in the head). When the cap BINDS it is logged as
+    * a warning — a truncated dict can change the learned merges, so
+    * the caller gets a signal, never silence. Output pairs are in the
+    * mapped alphabet [[bpeEncode]] consumes verbatim. */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
       maxDictWords: Int = 1 << 20): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges $numMerges")
-    val dict0 = df.select(explode(bpePretokens(col(textCol))).as("w"))
+    // +1 row: detect a binding cap without a second count() job
+    val rows = df.select(explode(bpePretokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w"))
-      .limit(maxDictWords)
+      .limit(maxDictWords + 1)
       .collect()
+    if (rows.length > maxDictWords)
+      trainLog.warn(
+        s"bpeTrain: maxDictWords=$maxDictWords cap binds — merges are " +
+          "learned from the head of the frequency-ranked dictionary only; " +
+          "raise the cap for tail-sensitive vocabularies")
+    val dict0 = rows.take(maxDictWords)
       .map(r => (r.getString(0).toCharArray.map(String.valueOf), r.getLong(1)))
+    learnMerges(dict0, numMerges)
+  }
+
+  @transient private lazy val trainLog =
+    org.slf4j.LoggerFactory.getLogger("graft.Text")
+
+  /** Left-to-right non-overlapping apply of one merge to a symbol
+    * array — the same walk the encoder replays. */
+  private def applyMerge(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += syms(i) + syms(i + 1); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Incremental merge learning over a word-frequency dict: pair
+    * counts + pair→postings maintained in place, best pair from an
+    * ordered set. Merge-for-merge identical to [[learnMergesNaive]]
+    * (spec-pinned parity). */
+  private[graft] def learnMerges(dict0: Array[(Array[String], Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] = dict0.map(_._1)
+    val wc: Array[Long] = dict0.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val postings = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    implicit val bestFirst: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering[Long].reverse, Ordering[String], Ordering[String])
+    val queue = mutable.TreeSet.empty[(Long, String, String)]
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) queue.remove((old, p._1, p._2))
+      val nw = old + delta
+      if (nw == 0L) counts.remove(p)
+      else { counts(p) = nw; queue.add((nw, p._1, p._2)) }
+    }
+    def pairsOf(syms: Array[String])(f: ((String, String)) => Unit): Unit = {
+      var i = 0
+      while (i < syms.length - 1) { f((syms(i), syms(i + 1))); i += 1 }
+    }
+    var wi = 0
+    while (wi < words.length) {
+      val c = wc(wi)
+      pairsOf(words(wi)) { p =>
+        bump(p, c)
+        postings.getOrElseUpdate(p, mutable.Set.empty) += wi
+      }
+      wi += 1
+    }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    while (round < numMerges && queue.nonEmpty) {
+      val (_, l, r) = queue.head
+      merges += ((l, r))
+      val best = (l, r)
+      // only words CONTAINING the merged pair change — postings order
+      // is irrelevant to the result (each word recounts independently)
+      val affected = postings.getOrElse(best, mutable.Set.empty).toArray
+      var k = 0
+      while (k < affected.length) {
+        val w = affected(k)
+        val c = wc(w)
+        val oldSyms = words(w)
+        pairsOf(oldSyms)(p => bump(p, -c))
+        pairsOf(oldSyms)(p => postings.get(p).foreach(_ -= w))
+        val newSyms = applyMerge(oldSyms, l, r)
+        words(w) = newSyms
+        pairsOf(newSyms) { p =>
+          bump(p, c)
+          postings.getOrElseUpdate(p, mutable.Set.empty) += w
+        }
+        k += 1
+      }
+      postings.remove(best)
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /** The naive full-recount reference trainer (one weighted pair count
+    * + full dict rewrite per round) — kept as the parity oracle for
+    * [[learnMerges]]; correct at any scale, O(merges × dict symbols)
+    * on the driver. */
+  private[graft] def learnMergesNaive(dict0: Array[(Array[String], Long)],
+      numMerges: Int): Seq[(String, String)] = {
     var dict: Array[(Array[String], Long)] = dict0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
@@ -115,20 +219,7 @@ object Text {
           }
         }
         merges += best
-        dict = dict.map { case (syms, c) =>
-          if (syms.length < 2) (syms, c)
-          else {
-            val out = scala.collection.mutable.ArrayBuffer.empty[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == best._1 &&
-                  syms(i + 1) == best._2) {
-                out += syms(i) + syms(i + 1); i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            (out.toArray, c)
-          }
-        }
+        dict = dict.map { case (syms, c) => (applyMerge(syms, best._1, best._2), c) }
         round += 1
       }
     }

@@ -336,14 +336,29 @@ object TfExample {
           // embeddings and scores ride as FloatList (the tf.data shape)
           floatListCols.map(c => col(c).cast("array<float>")): _*).as("__v"))
       .rdd.map { r =>
+        if (r.isNullAt(1)) throw new IllegalArgumentException(
+          s"writeExampleShards: null key in column '$keyCol' — shard " +
+            "routing and within-shard ordering need a non-null key")
         val v = r.getStruct(2)
+        // refuse-by-name, the export path's convention: a null feature
+        // cell must not surface as a bare NPE from deep inside proto
+        // encoding (tf.Example has no null — the caller decides whether
+        // to pre-filter or default)
+        def requireSet(idx: Int, c: String): Unit =
+          if (v.isNullAt(idx)) throw new IllegalArgumentException(
+            s"writeExampleShards: null value in feature column '$c' for " +
+              s"key '${r.getString(1)}' — tf.Example features cannot be " +
+              "null; pre-filter or coalesce the column")
         val feats =
           bytesCols.zipWithIndex.map { case (c, i) =>
+            requireSet(i, c)
             c -> Feature("bytes", bytesVals = Seq(v.getString(i).getBytes(
               java.nio.charset.StandardCharsets.UTF_8)))
           } ++ int64Cols.zipWithIndex.map { case (c, i) =>
+            requireSet(nBytes + i, c)
             c -> Feature("int64", int64Vals = Seq(v.getLong(nBytes + i)))
           } ++ floatListCols.zipWithIndex.map { case (c, i) =>
+            requireSet(nBytes + nInts + i, c)
             c -> Feature("float",
               floatVals = v.getSeq[Float](nBytes + nInts + i))
           }

@@ -228,8 +228,13 @@ object Warc {
       body: Array[Byte]): (java.nio.charset.Charset, Int) = {
     import java.nio.charset.{Charset, StandardCharsets}
     def named(name: String): Option[Charset] = {
-      val n = name.trim.stripPrefix("\"").stripSuffix("\"")
+      val n0 = name.trim.stripPrefix("\"").stripSuffix("\"")
         .stripPrefix("'").stripSuffix("'").trim
+      // the one HTML5 label the JDK lacks: x-user-defined decodes as
+      // windows-1252 per the WHATWG encoding spec's document-decode
+      // rule — browsers do this, so the legacy-page long tail must too
+      val n = if (n0.equalsIgnoreCase("x-user-defined")) "windows-1252"
+        else n0
       if (n.isEmpty) None
       else try {
         if (Charset.isSupported(n)) Some(Charset.forName(n)) else None
@@ -434,7 +439,10 @@ object Warc {
       refersTo: String = "", // WARC-Refers-To (revisit records)
       payloadDigest: String = "", // WARC-Payload-Digest
       bodyCharset: String = "UTF-8", // HTTP body encoding on the wire
-      charsetHeader: Boolean = true) // emit '; charset=' when non-UTF-8
+      charsetHeader: Boolean = true, // emit '; charset=' when non-UTF-8
+      charsetLabel: String = "") // advertised label when it differs from
+                                 // bodyCharset (x-user-defined pages SAY
+                                 // that but carry windows-1252 bytes)
 
   /** Emit records; `gzipPerRecord = true` compresses each record as its
     * own gzip member and concatenates — the Common Crawl layout;
@@ -460,10 +468,12 @@ object Warc {
           var body = r.body.getBytes(r.bodyCharset)
           val hdrs = new StringBuilder
           hdrs.append(s"HTTP/1.1 $code $reason\r\n")
+          val label =
+            if (r.charsetLabel.nonEmpty) r.charsetLabel else r.bodyCharset
           if (r.bodyCharset.equalsIgnoreCase("UTF-8") || !r.charsetHeader)
             hdrs.append("Content-Type: text/html\r\n")
           else
-            hdrs.append(s"Content-Type: text/html; charset=${r.bodyCharset}\r\n")
+            hdrs.append(s"Content-Type: text/html; charset=$label\r\n")
           if (r.gzipBody) { // content-coding first, transfer-coding on top
             body = gzipStored(body)
             hdrs.append("Content-Encoding: gzip\r\n")

@@ -79,6 +79,41 @@ class BpeSpec extends SparkSpec {
     assert(Text.bpeTrain(df, "t", 0) == Seq.empty)
   }
 
+  test("incremental trainer parity: learnMerges == learnMergesNaive on " +
+      "seeded random dicts (ties, repeats, single-symbol words)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val alpha = "abcdef".toCharArray.map(String.valueOf)
+      val dict = Array.tabulate(120) { _ =>
+        val len = 1 + rnd.nextInt(9)
+        (Array.fill(len)(alpha(rnd.nextInt(alpha.length))),
+          (1 + rnd.nextInt(7)).toLong)
+      }
+      val fast = Text.learnMerges(dict.map { case (w, c) => (w.clone(), c) }, 60)
+      val slow = Text.learnMergesNaive(dict.map { case (w, c) => (w.clone(), c) }, 60)
+      assert(fast == slow, s"trial $trial diverged: $fast vs $slow")
+    }
+  }
+
+  test("incremental trainer scales: >=1k merges over a 2k-word dict in " +
+      "seconds, merge-for-merge identical to the naive loop") {
+    val rnd = new scala.util.Random(7)
+    val alpha = ('a' to 'z').toArray.map(String.valueOf)
+    val dict = Array.tabulate(2000) { _ =>
+      (Array.fill(12 + rnd.nextInt(12))(alpha(rnd.nextInt(alpha.length))),
+        (1 + rnd.nextInt(100)).toLong)
+    }
+    val t0 = System.nanoTime()
+    val fast = Text.learnMerges(dict.map { case (w, c) => (w.clone(), c) }, 1200)
+    val fastMs = (System.nanoTime() - t0) / 1e6
+    val slow = Text.learnMergesNaive(dict.map { case (w, c) => (w.clone(), c) }, 1200)
+    assert(fast.length == 1200, s"dried out at ${fast.length}")
+    assert(fast == slow)
+    // generous bound: the point is NOT-hours (naive at 50k merges);
+    // incremental does ~1200 rounds of localized updates
+    assert(fastMs < 30000, s"incremental trainer took ${fastMs}ms")
+  }
+
   test("token COUNT is exact and non-ASCII is byte-level (no unknowns): " +
       "multi-byte UTF-8 chars count per mapped byte symbol") {
     val cnt = Seq("xyz xyz é").toDF("t")

@@ -168,4 +168,27 @@ class TfExampleSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("duplicate")), e.getMessage)
   }
+
+  test("writeExampleShards: null feature cells and null keys refuse by " +
+      "NAME (never a bare NPE from proto encoding)") {
+    import java.nio.file.Files
+    val sp = spark
+    import sp.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val nullText = Seq(("k0", "ok", 1L), ("k1", null.asInstanceOf[String], 2L))
+      .toDF("uri", "text", "n")
+    val e1 = intercept[org.apache.spark.SparkException](
+      TfExample.writeExampleShards(nullText, "uri", Seq("uri", "text"),
+        Seq("n"), Files.createTempDirectory("tfxn1").toString, nShards = 2))
+    assert(msgs(e1).exists(m => m.contains("null value") &&
+      m.contains("'text'") && m.contains("k1")), e1.getMessage)
+    val nullKey = Seq(("k0", "ok", 1L),
+      (null.asInstanceOf[String], "x", 2L)).toDF("uri", "text", "n")
+    val e2 = intercept[org.apache.spark.SparkException](
+      TfExample.writeExampleShards(nullKey, "uri", Seq("uri", "text"),
+        Seq("n"), Files.createTempDirectory("tfxn2").toString, nShards = 2))
+    assert(msgs(e2).exists(m => m.contains("null key") &&
+      m.contains("'uri'")), e2.getMessage)
+  }
 }

@@ -291,4 +291,16 @@ class WarcSpec extends SparkSpec {
       Seq("conversion", "response", "warcinfo"))
     assert(rows.count(_.getAs[Int]("http_status") == 200) == 2)
   }
+
+  test("sniffCharset: x-user-defined aliases to windows-1252 (WHATWG " +
+      "document-decode rule) in header AND meta positions") {
+    val bytes = "café".getBytes("windows-1252") // é = 0xE9
+    val viaHeader = Warc.decodeText(
+      "text/html; charset=x-user-defined", bytes)
+    assert(viaHeader == "café", viaHeader)
+    val metaBody = ("<meta charset='X-User-Defined'>café")
+      .getBytes("windows-1252")
+    assert(Warc.decodeText("text/html", metaBody) ==
+      "<meta charset='X-User-Defined'>café")
+  }
 }
