@@ -1048,6 +1048,15 @@ object SparkEntry {
           val c = cnt(slot)
           val content =
             if (slot == 7) "<p>short teaser only</p>"
+            // slot 3 is the paragraph-fragmented article: the 2-word
+            // bridge between two long paragraphs must be gap-fill
+            // PROMOTED (q189), not dropped on the word-count gate
+            else if (slot == 3)
+              s"<p>Fragmented article for day $id opens with a long " +
+                s"paragraph reporting exactly $c events</p>" +
+                "<p>Short bridge</p>" +
+                s"<p>The closing paragraph repeats the count $c and " +
+                "adds more supporting words for depth</p>"
             else s"<p>Main story for day $id slot $slot reports exactly " +
               s"$c events with details</p><p>Second passage confirms the " +
               s"count $c again and adds supporting words for depth</p>"
@@ -6503,13 +6512,21 @@ object SparkEntry {
         |         CROSS JOIN (SELECT CAST(unnest(range(10)) AS INTEGER) AS s) s
         |         LEFT JOIN g ON g.d = ids.d AND g.slot = s.s)
         |SELECT id, CAST(slot + 1 AS INTEGER) AS rec_idx,
-        |       'Main story for day ' || CAST(id AS VARCHAR) || ' slot ' ||
+        |       CASE WHEN slot = 3 THEN
+        |         'Fragmented article for day ' || CAST(id AS VARCHAR) ||
+        |         ' opens with a long paragraph reporting exactly ' ||
+        |         CAST(cnt AS VARCHAR) ||
+        |         ' events Short bridge The closing paragraph repeats ' ||
+        |         'the count ' || CAST(cnt AS VARCHAR) ||
+        |         ' and adds more supporting words for depth'
+        |       ELSE
+        |         'Main story for day ' || CAST(id AS VARCHAR) || ' slot ' ||
         |         CAST(slot AS VARCHAR) || ' reports exactly ' ||
         |         CAST(cnt AS VARCHAR) ||
         |         ' events with details Second passage confirms the count ' ||
         |         CAST(cnt AS VARCHAR) ||
-        |         ' again and adds supporting words for depth' AS text,
-        |       26 AS n_tokens
+        |         ' again and adds supporting words for depth' END AS text,
+        |       CASE WHEN slot = 3 THEN 30 ELSE 26 END AS n_tokens
         |FROM resp WHERE cnt % 7 <> 0 AND slot <> 7
         |ORDER BY id, rec_idx""".stripMargin,
 

@@ -33,7 +33,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *  4. a block is CONTENT iff words >= 10 AND link words <= words/3
   *     (link density <= 1/3) — short blocks and link-dense blocks
   *     (navigation, pagination, footers, cookie banners) drop;
-  *  5. kept blocks join with '\n', raw character references intact
+  *  5. GAP FILL (the standard second pass of the block-classifier
+  *     recipe — trafilatura/jusText's "short-between-good" rule): a
+  *     block that failed ONLY the word-count gate (words >= 1, link
+  *     density still <= 1/3) is PROMOTED when its immediate non-empty
+  *     neighbors on BOTH sides are primary content — paragraph-
+  *     fragmented articles keep their short bridge sentences.
+  *     Promotion reads primary verdicts only (no cascade), so the
+  *     output stays closed-form;
+  *  6. kept blocks join with '\n', raw character references intact
   *     (compose [[HtmlNumericEntityDecode]] downstream, exactly like
   *     htmlToText).
   *
@@ -84,7 +92,9 @@ object HtmlMainContent {
   def compute(input: UTF8String): UTF8String = {
     val s = input.toString
     val n = s.length
-    val out = new java.lang.StringBuilder
+    // collected non-empty blocks: (trimmed text, words, link words)
+    val blocks =
+      new java.util.ArrayList[(String, Int, Int)]()
     val block = new java.lang.StringBuilder
     var blockWords = 0
     var blockLinkWords = 0
@@ -108,18 +118,15 @@ object HtmlMainContent {
       // state loses only the rare legal anchor-wrapping-blocks case
       // (card links), whose blocks are short and drop on MinWords.
       linkDepth = 0
-      if (blockWords >= MinWords &&
-          blockLinkWords * LinkDensityDiv <= blockWords) {
-        // trim the block's own edges; internal whitespace is the
-        // caller's collapse stage's business
-        var a = 0; var b = block.length
-        while (a < b && block.charAt(a) <= ' ') a += 1
-        while (b > a && block.charAt(b - 1) <= ' ') b -= 1
-        if (b > a) {
-          if (out.length > 0) out.append('\n')
-          out.append(block, a, b)
-        }
-      }
+      // trim the block's own edges; internal whitespace is the
+      // caller's collapse stage's business. Empty blocks vanish here
+      // (every tag pair makes boundaries) — gap-fill adjacency is over
+      // blocks that HOLD text.
+      var a = 0; var b = block.length
+      while (a < b && block.charAt(a) <= ' ') a += 1
+      while (b > a && block.charAt(b - 1) <= ' ') b -= 1
+      if (b > a)
+        blocks.add((block.substring(a, b), blockWords, blockLinkWords))
       block.setLength(0); blockWords = 0; blockLinkWords = 0
     }
     /** Position just past the closing '>' of the tag starting at `lt`
@@ -193,6 +200,28 @@ object HtmlMainContent {
       }
     }
     flush()
+    // classification + gap fill over the collected blocks
+    val m = blocks.size()
+    val primary = new Array[Boolean](m)
+    var bi = 0
+    while (bi < m) {
+      val (_, w, lw) = blocks.get(bi)
+      primary(bi) = w >= MinWords && lw * LinkDensityDiv <= w
+      bi += 1
+    }
+    val out = new java.lang.StringBuilder
+    bi = 0
+    while (bi < m) {
+      val (text, w, lw) = blocks.get(bi)
+      val promoted = !primary(bi) && w >= 1 &&
+        lw * LinkDensityDiv <= w &&
+        bi > 0 && bi + 1 < m && primary(bi - 1) && primary(bi + 1)
+      if (primary(bi) || promoted) {
+        if (out.length > 0) out.append('\n')
+        out.append(text)
+      }
+      bi += 1
+    }
     UTF8String.fromString(out.toString)
   }
 

@@ -84,6 +84,25 @@ class MainContentSpec extends SparkSpec {
     assert(got.contains("more here now"), got)
   }
 
+  test("gap fill: a short low-link block BETWEEN two content blocks is " +
+      "promoted; edge/nav-flanked/link-dense shorts still drop") {
+    val long1 = "<p>" + (1 to 12).map(i => s"a$i").mkString(" ") + "</p>"
+    val long2 = "<p>" + (1 to 12).map(i => s"b$i").mkString(" ") + "</p>"
+    // promoted: between two content paragraphs
+    assert(extract(s"$long1<p>Short bridge</p>$long2") ==
+      (1 to 12).map(i => s"a$i").mkString(" ") + " Short bridge " +
+        (1 to 12).map(i => s"b$i").mkString(" "))
+    // NOT promoted: leading/trailing shorts (one-sided neighbors)
+    assert(!extract(s"<p>Lead in</p>$long1").contains("Lead in"))
+    assert(!extract(s"$long1<p>read on</p>").contains("read on"))
+    // NOT promoted: link-dense short between content (pagination)
+    assert(!extract(s"$long1<p><a href='/2'>next page</a></p>$long2")
+      .contains("next page"))
+    // NOT promoted: neighbor is boilerplate, not content (no cascade)
+    val nav = "<div><a href='/'>Home</a> <a href='/a'>About</a></div>"
+    assert(!extract(s"$nav<p>stray note</p>$long2").contains("stray note"))
+  }
+
   test("dirty input degrades to text, never throws: unclosed tags, quoted " +
       "'>', stray '<', truncation, markup-free input") {
     // attribute with a quoted '>' must not end the tag early
