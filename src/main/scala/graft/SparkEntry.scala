@@ -3969,6 +3969,60 @@ object SparkEntry {
       Web.urlDedup(aug, "doc_id", "url").orderBy("canonical_url")
     }),
 
+    // REGISTRABLE-DOMAIN (eTLD+1) grouping, the publicsuffix.org
+    // algorithm — what crawl domain caps actually key on: subdomains
+    // of one registrant collapse (sub0/sub1/sub2.example.co.uk), a
+    // layered registry does NOT over-merge (site0.com vs site1.com),
+    // a private registry keeps each user site distinct
+    // (user0/user1.github.io), and the wildcard+exception pair
+    // (*.ck / !www.ck) routes cdn.www.ck to www.ck. The oracle
+    // restates every eTLD+1 closed-form per doc_id residue.
+    "q203_registrable_domain" -> ((s, dir) => {
+      val host = when(col("doc_id") % 5 === 0,
+          concat(lit("sub"), (col("doc_id") % 3).cast("string"),
+            lit(".example.co.uk")))
+        .when(col("doc_id") % 5 === 1, lit("example.co.uk"))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("a.b.site"), (col("doc_id") % 2).cast("string"),
+            lit(".com")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("user"), (col("doc_id") % 2).cast("string"),
+            lit(".github.io")))
+        .otherwise(lit("cdn.www.ck"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), Web.registrableDomain(host).as("etld1"))
+        .groupBy("etld1")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+        .orderBy("etld1")
+    }),
+
+    // HTML → MARKDOWN (the structure-preserving corpus export:
+    // markdown-trained models consume headings/lists/links/code, which
+    // htmlToText flattens away): heading, bold, entity, list, link,
+    // and fenced-code shapes all exercised per (day, slot); the oracle
+    // restates the exact markdown string closed-form — a missed
+    // paragraph break, a glued emphasis marker, or a leaked script
+    // body fails the compare.
+    "q204_html_to_markdown" -> ((s, dir) => {
+      val g = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count()
+        .withColumn("id",
+          datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01")))
+            .cast("long"))
+      val html = concat(
+        lit("<h1>Day "), col("id"),
+        lit("</h1><p>Slot <b>"), col("slot"),
+        lit("</b> saw &amp; counted "), col("count"),
+        lit(" events</p><ul><li>first "), col("count"),
+        lit("</li><li><a href=\"/d/"), col("id"),
+        lit("\">details</a></li></ul><pre><code>n = "), col("count"),
+        lit("</code></pre><script>track()</script>"))
+      g.select(col("id"), col("slot"), Text.htmlToMarkdown(html).as("md"))
+        .withColumn("n_lines", size(split(col("md"), "\n")))
+        .orderBy("id", "slot")
+    }),
+
     // WARC → text extraction pipeline (the WET conversion step) over
     // the splittable scan: keep 200-status responses, strip
     // script/style/tags, decode entities (numeric refs included),
@@ -5332,6 +5386,44 @@ object SparkEntry {
         |         AS canonical_url,
         |       count(*) AS n_dups, min(doc_id) AS keeper_id
         |FROM documents GROUP BY source ORDER BY 1""".stripMargin,
+
+    // eTLD+1 closed-form per doc_id residue: %5 in (0,1) collapse to
+    // example.co.uk, %5=2 splits by parity on the REGISTRANT label,
+    // %5=3 keeps each github.io user site, %5=4 is the !www.ck
+    // exception under *.ck
+    "q203_registrable_domain" ->
+      """WITH e AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 IN (0, 1) THEN 'example.co.uk'
+        |       WHEN doc_id % 5 = 2 THEN 'site' ||
+        |         CAST(doc_id % 2 AS VARCHAR) || '.com'
+        |       WHEN doc_id % 5 = 3 THEN 'user' ||
+        |         CAST(doc_id % 2 AS VARCHAR) || '.github.io'
+        |       ELSE 'www.ck' END AS etld1 FROM documents)
+        |SELECT etld1, count(*) AS n_docs, min(doc_id) AS keeper_id
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // markdown restated byte-for-byte: heading para, bold span, the
+    // decoded &amp;, two dash items, link, fenced code; 10 lines
+    "q204_html_to_markdown" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2)
+        |SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id,
+        |       slot,
+        |       '# Day ' || CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT)
+        |         || chr(10) || chr(10) ||
+        |         'Slot **' || CAST(slot AS VARCHAR) || '** saw & counted ' ||
+        |         CAST(cnt AS VARCHAR) || ' events' || chr(10) || chr(10) ||
+        |         '- first ' || CAST(cnt AS VARCHAR) || chr(10) ||
+        |         '- [details](/d/' ||
+        |         CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) ||
+        |         ')' || chr(10) || chr(10) ||
+        |         '```' || chr(10) || 'n = ' || CAST(cnt AS VARCHAR) ||
+        |         chr(10) || '```' AS md,
+        |       CAST(10 AS INTEGER) AS n_lines
+        |FROM g
+        |ORDER BY id, slot""".stripMargin,
 
     // robots decisions closed-form: slot 9 is the robots-less domain;
     // graftbot's specific group only disallows /tmp (slot%5=3); the '*'

@@ -889,6 +889,22 @@ object Text {
     * shingles, or the corpus. Same post-processing contract as
     * htmlToText: one native entity-decode scan, then whitespace
     * collapse — the output feeds the same downstream operators. */
+  /** HTML → MARKDOWN ([[graft.expressions.HtmlToMarkdown]]): headings,
+    * lists, links, emphasis, and code fences survive as structure —
+    * the markdown-corpus export shape (htmlToText flattens, this
+    * keeps what markdown-trained models consume). Character
+    * references decode downstream with the same single-scan
+    * expression; markdown's own newline structure is preserved (no
+    * whitespace collapse). */
+  def htmlToMarkdown(html: Column): Column = {
+    val md = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.HtmlToMarkdown(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(html)))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.HtmlNumericEntityDecode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(md)))
+  }
+
   def mainContent(html: Column): Column = {
     val blocks = org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.expressions.HtmlMainContent(

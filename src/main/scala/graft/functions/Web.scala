@@ -245,6 +245,29 @@ object Web {
     filter(resolved, x => x.isNotNull)
   }
 
+  /** Lowercased host of an absolute URL ("" for non-absolute input) —
+    * the join/grouping key for robots, domain caps, and
+    * [[registrableDomain]]. */
+  def hostOf(url: Column): Column =
+    lower(regexp_extract(url, SchemeRe + "([^/?#:]*)", 2))
+
+  /** REGISTRABLE DOMAIN (eTLD+1) of a host per the publicsuffix.org
+    * algorithm ([[graft.expressions.RegistrableDomain]]) — the key
+    * crawl policies actually group by: per-HOST caps let one site
+    * dodge across subdomains and punish distinct registrants under
+    * multi-label registries (`x.co.uk` vs `y.co.uk`); private
+    * registries (`github.io`) correctly make each user site its own
+    * domain. `rules` defaults to the curated embedded subset
+    * ([[graft.expressions.PslTable.Default]]); production feeds the
+    * full downloaded list's lines. NULL for bare public suffixes, IP
+    * literals, and empty hosts. Table plan-ships once per task. */
+  def registrableDomain(host: Column,
+      rules: Option[Seq[String]] = None): Column =
+    ColumnBridge.column(graft.expressions.RegistrableDomain(
+      ColumnBridge.expression(host),
+      rules.map(new graft.expressions.PslTable(_))
+        .getOrElse(graft.expressions.PslTable.Default)))
+
   /** Transparent gzip inflate of a binary column
     * ([[graft.expressions.InflateBytes]]) — for SMALL compressed
     * payloads riding columns (the wild's dominant `sitemap.xml.gz`

@@ -336,6 +336,42 @@ class WebSpec extends SparkSpec {
       (2L, 1, "https://e.test/s.xml")), got)
   }
 
+  test("registrableDomain: publicsuffix algorithm — plain, layered, " +
+      "wildcard, exception, private registries, nulls") {
+    def rd(h: String): Option[String] =
+      Seq(h).toDF("h").select(Web.registrableDomain(col("h")))
+        .as[Option[String]].head()
+    assert(rd("example.com").contains("example.com"))
+    assert(rd("A.B.Example.COM.").contains("example.com")) // case + root dot
+    assert(rd("sub.example.co.uk").contains("example.co.uk"))
+    assert(rd("x.co.uk").contains("x.co.uk")) // distinct registrant kept
+    assert(rd("user.github.io").contains("user.github.io")) // private registry
+    assert(rd("deep.user.github.io").contains("user.github.io"))
+    // wildcard *.ck: one extra label is public; exception !www.ck
+    assert(rd("a.x.ck").contains("a.x.ck"))
+    assert(rd("www.ck").contains("www.ck"))
+    assert(rd("sub.www.ck").contains("www.ck"))
+    assert(rd("x.ck").isEmpty) // itself a public suffix under *.ck
+    // bare suffixes, IPs, junk → null
+    assert(rd("com").isEmpty && rd("co.uk").isEmpty)
+    assert(rd("192.168.0.1").isEmpty && rd("::1").isEmpty)
+    assert(rd("a..b").isEmpty && rd("").isEmpty)
+    // unknown TLD falls to the default '*' rule: TLD is public
+    assert(rd("foo.unknowntld").contains("foo.unknowntld"))
+    assert(rd("a.b.foo.unknowntld").contains("foo.unknowntld"))
+    // caller-supplied rules override the embedded subset
+    val custom = Seq("h").toDF("h")
+      .select(Web.registrableDomain(lit("a.b.internal"),
+        rules = Some(Seq("internal", "*.corp.internal"))))
+      .as[Option[String]].head()
+    assert(custom.contains("b.internal"))
+    // wildcard beats a same-position plain rule (one label longer)
+    val wc = Seq("h").toDF("h")
+      .select(Web.registrableDomain(lit("a.x.ck"),
+        rules = Some(Seq("ck", "*.ck")))).as[Option[String]].head()
+    assert(wc.contains("a.x.ck"))
+  }
+
   test("inflate: gzip bodies inflate, plain bytes pass through") {
     val sp = spark
     import sp.implicits._
