@@ -4023,6 +4023,37 @@ object SparkEntry {
         .orderBy("id", "slot")
     }),
 
+    // FRONTIER EXPANSION — the whole crawl loop composed in ONE plan:
+    // scanned pages → link extraction (base href + dot segments) →
+    // URL canonicalization → frontier dedup (distinct) → robots
+    // compliance for the crawler → registrable-domain grouping. The
+    // boilerplate pages' 11 shared root-relative paths collapse to 11
+    // frontier URLs per origin regardless of corpus size (dedup is
+    // the point); per-day rel.html URLs stay distinct; example.com's
+    // 'Disallow: /p' blocks /p AND /pr (RFC prefix match); the
+    // robots-less CDN origin is fully allowed. Oracle restates every
+    // (eTLD+1, verdict) count closed-form from day/slot presence.
+    "q205_frontier_expansion" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      val path = warcBoilerplateFixture(s, dir)
+      val scan = s.read.format("warc")
+        .option("maxSplitBytes", "4096").load(path)
+      val robots = Seq(("example.com", "User-agent: *\nDisallow: /p\n"))
+        .toDF("domain", "txt")
+      val frontier = scan
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+        .select(explode(Web.extractLinks(
+          col("payload_text"), col("target_uri"))).as("raw_url"))
+        .select(Web.canonicalizeUrl(col("raw_url")).as("url"))
+        .distinct()
+      Web.robotsAllowed(frontier, "url", robots, "domain", "txt", "graftbot")
+        .groupBy(
+          Web.registrableDomain(Web.hostOf(col("url"))).as("etld1"),
+          col("robots_allowed"))
+        .agg(count(lit(1)).as("n_urls"))
+        .orderBy("etld1", "robots_allowed")
+    }),
+
     // WARC → text extraction pipeline (the WET conversion step) over
     // the splittable scan: keep 200-status responses, strip
     // script/style/tags, decode entities (numeric refs included),
@@ -5424,6 +5455,41 @@ object SparkEntry {
         |       CAST(10 AS INTEGER) AS n_lines
         |FROM g
         |ORDER BY id, slot""".stripMargin,
+
+    // frontier closed-form: 11 shared example.com paths (2 under the
+    // /p prefix rule → disallowed) + one rel.html PER DAY with a
+    // non-7 200 page; the <base href> CDN origin (eTLD+1 example.org)
+    // contributes 12 shared URLs when any slot-7 page is 200
+    "q205_frontier_expansion" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |resp AS (SELECT ids.id, s.s AS slot, coalesce(g.cnt, 0) AS cnt
+        |         FROM ids
+        |         CROSS JOIN (SELECT CAST(unnest(range(10)) AS INTEGER) AS s) s
+        |         LEFT JOIN g ON g.d = ids.d AND g.slot = s.s),
+        |d_non7 AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS d
+        |           FROM resp WHERE slot <> 7 AND cnt % 7 <> 0),
+        |has_non7 AS (SELECT count(*) > 0 AS h
+        |             FROM resp WHERE slot <> 7 AND cnt % 7 <> 0),
+        |has7 AS (SELECT count(*) > 0 AS h
+        |         FROM resp WHERE slot = 7 AND cnt % 7 <> 0)
+        |SELECT * FROM (
+        |  SELECT 'example.com' AS etld1, false AS robots_allowed,
+        |         CAST(2 AS BIGINT) AS n_urls
+        |  WHERE (SELECT h FROM has_non7)
+        |  UNION ALL
+        |  SELECT 'example.com', true,
+        |         CAST(9 AS BIGINT) + (SELECT d FROM d_non7)
+        |  WHERE (SELECT h FROM has_non7)
+        |  UNION ALL
+        |  SELECT 'example.org', true, CAST(12 AS BIGINT)
+        |  WHERE (SELECT h FROM has7)
+        |)
+        |ORDER BY etld1, robots_allowed""".stripMargin,
 
     // robots decisions closed-form: slot 9 is the robots-less domain;
     // graftbot's specific group only disallows /tmp (slot%5=3); the '*'
