@@ -4054,6 +4054,48 @@ object SparkEntry {
         .orderBy("etld1", "robots_allowed")
     }),
 
+    // CDX(J) index generation over the splittable warc scan — the
+    // Common Crawl index shape that makes a petabyte of WARC
+    // random-accessible: SURT keys (host labels reversed, so one
+    // domain's pages sort contiguously), 14-digit timestamps, status,
+    // and structural member geometry (offsets non-negative; every
+    // member length positive, null only for a file's last member,
+    // whose end only the file length knows). Offsets themselves are
+    // gzip-compressed sizes — not closed-form — so the gate pins the
+    // closed-form columns exactly and the geometry as booleans.
+    "q206_surt_cdx_index" -> ((s, dir) => {
+      val path = warcBoilerplateFixture(s, dir)
+      val scan = s.read.format("warc")
+        .option("maxSplitBytes", "4096").load(path)
+      Web.cdxjLines(scan).select(
+          regexp_extract(col("cdxj"), "\"filename\":\"([0-9]+)\\.warc", 1)
+            .cast("long").as("id"),
+          col("surt"), col("ts14"), col("status"),
+          (col("offset") >= 0 &&
+            (col("length").isNull || col("length") > 0)).as("len_ok"))
+        .orderBy("id", "surt")
+    }),
+
+    // Rule-based sentence segmentation (the chunk-boundary unit):
+    // terminator runs, '!' boundaries, the 'fig.' abbreviation guard
+    // (followed by a digit — the classic false boundary), trailing
+    // sentence. The oracle restates each (group, sentence) row.
+    "q207_sentence_split" -> ((s, dir) => {
+      val g = eventsWithDay(s, dir)
+        .groupBy(col("d"), (col("event_id") % 10).cast("int").as("slot"))
+        .count()
+        .withColumn("id",
+          datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01")))
+            .cast("long"))
+      val text = concat(
+        lit("Dr. Smith counted "), col("count"),
+        lit(" events. The total was "), col("count"),
+        lit("! See fig. 3 for details. Done."))
+      g.select(col("id"), col("slot"),
+          posexplode(Text.sentences(text)).as(Seq("sent_idx", "sentence")))
+        .orderBy("id", "slot", "sent_idx")
+    }),
+
     // WARC → text extraction pipeline (the WET conversion step) over
     // the splittable scan: keep 200-status responses, strip
     // script/style/tags, decode entities (numeric refs included),
@@ -5490,6 +5532,51 @@ object SparkEntry {
         |  WHERE (SELECT h FROM has7)
         |)
         |ORDER BY etld1, robots_allowed""".stripMargin,
+
+    // CDX rows closed-form: one per response record, SURT-keyed,
+    // constant fixture timestamp, status by the cnt%7 rule, geometry
+    // booleans all true
+    "q206_surt_cdx_index" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |ids AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id FROM days),
+        |resp AS (SELECT ids.id, s.s AS slot, coalesce(g.cnt, 0) AS cnt
+        |         FROM ids
+        |         CROSS JOIN (SELECT CAST(unnest(range(10)) AS INTEGER) AS s) s
+        |         LEFT JOIN g ON g.d = ids.d AND g.slot = s.s)
+        |SELECT id,
+        |       'com,example)/' || CAST(id AS VARCHAR) || '/' ||
+        |         CAST(slot AS VARCHAR) AS surt,
+        |       '20240101000000' AS ts14,
+        |       CAST(CASE WHEN cnt % 7 = 0 THEN 404 ELSE 200 END
+        |         AS INTEGER) AS status,
+        |       true AS len_ok
+        |FROM resp
+        |ORDER BY id, surt""".stripMargin,
+
+    // sentence rows closed-form: Dr. guard holds, '.' and '!'
+    // boundaries fire, 'fig.' before a digit does not
+    "q207_sentence_split" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |                  CAST(event_id % 10 AS INTEGER) AS slot,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |rows_ AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS id,
+        |    slot, cnt FROM g)
+        |SELECT id, slot, k.sent_idx,
+        |  CASE k.sent_idx
+        |    WHEN 0 THEN 'Dr. Smith counted ' || CAST(cnt AS VARCHAR) ||
+        |      ' events.'
+        |    WHEN 1 THEN 'The total was ' || CAST(cnt AS VARCHAR) || '!'
+        |    WHEN 2 THEN 'See fig. 3 for details.'
+        |    ELSE 'Done.' END AS sentence
+        |FROM rows_
+        |CROSS JOIN (SELECT CAST(unnest(range(4)) AS INTEGER) AS sent_idx) k
+        |ORDER BY id, slot, sent_idx""".stripMargin,
 
     // robots decisions closed-form: slot 9 is the robots-less domain;
     // graftbot's specific group only disallows /tmp (slot%5=3); the '*'

@@ -889,6 +889,18 @@ object Text {
     * shingles, or the corpus. Same post-processing contract as
     * htmlToText: one native entity-decode scan, then whitespace
     * collapse — the output feeds the same downstream operators. */
+  /** Rule-based sentence segmentation
+    * ([[graft.expressions.SentenceSplit]]) — the boundary unit
+    * token-budget chunking should cut on (mid-sentence chunk splits
+    * measurably hurt training): terminator runs + closing quotes,
+    * abbreviation and single-initial guards, blank-line paragraph
+    * boundaries. Deterministic, so oracles restate output
+    * closed-form. */
+  def sentences(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.SentenceSplit(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   /** HTML → MARKDOWN ([[graft.expressions.HtmlToMarkdown]]): headings,
     * lists, links, emphasis, and code fences survive as structure —
     * the markdown-corpus export shape (htmlToText flattens, this

@@ -245,6 +245,64 @@ object Web {
     filter(resolved, x => x.isNotNull)
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform — the Common
+    * Crawl / OpenWayback index key): the CANONICAL URL
+    * ([[canonicalizeUrl]]: case, ports, dot segments, percent
+    * encoding, tracking params, fragment) with the scheme dropped, a
+    * leading `www.` stripped, host labels REVERSED and comma-joined,
+    * then `)` + path + query — so one registrable domain's pages sort
+    * contiguously (`com,example)/a`, `com,example,sub)/b`), which is
+    * what makes a petabyte CDX index range-scannable by domain.
+    * Non-absolute input passes through unchanged. */
+  def surtKey(url: Column): Column = {
+    val canon = canonicalizeUrl(url)
+    val scheme = regexp_extract(canon, SchemeRe, 1)
+    val host0 = regexp_extract(canon, SchemeRe + "([^/?#]*)", 2)
+    val host = when(host0.startsWith("www."),
+      host0.substr(lit(5), length(host0) - 4)).otherwise(host0)
+    val rest = regexp_extract(canon, SchemeRe + "[^/?#]*(.*)$", 2)
+    when(scheme === "", url).otherwise(
+      concat(array_join(reverse(split(host, "\\.")), ","), lit(")"), rest))
+  }
+
+  /** CDXJ index rows for a WARC scan (the Common Crawl `cdx-*.gz`
+    * shape, one line per response): `surt`, `ts14` (the WARC-Date
+    * digits), and the JSON fields an index serves — original url,
+    * mime, status, payload digest, member `offset` within the file,
+    * member `length` (next member's offset minus this one's — null
+    * for a file's LAST record, whose end only the file length knows),
+    * and `filename`. One window per file path orders members; index
+    * generation is a per-file pass, so the shuffle is by path —
+    * bounded by file count, not records. Input columns are the
+    * `format("warc")` scan's. */
+  def cdxjLines(scan: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("path"))
+      .orderBy(col("rec_offset"), col("rec_seq"))
+    val withLen = scan
+      .select(col("path"), col("rec_offset"), col("rec_seq"),
+        col("warc_type"), col("target_uri"), col("warc_date"),
+        col("content_type"), col("http_status"), col("payload_digest"))
+      .withColumn("__next", lead(col("rec_offset"), 1).over(w))
+      .withColumn("length", col("__next") - col("rec_offset"))
+      .drop("__next")
+      .filter(col("warc_type") === "response")
+    val filename = element_at(split(col("path"), "/"), -1)
+    withLen.select(
+      surtKey(col("target_uri")).as("surt"),
+      regexp_replace(col("warc_date"), "[^0-9]", "").as("ts14"),
+      concat(lit("{\"url\":\""), col("target_uri"),
+        lit("\",\"mime\":\""), col("content_type"),
+        lit("\",\"status\":"), col("http_status"),
+        lit(",\"digest\":\""), col("payload_digest"),
+        lit("\",\"offset\":"), col("rec_offset"),
+        when(col("length").isNotNull,
+          concat(lit(",\"length\":"), col("length"))).otherwise(lit("")),
+        lit(",\"filename\":\""), filename, lit("\"}")).as("cdxj"),
+      col("rec_offset").as("offset"), col("length"),
+      col("http_status").as("status"))
+  }
+
   /** Lowercased host of an absolute URL ("" for non-absolute input) —
     * the join/grouping key for robots, domain caps, and
     * [[registrableDomain]]. */

@@ -372,6 +372,51 @@ class WebSpec extends SparkSpec {
     assert(wc.contains("a.x.ck"))
   }
 
+  test("surtKey: canonicalize + www strip + label reversal; " +
+      "non-absolute passthrough; domain pages sort contiguously") {
+    def surt(u: String): String =
+      Seq(u).toDF("u").select(Web.surtKey(col("u"))).as[String].head()
+    assert(surt("HTTPS://WWW.Example.COM:443/A/b/?b=2&a=1#f") ==
+      "com,example)/A/b?a=1&b=2")
+    assert(surt("http://sub.example.co.uk/x/../y") == "uk,co,example,sub)/y")
+    assert(surt("https://example.com") == "com,example)/")
+    assert(surt("not a url") == "not a url")
+    // sort contiguity: every example.com page precedes example.net
+    val keys = Seq("https://a.example.net/z", "https://www.example.com/b",
+      "https://sub.example.com/a").map(surt).sorted
+    assert(keys == Seq("com,example)/b", "com,example,sub)/a",
+      "net,example,a)/z"))
+  }
+
+  test("cdxjLines: member geometry from the scan (length = next offset " +
+      "minus offset, null for the last member); JSON fields present") {
+    val sp = spark
+    import sp.implicits._
+    val scan = Seq(
+      ("f/1.warc.gz", 0L, 0, "warcinfo", "", "2024-01-01T00:00:00Z",
+        "", 10L, 0, "", "", "", ""),
+      ("f/1.warc.gz", 100L, 0, "response", "https://e.test/a",
+        "2024-01-02T03:04:05Z", "text/html", 50L, 200, "", "", "sha1:X", ""),
+      ("f/1.warc.gz", 300L, 0, "response", "https://e.test/b",
+        "2024-01-02T03:04:06Z", "text/html", 60L, 404, "", "", "sha1:Y", ""))
+      .toDF("path", "rec_offset", "rec_seq", "warc_type", "target_uri",
+        "warc_date", "content_type", "content_length", "http_status",
+        "warc_record_id", "warc_refers_to", "payload_digest", "payload_text")
+    val got = Web.cdxjLines(scan)
+      .select("surt", "ts14", "offset", "length", "status", "cdxj")
+      .as[(String, String, Long, Option[Long], Int, String)]
+      .collect().sortBy(_._3)
+    assert(got.length == 2)
+    assert(got(0)._1 == "test,e)/a" && got(0)._2 == "20240102030405")
+    assert(got(0)._3 == 100L && got(0)._4.contains(200L)) // 300 - 100
+    assert(got(1)._4.isEmpty) // last member: end unknown to the scan
+    assert(got(0)._6.contains("\"digest\":\"sha1:X\"") &&
+      got(0)._6.contains("\"length\":200") &&
+      got(0)._6.contains("\"filename\":\"1.warc.gz\""))
+    assert(got(1)._6.contains("\"status\":404") &&
+      !got(1)._6.contains("\"length\""))
+  }
+
   test("inflate: gzip bodies inflate, plain bytes pass through") {
     val sp = spark
     import sp.implicits._
