@@ -288,10 +288,15 @@ object Web {
       .drop("__next")
       .filter(col("warc_type") === "response")
     val filename = element_at(split(col("path"), "/"), -1)
+    // JSON string safety for the one crawl-controlled field: a URI
+    // carrying '"' or '\' must not break the line
+    val jsonUri = regexp_replace(
+      regexp_replace(col("target_uri"), "\\\\", "\\\\\\\\"),
+      "\"", "\\\\\"")
     withLen.select(
       surtKey(col("target_uri")).as("surt"),
       regexp_replace(col("warc_date"), "[^0-9]", "").as("ts14"),
-      concat(lit("{\"url\":\""), col("target_uri"),
+      concat(lit("{\"url\":\""), jsonUri,
         lit("\",\"mime\":\""), col("content_type"),
         lit("\",\"status\":"), col("http_status"),
         lit(",\"digest\":\""), col("payload_digest"),

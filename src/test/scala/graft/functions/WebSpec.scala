@@ -415,6 +415,11 @@ class WebSpec extends SparkSpec {
       got(0)._6.contains("\"filename\":\"1.warc.gz\""))
     assert(got(1)._6.contains("\"status\":404") &&
       !got(1)._6.contains("\"length\""))
+    // a URI with a quote must not break the JSON line
+    val evil = scan.withColumn("target_uri",
+      concat(col("target_uri"), lit("?q=\"x\"")))
+    val line = Web.cdxjLines(evil).select("cdxj").as[String].head()
+    assert(line.contains("?q=\\\"x\\\""), line)
   }
 
   test("inflate: gzip bodies inflate, plain bytes pass through") {
