@@ -26,13 +26,6 @@ object Web {
 
   private val SchemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 
-  /** `href` attribute VALUE alternation: each quote style closes with its
-    * own delimiter (apostrophes inside double-quoted paths survive), and
-    * the third arm covers legal UNQUOTED values (`href=foo.html` —
-    * hand-written/legacy pages, a real slice of any crawl), terminated by
-    * whitespace or `>`. */
-  private val HrefValue = "href=(\"[^\"]*\"|'[^']*'|[^\\s>\"']+)"
-
   private def pctNorm(c: Column): Column =
     ColumnBridge.column(graft.expressions.PercentNormalize(
       ColumnBridge.expression(c)))
@@ -177,9 +170,8 @@ object Web {
   /** Out-links of an HTML page, RESOLVED per RFC 3986 §5 — the
     * corpus-scale edge extractor that feeds the link-graph family
     * (PageRank/PPR/triangles) straight from a crawl scan, the WAT
-    * shape. `<a href>` values come from one RE2-safe
-    * `regexp_extract_all` over [[HrefValue]] (double-quoted,
-    * single-quoted, and unquoted attribute values). When the page
+    * shape. `<a href>` values extract double-quoted, single-quoted,
+    * and unquoted attribute forms. When the page
     * carries a `<base href>` element (templated/CDN-hosted sites), the
     * FIRST one is itself resolved against the page URL and becomes the
     * base every link resolves against (HTML spec; WAT extractors honor
@@ -193,57 +185,14 @@ object Web {
     * (`?…` onto the full base path), path-relative (onto the base
     * directory). Every resolved URL's path is dot-segment normalized
     * (§5.2.4) — `../a.html` yields the one real URL, not a
-    * `/dir/../a.html` ghost node. Per-row codegen'd column ops, no
+    * `/dir/../a.html` ghost node. ONE native per-row pass
+    * ([[graft.expressions.ExtractLinks]] — the column-level
+    * composition re-ran its regexes per link inside an interpreted
+    * lambda, a measured 26× slowdown on the link-graph board), no
     * shuffle. */
-  def extractLinks(html: Column, baseUrl: Column): Column = {
-    def parts(u: Column): (Column, Column, Column, Column) = {
-      val scheme = regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
-      val origin = regexp_extract(u,
-        "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
-      val afterOrigin = regexp_extract(u,
-        "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-      // base DIRECTORY: origin + path up to (and including) the last '/',
-      // or origin + "/" when the path has none; base PATH keeps the file
-      // (query-only hrefs replace the query, not the document)
-      val dir = concat(origin,
-        when(afterOrigin.contains("/"),
-          regexp_extract(afterOrigin, "^(.*/)", 1)).otherwise(lit("/")))
-      val basePath = concat(origin,
-        when(afterOrigin === "", lit("/")).otherwise(afterOrigin))
-      (scheme, origin, dir, basePath)
-    }
-    def resolve(h: Column, scheme: Column, origin: Column, dir: Column,
-        basePath: Column): Column =
-      when(h === "", lit(null).cast("string"))
-        .when(h.rlike("(?i)^https?://"), h)
-        .when(h.startsWith("//"), concat(scheme, lit(":"), h))
-        .when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), lit(null).cast("string"))
-        .when(h.startsWith("/"), concat(origin, h))
-        .when(h.startsWith("?"), concat(basePath, h))
-        .otherwise(concat(dir, h))
-    val (pScheme, pOrigin, pDir, pBasePath) = parts(baseUrl)
-    // <base href>: the first occurrence wins (HTML spec); it resolves
-    // against the PAGE url like any href, and a non-resolvable value
-    // (javascript:, empty, no base element) falls back to the page url
-    val baseTok = stripQuotes(
-      regexp_extract(html, "(?i)<base\\s[^>]*" + HrefValue, 1))
-    val baseNoFrag = when(baseTok.contains("#"),
-      substring_index(baseTok, "#", 1)).otherwise(baseTok)
-    val effBase = normalizeUrlPath(coalesce(
-      resolve(entityDecode(baseNoFrag), pScheme, pOrigin, pDir, pBasePath),
-      baseUrl))
-    val (scheme, origin, dir, basePath) = parts(effBase)
-    val tokens = regexp_extract_all(html,
-      lit("(?i)<a\\s[^>]*" + HrefValue), lit(1))
-    val resolved = transform(tokens, t => {
-      val unq = stripQuotes(t)
-      val noFrag = when(unq.contains("#"),
-        substring_index(unq, "#", 1)).otherwise(unq)
-      val h = entityDecode(noFrag)
-      normalizeUrlPath(resolve(h, scheme, origin, dir, basePath))
-    })
-    filter(resolved, x => x.isNotNull)
-  }
+  def extractLinks(html: Column, baseUrl: Column): Column =
+    ColumnBridge.column(graft.expressions.ExtractLinks(
+      ColumnBridge.expression(html), ColumnBridge.expression(baseUrl)))
 
   /** SURT key (Sort-friendly URI Reordering Transform — the Common
     * Crawl / OpenWayback index key): the CANONICAL URL
