@@ -1743,6 +1743,10 @@ object SparkEntry {
       val quality = table(s, dir, "documents")
         .filter(Text.gopherKeep(col("text"), minWords = 30, maxWords = 90,
           minMeanLen = 4, maxMeanLen = 10, minDistinctStopwords = 2))
+      // materialized once (r15, guide §5): both consumers below (the dedup
+      // groups and the survivor join-back) read this tiny (id, source, url)
+      // frame — without the checkpoint each reference re-ran the Gopher
+      // text gate over the full corpus (2 text scans → 1)
       val aug = quality.select(col("doc_id"), col("source"),
         concat(
           lit("HTTPS://WWW.Example"), (col("doc_id") % 3).cast("string"), lit(".COM"),
@@ -1751,6 +1755,7 @@ object SparkEntry {
           when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
           lit("?b=2&utm_source=x&a="), (col("doc_id") % 5).cast("string"),
           when(col("doc_id") % 3 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
+        .localCheckpoint(true)
       val keepers = Web.urlDedup(aug, "doc_id", "url")
         .select(col("keeper_id").as("doc_id"), col("canonical_url"), col("n_dups"))
       val surv = aug.select("doc_id", "source").join(keepers, Seq("doc_id"))

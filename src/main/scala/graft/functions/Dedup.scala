@@ -16,6 +16,17 @@ import graft.expressions.{MinHashSignature, ShinglePairHashes, SimHash64Expr}
   */
 object Dedup {
 
+  /** Small shared daemon pool for overlapping INDEPENDENT write jobs
+    * (guide §2.6) — 2-3 jobs in flight is enough to fill a tail; actions
+    * are thread-safe on one SparkSession. */
+  private lazy val writeEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(2, r => {
+        val t = new Thread(r, "graft-dedup-write")
+        t.setDaemon(true)
+        t
+      }))
+
   /** Exact duplicate groups by content hash: md5 groupBy, keep the minimum
     * id as the canonical survivor. One shuffle on the 128-bit hash — the
     * text itself never shuffles when `textCol` is dropped before the agg. */
@@ -104,6 +115,20 @@ object Dedup {
     * never the full corpus; recall for pairs at `threshold`≥0.9 with the
     * default 64 hashes / 16 bands is 1 − (1−j⁴)¹⁶ ≈ 1−1e-9.
     *
+    * ONE pass over the text (r15, guide §1.2/§2.3): signature (candidate
+    * side) and shingle-hash set (verify side) materialize together into an
+    * eager `localCheckpoint`, so tokenize+shingle+64-permutation hashing
+    * runs exactly once per document. The previous composition re-scanned
+    * the corpus for each side of the band self-join AND for each verify
+    * join (4 text scans), and Catalyst's filter pushdown additionally
+    * duplicated the signature expression below the sentinel filter —
+    * 8 signature evaluations per doc where one suffices. The candidate
+    * join also no longer carries the 64-long signatures through the
+    * exchange (they were only used for an `est_jaccard` this operator
+    * discards); band/hash/id is the whole payload. The checkpoint backs
+    * the returned plan — release it via `Housekeeping.release(result)`
+    * (or the session sweep) once the result is consumed.
+    *
     * `jaccard` is rounded to 6 before the threshold filter, matching
     * [[ngramJaccardPairs]].
     */
@@ -115,16 +140,36 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
-    val cands = minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands): " +
+        "a truncated rowsPerBand would silently leave signature slots unused")
+    val rowsPerBand = numHashes / bands
+    val hashed = df.select(col(idCol).as("doc_id"),
+        ColumnBridge.column(MinHashSignature(
+          ColumnBridge.expression(col(textCol)), shingleSize, numHashes)).as("sig"),
+        shinglePairHashes(col(textCol), shingleSize).getField("a").as("__sh"))
+      .localCheckpoint(true)
+    // Shingle-less documents (< shingleSize tokens) carry the sentinel
+    // signature — drop them before banding or every such pair would
+    // band-collide as a spurious candidate.
+    val banded = hashed
+      .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
+      .select(col("doc_id"),
+        explode(bandHashes(col("sig"), bands, rowsPerBand)).as("__b"))
+      .select(col("doc_id"), col("__b.band").as("band"), col("__b.h").as("h"))
+    val cands = banded.select(col("band"), col("h"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("h"), col("doc_id").as("doc_b")),
+        Seq("band", "h"))
+      .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
+      .distinct()
     // Verification compares hashed shingle sets (8 bytes/shingle in the join
     // payload instead of the string): set sizes — and hence Jaccard — are
     // collision-exact in practice, matching the string-set computation.
-    val sh = df.select(col(idCol).as("__id"),
-      shinglePairHashes(col(textCol), shingleSize).getField("a").as("__sh"))
+    val sh = hashed.select(col("doc_id"), col("__sh"))
     cands
-      .join(sh.select(col("__id").as("doc_a"), col("__sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("__id").as("doc_b"), col("__sh").as("sh_b")), Seq("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
@@ -176,17 +221,38 @@ object Dedup {
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     require(nParts >= 1, s"nParts $nParts")
     val rowsPerBand = numHashes / bands
-    minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
-      .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
-      .withColumn("__b", explode(bandHashes(col("sig"), bands, rowsPerBand)))
-      .select(col("doc_id"), col("__b.band").as("band"), col("__b.h").as("h"))
-      .withColumn("__hb", pmod(col("h"), lit(nParts.toLong)))
-      .write.partitionBy("__hb").mode(mode).parquet(s"$path/bands")
-    df.select(col(idCol).as("doc_id"),
+    // ONE pass over the text (r15): signatures and shingle-hash sets
+    // materialize together, then BOTH table writes read the checkpoint —
+    // previously each write re-scanned the corpus and re-ran the hash
+    // expressions. The two writes land in disjoint directories and are
+    // independent, so they run CONCURRENTLY (guide §2.6): the docs write
+    // back-fills executors freed by the bands write's tail.
+    val hashed = df.select(col(idCol).as("doc_id"),
+        ColumnBridge.column(MinHashSignature(
+          ColumnBridge.expression(col(textCol)), shingleSize, numHashes)).as("sig"),
         shinglePairHashes(col(textCol), shingleSize).getField("a").as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .withColumn("__db", pmod(xxhash64(col("doc_id")), lit(nParts.toLong)))
-      .write.partitionBy("__db").mode(mode).parquet(s"$path/docs")
+      .localCheckpoint(true)
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = writeEc
+      val bandsJob = Future {
+        hashed
+          .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
+          .withColumn("__b", explode(bandHashes(col("sig"), bands, rowsPerBand)))
+          .select(col("doc_id"), col("__b.band").as("band"), col("__b.h").as("h"))
+          .withColumn("__hb", pmod(col("h"), lit(nParts.toLong)))
+          .write.partitionBy("__hb").mode(mode).parquet(s"$path/bands")
+      }
+      val docsJob = Future {
+        hashed.select(col("doc_id"), col("__sh"))
+          .filter(size(col("__sh")) > 0)
+          .withColumn("__db", pmod(xxhash64(col("doc_id")), lit(nParts.toLong)))
+          .write.partitionBy("__db").mode(mode).parquet(s"$path/docs")
+      }
+      Await.result(bandsJob, Duration.Inf)
+      Await.result(docsJob, Duration.Inf)
+    } finally graft.Housekeeping.release(hashed)
     Similarity.writeSidecar(df.sparkSession, s"$path/_lsh_params.json",
       graft.meta.JObj(Seq(
         "shingleSize" -> graft.meta.JNum(shingleSize.toDouble),
@@ -240,17 +306,31 @@ object Dedup {
       threshold: Double = 0.9): DataFrame = {
     val (shingleSize, numHashes, bands, nParts) = lshParams(spark, path)
     val rowsPerBand = numHashes / bands
-    val probe = minhashSignatures(batch, idCol, textCol, shingleSize, numHashes)
+    // ONE pass over the batch text (r15): signature + shingle hashes
+    // materialize together; the probe's band stream, the bucket-set
+    // collect, and the verify side all read the checkpoint instead of
+    // re-scanning and re-hashing the batch. The checkpoint backs the
+    // returned plan — the caller releases it (Housekeeping) when done.
+    val hashed = batch.select(col(idCol).as("doc_b"),
+        ColumnBridge.column(MinHashSignature(
+          ColumnBridge.expression(col(textCol)), shingleSize, numHashes)).as("sig"),
+        shinglePairHashes(col(textCol), shingleSize).getField("a").as("sh_b"))
+      .localCheckpoint(true)
+    val probe = hashed
       .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
       .withColumn("__b", explode(bandHashes(col("sig"), bands, rowsPerBand)))
-      .select(col("doc_id").as("doc_b"), col("__b.band").as("band"),
-        col("__b.h").as("h"))
+      .select(col("doc_b"), col("__b.band").as("band"), col("__b.h").as("h"))
     val hbs = probe.select(pmod(col("h"), lit(nParts.toLong)).as("hb"))
       .distinct().collect().map(_.getLong(0)).toSeq
     val empty = spark.emptyDataFrame
       .select(lit(0L).as("doc_a"), lit(0L).as("doc_b"),
         lit(0.0).as("jaccard")).limit(0)
-    if (hbs.isEmpty) return empty
+    if (hbs.isEmpty) { graft.Housekeeping.release(hashed); return empty }
+    // the candidate set is read twice (verify-partition discovery + the
+    // verify join itself); both reads are the PRUNED bands scan joined to
+    // the broadcast probe — recomputing it keeps the __hb partition
+    // pruning visible in the returned plan (pinned by TextDedupSpec), and
+    // the expensive per-doc hashing it consumes comes from the checkpoint
     val cands = spark.read.parquet(s"$path/bands")
       .filter(col("__hb").isin(hbs: _*))
       .join(broadcast(probe), Seq("band", "h"))
@@ -258,12 +338,11 @@ object Dedup {
       .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
     val dbs = cands.select(pmod(xxhash64(col("doc_a")), lit(nParts.toLong)).as("db"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    if (dbs.isEmpty) return empty
+    if (dbs.isEmpty) { graft.Housekeeping.release(hashed); return empty }
     val idxSh = spark.read.parquet(s"$path/docs")
       .filter(col("__db").isin(dbs: _*))
       .select(col("doc_id").as("doc_a"), col("__sh").as("sh_a"))
-    val batchSh = batch.select(col(idCol).as("doc_b"),
-      shinglePairHashes(col(textCol), shingleSize).getField("a").as("sh_b"))
+    val batchSh = hashed.select(col("doc_b"), col("sh_b"))
     cands.join(idxSh, Seq("doc_a")).join(broadcast(batchSh), Seq("doc_b"))
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -622,8 +701,16 @@ object Dedup {
     // Shuffle 8-byte shingle hashes, not shingle strings: the join key and
     // every exchange shrink ~4×, and Jaccard counts are unchanged short of
     // an xxhash64 collision (~n²/2⁶⁵ — negligible at any realistic corpus).
-    val sh = df.select(col(idCol).as("doc_id"),
-        explode(shinglePairHashes(col(textCol), n).getField("a")).as("shingle"))
+    // ONE pass over the text (r15): the per-doc shingle-hash arrays
+    // materialize once into an eager checkpoint; the exploded stream, the
+    // per-doc stats, and the exact verify all read it instead of
+    // re-tokenizing the corpus per plan reference (the capped branch held
+    // five such references). The checkpoint backs the returned plan —
+    // released by `Housekeeping.release(result)` / the session sweep.
+    val shArr = df.select(col(idCol).as("doc_id"),
+        shinglePairHashes(col(textCol), n).getField("a").as("__sh"))
+      .localCheckpoint(true)
+    val sh = shArr.select(col("doc_id"), explode(col("__sh")).as("shingle"))
     maxShingleDocFreq match {
       case None =>
         val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -687,12 +774,11 @@ object Dedup {
               - lit(1e-9))
           .select("doc_a", "doc_b")
         // exact verify over the full sets — the nearDupPairs shape, with
-        // stop-shingle candidates instead of LSH candidates
-        val sets = df.select(col(idCol).as("__id"),
-          shinglePairHashes(col(textCol), n).getField("a").as("__sh"))
+        // stop-shingle candidates instead of LSH candidates; the sets come
+        // from the same checkpoint (no re-tokenize)
         pruned
-          .join(sets.select(col("__id").as("doc_a"), col("__sh").as("sh_a")), Seq("doc_a"))
-          .join(sets.select(col("__id").as("doc_b"), col("__sh").as("sh_b")), Seq("doc_b"))
+          .join(shArr.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a")), Seq("doc_a"))
+          .join(shArr.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b")), Seq("doc_b"))
           .withColumn("jaccard", round(
             size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
               size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))

@@ -87,17 +87,20 @@ object Graph {
       .repartition(nPart, col("src"))
       .localCheckpoint(true)
 
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-
     val base = (1000L - dampingPermille) * scale / 1000L
-    // rank frame carries the static out-degree so rounds never re-join it
+    // rank frame carries the static out-degree so rounds never re-join it.
+    // ONE aggregate builds it (r15, guide §2.4): each edge contributes an
+    // out-vote for its src and a zero-vote for its dst, so sum(vote) per
+    // node IS the out-degree and every endpoint appears — identical to the
+    // former union-distinct + degree-agg + left-join (3 exchanges) shape.
     var ranks: DataFrame = null
     try {
-      ranks = nodes.join(outDeg, Seq("node"), "left")
-        .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
-          lit(scale).as("rank"))
+      ranks = e.select(explode(array(
+          struct(col("src").as("node"), lit(1L).as("__c")),
+          struct(col("dst").as("node"), lit(0L).as("__c")))).as("__e"))
+        .select(col("__e.node").as("node"), col("__e.__c").as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("deg"))
+        .select(col("node"), col("deg"), lit(scale).as("rank"))
         .localCheckpoint(true)
       for (_ <- 0 until iters) {
         val inflow = ranks
@@ -156,23 +159,25 @@ object Graph {
       .distinct()
       .repartition(nPart, col("src"))
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-
-    val present = nodes.filter(col("node").isInCollection(seeds))
-      .count().toInt
-    require(present > 0, "no seed node exists in the graph")
-    val baseTotal = (1000L - dampingPermille) * scale * seeds.length / 1000L
-    val seedBase = baseTotal / present
     val isSeed = col("node").isInCollection(seeds)
 
     var ranks: DataFrame = null
     try {
-      ranks = nodes.join(outDeg, Seq("node"), "left")
-        .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
+      // same one-aggregate (node, deg) build as [[pageRank]] (r15); the
+      // seed-presence count then reads the materialized rank frame instead
+      // of running its own union-distinct job over the edge table
+      ranks = e.select(explode(array(
+          struct(col("src").as("node"), lit(1L).as("__c")),
+          struct(col("dst").as("node"), lit(0L).as("__c")))).as("__e"))
+        .select(col("__e.node").as("node"), col("__e.__c").as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("deg"))
+        .select(col("node"), col("deg"),
           when(isSeed, lit(scale)).otherwise(lit(0L)).as("rank"))
         .localCheckpoint(true)
+      val present = ranks.filter(isSeed).count().toInt
+      require(present > 0, "no seed node exists in the graph")
+      val baseTotal = (1000L - dampingPermille) * scale * seeds.length / 1000L
+      val seedBase = baseTotal / present
       for (_ <- 0 until iters) {
         val inflow = ranks
           .filter(col("deg") > 0 && col("rank") > 0)

@@ -437,27 +437,25 @@ final class GridStore(
     val existing = readRange(uLo, uHi)
     // One classified time frame (one row per distinct update timestep,
     // plus ONE `existing_end` row — the store's last-bucket max time rides
-    // in the same job instead of its own scan action) — tiny, but its plan
-    // references the CURRENT store files, so materialize it once before
-    // any write replaces those files underneath the plan. All subsequent
-    // planning decisions read this frame, not the store, and the quality
-    // gate consumes it in a single aggregate action.
-    val classified = materialize(
+    // in the same job instead of its own scan action) — consumed by the
+    // quality gate's SINGLE aggregate action, which runs BEFORE any write
+    // touches the store files its plan references, so it needs no
+    // materialization (r15: the former defensive checkpoint was one extra
+    // job + block write per publish with no post-write consumer).
+    val classified =
       UpdatePlan.classifyUpdateTimes(existing, updateDf, timeCol)
-        .unionByName(existingEndFrame))
+        .unionByName(existingEndFrame)
     UpdatePlan.updateQualityCheckClassified(classified, timeCol,
       desc.timeResolution, desc.updateCadenceBounds)
     if (dryRun) {
-      graft.Housekeeping.release(classified)
       graft.Housekeeping.release(updateDf)
       return
     }
     withCommitMarker(computedAttrs(updateDf, isUpdate = true, Some(stats))) {
       writeDelta(updateDf, Some(stats.touched))
     }
-    // every consumer (classification, gates, both write paths) has run:
-    // the update delta's and classification's checkpoint blocks are dead
-    graft.Housekeeping.release(classified)
+    // every consumer (classification gate, both write paths) has run:
+    // the update delta's checkpoint blocks are dead
     graft.Housekeeping.release(updateDf)
   }
 

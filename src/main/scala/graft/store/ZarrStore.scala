@@ -398,19 +398,29 @@ final class ZarrStore(
           "bound. A zarr grid axis is a coordinate, not a key; for " +
           "high-cardinality dimensions use the parquet GridStore layout " +
           "(bucketed, no dense axis) or coarsen the dimension")
-    val t = {
+    // the per-axis planning jobs are INDEPENDENT — submit them from a
+    // small pool so they overlap (guide §2.6) instead of paying one
+    // scheduler round-trip per dimension sequentially (r15); each job's
+    // semantics (distinct → orderBy → bounded collect) are unchanged
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = ZarrStore.axisEc
+    val tF = Future {
       val rows = df.select(col(timeCol).cast(TimestampNTZType)).distinct()
         .orderBy(timeCol).limit(MaxAxisLength + 1).collect()
       bounded(timeCol, rows.length)
       rows.map(r => ldt2micros(r.getAs[java.time.LocalDateTime](0)))
     }
-    val spatial = nonTimeDims.map { d =>
-      val rows = df.select(col(d).cast("double")).distinct()
-        .orderBy(d).limit(MaxAxisLength + 1).collect()
-      bounded(d, rows.length)
-      rows.map(_.getDouble(0))
+    val spatialF = nonTimeDims.map { d =>
+      Future {
+        val rows = df.select(col(d).cast("double")).distinct()
+          .orderBy(d).limit(MaxAxisLength + 1).collect()
+        bounded(d, rows.length)
+        rows.map(_.getDouble(0))
+      }
     }
-    (t, spatial)
+    (Await.result(tF, Duration.Inf),
+      spatialF.map(Await.result(_, Duration.Inf)))
   }
 
   private def axisKeys(timeMicros: Array[Long],
@@ -618,6 +628,18 @@ final class ZarrStore(
 }
 
 object ZarrStore {
+
+  /** Small shared daemon pool for the independent per-axis planning jobs
+    * (guide §2.6); axes are few (≤ a handful of dims), so 3 threads is
+    * plenty to overlap them. */
+  private[store] lazy val axisEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(3, r => {
+        val t = new Thread(r, "graft-zarr-axes")
+        t.setDaemon(true)
+        t
+      }))
+
   /** CF time units for the store's time axis. MICROSECOND resolution — the
     * update path compares the frame's epoch-micros timestamps against the
     * persisted axis, so the axis must hold full precision or any sub-second

@@ -187,7 +187,14 @@ object StreamingUpdate {
             else
               graft.functions.Dedup.lshIndexWrite(admitted, idCol, textCol,
                 indexPath, shingleSize, numHashes, bands, nParts)
-          } finally admitted.unpersist()
+          } finally {
+            admitted.unpersist()
+            // r15: the dedup/probe checkpoints backing this batch's plans
+            // are dead once the sink + index append have run — without the
+            // release they accumulate across micro-batches for the life of
+            // the stream (there is no between-query sweep here)
+            graft.Housekeeping.release(admitted)
+          }
         }
       }
       .start()
