@@ -14,11 +14,16 @@ object ProfileQuery {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ProfileQuery <sfDir> <q1,q2,…>")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B harness for candidate session confs (comma-separated k=v pairs)
+    sys.env.get("SPARK_GRAFT_PROFILE_CONFS").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     final case class JobRow(id: Int, desc: String, start: Long,

@@ -463,8 +463,15 @@ object Dedup {
       idCol: String,
       textCol: String,
       minDocs: Int): DataFrame = {
-    val lines = df.select(col(idCol).as("__id"),
-      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    // split ONCE (r15, guide §5): the document-frequency count and the
+    // reconstruction join both read the materialized per-doc line arrays
+    // instead of re-scanning and re-splitting the corpus per reference;
+    // caller/sweep releases the checkpoint
+    val lineArr = df.select(col(idCol).as("__id"),
+        split(col(textCol), "\n").as("__ls"))
+      .localCheckpoint(true)
+    val lines = lineArr.select(col("__id"),
+      posexplode(col("__ls")).as(Seq("__pos", "__line")))
     val common = lines.filter(col("__line") =!= "")
       .groupBy("__line")
       .agg(countDistinct(col("__id")).as("__docs"))
@@ -505,30 +512,26 @@ object Dedup {
       bCol: String,
       maxRounds: Int = 30): DataFrame = {
     // materialize the (possibly expensive — LSH + exact verify) pair
-    // pipeline ONCE; both `nodes` and the edge iteration derive from the
-    // checkpoint, never from the original lineage (exchange reuse does not
-    // span the separate actions below)
+    // pipeline ONCE; the node derivation and the edge iteration derive from
+    // the checkpoint, never from the original lineage (exchange reuse does
+    // not span the separate actions below)
     var base: DataFrame = null
-    var nodes: DataFrame = null
     var edges: DataFrame = null
     try {
     base = pairs
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
       .localCheckpoint(true)
 
-    nodes = base.select(col("x").as("n"))
-      .union(base.select(col("y").as("n"))).distinct()
-      .localCheckpoint(true)
-
-    // canonical undirected edges (u < v), self-loops dropped
+    // canonical undirected edges (u < v), self-loops dropped. LAZY
+    // checkpoint (r15): the round-0 digest below is the first action and
+    // materializes the blocks as it folds — no separate checkpoint job.
+    // `base` stays alive until the final labeling (the node set derives
+    // from it there), so releasing happens at the end, not here.
     edges = base
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
       .distinct()
-      .localCheckpoint(true)
-    // nodes and round-0 edges are materialized — the pair pipeline's
-    // checkpoint is dead from here on
-    graft.Housekeeping.release(base)
+      .localCheckpoint(false)
 
     // order-independent edge-set digest: (count, xor of pair hashes). Equal
     // digests across a round ⇒ the set is (up to a 2⁻⁶⁴ collision) stable —
@@ -556,15 +559,20 @@ object Dedup {
         .filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v"))
       // SMALL-STAR: center = the larger endpoint of each canonical edge;
-      // link all of its ≤ neighbors (and itself) to their minimum.
+      // link all of its ≤ neighbors (and itself) to their minimum. ONE
+      // join (r15): each joined (v, u, m) row emits BOTH output edges —
+      // (m, u) for the neighbor and (m, v) for the center — via explode,
+      // where the former union of two identical joins shuffled twice.
       // LAZY checkpoint: the digest below is the round's SINGLE driver
       // action — it materializes the checkpoint blocks as it folds the
       // convergence digest, so a round costs one job, not checkpoint+probe.
       val ssMin = large.groupBy(col("v")).agg(min(col("u")).as("m"))
       val small = large.join(ssMin, "v")
-        .select(col("m").as("u"), col("u").as("v"))
+        .select(explode(array(
+          struct(col("m").as("u"), col("u").as("v")),
+          struct(col("m").as("u"), col("v").as("v")))).as("__e"))
+        .select(col("__e.u").as("u"), col("__e.v").as("v"))
         .filter(col("u") =!= col("v"))
-        .union(large.join(ssMin, "v").select(col("m").as("u"), col("v")))
         .distinct()
         .localCheckpoint(false)
       val cur = digest(small)
@@ -580,14 +588,19 @@ object Dedup {
 
     // at the fixpoint, edges are (componentMin, member): map members
     // directly, centers (and nodes that lost all edges to self-loop
-    // dropping) to themselves. Materialize the labeling, then release the
-    // node and edge frames — the caller receives ONE persisted frame (and
-    // releases it via Housekeeping when done).
+    // dropping) to themselves. The node set derives from the still-live
+    // `base` checkpoint right here — it is only ever read once, so the
+    // former upfront node materialization was a whole job for nothing.
+    // Materialize the labeling, then release the base and edge frames —
+    // the caller receives ONE persisted frame (and releases it via
+    // Housekeeping when done).
+    val nodes = base.select(col("x").as("n"))
+      .union(base.select(col("y").as("n"))).distinct()
     val out = nodes
       .join(edges.select(col("v").as("n"), col("u").as("c")), Seq("n"), "left")
       .select(col("n").as("node"), coalesce(col("c"), col("n")).as("component"))
       .localCheckpoint(true)
-    graft.Housekeeping.release(nodes)
+    graft.Housekeeping.release(base)
     graft.Housekeeping.release(edges)
     out
     } catch {
@@ -595,7 +608,7 @@ object Dedup {
         // a failed round (or non-convergence) must not strand the live
         // checkpoints — the caller's retry would stack a fresh set on top.
         // Double-release of already-freed frames is a no-op.
-        Seq(base, nodes, edges).filter(_ != null)
+        Seq(base, edges).filter(_ != null)
           .foreach(graft.Housekeeping.release)
         throw t
     }
@@ -644,7 +657,13 @@ object Dedup {
       textCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"span length $k: a 1-token span would delete every repeated word")
+    // tokenize ONCE (r15, guide §5): the gram stream (referenced by both
+    // the duplicate count and the flagged-position join) and the final
+    // reconstruction all read the materialized per-doc token arrays —
+    // previously each reference re-scanned and re-tokenized the corpus;
+    // caller/sweep releases the checkpoint
     val toks = df.select(col(idCol), graft.functions.Text.tokens(col(textCol)).as("toks"))
+      .localCheckpoint(true)
     // gram hash per start position; sequence(0, n-k) is DESCENDING when
     // n < k, so short documents must produce an empty gram list explicitly
     val grams = toks.select(col(idCol), posexplode(

@@ -456,8 +456,14 @@ object Text {
     * combined, vocabulary-bounded), one broadcast-or-shuffle join of
     * tokens to counts, one per-doc aggregation. N is a driver-side long. */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("__id"),
-      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    // tokenize ONCE (r15, guide §5): the count pass and the per-doc score
+    // join both read the materialized per-doc token arrays instead of
+    // re-scanning and re-tokenizing the corpus per plan reference; the
+    // checkpoint backs the returned plan (caller/sweep releases it)
+    val toksArr = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+      .localCheckpoint(true)
+    val toks = toksArr.select(col("__id"),
+      posexplode(col("__t")).as(Seq("__pos", "__tok")))
     val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
     // N derives from the counts aggregate IN-PLAN (a one-row broadcast
     // cross join): no driver-side job, no materialized corpus-scale state,
@@ -491,7 +497,11 @@ object Text {
     * ln()'s cross-engine ulp. Output: (idCol, bigram_surprisal, n_bigrams);
     * single-token documents score 0. */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // tokenize ONCE (r15, guide §5): the bigram stream, the unigram counts,
+    // and the final id list all derive from the materialized token arrays
+    // (three text scans → one); caller/sweep releases the checkpoint
     val toks = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+      .localCheckpoint(true)
     val bi = toks.select(col("__id"), posexplode(
       bind(col("__t")) { t =>
         when(size(t) >= 2,
@@ -550,8 +560,14 @@ object Text {
       case Some(b) => (t: Column) => pmod(xxhash64(t), lit(b)).cast("string")
       case None => (t: Column) => t
     }
-    val toks = df.select(col(idCol).as("__id"), isTarget.as("__tgt"),
-      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok0")))
+    // tokenize ONCE (r15, guide §5): the n-gram counts and the per-doc
+    // weight join both read the materialized per-doc token arrays;
+    // caller/sweep releases the checkpoint
+    val toksArr = df.select(col(idCol).as("__id"), isTarget.as("__tgt"),
+        tokens(col(textCol)).as("__t"))
+      .localCheckpoint(true)
+    val toks = toksArr.select(col("__id"), col("__tgt"),
+      posexplode(col("__t")).as(Seq("__pos", "__tok0")))
       .withColumn("__tok", feat(col("__tok0")))
     val counts = toks.groupBy("__tok").agg(
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
