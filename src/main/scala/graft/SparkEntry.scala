@@ -3855,8 +3855,13 @@ object SparkEntry {
         .when(col("slot") % 5 === 2, concat(lit("/private/ok/x"), col("count")))
         .when(col("slot") % 5 === 3, concat(lit("/tmp/x"), col("count")))
         .otherwise(concat(lit("/x"), col("count"), lit(".php")))
+      // materialize the URL frame once (guide §2.3): robotsAllowed
+      // references its input twice (distinct-verdict side + join-back),
+      // and two agents double that — without this the events aggregate
+      // evaluated FOUR times per run (bench sweep releases the blocks)
       val urls = g.select(col("id"), col("slot"),
         concat(lit("https://"), domain, path).as("url"))
+        .localCheckpoint(true)
       val byAgent = Seq("graftbot", "otherbot").map { a =>
         graft.functions.Web.robotsAllowed(urls, "url", robots,
           "domain", "txt", a).withColumn("agent", lit(a))
@@ -4045,12 +4050,18 @@ object SparkEntry {
         .option("maxSplitBytes", "4096").load(path)
       val robots = Seq(("example.com", "User-agent: *\nDisallow: /p\n"))
         .toDF("domain", "txt")
+      // materialize the deduplicated frontier once (guide §2.3): it is the
+      // expensive subtree (warc scan → link extraction → canonicalize),
+      // and robotsAllowed references its input twice (distinct-verdict
+      // side + join-back) — without this the 60-task extraction stage ran
+      // twice per query (bench sweep releases the blocks)
       val frontier = scan
         .filter(col("warc_type") === "response" && col("http_status") === 200)
         .select(explode(Web.extractLinks(
           col("payload_text"), col("target_uri"))).as("raw_url"))
         .select(Web.canonicalizeUrl(col("raw_url")).as("url"))
         .distinct()
+        .localCheckpoint(true)
       Web.robotsAllowed(frontier, "url", robots, "domain", "txt", "graftbot")
         .groupBy(
           Web.registrableDomain(Web.hostOf(col("url"))).as("etld1"),

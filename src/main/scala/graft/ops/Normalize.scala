@@ -62,11 +62,17 @@ object Normalize {
       timeCol: String,
       otherDims: Seq[String],
       resolution: TimeSpan): DataFrame = {
-    val bounds = df.agg(min(col(timeCol)).as("lo"), max(col(timeCol)).as("hi"))
+    // Materialize the distinct PRESENT times once (r15, guide §2.3): one
+    // row per timestep — the driver-held-axis bound, never the grid. The
+    // former shape evaluated df three times (bounds aggregate, distinct
+    // times, dim set); bounds and the anti-join probe now read this
+    // axis-sized checkpoint, so df itself is computed once here (plus the
+    // verbatim pass-through in the union below).
+    val times = df.select(col(timeCol)).distinct().localCheckpoint(true)
+    val bounds = times.agg(min(col(timeCol)).as("lo"), max(col(timeCol)).as("hi"))
     val spine = bounds.select(
       explode(expr(s"sequence(lo, hi, ${resolution.intervalExpr})")).as(timeCol))
-    val missingTimes = spine.join(
-      df.select(col(timeCol)).distinct(), Seq(timeCol), "left_anti")
+    val missingTimes = spine.join(times, Seq(timeCol), "left_anti")
     val holeRows =
       if (otherDims.isEmpty) missingTimes
       else missingTimes.crossJoin(df.select(otherDims.map(col): _*).distinct())

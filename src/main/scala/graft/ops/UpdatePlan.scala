@@ -31,18 +31,25 @@ object UpdatePlan {
   }
 
   /** Same classification as a single DataFrame with a `kind` column
-    * ("insert" | "append") — convenient for one-pass planning. */
+    * ("insert" | "append") — convenient for one-pass planning.
+    *
+    * ONE left join replaces the former semi + anti pair (guide §2.4):
+    * the pair scanned each side twice and unioned two joins of the same
+    * inputs; a left join against the distinct original times (at most one
+    * match per key, so no row multiplication) classifies both kinds in a
+    * single pass — this runs inside every GridStore publish, where each
+    * extra action is protocol latency. */
   def classifyUpdateTimes(
       original: DataFrame,
       update: DataFrame,
       timeCol: String = "time"): DataFrame = {
     val origTimes = original.select(timeCol).distinct()
-    val updTimes  = update.select(timeCol).distinct()
-    val inserts = updTimes.join(origTimes, Seq(timeCol), "left_semi")
-      .withColumn("kind", lit("insert"))
-    val appends = updTimes.join(origTimes, Seq(timeCol), "left_anti")
-      .withColumn("kind", lit("append"))
-    inserts.unionByName(appends)
+      .withColumn("__orig", lit(1))
+    update.select(timeCol).distinct()
+      .join(origTimes, Seq(timeCol), "left")
+      .select(col(timeCol),
+        when(col("__orig").isNotNull, lit("insert"))
+          .otherwise(lit("append")).as("kind"))
   }
 
   /** Group a set of timesteps into contiguous runs (gaps-and-islands).

@@ -345,7 +345,9 @@ final class GribScan(
   /** Streaming batches reuse the batch pruning + partitioning verbatim. */
   private[grib] def partitionsOf(path: String,
       ms: Seq[GribMessage]): Seq[InputPartition] =
-    ms.filter(keep).map(m => GribInputPartition(path, m, required.fieldNames))
+    GribSplit.pack(ms.filter(keep).map(path -> _)).map { case (p, packed) =>
+      GribInputPartition(p, packed, required.fieldNames)
+    }
   private[grib] def readerFactory: PartitionReaderFactory = createReaderFactory()
 
   /** SAME conversion as the filter-literal side (NcScan.toKey) so the
@@ -410,12 +412,13 @@ final class GribScan(
 
   override def description(): String =
     s"graft-grib1 messages=${survivors.length}/${byFile.map(_._2.length).sum}, " +
+      s"splits=${GribSplit.pack(survivors).length}, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    survivors.map { case (p, m) =>
-      GribInputPartition(p, m, required.fieldNames)
+    GribSplit.pack(survivors).map { case (p, ms) =>
+      GribInputPartition(p, ms, required.fieldNames)
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -431,8 +434,53 @@ final class GribScan(
 
 final case class GribInputPartition(
     path: String,
-    message: GribMessage,
+    messages: Seq[GribMessage],
     cols: Array[String]) extends InputPartition
+
+/** Byte-budgeted message packing — Spark's `FilePartition.maxSplitBytes`
+  * sizing formula applied at GRIB-message granularity. One partition per
+  * message made a million-message archive a million tasks (quadratic
+  * shuffle-block growth downstream, guide §2.2) and a 60-message fixture
+  * 60 scheduler round-trips; packing consecutive same-file messages up to
+  * the split budget keeps tasks in the 100 MB-class at scale and collapses
+  * tiny scans to a handful of tasks locally. The budget derives from the
+  * session's `spark.sql.files.*` confs — scale-adaptive, no constants. */
+private[grib] object GribSplit {
+  private def msgBytes(m: GribMessage): Long =
+    m.dataBytes.toLong + (if (m.hasBitmap) m.bitmapBytes.toLong else 0L)
+
+  def pack(survivors: Seq[(String, GribMessage)]): Seq[(String, Seq[GribMessage])] = {
+    if (survivors.isEmpty) return Seq.empty
+    val sqlConf = org.apache.spark.sql.internal.SQLConf.get
+    val maxPartitionBytes = sqlConf.filesMaxPartitionBytes
+    val openCost = sqlConf.filesOpenCostInBytes
+    val minPartitionNum = sqlConf.filesMinPartitionNum.getOrElse(
+      org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism)
+    // open cost charges once per FILE (messages of one file share the
+    // stream), exactly like Spark's file-granular charging
+    val totalBytes = survivors.map { case (_, m) => msgBytes(m) }.sum +
+      survivors.iterator.map(_._1).distinct.size * openCost
+    val maxSplit = math.min(maxPartitionBytes,
+      math.max(openCost, totalBytes / math.max(1, minPartitionNum)))
+    val out = Seq.newBuilder[(String, Seq[GribMessage])]
+    var curPath: String = null
+    var cur = List.newBuilder[GribMessage]
+    var curBytes = 0L
+    var curEmpty = true
+    def flush(): Unit = if (!curEmpty) {
+      out += ((curPath, cur.result()))
+      cur = List.newBuilder[GribMessage]; curBytes = 0L; curEmpty = true
+    }
+    survivors.foreach { case (p, m) =>
+      val cost = msgBytes(m) + (if (p != curPath) openCost else 0L)
+      if (p != curPath || (!curEmpty && curBytes + cost > maxSplit)) flush()
+      curPath = p
+      cur += m; curBytes += cost; curEmpty = false
+    }
+    flush()
+    out.result()
+  }
+}
 
 final class GribReaderFactory(conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
@@ -440,34 +488,50 @@ final class GribReaderFactory(conf: SerializableHadoopConf)
     new GribPartitionReader(partition.asInstanceOf[GribInputPartition], conf.value)
 }
 
-/** One positioned slab read per message, then cell-by-cell bit-unpack. */
+/** One positioned slab read per message, then cell-by-cell bit-unpack;
+  * the partition's messages share one open stream and decode in order. */
 final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val m = part.message
-  private val (slab, bitmapSlab): (Array[Byte], Array[Byte]) = {
+  private val in = {
     val p = new HPath(part.path)
-    val in = p.getFileSystem(conf).open(p)
-    try {
-      val b = new Array[Byte](m.dataBytes)
-      in.readFully(m.dataOffset, b)
-      val bm = if (!m.hasBitmap) null else {
-        val a = new Array[Byte](m.bitmapBytes)
-        in.readFully(m.bitmapOffset, a)
-        a
-      }
-      (b, bm)
-    } finally in.close()
+    p.getFileSystem(conf).open(p)
   }
-  private val cellValue: Int => Double = m.decoder(slab, bitmapSlab)
-  private val regular = m.lcc.isEmpty && m.ps.isEmpty && m.merc.isEmpty &&
-    m.rot.isEmpty && m.rowLengths.isEmpty
-  private val lats = if (regular) m.lats else null
-  private val lons = if (regular) m.lons else null
+
+  // ---- per-message state, loaded by advance() as the cursor moves ----
+  private var mi = -1
+  private var m: GribMessage = null
+  private var cellValue: Int => Double = null
+  private var regular = false
+  private var lats: Array[Double] = null
+  private var lons: Array[Double] = null
+  private var timeMicros = 0L
+  private var refTimeMicros = 0L
+
   private def micros(t: java.time.LocalDateTime): Long =
     t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
-  private val timeMicros: Long = micros(m.validTime)
-  private val refTimeMicros: Long = micros(GribTable.baseOf(m))
+
+  /** Load the next message's slab + decode state; false when exhausted. */
+  private def advance(): Boolean = {
+    mi += 1
+    if (mi >= part.messages.length) return false
+    m = part.messages(mi)
+    val slab = new Array[Byte](m.dataBytes)
+    in.readFully(m.dataOffset, slab)
+    val bitmapSlab = if (!m.hasBitmap) null else {
+      val a = new Array[Byte](m.bitmapBytes)
+      in.readFully(m.bitmapOffset, a)
+      a
+    }
+    cellValue = m.decoder(slab, bitmapSlab)
+    regular = m.lcc.isEmpty && m.ps.isEmpty && m.merc.isEmpty &&
+      m.rot.isEmpty && m.rowLengths.isEmpty
+    lats = if (regular) m.lats else null
+    lons = if (regular) m.lons else null
+    timeMicros = micros(m.validTime)
+    refTimeMicros = micros(GribTable.baseOf(m))
+    true
+  }
   // hoist the per-column dispatch out of the per-cell loop: a message is
   // ~10⁶ cells; string-matching column names per cell is pure overhead
   private val TimeC = 0; private val LatC = 1; private val LonC = 2
@@ -499,7 +563,14 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
   }
   private var k = -1
 
-  override def next(): Boolean = { k += 1; k < m.nValues }
+  override def next(): Boolean = {
+    k += 1
+    while (m == null || k >= m.nValues) {
+      if (!advance()) return false
+      k = 0
+    }
+    true
+  }
 
   override def get(): InternalRow = {
     val row = new Array[Any](colCodes.length)
@@ -532,7 +603,7 @@ final class GribPartitionReader(part: GribInputPartition, conf: Configuration)
     new GenericInternalRow(row)
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = in.close()
 }
 
 /** Streaming offset: the natural-order key watermark of the last admitted

@@ -235,12 +235,13 @@ final class GribSpectralScan(
 
   override def description(): String =
     s"graft-grib-spectral messages=${survivors.length}/${byFile.map(_._2.length).sum}, " +
+      s"splits=${GribSplit.pack(survivors).length}, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    survivors.map { case (p, m) =>
-      GribInputPartition(p, m, required.fieldNames)
+    GribSplit.pack(survivors).map { case (p, ms) =>
+      GribInputPartition(p, ms, required.fieldNames)
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -262,28 +263,41 @@ final class GribSpectralReaderFactory(conf: SerializableHadoopConf)
 }
 
 /** One positioned slab read per message; value k maps to pair k/2 and
-  * component k%2 under the m-major mode-1 ordering. */
+  * component k%2 under the m-major mode-1 ordering. The partition's
+  * messages share one open stream and decode in order. */
 final class GribSpectralPartitionReader(part: GribInputPartition,
     conf: Configuration) extends PartitionReader[InternalRow] {
 
-  private val msg = part.message
-  private val sp = msg.spectral.getOrElse(throw new IllegalStateException(
-    s"${part.path}: non-spectral message in a grib-spectral partition"))
-  private val slab: Array[Byte] = {
+  private val in = {
     val p = new HPath(part.path)
-    val in = p.getFileSystem(conf).open(p)
-    try {
-      val b = new Array[Byte](msg.dataBytes)
-      in.readFully(msg.dataOffset, b)
-      b
-    } finally in.close()
+    p.getFileSystem(conf).open(p)
   }
-  private val cellValue: Int => Double = msg.decoder(slab, null)
-  private val pairMN = sp.pairMN
+
+  // ---- per-message state, loaded by advance() as the cursor moves ----
+  private var mi = -1
+  private var msg: GribMessage = null
+  private var cellValue: Int => Double = null
+  private var pairMN: Array[(Int, Int)] = null
+  private var timeMicros = 0L
+  private var refTimeMicros = 0L
+
   private def micros(t: java.time.LocalDateTime): Long =
     t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
-  private val timeMicros: Long = micros(msg.validTime)
-  private val refTimeMicros: Long = micros(GribTable.baseOf(msg))
+
+  private def advance(): Boolean = {
+    mi += 1
+    if (mi >= part.messages.length) return false
+    msg = part.messages(mi)
+    val sp = msg.spectral.getOrElse(throw new IllegalStateException(
+      s"${part.path}: non-spectral message in a grib-spectral partition"))
+    val slab = new Array[Byte](msg.dataBytes)
+    in.readFully(msg.dataOffset, slab)
+    cellValue = msg.decoder(slab, null)
+    pairMN = sp.pairMN
+    timeMicros = micros(msg.validTime)
+    refTimeMicros = micros(GribTable.baseOf(msg))
+    true
+  }
   private val Re = UTF8String.fromString("re")
   private val Im = UTF8String.fromString("im")
   private val TimeC = 0; private val ParamC = 1; private val MemberC = 2
@@ -306,7 +320,14 @@ final class GribSpectralPartitionReader(part: GribInputPartition,
   }
   private var k = -1
 
-  override def next(): Boolean = { k += 1; k < msg.nValues }
+  override def next(): Boolean = {
+    k += 1
+    while (msg == null || k >= msg.nValues) {
+      if (!advance()) return false
+      k = 0
+    }
+    true
+  }
 
   override def get(): InternalRow = {
     val row = new Array[Any](colCodes.length)
@@ -331,5 +352,5 @@ final class GribSpectralPartitionReader(part: GribInputPartition,
     new GenericInternalRow(row)
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = in.close()
 }
