@@ -77,14 +77,17 @@ object Graph {
     require(iters >= 0 && iters <= 100, s"iters $iters out of [0,100]")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille $dampingPermille out of [0,1000]")
-    val spark = edges.sparkSession
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-
+    // keyed repartition WITHOUT a pinned count (r15): AQE sizes the
+    // exchange from the actual bytes (advisoryPartitionSizeInBytes), so
+    // the cached edge layout is a handful of blocks on a laptop-sized
+    // graph and hundreds of right-sized blocks at web scale — an explicit
+    // count disables that coalescing (guide §2.2/§2.5: scale-adaptive
+    // partitioning, not a constant tuned for one deployment)
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .repartition(nPart, col("src"))
+      .repartition(col("src"))
       .localCheckpoint(true)
 
     val base = (1000L - dampingPermille) * scale / 1000L
@@ -151,13 +154,12 @@ object Graph {
       dampingPermille: Int = 850,
       scale: Long = 1000000L): DataFrame = {
     require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
-    val spark = edges.sparkSession
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // unpinned keyed repartition, as in [[pageRank]] (r15): AQE-coalesced
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .repartition(nPart, col("src"))
+      .repartition(col("src"))
       .localCheckpoint(true)
     val isSeed = col("node").isInCollection(seeds)
 
