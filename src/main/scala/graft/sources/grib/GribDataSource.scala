@@ -451,17 +451,12 @@ private[grib] object GribSplit {
 
   def pack(survivors: Seq[(String, GribMessage)]): Seq[(String, Seq[GribMessage])] = {
     if (survivors.isEmpty) return Seq.empty
-    val sqlConf = org.apache.spark.sql.internal.SQLConf.get
-    val maxPartitionBytes = sqlConf.filesMaxPartitionBytes
-    val openCost = sqlConf.filesOpenCostInBytes
-    val minPartitionNum = sqlConf.filesMinPartitionNum.getOrElse(
-      org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism)
+    val openCost = graft.sources.SplitBudget.openCostInBytes
     // open cost charges once per FILE (messages of one file share the
     // stream), exactly like Spark's file-granular charging
     val totalBytes = survivors.map { case (_, m) => msgBytes(m) }.sum +
       survivors.iterator.map(_._1).distinct.size * openCost
-    val maxSplit = math.min(maxPartitionBytes,
-      math.max(openCost, totalBytes / math.max(1, minPartitionNum)))
+    val maxSplit = graft.sources.SplitBudget.maxSplitBytes(totalBytes)
     val out = Seq.newBuilder[(String, Seq[GribMessage])]
     var curPath: String = null
     var cur = List.newBuilder[GribMessage]

@@ -293,9 +293,16 @@ final class TiffScan(
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new TiffMicroBatchStream(this, paths, conf, maxFilesPerTrigger, overview)
 
-  /** Streaming batches reuse the batch pruning + partitioning verbatim. */
+  /** Streaming batches reuse the batch pruning + packing verbatim (one
+    * file per call, so the budget sees that file's surviving tiles). */
   private[tiff] def partitionsOf(path: String,
-      r: TiffRaster): Seq[InputPartition] = filePartitions(path, r)
+      r: TiffRaster): Seq[InputPartition] =
+    fileTiles(path, r).toSeq.flatMap { f =>
+      val openCost = graft.sources.SplitBudget.openCostInBytes
+      val maxSplit = graft.sources.SplitBudget.maxSplitBytes(
+        f._3.map(_.count).sum + openCost)
+      packTiles(f, maxSplit, openCost)
+    }
   private[tiff] def readerFactory: PartitionReaderFactory = createReaderFactory()
 
   // all rasters in one scan share a CRS class (resolve() refused a mix)
@@ -379,14 +386,15 @@ final class TiffScan(
     }
   }
 
-  // (path, raster, tile index, clip bounds, bands) per surviving tile
-  private def filePartitions(p: String, r: TiffRaster): Seq[TiffInputPartition] =
-    if (!pathKept(p)) Seq.empty
+  // (path, raster, surviving tile refs, clip bounds, bands) per file
+  private def fileTiles(p: String, r: TiffRaster): Option[
+      (String, TiffRaster, Seq[TiffTileRef], (Int, Int, Int, Int), Array[Int])] =
+    if (!pathKept(p)) None
     else {
       val bands = bandsOf(r)
-      if (bands.isEmpty) Seq.empty
+      if (bands.isEmpty) None
       else pixelBounds(r) match {
-        case None => Seq.empty
+        case None => None
         case Some((x0, x1, y0, y1)) =>
           val t0x = x0 / r.tileWidth; val t1x = x1 / r.tileWidth
           val t0y = y0 / r.tileHeight; val t1y = y1 / r.tileHeight
@@ -394,21 +402,55 @@ final class TiffScan(
           // tile index (O(tiles) per partition = O(tiles^2) shipped)
           val slim = r.copy(tileOffsets = Array.emptyLongArray,
             tileByteCounts = Array.emptyLongArray)
-          for {
+          val tiles = for {
             ty <- t0y to t1y
             tx <- t0x to t1x
             t = ty * r.tilesAcross + tx
-          } yield TiffInputPartition(p, slim, tx, ty,
-            r.tileOffsets(t), r.tileByteCounts(t),
-            x0, x1, y0, y1, bands.toArray, required.fieldNames)
+          } yield TiffTileRef(tx, ty, r.tileOffsets(t), r.tileByteCounts(t))
+          Some((p, slim, tiles, (x0, x1, y0, y1), bands.toArray))
       }
     }
 
-  private lazy val survivors: Seq[TiffInputPartition] =
-    byFile.flatMap { case (p, r) => filePartitions(p, r) }
+  /** Greedy same-file pack of tile refs up to `maxSplit` bytes (open cost
+    * charged once per split, like Spark's file-granular charging). */
+  private def packTiles(
+      f: (String, TiffRaster, Seq[TiffTileRef], (Int, Int, Int, Int), Array[Int]),
+      maxSplit: Long, openCost: Long): Seq[TiffInputPartition] = {
+    val (p, slim, tiles, (x0, x1, y0, y1), bands) = f
+    val groups = Seq.newBuilder[Seq[TiffTileRef]]
+    var cur = List.newBuilder[TiffTileRef]
+    var curBytes = openCost
+    var curEmpty = true
+    tiles.foreach { t =>
+      if (!curEmpty && curBytes + t.count > maxSplit) {
+        groups += cur.result()
+        cur = List.newBuilder[TiffTileRef]; curBytes = openCost; curEmpty = true
+      }
+      cur += t; curBytes += t.count; curEmpty = false
+    }
+    if (!curEmpty) groups += cur.result()
+    groups.result().map(g => TiffInputPartition(p, slim, g.toArray,
+      x0, x1, y0, y1, bands, required.fieldNames))
+  }
+
+  /** Surviving tiles packed into byte-budgeted partitions (SplitBudget —
+    * Spark's maxSplitBytes formula at tile granularity): one partition per
+    * tile made a million-tile COG archive a million tasks; consecutive
+    * same-file tiles now share a task and one open stream. */
+  private lazy val survivors: Seq[TiffInputPartition] = {
+    val perFile = byFile.flatMap { case (p, r) => fileTiles(p, r) }
+    if (perFile.isEmpty) Seq.empty
+    else {
+      val openCost = graft.sources.SplitBudget.openCostInBytes
+      val totalBytes = perFile.map(f => f._3.map(_.count).sum + openCost).sum
+      val maxSplit = graft.sources.SplitBudget.maxSplitBytes(totalBytes)
+      perFile.flatMap(packTiles(_, maxSplit, openCost))
+    }
+  }
 
   override def description(): String =
-    s"graft-geotiff tiles=${survivors.length}/${byFile.map(_._2.tileOffsets.length).sum}, " +
+    s"graft-geotiff tiles=${survivors.map(_.tiles.length).sum}/${byFile.map(_._2.tileOffsets.length).sum}, " +
+      s"splits=${survivors.length}, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
 
@@ -420,9 +462,13 @@ final class TiffScan(
   override def estimateStatistics(): Statistics = new Statistics {
     private val rows = survivors.map { p =>
       val r = p.raster
-      val w = math.min((p.tx + 1) * r.tileWidth - 1, p.x1) - math.max(p.tx * r.tileWidth, p.x0) + 1
-      val h = math.min((p.ty + 1) * r.tileHeight - 1, p.y1) - math.max(p.ty * r.tileHeight, p.y0) + 1
-      math.max(0L, w.toLong) * math.max(0L, h.toLong) * p.bands.length
+      p.tiles.map { t =>
+        val w = math.min((t.tx + 1) * r.tileWidth - 1, p.x1) -
+          math.max(t.tx * r.tileWidth, p.x0) + 1
+        val h = math.min((t.ty + 1) * r.tileHeight - 1, p.y1) -
+          math.max(t.ty * r.tileHeight, p.y0) + 1
+        math.max(0L, w.toLong) * math.max(0L, h.toLong) * p.bands.length
+      }.sum
     }.sum
     private val rowBytes = required.fields.map(_.dataType.defaultSize.toLong).sum
     override def sizeInBytes(): OptionalLong = OptionalLong.of(rows * math.max(1L, rowBytes))
@@ -430,11 +476,13 @@ final class TiffScan(
   }
 }
 
+/** One surviving tile's grid position + byte extent in its file. */
+final case class TiffTileRef(tx: Int, ty: Int, offset: Long, count: Long)
+
 final case class TiffInputPartition(
     path: String,
-    raster: TiffRaster, // tile index arrays EMPTIED — see offset/count
-    tx: Int, ty: Int,
-    offset: Long, count: Long,
+    raster: TiffRaster, // tile index arrays EMPTIED — see tiles' offsets
+    tiles: Array[TiffTileRef],
     x0: Int, x1: Int, y0: Int, y1: Int,
     bands: Array[Int],
     cols: Array[String]) extends InputPartition
@@ -445,32 +493,46 @@ final class TiffReaderFactory(conf: SerializableHadoopConf)
     new TiffPartitionReader(partition.asInstanceOf[TiffInputPartition], conf.value)
 }
 
-/** One positioned tile read + decompress, then emit the clipped cells
-  * band-interleaved. */
+/** One positioned tile read + decompress per tile, then emit the clipped
+  * cells band-interleaved; the partition's tiles share one open stream. */
 final class TiffPartitionReader(part: TiffInputPartition, conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val r = part.raster
-  private val pix: Array[Double] = {
+  private val in = {
     val p = new HPath(part.path)
-    val in = p.getFileSystem(conf).open(p)
-    try {
-      val b = new Array[Byte](part.count.toInt)
-      in.readFully(part.offset, b)
-      TiffFormat.decodeTile(r, b, part.ty)
-    } finally in.close()
+    p.getFileSystem(conf).open(p)
   }
-  private val tx = part.tx
-  private val ty = part.ty
-  // clip: intersection of the tile with the scan's pixel bounds
-  private val cx0 = math.max(tx * r.tileWidth, part.x0)
-  private val cx1 = math.min((tx + 1) * r.tileWidth - 1, math.min(part.x1, r.width - 1))
-  private val cy0 = math.max(ty * r.tileHeight, part.y0)
-  private val cy1 = math.min((ty + 1) * r.tileHeight - 1, math.min(part.y1, r.height - 1))
-  private val nx = math.max(0, cx1 - cx0 + 1)
-  private val ny = math.max(0, cy1 - cy0 + 1)
+
+  // ---- per-tile state, loaded by advance() as the cursor moves ----
+  private var ti = -1
+  private var pix: Array[Double] = null
+  private var tx = 0
+  private var ty = 0
+  private var cx0 = 0; private var cy0 = 0
+  private var nx = 0
+  private var total = 0L
   private val nb = part.bands.length
-  private val total = nx.toLong * ny * nb
+
+  /** Load the next tile's pixels + clip state; false when exhausted. */
+  private def advance(): Boolean = {
+    ti += 1
+    if (ti >= part.tiles.length) return false
+    val t = part.tiles(ti)
+    val b = new Array[Byte](t.count.toInt)
+    in.readFully(t.offset, b)
+    tx = t.tx; ty = t.ty
+    pix = TiffFormat.decodeTile(r, b, ty)
+    // clip: intersection of the tile with the scan's pixel bounds
+    cx0 = math.max(tx * r.tileWidth, part.x0)
+    val cx1 = math.min((tx + 1) * r.tileWidth - 1, math.min(part.x1, r.width - 1))
+    cy0 = math.max(ty * r.tileHeight, part.y0)
+    val cy1 = math.min((ty + 1) * r.tileHeight - 1, math.min(part.y1, r.height - 1))
+    nx = math.max(0, cx1 - cx0 + 1)
+    val ny = math.max(0, cy1 - cy0 + 1)
+    total = nx.toLong * ny * nb
+    true
+  }
 
   private val pathUtf = UTF8String.fromString(part.path)
   private val PathC = 0; private val LatC = 1; private val LonC = 2
@@ -484,7 +546,14 @@ final class TiffPartitionReader(part: TiffInputPartition, conf: Configuration)
   }
   private var k = -1L
 
-  override def next(): Boolean = { k += 1; k < total }
+  override def next(): Boolean = {
+    k += 1
+    while (pix == null || k >= total) {
+      if (!advance()) return false
+      k = 0
+    }
+    true
+  }
 
   override def get(): InternalRow = {
     val b = (k % nb).toInt
@@ -511,7 +580,7 @@ final class TiffPartitionReader(part: TiffInputPartition, conf: Configuration)
     new GenericInternalRow(row)
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = in.close()
 }
 
 final case class TiffOffset(watermark: String)
