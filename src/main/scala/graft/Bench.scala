@@ -29,9 +29,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen/parquet-footer paths so the first timed query
     // doesn't absorb session initialization: one tiny representative query
-    // per subsystem (scan+agg, text HOFs, embedding HOFs).
+    // per subsystem (scan+agg, text HOFs, embedding HOFs, and — r15 — the
+    // parquet WRITE/commit path: its JIT was landing on whichever write-
+    // family query sorts first and inflating it 1-2 s; see
+    // OPTIMIZATION_r15.md "warmup order").
     try {
-      Seq("q18_date_range", "q33_token_stats", "q40_embed_norms").foreach { q =>
+      Seq("q18_date_range", "q33_token_stats", "q40_embed_norms",
+          "q44_store_attrs").foreach { q =>
         SparkEntry.queries(q)(spark, sfDir).count()
       }
     } catch { case _: Throwable => () }
