@@ -419,12 +419,15 @@ final class TiffScan(
     val (p, slim, tiles, (x0, x1, y0, y1), bands) = f
     val groups = Seq.newBuilder[Seq[TiffTileRef]]
     var cur = List.newBuilder[TiffTileRef]
+    // the per-file open cost charges ONCE, into the file's first split
+    // (Spark's file-granular charging) — charging it into every split
+    // made each split start "full" and degenerate back to one tile each
     var curBytes = openCost
     var curEmpty = true
     tiles.foreach { t =>
       if (!curEmpty && curBytes + t.count > maxSplit) {
         groups += cur.result()
-        cur = List.newBuilder[TiffTileRef]; curBytes = openCost; curEmpty = true
+        cur = List.newBuilder[TiffTileRef]; curBytes = 0L; curEmpty = true
       }
       cur += t; curBytes += t.count; curEmpty = false
     }

@@ -1,0 +1,69 @@
+package graft.sources.grib
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import graft.SparkSpec
+
+/** Pins the r15 message-packing optimization: splits are byte-budgeted
+  * (Spark's maxSplitBytes formula via SplitBudget) instead of one
+  * partition per message, packing never crosses a file boundary, and the
+  * reader decodes every message of a multi-message partition (the
+  * message-advance path). */
+class GribSplitSpec extends SparkSpec {
+
+  private def writeDays(path: String, nDays: Int): Unit =
+    GribFormat.writeFile(spark, path, (1 to nDays).map { d =>
+      (61, LocalDateTime.of(2024, 3, d, 0, 0), Seq(-45.5, -45.0),
+        Seq(10.0, 10.5), Array.tabulate(4)(k => d * 10.0 + k))
+    })
+
+  test("tiny messages pack into few splits; every message still decodes") {
+    val dir = Files.createTempDirectory("gribsplit").toString
+    writeDays(s"$dir/m.grb", 20)
+    val df = spark.read.format("grib1").load(s"$dir/m.grb")
+    // 20 messages × ~tens of bytes is far below one openCost quantum: the
+    // file packs into at most TWO tasks, not 20 (pre-r15 behavior). Two,
+    // not one, because the first split absorbs the per-file open-cost
+    // charge — the same boundary arithmetic as Spark's FilePartition.
+    val parts = df.rdd.getNumPartitions
+    assert(parts <= 2, s"expected <=2 packed splits for 20 tiny messages, got $parts")
+    // all 20 messages' cells survive the multi-message reader
+    assert(df.count() == 20L * 4)
+    val days = df.select("time").distinct().count()
+    assert(days == 20)
+    // values from the FIRST and LAST message of the packed partition
+    val sum = df.agg(org.apache.spark.sql.functions.sum("value"))
+      .head().getDouble(0)
+    val want = (1 to 20).map(d => (0 until 4).map(k => d * 10.0 + k).sum).sum
+    assert(sum == want)
+  }
+
+  test("packing never crosses a file boundary") {
+    val dir = Files.createTempDirectory("gribsplit2").toString
+    writeDays(s"$dir/a.grb", 3)
+    writeDays(s"$dir/b.grb", 3)
+    val df = spark.read.format("grib1").load(dir)
+    // tiny messages, two files: at least one split per file (a split
+    // never spans files), at most two per file (open-cost boundary),
+    // and both files' rows present
+    val parts = df.rdd.getNumPartitions
+    assert(parts >= 2 && parts <= 4, s"got $parts")
+    assert(df.count() == 2L * 3 * 4)
+  }
+
+  test("a pushed message filter prunes before packing") {
+    val dir = Files.createTempDirectory("gribsplit3").toString
+    GribFormat.writeFile(spark, s"$dir/p.grb", Seq(
+      (61, LocalDateTime.of(2024, 3, 1, 0, 0), Seq(-45.5, -45.0),
+        Seq(10.0, 10.5), Array(1.0, 2.0, 3.0, 4.0)),
+      (52, LocalDateTime.of(2024, 3, 2, 0, 0), Seq(-45.5, -45.0),
+        Seq(10.0, 10.5), Array(5.0, 6.0, 7.0, 8.0))))
+    val df = spark.read.format("grib1").load(s"$dir/p.grb")
+      .filter(org.apache.spark.sql.functions.col("param") === 61)
+    assert(df.count() == 4)
+    val desc = df.queryExecution.executedPlan.toString()
+    assert(desc.contains("messages=1/2"), s"pruning missing from: $desc")
+    assert(desc.contains("splits=1"), s"split count missing from: $desc")
+  }
+}
