@@ -4283,7 +4283,11 @@ object SparkEntry {
     // day-of-week climatology + per-observation anomaly
     // (da.groupby("time.dayofweek") - clim)
     "q89_climatology_anomaly" -> ((s, dir) =>
-      GridAnalytics.anomalies(eventsGrid(s, dir), "time",
+      // the grid input (an events scan + aggregate) is referenced twice by
+      // anomalies (row side + climatology side): materialize it once (r16,
+      // guide §2.3). The operator's broadcast hint on the climatology side
+      // keeps the join strategy despite the checkpoint's erased stats.
+      GridAnalytics.anomalies(eventsGrid(s, dir).localCheckpoint(true), "time",
         Seq("lat", "lon"), "value", "dayofweek")
         .select("time", "lat", "lon", "value", "climatology", "anomaly")
         .orderBy("time", "lat", "lon")),
@@ -4415,8 +4419,9 @@ object SparkEntry {
     // above-normal spells: exceedance runs over the anomaly field (ETCCDI
     // warm-spell shape; composes anomalies → spellsInCell)
     "q107_cell_spells" -> ((s, dir) =>
+      // single-eval grid input + broadcast climatology, as in q89 (r16)
       GridAnalytics.spellsInCell(
-        GridAnalytics.anomalies(eventsGrid(s, dir), "time",
+        GridAnalytics.anomalies(eventsGrid(s, dir).localCheckpoint(true), "time",
           Seq("lat", "lon"), "value", "month"),
         "time", Seq("lat", "lon"), "anomaly", 0.0)
         .select("lat", "lon", "spell_start", "spell_end", "n_steps", "peak")

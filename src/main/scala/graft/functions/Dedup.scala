@@ -236,18 +236,32 @@ object Dedup {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext = writeEc
+      // Cluster each table by its partition column before the partitioned
+      // write (guide §6: "REBALANCE hint before the write"): without the
+      // exchange every write task opens a file in up to nParts directories,
+      // so the index accumulates O(tasks × nParts) small files — a
+      // million-task corpus with nParts=64 is 64M tiny files, and the probe
+      // pays per-file open cost inside every pruned partition it reads.
+      // REBALANCE (vs a plain keyed repartition) lets AQE size the layout
+      // from actual bytes BOTH ways: small partitions coalesce (few files
+      // locally) and a large partition splits into advisory-sized tasks
+      // (write parallelism is not capped at nParts, files stay right-sized
+      // at scale). The shuffle payload is the skinny band rows / per-doc
+      // shingle arrays that were about to be written anyway.
       val bandsJob = Future {
         hashed
           .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
           .withColumn("__b", explode(bandHashes(col("sig"), bands, rowsPerBand)))
           .select(col("doc_id"), col("__b.band").as("band"), col("__b.h").as("h"))
           .withColumn("__hb", pmod(col("h"), lit(nParts.toLong)))
+          .hint("rebalance", col("__hb"))
           .write.partitionBy("__hb").mode(mode).parquet(s"$path/bands")
       }
       val docsJob = Future {
         hashed.select(col("doc_id"), col("__sh"))
           .filter(size(col("__sh")) > 0)
           .withColumn("__db", pmod(xxhash64(col("doc_id")), lit(nParts.toLong)))
+          .hint("rebalance", col("__db"))
           .write.partitionBy("__db").mode(mode).parquet(s"$path/docs")
       }
       Await.result(bandsJob, Duration.Inf)

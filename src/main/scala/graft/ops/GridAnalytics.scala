@@ -56,15 +56,23 @@ object GridAnalytics {
       .agg(avg(col(valueCol)).as("climatology"))
 
   /** xarray `da.groupby("time.month") - clim` — each observation minus its
-    * period climatology. One extra shuffle: the per-row side repartitions on
-    * (period, cell) to meet the (already aggregated, much smaller)
-    * climatology; AQE broadcasts the climatology side when it fits.
-    * Output: input columns + climatology + anomaly. */
+    * period climatology. Output: input columns + climatology + anomaly.
+    *
+    * The climatology side carries an explicit broadcast hint (guide §3.1):
+    * it is an aggregate bounded by |periods|×|cells| regardless of archive
+    * length — exactly the side a 100 TB run must broadcast (the
+    * alternative shuffles every grid row for a join against a
+    * dimensionally-bounded table). The hint matters for MATERIALIZED
+    * inputs: `localCheckpoint` erases size statistics (LogicalRDD defaults
+    * to defaultSizeInBytes), so estimate-driven planning silently degrades
+    * the join to sort-merge — the r15 trap that forced callers to choose
+    * between single-evaluation inputs and the broadcast shape. With the
+    * hint, callers may checkpoint an expensive `df` and keep both. */
   def anomalies(df: DataFrame, timeCol: String, dims: Seq[String],
       valueCol: String, period: String = "month"): DataFrame = {
     val clim = climatology(df, timeCol, dims, valueCol, period)
     df.withColumn(period, periodOf(col(timeCol), period))
-      .join(clim, period +: dims, "left")
+      .join(broadcast(clim), period +: dims, "left")
       .withColumn("anomaly", col(valueCol) - col("climatology"))
   }
 

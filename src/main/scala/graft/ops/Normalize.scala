@@ -101,15 +101,23 @@ object Normalize {
       timeCol: String,
       otherDims: Seq[String],
       resolution: TimeSpan): DataFrame = {
-    val bounds = df.agg(min(col(timeCol)).as("lo"), max(col(timeCol)).as("hi"))
+    // Materialize the KEY projection once (r16, guide §2.3): the former
+    // shape referenced df four times — bounds aggregate, dim-set distinct,
+    // the anti-join's present-key side, and the verbatim union
+    // pass-through — so an expensive input (at these call sites, a full
+    // scan + aggregate) evaluated four times. The first three only need
+    // the key columns; they now read this checkpoint, leaving df itself
+    // evaluated once (the pass-through). Keys-only, so the blocks carry
+    // no value payload; caller/sweep releases the checkpoint.
+    val keys = df.select((timeCol +: otherDims).map(col): _*)
+      .localCheckpoint(true)
+    val bounds = keys.agg(min(col(timeCol)).as("lo"), max(col(timeCol)).as("hi"))
     val spine = bounds.select(
       explode(expr(s"sequence(lo, hi, ${resolution.intervalExpr})")).as(timeCol))
     val spineAll =
       if (otherDims.isEmpty) spine
-      else spine.crossJoin(df.select(otherDims.map(col): _*).distinct())
-    val holeRows = spineAll.join(
-      df.select((timeCol +: otherDims).map(col): _*),
-      timeCol +: otherDims, "left_anti")
+      else spine.crossJoin(keys.select(otherDims.map(col): _*).distinct())
+    val holeRows = spineAll.join(keys, timeCol +: otherDims, "left_anti")
     val valueCols = df.columns.filterNot((timeCol +: otherDims).contains)
     val padded = valueCols.foldLeft(holeRows) { (acc, c) =>
       acc.withColumn(c, lit(null).cast(df.schema(c).dataType))

@@ -353,36 +353,32 @@ final class GridStore(
     }
   }
 
-  /** W4 + W5 — unified delta write: ONE dynamic-partition-overwrite job
-    * covers both cases, because dynamic overwrite replaces touched buckets
-    * (inserts, publish.py:406-450) and creates brand-new ones (appends,
-    * publish.py:452-478) in the same pass.
-    *
-    * Buckets that overlap the existing store are padded back to
-    * completeness with `combineFirst` (J3, publish.py:1341-1385) — this
-    * both completes a partial tail bucket on append (the chunk-butt-join
-    * analog of publish.py:520-553) and preserves unreplaced cells on
-    * insert. The original side is bounded to the touched buckets FIRST, so
-    * the full-outer join never sees the rest of the store. */
-  private def writeDelta(df: DataFrame,
-      touchedPre: Option[Set[String]] = None): Unit = {
-    // the update path folds the touched set into its one stats action
-    val touched = touchedPre.getOrElse(
-      df.select(bucketExpr.as("__bucket")).distinct()
-        .collect().map(_.getString(0)).toSet)
+  /** Pad the delta back to bucket completeness with `combineFirst` (J3,
+    * publish.py:1341-1385) — this both completes a partial tail bucket on
+    * append (the chunk-butt-join analog of publish.py:520-553) and
+    * preserves unreplaced cells on insert. The original side is bounded to
+    * the touched buckets FIRST, so the full-outer join never sees the rest
+    * of the store. When padding applies, the result is MATERIALIZED here
+    * (read-only — severs lineage from the store files the write will
+    * replace), so [[runUpdate]] can run this job CONCURRENTLY with the
+    * quality gate (guide §2.6). Returns (frame, wasPadded) — a padded
+    * frame's checkpoint blocks are the caller's to release after the
+    * write lands. */
+  private def paddedDelta(df: DataFrame, touched: Set[String]): (DataFrame, Boolean) = {
     val overlap = existingBuckets.intersect(touched)
-    val padded =
-      if (overlap.isEmpty) df
-      else {
-        // partition-pruned: only the overlapping bucket dirs are listed
-        val original = readBuckets(overlap)
-        val keys = desc.standardDims.filter(df.columns.contains)
-        materialize(UpdatePlan.combineFirst(df, original, keys, desc.dataVar))
-      }
-    writeJob(padded, "overwrite", dynamic = true)
-    // the padded frame's checkpoint blocks are dead once the write lands
-    if (overlap.nonEmpty) graft.Housekeeping.release(padded)
+    if (overlap.isEmpty) (df, false)
+    else {
+      // partition-pruned: only the overlapping bucket dirs are listed
+      val original = readBuckets(overlap)
+      val keys = desc.standardDims.filter(df.columns.contains)
+      (materialize(UpdatePlan.combineFirst(df, original, keys, desc.dataVar)), true)
+    }
   }
+
+  // W4 + W5 note: the delta write itself is ONE dynamic-partition-overwrite
+  // job (see runUpdate), because dynamic overwrite replaces touched buckets
+  // (inserts, publish.py:406-450) and creates brand-new ones (appends,
+  // publish.py:452-478) in the same pass.
 
   /** Maintenance — compact the given buckets (default: all): incremental
     * appends accumulate small files per bucket; compaction rewrites each
@@ -433,30 +429,70 @@ final class GridStore(
     // scan, even of just the time column. The ONE updateStats action also
     // serves attrs assembly and bucket planning below.
     val stats = updateStats(updateDf)
-    val (uLo, uHi) = (stats.uLo, stats.uHi)
-    val existing = readRange(uLo, uHi)
-    // One classified time frame (one row per distinct update timestep,
-    // plus ONE `existing_end` row — the store's last-bucket max time rides
-    // in the same job instead of its own scan action) — consumed by the
-    // quality gate's SINGLE aggregate action, which runs BEFORE any write
-    // touches the store files its plan references, so it needs no
-    // materialization (r15: the former defensive checkpoint was one extra
-    // job + block write per publish with no post-write consumer).
-    val classified =
-      UpdatePlan.classifyUpdateTimes(existing, updateDf, timeCol)
-        .unionByName(existingEndFrame)
-    UpdatePlan.updateQualityCheckClassified(classified, timeCol,
-      desc.timeResolution, desc.updateCadenceBounds)
+    // The gate's ONE aggregate action, scoped so `classified` — whose plan
+    // reads the CURRENT store files — cannot gain a post-write consumer
+    // (the write below replaces those files; a later read of this frame
+    // would be the read-after-replace bug the r15-dropped defensive
+    // checkpoint used to paper over). StoreGateOrderSpec pins the ordering
+    // at the job level. `classified` is one row per distinct update
+    // timestep plus ONE `existing_end` row — the store's last-bucket max
+    // time rides in the same job instead of its own scan action.
+    def runGate(): Unit = {
+      val existing = readRange(stats.uLo, stats.uHi)
+      val classified =
+        UpdatePlan.classifyUpdateTimes(existing, updateDf, timeCol)
+          .unionByName(existingEndFrame)
+      spark.sparkContext.setJobDescription("graft.store: update gate")
+      try UpdatePlan.updateQualityCheckClassified(classified, timeCol,
+        desc.timeResolution, desc.updateCadenceBounds)
+      finally spark.sparkContext.setJobDescription(null)
+    }
     if (dryRun) {
+      runGate()
       graft.Housekeeping.release(updateDf)
       return
     }
-    withCommitMarker(computedAttrs(updateDf, isUpdate = true, Some(stats))) {
-      writeDelta(updateDf, Some(stats.touched))
+    // Overlap the gate with the padding read (guide §2.6): both are
+    // INDEPENDENT read-only jobs over pre-write store files — the gate's
+    // aggregate and the combine-first materialization — and both must
+    // finish before the data write. Running the padding job on the shared
+    // store pool lets its tasks back-fill executors while the gate's
+    // (driver-latency-bound) aggregate round-trips; job descriptions are
+    // thread-local so the ordering spec can tell them apart. The gate
+    // still completes BEFORE any write: writeJob runs only after both the
+    // Await and a successful gate.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = ZarrStore.axisEc
+    val padF = Future {
+      spark.sparkContext.setJobDescription("graft.store: padding read")
+      try paddedDelta(updateDf, stats.touched)
+      finally spark.sparkContext.setJobDescription(null)
     }
-    // every consumer (classification gate, both write paths) has run:
-    // the update delta's checkpoint blocks are dead
-    graft.Housekeeping.release(updateDf)
+    val gateOutcome = scala.util.Try(runGate())
+    // the padding job must complete either way — a failed gate must not
+    // leave its checkpoint job racing a caller's retry
+    val padOutcome = scala.util.Try(Await.result(padF, Duration.Inf))
+    gateOutcome.failed.foreach { e =>
+      padOutcome.foreach { case (padded, wasPadded) =>
+        if (wasPadded) graft.Housekeeping.release(padded)
+      }
+      graft.Housekeeping.release(updateDf)
+      throw e
+    }
+    val (padded, wasPadded) = padOutcome.get
+    try {
+      withCommitMarker(computedAttrs(updateDf, isUpdate = true, Some(stats))) {
+        spark.sparkContext.setJobDescription("graft.store: delta write")
+        try writeJob(padded, "overwrite", dynamic = true)
+        finally spark.sparkContext.setJobDescription(null)
+      }
+    } finally {
+      // every consumer (gate, padding, write) has run: the update delta's
+      // (and the padded frame's) checkpoint blocks are dead
+      if (wasPadded) graft.Housekeeping.release(padded)
+      graft.Housekeeping.release(updateDf)
+    }
   }
 
   // ------------------------------------------------------------- helpers
