@@ -27,18 +27,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up the JVM/codegen/parquet-footer paths so the first timed query
-    // doesn't absorb session initialization: one tiny representative query
-    // per subsystem (scan+agg, text HOFs, embedding HOFs, and — r15 — the
-    // parquet WRITE/commit path: its JIT was landing on whichever write-
-    // family query sorts first and inflating it 1-2 s; see
-    // OPTIMIZATION_r15.md "warmup order").
-    try {
-      Seq("q18_date_range", "q33_token_stats", "q40_embed_norms",
-          "q44_store_attrs").foreach { q =>
-        SparkEntry.queries(q)(spark, sfDir).count()
-      }
-    } catch { case _: Throwable => () }
+    // Warm up the JVM/codegen/parquet paths so the first timed query doesn't
+    // absorb session initialization. r16 (VERDICT r15 #9): the warmup list
+    // used to reuse four BOARD queries (q18/q33/q40/q44), which were then
+    // timed warm while the other 202 ran cold; the dedicated work below
+    // covers the same one-time JIT surfaces — parquet scan+agg, text and
+    // embedding codegen, the parquet write/commit protocol — WITHOUT
+    // touching any registered query, plus (new) the encrypted write paths,
+    // whose JIT previously landed on whichever encrypted query sorts first
+    // (q139/q143; see OPTIMIZATION_r15.md "warmup order" for the history).
+    // Untimed, as before; timing loop, sweep and JSON output unchanged.
+    warmup(spark, sfDir)
     Housekeeping.releaseAll(spark, blocking = true)
     // Deterministic (sorted) execution order: per-query timings stay
     // comparable across rounds even as the query map grows (Map iteration
@@ -57,13 +56,58 @@ object Bench {
       case Some(v) => v.toIntOption.getOrElse(throw new IllegalArgumentException(
         s"SPARK_GRAFT_BENCH_RUNS '$v' is not an integer"))
     }
+    // SPARK_GRAFT_BENCH_COUNTS=<path> (r16, VERDICT r15 #2): write a
+    // per-query STRUCTURAL profile — job/stage/task counts and
+    // shuffle/input bytes from a listener — as JSON to <path>, so a round
+    // can be graded on deterministic plan cost instead of timing weather.
+    // Counts come from each query's FIRST run only (identical across runs
+    // by construction). The driver never sets this: with the variable
+    // unset no listener is attached and the timed path is byte-identical
+    // to the r15 contract.
+    val countsPath = sys.env.get("SPARK_GRAFT_BENCH_COUNTS")
+    final class Acc {
+      var jobs = 0; var stages = 0; var tasks = 0
+      var shufW = 0L; var shufR = 0L; var input = 0L
+    }
+    val current = new java.util.concurrent.atomic.AtomicReference[Acc](null)
+    if (countsPath.isDefined) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(e: SparkListenerJobStart): Unit = {
+          val a = current.get(); if (a != null) a.synchronized { a.jobs += 1 }
+        }
+        override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+          val a = current.get()
+          if (a != null) a.synchronized {
+            a.stages += 1
+            a.tasks += e.stageInfo.numTasks
+            val m = e.stageInfo.taskMetrics
+            if (m != null) {
+              a.shufW += m.shuffleWriteMetrics.bytesWritten
+              a.shufR += m.shuffleReadMetrics.totalBytesRead
+              a.input += m.inputMetrics.bytesRead
+            }
+          }
+        }
+      })
+    }
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t = (0 until math.max(1, runs)).map { _ =>
+      val t = (0 until math.max(1, runs)).map { i =>
+        val profiled = countsPath.isDefined && i == 0
+        if (profiled) current.set(new Acc)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
+        if (profiled) {
+          // listener events are async: let the bus drain before detaching
+          // the accumulator (outside the timed region — dt is already
+          // measured; this mode is never the driver's timing run anyway)
+          Thread.sleep(250)
+          counts(name) = current.getAndSet(null)
+        }
         // queries are independent: sweep residual checkpoint/cache blocks
         // so no run is timed under another's storage-memory pressure;
         // blocking: removal must FINISH before the next timer starts
@@ -73,10 +117,91 @@ object Bench {
       }.min
       name -> t
     }
+    countsPath.foreach { p =>
+      val body = counts.map { case (name, a) =>
+        s"""  "$name": {"jobs":${a.jobs},"stages":${a.stages},"tasks":${a.tasks},""" +
+          s""""shuffle_write":${a.shufW},"shuffle_read":${a.shufR},"input":${a.input}}"""
+      }.mkString("{\n", ",\n", "\n}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Dedicated, untimed warmup — JIT surfaces only, NO registered query
+    * (the board and the warmup are disjoint; r16). Every step is bounded
+    * and best-effort: a failure here must never fail the bench. */
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    def quietly(step: => Unit): Unit =
+      try step catch { case _: Throwable => () }
+    // parquet scan + hash aggregate (the q18-shaped surface)
+    quietly {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)), sum(col("l_quantity"))).count()
+    }
+    // text tokenize/codegen expressions over a bounded slice (q33-shaped)
+    quietly {
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+        .select(functions.Text.tokens(col("text")).as("t"),
+          functions.Dedup.simhash64(col("text")).as("s"))
+        .select(sum(size(col("t"))), sum(col("s"))).count()
+    }
+    // embedding higher-order functions over a bounded slice (q40-shaped)
+    quietly {
+      spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
+        .select(aggregate(zip_with(col("embedding"), col("embedding"),
+            (x, y) => x * y), lit(0.0d), (a, x) => a + x).as("n2"))
+        .agg(sum(col("n2"))).count()
+    }
+    // parquet write/commit protocol: one tiny store lifecycle (initial +
+    // update publish — commit marker, classification gate, dynamic
+    // partition overwrite), plaintext AND PME-encrypted so the one-time
+    // crypto/commit JIT stops landing on the first write-family query
+    quietly {
+      val sp = spark; import sp.implicits._
+      val desc = graft.model.DatasetDescriptor("bench_warm", "v",
+        spatialDims = Seq("slot"),
+        timeResolution = graft.model.TimeSpan.Daily)
+      def grid(base: Double, days: Range) = days.map { d =>
+        (java.time.LocalDateTime.parse(f"2024-01-$d%02dT00:00:00"),
+          (d % 3).toDouble, base + d)
+      }.toDF("time", "slot", "v")
+      def lifecycle(path: String, key: Option[String]): Unit = {
+        graft.store.GridStore.fileSystem(spark, path)
+          .delete(new org.apache.hadoop.fs.Path(path), true)
+        val store = new graft.store.GridStore(spark, path, desc,
+          bucketSpan = graft.model.TimeUnitKind.Days, encryptionKeyHash = key)
+        store.publish(grid(0.0, 1 to 6))
+        store.publish(grid(100.0, 5 to 8))
+        store.dataset().count()
+      }
+      val tmp = System.getProperty("java.io.tmpdir")
+      lifecycle(s"$tmp/graft_bench_warm_plain", None)
+      lifecycle(s"$tmp/graft_bench_warm_enc",
+        Some(functions.Encryption.registerEncryptionKey(
+          functions.Encryption.generateEncryptionKey())))
+    }
+    // zarr chunk codec path (zlib encode/decode JIT; q80-shaped, tiny)
+    quietly {
+      val sp = spark; import sp.implicits._
+      val desc = graft.model.DatasetDescriptor("bench_warm_z", "v",
+        spatialDims = Seq("slot"),
+        timeResolution = graft.model.TimeSpan.Daily)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bench_warm_zarr"
+      graft.store.GridStore.fileSystem(spark, path)
+        .delete(new org.apache.hadoop.fs.Path(path), true)
+      val df = (1 to 6).flatMap(d => Seq(0.0, 1.0).map(s =>
+        (java.time.LocalDateTime.parse(f"2024-01-$d%02dT00:00:00"), s,
+          d + s))).toDF("time", "slot", "v")
+      val z = new graft.store.ZarrStore(spark, path, desc, timeChunk = 4)
+      z.publish(df)
+      z.dataset().count()
+    }
   }
 }

@@ -744,9 +744,15 @@ object Dedup {
         shinglePairHashes(col(textCol), n).getField("a").as("__sh"))
       .localCheckpoint(true)
     val sh = shArr.select(col("doc_id"), explode(col("__sh")).as("shingle"))
+    // per-doc shingle counts are size(__sh) on the materialized arrays
+    // (ShinglePairHashes already dedupes per row) — the former
+    // explode+groupBy recounted them through a full corpus-shingle
+    // exchange (r16, guide §2.4: remove shuffles outright)
+    val docCounts = shArr.select(col("doc_id"),
+      size(col("__sh")).cast("long").as("__n"))
     maxShingleDocFreq match {
       case None =>
-        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        val counts = docCounts.withColumnRenamed("__n", "n_shingles")
         val pairs = sh.toDF("doc_a", "shingle")
           .join(sh.toDF("doc_b", "shingle"), Seq("shingle"))
           .filter(col("doc_a") < col("doc_b"))
@@ -768,10 +774,11 @@ object Dedup {
         // positional renames
         val shRare = sh.join(rare, Seq("shingle"))
           .select("doc_id", "shingle")
-        // per-doc totals: n = all shingles, r = rare shingles; h = n − r
-        // hot ones (each doc's shingles are already distinct). __r derives
-        // from shRare so the rare join's subplan exists ONCE in the plan.
-        val docStats = sh.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+        // per-doc totals: n = all shingles (free via size(__sh) above),
+        // r = rare shingles; h = n − r hot ones (each doc's shingles are
+        // already distinct). __r derives from shRare so the rare join's
+        // subplan exists ONCE in the plan.
+        val docStats = docCounts
           .join(shRare.groupBy("doc_id").agg(count(lit(1)).as("__r")),
             Seq("doc_id"), "left")
           .select(col("doc_id"), col("__n"),
