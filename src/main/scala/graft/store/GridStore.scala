@@ -348,7 +348,22 @@ final class GridStore(
       if (hasExisting && adopted != persisted)
         Map(EncryptionKeyHashAttr -> adopted.get)
       else Map.empty
-    withCommitMarker(computedAttrs(df, isUpdate = false) ++ rotation) {
+    // Overlap the attrs stats aggregate with the data write (guide §2.6):
+    // both read df independently, and the aggregate's scalars are only
+    // consumed AFTER the write succeeds (withCommitMarker evaluates
+    // postAttrs lazily) — so the formerly-serial stats job now back-fills
+    // while the write's tail drains. A failed write just abandons the
+    // (read-only) stats future.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = ZarrStore.axisEc
+    val statsF = Future {
+      spark.sparkContext.setJobDescription("graft.store: initial attrs stats")
+      try updateStats(df)
+      finally spark.sparkContext.setJobDescription(null)
+    }
+    withCommitMarker(computedAttrs(df, isUpdate = false,
+        Some(Await.result(statsF, Duration.Inf))) ++ rotation) {
       writeJob(df, "overwrite")
     }
   }
@@ -421,8 +436,11 @@ final class GridStore(
     // discovery, and both write paths all re-read it, and its lineage may be
     // an arbitrary upstream pipeline. An update is a bounded delta relative
     // to the store (the reference holds it in memory too), so this is an
-    // executor-local checkpoint of the small side, never the store.
-    val updateDf = materialize(updateDf0)
+    // executor-local checkpoint of the small side, never the store. LAZY
+    // (r16): the stats aggregate right below is the first action and
+    // materializes the blocks as it folds — an eager checkpoint was a
+    // whole extra job per publish.
+    val updateDf = updateDf0.localCheckpoint(false)
     // Classification only needs the store's times INSIDE the update window
     // (a time can only be an insert if both sides contain it), so the
     // existing side is a bucket-pruned range read — never a full-store

@@ -337,12 +337,23 @@ final class ZarrStore(
     * coord rewrite), then ONE merge job overlays all update rows onto the
     * touched chunks — the tail chunk butt-join and region inserts are the
     * same read-modify-write. */
-  private def writeUpdate(df: DataFrame): Unit = {
+  private def writeUpdate(df0: DataFrame): Unit = {
     checkNotInProgress()
     checkEncryptionProfile()
     val persisted = persistedDataMeta
     val existingTime = readTimeAxisMicros()
     val existingSet = existingTime.toSet
+    // Materialize the delta ONCE (r16, mirroring GridStore.runUpdate): the
+    // two axis-planning jobs and the chunk write all re-read it, and its
+    // lineage may be an arbitrary upstream pipeline — previously each
+    // consumer re-evaluated that pipeline (3 evaluations per update). An
+    // update is a bounded delta relative to the store, so this is an
+    // executor-local checkpoint of the small side, never the store. LAZY:
+    // the first axis job materializes the blocks as it folds. The initial
+    // write deliberately does NOT do this — its frame is the whole
+    // dataset, where column-pruned re-scans beat materializing every
+    // column (the axis jobs read one column each).
+    val df = df0.localCheckpoint(false)
     val (updateTime, spatialVals) = collectAxes(df)
     val appended = updateTime.filterNot(existingSet)
     // appends must extend the axis monotonically; anything else is an insert
@@ -363,7 +374,7 @@ final class ZarrStore(
         require(missing.isEmpty,
           s"Update has $dim values off the existing grid: ${missing.take(3).mkString(",")}")
     }
-    withCommitMarker(Map(
+    try withCommitMarker(Map(
       "update_date_range_start" -> micros2ldt(updateTime.head).toString,
       "update_date_range_end" -> micros2ldt(updateTime.last).toString)) {
       if (appended.nonEmpty)
@@ -373,7 +384,10 @@ final class ZarrStore(
         vars = Seq((desc.dataVar, desc.dataVar,
           dataMeta(persisted, newTime.length, spatialAxes.map(_._2)))),
         df = df, mergeExisting = true)
-    }
+    } finally
+      // every consumer (axis jobs, chunk write) has run — or the publish
+      // failed: either way the delta's checkpoint blocks are dead
+      graft.Housekeeping.release(df)
   }
 
   // ------------------------------------------------------------- internals
